@@ -1,0 +1,138 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Distributed ordinary least squares — Spark-first version of the
+  * reference's no-FE branch of `estimate` (reference: hdfe/hdfe.py:66-71)
+  * plus its variance options (hdfe.py:153-181).
+  *
+  * Design for 100 TB: the data never leaves the cluster. One codegen'd
+  * aggregation pass computes the Gram matrix X'X (k(k+1)/2 sums), X'y,
+  * y'y and n with map-side partial aggregation; the k×k normal equations
+  * are solved on the driver ([[LinAlg]]). Homoskedastic variance needs NO
+  * second pass (SSR = y'y - 2b'X'y + b'Gb). Cluster-robust variance is
+  * one extra groupBy(cluster) pass that reduces to k sums per cluster and
+  * a k×k outer-product reduce (reference: hdfe.py:159-175).
+  */
+case class OlsModel(
+    xNames: Seq[String],          // names of columns actually regressed (post rank-check), intercept first if present
+    coef: Array[Double],
+    n: Long,
+    gram: Array[Array[Double]],   // X'X of the kept columns
+    xty: Array[Double],
+    yty: Double,
+    droppedCols: Seq[String]      // collinear columns removed by checkRank
+) {
+  /** Sum of squared residuals, from Gram identities (no data pass). */
+  def ssr: Double = {
+    val gb = LinAlg.matVec(gram, coef)
+    yty - 2.0 * LinAlg.dot(coef, xty) + LinAlg.dot(coef, gb)
+  }
+  /** sigma^2 = SSR / (n - k) (reference: hdfe.py:179). */
+  def sigma2: Double = ssr / (n - coef.length).toDouble
+  /** Homoskedastic covariance sigma^2 (X'X)^-1. */
+  def varianceHomoskedastic: Array[Array[Double]] =
+    LinAlg.inverse(gram).map(_.map(_ * sigma2))
+  def seHomoskedastic: Array[Double] =
+    varianceHomoskedastic.zipWithIndex.map { case (r, i) => math.sqrt(r(i)) }
+}
+
+object Ols {
+
+  /** Fit y ~ xs (+ intercept). Columns may be arbitrary expressions over
+    * `df`. With `checkRank=true`, collinear columns are detected from the
+    * Gram matrix and dropped (reference: estimate(check_rank=True)).
+    */
+  def fit(
+      df: DataFrame,
+      y: String,
+      xs: Seq[String],
+      intercept: Boolean = true,
+      checkRank: Boolean = false,
+      tol: Double = 1e-7
+  ): OlsModel = {
+    val names = (if (intercept) Seq("(intercept)") else Nil) ++ xs
+    val cols: Seq[Column] =
+      (if (intercept) Seq(lit(1.0)) else Nil) ++ xs.map(c => col(c).cast("double"))
+    val yc = col(y).cast("double")
+    val k = cols.length
+
+    // single-pass Gram aggregation
+    val aggs: Seq[Column] =
+      (for (i <- 0 until k; j <- i until k) yield sum(cols(i) * cols(j)).as(s"g_${i}_$j")) ++
+        (0 until k).map(i => sum(cols(i) * yc).as(s"c_$i")) ++
+        Seq(sum(yc * yc).as("yty"), count(lit(1)).as("n"))
+    val row: Row = df.agg(aggs.head, aggs.tail: _*).head()
+
+    var p = 0
+    val g = Array.ofDim[Double](k, k)
+    for (i <- 0 until k; j <- i until k) {
+      val v = row.getDouble(p); p += 1
+      g(i)(j) = v; g(j)(i) = v
+    }
+    val c = Array.tabulate(k) { i => row.getDouble(p + i) }
+    p += k
+    val yty = row.getDouble(p)
+    val n = row.getLong(p + 1)
+
+    val (keptIdx, droppedNames) =
+      if (checkRank) {
+        val (dropped, kept) = LinAlg.collinearFromGram(g, tol)
+        (kept, dropped.map(names))
+      } else (0 until k, Nil)
+
+    val gk = keptIdx.map(i => keptIdx.map(j => g(i)(j)).toArray).toArray
+    val ck = keptIdx.map(c).toArray
+    val b = LinAlg.solve(gk, ck)
+    OlsModel(keptIdx.map(names), b, n, gk, ck, yty, droppedNames.toSeq)
+  }
+
+  /** Residual column expression for a fitted model. */
+  def residualCol(model: OlsModel, y: String): Column = {
+    val terms = model.xNames.zip(model.coef).map {
+      case ("(intercept)", b) => lit(b)
+      case (name, b)          => col(name).cast("double") * b
+    }
+    terms.foldLeft(col(y).cast("double"))(_ - _)
+  }
+
+  /** Cluster-robust covariance (X'X)^-1 [Σ_g s_g s_g'] (X'X)^-1 with
+    * s_g = Σ_{i∈g} u_i x_i (reference: hdfe.py:159-175; like the
+    * reference, no small-sample correction). One distributed pass:
+    * groupBy(cluster) reduces each cluster to k sums, a second tiny agg
+    * reduces the k×k outer products.
+    */
+  def varianceClustered(
+      df: DataFrame,
+      model: OlsModel,
+      y: String,
+      cluster: String
+  ): Array[Array[Double]] = {
+    val k = model.coef.length
+    val u = residualCol(model, y).as("__u")
+    val xcols: Seq[Column] = model.xNames.map {
+      case "(intercept)" => lit(1.0)
+      case name          => col(name).cast("double")
+    }
+    val scoreAggs = (0 until k).map(i => sum(col("__u") * xcols(i)).as(s"s_$i"))
+    val perCluster = df
+      .withColumn("__u", u)
+      .groupBy(col(cluster))
+      .agg(scoreAggs.head, scoreAggs.tail: _*)
+    val meatAggs = for (i <- 0 until k; j <- i until k)
+      yield sum(col(s"s_$i") * col(s"s_$j")).as(s"m_${i}_$j")
+    val row = perCluster.agg(meatAggs.head, meatAggs.tail: _*).head()
+    val meat = Array.ofDim[Double](k, k)
+    var p = 0
+    for (i <- 0 until k; j <- i until k) {
+      val v = row.getDouble(p); p += 1
+      meat(i)(j) = v; meat(j)(i) = v
+    }
+    val inv = LinAlg.inverse(model.gram)
+    LinAlg.matMul(LinAlg.matMul(inv, meat), inv)
+  }
+
+  def seClustered(df: DataFrame, model: OlsModel, y: String, cluster: String): Array[Double] =
+    varianceClustered(df, model, y, cluster).zipWithIndex.map { case (r, i) => math.sqrt(r(i)) }
+}

@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Within-group lags/leads — Spark-first version of the reference
+  * `make_lags` / `make_one_lag` (reference: hdfe/hdfe.py:184,253).
+  *
+  * The reference relies on the DataFrame's physical row order inside each
+  * group; a distributed engine has no such order, so the caller supplies
+  * explicit `order` columns (this also makes results deterministic). Lags
+  * are computed with `lag`/`lead` over `Window.partitionBy(group)
+  * .orderBy(order)` — a single shuffle on the group key, sort within
+  * partitions, no joins.
+  *
+  * Naming follows the reference: `<out>_lag_<k>` where k>0 looks back and
+  * k<0 looks forward; with `fillZeros=true` each lag also gets an
+  * `<out>_lag_<k>_mi` missing-indicator and the missing value is 0
+  * (reference: hdfe.py:280-297). With `fillZeros=false` missing lags are
+  * NULL (the reference uses NaN).
+  */
+object Lags {
+
+  def makeLags(
+      df: DataFrame,
+      group: Seq[String],
+      order: Seq[String],
+      outcomes: Seq[String],
+      nLagsBack: Int,
+      nLagsForward: Int,
+      fillZeros: Boolean
+  ): DataFrame = {
+    val w = Window.partitionBy(group.map(col): _*).orderBy(order.map(col): _*)
+    val lags = (-nLagsForward to -1) ++ (1 to nLagsBack)
+    lags.foldLeft(df) { (acc, k) =>
+      outcomes.foldLeft(acc) { (acc2, out) =>
+        val raw = if (k > 0) lag(col(out), k).over(w) else lead(col(out), -k).over(w)
+        val name = s"${out}_lag_$k"
+        if (fillZeros)
+          acc2
+            .withColumn(name, coalesce(raw, lit(0.0)))
+            .withColumn(s"${name}_mi", when(raw.isNull, 1.0).otherwise(0.0))
+        else acc2.withColumn(name, raw)
+      }
+    }
+  }
+}

@@ -1,0 +1,418 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ml.{Collinearity, FixedEffects, Ols}
+import graft.ops.{Dummies, Grouped, Lags}
+import graft.util.Tables
+
+/** Core operator coverage (SURVEY.md §2 C1–C17): each query exercises a
+  * reference capability through the graft operator and is checked against
+  * a DuckDB oracle where SQL can express it.
+  */
+object CoreQueries {
+
+  /** Single-row DataFrame from named doubles/longs (for scalar results
+    * like coefficients — keeps the driver's parquet/oracle compare shape).
+    */
+  private def scalarRow(s: SparkSession, doubles: Seq[(String, Double)], longs: Seq[(String, Long)] = Nil): DataFrame = {
+    val base = s.range(1)
+    val withD = doubles.foldLeft(base.toDF()) { case (d, (n, v)) => d.withColumn(n, lit(v)) }
+    val withL = longs.foldLeft(withD) { case (d, (n, v)) => d.withColumn(n, lit(v)) }
+    withL.drop("id")
+  }
+
+  /** Several queries exercise different outputs of the SAME fitted model
+    * (coefficients / effects / residuals / variances). Memoize fits per
+    * sf directory so Verify/Bench don't redo identical distributed
+    * passes query after query.
+    */
+  private val memo = new scala.collection.concurrent.TrieMap[String, Any]
+  private def cached[T](key: String)(f: => T): T =
+    memo.getOrElseUpdate(key, f).asInstanceOf[T]
+
+  private def olsSimple(s: SparkSession, dir: String): graft.ml.OlsModel =
+    cached(s"ols_simple:$dir")(Ols.fit(Tables.lineitem(s, dir), "l_extendedprice", Seq("l_quantity")))
+
+  private def feSupp(s: SparkSession, dir: String): graft.ml.FeModel =
+    cached(s"fe_supp:$dir")(
+      FixedEffects.fit(
+        Tables.lineitem(s, dir), "l_extendedprice", Seq("l_quantity"), Seq("l_suppkey"),
+        keep = Seq("l_orderkey", "l_linenumber"))
+    )
+
+  // ---- C1/C3: groupby-apply (broadcast=False) --------------------------
+
+  val q01 = Q(
+    "q01_groupby_agg",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      Grouped.aggregate(
+        li,
+        Seq("l_returnflag", "l_linestatus"),
+        Seq(
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(avg(col("l_extendedprice")), 6).as("avg_price"),
+          count(lit(1)).as("n")
+        )
+      )
+    },
+    Some(
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(avg(l_extendedprice), 6) AS avg_price,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+    )
+  )
+
+  val q03 = Q(
+    "q03_groupby_stats",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      Grouped.aggregate(
+        o,
+        Seq("o_orderpriority"),
+        Seq(
+          count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 4).as("sum_price"),
+          round(avg(col("o_totalprice")), 6).as("avg_price"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          round(stddev_samp(col("o_totalprice")), 6).as("sd_price")
+        )
+      )
+    },
+    Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 4) AS sum_price,
+        |  round(avg(o_totalprice), 6) AS avg_price,
+        |  min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price,
+        |  round(stddev_samp(o_totalprice), 6) AS sd_price
+        |FROM orders GROUP BY o_orderpriority""".stripMargin
+    )
+  )
+
+  // ---- C2: groupby-transform (broadcast=True) --------------------------
+
+  val q02 = Q(
+    "q02_groupby_transform",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      Grouped
+        .transform(
+          li,
+          Seq("l_returnflag", "l_linestatus"),
+          Seq(avg(col("l_quantity")).as("__grp_avg"))
+        )
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          round(col("l_quantity") - col("__grp_avg"), 6).as("centered")
+        )
+    },
+    Some(
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_quantity - avg(l_quantity) OVER (PARTITION BY l_returnflag, l_linestatus), 6) AS centered
+        |FROM lineitem""".stripMargin
+    )
+  )
+
+  // ---- C4: plain OLS ---------------------------------------------------
+
+  val q04 = Q(
+    "q04_ols_simple",
+    (s, dir) => {
+      val m = olsSimple(s, dir)
+      scalarRow(
+        s,
+        Seq(
+          "slope" -> rnd(m.coef(1), 6),
+          "intercept" -> rnd(m.coef(0), 6)
+        ),
+        Seq("n" -> m.n)
+      )
+    },
+    Some(
+      """SELECT round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+        |  count(*) AS n
+        |FROM lineitem""".stripMargin
+    )
+  )
+
+  // ---- C5: multi-regressor OLS (oracle via Cramer's rule) --------------
+
+  val q05 = Q(
+    "q05_ols_multi",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val m = Ols.fit(li, "l_extendedprice", Seq("l_quantity", "l_discount"))
+      scalarRow(
+        s,
+        Seq(
+          "b_intercept" -> rnd(m.coef(0), 4),
+          "b_quantity" -> rnd(m.coef(1), 4),
+          "b_discount" -> rnd(m.coef(2), 4)
+        )
+      )
+    },
+    Some(
+      """WITH s AS (
+        |  SELECT count(*)::DOUBLE AS n, sum(l_quantity) AS sx, sum(l_discount) AS sz,
+        |    sum(l_extendedprice) AS sy, sum(l_quantity*l_quantity) AS sxx,
+        |    sum(l_quantity*l_discount) AS sxz, sum(l_discount*l_discount) AS szz,
+        |    sum(l_quantity*l_extendedprice) AS sxy, sum(l_discount*l_extendedprice) AS szy
+        |  FROM lineitem)
+        |SELECT
+        |  round((sy*(sxx*szz-sxz*sxz) - sx*(sxy*szz-sxz*szy) + sz*(sxy*sxz-sxx*szy))
+        |    / (n*(sxx*szz-sxz*sxz) - sx*(sx*szz-sxz*sz) + sz*(sx*sxz-sxx*sz)), 4) AS b_intercept,
+        |  round((n*(sxy*szz-sxz*szy) - sy*(sx*szz-sxz*sz) + sz*(sx*szy-sxy*sz))
+        |    / (n*(sxx*szz-sxz*sxz) - sx*(sx*szz-sxz*sz) + sz*(sx*sxz-sxx*sz)), 4) AS b_quantity,
+        |  round((n*(sxx*szy-sxy*sxz) - sx*(sx*szy-sxy*sz) + sy*(sx*sxz-sxx*sz))
+        |    / (n*(sxx*szz-sxz*sxz) - sx*(sx*szz-sxz*sz) + sz*(sx*sxz-sxx*sz)), 4) AS b_discount
+        |FROM s""".stripMargin
+    )
+  )
+
+  // ---- C6: within estimator (1 FE) -------------------------------------
+
+  val q06 = Q(
+    "q06_fe_within",
+    (s, dir) => {
+      val m = feSupp(s, dir)
+      scalarRow(s, Seq("slope" -> rnd(m.coef(0), 6)), Seq("n" -> m.n))
+    },
+    Some(
+      """WITH d AS (
+        |  SELECT l_extendedprice - avg(l_extendedprice) OVER (PARTITION BY l_suppkey) AS yd,
+        |         l_quantity - avg(l_quantity) OVER (PARTITION BY l_suppkey) AS xd
+        |  FROM lineitem)
+        |SELECT round(sum(xd*yd)/sum(xd*xd), 6) AS slope, count(*) AS n FROM d""".stripMargin
+    )
+  )
+
+  // ---- C7: fixed-effect recovery ---------------------------------------
+
+  val q07 = Q(
+    "q07_fixed_effects",
+    (s, dir) => {
+      val m = feSupp(s, dir)
+      m.effects.select(col("l_suppkey"), round(col("effect"), 4).as("effect"))
+    },
+    Some(
+      """WITH d AS (
+        |  SELECT l_suppkey, l_quantity, l_extendedprice,
+        |    l_extendedprice - avg(l_extendedprice) OVER (PARTITION BY l_suppkey) AS yd,
+        |    l_quantity - avg(l_quantity) OVER (PARTITION BY l_suppkey) AS xd
+        |  FROM lineitem),
+        |b AS (SELECT sum(xd*yd)/sum(xd*xd) AS slope FROM d)
+        |SELECT l_suppkey, round(avg(l_extendedprice - slope*l_quantity), 4) AS effect
+        |FROM d, b GROUP BY l_suppkey""".stripMargin
+    )
+  )
+
+  // ---- C8: two-way FE via alternating projections (rows+spec) ----------
+
+  val q08 = Q(
+    "q08_fe_two_way",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val m = FixedEffects.fit(li, "l_extendedprice", Seq("l_quantity"), Seq("l_suppkey", "l_partkey"))
+      scalarRow(s, Seq("slope" -> rnd(m.coef(0), 6)), Seq("n" -> m.n))
+    },
+    None
+  )
+
+  // ---- C9: residuals ----------------------------------------------------
+
+  val q09 = Q(
+    "q09_fe_residuals",
+    (s, dir) => {
+      val m = feSupp(s, dir)
+      m.withResiduals("resid")
+        .select(col("l_orderkey"), col("l_linenumber"), round(col("resid"), 4).as("resid"))
+    },
+    Some(
+      """WITH d AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    l_extendedprice - avg(l_extendedprice) OVER (PARTITION BY l_suppkey) AS yd,
+        |    l_quantity - avg(l_quantity) OVER (PARTITION BY l_suppkey) AS xd
+        |  FROM lineitem),
+        |b AS (SELECT sum(xd*yd)/sum(xd*xd) AS slope FROM d)
+        |SELECT l_orderkey, l_linenumber, round(yd - slope*xd, 4) AS resid FROM d, b""".stripMargin
+    )
+  )
+
+  // ---- C10: homoskedastic variance --------------------------------------
+
+  val q10 = Q(
+    "q10_ols_se",
+    (s, dir) => {
+      val se = olsSimple(s, dir).seHomoskedastic
+      scalarRow(s, Seq("se_intercept" -> rnd(se(0), 6), "se_slope" -> rnd(se(1), 6)))
+    },
+    Some(
+      """WITH s AS (
+        |  SELECT count(*)::DOUBLE AS n, sum(l_quantity) AS sx, sum(l_quantity*l_quantity) AS sxx,
+        |    regr_slope(l_extendedprice, l_quantity) AS b,
+        |    regr_intercept(l_extendedprice, l_quantity) AS a
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT sum((l_extendedprice - s.a - s.b*l_quantity)*(l_extendedprice - s.a - s.b*l_quantity)) AS ssr
+        |  FROM lineitem, s)
+        |SELECT
+        |  round(sqrt(ssr/(n-2) * (1.0/n + (sx/n)*(sx/n)/(sxx - sx*sx/n))), 6) AS se_intercept,
+        |  round(sqrt(ssr/(n-2) / (sxx - sx*sx/n)), 6) AS se_slope
+        |FROM r, s""".stripMargin
+    )
+  )
+
+  // ---- C11: cluster-robust variance -------------------------------------
+
+  val q11 = Q(
+    "q11_cluster_se",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val se = Ols.seClustered(li, olsSimple(s, dir), "l_extendedprice", "l_suppkey")
+      scalarRow(s, Seq("se_intercept" -> rnd(se(0), 6), "se_slope" -> rnd(se(1), 6)))
+    },
+    Some(
+      """WITH s AS (
+        |  SELECT count(*)::DOUBLE AS n, sum(l_quantity) AS sx, sum(l_quantity*l_quantity) AS sxx,
+        |    regr_slope(l_extendedprice, l_quantity) AS b,
+        |    regr_intercept(l_extendedprice, l_quantity) AS a
+        |  FROM lineitem),
+        |u AS (
+        |  SELECT l_suppkey,
+        |    sum(l_extendedprice - s.a - s.b*l_quantity) AS su,
+        |    sum((l_extendedprice - s.a - s.b*l_quantity)*l_quantity) AS sux
+        |  FROM lineitem, s GROUP BY l_suppkey),
+        |m AS (SELECT sum(su*su) AS m11, sum(su*sux) AS m12, sum(sux*sux) AS m22 FROM u)
+        |SELECT
+        |  round(sqrt(sxx*sxx*m11 - 2*sxx*sx*m12 + sx*sx*m22)/(n*sxx - sx*sx), 6) AS se_intercept,
+        |  round(sqrt(sx*sx*m11 - 2*n*sx*m12 + n*n*m22)/(n*sxx - sx*sx), 6) AS se_slope
+        |FROM m, s""".stripMargin
+    )
+  )
+
+  // ---- C12: collinearity detection (rows+spec) ---------------------------
+
+  val q12 = Q(
+    "q12_collinear",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+        .withColumn("x1", col("l_quantity"))
+        .withColumn("x2", col("l_discount"))
+        .withColumn("x3", col("l_quantity") + lit(2.0) * col("l_discount"))
+        .withColumn("x4", col("l_tax"))
+      val (dropped, kept) = Collinearity.findCollinear(li, Seq("x1", "x2", "x3", "x4"))
+      (dropped.map(n => (n, "collinear")) ++ kept.map(n => (n, "kept")))
+        .toDF("col_name", "status")
+    },
+    None
+  )
+
+  // ---- C14: one-hot dummies ----------------------------------------------
+
+  val q13 = Q(
+    "q13_dummies",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      Dummies
+        .oneHot(li, "l_returnflag")
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          col("l_returnflag_A"),
+          col("l_returnflag_N"),
+          col("l_returnflag_R")
+        )
+    },
+    Some(
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS l_returnflag_A,
+        |  CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS l_returnflag_N,
+        |  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS l_returnflag_R
+        |FROM lineitem""".stripMargin
+    )
+  )
+
+  // ---- C16: within-group lags --------------------------------------------
+
+  val q14 = Q(
+    "q14_lags",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      Lags
+        .makeLags(
+          o,
+          group = Seq("o_custkey"),
+          order = Seq("o_orderdate", "o_orderkey"),
+          outcomes = Seq("o_totalprice"),
+          nLagsBack = 2,
+          nLagsForward = 1,
+          fillZeros = false
+        )
+        .select(
+          col("o_orderkey"),
+          col("o_custkey"),
+          col("o_totalprice_lag_1"),
+          col("o_totalprice_lag_2"),
+          col("o_totalprice_lag_-1")
+        )
+    },
+    Some(
+      """SELECT o_orderkey, o_custkey,
+        |  lag(o_totalprice, 1) OVER w AS o_totalprice_lag_1,
+        |  lag(o_totalprice, 2) OVER w AS o_totalprice_lag_2,
+        |  lead(o_totalprice, 1) OVER w AS "o_totalprice_lag_-1"
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+    )
+  )
+
+  // ---- C17: lags with zero-fill + missing indicators ----------------------
+
+  val q15 = Q(
+    "q15_lags_filled",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      Lags
+        .makeLags(
+          o,
+          group = Seq("o_custkey"),
+          order = Seq("o_orderdate", "o_orderkey"),
+          outcomes = Seq("o_totalprice"),
+          nLagsBack = 1,
+          nLagsForward = 0,
+          fillZeros = true
+        )
+        .select(
+          col("o_orderkey"),
+          col("o_custkey"),
+          col("o_totalprice_lag_1"),
+          col("o_totalprice_lag_1_mi")
+        )
+    },
+    Some(
+      """SELECT o_orderkey, o_custkey,
+        |  coalesce(lag(o_totalprice, 1) OVER w, 0.0) AS o_totalprice_lag_1,
+        |  CASE WHEN lag(o_totalprice, 1) OVER w IS NULL THEN 1.0 ELSE 0.0 END AS o_totalprice_lag_1_mi
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+    )
+  )
+
+  /** Round a driver-side double the same way Spark/DuckDB `round` does
+    * (HALF_UP on the decimal representation).
+    */
+  private def rnd(v: Double, scale: Int): Double =
+    BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  val all: Seq[Q] =
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15)
+}

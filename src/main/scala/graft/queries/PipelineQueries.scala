@@ -1,0 +1,275 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{Exact, MinHashLsh, NGramJaccard, SimHash}
+import graft.media.Multimodal
+import graft.sim.{AnnLsh, Cosine}
+import graft.streaming.EventOps
+import graft.text.{Fingerprint, LangId, TextStats}
+import graft.util.Tables
+
+/** LLM-data-pipeline operator coverage (SURVEY.md §2 P/T/S/X rows). */
+object PipelineQueries {
+
+  // ---- P1: exact dedup --------------------------------------------------
+
+  val q20 = Q(
+    "q20_dedup_exact",
+    (s, dir) => Exact.dedupGroups(Tables.documents(s, dir), "text", "doc_id"),
+    Some(
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin
+    )
+  )
+
+  // ---- P2: MinHash LSH candidate pairs (rows+spec) -----------------------
+
+  val q21 = Q(
+    "q21_minhash_pairs",
+    (s, dir) =>
+      MinHashLsh
+        .nearDuplicates(Tables.documents(s, dir), "text", "doc_id", threshold = 0.05)
+        .orderBy(col("id_a"), col("id_b")),
+    None
+  )
+
+  // ---- P3: SimHash fingerprints (rows+spec) ------------------------------
+
+  val q22 = Q(
+    "q22_simhash",
+    (s, dir) => SimHash.fingerprints(Tables.documents(s, dir), "text", "doc_id"),
+    None
+  )
+
+  // ---- P4: exact n-gram Jaccard join (oracle via list algebra) ----------
+
+  val q23 = Q(
+    "q23_ngram_jaccard",
+    (s, dir) =>
+      NGramJaccard
+        .similarityJoin(Tables.documents(s, dir), "text", "doc_id", "source", n = 2)
+        .where(col("jaccard") > 0.0),
+    Some(
+      """WITH t AS (
+        |  SELECT source AS block, doc_id,
+        |    list_distinct(list_transform(range(1, len(string_split(text,' '))),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS ngrams
+        |  FROM documents)
+        |SELECT a.block, a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_filter(a.ngrams, g -> list_contains(b.ngrams, g)))::DOUBLE /
+        |    (len(a.ngrams) + len(b.ngrams) - len(list_filter(a.ngrams, g -> list_contains(b.ngrams, g)))), 4) AS jaccard
+        |FROM t a JOIN t b ON a.block = b.block AND a.doc_id < b.doc_id
+        |WHERE len(list_filter(a.ngrams, g -> list_contains(b.ngrams, g))) > 0""".stripMargin
+    )
+  )
+
+  // ---- P5: embedding cosine near-dup pairs (oracle) ----------------------
+
+  val q24 = Q(
+    "q24_embed_neardup",
+    (s, dir) =>
+      Cosine.nearDupPairs(
+        Tables.embeddings(s, dir).where(col("vec_id") < 500),
+        "vec_id",
+        "embedding",
+        threshold = 0.35
+      ),
+    Some(
+      """WITH f AS (
+        |  SELECT vec_id, unnest(embedding)::DOUBLE AS v, unnest(range(len(embedding))) AS i
+        |  FROM embeddings WHERE vec_id < 500),
+        |n AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM f GROUP BY vec_id),
+        |d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v*b.v) AS dot
+        |      FROM f a JOIN f b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(dot/(na.nrm*nb.nrm), 4) AS cos_sim
+        |FROM d JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
+        |WHERE dot/(na.nrm*nb.nrm) >= 0.35""".stripMargin
+    )
+  )
+
+  // ---- P6: brute-force cosine top-k (oracle) -----------------------------
+
+  val q25 = Q(
+    "q25_cosine_topk",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Cosine.topK(emb.where(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+    },
+    Some(
+      """WITH f AS (
+        |  SELECT vec_id, unnest(embedding)::DOUBLE AS v, unnest(range(len(embedding))) AS i
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM f GROUP BY vec_id),
+        |d AS (SELECT a.vec_id AS qid, b.vec_id AS nid, sum(a.v*b.v) AS dot
+        |      FROM f a JOIN f b ON a.i = b.i AND a.vec_id < 10 AND b.vec_id <> a.vec_id
+        |      GROUP BY 1, 2),
+        |c AS (SELECT qid, nid, dot/(na.nrm*nb.nrm) AS cos FROM d
+        |      JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = nid),
+        |r AS (SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM c)
+        |SELECT qid, nid, round(cos, 4) AS cos_sim FROM r WHERE rk <= 5""".stripMargin
+    )
+  )
+
+  // ---- P7: LSH ANN (rows+spec: recall vs brute force) --------------------
+
+  val q26 = Q(
+    "q26_ann_lsh",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      AnnLsh.topK(emb.where(col("vec_id") < 10), emb, "vec_id", "embedding", dims = 64, k = 5)
+    },
+    None
+  )
+
+  // ---- T1: token stats (oracle) ------------------------------------------
+
+  val q27 = Q(
+    "q27_token_stats",
+    (s, dir) =>
+      TextStats
+        .withTokenStats(Tables.documents(s, dir), "text")
+        .select(
+          col("doc_id"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("n_uniq_tokens").cast("long").as("n_uniq_tokens"),
+          col("n_chars_obs").cast("long").as("n_chars_obs"),
+          col("avg_token_len"),
+          col("est_bpe_tokens")
+        ),
+    Some(
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
+        |  len(text) AS n_chars_obs,
+        |  round(len(replace(text, ' ', ''))::DOUBLE / len(string_split(text, ' ')), 4) AS avg_token_len,
+        |  ceil(len(text)::DOUBLE / 4.0)::BIGINT AS est_bpe_tokens
+        |FROM documents""".stripMargin
+    )
+  )
+
+  // ---- T2: quality score (oracle) ----------------------------------------
+
+  val q28 = Q(
+    "q28_quality",
+    (s, dir) =>
+      TextStats
+        .withQuality(Tables.documents(s, dir), "text")
+        .select(col("doc_id"), col("stop_frac"), col("uniq_frac"), col("quality")),
+    Some(
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    len(toks)::DOUBLE AS n,
+        |    len(list_filter(toks, tk -> list_contains(['the','a','of','and','is','to','in'], tk)))::DOUBLE AS stops,
+        |    len(list_distinct(toks))::DOUBLE AS uniq
+        |  FROM t)
+        |SELECT doc_id,
+        |  round(stops/n, 4) AS stop_frac,
+        |  round(uniq/n, 4) AS uniq_frac,
+        |  round(least(n/100.0, 1.0)*0.4 + (1.0 - stops/n)*0.3 + (uniq/n)*0.3, 4) AS quality
+        |FROM f""".stripMargin
+    )
+  )
+
+  // ---- T3: language ID (oracle) ------------------------------------------
+
+  val q29 = Q(
+    "q29_lang_id",
+    (s, dir) =>
+      LangId
+        .withLangId(Tables.documents(s, dir), "text")
+        .select(col("doc_id"), col("pred_lang")),
+    Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, tk -> list_contains(['the','a','of','and','is'], tk))) AS h_en,
+        |    len(list_filter(toks, tk -> list_contains(['el','la','de','que','y'], tk))) AS h_es,
+        |    len(list_filter(toks, tk -> list_contains(['der','die','das','und','ist'], tk))) AS h_de,
+        |    len(list_filter(toks, tk -> list_contains(['le','les','une','et','est'], tk))) AS h_fr,
+        |    len(list_filter(toks, tk -> list_contains(['的','是','在','了','我'], tk))) AS h_zh
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(h_en, h_es, h_de, h_fr, h_zh) = 0 THEN 'und'
+        |       WHEN h_en = greatest(h_en, h_es, h_de, h_fr, h_zh) THEN 'en'
+        |       WHEN h_es = greatest(h_en, h_es, h_de, h_fr, h_zh) THEN 'es'
+        |       WHEN h_de = greatest(h_en, h_es, h_de, h_fr, h_zh) THEN 'de'
+        |       WHEN h_fr = greatest(h_en, h_es, h_de, h_fr, h_zh) THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang
+        |FROM h""".stripMargin
+    )
+  )
+
+  // ---- T4: document fingerprint (rows+spec) ------------------------------
+
+  val q30 = Q(
+    "q30_fingerprint",
+    (s, dir) => Fingerprint.withFingerprint(Tables.documents(s, dir), "text")
+      .select(col("doc_id"), col("fingerprint")),
+    None
+  )
+
+  // ---- S1: tumbling-window event aggregate (oracle) ----------------------
+
+  val q31 = Q(
+    "q31_events_window",
+    (s, dir) => EventOps.hourlyAgg(Tables.events(s, dir)),
+    Some(
+      """SELECT epoch(date_trunc('hour', ts))::BIGINT AS ws, event_type,
+        |  count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin
+    )
+  )
+
+  // ---- S2: sessionization (oracle) ---------------------------------------
+
+  val q32 = Q(
+    "q32_sessionize",
+    (s, dir) => EventOps.sessionize(Tables.events(s, dir), gapMinutes = 30),
+    Some(
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, value,
+        |    (sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                    ROWS UNBOUNDED PRECEDING))::BIGINT AS session
+        |  FROM g)
+        |SELECT user_id, session, count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM s GROUP BY user_id, session""".stripMargin
+    )
+  )
+
+  // ---- S3: JSON props extraction (oracle) --------------------------------
+
+  val q33 = Q(
+    "q33_json_props",
+    (s, dir) => EventOps.propsKAgg(Tables.events(s, dir)),
+    Some(
+      """SELECT event_type, count(*) AS n,
+        |  round(avg(json_extract_string(props, '$.k')::INTEGER), 6) AS avg_k,
+        |  max(json_extract_string(props, '$.k')::INTEGER) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin
+    )
+  )
+
+  // ---- X1: multimodal binary plumbing (rows+spec) ------------------------
+
+  val q34 = Q(
+    "q34_media_features",
+    (s, dir) => {
+      val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, dir))
+      Multimodal.extractFeatures(media).toDF()
+    },
+    None
+  )
+
+  val all: Seq[Q] =
+    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34)
+}

@@ -1,0 +1,93 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate nearest neighbors via random-hyperplane LSH
+  * (SURVEY.md §2 P7) — the scale path next to [[Cosine.topK]]'s exact
+  * baseline.
+  *
+  * `numPlanes` deterministic pseudo-random hyperplanes hash each vector
+  * to a bucket (sign pattern of the projections). Neighbor search only
+  * compares query vectors with same-bucket corpus vectors; with
+  * `numTables` independent tables OR-ed together, recall rises while
+  * each table's bucket join stays tiny. 100 TB shape: the corpus is
+  * bucketed once (narrow scan + small shuffle on bucket), and lookups
+  * are hash joins on (table, bucket) — never a cross product.
+  *
+  * Hyperplane components are derived from a hash of (table, plane, dim)
+  * — deterministic across runs and executors, no collected state.
+  */
+object AnnLsh {
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1). */
+  private def planeComponent(table: Int, plane: Int, dim: Int): Double = {
+    var h = table.toLong * 1000003L + plane.toLong * 8191L + dim.toLong + 0x9e3779b97f4a7c15L
+    // splitmix64 finalizer — public-domain mixing constants
+    h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+    h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+    h = h ^ (h >>> 31)
+    (h.toDouble / Long.MaxValue.toDouble)
+  }
+
+  /** Bucket id of `vec` for one table: sign pattern of projections. */
+  def bucket(vec: Column, dims: Int, numPlanes: Int, table: Int): Column =
+    (0 until numPlanes).foldLeft(lit(0L)) { (acc, p) =>
+      val planeArr = array((0 until dims).map(d => lit(planeComponent(table, p, d))): _*)
+      val proj = aggregate(
+        zip_with(vec, planeArr, (x, w) => x.cast("double") * w),
+        lit(0.0),
+        _ + _
+      )
+      acc.bitwiseOR(shiftleft(when(proj > 0, 1L).otherwise(0L), p))
+    }
+
+  /** (id, table, bucket) for every table. */
+  def bucketize(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      numPlanes: Int = 12,
+      numTables: Int = 4
+  ): DataFrame = {
+    val tcols = (0 until numTables).map { t =>
+      struct(lit(t).as("table"), bucket(col(vecCol), dims, numPlanes, t).as("bucket"))
+    }
+    df.select(col(idCol), col(vecCol), explode(array(tcols: _*)).as("tb"))
+      .select(col(idCol), col(vecCol), col("tb.table"), col("tb.bucket"))
+  }
+
+  /** Approximate top-k for each query over same-bucket corpus rows. */
+  def topK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      k: Int,
+      numPlanes: Int = 12,
+      numTables: Int = 4
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // norms computed once per vector, BEFORE the bucket join — inside the
+    // join they would be re-evaluated per candidate pair
+    val qb = bucketize(queries, idCol, vecCol, dims, numPlanes, numTables)
+      .select(col("table"), col("bucket"), col(idCol).as("qid"), col(vecCol).as("qv"),
+        Cosine.norm(col(vecCol)).as("qn"))
+    val cb = bucketize(corpus, idCol, vecCol, dims, numPlanes, numTables)
+      .select(col("table"), col("bucket"), col(idCol).as("nid"), col(vecCol).as("nv"),
+        Cosine.norm(col(vecCol)).as("nn"))
+    val cand = cb
+      .join(broadcast(qb), Seq("table", "bucket"))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("qv"), col("qn"), col("nid"), col("nv"), col("nn"))
+      .distinct() // OR across tables
+      .withColumn("cos_sim", Cosine.cosine(col("qv"), col("nv"), col("qn"), col("nn")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid"))
+    cand
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("qid"), col("nid"), round(col("cos_sim"), 4).as("cos_sim"))
+  }
+}

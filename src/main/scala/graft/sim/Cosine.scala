@@ -1,0 +1,69 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding cosine similarity operators (SURVEY.md §2 P5–P6).
+  *
+  * Vectors are `array<float>` columns; all arithmetic is `zip_with` /
+  * `aggregate` column algebra in double precision — sequential, ordered,
+  * deterministic summation (parity with the DuckDB oracle), inside
+  * codegen, no UDFs.
+  *
+  * `topK` broadcasts the (small) query side against the corpus — the
+  * corpus is scanned once, never shuffled. `nearDupPairs` is the exact
+  * all-pairs baseline and must be blocked/limited by the caller;
+  * [[AnnLsh]] is the scale path.
+  */
+object Cosine {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")), lit(0.0), _ + _)
+
+  def norm(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")), lit(0.0), _ + _))
+
+  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (excluding itself), ties broken by neighbor id.
+    */
+  def topK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"), norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"), norm(col(vecCol)).as("nn"))
+    val scored = c
+      .join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("cos_sim", cosine(col("qv"), col("nv"), col("qn"), col("nn")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("qid"), col("nid"), round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
+  /** Exact near-duplicate pairs by cosine ≥ threshold (id_a < id_b).
+    * All-pairs: correctness baseline for [[AnnLsh]]; bound the input.
+    */
+  def nearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val v = df.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"))
+    val l = v.select(col(idCol).as("id_a"), col(vecCol).as("v_a"), col("nrm").as("n_a"))
+    val r = v.select(col(idCol).as("id_b"), col(vecCol).as("v_b"), col("nrm").as("n_b"))
+    l.join(r, col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosine(col("v_a"), col("v_b"), col("n_a"), col("n_b")))
+      .where(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
+  }
+}

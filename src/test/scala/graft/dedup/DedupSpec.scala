@@ -1,0 +1,88 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog near the river bend today"), // near dup of 0
+    (3L, "completely different words about spark clusters and shuffle partitions here"),
+    (4L, "another unrelated document mentioning parquet files and columnar storage layouts")
+  ).toDF("doc_id", "text")
+
+  test("Exact.dedup keeps one row per distinct text (min id wins)") {
+    val out = Exact.dedup(docs, "text", "doc_id").select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(0L, 2L, 3L, 4L))
+  }
+
+  test("Exact.dedupGroups counts copies") {
+    val groups = Exact
+      .dedupGroups(docs, "text", "doc_id")
+      .select("keep_id", "n_copies")
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    assert(groups(0L) == 2L)
+    assert(groups(2L) == 1L)
+  }
+
+  test("MinHashLsh finds planted near-duplicate and not unrelated docs") {
+    val pairs = MinHashLsh
+      .nearDuplicates(docs, "text", "doc_id", threshold = 0.5)
+      .select("id_a", "id_b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(pairs.contains((0L, 1L))) // exact dup always collides
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L))) // near dup
+    assert(!pairs.exists { case (a, b) => b == 3L || b == 4L || a == 3L || a == 4L })
+  }
+
+  test("MinHash signature is deterministic across invocations") {
+    val s1 = MinHashLsh.signatures(docs, "text", "doc_id").orderBy("doc_id").collect()
+    val s2 = MinHashLsh.signatures(docs, "text", "doc_id").orderBy("doc_id").collect()
+    assert(s1.map(_.getSeq[Long](1)).toSeq == s2.map(_.getSeq[Long](1)).toSeq)
+  }
+
+  test("SimHash: identical texts get identical fingerprints, near-dups small hamming") {
+    val fps = SimHash
+      .fingerprints(docs, "text", "doc_id")
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    assert(fps(0L) == fps(1L))
+    val hammingNear = java.lang.Long.bitCount(fps(0L) ^ fps(2L))
+    val hammingFar = java.lang.Long.bitCount(fps(0L) ^ fps(3L))
+    assert(hammingNear < hammingFar)
+  }
+
+  test("SimHash.nearDuplicates returns planted duplicates only") {
+    val pairs = SimHash
+      .nearDuplicates(docs, "text", "doc_id", maxDist = 3)
+      .select("id_a", "id_b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b).intersect(Set(3L, 4L)).nonEmpty })
+  }
+
+  test("NGramJaccard: exact dup jaccard=1, near dup high, unrelated low") {
+    val withBlock = docs.withColumn("src", lit("s"))
+    val j = NGramJaccard
+      .similarityJoin(withBlock, "text", "doc_id", "src", n = 2)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)]
+      .collect()
+      .map { case (a, b, v) => (a, b) -> v }
+      .toMap
+    assert(j((0L, 1L)) == 1.0)
+    assert(j((0L, 2L)) > 0.5)
+    assert(j((0L, 3L)) < 0.1)
+  }
+}

@@ -1,0 +1,137 @@
+package graft.ml
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RegressionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Ols recovers an exact linear relationship") {
+    val df = Seq((1.0, 3.0), (2.0, 5.0), (3.0, 7.0), (4.0, 9.0)).toDF("x", "y")
+    val m = Ols.fit(df, "y", Seq("x"))
+    assert(math.abs(m.coef(0) - 1.0) < 1e-10) // intercept
+    assert(math.abs(m.coef(1) - 2.0) < 1e-10) // slope
+    assert(m.n == 4)
+  }
+
+  test("Ols multi-regressor matches hand-solved normal equations") {
+    // y = 1 + 2a - 3b + noise-free
+    val rows = for (i <- 0 until 50) yield {
+      val a = math.sin(i * 1.7) * 4
+      val b = math.cos(i * 0.9) * 2 + 0.3 * a
+      (a, b, 1.0 + 2.0 * a - 3.0 * b)
+    }
+    val m = Ols.fit(rows.toDF("a", "b", "y"), "y", Seq("a", "b"))
+    assert(math.abs(m.coef(0) - 1.0) < 1e-8)
+    assert(math.abs(m.coef(1) - 2.0) < 1e-8)
+    assert(math.abs(m.coef(2) + 3.0) < 1e-8)
+  }
+
+  test("Ols homoskedastic SE matches closed form on tiny data") {
+    // data: x = 1..5, y with known residuals
+    val data = Seq((1.0, 2.1), (2.0, 3.9), (3.0, 6.2), (4.0, 7.8), (5.0, 10.1))
+    val m = Ols.fit(data.toDF("x", "y"), "y", Seq("x"))
+    val n = data.length
+    val xbar = data.map(_._1).sum / n
+    val sxx = data.map(d => (d._1 - xbar) * (d._1 - xbar)).sum
+    val b = data.map(d => (d._1 - xbar) * d._2).sum / sxx
+    val a = data.map(_._2).sum / n - b * xbar
+    val ssr = data.map(d => math.pow(d._2 - a - b * d._1, 2)).sum
+    val s2 = ssr / (n - 2)
+    assert(math.abs(m.seHomoskedastic(1) - math.sqrt(s2 / sxx)) < 1e-9)
+    assert(math.abs(m.seHomoskedastic(0) - math.sqrt(s2 * (1.0 / n + xbar * xbar / sxx))) < 1e-9)
+  }
+
+  test("Ols checkRank drops planted collinear column and still fits") {
+    val rows = for (i <- 0 until 30) yield {
+      val a = i.toDouble
+      val b = math.sin(i.toDouble)
+      (a, b, a + 2 * b, 5.0 + 1.5 * a - 2.0 * b)
+    }
+    val m = Ols.fit(rows.toDF("a", "b", "ab", "y"), "y", Seq("a", "b", "ab"), checkRank = true)
+    assert(m.droppedCols == Seq("ab"))
+    assert(math.abs(m.coef(0) - 5.0) < 1e-8)
+    assert(math.abs(m.coef(1) - 1.5) < 1e-8)
+    assert(math.abs(m.coef(2) + 2.0) < 1e-8)
+  }
+
+  test("FixedEffects 1-FE equals manual within estimator") {
+    val rows = Seq(
+      ("g1", 1.0, 10.0), ("g1", 2.0, 13.0), ("g1", 3.0, 15.0),
+      ("g2", 1.0, 20.0), ("g2", 2.0, 23.0), ("g2", 4.0, 28.0)
+    )
+    val df = rows.toDF("g", "x", "y")
+    val m = FixedEffects.fit(df, "y", Seq("x"), Seq("g"))
+    // manual within estimator
+    val byG = rows.groupBy(_._1)
+    val dm = rows.map { case (g, x, y) =>
+      val grp = byG(g)
+      (x - grp.map(_._2).sum / grp.size, y - grp.map(_._3).sum / grp.size)
+    }
+    val slope = dm.map { case (xd, yd) => xd * yd }.sum / dm.map { case (xd, _) => xd * xd }.sum
+    assert(math.abs(m.coef(0) - slope) < 1e-10)
+    assert(m.sweeps == 1)
+
+    // effect recovery: group means of y - b*x
+    val eff = m.effects.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for ((g, grp) <- byG) {
+      val want = grp.map { case (_, x, y) => y - slope * x }.sum / grp.size
+      assert(math.abs(eff(g) - want) < 1e-10)
+    }
+
+    // residuals: y - b*x - effect_g, and they are within-group mean zero
+    val res = m.withResiduals().select(col("g"), col("resid")).collect()
+    val resByG = res.groupBy(_.getString(0))
+    for ((_, rs) <- resByG)
+      assert(math.abs(rs.map(_.getDouble(1)).sum / rs.size) < 1e-10)
+  }
+
+  test("FixedEffects two-way matches direct dense dummy regression") {
+    // small panel: 4 units x 5 times, y = 2x + unit fe + time fe + 0 noise
+    val unitFe = Map(0 -> 1.0, 1 -> -2.0, 2 -> 0.5, 3 -> 3.0)
+    val timeFe = Map(0 -> 0.0, 1 -> 1.0, 2 -> -1.0, 3 -> 2.0, 4 -> 0.5)
+    val rows = for (u <- 0 until 4; t <- 0 until 5) yield {
+      val x = math.sin(u * 2.3 + t * 1.1) * 3
+      (u, t, x, 2.0 * x + unitFe(u) + timeFe(t))
+    }
+    val df = rows.toDF("u", "t", "x", "y")
+    val m = FixedEffects.fit(df, "y", Seq("x"), Seq("u", "t"), tol = 1e-12)
+    assert(math.abs(m.coef(0) - 2.0) < 1e-6)
+
+    // residuals are within-group mean zero for BOTH fixed effects
+    val res = m.withResiduals().select(col("u"), col("t"), col("resid")).collect()
+    for ((_, rs) <- res.groupBy(_.getInt(0)))
+      assert(math.abs(rs.map(_.getDouble(2)).sum / rs.size) < 1e-6)
+    for ((_, rs) <- res.groupBy(_.getInt(1)))
+      assert(math.abs(rs.map(_.getDouble(2)).sum / rs.size) < 1e-6)
+  }
+
+  test("clustered SE matches hand computation on tiny data") {
+    val rows = Seq(
+      ("c1", 1.0, 2.0), ("c1", 2.0, 4.5), ("c2", 3.0, 5.5),
+      ("c2", 4.0, 8.5), ("c3", 5.0, 9.5), ("c3", 6.0, 12.5)
+    )
+    val df = rows.toDF("c", "x", "y")
+    val m = Ols.fit(df, "y", Seq("x"))
+    val se = Ols.seClustered(df, m, "y", "c")
+
+    // hand: A = X'X with intercept col, meat = sum_g s_g s_g'
+    val xs = rows.map(_._2); val ys = rows.map(_._3); val n = rows.size
+    val a11 = n.toDouble; val a12 = xs.sum; val a22 = xs.map(x => x * x).sum
+    val det = a11 * a22 - a12 * a12
+    val b1 = (a22 * ys.sum - a12 * xs.zip(ys).map { case (x, y) => x * y }.sum) / det
+    val b2 = (a11 * xs.zip(ys).map { case (x, y) => x * y }.sum - a12 * ys.sum) / det
+    val us = rows.map { case (_, x, y) => y - b1 - b2 * x }
+    val scores = rows.zip(us).groupBy(_._1._1).values.map { grp =>
+      (grp.map(_._2).sum, grp.map { case ((_, x, _), u) => u * x }.sum)
+    }
+    val m11 = scores.map(s => s._1 * s._1).sum
+    val m12 = scores.map(s => s._1 * s._2).sum
+    val m22 = scores.map(s => s._2 * s._2).sum
+    val seSlope = math.sqrt(a12 * a12 * m11 - 2 * a11 * a12 * m12 + a11 * a11 * m22) / det
+    val seInt = math.sqrt(a22 * a22 * m11 - 2 * a22 * a12 * m12 + a12 * a12 * m22) / det
+    assert(math.abs(se(0) - seInt) < 1e-9)
+    assert(math.abs(se(1) - seSlope) < 1e-9)
+  }
+}

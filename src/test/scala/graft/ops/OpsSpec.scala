@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Grouped.aggregate matches pandas-groupby semantics (reference test_groupby_apply_mean)") {
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 10.0)).toDF("k", "y")
+    val got = Grouped
+      .aggregate(df, Seq("k"), Seq(avg(col("y")).as("m")))
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .toMap
+    assert(got == Map("a" -> 2.0, "b" -> 10.0))
+  }
+
+  test("Grouped.transform broadcasts the group stat to every row (reference test_groupby_transform_mean)") {
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 10.0)).toDF("k", "y")
+    val got = Grouped
+      .transform(df, Seq("k"), Seq(avg(col("y")).as("m")))
+      .select(col("k"), col("y"), col("m"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .toSet
+    assert(got == Set(("a", 1.0, 2.0), ("a", 3.0, 2.0), ("b", 10.0, 10.0)))
+  }
+
+  test("Lags.makeLags produces within-group lags and leads in explicit order") {
+    val df = Seq(
+      ("g1", 1, 10.0), ("g1", 2, 20.0), ("g1", 3, 30.0), ("g2", 1, 100.0), ("g2", 2, 200.0)
+    ).toDF("g", "t", "y")
+    val out = Lags
+      .makeLags(df, Seq("g"), Seq("t"), Seq("y"), nLagsBack = 1, nLagsForward = 1, fillZeros = false)
+      .orderBy("g", "t")
+      .select("g", "t", "y_lag_1", "y_lag_-1")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), Option(r.get(2)), Option(r.get(3))))
+    assert(
+      out.toSeq == Seq(
+        ("g1", 1, None, Some(20.0)),
+        ("g1", 2, Some(10.0), Some(30.0)),
+        ("g1", 3, Some(20.0), None),
+        ("g2", 1, None, Some(200.0)),
+        ("g2", 2, Some(100.0), None)
+      )
+    )
+  }
+
+  test("Lags.makeLags fillZeros sets 0 + missing indicator (reference hdfe.py:280-297)") {
+    val df = Seq(("g1", 1, 10.0), ("g1", 2, 20.0)).toDF("g", "t", "y")
+    val out = Lags
+      .makeLags(df, Seq("g"), Seq("t"), Seq("y"), nLagsBack = 1, nLagsForward = 0, fillZeros = true)
+      .orderBy("t")
+      .select("y_lag_1", "y_lag_1_mi")
+      .collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(out.toSeq == Seq((0.0, 1.0), (10.0, 0.0)))
+  }
+
+  test("Dummies.oneHot matches reference make_dummies on categories (reference test_make_dummies_cat)") {
+    val df = Seq("horse", "cat", "cat").toDF("animal")
+    val out = Dummies
+      .oneHot(df, "animal")
+      .select("animal_cat", "animal_horse")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    // np.unique sorts: cat, horse — rows keep input order semantics via values
+    assert(out.toSeq == Seq((0, 1), (1, 0), (1, 0)))
+  }
+
+  test("Dummies.oneHot dropLast drops the last sorted category (reference drop_col)") {
+    val df = Seq("horse", "cat", "cat").toDF("animal")
+    val out = Dummies.oneHot(df, "animal", dropLast = true)
+    assert(out.columns.toSeq == Seq("animal", "animal_cat"))
+  }
+
+  test("Dummies.allDummies keeps first categorical complete, drops last of the rest") {
+    val df = Seq(("a", "x"), ("b", "y"), ("a", "y")).toDF("c1", "c2")
+    val out = Dummies.allDummies(df, Seq("c1", "c2"))
+    assert(out.columns.toSeq == Seq("c1", "c2", "c1_a", "c1_b", "c2_x"))
+  }
+}

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.util.Tables
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("EventOps.sessionize splits on idle gaps") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val df = Seq(
+      (1L, 10L, ts(0), 1.0),
+      (2L, 10L, ts(10), 2.0),
+      (3L, 10L, ts(70), 3.0), // 60-min gap → new session
+      (4L, 11L, ts(0), 4.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = EventOps
+      .sessionize(df, gapMinutes = 30)
+      .select("user_id", "session", "n_events", "sum_value")
+      .as[(Long, Long, Long, Double)]
+      .collect()
+      .toSet
+    assert(out == Set((10L, 1L, 2L, 3.0), (10L, 2L, 1L, 3.0), (11L, 1L, 1L, 4.0)))
+  }
+
+  test("streaming hourlyAgg equals the batch hourlyAgg on the same data") {
+    val batchEvents = Tables.events(spark, sf)
+    val batch = EventOps
+      .hourlyAgg(batchEvents)
+      .select("ws", "event_type", "n", "sum_value")
+      .as[(Long, String, Long, Double)]
+      .collect()
+      .toSet
+
+    // streaming file source requires a directory, not a single file
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet")
+    )
+    val stream = EventStream.readEvents(spark, dir.toString)
+    val agg = EventStream.hourlyAggStream(stream)
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("hourly_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark
+        .table("hourly_out")
+        .select("ws", "event_type", "n", "sum_value")
+        .as[(Long, String, Long, Double)]
+        .collect()
+        .toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+}
