@@ -50,11 +50,45 @@ object MinHashLsh {
         )
       )
 
-  /** df + `__shingles` column (distinct word n-grams of `textCol`). */
-  def shingled(df: DataFrame, textCol: String, n: Int): DataFrame =
-    df.withColumn("__toks", split(col(textCol), " "))
-      .withColumn("__shingles", array_distinct(shinglesFromTokens(col("__toks"), n)))
-      .drop("__toks")
+  /** (id, sh) — one row per DISTINCT word-n-gram hash of each document.
+    *
+    * Deliberately row-based, not array-lambda-based: higher-order
+    * functions evaluate interpreted, and Catalyst's CollapseProject
+    * inlines a bound token-array alias back into the lambda so the
+    * `split` re-runs for every shingle (O(tokens²) per document, pinned
+    * to the scan's partitioning). Here `split` runs ONCE per document
+    * inside a Generate, n-grams assemble from codegen'd `lead` windows
+    * after a shuffle on the id — which also parallelizes the work and is
+    * the exact partitioning the downstream minhash groupBy(id) reuses.
+    * Hashes are longs (xxhash64): set algebra on longs beats strings and
+    * collisions are negligible at corpus scale.
+    *
+    * Documents with fewer than n tokens contribute their whole text as a
+    * single shingle (same convention as [[shinglesFromTokens]]).
+    */
+  def shingleHashes(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df
+      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val withLeads = (1 until n).foldLeft(toks) { (acc, k) =>
+      acc.withColumn(s"__t$k", lead(col("tok"), k).over(w))
+    }
+    val parts = col("tok") +: (1 until n).map(k => col(s"__t$k"))
+    val grams = withLeads
+      .where(parts.map(_.isNotNull).reduce(_ && _))
+      .select(col(idCol), xxhash64(concat_ws(" ", parts: _*)).as("sh"))
+    val shortDocs = df
+      .where(size(split(col(textCol), " ")) < n)
+      .select(col(idCol), xxhash64(col(textCol)).as("sh"))
+    grams.union(shortDocs).distinct()
+  }
+
+  /** (id, sh_set array<long>) — distinct shingle-hash set per document. */
+  def shingleSets(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    shingleHashes(df, textCol, idCol, n)
+      .groupBy(col(idCol))
+      .agg(collect_set(col("sh")).as("sh_set"))
 
   /** Word n-gram shingles of `text` as an array column (small-input
     * convenience; prefer [[shingled]] in plans).
@@ -71,22 +105,27 @@ object MinHashLsh {
       seed: Long = 42L
   ): DataFrame = {
     val coefs = coefficients(numHashes, seed)
-    val exploded = shingled(df, textCol, shingleSize)
-      .select(col(idCol), explode(col("__shingles")).as("sh"))
-      .withColumn("h", pmod(xxhash64(col("sh")), lit(MersennePrime)))
-    val minAggs = coefs.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * lit(a) + lit(b), lit(MersennePrime))).as(s"m_$i")
-    }
+    val exploded = shingleHashes(df, textCol, idCol, shingleSize)
+      .withColumn("h", pmod(col("sh"), lit(MersennePrime)))
+    // one custom TypedImperativeAggregate computes all lanes in a single
+    // buffer — numHashes separate min() aggregates generate pathological
+    // amounts of Janino code (see graft.functions.MinHashAgg)
     exploded
       .groupBy(col(idCol))
-      .agg(minAggs.head, minAggs.tail: _*)
-      .select(col(idCol), array(coefs.indices.map(i => col(s"m_$i")): _*).as("sig"))
+      .agg(
+        graft.functions.MinHashAgg
+          .minhash(col("h"), coefs.map(_._1), coefs.map(_._2), MersennePrime)
+          .as("sig")
+      )
   }
 
-  /** (band, bucket, id) — banded signature buckets. */
-  def bands(sig: DataFrame, idCol: String, numBands: Int): DataFrame = {
-    val n = sig.select(size(col("sig"))).head().getInt(0)
-    val rowsPerBand = n / numBands
+  /** (band, bucket, id) — banded signature buckets. `sigLen` must be the
+    * signature length (passing it avoids a driver action on the frame —
+    * a `.head()` here would evaluate the whole minhash pipeline as a
+    * single-task limit job).
+    */
+  def bands(sig: DataFrame, idCol: String, numBands: Int, sigLen: Int): DataFrame = {
+    val rowsPerBand = sigLen / numBands
     val bandCols = (0 until numBands).map { b =>
       struct(lit(b).as("band"), xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))).as("bucket"))
     }
@@ -106,7 +145,9 @@ object MinHashLsh {
       seed: Long = 42L
   ): DataFrame = {
     val sig = signatures(df, textCol, idCol, numHashes, shingleSize, seed)
-    val b = bands(sig, idCol, numBands)
+    // persist: both sides of the self-join read the SAME banded frame —
+    // without it the whole shingle→minhash pipeline runs twice
+    val b = bands(sig, idCol, numBands, numHashes).persist()
     val l = b.select(col("band"), col("bucket"), col(idCol).as("id_a"))
     val r = b.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     l.join(r, Seq("band", "bucket"))
@@ -127,18 +168,15 @@ object MinHashLsh {
       seed: Long = 42L
   ): DataFrame = {
     val cands = candidatePairs(df, textCol, idCol, numHashes, shingleSize, numBands, seed)
-    val sets = shingled(df, textCol, shingleSize)
-      .select(col(idCol), col("__shingles").as("sh_set"))
+    // persist: joined twice (id_a side and id_b side)
+    val sets = shingleSets(df, textCol, idCol, shingleSize).persist()
     cands
       .join(sets.withColumnRenamed(idCol, "id_a").withColumnRenamed("sh_set", "set_a"), Seq("id_a"))
       .join(sets.withColumnRenamed(idCol, "id_b").withColumnRenamed("sh_set", "set_b"), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("double"))
       .withColumn(
         "jaccard",
-        round(
-          size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
-            size(array_union(col("set_a"), col("set_b"))),
-          4
-        )
+        round(col("inter") / (size(col("set_a")) + size(col("set_b")) - col("inter")), 4)
       )
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))

@@ -21,20 +21,21 @@ object NGramJaccard {
       n: Int = 2,
       minJaccard: Double = 0.0
   ): DataFrame = {
+    // n-grams hashed to longs: set intersection on long arrays, and
+    // |A∪B| = |A|+|B|−|A∩B| so the union array is never materialized
     val sets = MinHashLsh
-      .shingled(df, textCol, n)
-      .select(col(blockCol).as("block"), col(idCol), col("__shingles").as("ngrams"))
+      .shingleSets(df, textCol, idCol, n)
+      .join(df.select(col(idCol), col(blockCol).as("block")), Seq(idCol))
+      .select(col("block"), col(idCol), col("sh_set").as("ngrams"))
+      .persist() // both sides of the block self-join read this frame
     val l = sets.select(col("block"), col(idCol).as("id_a"), col("ngrams").as("ng_a"))
     val r = sets.select(col("block"), col(idCol).as("id_b"), col("ngrams").as("ng_b"))
     l.join(r, Seq("block"))
       .where(col("id_a") < col("id_b"))
+      .withColumn("inter", size(array_intersect(col("ng_a"), col("ng_b"))).cast("double"))
       .withColumn(
         "jaccard",
-        round(
-          size(array_intersect(col("ng_a"), col("ng_b"))).cast("double") /
-            size(array_union(col("ng_a"), col("ng_b"))),
-          4
-        )
+        round(col("inter") / (size(col("ng_a")) + size(col("ng_b")) - col("inter")), 4)
       )
       .where(col("jaccard") >= minJaccard)
       .select(col("block"), col("id_a"), col("id_b"), col("jaccard"))

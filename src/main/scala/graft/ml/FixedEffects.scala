@@ -101,8 +101,16 @@ object FixedEffects {
     val rmsRow = cur.agg(rmsAggs.head, rmsAggs.tail: _*).head()
     val scale = math.max((0 until dmCols.length).map(rmsRow.getDouble).max, 1e-300)
 
+    // cached RDD behind a localCheckpoint'ed frame (to free superseded sweeps)
+    def checkpointRdd(d: DataFrame) =
+      d.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
+
     var sweeps = 0
     var converged = false
+    val history = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val meansHistory = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     while (!converged && sweeps < maxSweeps) {
       sweeps += 1
       var delta = 0.0
@@ -111,6 +119,7 @@ object FixedEffects {
         // data. The convergence measure falls out of the SAME aggregate —
         // no separate probe passes over the fact table.
         val means = cur.groupBy(col(fe)).agg(meanAggs.head, meanAggs.tail: _*).persist()
+        meansHistory += means
         val d = means
           .agg(greatest(dmCols.map(c => max(abs(col(s"__mean_$c")))): _*))
           .head()
@@ -118,12 +127,23 @@ object FixedEffects {
         delta = math.max(delta, d)
         cur = subtract(cur, fe, means)
       }
-      // Checkpoint every sweep: truncates lineage (Catalyst re-optimizes
-      // an ever-growing join chain otherwise) AND materializes the frame
-      // so the next sweep's aggregates scan a cache, not the join chain.
-      cur = cur.localCheckpoint(true)
+      // LAZY localCheckpoint at the sweep boundary: the logical plan is
+      // truncated to an RDD scan immediately (Catalyst never re-optimizes
+      // a growing join chain), while materialization happens as a side
+      // effect of the NEXT sweep's first means pass — no dedicated
+      // checkpoint job per sweep.
+      cur = cur.localCheckpoint(false)
+      history += cur
+      // sweep k's checkpoint is only an input to sweep k+1's; anything
+      // older is dead weight in the block manager — free it.
+      if (history.length >= 3)
+        checkpointRdd(history.remove(0)).foreach(_.unpersist(false))
       converged = delta < tol * scale
     }
+    // materialize the final frame, then release every intermediate cache
+    cur.count()
+    history.dropRight(1).foreach(d => checkpointRdd(d).foreach(_.unpersist(false)))
+    meansHistory.foreach(_.unpersist(false))
     (cur, sweeps)
   }
 

@@ -221,7 +221,7 @@ object CoreQueries {
     (s, dir) => {
       val li = Tables.lineitem(s, dir)
       val m = FixedEffects.fit(li, "l_extendedprice", Seq("l_quantity"), Seq("l_suppkey", "l_partkey"))
-      scalarRow(s, Seq("slope" -> rnd(m.coef(0), 6)), Seq("n" -> m.n))
+      scalarRow(s, Seq("slope" -> rnd(m.coef(0), 6)), Seq("n" -> m.n, "sweeps" -> m.sweeps.toLong))
     },
     None
   )

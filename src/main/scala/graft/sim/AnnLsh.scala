@@ -30,15 +30,13 @@ object AnnLsh {
     (h.toDouble / Long.MaxValue.toDouble)
   }
 
-  /** Bucket id of `vec` for one table: sign pattern of projections. */
+  /** Bucket id of `vec` for one table: sign pattern of projections
+    * (codegen'd [[graft.functions.FloatVec.dot]] against literal planes).
+    */
   def bucket(vec: Column, dims: Int, numPlanes: Int, table: Int): Column =
     (0 until numPlanes).foldLeft(lit(0L)) { (acc, p) =>
-      val planeArr = array((0 until dims).map(d => lit(planeComponent(table, p, d))): _*)
-      val proj = aggregate(
-        zip_with(vec, planeArr, (x, w) => x.cast("double") * w),
-        lit(0.0),
-        _ + _
-      )
+      val planeArr = typedlit((0 until dims).map(d => planeComponent(table, p, d).toFloat).toArray)
+      val proj = graft.functions.FloatVec.dot(vec, planeArr)
       acc.bitwiseOR(shiftleft(when(proj > 0, 1L).otherwise(0L), p))
     }
 

@@ -18,11 +18,9 @@ import org.apache.spark.sql.functions._
   */
 object Cosine {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")), lit(0.0), _ + _)
+  def dot(a: Column, b: Column): Column = graft.functions.FloatVec.dot(a, b)
 
-  def norm(v: Column): Column =
-    sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")), lit(0.0), _ + _))
+  def norm(v: Column): Column = graft.functions.FloatVec.norm(v)
 
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / (normA * normB)

@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge into Spark's `private[sql]` Column construction so
+  * graft's custom Catalyst expressions can surface as `Column`s — the
+  * same technique Spark-extension libraries use (a shim inside the
+  * org.apache.spark.sql package namespace).
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expr(c: Column): Expression = ExpressionUtils.expression(c)
+  def aggColumn(f: AggregateFunction): Column =
+    ExpressionUtils.column(f.toAggregateExpression(isDistinct = false))
+}
