@@ -84,11 +84,15 @@ object MinHashLsh {
     grams.union(shortDocs).distinct()
   }
 
-  /** (id, sh_set array<long>) — distinct shingle-hash set per document. */
+  /** (id, sh_set array<long>) — distinct shingle-hash set per document,
+    * SORTED so pairwise intersection is a codegen'd merge walk
+    * ([[graft.functions.SetOps.sortedIntersectSize]]), not a hash set
+    * allocated per pair.
+    */
   def shingleSets(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
     shingleHashes(df, textCol, idCol, n)
       .groupBy(col(idCol))
-      .agg(collect_set(col("sh")).as("sh_set"))
+      .agg(sort_array(collect_set(col("sh"))).as("sh_set"))
 
   /** Word n-gram shingles of `text` as an array column (small-input
     * convenience; prefer [[shingled]] in plans).
@@ -173,7 +177,9 @@ object MinHashLsh {
     cands
       .join(sets.withColumnRenamed(idCol, "id_a").withColumnRenamed("sh_set", "set_a"), Seq("id_a"))
       .join(sets.withColumnRenamed(idCol, "id_b").withColumnRenamed("sh_set", "set_b"), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("double"))
+      .withColumn(
+        "inter",
+        graft.functions.SetOps.sortedIntersectSize(col("set_a"), col("set_b")).cast("double"))
       .withColumn(
         "jaccard",
         round(col("inter") / (size(col("set_a")) + size(col("set_b")) - col("inter")), 4)

@@ -32,7 +32,9 @@ object NGramJaccard {
     val r = sets.select(col("block"), col(idCol).as("id_b"), col("ngrams").as("ng_b"))
     l.join(r, Seq("block"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("inter", size(array_intersect(col("ng_a"), col("ng_b"))).cast("double"))
+      .withColumn(
+        "inter",
+        graft.functions.SetOps.sortedIntersectSize(col("ng_a"), col("ng_b")).cast("double"))
       .withColumn(
         "jaccard",
         round(col("inter") / (size(col("ng_a")) + size(col("ng_b")) - col("inter")), 4)

@@ -16,20 +16,15 @@ import org.apache.spark.sql.functions._
   */
 object SimHash {
 
-  /** (id, simhash long). */
-  def fingerprints(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val exploded = df
-      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+  /** (id, simhash long) — one custom aggregate per doc (64 separate
+    * conditional sums would be a Janino codegen bomb; see
+    * [[graft.functions.SimHashAgg]]).
+    */
+  def fingerprints(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$b")
-    }
-    val agg = exploded.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 64).foldLeft(lit(0L)) { (acc, b) =>
-      acc.bitwiseOR(shiftleft(when(col(s"b_$b") > 0, 1L).otherwise(0L), b))
-    }
-    agg.select(col(idCol), fp.as("simhash"))
-  }
+      .groupBy(col(idCol))
+      .agg(graft.functions.SimHashAgg.simhash(col("h")).as("simhash"))
 
   /** Hamming distance between two simhash columns (bit_count of xor). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -407,6 +407,39 @@ object CoreQueries {
     )
   )
 
+  // ---- C1 (arbitrary-function flavor): typed Aggregator -------------------
+
+  val q16 = Q(
+    "q16_groupby_custom_agg",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val wavg = udaf(graft.functions.WeightedMean)
+      li.groupBy(col("l_returnflag"))
+        .agg(round(wavg(col("l_extendedprice"), col("l_quantity")), 6).as("wavg_price"))
+    },
+    Some(
+      """SELECT l_returnflag,
+        |  round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6) AS wavg_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+    )
+  )
+
+  val q17 = Q(
+    "q17_groupby_median",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      Grouped.aggregate(
+        o,
+        Seq("o_orderpriority"),
+        Seq(round(percentile(col("o_totalprice"), lit(0.5)), 4).as("median_price"))
+      )
+    },
+    Some(
+      """SELECT o_orderpriority, round(median(o_totalprice), 4) AS median_price
+        |FROM orders GROUP BY o_orderpriority""".stripMargin
+    )
+  )
+
   /** Round a driver-side double the same way Spark/DuckDB `round` does
     * (HALF_UP on the decimal representation).
     */
@@ -414,5 +447,5 @@ object CoreQueries {
     BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   val all: Seq[Q] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17)
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.dedup.{Exact, MinHashLsh, NGramJaccard, SimHash}
 import graft.media.Multimodal
-import graft.sim.{AnnLsh, Cosine}
+import graft.sim.{AnnIvf, AnnLsh, Cosine}
 import graft.streaming.EventOps
 import graft.text.{Fingerprint, LangId, TextStats}
 import graft.util.Tables
@@ -270,6 +270,19 @@ object PipelineQueries {
     None
   )
 
+  // ---- P7b: IVF ANN (rows+spec: recall vs brute force) -------------------
+
+  val q35 = Q(
+    "q35_ann_ivf",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      AnnIvf.topK(
+        emb.where(col("vec_id") < 10), emb, "vec_id", "embedding",
+        k = 5, numCentroids = 16, nProbe = 4)
+    },
+    None
+  )
+
   val all: Seq[Q] =
-    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34)
+    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35)
 }

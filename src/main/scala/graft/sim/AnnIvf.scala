@@ -1,0 +1,99 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.FloatVec
+
+/** IVF (inverted-file) approximate nearest neighbors — the clustered
+  * alternative to [[AnnLsh]] (SURVEY.md §2 P7).
+  *
+  * Build: deterministic seeding (lowest-id vectors) + a fixed number of
+  * Lloyd rounds, all as DataFrame ops: assignment is a broadcast
+  * cross-join argmax (`max_by`), centroid update is a posexplode +
+  * groupBy(cid, dim) average. Probe: rank centroids per query, search
+  * only the `nProbe` best cells — at 100 TB the corpus is partitioned by
+  * cell, so a query touches nProbe partitions instead of everything.
+  */
+object AnnIvf {
+
+  private def cosScore(vec: Column, cent: Column): Column =
+    FloatVec.dot(vec, cent) / (FloatVec.norm(vec) * FloatVec.norm(cent))
+
+  /** (cid, centroid array<float>) — deterministic k centroids. */
+  def centroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      lloydIters: Int = 2
+  ): DataFrame = {
+    var cents = corpus
+      .orderBy(col(idCol))
+      .limit(k)
+      .select(col(idCol).as("cid"), col(vecCol).as("centroid"))
+    for (_ <- 0 until lloydIters) {
+      val assigned = assign(corpus, cents, idCol, vecCol)
+      cents = assigned
+        .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+        .select(col("cid"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("cid"))
+        .agg(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("m")))),
+            s => s.getField("m").cast("float")
+          ).as("centroid")
+        )
+    }
+    cents
+  }
+
+  /** (id, cid) — nearest centroid per vector (broadcast argmax). */
+  def assign(df: DataFrame, cents: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cents))
+      .groupBy(col(idCol))
+      .agg(max_by(col("cid"), struct(cosScore(col(vecCol), col("centroid")), -col("cid"))).as("cid"))
+
+  /** Approximate top-k: search only the nProbe best cells per query. */
+  def topK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numCentroids: Int = 16,
+      nProbe: Int = 4,
+      lloydIters: Int = 2
+  ): DataFrame = {
+    val cents = centroids(corpus, idCol, vecCol, numCentroids, lloydIters).persist()
+    val cellOf = assign(corpus, cents, idCol, vecCol)
+    val corpusCells = corpus
+      .select(col(idCol).as("nid"), col(vecCol).as("nv"))
+      .join(cellOf.withColumnRenamed(idCol, "nid"), Seq("nid"))
+
+    val wq = Window.partitionBy(col("qid")).orderBy(col("cscore").desc, col("cid"))
+    val probes = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cscore", cosScore(col("qv"), col("centroid")))
+      .withColumn("crk", row_number().over(wq))
+      .where(col("crk") <= nProbe)
+      .select(col("qid"), col("qv"), col("cid"))
+
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid"))
+    corpusCells
+      .join(broadcast(probes), Seq("cid"))
+      .where(col("qid") =!= col("nid"))
+      .withColumn("cos_sim", cosScore2(col("qv"), col("nv")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("qid"), col("nid"), round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
+  private def cosScore2(a: Column, b: Column): Column =
+    FloatVec.dot(a, b) / (FloatVec.norm(a) * FloatVec.norm(b))
+}

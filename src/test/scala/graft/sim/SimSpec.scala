@@ -55,6 +55,28 @@ class SimSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("AnnIvf recall vs brute force with generous probing") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.where($"vec_id" < 5)
+    val exact = Cosine
+      .topK(queries, emb, "vec_id", "embedding", k = 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val approx = AnnIvf
+      .topK(queries, emb, "vec_id", "embedding", k = 5, numCentroids = 8, nProbe = 6)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+
+  test("AnnIvf assigns every corpus vector to exactly one cell") {
+    val emb = Tables.embeddings(spark, sf)
+    val cents = AnnIvf.centroids(emb, "vec_id", "embedding", k = 8)
+    val assigned = AnnIvf.assign(emb, cents, "vec_id", "embedding")
+    assert(assigned.count() == emb.count())
+    assert(assigned.select("vec_id").distinct().count() == emb.count())
+    assert(cents.count() == 8)
+  }
+
   test("AnnLsh bucket assignment is deterministic") {
     val emb = Tables.embeddings(spark, sf).limit(20)
     val b1 = AnnLsh.bucketize(emb, "vec_id", "embedding", 64).select("vec_id", "table", "bucket")

@@ -24,6 +24,40 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set((10L, 1L, 2L, 3.0), (10L, 2L, 1L, 3.0), (11L, 1L, 1L, 4.0)))
   }
 
+  test("stateful streaming sessionize equals batch sessionize (single batch)") {
+    val batchEvents = Tables.events(spark, sf)
+    val batch = EventOps
+      .sessionize(batchEvents, gapMinutes = 30)
+      .select("user_id", "session", "n_events", "sum_value")
+      .as[(Long, Long, Long, Double)]
+      .collect()
+      .toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("events_sess")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet")
+    )
+    val stream = EventStream.readEvents(spark, dir.toString)
+    val q = EventStream
+      .sessionizeStream(stream, gapMinutes = 30)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("sess_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark
+        .table("sess_out")
+        .select("user_id", "session", "n_events", "sum_value")
+        .as[(Long, Long, Long, Double)]
+        .collect()
+        .toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("streaming hourlyAgg equals the batch hourlyAgg on the same data") {
     val batchEvents = Tables.events(spark, sf)
     val batch = EventOps
