@@ -88,6 +88,50 @@ object Ols {
     OlsModel(keptIdx.map(names), b, n, gk, ck, yty, droppedNames.toSeq)
   }
 
+  /** Multi-outcome least squares (the reference's 2-D `y`,
+    * hdfe.py:129-135 loops a solver per outcome over the same design).
+    * graft shares ONE distributed pass: X'X is aggregated once and X'y_j
+    * for every outcome in the same codegen'd aggregate; only the k×k
+    * driver solves repeat per outcome.
+    */
+  def fitMulti(
+      df: DataFrame,
+      ys: Seq[String],
+      xs: Seq[String],
+      intercept: Boolean = true
+  ): Map[String, OlsModel] = {
+    val names = (if (intercept) Seq("(intercept)") else Nil) ++ xs
+    val cols: Seq[Column] =
+      (if (intercept) Seq(lit(1.0)) else Nil) ++ xs.map(c => col(c).cast("double"))
+    val ycols = ys.map(y => col(y).cast("double"))
+    val k = cols.length
+
+    val aggs: Seq[Column] =
+      (for (i <- 0 until k; j <- i until k) yield sum(cols(i) * cols(j)).as(s"g_${i}_$j")) ++
+        ys.indices.flatMap { yi =>
+          (0 until k).map(i => sum(cols(i) * ycols(yi)).as(s"c_${yi}_$i")) :+
+            sum(ycols(yi) * ycols(yi)).as(s"yty_$yi")
+        } ++ Seq(count(lit(1)).as("n"))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+
+    var p = 0
+    val g = Array.ofDim[Double](k, k)
+    for (i <- 0 until k; j <- i until k) {
+      val v = row.getDouble(p); p += 1
+      g(i)(j) = v; g(j)(i) = v
+    }
+    val perY = ys.map { y =>
+      val c = Array.tabulate(k)(i => row.getDouble(p + i))
+      p += k
+      val yty = row.getDouble(p); p += 1
+      (y, c, yty)
+    }
+    val n = row.getLong(p)
+    perY.map { case (y, c, yty) =>
+      y -> OlsModel(names, LinAlg.solve(g, c), n, g, c, yty, Nil)
+    }.toMap
+  }
+
   /** Residual column expression for a fitted model. */
   def residualCol(model: OlsModel, y: String): Column = {
     val terms = model.xNames.zip(model.coef).map {

@@ -440,6 +440,34 @@ object CoreQueries {
     )
   )
 
+  // ---- C20: multi-outcome OLS (reference's 2-D y) -------------------------
+
+  val q18 = Q(
+    "q18_ols_multi_y",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val models = Ols.fitMulti(li, Seq("l_extendedprice", "l_tax"), Seq("l_quantity"))
+      val mp = models("l_extendedprice"); val mt = models("l_tax")
+      scalarRow(
+        s,
+        Seq(
+          "slope_price" -> rnd(mp.coef(1), 6),
+          "intercept_price" -> rnd(mp.coef(0), 6),
+          "slope_tax" -> rnd(mt.coef(1), 6),
+          "intercept_tax" -> rnd(mt.coef(0), 6)
+        )
+      )
+    },
+    Some(
+      """SELECT
+        |  round(regr_slope(l_extendedprice, l_quantity), 6) AS slope_price,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept_price,
+        |  round(regr_slope(l_tax, l_quantity), 6) AS slope_tax,
+        |  round(regr_intercept(l_tax, l_quantity), 6) AS intercept_tax
+        |FROM lineitem""".stripMargin
+    )
+  )
+
   /** Round a driver-side double the same way Spark/DuckDB `round` does
     * (HALF_UP on the decimal representation).
     */
@@ -447,5 +475,5 @@ object CoreQueries {
     BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   val all: Seq[Q] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18)
 }

@@ -107,6 +107,21 @@ class RegressionSpec extends SparkSpec {
       assert(math.abs(rs.map(_.getDouble(2)).sum / rs.size) < 1e-6)
   }
 
+  test("fitMulti shares one pass and matches per-outcome fits") {
+    val rows = for (i <- 0 until 40) yield {
+      val x = math.sin(i * 1.3) * 5
+      (x, 2.0 + 3.0 * x, -1.0 + 0.5 * x)
+    }
+    val df = rows.toDF("x", "y1", "y2")
+    val multi = Ols.fitMulti(df, Seq("y1", "y2"), Seq("x"))
+    val single1 = Ols.fit(df, "y1", Seq("x"))
+    val single2 = Ols.fit(df, "y2", Seq("x"))
+    assert(multi("y1").coef.zip(single1.coef).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    assert(multi("y2").coef.zip(single2.coef).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    assert(math.abs(multi("y1").coef(1) - 3.0) < 1e-9)
+    assert(math.abs(multi("y2").coef(0) + 1.0) < 1e-9)
+  }
+
   test("clustered SE matches hand computation on tiny data") {
     val rows = Seq(
       ("c1", 1.0, 2.0), ("c1", 2.0, 4.5), ("c2", 3.0, 5.5),
