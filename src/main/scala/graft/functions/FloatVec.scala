@@ -30,19 +30,26 @@ case class FloatDot(left: Expression, right: Expression) extends BinaryExpressio
     s
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // fresh names: multiple FloatDot instances can land in ONE codegen
+    // stage (dot + two norms in a cosine); fixed locals would collide
+    // and Janino's compile error silently falls back to interpreted
+    val n = ctx.freshName("fdN")
+    val s = ctx.freshName("fdS")
+    val i = ctx.freshName("fdI")
     nullSafeCodeGen(
       ctx,
       ev,
       (a, b) => s"""
-        |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-        |double s = 0.0;
-        |for (int i = 0; i < n; i++) {
-        |  s += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double $s = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
         |}
-        |${ev.value} = s;
+        |${ev.value} = $s;
         |""".stripMargin
     )
+  }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): FloatDot =
     copy(left = l, right = r)

@@ -31,21 +31,27 @@ case class SortedIntersectSize(left: Expression, right: Expression) extends Bina
     c
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // fresh names — fixed locals collide when several instances share a
+    // codegen stage (Janino error → silent interpreted fallback)
+    val i = ctx.freshName("siI"); val j = ctx.freshName("siJ"); val c = ctx.freshName("siC")
+    val na = ctx.freshName("siNa"); val nb = ctx.freshName("siNb")
+    val xv = ctx.freshName("siX"); val yv = ctx.freshName("siY")
     nullSafeCodeGen(
       ctx,
       ev,
       (a, b) => s"""
-        |int i = 0, j = 0, c = 0;
-        |int na = $a.numElements(), nb = $b.numElements();
-        |while (i < na && j < nb) {
-        |  long xv = $a.getLong(i); long yv = $b.getLong(j);
-        |  if (xv == yv) { c++; i++; j++; }
-        |  else if (xv < yv) { i++; } else { j++; }
+        |int $i = 0, $j = 0, $c = 0;
+        |int $na = $a.numElements(), $nb = $b.numElements();
+        |while ($i < $na && $j < $nb) {
+        |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+        |  if ($xv == $yv) { $c++; $i++; $j++; }
+        |  else if ($xv < $yv) { $i++; } else { $j++; }
         |}
-        |${ev.value} = c;
+        |${ev.value} = $c;
         |""".stripMargin
     )
+  }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectSize =
     copy(left = l, right = r)

@@ -29,13 +29,16 @@ object AnnIvf {
       k: Int,
       lloydIters: Int = 2
   ): DataFrame = {
-    var cents = corpus
-      .orderBy(col(idCol))
-      .limit(k)
-      .select(col(idCol).as("cid"), col(vecCol).as("centroid"))
+    var cents = literalCentroids(
+      corpus.sparkSession,
+      corpus
+        .orderBy(col(idCol))
+        .limit(k)
+        .select(col(idCol).cast("long").as("cid"), col(vecCol).as("centroid"))
+    )
     for (_ <- 0 until lloydIters) {
       val assigned = assign(corpus, cents, idCol, vecCol)
-      cents = assigned
+      val updated = assigned
         .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
         .select(col("cid"), posexplode(col(vecCol)).as(Seq("pos", "v")))
         .groupBy(col("cid"), col("pos"))
@@ -47,8 +50,25 @@ object AnnIvf {
             s => s.getField("m").cast("float")
           ).as("centroid")
         )
+      // centroids are k×dims floats — tiny BY DEFINITION of IVF. Collect
+      // and rebuild as literals each round: otherwise the Lloyd lineage
+      // (broadcast within broadcast per round) re-evaluates downstream
+      // and the plan grows with every iteration.
+      cents = literalCentroids(corpus.sparkSession, updated)
     }
     cents
+  }
+
+  private def literalCentroids(
+      spark: org.apache.spark.sql.SparkSession,
+      cents: DataFrame
+  ): DataFrame = {
+    import spark.implicits._
+    cents
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .toSeq
+      .toDF("cid", "centroid")
   }
 
   /** (id, cid) — nearest centroid per vector (broadcast argmax). */
