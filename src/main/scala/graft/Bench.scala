@@ -25,18 +25,34 @@ object Bench {
     // alphabetically-first query
     try spark.read.parquet(s"$sfDir/lineitem.parquet").groupBy("l_returnflag").count().count()
     catch { case _: Throwable => () }
+    // a failed query must NOT masquerade as a fast timing (round-1
+    // review): successes land in "queries", failures in "errors"
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       System.err.println(s"[bench] start $name")
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val outcome =
+        try { fn(spark, sfDir).count(); None }
+        catch {
+          case e: Throwable =>
+            e.printStackTrace(System.err)
+            Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+        }
       val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] done  $name in $dt%.1fs")
-      name -> dt
+      System.err.println(f"[bench] done  $name in $dt%.1fs${outcome.fold("")(m => s" FAILED: $m")}")
+      (name, dt, outcome)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String) =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val ok = results.filter(_._3.isEmpty)
+    val qs = ok.map { case (k, v, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(m)) => jstr(k) + ":" + jstr(m) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = ok.map(_._2).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

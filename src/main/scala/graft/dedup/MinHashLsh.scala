@@ -90,9 +90,11 @@ object MinHashLsh {
     * allocated per pair.
     */
   def shingleSets(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
-    shingleHashes(df, textCol, idCol, n)
-      .groupBy(col(idCol))
-      .agg(sort_array(collect_set(col("sh"))).as("sh_set"))
+    setsFromShingles(shingleHashes(df, textCol, idCol, n), idCol)
+
+  /** [[shingleSets]] from an already-computed (id, sh) frame. */
+  def setsFromShingles(sh: DataFrame, idCol: String): DataFrame =
+    sh.groupBy(col(idCol)).agg(sort_array(collect_set(col("sh"))).as("sh_set"))
 
   /** Word n-gram shingles of `text` as an array column (small-input
     * convenience; prefer [[shingled]] in plans).
@@ -107,14 +109,24 @@ object MinHashLsh {
       numHashes: Int = 64,
       shingleSize: Int = 3,
       seed: Long = 42L
+  ): DataFrame =
+    signaturesFromShingles(shingleHashes(df, textCol, idCol, shingleSize), idCol, numHashes, seed)
+
+  /** [[signatures]] from an already-computed (id, sh) frame — lets
+    * callers that also need shingle SETS (the verify stage) run the
+    * expensive shingling pipeline exactly once.
+    */
+  def signaturesFromShingles(
+      sh: DataFrame,
+      idCol: String,
+      numHashes: Int = 64,
+      seed: Long = 42L
   ): DataFrame = {
     val coefs = coefficients(numHashes, seed)
-    val exploded = shingleHashes(df, textCol, idCol, shingleSize)
-      .withColumn("h", pmod(col("sh"), lit(MersennePrime)))
     // one custom TypedImperativeAggregate computes all lanes in a single
     // buffer — numHashes separate min() aggregates generate pathological
     // amounts of Janino code (see graft.functions.MinHashAgg)
-    exploded
+    sh.withColumn("h", pmod(col("sh"), lit(MersennePrime)))
       .groupBy(col(idCol))
       .agg(
         graft.functions.MinHashAgg
@@ -138,7 +150,24 @@ object MinHashLsh {
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
   }
 
-  /** Candidate near-duplicate pairs (id_a < id_b), deduplicated. */
+  /** Same-bucket candidate pairs (id_a < id_b) from a banded frame. */
+  private def pairsFromBands(b: DataFrame, idCol: String): DataFrame = {
+    val l = b.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val r = b.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    l.join(r, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Candidate near-duplicate pairs (id_a < id_b), deduplicated.
+    *
+    * EAGER: the (small) pair set is materialized before returning so the
+    * banded intermediate — read by both sides of the self-join — can be
+    * cached for exactly the duration of the computation and released
+    * (round-1 review: persist()s that outlive the query accumulate in
+    * the block manager across a long session).
+    */
   def candidatePairs(
       df: DataFrame,
       textCol: String,
@@ -149,18 +178,20 @@ object MinHashLsh {
       seed: Long = 42L
   ): DataFrame = {
     val sig = signatures(df, textCol, idCol, numHashes, shingleSize, seed)
-    // persist: both sides of the self-join read the SAME banded frame —
-    // without it the whole shingle→minhash pipeline runs twice
     val b = bands(sig, idCol, numBands, numHashes).persist()
-    val l = b.select(col("band"), col("bucket"), col(idCol).as("id_a"))
-    val r = b.select(col("band"), col("bucket"), col(idCol).as("id_b"))
-    l.join(r, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
+    val out = pairsFromBands(b, idCol).localCheckpoint()
+    b.unpersist(false)
+    out
   }
 
-  /** Candidates verified with exact shingle-set Jaccard ≥ threshold. */
+  /** Candidates verified with exact shingle-set Jaccard ≥ threshold.
+    *
+    * The shingling pipeline (posexplode + window leads — the measured
+    * dominant cost) runs ONCE: the persisted (id, sh) frame feeds both
+    * the minhash signatures and the exact verify sets. The (small) pair
+    * result is materialized eagerly so every intermediate cache is
+    * released before returning.
+    */
   def nearDuplicates(
       df: DataFrame,
       textCol: String,
@@ -171,10 +202,13 @@ object MinHashLsh {
       numBands: Int = 16,
       seed: Long = 42L
   ): DataFrame = {
-    val cands = candidatePairs(df, textCol, idCol, numHashes, shingleSize, numBands, seed)
+    val sh = shingleHashes(df, textCol, idCol, shingleSize).persist()
+    val sig = signaturesFromShingles(sh, idCol, numHashes, seed)
+    val b = bands(sig, idCol, numBands, numHashes).persist()
+    val cands = pairsFromBands(b, idCol)
     // persist: joined twice (id_a side and id_b side)
-    val sets = shingleSets(df, textCol, idCol, shingleSize).persist()
-    cands
+    val sets = setsFromShingles(sh, idCol).persist()
+    val verified = cands
       .join(sets.withColumnRenamed(idCol, "id_a").withColumnRenamed("sh_set", "set_a"), Seq("id_a"))
       .join(sets.withColumnRenamed(idCol, "id_b").withColumnRenamed("sh_set", "set_b"), Seq("id_b"))
       .withColumn(
@@ -186,5 +220,8 @@ object MinHashLsh {
       )
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    val out = verified.localCheckpoint()
+    Seq(sh, b, sets).foreach(_.unpersist(false))
+    out
   }
 }

@@ -12,7 +12,11 @@ import org.apache.spark.sql.functions._
   */
 object NGramJaccard {
 
-  /** Pairwise Jaccard over documents sharing `blockCol` (id_a < id_b). */
+  /** Pairwise Jaccard over documents sharing `blockCol` (id_a < id_b).
+    * EAGER: the pair result is materialized before returning so the
+    * cached set frame — read by both sides of the block self-join — is
+    * released instead of lingering in the block manager.
+    */
   def similarityJoin(
       df: DataFrame,
       textCol: String,
@@ -30,7 +34,7 @@ object NGramJaccard {
       .persist() // both sides of the block self-join read this frame
     val l = sets.select(col("block"), col(idCol).as("id_a"), col("ngrams").as("ng_a"))
     val r = sets.select(col("block"), col(idCol).as("id_b"), col("ngrams").as("ng_b"))
-    l.join(r, Seq("block"))
+    val out = l.join(r, Seq("block"))
       .where(col("id_a") < col("id_b"))
       .withColumn(
         "inter",
@@ -41,5 +45,8 @@ object NGramJaccard {
       )
       .where(col("jaccard") >= minJaccard)
       .select(col("block"), col("id_a"), col("id_b"), col("jaccard"))
+      .localCheckpoint()
+    sets.unpersist(false)
+    out
   }
 }

@@ -21,8 +21,21 @@ object SimHash {
     * [[graft.functions.SimHashAgg]]).
     */
   def fingerprints(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    fingerprintsWith(df, textCol, idCol, xxhash64(_))
+
+  /** [[fingerprints]] with a caller-chosen token-hash function — the
+    * driver's DuckDB-checked query uses [[graft.functions.SharedHash]]
+    * so both engines hash tokens identically; xxhash64 stays the
+    * production default.
+    */
+  def fingerprintsWith(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      tokenHash: Column => Column
+  ): DataFrame =
     df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", tokenHash(col("tok")))
       .groupBy(col(idCol))
       .agg(graft.functions.SimHashAgg.simhash(col("h")).as("simhash"))
 

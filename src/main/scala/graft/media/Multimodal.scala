@@ -31,6 +31,11 @@ object Multimodal {
       media_id: Long,
       kind: String,
       n_bytes: Int,
+      /** content hash of the raw payload — the exact-dedup key a real
+        * media pipeline computes alongside decoding (hex md5, so the
+        * driver's DuckDB oracle can recompute it with `md5(...)`)
+        */
+      content_md5: String,
       // deterministic fake "embedding" standing in for decoded features
       feature: Array[Float]
   )
@@ -60,9 +65,13 @@ object Multimodal {
   def extractFeatures(media: Dataset[MediaRow], dims: Int = 8): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { batch =>
-      // per-partition setup is where a real codec would init once
+      // per-partition setup is where a real codec would init once — the
+      // digest instance is reused across the whole batch
+      val md = java.security.MessageDigest.getInstance("MD5")
       batch.map { m =>
-        MediaFeatures(m.media_id, m.kind, m.payload.length, decodeStub(m.payload, dims))
+        md.reset()
+        val hex = md.digest(m.payload).map(b => f"$b%02x").mkString
+        MediaFeatures(m.media_id, m.kind, m.payload.length, hex, decodeStub(m.payload, dims))
       }
     }
   }

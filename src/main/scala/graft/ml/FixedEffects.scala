@@ -1,7 +1,8 @@
 package graft.ml
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
 
 /** High-dimensional fixed-effects regression — Spark-first version of the
   * reference `estimate` (reference: hdfe/hdfe.py:49-181).
@@ -15,12 +16,27 @@ import org.apache.spark.sql.functions._
   * means vanish. With one FE this converges in a single sweep and is
   * exactly the reference's within estimator.
   *
-  * Scale shape per sweep and FE: one groupBy(fe).avg (map-side combined,
-  * ≤ #groups rows move) + one join back (AQE broadcasts the small means
-  * side, so the fact table is never shuffled when #groups is modest, and
-  * co-partitions on the FE key when it is not). The OLS on the demeaned
-  * columns is a single-pass Gram aggregation ([[Ols]]). No collect of
-  * data rows anywhere.
+  * Scale design (the round-2 rewrite): alternating projections only ever
+  * need per-group MEANS, and those are exactly recoverable from per-cell
+  * sufficient statistics, where a cell is one distinct FE-key tuple:
+  * mean_f(g) = Σ_{cells c∈g} (sum_c − n_c · Σ_f' a_f'(c)) / n_g. So ONE
+  * distributed pass compresses the fact table to the cell frame
+  * (count + one sum per demeaned column — map-side combined, only
+  * #cells rows ever shuffle), every sweep then runs against that frame,
+  * and the fact table is touched exactly twice: the aggregate and a
+  * final join that applies the converged effects. Per-sweep state is the
+  * per-FE effect vectors (Σ #groups rows), not a demeaned copy of the
+  * data — nothing n-sized is ever checkpointed or re-materialized.
+  *
+  * Two regimes, same algebra:
+  *  - cells fit on the driver (≤ `collectCellLimit`): collect the cell
+  *    stats once and run the sweeps in local arrays — a sweep is O(#cells
+  *    · #FEs · #cols) flops, so convergence to machine precision costs
+  *    microseconds and ZERO extra cluster jobs;
+  *  - cells too large: sweeps run on the persisted cell frame (groupBy
+  *    the FE key + broadcast-join the tiny means back), with the lazy
+  *    localCheckpoint-per-sweep lineage hygiene from round 1 — but on
+  *    the compressed frame, whose width is 1 + #cols doubles.
   */
 case class FeModel(
     yName: String,
@@ -53,6 +69,30 @@ case class FeModel(
     demeaned.withColumn("__e", e).groupBy(col(feNames.head)).agg(avg(col("__e")).as("effect"))
   }
 
+  /** Number of distinct groups per FE — one tiny aggregate over the
+    * demeaned frame (computed lazily, only for variance dof).
+    */
+  lazy val groupCounts: Seq[Long] = {
+    val aggs = feNames.map(f => count_distinct(col(f)).as(s"__g_$f"))
+    val row = demeaned.agg(aggs.head, aggs.tail: _*).head()
+    feNames.indices.map(row.getLong)
+  }
+
+  /** Homoskedastic SEs with the ABSORBED degrees of freedom: the
+    * reference computes sigma² = SSR / (n − cols(full dummy design))
+    * (reference: hdfe.py:176-179), where the design carries all G₁
+    * dummies of the first FE plus G_f − 1 for each additional FE. The
+    * inner OLS on demeaned columns only knows k regressors, so correct
+    * the dof here: dof = n − k − (Σ_f G_f − (#FEs − 1)).
+    */
+  def seHomoskedastic: Array[Double] = {
+    val absorbed = groupCounts.sum - (feNames.length - 1)
+    val dof = n - ols.coef.length - absorbed
+    require(dof > 0, s"non-positive dof: n=$n k=${ols.coef.length} absorbed=$absorbed")
+    val s2 = ols.ssr / dof.toDouble
+    LinAlg.inverse(ols.gram).zipWithIndex.map { case (r, i) => math.sqrt(r(i) * s2) }
+  }
+
   /** Cluster-robust covariance of the within estimator (scores use the
     * demeaned regressors; reference: hdfe.py:159-175).
     */
@@ -70,43 +110,189 @@ object FixedEffects {
       df: DataFrame,
       cols: Seq[String],
       fes: Seq[String],
-      maxSweeps: Int = 60,
-      tol: Double = 1e-8
+      maxSweeps: Int = 500,
+      tol: Double = 1e-9,
+      collectCellLimit: Long = 2000000L
   ): (DataFrame, Int) = {
+    val k = cols.length
+    val K = fes.length
     val dmCols = cols.map(c => s"${c}__dm")
-    var cur = cols.foldLeft(df) { (acc, c) => acc.withColumn(s"${c}__dm", col(c).cast("double")) }
+    val dcols = cols.map(c => col(c).cast("double"))
 
-    val meanAggs = dmCols.map(c => avg(col(c)).as(s"__mean_$c"))
-
-    /** Subtract per-group means of `fe`; `means` must be the groupBy(fe)
-      * aggregate of the current frame. The means side is tiny (#groups
-      * rows) — AQE broadcasts it, so the fact frame never shuffles.
-      */
-    def subtract(d: DataFrame, fe: String, means: DataFrame): DataFrame =
-      dmCols
-        .foldLeft(d.join(means, Seq(fe), "left")) { (j, c) =>
-          j.withColumn(c, col(c) - col(s"__mean_$c"))
-        }
-        .drop(dmCols.map(c => s"__mean_$c"): _*)
-
-    if (fes.length == 1) {
+    if (K == 1) {
+      // one sweep is exact: subtract the group means directly
       val fe = fes.head
-      val means = cur.groupBy(col(fe)).agg(meanAggs.head, meanAggs.tail: _*)
-      return (subtract(cur, fe, means), 1)
+      val meanAggs = cols.zipWithIndex.map { case (c, i) => avg(dcols(i)).as(s"__mean_$c") }
+      val means = df.groupBy(col(fe)).agg(meanAggs.head, meanAggs.tail: _*)
+      val joined = df.join(means, Seq(fe), "left")
+      val out = cols.zipWithIndex.foldLeft(joined) { case (acc, (c, i)) =>
+        acc.withColumn(s"${c}__dm", dcols(i) - col(s"__mean_$c"))
+      }.drop(cols.map(c => s"__mean_$c"): _*)
+      return (out, 1)
     }
 
-    // scale-aware tolerance: stop when the largest remaining group mean is
-    // tol × the RMS of the original columns
-    val rmsAggs = dmCols.map(c => sqrt(avg(col(c) * col(c))).as(c))
-    val rmsRow = cur.agg(rmsAggs.head, rmsAggs.tail: _*).head()
-    val scale = math.max((0 until dmCols.length).map(rmsRow.getDouble).max, 1e-300)
+    // ---- multi-FE: ONE pass compresses facts to distinct-FE-tuple cells
+    // (count, per-column sums, per-column sums of squares for the
+    // convergence scale). Map-side combine means only #cells rows shuffle.
+    val statAggs = count(lit(1)).cast("double").as("__n") +:
+      ((0 until k).map(i => sum(dcols(i)).as(s"__s_$i")) ++
+        (0 until k).map(i => sum(dcols(i) * dcols(i)).as(s"__q_$i")))
+    val cells = df.groupBy(fes.map(col): _*).agg(statAggs.head, statAggs.tail: _*).persist()
+    val nCells = cells.count()
 
-    // cached RDD behind a localCheckpoint'ed frame (to free superseded sweeps)
+    if (nCells <= collectCellLimit) demeanDriverCells(df, cols, fes, cells, maxSweeps, tol)
+    else demeanDistributedCells(df, cols, fes, cells, maxSweeps, tol)
+  }
+
+  /** Sweeps over COLLECTED cell statistics in driver arrays: each sweep
+    * is O(#cells · #FEs · #cols) flops with zero cluster jobs, so the
+    * classic MAP convergence-rate weakness costs microseconds, not
+    * cluster sweeps. The facts then get the converged effects back via
+    * per-FE broadcast joins (the effect tables are #groups rows each).
+    */
+  private def demeanDriverCells(
+      df: DataFrame,
+      cols: Seq[String],
+      fes: Seq[String],
+      cells: DataFrame,
+      maxSweeps: Int,
+      tol: Double
+  ): (DataFrame, Int) = {
+    val k = cols.length
+    val K = fes.length
+    val cellSchema = cells.schema
+    val rows = cells.collect()
+    cells.unpersist(false)
+    val nc = rows.length
+
+    // dense group indexing per FE
+    val idx = Array.fill(K)(new java.util.HashMap[Any, Integer]())
+    val cellG = Array.ofDim[Int](nc, K)
+    val cellN = new Array[Double](nc)
+    val cellS = Array.ofDim[Double](nc, k)
+    var totN = 0.0
+    val totQ = new Array[Double](k)
+    var ci = 0
+    while (ci < nc) {
+      val r = rows(ci)
+      var f = 0
+      while (f < K) {
+        val key = r.get(f)
+        var g = idx(f).get(key)
+        if (g == null) { g = Integer.valueOf(idx(f).size()); idx(f).put(key, g) }
+        cellG(ci)(f) = g.intValue()
+        f += 1
+      }
+      cellN(ci) = r.getDouble(K)
+      totN += cellN(ci)
+      var c = 0
+      while (c < k) {
+        cellS(ci)(c) = r.getDouble(K + 1 + c)
+        totQ(c) += r.getDouble(K + 1 + k + c)
+        c += 1
+      }
+      ci += 1
+    }
+    val scale = math.max((0 until k).map(c => math.sqrt(totQ(c) / totN)).max, 1e-300)
+    val gN = Array.tabulate(K)(f => new Array[Double](idx(f).size()))
+    for (i <- 0 until nc; f <- 0 until K) gN(f)(cellG(i)(f)) += cellN(i)
+
+    // cumulative per-FE, per-group, per-column effects
+    val eff = Array.tabulate(K)(f => Array.ofDim[Double](idx(f).size(), k))
+    var sweeps = 0
+    var converged = false
+    while (!converged && sweeps < maxSweeps) {
+      sweeps += 1
+      var delta = 0.0
+      var f = 0
+      while (f < K) {
+        val num = Array.ofDim[Double](idx(f).size(), k)
+        var i = 0
+        while (i < nc) {
+          val g = cellG(i)(f)
+          var c = 0
+          while (c < k) {
+            var e = 0.0
+            var f2 = 0
+            while (f2 < K) { e += eff(f2)(cellG(i)(f2))(c); f2 += 1 }
+            num(g)(c) += cellS(i)(c) - cellN(i) * e
+            c += 1
+          }
+          i += 1
+        }
+        var g = 0
+        while (g < num.length) {
+          var c = 0
+          while (c < k) {
+            val m = num(g)(c) / gN(f)(g)
+            eff(f)(g)(c) += m
+            if (math.abs(m) > delta) delta = math.abs(m)
+            c += 1
+          }
+          g += 1
+        }
+        f += 1
+      }
+      converged = delta < tol * scale
+    }
+
+    // apply: per-FE effect tables, broadcast-joined (each is #groups rows)
+    val spark = df.sparkSession
+    var out = cols.foldLeft(df) { (acc, c) => acc.withColumn(s"${c}__dm", col(c).cast("double")) }
+    for (f <- 0 until K) {
+      val schema = StructType(
+        StructField(fes(f), cellSchema(f).dataType) +:
+          (0 until k).map(c => StructField(s"__eff_${f}_$c", DoubleType)))
+      val data = new java.util.ArrayList[Row](idx(f).size())
+      val it = idx(f).entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val g = e.getValue.intValue()
+        data.add(Row.fromSeq(e.getKey +: (0 until k).map(c => eff(f)(g)(c))))
+      }
+      out = out.join(broadcast(spark.createDataFrame(data, schema)), Seq(fes(f)), "left")
+    }
+    out = cols.zipWithIndex.foldLeft(out) { case (acc, (c, i)) =>
+      acc.withColumn(
+        s"${c}__dm",
+        (0 until K).foldLeft(col(s"${c}__dm"))((e, f) => e - col(s"__eff_${f}_$i")))
+    }.drop((for (f <- 0 until K; i <- 0 until k) yield s"__eff_${f}_$i"): _*)
+    (out, sweeps)
+  }
+
+  /** Sweeps over the PERSISTED cell frame when the cells don't fit on the
+    * driver (e.g. worker×firm panels at full scale). Same algebra, but
+    * the running residual sums live in the cell frame: per FE step one
+    * groupBy(fe) aggregate (≤ #groups rows move) + one join back of the
+    * tiny means. Lazy localCheckpoint per sweep truncates the plan; the
+    * checkpointed state is #cells × (1 + #cols) doubles — never n-sized.
+    */
+  private def demeanDistributedCells(
+      df: DataFrame,
+      cols: Seq[String],
+      fes: Seq[String],
+      cells: DataFrame,
+      maxSweeps: Int,
+      tol: Double
+  ): (DataFrame, Int) = {
+    val k = cols.length
+    val rCols = (0 until k).map(i => s"__r_$i")
+
+    // convergence scale from the same cell stats — no extra fact pass
+    val scaleRow = cells
+      .agg(sum(col("__n")).as("n"), (0 until k).map(i => sum(col(s"__q_$i")).as(s"q_$i")): _*)
+      .head()
+    val totN = scaleRow.getDouble(0)
+    val scale =
+      math.max((0 until k).map(i => math.sqrt(scaleRow.getDouble(1 + i) / totN)).max, 1e-300)
+
     def checkpointRdd(d: DataFrame) =
       d.queryExecution.analyzed.collectFirst {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
       }
 
+    // running residual sums per cell, seeded with the raw sums
+    var cur = (0 until k).foldLeft(cells) { (acc, i) => acc.withColumn(s"__r_$i", col(s"__s_$i")) }
     var sweeps = 0
     var converged = false
     val history = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -115,50 +301,65 @@ object FixedEffects {
       sweeps += 1
       var delta = 0.0
       for (fe <- fes) {
-        // Materialize (persist) the tiny means frame: one pass over the
-        // data. The convergence measure falls out of the SAME aggregate —
-        // no separate probe passes over the fact table.
-        val means = cur.groupBy(col(fe)).agg(meanAggs.head, meanAggs.tail: _*).persist()
+        val meanAggs =
+          sum(col("__n")).as("__gn") +: (0 until k).map(i => sum(col(s"__r_$i")).as(s"__m_$i"))
+        val means = cur
+          .groupBy(col(fe))
+          .agg(meanAggs.head, meanAggs.tail: _*)
+          .select(
+            col(fe) +: (0 until k).map(i => (col(s"__m_$i") / col("__gn")).as(s"__mean_$i")): _*)
+          .persist()
         meansHistory += means
         val d = means
-          .agg(greatest(dmCols.map(c => max(abs(col(s"__mean_$c")))): _*))
+          .agg(greatest((0 until k).map(i => max(abs(col(s"__mean_$i")))): _*))
           .head()
           .getDouble(0)
         delta = math.max(delta, d)
-        cur = subtract(cur, fe, means)
+        cur = (0 until k)
+          .foldLeft(cur.join(means, Seq(fe), "left")) { (j, i) =>
+            j.withColumn(s"__r_$i", col(s"__r_$i") - col("__n") * col(s"__mean_$i"))
+          }
+          .drop((0 until k).map(i => s"__mean_$i"): _*)
       }
-      // LAZY localCheckpoint at the sweep boundary: the logical plan is
-      // truncated to an RDD scan immediately (Catalyst never re-optimizes
-      // a growing join chain), while materialization happens as a side
-      // effect of the NEXT sweep's first means pass — no dedicated
-      // checkpoint job per sweep.
       cur = cur.localCheckpoint(false)
       history += cur
-      // sweep k's checkpoint is only an input to sweep k+1's; anything
-      // older is dead weight in the block manager — free it.
       if (history.length >= 3)
         checkpointRdd(history.remove(0)).foreach(_.unpersist(false))
       converged = delta < tol * scale
     }
-    // materialize the final frame, then release every intermediate cache
-    cur.count()
-    history.dropRight(1).foreach(d => checkpointRdd(d).foreach(_.unpersist(false)))
+
+    // per-cell total effect Σ_f a_f = (sum − residual) / n, joined onto
+    // facts by the full FE tuple. Materialize the small adjustment frame,
+    // then free every intermediate.
+    val adj = cur
+      .select(
+        fes.map(col) ++
+          (0 until k).map(i => ((col(s"__s_$i") - col(s"__r_$i")) / col("__n")).as(s"__adj_$i")): _*)
+      .localCheckpoint(false)
+    adj.count()
+    history.foreach(d => checkpointRdd(d).foreach(_.unpersist(false)))
     meansHistory.foreach(_.unpersist(false))
-    (cur, sweeps)
+    cells.unpersist(false)
+
+    val joined = df.join(adj, fes, "left")
+    val out = cols.zipWithIndex.foldLeft(joined) { case (acc, (c, i)) =>
+      acc.withColumn(s"${c}__dm", col(c).cast("double") - col(s"__adj_$i"))
+    }.drop((0 until k).map(i => s"__adj_$i"): _*)
+    (out, sweeps)
   }
 
   /** Fit y ~ xs absorbing `fes`. The intercept is absorbed by the FEs.
     * `keep` names extra columns to carry through to the demeaned frame
     * (e.g. row keys for residual output) — everything else is projected
-    * away before the iteration so sweeps move only what they must.
+    * away before the iteration so the cell pass reads only what it must.
     */
   def fit(
       df: DataFrame,
       y: String,
       xs: Seq[String],
       fes: Seq[String],
-      maxSweeps: Int = 60,
-      tol: Double = 1e-8,
+      maxSweeps: Int = 500,
+      tol: Double = 1e-9,
       checkRank: Boolean = false,
       keep: Seq[String] = Nil
   ): FeModel = {
@@ -170,5 +371,33 @@ object FixedEffects {
     // map dropped/kept names back to the original x names
     val keptX = ols.xNames.map(n => n.stripSuffix("__dm"))
     FeModel(y, keptX, fes, ols.coef, ols.n, sweeps, ols, dm)
+  }
+
+  /** Multi-outcome fixed-effects fit — the reference's 2-D `y` in the
+    * within regime (reference: hdfe.py:103-116 runs lstsq per outcome on
+    * the same demeaned design). graft demeans ys ++ xs in ONE alternating
+    * projection (the sweeps are identical regardless of how many columns
+    * ride along) and shares ONE Gram pass across outcomes à la
+    * [[Ols.fitMulti]]; only the k×k driver solves repeat per outcome.
+    */
+  def fitMulti(
+      df: DataFrame,
+      ys: Seq[String],
+      xs: Seq[String],
+      fes: Seq[String],
+      maxSweeps: Int = 500,
+      tol: Double = 1e-9,
+      keep: Seq[String] = Nil
+  ): Map[String, FeModel] = {
+    require(fes.nonEmpty, "use Ols.fitMulti when there are no fixed effects")
+    require(ys.nonEmpty, "need at least one outcome")
+    val needed = (fes ++ ys ++ xs ++ keep).distinct
+    val (dm, sweeps) = demean(df.select(needed.map(col): _*), (ys ++ xs).distinct, fes, maxSweeps, tol)
+    val models =
+      Ols.fitMulti(dm, ys.map(y => s"${y}__dm"), xs.map(x => s"${x}__dm"), intercept = false)
+    ys.map { y =>
+      val m = models(s"${y}__dm")
+      y -> FeModel(y, xs, fes, m.coef, m.n, sweeps, m, dm)
+    }.toMap
   }
 }

@@ -468,6 +468,64 @@ object CoreQueries {
     )
   )
 
+  // ---- C20 through the FE path: multi-outcome within estimator -----------
+  // (reference: hdfe.py:103-116 — 2-D y in the within regime; one demean
+  // + one shared Gram pass serve every outcome)
+
+  val q19 = Q(
+    "q19_fe_multi_y",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val ms = FixedEffects.fitMulti(
+        li, Seq("l_extendedprice", "l_tax"), Seq("l_quantity"), Seq("l_suppkey"))
+      scalarRow(
+        s,
+        Seq(
+          "slope_price" -> rnd(ms("l_extendedprice").coef(0), 6),
+          "slope_tax" -> rnd(ms("l_tax").coef(0), 6)
+        ),
+        Seq("n" -> ms("l_extendedprice").n)
+      )
+    },
+    Some(
+      """WITH d AS (
+        |  SELECT
+        |    l_extendedprice - avg(l_extendedprice) OVER w AS y1d,
+        |    l_tax - avg(l_tax) OVER w AS y2d,
+        |    l_quantity - avg(l_quantity) OVER w AS xd
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_suppkey))
+        |SELECT round(sum(xd*y1d)/sum(xd*xd), 6) AS slope_price,
+        |  round(sum(xd*y2d)/sum(xd*xd), 6) AS slope_tax,
+        |  count(*) AS n FROM d""".stripMargin
+    )
+  )
+
+  // ---- C10 through the FE path: homoskedastic SE with absorbed dof --------
+  // (reference: hdfe.py:176-179 — sigma² = SSR / (n − cols(full dummy
+  // design)); closed form for the 1-FE, 1-regressor case is SQL-able)
+
+  val q36 = Q(
+    "q36_fe_se",
+    (s, dir) => {
+      val m = feSupp(s, dir)
+      scalarRow(s, Seq("se_slope" -> rnd(m.seHomoskedastic(0), 6)))
+    },
+    Some(
+      """WITH d AS (
+        |  SELECT l_suppkey,
+        |    l_extendedprice - avg(l_extendedprice) OVER w AS yd,
+        |    l_quantity - avg(l_quantity) OVER w AS xd
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_suppkey)),
+        |b AS (SELECT sum(xd*yd)/sum(xd*xd) AS slope, sum(xd*xd) AS sxx,
+        |        count(*)::DOUBLE AS n FROM d),
+        |g AS (SELECT count(DISTINCT l_suppkey)::DOUBLE AS ng FROM lineitem),
+        |r AS (SELECT sum((yd - slope*xd)*(yd - slope*xd)) AS ssr FROM d, b)
+        |SELECT round(sqrt(ssr/(n - 1.0 - ng)/sxx), 6) AS se_slope FROM r, b, g""".stripMargin
+    )
+  )
+
   /** Round a driver-side double the same way Spark/DuckDB `round` does
     * (HALF_UP on the decimal representation).
     */
@@ -475,5 +533,6 @@ object CoreQueries {
     BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   val all: Seq[Q] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18,
+      q19, q36)
 }

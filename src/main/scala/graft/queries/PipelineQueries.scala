@@ -34,12 +34,31 @@ object PipelineQueries {
     None
   )
 
-  // ---- P3: SimHash fingerprints (rows+spec) ------------------------------
+  // ---- P3: SimHash fingerprints (oracle via shared md5-derived hash) -----
+  // The custom SimHashAgg aggregate is exercised end to end; the token
+  // hash is the 60-bit md5 prefix BOTH engines can compute (DuckDB has
+  // no xxhash64 — production default stays xxhash64, see SimHash).
+  // Bits 60..63 of a 60-bit hash are always 0, so their vote sums are
+  // strictly negative and the oracle only needs bits 0..59.
+
+  private val simhashOracle: String = {
+    val hash = graft.functions.SharedHash.md5Long60Sql("tok")
+    val sums = (0 until 60)
+      .map(b => s"sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(", ")
+    val fold = (0 until 60).map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |h AS (SELECT doc_id, $hash AS h FROM t),
+       |v AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
+       |SELECT doc_id, $fold AS simhash FROM v""".stripMargin
+  }
 
   val q22 = Q(
     "q22_simhash",
-    (s, dir) => SimHash.fingerprints(Tables.documents(s, dir), "text", "doc_id"),
-    None
+    (s, dir) =>
+      SimHash.fingerprintsWith(
+        Tables.documents(s, dir), "text", "doc_id", graft.functions.SharedHash.md5Long60),
+    Some(simhashOracle)
   )
 
   // ---- P4: exact n-gram Jaccard join (oracle via list algebra) ----------
@@ -202,13 +221,26 @@ object PipelineQueries {
     )
   )
 
-  // ---- T4: document fingerprint (rows+spec) ------------------------------
+  // ---- T4: document fingerprint (oracle via shared md5-derived hash) -----
+  // Same rolling polynomial mod 2^31−1 on both engines: DuckDB folds
+  // with list_reduce, Spark with the codegen'd `aggregate` HOF.
 
   val q30 = Q(
     "q30_fingerprint",
-    (s, dir) => Fingerprint.withFingerprint(Tables.documents(s, dir), "text")
-      .select(col("doc_id"), col("fingerprint")),
-    None
+    (s, dir) =>
+      Fingerprint
+        .withFingerprintWith(
+          Tables.documents(s, dir), "text", graft.functions.SharedHash.md5Long60)
+        .select(col("doc_id"), col("fingerprint")),
+    Some(
+      s"""SELECT doc_id,
+         |  list_reduce(
+         |    list_prepend(0::BIGINT,
+         |      list_transform(string_split(text, ' '),
+         |        tok -> ${graft.functions.SharedHash.md5Long60Sql("tok")} % 2147483647)),
+         |    (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fingerprint
+         |FROM documents""".stripMargin
+    )
   )
 
   // ---- S1: tumbling-window event aggregate (oracle) ----------------------
@@ -259,15 +291,31 @@ object PipelineQueries {
     )
   )
 
-  // ---- X1: multimodal binary plumbing (rows+spec) ------------------------
+  // ---- X1: multimodal binary plumbing (oracle on the hashable columns) ---
+  // The full mapPartitions decode path runs (md5 + feature extraction per
+  // payload); the driver-checked projection carries only driver-hashable
+  // columns — the float feature vector itself is pinned by MultimodalSpec
+  // (round-1 lesson: the harness cannot sort/hash an array<float> column).
 
   val q34 = Q(
     "q34_media_features",
     (s, dir) => {
       val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, dir))
-      Multimodal.extractFeatures(media).toDF()
+      Multimodal
+        .extractFeatures(media)
+        .toDF()
+        .select(
+          col("media_id"),
+          col("kind"),
+          col("n_bytes").cast("long").as("n_bytes"),
+          col("content_md5")
+        )
     },
-    None
+    Some(
+      """SELECT doc_id AS media_id, 'image' AS kind,
+        |  strlen(text) AS n_bytes, md5(text) AS content_md5
+        |FROM documents""".stripMargin
+    )
   )
 
   // ---- P7b: IVF ANN (rows+spec: recall vs brute force) -------------------

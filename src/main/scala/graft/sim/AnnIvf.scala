@@ -89,7 +89,10 @@ object AnnIvf {
       nProbe: Int = 4,
       lloydIters: Int = 2
   ): DataFrame = {
-    val cents = centroids(corpus, idCol, vecCol, numCentroids, lloydIters).persist()
+    // the centroid frame is a collected LOCAL relation (literalCentroids)
+    // — no persist: there is no distributed lineage to re-run, and a
+    // cached copy would linger in the block manager (round-1 review)
+    val cents = centroids(corpus, idCol, vecCol, numCentroids, lloydIters)
     val cellOf = assign(corpus, cents, idCol, vecCol)
     val corpusCells = corpus
       .select(col(idCol).as("nid"), col(vecCol).as("nv"))

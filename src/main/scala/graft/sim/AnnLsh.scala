@@ -76,12 +76,18 @@ object AnnLsh {
     val cb = bucketize(corpus, idCol, vecCol, dims, numPlanes, numTables)
       .select(col("table"), col("bucket"), col(idCol).as("nid"), col(vecCol).as("nv"),
         Cosine.norm(col(vecCol)).as("nn"))
+    // score FIRST, then OR across tables with a distinct on the three
+    // narrow output columns: a pair colliding in t tables costs t cheap
+    // dot products instead of shuffling t copies of both float vectors
+    // through the distinct (round-1 review: the vector-payload distinct
+    // grew with dims × numTables). Scores are deterministic per pair, so
+    // (qid, nid, cos_sim) dedups exactly like (qid, nid).
     val cand = cb
       .join(broadcast(qb), Seq("table", "bucket"))
       .where(col("qid") =!= col("nid"))
-      .select(col("qid"), col("qv"), col("qn"), col("nid"), col("nv"), col("nn"))
-      .distinct() // OR across tables
       .withColumn("cos_sim", Cosine.cosine(col("qv"), col("nv"), col("qn"), col("nn")))
+      .select(col("qid"), col("nid"), col("cos_sim"))
+      .distinct() // OR across tables
     val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid"))
     cand
       .withColumn("rk", row_number().over(w))

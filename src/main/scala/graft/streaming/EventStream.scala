@@ -64,6 +64,69 @@ object EventStream {
       .withColumn("sum_value", round(col("sum_value"), 4))
   }
 
+  /** Production-shaped sessionization: sessions are emitted ONLY when
+    * they close — either an in-batch gap splits them, or the event-time
+    * watermark passes the open session's gap deadline
+    * (`GroupStateTimeout.EventTimeTimeout`). Late events beyond the
+    * watermark are dropped by the watermark itself; state is bounded by
+    * the number of users with an open session.
+    */
+  def sessionizeStreamOnClose(
+      events: DataFrame,
+      gapMinutes: Int = 30,
+      watermark: String = "10 minutes"
+  ): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    // the WATERMARKED ts column must flow into flatMapGroupsWithState
+    // unchanged — projecting it through unix_millis() strips the
+    // event-time tag and Spark rejects EventTimeTimeout
+    val typed = events
+      .withWatermark("ts", watermark)
+      .selectExpr("user_id", "event_id", "ts", "value")
+      .as[(Long, Long, java.sql.Timestamp, Double)]
+
+    typed
+      .groupByKey(_._1)
+      // state: (session index, last event ms, open-session count, open-session sum)
+      .flatMapGroupsWithState[(Long, Long, Long, Double), (Long, Long, Long, Double)](
+        OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout
+      ) { (userId: Long,
+           rows: Iterator[(Long, Long, java.sql.Timestamp, Double)],
+           state: GroupState[(Long, Long, Long, Double)]) =>
+        if (state.hasTimedOut) {
+          // watermark passed lastMs + gap: the open session is final
+          val (session, _, n, sum) = state.get
+          state.remove()
+          Iterator.single((userId, session, n, sum))
+        } else {
+          val sorted = rows.map(r => (r._1, r._2, r._3.getTime, r._4)).toSeq.sortBy(r => (r._3, r._2))
+          var (session, lastMs, n, sum) = state.getOption.getOrElse((0L, Long.MinValue, 0L, 0.0))
+          val closed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+          for ((_, _, tsMs, value) <- sorted) {
+            if (lastMs == Long.MinValue || tsMs - lastMs > gapMs) {
+              if (n > 0) closed += ((userId, session, n, sum))
+              session += 1; n = 0L; sum = 0.0
+            }
+            lastMs = tsMs
+            n += 1; sum += value
+          }
+          state.update((session, lastMs, n, sum))
+          // the deadline must sit strictly past the current watermark or
+          // Spark rejects it (a gap that already expired fires next batch)
+          val deadline = math.max(lastMs + gapMs, state.getCurrentWatermarkMs() + 1L)
+          state.setTimeoutTimestamp(deadline)
+          closed.iterator
+        }
+      }
+      .toDF("user_id", "session", "n_events", "sum_value")
+      .withColumn("sum_value", round(col("sum_value"), 4))
+  }
+
   /** Watermarked tumbling-window aggregate; append-safe output. */
   def hourlyAggStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events

@@ -15,13 +15,27 @@ object Fingerprint {
   val Base = 1000003L
   val Prime = 2147483647L // 2^31 - 1
 
-  def fingerprint(text: Column): Column =
+  def fingerprint(text: Column): Column = fingerprintWith(text, xxhash64(_))
+
+  /** [[fingerprint]] with a caller-chosen token-hash function — the
+    * driver's DuckDB-checked query uses [[graft.functions.SharedHash]]
+    * (DuckDB has no xxhash64); xxhash64 stays the production default.
+    */
+  def fingerprintWith(text: Column, tokenHash: Column => Column): Column =
     aggregate(
       TextStats.tokens(text),
       lit(0L),
-      (acc, t) => pmod(acc * Base + pmod(xxhash64(t), lit(Prime)), lit(Prime))
+      (acc, t) => pmod(acc * Base + pmod(tokenHash(t), lit(Prime)), lit(Prime))
     )
 
   def withFingerprint(df: DataFrame, textCol: String, out: String = "fingerprint"): DataFrame =
     df.withColumn(out, fingerprint(col(textCol)))
+
+  def withFingerprintWith(
+      df: DataFrame,
+      textCol: String,
+      tokenHash: Column => Column,
+      out: String = "fingerprint"
+  ): DataFrame =
+    df.withColumn(out, fingerprintWith(col(textCol), tokenHash))
 }

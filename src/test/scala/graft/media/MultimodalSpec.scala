@@ -10,11 +10,13 @@ class MultimodalSpec extends SparkSpec {
     val media = Multimodal.mediaFromDocuments(spark, docs)
     val feats = Multimodal.extractFeatures(media, dims = 8)
 
-    assert(feats.schema.fieldNames.toSeq == Seq("media_id", "kind", "n_bytes", "feature"))
+    assert(
+      feats.schema.fieldNames.toSeq == Seq("media_id", "kind", "n_bytes", "content_md5", "feature"))
     val rows = feats.collect()
     assert(rows.length == docs.count())
     assert(rows.forall(_.feature.length == 8))
     assert(rows.forall(_.n_bytes > 0))
+    assert(rows.forall(_.content_md5.matches("[0-9a-f]{32}")))
 
     // deterministic: same input → same features
     val again = Multimodal.extractFeatures(media, dims = 8).collect()

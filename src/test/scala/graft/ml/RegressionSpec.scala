@@ -107,6 +107,67 @@ class RegressionSpec extends SparkSpec {
       assert(math.abs(rs.map(_.getDouble(2)).sum / rs.size) < 1e-6)
   }
 
+  test("FixedEffects distributed cell path matches the driver-local path") {
+    // same panel as the two-way test, but force the cell frame to stay
+    // distributed (collectCellLimit = 0) — both regimes are the same
+    // algebra, so the coefficient must agree to tight tolerance
+    val unitFe = Map(0 -> 1.0, 1 -> -2.0, 2 -> 0.5, 3 -> 3.0)
+    val timeFe = Map(0 -> 0.0, 1 -> 1.0, 2 -> -1.0, 3 -> 2.0, 4 -> 0.5)
+    val rows = for (u <- 0 until 4; t <- 0 until 5) yield {
+      val x = math.sin(u * 2.3 + t * 1.1) * 3
+      (u, t, x, 2.0 * x + unitFe(u) + timeFe(t))
+    }
+    val df = rows.toDF("u", "t", "x", "y")
+    val (dmLocal, _) = FixedEffects.demean(df, Seq("y", "x"), Seq("u", "t"), tol = 1e-12)
+    val (dmDist, _) =
+      FixedEffects.demean(df, Seq("y", "x"), Seq("u", "t"), tol = 1e-12, collectCellLimit = 0)
+    val l = dmLocal.select(col("u"), col("t"), col("y__dm"), col("x__dm")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val d = dmDist.select(col("u"), col("t"), col("y__dm"), col("x__dm")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(l.keySet == d.keySet)
+    for ((key, (ly, lx)) <- l) {
+      assert(math.abs(ly - d(key)._1) < 1e-8)
+      assert(math.abs(lx - d(key)._2) < 1e-8)
+    }
+  }
+
+  test("FixedEffects.fitMulti matches per-outcome FixedEffects.fit") {
+    val rows = for (u <- 0 until 4; t <- 0 until 6) yield {
+      val x = math.sin(u * 1.9 + t * 0.7) * 2
+      (u, t, x, 3.0 * x + u * 1.5 - t * 0.5, -1.0 * x + u * 0.25 + t)
+    }
+    val df = rows.toDF("u", "t", "x", "y1", "y2")
+    val multi = FixedEffects.fitMulti(df, Seq("y1", "y2"), Seq("x"), Seq("u", "t"), tol = 1e-12)
+    val s1 = FixedEffects.fit(df, "y1", Seq("x"), Seq("u", "t"), tol = 1e-12)
+    val s2 = FixedEffects.fit(df, "y2", Seq("x"), Seq("u", "t"), tol = 1e-12)
+    assert(math.abs(multi("y1").coef(0) - s1.coef(0)) < 1e-9)
+    assert(math.abs(multi("y2").coef(0) - s2.coef(0)) < 1e-9)
+    assert(math.abs(multi("y1").coef(0) - 3.0) < 1e-6)
+    assert(math.abs(multi("y2").coef(0) + 1.0) < 1e-6)
+  }
+
+  test("FeModel.seHomoskedastic matches dense dummy regression SE") {
+    // 1 FE, 1 regressor with noise: SE from the within fit with absorbed
+    // dof must equal the dense regression on [x, all G dummies]
+    val rng = new scala.util.Random(7)
+    val rows = for (g <- 0 until 3; i <- 0 until 8) yield {
+      val x = math.sin(g * 2.1 + i * 0.9) * 2
+      (g, x, 1.5 * x + g * 2.0 + rng.nextGaussian() * 0.3)
+    }
+    val df = rows.toDF("g", "x", "y")
+    val m = FixedEffects.fit(df, "y", Seq("x"), Seq("g"))
+
+    // dense design: columns [x, d0, d1, d2] (no intercept — all G dummies)
+    val dense = df
+      .withColumn("d0", when(col("g") === 0, 1.0).otherwise(0.0))
+      .withColumn("d1", when(col("g") === 1, 1.0).otherwise(0.0))
+      .withColumn("d2", when(col("g") === 2, 1.0).otherwise(0.0))
+    val dm = Ols.fit(dense, "y", Seq("x", "d0", "d1", "d2"), intercept = false)
+    assert(math.abs(m.coef(0) - dm.coef(0)) < 1e-8)
+    assert(math.abs(m.seHomoskedastic(0) - dm.seHomoskedastic(0)) < 1e-8)
+  }
+
   test("fitMulti shares one pass and matches per-outcome fits") {
     val rows = for (i <- 0 until 40) yield {
       val x = math.sin(i * 1.3) * 5

@@ -58,6 +58,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time-timeout sessionize emits sessions only on close") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val df = ms.toDF.toDF("event_id", "user_id", "ts", "value")
+    val out = EventStream.sessionizeStreamOnClose(df, gapMinutes = 30, watermark = "0 seconds")
+    val q = out.writeStream.outputMode("append").format("memory").queryName("sess_close").start()
+    try {
+      // batch 1: two events for user 10 inside one session — still open,
+      // so NOTHING is emitted yet
+      ms.addData((1L, 10L, ts(0), 1.0), (2L, 10L, ts(10), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_close").count() == 0)
+
+      // batch 2 advances the event-time clock far past user 10's gap
+      // deadline (watermark updates at batch END, so the timeout fires
+      // in the batch AFTER this one)
+      ms.addData((3L, 11L, ts(120), 4.0))
+      q.processAllAvailable()
+
+      // batch 3: watermark (120 min) > user 10's deadline (40 min) →
+      // the session closes and is emitted exactly once
+      ms.addData((4L, 11L, ts(125), 1.0))
+      q.processAllAvailable()
+      val got = spark
+        .table("sess_close")
+        .select("user_id", "session", "n_events", "sum_value")
+        .as[(Long, Long, Long, Double)]
+        .collect()
+        .toSet
+      assert(got == Set((10L, 1L, 2L, 3.0)))
+    } finally q.stop()
+  }
+
   test("streaming hourlyAgg equals the batch hourlyAgg on the same data") {
     val batchEvents = Tables.events(spark, sf)
     val batch = EventOps
