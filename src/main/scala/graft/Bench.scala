@@ -31,14 +31,15 @@ object Bench {
       System.err.println(s"[bench] start $name")
       val t0 = System.nanoTime()
       val outcome =
-        try { fn(spark, sfDir).count(); None }
+        try Right(fn(spark, sfDir).count())
         catch {
           case e: Throwable =>
             e.printStackTrace(System.err)
-            Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+            Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
         }
       val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] done  $name in $dt%.1fs${outcome.fold("")(m => s" FAILED: $m")}")
+      System.err.println(
+        f"[bench] done  $name in $dt%.1fs${outcome.fold(m => s" FAILED: $m", r => s" ($r rows)")}")
       (name, dt, outcome)
     }
     def jstr(s: String) =
@@ -46,13 +47,18 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val ok = results.filter(_._3.isEmpty)
+    val ok = results.filter(_._3.isRight)
     val qs = ok.map { case (k, v, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(m)) => jstr(k) + ":" + jstr(m) }
+    val errs = results.collect { case (k, _, Left(m)) => jstr(k) + ":" + jstr(m) }
+      .mkString("{", ",", "}")
+    // result-row counts: a WORK metric that is stable across the 10-40x
+    // wall-time variance this sandbox shows under hypervisor contention —
+    // regressions in work done show up here even when timings are noise
+    val rows = results.collect { case (k, _, Right(n)) => jstr(k) + ":" + n }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"rows":$rows,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
