@@ -47,7 +47,11 @@ case class FeModel(
     sweeps: Int,
     ols: OlsModel,
     /** demeaned frame: original columns plus `<col>__dm` for y and xs */
-    demeaned: DataFrame
+    demeaned: DataFrame,
+    /** per-FE cumulative demeaning effect tables (see [[Demeaned]]);
+      * None when fitted in the distributed cell regime
+      */
+    effectTables: Option[Seq[DataFrame]] = None
 ) {
   /** Residuals of the full model (all FE effects absorbed):
     * u = y_dm - X_dm · b. For the 1-FE case this equals y - Xb - fe_g,
@@ -67,6 +71,27 @@ case class FeModel(
     val pred = xNames.zip(coef).map { case (x, b) => col(x).cast("double") * b }
     val e = pred.foldLeft(col(yName).cast("double"))(_ - _)
     demeaned.withColumn("__e", e).groupBy(col(feNames.head)).agg(avg(col("__e")).as("effect"))
+  }
+
+  /** Recovered fixed effects of `fe` for ANY number of absorbed FEs:
+    * since the whole alternating-projection operator is linear, the
+    * y-equation effect of group g is a_f^y(g) − Σ_j b_j · a_f^{x_j}(g)
+    * from the stored per-column demeaning effects. For one FE this
+    * equals [[effects]] exactly. For ≥ 2 FEs the split across FEs is
+    * unique only up to additive constants (their SUM is canonical) —
+    * the same normalization freedom every multi-FE estimator has.
+    * Output: fe column + `effect`.
+    */
+  def modelEffects(fe: String): DataFrame = {
+    val f = feNames.indexOf(fe)
+    require(f >= 0, s"$fe is not an absorbed FE of this model")
+    val tables = effectTables.getOrElse(
+      throw new IllegalStateException(
+        "per-FE effect tables are not tracked in the distributed cell regime"))
+    val e = xNames.zip(coef).foldLeft(col(s"eff_$yName")) { case (acc, (x, b)) =>
+      acc - col(s"eff_$x") * b
+    }
+    tables(f).select(col(fe), e.as("effect"))
   }
 
   /** Number of distinct groups per FE — one tiny aggregate over the
@@ -100,6 +125,17 @@ case class FeModel(
     Ols.seClustered(demeaned, ols, s"${yName}__dm", cluster)
 }
 
+/** Result of [[FixedEffects.demeanFull]]: the demeaned frame, the sweep
+  * count, and — when the solve regime tracks them — one cumulative
+  * effect table per FE: (feKey, `eff_<col>` per demeaned column) such
+  * that `<col>__dm` = col − Σ_f eff_f. The per-FE SPLIT is canonical
+  * only up to additive constants for ≥ 2 FEs (the sum is unique; same
+  * normalization freedom as reghdfe) but is deterministic for a given
+  * sweep order. The distributed cell regime tracks only per-cell sums,
+  * so it reports `effects = None`.
+  */
+case class Demeaned(frame: DataFrame, sweeps: Int, effects: Option[Seq[DataFrame]])
+
 object FixedEffects {
 
   /** Demean `cols` within each of `fes` by alternating projections.
@@ -114,9 +150,23 @@ object FixedEffects {
       tol: Double = 1e-9,
       collectCellLimit: Long = 2000000L
   ): (DataFrame, Int) = {
+    val d = demeanFull(df, cols, fes, maxSweeps, tol, collectCellLimit)
+    (d.frame, d.sweeps)
+  }
+
+  /** [[demean]] plus the per-FE cumulative effect tables (see
+    * [[Demeaned]]).
+    */
+  def demeanFull(
+      df: DataFrame,
+      cols: Seq[String],
+      fes: Seq[String],
+      maxSweeps: Int = 500,
+      tol: Double = 1e-9,
+      collectCellLimit: Long = 2000000L
+  ): Demeaned = {
     val k = cols.length
     val K = fes.length
-    val dmCols = cols.map(c => s"${c}__dm")
     val dcols = cols.map(c => col(c).cast("double"))
 
     if (K == 1) {
@@ -128,7 +178,11 @@ object FixedEffects {
       val out = cols.zipWithIndex.foldLeft(joined) { case (acc, (c, i)) =>
         acc.withColumn(s"${c}__dm", dcols(i) - col(s"__mean_$c"))
       }.drop(cols.map(c => s"__mean_$c"): _*)
-      return (out, 1)
+      // with one FE the cumulative effect IS the group mean per column
+      val eff = cols.zipWithIndex.foldLeft(means) { case (acc, (c, _)) =>
+        acc.withColumnRenamed(s"__mean_$c", s"eff_$c")
+      }
+      return Demeaned(out, 1, Some(Seq(eff)))
     }
 
     // ---- multi-FE: ONE pass compresses facts to distinct-FE-tuple cells
@@ -144,6 +198,44 @@ object FixedEffects {
     else demeanDistributedCells(df, cols, fes, cells, maxSweeps, tol)
   }
 
+  /** Frisch–Waugh–Lovell partial-out: residualize each of `cols` on
+    * `controls` after absorbing `fes` — the generalized `get_residual`
+    * (reference: hdfe.py:105-120 residualizes one y on x within FEs).
+    * One demean pass handles cols ++ controls together; one shared Gram
+    * pass ([[Ols.fitMulti]]) fits every col's projection on the
+    * controls; output adds `<col>__resid` columns. With no FEs the
+    * projection includes an intercept (plain centering).
+    */
+  def partialOut(
+      df: DataFrame,
+      cols: Seq[String],
+      controls: Seq[String],
+      fes: Seq[String] = Nil,
+      keep: Seq[String] = Nil,
+      maxSweeps: Int = 500,
+      tol: Double = 1e-9
+  ): DataFrame = {
+    val (frame, colNames, ctrlNames) =
+      if (fes.isEmpty) {
+        val needed = (cols ++ controls ++ keep).distinct
+        (df.select(needed.map(col): _*), cols, controls)
+      } else {
+        val needed = (fes ++ cols ++ controls ++ keep).distinct
+        val (dm, _) =
+          demean(df.select(needed.map(col): _*), (cols ++ controls).distinct, fes, maxSweeps, tol)
+        (dm, cols.map(c => s"${c}__dm"), controls.map(c => s"${c}__dm"))
+      }
+    val models = Ols.fitMulti(frame, colNames, ctrlNames, intercept = fes.isEmpty)
+    cols.zip(colNames).foldLeft(frame) { case (acc, (c, cn)) =>
+      val m = models(cn)
+      val terms = m.xNames.zip(m.coef).map {
+        case ("(intercept)", b) => lit(b)
+        case (x, b)             => col(x).cast("double") * b
+      }
+      acc.withColumn(s"${c}__resid", terms.foldLeft(col(cn).cast("double"))(_ - _))
+    }
+  }
+
   /** Sweeps over COLLECTED cell statistics in driver arrays: each sweep
     * is O(#cells · #FEs · #cols) flops with zero cluster jobs, so the
     * classic MAP convergence-rate weakness costs microseconds, not
@@ -157,7 +249,7 @@ object FixedEffects {
       cells: DataFrame,
       maxSweeps: Int,
       tol: Double
-  ): (DataFrame, Int) = {
+  ): Demeaned = {
     val k = cols.length
     val K = fes.length
     val cellSchema = cells.schema
@@ -239,10 +331,10 @@ object FixedEffects {
     // apply: per-FE effect tables, broadcast-joined (each is #groups rows)
     val spark = df.sparkSession
     var out = cols.foldLeft(df) { (acc, c) => acc.withColumn(s"${c}__dm", col(c).cast("double")) }
-    for (f <- 0 until K) {
+    val effTables = (0 until K).map { f =>
       val schema = StructType(
         StructField(fes(f), cellSchema(f).dataType) +:
-          (0 until k).map(c => StructField(s"__eff_${f}_$c", DoubleType)))
+          cols.map(c => StructField(s"eff_$c", DoubleType)))
       val data = new java.util.ArrayList[Row](idx(f).size())
       val it = idx(f).entrySet().iterator()
       while (it.hasNext) {
@@ -250,14 +342,20 @@ object FixedEffects {
         val g = e.getValue.intValue()
         data.add(Row.fromSeq(e.getKey +: (0 until k).map(c => eff(f)(g)(c))))
       }
-      out = out.join(broadcast(spark.createDataFrame(data, schema)), Seq(fes(f)), "left")
+      spark.createDataFrame(data, schema)
+    }
+    for (f <- 0 until K) {
+      val renamed = cols.zipWithIndex.foldLeft(effTables(f)) { case (acc, (c, i)) =>
+        acc.withColumnRenamed(s"eff_$c", s"__eff_${f}_$i")
+      }
+      out = out.join(broadcast(renamed), Seq(fes(f)), "left")
     }
     out = cols.zipWithIndex.foldLeft(out) { case (acc, (c, i)) =>
       acc.withColumn(
         s"${c}__dm",
         (0 until K).foldLeft(col(s"${c}__dm"))((e, f) => e - col(s"__eff_${f}_$i")))
     }.drop((for (f <- 0 until K; i <- 0 until k) yield s"__eff_${f}_$i"): _*)
-    (out, sweeps)
+    Demeaned(out, sweeps, Some(effTables))
   }
 
   /** Sweeps over the PERSISTED cell frame when the cells don't fit on the
@@ -274,9 +372,8 @@ object FixedEffects {
       cells: DataFrame,
       maxSweeps: Int,
       tol: Double
-  ): (DataFrame, Int) = {
+  ): Demeaned = {
     val k = cols.length
-    val rCols = (0 until k).map(i => s"__r_$i")
 
     // convergence scale from the same cell stats — no extra fact pass
     val scaleRow = cells
@@ -345,7 +442,10 @@ object FixedEffects {
     val out = cols.zipWithIndex.foldLeft(joined) { case (acc, (c, i)) =>
       acc.withColumn(s"${c}__dm", col(c).cast("double") - col(s"__adj_$i"))
     }.drop((0 until k).map(i => s"__adj_$i"): _*)
-    (out, sweeps)
+    // only the per-cell SUM of effects is tracked in this regime; the
+    // per-FE split would need per-sweep effect frames — not worth the
+    // extra K checkpointed states unless a caller asks for it
+    Demeaned(out, sweeps, None)
   }
 
   /** Fit y ~ xs absorbing `fes`. The intercept is absorbed by the FEs.
@@ -365,12 +465,12 @@ object FixedEffects {
   ): FeModel = {
     require(fes.nonEmpty, "use Ols.fit when there are no fixed effects")
     val needed = (fes ++ (y +: xs) ++ keep).distinct
-    val (dm, sweeps) = demean(df.select(needed.map(col): _*), y +: xs, fes, maxSweeps, tol)
+    val d = demeanFull(df.select(needed.map(col): _*), y +: xs, fes, maxSweeps, tol)
     val ols =
-      Ols.fit(dm, s"${y}__dm", xs.map(x => s"${x}__dm"), intercept = false, checkRank = checkRank)
+      Ols.fit(d.frame, s"${y}__dm", xs.map(x => s"${x}__dm"), intercept = false, checkRank = checkRank)
     // map dropped/kept names back to the original x names
     val keptX = ols.xNames.map(n => n.stripSuffix("__dm"))
-    FeModel(y, keptX, fes, ols.coef, ols.n, sweeps, ols, dm)
+    FeModel(y, keptX, fes, ols.coef, ols.n, d.sweeps, ols, d.frame, d.effects)
   }
 
   /** Multi-outcome fixed-effects fit — the reference's 2-D `y` in the
@@ -392,12 +492,13 @@ object FixedEffects {
     require(fes.nonEmpty, "use Ols.fitMulti when there are no fixed effects")
     require(ys.nonEmpty, "need at least one outcome")
     val needed = (fes ++ ys ++ xs ++ keep).distinct
-    val (dm, sweeps) = demean(df.select(needed.map(col): _*), (ys ++ xs).distinct, fes, maxSweeps, tol)
+    val d =
+      demeanFull(df.select(needed.map(col): _*), (ys ++ xs).distinct, fes, maxSweeps, tol)
     val models =
-      Ols.fitMulti(dm, ys.map(y => s"${y}__dm"), xs.map(x => s"${x}__dm"), intercept = false)
+      Ols.fitMulti(d.frame, ys.map(y => s"${y}__dm"), xs.map(x => s"${x}__dm"), intercept = false)
     ys.map { y =>
       val m = models(s"${y}__dm")
-      y -> FeModel(y, xs, fes, m.coef, m.n, sweeps, m, dm)
+      y -> FeModel(y, xs, fes, m.coef, m.n, d.sweeps, m, d.frame, d.effects)
     }.toMap
   }
 }

@@ -220,7 +220,8 @@ object CoreQueries {
     "q08_fe_two_way",
     (s, dir) => {
       val li = Tables.lineitem(s, dir)
-      val m = FixedEffects.fit(li, "l_extendedprice", Seq("l_quantity"), Seq("l_suppkey", "l_partkey"))
+      val m = cached(s"fe_two_way:$dir")(
+        FixedEffects.fit(li, "l_extendedprice", Seq("l_quantity"), Seq("l_suppkey", "l_partkey")))
       scalarRow(s, Seq("slope" -> rnd(m.coef(0), 6)), Seq("n" -> m.n, "sweeps" -> m.sweeps.toLong))
     },
     None
@@ -526,6 +527,58 @@ object CoreQueries {
     )
   )
 
+  // ---- C7 for multi-FE: per-FE effect recovery (rows+spec) ----------------
+  // The per-FE split of a ≥2-FE decomposition is not ANSI-SQL-expressible
+  // (iterative); deterministic values are pinned rows-only + by
+  // RegressionSpec's reconstruction test.
+
+  val q37 = Q(
+    "q37_fe_effects_two_way",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val m = cached(s"fe_two_way:$dir")(
+        FixedEffects.fit(li, "l_extendedprice", Seq("l_quantity"), Seq("l_suppkey", "l_partkey")))
+      m.modelEffects("l_suppkey")
+        .select(col("l_suppkey"), round(col("effect"), 4).as("effect"))
+    },
+    None
+  )
+
+  // ---- C9 generalized: FWL partial-out of several columns (oracle) --------
+
+  val q38 = Q(
+    "q38_partial_out",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      FixedEffects
+        .partialOut(
+          li,
+          cols = Seq("l_extendedprice", "l_tax"),
+          controls = Seq("l_quantity"),
+          fes = Seq("l_suppkey"),
+          keep = Seq("l_orderkey", "l_linenumber"))
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          round(col("l_extendedprice__resid"), 4).as("resid_price"),
+          round(col("l_tax__resid"), 6).as("resid_tax"))
+    },
+    Some(
+      """WITH d AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    l_extendedprice - avg(l_extendedprice) OVER w AS pd,
+        |    l_tax - avg(l_tax) OVER w AS td,
+        |    l_quantity - avg(l_quantity) OVER w AS xd
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_suppkey)),
+        |b AS (SELECT sum(xd*pd)/sum(xd*xd) AS bp, sum(xd*td)/sum(xd*xd) AS bt FROM d)
+        |SELECT l_orderkey, l_linenumber,
+        |  round(pd - bp*xd, 4) AS resid_price,
+        |  round(td - bt*xd, 6) AS resid_tax
+        |FROM d, b""".stripMargin
+    )
+  )
+
   /** Round a driver-side double the same way Spark/DuckDB `round` does
     * (HALF_UP on the decimal representation).
     */
@@ -534,5 +587,5 @@ object CoreQueries {
 
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18,
-      q19, q36)
+      q19, q36, q37, q38)
 }

@@ -127,6 +127,20 @@ object EventStream {
       .withColumn("sum_value", round(col("sum_value"), 4))
   }
 
+  /** Streaming exact dedup: keep the FIRST occurrence of each key,
+    * with state bounded by the event-time watermark horizon (a plain
+    * `dropDuplicates` would keep every key ever seen — unbounded state
+    * on an unbounded stream). The batch analogue is
+    * [[graft.dedup.Exact]]; a streaming ingest pipeline runs this
+    * before the expensive fuzzy-dedup passes.
+    */
+  def dedupStream(
+      events: DataFrame,
+      keys: Seq[String],
+      watermark: String = "1 hour"
+  ): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
   /** Watermarked tumbling-window aggregate; append-safe output. */
   def hourlyAggStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events

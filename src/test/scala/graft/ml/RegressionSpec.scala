@@ -168,6 +168,68 @@ class RegressionSpec extends SparkSpec {
     assert(math.abs(m.seHomoskedastic(0) - dm.seHomoskedastic(0)) < 1e-8)
   }
 
+  test("modelEffects: 1-FE equals closed-form effects; 2-FE effects reconstruct residuals") {
+    val unitFe = Map(0 -> 1.0, 1 -> -2.0, 2 -> 0.5, 3 -> 3.0)
+    val timeFe = Map(0 -> 0.0, 1 -> 1.0, 2 -> -1.0, 3 -> 2.0, 4 -> 0.5)
+    val rows = for (u <- 0 until 4; t <- 0 until 5) yield {
+      val x = math.sin(u * 2.3 + t * 1.1) * 3
+      (u, t, x, 2.0 * x + unitFe(u) + timeFe(t))
+    }
+    val df = rows.toDF("u", "t", "x", "y")
+
+    // 1-FE: the linear-combination route must equal the closed form
+    val m1 = FixedEffects.fit(df, "y", Seq("x"), Seq("u"))
+    val closed = m1.effects.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val viaTables = m1.modelEffects("u").collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    for ((g, v) <- closed) assert(math.abs(v - viaTables(g)) < 1e-9)
+
+    // 2-FE: y - X·b - eff_u(u) - eff_t(t) must equal the model residual
+    // (i.e. the effect SUM is the canonical decomposition)
+    val m2 = FixedEffects.fit(df, "y", Seq("x"), Seq("u", "t"), tol = 1e-12)
+    val effU = m2.modelEffects("u").collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val effT = m2.modelEffects("t").collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val res = m2.withResiduals().select(col("u"), col("t"), col("x"), col("y"), col("resid")).collect()
+    for (r <- res) {
+      val recon = r.getDouble(3) - m2.coef(0) * r.getDouble(2) - effU(r.getInt(0)) - effT(r.getInt(1))
+      assert(math.abs(recon - r.getDouble(4)) < 1e-6)
+    }
+    // noise-free panel: effects reproduce the planted FEs up to one
+    // common constant per FE (the usual normalization freedom)
+    val shiftU = effU(0) - unitFe(0)
+    for ((g, v) <- effU) assert(math.abs(v - unitFe(g) - shiftU) < 1e-6)
+  }
+
+  test("partialOut residualizes multiple columns on controls within FEs") {
+    val rows = for (g <- 0 until 3; i <- 0 until 10) yield {
+      val x = math.sin(g * 1.7 + i * 0.6) * 2
+      val p = 3.0 * x + g * 1.0 + math.cos(i * 2.2) // "price"
+      val q = -1.0 * x + g * 0.5 + math.sin(i * 1.4) // "tax"
+      (g, i.toLong, x, p, q)
+    }
+    val df = rows.toDF("g", "i", "x", "p", "q")
+    val out = FixedEffects
+      .partialOut(df, Seq("p", "q"), Seq("x"), Seq("g"), keep = Seq("i"))
+      .select(col("g"), col("i"), col("p__resid"), col("q__resid"))
+      .collect()
+
+    // manual: within-group demean, then residualize on demeaned x
+    val byG = rows.groupBy(_._1)
+    def dm(sel: ((Int, Long, Double, Double, Double)) => Double)(r: (Int, Long, Double, Double, Double)) = {
+      val grp = byG(r._1); sel(r) - grp.map(sel).sum / grp.size
+    }
+    val xs = rows.map(dm(_._3)); val ps = rows.map(dm(_._4)); val qs = rows.map(dm(_._5))
+    val bp = xs.zip(ps).map { case (a, b) => a * b }.sum / xs.map(a => a * a).sum
+    val bq = xs.zip(qs).map { case (a, b) => a * b }.sum / xs.map(a => a * a).sum
+    val want = rows.zipWithIndex.map { case (r, j) =>
+      (r._1, r._2) -> (ps(j) - bp * xs(j), qs(j) - bq * xs(j))
+    }.toMap
+    for (r <- out) {
+      val (wp, wq) = want((r.getInt(0), r.getLong(1)))
+      assert(math.abs(r.getDouble(2) - wp) < 1e-9)
+      assert(math.abs(r.getDouble(3) - wq) < 1e-9)
+    }
+  }
+
   test("fitMulti shares one pass and matches per-outcome fits") {
     val rows = for (i <- 0 until 40) yield {
       val x = math.sin(i * 1.3) * 5

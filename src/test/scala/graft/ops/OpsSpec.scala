@@ -82,4 +82,17 @@ class OpsSpec extends SparkSpec {
     val out = Dummies.allDummies(df, Seq("c1", "c2"))
     assert(out.columns.toSeq == Seq("c1", "c2", "c1_a", "c1_b", "c2_x"))
   }
+
+  test("Salt.saltedJoin equals plain join on a skewed key distribution") {
+    // one hot key (90% of facts) + a tail
+    val facts = ((1 to 90).map(i => (7L, i.toDouble)) ++ (1 to 10).map(i => (i.toLong, -i.toDouble)))
+      .toDF("k", "v")
+    val dim = (1 to 10).map(i => (i.toLong, s"name_$i")).toDF("k", "name")
+    val salted = Salt.saltedJoin(facts, dim, "k", factor = 8)
+      .select("k", "v", "name").collect().map(_.toString).sorted.toSeq
+    val plain = facts.join(dim, Seq("k")).select("k", "v", "name")
+      .collect().map(_.toString).sorted.toSeq
+    assert(salted == plain)
+    assert(salted.size == 100) // 90 hot-key rows + 10 tail rows, all matched
+  }
 }

@@ -94,6 +94,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream keeps first occurrence per key across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val df = ms.toDF.toDF("content_hash", "ts", "value")
+    val out = EventStream.dedupStream(df, Seq("content_hash"), watermark = "2 hours")
+    val q = out.writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    try {
+      // batch 1: hash 1 twice (in-batch dup) + hash 2 once
+      ms.addData((1L, ts(0), 1.0), (1L, ts(1), 2.0), (2L, ts(2), 3.0))
+      q.processAllAvailable()
+      // batch 2: hash 1 again (cross-batch dup, inside the watermark
+      // horizon) + new hash 3
+      ms.addData((1L, ts(10), 4.0), (3L, ts(11), 5.0))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").select("content_hash").as[Long].collect().sorted
+      assert(got.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("streaming hourlyAgg equals the batch hourlyAgg on the same data") {
     val batchEvents = Tables.events(spark, sf)
     val batch = EventOps
