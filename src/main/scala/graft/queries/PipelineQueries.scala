@@ -154,7 +154,8 @@ object PipelineQueries {
           col("n_uniq_tokens").cast("long").as("n_uniq_tokens"),
           col("n_chars_obs").cast("long").as("n_chars_obs"),
           col("avg_token_len"),
-          col("est_bpe_tokens")
+          col("est_bpe_tokens"),
+          col("n_bpe_regex").cast("long").as("n_bpe_regex")
         ),
     Some(
       """SELECT doc_id,
@@ -162,7 +163,8 @@ object PipelineQueries {
         |  len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
         |  len(text) AS n_chars_obs,
         |  round(len(replace(text, ' ', ''))::DOUBLE / len(string_split(text, ' ')), 4) AS avg_token_len,
-        |  ceil(len(text)::DOUBLE / 4.0)::BIGINT AS est_bpe_tokens
+        |  ceil(len(text)::DOUBLE / 4.0)::BIGINT AS est_bpe_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_regex
         |FROM documents""".stripMargin
     )
   )
@@ -174,19 +176,23 @@ object PipelineQueries {
     (s, dir) =>
       TextStats
         .withQuality(Tables.documents(s, dir), "text")
-        .select(col("doc_id"), col("stop_frac"), col("uniq_frac"), col("quality")),
+        .select(
+          col("doc_id"), col("stop_frac"), col("uniq_frac"), col("punct_frac"), col("quality")),
     Some(
       """WITH t AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
         |f AS (
         |  SELECT doc_id,
         |    len(toks)::DOUBLE AS n,
         |    len(list_filter(toks, tk -> list_contains(['the','a','of','and','is','to','in'], tk)))::DOUBLE AS stops,
-        |    len(list_distinct(toks))::DOUBLE AS uniq
+        |    len(list_distinct(toks))::DOUBLE AS uniq,
+        |    len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE AS punct,
+        |    len(replace(text, ' ', ''))::DOUBLE AS nonspace
         |  FROM t)
         |SELECT doc_id,
         |  round(stops/n, 4) AS stop_frac,
         |  round(uniq/n, 4) AS uniq_frac,
+        |  round(punct/nonspace, 4) AS punct_frac,
         |  round(least(n/100.0, 1.0)*0.4 + (1.0 - stops/n)*0.3 + (uniq/n)*0.3, 4) AS quality
         |FROM f""".stripMargin
     )

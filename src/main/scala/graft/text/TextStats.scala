@@ -14,9 +14,17 @@ object TextStats {
     */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** BPE-ish lexer pattern: letter runs, digit runs, or single
+    * non-alphanumeric marks — the word/number/punct segmentation a
+    * byte-pair encoder refines. Kept to a portable regex subset so the
+    * DuckDB oracle (RE2) and Spark (java.util.regex) agree.
+    */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
   /** Token statistics: counts, unique counts, char counts, average token
-    * length, and a BPE-ish subword estimate (chars/4 — the standard
-    * rule-of-thumb compression ratio for byte-pair encodings).
+    * length, and two subword estimates — chars/4 (the standard
+    * rule-of-thumb compression ratio for byte-pair encodings) and a
+    * [[BpeishPattern]] regex lexer count.
     */
   def withTokenStats(df: DataFrame, textCol: String): DataFrame = {
     val t = tokens(col(textCol))
@@ -28,6 +36,7 @@ object TextStats {
         round(length(regexp_replace(col(textCol), " ", "")).cast("double") / size(t), 4)
       )
       .withColumn("est_bpe_tokens", ceil(length(col(textCol)).cast("double") / 4.0).cast("long"))
+      .withColumn("n_bpe_regex", regexp_count(col(textCol), lit(BpeishPattern)))
   }
 
   /** English stopwords present in the synthetic corpus vocabulary. */
@@ -43,9 +52,15 @@ object TextStats {
     val stopFrac =
       size(filter(t, tk => tk.isin(stopwords: _*))).cast("double") / nTok
     val uniqFrac = size(array_distinct(t)).cast("double") / nTok
+    // punctuation share of NON-SPACE characters (length/punct/stopword
+    // are the standard cheap corpus pre-filters)
+    val nonSpace = length(regexp_replace(col(textCol), " ", "")).cast("double")
+    val punctFrac =
+      length(regexp_replace(col(textCol), "[A-Za-z0-9 ]", "")).cast("double") / nonSpace
     val lenScore = least(nTok / 100.0, lit(1.0))
     df.withColumn("stop_frac", round(stopFrac, 4))
       .withColumn("uniq_frac", round(uniqFrac, 4))
+      .withColumn("punct_frac", round(punctFrac, 4))
       .withColumn(
         "quality",
         round(lenScore * 0.4 + (lit(1.0) - stopFrac) * 0.3 + uniqFrac * 0.3, 4)

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables
+
+/** Physical-plan assertions: the scale claims SURVEY.md §5 makes are
+  * pinned here so a regression in plan shape (lost pushdown, a surprise
+  * cartesian, a broadcast that stopped happening) fails CI, not a
+  * 100 TB run.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // finalize AQE
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("projection pruning reaches the parquet scan (unused columns never read)") {
+    val q = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(sum(col("l_quantity")).as("sq"))
+    val plan = executedPlan(q)
+    val readSchema = plan.linesIterator
+      .flatMap(l => "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(l).map(_.group(1)))
+      .toSeq
+    assert(readSchema.nonEmpty, plan)
+    val readCols = readSchema.head.split(",").map(_.split(":")(0)).toSet
+    assert(readCols == Set("l_returnflag", "l_quantity"), s"scan read $readCols\n$plan")
+  }
+
+  test("filter pushdown reaches the parquet scan (PushedFilters)") {
+    val q = Tables.lineitem(spark, sf)
+      .where(col("l_quantity") > 10.0)
+      .select("l_orderkey", "l_quantity")
+    val plan = executedPlan(q)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,10.0)]"), plan)
+  }
+
+  test("brute-force cosine topK broadcasts the query side; corpus is never shuffled") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = graft.sim.Cosine.topK(emb.where(col("vec_id") < 3), emb, "vec_id", "embedding", k = 2)
+    val plan = executedPlan(q)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the only exchange is the final per-query window (partition by qid,
+    // rows = candidates); the corpus scan side feeds the join directly
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("minhash LSH candidate generation joins on band buckets, never all pairs") {
+    val docs = Tables.documents(spark, sf).limit(50)
+    val q = graft.dedup.MinHashLsh.candidatePairs(docs, "text", "doc_id")
+    // candidatePairs materializes eagerly; assert on its own plan string
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("groupby-transform join is broadcast when the group side is small (AQE)") {
+    val li = Tables.lineitem(spark, sf)
+    val q = graft.ops.Grouped.transform(
+      li, Seq("l_returnflag"), Seq(avg(col("l_quantity")).as("__m")))
+    val plan = executedPlan(q)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+}
