@@ -337,6 +337,70 @@ object PipelineQueries {
     None
   )
 
+  // ---- S8: as-of join (oracle via DuckDB's native ASOF JOIN) -------------
+  // Each event carries the user's most recent purchase value at that
+  // moment (>= semantics). The purchase side is deduped per (user, ts)
+  // so the match is deterministic in both engines.
+
+  val q39 = Q(
+    "q39_asof_join",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev
+        .where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("p_value"))
+      graft.ops.AsOf
+        .joinAsOf(
+          ev.select(col("event_id"), col("user_id"), col("ts")),
+          purchases,
+          keys = Seq("user_id"),
+          leftTs = "ts",
+          rightTs = "ts",
+          payload = Seq("p_value"))
+        .select(col("event_id"), col("user_id"), round(col("p_value"), 4).as("last_purchase"))
+    },
+    Some(
+      """WITH p AS (
+        |  SELECT user_id, ts, max(value) AS p_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT e.event_id, e.user_id, round(p.p_value, 4) AS last_purchase
+        |FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin
+    )
+  )
+
+  // ---- S9: range join (oracle via DuckDB inequality join) ----------------
+  // Which events fall inside each event type's launch window (first 2h
+  // of that type's activity)? Bin-exploded equi-join, never a cross
+  // product (see ops.RangeJoin).
+
+  val q40 = Q(
+    "q40_range_join",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val windows = ev
+        .groupBy(col("event_type").as("wtype"))
+        .agg(min(col("ts")).as("ws"))
+        .withColumn("we", col("ws") + expr("INTERVAL 2 HOURS"))
+      graft.ops.RangeJoin
+        .pointInInterval(
+          ev.select(col("event_id"), col("ts")),
+          windows,
+          pointTs = "ts",
+          startTs = "ws",
+          endTs = "we",
+          binSeconds = 3600L)
+        .select(col("event_id"), col("wtype"))
+    },
+    Some(
+      """WITH w AS (
+        |  SELECT event_type AS wtype, min(ts) AS ws, min(ts) + INTERVAL 2 HOUR AS we
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, w.wtype
+        |FROM events e JOIN w ON e.ts >= w.ws AND e.ts <= w.we""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
-    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35)
+    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40)
 }

@@ -83,6 +83,57 @@ class OpsSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("c1", "c2", "c1_a", "c1_b", "c2_x"))
   }
 
+  test("AsOf.joinAsOf picks latest preceding right row; ties and strictness honored") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val left = Seq(
+      (1L, 10L, ts(5)),  // after r@0 → 100
+      (2L, 10L, ts(10)), // tie with r@10 → 200 (>= semantics)
+      (3L, 10L, ts(3)),  // after r@0 → 100
+      (4L, 11L, ts(7)),  // user with no right rows → null
+      (5L, 10L, ts(0))   // tie with r@0 → 100
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts(0), 100.0),
+      (10L, ts(10), 200.0)
+    ).toDF("user_id", "ts", "v")
+
+    val out = AsOf
+      .joinAsOf(left, right, Seq("user_id"), "ts", "ts", Seq("v"))
+      .select("event_id", "v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out == Map(
+      1L -> Some(100.0), 2L -> Some(200.0), 3L -> Some(100.0), 4L -> None, 5L -> Some(100.0)))
+
+    // strict: at equal ts the right row is NOT visible
+    val strictOut = AsOf
+      .joinAsOf(left, right, Seq("user_id"), "ts", "ts", Seq("v"), strict = true)
+      .select("event_id", "v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(strictOut(2L) == Some(100.0)) // tie excluded → previous row
+    assert(strictOut(5L) == None)        // tie excluded → nothing before
+  }
+
+  test("RangeJoin.pointInInterval equals the naive inequality join") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val points = (0 until 120 by 7).map(m => (m.toLong, ts(m))).toDF("pid", "ts")
+    val intervals = Seq(
+      ("a", ts(0), ts(30)),    // spans several 10-min bins
+      ("b", ts(25), ts(35)),   // overlaps a
+      ("c", ts(100), ts(100)), // zero-length
+      ("d", ts(200), ts(210))  // matches nothing
+    ).toDF("iid", "ws", "we")
+
+    val binned = RangeJoin
+      .pointInInterval(points, intervals, "ts", "ws", "we", binSeconds = 600L)
+      .select("pid", "iid").collect().map(_.toString).sorted.toSeq
+    val naive = points.join(intervals, col("ts").between(col("ws"), col("we")))
+      .select("pid", "iid").collect().map(_.toString).sorted.toSeq
+    assert(binned == naive)
+    assert(binned.nonEmpty)
+  }
+
   test("Salt.saltedJoin equals plain join on a skewed key distribution") {
     // one hot key (90% of facts) + a tail
     val facts = ((1 to 90).map(i => (7L, i.toDouble)) ++ (1 to 10).map(i => (i.toLong, -i.toDouble)))
