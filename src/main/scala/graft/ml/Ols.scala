@@ -88,6 +88,48 @@ object Ols {
     OlsModel(keptIdx.map(names), b, n, gk, ck, yty, droppedNames.toSeq)
   }
 
+  /** Frequency-weighted least squares: minimizes Σ wᵢ(yᵢ − xᵢ'b)².
+    * Same single Gram pass with every sum w-scaled; `n` becomes Σw
+    * (frequency-weight semantics: a weight-w row behaves exactly like w
+    * repeated rows, including in the dof — pinned by spec against the
+    * row-expanded fit). This is also the COMPRESSED-regression
+    * primitive: aggregate duplicate (y, x) rows to (count, values) once
+    * and regress the distinct rows weighted by count — at 100 TB the
+    * pass over distinct rows can be orders of magnitude smaller.
+    */
+  def fitWeighted(
+      df: DataFrame,
+      y: String,
+      xs: Seq[String],
+      weight: String,
+      intercept: Boolean = true
+  ): OlsModel = {
+    val names = (if (intercept) Seq("(intercept)") else Nil) ++ xs
+    val cols: Seq[Column] =
+      (if (intercept) Seq(lit(1.0)) else Nil) ++ xs.map(c => col(c).cast("double"))
+    val yc = col(y).cast("double")
+    val w = col(weight).cast("double")
+    val k = cols.length
+
+    val aggs: Seq[Column] =
+      (for (i <- 0 until k; j <- i until k) yield sum(w * cols(i) * cols(j)).as(s"g_${i}_$j")) ++
+        (0 until k).map(i => sum(w * cols(i) * yc).as(s"c_$i")) ++
+        Seq(sum(w * yc * yc).as("yty"), sum(w).as("n"))
+    val row: Row = df.agg(aggs.head, aggs.tail: _*).head()
+
+    var p = 0
+    val g = Array.ofDim[Double](k, k)
+    for (i <- 0 until k; j <- i until k) {
+      val v = row.getDouble(p); p += 1
+      g(i)(j) = v; g(j)(i) = v
+    }
+    val c = Array.tabulate(k) { i => row.getDouble(p + i) }
+    p += k
+    val yty = row.getDouble(p)
+    val n = math.round(row.getDouble(p + 1))
+    OlsModel(names, LinAlg.solve(g, c), n, g, c, yty, Nil)
+  }
+
   /** Multi-outcome least squares (the reference's 2-D `y`,
     * hdfe.py:129-135 loops a solver per outcome over the same design).
     * graft shares ONE distributed pass: X'X is aggregated once and X'y_j

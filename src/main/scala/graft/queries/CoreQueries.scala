@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ml.{Collinearity, FixedEffects, Ols}
+import graft.ml.{Collinearity, FixedEffects, GroupedOls, Ols}
 import graft.ops.{Dummies, Grouped, Lags}
 import graft.util.Tables
 
@@ -579,6 +579,55 @@ object CoreQueries {
     )
   )
 
+  // ---- C25: frequency-weighted OLS (oracle via closed-form 2×2) ----------
+
+  val q41 = Q(
+    "q41_ols_weighted",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val m = Ols.fitWeighted(li, "l_extendedprice", Seq("l_discount"), weight = "l_quantity")
+      scalarRow(
+        s,
+        Seq("slope" -> rnd(m.coef(1), 4), "intercept" -> rnd(m.coef(0), 4)),
+        Seq("n" -> m.n))
+    },
+    Some(
+      """WITH s AS (
+        |  SELECT sum(l_quantity) AS sw, sum(l_quantity*l_discount) AS swx,
+        |    sum(l_quantity*l_extendedprice) AS swy,
+        |    sum(l_quantity*l_discount*l_discount) AS swxx,
+        |    sum(l_quantity*l_discount*l_extendedprice) AS swxy
+        |  FROM lineitem)
+        |SELECT
+        |  round((sw*swxy - swx*swy) / (sw*swxx - swx*swx), 4) AS slope,
+        |  round((swy - (sw*swxy - swx*swy)/(sw*swxx - swx*swx)*swx) / sw, 4) AS intercept,
+        |  round(sw)::BIGINT AS n
+        |FROM s""".stripMargin
+    )
+  )
+
+  // ---- C26: per-group OLS — independent fit inside every group (oracle) ---
+
+  val q42 = Q(
+    "q42_ols_per_group",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      GroupedOls
+        .fitPerGroup(li, "l_extendedprice", Seq("l_quantity"), Seq("l_returnflag"))
+        .select(
+          col("l_returnflag"),
+          col("n"),
+          round(col("b_intercept"), 4).as("b_intercept"),
+          round(col("b_l_quantity"), 4).as("b_quantity"))
+    },
+    Some(
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS b_intercept,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS b_quantity
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+    )
+  )
+
   /** Round a driver-side double the same way Spark/DuckDB `round` does
     * (HALF_UP on the decimal representation).
     */
@@ -587,5 +636,5 @@ object CoreQueries {
 
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18,
-      q19, q36, q37, q38)
+      q19, q36, q37, q38, q41, q42)
 }

@@ -119,4 +119,70 @@ object AnnIvf {
 
   private def cosScore2(a: Column, b: Column): Column =
     FloatVec.dot(a, b) / (FloatVec.norm(a) * FloatVec.norm(b))
+
+  /** Materialize the corpus PARTITIONED BY CELL — the 100 TB layout the
+    * probe path assumes: a query touching nProbe cells reads nProbe
+    * directories and Spark prunes the rest at planning time
+    * (`PartitionFilters` on the scan; pinned by `SimSpec`). Returns the
+    * centroids used, for probing the same layout later.
+    */
+  def writePartitionedByCell(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      numCentroids: Int = 16,
+      lloydIters: Int = 2
+  ): DataFrame = {
+    val cents = centroids(corpus, idCol, vecCol, numCentroids, lloydIters)
+    corpus
+      .join(assign(corpus, cents, idCol, vecCol), Seq(idCol))
+      .write
+      .mode("overwrite")
+      .partitionBy("cid")
+      .parquet(path)
+    cents
+  }
+
+  /** Probe a cell-partitioned corpus: rank centroids per query, read
+    * ONLY the union of probed cells (a partition-pruned scan), then
+    * score within cells. The collected probe-cell set is bounded by
+    * #queries × nProbe longs — driver-safe by construction.
+    */
+  def topKPartitioned(
+      queries: DataFrame,
+      cents: DataFrame,
+      path: String,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 4
+  ): DataFrame = {
+    val spark = queries.sparkSession
+    val wq = Window.partitionBy(col("qid")).orderBy(col("cscore").desc, col("cid"))
+    val probes = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cscore", cosScore(col("qv"), col("centroid")))
+      .withColumn("crk", row_number().over(wq))
+      .where(col("crk") <= nProbe)
+      .select(col("qid"), col("qv"), col("cid"))
+
+    // int literals: the read-back partition column infers as int, and a
+    // cast-free predicate is what partition pruning needs
+    val probedCells = probes.select("cid").distinct().collect().map(_.getLong(0).toInt)
+    val corpusCells = spark.read
+      .parquet(path)
+      .where(col("cid").isin(probedCells: _*)) // partition-pruned scan
+      .select(col(idCol).as("nid"), col(vecCol).as("nv"), col("cid").cast("long").as("cid"))
+
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid"))
+    corpusCells
+      .join(broadcast(probes), Seq("cid"))
+      .where(col("qid") =!= col("nid"))
+      .withColumn("cos_sim", cosScore2(col("qv"), col("nv")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("qid"), col("nid"), round(col("cos_sim"), 4).as("cos_sim"))
+  }
 }

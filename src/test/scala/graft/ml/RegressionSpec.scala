@@ -245,6 +245,40 @@ class RegressionSpec extends SparkSpec {
     assert(math.abs(multi("y2").coef(0) + 1.0) < 1e-9)
   }
 
+  test("fitWeighted with integer weights equals the fit on row-expanded data") {
+    val weighted = Seq((1.0, 2.1, 3L), (2.0, 3.9, 1L), (3.0, 6.2, 2L), (4.0, 7.8, 1L))
+    val expanded = weighted.flatMap { case (x, y, w) => Seq.fill(w.toInt)((x, y)) }
+    val mW = Ols.fitWeighted(weighted.toDF("x", "y", "w"), "y", Seq("x"), "w")
+    val mE = Ols.fit(expanded.toDF("x", "y"), "y", Seq("x"))
+    assert(mW.n == mE.n)
+    assert(mW.coef.zip(mE.coef).forall { case (a, b) => math.abs(a - b) < 1e-10 })
+    // frequency-weight dof: SEs must match the expanded fit too
+    assert(mW.seHomoskedastic.zip(mE.seHomoskedastic).forall {
+      case (a, b) => math.abs(a - b) < 1e-10
+    })
+  }
+
+  test("GroupedOls.fitPerGroup matches independent per-group fits; singular groups null") {
+    val rows = Seq(
+      // group a: y = 1 + 2x
+      ("a", 1.0, 3.0), ("a", 2.0, 5.0), ("a", 3.0, 7.0),
+      // group b: y = -1 + 0.5x
+      ("b", 2.0, 0.0), ("b", 4.0, 1.0), ("b", 6.0, 2.0),
+      // group c: constant x → singular design
+      ("c", 1.0, 1.0), ("c", 1.0, 2.0)
+    )
+    val out = GroupedOls
+      .fitPerGroup(rows.toDF("g", "x", "y"), "y", Seq("x"), Seq("g"))
+      .collect()
+      .map(r => r.getString(0) -> r)
+      .toMap
+    assert(math.abs(out("a").getDouble(2) - 1.0) < 1e-9) // b_intercept
+    assert(math.abs(out("a").getDouble(3) - 2.0) < 1e-9) // b_x
+    assert(math.abs(out("b").getDouble(2) + 1.0) < 1e-9)
+    assert(math.abs(out("b").getDouble(3) - 0.5) < 1e-9)
+    assert(out("c").isNullAt(2) && out("c").isNullAt(3))
+  }
+
   test("clustered SE matches hand computation on tiny data") {
     val rows = Seq(
       ("c1", 1.0, 2.0), ("c1", 2.0, 4.5), ("c2", 3.0, 5.5),

@@ -77,6 +77,30 @@ class SimSpec extends SparkSpec {
     assert(cents.count() == 8)
   }
 
+  test("IVF cell-partitioned corpus: pruned scan, same results as in-memory probe") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.where($"vec_id" < 5)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_cells").toString
+    val cents = AnnIvf.writePartitionedByCell(emb, "vec_id", "embedding", dir, numCentroids = 8)
+
+    val part = AnnIvf.topKPartitioned(queries, cents, dir, "vec_id", "embedding", k = 5, nProbe = 4)
+    val got = part.select("qid", "nid", "cos_sim").as[(Long, Long, Double)].collect().toSet
+
+    // identical to probing the in-memory corpus with the same centroids
+    // (same deterministic seeding → same cells)
+    val mem = AnnIvf
+      .topK(emb.where($"vec_id" < 5), emb, "vec_id", "embedding",
+        k = 5, numCentroids = 8, nProbe = 4)
+      .select("qid", "nid", "cos_sim").as[(Long, Long, Double)].collect().toSet
+    assert(got == mem)
+
+    // and the scan is partition-pruned: the cid filter shows up as a
+    // PartitionFilters entry, not a post-scan filter
+    part.collect()
+    val plan = part.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cid"), plan)
+  }
+
   test("AnnLsh bucket assignment is deterministic") {
     val emb = Tables.embeddings(spark, sf).limit(20)
     val b1 = AnnLsh.bucketize(emb, "vec_id", "embedding", 64).select("vec_id", "table", "bucket")
