@@ -7,6 +7,46 @@ import graft.util.Tables
 
 class SourcesSpec extends SparkSpec {
 
+  test("JSONL ingest quarantines corrupt lines and keeps the declared schema") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("ingest")
+    java.nio.file.Files.writeString(
+      dir.resolve("part-0.jsonl"),
+      """{"doc_id": 1, "text": "hello world"}
+        |{"doc_id": 2, "text": "second doc"}
+        |{"doc_id": oops not json
+        |{"doc_id": 3, "text": "third"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val s = Ingest.readJsonl(spark, dir.toString, schema)
+    try {
+      assert(s.good.columns.toSeq == Seq("doc_id", "text"))
+      assert(s.good.count() == 3)
+      val bad = s.quarantine.collect().map(_.getString(0))
+      assert(bad.length == 1 && bad.head.contains("oops"))
+    } finally s.release()
+  }
+
+  test("CSV ingest quarantines rows that violate the schema") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("ingest_csv")
+    java.nio.file.Files.writeString(
+      dir.resolve("part-0.csv"),
+      """id,score
+        |1,0.5
+        |2,not_a_number
+        |3,0.25
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("score", DoubleType)))
+    val s = Ingest.readCsv(spark, dir.toString, schema)
+    try {
+      assert(s.good.count() == 2)
+      assert(s.quarantine.count() == 1)
+    } finally s.release()
+  }
+
   test("bucketed co-located join runs without any Exchange and matches plain join") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_linenumber", "l_quantity")
     val orders = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
