@@ -163,16 +163,22 @@ object FixedEffects {
       fes: Seq[String],
       maxSweeps: Int = 500,
       tol: Double = 1e-9,
-      collectCellLimit: Long = 2000000L
+      collectCellLimit: Long = 2000000L,
+      weight: Option[String] = None
   ): Demeaned = {
     val k = cols.length
     val K = fes.length
     val dcols = cols.map(c => col(c).cast("double"))
+    // frequency weights: every count becomes Σw and every sum w-scaled —
+    // weighted group means fall out of the SAME cell solvers, whose cell
+    // "count" is already a double
+    val w = weight.map(c => col(c).cast("double")).getOrElse(lit(1.0))
 
     if (K == 1) {
-      // one sweep is exact: subtract the group means directly
+      // one sweep is exact: subtract the (weighted) group means directly
       val fe = fes.head
-      val meanAggs = cols.zipWithIndex.map { case (c, i) => avg(dcols(i)).as(s"__mean_$c") }
+      val meanAggs =
+        cols.zipWithIndex.map { case (c, i) => (sum(w * dcols(i)) / sum(w)).as(s"__mean_$c") }
       val means = df.groupBy(col(fe)).agg(meanAggs.head, meanAggs.tail: _*)
       val joined = df.join(means, Seq(fe), "left")
       val out = cols.zipWithIndex.foldLeft(joined) { case (acc, (c, i)) =>
@@ -186,11 +192,12 @@ object FixedEffects {
     }
 
     // ---- multi-FE: ONE pass compresses facts to distinct-FE-tuple cells
-    // (count, per-column sums, per-column sums of squares for the
-    // convergence scale). Map-side combine means only #cells rows shuffle.
-    val statAggs = count(lit(1)).cast("double").as("__n") +:
-      ((0 until k).map(i => sum(dcols(i)).as(s"__s_$i")) ++
-        (0 until k).map(i => sum(dcols(i) * dcols(i)).as(s"__q_$i")))
+    // (weight mass, per-column weighted sums, weighted sums of squares
+    // for the convergence scale). Map-side combine means only #cells
+    // rows shuffle.
+    val statAggs = sum(w).as("__n") +:
+      ((0 until k).map(i => sum(w * dcols(i)).as(s"__s_$i")) ++
+        (0 until k).map(i => sum(w * dcols(i) * dcols(i)).as(s"__q_$i")))
     val cells = df.groupBy(fes.map(col): _*).agg(statAggs.head, statAggs.tail: _*).persist()
     val nCells = cells.count()
 
@@ -471,6 +478,36 @@ object FixedEffects {
     // map dropped/kept names back to the original x names
     val keptX = ols.xNames.map(n => n.stripSuffix("__dm"))
     FeModel(y, keptX, fes, ols.coef, ols.n, d.sweeps, ols, d.frame, d.effects)
+  }
+
+  /** Frequency-weighted fixed-effects fit: weighted alternating
+    * projections (weighted group means via the same cell solvers) plus
+    * a weighted Gram pass on the demeaned columns. With integer weights
+    * this equals [[fit]] on the row-expanded data exactly (pinned by
+    * spec) — which makes it the COMPRESSED-regression path: pre-
+    * aggregate duplicate (y, xs, fes) rows to counts, then fit the
+    * distinct rows weighted by count. Effect recovery goes through
+    * [[FeModel.modelEffects]] (the effect tables are weighted); the
+    * 1-FE closed form `effects` and `seClustered` assume unit weights.
+    */
+  def fitWeighted(
+      df: DataFrame,
+      y: String,
+      xs: Seq[String],
+      fes: Seq[String],
+      weight: String,
+      maxSweeps: Int = 500,
+      tol: Double = 1e-9,
+      keep: Seq[String] = Nil
+  ): FeModel = {
+    require(fes.nonEmpty, "use Ols.fitWeighted when there are no fixed effects")
+    val needed = (fes ++ (y +: xs) :+ weight) ++ keep
+    val d = demeanFull(
+      df.select(needed.distinct.map(col): _*), y +: xs, fes, maxSweeps, tol,
+      weight = Some(weight))
+    val ols = Ols.fitWeighted(
+      d.frame, s"${y}__dm", xs.map(x => s"${x}__dm"), weight, intercept = false)
+    FeModel(y, xs, fes, ols.coef, ols.n, d.sweeps, ols, d.frame, d.effects)
   }
 
   /** Multi-outcome fixed-effects fit — the reference's 2-D `y` in the

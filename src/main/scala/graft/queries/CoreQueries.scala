@@ -628,6 +628,32 @@ object CoreQueries {
     )
   )
 
+  // ---- C27: weighted within estimator (oracle via weighted demean SQL) ----
+
+  val q43 = Q(
+    "q43_fe_weighted",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val m = FixedEffects.fitWeighted(
+        li, "l_extendedprice", Seq("l_discount"), Seq("l_suppkey"), weight = "l_quantity")
+      scalarRow(s, Seq("slope" -> rnd(m.coef(0), 6)), Seq("n" -> m.n))
+    },
+    Some(
+      """WITH g AS (
+        |  SELECT l_suppkey, sum(l_quantity) AS sw,
+        |    sum(l_quantity*l_extendedprice) AS swy,
+        |    sum(l_quantity*l_discount) AS swx
+        |  FROM lineitem GROUP BY l_suppkey),
+        |d AS (
+        |  SELECT l.l_extendedprice - g.swy/g.sw AS yd,
+        |    l.l_discount - g.swx/g.sw AS xd,
+        |    l.l_quantity AS w
+        |  FROM lineitem l JOIN g USING (l_suppkey))
+        |SELECT round(sum(w*xd*yd)/sum(w*xd*xd), 6) AS slope,
+        |  round(sum(w))::BIGINT AS n FROM d""".stripMargin
+    )
+  )
+
   /** Round a driver-side double the same way Spark/DuckDB `round` does
     * (HALF_UP on the decimal representation).
     */
@@ -636,5 +662,5 @@ object CoreQueries {
 
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18,
-      q19, q36, q37, q38, q41, q42)
+      q19, q36, q37, q38, q41, q42, q43)
 }

@@ -258,6 +258,26 @@ class RegressionSpec extends SparkSpec {
     })
   }
 
+  test("FixedEffects.fitWeighted equals the fit on row-expanded data (2 FEs)") {
+    val rng = new scala.util.Random(11)
+    val weighted = for (u <- 0 until 3; t <- 0 until 4) yield {
+      val x = math.sin(u * 1.3 + t * 0.8) * 2
+      val y = 1.5 * x + u * 2.0 - t * 0.7 + rng.nextGaussian() * 0.1
+      (u, t, x, y, 1 + ((u + t) % 3)) // weights 1..3
+    }
+    val expanded = weighted.flatMap { case (u, t, x, y, w) => Seq.fill(w)((u, t, x, y)) }
+    val mW = FixedEffects.fitWeighted(
+      weighted.toDF("u", "t", "x", "y", "w"), "y", Seq("x"), Seq("u", "t"), "w", tol = 1e-12)
+    val mE = FixedEffects.fit(
+      expanded.toDF("u", "t", "x", "y"), "y", Seq("x"), Seq("u", "t"), tol = 1e-12)
+    assert(mW.n == mE.n)
+    assert(math.abs(mW.coef(0) - mE.coef(0)) < 1e-9)
+    // weighted effect tables: same recovered effects as the expanded fit
+    val eW = mW.modelEffects("u").collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val eE = mE.modelEffects("u").collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    for ((g, v) <- eE) assert(math.abs(eW(g) - v) < 1e-7)
+  }
+
   test("GroupedOls.fitPerGroup matches independent per-group fits; singular groups null") {
     val rows = Seq(
       // group a: y = 1 + 2x
