@@ -48,9 +48,7 @@ case class FeModel(
     ols: OlsModel,
     /** demeaned frame: original columns plus `<col>__dm` for y and xs */
     demeaned: DataFrame,
-    /** per-FE cumulative demeaning effect tables (see [[Demeaned]]);
-      * None when fitted in the distributed cell regime
-      */
+    /** per-FE cumulative demeaning effect tables (see [[Demeaned]]) */
     effectTables: Option[Seq[DataFrame]] = None
 ) {
   /** Residuals of the full model (all FE effects absorbed):
@@ -86,8 +84,7 @@ case class FeModel(
     val f = feNames.indexOf(fe)
     require(f >= 0, s"$fe is not an absorbed FE of this model")
     val tables = effectTables.getOrElse(
-      throw new IllegalStateException(
-        "per-FE effect tables are not tracked in the distributed cell regime"))
+      throw new IllegalStateException("this model was fitted without effect tables"))
     val e = xNames.zip(coef).foldLeft(col(s"eff_$yName")) { case (acc, (x, b)) =>
       acc - col(s"eff_$x") * b
     }
@@ -131,8 +128,8 @@ case class FeModel(
   * that `<col>__dm` = col − Σ_f eff_f. The per-FE SPLIT is canonical
   * only up to additive constants for ≥ 2 FEs (the sum is unique; same
   * normalization freedom as reghdfe) but is deterministic for a given
-  * sweep order. The distributed cell regime tracks only per-cell sums,
-  * so it reports `effects = None`.
+  * sweep order. Both cell regimes track effects; `None` is reserved for
+  * future paths that cannot.
   */
 case class Demeaned(frame: DataFrame, sweeps: Int, effects: Option[Seq[DataFrame]])
 
@@ -397,6 +394,10 @@ object FixedEffects {
 
     // running residual sums per cell, seeded with the raw sums
     var cur = (0 until k).foldLeft(cells) { (acc, i) => acc.withColumn(s"__r_$i", col(s"__s_$i")) }
+    // cumulative per-FE effect tables (G_f rows each, columns __acc_i):
+    // accumulated from the per-step means so [[FeModel.modelEffects]]
+    // works in this regime too; tiny next to the cell frame
+    val effAcc = scala.collection.mutable.Map.empty[String, DataFrame]
     var sweeps = 0
     var converged = false
     val history = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -419,6 +420,18 @@ object FixedEffects {
           .head()
           .getDouble(0)
         delta = math.max(delta, d)
+        effAcc(fe) = effAcc.get(fe) match {
+          case None =>
+            means.select(
+              col(fe) +: (0 until k).map(i => col(s"__mean_$i").as(s"__acc_$i")): _*)
+          case Some(prev) =>
+            prev
+              .join(means, Seq(fe), "left")
+              .select(
+                col(fe) +: (0 until k).map(i =>
+                  (col(s"__acc_$i") + coalesce(col(s"__mean_$i"), lit(0.0))).as(s"__acc_$i")): _*)
+              .localCheckpoint(false)
+        }
         cur = (0 until k)
           .foldLeft(cur.join(means, Seq(fe), "left")) { (j, i) =>
             j.withColumn(s"__r_$i", col(s"__r_$i") - col("__n") * col(s"__mean_$i"))
@@ -441,6 +454,16 @@ object FixedEffects {
           (0 until k).map(i => ((col(s"__s_$i") - col(s"__r_$i")) / col("__n")).as(s"__adj_$i")): _*)
       .localCheckpoint(false)
     adj.count()
+    // materialize the per-FE effect tables BEFORE the means caches they
+    // chain through are released
+    val effTables = fes.map { fe =>
+      val t = effAcc(fe)
+        .select(
+          col(fe) +: cols.zipWithIndex.map { case (c, i) => col(s"__acc_$i").as(s"eff_$c") }: _*)
+        .localCheckpoint(false)
+      t.count()
+      t
+    }
     history.foreach(d => checkpointRdd(d).foreach(_.unpersist(false)))
     meansHistory.foreach(_.unpersist(false))
     cells.unpersist(false)
@@ -449,10 +472,7 @@ object FixedEffects {
     val out = cols.zipWithIndex.foldLeft(joined) { case (acc, (c, i)) =>
       acc.withColumn(s"${c}__dm", col(c).cast("double") - col(s"__adj_$i"))
     }.drop((0 until k).map(i => s"__adj_$i"): _*)
-    // only the per-cell SUM of effects is tracked in this regime; the
-    // per-FE split would need per-sweep effect frames — not worth the
-    // extra K checkpointed states unless a caller asks for it
-    Demeaned(out, sweeps, None)
+    Demeaned(out, sweeps, Some(effTables))
   }
 
   /** Fit y ~ xs absorbing `fes`. The intercept is absorbed by the FEs.

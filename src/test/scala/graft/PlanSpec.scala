@@ -55,6 +55,23 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("as-of join plans as one key shuffle + window — no join operator at all") {
+    val ev = Tables.events(spark, sf)
+    val purchases = ev
+      .where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("p_value"))
+    val q = graft.ops.AsOf.joinAsOf(
+      ev.select("event_id", "user_id", "ts"), purchases,
+      Seq("user_id"), "ts", "ts", Seq("p_value"))
+    val plan = executedPlan(q)
+    // the union + window compilation means NO join node and no
+    // nested-loop anywhere; the only wide operation is the window's
+    // key shuffle (+ the purchase aggregation's)
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
   test("groupby-transform join is broadcast when the group side is small (AQE)") {
     val li = Tables.lineitem(spark, sf)
     val q = graft.ops.Grouped.transform(

@@ -130,6 +130,15 @@ class RegressionSpec extends SparkSpec {
       assert(math.abs(ly - d(key)._1) < 1e-8)
       assert(math.abs(lx - d(key)._2) < 1e-8)
     }
+
+    // the distributed regime tracks effect tables too, and they agree
+    // with the driver-local ones (same sweep order → same split)
+    val fl = FixedEffects.demeanFull(df, Seq("y", "x"), Seq("u", "t"), tol = 1e-12)
+    val fd = FixedEffects
+      .demeanFull(df, Seq("y", "x"), Seq("u", "t"), tol = 1e-12, collectCellLimit = 0)
+    val effL = fl.effects.get.head.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val effD = fd.effects.get.head.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    for ((g, v) <- effL) assert(math.abs(v - effD(g)) < 1e-8)
   }
 
   test("FixedEffects.fitMulti matches per-outcome FixedEffects.fit") {
