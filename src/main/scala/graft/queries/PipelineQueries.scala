@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.dedup.{Exact, MinHashLsh, NGramJaccard, SimHash}
+import graft.dedup.{ConnectedComponents, Exact, MinHashLsh, NGramJaccard, SimHash}
 import graft.media.Multimodal
 import graft.sim.{AnnIvf, AnnLsh, Cosine}
 import graft.streaming.EventOps
@@ -401,6 +401,47 @@ object PipelineQueries {
     )
   )
 
+  // ---- P8: dedup clustering — pairs → connected components (oracle) ------
+  // The production step after pair generation: cluster near-duplicate
+  // pairs and label every document with its component (min doc_id;
+  // isolated docs are their own component). Edges come from the
+  // SQL-expressible n-gram Jaccard join so DuckDB can rebuild the same
+  // graph and resolve components with a recursive CTE.
+
+  val q44 = Q(
+    "q44_dedup_components",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = NGramJaccard
+        .similarityJoin(docs, "text", "doc_id", "source", n = 2)
+        .where(col("jaccard") >= 0.3)
+      val comps = ConnectedComponents.components(pairs, "id_a", "id_b")
+      docs
+        .select(col("doc_id"))
+        .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("component"))
+    },
+    Some(
+      """WITH RECURSIVE t AS (
+        |  SELECT source AS block, doc_id,
+        |    list_distinct(list_transform(range(1, len(string_split(text,' '))),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS ngrams
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b ON a.block = b.block AND a.doc_id < b.doc_id
+        |  WHERE round(len(list_filter(a.ngrams, g -> list_contains(b.ngrams, g)))::DOUBLE /
+        |    (len(a.ngrams) + len(b.ngrams) - len(list_filter(a.ngrams, g -> list_contains(b.ngrams, g)))), 4) >= 0.3),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p UNION ALL SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b)
+        |SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
-    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40)
+    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
+      q44)
 }

@@ -72,6 +72,44 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => Set(a, b).intersect(Set(3L, 4L)).nonEmpty })
   }
 
+  test("ConnectedComponents: chains, separate clusters, min-id labels") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), // a chain (exercises pointer jumping)
+      (11L, 10L), (11L, 12L),                 // a star
+      (20L, 21L)                              // a pair
+    ).toDF("a", "b")
+    val comps = ConnectedComponents
+      .components(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(comps(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(comps(_) == 10L))
+    assert(comps(20L) == 20L && comps(21L) == 20L)
+  }
+
+  test("ConnectedComponents matches driver union-find on a random graph") {
+    val rnd = new scala.util.Random(5)
+    val n = 60
+    val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // driver union-find ground truth
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    for ((a, b) <- edges) {
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(id => id -> {
+        // canonical label: min id in the component
+        val r = find(id.toInt)
+        edges.flatMap(e => Seq(e._1, e._2)).distinct.filter(o => find(o.toInt) == r).min
+      }).toMap
+    val got = ConnectedComponents
+      .components(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
   test("NGramJaccard: exact dup jaccard=1, near dup high, unrelated low") {
     val withBlock = docs.withColumn("src", lit("s"))
     val j = NGramJaccard
