@@ -249,6 +249,22 @@ object PipelineQueries {
     )
   )
 
+  // ---- T5: corpus vocabulary stats (oracle) ------------------------------
+
+  val q45 = Q(
+    "q45_vocab_top",
+    (s, dir) =>
+      graft.text.Vocab.top(Tables.documents(s, dir), "text", "doc_id", k = 50),
+    Some(
+      """WITH v AS (
+        |  SELECT tok AS token, count(*) AS term_freq, count(DISTINCT doc_id) AS doc_freq
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY tok)
+        |SELECT token, term_freq, doc_freq FROM v
+        |ORDER BY term_freq DESC, token LIMIT 50""".stripMargin
+    )
+  )
+
   // ---- S1: tumbling-window event aggregate (oracle) ----------------------
 
   val q31 = Q(
@@ -443,5 +459,5 @@ object PipelineQueries {
 
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
-      q44)
+      q44, q45)
 }

@@ -1,5 +1,7 @@
 package graft.text
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 class TextSpec extends SparkSpec {
@@ -35,6 +37,22 @@ class TextSpec extends SparkSpec {
     ).toDF("id", "text")
     val got = LangId.withLangId(df, "text").select("id", "pred_lang").as[(Long, String)].collect().toMap
     assert(got == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "fr", 5L -> "zh", 6L -> "und"))
+  }
+
+  test("Vocab counts term and document frequency; idf follows the smoothed formula") {
+    val docs = Seq(
+      (1L, "the cat sat"),
+      (2L, "the the dog"),
+      (3L, "a cat ran")
+    ).toDF("doc_id", "text")
+    val v = Vocab.vocab(docs, "text", "doc_id")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(v("the") == (3L, 2L)) // 3 occurrences across 2 docs
+    assert(v("cat") == (2L, 2L))
+    assert(v("dog") == (1L, 1L))
+    val idf = Vocab.withIdf(Vocab.vocab(docs, "text", "doc_id"), nDocs = 3)
+      .where(col("token") === "dog").select("idf").head().getDouble(0)
+    assert(math.abs(idf - (math.log(4.0 / 2.0) + 1.0)) < 1e-12)
   }
 
   test("Fingerprint: equal text iff equal fingerprint on distinct corpus") {
