@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.SharedHash
+
+/** Deterministic sampling and splitting for training-data pipelines.
+  * At 100 TB, `rand()`-based splits are a reproducibility hazard: they
+  * change with partitioning, retries, and Spark versions. These
+  * assignments are pure functions of (salt, id) via the shared 60-bit
+  * md5 hash — stable across runs, cluster sizes, AND engines (the
+  * DuckDB oracle recomputes them exactly).
+  */
+object Sampling {
+
+  /** Hash bucket in [0, buckets) for (salt, id) — the primitive under
+    * splits and shuffle keys.
+    */
+  def bucket(idCol: Column, salt: String, buckets: Int): Column =
+    pmod(SharedHash.md5Long60(concat(lit(salt), lit(":"), idCol.cast("string"))), lit(buckets.toLong))
+
+  /** Add a `split` column: train/val/test by basis points (defaults
+    * 90/5/5). A document's assignment never changes when the corpus
+    * around it grows or shrinks.
+    */
+  def deterministicSplit(
+      df: DataFrame,
+      idCol: String,
+      trainBp: Int = 9000,
+      valBp: Int = 500,
+      salt: String = "graft"
+  ): DataFrame = {
+    require(trainBp + valBp <= 10000, "train + val basis points must be <= 10000")
+    val b = bucket(col(idCol), salt, 10000)
+    df.withColumn(
+      "split",
+      when(b < trainBp, "train").when(b < trainBp + valBp, "val").otherwise("test"))
+  }
+
+  /** Deterministic pseudo-random ORDER for training: sort by this key
+    * to get a reproducible corpus shuffle; change the salt to reshuffle.
+    */
+  def shuffleKey(idCol: Column, salt: String = "epoch0"): Column =
+    SharedHash.md5Long60(concat(lit(salt), lit(":"), idCol.cast("string")))
+
+  /** Stratified sample: per-stratum fractions (exact-fraction variant of
+    * `df.stat.sampleBy`, which is itself hash-seeded and deterministic
+    * for a fixed seed + partitioning; prefer [[deterministicSplit]]
+    * when assignments must survive repartitioning).
+    */
+  def stratified(
+      df: DataFrame,
+      strataCol: String,
+      fractions: Map[Any, Double],
+      seed: Long
+  ): DataFrame =
+    df.stat.sampleBy(col(strataCol), fractions, seed)
+}

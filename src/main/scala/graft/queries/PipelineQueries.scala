@@ -265,6 +265,27 @@ object PipelineQueries {
     )
   )
 
+  // ---- T6: deterministic train/val/test split (oracle) -------------------
+  // Assignment is a pure function of (salt, doc_id) via the shared
+  // md5-60bit hash, so DuckDB reproduces it bit-for-bit — the property
+  // that makes the split trustworthy at 100 TB.
+
+  val q46 = Q(
+    "q46_split",
+    (s, dir) =>
+      graft.ops.Sampling
+        .deterministicSplit(Tables.documents(s, dir), "doc_id")
+        .select(col("doc_id"), col("split")),
+    Some(
+      s"""SELECT doc_id,
+         |  CASE WHEN b < 9000 THEN 'train' WHEN b < 9500 THEN 'val' ELSE 'test' END AS split
+         |FROM (
+         |  SELECT doc_id,
+         |    ${graft.functions.SharedHash.md5Long60Sql("'graft:' || doc_id::VARCHAR")} % 10000 AS b
+         |  FROM documents)""".stripMargin
+    )
+  )
+
   // ---- S1: tumbling-window event aggregate (oracle) ----------------------
 
   val q31 = Q(
@@ -459,5 +480,5 @@ object PipelineQueries {
 
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
-      q44, q45)
+      q44, q45, q46)
 }

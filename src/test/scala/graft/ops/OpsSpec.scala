@@ -134,6 +134,29 @@ class OpsSpec extends SparkSpec {
     assert(binned.nonEmpty)
   }
 
+  test("Sampling.deterministicSplit is stable, complete, and near the target fractions") {
+    val ids = (0L until 2000L).toDF("doc_id")
+    val s1 = Sampling.deterministicSplit(ids, "doc_id")
+      .as[(Long, String)].collect().toMap
+    val s2 = Sampling.deterministicSplit(ids, "doc_id")
+      .as[(Long, String)].collect().toMap
+    assert(s1 == s2) // identical across runs
+    assert(s1.size == 2000) // complete: every id assigned exactly once
+    val frac = s1.values.groupBy(identity).view.mapValues(_.size / 2000.0).toMap
+    assert(math.abs(frac("train") - 0.90) < 0.03)
+    assert(math.abs(frac("val") - 0.05) < 0.02)
+    assert(math.abs(frac("test") - 0.05) < 0.02)
+    // growing the corpus never reassigns an existing id
+    val s3 = Sampling.deterministicSplit((0L until 4000L).toDF("doc_id"), "doc_id")
+      .as[(Long, String)].collect().toMap
+    assert(s1.forall { case (id, sp) => s3(id) == sp })
+    // the shuffle key is deterministic and salt-sensitive
+    val k1 = ids.select(Sampling.shuffleKey(col("doc_id")).as("k")).as[Long].collect().toSeq
+    val k2 = ids.select(Sampling.shuffleKey(col("doc_id")).as("k")).as[Long].collect().toSeq
+    val k3 = ids.select(Sampling.shuffleKey(col("doc_id"), "epoch1").as("k")).as[Long].collect().toSeq
+    assert(k1 == k2 && k1 != k3)
+  }
+
   test("Salt.saltedJoin equals plain join on a skewed key distribution") {
     // one hot key (90% of facts) + a tail
     val facts = ((1 to 90).map(i => (7L, i.toDouble)) ++ (1 to 10).map(i => (i.toLong, -i.toDouble)))
