@@ -1,0 +1,52 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact-substring (shared-span) duplication audit, after Lee et al.,
+  * "Deduplicating Training Data Makes Language Models Better" (2021):
+  * two documents sharing any exact n-token span are near-duplicates /
+  * cross-contaminated even when their overall Jaccard is low — the
+  * failure mode MinHash misses. Per document:
+  *
+  *   - `n_spans`   distinct n-token spans (docs shorter than n
+  *                 contribute their whole text as one span)
+  *   - `n_shared`  spans that also occur in ≥1 other document
+  *   - `n_foreign` spans whose canonical owner (min doc id over the
+  *                 span) is another document — `n_foreign > 0` is the
+  *                 deterministic "drop this doc, keep the earliest"
+  *                 dedup rule
+  *
+  * Shape: the span inventory reuses [[MinHashLsh.shingleHashes]]
+  * (posexplode + window `lead`, xxhash64 per span — the shuffle carries
+  * 8-byte hashes, never span text); then groupBy(hash) for ownership
+  * and one hash-co-partitioned join back (the groupBy output is already
+  * partitioned on the join key, so AQE plans no extra exchange). The
+  * suffix-array machinery of the paper is a single-machine construct;
+  * hash-grouped spans are the shuffle-native equivalent for partial
+  * (span-level) dedup at corpus scale.
+  */
+object SpanDedup {
+
+  def spanStats(df: DataFrame, textCol: String, idCol: String, n: Int = 8): DataFrame = {
+    val grams = MinHashLsh.shingleHashes(df, textCol, idCol, n) // (id, sh) distinct
+    val owners = grams
+      .groupBy(col("sh"))
+      .agg(min(col(idCol)).as("owner"), count(lit(1)).as("ndocs"))
+    grams
+      .join(owners, Seq("sh"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("ndocs") > 1, 1).otherwise(0)).as("n_shared"),
+        sum(when(col("owner") < col(idCol), 1).otherwise(0)).as("n_foreign"))
+  }
+
+  /** Survivor filter: keep documents owning all their spans (every span
+    * first seen here). The "keep earliest, drop later duplicates" rule.
+    */
+  def survivors(df: DataFrame, textCol: String, idCol: String, n: Int = 8): DataFrame =
+    df.join(
+      spanStats(df, textCol, idCol, n).where(col("n_foreign") === 0).select(col(idCol)),
+      Seq(idCol))
+}

@@ -478,7 +478,114 @@ object PipelineQueries {
     )
   )
 
+  // ---- T7: sparse TF-IDF vectors — top-k terms per doc (oracle) ----------
+
+  val q47 = Q(
+    "q47_tfidf_top",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vec = graft.text.TfIdf.vectors(docs, "text", "doc_id", nDocs = docs.count())
+      graft.text.TfIdf
+        .topTerms(vec, "doc_id", k = 3)
+        .select(col("doc_id"), col("token"), round(col("tfidf"), 4).as("tfidf"))
+    },
+    Some(
+      """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1,2),
+        |idf AS (SELECT token, count(*) AS dfreq FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |v AS (SELECT tf.doc_id, tf.token, tf.tf * (ln((1.0+n.n)/(1.0+idf.dfreq)) + 1.0) AS w
+        |      FROM tf JOIN idf USING(token) CROSS JOIN n)
+        |SELECT doc_id, token, round(w, 4) AS tfidf
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, token) AS rn FROM v)
+        |WHERE rn <= 3""".stripMargin
+    )
+  )
+
+  // ---- T7b: sparse cosine similarity join on unit tf-idf vectors ---------
+  // Posting-list self-join (pairs only for docs sharing a token), run on
+  // a doc_id-bounded slice as the exact baseline — at corpus scale the
+  // same operator runs after maxDfFrac head-token pruning, which is what
+  // bounds the posting-list blowup on Zipfian vocabularies.
+
+  val q48 = Q(
+    "q48_tfidf_cosine",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).where(col("doc_id") < 200)
+      val vec = graft.text.TfIdf.vectors(docs, "text", "doc_id", nDocs = docs.count())
+      val unit = graft.text.TfIdf.unitVectors(vec, "doc_id")
+      graft.text.TfIdf
+        .similarityJoin(unit, "doc_id", threshold = 0.85)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_sim"))
+    },
+    Some(
+      """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents WHERE doc_id < 200),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1,2),
+        |idf AS (SELECT token, count(*) AS dfreq FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM (SELECT DISTINCT doc_id FROM t)),
+        |v AS (SELECT tf.doc_id, tf.token, tf.tf * (ln((1.0+n.n)/(1.0+idf.dfreq)) + 1.0) AS w
+        |      FROM tf JOIN idf USING(token) CROSS JOIN n),
+        |nrm AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM v GROUP BY 1),
+        |u AS (SELECT v.doc_id, token, w/nrm AS w FROM v JOIN nrm USING(doc_id)),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w*b.w) AS c
+        |      FROM u a JOIN u b ON a.token = b.token AND a.doc_id < b.doc_id GROUP BY 1,2)
+        |SELECT id_a, id_b, round(c, 4) AS cos_sim FROM p WHERE c >= 0.85""".stripMargin
+    )
+  )
+
+  // ---- T8: Gopher/C4 repetition filters (oracle) -------------------------
+
+  val q49 = Q(
+    "q49_repetition",
+    (s, dir) =>
+      graft.text.Repetition
+        .stats(Tables.documents(s, dir), "text", "doc_id")
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          round(col("frac_top_token"), 4).as("frac_top_token"),
+          round(col("frac_unique"), 4).as("frac_unique"),
+          round(col("frac_top_bigram"), 4).as("frac_top_bigram")),
+    Some(
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS a FROM documents),
+        |tok AS (SELECT doc_id, unnest(a) AS tok, unnest(generate_series(1, len(a))) AS pos FROM t),
+        |tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1,2),
+        |ts AS (SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_tok, count(*) AS n_unique FROM tc GROUP BY 1),
+        |bi AS (SELECT doc_id, tok, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS tok2 FROM tok),
+        |bc AS (SELECT doc_id, tok, tok2, count(*) AS c FROM bi WHERE tok2 IS NOT NULL GROUP BY 1,2,3),
+        |bs AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bi FROM bc GROUP BY 1)
+        |SELECT ts.doc_id, n_tokens::BIGINT AS n_tokens,
+        |  round(top_tok/n_tokens, 4) AS frac_top_token,
+        |  round(n_unique/n_tokens, 4) AS frac_unique,
+        |  round(coalesce(top_bi/n_bigrams, 0), 4) AS frac_top_bigram
+        |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id""".stripMargin
+    )
+  )
+
+  // ---- P9: exact-substring shared-span audit, Lee et al. 2021 (oracle) ---
+  // Spark hashes spans (xxhash64) while the oracle groups raw span text:
+  // distinct counts and min-owner are hash-invariant, so the contract
+  // still pins the semantics exactly.
+
+  val q50 = Q(
+    "q50_span_dedup",
+    (s, dir) =>
+      graft.dedup.SpanDedup.spanStats(Tables.documents(s, dir), "text", "doc_id", n = 8),
+    Some(
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS a FROM documents),
+        |g0 AS (SELECT doc_id, array_to_string(a[i:i+7], ' ') AS g
+        |       FROM t, UNNEST(generate_series(1, len(a)-7)) AS u(i) WHERE len(a) >= 8),
+        |gshort AS (SELECT doc_id, text AS g FROM documents WHERE len(string_split(text,' ')) < 8),
+        |grams AS (SELECT DISTINCT doc_id, g FROM (SELECT * FROM g0 UNION ALL SELECT * FROM gshort)),
+        |own AS (SELECT g, min(doc_id) AS owner, count(*) AS ndocs FROM grams GROUP BY g)
+        |SELECT doc_id, count(*) AS n_spans,
+        |  sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+        |  sum(CASE WHEN owner < doc_id THEN 1 ELSE 0 END)::BIGINT AS n_foreign
+        |FROM grams JOIN own USING(g) GROUP BY doc_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
-      q44, q45, q46)
+      q44, q45, q46, q47, q48, q49, q50)
 }

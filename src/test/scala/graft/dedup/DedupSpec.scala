@@ -110,6 +110,27 @@ class DedupSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("SpanDedup flags a planted shared 8-token span and keeps owners") {
+    // doc 20 copies an 8-token run from doc 10 into otherwise-unrelated text
+    val span = "one two three four five six seven eight"
+    val d = Seq(
+      (10L, s"intro words here $span trailing content words"),
+      (20L, s"completely different payload $span other tail tokens"),
+      (30L, "no overlap with anything at all in this document right here"),
+      (40L, "tiny doc") // shorter than n=8 -> whole-text span
+    ).toDF("doc_id", "text")
+    val stats = SpanDedup.spanStats(d, "text", "doc_id", n = 8)
+      .as[(Long, Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+    assert(stats(10L)._4 == 0L) // owner of the shared span (min id)
+    assert(stats(10L)._3 == 1L) // exactly one span shared
+    assert(stats(20L)._4 == 1L) // one foreign span -> flagged
+    assert(stats(30L)._3 == 0L && stats(30L)._4 == 0L)
+    assert(stats(40L)._2 == 1L) // short doc = one whole-text span
+    val kept = SpanDedup.survivors(d, "text", "doc_id", n = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 30L, 40L))
+  }
+
   test("NGramJaccard: exact dup jaccard=1, near dup high, unrelated low") {
     val withBlock = docs.withColumn("src", lit("s"))
     val j = NGramJaccard

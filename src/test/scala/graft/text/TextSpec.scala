@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, sum}
 
 import graft.SparkSpec
 
@@ -53,6 +53,65 @@ class TextSpec extends SparkSpec {
     val idf = Vocab.withIdf(Vocab.vocab(docs, "text", "doc_id"), nDocs = 3)
       .where(col("token") === "dog").select("idf").head().getDouble(0)
     assert(math.abs(idf - (math.log(4.0 / 2.0) + 1.0)) < 1e-12)
+  }
+
+  test("TfIdf vectors follow the smoothed-idf convention; unit vectors have norm 1") {
+    val docs = Seq(
+      (1L, "cat sat cat"),
+      (2L, "dog sat"),
+      (3L, "bird flew")
+    ).toDF("doc_id", "text")
+    val vec = TfIdf.vectors(docs, "text", "doc_id", nDocs = 3)
+    val w = vec.collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(3)).toMap
+    // tf("cat" in 1)=2, df=1 -> 2*(ln(4/2)+1)
+    assert(math.abs(w((1L, "cat")) - 2.0 * (math.log(2.0) + 1.0)) < 1e-12)
+    // tf("sat" in 2)=1, df=2 -> ln(4/3)+1
+    assert(math.abs(w((2L, "sat")) - (math.log(4.0 / 3.0) + 1.0)) < 1e-12)
+    val norms = TfIdf.unitVectors(vec, "doc_id")
+      .groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
+      .as[(Long, Double)].collect().toMap
+    norms.values.foreach(n2 => assert(math.abs(n2 - 1.0) < 1e-12))
+  }
+
+  test("TfIdf topTerms ranks by weight with token tie-break; similarityJoin finds the near-identical pair") {
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "alpha beta gamma alpha"),
+      (3L, "delta epsilon zeta eta")
+    ).toDF("doc_id", "text")
+    val vec = TfIdf.vectors(docs, "text", "doc_id", nDocs = 3)
+    val top1 = TfIdf.topTerms(vec, "doc_id", 1)
+      .as[(Long, String, Double)].collect().map(t => t._1 -> t._2).toMap
+    assert(top1(1L) == "alpha") // tf=2 dominates
+    val sims = TfIdf.similarityJoin(TfIdf.unitVectors(vec, "doc_id"), "doc_id", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sims == Set((1L, 2L))) // identical docs; doc 3 shares no token
+  }
+
+  test("TfIdf maxDfFrac prunes head tokens from the vocabulary") {
+    val docs = Seq(
+      (1L, "the cat"),
+      (2L, "the dog"),
+      (3L, "the bird")
+    ).toDF("doc_id", "text")
+    val toks = TfIdf.vectors(docs, "text", "doc_id", nDocs = 3, maxDfFrac = 0.5)
+      .select("token").distinct().as[String].collect().toSet
+    assert(!toks.contains("the")) // df=3 > 0.5*3
+    assert(toks == Set("cat", "dog", "bird"))
+  }
+
+  test("Repetition stats match hand computation, including the single-token edge") {
+    val docs = Seq(
+      (1L, "a a a b"), // top tok a:3/4, unique 2/4, top bigram "a a":2/3
+      (2L, "x")        // no bigrams
+    ).toDF("doc_id", "text")
+    val r = Repetition.stats(docs, "text", "doc_id")
+      .as[(Long, Long, Double, Double, Double)].collect().map(t => t._1 -> t).toMap
+    assert(r(1L)._2 == 4L)
+    assert(math.abs(r(1L)._3 - 3.0 / 4.0) < 1e-12)
+    assert(math.abs(r(1L)._4 - 2.0 / 4.0) < 1e-12)
+    assert(math.abs(r(1L)._5 - 2.0 / 3.0) < 1e-12)
+    assert(r(2L) == ((2L, 1L, 1.0, 1.0, 0.0)))
   }
 
   test("Fingerprint: equal text iff equal fingerprint on distinct corpus") {
