@@ -585,7 +585,23 @@ object PipelineQueries {
     )
   )
 
+  // ---- P7c: product-quantization ANN with exact re-rank (rows+spec) ------
+  // Approximate scores have no SQL analogue; correctness is pinned by
+  // SimSpec (lossless-reconstruction + recall-vs-brute-force tests).
+
+  val q51 = Q(
+    "q51_ann_pq",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.sim.AnnPq
+        .topK(emb.where(col("vec_id") < 5), emb, "vec_id", "embedding",
+          k = 5, m = 16, kCent = 16, rerank = 50, sampleN = 512)
+        .orderBy(col("qid"), col("nid"))
+    },
+    None
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
-      q44, q45, q46, q47, q48, q49, q50)
+      q44, q45, q46, q47, q48, q49, q50, q51)
 }

@@ -109,4 +109,54 @@ class SimSpec extends SparkSpec {
       .as[(Long, Int, Long)].collect().toSet
     assert(b1 == b2)
   }
+
+  test("AnnPq encoding is lossless when corpus subvectors are the codebook") {
+    // 4 dims, m=2 subspaces of dsub=2; vectors built from 2 distinct
+    // subvector patterns per subspace -> k=2 codebook reconstructs
+    // exactly, so ADC dot == exact dot
+    val pats = Seq(vec(1, 0), vec(0, 2))
+    val corpus = (for {
+      a <- pats.indices; b <- pats.indices
+    } yield ((a * 2 + b).toLong, (pats(a) ++ pats(b)))).toDF("vec_id", "embedding")
+    val cb = AnnPq.train(corpus, "vec_id", "embedding", m = 2, k = 2, sampleN = 4, iters = 0)
+    val codes = AnnPq.encode(corpus, "vec_id", "embedding", cb)
+      .as[(Long, Array[Byte])].collect().toMap
+    assert(codes.values.forall(_.length == 2)) // m bytes per vector
+    assert(codes(0L).toSeq != codes(3L).toSeq)
+    // distinct-seeded centroids land exactly on the two patterns and
+    // Lloyd keeps them there, so ADC == exact for every pair
+    val got = AnnPq.topK(
+      corpus.where($"vec_id" === 0L), corpus, "vec_id", "embedding",
+      k = 3, m = 2, kCent = 2, sampleN = 4)
+      .select("qid", "nid", "cos_sim").as[(Long, Long, Double)].collect()
+    val exact = Cosine.topK(
+      corpus.where($"vec_id" === 0L), corpus, "vec_id", "embedding", k = 3)
+      .select("qid", "nid", "cos_sim").as[(Long, Long, Double)].collect()
+    assert(got.map(t => (t._1, t._2)).toSeq == exact.map(t => (t._1, t._2)).toSeq)
+    got.zip(exact).foreach { case (g, e) => assert(math.abs(g._3 - e._3) < 1e-4) }
+  }
+
+  test("AnnPq recall vs brute force on real embeddings, with exact re-rank") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.where($"vec_id" < 5)
+    val exact = Cosine
+      .topK(queries, emb, "vec_id", "embedding", k = 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    // random near-uniform vectors are PQ's hard case: generous m and a
+    // wide re-rank shortlist pin correctness of the machinery
+    val approx = AnnPq
+      .topK(queries, emb, "vec_id", "embedding", k = 5, m = 16, kCent = 16,
+        rerank = 50, sampleN = 512)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+
+  test("AnnPq training is deterministic") {
+    val emb = Tables.embeddings(spark, sf).limit(100)
+    val cb1 = AnnPq.train(emb, "vec_id", "embedding", m = 8, k = 4, sampleN = 64)
+    val cb2 = AnnPq.train(emb, "vec_id", "embedding", m = 8, k = 4, sampleN = 64)
+    assert(cb1.flat.toSeq == cb2.flat.toSeq)
+    assert(cb1.dsub * cb1.m == 64) // embeddings are 64-dim
+  }
 }
