@@ -47,6 +47,41 @@ class SourcesSpec extends SparkSpec {
     } finally s.release()
   }
 
+  test("StreamingIngest discovers files incrementally, splits good/quarantine exactly once") {
+    import org.apache.spark.sql.types._
+    val in = java.nio.file.Files.createTempDirectory("sing_in")
+    val out = java.nio.file.Files.createTempDirectory("sing_out")
+    val good = s"$out/good"; val quar = s"$out/quarantine"; val ckpt = s"$out/ckpt"
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+
+    java.nio.file.Files.writeString(
+      in.resolve("a.jsonl"),
+      """{"doc_id": 1, "text": "one"}
+        |{"doc_id": 2, "text": "two"}
+        |{"doc_id": broken line
+        |""".stripMargin)
+    val q1 = StreamingIngest.runJsonl(spark, in.toString, schema, good, quar, ckpt)
+    q1.awaitTermination()
+    assert(spark.read.parquet(good).count() == 2)
+    assert(spark.read.parquet(quar).collect().map(_.getString(0)).exists(_.contains("broken")))
+
+    // a shard landing later is picked up WITHOUT re-reading the first
+    // (checkpointed file log = exactly-once per shard)
+    java.nio.file.Files.writeString(
+      in.resolve("b.jsonl"),
+      """{"doc_id": 3, "text": "three"}
+        |also not json
+        |""".stripMargin)
+    val q2 = StreamingIngest.runJsonl(spark, in.toString, schema, good, quar, ckpt)
+    q2.awaitTermination()
+    val g = spark.read.parquet(good)
+    assert(g.count() == 3)
+    assert(g.select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet == Set(1L, 2L, 3L))
+    assert(spark.read.parquet(quar).count() == 2)
+  }
+
   test("bucketed co-located join runs without any Exchange and matches plain join") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_linenumber", "l_quantity")
     val orders = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
