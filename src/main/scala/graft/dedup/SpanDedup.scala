@@ -49,4 +49,30 @@ object SpanDedup {
     df.join(
       spanStats(df, textCol, idCol, n).where(col("n_foreign") === 0).select(col(idCol)),
       Seq(idCol))
+
+  /** Benchmark decontamination: per corpus document, how many of its
+    * n-token spans appear ANYWHERE in `probe` (the eval/benchmark set).
+    * `n_hits > 0` means the doc leaks eval content and must be dropped
+    * before training. Shape: the probe's distinct span hashes are tiny
+    * relative to the corpus (eval sets are small BY DEFINITION), so the
+    * semi-match is a broadcast hash join against the corpus span stream
+    * — the corpus is scanned once and never shuffled on span text.
+    */
+  def contamination(
+      corpus: DataFrame,
+      probe: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 8
+  ): DataFrame = {
+    val corpusGrams = MinHashLsh.shingleHashes(corpus, textCol, idCol, n)
+    val probeGrams = broadcast(
+      MinHashLsh.shingleHashes(probe, textCol, idCol, n).select(col("sh")).distinct())
+    corpusGrams
+      .join(probeGrams.withColumn("hit", lit(1)), Seq("sh"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+  }
 }

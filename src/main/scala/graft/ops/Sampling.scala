@@ -44,6 +44,49 @@ object Sampling {
   def shuffleKey(idCol: Column, salt: String = "epoch0"): Column =
     SharedHash.md5Long60(concat(lit(salt), lit(":"), idCol.cast("string")))
 
+  /** Materialize the corpus in reproducible pseudo-random GLOBAL order:
+    * range-partition + sort on [[shuffleKey]], so reading the output
+    * files in name order replays one deterministic shuffle of the
+    * corpus — what a training run needs for restartable, seedable data
+    * order. Changing the salt re-shuffles; same salt, same order, on
+    * any cluster size. One range-exchange + per-partition sort; no
+    * global single-node sort ever happens (Spark samples range bounds).
+    */
+  def writeShuffled(
+      df: DataFrame,
+      idCol: String,
+      path: String,
+      numFiles: Int,
+      salt: String = "epoch0"
+  ): Unit =
+    df.withColumn("__shuffle_key", shuffleKey(col(idCol), salt))
+      .repartitionByRange(numFiles, col("__shuffle_key"))
+      .sortWithinPartitions(col("__shuffle_key"))
+      .drop("__shuffle_key")
+      .write
+      .mode("overwrite")
+      .parquet(path)
+
+  /** Exactly `n` rows per stratum, chosen deterministically: rank rows
+    * within each stratum by the salted id hash and keep the first n.
+    * "K docs per language/source" with a result that is a pure function
+    * of (salt, ids) — reproducible on any cluster, any partitioning,
+    * any engine (the DuckDB oracle replays it bit-for-bit). One shuffle
+    * on the stratum key.
+    */
+  def takePerStratum(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      n: Int,
+      salt: String = "graft"
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(shuffleKey(col(idCol), salt), col(idCol))
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") <= n).drop("__rn")
+  }
+
   /** Stratified sample: per-stratum fractions (exact-fraction variant of
     * `df.stat.sampleBy`, which is itself hash-seeded and deterministic
     * for a fixed seed + partitioning; prefer [[deterministicSplit]]

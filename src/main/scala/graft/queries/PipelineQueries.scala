@@ -601,7 +601,49 @@ object PipelineQueries {
     None
   )
 
+  // ---- P9b: benchmark decontamination (oracle) ---------------------------
+  // Every 50th document stands in for the eval set; the check is the
+  // real one: which corpus docs share an exact 8-token span with it.
+
+  val q52 = Q(
+    "q52_decontaminate",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.dedup.SpanDedup.contamination(
+        docs, docs.where(col("doc_id") % 50 === 0), "text", "doc_id", n = 8)
+    },
+    Some(
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS a FROM documents),
+        |g0 AS (SELECT doc_id, array_to_string(a[i:i+7], ' ') AS g
+        |       FROM t, UNNEST(generate_series(1, len(a)-7)) AS u(i) WHERE len(a) >= 8),
+        |gshort AS (SELECT doc_id, text AS g FROM documents WHERE len(string_split(text,' ')) < 8),
+        |grams AS (SELECT DISTINCT doc_id, g FROM (SELECT * FROM g0 UNION ALL SELECT * FROM gshort)),
+        |probe AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0)
+        |SELECT doc_id, count(*) AS n_spans,
+        |  sum(CASE WHEN p.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits
+        |FROM grams LEFT JOIN probe p USING(g) GROUP BY doc_id""".stripMargin
+    )
+  )
+
+  // ---- T6c: deterministic exact-count stratified sample (oracle) ---------
+
+  val q53 = Q(
+    "q53_take_per_stratum",
+    (s, dir) =>
+      graft.ops.Sampling
+        .takePerStratum(Tables.documents(s, dir), "lang", "doc_id", n = 5)
+        .select(col("doc_id"), col("lang")),
+    Some(
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang, row_number() OVER (
+         |    PARTITION BY lang
+         |    ORDER BY ${graft.functions.SharedHash.md5Long60Sql("'graft:' || doc_id::VARCHAR")}, doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= 5""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
-      q44, q45, q46, q47, q48, q49, q50, q51)
+      q44, q45, q46, q47, q48, q49, q50, q51, q52, q53)
 }

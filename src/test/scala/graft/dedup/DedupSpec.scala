@@ -131,6 +131,22 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(10L, 30L, 40L))
   }
 
+  test("SpanDedup.contamination counts spans leaking from the probe set") {
+    val span = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      (1L, s"clean document with entirely original content here now"),
+      (2L, s"prefix words $span suffix words closing out this one"),
+      (3L, "another clean unrelated document full of its own words")
+    ).toDF("doc_id", "text")
+    val probe = Seq((100L, s"the benchmark question contains $span inside it"))
+      .toDF("doc_id", "text")
+    val got = SpanDedup.contamination(corpus, probe, "text", "doc_id", n = 8)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+    assert(got(2L)._3 == 1L) // exactly the planted span leaks
+    assert(got(1L)._3 == 0L && got(3L)._3 == 0L)
+    assert(got.keySet == Set(1L, 2L, 3L)) // every corpus doc reported
+  }
+
   test("NGramJaccard: exact dup jaccard=1, near dup high, unrelated low") {
     val withBlock = docs.withColumn("src", lit("s"))
     val j = NGramJaccard

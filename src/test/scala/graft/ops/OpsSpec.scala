@@ -157,6 +157,47 @@ class OpsSpec extends SparkSpec {
     assert(k1 == k2 && k1 != k3)
   }
 
+  test("Sampling.takePerStratum returns exactly n deterministic rows per stratum") {
+    val df = (0L until 300L).map(i => (i, s"s${i % 3}")).toDF("id", "stratum")
+    val s1 = Sampling.takePerStratum(df, "stratum", "id", n = 7)
+      .select("id", "stratum").as[(Long, String)].collect().toSet
+    val s2 = Sampling.takePerStratum(df, "stratum", "id", n = 7)
+      .select("id", "stratum").as[(Long, String)].collect().toSet
+    assert(s1 == s2)
+    assert(s1.groupBy(_._2).view.mapValues(_.size).toMap == Map("s0" -> 7, "s1" -> 7, "s2" -> 7))
+    // a different salt draws a different sample
+    val s3 = Sampling.takePerStratum(df, "stratum", "id", n = 7, salt = "other")
+      .select("id", "stratum").as[(Long, String)].collect().toSet
+    assert(s1 != s3)
+  }
+
+  test("Sampling.writeShuffled materializes one deterministic global shuffle order") {
+    val ids = (0L until 1000L).toDF("doc_id")
+    val dir = java.nio.file.Files.createTempDirectory("shuf").toString
+    Sampling.writeShuffled(ids, "doc_id", dir, numFiles = 4)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.toString).sorted
+    assert(files.length == 4)
+    // reading files in name order must replay ONE global order by key
+    val replayed = files.flatMap { f =>
+      spark.read.parquet(f).select("doc_id").as[Long].collect()
+    }.toSeq
+    assert(replayed.toSet == (0L until 1000L).toSet) // complete, no dup
+    val keys = ids.sparkSession.createDataset(replayed)
+      .select(Sampling.shuffleKey(col("value")).as("k")).as[Long].collect().toSeq
+    assert(keys == keys.sorted) // globally ordered across file boundaries
+    assert(replayed != (0L until 1000L).toSeq) // actually shuffled
+    // same salt → identical order on a rewrite
+    val dir2 = java.nio.file.Files.createTempDirectory("shuf2").toString
+    Sampling.writeShuffled(ids, "doc_id", dir2, numFiles = 4)
+    val files2 = new java.io.File(dir2).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.toString).sorted
+    val replayed2 = files2.flatMap { f =>
+      spark.read.parquet(f).select("doc_id").as[Long].collect()
+    }.toSeq
+    assert(replayed == replayed2)
+  }
+
   test("Salt.saltedJoin equals plain join on a skewed key distribution") {
     // one hot key (90% of facts) + a tail
     val facts = ((1 to 90).map(i => (7L, i.toDouble)) ++ (1 to 10).map(i => (i.toLong, -i.toDouble)))
