@@ -29,17 +29,24 @@ import org.apache.spark.sql.functions._
 object SpanDedup {
 
   def spanStats(df: DataFrame, textCol: String, idCol: String, n: Int = 8): DataFrame = {
-    val grams = MinHashLsh.shingleHashes(df, textCol, idCol, n) // (id, sh) distinct
+    // the shingling pipeline is the dominant cost and feeds BOTH sides
+    // of the ownership join — persist so it runs once, checkpoint the
+    // (small) per-doc result, release the span frame (MinHashLsh
+    // pattern: compute once, truncate lineage, unpersist upstream)
+    val grams = MinHashLsh.shingleHashes(df, textCol, idCol, n).persist() // (id, sh) distinct
     val owners = grams
       .groupBy(col("sh"))
       .agg(min(col(idCol)).as("owner"), count(lit(1)).as("ndocs"))
-    grams
+    val out = grams
       .join(owners, Seq("sh"))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_spans"),
         sum(when(col("ndocs") > 1, 1).otherwise(0)).as("n_shared"),
         sum(when(col("owner") < col(idCol), 1).otherwise(0)).as("n_foreign"))
+      .localCheckpoint()
+    grams.unpersist(false)
+    out
   }
 
   /** Survivor filter: keep documents owning all their spans (every span

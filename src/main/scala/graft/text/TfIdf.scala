@@ -80,12 +80,20 @@ object TfIdf {
     * carry the least discriminative weight anyway).
     */
   def similarityJoin(unitVec: DataFrame, idCol: String, threshold: Double): DataFrame = {
-    val a = unitVec.select(col(idCol).as("id_a"), col("token"), col("w").as("wa"))
-    val b = unitVec.select(col(idCol).as("id_b"), col("token"), col("w").as("wb"))
-    a.join(b, Seq("token"))
+    // both join sides read the same vector frame: persist so the
+    // explode→tf→idf→normalize pipeline runs once, checkpoint the
+    // (small) pair result, release the vectors (MinHashLsh pattern)
+    val cached = unitVec.persist()
+    val a = cached.select(col(idCol).as("id_a"), col("token"), col("w").as("wa"))
+    val b = cached.select(col(idCol).as("id_b"), col("token"), col("w").as("wb"))
+    val out = a
+      .join(b, Seq("token"))
       .where(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(sum(col("wa") * col("wb")).as("cos"))
       .where(col("cos") >= threshold)
+      .localCheckpoint()
+    cached.unpersist(false)
+    out
   }
 }

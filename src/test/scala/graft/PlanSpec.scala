@@ -79,4 +79,37 @@ class PlanSpec extends SparkSpec {
     val plan = executedPlan(q)
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("tf-idf pair generation is a token equi-join, never a cross product") {
+    // assert on the pre-checkpoint join shape (similarityJoin itself
+    // returns an eagerly checkpointed frame whose plan is a scan)
+    val docs = Tables.documents(spark, sf).limit(100)
+    val vec = graft.text.TfIdf.vectors(docs, "text", "doc_id", nDocs = 100)
+    val unit = graft.text.TfIdf.unitVectors(vec, "doc_id")
+    val a = unit.select(col("doc_id").as("id_a"), col("token"), col("w").as("wa"))
+    val b = unit.select(col("doc_id").as("id_b"), col("token"), col("w").as("wb"))
+    val q = a.join(b, Seq("token")).where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(sum(col("wa") * col("wb")).as("cos"))
+    val plan = executedPlan(q)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("decontamination broadcasts the probe span set; corpus spans joined by hash") {
+    val docs = Tables.documents(spark, sf).limit(200)
+    val q = graft.dedup.SpanDedup.contamination(
+      docs, docs.where(col("doc_id") % 50 === 0), "text", "doc_id")
+    val plan = executedPlan(q)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("PQ ADC scan broadcasts queries over the code table like the exact baseline") {
+    val emb = Tables.embeddings(spark, sf).limit(300)
+    val q = graft.sim.AnnPq.topK(
+      emb.where(col("vec_id") < 3), emb, "vec_id", "embedding",
+      k = 3, m = 8, kCent = 8, sampleN = 64)
+    val plan = executedPlan(q)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
