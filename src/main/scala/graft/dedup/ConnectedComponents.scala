@@ -44,10 +44,12 @@ object ConnectedComponents {
     var labels = sym.select(col("a").as("id")).distinct().withColumn("comp", col("id"))
     val history = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val updHistory = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val verbose = sys.env.contains("GRAFT_CC_VERBOSE")
     var changed = 1L
     var iters = 0
     while (changed > 0 && iters < maxIters) {
       iters += 1
+      val t0 = System.nanoTime()
       // min over neighbors' labels
       val nbrMin = sym
         .join(labels.select(col("id").as("b"), col("comp").as("nbComp")), Seq("b"))
@@ -60,7 +62,10 @@ object ConnectedComponents {
           least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp"),
           (coalesce(col("nbrComp"), col("comp")) < col("comp")).as("chg"))
         .persist()
+      val tC0 = System.nanoTime()
       changed = upd.where(col("chg")).count()
+      if (verbose)
+        System.err.println(f"[cc]   count: ${(System.nanoTime() - tC0) / 1e9}%.1fs")
       // pointer jump: comp ← label of comp (one hop of path compression)
       val jumped = upd
         .join(
@@ -76,6 +81,9 @@ object ConnectedComponents {
       if (updHistory.length >= 3) updHistory.remove(0).unpersist(false)
       if (history.length >= 3)
         checkpointRdd(history.remove(0)).foreach(_.unpersist(false))
+      if (verbose)
+        System.err.println(
+          f"[cc] iter $iters: changed=$changed ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
     labels.count()
     history.dropRight(1).foreach(d => checkpointRdd(d).foreach(_.unpersist(false)))
