@@ -643,7 +643,73 @@ object PipelineQueries {
     )
   )
 
+  // ---- P10: end-to-end fuzzy-dedup pipeline (rows+spec) ------------------
+  // The composed production path: minhash candidates -> Jaccard verify ->
+  // connected components -> keep the min-id doc per cluster. Minhash is
+  // not SQL-expressible, so the driver check is rows-only; the planted
+  // near-dup cluster collapse is pinned by DedupSpec.
+  val q54 = Q(
+    "q54_dedup_pipeline",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = MinHashLsh.nearDuplicates(docs, "text", "doc_id", threshold = 0.5)
+      val comps = ConnectedComponents.components(pairs, "id_a", "id_b")
+      docs
+        .select(col("doc_id"))
+        .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("component"))
+        .where(col("component") === col("doc_id")) // survivors: cluster canonicals
+        .select(col("doc_id"))
+    },
+    None
+  )
+
+  // ---- T9: fixed-window chunking with overlap (oracle) -------------------
+
+  val q55 = Q(
+    "q55_chunk",
+    (s, dir) =>
+      graft.text.Chunker.chunk(Tables.documents(s, dir), "text", "doc_id", chunkSize = 20, overlap = 5),
+    Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |c AS (SELECT doc_id, a, len(a)::BIGINT AS n,
+        |        CASE WHEN len(a) <= 20 THEN 1
+        |             ELSE (len(a) - 20 + 14) // 15 + 1 END AS nc
+        |      FROM t)
+        |SELECT doc_id, i AS chunk_id, i * 15 AS start_tok,
+        |  least(i * 15 + 20, n) - i * 15 AS n_tokens,
+        |  array_to_string(a[i * 15 + 1 : least(i * 15 + 20, n)], ' ') AS chunk_text
+        |FROM c, UNNEST(generate_series(0, nc - 1)) AS u(i)""".stripMargin
+    )
+  )
+
+  // ---- T10: deterministic sequence packing (oracle) ----------------------
+  // The oracle replays the global running sum as ONE window cumsum in
+  // deterministic (salted-hash, id) order; the Spark side never runs a
+  // global sort or window — fixed key ranges + per-range offsets give
+  // the identical assignment with one bounded shuffle.
+  val q56 = Q(
+    "q56_pack_bins",
+    (s, dir) =>
+      graft.ops.Packing.packBins(
+        Tables.documents(s, dir).withColumn("n_tok", size(split(col("text"), " "))),
+        "doc_id",
+        "n_tok",
+        budget = 1024,
+        salt = "pack",
+        parts = 32),
+    Some(
+      s"""WITH t AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n,
+         |  ${graft.functions.SharedHash.md5Long60Sql("'pack:' || doc_id::VARCHAR")} AS k
+         |  FROM documents),
+         |c AS (SELECT doc_id, n,
+         |  (sum(n) OVER (ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING))::BIGINT - n AS cb
+         |  FROM t)
+         |SELECT doc_id, n AS n_tokens, cb // 1024 AS bin, cb % 1024 AS bin_pos FROM c""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
-      q44, q45, q46, q47, q48, q49, q50, q51, q52, q53)
+      q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56)
 }

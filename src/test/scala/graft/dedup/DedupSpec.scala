@@ -160,4 +160,16 @@ class DedupSpec extends SparkSpec {
     assert(j((0L, 2L)) > 0.5)
     assert(j((0L, 3L)) < 0.1)
   }
+
+  test("dedup pipeline: minhash pairs -> components -> min-id survivors") {
+    // docs 0,1,2 form one near-dup cluster; 3 and 4 are singletons
+    val pairs = MinHashLsh.nearDuplicates(docs, "text", "doc_id", threshold = 0.5)
+    val comps = ConnectedComponents.components(pairs, "id_a", "id_b")
+    val survivors = docs
+      .select(col("doc_id"))
+      .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .where(coalesce(col("comp"), col("doc_id")) === col("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(0L, 3L, 4L))
+  }
 }

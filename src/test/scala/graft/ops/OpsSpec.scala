@@ -210,4 +210,42 @@ class OpsSpec extends SparkSpec {
     assert(salted == plain)
     assert(salted.size == 100) // 90 hot-key rows + 10 tail rows, all matched
   }
+
+  test("Packing.packBins equals the global-window reference and is parts-invariant") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = (1 to 500).map(i => (i.toLong, 1 + (i * 37) % 90)).toDF("id", "n_tok")
+    def run(parts: Int) = Packing
+      .packBins(docs, "id", "n_tok", budget = 256, salt = "s1", parts = parts)
+      .select("id", "n_tokens", "bin", "bin_pos")
+      .as[(Long, Long, Long, Long)]
+      .collect()
+      .sortBy(_._1)
+      .toSeq
+    // reference: ONE global window cumsum in (salted key, id) order
+    val w = Window
+      .orderBy(Sampling.shuffleKey(col("id"), "s1"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = docs
+      .withColumn("cb", sum(col("n_tok").cast("long")).over(w) - col("n_tok"))
+      .select(
+        col("id"),
+        col("n_tok").cast("long"),
+        expr("cb DIV 256L"),
+        (col("cb") % 256).cast("long"))
+      .as[(Long, Long, Long, Long)]
+      .collect()
+      .sortBy(_._1)
+      .toSeq
+    val got8 = run(8)
+    assert(got8 == ref)
+    assert(run(1) == got8) // partition count never changes the assignment
+    assert(run(64) == got8)
+    // bins are contiguous token ranges: every bin except the last starts
+    // at its boundary, i.e. some doc has bin_pos < doc-length overlap
+    val bins = got8.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    val maxDoc = got8.map(_._2).max
+    val lastBin = bins.keys.max
+    for ((b, fill) <- bins if b != lastBin)
+      assert(fill >= 256 - maxDoc && fill <= 256 + maxDoc, s"bin $b fill $fill")
+  }
 }

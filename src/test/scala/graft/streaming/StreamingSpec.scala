@@ -149,4 +149,36 @@ class StreamingSpec extends SparkSpec {
       assert(got == batch)
     } finally q.stop()
   }
+
+  test("streaming contamination equals batch SpanDedup.contamination across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val span = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpusRows = Seq(
+      (1L, "clean document with entirely original content here now"),
+      (2L, s"prefix words $span suffix words closing out this one"),
+      (3L, "another clean unrelated document full of its own words"),
+      (4L, "tiny doc"), // shorter than the span window
+      (5L, s"$span") // exactly the span
+    )
+    val probe = Seq((100L, s"the benchmark question contains $span inside it"))
+      .toDF("doc_id", "text")
+    val batch = graft.dedup.SpanDedup
+      .contamination(corpusRows.toDF("doc_id", "text"), probe, "text", "doc_id", n = 8)
+      .as[(Long, Long, Long)].collect().toSet
+
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val out = DocStream.contaminationStream(ms.toDF.toDF("doc_id", "text"), probe, "text", "doc_id", n = 8)
+    val q = out.writeStream.outputMode("append").format("memory").queryName("contam_out").start()
+    try {
+      ms.addData(corpusRows.take(2): _*)
+      q.processAllAvailable()
+      ms.addData(corpusRows.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("contam_out").as[(Long, Long, Long)].collect().toSet
+      assert(got == batch)
+      assert(got.find(_._1 == 2L).get._3 == 1L) // the planted leak
+      assert(got.find(_._1 == 4L).get._2 == 1L) // short doc = one whole-text span
+    } finally q.stop()
+  }
 }

@@ -126,4 +126,44 @@ class TextSpec extends SparkSpec {
     assert(fp(1L) != fp(3L))
     assert(fp(1L) != fp(4L)) // order matters in a rolling hash
   }
+
+  test("Chunker: exact boundaries, overlap, and short-doc single chunk") {
+    val doc = (0 until 25).map(i => s"w$i").mkString(" ") // 25 tokens
+    val df = Seq((1L, doc), (2L, "a b c")).toDF("doc_id", "text")
+    val got = Chunker
+      .chunk(df, "text", "doc_id", chunkSize = 10, overlap = 4)
+      .select("doc_id", "chunk_id", "start_tok", "n_tokens", "chunk_text")
+      .as[(Long, Long, Long, Long, String)]
+      .collect()
+      .sortBy(r => (r._1, r._2))
+    // stride 6: starts 0,6,12,18 -> last covers [18,25) (7 tokens)
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.map(r => (r._2, r._3, r._4)).toSeq ==
+      Seq((0L, 0L, 10L), (1L, 6L, 10L), (2L, 12L, 10L), (3L, 18L, 7L)))
+    assert(d1(1)._5 == (6 until 16).map(i => s"w$i").mkString(" "))
+    assert(got.filter(_._1 == 2L).map(r => (r._2, r._3, r._4, r._5)).toSeq ==
+      Seq((0L, 0L, 3L, "a b c")))
+  }
+
+  test("Chunker: chunks reassemble the document exactly (drop the overlap)") {
+    val docs = Seq(
+      (1L, (0 until 57).map(i => s"t$i").mkString(" ")),
+      (2L, (0 until 20).map(i => s"u$i").mkString(" ")), // exactly chunkSize
+      (3L, "solo")
+    ).toDF("doc_id", "text")
+    val chunks = Chunker
+      .chunk(docs, "text", "doc_id", chunkSize = 20, overlap = 5)
+      .select("doc_id", "chunk_id", "chunk_text")
+      .as[(Long, Long, String)]
+      .collect()
+      .groupBy(_._1)
+    val original = docs.as[(Long, String)].collect().toMap
+    for ((id, cs) <- chunks) {
+      val ordered = cs.sortBy(_._2).map(_._3)
+      // first chunk whole, later chunks minus their 5-token overlap head
+      val rebuilt = (ordered.head +: ordered.tail.map(_.split(" ").drop(5).mkString(" ")))
+        .filter(_.nonEmpty).mkString(" ")
+      assert(rebuilt == original(id), s"doc $id reassembly")
+    }
+  }
 }
