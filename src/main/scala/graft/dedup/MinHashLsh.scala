@@ -65,8 +65,18 @@ object MinHashLsh {
     *
     * Documents with fewer than n tokens contribute their whole text as a
     * single shingle (same convention as [[shinglesFromTokens]]).
+    *
+    * `gramHash` defaults to xxhash64 (codegen'd, the production choice);
+    * the oracle-checked q21 passes [[graft.functions.SharedHash
+    * .md5Long60]] so DuckDB can replay the identical signatures.
     */
-  def shingleHashes(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+  def shingleHashes(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      gramHash: Column => Column = xxhash64(_)
+  ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = df
       .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
@@ -77,10 +87,10 @@ object MinHashLsh {
     val parts = col("tok") +: (1 until n).map(k => col(s"__t$k"))
     val grams = withLeads
       .where(parts.map(_.isNotNull).reduce(_ && _))
-      .select(col(idCol), xxhash64(concat_ws(" ", parts: _*)).as("sh"))
+      .select(col(idCol), gramHash(concat_ws(" ", parts: _*)).as("sh"))
     val shortDocs = df
       .where(size(split(col(textCol), " ")) < n)
-      .select(col(idCol), xxhash64(col(textCol)).as("sh"))
+      .select(col(idCol), gramHash(col(textCol)).as("sh"))
     grams.union(shortDocs).distinct()
   }
 
@@ -200,9 +210,10 @@ object MinHashLsh {
       numHashes: Int = 64,
       shingleSize: Int = 3,
       numBands: Int = 16,
-      seed: Long = 42L
+      seed: Long = 42L,
+      gramHash: Column => Column = xxhash64(_)
   ): DataFrame = {
-    val sh = shingleHashes(df, textCol, idCol, shingleSize).persist()
+    val sh = shingleHashes(df, textCol, idCol, shingleSize, gramHash).persist()
     val sig = signaturesFromShingles(sh, idCol, numHashes, seed)
     val b = bands(sig, idCol, numBands, numHashes).persist()
     val cands = pairsFromBands(b, idCol)

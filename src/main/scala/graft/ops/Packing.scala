@@ -37,6 +37,26 @@ object Packing {
       salt: String = "pack",
       parts: Int = 256
   ): DataFrame = {
+    val (out, keyed) = packBinsPlan(df, idCol, sizeCol, budget, salt, parts)
+    // eager: materialize before releasing the keyed frame both the
+    // totals pass and the output read (the MinHashLsh pattern)
+    val result = out.localCheckpoint()
+    keyed.unpersist(false)
+    result
+  }
+
+  /** The lazy plan + its persisted keyed intermediate — split out so
+    * plan-shape specs can assert on the REAL plan (the public method
+    * returns a checkpointed scan).
+    */
+  private[graft] def packBinsPlan(
+      df: DataFrame,
+      idCol: String,
+      sizeCol: String,
+      budget: Long,
+      salt: String,
+      parts: Int
+  ): (DataFrame, DataFrame) = {
     require(budget > 0, "budget must be positive")
     require(parts > 0, "parts must be positive")
     val key = Sampling.shuffleKey(col(idCol), salt)
@@ -69,8 +89,6 @@ object Packing {
         col("__sz").as("n_tokens"),
         expr(s"__cumBefore DIV ${budget}L").as("bin"),
         (col("__cumBefore") % budget).as("bin_pos"))
-      .localCheckpoint()
-    keyed.unpersist(false)
-    out
+    (out, keyed)
   }
 }

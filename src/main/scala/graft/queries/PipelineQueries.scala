@@ -23,15 +23,53 @@ object PipelineQueries {
     )
   )
 
-  // ---- P2: MinHash LSH candidate pairs (rows+spec) -----------------------
+  // ---- P2: MinHash LSH near-duplicate pairs (oracle) ---------------------
+  // FULLY oracle-checked approximate dedup: the oracle replays the exact
+  // minhash signatures (shared 60-bit md5 gram hash; identical affine-
+  // permutation constants interpolated below; all arithmetic < 2^62 so
+  // BIGINT suffices in both engines) and declares a candidate where ANY
+  // band's 4-lane signature slice is equal — the semantics the Spark
+  // side implements with band-bucket hashing (bucket-hash collisions
+  // without slice equality are ~2^-64, deterministic, and absent at this
+  // sf). Production keeps the faster xxhash64 gram hash (same trade as
+  // q22/q30, SURVEY §8b).
+  private val mhCoefs = MinHashLsh.coefficients(64, 42L)
 
   val q21 = Q(
     "q21_minhash_pairs",
     (s, dir) =>
       MinHashLsh
-        .nearDuplicates(Tables.documents(s, dir), "text", "doc_id", threshold = 0.05)
-        .orderBy(col("id_a"), col("id_b")),
-    None
+        .nearDuplicates(
+          Tables.documents(s, dir),
+          "text",
+          "doc_id",
+          threshold = 0.05,
+          gramHash = graft.functions.SharedHash.md5Long60),
+    Some(
+      s"""WITH consts AS (SELECT ${mhCoefs.map(_._1).mkString("[", ",", "]")}::BIGINT[] AS ca,
+         |                       ${mhCoefs.map(_._2).mkString("[", ",", "]")}::BIGINT[] AS cb),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+         |g0 AS (SELECT doc_id, array_to_string(a[i:i+2], ' ') AS g
+         |       FROM toks, UNNEST(generate_series(1, len(a) - 2)) AS u(i) WHERE len(a) >= 3),
+         |gshort AS (SELECT doc_id, text AS g FROM documents WHERE len(string_split(text, ' ')) < 3),
+         |grams AS (SELECT DISTINCT doc_id,
+         |    ${graft.functions.SharedHash.md5Long60Sql("g")} AS sh
+         |  FROM (SELECT * FROM g0 UNION ALL SELECT * FROM gshort)),
+         |hl AS (SELECT doc_id, list(sh % 2147483647) AS hs, list(sh) AS ss FROM grams GROUP BY doc_id),
+         |sig AS (SELECT doc_id, ss,
+         |    list_transform(range(64), i ->
+         |      list_min(list_transform(hs, h -> (ca[i + 1] * h + cb[i + 1]) % 2147483647))) AS s
+         |  FROM hl CROSS JOIN consts),
+         |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ss AS sa, b.ss AS sb
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |  WHERE len(list_filter(range(16), bb ->
+         |    list_slice(a.s, bb * 4 + 1, bb * 4 + 4) = list_slice(b.s, bb * 4 + 1, bb * 4 + 4))) > 0),
+         |j AS (SELECT id_a, id_b,
+         |    round(len(list_filter(sa, x -> list_contains(sb, x)))::DOUBLE /
+         |      (len(sa) + len(sb) - len(list_filter(sa, x -> list_contains(sb, x)))), 4) AS jaccard
+         |  FROM cand)
+         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.05""".stripMargin
+    )
   )
 
   // ---- P3: SimHash fingerprints (oracle via shared md5-derived hash) -----
@@ -643,16 +681,22 @@ object PipelineQueries {
     )
   )
 
-  // ---- P10: end-to-end fuzzy-dedup pipeline (rows+spec) ------------------
+  // ---- P10: end-to-end fuzzy-dedup pipeline (oracle) ---------------------
   // The composed production path: minhash candidates -> Jaccard verify ->
-  // connected components -> keep the min-id doc per cluster. Minhash is
-  // not SQL-expressible, so the driver check is rows-only; the planted
-  // near-dup cluster collapse is pinned by DedupSpec.
+  // connected components -> keep the min-id doc per cluster. The oracle
+  // composes the q21 signature replay (shared md5 gram hash, identical
+  // permutation constants) with the q44 recursive-CTE reachability — so
+  // even the APPROXIMATE end-to-end dedup output is hash-checked.
   val q54 = Q(
     "q54_dedup_pipeline",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = MinHashLsh.nearDuplicates(docs, "text", "doc_id", threshold = 0.5)
+      val pairs = MinHashLsh.nearDuplicates(
+        docs,
+        "text",
+        "doc_id",
+        threshold = 0.5,
+        gramHash = graft.functions.SharedHash.md5Long60)
       val comps = ConnectedComponents.components(pairs, "id_a", "id_b")
       docs
         .select(col("doc_id"))
@@ -661,7 +705,34 @@ object PipelineQueries {
         .where(col("component") === col("doc_id")) // survivors: cluster canonicals
         .select(col("doc_id"))
     },
-    None
+    Some(
+      s"""WITH RECURSIVE consts AS (SELECT ${mhCoefs.map(_._1).mkString("[", ",", "]")}::BIGINT[] AS ca,
+         |                       ${mhCoefs.map(_._2).mkString("[", ",", "]")}::BIGINT[] AS cb),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+         |g0 AS (SELECT doc_id, array_to_string(a[i:i+2], ' ') AS g
+         |       FROM toks, UNNEST(generate_series(1, len(a) - 2)) AS u(i) WHERE len(a) >= 3),
+         |gshort AS (SELECT doc_id, text AS g FROM documents WHERE len(string_split(text, ' ')) < 3),
+         |grams AS (SELECT DISTINCT doc_id,
+         |    ${graft.functions.SharedHash.md5Long60Sql("g")} AS sh
+         |  FROM (SELECT * FROM g0 UNION ALL SELECT * FROM gshort)),
+         |hl AS (SELECT doc_id, list(sh % 2147483647) AS hs, list(sh) AS ss FROM grams GROUP BY doc_id),
+         |sig AS (SELECT doc_id, ss,
+         |    list_transform(range(64), i ->
+         |      list_min(list_transform(hs, h -> (ca[i + 1] * h + cb[i + 1]) % 2147483647))) AS s
+         |  FROM hl CROSS JOIN consts),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |  WHERE len(list_filter(range(16), bb ->
+         |    list_slice(a.s, bb * 4 + 1, bb * 4 + 4) = list_slice(b.s, bb * 4 + 1, bb * 4 + 4))) > 0
+         |  AND round(len(list_filter(a.ss, x -> list_contains(b.ss, x)))::DOUBLE /
+         |    (len(a.ss) + len(b.ss) - len(list_filter(a.ss, x -> list_contains(b.ss, x)))), 4) >= 0.5),
+         |e AS (SELECT id_a AS a, id_b AS b FROM p UNION ALL SELECT id_b, id_a FROM p),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b)
+         |SELECT id AS doc_id FROM reach GROUP BY id HAVING min(r) = id""".stripMargin
+    )
   )
 
   // ---- T9: fixed-window chunking with overlap (oracle) -------------------

@@ -112,4 +112,30 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("chunking is embarrassingly parallel: no exchange, no window, no join") {
+    val q = graft.text.Chunker.chunk(
+      spark.read.parquet(s"$sf/documents.parquet"), "text", "doc_id", 20, 5)
+    val plan = executedPlan(q)
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("packing shuffles once on the fixed key range; no global single-partition sort") {
+    import spark.implicits._
+    val docs = (1 to 300).map(i => (i.toLong, 1 + i % 50)).toDF("id", "n_tok")
+    // the public packBins checkpoints eagerly (its plan is a scan);
+    // assert on the lazy plan the checkpoint materializes
+    val (lazyOut, keyed) = graft.ops.Packing.packBinsPlan(docs, "id", "n_tok", 256, "pack", 8)
+    // AQE plan strings repeat the plan under "== Initial Plan =="; count
+    // exchanges in the final section only
+    val plan = executedPlan(lazyOut).split("== Initial Plan ==")(0)
+    keyed.unpersist(false)
+    // exactly one hashpartitioning exchange (the __part shuffle feeding
+    // the window); a naive global cumsum would plan SinglePartition
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    assert(!plan.contains("rangepartitioning"), plan)
+  }
 }
