@@ -55,10 +55,68 @@ case class FloatDot(left: Expression, right: Expression) extends BinaryExpressio
     copy(left = l, right = r)
 }
 
+/** Codegen'd L2 unit-normalization of an `array<float>` column, result
+  * `array<double>`. The composable `transform(v, x -> x / norm(v))`
+  * re-evaluates the norm subtree PER ELEMENT once CollapseProject
+  * inlines the bound alias into the interpreted lambda (the measured
+  * shingling pitfall, SURVEY §3) — here the norm is computed once and
+  * the divide is one primitive loop. A zero vector normalizes to zeros.
+  */
+case class FloatNormalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val f = x.getFloat(i).toDouble; s += f * f; i += 1 }
+    val inv = if (s == 0.0) 0.0 else 1.0 / math.sqrt(s)
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) { out(i) = x.getFloat(i).toDouble * inv; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val n = ctx.freshName("fnN")
+    val s = ctx.freshName("fnS")
+    val i = ctx.freshName("fnI")
+    val inv = ctx.freshName("fnInv")
+    val out = ctx.freshName("fnOut")
+    val v = ctx.freshName("fnV")
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      a => s"""
+        |int $n = $a.numElements();
+        |double $s = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  double $v = (double) $a.getFloat($i); $s += $v * $v;
+        |}
+        |double $inv = $s == 0.0 ? 0.0 : 1.0 / java.lang.Math.sqrt($s);
+        |double[] $out = new double[$n];
+        |for (int $i = 0; $i < $n; $i++) {
+        |  $out[$i] = (double) $a.getFloat($i) * $inv;
+        |}
+        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+        |""".stripMargin
+    )
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FloatNormalize =
+    copy(child = newChild)
+}
+
 object FloatVec {
   /** Dot product of two float-array columns (double result). */
   def dot(a: Column, b: Column): Column = Bridge.column(FloatDot(Bridge.expr(a), Bridge.expr(b)))
 
   /** L2 norm of a float-array column. */
   def norm(v: Column): Column = org.apache.spark.sql.functions.sqrt(dot(v, v))
+
+  /** Unit-normalized copy (array<double>) of a float-array column. */
+  def normalize(v: Column): Column = Bridge.column(FloatNormalize(Bridge.expr(v)))
 }

@@ -780,7 +780,55 @@ object PipelineQueries {
     )
   )
 
+  // ---- P11: embedding centroids / mean pooling (oracle) ------------------
+  // One-pass VecSumAgg centroid per label, exploded to long format so the
+  // oracle (per-dim avg over an unnest) can hash-compare. Both engines
+  // accumulate float32 inputs in double, so 4-dp rounding is stable.
+  val q57 = Q(
+    "q57_embed_centroids",
+    (s, dir) =>
+      graft.sim.Embed
+        .centroids(Tables.embeddings(s, dir), "embedding", "label")
+        .select(col("label"), col("n"), posexplode(col("centroid")).as(Seq("dim0", "c0")))
+        .select(col("label"), col("n"), (col("dim0") + 1).cast("long").as("dim"),
+          round(col("c0"), 4).as("cv")),
+    Some(
+      """SELECT label, count(*) AS n, i AS dim,
+        |  round(sum(embedding[i]) / count(*), 4) AS cv
+        |FROM embeddings, UNNEST(generate_series(1, 64)) AS u(i)
+        |GROUP BY label, i""".stripMargin
+    )
+  )
+
+  // ---- P11b: nearest-centroid assignment (oracle) ------------------------
+  // Broadcast the tiny centroid table, codegen dot per (vector, centroid),
+  // keep the argmax — corpus scanned once, never shuffled on vectors.
+  val q58 = Q(
+    "q58_embed_assign",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.sim.Embed
+        .assign(emb, graft.sim.Embed.centroids(emb, "embedding", "label"), "embedding", "vec_id")
+        .select(col("vec_id"), col("assigned").cast("long").as("assigned"))
+    },
+    Some(
+      """WITH cent AS (
+        |  SELECT label, i AS dim, (sum(embedding[i]) / count(*))::FLOAT AS cv
+        |  FROM embeddings, UNNEST(generate_series(1, 64)) AS u(i)
+        |  GROUP BY label, i),
+        |score AS (
+        |  SELECT e.vec_id, c.label,
+        |    sum(e.embedding[c.dim]::DOUBLE * c.cv::DOUBLE) /
+        |      (sqrt(sum(e.embedding[c.dim]::DOUBLE * e.embedding[c.dim]::DOUBLE)) *
+        |       sqrt(sum(c.cv::DOUBLE * c.cv::DOUBLE))) AS cos
+        |  FROM embeddings e CROSS JOIN cent c
+        |  GROUP BY e.vec_id, c.label)
+        |SELECT vec_id, label::BIGINT AS assigned FROM score
+        |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, label) = 1""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
-      q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56)
+      q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58)
 }

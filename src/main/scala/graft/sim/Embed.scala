@@ -1,0 +1,61 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{FloatVec, VecSumAgg}
+
+/** Embedding-column utilities: per-group centroids (mean pooling) and
+  * unit normalization — the aggregation side of the similarity stack
+  * (cluster centroids, per-domain embedding profiles, pooled chunk
+  * vectors).
+  */
+object Embed {
+
+  /** One row per group: member count and the mean vector, computed in a
+    * single map-side-combined pass ([[VecSumAgg]]) — the shuffle carries
+    * one dims×8-byte partial per (partition, group), never the members.
+    */
+  def centroids(df: DataFrame, vecCol: String, groupCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), VecSumAgg.vecSum(col(vecCol)).as("__vsum"))
+      .withColumn("centroid", transform(col("__vsum"), x => x / col("n")))
+      .drop("__vsum")
+
+  /** Unit-normalized copy of a float vector (array<double>), one
+    * codegen pass ([[graft.functions.FloatNormalize]] — the HOF form
+    * would re-evaluate the norm per element, SURVEY §3).
+    */
+  def normalized(vec: Column): Column = FloatVec.normalize(vec)
+
+  /** Assign each vector to its nearest centroid (cosine): broadcast the
+    * (tiny) centroid table, score with the codegen'd dot product. The
+    * corpus is scanned once and never shuffled on vectors — same shape
+    * as the brute-force scorer in [[Cosine.topK]].
+    */
+  def assign(
+      df: DataFrame,
+      cents: DataFrame,
+      vecCol: String,
+      idCol: String,
+      centIdCol: String = "label"
+  ): DataFrame = {
+    val c = broadcast(
+      cents.select(
+        col(centIdCol).as("cent_label"),
+        col("centroid").cast("array<float>").as("cvec")))
+    val scored = df
+      .join(c)
+      .withColumn(
+        "cos",
+        FloatVec.dot(col(vecCol), col("cvec")) /
+          (FloatVec.norm(col(vecCol)) * FloatVec.norm(col("cvec"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("cos").desc, col("cent_label"))
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col(idCol), col("cent_label").as("assigned"), round(col("cos"), 4).as("cos"))
+  }
+}

@@ -159,4 +159,40 @@ class SimSpec extends SparkSpec {
     assert(cb1.flat.toSeq == cb2.flat.toSeq)
     assert(cb1.dsub * cb1.m == 64) // embeddings are 64-dim
   }
+
+  test("Embed.centroids mean-pools per group in one pass; normalize gives unit norm") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, "a", vec(1.0, 0.0, 3.0)),
+      (2L, "a", vec(3.0, 2.0, 1.0)),
+      (3L, "b", vec(0.0, 4.0, 0.0))
+    ).toDF("id", "grp", "v").repartition(3)
+    val cents = Embed.centroids(df, "v", "grp")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getSeq[Double](2))).toMap
+    assert(cents("a")._1 == 2L)
+    assert(cents("a")._2 == Seq(2.0, 1.0, 2.0))
+    assert(cents("b")._2 == Seq(0.0, 4.0, 0.0))
+    val normed = df.select(Embed.normalized(col("v")).as("u"))
+      .collect().map(_.getSeq[Double](0))
+    for (u <- normed)
+      assert(math.abs(u.map(x => x * x).sum - 1.0) < 1e-9)
+    // zero vector stays zero, no NaN
+    val z = Seq((1L, vec(0.0, 0.0))).toDF("id", "v")
+      .select(Embed.normalized(col("v")).as("u")).head().getSeq[Double](0)
+    assert(z == Seq(0.0, 0.0))
+  }
+
+  test("Embed.assign routes vectors to the nearest centroid by cosine") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, 0, vec(1.0, 0.1, 0.0)),
+      (2L, 0, vec(0.9, 0.0, 0.1)),
+      (3L, 1, vec(0.0, 1.0, 0.1)),
+      (4L, 1, vec(0.1, 0.9, 0.0))
+    ).toDF("id", "grp", "v")
+    val cents = Embed.centroids(df, "v", "grp")
+    val got = Embed.assign(df, cents, "v", "id", centIdCol = "grp")
+      .select("id", "assigned").as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1))
+  }
 }
