@@ -39,6 +39,103 @@ object DocStream {
     array_sort(array_distinct(when(nt < n, array(xxhash64(textCol))).otherwise(spans)))
   }
 
+  /** Streaming near-duplicate detection against a STATIC historical
+    * corpus — "is this incoming document a fuzzy copy of anything we
+    * already have?", the ingest-time gate in front of a training-data
+    * lake. Pure append mode with ZERO state store:
+    *
+    *  - The static side is indexed once (shingle → minhash signature →
+    *    banded buckets + verify sets, the [[MinHashLsh]] pipeline) and
+    *    persisted; every micro-batch joins against it.
+    *  - Each streamed row computes its own signature row-locally
+    *    (span hashes via [[spanArray]], then each lane's affine-
+    *    permutation min over a literal coefficient array) — identical
+    *    values to [[MinHashLsh.signaturesFromShingles]], pinned by
+    *    `StreamingSpec`.
+    *  - Candidates come from a hash join on (band, bucket) — never all
+    *    pairs. A pair colliding in several bands would duplicate output
+    *    rows, and streaming can't `distinct()` without state; instead
+    *    each joined row carries BOTH signatures, and a row survives only
+    *    if NO EARLIER band also collides — each pair emits from exactly
+    *    one deterministic band.
+    *  - Verification is the codegen'd sorted-set intersect against the
+    *    corpus doc's shingle set, exactly like the batch verify stage.
+    */
+  def nearDupAgainstCorpus(
+      stream: DataFrame,
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      numHashes: Int = 64,
+      shingleSize: Int = 3,
+      numBands: Int = 16,
+      seed: Long = 42L
+  ): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    val coefs = MinHashLsh.coefficients(numHashes, seed)
+    val prime = 2147483647L
+
+    // ---- static index (computed once, reused every micro-batch) ----
+    val sh = MinHashLsh.shingleHashes(corpus, textCol, idCol, shingleSize)
+    val sig = MinHashLsh.signaturesFromShingles(sh, idCol, numHashes, seed)
+    val corpusBands = MinHashLsh
+      .bands(sig, idCol, numBands, numHashes)
+      .join(sig.select(col(idCol).as("corpus_id"), col("sig").as("corpus_sig")),
+        col(idCol) === col("corpus_id"))
+      .join(
+        MinHashLsh.setsFromShingles(sh, idCol)
+          .select(col(idCol).as("__sid"), col("sh_set").as("corpus_set")),
+        col("corpus_id") === col("__sid"))
+      .select(col("band"), col("bucket"), col("corpus_id"), col("corpus_sig"), col("corpus_set"))
+      .persist()
+
+    // ---- per-row signature on the stream side ----
+    val aLit = lit(coefs.map(_._1).toArray)
+    val bLit = lit(coefs.map(_._2).toArray)
+    val withSig = stream
+      .withColumn("__spans", spanArray(col(textCol), shingleSize))
+      .withColumn(
+        "__sig",
+        transform(
+          sequence(lit(0), lit(numHashes - 1)),
+          i =>
+            array_min(
+              transform(
+                col("__spans"),
+                h => pmod(element_at(aLit, i + 1) * pmod(h, lit(prime)) + element_at(bLit, i + 1), lit(prime))))))
+    val streamBands = withSig.select(
+      col(idCol),
+      col("__spans"),
+      col("__sig"),
+      posexplode(array((0 until numBands).map { b =>
+        struct(
+          lit(b).as("band"),
+          xxhash64(concat_ws(",", slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand))).as("bucket"))
+      }: _*)).as(Seq("__pos", "bb")))
+      .select(col(idCol), col("__spans"), col("__sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+    // ---- candidate join + first-matching-band dedup + verify ----
+    val sliceEq = (b: Column) =>
+      slice(col("__sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand)) ===
+        slice(col("corpus_sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand))
+    // NB sequence(0, band-1) would be DESCENDING for band=0 (Spark infers
+    // step -1); filter a constant 0..numBands-1 range instead
+    streamBands
+      .join(corpusBands, Seq("band", "bucket"))
+      .where(size(filter(
+        sequence(lit(0), lit(numBands - 1)),
+        b => b < col("band") && sliceEq(b))) === 0)
+      .withColumn(
+        "inter",
+        graft.functions.SetOps.sortedIntersectSize(col("__spans"), col("corpus_set")).cast("double"))
+      .withColumn(
+        "jaccard",
+        round(col("inter") / (size(col("__spans")) + size(col("corpus_set")) - col("inter")), 4))
+      .where(col("jaccard") >= threshold)
+      .select(col(idCol), col("corpus_id"), col("jaccard"))
+  }
+
   /** Per streamed document: `n_spans` distinct n-token spans and
     * `n_hits` of them appearing anywhere in the static `probe` set —
     * the streaming form of [[graft.dedup.SpanDedup.contamination]]

@@ -181,4 +181,38 @@ class StreamingSpec extends SparkSpec {
       assert(got.find(_._1 == 4L).get._2 == 1L) // short doc = one whole-text span
     } finally q.stop()
   }
+
+  test("streaming near-dup against a static corpus flags planted copies across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (101L, "completely different words about spark clusters and shuffle partitions here"),
+      (102L, "another unrelated document mentioning parquet files and columnar storage layouts")
+    ).toDF("doc_id", "text")
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val out = DocStream.nearDupAgainstCorpus(
+      ms.toDF.toDF("doc_id", "text"), corpus, "text", "doc_id", threshold = 0.5)
+    val q = out.writeStream.outputMode("append").format("memory").queryName("neardup_out").start()
+    try {
+      // batch 1: exact copy of 100 + an unrelated doc
+      ms.addData(
+        (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2L, "nothing in common with anything stored previously in the corpus lake"))
+      q.processAllAvailable()
+      // batch 2: near copy of 100 (one word changed)
+      ms.addData((3L, "the quick brown fox jumps over the lazy dog near the river bend today"))
+      q.processAllAvailable()
+      val got = spark.table("neardup_out")
+        .select("doc_id", "corpus_id", "jaccard")
+        .as[(Long, Long, Double)].collect()
+      // each flagged pair appears EXACTLY once (first-matching-band rule)
+      assert(got.map(r => (r._1, r._2)).distinct.length == got.length)
+      val byPair = got.map(r => (r._1, r._2) -> r._3).toMap
+      assert(byPair.contains((1L, 100L)) && byPair((1L, 100L)) == 1.0)
+      assert(byPair.contains((3L, 100L)) && byPair((3L, 100L)) >= 0.5)
+      assert(!got.exists(_._1 == 2L)) // unrelated doc never flagged
+      assert(!got.exists(r => r._2 == 101L || r._2 == 102L))
+    } finally q.stop()
+  }
 }
