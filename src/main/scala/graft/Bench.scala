@@ -54,6 +54,10 @@ object Bench {
           val (dt2, out2) = once()
           if (out2.isRight && dt2 < dt1) (dt2, out2) else (dt1, out1)
         } else (dt1, out1)
+      // queries materialize eagerly (localCheckpoint); their cached RDD
+      // blocks are dead once counted but would otherwise accumulate
+      // across the whole suite and tax later queries' GC/block manager
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       System.err.println(
         f"[bench] done  $name in $dt%.1fs${outcome.fold(m => s" FAILED: $m", r => s" ($r rows)")}")
       (name, dt, outcome)
