@@ -488,11 +488,12 @@ object FixedEffects {
       maxSweeps: Int = 500,
       tol: Double = 1e-9,
       checkRank: Boolean = false,
-      keep: Seq[String] = Nil
+      keep: Seq[String] = Nil,
+      collectCellLimit: Long = 2000000L
   ): FeModel = {
     require(fes.nonEmpty, "use Ols.fit when there are no fixed effects")
     val needed = (fes ++ (y +: xs) ++ keep).distinct
-    val d = demeanFull(df.select(needed.map(col): _*), y +: xs, fes, maxSweeps, tol)
+    val d = demeanFull(df.select(needed.map(col): _*), y +: xs, fes, maxSweeps, tol, collectCellLimit)
     val ols =
       Ols.fit(d.frame, s"${y}__dm", xs.map(x => s"${x}__dm"), intercept = false, checkRank = checkRank)
     // map dropped/kept names back to the original x names

@@ -227,6 +227,28 @@ object CoreQueries {
     None
   )
 
+  // ---- C8b: two-way FE, DISTRIBUTED cell regime (rows+spec) --------------
+  // Same estimate as q08, but collectCellLimit = 0 forces the sweeps to
+  // run over the persisted distributed cell frame — the regime a 100 TB
+  // panel (cells ≫ driver memory) uses. Regime parity is pinned by
+  // RegressionSpec; this row makes the scale path's wall-time visible
+  // in every bench round.
+  val q59 = Q(
+    "q59_fe_two_way_distributed",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val m = cached(s"fe_two_way_dist:$dir")(
+        FixedEffects.fit(
+          li,
+          "l_extendedprice",
+          Seq("l_quantity"),
+          Seq("l_suppkey", "l_partkey"),
+          collectCellLimit = 0L))
+      scalarRow(s, Seq("slope" -> rnd(m.coef(0), 6)), Seq("n" -> m.n, "sweeps" -> m.sweeps.toLong))
+    },
+    None
+  )
+
   // ---- C9: residuals ----------------------------------------------------
 
   val q09 = Q(
@@ -662,5 +684,5 @@ object CoreQueries {
 
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18,
-      q19, q36, q37, q38, q41, q42, q43)
+      q19, q36, q37, q38, q41, q42, q43, q59)
 }

@@ -139,6 +139,11 @@ class RegressionSpec extends SparkSpec {
     val effL = fl.effects.get.head.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     val effD = fd.effects.get.head.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     for ((g, v) <- effL) assert(math.abs(v - effD(g)) < 1e-8)
+
+    // and the full fit (the q59 path) agrees coefficient-for-coefficient
+    val mL = FixedEffects.fit(df, "y", Seq("x"), Seq("u", "t"), tol = 1e-12)
+    val mD = FixedEffects.fit(df, "y", Seq("x"), Seq("u", "t"), tol = 1e-12, collectCellLimit = 0)
+    assert(math.abs(mL.coef(0) - mD.coef(0)) < 1e-10)
   }
 
   test("FixedEffects.fitMulti matches per-outcome FixedEffects.fit") {
