@@ -87,6 +87,46 @@ object Sampling {
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") <= n).drop("__rn")
   }
 
+  /** Temperature-based mixture sampling (the multilingual/multi-source
+    * rebalancing step of an LLM data pipeline): stratum `s` with `n_s`
+    * documents gets mixture weight `w_s = n_s^alpha / Σ_t n_t^alpha`,
+    * and each of its documents survives with probability
+    * `p_s = min(1, w_s · targetN / n_s)` — `alpha < 1` flattens the
+    * distribution toward low-resource strata (upsampling is capped at
+    * keeping everything; replication is a different operator). The
+    * keep decision is `saltedHash(id) / 2^60 < p_s`: a pure function of
+    * (salt, id, stratum counts), reproducible on any cluster size and
+    * replayed bit-for-bit by the DuckDB oracle.
+    *
+    * Shape: one count aggregate (tiny — one row per stratum), weights
+    * derived on that frame with a constant-partition window, broadcast
+    * back, and one codegen'd filter over the corpus. The corpus is
+    * scanned once and never shuffled.
+    */
+  def temperatureSample(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      alpha: Double,
+      targetN: Long,
+      salt: String = "graft"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alpha > 0, "alpha must be positive")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(lit(1))
+    val probs = counts
+      .withColumn("__w", pow(col("__n").cast("double"), alpha))
+      .withColumn("__p",
+        least(lit(1.0), col("__w") / sum(col("__w")).over(w) * targetN / col("__n")))
+      .select(col(strataCol), col("__p"))
+    df.join(broadcast(probs), Seq(strataCol))
+      .where(
+        shuffleKey(col(idCol), salt).cast("double") / lit(1152921504606846976.0 /* 2^60 */) <
+          col("__p"))
+      .drop("__p")
+  }
+
   /** Stratified sample: per-stratum fractions (exact-fraction variant of
     * `df.stat.sampleBy`, which is itself hash-seeded and deterministic
     * for a fixed seed + partitioning; prefer [[deterministicSplit]]

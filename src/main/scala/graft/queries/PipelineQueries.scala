@@ -828,7 +828,29 @@ object PipelineQueries {
     )
   )
 
+  // ---- T11: temperature-based mixture sampling (oracle) ------------------
+  // n_s^alpha rebalancing toward low-resource strata; keep decision is a
+  // pure function of (salt, id, stratum counts) — the oracle replays it
+  // bit-for-bit (both engines: double pow/sum, same md5-hash threshold).
+  val q60 = Q(
+    "q60_temperature_sample",
+    (s, dir) =>
+      graft.ops.Sampling
+        .temperatureSample(Tables.documents(s, dir), "lang", "doc_id", alpha = 0.5, targetN = 200)
+        .select(col("doc_id"), col("lang")),
+    Some(
+      s"""WITH c AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang),
+         |p AS (SELECT lang,
+         |        least(1.0, pow(n, 0.5) / sum(pow(n, 0.5)) OVER () * 200 / n) AS pr
+         |      FROM c)
+         |SELECT d.doc_id, d.lang
+         |FROM documents d JOIN p USING (lang)
+         |WHERE ${graft.functions.SharedHash.md5Long60Sql("'graft:' || d.doc_id::VARCHAR")}::DOUBLE
+         |      / 1152921504606846976.0 < p.pr""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
-      q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58)
+      q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60)
 }

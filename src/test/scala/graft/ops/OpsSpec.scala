@@ -211,6 +211,25 @@ class OpsSpec extends SparkSpec {
     assert(salted.size == 100) // 90 hot-key rows + 10 tail rows, all matched
   }
 
+  test("Sampling.temperatureSample flattens toward low-resource strata, deterministically") {
+    val docs = ((1 to 200).map(i => (i.toLong, "high")) ++ (1001 to 1020).map(i => (i.toLong, "low")))
+      .toDF("id", "lang")
+    val kept = Sampling.temperatureSample(docs, "lang", "id", alpha = 0.5, targetN = 60)
+      .select("id", "lang").as[(Long, String)].collect().toSet
+    // deterministic: identical output regardless of partitioning
+    val kept2 = Sampling.temperatureSample(docs.repartition(7), "lang", "id", alpha = 0.5, targetN = 60)
+      .select("id", "lang").as[(Long, String)].collect().toSet
+    assert(kept == kept2)
+    // alpha < 1 upweights the low-resource stratum: its keep RATE must
+    // exceed the high-resource stratum's
+    val rateHigh = kept.count(_._2 == "high") / 200.0
+    val rateLow = kept.count(_._2 == "low") / 20.0
+    assert(rateLow > rateHigh, s"low $rateLow vs high $rateHigh")
+    // alpha = 1 with targetN = N keeps everything (p_s = 1)
+    val all = Sampling.temperatureSample(docs, "lang", "id", alpha = 1.0, targetN = 220)
+    assert(all.count() == 220)
+  }
+
   test("Packing.packBins equals the global-window reference and is parts-invariant") {
     import org.apache.spark.sql.expressions.Window
     val docs = (1 to 500).map(i => (i.toLong, 1 + (i * 37) % 90)).toDF("id", "n_tok")
