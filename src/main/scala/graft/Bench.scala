@@ -47,20 +47,33 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, outcome)
       }
+      val memoBefore = graft.queries.CoreQueries.memoKeys
       val (dt1, out1) = once()
-      val (dt, outcome) =
+      val (dt, outcome, samples) =
         if (out1.isRight && dt1 > retrySec) {
+          // a memoized fit would make the retry a ~0s memo hit — evict
+          // the entries THIS query created so the second sample re-runs
+          // the real distributed work (round-2 advice)
+          graft.queries.CoreQueries.evictMemo(
+            graft.queries.CoreQueries.memoKeys -- memoBefore)
           System.err.println(f"[bench] retry $name (first run $dt1%.1fs)")
           val (dt2, out2) = once()
-          if (out2.isRight && dt2 < dt1) (dt2, out2) else (dt1, out1)
-        } else (dt1, out1)
+          // keep BOTH samples in the JSON: min-of-two de-noises the
+          // hypervisor, but the gap itself must stay visible across rounds
+          if (out2.isRight && dt2 < dt1) (dt2, out2, Seq(dt1, dt2))
+          else (dt1, out1, Seq(dt1, dt2))
+        } else (dt1, out1, Seq.empty[Double])
       // queries materialize eagerly (localCheckpoint); their cached RDD
       // blocks are dead once counted but would otherwise accumulate
-      // across the whole suite and tax later queries' GC/block manager
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // across the whole suite and tax later queries' GC/block manager.
+      // EXCEPT blocks still referenced by memoized models (the distributed
+      // FE regime keeps localCheckpoint'ed frames alive across queries).
+      val keep = graft.queries.CoreQueries.protectedRddIds
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) => if (!keep(id)) rdd.unpersist(false) }
       System.err.println(
         f"[bench] done  $name in $dt%.1fs${outcome.fold(m => s" FAILED: $m", r => s" ($r rows)")}")
-      (name, dt, outcome)
+      (name, dt, outcome, samples)
     }
     def jstr(s: String) =
       "\"" + s.flatMap {
@@ -68,17 +81,27 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
     val ok = results.filter(_._3.isRight)
-    val qs = ok.map { case (k, v, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Left(m)) => jstr(k) + ":" + jstr(m) }
+    val qs = ok.map { case (k, v, _, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Left(m), _) => jstr(k) + ":" + jstr(m) }
       .mkString("{", ",", "}")
     // result-row counts: a WORK metric that is stable across the 10-40x
     // wall-time variance this sandbox shows under hypervisor contention —
     // regressions in work done show up here even when timings are noise
-    val rows = results.collect { case (k, _, Right(n)) => jstr(k) + ":" + n }
+    val rows = results.collect { case (k, _, Right(n), _) => jstr(k) + ":" + n }
       .mkString("{", ",", "}")
+    // both samples for every retried query — min-of-two must not be able
+    // to hide a warm-path regression (round-2 verdict)
+    val retries = results.collect { case (k, _, _, s) if s.nonEmpty =>
+      jstr(k) + ":" + s.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"rows":$rows,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"rows":$rows,"retries":$retries,"sf":"$sfDir"}"""
+    println(line)
+    // durable copy: the driver's stdout capture truncated round 2's tail
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")), line)
+    catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
   }
 }

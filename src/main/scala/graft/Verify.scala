@@ -24,8 +24,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // release each query's dead checkpoint/cache blocks (see Bench)
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // release each query's dead checkpoint/cache blocks (see Bench),
+      // keeping blocks memoized models still reference
+      val keep = graft.queries.CoreQueries.protectedRddIds
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) => if (!keep(id)) rdd.unpersist(false) }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -50,6 +50,9 @@ case class VecSumAgg(
     if (b1.length == 0) b2
     else if (b2.length == 0) b1
     else {
+      // same guard as update(): ragged lengths split across partitions
+      // must fail loudly, not silently truncate / overrun
+      require(b1.length == b2.length, s"vector length mismatch: ${b1.length} vs ${b2.length}")
       var i = 0
       while (i < b1.length) { b1(i) += b2(i); i += 1 }
       b1

@@ -26,8 +26,16 @@ object Salt {
   def rowSalt(factor: Int): Column =
     pmod(xxhash64(monotonically_increasing_id()), lit(factor.toLong))
 
+  private val SafeJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti")
+
   /** `facts ⋈ dim` on `key`, with the hot-key load spread over `factor`
     * tasks. `dim` is replicated `factor` times — keep it the SMALL side.
+    *
+    * Only fact-preserving join types are accepted: under right/full outer
+    * an unmatched dim key would emit `factor` null-padded duplicates (the
+    * dim side is exploded into `factor` copies), so those are rejected.
     */
   def saltedJoin(
       facts: DataFrame,
@@ -37,6 +45,10 @@ object Salt {
       joinType: String = "inner"
   ): DataFrame = {
     require(factor >= 1, "salt factor must be >= 1")
+    require(
+      SafeJoinTypes.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin supports inner/left/left_semi/left_anti; '$joinType' would " +
+        "duplicate unmatched dim keys factor times (dim side is exploded)")
     val saltedFacts = facts.withColumn("__salt", rowSalt(factor))
     val saltedDim = dim.withColumn("__salt", explode(sequence(lit(0L), lit(factor - 1L))))
     saltedFacts.join(saltedDim, Seq(key, "__salt"), joinType).drop("__salt")

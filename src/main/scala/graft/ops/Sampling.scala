@@ -93,7 +93,8 @@ object Sampling {
     * and each of its documents survives with probability
     * `p_s = min(1, w_s · targetN / n_s)` — `alpha < 1` flattens the
     * distribution toward low-resource strata (upsampling is capped at
-    * keeping everything; replication is a different operator). The
+    * keeping everything; [[temperatureSampleReplicated]] lifts the cap
+    * by emitting >1 copy). The
     * keep decision is `saltedHash(id) / 2^60 < p_s`: a pure function of
     * (salt, id, stratum counts), reproducible on any cluster size and
     * replayed bit-for-bit by the DuckDB oracle.
@@ -125,6 +126,58 @@ object Sampling {
         shuffleKey(col(idCol), salt).cast("double") / lit(1152921504606846976.0 /* 2^60 */) <
           col("__p"))
       .drop("__p")
+  }
+
+  /** [[temperatureSample]] with UPSAMPLING: real data-mixing recipes give
+    * low-resource strata expected rates `p_s > 1` (more than one epoch),
+    * which the keep/drop form must cap. Here a document with rate `p`
+    * emits `floor(p)` guaranteed copies plus one extra copy when
+    * `saltedHash(id)/2^60 < p − floor(p)` — still a pure function of
+    * (salt, id, stratum counts), so the expected output size is exactly
+    * `targetN` and the realized output is deterministic, reproducible on
+    * any cluster size, and replayed bit-for-bit by the DuckDB oracle
+    * (`generate_series` over the same copy count). For `p ≤ 1` the copy
+    * count reduces to the Bernoulli keep of [[temperatureSample]], so
+    * this is a strict generalization.
+    *
+    * `copyCol` (0-based) distinguishes the replicas — downstream packing
+    * and shuffling treat each copy as its own row.
+    *
+    * Shape: identical to [[temperatureSample]] (tiny count agg +
+    * broadcast prob join + codegen'd filter) plus a row-local
+    * `explode(sequence(...))` — the corpus is still scanned once and
+    * never shuffled; output rows are generated where their source row
+    * lives.
+    */
+  def temperatureSampleReplicated(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      alpha: Double,
+      targetN: Long,
+      salt: String = "graft",
+      copyCol: String = "copy"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alpha > 0, "alpha must be positive")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(lit(1))
+    val probs = counts
+      .withColumn("__w", pow(col("__n").cast("double"), alpha))
+      .withColumn("__p", col("__w") / sum(col("__w")).over(w) * targetN / col("__n"))
+      .select(col(strataCol), col("__p"))
+    val bern =
+      shuffleKey(col(idCol), salt).cast("double") / lit(1152921504606846976.0 /* 2^60 */) <
+        col("__p") - floor(col("__p"))
+    df.join(broadcast(probs), Seq(strataCol))
+      .withColumn(
+        "__ncopies",
+        floor(col("__p")).cast("long") + when(bern, 1L).otherwise(0L))
+      // sequence(0, -1) would generate a DESCENDING range in Spark, so
+      // zero-copy rows must be dropped before the explode
+      .where(col("__ncopies") > 0)
+      .withColumn(copyCol, explode(sequence(lit(0L), col("__ncopies") - 1)))
+      .drop("__p", "__ncopies")
   }
 
   /** Stratified sample: per-stratum fractions (exact-fraction variant of

@@ -27,10 +27,51 @@ object CoreQueries {
     * (coefficients / effects / residuals / variances). Memoize fits per
     * sf directory so Verify/Bench don't redo identical distributed
     * passes query after query.
+    *
+    * Each entry also records the persistent-RDD ids its fit created
+    * (cached cell frames, localCheckpoint'ed effect/residual frames in
+    * the distributed regime) so harness-level cache hygiene (Bench /
+    * Verify unpersisting a query's dead blocks after its action) can
+    * EXCLUDE blocks a memoized model still references — the blanket
+    * unpersist was only safe while reused models stayed driver-local.
     */
   private val memo = new scala.collection.concurrent.TrieMap[String, Any]
+  private val memoRdds = new scala.collection.concurrent.TrieMap[String, Set[Int]]
   private def cached[T](key: String)(f: => T): T =
-    memo.getOrElseUpdate(key, f).asInstanceOf[T]
+    memo.get(key) match {
+      case Some(v) => v.asInstanceOf[T]
+      case None =>
+        val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+        val before = sc.getPersistentRDDs.keySet
+        val v = memo.getOrElseUpdate(key, f)
+        memoRdds.putIfAbsent(key, (sc.getPersistentRDDs.keySet -- before).toSet)
+        v.asInstanceOf[T]
+    }
+
+  /** RDD ids still referenced by memoized models — must survive
+    * harness-level unpersist sweeps.
+    */
+  def protectedRddIds: Set[Int] = memoRdds.values.flatten.toSet
+
+  /** Memo keys present right now (Bench uses before/after snapshots to
+    * find the entries a query created).
+    */
+  def memoKeys: Set[String] = memo.keySet.toSet
+
+  /** Drop memo entries and release their persisted RDDs — Bench evicts a
+    * query's fresh fits before a retry so the second sample re-runs the
+    * real distributed work instead of returning the memoized model in ~0s.
+    */
+  def evictMemo(keys: Set[String]): Unit = {
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    keys.foreach { k =>
+      memo.remove(k)
+      memoRdds.remove(k).foreach { ids =>
+        val live = sc.getPersistentRDDs
+        ids.foreach(id => live.get(id).foreach(_.unpersist(false)))
+      }
+    }
+  }
 
   private def olsSimple(s: SparkSession, dir: String): graft.ml.OlsModel =
     cached(s"ols_simple:$dir")(Ols.fit(Tables.lineitem(s, dir), "l_extendedprice", Seq("l_quantity")))

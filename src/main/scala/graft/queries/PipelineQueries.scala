@@ -522,7 +522,7 @@ object PipelineQueries {
     "q47_tfidf_top",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val vec = graft.text.TfIdf.vectors(docs, "text", "doc_id", nDocs = docs.count())
+      val vec = graft.text.TfIdf.vectors(docs, "text", "doc_id")
       graft.text.TfIdf
         .topTerms(vec, "doc_id", k = 3)
         .select(col("doc_id"), col("token"), round(col("tfidf"), 4).as("tfidf"))
@@ -550,7 +550,7 @@ object PipelineQueries {
     "q48_tfidf_cosine",
     (s, dir) => {
       val docs = Tables.documents(s, dir).where(col("doc_id") < 200)
-      val vec = graft.text.TfIdf.vectors(docs, "text", "doc_id", nDocs = docs.count())
+      val vec = graft.text.TfIdf.vectors(docs, "text", "doc_id")
       val unit = graft.text.TfIdf.unitVectors(vec, "doc_id")
       graft.text.TfIdf
         .similarityJoin(unit, "doc_id", threshold = 0.85)
@@ -850,7 +850,34 @@ object PipelineQueries {
     )
   )
 
+  // ---- T11b: temperature sampling WITH upsampling (oracle) ---------------
+  // targetN = 4× the corpus forces p > 1 everywhere: floor(p) guaranteed
+  // copies + one salted-Bernoulli extra copy per doc. The oracle replays
+  // the copy count and lateral-generates the same 0-based copy indices.
+  val q61 = Q(
+    "q61_temperature_upsample",
+    (s, dir) =>
+      graft.ops.Sampling
+        .temperatureSampleReplicated(
+          Tables.documents(s, dir), "lang", "doc_id", alpha = 0.5, targetN = 2000)
+        .select(col("doc_id"), col("lang"), col("copy")),
+    Some(
+      s"""WITH c AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang),
+         |p AS (SELECT lang,
+         |        pow(n, 0.5) / sum(pow(n, 0.5)) OVER () * 2000 / n AS pr
+         |      FROM c),
+         |k AS (SELECT d.doc_id, d.lang,
+         |        (floor(p.pr) + CASE WHEN
+         |          ${graft.functions.SharedHash.md5Long60Sql("'graft:' || d.doc_id::VARCHAR")}::DOUBLE
+         |            / 1152921504606846976.0 < p.pr - floor(p.pr)
+         |          THEN 1 ELSE 0 END)::BIGINT AS nc
+         |      FROM documents d JOIN p USING (lang))
+         |SELECT doc_id, lang, unnest(generate_series(0, nc - 1)) AS copy
+         |FROM k WHERE nc > 0""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
-      q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60)
+      q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61)
 }

@@ -32,6 +32,16 @@ object Embed {
     * (tiny) centroid table, score with the codegen'd dot product. The
     * corpus is scanned once and never shuffled on vectors — same shape
     * as the brute-force scorer in [[Cosine.topK]].
+    *
+    * The argmax is a `min(struct(-cos, label))` aggregate, NOT a
+    * `row_number` window: a window would shuffle all #vectors × #centroids
+    * scored rows with zero map-side reduction, while the algebraic
+    * aggregate's combiner collapses each vector's k candidates to one
+    * partial row before the exchange (~10¹² → ~10⁹ rows at 1B docs × 1k
+    * centroids). Struct ordering is lexicographic, so (-cos asc, label
+    * asc) ≡ (cos desc, label asc) — ties keep the smallest label, same as
+    * the window form. Pinned by a PlanSpec assertion (partial aggregate,
+    * no Window exchange).
     */
   def assign(
       df: DataFrame,
@@ -44,18 +54,16 @@ object Embed {
       cents.select(
         col(centIdCol).as("cent_label"),
         col("centroid").cast("array<float>").as("cvec")))
-    val scored = df
-      .join(c)
+    df.join(c)
       .withColumn(
         "cos",
         FloatVec.dot(col(vecCol), col("cvec")) /
           (FloatVec.norm(col(vecCol)) * FloatVec.norm(col("cvec"))))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol))
-      .orderBy(col("cos").desc, col("cent_label"))
-    scored
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .select(col(idCol), col("cent_label").as("assigned"), round(col("cos"), 4).as("cos"))
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("cos")).as("neg"), col("cent_label").as("lbl"))).as("__b"))
+      .select(
+        col(idCol),
+        col("__b.lbl").as("assigned"),
+        round(-col("__b.neg"), 4).as("cos"))
   }
 }

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -26,13 +26,18 @@ import org.apache.spark.sql.functions._
 object TfIdf {
 
   /** (idCol, token, tf, tfidf) — un-normalized sparse vectors.
-    * `nDocs` is caller-supplied (one tiny count the caller usually has).
+    *
+    * `nDocs = Some(n)` takes the caller's count; `None` derives it INSIDE
+    * the pipeline as a broadcast 1-row `count_distinct(doc)` over the tf
+    * frame — every doc emits ≥1 token row (split of "" is [""]), so the
+    * count is exact and the corpus is still scanned exactly once (no
+    * build-time `df.count()` pre-scan, SURVEY §8's metadata lesson).
     */
   def vectors(
       df: DataFrame,
       textCol: String,
       idCol: String,
-      nDocs: Long,
+      nDocs: Option[Long] = None,
       minDf: Long = 1,
       maxDfFrac: Double = 1.0
   ): DataFrame = {
@@ -40,11 +45,21 @@ object TfIdf {
       .select(col(idCol), explode(split(col(textCol), " ")).as("token"))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val idf = tf
+    val n: Column = nDocs match {
+      case Some(v) => lit(v.toDouble)
+      case None    => col("__ndocs").cast("double")
+    }
+    val dfreq = tf
       .groupBy(col("token"))
       .agg(count(lit(1)).as("doc_freq"))
-      .where(col("doc_freq") >= minDf && col("doc_freq") <= lit(maxDfFrac * nDocs))
-      .withColumn("idf", log((lit(1.0) + nDocs.toDouble) / (col("doc_freq") + lit(1.0))) + lit(1.0))
+    val withN = nDocs match {
+      case Some(_) => dfreq
+      case None =>
+        dfreq.crossJoin(broadcast(tf.agg(count_distinct(col(idCol)).as("__ndocs"))))
+    }
+    val idf = withN
+      .where(col("doc_freq") >= minDf && col("doc_freq") <= n * maxDfFrac)
+      .withColumn("idf", log((lit(1.0) + n) / (col("doc_freq") + lit(1.0))) + lit(1.0))
     tf.join(idf.select("token", "idf"), Seq("token"))
       .select(col(idCol), col("token"), col("tf"), (col("tf") * col("idf")).as("tfidf"))
   }

@@ -84,7 +84,7 @@ class PlanSpec extends SparkSpec {
     // assert on the pre-checkpoint join shape (similarityJoin itself
     // returns an eagerly checkpointed frame whose plan is a scan)
     val docs = Tables.documents(spark, sf).limit(100)
-    val vec = graft.text.TfIdf.vectors(docs, "text", "doc_id", nDocs = 100)
+    val vec = graft.text.TfIdf.vectors(docs, "text", "doc_id", nDocs = Some(100))
     val unit = graft.text.TfIdf.unitVectors(vec, "doc_id")
     val a = unit.select(col("doc_id").as("id_a"), col("token"), col("w").as("wa"))
     val b = unit.select(col("doc_id").as("id_b"), col("token"), col("w").as("wb"))
@@ -111,6 +111,19 @@ class PlanSpec extends SparkSpec {
     val plan = executedPlan(q)
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("nearest-centroid assign argmax is a partial aggregate, not a window exchange") {
+    val emb = Tables.embeddings(spark, sf).limit(300)
+    val cents = graft.sim.Embed.centroids(emb, "embedding", "label")
+    val q = graft.sim.Embed.assign(emb, cents, "embedding", "vec_id")
+    val plan = executedPlan(q)
+    // corpus×k scored rows must be collapsed map-side BEFORE any shuffle:
+    // the argmax is a HashAggregate pair (partial_min + final), NOT a
+    // row_number window that exchanges every scored row
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_min"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
   test("chunking is embarrassingly parallel: no exchange, no window, no join") {

@@ -230,6 +230,40 @@ class OpsSpec extends SparkSpec {
     assert(all.count() == 220)
   }
 
+  test("Sampling.temperatureSampleReplicated upsamples deterministically and conserves mass") {
+    val docs = ((1 to 400).map(i => (i.toLong, "high")) ++ (1001 to 1025).map(i => (i.toLong, "low")))
+      .toDF("id", "lang")
+    val targetN = 850L // ~2× the corpus: forces p > 1
+    val rep = Sampling.temperatureSampleReplicated(docs, "lang", "id", alpha = 0.5, targetN = targetN)
+      .select("id", "lang", "copy").as[(Long, String, Long)].collect().toSeq
+    // deterministic: identical multiset regardless of partitioning
+    val rep2 = Sampling
+      .temperatureSampleReplicated(docs.repartition(7), "lang", "id", alpha = 0.5, targetN = targetN)
+      .select("id", "lang", "copy").as[(Long, String, Long)].collect().toSeq
+    assert(rep.sorted == rep2.sorted)
+    // copies are contiguous 0-based indices per doc (floor(p)+Bernoulli)
+    rep.groupBy(_._1).foreach { case (id, copies) =>
+      assert(copies.map(_._3).sorted == (0L until copies.size).toSeq, s"doc $id")
+    }
+    // mass conservation: E[rows] = targetN exactly; Bernoulli noise over
+    // 425 docs has sd < 11, so ±6% is a >4-sigma bound
+    assert(math.abs(rep.size - targetN.toDouble) < 0.06 * targetN, s"got ${rep.size}")
+    // the low-resource stratum's expected copies/doc exceeds the
+    // high-resource stratum's (alpha < 1 flattening, now WITH replication)
+    val perLow = rep.count(_._2 == "low") / 25.0
+    val perHigh = rep.count(_._2 == "high") / 400.0
+    assert(perLow > perHigh, s"low $perLow vs high $perHigh")
+    // strict generalization: where every p <= 1, the replicated form is
+    // the Bernoulli keep (all copy = 0) — bit-identical to temperatureSample
+    val small = Sampling
+      .temperatureSampleReplicated(docs, "lang", "id", alpha = 0.5, targetN = 60)
+      .select("id", "lang", "copy").as[(Long, String, Long)].collect().toSeq
+    assert(small.forall(_._3 == 0L))
+    val keep = Sampling.temperatureSample(docs, "lang", "id", alpha = 0.5, targetN = 60)
+      .select("id", "lang").as[(Long, String)].collect().toSet
+    assert(small.map(t => (t._1, t._2)).toSet == keep)
+  }
+
   test("Packing.packBins equals the global-window reference and is parts-invariant") {
     import org.apache.spark.sql.expressions.Window
     val docs = (1 to 500).map(i => (i.toLong, 1 + (i * 37) % 90)).toDF("id", "n_tok")

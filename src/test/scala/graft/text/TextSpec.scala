@@ -61,7 +61,7 @@ class TextSpec extends SparkSpec {
       (2L, "dog sat"),
       (3L, "bird flew")
     ).toDF("doc_id", "text")
-    val vec = TfIdf.vectors(docs, "text", "doc_id", nDocs = 3)
+    val vec = TfIdf.vectors(docs, "text", "doc_id", nDocs = Some(3))
     val w = vec.collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(3)).toMap
     // tf("cat" in 1)=2, df=1 -> 2*(ln(4/2)+1)
     assert(math.abs(w((1L, "cat")) - 2.0 * (math.log(2.0) + 1.0)) < 1e-12)
@@ -79,7 +79,7 @@ class TextSpec extends SparkSpec {
       (2L, "alpha beta gamma alpha"),
       (3L, "delta epsilon zeta eta")
     ).toDF("doc_id", "text")
-    val vec = TfIdf.vectors(docs, "text", "doc_id", nDocs = 3)
+    val vec = TfIdf.vectors(docs, "text", "doc_id", nDocs = Some(3))
     val top1 = TfIdf.topTerms(vec, "doc_id", 1)
       .as[(Long, String, Double)].collect().map(t => t._1 -> t._2).toMap
     assert(top1(1L) == "alpha") // tf=2 dominates
@@ -94,7 +94,7 @@ class TextSpec extends SparkSpec {
       (2L, "the dog"),
       (3L, "the bird")
     ).toDF("doc_id", "text")
-    val toks = TfIdf.vectors(docs, "text", "doc_id", nDocs = 3, maxDfFrac = 0.5)
+    val toks = TfIdf.vectors(docs, "text", "doc_id", nDocs = Some(3), maxDfFrac = 0.5)
       .select("token").distinct().as[String].collect().toSet
     assert(!toks.contains("the")) // df=3 > 0.5*3
     assert(toks == Set("cat", "dog", "bird"))
