@@ -877,7 +877,21 @@ object PipelineQueries {
     )
   )
 
+  // ---- P7e: IVF-PQ composed index (rows-only; recall + plan pinned by
+  // SimSpec) — residual-encoded codes probed through nProbe cells with
+  // exact re-rank; the full 100 TB ANN layout.
+  val q62 = Q(
+    "q62_ann_ivfpq",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.sim.AnnIvfPq.topK(
+        emb.where(col("vec_id") < 5), emb, "vec_id", "embedding",
+        k = 5, numCentroids = 8, m = 16, kCent = 16, nProbe = 4, rerank = 50, sampleN = 512)
+    },
+    None
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
-      q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61)
+      q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62)
 }

@@ -1,0 +1,277 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{FloatVec, PqOps}
+
+/** IVF-PQ — the composed 100 TB ANN layout (Jégou et al. 2011, "IVFADC"):
+  * the corpus is partitioned into IVF cells ([[AnnIvf]]) and each vector
+  * is PQ-encoded ([[AnnPq]]) as the RESIDUAL against its cell centroid,
+  * so a query (a) prunes to `nProbe` cells at PLANNING time (partition-
+  * pruned scan) and (b) scans only m-byte codes inside them — the two
+  * scale levers multiply: a 1000-cell / nProbe=10 / m=8 index reads
+  * ~1/100 of the partitions at ~1/32 the bytes-per-row of the raw
+  * float corpus.
+  *
+  * Residual encoding is what makes the composition more accurate than
+  * PQ alone: within a cell, vectors share the centroid's direction, so
+  * `v − c` occupies a far smaller ball than `v` and the same codebook
+  * budget quantizes it with much less error. One GLOBAL residual
+  * codebook is trained over a deterministic sample (FAISS's default
+  * IVFPQ layout); per-cell codebooks would multiply training state by
+  * #cells for marginal gain at these code sizes.
+  *
+  * Cosine scoring with residual codes, all from LUT sums:
+  *   q·v̂      = q·c + Σ_sub lut_q[sub, code_sub]        (lut_q from the FULL query)
+  *   ‖v̂‖²    = ‖c‖² + 2·Σ_sub cdot_c[sub, code_sub] + Σ_sub norm2[sub, code_sub]
+  * where `cdot_c` (per-cell ⟨c_sub, codeword⟩ tables) and `norm2`
+  * (codeword squared norms) are index-time constants — ‖v̂‖² is stored
+  * per code row (8 bytes) at encode time, so the probe scan reads
+  * (id, m-byte code, n2) and does m adds per candidate.
+  *
+  * Scale shape: index state is #cells×dims floats + m·k·dsub codebook
+  * floats (driver-tiny by IVF/PQ definition); the probe scan is
+  * partition-pruned AND code-sized (pinned by `SimSpec`); only
+  * queries×rerank rows ever rejoin the fat vectors.
+  */
+object AnnIvfPq {
+
+  /** Collected index state: cell centroids + global residual codebook —
+    * k×dims + m·k·dsub floats, tiny by definition (same justification as
+    * [[AnnIvf.literalCentroids]] / [[AnnPq.train]]).
+    */
+  final case class Index(cents: Array[(Long, Array[Float])], cb: AnnPq.Codebook) {
+
+    def centsDf(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      cents.toSeq.map { case (cid, c) => (cid, c.toSeq) }.toDF("cid", "centroid")
+        .select(col("cid"), col("centroid").cast("array<float>").as("centroid"))
+    }
+
+    /** Per-cell tables for the ‖v̂‖² reconstruction: ‖c‖² and the m·k
+      * ⟨c_sub, codeword⟩ dots (PqAdc layout: entry (sub, cent) at
+      * sub·k + cent).
+      */
+    def cellTablesDf(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      val m = cb.m; val k = cb.k; val dsub = cb.dsub
+      cents.toSeq.map { case (cid, c) =>
+        val cdot = new Array[Double](m * k)
+        var i = 0
+        while (i < m * k) {
+          val sub = i / k
+          var s = 0.0; var d = 0
+          while (d < dsub) {
+            s += c(sub * dsub + d).toDouble * cb.flat(i * dsub + d).toDouble
+            d += 1
+          }
+          cdot(i) = s; i += 1
+        }
+        val cn2 = c.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+        (cid, cn2, cdot.toSeq)
+      }.toDF("cid", "cnorm2", "cdot")
+    }
+  }
+
+  /** Train the index: IVF centroids (deterministic Lloyd, [[AnnIvf]]) +
+    * one residual codebook over the `sampleN` lowest-id residuals.
+    */
+  def build(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCentroids: Int = 16,
+      m: Int = 8,
+      kCent: Int = 16,
+      sampleN: Int = 2048,
+      lloydIters: Int = 2
+  ): Index = {
+    val centsDf = AnnIvf.centroids(corpus, idCol, vecCol, numCentroids, lloydIters)
+    val cents = centsDf.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val res = residuals(corpus, centsDf, idCol, vecCol)
+    val cb = AnnPq.train(res, idCol, "residual", m, kCent, sampleN)
+    Index(cents, cb)
+  }
+
+  /** (id, cid, residual = v − centroid_cid) — one broadcast argmax +
+    * one broadcast centroid join; the corpus is never shuffled.
+    */
+  def residuals(
+      corpus: DataFrame,
+      cents: DataFrame,
+      idCol: String,
+      vecCol: String
+  ): DataFrame =
+    corpus
+      .select(col(idCol), col(vecCol))
+      .join(AnnIvf.assign(corpus, cents, idCol, vecCol), Seq(idCol))
+      .join(broadcast(cents), Seq("cid"))
+      .select(
+        col(idCol),
+        col("cid"),
+        zip_with(col(vecCol), col("centroid"), (a, b) => (a - b).cast("float"))
+          .as("residual"))
+
+  /** (id, cid, code binary[m], n2 = ‖ĉ+r̂‖²) — the full code table. The
+    * stored n2 is the RECONSTRUCTION's norm (what ADC actually scores
+    * against), assembled from index-time LUT sums, never from re-decoded
+    * vectors.
+    */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String, index: Index): DataFrame = {
+    val spark = corpus.sparkSession
+    val cbL = typedLit(index.cb.flat.toSeq)
+    val norm2 = typedLit(index.cb.norm2Table.toSeq)
+    residuals(corpus, index.centsDf(spark), idCol, vecCol)
+      .withColumn("code", PqOps.encode(col("residual"), cbL, index.cb.dsub))
+      .join(broadcast(index.cellTablesDf(spark)), Seq("cid"))
+      .withColumn(
+        "n2",
+        col("cnorm2") + lit(2.0) * PqOps.adc(col("code"), col("cdot")) +
+          PqOps.adc(col("code"), norm2))
+      .select(col(idCol), col("cid"), col("code"), col("n2"))
+  }
+
+  /** Materialize the code table PARTITIONED BY CELL — the layout
+    * [[topKPartitioned]] prunes against.
+    */
+  def writePartitioned(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      index: Index,
+      path: String
+  ): Unit =
+    encode(corpus, idCol, vecCol, index)
+      .write
+      .mode("overwrite")
+      .partitionBy("cid")
+      .parquet(path)
+
+  /** Per-query probe rows: the nProbe best cells by centroid cosine,
+    * with everything ADC scoring needs precomputed once per query —
+    * lut (from the FULL query vector), qnorm, q·c per probed cell.
+    */
+  private def probeFrame(
+      queries: DataFrame,
+      index: Index,
+      idCol: String,
+      vecCol: String,
+      nProbe: Int
+  ): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = index.centsDf(spark)
+    val cbL = typedLit(index.cb.flat.toSeq)
+    val wq = Window.partitionBy(col("qid")).orderBy(col("cscore").desc, col("cid"))
+    queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn(
+        "cscore",
+        FloatVec.dot(col("qv"), col("centroid")) /
+          (FloatVec.norm(col("qv")) * FloatVec.norm(col("centroid"))))
+      .withColumn("crk", row_number().over(wq))
+      .where(col("crk") <= nProbe)
+      .select(
+        col("qid"),
+        col("qv"),
+        FloatVec.norm(col("qv")).as("qnorm"),
+        PqOps.lut(col("qv"), cbL, index.cb.dsub).as("lut"),
+        col("cid"),
+        FloatVec.dot(col("qv"), col("centroid")).as("qc"))
+  }
+
+  /** ADC top-k over a code table (broadcast probes ⋈ codes on cid), with
+    * optional exact re-rank against the fat corpus.
+    */
+  private def adcTopK(
+      codes: DataFrame,
+      probes: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rerank: Int
+  ): DataFrame = {
+    val short = math.max(k, rerank)
+    val wA = Window.partitionBy(col("qid")).orderBy(col("adc_cos").desc, col("nid"))
+    val shortlist = codes
+      .join(broadcast(probes), Seq("cid"))
+      .where(col("qid") =!= col("nid"))
+      .withColumn(
+        "adc_cos",
+        (col("qc") + PqOps.adc(col("code"), col("lut"))) /
+          (col("qnorm") * sqrt(col("n2"))))
+      .withColumn("rk", row_number().over(wA))
+      .where(col("rk") <= short)
+    if (rerank <= 0)
+      shortlist.select(col("qid"), col("nid"), round(col("adc_cos"), 4).as("cos_sim"))
+    else {
+      val wExact = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid"))
+      shortlist
+        .select(col("qid"), col("qv"), col("nid"))
+        .join(corpus.select(col(idCol).as("nid"), col(vecCol).as("nv")), Seq("nid"))
+        .withColumn(
+          "cos_sim",
+          FloatVec.dot(col("qv"), col("nv")) /
+            (FloatVec.norm(col("qv")) * FloatVec.norm(col("nv"))))
+        .withColumn("rk", row_number().over(wExact))
+        .where(col("rk") <= k)
+        .select(col("qid"), col("nid"), round(col("cos_sim"), 4).as("cos_sim"))
+    }
+  }
+
+  /** In-memory composition (build + encode + probe in one call): cells
+    * are pruned logically by the cid join. Use [[writePartitioned]] +
+    * [[topKPartitioned]] for the materialized layout where pruning
+    * happens at the scan.
+    */
+  def topK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numCentroids: Int = 16,
+      m: Int = 8,
+      kCent: Int = 16,
+      nProbe: Int = 4,
+      rerank: Int = 0,
+      sampleN: Int = 2048,
+      lloydIters: Int = 2
+  ): DataFrame = {
+    val index = build(corpus, idCol, vecCol, numCentroids, m, kCent, sampleN, lloydIters)
+    val codes = encode(corpus, idCol, vecCol, index)
+      .withColumnRenamed(idCol, "nid")
+    adcTopK(codes, probeFrame(queries, index, idCol, vecCol, nProbe), corpus,
+      idCol, vecCol, k, rerank)
+  }
+
+  /** Probe a cell-partitioned code table: the probed-cell set (bounded
+    * by #queries × nProbe longs) prunes the scan at planning time —
+    * `PartitionFilters` on cid, ReadSchema = (id, code, n2), never the
+    * vectors. Only the re-rank shortlist touches `corpus`.
+    */
+  def topKPartitioned(
+      queries: DataFrame,
+      index: Index,
+      path: String,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 4,
+      rerank: Int = 0
+  ): DataFrame = {
+    val spark = queries.sparkSession
+    val probes = probeFrame(queries, index, idCol, vecCol, nProbe)
+    val probedCells = probes.select("cid").distinct().collect().map(_.getLong(0).toInt)
+    val codes = spark.read
+      .parquet(path)
+      .where(col("cid").isin(probedCells: _*)) // partition-pruned scan
+      .select(
+        col(idCol).as("nid"), col("code"), col("n2"), col("cid").cast("long").as("cid"))
+    adcTopK(codes, probes, corpus, idCol, vecCol, k, rerank)
+  }
+}

