@@ -891,7 +891,19 @@ object PipelineQueries {
     None
   )
 
+  // ---- P2b: weighted (ICWS) minhash near-dup (rows-only; generalized-
+  // Jaccard estimation + exact-verify parity pinned by DedupSpec) --------
+  val q63 = Q(
+    "q63_weighted_minhash",
+    (s, dir) =>
+      graft.dedup.WeightedMinHash
+        .nearDuplicates(Tables.documents(s, dir), "text", "doc_id", threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b")),
+    None
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
-      q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62)
+      q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
+      q63)
 }

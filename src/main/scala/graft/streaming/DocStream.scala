@@ -136,6 +136,67 @@ object DocStream {
       .select(col(idCol), col("corpus_id"), col("jaccard"))
   }
 
+  /** Row-local form of [[graft.text.Repetition.stats]]: identical
+    * `n_tokens` / `frac_top_token` / `frac_unique` / `frac_top_bigram`
+    * values (pinned by `StreamingSpec`), but computed per row with array
+    * algebra instead of posexplode + window + groupBy — window functions
+    * over arbitrary keys are not allowed on unbounded streams. The
+    * interpreted HOF counting costs O(unique × tokens) CPU per document
+    * (the [[spanArray]] trade: CPU per row is the price of
+    * statelessness); the batch form stays the corpus-scale choice.
+    */
+  def withRowLocalRepetition(df: DataFrame, textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    val topTok =
+      array_max(transform(array_distinct(toks), t => size(filter(toks, x => x === t))))
+    val bis = transform(
+      sequence(lit(1), greatest(n - 1, lit(0))),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+    val topBi = when(n < 2, lit(0.0)).otherwise(
+      array_max(transform(array_distinct(bis), b => size(filter(bis, x => x === b))))
+        .cast("double") / (n - 1))
+    df.withColumn("n_tokens", n.cast("long"))
+      .withColumn("frac_top_token", topTok.cast("double") / n)
+      .withColumn("frac_unique", size(array_distinct(toks)).cast("double") / n)
+      .withColumn("frac_top_bigram", topBi)
+  }
+
+  /** The ingest-time QUALITY GATE every training pipeline runs, as one
+    * stateless append-mode stream: heuristic quality score
+    * ([[graft.text.TextStats.withQuality]]), language ID
+    * ([[graft.text.LangId.withLangId]]) and Gopher/C4 repetition filters
+    * ([[withRowLocalRepetition]]) composed into a single codegen'd
+    * filter over the micro-batch — no state store, no shuffle, no
+    * watermark; 100 TB of backlog drains at scan speed. Diagnostic
+    * columns stay on the output so the reject stream can be audited by
+    * routing the complement (`gate = false` rows) elsewhere.
+    *
+    * Batch/stream parity is pinned by `StreamingSpec`: the same rows
+    * through the batch composition (quality + langid + Repetition.stats
+    * join) keep exactly the same ids.
+    */
+  def qualityGateStream(
+      stream: DataFrame,
+      textCol: String,
+      minQuality: Double = 0.5,
+      maxFracTopToken: Double = 0.2,
+      minFracUnique: Double = 0.3,
+      maxFracTopBigram: Double = 0.2,
+      allowedLangs: Seq[String] = Seq("en")
+  ): DataFrame = {
+    val scored = withRowLocalRepetition(
+      graft.text.LangId.withLangId(
+        graft.text.TextStats.withQuality(stream, textCol), textCol),
+      textCol)
+    scored.where(
+      col("quality") >= minQuality &&
+        col("frac_top_token") <= maxFracTopToken &&
+        col("frac_unique") >= minFracUnique &&
+        col("frac_top_bigram") <= maxFracTopBigram &&
+        col("pred_lang").isin(allowedLangs: _*))
+  }
+
   /** Per streamed document: `n_spans` distinct n-token spans and
     * `n_hits` of them appearing anywhere in the static `probe` set —
     * the streaming form of [[graft.dedup.SpanDedup.contamination]]

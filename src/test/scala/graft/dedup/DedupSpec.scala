@@ -49,6 +49,63 @@ class DedupSpec extends SparkSpec {
     assert(s1.map(_.getSeq[Long](1)).toSeq == s2.map(_.getSeq[Long](1)).toSeq)
   }
 
+  test("WeightedMinHash: lane agreement estimates generalized Jaccard") {
+    // controlled weights: A = 40 tokens at w=1; B = same tokens, first 20
+    // at w=3 => J_w = (20·1 + 20·1)/(20·3 + 20·1) = 0.5, while the SET
+    // Jaccard is 1.0 — the regime plain minhash cannot see
+    val rows =
+      (1 to 40).map(t => (0L, 100L + t, 1.0)) ++
+        (1 to 40).map(t => (1L, 100L + t, if (t <= 20) 3.0 else 1.0))
+    val wsh = rows.toDF("doc_id", "sh", "w")
+    val n = 256
+    val sigs = WeightedMinHash
+      .signaturesFromWeighted(wsh, "doc_id", numHashes = n)
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    val agree = sigs(0).zip(sigs(1)).count { case (a, b) => a == b }.toDouble / n
+    // sd at J=0.5 with 256 lanes is ~0.031; ±0.12 is ~4 sigma
+    assert(math.abs(agree - 0.5) < 0.12, s"agreement $agree, expected ~0.5")
+    // identical weighted sets -> identical signatures, on any partitioning
+    val sigA = WeightedMinHash
+      .signaturesFromWeighted(wsh.where($"doc_id" === 0L).repartition(5), "doc_id", numHashes = n)
+      .head().getSeq[Long](1)
+    assert(sigA == sigs(0))
+  }
+
+  test("WeightedMinHash.nearDuplicates: exact dup at 1.0, weight-skewed dup below it") {
+    // doc 5 repeats one phrase of doc 0 many times: same shingle SET
+    // similarity as a near-dup, but weights diverge
+    val spam = (docs.collect().find(_.getLong(0) == 0L).get.getString(1) + " ") * 1 +
+      Seq.fill(8)("the quick brown fox").mkString(" ")
+    val wdocs = docs.union(Seq((5L, spam)).toDF("doc_id", "text"))
+    // single-row bands: candidate recall ~1 even at J_w ≈ 0.3, so the
+    // test pins the VERIFY stage, not banding luck
+    val out = WeightedMinHash
+      .nearDuplicates(wdocs, "text", "doc_id", threshold = 0.2, shingleSize = 2, numBands = 64)
+      .select("id_a", "id_b", "jaccard_w")
+      .as[(Long, Long, Double)]
+      .collect()
+      .map(t => (t._1, t._2) -> t._3)
+      .toMap
+    assert(out((0L, 1L)) == 1.0) // identical docs, identical tf
+    // the repeat-heavy doc is found but its weighted Jaccard is well
+    // below the exact-dup pair's
+    assert(out.keySet.exists { case (a, b) => b == 5L || a == 5L })
+    out.collect { case ((a, b), j) if a == 5L || b == 5L => j }
+      .foreach(j => assert(j < 0.75, s"weight-skewed pair scored $j"))
+    // unrelated docs never verified
+    assert(!out.keySet.exists { case (a, b) => a == 3L || b == 3L || a == 4L || b == 4L })
+    // exact generalized Jaccard of the verify stage: replay (0,5) by hand
+    val w05 = WeightedMinHash.tokenWeights(wdocs, "text", "doc_id", n = 2)
+      .where($"doc_id".isin(0L, 5L))
+      .select("doc_id", "sh", "w").as[(Long, Long, Double)].collect()
+    val wa = w05.filter(_._1 == 0L).map(t => t._2 -> t._3).toMap
+    val wb = w05.filter(_._1 == 5L).map(t => t._2 -> t._3).toMap
+    val imin = wa.keySet.intersect(wb.keySet).toSeq.map(k => math.min(wa(k), wb(k))).sum
+    val expect = imin / (wa.values.sum + wb.values.sum - imin)
+    out.collect { case ((a, b), j) if a == 0L && b == 5L => j }
+      .foreach(j => assert(math.abs(j - expect) < 1e-3, s"verify $j vs hand $expect"))
+  }
+
   test("SimHash: identical texts get identical fingerprints, near-dups small hamming") {
     val fps = SimHash
       .fingerprints(docs, "text", "doc_id")

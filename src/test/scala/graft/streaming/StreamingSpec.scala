@@ -182,6 +182,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quality gate equals the batch composition across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog and runs into the green forest to find water and rest under a tree"),
+      (2L, "spam spam spam spam spam spam spam spam spam spam spam spam"), // repetition
+      (3L, "el rapido zorro marron salta sobre el perro y corre hacia la montana de la sierra"), // not en
+      (4L, "hello"), // single token: top-token frac 1.0
+      (5L, "buy now buy now buy now buy now buy now buy now buy now buy now"), // top bigram
+      (6L, "a diverse and genuinely informative document is describing the methods of careful data curation in large scale training pipelines today")
+    )
+    // batch composition: row-local quality + langid, Repetition.stats joined
+    val batchDf = rows.toDF("doc_id", "text")
+    val scored = graft.text.LangId.withLangId(
+      graft.text.TextStats.withQuality(batchDf, "text"), "text")
+      .join(graft.text.Repetition.stats(batchDf, "text", "doc_id"), Seq("doc_id"))
+    val batchKept = scored.where(
+      $"quality" >= 0.5 && $"frac_top_token" <= 0.2 && $"frac_unique" >= 0.3 &&
+        $"frac_top_bigram" <= 0.2 && $"pred_lang".isin("en"))
+      .select("doc_id").as[Long].collect().toSet
+
+    // the row-local repetition rewrite matches Repetition.stats on EVERY
+    // row (including the single-token bigram edge case), not just kept ones
+    val batchRep = graft.text.Repetition.stats(batchDf, "text", "doc_id")
+      .select("doc_id", "n_tokens", "frac_top_token", "frac_unique", "frac_top_bigram")
+      .as[(Long, Long, Double, Double, Double)].collect().toSet
+    val localRep = DocStream.withRowLocalRepetition(batchDf, "text")
+      .select("doc_id", "n_tokens", "frac_top_token", "frac_unique", "frac_top_bigram")
+      .as[(Long, Long, Double, Double, Double)].collect().toSet
+    assert(localRep == batchRep)
+
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val out = DocStream.qualityGateStream(ms.toDF.toDF("doc_id", "text"), "text")
+    val q = out.writeStream.outputMode("append").format("memory").queryName("gate_out").start()
+    try {
+      ms.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      ms.addData(rows.drop(3): _*)
+      q.processAllAvailable()
+      val got = spark.table("gate_out").select("doc_id").as[Long].collect().toSet
+      assert(got == batchKept, s"stream $got vs batch $batchKept")
+      assert(got.contains(1L) && got.contains(6L)) // the clean docs pass
+      assert(!got.exists(Set(2L, 3L, 4L, 5L))) // each reject reason fires
+    } finally q.stop()
+  }
+
   test("streaming near-dup against a static corpus flags planted copies across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val corpus = Seq(
