@@ -902,8 +902,21 @@ object PipelineQueries {
     None
   )
 
+  // ---- P7f: graph ANN — NN-Descent k-NN graph + beam search (rows-only;
+  // edge recall, sweep improvement and search recall pinned by SimSpec) --
+  val q64 = Q(
+    "q64_ann_graph",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.sim.AnnGraph.topK(
+        emb.where(col("vec_id") < 5), emb, "vec_id", "embedding", dims = 64,
+        k = 5, graphK = 8, sweeps = 2, beam = 12, hops = 4, entries = 6)
+    },
+    None
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
-      q63)
+      q63, q64)
 }

@@ -1,0 +1,225 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.FloatVec
+
+/** Graph-based ANN: a distributed k-NN graph built by NN-Descent (Dong
+  * et al., "Efficient K-Nearest Neighbor Graph Construction for Generic
+  * Similarity Measures", WWW 2011) and a batched greedy beam search over
+  * it — the Spark-shaped member of the HNSW family. A hierarchical
+  * navigable graph is a sequential, pointer-chasing structure; what
+  * survives distribution is its two ingredients: (a) a good neighborhood
+  * graph and (b) best-first expansion from entry points. Both are
+  * bounded joins here:
+  *
+  *  - BUILD (NN-Descent): seed each node's neighbor list from LSH
+  *    buckets ([[AnnLsh]] — locality-aware, deterministic, never all
+  *    pairs), then iterate "a neighbor of my neighbor is probably a
+  *    neighbor": candidates = join of the edge list with itself through
+  *    the shared endpoint (*undirected* — both orientations), score by
+  *    cosine, keep each node's top-k. Per sweep the shuffle carries
+  *    O(n·k²) candidate EDGES (ids + score, never vectors); vectors join
+  *    in once per sweep to score fresh candidates. Iteration state (the
+  *    edge list) is n·k rows, persisted and lineage-truncated per sweep
+  *    — the [[graft.ml.FixedEffects]] loop hygiene.
+  *
+  *  - SEARCH: queries broadcast; each hop expands the current frontier
+  *    through the (id-partitioned) edge list, scores the new candidates,
+  *    and keeps the best `beam` per query. `hops` is small (the graph
+  *    diameter after NN-Descent is ~log n); every hop is one broadcast
+  *    join + one aggregate — no pointer chasing, no driver data motion.
+  *
+  * At 100 TB the edge list is the index: n·k (id, id, score) rows,
+  * partitioned by source — a fraction of the vector bytes, co-located
+  * with the probe joins, and incrementally maintainable (union new docs'
+  * LSH seeds, re-run sweeps to convergence).
+  */
+object AnnGraph {
+
+  private def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    FloatVec.dot(a, b) / (FloatVec.norm(a) * FloatVec.norm(b))
+
+  /** (src, dst, cos_sim) — each node's k nearest by cosine among LSH
+    * bucket mates, the NN-Descent seed. Deterministic: bucket hashes and
+    * tie-breaks are pure functions.
+    */
+  def lshSeedEdges(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dims: Int,
+      numPlanes: Int = 6,
+      numTables: Int = 4
+  ): DataFrame = {
+    val b = AnnLsh.bucketize(corpus, idCol, vecCol, dims, numPlanes, numTables)
+    val v = corpus.select(col(idCol), col(vecCol))
+    val l = b.select(col("table"), col("bucket"), col(idCol).as("src"))
+    val r = b.select(col("table"), col("bucket"), col(idCol).as("dst"))
+    val cand = l
+      .join(r, Seq("table", "bucket"))
+      .where(col("src") =!= col("dst"))
+      .select("src", "dst")
+      .distinct()
+    topKPerSrc(scoreEdges(cand, v, idCol, vecCol), k)
+  }
+
+  /** Attach cosine scores to an (src, dst) candidate edge list — the only
+    * stage where vectors move, and they move by equi-join on each
+    * endpoint (no broadcast of the corpus, no pair blowup beyond the
+    * candidate list itself).
+    */
+  private def scoreEdges(
+      cand: DataFrame,
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String
+  ): DataFrame =
+    cand
+      .join(vectors.select(col(idCol).as("src"), col(vecCol).as("__sv")), Seq("src"))
+      .join(vectors.select(col(idCol).as("dst"), col(vecCol).as("__dv")), Seq("dst"))
+      .select(col("src"), col("dst"), cos(col("__sv"), col("__dv")).as("cos_sim"))
+
+  private def topKPerSrc(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("src")).orderBy(col("cos_sim").desc, col("dst"))
+    scored
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .drop("__rk")
+  }
+
+  /** NN-Descent sweeps over a seeded edge list → (src, dst, cos_sim)
+    * k-NN graph. Each sweep: candidates = current edges ∪ two-hop
+    * neighbors through shared endpoints (undirected), rescored, top-k
+    * kept per node. Monotone: a node's neighbor list only improves, and
+    * edges already present are not rescored (anti-join), so sweeps get
+    * cheaper as the graph converges.
+    */
+  def knnGraph(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      k: Int = 10,
+      sweeps: Int = 2,
+      numPlanes: Int = 6,
+      numTables: Int = 4
+  ): DataFrame = {
+    val v = corpus.select(col(idCol), col(vecCol)).persist()
+    v.count()
+    var edges = lshSeedEdges(corpus, idCol, vecCol, k, dims, numPlanes, numTables)
+      .persist()
+    edges.count()
+    for (_ <- 0 until sweeps) {
+      // undirected view: neighbor-of-neighbor through EITHER endpoint
+      val und = edges.select(col("src"), col("dst"))
+        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      val twoHop = und.select(col("src"), col("dst").as("__mid"))
+        .join(und.select(col("src").as("__mid"), col("dst")), Seq("__mid"))
+        .where(col("src") =!= col("dst"))
+        .select("src", "dst")
+        .distinct()
+        // only score candidates not already in the neighbor list
+        .join(edges.select("src", "dst"), Seq("src", "dst"), "left_anti")
+      val fresh = scoreEdges(twoHop, v, idCol, vecCol)
+      val next = topKPerSrc(edges.unionByName(fresh), k).localCheckpoint()
+      edges.unpersist(false)
+      edges = next
+      edges.persist()
+    }
+    val out = edges.localCheckpoint()
+    edges.unpersist(false)
+    v.unpersist(false)
+    out
+  }
+
+  /** Batched greedy beam search over a k-NN graph. `entries` nodes seed
+    * every query's frontier (the lowest-id nodes by default — any fixed
+    * set works; more entries ≈ a flat HNSW layer 0 entry set). Each hop
+    * expands frontier → neighbors, scores ONLY unseen candidates, and
+    * keeps the best `beam` per query as the next frontier; the running
+    * top-k accumulates over all visited nodes. Self-matches are excluded.
+    */
+  def search(
+      queries: DataFrame,
+      graph: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      beam: Int = 10,
+      hops: Int = 3,
+      entries: Int = 4
+  ): DataFrame = {
+    val spark = queries.sparkSession
+    val v = corpus.select(col(idCol), col(vecCol)).persist()
+    val adj = graph.select(col("src"), col("dst")).persist()
+    adj.count()
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+
+    // fixed entry points: score each query against the `entries`
+    // lowest-id nodes (deterministic, index-free)
+    val entryIds = v.select(col(idCol)).orderBy(col(idCol)).limit(entries)
+    var visited = q
+      .crossJoin(entryIds.withColumnRenamed(idCol, "nid"))
+      .join(v.select(col(idCol).as("nid"), col(vecCol).as("nv")), Seq("nid"))
+      .select(col("qid"), col("qv"), col("nid"), cos(col("qv"), col("nv")).as("cos_sim"))
+      .persist()
+    visited.count()
+    var frontier = visited.select(col("qid"), col("qv"), col("nid"), col("cos_sim"))
+
+    for (_ <- 0 until hops) {
+      val wB = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid"))
+      val beamFront = frontier
+        .withColumn("__rk", row_number().over(wB))
+        .where(col("__rk") <= beam)
+        .select(col("qid"), col("qv"), col("nid"))
+      val expanded = beamFront
+        .join(adj.select(col("src").as("nid"), col("dst")), Seq("nid"))
+        .select(col("qid"), col("qv"), col("dst").as("nid"))
+        .distinct()
+        .join(visited.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_anti")
+      val scored = expanded
+        .join(v.select(col(idCol).as("nid"), col(vecCol).as("nv")), Seq("nid"))
+        .select(col("qid"), col("qv"), col("nid"), cos(col("qv"), col("nv")).as("cos_sim"))
+      val nextVisited = visited.unionByName(scored).localCheckpoint()
+      visited.unpersist(false)
+      visited = nextVisited
+      visited.persist()
+      frontier = scored
+    }
+
+    val wK = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid"))
+    val out = visited
+      .where(col("qid") =!= col("nid"))
+      .withColumn("__rk", row_number().over(wK))
+      .where(col("__rk") <= k)
+      .select(col("qid"), col("nid"), round(col("cos_sim"), 4).as("cos_sim"))
+      .localCheckpoint()
+    Seq(visited, adj, v).foreach(_.unpersist(false))
+    out
+  }
+
+  /** Build + search in one call (small-corpus convenience; at scale the
+    * graph is built once and reused across query batches).
+    */
+  def topK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      k: Int,
+      graphK: Int = 10,
+      sweeps: Int = 2,
+      beam: Int = 10,
+      hops: Int = 3,
+      entries: Int = 4
+  ): DataFrame = {
+    val g = knnGraph(corpus, idCol, vecCol, dims, graphK, sweeps)
+    search(queries, g, corpus, idCol, vecCol, k, beam, hops, entries)
+  }
+}

@@ -231,6 +231,55 @@ class SimSpec extends SparkSpec {
     assert(resErr <= rawErr, s"residual $resErr vs raw $rawErr")
   }
 
+  test("AnnGraph: NN-Descent sweeps improve the LSH-seeded graph toward true k-NN") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf).limit(300).persist()
+    val k = 5
+    // ground truth: every node's true k-NN (brute force, all 300 queries)
+    val truth = Cosine.topK(emb, emb, "vec_id", "embedding", k = k)
+      .select("qid", "nid").as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    def edgeRecall(g: org.apache.spark.sql.DataFrame): Double = {
+      val got = g.select("src", "dst").as[(Long, Long)].collect().groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val per = truth.toSeq.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+      }
+      per.sum / per.size
+    }
+    val seed = AnnGraph.lshSeedEdges(emb, "vec_id", "embedding", k = k, dims = 64)
+    val g2 = AnnGraph.knnGraph(emb, "vec_id", "embedding", dims = 64, k = k, sweeps = 4)
+    val rSeed = edgeRecall(seed)
+    val r2 = edgeRecall(g2)
+    // the whole point of NN-Descent: sweeps strictly improve on the seed
+    assert(r2 >= rSeed, s"sweeps regressed: seed $rSeed -> $r2")
+    println(s"[spec] AnnGraph edge recall: seed $rSeed -> 4 sweeps $r2")
+    assert(r2 >= 0.5, s"graph edge recall $r2 too low")
+    // k-NN graph shape: no self loops, <= k out-edges per node
+    assert(g2.where($"src" === $"dst").count() == 0)
+    val maxOut = g2.groupBy("src").count().agg(max("count")).head().getLong(0)
+    assert(maxOut <= k)
+    emb.unpersist()
+  }
+
+  test("AnnGraph.search recall vs brute force via beam expansion") {
+    val emb = Tables.embeddings(spark, sf).limit(300)
+    val queries = emb.where($"vec_id" < 5)
+    val exact = Cosine
+      .topK(queries, emb, "vec_id", "embedding", k = 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val approx = AnnGraph
+      .topK(queries, emb, "vec_id", "embedding", dims = 64, k = 5,
+        graphK = 8, sweeps = 2, beam = 12, hops = 4, entries = 6)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low")
+    // exactly k rows per query, never the query itself
+    val cnts = approx.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(cnts.values.forall(_ == 5), cnts.toString)
+    assert(!approx.exists { case (q, n) => q == n })
+  }
+
   test("AnnPq training is deterministic") {
     val emb = Tables.embeddings(spark, sf).limit(100)
     val cb1 = AnnPq.train(emb, "vec_id", "embedding", m = 8, k = 4, sampleN = 64)
