@@ -6,7 +6,7 @@ import graft.dedup.{ConnectedComponents, Exact, MinHashLsh, NGramJaccard, SimHas
 import graft.media.Multimodal
 import graft.sim.{AnnIvf, AnnLsh, Cosine}
 import graft.streaming.EventOps
-import graft.text.{Fingerprint, LangId, TextStats}
+import graft.text.{Fingerprint, LangId, Redact, TextStats}
 import graft.util.Tables
 
 /** LLM-data-pipeline operator coverage (SURVEY.md §2 P/T/S/X rows). */
@@ -915,8 +915,46 @@ object PipelineQueries {
     None
   )
 
+  // ---- T12: PII redaction (oracle) ----------------------------------------
+  // PII is constructed deterministically from doc_id on BOTH sides (the
+  // synthetic corpus contains none), so the oracle replays the exact
+  // masks and counts bit-for-bit — Spark java.util.regex vs DuckDB RE2 on
+  // the shared portable pattern subset.
+  val q65 = Q(
+    "q65_redact",
+    (s, dir) => {
+      val withPii = Tables.documents(s, dir).withColumn(
+        "text2",
+        concat(
+          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com at 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".7 or +1415"), lpad(col("doc_id").cast("string"), 7, "0")))
+      graft.text.Redact
+        .withRedaction(withPii, "text2")
+        .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+          col("text_redacted"))
+    },
+    Some(
+      s"""WITH t AS (SELECT doc_id,
+         |  text || ' contact user' || doc_id::VARCHAR || '@example.com at 10.0.' ||
+         |    (doc_id % 256)::VARCHAR || '.7 or +1415' || lpad(doc_id::VARCHAR, 7, '0') AS text2
+         |  FROM documents),
+         |r AS (SELECT doc_id, text2,
+         |  regexp_replace(regexp_replace(text2,
+         |    '${Redact.EmailPattern}', '[EMAIL]', 'g'),
+         |    '${Redact.Ipv4Pattern}', '[IP]', 'g') AS after_ip
+         |  FROM t)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(text2, '${Redact.EmailPattern}')) AS n_emails,
+         |  len(regexp_extract_all(text2, '${Redact.Ipv4Pattern}')) AS n_ips,
+         |  len(regexp_extract_all(after_ip, '${Redact.PhonePattern}')) AS n_phones,
+         |  regexp_replace(after_ip, '${Redact.PhonePattern}', '[PHONE]', 'g') AS text_redacted
+         |FROM r""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
-      q63, q64)
+      q63, q64, q65)
 }

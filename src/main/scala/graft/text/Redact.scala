@@ -1,0 +1,51 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PII scrubbing for training corpora (SURVEY.md §2 T12): emails, IPv4
+  * addresses and phone-shaped digit runs are replaced with category
+  * tags before anything reaches a tokenizer — the standard redaction
+  * pass every LLM data pipeline runs between ingest and packing.
+  *
+  * Pure `regexp_replace` / `regexp_count` column algebra: shuffle-free,
+  * embarrassingly parallel, inside whole-stage codegen. Patterns are
+  * kept to the portable regex subset both java.util.regex (Spark) and
+  * RE2 (DuckDB oracle, and most scrubbing services) accept — no
+  * lookaround, no backreferences — so the exact same masks replay
+  * bit-for-bit in the oracle and any downstream re-implementation.
+  *
+  * Order matters and is fixed: emails first (their local part would
+  * otherwise be chewed by the phone pattern), then IPv4 (dotted digit
+  * runs would match the phone pattern), then phones.
+  */
+object Redact {
+
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** International (+CC…) or dashed US-style numbers; deliberately
+    * conservative — a plain integer is NOT treated as a phone.
+    */
+  val PhonePattern = "\\+[0-9]{7,15}|\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  def redactText(text: Column): Column = {
+    val e = regexp_replace(text, EmailPattern, "[EMAIL]")
+    val i = regexp_replace(e, Ipv4Pattern, "[IP]")
+    regexp_replace(i, PhonePattern, "[PHONE]")
+  }
+
+  /** Adds `text_redacted` plus per-category match counts (the audit
+    * columns a privacy review wants).
+    */
+  def withRedaction(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_emails", regexp_count(col(textCol), lit(EmailPattern)))
+      .withColumn("n_ips", regexp_count(col(textCol), lit(Ipv4Pattern)))
+      .withColumn(
+        "n_phones",
+        regexp_count(
+          regexp_replace(regexp_replace(col(textCol), EmailPattern, "[EMAIL]"),
+            Ipv4Pattern, "[IP]"),
+          lit(PhonePattern)))
+      .withColumn("text_redacted", redactText(col(textCol)))
+}

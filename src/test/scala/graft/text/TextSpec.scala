@@ -26,6 +26,34 @@ class TextSpec extends SparkSpec {
     assert(q(2L) > q(1L))
   }
 
+  test("Redact masks planted emails, IPs and phones; clean text unchanged; idempotent") {
+    val df = Seq(
+      (1L, "reach me at jane.doe+spam@sub.example.co.uk or call +4915123456789 now"),
+      (2L, "server at 192.168.0.1 and backup at 10.0.255.7 serve traffic"),
+      (3L, "dial 415-555-0123 for support"),
+      (4L, "a perfectly clean sentence with numbers like 42 and 3.5 inside"),
+      (5L, "mixed: a@b.io at 8.8.8.8 call +12345678")
+    ).toDF("id", "text")
+    val r = Redact.withRedaction(df, "text")
+      .select("id", "n_emails", "n_ips", "n_phones", "text_redacted")
+      .as[(Long, Int, Int, Int, String)].collect().map(t => t._1 -> t).toMap
+    assert(r(1L)._5 == "reach me at [EMAIL] or call [PHONE] now")
+    assert((r(1L)._2, r(1L)._3, r(1L)._4) == (1, 0, 1))
+    assert(r(2L)._5 == "server at [IP] and backup at [IP] serve traffic")
+    assert(r(2L)._3 == 2)
+    assert(r(3L)._5 == "dial [PHONE] for support")
+    // plain integers and decimals are NOT phones/IPs
+    assert(r(4L)._5 == "a perfectly clean sentence with numbers like 42 and 3.5 inside")
+    assert((r(4L)._2, r(4L)._3, r(4L)._4) == (0, 0, 0))
+    assert(r(5L)._5 == "mixed: [EMAIL] at [IP] call [PHONE]")
+    // idempotent: redacting redacted text changes nothing
+    val again = Redact
+      .withRedaction(
+        Redact.withRedaction(df, "text").select($"id", $"text_redacted".as("text")), "text")
+      .select("id", "text_redacted").as[(Long, String)].collect().toMap
+    assert(again == r.view.mapValues(_._5).toMap)
+  }
+
   test("LangId detects language from marker stopwords") {
     val df = Seq(
       (1L, "the cat is a friend of the dog"),
