@@ -953,8 +953,20 @@ object PipelineQueries {
     )
   )
 
+  // ---- T13: per-stratum sketch telemetry (rows-only; HLL registers are
+  // not SQL-replayable — error contract + partitioning invariance pinned
+  // by TextSpec; exact n_tokens/n_docs columns are deterministic) -------
+  val q66 = Q(
+    "q66_strata_profile",
+    (s, dir) =>
+      graft.text.Vocab
+        .strataProfile(Tables.documents(s, dir), "text", "doc_id", "lang")
+        .orderBy(col("lang")),
+    None
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
-      q63, q64, q65)
+      q63, q64, q65, q66)
 }

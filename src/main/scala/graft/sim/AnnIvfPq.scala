@@ -149,6 +149,26 @@ object AnnIvfPq {
       .partitionBy("cid")
       .parquet(path)
 
+  /** Incrementally add documents to an existing partitioned layout:
+    * encode the batch with the EXISTING index (same centroids, same
+    * residual codebook — so old and new codes score identically) and
+    * append into the cell partitions. This is the 100 TB maintenance
+    * path: a daily crawl lands as one encode + append, no index rebuild;
+    * re-train only when the embedding distribution drifts.
+    */
+  def appendPartitioned(
+      newDocs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      index: Index,
+      path: String
+  ): Unit =
+    encode(newDocs, idCol, vecCol, index)
+      .write
+      .mode("append")
+      .partitionBy("cid")
+      .parquet(path)
+
   /** Per-query probe rows: the nProbe best cells by centroid cosine,
     * with everything ADC scoring needs precomputed once per query —
     * lut (from the FULL query vector), qnorm, q·c per probed cell.

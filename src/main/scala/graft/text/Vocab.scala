@@ -39,4 +39,32 @@ object Vocab {
     vocab(df, textCol, idCol)
       .orderBy(col("term_freq").desc, col("token"))
       .limit(k)
+
+  /** Per-stratum corpus telemetry at sketch cost: total tokens, total
+    * documents, and APPROXIMATE distinct tokens / distinct documents via
+    * HyperLogLog++ (`approx_count_distinct`) — the per-source dashboard
+    * numbers a 100 TB ingest pipeline tracks continuously, where an
+    * exact distinct over the token explosion would shuffle every (token)
+    * pair just to count them. The sketch shuffles fixed-size registers
+    * per (partition, stratum) instead: one pass, map-side combined,
+    * bounded state regardless of vocabulary size.
+    *
+    * HLL++ is a pure function of the input SET (hash-based, register
+    * max-merge), so results are deterministic and partitioning-
+    * independent — pinned, with the rsd error contract, by `TextSpec`.
+    */
+  def strataProfile(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      strataCol: String,
+      rsd: Double = 0.02
+  ): DataFrame =
+    df.select(col(strataCol), col(idCol), explode(split(col(textCol), " ")).as("token"))
+      .groupBy(col(strataCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count_distinct(col(idCol)).as("n_docs"),
+        approx_count_distinct(col("token"), rsd).as("approx_vocab"),
+        approx_count_distinct(col(idCol), rsd).as("approx_docs"))
 }

@@ -197,6 +197,34 @@ class SimSpec extends SparkSpec {
     assert(!scanLine.get.contains("embedding"), scanLine.get)
   }
 
+  test("AnnIvfPq.appendPartitioned: incremental docs are probed like a rebuild") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf).limit(400)
+    val old = emb.where($"vec_id" >= 10)
+    val fresh = emb.where($"vec_id" < 10) // "today's crawl"
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_app").toString
+    val index = AnnIvfPq.build(old, "vec_id", "embedding",
+      numCentroids = 8, m = 16, kCent = 16, sampleN = 256)
+    AnnIvfPq.writePartitioned(old, "vec_id", "embedding", index, dir)
+    AnnIvfPq.appendPartitioned(fresh, "vec_id", "embedding", index, dir)
+
+    // appended rows are present exactly once, in their assigned cells
+    val codes = spark.read.parquet(dir)
+    assert(codes.count() == 400)
+    assert(codes.select("vec_id").distinct().count() == 400)
+
+    // probing the appended layout == probing a from-scratch write of the
+    // full corpus with the SAME index (codes are a pure function of the
+    // index, so append ≡ rebuild)
+    val dir2 = java.nio.file.Files.createTempDirectory("ivfpq_reb").toString
+    AnnIvfPq.writePartitioned(emb, "vec_id", "embedding", index, dir2)
+    val queries = emb.where($"vec_id" < 3)
+    def probe(p: String) = AnnIvfPq
+      .topKPartitioned(queries, index, p, emb, "vec_id", "embedding", k = 5, nProbe = 4, rerank = 20)
+      .select("qid", "nid", "cos_sim").as[(Long, Long, Double)].collect().toSet
+    assert(probe(dir) == probe(dir2))
+  }
+
   test("AnnIvfPq residual codes beat raw-vector codes at equal budget (quantization error)") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, sf).limit(400)

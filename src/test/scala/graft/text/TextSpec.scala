@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.functions.{col, sum}
+import org.apache.spark.sql.functions.{col, count_distinct, explode, split, sum}
 
 import graft.SparkSpec
 
@@ -52,6 +52,30 @@ class TextSpec extends SparkSpec {
         Redact.withRedaction(df, "text").select($"id", $"text_redacted".as("text")), "text")
       .select("id", "text_redacted").as[(Long, String)].collect().toMap
     assert(again == r.view.mapValues(_._5).toMap)
+  }
+
+  test("Vocab.strataProfile: HLL sketch within rsd contract, partitioning-independent") {
+    val docs = (1 to 300).map { i =>
+      val lang = if (i % 3 == 0) "es" else "en"
+      (i.toLong, lang, (1 to 30).map(j => s"tok${(i * 31 + j * 7) % 997}").mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val prof = Vocab.strataProfile(docs, "text", "doc_id", "lang", rsd = 0.02)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // exact reference per stratum
+    val exact = docs.select($"lang", explode(split($"text", " ")).as("token"))
+      .groupBy("lang").agg(count_distinct(col("token")).as("v"))
+      .as[(String, Long)].collect().toMap
+    for ((lang, row) <- prof) {
+      val approx = row.getLong(3).toDouble
+      val ex = exact(lang).toDouble
+      assert(math.abs(approx - ex) / ex < 0.10, s"$lang: approx $approx vs exact $ex")
+      assert(row.getLong(1) == (if (lang == "es") 100L else 200L) * 30) // n_tokens
+      assert(row.getLong(2) == (if (lang == "es") 100L else 200L)) // n_docs
+    }
+    // HLL registers max-merge: identical results on any partitioning
+    val prof7 = Vocab.strataProfile(docs.repartition(7), "text", "doc_id", "lang", rsd = 0.02)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(prof7 == prof.view.mapValues(_.getLong(3)).toMap)
   }
 
   test("LangId detects language from marker stopwords") {
