@@ -1,0 +1,85 @@
+package graft.sql
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.graftbridge.Bridge
+
+import graft.dedup.MinHashLsh
+import graft.functions._
+
+/** SQL surface for graft's custom Catalyst expressions: a user who
+  * lives in `spark.sql(...)` (or a JDBC/Thrift client) gets the same
+  * codegen'd primitives the DataFrame API exposes — no UDF tax, no
+  * Scala required. Two registration paths:
+  *
+  *  - new sessions: `--conf spark.sql.extensions=graft.sql.GraftExtensions`
+  *  - an existing session: `GraftFunctions.register(spark)`
+  *
+  * Functions:
+  *   float_dot(a, b)                   ⟨a, b⟩ over array<float>
+  *   float_norm(v)                     ‖v‖₂
+  *   float_normalize(v)                v/‖v‖ (zero vector stays zero)
+  *   sorted_intersect_size(a, b)       |A∩B| merge walk, sorted array<long>
+  *   pq_encode(v, codebook, dsub)      m-byte PQ code (binary)
+  *   pq_lut(q, codebook, dsub)         per-query ADC lookup table
+  *   pq_adc(code, lut)                 ADC score (m adds)
+  *   minhash_sig(h, numHashes, seed)   AGGREGATE: minhash signature over
+  *                                     grouped 60-bit hash values, same
+  *                                     seeded permutations as
+  *                                     [[MinHashLsh.coefficients]]
+  */
+object GraftFunctions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
+  private def longArg(e: Expression, what: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
+    case other => throw new IllegalArgumentException(s"$what must be a long literal, got $other")
+  }
+
+  /** (name, builder) pairs — one list drives both registration paths. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "float_dot" -> { args => FloatDot(args(0), args(1)) },
+    "float_norm" -> { args =>
+      org.apache.spark.sql.catalyst.expressions.Sqrt(FloatDot(args(0), args(0)))
+    },
+    "float_normalize" -> { args => FloatNormalize(args(0)) },
+    "sorted_intersect_size" -> { args => SortedIntersectSize(args(0), args(1)) },
+    "pq_encode" -> { args => PqOps.PqEncode(args(0), args(1), intArg(args(2), "dsub")) },
+    "pq_lut" -> { args => PqOps.PqLut(args(0), args(1), intArg(args(2), "dsub")) },
+    "pq_adc" -> { args => PqOps.PqAdc(args(0), args(1)) },
+    "minhash_sig" -> { args =>
+      val numHashes = intArg(args(1), "numHashes")
+      val seed = longArg(args(2), "seed")
+      val coefs = MinHashLsh.coefficients(numHashes, seed)
+      // same input convention as signaturesFromShingles: raw 64-bit
+      // hashes, reduced into [0, prime) here
+      MinHashAgg(
+        org.apache.spark.sql.catalyst.expressions.Pmod(
+          args(0), Literal(2147483647L)),
+        coefs.map(_._1), coefs.map(_._2), 2147483647L)
+        .toAggregateExpression(isDistinct = false)
+    }
+  )
+
+  /** Register every graft SQL function on an existing session. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) => Bridge.registerTempFunction(spark, name, b) }
+}
+
+/** `spark.sql.extensions` entry point: injects the [[GraftFunctions]]
+  * list into every session built with this extension.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, b) =>
+      ext.injectFunction(
+        (new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+          new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", name),
+          b))
+    }
+}

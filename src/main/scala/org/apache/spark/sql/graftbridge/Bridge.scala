@@ -15,4 +15,16 @@ object Bridge {
   def expr(c: Column): Expression = ExpressionUtils.expression(c)
   def aggColumn(f: AggregateFunction): Column =
     ExpressionUtils.column(f.toAggregateExpression(isDistinct = false))
+
+  /** Register a temp SQL function on an EXISTING session (the extension
+    * path only covers sessions built with `spark.sql.extensions`).
+    */
+  def registerTempFunction(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      builder: Seq[Expression] => Expression
+  ): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
 }

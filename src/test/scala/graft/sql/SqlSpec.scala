@@ -1,0 +1,69 @@
+package graft.sql
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The pure-SQL surface: graft's codegen'd expressions registered as SQL
+  * functions must return exactly what the DataFrame API returns.
+  */
+class SqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftFunctions.register(spark)
+
+  test("float_dot / float_norm / float_normalize from SQL") {
+    val r = spark.sql(
+      """SELECT
+        |  float_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |            array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
+        |  float_norm(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS n,
+        |  float_normalize(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS u
+        |""".stripMargin).head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getDouble(1) == 5.0)
+    assert(r.getSeq[Double](2).zip(Seq(0.6, 0.8)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+  }
+
+  test("sorted_intersect_size from SQL") {
+    val n = spark.sql(
+      "SELECT sorted_intersect_size(array(1L, 2L, 3L, 9L), array(2L, 3L, 5L)) AS n")
+      .head().getInt(0)
+    assert(n == 2)
+  }
+
+  test("pq_encode / pq_lut / pq_adc round-trip from SQL") {
+    // 2 subspaces of dsub=2, k=2 codewords per subspace: codebook rows
+    // land exactly on the vector's subvectors, so ADC == exact dot
+    spark.sql(
+      """SELECT CAST(array(1.0, 0.0, 0.0, 2.0) AS ARRAY<FLOAT>) AS v,
+        |       CAST(array(1.0, 0.0,  0.0, 2.0,   0.0, 2.0,  1.0, 0.0) AS ARRAY<FLOAT>) AS cb
+        |""".stripMargin).createOrReplaceTempView("pq_in")
+    val r = spark.sql(
+      """SELECT pq_adc(pq_encode(v, cb, 2), pq_lut(v, cb, 2)) AS adc,
+        |       float_dot(v, v) AS exact
+        |FROM pq_in""".stripMargin).head()
+    assert(r.getDouble(0) == r.getDouble(1))
+  }
+
+  test("minhash_sig aggregate from SQL equals the DataFrame pipeline") {
+    val sh = Seq(
+      (1L, 111L), (1L, 222L), (1L, 333L),
+      (2L, 222L), (2L, 444L)
+    ).toDF("doc_id", "sh")
+    sh.createOrReplaceTempView("sh_in")
+    val viaSql = spark.sql(
+      "SELECT doc_id, minhash_sig(sh, 8, 42L) AS sig FROM sh_in GROUP BY doc_id")
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    val viaDf = graft.dedup.MinHashLsh
+      .signaturesFromShingles(sh, "doc_id", numHashes = 8, seed = 42L)
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    assert(viaSql.toSeq == viaDf.toSeq)
+  }
+
+  test("GraftExtensions injects the same function list (wiring smoke)") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must not throw; names stay unique
+    assert(GraftFunctions.builders.map(_._1).distinct.size == GraftFunctions.builders.size)
+  }
+}
