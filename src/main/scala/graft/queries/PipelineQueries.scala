@@ -965,8 +965,58 @@ object PipelineQueries {
     None
   )
 
+  // ---- P12: semantic dedup — centroid cells → within-cell cosine pairs
+  // → connected components (oracle: the ENTIRE pipeline replays in SQL —
+  // q58's assignment, exact within-cell cosine, q44's recursive-CTE
+  // reachability — so the approximate end-to-end output is hash-checked;
+  // threshold margin to the nearest pair is 1.9e-4, far above engine
+  // float noise).
+  val q67 = Q(
+    "q67_semantic_dedup",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.sim.SemanticDedup.components(
+        emb, graft.sim.Embed.centroids(emb, "embedding", "label"),
+        "vec_id", "embedding", threshold = 0.3)
+    },
+    Some(
+      """WITH RECURSIVE cent AS (
+        |  SELECT label, i AS dim, (sum(embedding[i]) / count(*))::FLOAT AS cv
+        |  FROM embeddings, UNNEST(generate_series(1, 64)) AS u(i)
+        |  GROUP BY label, i),
+        |score AS (
+        |  SELECT e.vec_id, c.label,
+        |    sum(e.embedding[c.dim]::DOUBLE * c.cv::DOUBLE) /
+        |      (sqrt(sum(e.embedding[c.dim]::DOUBLE * e.embedding[c.dim]::DOUBLE)) *
+        |       sqrt(sum(c.cv::DOUBLE * c.cv::DOUBLE))) AS cos
+        |  FROM embeddings e CROSS JOIN cent c
+        |  GROUP BY e.vec_id, c.label),
+        |asg AS (
+        |  SELECT vec_id, label FROM score
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, label) = 1),
+        |f AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v, unnest(range(len(embedding))) AS i
+        |      FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM f GROUP BY vec_id),
+        |p0 AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |       FROM asg a JOIN asg b ON a.label = b.label AND a.vec_id < b.vec_id),
+        |dots AS (SELECT p0.id_a, p0.id_b, sum(fa.v * fb.v) AS dot
+        |         FROM p0 JOIN f fa ON fa.vec_id = p0.id_a
+        |                 JOIN f fb ON fb.vec_id = p0.id_b AND fb.i = fa.i
+        |         GROUP BY 1, 2),
+        |p AS (SELECT id_a, id_b FROM dots
+        |      JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
+        |      WHERE dot / (na.nrm * nb.nrm) >= 0.3),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p UNION ALL SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b)
+        |SELECT id AS vec_id, min(r) AS component FROM reach GROUP BY id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
-      q63, q64, q65, q66)
+      q63, q64, q65, q66, q67)
 }

@@ -308,6 +308,46 @@ class SimSpec extends SparkSpec {
     assert(!approx.exists { case (q, n) => q == n })
   }
 
+  test("SemanticDedup clusters planted embedding near-dups within cells only") {
+    import org.apache.spark.sql.functions._
+    // two tight cells; 1≈2≈3 are near-parallel (dups), 4 is alone in its
+    // direction, 5≈6 dups in the second cell
+    val df = Seq(
+      (1L, "a", vec(1.0, 0.02, 0.0, 0.0)),
+      (2L, "a", vec(1.0, 0.01, 0.01, 0.0)),
+      (3L, "a", vec(0.99, 0.0, 0.02, 0.0)),
+      (4L, "a", vec(0.5, 0.5, 0.5, 0.5)), // same cell, not a dup of 1-3
+      (5L, "b", vec(0.0, 0.0, 1.0, 0.03)),
+      (6L, "b", vec(0.0, 0.01, 1.0, 0.0))
+    ).toDF("vec_id", "grp", "v")
+    val cents = Embed.centroids(df, "v", "grp")
+    val comp = SemanticDedup.components(df, cents, "vec_id", "v", threshold = 0.99, centIdCol = "grp")
+      .as[(Long, Long)].collect().toMap
+    assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L)
+    assert(comp(4L) == 4L) // isolated: own component
+    assert(comp(5L) == 5L && comp(6L) == 5L)
+    val surv = SemanticDedup.survivors(df, cents, "vec_id", "v", threshold = 0.99, centIdCol = "grp")
+      .as[Long].collect().toSet
+    assert(surv == Set(1L, 4L, 5L))
+  }
+
+  test("semantic-dedup pair generation is blocked by cell — no cross product") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf).limit(200)
+    val cents = Embed.centroids(emb, "embedding", "label")
+    val assigned = Embed.assign(emb, cents, "embedding", "vec_id")
+    val v = emb.select(col("vec_id"), col("embedding"))
+      .join(assigned.select(col("vec_id"), col("assigned").as("__cell")), Seq("vec_id"))
+    val l = v.select(col("__cell"), col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val r = v.select(col("__cell"), col("vec_id").as("id_b"), col("embedding").as("v_b"))
+    val pairs = l.join(r, Seq("__cell")).where(col("id_a") < col("id_b"))
+    pairs.collect()
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("AnnPq training is deterministic") {
     val emb = Tables.embeddings(spark, sf).limit(100)
     val cb1 = AnnPq.train(emb, "vec_id", "embedding", m = 8, k = 4, sampleN = 64)
