@@ -35,4 +35,32 @@ object Grouped {
     val grouped = aggregate(df, keys, aggs)
     df.join(grouped, keys, "left")
   }
+
+  /** Per-group ROLLING statistics over the trailing `window` rows in
+    * `orderCol` order (pandas `groupby().rolling(window)`, the panel
+    * moving average / running volatility). One shuffle on the group key
+    * — the same partitioning [[graft.ops.Lags.makeLags]] uses, so a
+    * pipeline computing lags AND rolling stats reuses one exchange.
+    * Rows earlier than a full window aggregate over what exists (pandas
+    * `min_periods=1` convention).
+    */
+  def rolling(
+      df: DataFrame,
+      keys: Seq[String],
+      orderCol: String,
+      window: Int,
+      aggs: Seq[Column => Column],
+      valueCol: String,
+      names: Seq[String]
+  ): DataFrame = {
+    require(aggs.length == names.length, "one output name per aggregate")
+    require(window >= 1, "window must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol))
+      .rowsBetween(-(window - 1).toLong, org.apache.spark.sql.expressions.Window.currentRow)
+    aggs.zip(names).foldLeft(df) { case (acc, (f, n)) =>
+      acc.withColumn(n, f(col(valueCol)).over(w))
+    }
+  }
 }

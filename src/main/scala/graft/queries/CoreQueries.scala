@@ -717,6 +717,35 @@ object CoreQueries {
     )
   )
 
+  // ---- C28: per-group rolling statistics (oracle) ------------------------
+  // pandas groupby().rolling(5) — trailing-window mean/max per customer in
+  // order-key order; the unique order key makes the frame deterministic
+  // and the oracle replays it with the identical ROWS BETWEEN frame.
+  val q68 = Q(
+    "q68_rolling",
+    (s, dir) =>
+      Grouped
+        .rolling(
+          Tables.orders(s, dir), Seq("o_custkey"), "o_orderkey", window = 5,
+          aggs = Seq(c => avg(c), c => max(c), c => count(c)),
+          valueCol = "o_totalprice",
+          names = Seq("roll_avg", "roll_max", "roll_n"))
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          round(col("roll_avg"), 4).as("roll_avg"),
+          round(col("roll_max"), 4).as("roll_max"),
+          col("roll_n")),
+    Some(
+      """SELECT o_custkey, o_orderkey,
+        |  round(avg(o_totalprice) OVER w, 4) AS roll_avg,
+        |  round(max(o_totalprice) OVER w, 4) AS roll_max,
+        |  count(o_totalprice) OVER w AS roll_n
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin
+    )
+  )
+
   /** Round a driver-side double the same way Spark/DuckDB `round` does
     * (HALF_UP on the decimal representation).
     */
@@ -725,5 +754,5 @@ object CoreQueries {
 
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18,
-      q19, q36, q37, q38, q41, q42, q43, q59)
+      q19, q36, q37, q38, q41, q42, q43, q59, q68)
 }

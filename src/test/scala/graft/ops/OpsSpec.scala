@@ -230,6 +230,25 @@ class OpsSpec extends SparkSpec {
     assert(all.count() == 220)
   }
 
+  test("Grouped.rolling: trailing window per group, min_periods=1 convention") {
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0), ("a", 4L, 40.0),
+      ("b", 1L, 5.0), ("b", 2L, 7.0)
+    ).toDF("g", "t", "v")
+    val got = Grouped
+      .rolling(df, Seq("g"), "t", window = 3,
+        aggs = Seq(c => avg(c), c => count(c)), valueCol = "v",
+        names = Seq("m", "n"))
+      .select("g", "t", "m", "n")
+      .as[(String, Long, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got(("a", 1L)) == ((10.0, 1L))) // partial head window
+    assert(got(("a", 2L)) == ((15.0, 2L)))
+    assert(got(("a", 3L)) == ((20.0, 3L)))
+    assert(got(("a", 4L)) == ((30.0, 3L))) // trailing 3: 20,30,40
+    assert(got(("b", 2L)) == ((6.0, 2L))) // groups never mix
+  }
+
   test("Sampling.temperatureSampleReplicated upsamples deterministically and conserves mass") {
     val docs = ((1 to 400).map(i => (i.toLong, "high")) ++ (1001 to 1025).map(i => (i.toLong, "low")))
       .toDF("id", "lang")
