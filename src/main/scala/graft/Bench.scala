@@ -59,8 +59,12 @@ object Bench {
           System.err.println(f"[bench] retry $name (first run $dt1%.1fs)")
           val (dt2, out2) = once()
           // keep BOTH samples in the JSON: min-of-two de-noises the
-          // hypervisor, but the gap itself must stay visible across rounds
-          if (out2.isRight && dt2 < dt1) (dt2, out2, Seq(dt1, dt2))
+          // hypervisor, but the gap itself must stay visible across
+          // rounds. A FAILED retry records only the first sample — its
+          // duration never completed the work and must not read as a
+          // fast warm path.
+          if (!out2.isRight) (dt1, out1, Seq(dt1))
+          else if (dt2 < dt1) (dt2, out2, Seq(dt1, dt2))
           else (dt1, out1, Seq(dt1, dt2))
         } else (dt1, out1, Seq.empty[Double])
       // queries materialize eagerly (localCheckpoint); their cached RDD

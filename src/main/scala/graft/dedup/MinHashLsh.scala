@@ -76,6 +76,21 @@ object MinHashLsh {
       idCol: String,
       n: Int,
       gramHash: Column => Column = xxhash64(_)
+  ): DataFrame =
+    shingleWeights(df, textCol, idCol, n, gramHash).select(col(idCol), col("sh"))
+
+  /** (id, sh, w) — distinct shingle hashes WITH their term frequency.
+    * The single source of shingling truth: [[shingleHashes]] is this
+    * minus the weight, [[WeightedMinHash]] consumes the weights —
+    * a convention change (tokenization, the short-doc whole-text hash)
+    * lands in one place.
+    */
+  def shingleWeights(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      gramHash: Column => Column = xxhash64(_)
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = df
@@ -91,7 +106,10 @@ object MinHashLsh {
     val shortDocs = df
       .where(size(split(col(textCol), " ")) < n)
       .select(col(idCol), gramHash(col(textCol)).as("sh"))
-    grams.union(shortDocs).distinct()
+    grams
+      .union(shortDocs)
+      .groupBy(col(idCol), col("sh"))
+      .agg(count(lit(1)).cast("double").as("w"))
   }
 
   /** (id, sh_set array<long>) — distinct shingle-hash set per document,
@@ -161,7 +179,7 @@ object MinHashLsh {
   }
 
   /** Same-bucket candidate pairs (id_a < id_b) from a banded frame. */
-  private def pairsFromBands(b: DataFrame, idCol: String): DataFrame = {
+  private[dedup] def pairsFromBands(b: DataFrame, idCol: String): DataFrame = {
     val l = b.select(col("band"), col("bucket"), col(idCol).as("id_a"))
     val r = b.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     l.join(r, Seq("band", "bucket"))

@@ -23,10 +23,9 @@ import org.apache.spark.sql.functions._
 object WeightedMinHash {
 
   /** (id, sh, w) — one row per distinct shingle hash per document, with
-    * w = the shingle's term frequency. Same row-based shingling as
-    * [[MinHashLsh.shingleHashes]] (split runs once per doc; the id
-    * shuffle is reused by the signature groupBy), but counting
-    * occurrences instead of collapsing to a set.
+    * w = the shingle's term frequency. Delegates to
+    * [[MinHashLsh.shingleWeights]] — ONE shingling implementation for
+    * both the set and the weighted pipelines.
     */
   def tokenWeights(
       df: DataFrame,
@@ -34,26 +33,8 @@ object WeightedMinHash {
       idCol: String,
       n: Int,
       gramHash: Column => Column = xxhash64(_)
-  ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = df
-      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val withLeads = (1 until n).foldLeft(toks) { (acc, k) =>
-      acc.withColumn(s"__t$k", lead(col("tok"), k).over(w))
-    }
-    val parts = col("tok") +: (1 until n).map(k => col(s"__t$k"))
-    val grams = withLeads
-      .where(parts.map(_.isNotNull).reduce(_ && _))
-      .select(col(idCol), gramHash(concat_ws(" ", parts: _*)).as("sh"))
-    val shortDocs = df
-      .where(size(split(col(textCol), " ")) < n)
-      .select(col(idCol), gramHash(col(textCol)).as("sh"))
-    grams
-      .union(shortDocs)
-      .groupBy(col(idCol), col("sh"))
-      .agg(count(lit(1)).cast("double").as("w"))
-  }
+  ): DataFrame =
+    MinHashLsh.shingleWeights(df, textCol, idCol, n, gramHash)
 
   /** (id, sig array<long>) — ICWS signatures from an (id, sh, w) frame. */
   def signaturesFromWeighted(
@@ -92,14 +73,7 @@ object WeightedMinHash {
   ): DataFrame = {
     val sig = signatures(df, textCol, idCol, numHashes, shingleSize, seed)
     val b = MinHashLsh.bands(sig, idCol, numBands, numHashes).persist()
-    val l = b.select(col("band"), col("bucket"), col(idCol).as("id_a"))
-    val r = b.select(col("band"), col("bucket"), col(idCol).as("id_b"))
-    val out = l
-      .join(r, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-      .localCheckpoint()
+    val out = MinHashLsh.pairsFromBands(b, idCol).localCheckpoint()
     b.unpersist(false)
     out
   }
@@ -127,13 +101,7 @@ object WeightedMinHash {
     val wsh = tokenWeights(df, textCol, idCol, shingleSize).persist()
     val sig = signaturesFromWeighted(wsh, idCol, numHashes, seed)
     val b = MinHashLsh.bands(sig, idCol, numBands, numHashes).persist()
-    val l = b.select(col("band"), col("bucket"), col(idCol).as("id_a"))
-    val r = b.select(col("band"), col("bucket"), col(idCol).as("id_b"))
-    val cands = l
-      .join(r, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
+    val cands = MinHashLsh.pairsFromBands(b, idCol)
     val totals = wsh.groupBy(col(idCol)).agg(sum(col("w")).as("tw"))
     val shared = cands
       .join(wsh.select(col(idCol).as("id_a"), col("sh"), col("w").as("wa")), Seq("id_a"))

@@ -28,7 +28,7 @@ object Salt {
 
   private val SafeJoinTypes =
     Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
-      "left_anti", "leftanti")
+      "semi", "left_anti", "leftanti", "anti")
 
   /** `facts ⋈ dim` on `key`, with the hot-key load spread over `factor`
     * tasks. `dim` is replicated `factor` times — keep it the SMALL side.

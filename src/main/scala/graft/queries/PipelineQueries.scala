@@ -940,16 +940,17 @@ object PipelineQueries {
          |    (doc_id % 256)::VARCHAR || '.7 or +1415' || lpad(doc_id::VARCHAR, 7, '0') AS text2
          |  FROM documents),
          |r AS (SELECT doc_id, text2,
-         |  regexp_replace(regexp_replace(text2,
-         |    '${Redact.EmailPattern}', '[EMAIL]', 'g'),
-         |    '${Redact.Ipv4Pattern}', '[IP]', 'g') AS after_ip
-         |  FROM t)
+         |  regexp_replace(text2, '${Redact.EmailPattern}', '[EMAIL]', 'g') AS after_email
+         |  FROM t),
+         |r2 AS (SELECT doc_id, text2, after_email,
+         |  regexp_replace(after_email, '${Redact.Ipv4Pattern}', '[IP]', 'g') AS after_ip
+         |  FROM r)
          |SELECT doc_id,
          |  len(regexp_extract_all(text2, '${Redact.EmailPattern}')) AS n_emails,
-         |  len(regexp_extract_all(text2, '${Redact.Ipv4Pattern}')) AS n_ips,
+         |  len(regexp_extract_all(after_email, '${Redact.Ipv4Pattern}')) AS n_ips,
          |  len(regexp_extract_all(after_ip, '${Redact.PhonePattern}')) AS n_phones,
          |  regexp_replace(after_ip, '${Redact.PhonePattern}', '[PHONE]', 'g') AS text_redacted
-         |FROM r""".stripMargin
+         |FROM r2""".stripMargin
     )
   )
 

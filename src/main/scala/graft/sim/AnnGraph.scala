@@ -22,9 +22,11 @@ import graft.functions.FloatVec
   *    the shared endpoint (*undirected* — both orientations), score by
   *    cosine, keep each node's top-k. Per sweep the shuffle carries
   *    O(n·k²) candidate EDGES (ids + score, never vectors); vectors join
-  *    in once per sweep to score fresh candidates. Iteration state (the
-  *    edge list) is n·k rows, persisted and lineage-truncated per sweep
-  *    — the [[graft.ml.FixedEffects]] loop hygiene.
+  *    in once per sweep to score fresh candidates, with per-row norms
+  *    hoisted before the join so no vector's norm is recomputed per
+  *    edge. Iteration state (the edge list) is n·k rows, materialized
+  *    per sweep with `localCheckpoint` and the PREVIOUS sweep's blocks
+  *    released — the [[graft.dedup.ConnectedComponents]] loop hygiene.
   *
   *  - SEARCH: queries broadcast; each hop expands the current frontier
   *    through the (id-partitioned) edge list, scores the new candidates,
@@ -39,8 +41,67 @@ import graft.functions.FloatVec
   */
 object AnnGraph {
 
-  private def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    FloatVec.dot(a, b) / (FloatVec.norm(a) * FloatVec.norm(b))
+  /** (id, vec, __nrm) — norms hoisted ONCE per row, never per edge. */
+  private def withNorm(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol), col(vecCol), FloatVec.norm(col(vecCol)).as("__nrm"))
+
+  /** Underlying RDD of a localCheckpoint'ed frame, for releasing the
+    * blocks a superseded iteration state holds.
+    */
+  private def ckRdd(d: DataFrame) =
+    d.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+
+  /** Attach cosine scores to an (src, dst) candidate edge list — the only
+    * stage where vectors move, and they move by equi-join on each
+    * endpoint (no broadcast of the corpus, no pair blowup beyond the
+    * candidate list itself). `v` must be a [[withNorm]] frame.
+    */
+  private def scoreEdges(
+      cand: DataFrame,
+      v: DataFrame,
+      idCol: String,
+      vecCol: String
+  ): DataFrame =
+    cand
+      .join(
+        v.select(col(idCol).as("src"), col(vecCol).as("__sv"), col("__nrm").as("__sn")),
+        Seq("src"))
+      .join(
+        v.select(col(idCol).as("dst"), col(vecCol).as("__dv"), col("__nrm").as("__dn")),
+        Seq("dst"))
+      .select(
+        col("src"), col("dst"),
+        (FloatVec.dot(col("__sv"), col("__dv")) / (col("__sn") * col("__dn"))).as("cos_sim"))
+
+  private def topKPerSrc(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("src")).orderBy(col("cos_sim").desc, col("dst"))
+    scored
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .drop("__rk")
+  }
+
+  private def seedEdges(
+      v: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dims: Int,
+      numPlanes: Int,
+      numTables: Int
+  ): DataFrame = {
+    val b = AnnLsh.bucketize(v, idCol, vecCol, dims, numPlanes, numTables)
+    val l = b.select(col("table"), col("bucket"), col(idCol).as("src"))
+    val r = b.select(col("table"), col("bucket"), col(idCol).as("dst"))
+    val cand = l
+      .join(r, Seq("table", "bucket"))
+      .where(col("src") =!= col("dst"))
+      .select("src", "dst")
+      .distinct()
+    topKPerSrc(scoreEdges(cand, v, idCol, vecCol), k)
+  }
 
   /** (src, dst, cos_sim) — each node's k nearest by cosine among LSH
     * bucket mates, the NN-Descent seed. Deterministic: bucket hashes and
@@ -54,49 +115,17 @@ object AnnGraph {
       dims: Int,
       numPlanes: Int = 6,
       numTables: Int = 4
-  ): DataFrame = {
-    val b = AnnLsh.bucketize(corpus, idCol, vecCol, dims, numPlanes, numTables)
-    val v = corpus.select(col(idCol), col(vecCol))
-    val l = b.select(col("table"), col("bucket"), col(idCol).as("src"))
-    val r = b.select(col("table"), col("bucket"), col(idCol).as("dst"))
-    val cand = l
-      .join(r, Seq("table", "bucket"))
-      .where(col("src") =!= col("dst"))
-      .select("src", "dst")
-      .distinct()
-    topKPerSrc(scoreEdges(cand, v, idCol, vecCol), k)
-  }
-
-  /** Attach cosine scores to an (src, dst) candidate edge list — the only
-    * stage where vectors move, and they move by equi-join on each
-    * endpoint (no broadcast of the corpus, no pair blowup beyond the
-    * candidate list itself).
-    */
-  private def scoreEdges(
-      cand: DataFrame,
-      vectors: DataFrame,
-      idCol: String,
-      vecCol: String
   ): DataFrame =
-    cand
-      .join(vectors.select(col(idCol).as("src"), col(vecCol).as("__sv")), Seq("src"))
-      .join(vectors.select(col(idCol).as("dst"), col(vecCol).as("__dv")), Seq("dst"))
-      .select(col("src"), col("dst"), cos(col("__sv"), col("__dv")).as("cos_sim"))
-
-  private def topKPerSrc(scored: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("src")).orderBy(col("cos_sim").desc, col("dst"))
-    scored
-      .withColumn("__rk", row_number().over(w))
-      .where(col("__rk") <= k)
-      .drop("__rk")
-  }
+    seedEdges(withNorm(corpus, idCol, vecCol), idCol, vecCol, k, dims, numPlanes, numTables)
 
   /** NN-Descent sweeps over a seeded edge list → (src, dst, cos_sim)
     * k-NN graph. Each sweep: candidates = current edges ∪ two-hop
     * neighbors through shared endpoints (undirected), rescored, top-k
     * kept per node. Monotone: a node's neighbor list only improves, and
     * edges already present are not rescored (anti-join), so sweeps get
-    * cheaper as the graph converges.
+    * cheaper as the graph converges. The returned frame is
+    * localCheckpoint'ed (the library convention: compute once, truncate
+    * lineage; the session's cache sweep or the caller releases it).
     */
   def knnGraph(
       corpus: DataFrame,
@@ -108,11 +137,9 @@ object AnnGraph {
       numPlanes: Int = 6,
       numTables: Int = 4
   ): DataFrame = {
-    val v = corpus.select(col(idCol), col(vecCol)).persist()
+    val v = withNorm(corpus, idCol, vecCol).persist()
     v.count()
-    var edges = lshSeedEdges(corpus, idCol, vecCol, k, dims, numPlanes, numTables)
-      .persist()
-    edges.count()
+    var edges = seedEdges(v, idCol, vecCol, k, dims, numPlanes, numTables).localCheckpoint()
     for (_ <- 0 until sweeps) {
       // undirected view: neighbor-of-neighbor through EITHER endpoint
       val und = edges.select(col("src"), col("dst"))
@@ -126,14 +153,13 @@ object AnnGraph {
         .join(edges.select("src", "dst"), Seq("src", "dst"), "left_anti")
       val fresh = scoreEdges(twoHop, v, idCol, vecCol)
       val next = topKPerSrc(edges.unionByName(fresh), k).localCheckpoint()
-      edges.unpersist(false)
+      // release the superseded sweep's checkpoint blocks, not just its
+      // CacheManager entry
+      ckRdd(edges).foreach(_.unpersist(false))
       edges = next
-      edges.persist()
     }
-    val out = edges.localCheckpoint()
-    edges.unpersist(false)
     v.unpersist(false)
-    out
+    edges
   }
 
   /** Batched greedy beam search over a k-NN graph. `entries` nodes seed
@@ -154,41 +180,46 @@ object AnnGraph {
       hops: Int = 3,
       entries: Int = 4
   ): DataFrame = {
-    val spark = queries.sparkSession
-    val v = corpus.select(col(idCol), col(vecCol)).persist()
+    val v = withNorm(corpus, idCol, vecCol).persist()
     val adj = graph.select(col("src"), col("dst")).persist()
     adj.count()
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val q = queries.select(
+      col(idCol).as("qid"), col(vecCol).as("qv"), FloatVec.norm(col(vecCol)).as("__qn"))
+
+    def score(cand: DataFrame): DataFrame =
+      cand
+        .join(
+          v.select(col(idCol).as("nid"), col(vecCol).as("nv"), col("__nrm").as("__nn")),
+          Seq("nid"))
+        .select(
+          col("qid"), col("qv"), col("__qn"), col("nid"),
+          (FloatVec.dot(col("qv"), col("nv")) / (col("__qn") * col("__nn"))).as("cos_sim"))
 
     // fixed entry points: score each query against the `entries`
     // lowest-id nodes (deterministic, index-free)
     val entryIds = v.select(col(idCol)).orderBy(col(idCol)).limit(entries)
-    var visited = q
-      .crossJoin(entryIds.withColumnRenamed(idCol, "nid"))
-      .join(v.select(col(idCol).as("nid"), col(vecCol).as("nv")), Seq("nid"))
-      .select(col("qid"), col("qv"), col("nid"), cos(col("qv"), col("nv")).as("cos_sim"))
-      .persist()
-    visited.count()
-    var frontier = visited.select(col("qid"), col("qv"), col("nid"), col("cos_sim"))
+    var visited = score(q.crossJoin(entryIds.withColumnRenamed(idCol, "nid")))
+      .localCheckpoint()
+    var frontier = visited
 
     for (_ <- 0 until hops) {
       val wB = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid"))
       val beamFront = frontier
         .withColumn("__rk", row_number().over(wB))
         .where(col("__rk") <= beam)
-        .select(col("qid"), col("qv"), col("nid"))
+        .select(col("qid"), col("qv"), col("__qn"), col("nid"))
       val expanded = beamFront
         .join(adj.select(col("src").as("nid"), col("dst")), Seq("nid"))
-        .select(col("qid"), col("qv"), col("dst").as("nid"))
+        .select(col("qid"), col("qv"), col("__qn"), col("dst").as("nid"))
         .distinct()
         .join(visited.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_anti")
-      val scored = expanded
-        .join(v.select(col(idCol).as("nid"), col(vecCol).as("nv")), Seq("nid"))
-        .select(col("qid"), col("qv"), col("nid"), cos(col("qv"), col("nv")).as("cos_sim"))
+      val scored = score(expanded).localCheckpoint()
       val nextVisited = visited.unionByName(scored).localCheckpoint()
-      visited.unpersist(false)
+      // release the superseded accumulator AND the consumed frontier
+      // (hop 1's frontier IS the initial visited — don't double-release)
+      ckRdd(visited).foreach(_.unpersist(false))
+      if (!(frontier eq visited)) ckRdd(frontier).foreach(_.unpersist(false))
       visited = nextVisited
-      visited.persist()
       frontier = scored
     }
 
@@ -199,7 +230,10 @@ object AnnGraph {
       .where(col("__rk") <= k)
       .select(col("qid"), col("nid"), round(col("cos_sim"), 4).as("cos_sim"))
       .localCheckpoint()
-    Seq(visited, adj, v).foreach(_.unpersist(false))
+    if (!(frontier eq visited)) ckRdd(frontier).foreach(_.unpersist(false))
+    ckRdd(visited).foreach(_.unpersist(false))
+    adj.unpersist(false)
+    v.unpersist(false)
     out
   }
 
@@ -220,6 +254,8 @@ object AnnGraph {
       entries: Int = 4
   ): DataFrame = {
     val g = knnGraph(corpus, idCol, vecCol, dims, graphK, sweeps)
-    search(queries, g, corpus, idCol, vecCol, k, beam, hops, entries)
+    val out = search(queries, g, corpus, idCol, vecCol, k, beam, hops, entries)
+    ckRdd(g).foreach(_.unpersist(false))
+    out
   }
 }

@@ -38,18 +38,21 @@ object SemanticDedup {
       centIdCol: String = "label"
   ): DataFrame = {
     val assigned = Embed.assign(emb, cents, vecCol, idCol, centIdCol)
+    // hoist the per-row norm BEFORE the self-join: a doc in a cell with
+    // P candidate partners must not recompute its O(dims) norm P times
+    // (the Cosine.nearDupPairs convention)
     val v = emb
-      .select(col(idCol), col(vecCol))
+      .select(col(idCol), col(vecCol), FloatVec.norm(col(vecCol)).as("__nrm"))
       .join(assigned.select(col(idCol), col("assigned").as("__cell")), Seq(idCol))
       .persist()
-    val l = v.select(col("__cell"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val r = v.select(col("__cell"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    val l = v.select(
+      col("__cell"), col(idCol).as("id_a"), col(vecCol).as("v_a"), col("__nrm").as("n_a"))
+    val r = v.select(
+      col("__cell"), col(idCol).as("id_b"), col(vecCol).as("v_b"), col("__nrm").as("n_b"))
     val pairs = l
       .join(r, Seq("__cell"))
       .where(col("id_a") < col("id_b"))
-      .where(
-        FloatVec.dot(col("v_a"), col("v_b")) /
-          (FloatVec.norm(col("v_a")) * FloatVec.norm(col("v_b"))) >= threshold)
+      .where(FloatVec.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")) >= threshold)
       .select(col("id_a"), col("id_b"))
       .localCheckpoint()
     v.unpersist(false)

@@ -36,16 +36,19 @@ object Redact {
   }
 
   /** Adds `text_redacted` plus per-category match counts (the audit
-    * columns a privacy review wants).
+    * columns a privacy review wants). Each count is evaluated at the
+    * SAME pipeline stage as its replacement, so n_<cat> always equals
+    * the number of [<CAT>] tags in `text_redacted` — an IPv4-looking
+    * substring inside an email (bob@10.0.0.1.example.com) is one email,
+    * zero IPs, and a dotted digit run is never double-counted as a
+    * phone.
     */
-  def withRedaction(df: DataFrame, textCol: String): DataFrame =
+  def withRedaction(df: DataFrame, textCol: String): DataFrame = {
+    val afterEmail = regexp_replace(col(textCol), EmailPattern, "[EMAIL]")
+    val afterIp = regexp_replace(afterEmail, Ipv4Pattern, "[IP]")
     df.withColumn("n_emails", regexp_count(col(textCol), lit(EmailPattern)))
-      .withColumn("n_ips", regexp_count(col(textCol), lit(Ipv4Pattern)))
-      .withColumn(
-        "n_phones",
-        regexp_count(
-          regexp_replace(regexp_replace(col(textCol), EmailPattern, "[EMAIL]"),
-            Ipv4Pattern, "[IP]"),
-          lit(PhonePattern)))
+      .withColumn("n_ips", regexp_count(afterEmail, lit(Ipv4Pattern)))
+      .withColumn("n_phones", regexp_count(afterIp, lit(PhonePattern)))
       .withColumn("text_redacted", redactText(col(textCol)))
+  }
 }

@@ -59,12 +59,27 @@ object Vocab {
       idCol: String,
       strataCol: String,
       rsd: Double = 0.02
-  ): DataFrame =
-    df.select(col(strataCol), col(idCol), explode(split(col(textCol), " ")).as("token"))
+  ): DataFrame = {
+    // doc-level stats come from the UN-exploded frame: an exact distinct
+    // over the token explosion would force a distinct-aggregate Expand
+    // duplicating every (stratum, doc, token) row — the token pass must
+    // stay sketch-only. Both sides aggregate to one row per stratum, so
+    // the join is broadcast-sized.
+    val tokSide = df
+      .select(col(strataCol), explode(split(col(textCol), " ")).as("token"))
       .groupBy(col(strataCol))
       .agg(
         count(lit(1)).as("n_tokens"),
+        approx_count_distinct(col("token"), rsd).as("approx_vocab"))
+    val docSide = df
+      .groupBy(col(strataCol))
+      .agg(
         count_distinct(col(idCol)).as("n_docs"),
-        approx_count_distinct(col("token"), rsd).as("approx_vocab"),
         approx_count_distinct(col(idCol), rsd).as("approx_docs"))
+    tokSide
+      .join(docSide, Seq(strataCol))
+      .select(
+        col(strataCol), col("n_tokens"), col("n_docs"),
+        col("approx_vocab"), col("approx_docs"))
+  }
 }

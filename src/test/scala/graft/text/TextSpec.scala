@@ -32,7 +32,8 @@ class TextSpec extends SparkSpec {
       (2L, "server at 192.168.0.1 and backup at 10.0.255.7 serve traffic"),
       (3L, "dial 415-555-0123 for support"),
       (4L, "a perfectly clean sentence with numbers like 42 and 3.5 inside"),
-      (5L, "mixed: a@b.io at 8.8.8.8 call +12345678")
+      (5L, "mixed: a@b.io at 8.8.8.8 call +12345678"),
+      (6L, "write bob@10.0.0.1.example.com today") // IP-shaped substring INSIDE an email
     ).toDF("id", "text")
     val r = Redact.withRedaction(df, "text")
       .select("id", "n_emails", "n_ips", "n_phones", "text_redacted")
@@ -46,6 +47,10 @@ class TextSpec extends SparkSpec {
     assert(r(4L)._5 == "a perfectly clean sentence with numbers like 42 and 3.5 inside")
     assert((r(4L)._2, r(4L)._3, r(4L)._4) == (0, 0, 0))
     assert(r(5L)._5 == "mixed: [EMAIL] at [IP] call [PHONE]")
+    // audit counts agree with the tags actually emitted: the dotted run
+    // inside the email is redacted as part of the email, not as an IP
+    assert(r(6L)._5 == "write [EMAIL] today")
+    assert((r(6L)._2, r(6L)._3, r(6L)._4) == (1, 0, 0))
     // idempotent: redacting redacted text changes nothing
     val again = Redact
       .withRedaction(
