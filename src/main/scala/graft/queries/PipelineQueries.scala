@@ -1016,8 +1016,37 @@ object PipelineQueries {
     )
   )
 
+  // ---- X1b: REAL media decode (rows-only; decoded dims/means/RMS pinned
+  // exactly by MultimodalSpec). Payloads are genuine PNG/WAV bytes
+  // synthesized per row from doc_id (the container has no media files),
+  // decoded with the JDK's own ImageIO / AudioSystem codecs; every third
+  // row is deliberately corrupt and must degrade, not fail the scan.
+  val q69 = Q(
+    "q69_media_decode",
+    (s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir).select("doc_id", "text")
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val payload = (id % 3) match {
+            case 0 => graft.media.Multimodal.encodePng(16, 16, seed = id)
+            case 1 => graft.media.Multimodal.encodeWav(1600, 8000, 200.0 + (id % 40))
+            case _ => text.getBytes("UTF-8") // corrupt: not decodable media
+          }
+          val kind = if (id % 3 == 1) "audio" else "image"
+          graft.media.Multimodal.MediaRow(id, kind, payload, 0, 0)
+        }
+      graft.media.Multimodal.decodeReal(media)
+        .select(
+          col("media_id"), col("kind"), col("decode_ok"),
+          col("width"), col("height"), col("n_samples"),
+          round(col("mean_c0"), 4).as("mean_c0"))
+    },
+    None
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
-      q63, q64, q65, q66, q67)
+      q63, q64, q65, q66, q67, q69)
 }
