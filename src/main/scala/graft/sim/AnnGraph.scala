@@ -180,6 +180,31 @@ object AnnGraph {
       hops: Int = 3,
       entries: Int = 4
   ): DataFrame = {
+    // fixed entry points: each query starts from the `entries` lowest-id
+    // nodes (deterministic, index-free)
+    val entryIds = corpus.select(col(idCol)).orderBy(col(idCol)).limit(entries)
+    val pairs = queries
+      .select(col(idCol).as("qid"))
+      .crossJoin(entryIds.withColumnRenamed(idCol, "nid"))
+    searchFrom(queries, graph, corpus, idCol, vecCol, k, beam, hops, pairs)
+  }
+
+  /** [[search]] with CALLER-SUPPLIED per-query entry points — a (qid,
+    * nid) frame. This is the layer hook: [[topKHierarchical]] feeds the
+    * coarse level's winners in here, an external router could feed
+    * IVF-cell medoids.
+    */
+  def searchFrom(
+      queries: DataFrame,
+      graph: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      beam: Int,
+      hops: Int,
+      entryPairs: DataFrame
+  ): DataFrame = {
     val v = withNorm(corpus, idCol, vecCol).persist()
     val adj = graph.select(col("src"), col("dst")).persist()
     adj.count()
@@ -195,10 +220,7 @@ object AnnGraph {
           col("qid"), col("qv"), col("__qn"), col("nid"),
           (FloatVec.dot(col("qv"), col("nv")) / (col("__qn") * col("__nn"))).as("cos_sim"))
 
-    // fixed entry points: score each query against the `entries`
-    // lowest-id nodes (deterministic, index-free)
-    val entryIds = v.select(col(idCol)).orderBy(col(idCol)).limit(entries)
-    var visited = score(q.crossJoin(entryIds.withColumnRenamed(idCol, "nid")))
+    var visited = score(q.join(entryPairs.select(col("qid"), col("nid")), Seq("qid")))
       .localCheckpoint()
     var frontier = visited
 
@@ -234,6 +256,43 @@ object AnnGraph {
     ckRdd(visited).foreach(_.unpersist(false))
     adj.unpersist(false)
     v.unpersist(false)
+    out
+  }
+
+  /** Hierarchical (HNSW-style) layered search: a COARSE graph over a
+    * deterministic hash sample of the corpus (every `coarseEvery`-th
+    * node) is searched first with the cheap fixed entries; each query's
+    * best coarse hits become its entry points into the FULL graph. The
+    * coarse hop replaces "start from a global fixed node" with "start
+    * near the query" — the navigable-layer idea, distributed: both
+    * levels are the same bounded-join search, and the coarse level costs
+    * 1/coarseEvery² of the full graph's edges.
+    */
+  def topKHierarchical(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      k: Int,
+      graphK: Int = 10,
+      sweeps: Int = 2,
+      beam: Int = 10,
+      hops: Int = 3,
+      coarseEvery: Int = 8,
+      fullEntries: Int = 4
+  ): DataFrame = {
+    val coarse = corpus.where(pmod(xxhash64(col(idCol)), lit(coarseEvery.toLong)) === 0)
+    val gC = knnGraph(coarse, idCol, vecCol, dims, graphK, sweeps)
+    val entryPairs = search(queries, gC, coarse, idCol, vecCol,
+      k = fullEntries, beam = beam, hops = hops)
+      .select(col("qid"), col("nid"))
+      .localCheckpoint()
+    ckRdd(gC).foreach(_.unpersist(false))
+    val gF = knnGraph(corpus, idCol, vecCol, dims, graphK, sweeps)
+    val out = searchFrom(queries, gF, corpus, idCol, vecCol, k, beam, hops, entryPairs)
+    ckRdd(gF).foreach(_.unpersist(false))
+    ckRdd(entryPairs).foreach(_.unpersist(false))
     out
   }
 

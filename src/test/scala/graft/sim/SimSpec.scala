@@ -348,6 +348,23 @@ class SimSpec extends SparkSpec {
       plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("AnnGraph.topKHierarchical: coarse-layer entries keep recall at the flat floor") {
+    val emb = Tables.embeddings(spark, sf).limit(300)
+    val queries = emb.where($"vec_id" < 5)
+    val exact = Cosine
+      .topK(queries, emb, "vec_id", "embedding", k = 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val hier = AnnGraph
+      .topKHierarchical(queries, emb, "vec_id", "embedding", dims = 64, k = 5,
+        graphK = 8, sweeps = 2, beam = 12, hops = 4, coarseEvery = 4, fullEntries = 6)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(hier).size.toDouble / exact.size
+    assert(recall >= 0.5, s"hierarchical recall $recall too low")
+    val cnts = hier.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(cnts.values.forall(_ == 5), cnts.toString)
+    assert(!hier.exists { case (q, n) => q == n })
+  }
+
   test("AnnPq training is deterministic") {
     val emb = Tables.embeddings(spark, sf).limit(100)
     val cb1 = AnnPq.train(emb, "vec_id", "embedding", m = 8, k = 4, sampleN = 64)
