@@ -259,6 +259,68 @@ object AnnGraph {
     out
   }
 
+  /** Incrementally extend a k-NN graph with a batch of NEW documents —
+    * the daily-crawl maintenance path (the [[AnnIvfPq.appendPartitioned]]
+    * story for the graph index): seed the new docs' neighbor lists from
+    * LSH buckets over the COMBINED corpus (new docs can neighbor old
+    * ones and vice versa), union with the existing edge list, and run
+    * `sweeps` NN-Descent rounds to let the new edges propagate. Old
+    * nodes' lists only improve (top-k over a superset); nothing is
+    * rebuilt from scratch — per-append cost is the new docs' seed join
+    * plus the usual sweep cost on the merged list.
+    */
+  def appendToGraph(
+      graph: DataFrame,
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      k: Int = 10,
+      sweeps: Int = 1,
+      numPlanes: Int = 6,
+      numTables: Int = 4
+  ): DataFrame = {
+    val v = withNorm(corpus, idCol, vecCol).persist()
+    v.count()
+    // LSH candidates restricted to pairs touching a NEW doc (semi-join
+    // on either endpoint): the old graph already covers old-old
+    // neighborhoods
+    val b = AnnLsh.bucketize(v, idCol, vecCol, dims, numPlanes, numTables)
+    val newIds = newDocs.select(col(idCol).as("__nid")).distinct()
+    val l = b.select(col("table"), col("bucket"), col(idCol).as("src"))
+    val r = b.select(col("table"), col("bucket"), col(idCol).as("dst"))
+    val base = l.join(r, Seq("table", "bucket"))
+      .where(col("src") =!= col("dst"))
+      .select("src", "dst")
+      .distinct()
+    val candNew = base
+      .join(newIds.select(col("__nid").as("src")), Seq("src"), "left_semi")
+      .unionByName(
+        base.join(newIds.select(col("__nid").as("dst")), Seq("dst"), "left_semi")
+          .select("src", "dst"))
+      .distinct()
+    var edges = topKPerSrc(
+      scoreEdges(candNew, v, idCol, vecCol).unionByName(graph.select("src", "dst", "cos_sim")),
+      k).localCheckpoint()
+    for (_ <- 0 until sweeps) {
+      val und = edges.select(col("src"), col("dst"))
+        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      val twoHop = und.select(col("src"), col("dst").as("__mid"))
+        .join(und.select(col("src").as("__mid"), col("dst")), Seq("__mid"))
+        .where(col("src") =!= col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .join(edges.select("src", "dst"), Seq("src", "dst"), "left_anti")
+      val fresh = scoreEdges(twoHop, v, idCol, vecCol)
+      val next = topKPerSrc(edges.unionByName(fresh), k).localCheckpoint()
+      ckRdd(edges).foreach(_.unpersist(false))
+      edges = next
+    }
+    v.unpersist(false)
+    edges
+  }
+
   /** Hierarchical (HNSW-style) layered search: a COARSE graph over a
     * deterministic hash sample of the corpus (every `coarseEvery`-th
     * node) is searched first with the cheap fixed entries; each query's

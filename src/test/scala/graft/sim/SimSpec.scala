@@ -348,6 +348,36 @@ class SimSpec extends SparkSpec {
       plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("AnnGraph.appendToGraph: incremental docs join the graph without a rebuild") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf).limit(300).persist()
+    val old = emb.where($"vec_id" >= 20)
+    val fresh = emb.where($"vec_id" < 20)
+    val g0 = AnnGraph.knnGraph(old, "vec_id", "embedding", dims = 64, k = 5, sweeps = 2)
+    val g1 = AnnGraph.appendToGraph(g0, fresh, emb, "vec_id", "embedding",
+      dims = 64, k = 5, sweeps = 1)
+    // every new doc has out-edges; graph shape invariants hold
+    val srcs = g1.select("src").distinct().as[Long].collect().toSet
+    val freshIds = fresh.select("vec_id").as[Long].collect().toSet
+    assert(freshIds.nonEmpty && freshIds.forall(srcs.contains), s"new docs missing from graph")
+    assert(g1.where($"src" === $"dst").count() == 0)
+    assert(g1.groupBy("src").count().agg(max("count")).head().getLong(0) <= 5)
+    // old nodes only improved: per-node best edge score never decreases
+    val best0 = g0.groupBy("src").agg(max("cos_sim").as("b")).as[(Long, Double)].collect().toMap
+    val best1 = g1.groupBy("src").agg(max("cos_sim").as("b")).as[(Long, Double)].collect().toMap
+    best0.foreach { case (n, b0) => assert(best1(n) >= b0 - 1e-12, s"node $n regressed") }
+    // searching the appended graph finds the appended docs
+    val queries = emb.where($"vec_id" < 3)
+    val exact = Cosine.topK(queries, emb, "vec_id", "embedding", k = 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val got = AnnGraph.search(queries, g1, emb, "vec_id", "embedding", k = 5,
+      beam = 12, hops = 4, entries = 6)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall after append too low")
+    emb.unpersist()
+  }
+
   test("AnnGraph.topKHierarchical: coarse-layer entries keep recall at the flat floor") {
     val emb = Tables.embeddings(spark, sf).limit(300)
     val queries = emb.where($"vec_id" < 5)
