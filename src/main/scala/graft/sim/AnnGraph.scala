@@ -286,23 +286,27 @@ object AnnGraph {
     // LSH candidates restricted to pairs touching a NEW doc (semi-join
     // on either endpoint): the old graph already covers old-old
     // neighborhoods
-    val b = AnnLsh.bucketize(v, idCol, vecCol, dims, numPlanes, numTables)
+    val b = AnnLsh.bucketize(v, idCol, vecCol, dims, numPlanes, numTables).persist()
     val newIds = newDocs.select(col(idCol).as("__nid")).distinct()
     val l = b.select(col("table"), col("bucket"), col(idCol).as("src"))
     val r = b.select(col("table"), col("bucket"), col(idCol).as("dst"))
-    val base = l.join(r, Seq("table", "bucket"))
+    // restrict ONE SIDE of each bucket join to new docs BEFORE joining:
+    // the pair generation only ever touches buckets a new doc lives in —
+    // the old-old pair space (the full corpus blowup) is never formed
+    val lNew = l.join(newIds.select(col("__nid").as("src")), Seq("src"), "left_semi")
+    val rNew = r.join(newIds.select(col("__nid").as("dst")), Seq("dst"), "left_semi")
+    val candNew = lNew.join(r, Seq("table", "bucket"))
       .where(col("src") =!= col("dst"))
       .select("src", "dst")
-      .distinct()
-    val candNew = base
-      .join(newIds.select(col("__nid").as("src")), Seq("src"), "left_semi")
       .unionByName(
-        base.join(newIds.select(col("__nid").as("dst")), Seq("dst"), "left_semi")
+        l.join(rNew, Seq("table", "bucket"))
+          .where(col("src") =!= col("dst"))
           .select("src", "dst"))
       .distinct()
     var edges = topKPerSrc(
       scoreEdges(candNew, v, idCol, vecCol).unionByName(graph.select("src", "dst", "cos_sim")),
       k).localCheckpoint()
+    b.unpersist(false)
     for (_ <- 0 until sweeps) {
       val und = edges.select(col("src"), col("dst"))
         .union(edges.select(col("dst").as("src"), col("src").as("dst")))
