@@ -209,6 +209,49 @@ object Multimodal {
       Some((n.toLong, fmt.getSampleRate.toInt, math.sqrt(sumSq / math.max(n, 1)).toFloat))
     } catch { case _: Exception => None }
 
+  /** REAL image resize: decode → bilinear-interpolated redraw → PNG
+    * re-encode, pure JDK (`Graphics2D`). Returns None for payloads
+    * ImageIO rejects.
+    */
+  def resizeImage(payload: Array[Byte], width: Int, height: Int): Option[Array[Byte]] =
+    try {
+      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (src == null) None
+      else {
+        val dst = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, width, height, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case _: Exception => None }
+
+  /** Batch REAL resize over an image Dataset — the thumbnail /
+    * model-input-normalization pass. Output rows carry the re-encoded
+    * payload with updated metadata; undecodable payloads pass through
+    * unchanged with `width = height = 0` flagging them (quarantine
+    * downstream). Embarrassingly parallel, same shape as [[decodeReal]].
+    */
+  def resizeAll(media: Dataset[MediaRow], width: Int, height: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.map { m =>
+        if (m.kind != "image") m
+        else
+          resizeImage(m.payload, width, height) match {
+            case Some(p) => MediaRow(m.media_id, m.kind, p, width, height)
+            case None => MediaRow(m.media_id, m.kind, m.payload, 0, 0)
+          }
+      }
+    }
+  }
+
   /** Batch REAL decode: images through ImageIO, audio through
     * AudioSystem, anything the codec rejects degrades to a
     * `decode_ok = false` row (quarantine-style: corrupt media must

@@ -59,6 +59,28 @@ class MultimodalSpec extends SparkSpec {
     assert(again(2L) == got(2L))
   }
 
+  test("REAL image resize: dimensions change, constant color survives, corrupt flagged") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, 0x4080c0)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", bos.toByteArray, 8, 8),
+      Multimodal.MediaRow(2L, "image", "garbage".getBytes("UTF-8"), 0, 0),
+      Multimodal.MediaRow(3L, "audio", Multimodal.encodeWav(100, 8000, 440.0), 0, 0)
+    )
+    val resized = Multimodal.resizeAll(spark.createDataset(rows), 4, 3)
+      .collect().map(m => m.media_id -> m).toMap
+    // resized payload decodes to the TARGET dimensions with the color intact
+    val d = Multimodal.decodeImage(resized(1L).payload).get
+    assert((d._1, d._2) == ((4, 3)))
+    assert(math.abs(d._3(0) - 64f / 255f) < 1e-6 && math.abs(d._3(2) - 192f / 255f) < 1e-6)
+    assert(resized(1L).width == 4 && resized(1L).height == 3)
+    assert(resized(2L).width == 0 && resized(2L).height == 0) // corrupt flagged, not thrown
+    assert(resized(3L).payload.sameElements(rows(2).payload)) // non-images pass through
+  }
+
   test("REAL audio decode: AudioSystem parses synthesized WAV, RMS matches a sine") {
     import spark.implicits._
     val rows = Seq(
