@@ -221,4 +221,39 @@ object Ols {
 
   def seClustered(df: DataFrame, model: OlsModel, y: String, cluster: String): Array[Double] =
     varianceClustered(df, model, y, cluster).zipWithIndex.map { case (r, i) => math.sqrt(r(i)) }
+
+  /** Heteroskedasticity-robust (White/Eicker–Huber) covariance
+    * (X'X)^-1 [Σ_i u_i² x_i x_i'] (X'X)^-1, with the HC1 small-sample
+    * scale n/(n−k). Identical sandwich machinery to [[varianceClustered]]
+    * with every observation its own cluster — but computed as ONE
+    * map-side-combined aggregate of the k(k+1)/2 meat sums (no per-row
+    * grouping shuffle: u_i² x_i x_i' is a row-local product).
+    */
+  def varianceHC1(
+      df: DataFrame,
+      model: OlsModel,
+      y: String
+  ): Array[Array[Double]] = {
+    val k = model.coef.length
+    val u = residualCol(model, y).as("__u")
+    val xcols: Seq[Column] = model.xNames.map {
+      case "(intercept)" => lit(1.0)
+      case name          => col(name).cast("double")
+    }
+    val meatAggs = for (i <- 0 until k; j <- i until k)
+      yield sum(col("__u") * col("__u") * xcols(i) * xcols(j)).as(s"m_${i}_$j")
+    val row = df.withColumn("__u", u).agg(meatAggs.head, meatAggs.tail: _*).head()
+    val meat = Array.ofDim[Double](k, k)
+    var p = 0
+    for (i <- 0 until k; j <- i until k) {
+      val v = row.getDouble(p); p += 1
+      meat(i)(j) = v; meat(j)(i) = v
+    }
+    val scale = model.n.toDouble / (model.n - k).toDouble // HC1
+    val inv = LinAlg.inverse(model.gram)
+    LinAlg.matMul(LinAlg.matMul(inv, meat), inv).map(_.map(_ * scale))
+  }
+
+  def seHC1(df: DataFrame, model: OlsModel, y: String): Array[Double] =
+    varianceHC1(df, model, y).zipWithIndex.map { case (r, i) => math.sqrt(r(i)) }
 }

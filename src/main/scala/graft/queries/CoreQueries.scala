@@ -746,6 +746,34 @@ object CoreQueries {
     )
   )
 
+  // ---- C29: heteroskedasticity-robust (HC1) standard errors (oracle) ----
+  // White/Eicker–Huber sandwich with the n/(n−k) correction; the oracle
+  // replays the single-regressor closed form: Var(b) = n/(n−2) ·
+  // Σ x̃²u² / (Σ x̃²)².
+  val q70 = Q(
+    "q70_ols_hc1",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val m = olsSimple(s, dir)
+      val se = Ols.seHC1(li, m, "l_extendedprice")
+      scalarRow(s, Seq("slope" -> rnd(m.coef(1), 6), "se_hc1" -> rnd(se(1), 6)))
+    },
+    Some(
+      """WITH m AS (
+        |  SELECT regr_slope(l_extendedprice, l_quantity) AS b,
+        |         regr_intercept(l_extendedprice, l_quantity) AS a,
+        |         avg(l_quantity) AS mx, count(*) AS n
+        |  FROM lineitem)
+        |SELECT round(m.b, 6) AS slope,
+        |  round(sqrt(
+        |    m.n / (m.n - 2.0) *
+        |    sum(pow(l.l_quantity - m.mx, 2) * pow(l.l_extendedprice - m.a - m.b * l.l_quantity, 2)) /
+        |      pow(sum(pow(l.l_quantity - m.mx, 2)), 2)), 6) AS se_hc1
+        |FROM lineitem l CROSS JOIN m
+        |GROUP BY m.b, m.n""".stripMargin
+    )
+  )
+
   /** Round a driver-side double the same way Spark/DuckDB `round` does
     * (HALF_UP on the decimal representation).
     */
@@ -754,5 +782,5 @@ object CoreQueries {
 
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18,
-      q19, q36, q37, q38, q41, q42, q43, q59, q68)
+      q19, q36, q37, q38, q41, q42, q43, q59, q68, q70)
 }

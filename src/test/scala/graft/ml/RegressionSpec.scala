@@ -43,6 +43,29 @@ class RegressionSpec extends SparkSpec {
     assert(math.abs(m.seHomoskedastic(0) - math.sqrt(s2 * (1.0 / n + xbar * xbar / sxx))) < 1e-9)
   }
 
+  test("Ols HC1 SE: closed form on tiny data, and = singleton-cluster sandwich × n/(n−k)") {
+    val data = Seq((1.0, 2.1), (2.0, 3.9), (3.0, 6.2), (4.0, 7.8), (5.0, 10.1))
+    val df = data.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }.toDF("rid", "x", "y")
+    val m = Ols.fit(df, "y", Seq("x"))
+    val n = data.length
+    val xbar = data.map(_._1).sum / n
+    val sxx = data.map(d => (d._1 - xbar) * (d._1 - xbar)).sum
+    val b = data.map(d => (d._1 - xbar) * d._2).sum / sxx
+    val a = data.map(_._2).sum / n - b * xbar
+    // closed-form slope variance: n/(n−2) · Σ x̃²u² / (Σ x̃²)²
+    val meat = data.map(d => math.pow(d._1 - xbar, 2) * math.pow(d._2 - a - b * d._1, 2)).sum
+    val expect = math.sqrt(n.toDouble / (n - 2) * meat / (sxx * sxx))
+    val se = Ols.seHC1(df, m, "y")
+    assert(math.abs(se(1) - expect) < 1e-9, s"got ${se(1)} want $expect")
+    // sandwich identity: HC0 == clustered with every row its own cluster;
+    // HC1 = HC0 × n/(n−k)
+    val vc = Ols.varianceClustered(df, m, "y", "rid")
+    val vh = Ols.varianceHC1(df, m, "y")
+    val scale = n.toDouble / (n - 2)
+    for (i <- 0 until 2; j <- 0 until 2)
+      assert(math.abs(vh(i)(j) - vc(i)(j) * scale) < 1e-12, s"($i,$j)")
+  }
+
   test("Ols checkRank drops planted collinear column and still fits") {
     val rows = for (i <- 0 until 30) yield {
       val a = i.toDouble
