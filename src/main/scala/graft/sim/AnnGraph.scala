@@ -1,10 +1,9 @@
 package graft.sim
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.FloatVec
+import graft.functions.{FloatVec, TopK}
 
 /** Graph-based ANN: a distributed k-NN graph built by NN-Descent (Dong
   * et al., "Efficient K-Nearest Neighbor Graph Construction for Generic
@@ -75,13 +74,15 @@ object AnnGraph {
         col("src"), col("dst"),
         (FloatVec.dot(col("__sv"), col("__dv")) / (col("__sn") * col("__dn"))).as("cos_sim"))
 
-  private def topKPerSrc(scored: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("src")).orderBy(col("cos_sim").desc, col("dst"))
-    scored
-      .withColumn("__rk", row_number().over(w))
-      .where(col("__rk") <= k)
-      .drop("__rk")
-  }
+  /** Per-node k best edges via the bounded-heap aggregate ([[TopK]]) —
+    * map-side partials reduce each sweep's n·k² candidate exchange to
+    * k × #map-partitions rows per node, where the `row_number` window
+    * form shuffled and sorted every candidate (the q58 lesson,
+    * family-wide). Same rows: (cos_sim desc, dst asc) is a total order
+    * per src.
+    */
+  private def topKPerSrc(scored: DataFrame, k: Int): DataFrame =
+    TopK.perKey(scored, Seq("src"), "cos_sim", "dst", k)
 
   private def seedEdges(
       v: DataFrame,
@@ -225,10 +226,10 @@ object AnnGraph {
     var frontier = visited
 
     for (_ <- 0 until hops) {
-      val wB = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid"))
-      val beamFront = frontier
-        .withColumn("__rk", row_number().over(wB))
-        .where(col("__rk") <= beam)
+      // bounded-heap beam select — qv/__qn are per-query constants and
+      // ride along as first() carries
+      val beamFront = TopK
+        .perKey(frontier, Seq("qid"), "cos_sim", "nid", beam, carry = Seq("qv", "__qn"))
         .select(col("qid"), col("qv"), col("__qn"), col("nid"))
       val expanded = beamFront
         .join(adj.select(col("src").as("nid"), col("dst")), Seq("nid"))
@@ -245,11 +246,8 @@ object AnnGraph {
       frontier = scored
     }
 
-    val wK = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid"))
-    val out = visited
-      .where(col("qid") =!= col("nid"))
-      .withColumn("__rk", row_number().over(wK))
-      .where(col("__rk") <= k)
+    val out = TopK
+      .perKey(visited.where(col("qid") =!= col("nid")), Seq("qid"), "cos_sim", "nid", k)
       .select(col("qid"), col("nid"), round(col("cos_sim"), 4).as("cos_sim"))
       .localCheckpoint()
     if (!(frontier eq visited)) ckRdd(frontier).foreach(_.unpersist(false))

@@ -1,10 +1,9 @@
 package graft.sim
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.FloatVec
+import graft.functions.{FloatVec, TopK}
 
 /** IVF (inverted-file) approximate nearest neighbors — the clustered
   * alternative to [[AnnLsh]] (SURVEY.md §2 P7).
@@ -98,22 +97,22 @@ object AnnIvf {
       .select(col(idCol).as("nid"), col(vecCol).as("nv"))
       .join(cellOf.withColumnRenamed(idCol, "nid"), Seq("nid"))
 
-    val wq = Window.partitionBy(col("qid")).orderBy(col("cscore").desc, col("cid"))
-    val probes = queries
-      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
-      .crossJoin(broadcast(cents))
-      .withColumn("cscore", cosScore(col("qv"), col("centroid")))
-      .withColumn("crk", row_number().over(wq))
-      .where(col("crk") <= nProbe)
+    val probes = TopK.perKey(
+      queries
+        .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+        .crossJoin(broadcast(cents))
+        .withColumn("cscore", cosScore(col("qv"), col("centroid"))),
+      Seq("qid"), "cscore", "cid", nProbe, carry = Seq("qv"))
       .select(col("qid"), col("qv"), col("cid"))
 
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid"))
-    corpusCells
-      .join(broadcast(probes), Seq("cid"))
-      .where(col("qid") =!= col("nid"))
-      .withColumn("cos_sim", cosScore2(col("qv"), col("nv")))
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= k)
+    // bounded-heap top-k (map-side combined) — the probed cells' scored
+    // rows reduce to k per query per map partition before the exchange
+    TopK.perKey(
+      corpusCells
+        .join(broadcast(probes), Seq("cid"))
+        .where(col("qid") =!= col("nid"))
+        .withColumn("cos_sim", cosScore2(col("qv"), col("nv"))),
+      Seq("qid"), "cos_sim", "nid", k)
       .select(col("qid"), col("nid"), round(col("cos_sim"), 4).as("cos_sim"))
   }
 
@@ -159,13 +158,12 @@ object AnnIvf {
       nProbe: Int = 4
   ): DataFrame = {
     val spark = queries.sparkSession
-    val wq = Window.partitionBy(col("qid")).orderBy(col("cscore").desc, col("cid"))
-    val probes = queries
-      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
-      .crossJoin(broadcast(cents))
-      .withColumn("cscore", cosScore(col("qv"), col("centroid")))
-      .withColumn("crk", row_number().over(wq))
-      .where(col("crk") <= nProbe)
+    val probes = TopK.perKey(
+      queries
+        .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+        .crossJoin(broadcast(cents))
+        .withColumn("cscore", cosScore(col("qv"), col("centroid"))),
+      Seq("qid"), "cscore", "cid", nProbe, carry = Seq("qv"))
       .select(col("qid"), col("qv"), col("cid"))
 
     // int literals: the read-back partition column infers as int, and a
@@ -176,13 +174,12 @@ object AnnIvf {
       .where(col("cid").isin(probedCells: _*)) // partition-pruned scan
       .select(col(idCol).as("nid"), col(vecCol).as("nv"), col("cid").cast("long").as("cid"))
 
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid"))
-    corpusCells
-      .join(broadcast(probes), Seq("cid"))
-      .where(col("qid") =!= col("nid"))
-      .withColumn("cos_sim", cosScore2(col("qv"), col("nv")))
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= k)
+    TopK.perKey(
+      corpusCells
+        .join(broadcast(probes), Seq("cid"))
+        .where(col("qid") =!= col("nid"))
+        .withColumn("cos_sim", cosScore2(col("qv"), col("nv"))),
+      Seq("qid"), "cos_sim", "nid", k)
       .select(col("qid"), col("nid"), round(col("cos_sim"), 4).as("cos_sim"))
   }
 }

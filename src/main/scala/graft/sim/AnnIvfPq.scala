@@ -1,10 +1,9 @@
 package graft.sim
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{FloatVec, PqOps}
+import graft.functions.{FloatVec, PqOps, TopK}
 
 /** IVF-PQ — the composed 100 TB ANN layout (Jégou et al. 2011, "IVFADC"):
   * the corpus is partitioned into IVF cells ([[AnnIvf]]) and each vector
@@ -183,23 +182,26 @@ object AnnIvfPq {
     val spark = queries.sparkSession
     val cents = index.centsDf(spark)
     val cbL = typedLit(index.cb.flat.toSeq)
-    val wq = Window.partitionBy(col("qid")).orderBy(col("cscore").desc, col("cid"))
-    queries
+    // nProbe best cells via the bounded-heap TopK aggregate; q·c rides
+    // in the payload struct (cid leads, so the tie-break is unchanged)
+    val scored = queries
       .select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .crossJoin(broadcast(cents))
-      .withColumn(
-        "cscore",
-        FloatVec.dot(col("qv"), col("centroid")) /
-          (FloatVec.norm(col("qv")) * FloatVec.norm(col("centroid"))))
-      .withColumn("crk", row_number().over(wq))
-      .where(col("crk") <= nProbe)
+      .withColumn("qc", FloatVec.dot(col("qv"), col("centroid")))
+      .withColumn("cscore", col("qc") / (FloatVec.norm(col("qv")) * FloatVec.norm(col("centroid"))))
+    scored
+      .groupBy(col("qid"))
+      .agg(
+        TopK.agg(col("cscore"), struct(col("cid"), col("qc")), nProbe).as("__cells"),
+        first(col("qv")).as("qv"))
+      .select(col("qid"), col("qv"), explode(col("__cells")).as("__kv"))
       .select(
         col("qid"),
         col("qv"),
         FloatVec.norm(col("qv")).as("qnorm"),
         PqOps.lut(col("qv"), cbL, index.cb.dsub).as("lut"),
-        col("cid"),
-        FloatVec.dot(col("qv"), col("centroid")).as("qc"))
+        col("__kv.payload.cid").as("cid"),
+        col("__kv.payload.qc").as("qc"))
   }
 
   /** ADC top-k over a code table (broadcast probes ⋈ codes on cid), with
@@ -215,29 +217,28 @@ object AnnIvfPq {
       rerank: Int
   ): DataFrame = {
     val short = math.max(k, rerank)
-    val wA = Window.partitionBy(col("qid")).orderBy(col("adc_cos").desc, col("nid"))
-    val shortlist = codes
+    // bounded-heap ADC shortlist: the partition-pruned code scan reduces
+    // map-side to `short` rows per query per partition — no window
+    // exchange of the scored candidate frame
+    val scored = codes
       .join(broadcast(probes), Seq("cid"))
       .where(col("qid") =!= col("nid"))
       .withColumn(
         "adc_cos",
         (col("qc") + PqOps.adc(col("code"), col("lut"))) /
           (col("qnorm") * sqrt(col("n2"))))
-      .withColumn("rk", row_number().over(wA))
-      .where(col("rk") <= short)
+    val shortlist = TopK.perKey(scored, Seq("qid"), "adc_cos", "nid", short, carry = Seq("qv"))
     if (rerank <= 0)
       shortlist.select(col("qid"), col("nid"), round(col("adc_cos"), 4).as("cos_sim"))
     else {
-      val wExact = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid"))
-      shortlist
+      val exact = shortlist
         .select(col("qid"), col("qv"), col("nid"))
         .join(corpus.select(col(idCol).as("nid"), col(vecCol).as("nv")), Seq("nid"))
         .withColumn(
           "cos_sim",
           FloatVec.dot(col("qv"), col("nv")) /
             (FloatVec.norm(col("qv")) * FloatVec.norm(col("nv"))))
-        .withColumn("rk", row_number().over(wExact))
-        .where(col("rk") <= k)
+      TopK.perKey(exact, Seq("qid"), "cos_sim", "nid", k)
         .select(col("qid"), col("nid"), round(col("cos_sim"), 4).as("cos_sim"))
     }
   }

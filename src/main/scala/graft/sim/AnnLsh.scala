@@ -67,7 +67,6 @@ object AnnLsh {
       numPlanes: Int = 12,
       numTables: Int = 4
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // norms computed once per vector, BEFORE the bucket join — inside the
     // join they would be re-evaluated per candidate pair
     val qb = bucketize(queries, idCol, vecCol, dims, numPlanes, numTables)
@@ -88,10 +87,8 @@ object AnnLsh {
       .withColumn("cos_sim", Cosine.cosine(col("qv"), col("nv"), col("qn"), col("nn")))
       .select(col("qid"), col("nid"), col("cos_sim"))
       .distinct() // OR across tables
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid"))
-    cand
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= k)
+    // bounded-heap top-k aggregate (map-side combined), not a window
+    graft.functions.TopK.perKey(cand, Seq("qid"), "cos_sim", "nid", k)
       .select(col("qid"), col("nid"), round(col("cos_sim"), 4).as("cos_sim"))
   }
 }

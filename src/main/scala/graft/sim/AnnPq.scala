@@ -1,10 +1,9 @@
 package graft.sim
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{FloatVec, PqOps}
+import graft.functions.{FloatVec, PqOps, TopK}
 
 /** Product-quantization ANN (Jégou et al. 2011): compress each corpus
   * vector to `m` code bytes against per-subspace codebooks, score
@@ -149,29 +148,28 @@ object AnnPq {
     val norm2 = typedLit(cb.norm2Table.toSeq)
 
     val short = math.max(k, rerank)
-    val wApprox = Window.partitionBy(col("qid")).orderBy(col("adc_cos").desc, col("nid"))
-    val shortlist = codes
+    // bounded-heap shortlist (TopK aggregate): the code-sized ADC scan
+    // reduces map-side to `short` rows per query per partition instead of
+    // exchanging every scored code through a window sort
+    val scored = codes
       .crossJoin(broadcast(qs))
       .where(col("qid") =!= col("nid"))
       .withColumn(
         "adc_cos",
         PqOps.adc(col("code"), col("lut")) /
           (col("qnorm") * sqrt(PqOps.adc(col("code"), norm2))))
-      .withColumn("rk", row_number().over(wApprox))
-      .where(col("rk") <= short)
+    val shortlist = TopK.perKey(scored, Seq("qid"), "adc_cos", "nid", short, carry = Seq("qv"))
 
     if (rerank <= 0)
       shortlist.select(col("qid"), col("nid"), round(col("adc_cos"), 4).as("cos_sim"))
     else {
-      val wExact = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid"))
-      shortlist
+      val exact = shortlist
         .select(col("qid"), col("qv"), col("nid"))
         .join(corpus.select(col(idCol).as("nid"), col(vecCol).as("nv")), Seq("nid"))
         .withColumn(
           "cos_sim",
           FloatVec.dot(col("qv"), col("nv")) / (FloatVec.norm(col("qv")) * FloatVec.norm(col("nv"))))
-        .withColumn("rk", row_number().over(wExact))
-        .where(col("rk") <= k)
+      TopK.perKey(exact, Seq("qid"), "cos_sim", "nid", k)
         .select(col("qid"), col("nid"), round(col("cos_sim"), 4).as("cos_sim"))
     }
   }

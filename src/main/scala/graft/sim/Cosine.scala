@@ -1,8 +1,9 @@
 package graft.sim
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.functions.TopK
 
 /** Embedding cosine similarity operators (SURVEY.md §2 P5–P6).
   *
@@ -40,10 +41,10 @@ object Cosine {
     val scored = c
       .join(broadcast(q), col("qid") =!= col("nid"))
       .withColumn("cos_sim", cosine(col("qv"), col("nv"), col("qn"), col("nn")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid"))
-    scored
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= k)
+    // bounded-heap top-k aggregate (map-side combined), not a window:
+    // the corpus-sized scored frame reduces to k rows per query per map
+    // partition BEFORE the exchange
+    TopK.perKey(scored, Seq("qid"), "cos_sim", "nid", k)
       .select(col("qid"), col("nid"), round(col("cos_sim"), 4).as("cos_sim"))
   }
 

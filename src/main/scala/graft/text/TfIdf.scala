@@ -30,8 +30,12 @@ object TfIdf {
     * `nDocs = Some(n)` takes the caller's count; `None` derives it INSIDE
     * the pipeline as a broadcast 1-row `count_distinct(doc)` over the tf
     * frame — every doc emits ≥1 token row (split of "" is [""]), so the
-    * count is exact and the corpus is still scanned exactly once (no
-    * build-time `df.count()` pre-scan, SURVEY §8's metadata lesson).
+    * count is exact and there is no driver-side pre-count blocking plan
+    * construction (SURVEY §8's metadata lesson). Note the tf subtree is
+    * referenced three times in this path (the `__ndocs` aggregate,
+    * `doc_freq`, and the final join) — callers that materialize the
+    * result once ([[similarityJoin]] persists) pay one logical extra
+    * shingling pass, not three; pass `nDocs` explicitly to avoid it.
     */
   def vectors(
       df: DataFrame,
@@ -75,15 +79,13 @@ object TfIdf {
   }
 
   /** Top-k tokens per document by tf-idf, ties broken by token text so
-    * the result is deterministic and cross-engine comparable.
+    * the result is deterministic and cross-engine comparable. Bounded-heap
+    * [[graft.functions.TopK]] aggregate — k rows per doc per map partition
+    * through the exchange, not every (doc, token) row.
     */
-  def topTerms(vec: DataFrame, idCol: String, k: Int): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("token"))
-    vec
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k)
+  def topTerms(vec: DataFrame, idCol: String, k: Int): DataFrame =
+    graft.functions.TopK.perKey(vec, Seq(idCol), "tfidf", "token", k)
       .select(col(idCol), col("token"), col("tfidf"))
-  }
 
   /** All-pairs cosine similarity ≥ `threshold` over unit tf-idf vectors,
     * as the textbook posting-list self-join: pairs are generated ONLY

@@ -126,6 +126,26 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("ANN per-key top-k is a bounded-heap partial aggregate, not a window exchange") {
+    val emb = Tables.embeddings(spark, sf).limit(300)
+    // the graph-build seed sweep: every candidate edge used to go through
+    // row_number() OVER (PARTITION BY src) — a full exchange + sort with
+    // zero reduction. The TopK aggregate must plan as an ObjectHashAggregate
+    // pair (partial topk_agg map-side), with NO Window anywhere.
+    val g = graft.sim.AnnGraph.lshSeedEdges(emb, "vec_id", "embedding", k = 5, dims = 64)
+    val plan = executedPlan(g)
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_topk_agg"), plan)
+
+    // same shape on the brute-force baseline (Cosine.topK)
+    val q = graft.sim.Cosine.topK(
+      emb.where(col("vec_id") < 3), emb, "vec_id", "embedding", k = 5)
+    val planC = executedPlan(q)
+    assert(!planC.contains("Window"), planC)
+    assert(planC.contains("partial_topk_agg"), planC)
+  }
+
   test("chunking is embarrassingly parallel: no exchange, no window, no join") {
     val q = graft.text.Chunker.chunk(
       spark.read.parquet(s"$sf/documents.parquet"), "text", "doc_id", 20, 5)

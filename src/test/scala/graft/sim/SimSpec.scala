@@ -8,6 +8,30 @@ class SimSpec extends SparkSpec {
 
   private def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
 
+  test("TopK aggregate ≡ row_number window top-k, any partitioning, with ties") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // adversarial: duplicate scores (ties broken by payload), scores
+    // crossing zero, groups smaller AND larger than k
+    val rows = for {
+      g <- 1 to 7
+      i <- 1 to (g * 3)
+    } yield (g.toLong, (g * 100 + i).toLong, ((i % 5) - 2).toDouble, s"c$g")
+    for (parts <- Seq(1, 3, 13)) {
+      val df = rows.toDF("key", "id", "score", "carry").repartition(parts)
+      val w = Window.partitionBy(col("key")).orderBy(col("score").desc, col("id"))
+      val expect = df
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 4)
+        .select("key", "carry", "id", "score")
+        .as[(Long, String, Long, Double)].collect().toSet
+      val got = graft.functions.TopK
+        .perKey(df, Seq("key"), "score", "id", 4, carry = Seq("carry"))
+        .as[(Long, String, Long, Double)].collect().toSet
+      assert(got == expect, s"parts=$parts")
+    }
+  }
+
   test("Cosine.topK ranks by exact cosine similarity") {
     val corpus = Seq(
       (0L, vec(1, 0, 0)),
