@@ -166,58 +166,118 @@ object Multimodal {
       mean_c2: Float
   )
 
-  /** REAL image decode (JDK ImageIO): dimensions + per-channel means. */
-  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Float])] =
+  /** Pixel budget for [[decodeImage]]/[[resizeImage]]: a decompression
+    * bomb (a few-KB PNG whose header declares a gigapixel canvas) would
+    * OOM the task inside `ImageIO.read` — an `OutOfMemoryError`, which
+    * `catch Exception` does NOT stop, killing the executor instead of
+    * degrading the row. Dimensions are peeked from the header BEFORE any
+    * pixel allocation and over-budget payloads degrade to None.
+    */
+  val MaxImagePixels: Long = 64L * 1024 * 1024
+
+  /** Decode with the header-dimension budget check: peek w×h via the
+    * ImageReader BEFORE `read` allocates the pixel raster.
+    */
+  private def readBudgeted(
+      payload: Array[Byte],
+      maxPixels: Long
+  ): Option[java.awt.image.BufferedImage] =
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      if (img == null) None
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (readers == null || !readers.hasNext) None
       else {
-        val (w, h) = (img.getWidth, img.getHeight)
-        val sums = new Array[Double](3)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            sums(0) += (rgb >> 16) & 0xff
-            sums(1) += (rgb >> 8) & 0xff
-            sums(2) += rgb & 0xff
-            x += 1
-          }
-          y += 1
-        }
-        val n = (w * h).toDouble
-        Some((w, h, sums.map(s => (s / n / 255.0).toFloat)))
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) None
+          else Some(reader.read(0))
+        } finally reader.dispose()
       }
     } catch { case _: Exception => None }
 
-  /** REAL audio decode (JDK AudioSystem): sample count, rate, RMS. */
+  /** REAL image decode (JDK ImageIO): dimensions + per-channel means.
+    * Header dimensions are checked against `maxPixels` before decoding.
+    */
+  def decodeImage(
+      payload: Array[Byte],
+      maxPixels: Long = MaxImagePixels
+  ): Option[(Int, Int, Array[Float])] =
+    readBudgeted(payload, maxPixels).map { img =>
+      val (w, h) = (img.getWidth, img.getHeight)
+      val sums = new Array[Double](3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sums(0) += (rgb >> 16) & 0xff
+          sums(1) += (rgb >> 8) & 0xff
+          sums(2) += rgb & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toDouble
+      (w, h, sums.map(s => (s / n / 255.0).toFloat))
+    }
+
+  /** REAL audio decode (JDK AudioSystem): frame count, rate, RMS.
+    *
+    * The container's declared format is honored, not assumed: the stream
+    * is canonicalized to 16-bit signed little-endian PCM (channel count
+    * and rate preserved) through the JDK's own converters, so 8-bit
+    * unsigned, stereo, and big-endian payloads (AIFF, or BE WAV
+    * variants) all decode to the SAME normalized amplitude scale.
+    * Non-PCM encodings (µ-law, a-law, compressed) return None — a
+    * wrong-scale "success" on them would be a silent wrong answer.
+    *
+    * `n_samples` is the FRAME count (samples per channel); RMS is over
+    * all interleaved channel samples.
+    */
   def decodeAudio(payload: Array[Byte]): Option[(Long, Int, Float)] =
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(payload))
-      val fmt = ais.getFormat
-      val bytes = ais.readAllBytes()
-      val n = bytes.length / 2
-      var sumSq = 0.0
-      var i = 0
-      while (i < n) {
-        val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort / 32768.0
-        sumSq += s * s
-        i += 1
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val src = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      val fmt = src.getFormat
+      val enc = fmt.getEncoding
+      val pcm = enc == AudioFormat.Encoding.PCM_SIGNED ||
+        enc == AudioFormat.Encoding.PCM_UNSIGNED ||
+        enc == AudioFormat.Encoding.PCM_FLOAT
+      if (!pcm) None
+      else {
+        val channels = fmt.getChannels
+        val target = new AudioFormat(
+          AudioFormat.Encoding.PCM_SIGNED,
+          fmt.getSampleRate, 16, channels, 2 * channels, fmt.getSampleRate,
+          false)
+        val ais = AudioSystem.getAudioInputStream(target, src)
+        val bytes = ais.readAllBytes()
+        val nTotal = bytes.length / 2
+        val frames = nTotal / math.max(channels, 1)
+        var sumSq = 0.0
+        var i = 0
+        while (i < nTotal) {
+          val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort / 32768.0
+          sumSq += s * s
+          i += 1
+        }
+        Some(
+          (frames.toLong, fmt.getSampleRate.toInt,
+            math.sqrt(sumSq / math.max(nTotal, 1)).toFloat))
       }
-      Some((n.toLong, fmt.getSampleRate.toInt, math.sqrt(sumSq / math.max(n, 1)).toFloat))
     } catch { case _: Exception => None }
 
   /** REAL image resize: decode → bilinear-interpolated redraw → PNG
     * re-encode, pure JDK (`Graphics2D`). Returns None for payloads
-    * ImageIO rejects.
+    * ImageIO rejects or whose header exceeds the pixel budget.
     */
   def resizeImage(payload: Array[Byte], width: Int, height: Int): Option[Array[Byte]] =
     try {
-      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      if (src == null) None
-      else {
+      readBudgeted(payload, MaxImagePixels).map { src =>
         val dst = new java.awt.image.BufferedImage(
           width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
         val g = dst.createGraphics()
@@ -228,7 +288,7 @@ object Multimodal {
         g.dispose()
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(dst, "png", bos)
-        Some(bos.toByteArray)
+        bos.toByteArray
       }
     } catch { case _: Exception => None }
 

@@ -19,9 +19,26 @@ import org.apache.spark.sql.functions._
   */
 object Dummies {
 
-  /** Distinct values of `column`, sorted ascending (np.unique order). */
-  def categories(df: DataFrame, column: String): Seq[String] =
-    df.select(col(column).cast("string")).distinct().collect().map(_.getString(0)).sorted.toSeq
+  /** Hard ceiling on the driver-side category collect: one-hot beyond
+    * this is a modeling error (absorb the FE instead), and an ungated
+    * `distinct().collect()` on a high-cardinality column would OOM the
+    * driver silently long after the job looked healthy.
+    */
+  val MaxCategories: Int = 10000
+
+  /** Distinct values of `column`, sorted ascending (np.unique order).
+    * Fails fast if the cardinality exceeds `maxCategories` — the limit+1
+    * probe collects at most maxCategories+1 rows, never the full set.
+    */
+  def categories(df: DataFrame, column: String, maxCategories: Int = MaxCategories): Seq[String] = {
+    val probe = df.select(col(column).cast("string")).distinct().limit(maxCategories + 1).collect()
+    require(
+      probe.length <= maxCategories,
+      s"Dummies.categories('$column'): more than $maxCategories distinct values — " +
+        "one-hot encoding at this cardinality would materialize a huge dummy matrix; " +
+        "use FixedEffects absorption instead, or raise maxCategories explicitly.")
+    probe.map(_.getString(0)).sorted.toSeq
+  }
 
   def oneHot(
       df: DataFrame,

@@ -50,15 +50,24 @@ object Embed {
       idCol: String,
       centIdCol: String = "label"
   ): DataFrame = {
+    // Norms are hoisted OUT of the scored pair: the per-vector norm is a
+    // projection below the broadcast join (evaluated once per row, not
+    // once per (row, centroid) pair), and centroid norms are precomputed
+    // in the tiny broadcast frame (the AnnGraph.withNorm convention).
+    // Inside the join only the O(dims) dot product remains — at 1B docs
+    // × 1k centroids this is 3× fewer flops in the hottest stage.
     val c = broadcast(
-      cents.select(
-        col(centIdCol).as("cent_label"),
-        col("centroid").cast("array<float>").as("cvec")))
-    df.join(c)
+      cents
+        .select(
+          col(centIdCol).as("cent_label"),
+          col("centroid").cast("array<float>").as("cvec"))
+        .withColumn("cnorm", FloatVec.norm(col("cvec"))))
+    df.select(col(idCol), col(vecCol))
+      .withColumn("__vnorm", FloatVec.norm(col(vecCol)))
+      .join(c)
       .withColumn(
         "cos",
-        FloatVec.dot(col(vecCol), col("cvec")) /
-          (FloatVec.norm(col(vecCol)) * FloatVec.norm(col("cvec"))))
+        FloatVec.dot(col(vecCol), col("cvec")) / (col("__vnorm") * col("cnorm")))
       .groupBy(col(idCol))
       .agg(min(struct((-col("cos")).as("neg"), col("cent_label").as("lbl"))).as("__b"))
       .select(

@@ -31,11 +31,14 @@ object TfIdf {
     * the pipeline as a broadcast 1-row `count_distinct(doc)` over the tf
     * frame — every doc emits ≥1 token row (split of "" is [""]), so the
     * count is exact and there is no driver-side pre-count blocking plan
-    * construction (SURVEY §8's metadata lesson). Note the tf subtree is
+    * construction (SURVEY §8's metadata lesson). The tf subtree is
     * referenced three times in this path (the `__ndocs` aggregate,
-    * `doc_freq`, and the final join) — callers that materialize the
-    * result once ([[similarityJoin]] persists) pay one logical extra
-    * shingling pass, not three; pass `nDocs` explicitly to avoid it.
+    * `doc_freq`, and the final join), so it is persisted here: the
+    * corpus is shingled and scanned ONCE, the two later references read
+    * the cached (much smaller) tf frame. With an explicit `nDocs` the
+    * subtree is referenced twice and left unpersisted — callers that
+    * reuse the result materialize it themselves (similarityJoin's
+    * persist + localCheckpoint pattern).
     */
   def vectors(
       df: DataFrame,
@@ -45,10 +48,11 @@ object TfIdf {
       minDf: Long = 1,
       maxDfFrac: Double = 1.0
   ): DataFrame = {
-    val tf = df
+    val tf0 = df
       .select(col(idCol), explode(split(col(textCol), " ")).as("token"))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
+    val tf = if (nDocs.isEmpty) tf0.persist() else tf0
     val n: Column = nDocs match {
       case Some(v) => lit(v.toDouble)
       case None    => col("__ndocs").cast("double")

@@ -124,6 +124,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
     assert(plan.contains("partial_min"), plan)
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+    // norms are hoisted OUT of the scored (row, centroid) pair: the
+    // scoring projection above the join must contain ONE floatdot (the
+    // numerator) — vector and centroid norms are computed once per row /
+    // once per centroid in projections below the join. Pre-hoist, the
+    // scoring line carried three floatdots (dot + both norms), tripling
+    // the flops of the hottest stage at 1B docs × 1k centroids.
+    val dotsPerLine = plan.linesIterator.map(l => "floatdot".r.findAllIn(l).size).max
+    assert(dotsPerLine <= 1, s"a plan line evaluates $dotsPerLine floatdots:\n$plan")
   }
 
   test("ANN per-key top-k is a bounded-heap partial aggregate, not a window exchange") {

@@ -83,6 +83,16 @@ class OpsSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("c1", "c2", "c1_a", "c1_b", "c2_x"))
   }
 
+  test("Dummies.categories fails fast above maxCategories instead of collecting the column") {
+    val df = spark.range(0, 500).selectExpr("cast(id as string) as k")
+    val err = intercept[IllegalArgumentException] {
+      Dummies.categories(df, "k", maxCategories = 100)
+    }
+    assert(err.getMessage.contains("more than 100 distinct values"))
+    // at-or-under the ceiling still works (probe collects limit+1 rows max)
+    assert(Dummies.categories(df.limit(100), "k", maxCategories = 100).size == 100)
+  }
+
   test("AsOf.joinAsOf picks latest preceding right row; ties and strictness honored") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)

@@ -157,6 +157,28 @@ class TextSpec extends SparkSpec {
     assert(toks == Set("cat", "dog", "bird"))
   }
 
+  test("TfIdf vectors(nDocs=None) shingles once (persisted tf) and matches the explicit-count path") {
+    val docs = Seq(
+      (1L, "cat sat cat"),
+      (2L, "dog sat"),
+      (3L, "bird flew")
+    ).toDF("doc_id", "text")
+    val auto = TfIdf.vectors(docs, "text", "doc_id", nDocs = None)
+    val explicit = TfIdf.vectors(docs, "text", "doc_id", nDocs = Some(3))
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getString(1))
+    val a = auto.collect().map(r => key(r) -> (r.getLong(2), r.getDouble(3))).toMap
+    val e = explicit.collect().map(r => key(r) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(a == e)
+    // the derived-count path must NOT re-run the explode→groupBy shingling
+    // three times: tf is persisted, so every reference reads the cache
+    // (the InMemoryRelation STRING still prints its cached Generate plan,
+    // but the cache materializes that subtree exactly once). ≥2 cache
+    // scans == the §8 fix; pre-persist the plan had zero.
+    val plan = auto.queryExecution.executedPlan.toString
+    val cacheScans = "InMemoryTableScan".r.findAllIn(plan).size
+    assert(cacheScans >= 2, s"expected ≥2 InMemoryTableScans, got $cacheScans:\n$plan")
+  }
+
   test("Repetition stats match hand computation, including the single-token edge") {
     val docs = Seq(
       (1L, "a a a b"), // top tok a:3/4, unique 2/4, top bigram "a a":2/3
