@@ -1045,8 +1045,37 @@ object PipelineQueries {
     None
   )
 
+  // ---- T1b: REAL BPE tokenization (rows-only; no SQL engine runs
+  // ranked byte-pair merges — hand-computed merge tables, round-trip
+  // losslessness, tie-breaks and partition invariance are pinned by
+  // BpeSpec). The vocab is TRAINED on the corpus in-query (one
+  // distributed word-count pass + bounded driver merge loop), then
+  // tokenization is an embarrassingly parallel broadcast-vocab pass.
+  // `roundtrip_ok` re-decodes every document inside the query: any
+  // lossy row would flip the column and the rows check.
+  val q71 = Q(
+    "q71_bpe_tokenize",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = graft.text.Bpe.trainOn(docs, "text", numMerges = 200, maxWords = 20000)
+      val toks = graft.text.Bpe.withTokens(docs, "text", vocab)
+      graft.text.Bpe.decodeCol(toks, "tokens", "__rt", vocab)
+        .select(
+          col("doc_id"),
+          col("n_tokens_bpe"),
+          length(col("text")).as("n_chars"),
+          round(
+            length(col("text")).cast("double") /
+              greatest(col("n_tokens_bpe"), lit(1)).cast("double"), 4)
+            .as("chars_per_token"),
+          (col("__rt") === col("text")).as("roundtrip_ok"))
+        .orderBy(col("doc_id"))
+    },
+    None
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
-      q63, q64, q65, q66, q67, q69)
+      q63, q64, q65, q66, q67, q69, q71)
 }
