@@ -323,6 +323,44 @@ object AnnGraph {
     edges
   }
 
+  /** Persist a built k-NN graph as THE on-disk index: the edge list
+    * bucketed AND sorted by `src` ([[graft.sources.Bucketed]]). The
+    * edge list is the entire index state (n·k id/id/score rows — a
+    * fraction of the vector bytes), so materializing it means a fresh
+    * session searches immediately: no rebuild, no re-shuffle — every
+    * hop's `frontier ⋈ edges on src` reads the scan's own bucket
+    * distribution. Sized like any bucketed fact table: one bucket ≈ one
+    * executor-core task at target scale.
+    */
+  def writeIndex(graph: DataFrame, table: String, buckets: Int): Unit =
+    graft.sources.Bucketed.writeBucketed(
+      graph.select(col("src"), col("dst"), col("cos_sim")), table, "src", buckets)
+
+  /** The table-backed edge list (bucket metadata from the catalog). */
+  def readIndex(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame =
+    graft.sources.Bucketed.table(spark, table)
+
+  /** [[search]] over a persisted index table — the steady-state serving
+    * path: build once ([[knnGraph]] → [[writeIndex]]), then any session
+    * searches the materialized edge list directly. Query batches are
+    * broadcast-small against it; when a batch is big enough to plan as a
+    * sort-merge join, the bucket layout keeps the index side
+    * exchange-free (only the tiny frontier moves — SimSpec pins it).
+    */
+  def searchIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame,
+      table: String,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      beam: Int = 10,
+      hops: Int = 3,
+      entries: Int = 4
+  ): DataFrame =
+    search(queries, readIndex(spark, table), corpus, idCol, vecCol, k, beam, hops, entries)
+
   /** Hierarchical (HNSW-style) layered search: a COARSE graph over a
     * deterministic hash sample of the corpus (every `coarseEvery`-th
     * node) is searched first with the cheap fixed entries; each query's

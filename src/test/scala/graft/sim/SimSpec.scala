@@ -332,6 +332,43 @@ class SimSpec extends SparkSpec {
     assert(!approx.exists { case (q, n) => q == n })
   }
 
+  test("persisted graph index: bucketed edge list, exchange-free index side, in-memory parity") {
+    val emb = Tables.embeddings(spark, sf).limit(200)
+    val g = AnnGraph.knnGraph(emb, "vec_id", "embedding", dims = 64, k = 6, sweeps = 1)
+    AnnGraph.writeIndex(g, "graph_idx", buckets = 4)
+    val queries = emb.where($"vec_id" < 5)
+
+    // a fresh-session search over the table matches searching the
+    // in-memory edge list exactly (the index IS the edge list)
+    val fromMem = AnnGraph
+      .search(queries, g, emb, "vec_id", "embedding", k = 3, beam = 8, hops = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    val fromTbl = AnnGraph
+      .searchIndexed(spark, queries, "graph_idx", emb, "vec_id", "embedding",
+        k = 3, beam = 8, hops = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fromMem == fromTbl)
+
+    // the hop-expansion join shape at scale: when the frontier is big
+    // enough to plan as a sort-merge join, ONLY the frontier moves —
+    // the bucket layout already satisfies the index side's required
+    // distribution (one Exchange total, on the frontier side)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val frontier = spark.range(0, 200).select($"id".as("nid"))
+      val adj = AnnGraph.readIndex(spark, "graph_idx").select($"src".as("nid"), $"dst")
+      val expand = frontier.join(adj, Seq("nid"))
+      expand.collect()
+      // AQE prints Final + Initial sections; assert on the final one
+      val plan = expand.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges == 1, s"expected 1 exchange (frontier side only), got $exchanges:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("SemanticDedup clusters planted embedding near-dups within cells only") {
     import org.apache.spark.sql.functions._
     // two tight cells; 1≈2≈3 are near-parallel (dups), 4 is alone in its
