@@ -168,6 +168,163 @@ object AnnIvfPq {
       .partitionBy("cid")
       .parquet(path)
 
+  /** PER-CELL residual codebooks — the skewed-corpus variant. One global
+    * codebook (the [[Index]] default) assumes residual distributions are
+    * comparable across cells; on a skewed corpus (cells of very
+    * different size, spread, or local structure — the usual shape of a
+    * web crawl clustered by domain) the global sample is dominated by
+    * the big cells and the small cells' residuals quantize poorly.
+    * Training one codebook per cell on THAT cell's own residuals fixes
+    * it at the cost of ×#cells index state: #cells × (dims + m·k·dsub)
+    * floats — still driver-bounded by construction (#cells and the
+    * codebook dims are index parameters, not data-sized).
+    *
+    * Scoring is unchanged m-adds ADC; the only difference is that the
+    * LUT is built per (query, probed cell) from that cell's codebook —
+    * nProbe LUTs per query instead of one, all from the same broadcast
+    * cell table.
+    */
+  final case class IndexPerCell(
+      cents: Array[(Long, Array[Float])],
+      cbs: Array[(Long, AnnPq.Codebook)]
+  ) {
+    def dsub: Int = cbs.head._2.dsub
+
+    def centsDf(spark: SparkSession): DataFrame = Index(cents, cbs.head._2).centsDf(spark)
+
+    /** One broadcast row per cell: flat codebook + everything the n2
+      * reconstruction needs (codeword norm2 table, ⟨c_sub, codeword⟩
+      * table, ‖c‖²).
+      */
+    def cellDf(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      val byCid = cents.toMap
+      cbs.toSeq.map { case (cid, cb) =>
+        val c = byCid(cid)
+        val cdot = new Array[Double](cb.m * cb.k)
+        var i = 0
+        while (i < cb.m * cb.k) {
+          val sub = i / cb.k
+          var s = 0.0; var d = 0
+          while (d < cb.dsub) {
+            s += c(sub * cb.dsub + d).toDouble * cb.flat(i * cb.dsub + d).toDouble
+            d += 1
+          }
+          cdot(i) = s; i += 1
+        }
+        val cn2 = c.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+        (cid, cb.flat.toSeq, cb.norm2Table.toSeq, cdot.toSeq, cn2)
+      }.toDF("cid", "cbflat", "norm2", "cdot", "cnorm2")
+        .select(
+          col("cid"), col("cbflat").cast("array<float>").as("cbflat"),
+          col("norm2"), col("cdot"), col("cnorm2"))
+    }
+  }
+
+  /** Train per-cell codebooks: same IVF centroids, then each cell's
+    * codebook trains on the `samplePerCell` lowest-id residuals OF THAT
+    * CELL (bounded-heap per-key sample — one distributed pass, driver
+    * sees ≤ #cells × samplePerCell rows).
+    */
+  def buildPerCell(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCentroids: Int = 16,
+      m: Int = 8,
+      kCent: Int = 16,
+      samplePerCell: Int = 1024,
+      lloydIters: Int = 2
+  ): IndexPerCell = {
+    val centsDf = AnnIvf.centroids(corpus, idCol, vecCol, numCentroids, lloydIters)
+    val cents = centsDf.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val res = residuals(corpus, centsDf, idCol, vecCol)
+      .withColumn("__g", -col(idCol).cast("double"))
+    val sampled = TopK
+      .perKey(res, Seq("cid"), "__g", "residual", samplePerCell)
+      .select(col("cid"), col("__g"), col("residual"))
+      .collect()
+      // deterministic training order: ascending id within each cell
+      .map(r => (r.getLong(0), -r.getDouble(1), r.getSeq[Float](2).toArray))
+      .groupBy(_._1)
+    val cbs = cents.map { case (cid, _) =>
+      val cellSample = sampled.get(cid) match {
+        case Some(rows) => rows.sortBy(_._2).map(_._3)
+        case None => Array(cents.find(_._1 == cid).get._2.map(_ => 0f)) // empty cell
+      }
+      (cid, AnnPq.trainLocal(cellSample, m, kCent))
+    }
+    IndexPerCell(cents, cbs)
+  }
+
+  /** Code table against per-cell codebooks: same output schema as
+    * [[encode]] — (id, cid, code, n2) — so the partitioned write/probe
+    * machinery applies unchanged.
+    */
+  def encodePerCell(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      index: IndexPerCell
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    residuals(corpus, index.centsDf(spark), idCol, vecCol)
+      .join(broadcast(index.cellDf(spark)), Seq("cid"))
+      .withColumn("code", PqOps.encode(col("residual"), col("cbflat"), index.dsub))
+      .withColumn(
+        "n2",
+        col("cnorm2") + lit(2.0) * PqOps.adc(col("code"), col("cdot")) +
+          PqOps.adc(col("code"), col("norm2")))
+      .select(col(idCol), col("cid"), col("code"), col("n2"))
+  }
+
+  /** [[topK]] with per-cell codebooks: identical probe shape, but each
+    * (query, probed cell) row builds its LUT from that cell's codebook.
+    */
+  def topKPerCell(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numCentroids: Int = 16,
+      m: Int = 8,
+      kCent: Int = 16,
+      nProbe: Int = 4,
+      rerank: Int = 0,
+      samplePerCell: Int = 1024,
+      lloydIters: Int = 2
+  ): DataFrame = {
+    val index = buildPerCell(corpus, idCol, vecCol, numCentroids, m, kCent,
+      samplePerCell, lloydIters)
+    val spark = queries.sparkSession
+    val codes = encodePerCell(corpus, idCol, vecCol, index)
+      .withColumnRenamed(idCol, "nid")
+    val cents = index.centsDf(spark)
+    val scored = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("qc", FloatVec.dot(col("qv"), col("centroid")))
+      .withColumn(
+        "cscore",
+        col("qc") / (FloatVec.norm(col("qv")) * FloatVec.norm(col("centroid"))))
+    val probes = scored
+      .groupBy(col("qid"))
+      .agg(
+        TopK.agg(col("cscore"), struct(col("cid"), col("qc")), nProbe).as("__cells"),
+        first(col("qv")).as("qv"))
+      .select(col("qid"), col("qv"), explode(col("__cells")).as("__kv"))
+      .select(
+        col("qid"), col("qv"),
+        FloatVec.norm(col("qv")).as("qnorm"),
+        col("__kv.payload.cid").as("cid"),
+        col("__kv.payload.qc").as("qc"))
+      .join(broadcast(index.cellDf(spark).select(col("cid"), col("cbflat"))), Seq("cid"))
+      .withColumn("lut", PqOps.lut(col("qv"), col("cbflat"), index.dsub))
+      .drop("cbflat")
+    adcTopK(codes, probes, corpus, idCol, vecCol, k, rerank)
+  }
+
   /** Per-query probe rows: the nProbe best cells by centroid cosine,
     * with everything ADC scoring needs precomputed once per query —
     * lut (from the FULL query vector), qnorm, q·c per probed cell.

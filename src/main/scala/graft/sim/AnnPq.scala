@@ -57,6 +57,14 @@ object AnnPq {
       .select(col(vecCol))
       .collect()
       .map(_.getSeq[Float](0).toArray)
+    trainLocal(sample, m, k, iters)
+  }
+
+  /** The per-subspace Lloyd loop on an in-memory sample — shared by the
+    * global trainer above and [[AnnIvfPq.buildPerCell]]'s per-cell
+    * trainers. Deterministic for a fixed sample order.
+    */
+  def trainLocal(sample: Array[Array[Float]], m: Int, k: Int, iters: Int = 4): Codebook = {
     require(sample.nonEmpty, "empty training sample")
     val dims = sample.head.length
     require(dims % m == 0, s"dims $dims not divisible by m=$m")

@@ -456,6 +456,59 @@ class SimSpec extends SparkSpec {
     assert(!hier.exists { case (q, n) => q == n })
   }
 
+  test("per-cell PQ codebooks beat the global codebook on a skewed corpus") {
+    import spark.implicits._
+    // planted skew: a big cluster (ids 0-399) whose residuals vary in
+    // dims 0-7, and a small far-away cluster (ids 400-459) whose
+    // residuals vary ONLY in dims 8-15. The GLOBAL codebook trains on
+    // the lowest-id sample — i.e. entirely on big-cluster residuals —
+    // so the small cluster's residual directions quantize to ~zero and
+    // its neighborhoods collapse. Per-cell training sees each cell's
+    // own residuals.
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def frac(id: Long, d: Int): Float =
+      (java.lang.Math.floorMod(mix(id * 131 + d), 2000L).toFloat / 1000f) - 1f
+    val rows = (0L until 400L).map { id =>
+      val v = new Array[Float](16)
+      v(0) = 10f
+      for (d <- 0 until 8) v(d) = v(d) + frac(id, d)
+      (id, v.toSeq)
+    } ++ (400L until 460L).map { id =>
+      val v = new Array[Float](16)
+      v(1) = 10f
+      for (d <- 8 until 16) v(d) = frac(id, d)
+      (id, v.toSeq)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val queries = corpus.where($"vec_id" >= 400L && $"vec_id" < 410L)
+
+    val exact = Cosine.topK(queries, corpus, "vec_id", "embedding", k = 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    def recall(approx: org.apache.spark.sql.DataFrame): Double = {
+      val a = approx.select("qid", "nid").as[(Long, Long)].collect().toSet
+      exact.intersect(a).size.toDouble / exact.size
+    }
+    val rGlobal = recall(AnnIvfPq.topK(queries, corpus, "vec_id", "embedding",
+      k = 5, numCentroids = 2, m = 4, kCent = 8, nProbe = 2, sampleN = 256))
+    val rPerCell = recall(AnnIvfPq.topKPerCell(queries, corpus, "vec_id", "embedding",
+      k = 5, numCentroids = 2, m = 4, kCent = 8, nProbe = 2, samplePerCell = 256))
+    info(s"skewed-corpus recall: global=$rGlobal perCell=$rPerCell")
+    assert(rPerCell >= rGlobal,
+      s"per-cell recall $rPerCell below global $rGlobal on the skewed corpus")
+    assert(rPerCell >= 0.6, s"per-cell recall $rPerCell below floor")
+    // index state stays driver-bounded: #cells × (m·k·dsub) codebook floats
+    val idx = AnnIvfPq.buildPerCell(corpus, "vec_id", "embedding",
+      numCentroids = 2, m = 4, kCent = 8, samplePerCell = 256)
+    assert(idx.cbs.length == 2)
+    assert(idx.cbs.forall(_._2.flat.length == 4 * 8 * 4))
+  }
+
   test("AnnPq training is deterministic") {
     val emb = Tables.embeddings(spark, sf).limit(100)
     val cb1 = AnnPq.train(emb, "vec_id", "embedding", m = 8, k = 4, sampleN = 64)

@@ -182,6 +182,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming centroid gate: row-local assign ≡ batch Embed.assign across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val emb = graft.util.Tables.embeddings(spark, sf).limit(60).cache()
+    val cents = graft.sim.Embed.centroids(emb, "embedding", "label").cache()
+
+    // row-local form == the batch join+argmax aggregate, row for row
+    // (same lexicographic (-cos, label) ordering, same rounding)
+    val batch = graft.sim.Embed.assign(emb, cents, "embedding", "vec_id")
+      .as[(Long, Long, Double)].collect().toSet
+    val rowLocal = graft.streaming.EmbedStream
+      .assignStream(emb.toDF(), cents.toDF(), "embedding", "vec_id")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(rowLocal == batch)
+
+    // multi-batch streaming: same rows, arriving in two micro-batches
+    val rows = emb.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val streamed = graft.streaming.EmbedStream.assignStream(
+      ms.toDF.toDF("vec_id", "embedding")
+        .select($"vec_id", $"embedding".cast("array<float>").as("embedding")),
+      cents.toDF(), "embedding", "vec_id")
+    val q = streamed.writeStream.outputMode("append").format("memory")
+      .queryName("assign_out").start()
+    try {
+      ms.addData(rows.take(25): _*)
+      q.processAllAvailable()
+      ms.addData(rows.drop(25): _*)
+      q.processAllAvailable()
+      val got = spark.table("assign_out").as[(Long, Long, Double)].collect().toSet
+      assert(got == batch, "streamed assignment diverged from batch")
+    } finally q.stop()
+
+    // the gate keeps exactly the confident members of wanted clusters
+    val keep = Set(0L, 1L)
+    val gated = graft.streaming.EmbedStream
+      .centroidGate(emb.toDF(), cents.toDF(), "embedding", "vec_id", keep, minCos = 0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    val expect = batch.filter { case (_, lbl, cos) => keep(lbl) && cos >= 0.2 }
+    assert(gated == expect && gated.nonEmpty)
+    emb.unpersist(); cents.unpersist()
+  }
+
   test("streaming quality gate equals the batch composition across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val rows = Seq(
