@@ -101,11 +101,34 @@ object Bench {
     val total = ok.map(_._2).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"rows":$rows,"retries":$retries,"sf":"$sfDir"}"""
-    println(line)
-    // durable copy: the driver's stdout capture truncated round 2's tail
+    // durable full-fidelity copy FIRST (full query names, ns precision,
+    // row counts) — this is what round-over-round analysis reads
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")), line)
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+    // STDOUT gets a COMPACT line: the driver's capture keeps only the
+    // last 2000 bytes of stdout, and the full line (~4 KB at 71 queries)
+    // overran it three rounds running → "parsed": null. Short keys
+    // (the driver contract's own {"q1":sec} example) + 2-decimal values
+    // keep the whole line comfortably inside the window; full detail
+    // lives in BENCH_LOCAL.json above.
+    def short(name: String): String = name.indexOf('_') match {
+      case -1 => name
+      case i => name.substring(0, i)
+    }
+    def r2(v: Double): String = f"$v%.2f"
+    val qsC = ok.map { case (k, v, _, _) => jstr(short(k)) + ":" + r2(v) }.mkString("{", ",", "}")
+    val errsC = results.collect { case (k, _, Left(m), _) =>
+      jstr(short(k)) + ":" + jstr(m.take(40))
+    }.mkString("{", ",", "}")
+    val retriesC = results.collect { case (k, _, _, s) if s.nonEmpty =>
+      jstr(short(k)) + ":" + s.map(r2).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qsC,"errors":$errsC,"retries":$retriesC,"sf":"$sfDir"}"""
+    println(compact)
+    if (compact.length > 1900)
+      System.err.println(s"[bench] WARNING compact line ${compact.length}B may exceed capture")
     spark.stop()
   }
 }

@@ -1074,8 +1074,51 @@ object PipelineQueries {
     None
   )
 
+  // ---- T14: n-gram LM perplexity scoring (CCNet-style quality filter,
+  // stupid-backoff bigram model). The ENTIRE train+score pipeline is
+  // column algebra, so the oracle replays it end to end: same counts,
+  // same backoff cases, same rounding. Rounding margins probed at
+  // sf0.01: avg_logprob (4dp) and ppl (2dp) are far from any boundary
+  // relative to engine float noise (~1e-15 relative).
+  val q72 = Q(
+    "q72_ngram_ppl",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val model = graft.text.NgramLm.train(docs, "text", "doc_id")
+      graft.text.NgramLm.score(docs, "text", "doc_id", model)
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS token,
+        |    unnest(generate_series(0, len(string_split(text, ' ')) - 1)) AS pos,
+        |    string_split(text, ' ') AS l
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, token, pos,
+        |         CASE WHEN pos >= 1 THEN l[pos] END AS prev FROM toks),
+        |uni AS (SELECT token, count(*)::BIGINT AS c1 FROM t2 GROUP BY token),
+        |bi AS (SELECT prev, token, count(*)::BIGINT AS c2 FROM t2
+        |       WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT sum(c1)::DOUBLE AS t FROM uni),
+        |s AS (
+        |  SELECT t2.doc_id,
+        |    CASE WHEN t2.pos = 0 THEN ln(u.c1::DOUBLE / tot.t)
+        |         WHEN b.c2 IS NOT NULL THEN ln(b.c2::DOUBLE / up.c1)
+        |         ELSE ln(0.4 * u.c1::DOUBLE / tot.t) END AS logp
+        |  FROM t2
+        |  JOIN uni u ON u.token = t2.token
+        |  LEFT JOIN uni up ON up.token = t2.prev
+        |  LEFT JOIN bi b ON b.prev = t2.prev AND b.token = t2.token
+        |  CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_tokens, round(avg(logp), 4) AS avg_logprob,
+        |  round(exp(-avg(logp)), 2) AS ppl
+        |FROM s GROUP BY doc_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
-      q63, q64, q65, q66, q67, q69, q71)
+      q63, q64, q65, q66, q67, q69, q71, q72)
 }

@@ -133,6 +133,28 @@ object Bpe {
     }
   }
 
+  /** Persist a trained vocab: one (rank, a, b) row per merge — the
+    * whole tokenizer state, reloadable by any session ([[loadVocab]]).
+    * The natural companion of the persisted ANN/graph indexes: train
+    * once on the 100 TB corpus, tokenize everywhere.
+    */
+  def saveVocab(spark: org.apache.spark.sql.SparkSession, vocab: Vocab, path: String): Unit = {
+    import spark.implicits._
+    vocab.merges.zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }
+      .toDF("rank", "a", "b")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def loadVocab(spark: org.apache.spark.sql.SparkSession, path: String): Vocab =
+    Vocab(
+      spark.read.parquet(path)
+        .orderBy(col("rank"))
+        .collect()
+        .map(r => (r.getInt(1), r.getInt(2)))
+        .toIndexedSeq)
+
   /** Distributed pre-token frequency table — the ONE corpus-sized pass
     * of training. `(word, count)` rows, exact.
     */

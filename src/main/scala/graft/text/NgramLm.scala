@@ -1,0 +1,111 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model perplexity scoring — the CCNet-style quality
+  * filter (Wenzek et al. 2020 score corpora with a KenLM model and keep
+  * the low-perplexity band). The model here is bigram STUPID BACKOFF
+  * (Brants et al. 2007, "Large Language Models in Machine Translation"):
+  *   p(w | prev) = c2(prev, w) / c1(prev)            if the bigram was seen
+  *               = α · c1(w) / total                 otherwise (α = 0.4)
+  *   p(w) at position 0 = c1(w) / total
+  * — exactly the scheme Brants designed FOR distributed n-gram models:
+  * no discount bookkeeping (Kneser–Ney needs global continuation
+  * counts), every term is a plain count ratio.
+  *
+  * Scale shape: the model IS two count frames (unigrams, bigrams) built
+  * by one explode + two groupBys — never collected, never broadcast by
+  * hand. Scoring joins the token stream against them BY KEY; Catalyst
+  * broadcasts the tables when they fit and shuffle-joins when a 100 TB
+  * corpus's vocabulary doesn't — the decision stays with the planner,
+  * not the API. Everything is codegen'd column algebra (no UDF), which
+  * also makes the entire train+score pipeline SQL-replayable — q72
+  * hash-checks it end to end against DuckDB.
+  */
+object NgramLm {
+
+  /** The trained model: unigram counts, bigram counts, and the 1-row
+    * total frame (kept as a frame — no driver pre-count blocking plan
+    * construction, the TfIdf `__ndocs` pattern).
+    */
+  final case class Model(uni: DataFrame, bi: DataFrame, totalDf: DataFrame, alpha: Double)
+
+  /** (id, pos, token, prev) — ONE explode; `prev` read from the array
+    * row-locally (element_at is 1-based, posexplode 0-based, so
+    * element_at(toks, pos) is exactly the previous token).
+    */
+  private def tokenStream(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .select(col(idCol), posexplode(col("__toks")).as(Seq("pos", "token")),
+        col("__toks"))
+      .withColumn("prev", when(col("pos") >= 1, element_at(col("__toks"), col("pos"))))
+      .drop("__toks")
+
+  /** Train on a corpus: unigram + bigram count frames. */
+  def train(df: DataFrame, textCol: String, idCol: String, alpha: Double = 0.4): Model = {
+    val toks = tokenStream(df, textCol, idCol)
+    val uni = toks.groupBy(col("token")).agg(count(lit(1)).as("c1"))
+    val bi = toks
+      .where(col("prev").isNotNull)
+      .groupBy(col("prev"), col("token"))
+      .agg(count(lit(1)).as("c2"))
+    val total = uni.agg(sum(col("c1")).cast("double").as("__total"))
+    Model(uni, bi, total, alpha)
+  }
+
+  /** Per-document perplexity: (idCol, n_tokens, avg_logprob, ppl).
+    * `oovCount` is the pseudo-count an unseen token falls back to —
+    * only reachable when scoring a corpus the model wasn't trained on.
+    */
+  def score(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      model: Model,
+      oovCount: Double = 0.5
+  ): DataFrame = {
+    val toks = tokenStream(df, textCol, idCol)
+    val t: Column = col("__total")
+    val cu: Column = coalesce(col("__c1t").cast("double"), lit(oovCount))
+    val scored = toks
+      .join(model.uni.select(col("token"), col("c1").as("__c1t")), Seq("token"), "left")
+      .join(
+        model.uni.select(col("token").as("prev"), col("c1").as("__c1p")),
+        Seq("prev"), "left")
+      .join(
+        model.bi.select(col("prev"), col("token"), col("c2").as("__c2")),
+        Seq("prev", "token"), "left")
+      .crossJoin(broadcast(model.totalDf))
+      .withColumn(
+        "__logp",
+        when(col("pos") === 0, log(cu / t))
+          .otherwise(
+            when(col("__c2").isNotNull, log(col("__c2").cast("double") / col("__c1p")))
+              .otherwise(log(lit(model.alpha) * cu / t))))
+    scored
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(col("__logp")), 4).as("avg_logprob"),
+        round(exp(-avg(col("__logp"))), 2).as("ppl"))
+  }
+
+  /** The gate: keep documents in the wanted perplexity band (CCNet keeps
+    * the low band; a floor also exists to drop degenerate repetition,
+    * which scores unnaturally LOW).
+    */
+  def perplexityFilter(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      model: Model,
+      maxPpl: Double,
+      minPpl: Double = 0.0
+  ): DataFrame =
+    df.join(
+      score(df, textCol, idCol, model)
+        .where(col("ppl") <= maxPpl && col("ppl") >= minPpl)
+        .select(col(idCol), col("ppl")),
+      Seq(idCol))
+}

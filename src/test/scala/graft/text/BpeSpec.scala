@@ -35,6 +35,11 @@ class BpeSpec extends SparkSpec {
     val v2 = Bpe.trainOn(docs, "text", numMerges = 50)
     assert(v1.merges == v2.merges)
     assert(v1.merges.length == 50) // real corpus: no early stop at 50
+
+    // persisted vocab round-trips exactly (train once, tokenize anywhere)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_vocab").toString
+    Bpe.saveVocab(spark, v1, dir)
+    assert(Bpe.loadVocab(spark, dir).merges == v1.merges)
   }
 
   // ---- encoding: adversarial strings --------------------------------

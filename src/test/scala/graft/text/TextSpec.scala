@@ -179,6 +179,45 @@ class TextSpec extends SparkSpec {
     assert(cacheScans >= 2, s"expected ≥2 InMemoryTableScans, got $cacheScans:\n$plan")
   }
 
+  test("NgramLm: hand-computed stupid-backoff probabilities, backoff and OOV paths") {
+    val corpus = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val model = NgramLm.train(corpus, "text", "doc_id")
+    // counts: uni a=3 b=2 c=1, total=6; bi (a,b)=2 (b,a)=1 (a,c)=1
+    val got = NgramLm.score(corpus, "text", "doc_id", model)
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    // doc 1: ln(3/6), ln(2/3), ln(1/2), ln(2/3) → avg = ln(1/3)/2, ppl = √3
+    assert(got(1L)._2 == 4)
+    assert(math.abs(got(1L)._3 - math.log(1.0 / 3.0) / 2) < 1e-4)
+    assert(math.abs(got(1L)._4 - math.sqrt(3.0)) < 0.01)
+    // doc 2: ln(1/2), ln(1/3) → avg = ln(1/6)/2, ppl = √6
+    assert(math.abs(got(2L)._4 - math.sqrt(6.0)) < 0.01)
+
+    // backoff: "b c" — bigram (b,c) unseen → α·c1(c)/total; OOV: "z b" —
+    // z falls to the 0.5 pseudo-count, prev=z unseen → backoff for b
+    val news = Seq((10L, "b c"), (11L, "z b")).toDF("doc_id", "text")
+    val s2 = NgramLm.score(news, "text", "doc_id", model)
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    val expB = (math.log(2.0 / 6.0) + math.log(0.4 * 1.0 / 6.0)) / 2
+    assert(math.abs(s2(10L)._3 - expB) < 1e-4)
+    val expZ = (math.log(0.5 / 6.0) + math.log(0.4 * 2.0 / 6.0)) / 2
+    assert(math.abs(s2(11L)._3 - expZ) < 1e-4)
+
+    // the filter: in-distribution text scores lower perplexity than the
+    // same tokens shuffled out of distribution
+    val docs = graft.util.Tables.documents(spark, sf).limit(200).cache()
+    val m2 = NgramLm.train(docs, "text", "doc_id")
+    val probe = docs.select("doc_id", "text").as[(Long, String)].first()
+    val shuffled = probe._2.split(" ").reverse.mkString(" ")
+    val pair = Seq((1L, probe._2), (2L, shuffled)).toDF("doc_id", "text")
+    val ppls = NgramLm.score(pair, "text", "doc_id", m2)
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r._4).toMap
+    assert(ppls(1L) < ppls(2L), s"in-distribution ${ppls(1L)} !< shuffled ${ppls(2L)}")
+    val kept = NgramLm.perplexityFilter(pair, "text", "doc_id", m2, maxPpl = ppls(1L) + 0.01)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+    docs.unpersist()
+  }
+
   test("Repetition stats match hand computation, including the single-token edge") {
     val docs = Seq(
       (1L, "a a a b"), // top tok a:3/4, unique 2/4, top bigram "a a":2/3
