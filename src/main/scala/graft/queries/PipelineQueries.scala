@@ -1117,8 +1117,65 @@ object PipelineQueries {
     )
   )
 
+  // ---- P10b: quality-aware dedup survivors — q44's near-dup components
+  // composed with q28's quality score, best member kept per cluster
+  // (TopK k=1, ties → lowest id). The oracle replays the WHOLE
+  // composition: n-gram Jaccard pairs → recursive-CTE reachability →
+  // quality → row_number survivor.
+  val q73 = Q(
+    "q73_dedup_keep_best",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = NGramJaccard
+        .similarityJoin(docs, "text", "doc_id", "source", n = 2)
+        .where(col("jaccard") >= 0.3)
+      val comps = ConnectedComponents.components(pairs, "id_a", "id_b")
+      val withComp = docs
+        .select(col("doc_id"))
+        .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("component"))
+      val scored = graft.text.TextStats
+        .withQuality(docs, "text")
+        .select(col("doc_id"), col("quality"))
+      graft.dedup.Survivors.keepBest(withComp, scored, "doc_id", "component", "quality")
+    },
+    Some(
+      """WITH RECURSIVE t AS (
+        |  SELECT source AS block, doc_id,
+        |    list_distinct(list_transform(range(1, len(string_split(text,' '))),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS ngrams
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b ON a.block = b.block AND a.doc_id < b.doc_id
+        |  WHERE round(len(list_filter(a.ngrams, g -> list_contains(b.ngrams, g)))::DOUBLE /
+        |    (len(a.ngrams) + len(b.ngrams) - len(list_filter(a.ngrams, g -> list_contains(b.ngrams, g)))), 4) >= 0.3),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p UNION ALL SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b),
+        |comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+        |toksq AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |fq AS (
+        |  SELECT doc_id,
+        |    len(toks)::DOUBLE AS n,
+        |    len(list_filter(toks, tk -> list_contains(['the','a','of','and','is','to','in'], tk)))::DOUBLE AS stops,
+        |    len(list_distinct(toks))::DOUBLE AS uniq
+        |  FROM toksq),
+        |q AS (SELECT doc_id,
+        |        round(least(n/100.0, 1.0)*0.4 + (1.0 - stops/n)*0.3 + (uniq/n)*0.3, 4) AS quality
+        |      FROM fq)
+        |SELECT component, doc_id, quality FROM (
+        |  SELECT c.component, c.doc_id, q.quality,
+        |    row_number() OVER (PARTITION BY c.component ORDER BY q.quality DESC, c.doc_id) AS rn
+        |  FROM comp c JOIN q USING (doc_id))
+        |WHERE rn = 1""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
-      q63, q64, q65, q66, q67, q69, q71, q72)
+      q63, q64, q65, q66, q67, q69, q71, q72, q73)
 }

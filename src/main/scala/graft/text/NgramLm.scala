@@ -42,10 +42,15 @@ object NgramLm {
       .withColumn("prev", when(col("pos") >= 1, element_at(col("__toks"), col("pos"))))
       .drop("__toks")
 
-  /** Train on a corpus: unigram + bigram count frames. */
+  /** Train on a corpus: unigram + bigram count frames. The unigram
+    * frame is persisted — [[score]] references it twice (token and prev
+    * joins) and the total once, and each reference would otherwise
+    * re-explode the corpus (the TfIdf tf-persist lesson). The cache
+    * holds vocabulary-sized count rows, not the token stream.
+    */
   def train(df: DataFrame, textCol: String, idCol: String, alpha: Double = 0.4): Model = {
     val toks = tokenStream(df, textCol, idCol)
-    val uni = toks.groupBy(col("token")).agg(count(lit(1)).as("c1"))
+    val uni = toks.groupBy(col("token")).agg(count(lit(1)).as("c1")).persist()
     val bi = toks
       .where(col("prev").isNotNull)
       .groupBy(col("prev"), col("token"))

@@ -229,4 +229,23 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(survivors == Set(0L, 3L, 4L))
   }
+
+  test("Survivors.keepBest keeps the highest-quality member per cluster, ties to lowest id") {
+    val components = Seq(
+      (1L, 100L), (2L, 100L), (3L, 100L), // cluster A
+      (4L, 104L), // singleton
+      (5L, 105L), (6L, 105L) // cluster B, tied scores
+    ).toDF("doc_id", "component")
+    val scored = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.9), // A: 2 and 3 tie at 0.9 → keep 2
+      (4L, 0.1),
+      (5L, 0.7), (6L, 0.7) // B: tie → keep 5
+    ).toDF("doc_id", "quality")
+    for (parts <- Seq(1, 3)) {
+      val got = Survivors
+        .keepBest(components.repartition(parts), scored, "doc_id", "component", "quality")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == Set((100L, 2L, 0.9), (104L, 4L, 0.1), (105L, 5L, 0.7)), s"parts=$parts")
+    }
+  }
 }
