@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.text.Bpe
+
+/** The end-cap of the training-data pipeline: turn a cleaned corpus
+  * into on-disk training shards — REAL BPE tokens, fixed-size chunks,
+  * packed into budget-sized bins in one reproducible pseudo-random
+  * order, one shard directory per bin.
+  *
+  *   documents → [[Bpe.chunk]] (tokenize + window, shuffle-free)
+  *             → [[Packing.packBins]] on the REAL token counts
+  *               (one shuffle + a `parts`-row driver reduce)
+  *             → `write.partitionBy(bin)` parquet
+  *
+  * Everything upstream of the pack is embarrassingly parallel; the pack
+  * is the library's no-global-sort running sum; the write is the only
+  * sink. Deterministic end to end: same corpus + vocab + salt → byte-
+  * identical shard assignment, on any cluster size (the packBins
+  * parts-invariance).
+  */
+object TrainingShards {
+
+  /** The shard frame: (bin, bin_pos, doc_id, chunk_id, n_tokens,
+    * tokens). `bin` is the training-sequence bucket a chunk STARTS in;
+    * `bin_pos` its token offset there.
+    */
+  def shards(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      vocab: Bpe.Vocab,
+      chunkSize: Int,
+      overlap: Int,
+      budget: Long,
+      salt: String = "shards"
+  ): DataFrame = {
+    val chunks = Bpe.chunk(docs, textCol, idCol, vocab, chunkSize, overlap)
+      // one scalar key per chunk for the pack (chunk counts are bounded
+      // by doc length / stride — 2^20 chunks ≈ a billion-token document)
+      .withColumn("__ck", col(idCol) * lit(1L << 20) + col("chunk_id"))
+    val packed = Packing.packBins(chunks, "__ck", "n_tokens", budget, salt)
+      .select(col("__ck"), col("bin"), col("bin_pos"))
+    chunks
+      .join(packed, Seq("__ck"))
+      .select(
+        col("bin"), col("bin_pos"), col(idCol), col("chunk_id"),
+        col("n_tokens"), col("tokens"))
+  }
+
+  /** Materialize the shards, one directory per bin. */
+  def write(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      vocab: Bpe.Vocab,
+      chunkSize: Int,
+      overlap: Int,
+      budget: Long,
+      path: String,
+      salt: String = "shards"
+  ): Unit =
+    shards(docs, textCol, idCol, vocab, chunkSize, overlap, budget, salt)
+      .write.mode("overwrite").partitionBy("bin").parquet(path)
+}

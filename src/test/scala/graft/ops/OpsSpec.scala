@@ -93,6 +93,39 @@ class OpsSpec extends SparkSpec {
     assert(Dummies.categories(df.limit(100), "k", maxCategories = 100).size == 100)
   }
 
+  test("TrainingShards: every chunk lands in exactly one bin, deterministically, tokens intact") {
+    val docs = graft.util.Tables.documents(spark, sf).limit(30)
+    val vocab = graft.text.Bpe.trainOn(docs, "text", numMerges = 40)
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    graft.ops.TrainingShards.write(docs, "text", "doc_id", vocab,
+      chunkSize = 16, overlap = 0, budget = 64L, path = dir)
+    val back = spark.read.parquet(dir)
+      .select("bin", "bin_pos", "doc_id", "chunk_id", "n_tokens", "tokens")
+      .as[(Long, Long, Long, Long, Long, Seq[Int])].collect()
+
+    // completeness: the shard set IS the chunk set, exactly once
+    val chunks = graft.text.Bpe.chunk(docs, "text", "doc_id", vocab, 16, 0)
+      .select("doc_id", "chunk_id", "tokens")
+      .as[(Long, Long, Seq[Int])].collect()
+    assert(back.map(r => (r._3, r._4)).toSet == chunks.map(c => (c._1, c._2)).toSet)
+    assert(back.length == chunks.length)
+    // token payloads survive the pack + partitioned write byte for byte
+    val byKey = chunks.map(c => (c._1, c._2) -> c._3).toMap
+    back.foreach(r => assert(r._6 == byKey((r._3, r._4))))
+    // bins fill densely: a chunk STARTS in its bin at bin_pos < budget
+    assert(back.forall(_._2 < 64L))
+    val bins = back.map(_._1).distinct.sorted
+    assert(bins.toSeq == (0L to bins.max).toSeq)
+    // deterministic: a second write assigns identical (bin, bin_pos)
+    val dir2 = java.nio.file.Files.createTempDirectory("shards2").toString
+    graft.ops.TrainingShards.write(docs, "text", "doc_id", vocab,
+      chunkSize = 16, overlap = 0, budget = 64L, path = dir2)
+    val again = spark.read.parquet(dir2)
+      .select("bin", "bin_pos", "doc_id", "chunk_id")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(again == back.map(r => (r._1, r._2, r._3, r._4)).toSet)
+  }
+
   test("AsOf.joinAsOf picks latest preceding right row; ties and strictness honored") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)

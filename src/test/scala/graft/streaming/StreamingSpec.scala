@@ -182,6 +182,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming BPE tokenization: stateless withTokens matches batch across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = graft.util.Tables.documents(spark, sf).limit(40).cache()
+    val vocab = graft.text.Bpe.trainOn(docs, "text", numMerges = 30)
+    val batch = graft.text.Bpe.withTokens(docs, "text", vocab)
+      .select("doc_id", "tokens", "n_tokens_bpe")
+      .as[(Long, Seq[Int], Int)].collect().toSet
+    val rows = docs.select("doc_id", "text").as[(Long, String)].collect().toSeq
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    // tokenization is a stateless projection (broadcast vocab, task-lazy
+    // encoder) — append-safe with zero state, like the centroid gate
+    val out = graft.text.Bpe.withTokens(ms.toDF.toDF("doc_id", "text"), "text", vocab)
+      .select("doc_id", "tokens", "n_tokens_bpe")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("bpe_out").start()
+    try {
+      ms.addData(rows.take(20): _*)
+      q.processAllAvailable()
+      ms.addData(rows.drop(20): _*)
+      q.processAllAvailable()
+      val got = spark.table("bpe_out").as[(Long, Seq[Int], Int)].collect().toSet
+      assert(got == batch)
+    } finally q.stop()
+    docs.unpersist()
+  }
+
   test("streaming centroid gate: row-local assign ≡ batch Embed.assign across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val emb = graft.util.Tables.embeddings(spark, sf).limit(60).cache()
