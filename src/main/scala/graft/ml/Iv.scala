@@ -1,0 +1,112 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Instrumental variables / two-stage least squares — the natural next
+  * estimator beyond the reference's OLS/FE surface (the reference's
+  * `estimate` assumes exogenous regressors; applied panel work reaches
+  * for 2SLS the moment they aren't).
+  *
+  *   β₂ₛₗₛ = (B' A⁻¹ B)⁻¹ B' A⁻¹ c,   A = Z'Z, B = Z'X, c = Z'y
+  *
+  * where X = [endogenous | exogenous (| intercept)] and Z =
+  * [instruments | exogenous (| intercept)] — exogenous controls
+  * instrument themselves.
+  *
+  * Scale shape: the [[Ols]] pattern exactly — ONE distributed
+  * aggregation computes the Gram of every distinct column in [y X Z]
+  * (k(k+1)/2 sums, map-side combined), then all block algebra is
+  * driver-side on k×k matrices. No second data pass, no per-row
+  * fitted-value materialization: the first stage exists only inside the
+  * B' A⁻¹ products. Homoskedastic variance comes from the same Gram
+  * identities (SSR against the ACTUAL regressors, the 2SLS convention).
+  */
+object Iv {
+
+  final case class IvModel(
+      names: Seq[String],
+      coef: Array[Double],
+      n: Long,
+      /** (X' Pz X)⁻¹ — the 2SLS bread. */
+      bread: Array[Array[Double]],
+      sigma2: Double
+  ) {
+    def variance: Array[Array[Double]] = bread.map(_.map(_ * sigma2))
+    def se: Array[Double] = variance.zipWithIndex.map { case (r, i) => math.sqrt(r(i)) }
+  }
+
+  /** Fit y on [endog | exog] instrumenting endog with `instruments`.
+    * Requires at least as many instruments as endogenous regressors.
+    */
+  def fit(
+      df: DataFrame,
+      y: String,
+      endog: Seq[String],
+      instruments: Seq[String],
+      exog: Seq[String] = Nil,
+      intercept: Boolean = true
+  ): IvModel = {
+    require(endog.nonEmpty, "no endogenous regressors")
+    require(
+      instruments.length >= endog.length,
+      s"under-identified: ${instruments.length} instruments for ${endog.length} endogenous")
+
+    // distinct data columns, one Gram pass over all of them + y
+    val baseNames = endog ++ exog ++ instruments
+    val base: Seq[Column] = baseNames.map(c => col(c).cast("double"))
+    val cols: Seq[Column] = (if (intercept) Seq(lit(1.0)) else Nil) ++ base
+    val names = (if (intercept) Seq("(intercept)") else Nil) ++ baseNames
+    val yc = col(y).cast("double")
+    val k = cols.length
+
+    val aggs: Seq[Column] =
+      (for (i <- 0 until k; j <- i until k) yield sum(cols(i) * cols(j)).as(s"g_${i}_$j")) ++
+        (0 until k).map(i => sum(cols(i) * yc).as(s"c_$i")) ++
+        Seq(sum(yc * yc).as("yty"), count(lit(1)).as("n"))
+    val row: Row = df.agg(aggs.head, aggs.tail: _*).head()
+
+    var p = 0
+    val g = Array.ofDim[Double](k, k)
+    for (i <- 0 until k; j <- i until k) {
+      val v = row.getDouble(p); p += 1
+      g(i)(j) = v; g(j)(i) = v
+    }
+    val cy = Array.tabulate(k)(i => row.getDouble(p + i))
+    p += k
+    val yty = row.getDouble(p)
+    val n = row.getLong(p + 1)
+
+    // index sets into the shared Gram: X = [int | endog | exog],
+    // Z = [int | instruments | exog]
+    val off = if (intercept) 1 else 0
+    val xIdx = (if (intercept) Seq(0) else Nil) ++
+      endog.indices.map(off + _) ++
+      exog.indices.map(off + endog.length + _)
+    val zIdx = (if (intercept) Seq(0) else Nil) ++
+      instruments.indices.map(off + endog.length + exog.length + _) ++
+      exog.indices.map(off + endog.length + _)
+
+    def block(rows: Seq[Int], colIdx: Seq[Int]): Array[Array[Double]] =
+      rows.map(i => colIdx.map(j => g(i)(j)).toArray).toArray
+    val a = block(zIdx, zIdx) // Z'Z
+    val b = block(zIdx, xIdx) // Z'X
+    val cz = zIdx.map(cy).toArray // Z'y
+
+    val aInv = LinAlg.inverse(a)
+    val bt = b.transpose
+    val btAinv = LinAlg.matMul(bt, aInv)
+    val m = LinAlg.matMul(btAinv, b) // X'Pz X
+    val rhs = LinAlg.matVec(btAinv, cz) // X'Pz y
+    val beta = LinAlg.solve(m.map(_.clone()), rhs.clone())
+
+    // SSR against the ACTUAL X (2SLS convention): y'y − 2β'X'y + β'X'Xβ
+    val xx = block(xIdx, xIdx)
+    val xy = xIdx.map(cy).toArray
+    val ssr = yty - 2.0 * LinAlg.dot(beta, xy) +
+      LinAlg.dot(beta, LinAlg.matVec(xx, beta))
+    val dof = (n - xIdx.length).toDouble
+    val xNames = (if (intercept) Seq("(intercept)") else Nil) ++ endog ++ exog
+    IvModel(xNames, beta, n, LinAlg.inverse(m), ssr / dof)
+  }
+}

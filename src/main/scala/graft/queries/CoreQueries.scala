@@ -774,6 +774,51 @@ object CoreQueries {
     )
   )
 
+  // ---- C30: instrumental variables / 2SLS. Just-identified single-
+  // endogenous-regressor case has the closed Wald form — beta =
+  // cov(z,y)/cov(z,x) — so the oracle replays coefficient, intercept
+  // AND the homoskedastic SE (sigma² · Szz/Szx²) in plain SQL. The
+  // instrument is constructed from table columns (z = quantity +
+  // linenumber: correlated with x by construction, not collinear) —
+  // this pins the ESTIMATOR's arithmetic; the endogeneity-recovery
+  // semantics are pinned by RegressionSpec's planted construction.
+  val q74 = Q(
+    "q74_iv_2sls",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .withColumn("z", col("l_quantity") + col("l_linenumber"))
+      val m = graft.ml.Iv.fit(li, "l_extendedprice", Seq("l_quantity"), Seq("z"))
+      scalarRow(
+        s,
+        Seq(
+          "beta_x" -> rnd(m.coef(1), 4),
+          "intercept" -> rnd(m.coef(0), 4),
+          "se_x" -> rnd(m.se(1), 4)
+        ),
+        Seq("n" -> m.n)
+      )
+    },
+    Some(
+      """WITH d AS (
+        |  SELECT l_extendedprice AS y, l_quantity AS x,
+        |    l_quantity + l_linenumber AS z
+        |  FROM lineitem),
+        |m AS (SELECT avg(y) AS my, avg(x) AS mx, count(*) AS n,
+        |        covar_pop(z, y) AS szy, covar_pop(z, x) AS szx,
+        |        var_pop(z) AS szz
+        |      FROM d),
+        |b AS (SELECT szy/szx AS beta, my - (szy/szx)*mx AS alpha,
+        |        n, szx, szz FROM m),
+        |r AS (SELECT b.beta, b.alpha, b.n, b.szx, b.szz,
+        |        sum(pow(d.y - b.alpha - b.beta * d.x, 2)) AS ssr
+        |      FROM d CROSS JOIN b GROUP BY 1, 2, 3, 4, 5)
+        |SELECT round(beta, 4) AS beta_x, round(alpha, 4) AS intercept,
+        |  round(sqrt(ssr / (n - 2) * szz / (n * szx * szx)), 4) AS se_x,
+        |  n
+        |FROM r""".stripMargin
+    )
+  )
+
   /** Round a driver-side double the same way Spark/DuckDB `round` does
     * (HALF_UP on the decimal representation).
     */
@@ -782,5 +827,5 @@ object CoreQueries {
 
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18,
-      q19, q36, q37, q38, q41, q42, q43, q59, q68, q70)
+      q19, q36, q37, q38, q41, q42, q43, q59, q68, q70, q74)
 }

@@ -336,6 +336,50 @@ class RegressionSpec extends SparkSpec {
     assert(out("c").isNullAt(2) && out("c").isNullAt(3))
   }
 
+  test("Iv/2SLS recovers the true coefficient where OLS is biased (planted endogeneity)") {
+    // exact-by-construction endogeneity: over each 4-cycle, z = (0,1,2,3)
+    // and u = (1,-1,-1,1) have sample covariance EXACTLY zero, while
+    // x = z + u carries u into both regressor and error of
+    // y = 3 + 2x + u. So in-sample: IV solves the moment equations
+    // exactly (β = 2, α = 3), and OLS is biased by exactly
+    // cov(x,u)/var(x) = var(u)/var(x) = 1/2.25 = 4/9.
+    val uCyc = Array(1.0, -1.0, -1.0, 1.0)
+    val rows = (0 until 400).map { i =>
+      val z = (i % 4).toDouble
+      val u = uCyc(i % 4)
+      val w = if (i % 4 == 0 || i % 4 == 2) 1.0 else 0.0 // cov(w,u)=0, cov(w,z)≠0
+      val x = z + u
+      (3.0 + 2.0 * x + u, x, z, w)
+    }
+    val df = rows.toDF("y", "x", "z", "w")
+
+    val iv = Iv.fit(df, "y", Seq("x"), Seq("z"))
+    assert(math.abs(iv.coef(1) - 2.0) < 1e-9, s"IV slope ${iv.coef(1)}")
+    assert(math.abs(iv.coef(0) - 3.0) < 1e-9, s"IV intercept ${iv.coef(0)}")
+
+    val ols = Ols.fit(df, "y", Seq("x"))
+    assert(math.abs(ols.coef(1) - (2.0 + 4.0 / 9.0)) < 1e-9, s"OLS slope ${ols.coef(1)}")
+
+    // over-identified (two valid instruments): still exact
+    val over = Iv.fit(df, "y", Seq("x"), Seq("z", "w"))
+    assert(math.abs(over.coef(1) - 2.0) < 1e-9)
+
+    // an exogenous control y doesn't load on: slope intact, control ≈ 0
+    val withC = Iv.fit(df, "y", Seq("x"), Seq("z"), exog = Seq("w"))
+    assert(math.abs(withC.coef(1) - 2.0) < 1e-9)
+    assert(math.abs(withC.coef(2)) < 1e-9)
+
+    // under-identification fails fast
+    intercept[IllegalArgumentException] {
+      Iv.fit(df, "y", Seq("x", "w"), Seq("z"))
+    }
+
+    // u ⊥ z exactly → residuals are u itself → sigma² = Σu²/(n−2),
+    // pinning the SSR-against-actual-X convention
+    val n = 400.0
+    assert(math.abs(iv.sigma2 - n / (n - 2)) < 1e-9, s"sigma2 ${iv.sigma2}")
+  }
+
   test("clustered SE matches hand computation on tiny data") {
     val rows = Seq(
       ("c1", 1.0, 2.0), ("c1", 2.0, 4.5), ("c2", 3.0, 5.5),
