@@ -109,4 +109,37 @@ object Iv {
     val xNames = (if (intercept) Seq("(intercept)") else Nil) ++ endog ++ exog
     IvModel(xNames, beta, n, LinAlg.inverse(m), ssr / dof)
   }
+
+  /** Panel IV (the `xtivreg fe`-shaped estimator): absorb fixed effects
+    * by within-demeaning y, X and Z together (one
+    * [[FixedEffects.demean]] pass — alternating projections for 2+
+    * FEs), then 2SLS on the demeaned columns with no intercept (demeaned
+    * data is mean-zero by construction). The FWL logic that justifies
+    * the reference's within estimator extends to IV: instrumenting with
+    * demeaned Z is equivalent to including the FE dummies in both
+    * stages. Coefficient names keep the original column names.
+    */
+  def fitWithFE(
+      df: DataFrame,
+      y: String,
+      endog: Seq[String],
+      instruments: Seq[String],
+      fes: Seq[String],
+      exog: Seq[String] = Nil,
+      maxSweeps: Int = 500,
+      tol: Double = 1e-9
+  ): IvModel = {
+    require(fes.nonEmpty, "no fixed effects — use fit()")
+    val valueCols = (Seq(y) ++ endog ++ exog ++ instruments).distinct
+    val (dm, _) = FixedEffects.demean(
+      df.select((fes ++ valueCols).distinct.map(col): _*), valueCols, fes, maxSweeps, tol)
+    val m = fit(
+      dm,
+      s"${y}__dm",
+      endog.map(c => s"${c}__dm"),
+      instruments.map(c => s"${c}__dm"),
+      exog.map(c => s"${c}__dm"),
+      intercept = false)
+    m.copy(names = endog ++ exog)
+  }
 }

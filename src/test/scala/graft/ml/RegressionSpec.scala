@@ -380,6 +380,35 @@ class RegressionSpec extends SparkSpec {
     assert(math.abs(iv.sigma2 - n / (n - 2)) < 1e-9, s"sigma2 ${iv.sigma2}")
   }
 
+  test("panel IV: 2SLS with absorbed FEs recovers truth where within-OLS is biased") {
+    // full factorial grid (a, b, c, d): z = a, u = ±1 by b, FEs on c and
+    // d. Balance makes z ⊥ u exactly WITHIN every FE level, u is not
+    // absorbed (varies within both FEs), and demeaning leaves the plain
+    // construction: z__dm = z − 1.5, u__dm = u.
+    val rows = for {
+      rep <- 0 until 5; a <- 0 until 4; b <- 0 until 2; c <- 0 until 5; d <- 0 until 2
+    } yield {
+      val z = a.toDouble
+      val u = if (b == 0) 1.0 else -1.0
+      val x = z + u
+      (10.0 * c + 5.0 * d + 2.0 * x + u, x, z, c.toLong, d.toLong, rep)
+    }
+    val df = rows.toDF("y", "x", "z", "g1", "g2", "rep")
+
+    val oneFe = Iv.fitWithFE(df, "y", Seq("x"), Seq("z"), fes = Seq("g1"))
+    assert(oneFe.names == Seq("x"))
+    assert(math.abs(oneFe.coef(0) - 2.0) < 1e-7, s"1-FE IV slope ${oneFe.coef(0)}")
+
+    val twoFe = Iv.fitWithFE(df, "y", Seq("x"), Seq("z"), fes = Seq("g1", "g2"))
+    assert(math.abs(twoFe.coef(0) - 2.0) < 1e-6, s"2-FE IV slope ${twoFe.coef(0)}")
+
+    // the within estimator WITHOUT instrumenting stays biased by exactly
+    // var(u)/var(x__dm) = 4/9 — absorbing FEs does not fix endogeneity
+    val within = FixedEffects.fit(df, "y", Seq("x"), Seq("g1", "g2"))
+    assert(math.abs(within.coef(0) - (2.0 + 4.0 / 9.0)) < 1e-6,
+      s"within slope ${within.coef(0)}")
+  }
+
   test("clustered SE matches hand computation on tiny data") {
     val rows = Seq(
       ("c1", 1.0, 2.0), ("c1", 2.0, 4.5), ("c2", 3.0, 5.5),
