@@ -82,4 +82,46 @@ object SpanDedup {
         count(lit(1)).as("n_spans"),
         sum(coalesce(col("hit"), lit(0))).as("n_hits"))
   }
+
+  /** [[contamination]] for probe sets too big to broadcast as rows — a
+    * billion-span historical index, not a benchmark suite. The standard
+    * Bloom trick: the probe's distinct span hashes fold into a
+    * fixed-size bit array (≈1.2 GB per 10⁹ spans at 1% fpp, vs tens of
+    * GB of hash rows), broadcast once; the corpus span stream is
+    * prefiltered ROW-LOCALLY, so only the ~fpp false-positive fraction
+    * plus the true hits ever enters the exact semi-join that removes
+    * the false positives. Output is IDENTICAL to [[contamination]] —
+    * the Bloom filter only prunes, the exact join decides (pinned by
+    * DedupSpec).
+    */
+  def contaminationBloom(
+      corpus: DataFrame,
+      probe: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 8,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    val probeGrams = MinHashLsh.shingleHashes(probe, textCol, idCol, n)
+      .select(col("sh")).distinct().persist()
+    val expected = math.max(probeGrams.count(), 1L)
+    val bf = probeGrams.stat.bloomFilter("sh", expected, fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bf)
+    val corpusGrams = MinHashLsh.shingleHashes(corpus, textCol, idCol, n).persist()
+    val might = udf((h: Long) => bc.value.mightContainLong(h))
+    val hits = corpusGrams
+      .where(might(col("sh"))) // row-local prune: no shuffle, no join yet
+      .join(probeGrams, Seq("sh"), "left_semi") // exact: kills bloom FPs
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__hits"))
+    val out = corpusGrams
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_spans"), coalesce(col("__hits"), lit(0L)).as("n_hits"))
+      .localCheckpoint()
+    corpusGrams.unpersist(false)
+    probeGrams.unpersist(false)
+    out
+  }
 }

@@ -204,6 +204,24 @@ class DedupSpec extends SparkSpec {
     assert(got.keySet == Set(1L, 2L, 3L)) // every corpus doc reported
   }
 
+  test("SpanDedup.contaminationBloom equals exact contamination (bloom only prunes)") {
+    // realistic scale shape in miniature: a larger probe "index" and a
+    // corpus with planted leaks; the bloom prefilter must change NOTHING
+    // about the answer (exact semi-join removes its false positives)
+    val docs = graft.util.Tables.documents(spark, sf).limit(120).cache()
+    val probe = docs.where($"doc_id" % 3 === 0).select($"doc_id", $"text")
+    val corpus = docs.select($"doc_id", $"text")
+    val exact = SpanDedup.contamination(corpus, probe, "text", "doc_id", n = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    for (fpp <- Seq(0.5, 0.01)) { // even an awful filter only prunes
+      val bloom = SpanDedup
+        .contaminationBloom(corpus, probe, "text", "doc_id", n = 5, fpp = fpp)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(bloom == exact, s"fpp=$fpp")
+    }
+    docs.unpersist()
+  }
+
   test("NGramJaccard: exact dup jaccard=1, near dup high, unrelated low") {
     val withBlock = docs.withColumn("src", lit("s"))
     val j = NGramJaccard
