@@ -82,4 +82,33 @@ object Vocab {
         col(strataCol), col("n_tokens"), col("n_docs"),
         col("approx_vocab"), col("approx_docs"))
   }
+
+  /** Per-stratum document-length quantiles at sketch cost
+    * (Greenwald–Khanna via `percentile_approx`): the distribution half
+    * of the T13 dashboard — medians and tails of doc length per
+    * language/source without a per-stratum sort. The GK contract is a
+    * RANK error bound (≤ 1/accuracy of the stratum size), pinned by
+    * TextSpec against exact percentiles; the shuffle carries one
+    * bounded sketch per (partition, stratum), never the values.
+    */
+  def strataQuantiles(
+      df: DataFrame,
+      textCol: String,
+      strataCol: String,
+      probs: Seq[Double] = Seq(0.5, 0.9, 0.99),
+      accuracy: Int = 1000
+  ): DataFrame = {
+    val pcts = percentile_approx(
+      col("__len"),
+      array(probs.map(lit): _*),
+      lit(accuracy))
+    df.select(col(strataCol), size(split(col(textCol), " ")).as("__len"))
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"), pcts.as("__p"))
+      .select(
+        Seq(col(strataCol), col("n_docs")) ++
+          probs.zipWithIndex.map { case (p, i) =>
+            col("__p").getItem(i).as(s"p${(p * 100).round}_tokens")
+          }: _*)
+  }
 }

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.functions.{col, count_distinct, explode, split, sum}
+import org.apache.spark.sql.functions.{col, count_distinct, explode, size, split, sum}
 
 import graft.SparkSpec
 
@@ -81,6 +81,31 @@ class TextSpec extends SparkSpec {
     val prof7 = Vocab.strataProfile(docs.repartition(7), "text", "doc_id", "lang", rsd = 0.02)
       .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(prof7 == prof.view.mapValues(_.getLong(3)).toMap)
+  }
+
+  test("Vocab.strataQuantiles: GK sketch honors the rank-error contract per stratum") {
+    // per-stratum doc lengths with DIFFERENT distributions: en linear
+    // 10..209, es quadratic-ish — exercises tails, not just medians
+    val docs = (1 to 300).map { i =>
+      val lang = if (i % 3 == 0) "es" else "en"
+      val len = if (lang == "en") 10 + (i % 200) else 5 + (i * i) % 97
+      (i.toLong, lang, (1 to len).map(j => s"t$j").mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val probs = Seq(0.5, 0.9, 0.99)
+    val got = Vocab.strataQuantiles(docs, "text", "lang", probs, accuracy = 1000)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), probs.indices.map(i => r.getInt(2 + i)))).toMap
+    val lens = docs.select($"lang", size(split($"text", " ")).as("n"))
+      .as[(String, Int)].collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for ((lang, (nDocs, qs)) <- got; (p, v) <- probs.zip(qs)) {
+      val sorted = lens(lang)
+      assert(nDocs == sorted.length.toLong)
+      // GK contract: the returned value's RANK is within n/accuracy of
+      // the target rank (+1 for discreteness)
+      val rank = sorted.count(_ <= v)
+      val target = p * sorted.length
+      val tol = sorted.length.toDouble / 1000 + 1
+      assert(math.abs(rank - target) <= tol, s"$lang p$p: value $v rank $rank target $target")
+    }
   }
 
   test("LangId detects language from marker stopwords") {
