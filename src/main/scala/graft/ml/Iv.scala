@@ -30,7 +30,13 @@ object Iv {
       n: Long,
       /** (X' Pz X)⁻¹ — the 2SLS bread. */
       bread: Array[Array[Double]],
-      sigma2: Double
+      sigma2: Double,
+      /** Instrument column names ("(intercept)" literal allowed) and the
+        * first-stage projection A⁻¹B = (Z'Z)⁻¹Z'X — what the clustered
+        * sandwich needs beyond the bread.
+        */
+      zNames: Seq[String],
+      proj: Array[Array[Double]]
   ) {
     def variance: Array[Array[Double]] = bread.map(_.map(_ * sigma2))
     def se: Array[Double] = variance.zipWithIndex.map { case (r, i) => math.sqrt(r(i)) }
@@ -107,8 +113,51 @@ object Iv {
       LinAlg.dot(beta, LinAlg.matVec(xx, beta))
     val dof = (n - xIdx.length).toDouble
     val xNames = (if (intercept) Seq("(intercept)") else Nil) ++ endog ++ exog
-    IvModel(xNames, beta, n, LinAlg.inverse(m), ssr / dof)
+    val zNames = (if (intercept) Seq("(intercept)") else Nil) ++ instruments ++ exog
+    IvModel(xNames, beta, n, LinAlg.inverse(m), ssr / dof, zNames,
+      LinAlg.matMul(aInv, b))
   }
+
+  /** Cluster-robust 2SLS covariance — the IV sandwich
+    *   (X'PzX)⁻¹ P' [Σ_g (Z_g'u_g)(Z_g'u_g)'] P (X'PzX)⁻¹,  P = (Z'Z)⁻¹Z'X
+    * with u = y − Xβ against the ACTUAL regressors. Distributed shape =
+    * [[Ols.varianceClustered]] exactly: one groupBy(cluster) computing
+    * the per-cluster score vector Σ z·u (map-side combined), one tiny
+    * aggregate of the kz(kz+1)/2 outer-product sums, driver sandwich.
+    */
+  def varianceClustered(
+      df: DataFrame,
+      model: IvModel,
+      y: String,
+      cluster: String
+  ): Array[Array[Double]] = {
+    val kz = model.zNames.length
+    def asCol(name: String): Column =
+      if (name == "(intercept)") lit(1.0) else col(name).cast("double")
+    val u = model.names.zip(model.coef).foldLeft(col(y).cast("double")) {
+      case (acc, (name, b)) => acc - asCol(name) * b
+    }
+    val zcols = model.zNames.map(asCol)
+    val scoreAggs = (0 until kz).map(i => sum(col("__u") * zcols(i)).as(s"s_$i"))
+    val perCluster = df
+      .withColumn("__u", u)
+      .groupBy(col(cluster))
+      .agg(scoreAggs.head, scoreAggs.tail: _*)
+    val meatAggs = for (i <- 0 until kz; j <- i until kz)
+      yield sum(col(s"s_$i") * col(s"s_$j")).as(s"m_${i}_$j")
+    val row = perCluster.agg(meatAggs.head, meatAggs.tail: _*).head()
+    val meat = Array.ofDim[Double](kz, kz)
+    var p = 0
+    for (i <- 0 until kz; j <- i until kz) {
+      val v = row.getDouble(p); p += 1
+      meat(i)(j) = v; meat(j)(i) = v
+    }
+    val mid = LinAlg.matMul(LinAlg.matMul(model.proj.transpose, meat), model.proj)
+    LinAlg.matMul(LinAlg.matMul(model.bread, mid), model.bread)
+  }
+
+  def seClustered(df: DataFrame, model: IvModel, y: String, cluster: String): Array[Double] =
+    varianceClustered(df, model, y, cluster).zipWithIndex.map { case (r, i) => math.sqrt(r(i)) }
 
   /** Panel IV (the `xtivreg fe`-shaped estimator): absorb fixed effects
     * by within-demeaning y, X and Z together (one
@@ -141,5 +190,9 @@ object Iv {
       exog.map(c => s"${c}__dm"),
       intercept = false)
     m.copy(names = endog ++ exog)
+    // NOTE: clustered SEs on a fitWithFE model need the original df's
+    // demeaned columns; callers use varianceClustered on the demeaned
+    // frame with the __dm names (the names copy above is cosmetic for
+    // coef reporting — keep the model from fit() if you need variances)
   }
 }

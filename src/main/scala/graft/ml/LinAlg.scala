@@ -142,13 +142,18 @@ object LinAlg {
   def matVec(a: Array[Array[Double]], x: Array[Double]): Array[Double] =
     a.map(row => dot(row, x))
 
-  /** C = A B for row-major square matrices. */
+  /** C = A B, row-major, any conformable shapes (m×k · k×n → m×n).
+    * The square-only version this replaces silently truncated
+    * rectangular inputs to the leading square block — for 2SLS that
+    * meant an over-identified fit used only the first kx instruments.
+    */
   def matMul(a: Array[Array[Double]], b: Array[Array[Double]]): Array[Array[Double]] = {
-    val k = a.length
-    Array.tabulate(k) { i =>
-      Array.tabulate(k) { j =>
+    val inner = b.length
+    require(a.forall(_.length == inner), s"shape mismatch: A is ${a.length}×${a.headOption.map(_.length).getOrElse(0)}, B has $inner rows")
+    Array.tabulate(a.length) { i =>
+      Array.tabulate(b.head.length) { j =>
         var s = 0.0; var t = 0
-        while (t < k) { s += a(i)(t) * b(t)(j); t += 1 }
+        while (t < inner) { s += a(i)(t) * b(t)(j); t += 1 }
         s
       }
     }

@@ -663,6 +663,30 @@ object PipelineQueries {
     )
   )
 
+  // ---- P9c: Bloom-prefiltered decontamination. Output is IDENTICAL to
+  // q52 by construction (the Bloom filter only prunes the exact join's
+  // input; the exact semi-join decides), so it shares q52's oracle —
+  // the driver hash-checks that the sketch path changes NOTHING.
+  val q75 = Q(
+    "q75_decontaminate_bloom",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.dedup.SpanDedup.contaminationBloom(
+        docs, docs.where(col("doc_id") % 50 === 0), "text", "doc_id", n = 8)
+    },
+    Some(
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS a FROM documents),
+        |g0 AS (SELECT doc_id, array_to_string(a[i:i+7], ' ') AS g
+        |       FROM t, UNNEST(generate_series(1, len(a)-7)) AS u(i) WHERE len(a) >= 8),
+        |gshort AS (SELECT doc_id, text AS g FROM documents WHERE len(string_split(text,' ')) < 8),
+        |grams AS (SELECT DISTINCT doc_id, g FROM (SELECT * FROM g0 UNION ALL SELECT * FROM gshort)),
+        |probe AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0)
+        |SELECT doc_id, count(*) AS n_spans,
+        |  sum(CASE WHEN p.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits
+        |FROM grams LEFT JOIN probe p USING(g) GROUP BY doc_id""".stripMargin
+    )
+  )
+
   // ---- T6c: deterministic exact-count stratified sample (oracle) ---------
 
   val q53 = Q(
@@ -1177,5 +1201,5 @@ object PipelineQueries {
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
-      q63, q64, q65, q66, q67, q69, q71, q72, q73)
+      q63, q64, q65, q66, q67, q69, q71, q72, q73, q75)
 }

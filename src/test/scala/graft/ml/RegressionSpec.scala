@@ -380,6 +380,78 @@ class RegressionSpec extends SparkSpec {
     assert(math.abs(iv.sigma2 - n / (n - 2)) < 1e-9, s"sigma2 ${iv.sigma2}")
   }
 
+  test("IV clustered SE matches a dense-matrix computation from raw data") {
+    // cluster-correlated errors: u constant within each 3-row cluster
+    val rows = (0 until 30).map { i =>
+      val g = i / 3
+      val z = (i % 7).toDouble
+      val u = (g % 3 - 1).toDouble
+      val x = z + 0.5 * u
+      (1.0 + 2.0 * x + u, x, z, g.toLong, i.toLong)
+    }
+    val df = rows.toDF("y", "x", "z", "g", "i")
+    val m = Iv.fit(df, "y", Seq("x"), Seq("z"))
+
+    // independent path: the same sandwich from RAW data matrices
+    def dense(clusterOf: Int => Long): Array[Array[Double]] = {
+      val zMat = rows.indices.map(i => Array(1.0, rows(i)._3)).toArray
+      val xMat = rows.indices.map(i => Array(1.0, rows(i)._2)).toArray
+      def gram(a: Array[Array[Double]], b: Array[Array[Double]]) =
+        Array.tabulate(a.head.length, b.head.length)((p, q) =>
+          a.indices.map(i => a(i)(p) * b(i)(q)).sum)
+      val aInv = LinAlg.inverse(gram(zMat, zMat))
+      val bMat = gram(zMat, xMat)
+      val bread = LinAlg.inverse(
+        LinAlg.matMul(LinAlg.matMul(bMat.transpose, aInv), bMat))
+      val proj = LinAlg.matMul(aInv, bMat)
+      val u = rows.indices.map(i =>
+        rows(i)._1 - m.coef(0) - m.coef(1) * rows(i)._2).toArray
+      val scores = rows.indices.groupBy(clusterOf).values.map { idx =>
+        Array(idx.map(u).sum, idx.map(i => rows(i)._3 * u(i)).sum)
+      }
+      val meat = Array.tabulate(2, 2)((p, q) =>
+        scores.map(s => s(p) * s(q)).sum)
+      LinAlg.matMul(LinAlg.matMul(bread, LinAlg.matMul(
+        LinAlg.matMul(proj.transpose, meat), proj)), bread)
+    }
+
+    val vG = Iv.varianceClustered(df, m, "y", "g")
+    val eG = dense(i => (i / 3).toLong)
+    for (p <- 0 until 2; q <- 0 until 2)
+      assert(math.abs(vG(p)(q) - eG(p)(q)) <= 1e-9 * math.max(1.0, math.abs(eG(p)(q))),
+        s"clustered [$p][$q]: ${vG(p)(q)} vs ${eG(p)(q)}")
+
+    // singleton clusters == the HC0-style IV sandwich
+    val vI = Iv.varianceClustered(df, m, "y", "i")
+    val eI = dense(i => i.toLong)
+    for (p <- 0 until 2; q <- 0 until 2)
+      assert(math.abs(vI(p)(q) - eI(p)(q)) <= 1e-9 * math.max(1.0, math.abs(eI(p)(q))))
+
+    // over-identified fit against an independent dense 2SLS computation
+    // on data where instrument subsets give DIFFERENT answers — a
+    // truncated instrument block (the old square-only matMul bug) can't
+    // hide behind an exact planted construction here
+    val df2 = df.withColumn("w", $"z" * $"z")
+    val m2 = Iv.fit(df2, "y", Seq("x"), Seq("z", "w"))
+    val zMat = rows.indices.map(i => Array(1.0, rows(i)._3, rows(i)._3 * rows(i)._3)).toArray
+    val xMat = rows.indices.map(i => Array(1.0, rows(i)._2)).toArray
+    val yVec = rows.map(_._1).toArray
+    def gram(a: Array[Array[Double]], b: Array[Array[Double]]) =
+      Array.tabulate(a.head.length, b.head.length)((p, q) =>
+        a.indices.map(i => a(i)(p) * b(i)(q)).sum)
+    val aI = LinAlg.inverse(gram(zMat, zMat))
+    val bM = gram(zMat, xMat)
+    val zy = Array.tabulate(3)(p => rows.indices.map(i => zMat(i)(p) * yVec(i)).sum)
+    val btAi = LinAlg.matMul(bM.transpose, aI)
+    val betaDense = LinAlg.solve(
+      LinAlg.matMul(btAi, bM).map(_.clone()), LinAlg.matVec(btAi, zy))
+    assert(math.abs(m2.coef(0) - betaDense(0)) < 1e-9, s"${m2.coef(0)} vs ${betaDense(0)}")
+    assert(math.abs(m2.coef(1) - betaDense(1)) < 1e-9, s"${m2.coef(1)} vs ${betaDense(1)}")
+    // and the just-identified fit genuinely differs here
+    val mJust = Iv.fit(df2, "y", Seq("x"), Seq("z"))
+    assert(math.abs(mJust.coef(1) - m2.coef(1)) > 1e-6)
+  }
+
   test("panel IV: 2SLS with absorbed FEs recovers truth where within-OLS is biased") {
     // full factorial grid (a, b, c, d): z = a, u = ±1 by b, FEs on c and
     // d. Balance makes z ⊥ u exactly WITHIN every FE level, u is not
