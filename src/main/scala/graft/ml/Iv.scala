@@ -159,6 +159,33 @@ object Iv {
   def seClustered(df: DataFrame, model: IvModel, y: String, cluster: String): Array[Double] =
     varianceClustered(df, model, y, cluster).zipWithIndex.map { case (r, i) => math.sqrt(r(i)) }
 
+  /** Two-way cluster-robust 2SLS covariance (Cameron–Gelbach–Miller):
+    * V_a + V_b − V_{a∩b}, each term the one-groupBy IV sandwich above.
+    */
+  def varianceClustered2(
+      df: DataFrame,
+      model: IvModel,
+      y: String,
+      clusterA: String,
+      clusterB: String
+  ): Array[Array[Double]] = {
+    val inter = df.withColumn(
+      "__ab",
+      // explicit separator: ("1","12") and ("11","2") must not collide
+      concat_ws("", col(clusterA).cast("string"), col(clusterB).cast("string")))
+    val va = varianceClustered(df, model, y, clusterA)
+    val vb = varianceClustered(df, model, y, clusterB)
+    val vab = varianceClustered(inter, model, y, "__ab")
+    Array.tabulate(model.coef.length, model.coef.length)((i, j) =>
+      va(i)(j) + vb(i)(j) - vab(i)(j))
+  }
+
+  def seClustered2(
+      df: DataFrame, model: IvModel, y: String, clusterA: String, clusterB: String
+  ): Array[Double] =
+    varianceClustered2(df, model, y, clusterA, clusterB)
+      .zipWithIndex.map { case (r, i) => math.sqrt(math.max(r(i), 0.0)) }
+
   /** Panel IV (the `xtivreg fe`-shaped estimator): absorb fixed effects
     * by within-demeaning y, X and Z together (one
     * [[FixedEffects.demean]] pass — alternating projections for 2+

@@ -222,6 +222,34 @@ object Ols {
   def seClustered(df: DataFrame, model: OlsModel, y: String, cluster: String): Array[Double] =
     varianceClustered(df, model, y, cluster).zipWithIndex.map { case (r, i) => math.sqrt(r(i)) }
 
+  /** Two-way cluster-robust covariance (Cameron–Gelbach–Miller 2011):
+    *   V = V_a + V_b − V_{a∩b}
+    * — three runs of the SAME one-groupBy sandwich, the third on the
+    * interaction key. Each term is one shuffle of k-vector scores;
+    * nothing new moves at scale.
+    */
+  def varianceClustered2(
+      df: DataFrame,
+      model: OlsModel,
+      y: String,
+      clusterA: String,
+      clusterB: String
+  ): Array[Array[Double]] = {
+    val inter = df.withColumn(
+      "__ab", concat_ws("", col(clusterA).cast("string"), col(clusterB).cast("string")))
+    val va = varianceClustered(df, model, y, clusterA)
+    val vb = varianceClustered(df, model, y, clusterB)
+    val vab = varianceClustered(inter, model, y, "__ab")
+    Array.tabulate(model.coef.length, model.coef.length)((i, j) =>
+      va(i)(j) + vb(i)(j) - vab(i)(j))
+  }
+
+  def seClustered2(
+      df: DataFrame, model: OlsModel, y: String, clusterA: String, clusterB: String
+  ): Array[Double] =
+    varianceClustered2(df, model, y, clusterA, clusterB)
+      .zipWithIndex.map { case (r, i) => math.sqrt(math.max(r(i), 0.0)) }
+
   /** Heteroskedasticity-robust (White/Eicker–Huber) covariance
     * (X'X)^-1 [Σ_i u_i² x_i x_i'] (X'X)^-1, with the HC1 small-sample
     * scale n/(n−k). Identical sandwich machinery to [[varianceClustered]]

@@ -427,6 +427,39 @@ class RegressionSpec extends SparkSpec {
     for (p <- 0 until 2; q <- 0 until 2)
       assert(math.abs(vI(p)(q) - eI(p)(q)) <= 1e-9 * math.max(1.0, math.abs(eI(p)(q))))
 
+    // two-way CGM: V_a + V_b − V_{a∩b}, each term checked densely; with
+    // crossing cluster dimensions (g = i/3, h = i%4) the interaction
+    // partition is genuinely finer than either margin
+    val dfH = df.withColumn("h", $"i" % 4)
+    val v2 = Iv.varianceClustered2(dfH, m, "y", "g", "h")
+    val e2 = {
+      val va2 = dense(i => (i / 3).toLong)
+      val vb2 = dense(i => (i % 4).toLong)
+      val vab2 = dense(i => ((i / 3) * 100 + i % 4).toLong)
+      Array.tabulate(2, 2)((p, q) => va2(p)(q) + vb2(p)(q) - vab2(p)(q))
+    }
+    for (p <- 0 until 2; q <- 0 until 2)
+      assert(math.abs(v2(p)(q) - e2(p)(q)) <= 1e-9 * math.max(1.0, math.abs(e2(p)(q))),
+        s"two-way [$p][$q]: ${v2(p)(q)} vs ${e2(p)(q)}")
+    // identity: clustering twice on the same dimension collapses to one-way
+    val vSame = Iv.varianceClustered2(df, m, "y", "g", "g")
+    for (p <- 0 until 2; q <- 0 until 2)
+      assert(math.abs(vSame(p)(q) - vG(p)(q)) <= 1e-9 * math.max(1.0, math.abs(vG(p)(q))))
+    // interaction-key separator: ("1","12") and ("11","2") must be
+    // DIFFERENT intersection cells, not a concatenation collision
+    val dfC = df.withColumn("ca", when($"i" < 15, "1").otherwise("11"))
+      .withColumn("cb", when($"i" < 15, "12").otherwise("2"))
+    val vC = Iv.varianceClustered2(dfC, m, "y", "ca", "cb")
+    val pair = dfC.withColumn("__p", concat_ws("#", $"ca", $"cb"))
+    val eC = {
+      val va3 = Iv.varianceClustered(dfC, m, "y", "ca")
+      val vb3 = Iv.varianceClustered(dfC, m, "y", "cb")
+      val vab3 = Iv.varianceClustered(pair, m, "y", "__p")
+      Array.tabulate(2, 2)((p, q) => va3(p)(q) + vb3(p)(q) - vab3(p)(q))
+    }
+    for (p <- 0 until 2; q <- 0 until 2)
+      assert(math.abs(vC(p)(q) - eC(p)(q)) <= 1e-9 * math.max(1.0, math.abs(eC(p)(q))))
+
     // over-identified fit against an independent dense 2SLS computation
     // on data where instrument subsets give DIFFERENT answers — a
     // truncated instrument block (the old square-only matMul bug) can't
@@ -450,6 +483,29 @@ class RegressionSpec extends SparkSpec {
     // and the just-identified fit genuinely differs here
     val mJust = Iv.fit(df2, "y", Seq("x"), Seq("z"))
     assert(math.abs(mJust.coef(1) - m2.coef(1)) > 1e-6)
+  }
+
+  test("OLS two-way clustered SE: CGM composition and same-dimension identity") {
+    val rows = (0 until 24).map { i =>
+      val x = (i % 5).toDouble
+      (1.0 + 2.0 * x + (i % 3 - 1).toDouble, x, (i / 4).toLong, (i % 4).toLong)
+    }
+    val df = rows.toDF("y", "x", "a", "b")
+    val m = Ols.fit(df, "y", Seq("x"))
+    val v2 = Ols.varianceClustered2(df, m, "y", "a", "b")
+    val pair = df.withColumn("__p", concat_ws("#", $"a", $"b"))
+    val expect = {
+      val va = Ols.varianceClustered(df, m, "y", "a")
+      val vb = Ols.varianceClustered(df, m, "y", "b")
+      val vab = Ols.varianceClustered(pair, m, "y", "__p")
+      Array.tabulate(2, 2)((p, q) => va(p)(q) + vb(p)(q) - vab(p)(q))
+    }
+    for (p <- 0 until 2; q <- 0 until 2)
+      assert(math.abs(v2(p)(q) - expect(p)(q)) <= 1e-9 * math.max(1.0, math.abs(expect(p)(q))))
+    val vSame = Ols.varianceClustered2(df, m, "y", "a", "a")
+    val vA = Ols.varianceClustered(df, m, "y", "a")
+    for (p <- 0 until 2; q <- 0 until 2)
+      assert(math.abs(vSame(p)(q) - vA(p)(q)) <= 1e-9 * math.max(1.0, math.abs(vA(p)(q))))
   }
 
   test("panel IV: 2SLS with absorbed FEs recovers truth where within-OLS is biased") {
