@@ -36,7 +36,13 @@ object Iv {
         * sandwich needs beyond the bread.
         */
       zNames: Seq[String],
-      proj: Array[Array[Double]]
+      proj: Array[Array[Double]],
+      /** Per-endogenous-regressor first-stage F statistic for the
+        * EXCLUDED instruments (the weak-instrument diagnostic; the
+        * folk threshold is F ≳ 10, Staiger–Stock). Computed from the
+        * same Gram — no extra data pass.
+        */
+      firstStageF: Array[Double]
   ) {
     def variance: Array[Array[Double]] = bread.map(_.map(_ * sigma2))
     def se: Array[Double] = variance.zipWithIndex.map { case (r, i) => math.sqrt(r(i)) }
@@ -114,8 +120,27 @@ object Iv {
     val dof = (n - xIdx.length).toDouble
     val xNames = (if (intercept) Seq("(intercept)") else Nil) ++ endog ++ exog
     val zNames = (if (intercept) Seq("(intercept)") else Nil) ++ instruments ++ exog
+
+    // first-stage F per endogenous column, from Gram identities:
+    // SSR of regressing column t on index set S is g(t,t) − b'(S't)
+    def ssrOn(t: Int, sIdx: Seq[Int]): Double = {
+      val gss = sIdx.map(i => sIdx.map(j => g(i)(j)).toArray).toArray
+      val sc = sIdx.map(i => g(i)(t)).toArray
+      val bS = LinAlg.solve(gss, sc.clone())
+      g(t)(t) - LinAlg.dot(bS, sc)
+    }
+    val restrictedIdx = (if (intercept) Seq(0) else Nil) ++
+      exog.indices.map(off + endog.length + _)
+    val fStats = endog.indices.map { e =>
+      val t = off + e
+      val ssrU = ssrOn(t, zIdx)
+      val ssrR = if (restrictedIdx.nonEmpty) ssrOn(t, restrictedIdx) else g(t)(t)
+      val q = instruments.length.toDouble
+      ((ssrR - ssrU) / q) / (ssrU / (n - zIdx.length).toDouble)
+    }.toArray
+
     IvModel(xNames, beta, n, LinAlg.inverse(m), ssr / dof, zNames,
-      LinAlg.matMul(aInv, b))
+      LinAlg.matMul(aInv, b), fStats)
   }
 
   /** Cluster-robust 2SLS covariance — the IV sandwich

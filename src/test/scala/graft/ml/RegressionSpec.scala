@@ -485,6 +485,38 @@ class RegressionSpec extends SparkSpec {
     assert(math.abs(mJust.coef(1) - m2.coef(1)) > 1e-6)
   }
 
+  test("IV first-stage F: strong instrument huge, irrelevant instrument weak, dense parity") {
+    // x strongly driven by z; q is pure noise w.r.t. x
+    val rows = (0 until 200).map { i =>
+      val z = (i % 10).toDouble
+      val qcol = ((i * 7) % 13).toDouble
+      val x = z + 0.1 * ((i % 3) - 1)
+      (1.0 + 2.0 * x + ((i % 5) - 2).toDouble * 0.3, x, z, qcol)
+    }
+    val df = rows.toDF("y", "x", "z", "q")
+    val strong = Iv.fit(df, "y", Seq("x"), Seq("z"))
+    val weak = Iv.fit(df, "y", Seq("x"), Seq("q"))
+    assert(strong.firstStageF(0) > 1000, s"strong F ${strong.firstStageF(0)}")
+    assert(weak.firstStageF(0) < 10, s"weak F ${weak.firstStageF(0)}")
+
+    // dense parity: F from explicit first-stage regressions
+    def ssrDense(target: Array[Double], design: Array[Array[Double]]): Double = {
+      val k = design.head.length
+      val gss = Array.tabulate(k, k)((p, q2) =>
+        design.indices.map(i => design(i)(p) * design(i)(q2)).sum)
+      val sc = Array.tabulate(k)(p => design.indices.map(i => design(i)(p) * target(i)).sum)
+      val b = LinAlg.solve(gss, sc.clone())
+      target.map(v => v * v).sum - LinAlg.dot(b, sc)
+    }
+    val xv = rows.map(_._2).toArray
+    val full = rows.map(r => Array(1.0, r._3)).toArray
+    val restricted = rows.map(_ => Array(1.0)).toArray
+    val fDense = ((ssrDense(xv, restricted) - ssrDense(xv, full)) / 1.0) /
+      (ssrDense(xv, full) / (200 - 2).toDouble)
+    assert(math.abs(strong.firstStageF(0) - fDense) <= 1e-6 * fDense,
+      s"${strong.firstStageF(0)} vs dense $fDense")
+  }
+
   test("OLS two-way clustered SE: CGM composition and same-dimension identity") {
     val rows = (0 until 24).map { i =>
       val x = (i % 5).toDouble
