@@ -185,18 +185,23 @@ object Multimodal {
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (readers == null || !readers.hasNext) None
-      else {
-        val reader = readers.next()
-        try {
-          reader.setInput(iis)
-          val w = reader.getWidth(0)
-          val h = reader.getHeight(0)
-          if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) None
-          else Some(reader.read(0))
-        } finally reader.dispose()
-      }
+      // the stream must be closed on EVERY path: with ImageIO's default
+      // useCache=true it is backed by a temp file + fd that survive
+      // until finalization — per-row leaks kill long-running executors
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (readers == null || !readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val w = reader.getWidth(0)
+            val h = reader.getHeight(0)
+            if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) None
+            else Some(reader.read(0))
+          } finally reader.dispose()
+        }
+      } finally if (iis != null) iis.close()
     } catch { case _: Exception => None }
 
   /** REAL image decode (JDK ImageIO): dimensions + per-channel means.

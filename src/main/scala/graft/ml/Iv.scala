@@ -68,7 +68,6 @@ object Iv {
     val baseNames = endog ++ exog ++ instruments
     val base: Seq[Column] = baseNames.map(c => col(c).cast("double"))
     val cols: Seq[Column] = (if (intercept) Seq(lit(1.0)) else Nil) ++ base
-    val names = (if (intercept) Seq("(intercept)") else Nil) ++ baseNames
     val yc = col(y).cast("double")
     val k = cols.length
 
@@ -110,7 +109,7 @@ object Iv {
     val btAinv = LinAlg.matMul(bt, aInv)
     val m = LinAlg.matMul(btAinv, b) // X'Pz X
     val rhs = LinAlg.matVec(btAinv, cz) // X'Pz y
-    val beta = LinAlg.solve(m.map(_.clone()), rhs.clone())
+    val beta = LinAlg.solve(m, rhs)
 
     // SSR against the ACTUAL X (2SLS convention): y'y − 2β'X'y + β'X'Xβ
     val xx = block(xIdx, xIdx)
@@ -126,7 +125,7 @@ object Iv {
     def ssrOn(t: Int, sIdx: Seq[Int]): Double = {
       val gss = sIdx.map(i => sIdx.map(j => g(i)(j)).toArray).toArray
       val sc = sIdx.map(i => g(i)(t)).toArray
-      val bS = LinAlg.solve(gss, sc.clone())
+      val bS = LinAlg.solve(gss, sc)
       g(t)(t) - LinAlg.dot(bS, sc)
     }
     val restrictedIdx = (if (intercept) Seq(0) else Nil) ++
@@ -211,6 +210,18 @@ object Iv {
     varianceClustered2(df, model, y, clusterA, clusterB)
       .zipWithIndex.map { case (r, i) => math.sqrt(math.max(r(i), 0.0)) }
 
+  /** A fitted panel-IV: the 2SLS model over the DEMEANED columns (names
+    * carry the `__dm` suffix — they are what the coefficients and any
+    * variance computation refer to) plus the demeaned frame itself, so
+    * cluster-robust variances can be computed correctly:
+    * `Iv.varianceClustered(p.demeaned, p.model, "y__dm", "firm")`
+    * (the FE columns survive demeaning and serve as cluster keys).
+    */
+  final case class PanelIv(model: IvModel, demeaned: DataFrame) {
+    def coef: Array[Double] = model.coef
+    def se: Array[Double] = model.se
+  }
+
   /** Panel IV (the `xtivreg fe`-shaped estimator): absorb fixed effects
     * by within-demeaning y, X and Z together (one
     * [[FixedEffects.demean]] pass — alternating projections for 2+
@@ -218,7 +229,9 @@ object Iv {
     * data is mean-zero by construction). The FWL logic that justifies
     * the reference's within estimator extends to IV: instrumenting with
     * demeaned Z is equivalent to including the FE dummies in both
-    * stages. Coefficient names keep the original column names.
+    * stages. The model's names keep the `__dm` suffix on purpose — a
+    * renamed copy would make every residual-based variance API silently
+    * read the WRONG (un-demeaned) columns.
     */
   def fitWithFE(
       df: DataFrame,
@@ -229,7 +242,7 @@ object Iv {
       exog: Seq[String] = Nil,
       maxSweeps: Int = 500,
       tol: Double = 1e-9
-  ): IvModel = {
+  ): PanelIv = {
     require(fes.nonEmpty, "no fixed effects — use fit()")
     val valueCols = (Seq(y) ++ endog ++ exog ++ instruments).distinct
     val (dm, _) = FixedEffects.demean(
@@ -241,10 +254,6 @@ object Iv {
       instruments.map(c => s"${c}__dm"),
       exog.map(c => s"${c}__dm"),
       intercept = false)
-    m.copy(names = endog ++ exog)
-    // NOTE: clustered SEs on a fitWithFE model need the original df's
-    // demeaned columns; callers use varianceClustered on the demeaned
-    // frame with the __dm names (the names copy above is cosmetic for
-    // coef reporting — keep the model from fit() if you need variances)
+    PanelIv(m, dm)
   }
 }

@@ -27,6 +27,41 @@ object TrainingShards {
     * tokens). `bin` is the training-sequence bucket a chunk STARTS in;
     * `bin_pos` its token offset there.
     */
+  /** The lazy shard plan plus its persisted chunk intermediate: BPE
+    * tokenization is the dominant cost and feeds BOTH the pack (which
+    * materializes eagerly inside packBins) and the join back — without
+    * the persist the whole tokenize+chunk lineage would run twice.
+    */
+  private def shardsPlan(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      vocab: Bpe.Vocab,
+      chunkSize: Int,
+      overlap: Int,
+      budget: Long,
+      salt: String
+  ): (DataFrame, DataFrame) = {
+    val chunks = Bpe.chunk(docs, textCol, idCol, vocab, chunkSize, overlap)
+      // one scalar key per chunk for the pack (chunk counts are bounded
+      // by doc length / stride — 2^20 chunks ≈ a billion-token document)
+      .withColumn("__ck", col(idCol) * lit(1L << 20) + col("chunk_id"))
+      .persist()
+    val packed = Packing.packBins(chunks, "__ck", "n_tokens", budget, salt)
+      .select(col("__ck"), col("bin"), col("bin_pos"))
+    val out = chunks
+      .join(packed, Seq("__ck"))
+      .select(
+        col("bin"), col("bin_pos"), col(idCol), col("chunk_id"),
+        col("n_tokens"), col("tokens"))
+    (out, chunks)
+  }
+
+  /** The shard frame: (bin, bin_pos, doc_id, chunk_id, n_tokens,
+    * tokens). The chunk intermediate stays persisted until the caller's
+    * action (the session cache sweep releases it); [[write]] manages
+    * the lifecycle itself.
+    */
   def shards(
       docs: DataFrame,
       textCol: String,
@@ -36,19 +71,8 @@ object TrainingShards {
       overlap: Int,
       budget: Long,
       salt: String = "shards"
-  ): DataFrame = {
-    val chunks = Bpe.chunk(docs, textCol, idCol, vocab, chunkSize, overlap)
-      // one scalar key per chunk for the pack (chunk counts are bounded
-      // by doc length / stride — 2^20 chunks ≈ a billion-token document)
-      .withColumn("__ck", col(idCol) * lit(1L << 20) + col("chunk_id"))
-    val packed = Packing.packBins(chunks, "__ck", "n_tokens", budget, salt)
-      .select(col("__ck"), col("bin"), col("bin_pos"))
-    chunks
-      .join(packed, Seq("__ck"))
-      .select(
-        col("bin"), col("bin_pos"), col(idCol), col("chunk_id"),
-        col("n_tokens"), col("tokens"))
-  }
+  ): DataFrame =
+    shardsPlan(docs, textCol, idCol, vocab, chunkSize, overlap, budget, salt)._1
 
   /** Materialize the shards, one directory per bin. */
   def write(
@@ -61,7 +85,10 @@ object TrainingShards {
       budget: Long,
       path: String,
       salt: String = "shards"
-  ): Unit =
-    shards(docs, textCol, idCol, vocab, chunkSize, overlap, budget, salt)
-      .write.mode("overwrite").partitionBy("bin").parquet(path)
+  ): Unit = {
+    val (out, chunks) =
+      shardsPlan(docs, textCol, idCol, vocab, chunkSize, overlap, budget, salt)
+    out.write.mode("overwrite").partitionBy("bin").parquet(path)
+    chunks.unpersist(false)
+  }
 }

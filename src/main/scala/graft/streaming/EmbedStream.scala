@@ -23,10 +23,14 @@ import graft.functions.FloatVec
   */
 object EmbedStream {
 
-  /** Row-local nearest-centroid columns: (…, assigned, cos). Works on
-    * both streaming and batch frames (StreamingSpec pins batch parity).
-    * `cents`: (label, centroid) rows, collected — the same driver-bounded
-    * state every ANN index in the library holds.
+  /** APPEND the row-local nearest-centroid columns `assigned` and `cos`,
+    * keeping every input column — a gate must let the surviving row's
+    * payload (text, embedding, metadata) flow downstream; recovering it
+    * later would take a stream-stream join, i.e. exactly the state this
+    * operator exists to avoid. Works on both streaming and batch frames
+    * (StreamingSpec pins batch parity). `cents`: (label, centroid)
+    * rows, collected — the same driver-bounded state every ANN index in
+    * the library holds.
     */
   def assignRowLocal(
       df: DataFrame,
@@ -44,10 +48,9 @@ object EmbedStream {
     }: _*)
     df.withColumn("__vn", FloatVec.norm(col(vecCol)))
       .withColumn("__b", array_min(scored))
-      .select(
-        col(idCol),
-        col("__b.lbl").as("assigned"),
-        round(-col("__b.neg"), 4).as("cos"))
+      .withColumn("assigned", col("__b.lbl"))
+      .withColumn("cos", round(-col("__b.neg"), 4))
+      .drop("__vn", "__b")
   }
 
   /** [[assignRowLocal]] taking the centroid FRAME (the

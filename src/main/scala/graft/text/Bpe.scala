@@ -291,8 +291,12 @@ object Bpe {
     * math): tokenize, slice the id array, decode each chunk back to
     * text. One row-local pass — tokenize + chunk + decode never leave
     * the partition, so 100 TB chunks with zero shuffle, like Chunker.
-    * Byte-level BPE makes reassembly exact: concatenating the chunks
-    * (overlap dropped) restores the document byte for byte.
+    * Byte-level BPE makes reassembly exact IN TOKEN SPACE: concatenate
+    * the `tokens` arrays (overlap dropped) and decode ONCE to restore
+    * the document byte for byte. Do NOT concatenate `chunk_text`
+    * strings — a multibyte UTF-8 character straddling a chunk boundary
+    * decodes to U+FFFD in both adjacent chunk_texts (each is decoded
+    * independently), so the string concatenation is lossy there.
     */
   def chunk(
       df: DataFrame,

@@ -31,14 +31,15 @@ object TfIdf {
     * the pipeline as a broadcast 1-row `count_distinct(doc)` over the tf
     * frame — every doc emits ≥1 token row (split of "" is [""]), so the
     * count is exact and there is no driver-side pre-count blocking plan
-    * construction (SURVEY §8's metadata lesson). The tf subtree is
-    * referenced three times in this path (the `__ndocs` aggregate,
-    * `doc_freq`, and the final join), so it is persisted here: the
-    * corpus is shingled and scanned ONCE, the two later references read
-    * the cached (much smaller) tf frame. With an explicit `nDocs` the
-    * subtree is referenced twice and left unpersisted — callers that
-    * reuse the result materialize it themselves (similarityJoin's
-    * persist + localCheckpoint pattern).
+    * construction (SURVEY §8's metadata lesson). The count aggregates
+    * the CORPUS frame's id column directly — one cheap pruned scan of
+    * the source, NOT a third reference to the explode→groupBy tf
+    * subtree (which would re-shingle the corpus; and persisting tf
+    * instead would leak a cached frame the library never gets to
+    * release, since this method is lazy). The tf subtree is referenced
+    * exactly twice (doc_freq + the final join), the same as the
+    * explicit-nDocs path; callers that reuse the result materialize it
+    * themselves (similarityJoin's persist + localCheckpoint pattern).
     */
   def vectors(
       df: DataFrame,
@@ -48,11 +49,10 @@ object TfIdf {
       minDf: Long = 1,
       maxDfFrac: Double = 1.0
   ): DataFrame = {
-    val tf0 = df
+    val tf = df
       .select(col(idCol), explode(split(col(textCol), " ")).as("token"))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val tf = if (nDocs.isEmpty) tf0.persist() else tf0
     val n: Column = nDocs match {
       case Some(v) => lit(v.toDouble)
       case None    => col("__ndocs").cast("double")
@@ -63,7 +63,7 @@ object TfIdf {
     val withN = nDocs match {
       case Some(_) => dfreq
       case None =>
-        dfreq.crossJoin(broadcast(tf.agg(count_distinct(col(idCol)).as("__ndocs"))))
+        dfreq.crossJoin(broadcast(df.agg(count_distinct(col(idCol)).as("__ndocs"))))
     }
     val idf = withN
       .where(col("doc_freq") >= minDf && col("doc_freq") <= n * maxDfFrac)

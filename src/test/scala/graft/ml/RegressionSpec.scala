@@ -556,8 +556,19 @@ class RegressionSpec extends SparkSpec {
     val df = rows.toDF("y", "x", "z", "g1", "g2", "rep")
 
     val oneFe = Iv.fitWithFE(df, "y", Seq("x"), Seq("z"), fes = Seq("g1"))
-    assert(oneFe.names == Seq("x"))
+    // names keep the __dm suffix ON PURPOSE: they are what residual-based
+    // variance APIs read, and must point at the demeaned columns
+    assert(oneFe.model.names == Seq("x__dm"))
     assert(math.abs(oneFe.coef(0) - 2.0) < 1e-7, s"1-FE IV slope ${oneFe.coef(0)}")
+    // clustered variance on the returned demeaned frame: in this exact
+    // construction the residual is u (±1 balanced within every cluster),
+    // so each cluster's score Σ z__dm·u vanishes and the sandwich is
+    // EXACTLY zero — which pins that the __dm columns were read. Had the
+    // API read the un-demeaned y/x (which also exist in the frame — the
+    // renamed-model bug this replaces), the residuals would carry the
+    // fixed effects and the variance would be strictly positive.
+    val vPanel = Iv.varianceClustered(oneFe.demeaned, oneFe.model, "y__dm", "g1")
+    assert(vPanel(0)(0) >= 0 && vPanel(0)(0) < 1e-12, vPanel(0)(0).toString)
 
     val twoFe = Iv.fitWithFE(df, "y", Seq("x"), Seq("z"), fes = Seq("g1", "g2"))
     assert(math.abs(twoFe.coef(0) - 2.0) < 1e-6, s"2-FE IV slope ${twoFe.coef(0)}")

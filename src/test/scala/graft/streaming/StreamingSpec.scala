@@ -220,6 +220,7 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     val rowLocal = graft.streaming.EmbedStream
       .assignStream(emb.toDF(), cents.toDF(), "embedding", "vec_id")
+      .select("vec_id", "assigned", "cos")
       .as[(Long, Long, Double)].collect().toSet
     assert(rowLocal == batch)
 
@@ -232,6 +233,7 @@ class StreamingSpec extends SparkSpec {
       ms.toDF.toDF("vec_id", "embedding")
         .select($"vec_id", $"embedding".cast("array<float>").as("embedding")),
       cents.toDF(), "embedding", "vec_id")
+      .select("vec_id", "assigned", "cos")
     val q = streamed.writeStream.outputMode("append").format("memory")
       .queryName("assign_out").start()
     try {
@@ -245,8 +247,11 @@ class StreamingSpec extends SparkSpec {
 
     // the gate keeps exactly the confident members of wanted clusters
     val keep = Set(0L, 1L)
-    val gated = graft.streaming.EmbedStream
+    val gatedRows = graft.streaming.EmbedStream
       .centroidGate(emb.toDF(), cents.toDF(), "embedding", "vec_id", keep, minCos = 0.2)
+    // the gate preserves the payload columns (embedding flows through)
+    assert(gatedRows.columns.contains("embedding"))
+    val gated = gatedRows.select("vec_id", "assigned", "cos")
       .as[(Long, Long, Double)].collect().toSet
     val expect = batch.filter { case (_, lbl, cos) => keep(lbl) && cos >= 0.2 }
     assert(gated == expect && gated.nonEmpty)
