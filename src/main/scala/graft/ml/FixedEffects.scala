@@ -120,6 +120,24 @@ case class FeModel(
     */
   def seClustered(cluster: String): Array[Double] =
     Ols.seClustered(demeaned, ols, s"${yName}__dm", cluster)
+
+  /** Two-way cluster-robust covariance of the within estimator
+    * (Cameron–Gelbach–Miller 2011: V_a + V_b − V_{a∩b}) — the FE
+    * regression clustered on firm AND time, the most common CGM use in
+    * applied panel work. Delegates the three sandwich terms to
+    * [[Ols.varianceClustered2]] over the demeaned frame (the FE columns
+    * survive demeaning and serve as cluster keys). Like the one-way
+    * path — and the reference, hdfe.py:159-175 — no small-sample
+    * correction is applied; the CGM difference can make individual
+    * diagonal entries negative on pathological designs, so
+    * [[seClustered2]] floors at zero the way [[Ols.seClustered2]] does.
+    */
+  def varianceClustered2(clusterA: String, clusterB: String): Array[Array[Double]] =
+    Ols.varianceClustered2(demeaned, ols, s"${yName}__dm", clusterA, clusterB)
+
+  def seClustered2(clusterA: String, clusterB: String): Array[Double] =
+    varianceClustered2(clusterA, clusterB)
+      .zipWithIndex.map { case (r, i) => math.sqrt(math.max(r(i), 0.0)) }
 }
 
 /** Result of [[FixedEffects.demeanFull]]: the demeaned frame, the sweep

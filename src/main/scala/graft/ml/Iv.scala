@@ -193,10 +193,9 @@ object Iv {
       clusterA: String,
       clusterB: String
   ): Array[Array[Double]] = {
-    val inter = df.withColumn(
-      "__ab",
-      // explicit separator: ("1","12") and ("11","2") must not collide
-      concat_ws("", col(clusterA).cast("string"), col(clusterB).cast("string")))
+    // length-prefixed null-safe key ([[Ols.interactionKey]]): ("1","12")
+    // and ("11","2") must not collide, and NULLs must not merge cells
+    val inter = df.withColumn("__ab", Ols.interactionKey(clusterA, clusterB))
     val va = varianceClustered(df, model, y, clusterA)
     val vb = varianceClustered(df, model, y, clusterB)
     val vab = varianceClustered(inter, model, y, "__ab")
@@ -254,6 +253,17 @@ object Iv {
       instruments.map(c => s"${c}__dm"),
       exog.map(c => s"${c}__dm"),
       intercept = false)
-    PanelIv(m, dm)
+    // Homoskedastic dof must charge the ABSORBED effects (the xtivreg,fe
+    // convention, same correction as FeModel.seHomoskedastic): the inner
+    // 2SLS on demeaned columns used dof = n − k, but the demeaning spent
+    // Σ_f G_f − (#FEs − 1) further degrees of freedom. One tiny
+    // count_distinct aggregate; clustered SEs don't use sigma2.
+    val gcAggs = fes.map(f => count_distinct(col(f)).as(s"__g_$f"))
+    val gcRow = dm.agg(gcAggs.head, gcAggs.tail: _*).head()
+    val absorbed = fes.indices.map(gcRow.getLong).sum - (fes.length - 1)
+    val k = m.coef.length
+    val dofFe = (m.n - k - absorbed).toDouble
+    require(dofFe > 0, s"non-positive dof: n=${m.n} k=$k absorbed=$absorbed")
+    PanelIv(m.copy(sigma2 = m.sigma2 * (m.n - k).toDouble / dofFe), dm)
   }
 }

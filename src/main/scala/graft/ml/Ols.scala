@@ -222,6 +222,21 @@ object Ols {
   def seClustered(df: DataFrame, model: OlsModel, y: String, cluster: String): Array[Double] =
     varianceClustered(df, model, y, cluster).zipWithIndex.map { case (r, i) => math.sqrt(r(i)) }
 
+  /** Collision-proof interaction key for the CGM V_{a∩b} term. Each key
+    * is length-prefixed (`S<len>:<value>`) so no byte INSIDE a key —
+    * including the separator itself — can make ("1","12") and ("11","2")
+    * collide, and NULL maps to the distinct token `N`: `concat_ws` skips
+    * nulls, which would silently merge (null,"x") with ("x",null) and
+    * null-keyed rows with the other dimension's bare key.
+    */
+  private[ml] def interactionKey(clusterA: String, clusterB: String): Column = {
+    def tag(c: String): Column = {
+      val s = col(c).cast("string")
+      when(s.isNull, lit("N")).otherwise(concat(lit("S"), length(s).cast("string"), lit(":"), s))
+    }
+    concat(tag(clusterA), lit("\u0001"), tag(clusterB))
+  }
+
   /** Two-way cluster-robust covariance (Cameron–Gelbach–Miller 2011):
     *   V = V_a + V_b − V_{a∩b}
     * — three runs of the SAME one-groupBy sandwich, the third on the
@@ -235,8 +250,7 @@ object Ols {
       clusterA: String,
       clusterB: String
   ): Array[Array[Double]] = {
-    val inter = df.withColumn(
-      "__ab", concat_ws("", col(clusterA).cast("string"), col(clusterB).cast("string")))
+    val inter = df.withColumn("__ab", interactionKey(clusterA, clusterB))
     val va = varianceClustered(df, model, y, clusterA)
     val vb = varianceClustered(df, model, y, clusterB)
     val vab = varianceClustered(inter, model, y, "__ab")

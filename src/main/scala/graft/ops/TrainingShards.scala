@@ -42,10 +42,24 @@ object TrainingShards {
       budget: Long,
       salt: String
   ): (DataFrame, DataFrame) = {
+    // one scalar key per chunk for the pack: id·2²⁰ + chunk_id. The
+    // packing is row-local and codegen'd, so the range guard is too: a
+    // document beyond 2^20 chunks (≈ a billion-token doc at default
+    // stride) or a doc id outside [0, 2^43) would silently collide keys
+    // and corrupt bin assignment — fail the job instead of mis-packing.
+    val maxChunks = 1L << 20
+    val maxId = Long.MaxValue / maxChunks
+    val id = col(idCol).cast("long")
     val chunks = Bpe.chunk(docs, textCol, idCol, vocab, chunkSize, overlap)
-      // one scalar key per chunk for the pack (chunk counts are bounded
-      // by doc length / stride — 2^20 chunks ≈ a billion-token document)
-      .withColumn("__ck", col(idCol) * lit(1L << 20) + col("chunk_id"))
+      .withColumn(
+        "__ck",
+        when(
+          col("chunk_id") >= maxChunks || id < 0 || id >= maxId,
+          raise_error(concat(
+            lit(s"TrainingShards: key out of packable range (need 0 <= id < $maxId, "
+              + s"chunk_id < $maxChunks): id="),
+            id.cast("string"), lit(" chunk_id="), col("chunk_id").cast("string"))))
+          .otherwise(id * maxChunks + col("chunk_id")))
       .persist()
     val packed = Packing.packBins(chunks, "__ck", "n_tokens", budget, salt)
       .select(col("__ck"), col("bin"), col("bin_pos"))

@@ -29,7 +29,14 @@ object NgramLm {
     * total frame (kept as a frame — no driver pre-count blocking plan
     * construction, the TfIdf `__ndocs` pattern).
     */
-  final case class Model(uni: DataFrame, bi: DataFrame, totalDf: DataFrame, alpha: Double)
+  final case class Model(uni: DataFrame, bi: DataFrame, totalDf: DataFrame, alpha: Double) {
+    /** Release the persisted unigram frame (the MinHashLsh persist
+      * lifecycle): call when done scoring with this model — without it a
+      * long-lived session accumulates one cached vocabulary frame per
+      * trained model until the session-wide cache sweep.
+      */
+    def release(): Unit = uni.unpersist(false)
+  }
 
   /** (id, pos, token, prev) — ONE explode; `prev` read from the array
     * row-locally (element_at is 1-based, posexplode 0-based, so

@@ -607,4 +607,112 @@ class RegressionSpec extends SparkSpec {
     assert(math.abs(se(0) - seInt) < 1e-9)
     assert(math.abs(se(1) - seSlope) < 1e-9)
   }
+
+  test("two-way clustered: NULL and separator-bearing cluster keys form distinct cells") {
+    val rows = (0 until 24).map { i =>
+      val x = (i % 5).toDouble
+      (1.0 + 2.0 * x + (i % 3 - 1).toDouble, x, i)
+    }
+    // (null,"k0") and ("k0",null) patterns exist simultaneously: a
+    // null-skipping concat (the concat_ws trap) would merge them into
+    // one intersection cell and shift the CGM V_{a∩b} term
+    val df = rows.toDF("y", "x", "i")
+      .withColumn("a", when($"i" % 4 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("k"), ($"i" % 3).cast("string"))))
+      .withColumn("b", when($"i" % 4 === 1, lit(null).cast("string"))
+        .otherwise(concat(lit("k"), ($"i" % 2).cast("string"))))
+    val m = Ols.fit(df, "y", Seq("x"))
+    val v2 = Ols.varianceClustered2(df, m, "y", "a", "b")
+    // expected from a pair key that is distinct by construction (the
+    // sentinel "<null>" does not occur among the k* values)
+    val pair = df.withColumn("__p",
+      concat(coalesce($"a", lit("<null>")), lit("|#|"), coalesce($"b", lit("<null>"))))
+    val expect = {
+      val va = Ols.varianceClustered(df, m, "y", "a")
+      val vb = Ols.varianceClustered(df, m, "y", "b")
+      val vab = Ols.varianceClustered(pair, m, "y", "__p")
+      Array.tabulate(2, 2)((p, q) => va(p)(q) + vb(p)(q) - vab(p)(q))
+    }
+    for (p <- 0 until 2; q <- 0 until 2)
+      assert(math.abs(v2(p)(q) - expect(p)(q)) <= 1e-12 * math.max(1.0, math.abs(expect(p)(q))),
+        s"null-key two-way [$p][$q]: ${v2(p)(q)} vs ${expect(p)(q)}")
+
+    // keys CONTAINING the separator byte: ("a\u0001","b") vs ("a","\u0001b")
+    // — the length prefix keeps them apart
+    val dfS = rows.toDF("y", "x", "i")
+      .withColumn("a", when($"i" < 12, lit("a\u0001")).otherwise(lit("a")))
+      .withColumn("b", when($"i" < 12, lit("b")).otherwise(lit("\u0001b")))
+    val v2S = Ols.varianceClustered2(dfS, m, "y", "a", "b")
+    val pairS = dfS.withColumn("__p", concat(length($"a").cast("string"), lit(":"), $"a", $"b"))
+    val expectS = {
+      val va = Ols.varianceClustered(dfS, m, "y", "a")
+      val vb = Ols.varianceClustered(dfS, m, "y", "b")
+      val vab = Ols.varianceClustered(pairS, m, "y", "__p")
+      Array.tabulate(2, 2)((p, q) => va(p)(q) + vb(p)(q) - vab(p)(q))
+    }
+    for (p <- 0 until 2; q <- 0 until 2)
+      assert(math.abs(v2S(p)(q) - expectS(p)(q)) <= 1e-12 * math.max(1.0, math.abs(expectS(p)(q))))
+  }
+
+  test("FeModel two-way clustered SE: dense CGM parity on crossing dims, same-dim identity") {
+    // two absorbed FEs (u, t); cluster dims (ca, cb) CROSS them and
+    // each other, so the interaction partition is genuinely finer
+    val rows = for (u <- 0 until 6; t <- 0 until 8) yield {
+      val x = math.sin(u * 2.3 + t * 1.1) * 3
+      val e = ((u + 2 * t) % 5 - 2).toDouble * 0.7
+      (u, t, x, 2.0 * x + u.toDouble - t.toDouble * 0.5 + e, u % 3, t % 4)
+    }
+    val df = rows.toDF("u", "t", "x", "y", "ca", "cb")
+    val m = FixedEffects.fit(df, "y", Seq("x"), Seq("u", "t"), tol = 1e-12,
+      keep = Seq("ca", "cb"))
+    // dense CGM from the demeaned frame the model itself exposes
+    val dm = m.demeaned.select(col("x__dm"), col("y__dm"), col("ca"), col("cb")).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getInt(2), r.getInt(3)))
+    val b = m.coef(0)
+    val gram = dm.map(r => r._1 * r._1).sum
+    def sandwich(key: ((Double, Double, Int, Int)) => Any): Double =
+      dm.groupBy(key).values.map { grp =>
+        val s = grp.map(r => (r._2 - b * r._1) * r._1).sum
+        s * s
+      }.sum / (gram * gram)
+    val expect = sandwich(_._3) + sandwich(_._4) - sandwich(r => (r._3, r._4))
+    val v2 = m.varianceClustered2("ca", "cb")
+    assert(math.abs(v2(0)(0) - expect) <= 1e-9 * math.max(1.0, math.abs(expect)),
+      s"FE two-way ${v2(0)(0)} vs dense $expect")
+    // same-dimension identity: collapses to the one-way FE sandwich
+    val one = Ols.varianceClustered(m.demeaned, m.ols, s"${m.yName}__dm", "ca")
+    val vSame = m.varianceClustered2("ca", "ca")
+    assert(math.abs(vSame(0)(0) - one(0)(0)) <= 1e-12 * math.max(1.0, math.abs(one(0)(0))))
+    // seClustered2 is the floored sqrt of the diagonal
+    val se = m.seClustered2("ca", "cb")
+    assert(math.abs(se(0) - math.sqrt(math.max(v2(0)(0), 0.0))) < 1e-15)
+  }
+
+  test("panel IV homoskedastic sigma2 charges the absorbed FE dof (xtivreg,fe shape)") {
+    // the factorial construction from the panel-IV test: the 2SLS
+    // residual over the demeaned columns is exactly u (= ±1), so
+    // SSR = n = 400 exactly and sigma2 is pinned in closed form
+    val rows = for {
+      rep <- 0 until 5; a <- 0 until 4; b <- 0 until 2; c <- 0 until 5; d <- 0 until 2
+    } yield {
+      val z = a.toDouble
+      val u = if (b == 0) 1.0 else -1.0
+      val x = z + u
+      (10.0 * c + 5.0 * d + 2.0 * x + u, x, z, c.toLong, d.toLong, rep)
+    }
+    val df = rows.toDF("y", "x", "z", "g1", "g2", "rep")
+    // one FE: n=400, k=1, absorbed = G1 = 5 → dof = 394. The residual
+    // keeps the UNabsorbed d term: 5(d−½) + u, so SSR = 400·(6.25+1)
+    // (the cross term vanishes by balance) = 2900 exactly
+    val oneFe = Iv.fitWithFE(df, "y", Seq("x"), Seq("z"), fes = Seq("g1"))
+    assert(math.abs(oneFe.model.sigma2 - 2900.0 / 394.0) < 1e-8,
+      s"1-FE sigma2 ${oneFe.model.sigma2} vs ${2900.0 / 394.0}")
+    // two FEs: absorbed = 5 + 2 − 1 = 6 → dof = 393
+    val twoFe = Iv.fitWithFE(df, "y", Seq("x"), Seq("z"), fes = Seq("g1", "g2"))
+    assert(math.abs(twoFe.model.sigma2 - 400.0 / 393.0) < 1e-8,
+      s"2-FE sigma2 ${twoFe.model.sigma2} vs ${400.0 / 393.0}")
+    // se follows sigma2 through the bread: variance = sigma2 · bread
+    val se = oneFe.se
+    assert(math.abs(se(0) - math.sqrt(oneFe.model.sigma2 * oneFe.model.bread(0)(0))) < 1e-12)
+  }
 }

@@ -126,6 +126,20 @@ class OpsSpec extends SparkSpec {
     assert(again == back.map(r => (r._1, r._2, r._3, r._4)).toSet)
   }
 
+  test("TrainingShards fails fast on doc ids outside the packable key range") {
+    val docs = graft.util.Tables.documents(spark, sf).limit(5)
+    val vocab = graft.text.Bpe.trainOn(docs, "text", numMerges = 20)
+    // id · 2^20 would overflow the packed long — must error, not collide
+    val bad = docs.withColumn("doc_id", col("doc_id") + lit(Long.MaxValue / (1L << 20)))
+    val err = intercept[Exception] {
+      graft.ops.TrainingShards.shards(bad, "text", "doc_id", vocab,
+        chunkSize = 16, overlap = 0, budget = 64L).count()
+    }
+    val chain = Iterator.iterate[Throwable](err)(_.getCause).takeWhile(_ != null)
+      .map(t => String.valueOf(t.getMessage)).mkString("|")
+    assert(chain.contains("out of packable range"), chain.take(500))
+  }
+
   test("AsOf.joinAsOf picks latest preceding right row; ties and strictness honored") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)

@@ -243,6 +243,22 @@ class TextSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L))
     docs.unpersist()
+    model.release(); m2.release()
+  }
+
+  test("NgramLm.Model.release unpersists the unigram cache; scoring parity unchanged") {
+    val corpus = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val model = NgramLm.train(corpus, "text", "doc_id")
+    val before = NgramLm.score(corpus, "text", "doc_id", model)
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r._4).toMap
+    assert(model.uni.storageLevel.useMemory, "train() persists the unigram frame")
+    model.release()
+    assert(model.uni.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "release() must drop the cache entry")
+    // the model still scores (plan recomputes instead of reading cache)
+    val after = NgramLm.score(corpus, "text", "doc_id", model)
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r._4).toMap
+    assert(after == before)
   }
 
   test("Repetition stats match hand computation, including the single-token edge") {
