@@ -16,17 +16,19 @@ import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
   * means vanish. With one FE this converges in a single sweep and is
   * exactly the reference's within estimator.
   *
-  * Scale design (the round-2 rewrite): alternating projections only ever
-  * need per-group MEANS, and those are exactly recoverable from per-cell
-  * sufficient statistics, where a cell is one distinct FE-key tuple:
-  * mean_f(g) = Σ_{cells c∈g} (sum_c − n_c · Σ_f' a_f'(c)) / n_g. So ONE
-  * distributed pass compresses the fact table to the cell frame
-  * (count + one sum per demeaned column — map-side combined, only
-  * #cells rows ever shuffle), every sweep then runs against that frame,
-  * and the fact table is touched exactly twice: the aggregate and a
-  * final join that applies the converged effects. Per-sweep state is the
-  * per-FE effect vectors (Σ #groups rows), not a demeaned copy of the
-  * data — nothing n-sized is ever checkpointed or re-materialized.
+  * Scale design (the round-2 rewrite, sharpened in round 6): alternating
+  * projections only ever need per-group MEANS, and those are exactly
+  * recoverable from per-cell sufficient statistics, where a cell is one
+  * distinct FE-key tuple: mean_f(g) = Σ_{cells c∈g} (sum_c − n_c ·
+  * Σ_f' a_f'(c)) / n_g. So ONE distributed pass compresses the fact
+  * table to the cell frame (weight mass + per-column sums + cross-
+  * product sums — map-side combined, only #cells rows ever shuffle) and
+  * every sweep runs against that frame. Because the cell stats carry the
+  * cross-products, the DEMEANED Gram matrix is also exact from cells
+  * alone ([[CellGram]]), so a fit solves its normal equations with NO
+  * second fact pass — the fact table is read once per fit; the lazy
+  * `demeaned` frame (one join) exists for residual/variance consumers.
+  * Per-sweep state is cell-sized, never n-sized.
   *
   * Two regimes, same algebra:
   *  - cells fit on the driver (≤ `collectCellLimit`): collect the cell
@@ -149,9 +151,52 @@ case class FeModel(
   * sweep order. Both cell regimes track effects; `None` is reserved for
   * future paths that cannot.
   */
-case class Demeaned(frame: DataFrame, sweeps: Int, effects: Option[Seq[DataFrame]])
+case class Demeaned(
+    frame: DataFrame,
+    sweeps: Int,
+    effects: Option[Seq[DataFrame]],
+    /** Gram matrix of the DEMEANED value columns (in [[CellGram.cols]]
+      * order, weighted when the demean was), derived exactly from the
+      * converged cell statistics: Σ_c [q_ij − s_i·a_j − s_j·a_i +
+      * n·a_i·a_j] with a the per-cell total effect. Present whenever the
+      * multi-FE cell regimes ran — it lets [[FixedEffects.fit]] solve
+      * the normal equations with NO second pass over the facts.
+      */
+    cellGram: Option[CellGram] = None)
+
+/** See [[Demeaned.cellGram]]. `n` is the total weight mass (row count
+  * for unit weights).
+  */
+case class CellGram(cols: Seq[String], gram: Array[Array[Double]], n: Double)
 
 object FixedEffects {
+
+  /** OLS over the demeaned columns solved straight from a [[CellGram]]
+    * — the multi-FE fit's normal equations WITHOUT a second fact pass
+    * (algebraically identical to the Gram the fact pass would
+    * aggregate; pinned by the regime-parity specs). Weighted demeans
+    * yield the weighted Gram with n = Σw, the fitWeighted convention.
+    */
+  private def olsFromCellGram(
+      cg: CellGram, y: String, xs: Seq[String], checkRank: Boolean): OlsModel = {
+    val yI = cg.cols.indexOf(y)
+    val xI = xs.map(cg.cols.indexOf)
+    require(yI >= 0 && xI.forall(_ >= 0), "cell gram is missing a requested column")
+    val g = xI.map(i => xI.map(j => cg.gram(i)(j)).toArray).toArray
+    val c = xI.map(i => cg.gram(i)(yI)).toArray
+    Ols.fromGram(xs.map(x => s"${x}__dm"), g, c, cg.gram(yI)(yI), math.round(cg.n), checkRank)
+  }
+
+  /** Stage timing for the distributed-cell path, printed only when
+    * GRAFT_FE_DEBUG is set (perf triage; no cost otherwise).
+    */
+  private def timed[A](name: String)(f: => A): A =
+    if (sys.env.contains("GRAFT_FE_DEBUG")) {
+      val t0 = System.nanoTime
+      val r = f
+      println(f"[fe-debug] $name: ${(System.nanoTime - t0) / 1e9}%.2fs")
+      r
+    } else f
 
   /** Demean `cols` within each of `fes` by alternating projections.
     * Returns the input frame with added `<col>__dm` columns and the
@@ -207,14 +252,17 @@ object FixedEffects {
     }
 
     // ---- multi-FE: ONE pass compresses facts to distinct-FE-tuple cells
-    // (weight mass, per-column weighted sums, weighted sums of squares
-    // for the convergence scale). Map-side combine means only #cells
-    // rows shuffle.
+    // (weight mass, per-column weighted sums, and the k(k+1)/2 weighted
+    // CROSS-product sums — __q_i_j. The diagonal feeds the convergence
+    // scale; the full set makes the demeaned Gram computable from cells
+    // alone, so a fit never needs a second fact pass). Map-side combine
+    // means only #cells rows shuffle.
     val statAggs = sum(w).as("__n") +:
       ((0 until k).map(i => sum(w * dcols(i)).as(s"__s_$i")) ++
-        (0 until k).map(i => sum(w * dcols(i) * dcols(i)).as(s"__q_$i")))
+        (for (i <- 0 until k; j <- i until k)
+          yield sum(w * dcols(i) * dcols(j)).as(s"__q_${i}_$j")))
     val cells = df.groupBy(fes.map(col): _*).agg(statAggs.head, statAggs.tail: _*).persist()
-    val nCells = cells.count()
+    val nCells = timed("cells build+count")(cells.count())
 
     if (nCells <= collectCellLimit) demeanDriverCells(df, cols, fes, cells, maxSweeps, tol)
     else demeanDistributedCells(df, cols, fes, cells, maxSweeps, tol)
@@ -284,6 +332,7 @@ object FixedEffects {
     val cellG = Array.ofDim[Int](nc, K)
     val cellN = new Array[Double](nc)
     val cellS = Array.ofDim[Double](nc, k)
+    val cellQ = Array.ofDim[Double](nc, k * (k + 1) / 2)
     var totN = 0.0
     val totQ = new Array[Double](k)
     var ci = 0
@@ -302,8 +351,18 @@ object FixedEffects {
       var c = 0
       while (c < k) {
         cellS(ci)(c) = r.getDouble(K + 1 + c)
-        totQ(c) += r.getDouble(K + 1 + k + c)
         c += 1
+      }
+      var p = 0
+      var qi = 0
+      while (qi < k) {
+        var qj = qi
+        while (qj < k) {
+          cellQ(ci)(p) = r.getDouble(K + 1 + k + p)
+          if (qi == qj) totQ(qi) += cellQ(ci)(p)
+          p += 1; qj += 1
+        }
+        qi += 1
       }
       ci += 1
     }
@@ -377,7 +436,35 @@ object FixedEffects {
         s"${c}__dm",
         (0 until K).foldLeft(col(s"${c}__dm"))((e, f) => e - col(s"__eff_${f}_$i")))
     }.drop((for (f <- 0 until K; i <- 0 until k) yield s"__eff_${f}_$i"): _*)
-    Demeaned(out, sweeps, Some(effTables))
+
+    // demeaned Gram from the same cell stats — zero extra cluster jobs
+    val gram = Array.ofDim[Double](k, k)
+    val ac = new Array[Double](k)
+    var gi = 0
+    while (gi < nc) {
+      var c = 0
+      while (c < k) {
+        var e = 0.0
+        var f = 0
+        while (f < K) { e += eff(f)(cellG(gi)(f))(c); f += 1 }
+        ac(c) = e
+        c += 1
+      }
+      var p = 0
+      var i = 0
+      while (i < k) {
+        var j = i
+        while (j < k) {
+          gram(i)(j) += cellQ(gi)(p) - cellS(gi)(i) * ac(j) - cellS(gi)(j) * ac(i) +
+            cellN(gi) * ac(i) * ac(j)
+          p += 1; j += 1
+        }
+        i += 1
+      }
+      gi += 1
+    }
+    for (i <- 0 until k; j <- i + 1 until k) gram(j)(i) = gram(i)(j)
+    Demeaned(out, sweeps, Some(effTables), Some(CellGram(cols, gram, totN)))
   }
 
   /** Sweeps over the PERSISTED cell frame when the cells don't fit on the
@@ -386,6 +473,19 @@ object FixedEffects {
     * groupBy(fe) aggregate (≤ #groups rows move) + one join back of the
     * tiny means. Lazy localCheckpoint per sweep truncates the plan; the
     * checkpointed state is #cells × (1 + #cols) doubles — never n-sized.
+    *
+    * Job-count discipline (the q59 lesson): the sweeps themselves are
+    * LAZY — the only eager work is the convergence probe, so sweeps are
+    * chained two-per-action (first two checked singly so easy problems
+    * still exit in 1–2 sweeps). The probe reads only the CURRENT sweep's
+    * means (per-FE step means shrink monotonically under alternating
+    * projections, so a converged probe at sweep s certifies s; batching
+    * costs at most one extra sweep, which is why reported sweep counts
+    * can exceed the driver-cell regime's by one). Per-FE effect tables
+    * are NOT maintained in the loop — every step's means frame is
+    * already persisted for the join-back, so the cumulative effects are
+    * one union + groupBy-sum per FE AFTER convergence, replacing a
+    * join + localCheckpoint per FE per sweep.
     */
   private def demeanDistributedCells(
       df: DataFrame,
@@ -398,12 +498,27 @@ object FixedEffects {
     val k = cols.length
 
     // convergence scale from the same cell stats — no extra fact pass
-    val scaleRow = cells
-      .agg(sum(col("__n")).as("n"), (0 until k).map(i => sum(col(s"__q_$i")).as(s"q_$i")): _*)
-      .head()
+    // one aggregate: convergence scale AND per-FE group counts (the
+    // broadcast-join gate below)
+    val scaleRow = timed("scale agg")(cells
+      .agg(
+        sum(col("__n")).as("n"),
+        ((0 until k).map(i => sum(col(s"__q_${i}_$i")).as(s"q_$i")) ++
+          fes.map(f => count_distinct(col(f)).as(s"g_$f"))): _*)
+      .head())
     val totN = scaleRow.getDouble(0)
     val scale =
       math.max((0 until k).map(i => math.sqrt(scaleRow.getDouble(1 + i) / totN)).max, 1e-300)
+    // means frames with few enough groups are BROADCAST back onto the
+    // cell frame: the cell frame then never re-shuffles inside the loop
+    // (each FE step is one map-side-combined groupBy of narrow rows +
+    // a broadcast hash join). FEs with huge group counts (a 1e8-group
+    // user dimension) fall back to the planner's shuffle join.
+    val broadcastGroupLimit = 2000000L
+    val feBroadcast: Map[String, Boolean] =
+      fes.zipWithIndex.map { case (f, i) =>
+        f -> (scaleRow.getLong(1 + k + i) <= broadcastGroupLimit)
+      }.toMap
 
     def checkpointRdd(d: DataFrame) =
       d.queryExecution.analyzed.collectFirst {
@@ -412,17 +527,15 @@ object FixedEffects {
 
     // running residual sums per cell, seeded with the raw sums
     var cur = (0 until k).foldLeft(cells) { (acc, i) => acc.withColumn(s"__r_$i", col(s"__s_$i")) }
-    // cumulative per-FE effect tables (G_f rows each, columns __acc_i):
-    // accumulated from the per-step means so [[FeModel.modelEffects]]
-    // works in this regime too; tiny next to the cell frame
-    val effAcc = scala.collection.mutable.Map.empty[String, DataFrame]
     var sweeps = 0
     var converged = false
     val history = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    val meansHistory = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // every per-FE step's means frame, in sweep order (persisted: each is
+    // referenced by the join-back, possibly the probe, and the final
+    // effect-table aggregation)
+    val meansHistory = scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame)]
     while (!converged && sweeps < maxSweeps) {
       sweeps += 1
-      var delta = 0.0
       for (fe <- fes) {
         val meanAggs =
           sum(col("__n")).as("__gn") +: (0 until k).map(i => sum(col(s"__r_$i")).as(s"__m_$i"))
@@ -432,35 +545,40 @@ object FixedEffects {
           .select(
             col(fe) +: (0 until k).map(i => (col(s"__m_$i") / col("__gn")).as(s"__mean_$i")): _*)
           .persist()
-        meansHistory += means
-        val d = means
-          .agg(greatest((0 until k).map(i => max(abs(col(s"__mean_$i")))): _*))
-          .head()
-          .getDouble(0)
-        delta = math.max(delta, d)
-        effAcc(fe) = effAcc.get(fe) match {
-          case None =>
-            means.select(
-              col(fe) +: (0 until k).map(i => col(s"__mean_$i").as(s"__acc_$i")): _*)
-          case Some(prev) =>
-            prev
-              .join(means, Seq(fe), "left")
-              .select(
-                col(fe) +: (0 until k).map(i =>
-                  (col(s"__acc_$i") + coalesce(col(s"__mean_$i"), lit(0.0))).as(s"__acc_$i")): _*)
-              .localCheckpoint(false)
-        }
+        meansHistory += ((fe, means))
+        val joinSide = if (feBroadcast(fe)) broadcast(means) else means
         cur = (0 until k)
-          .foldLeft(cur.join(means, Seq(fe), "left")) { (j, i) =>
+          .foldLeft(cur.join(joinSide, Seq(fe), "left")) { (j, i) =>
             j.withColumn(s"__r_$i", col(s"__r_$i") - col("__n") * col(s"__mean_$i"))
           }
           .drop((0 until k).map(i => s"__mean_$i"): _*)
       }
-      cur = cur.localCheckpoint(false)
-      history += cur
-      if (history.length >= 3)
-        checkpointRdd(history.remove(0)).foreach(_.unpersist(false))
-      converged = delta < tol * scale
+      val probeNow = sweeps <= 2 || sweeps % 2 == 0 || sweeps == maxSweeps
+      if (probeNow) {
+        // lineage truncation rides the probe cadence (a localCheckpoint
+        // call is NOT free: under AQE it executes the chained stages),
+        // so only probe sweeps checkpoint — off-sweeps chain lazily into
+        // the next one. EAGER so the history release below never drops
+        // an unmaterialized checkpoint a later stage must recompute
+        // through.
+        cur = timed(s"checkpoint@sweep $sweeps")(cur.localCheckpoint(true))
+        history += cur
+        if (history.length >= 3)
+          checkpointRdd(history.remove(0)).foreach(_.unpersist(false))
+        // the checkpoint job populated this sweep's means caches, so the
+        // probe (max |step mean| across the K means frames) reads cache
+        val delta = timed(s"probe@sweep $sweeps")(meansHistory
+          .takeRight(fes.length)
+          .map { case (_, m) =>
+            m.agg(greatest(
+              (0 until k).map(i => max(abs(col(s"__mean_$i")))) :+ lit(0.0): _*).as("__d"))
+          }
+          .reduce(_ union _)
+          .agg(max(col("__d")))
+          .head()
+          .getDouble(0))
+        converged = delta < tol * scale
+      }
     }
 
     // per-cell total effect Σ_f a_f = (sum − residual) / n, joined onto
@@ -471,26 +589,50 @@ object FixedEffects {
         fes.map(col) ++
           (0 until k).map(i => ((col(s"__s_$i") - col(s"__r_$i")) / col("__n")).as(s"__adj_$i")): _*)
       .localCheckpoint(false)
-    adj.count()
-    // materialize the per-FE effect tables BEFORE the means caches they
-    // chain through are released
+    timed("adj materialize")(adj.count())
+    // demeaned Gram from the converged cell frame — ONE tiny aggregate
+    // instead of a second fact pass in the downstream fit
+    val aCols = (0 until k).map(i => (col(s"__s_$i") - col(s"__r_$i")) / col("__n"))
+    val gramAggs = (for (i <- 0 until k; j <- i until k)
+      yield sum(
+        col(s"__q_${i}_$j") - col(s"__s_$i") * aCols(j) - col(s"__s_$j") * aCols(i) +
+          col("__n") * aCols(i) * aCols(j)).as(s"__g_${i}_$j")) :+ sum(col("__n")).as("__n_tot")
+    val gramRow = timed("cell gram agg")(cur.agg(gramAggs.head, gramAggs.tail: _*).head())
+    val gram = Array.ofDim[Double](k, k)
+    var gp = 0
+    for (i <- 0 until k; j <- i until k) {
+      val v = gramRow.getDouble(gp); gp += 1
+      gram(i)(j) = v; gram(j)(i) = v
+    }
+    val nTot = gramRow.getDouble(k * (k + 1) / 2)
+    // per-FE cumulative effect tables = the SUM of that FE's per-step
+    // means over all sweeps (every group appears in every step's
+    // groupBy, so a plain union + sum is exact): one aggregation per FE
+    // after convergence over the already-persisted means frames,
+    // materialized BEFORE those caches are released
     val effTables = fes.map { fe =>
-      val t = effAcc(fe)
+      val frames = meansHistory.collect { case (`fe`, m) => m }
+      val t = frames
+        .reduce(_ union _)
+        .groupBy(col(fe))
+        .agg(
+          sum(col("__mean_0")).as("__acc_0"),
+          (1 until k).map(i => sum(col(s"__mean_$i")).as(s"__acc_$i")): _*)
         .select(
           col(fe) +: cols.zipWithIndex.map { case (c, i) => col(s"__acc_$i").as(s"eff_$c") }: _*)
         .localCheckpoint(false)
-      t.count()
+      timed(s"eff table $fe")(t.count())
       t
     }
     history.foreach(d => checkpointRdd(d).foreach(_.unpersist(false)))
-    meansHistory.foreach(_.unpersist(false))
+    meansHistory.foreach(_._2.unpersist(false))
     cells.unpersist(false)
 
     val joined = df.join(adj, fes, "left")
     val out = cols.zipWithIndex.foldLeft(joined) { case (acc, (c, i)) =>
       acc.withColumn(s"${c}__dm", col(c).cast("double") - col(s"__adj_$i"))
     }.drop((0 until k).map(i => s"__adj_$i"): _*)
-    Demeaned(out, sweeps, Some(effTables))
+    Demeaned(out, sweeps, Some(effTables), Some(CellGram(cols, gram, nTot)))
   }
 
   /** Fit y ~ xs absorbing `fes`. The intercept is absorbed by the FEs.
@@ -512,8 +654,12 @@ object FixedEffects {
     require(fes.nonEmpty, "use Ols.fit when there are no fixed effects")
     val needed = (fes ++ (y +: xs) ++ keep).distinct
     val d = demeanFull(df.select(needed.map(col): _*), y +: xs, fes, maxSweeps, tol, collectCellLimit)
-    val ols =
-      Ols.fit(d.frame, s"${y}__dm", xs.map(x => s"${x}__dm"), intercept = false, checkRank = checkRank)
+    val ols = d.cellGram match {
+      case Some(cg) => timed("ols from cell gram")(olsFromCellGram(cg, y, xs, checkRank))
+      case None => timed("ols gram over demeaned")(
+        Ols.fit(d.frame, s"${y}__dm", xs.map(x => s"${x}__dm"), intercept = false,
+          checkRank = checkRank))
+    }
     // map dropped/kept names back to the original x names
     val keptX = ols.xNames.map(n => n.stripSuffix("__dm"))
     FeModel(y, keptX, fes, ols.coef, ols.n, d.sweeps, ols, d.frame, d.effects)
@@ -544,8 +690,11 @@ object FixedEffects {
     val d = demeanFull(
       df.select(needed.distinct.map(col): _*), y +: xs, fes, maxSweeps, tol,
       weight = Some(weight))
-    val ols = Ols.fitWeighted(
-      d.frame, s"${y}__dm", xs.map(x => s"${x}__dm"), weight, intercept = false)
+    val ols = d.cellGram match {
+      case Some(cg) => olsFromCellGram(cg, y, xs, checkRank = false)
+      case None => Ols.fitWeighted(
+        d.frame, s"${y}__dm", xs.map(x => s"${x}__dm"), weight, intercept = false)
+    }
     FeModel(y, xs, fes, ols.coef, ols.n, d.sweeps, ols, d.frame, d.effects)
   }
 
@@ -570,8 +719,13 @@ object FixedEffects {
     val needed = (fes ++ ys ++ xs ++ keep).distinct
     val d =
       demeanFull(df.select(needed.map(col): _*), (ys ++ xs).distinct, fes, maxSweeps, tol)
-    val models =
-      Ols.fitMulti(d.frame, ys.map(y => s"${y}__dm"), xs.map(x => s"${x}__dm"), intercept = false)
+    val models = d.cellGram match {
+      case Some(cg) =>
+        ys.map(yn => s"${yn}__dm" -> olsFromCellGram(cg, yn, xs, checkRank = false)).toMap
+      case None =>
+        Ols.fitMulti(d.frame, ys.map(y => s"${y}__dm"), xs.map(x => s"${x}__dm"),
+          intercept = false)
+    }
     ys.map { y =>
       val m = models(s"${y}__dm")
       y -> FeModel(y, xs, fes, m.coef, m.n, d.sweeps, m, d.frame, d.effects)

@@ -76,6 +76,25 @@ object Ols {
     val yty = row.getDouble(p)
     val n = row.getLong(p + 1)
 
+    fromGram(names, g, c, yty, n, checkRank, tol)
+  }
+
+  /** Solve the normal equations from an ALREADY-AGGREGATED Gram: X'X,
+    * X'y, y'y, n. This is the back half of [[fit]], exposed so callers
+    * that can produce the Gram without a fact pass (e.g.
+    * [[FixedEffects]], whose cell statistics determine the demeaned
+    * Gram exactly) skip the data entirely.
+    */
+  def fromGram(
+      names: Seq[String],
+      g: Array[Array[Double]],
+      c: Array[Double],
+      yty: Double,
+      n: Long,
+      checkRank: Boolean = false,
+      tol: Double = 1e-7
+  ): OlsModel = {
+    val k = names.length
     val (keptIdx, droppedNames) =
       if (checkRank) {
         val (dropped, kept) = LinAlg.collinearFromGram(g, tol)
