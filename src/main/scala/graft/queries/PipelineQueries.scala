@@ -1198,8 +1198,45 @@ object PipelineQueries {
     )
   )
 
+  // ---- P9d: variable-length exact-substring audit (oracle) --------------
+  // Lee et al.'s real criterion — every repeated span of >= L tokens —
+  // via prefix-doubling fingerprints (no suffix array needed for a
+  // length-THRESHOLD audit; see RepeatedSpans). Spark compares 8-byte
+  // doubling hashes; the oracle groups raw L-gram text: interval unions,
+  // run lengths and min-owners are hash-invariant, so every output
+  // column is pinned exactly.
+  val q76 = Q(
+    "q76_repeated_spans",
+    (s, dir) =>
+      graft.dedup.RepeatedSpans.stats(Tables.documents(s, dir), "text", "doc_id", minLen = 12),
+    Some(
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS a FROM documents),
+        |grams AS (SELECT doc_id, i AS p, array_to_string(a[i:i+11], ' ') AS g
+        |          FROM t, UNNEST(generate_series(1, len(a)-11)) AS u(i) WHERE len(a) >= 12),
+        |own AS (SELECT g, min(doc_id) AS owner, count(*) AS nocc FROM grams GROUP BY g),
+        |flagged AS (SELECT doc_id, p, owner FROM grams JOIN own USING(g) WHERE nocc > 1),
+        |runs AS (SELECT doc_id, p, owner,
+        |           lead(p) OVER (PARTITION BY doc_id ORDER BY p) - p AS gap,
+        |           p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS run
+        |         FROM flagged),
+        |per_run AS (SELECT doc_id, run, count(*) AS run_starts,
+        |              sum(least(coalesce(gap, 12), 12)) AS run_cov,
+        |              sum(CASE WHEN owner < doc_id THEN 1 ELSE 0 END) AS run_foreign
+        |            FROM runs GROUP BY doc_id, run),
+        |per_doc AS (SELECT doc_id, sum(run_starts) AS n_rep_starts, sum(run_cov) AS rep_tokens,
+        |              max(run_starts) + 11 AS max_rep_len, sum(run_foreign) AS n_foreign
+        |            FROM per_run GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(n_rep_starts, 0)::BIGINT AS n_rep_starts,
+        |  coalesce(rep_tokens, 0)::BIGINT AS rep_tokens,
+        |  coalesce(max_rep_len, 0)::BIGINT AS max_rep_len,
+        |  coalesce(n_foreign, 0)::BIGINT AS n_foreign
+        |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN per_doc USING (doc_id)""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
-      q63, q64, q65, q66, q67, q69, q71, q72, q73, q75)
+      q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76)
 }

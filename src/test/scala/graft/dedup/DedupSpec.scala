@@ -266,4 +266,43 @@ class DedupSpec extends SparkSpec {
       assert(got == Set((100L, 2L, 0.9), (104L, 4L, 0.1), (105L, 5L, 0.7)), s"parts=$parts")
     }
   }
+
+  test("RepeatedSpans: planted variable-length spans — exact starts, coverage, runs, owners") {
+    val base = (0 until 40).map(i => s"a$i")
+    // doc 1 owns everything; doc 2 copies 21 tokens (positions 5..25) of
+    // doc 1 inside unique filler; doc 3 repeats a 12-token block
+    // INTERNALLY; doc 4 shares only 11 tokens — below the threshold
+    val doc1 = base.mkString(" ")
+    val doc2 = ((0 until 6).map(i => s"b$i") ++ base.slice(5, 26) ++
+      (0 until 5).map(i => s"c$i")).mkString(" ")
+    val block = (0 until 12).map(i => s"d$i")
+    val doc3 = (block ++ Seq("e0", "e1", "e2") ++ block).mkString(" ")
+    val doc4 = (Seq("f0") ++ base.slice(0, 11) ++ Seq("f1")).mkString(" ")
+    val df = Seq((1L, doc1), (2L, doc2), (3L, doc3), (4L, doc4)).toDF("doc_id", "text")
+
+    val st = RepeatedSpans.stats(df, "text", "doc_id", minLen = 12)
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // 21 shared tokens → 10 consecutive starts, one maximal span of 21
+    assert(st(1L) == ((1L, 10L, 21L, 21L, 0L)), st(1L).toString)
+    // same geometry in doc 2, but every span is foreign (owner = doc 1)
+    assert(st(2L) == ((2L, 10L, 21L, 21L, 10L)), st(2L).toString)
+    // internal repeat: two isolated starts, 24 covered, owner = self
+    assert(st(3L) == ((3L, 2L, 24L, 12L, 0L)), st(3L).toString)
+    // 11-token overlap is below minLen → clean
+    assert(st(4L) == ((4L, 0L, 0L, 0L, 0L)), st(4L).toString)
+
+    // keep-earliest survivors: doc 2 evicted, internal repetition is not
+    val kept = RepeatedSpans.survivors(df, "text", "doc_id", minLen = 12)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L))
+
+    // threshold exactness: at minLen = 11 doc 4's overlap now counts
+    // (11 tokens → 1 start) and doc 4 is evicted
+    val st11 = RepeatedSpans.stats(df, "text", "doc_id", minLen = 11)
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(st11(4L)._2 == 1L && st11(4L)._5 == 1L, st11(4L).toString)
+    val kept11 = RepeatedSpans.survivors(df, "text", "doc_id", minLen = 11)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept11 == Set(1L, 3L))
+  }
 }
