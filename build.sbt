@@ -1,6 +1,10 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
 name := "hdfespark"
+// The bench driver parses the LAST stdout line as JSON; sbt's
+// "[success] Total time ..." banner otherwise lands after graft.Bench's
+// compact line and breaks the parse.
+Global / showSuccess := false
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
 // Test-only deps resolve from the pre-warmed coursier cache; anything
@@ -11,6 +15,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// ... and the same parse breaks on sbt's "[info] " logger prefix:
+// pass the forked process's stdio through raw.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

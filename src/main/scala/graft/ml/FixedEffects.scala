@@ -285,17 +285,23 @@ object FixedEffects {
       maxSweeps: Int = 500,
       tol: Double = 1e-9
   ): DataFrame = {
-    val (frame, colNames, ctrlNames) =
+    val (frame, colNames, ctrlNames, cellGram) =
       if (fes.isEmpty) {
         val needed = (cols ++ controls ++ keep).distinct
-        (df.select(needed.map(col): _*), cols, controls)
+        (df.select(needed.map(col): _*), cols, controls, None: Option[CellGram])
       } else {
         val needed = (fes ++ cols ++ controls ++ keep).distinct
-        val (dm, _) =
-          demean(df.select(needed.map(col): _*), (cols ++ controls).distinct, fes, maxSweeps, tol)
-        (dm, cols.map(c => s"${c}__dm"), controls.map(c => s"${c}__dm"))
+        val d =
+          demeanFull(df.select(needed.map(col): _*), (cols ++ controls).distinct, fes, maxSweeps, tol)
+        (d.frame, cols.map(c => s"${c}__dm"), controls.map(c => s"${c}__dm"), d.cellGram)
       }
-    val models = Ols.fitMulti(frame, colNames, ctrlNames, intercept = fes.isEmpty)
+    // with a cell Gram every projection solves from the cell stats —
+    // the fact table is not re-read for the fits
+    val models = cellGram match {
+      case Some(cg) =>
+        cols.map(c => s"${c}__dm" -> olsFromCellGram(cg, c, controls, checkRank = false)).toMap
+      case None => Ols.fitMulti(frame, colNames, ctrlNames, intercept = fes.isEmpty)
+    }
     cols.zip(colNames).foldLeft(frame) { case (acc, (c, cn)) =>
       val m = models(cn)
       val terms = m.xNames.zip(m.coef).map {

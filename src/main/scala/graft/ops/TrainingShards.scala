@@ -32,7 +32,7 @@ object TrainingShards {
     * materializes eagerly inside packBins) and the join back — without
     * the persist the whole tokenize+chunk lineage would run twice.
     */
-  private def shardsPlan(
+  private[ops] def shardsPlan(
       docs: DataFrame,
       textCol: String,
       idCol: String,

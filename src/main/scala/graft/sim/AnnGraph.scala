@@ -361,6 +361,65 @@ object AnnGraph {
   ): DataFrame =
     search(queries, readIndex(spark, table), corpus, idCol, vecCol, k, beam, hops, entries)
 
+  /** Persist BOTH layers of the hierarchical index: the full k-NN graph
+    * at `table` and the coarse navigable layer — built over the SAME
+    * deterministic hash sample [[topKHierarchical]] routes through — at
+    * `<table>__coarse`, each bucketed by `src`. A fresh session then
+    * runs the layered search with no rebuild and no index-side exchange
+    * on either layer; previously only the base layer persisted and the
+    * routing graph was rebuilt per session.
+    */
+  def writeHierarchicalIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      table: String,
+      buckets: Int,
+      graphK: Int = 10,
+      sweeps: Int = 2,
+      coarseEvery: Int = 8
+  ): Unit = {
+    val gF = knnGraph(corpus, idCol, vecCol, dims, graphK, sweeps)
+    writeIndex(gF, table, buckets)
+    ckRdd(gF).foreach(_.unpersist(false))
+    val coarse = corpus.where(pmod(xxhash64(col(idCol)), lit(coarseEvery.toLong)) === 0)
+    val gC = knnGraph(coarse, idCol, vecCol, dims, graphK, sweeps)
+    writeIndex(gC, s"${table}__coarse", math.max(1, buckets / coarseEvery))
+    ckRdd(gC).foreach(_.unpersist(false))
+  }
+
+  /** [[topKHierarchical]] semantics over the persisted two-layer index
+    * (write with [[writeHierarchicalIndex]]; pass the same
+    * `coarseEvery` so the entry-point corpus matches the stored coarse
+    * layer). Coarse routing and full-layer search are both the bounded
+    * frontier-join search over bucketed edge tables.
+    */
+  def searchHierarchicalIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame,
+      table: String,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      beam: Int = 10,
+      hops: Int = 3,
+      coarseEvery: Int = 8,
+      fullEntries: Int = 4
+  ): DataFrame = {
+    val coarse = corpus.where(pmod(xxhash64(col(idCol)), lit(coarseEvery.toLong)) === 0)
+    val entryPairs = search(
+      queries, readIndex(spark, s"${table}__coarse"), coarse, idCol, vecCol,
+      k = fullEntries, beam = beam, hops = hops)
+      .select(col("qid"), col("nid"))
+      .localCheckpoint()
+    val out =
+      searchFrom(queries, readIndex(spark, table), corpus, idCol, vecCol, k, beam, hops, entryPairs)
+    ckRdd(entryPairs).foreach(_.unpersist(false))
+    out
+  }
+
   /** Hierarchical (HNSW-style) layered search: a COARSE graph over a
     * deterministic hash sample of the corpus (every `coarseEvery`-th
     * node) is searched first with the cheap fixed entries; each query's

@@ -58,6 +58,151 @@ object AnnIvf {
     cents
   }
 
+  /** Converged-centroid fit: the centroid frame plus how it got there
+    * (Lloyd iterations actually run; the final max centroid movement,
+    * measured as 1 − cos(old, new) per centroid — 1.0 for a cell that
+    * emptied).
+    */
+  final case class CentroidFit(cents: DataFrame, iters: Int, lastShift: Double)
+
+  /** Lloyd iterations run to TOLERANCE, with k-means|| seeding as the
+    * default — the hardened build for skewed corpora, where the fixed
+    * lowest-id seeding of [[centroids]] can plant every seed inside one
+    * dominant cluster and a fixed two rounds never escape it.
+    *
+    * Seeding (Bahmani et al. 2012, made deterministic): starting from
+    * the lowest-id vector, each round scores every point by its cosine
+    * distance d to the current candidate set and draws `oversample·k`
+    * points WITHOUT replacement with probability ∝ d² via exponential
+    * races (Efraimidis–Spirakis keys d²/−ln u) — u is a hash-uniform of
+    * (id, round), so the draw is reproducible on any cluster. The
+    * ≤ 1+rounds·oversample·k candidates are weighted by one assignment
+    * pass and greedily thinned to k on the driver (weight × squared
+    * distance to the chosen set — the kmeans++ criterion, argmax form).
+    * Each round is one broadcast cross-join + a distributed top-l; the
+    * corpus never shuffles.
+    */
+  def centroidsConverged(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      maxIters: Int = 20,
+      tol: Double = 1e-4,
+      kmeansParInit: Boolean = true,
+      initRounds: Int = 3,
+      oversample: Int = 2
+  ): CentroidFit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def localCos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length && i < b.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else d / math.sqrt(na * nb)
+    }
+    var local: Array[(Long, Array[Float])] =
+      if (kmeansParInit)
+        kmeansParSeeds(corpus, idCol, vecCol, k, initRounds, oversample)
+          .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      else
+        corpus.orderBy(col(idCol)).limit(k)
+          .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Seq[Float])]
+          .collect().map { case (id, v) => (id, v.toArray) }
+    var cents = local.map { case (c, v) => (c, v.toSeq) }.toSeq.toDF("cid", "centroid")
+      .select(col("cid"), col("centroid").cast("array<float>").as("centroid"))
+    var iters = 0
+    var shift = Double.MaxValue
+    while (iters < maxIters && shift >= tol) {
+      iters += 1
+      val assigned = assign(corpus, cents, idCol, vecCol)
+      val updated = assigned
+        .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+        .select(col("cid"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("cid"))
+        .agg(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("m")))),
+            s => s.getField("m").cast("float")
+          ).as("centroid"))
+        .as[(Long, Seq[Float])].collect().map { case (c, v) => (c, v.toArray) }
+      val prev = local.toMap
+      shift = updated.map { case (c, v) =>
+        prev.get(c).map(o => 1.0 - localCos(o, v)).getOrElse(1.0)
+      }.foldLeft(if (updated.length < local.length) 1.0 else 0.0)(math.max)
+      local = updated
+      cents = local.map { case (c, v) => (c, v.toSeq) }.toSeq.toDF("cid", "centroid")
+        .select(col("cid"), col("centroid").cast("array<float>").as("centroid"))
+    }
+    CentroidFit(cents, iters, shift)
+  }
+
+  /** See [[centroidsConverged]] — returns the oversampled-and-thinned k
+    * seed vectors.
+    */
+  private def kmeansParSeeds(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rounds: Int,
+      oversample: Int
+  ): Array[Array[Float]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val l = math.max(1, oversample * k)
+    var cands: Array[Array[Float]] = corpus.orderBy(col(idCol)).limit(1)
+      .select(col(vecCol)).as[Seq[Float]].collect().map(_.toArray)
+    for (r <- 1 to rounds) {
+      val cDf = cands.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
+        .toDF("cid", "centroid")
+        .select(col("cid"), col("centroid").cast("array<float>").as("centroid"))
+      val prime = 1000000007L
+      val picked = corpus.select(col(idCol), col(vecCol))
+        .crossJoin(broadcast(cDf))
+        .groupBy(col(idCol))
+        .agg(max(cosScore(col(vecCol), col("centroid"))).as("best"),
+          first(col(vecCol)).as("v"))
+        .withColumn("d", greatest(lit(0.0), lit(1.0) - col("best")))
+        .withColumn("u",
+          (pmod(xxhash64(col(idCol), lit(r)), lit(prime)).cast("double") + lit(0.5)) / lit(prime.toDouble + 1.0))
+        .withColumn("race", col("d") * col("d") / -log(col("u")))
+        .orderBy(desc("race"), col(idCol))
+        .limit(l)
+        .select(col("v")).as[Seq[Float]].collect().map(_.toArray)
+      cands = cands ++ picked
+    }
+    // weight by corpus mass, then greedy weighted kmeans++ thinning
+    val cDf = cands.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
+      .toDF("cid", "centroid")
+      .select(col("cid"), col("centroid").cast("array<float>").as("centroid"))
+    val w = assign(corpus, cDf, idCol, vecCol)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    def localCos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length && i < b.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else d / math.sqrt(na * nb)
+    }
+    val weights = cands.indices.map(i => w.getOrElse(i.toLong, 0L).toDouble).toArray
+    val chosen = scala.collection.mutable.ArrayBuffer(weights.indices.maxBy(weights))
+    while (chosen.length < math.min(k, cands.length)) {
+      val next = cands.indices
+        .filterNot(chosen.contains)
+        .maxBy { i =>
+          val d = 1.0 - chosen.map(c => localCos(cands(i), cands(c))).max
+          weights(i) * d * d
+        }
+      chosen += next
+    }
+    chosen.map(cands).toArray
+  }
+
   private def literalCentroids(
       spark: org.apache.spark.sql.SparkSession,
       cents: DataFrame

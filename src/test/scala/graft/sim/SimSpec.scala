@@ -369,6 +369,27 @@ class SimSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("hierarchical graph index persists BOTH layers: fresh-session parity, no rebuild") {
+    val emb = Tables.embeddings(spark, sf).limit(200)
+    val queries = emb.where($"vec_id" < 5)
+    AnnGraph.writeHierarchicalIndex(emb, "vec_id", "embedding", dims = 64,
+      table = "graph_hidx", buckets = 4, graphK = 6, sweeps = 1, coarseEvery = 4)
+    // both layers exist as bucketed tables
+    assert(AnnGraph.readIndex(spark, "graph_hidx").count() > 0)
+    assert(AnnGraph.readIndex(spark, "graph_hidx__coarse").count() > 0)
+    // the table-backed layered search equals the in-memory layered
+    // search exactly (deterministic build → identical edge lists)
+    val fromTbl = AnnGraph.searchHierarchicalIndexed(spark, queries, "graph_hidx", emb,
+      "vec_id", "embedding", k = 3, beam = 8, hops = 2, coarseEvery = 4, fullEntries = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    val inMem = AnnGraph.topKHierarchical(queries, emb, "vec_id", "embedding", dims = 64,
+      k = 3, graphK = 6, sweeps = 1, beam = 8, hops = 2, coarseEvery = 4, fullEntries = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fromTbl == inMem)
+    val cnts = fromTbl.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(cnts.values.forall(_ == 3), cnts.toString)
+  }
+
   test("SemanticDedup clusters planted embedding near-dups within cells only") {
     import org.apache.spark.sql.functions._
     // two tight cells; 1≈2≈3 are near-parallel (dups), 4 is alone in its
@@ -454,6 +475,50 @@ class SimSpec extends SparkSpec {
     val cnts = hier.groupBy(_._1).view.mapValues(_.size).toMap
     assert(cnts.values.forall(_ == 5), cnts.toString)
     assert(!hier.exists { case (q, n) => q == n })
+  }
+
+  test("centroidsConverged: k-means|| + tolerance Lloyd separates the planted skew, deterministically") {
+    import spark.implicits._
+    // the P7g skew harness: a 400-point dominant cluster and a 60-point
+    // far cluster — lowest-id seeding puts EVERY seed in the big one
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def frac(id: Long, d: Int): Float =
+      (java.lang.Math.floorMod(mix(id * 131 + d), 2000L).toFloat / 1000f) - 1f
+    val rows = (0L until 400L).map { id =>
+      val v = new Array[Float](16)
+      v(0) = 10f
+      for (d <- 0 until 8) v(d) = v(d) + frac(id, d)
+      (id, v.toSeq)
+    } ++ (400L until 460L).map { id =>
+      val v = new Array[Float](16)
+      v(1) = 10f
+      for (d <- 8 until 16) v(d) = frac(id, d)
+      (id, v.toSeq)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+
+    val fit = AnnIvf.centroidsConverged(corpus, "vec_id", "embedding", k = 2)
+    // convergence is RECORDED: iterations actually run + final movement
+    assert(fit.iters >= 1 && fit.iters <= 20, s"iters ${fit.iters}")
+    assert(fit.lastShift < 1e-4 || fit.iters == 20, s"shift ${fit.lastShift}")
+    // the two planted clusters land in two different cells, purely
+    val cellOf = AnnIvf.assign(corpus, fit.cents, "vec_id", "embedding")
+      .as[(Long, Long)].collect().toMap
+    val bigCells = (0L until 400L).map(cellOf).toSet
+    val smallCells = (400L until 460L).map(cellOf).toSet
+    assert(bigCells.size == 1 && smallCells.size == 1 && bigCells != smallCells,
+      s"big=$bigCells small=$smallCells")
+    // reproducible: a second fit returns identical centroids
+    val again = AnnIvf.centroidsConverged(corpus, "vec_id", "embedding", k = 2)
+    val c1 = fit.cents.as[(Long, Seq[Float])].collect().toMap
+    val c2 = again.cents.as[(Long, Seq[Float])].collect().toMap
+    assert(c1 == c2)
   }
 
   test("per-cell PQ codebooks beat the global codebook on a skewed corpus") {

@@ -209,6 +209,54 @@ class StreamingSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("streaming shard-append: per-epoch parity with batch TrainingShards, idempotent layout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = graft.util.Tables.documents(spark, sf).limit(24).cache()
+    val vocab = graft.text.Bpe.trainOn(docs, "text", numMerges = 30)
+    val rows = docs.select("doc_id", "text").as[(Long, String)].collect().toSeq
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val dir = java.nio.file.Files.createTempDirectory("sshards").toString
+    val ckp = java.nio.file.Files.createTempDirectory("sshards_ckp").toString
+
+    def drain(): Unit = {
+      // AvailableNow terminates after consuming the backlog; each run
+      // is one epoch here (all pending rows fit one micro-batch)
+      val q = graft.ops.StreamingShards.run(
+        ms.toDF.toDF("doc_id", "text"), "text", "doc_id", vocab,
+        chunkSize = 16, overlap = 0, budget = 64L, path = dir, checkpoint = ckp)
+      try q.awaitTermination() finally q.stop()
+    }
+    ms.addData(rows.take(12): _*); drain()
+    ms.addData(rows.drop(12): _*); drain()
+
+    val back = spark.read.parquet(dir)
+      .select("ingest_epoch", "bin", "bin_pos", "doc_id", "chunk_id", "n_tokens", "tokens")
+      .as[(Long, Long, Long, Long, Long, Long, Seq[Int])].collect()
+    assert(back.map(_._1).distinct.sorted.toSeq == Seq(0L, 1L), "two epochs on disk")
+
+    // per-epoch parity: each epoch's shard set IS the batch writer's
+    // output for that epoch's documents under the epoch-extended salt
+    val epochDocs = Map(0L -> rows.take(12), 1L -> rows.drop(12))
+    for ((ep, rws) <- epochDocs) {
+      val expect = graft.ops.TrainingShards.shards(
+        rws.toDF("doc_id", "text"), "text", "doc_id", vocab,
+        chunkSize = 16, overlap = 0, budget = 64L, salt = s"shards-e$ep")
+        .select("bin", "bin_pos", "doc_id", "chunk_id", "n_tokens", "tokens")
+        .as[(Long, Long, Long, Long, Long, Seq[Int])].collect().toSet
+      val got = back.filter(_._1 == ep).map(r => (r._2, r._3, r._4, r._5, r._6, r._7)).toSet
+      assert(got == expect, s"epoch $ep")
+    }
+    // cross-epoch completeness: every chunk of every doc, exactly once
+    val allChunks = graft.text.Bpe.chunk(docs, "text", "doc_id", vocab, 16, 0)
+      .select("doc_id", "chunk_id").as[(Long, Long)].collect().toSet
+    assert(back.map(r => (r._4, r._5)).toSet == allChunks)
+    assert(back.length == allChunks.size)
+    // budget rule holds within every epoch
+    assert(back.forall(_._3 < 64L))
+    docs.unpersist()
+  }
+
   test("streaming centroid gate: row-local assign ≡ batch Embed.assign across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val emb = graft.util.Tables.embeddings(spark, sf).limit(60).cache()
