@@ -224,7 +224,8 @@ object FixedEffects {
       maxSweeps: Int = 500,
       tol: Double = 1e-9,
       collectCellLimit: Long = 2000000L,
-      weight: Option[String] = None
+      weight: Option[String] = None,
+      accelerate: Boolean = true
   ): Demeaned = {
     val k = cols.length
     val K = fes.length
@@ -264,8 +265,9 @@ object FixedEffects {
     val cells = df.groupBy(fes.map(col): _*).agg(statAggs.head, statAggs.tail: _*).persist()
     val nCells = timed("cells build+count")(cells.count())
 
-    if (nCells <= collectCellLimit) demeanDriverCells(df, cols, fes, cells, maxSweeps, tol)
-    else demeanDistributedCells(df, cols, fes, cells, maxSweeps, tol)
+    if (nCells <= collectCellLimit)
+      demeanDriverCells(df, cols, fes, cells, maxSweeps, tol, accelerate)
+    else demeanDistributedCells(df, cols, fes, cells, maxSweeps, tol, accelerate)
   }
 
   /** Frisch–Waugh–Lovell partial-out: residualize each of `cols` on
@@ -324,7 +326,8 @@ object FixedEffects {
       fes: Seq[String],
       cells: DataFrame,
       maxSweeps: Int,
-      tol: Double
+      tol: Double,
+      accelerate: Boolean
   ): Demeaned = {
     val k = cols.length
     val K = fes.length
@@ -380,7 +383,15 @@ object FixedEffects {
     val eff = Array.tabulate(K)(f => Array.ofDim[Double](idx(f).size(), k))
     var sweeps = 0
     var converged = false
-    while (!converged && sweeps < maxSweeps) {
+    // hybrid solver: a few Halperin sweeps catch the easy spectra
+    // (well-connected FE graphs converge in < 10), then bail to
+    // Jacobi-preconditioned CG on the normal equations in effect space
+    // — the reghdfe move for ill-conditioned panels, where alternating
+    // projections crawl (chain-overlapping FE graphs: ρ→1 with modes
+    // too clustered for extrapolation; measured on the path-graph spec:
+    // plain MAP needs thousands of sweeps, CG ≤ dim(parameter space)).
+    val halperinCap = if (accelerate) math.min(10, maxSweeps) else maxSweeps
+    while (!converged && sweeps < halperinCap) {
       sweeps += 1
       var delta = 0.0
       var f = 0
@@ -413,6 +424,95 @@ object FixedEffects {
         f += 1
       }
       converged = delta < tol * scale
+    }
+    if (accelerate && !converged) {
+      // PCG on H a = b, H = AᵀNA (A: effects → cell totals, N = diag
+      // cell mass), b_f(g) = Σ_{c∈g} s_c, diag(H)_f(g) = n_g. The
+      // preconditioned residual r/n_g IS the per-group step mean, so
+      // the stopping rule matches the Halperin criterion exactly. H is
+      // PSD with a known constant-shift nullspace; CG on the consistent
+      // system converges to A⁺-consistent effects (cell totals unique).
+      // Warm-started from the Halperin state; each iteration is one
+      // O(#cells·K) matvec — a sweep's flops.
+      val off = new Array[Int](K + 1)
+      for (f <- 0 until K) off(f + 1) = off(f) + idx(f).size()
+      val nP = off(K)
+      val diag = new Array[Double](nP)
+      for (f <- 0 until K; g <- 0 until idx(f).size()) diag(off(f) + g) = gN(f)(g)
+      val bVec = Array.ofDim[Double](k, nP)
+      var bi = 0
+      while (bi < nc) {
+        var f = 0
+        while (f < K) {
+          val j = off(f) + cellG(bi)(f)
+          var c = 0
+          while (c < k) { bVec(c)(j) += cellS(bi)(c); c += 1 }
+          f += 1
+        }
+        bi += 1
+      }
+      def matvec(v: Array[Double], out: Array[Double]): Unit = {
+        java.util.Arrays.fill(out, 0.0)
+        var i = 0
+        while (i < nc) {
+          var t = 0.0
+          var f = 0
+          while (f < K) { t += v(off(f) + cellG(i)(f)); f += 1 }
+          t *= cellN(i)
+          f = 0
+          while (f < K) { out(off(f) + cellG(i)(f)) += t; f += 1 }
+          i += 1
+        }
+      }
+      var cgIters = 0
+      var allDone = true
+      var c = 0
+      while (c < k) {
+        val x = new Array[Double](nP)
+        for (f <- 0 until K; g <- 0 until idx(f).size()) x(off(f) + g) = eff(f)(g)(c)
+        val r = new Array[Double](nP)
+        val hv = new Array[Double](nP)
+        matvec(x, hv)
+        var j = 0
+        while (j < nP) { r(j) = bVec(c)(j) - hv(j); j += 1 }
+        val z = Array.tabulate(nP)(j2 => r(j2) / diag(j2))
+        val p = z.clone()
+        var rz = { var acc = 0.0; var j2 = 0; while (j2 < nP) { acc += r(j2) * z(j2); j2 += 1 }; acc }
+        var it = 0
+        def maxStep(): Double = {
+          var mx = 0.0; var j2 = 0
+          while (j2 < nP) { val e = math.abs(r(j2) / diag(j2)); if (e > mx) mx = e; j2 += 1 }
+          mx
+        }
+        var done = maxStep() < tol * scale
+        while (!done && it < maxSweeps) {
+          it += 1
+          matvec(p, hv)
+          var php = 0.0
+          j = 0
+          while (j < nP) { php += p(j) * hv(j); j += 1 }
+          if (php <= 0.0) done = true
+          else {
+            val alpha = rz / php
+            j = 0
+            while (j < nP) { x(j) += alpha * p(j); r(j) -= alpha * hv(j); j += 1 }
+            done = maxStep() < tol * scale
+            var rz2 = 0.0
+            j = 0
+            while (j < nP) { z(j) = r(j) / diag(j); rz2 += r(j) * z(j); j += 1 }
+            val beta = rz2 / rz
+            rz = rz2
+            j = 0
+            while (j < nP) { p(j) = z(j) + beta * p(j); j += 1 }
+          }
+        }
+        if (!done) allDone = false
+        if (it > cgIters) cgIters = it
+        for (f <- 0 until K; g <- 0 until idx(f).size()) eff(f)(g)(c) = x(off(f) + g)
+        c += 1
+      }
+      sweeps += cgIters
+      converged = allDone
     }
 
     // apply: per-FE effect tables, broadcast-joined (each is #groups rows)
@@ -499,7 +599,8 @@ object FixedEffects {
       fes: Seq[String],
       cells: DataFrame,
       maxSweeps: Int,
-      tol: Double
+      tol: Double,
+      accelerate: Boolean
   ): Demeaned = {
     val k = cols.length
 
@@ -535,12 +636,19 @@ object FixedEffects {
     var cur = (0 until k).foldLeft(cells) { (acc, i) => acc.withColumn(s"__r_$i", col(s"__s_$i")) }
     var sweeps = 0
     var converged = false
+    // set at a non-converged probe once the Halperin budget is spent —
+    // switches to the distributed-matvec PCG below (the same hybrid as
+    // the driver regime; requires every FE under the broadcast gate,
+    // since CG keeps the parameter vectors driver-side)
+    var bailToCg = false
     val history = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    // every per-FE step's means frame, in sweep order (persisted: each is
-    // referenced by the join-back, possibly the probe, and the final
-    // effect-table aggregation)
-    val meansHistory = scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame)]
-    while (!converged && sweeps < maxSweeps) {
+    // every applied correction frame (REAL per-FE step means, plus the
+    // CG correction frames — flagged), in sweep order; persisted: each
+    // is referenced by the join-back, possibly the probe, and the final
+    // effect-table aggregation
+    val meansHistory =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Int, Boolean, DataFrame)]
+    while (!converged && !bailToCg && sweeps < maxSweeps) {
       sweeps += 1
       for (fe <- fes) {
         val meanAggs =
@@ -551,7 +659,7 @@ object FixedEffects {
           .select(
             col(fe) +: (0 until k).map(i => (col(s"__m_$i") / col("__gn")).as(s"__mean_$i")): _*)
           .persist()
-        meansHistory += ((fe, means))
+        meansHistory += ((fe, sweeps, true, means))
         val joinSide = if (feBroadcast(fe)) broadcast(means) else means
         cur = (0 until k)
           .foldLeft(cur.join(joinSide, Seq(fe), "left")) { (j, i) =>
@@ -572,10 +680,11 @@ object FixedEffects {
         if (history.length >= 3)
           checkpointRdd(history.remove(0)).foreach(_.unpersist(false))
         // the checkpoint job populated this sweep's means caches, so the
-        // probe (max |step mean| across the K means frames) reads cache
+        // probe (max |REAL step mean| across the K means frames) reads
+        // cache
+        val sw = sweeps
         val delta = timed(s"probe@sweep $sweeps")(meansHistory
-          .takeRight(fes.length)
-          .map { case (_, m) =>
+          .collect { case (_, s, true, m) if s == sw =>
             m.agg(greatest(
               (0 until k).map(i => max(abs(col(s"__mean_$i")))) :+ lit(0.0): _*).as("__d"))
           }
@@ -585,6 +694,156 @@ object FixedEffects {
           .getDouble(0))
         converged = delta < tol * scale
       }
+      if (accelerate && !converged && sweeps >= 10 && fes.forall(feBroadcast)) bailToCg = true
+    }
+
+    if (bailToCg) {
+      // ---- distributed-matvec PCG (the driver regime's hybrid, for
+      // cell frames too big to collect): the PARAMETER space Σ_f G_f is
+      // broadcast-sized by the bail gate even when #cells is not, so
+      // the CG vectors live on the driver and only the matvec
+      // H v = AᵀN A v touches the cluster — one pass over the persisted
+      // cell frame per iteration (broadcast-join the parameter frames,
+      // t_c = n_c·Σ_f v_f, then one groupBy per FE). Stopping rule is
+      // the preconditioned residual max |r_g / n_g| — exactly the
+      // per-group step mean the Halperin probe gates on.
+      val spark = df.sparkSession
+      val K = fes.length
+      val gKeys = new Array[Array[Any]](K)
+      val gIdx = Array.fill(K)(new java.util.HashMap[Any, Integer]())
+      val gMass = new Array[Array[Double]](K)
+      val bVec = new Array[Array[Array[Double]]](K)
+      for (f <- 0 until K) {
+        val aggs = sum(col("__n")).as("__gn") +:
+          (0 until k).map(i => sum(col(s"__s_$i")).as(s"__b_$i"))
+        val rows = cells.groupBy(col(fes(f))).agg(aggs.head, aggs.tail: _*).collect()
+        gKeys(f) = rows.map(_.get(0))
+        gMass(f) = rows.map(_.getDouble(1))
+        bVec(f) = rows.map(r => Array.tabulate(k)(i => r.getDouble(2 + i)))
+        rows.indices.foreach(g => gIdx(f).put(rows(g).get(0), g))
+      }
+      // warm start from the Halperin state: union-sum of applied means
+      val x0 = Array.tabulate(K)(f => Array.ofDim[Double](gKeys(f).length, k))
+      for (f <- 0 until K) {
+        val feName = fes(f)
+        val frames = meansHistory.collect { case (`feName`, _, _, m) => m }
+        if (frames.nonEmpty) {
+          frames.reduce(_ union _)
+            .groupBy(col(feName))
+            .agg(
+              sum(col("__mean_0")).as("__a_0"),
+              (1 until k).map(i => sum(col(s"__mean_$i")).as(s"__a_$i")): _*)
+            .collect()
+            .foreach { r =>
+              val g = gIdx(f).get(r.get(0)).intValue()
+              (0 until k).foreach(i => x0(f)(g)(i) = r.getDouble(1 + i))
+            }
+        }
+      }
+      val feFields = fes.indices.map(f => cells.schema(f))
+      def paramFrame(v: Array[Array[Array[Double]]], prefix: String): Seq[DataFrame] =
+        (0 until K).map { f =>
+          val data = new java.util.ArrayList[Row](gKeys(f).length)
+          for (g <- gKeys(f).indices)
+            data.add(Row.fromSeq(gKeys(f)(g) +: (0 until k).map(i => v(f)(g)(i))))
+          val schema = StructType(
+            feFields(f) +: (0 until k).map(i => StructField(s"${prefix}_${f}_$i", DoubleType)))
+          spark.createDataFrame(data, schema)
+        }
+      def matvec(v: Array[Array[Array[Double]]]): Array[Array[Array[Double]]] = {
+        val joined = paramFrame(v, "__v").zipWithIndex.foldLeft(cells: DataFrame) {
+          case (acc, (pf, f)) => acc.join(broadcast(pf), Seq(fes(f)))
+        }
+        val withT = joined.select(
+          fes.map(col) ++ (0 until k).map(i =>
+            (col("__n") * (0 until K).map(f => col(s"__v_${f}_$i")).reduce(_ + _))
+              .as(s"__t_$i")): _*)
+          .persist()
+        val out = Array.tabulate(K)(f => Array.ofDim[Double](gKeys(f).length, k))
+        for (f <- 0 until K) {
+          val aggs = (0 until k).map(i => sum(col(s"__t_$i")).as(s"__h_$i"))
+          withT.groupBy(col(fes(f))).agg(aggs.head, aggs.tail: _*).collect().foreach { r =>
+            val g = gIdx(f).get(r.get(0)).intValue()
+            (0 until k).foreach(i => out(f)(g)(i) = r.getDouble(1 + i))
+          }
+        }
+        withT.unpersist(false)
+        out
+      }
+      def cube() = Array.tabulate(K)(f => Array.ofDim[Double](gKeys(f).length, k))
+      val x = x0.map(_.map(_.clone()))
+      val hx = matvec(x)
+      val r = cube(); val z = cube(); val p = cube()
+      for (f <- 0 until K; g <- gKeys(f).indices; c <- 0 until k) {
+        r(f)(g)(c) = bVec(f)(g)(c) - hx(f)(g)(c)
+        z(f)(g)(c) = r(f)(g)(c) / gMass(f)(g)
+        p(f)(g)(c) = z(f)(g)(c)
+      }
+      val rzC = Array.tabulate(k)(c =>
+        (0 until K).map(f => gKeys(f).indices.map(g => r(f)(g)(c) * z(f)(g)(c)).sum).sum)
+      def colDone(c: Int): Boolean = {
+        var mx = 0.0
+        for (f <- 0 until K; g <- gKeys(f).indices) {
+          val e = math.abs(r(f)(g)(c) / gMass(f)(g)); if (e > mx) mx = e
+        }
+        mx < tol * scale
+      }
+      val doneC = Array.tabulate(k)(colDone)
+      var iters = 0
+      while (!doneC.forall(identity) && sweeps + iters < maxSweeps) {
+        iters += 1
+        val hp = timed(s"cg matvec iter $iters")(matvec(p))
+        var c = 0
+        while (c < k) {
+          if (!doneC(c)) {
+            var php = 0.0
+            for (f <- 0 until K; g <- gKeys(f).indices) php += p(f)(g)(c) * hp(f)(g)(c)
+            if (php <= 0.0) doneC(c) = true
+            else {
+              val alpha = rzC(c) / php
+              for (f <- 0 until K; g <- gKeys(f).indices) {
+                x(f)(g)(c) += alpha * p(f)(g)(c)
+                r(f)(g)(c) -= alpha * hp(f)(g)(c)
+              }
+              doneC(c) = colDone(c)
+              var rz2 = 0.0
+              for (f <- 0 until K; g <- gKeys(f).indices) {
+                z(f)(g)(c) = r(f)(g)(c) / gMass(f)(g)
+                rz2 += r(f)(g)(c) * z(f)(g)(c)
+              }
+              val beta = rz2 / rzC(c)
+              rzC(c) = rz2
+              for (f <- 0 until K; g <- gKeys(f).indices)
+                p(f)(g)(c) = z(f)(g)(c) + beta * p(f)(g)(c)
+            }
+          }
+          c += 1
+        }
+      }
+      sweeps += iters
+      converged = doneC.forall(identity)
+      // the CG correction enters the applied-corrections history so the
+      // effect tables (union+sum) stay exact
+      val corr = Array.tabulate(K)(f =>
+        Array.tabulate(gKeys(f).length)(g => Array.tabulate(k)(c => x(f)(g)(c) - x0(f)(g)(c))))
+      paramFrame(corr, "__mean").zipWithIndex.foreach { case (pf, f) =>
+        val renamed = (0 until k).foldLeft(pf) { (d, i) =>
+          d.withColumnRenamed(s"__mean_${f}_$i", s"__mean_$i")
+        }.persist()
+        meansHistory += ((fes(f), sweeps, false, renamed))
+      }
+      // rebuild the residual state from x for the shared tail below
+      val joinedX = paramFrame(x, "__v").zipWithIndex.foldLeft(cells: DataFrame) {
+        case (acc, (pf, f)) => acc.join(broadcast(pf), Seq(fes(f)))
+      }
+      cur = joinedX
+        .select(
+          cells.columns.map(col) ++ (0 until k).map(i =>
+            (col(s"__s_$i") -
+              col("__n") * (0 until K).map(f => col(s"__v_${f}_$i")).reduce(_ + _))
+              .as(s"__r_$i")): _*)
+        .localCheckpoint(true)
+      history += cur
     }
 
     // per-cell total effect Σ_f a_f = (sum − residual) / n, joined onto
@@ -617,7 +876,7 @@ object FixedEffects {
     // after convergence over the already-persisted means frames,
     // materialized BEFORE those caches are released
     val effTables = fes.map { fe =>
-      val frames = meansHistory.collect { case (`fe`, m) => m }
+      val frames = meansHistory.collect { case (`fe`, _, _, m) => m }
       val t = frames
         .reduce(_ union _)
         .groupBy(col(fe))
@@ -631,7 +890,7 @@ object FixedEffects {
       t
     }
     history.foreach(d => checkpointRdd(d).foreach(_.unpersist(false)))
-    meansHistory.foreach(_._2.unpersist(false))
+    meansHistory.foreach(_._4.unpersist(false))
     cells.unpersist(false)
 
     val joined = df.join(adj, fes, "left")

@@ -688,6 +688,41 @@ class RegressionSpec extends SparkSpec {
     assert(math.abs(se(0) - math.sqrt(math.max(v2(0)(0), 0.0))) < 1e-15)
   }
 
+  test("CG hybrid: chain-overlap panel converges where plain MAP crawls, same fixpoint") {
+    // path-graph panel: unit u is observed at times u and u+1, so the
+    // FE bipartite graph is a PATH — spectral gap O(1/G²), the classic
+    // slow case for plain alternating projections
+    val rows = for (u <- 0 until 50; t <- Seq(u, u + 1); rep <- 0 until 2) yield {
+      val x = math.sin(u * 1.3 + t * 0.7 + rep) * 2
+      (u, t, x, 2.0 * x + u.toDouble * 0.5 - t.toDouble * 0.3 + (rep - 0.5))
+    }
+    val df = rows.toDF("u", "t", "x", "y")
+    def slopeOf(d: Demeaned): Double = {
+      val cg = d.cellGram.get
+      val yI = cg.cols.indexOf("y"); val xI = cg.cols.indexOf("x")
+      cg.gram(xI)(yI) / cg.gram(xI)(xI)
+    }
+    val accel = FixedEffects.demeanFull(df, Seq("y", "x"), Seq("u", "t"),
+      maxSweeps = 4000, tol = 1e-9)
+    val plain = FixedEffects.demeanFull(df, Seq("y", "x"), Seq("u", "t"),
+      maxSweeps = 4000, tol = 1e-9, accelerate = false)
+    info(s"accelerated sweeps=${accel.sweeps}, plain sweeps=${plain.sweeps}")
+    assert(accel.sweeps * 4 <= plain.sweeps,
+      s"CG must cut the path-graph sweep count: ${accel.sweeps} vs ${plain.sweeps}")
+    // identical fixpoint: both slopes from the cell Gram agree tightly
+    assert(math.abs(slopeOf(accel) - slopeOf(plain)) < 1e-7,
+      s"${slopeOf(accel)} vs ${slopeOf(plain)}")
+
+    // distributed regime: driver-side CG with the distributed matvec —
+    // converges within a sweep budget the plain loop could not meet
+    val dist = FixedEffects.demeanFull(df, Seq("y", "x"), Seq("u", "t"),
+      maxSweeps = 120, tol = 1e-9, collectCellLimit = 0)
+    info(s"distributed accelerated sweeps=${dist.sweeps}")
+    assert(dist.sweeps < 120, s"distributed Aitken did not converge: ${dist.sweeps}")
+    assert(math.abs(slopeOf(dist) - slopeOf(accel)) < 1e-7,
+      s"${slopeOf(dist)} vs ${slopeOf(accel)}")
+  }
+
   test("panel IV homoskedastic sigma2 charges the absorbed FE dof (xtivreg,fe shape)") {
     // the factorial construction from the panel-IV test: the 2SLS
     // residual over the demeaned columns is exactly u (= ±1), so
