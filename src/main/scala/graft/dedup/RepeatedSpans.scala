@@ -46,11 +46,25 @@ object RepeatedSpans {
     * position whose next `minLen` tokens occur elsewhere in the corpus
     * (possibly in the same document). `owner` is the minimum doc id
     * over all occurrences of the span — the keep-earliest canon.
+    * Returns a checkpointed frame; the doubling chain runs exactly once
+    * (the SpanDedup persist lifecycle).
     */
   def flaggedStarts(df: DataFrame, textCol: String, idCol: String, minLen: Int): DataFrame = {
+    val (out, fp) = flaggedPlan(df, textCol, idCol, minLen)
+    val result = out.localCheckpoint()
+    fp.unpersist(false)
+    result
+  }
+
+  /** The lazy plan + its persisted fingerprint intermediate — split out
+    * so plan-shape specs assert on the REAL plan (the [[Packing]]
+    * convention). `fp` feeds BOTH the ownership groupBy and the join
+    * back; without the persist the ⌈log₂L⌉-window doubling chain would
+    * execute twice.
+    */
+  private[graft] def flaggedPlan(
+      df: DataFrame, textCol: String, idCol: String, minLen: Int): (DataFrame, DataFrame) = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
-    val big = 1 << 30
-    require(minLen < big, s"minLen out of range")
     // largest power of two <= minLen
     val bigH = Integer.highestOneBit(minLen)
 
@@ -73,6 +87,7 @@ object RepeatedSpans {
     val fp = cur
       .withColumn("hb", lead(col("h"), minLen - bigH).over(w))
       .where(col("h").isNotNull && col("hb").isNotNull)
+      .persist()
 
     val groups = fp
       .groupBy(col("h"), col("hb"))
@@ -80,8 +95,9 @@ object RepeatedSpans {
       .where(col("nocc") > 1)
     // co-partitioned on the fingerprint after the groupBy — no extra
     // exchange for the join back
-    fp.join(groups, Seq("h", "hb"))
+    val out = fp.join(groups, Seq("h", "hb"))
       .select(col(idCol), col("pos"), col("owner"), col("nocc"))
+    (out, fp)
   }
 
   /** Per-document audit: for spans of ≥ `minLen` tokens occurring more

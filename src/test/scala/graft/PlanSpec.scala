@@ -179,4 +179,29 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange SinglePartition"), plan)
     assert(!plan.contains("rangepartitioning"), plan)
   }
+
+  test("repeated-span doubling chain rides ONE document shuffle; no L-gram text moves") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, (0 until 40).map(j => s"t${i % 7}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    // the public flaggedStarts checkpoints eagerly; assert on the lazy
+    // plan the checkpoint materializes
+    val (lazyOut, fp) = graft.dedup.RepeatedSpans.flaggedPlan(docs, "text", "doc_id", minLen = 12)
+    val plan = executedPlan(lazyOut).split("== Initial Plan ==")(0)
+    fp.unpersist(false)
+    // all ⌈log₂L⌉ doubling passes + the fingerprint lead share one
+    // (doc_id)-partitioned sort: exactly ONE exchange on doc_id, and
+    // the fingerprint frame is computed once (cache-shared between the
+    // ownership groupBy and the join back)
+    val docExchanges = "Exchange hashpartitioning\\(doc_id".r.findAllIn(plan).size
+    assert(docExchanges <= 1, s"expected <= 1 doc_id exchange, got $docExchanges:\n$plan")
+    assert(plan.contains("InMemoryTableScan"), plan)
+    // the ownership groupBy + join back add the fingerprint shuffle —
+    // nothing else (no rangepartitioning, no single-partition funnel)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    assert(!plan.contains("rangepartitioning"), plan)
+    // the shuffled columns are positions + 8-byte hashes, never span
+    // text: no concat/slice of L tokens appears in the physical plan
+    assert(!plan.contains("slice("), plan)
+  }
 }
