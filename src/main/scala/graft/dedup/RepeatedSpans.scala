@@ -144,6 +144,42 @@ object RepeatedSpans {
         coalesce(col("n_foreign"), lit(0L)).as("n_foreign"))
   }
 
+  /** Row-local form of the doubling fingerprints: the SAME hash chain
+    * as [[flaggedPlan]] (h₁ = xxhash64(tok), h_{2m}(p) = xxhash64(h_m(p),
+    * h_m(p+m)) — identical values, pinned by spec), computed INSIDE the
+    * token array with `zip_with`/`slice` instead of window `lead`s, then
+    * combined to one key per start (xxhash64(h, hb)) and sorted-distinct.
+    * Shuffle-free and append-safe: this is the STREAMING side of the
+    * variable-length criterion (one doc per row needs no window). Docs
+    * shorter than `minLen` yield an empty array, matching [[stats]]'s
+    * zero-span convention.
+    */
+  private[graft] def fingerprintKeys(textCol: org.apache.spark.sql.Column, minLen: Int)
+      : org.apache.spark.sql.Column = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val bigH = Integer.highestOneBit(minLen)
+    val toks = split(textCol, " ")
+    var h: org.apache.spark.sql.Column = transform(toks, t => xxhash64(t))
+    var m = 1
+    while (m < bigH) {
+      val mm = m
+      val shifted = slice(h, lit(mm + 1), greatest(size(h) - mm, lit(0)))
+      h = zip_with(h, shifted, (a, b) => when(a.isNotNull && b.isNotNull, xxhash64(a, b)))
+      m *= 2
+    }
+    val sb = minLen - bigH
+    val hb = slice(h, lit(sb + 1), greatest(size(h) - sb, lit(0)))
+    val keys = zip_with(h, hb, (a, b) => when(a.isNotNull && b.isNotNull, xxhash64(a, b)))
+    array_sort(array_distinct(filter(keys, k => k.isNotNull)))
+  }
+
+  /** Distinct span-start fingerprint keys of a (static) probe corpus —
+    * the broadcastable index for streaming decontamination
+    * ([[graft.streaming.DocStream.longSpanContaminationStream]]).
+    */
+  def probeFingerprints(df: DataFrame, textCol: String, minLen: Int): DataFrame =
+    df.select(explode(fingerprintKeys(col(textCol), minLen)).as("fp")).distinct()
+
   /** Survivor filter, consistent with [[SpanDedup.survivors]]'s
     * keep-earliest rule: drop any document containing a ≥ `minLen`
     * span whose earliest occurrence is in another document. Internal

@@ -117,6 +117,25 @@ case class FeModel(
     LinAlg.inverse(ols.gram).zipWithIndex.map { case (r, i) => math.sqrt(r(i) * s2) }
   }
 
+  /** Heteroskedasticity-robust (White/Eicker–Huber) covariance of the
+    * within estimator, HC1-scaled with the ABSORBED degrees of freedom
+    * (n/(n − k − (Σ_f G_f − (#FEs − 1))) — the areg/reghdfe small-
+    * sample convention; Ols.varianceHC1's own n/(n−k) is rescaled).
+    * One map-side-combined meat pass over the demeaned frame.
+    */
+  def varianceHC1: Array[Array[Double]] = {
+    val v = Ols.varianceHC1(demeaned, ols, s"${yName}__dm")
+    val k = ols.coef.length
+    val absorbed = groupCounts.sum - (feNames.length - 1)
+    val dof = n - k - absorbed
+    require(dof > 0, s"non-positive dof: n=$n k=$k absorbed=$absorbed")
+    val rescale = (n - k).toDouble / dof.toDouble
+    v.map(_.map(_ * rescale))
+  }
+
+  def seHC1: Array[Double] =
+    varianceHC1.zipWithIndex.map { case (r, i) => math.sqrt(r(i)) }
+
   /** Cluster-robust covariance of the within estimator (scores use the
     * demeaned regressors; reference: hdfe.py:159-175).
     */
@@ -948,13 +967,14 @@ object FixedEffects {
       weight: String,
       maxSweeps: Int = 500,
       tol: Double = 1e-9,
-      keep: Seq[String] = Nil
+      keep: Seq[String] = Nil,
+      collectCellLimit: Long = 2000000L
   ): FeModel = {
     require(fes.nonEmpty, "use Ols.fitWeighted when there are no fixed effects")
     val needed = (fes ++ (y +: xs) :+ weight) ++ keep
     val d = demeanFull(
       df.select(needed.distinct.map(col): _*), y +: xs, fes, maxSweeps, tol,
-      weight = Some(weight))
+      collectCellLimit, weight = Some(weight))
     val ols = d.cellGram match {
       case Some(cg) => olsFromCellGram(cg, y, xs, checkRank = false)
       case None => Ols.fitWeighted(

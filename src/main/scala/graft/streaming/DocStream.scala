@@ -227,4 +227,43 @@ object DocStream {
           .cast("long")
           .as("n_hits"))
   }
+
+  /** Streaming VARIABLE-LENGTH decontamination — the q76 criterion
+    * ([[graft.dedup.RepeatedSpans]]: any shared span of ≥ `minLen`
+    * tokens) at ingest. Same zero-state shape as
+    * [[contaminationStream]]: the probe corpus's span-start fingerprint
+    * keys fold into ONE sorted broadcast array; each streamed row
+    * computes its own doubling-fingerprint keys ROW-LOCALLY
+    * (`RepeatedSpans.fingerprintKeys` — the window chain re-expressed
+    * inside the token array, identical hash values) and counts hits
+    * with the codegen'd sorted-merge intersect. `n_spans` counts the
+    * row's DISTINCT ≥minLen span fingerprints; `n_hits > 0` means the
+    * doc shares a ≥minLen token run with the probe set and must not
+    * reach training.
+    */
+  def longSpanContaminationStream(
+      stream: DataFrame,
+      probe: DataFrame,
+      textCol: String,
+      idCol: String,
+      minLen: Int = 50
+  ): DataFrame = {
+    val probeFps = broadcast(
+      graft.dedup.RepeatedSpans
+        .probeFingerprints(probe, textCol, minLen)
+        .agg(sort_array(collect_set(col("fp"))).as("__probe"))
+        .withColumn("__j", lit(1)))
+    stream
+      .withColumn(
+        "__fps", graft.dedup.RepeatedSpans.fingerprintKeys(col(textCol), minLen))
+      .withColumn("__j", lit(1))
+      .join(probeFps, Seq("__j"))
+      .select(
+        col(idCol),
+        size(col("__fps")).cast("long").as("n_spans"),
+        graft.functions.SetOps
+          .sortedIntersectSize(col("__fps"), col("__probe"))
+          .cast("long")
+          .as("n_hits"))
+  }
 }

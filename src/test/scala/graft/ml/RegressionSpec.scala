@@ -723,6 +723,44 @@ class RegressionSpec extends SparkSpec {
       s"${slopeOf(dist)} vs ${slopeOf(accel)}")
   }
 
+  test("fitWeighted: distributed cell regime matches the driver regime") {
+    val rows = for (u <- 0 until 5; t <- 0 until 6) yield {
+      val x = math.sin(u * 2.1 + t * 0.9) * 3
+      (u, t, x, 2.0 * x + u.toDouble - 0.5 * t + ((u + t) % 3 - 1).toDouble * 0.4,
+        (1 + (u + 2 * t) % 3).toDouble)
+    }
+    val df = rows.toDF("u", "t", "x", "y", "w")
+    val drv = FixedEffects.fitWeighted(df, "y", Seq("x"), Seq("u", "t"), "w", tol = 1e-12)
+    val dist = FixedEffects.fitWeighted(df, "y", Seq("x"), Seq("u", "t"), "w", tol = 1e-12,
+      collectCellLimit = 0)
+    assert(math.abs(drv.coef(0) - dist.coef(0)) < 1e-8, s"${drv.coef(0)} vs ${dist.coef(0)}")
+    assert(drv.n == dist.n)
+    // weighted cell gram served both (no fact re-read): ssr parity too
+    assert(math.abs(drv.ols.ssr - dist.ols.ssr) < 1e-6 * math.max(1.0, drv.ols.ssr))
+  }
+
+  test("FeModel HC1: dense sandwich with the absorbed-dof scale") {
+    val rows = for (u <- 0 until 5; t <- 0 until 6) yield {
+      val x = math.sin(u * 2.1 + t * 0.9) * 3
+      // heteroskedastic noise: scale grows with |x|
+      val e = ((u * 7 + t * 3) % 5 - 2).toDouble * 0.3 * (1.0 + math.abs(x))
+      (u, t, x, 2.0 * x + u.toDouble - 0.5 * t + e)
+    }
+    val df = rows.toDF("u", "t", "x", "y")
+    val m = FixedEffects.fit(df, "y", Seq("x"), Seq("u", "t"), tol = 1e-12)
+    val dm = m.demeaned.select(col("x__dm"), col("y__dm")).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    val b = m.coef(0)
+    val gram = dm.map { case (x, _) => x * x }.sum
+    val meat = dm.map { case (x, y) => math.pow((y - b * x) * x, 2) }.sum
+    val n = rows.length
+    val absorbed = 5 + 6 - 1
+    val scale = n.toDouble / (n - 1 - absorbed)
+    val expect = math.sqrt(scale * meat / (gram * gram))
+    assert(math.abs(m.seHC1(0) - expect) <= 1e-9 * math.max(1.0, expect),
+      s"${m.seHC1(0)} vs $expect")
+  }
+
   test("panel IV homoskedastic sigma2 charges the absorbed FE dof (xtivreg,fe shape)") {
     // the factorial construction from the panel-IV test: the 2SLS
     // residual over the demeaned columns is exactly u (= ±1), so

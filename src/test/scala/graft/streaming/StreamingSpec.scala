@@ -209,6 +209,54 @@ class StreamingSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("streaming long-span decontamination: row-local fingerprints ≡ window chain, planted leak") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, explode, xxhash64}
+    import graft.dedup.RepeatedSpans
+    val base = (0 until 40).map(i => s"a$i")
+    val probeDoc = base.mkString(" ")
+    val leak = ((0 until 6).map(i => s"b$i") ++ base.slice(5, 26) ++
+      (0 until 5).map(i => s"c$i")).mkString(" ")
+    val clean = (0 until 30).map(i => s"z$i").mkString(" ")
+    val shortDoc = "s0 s1 s2"
+    val probe = Seq((1L, probeDoc)).toDF("doc_id", "text")
+
+    // VALUE parity: the row-local zip_with/slice chain produces exactly
+    // the window chain's fingerprints, combined the same way
+    val all = Seq((1L, probeDoc), (2L, leak), (3L, clean)).toDF("doc_id", "text")
+    val (_, fpFrame) = RepeatedSpans.flaggedPlan(all, "text", "doc_id", minLen = 12)
+    val winKeys = fpFrame
+      .select(col("doc_id"), xxhash64(col("h"), col("hb")).as("fp"))
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    fpFrame.unpersist(false)
+    val rowKeys = all
+      .select(col("doc_id"),
+        explode(RepeatedSpans.fingerprintKeys(col("text"), 12)).as("fp"))
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(winKeys == rowKeys)
+
+    // streaming gate across micro-batches: zero state, static probe
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val out = graft.streaming.DocStream.longSpanContaminationStream(
+      ms.toDF.toDF("doc_id", "text"), probe, "text", "doc_id", minLen = 12)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("longspan_out").start()
+    try {
+      ms.addData((2L, leak), (3L, clean))
+      q.processAllAvailable()
+      ms.addData((4L, shortDoc))
+      q.processAllAvailable()
+      val got = spark.table("longspan_out").as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      // 32-token leak doc: 21 distinct span starts, the 10 covering the
+      // copied 21-token run all hit the probe
+      assert(got(2L) == ((21L, 10L)), got(2L).toString)
+      assert(got(3L) == ((19L, 0L)), got(3L).toString)
+      assert(got(4L) == ((0L, 0L)), got(4L).toString)
+    } finally q.stop()
+  }
+
   test("streaming shard-append: per-epoch parity with batch TrainingShards, idempotent layout") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val docs = graft.util.Tables.documents(spark, sf).limit(24).cache()
