@@ -1,0 +1,404 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Distributed generalized linear models by iteratively reweighted least
+  * squares (IRLS) — the maximum-likelihood extension of the reference's
+  * linear `estimate` surface (reference: hdfe/hdfe.py:66-71 fits only the
+  * linear mean; applied panel work routinely needs the Poisson/logit
+  * mean with the same fixed-effect absorption, cf. Correia–Guimarães–
+  * Zylkin's ppmlhdfe companion to reghdfe).
+  *
+  * Design for 100 TB — IRLS is a sequence of weighted least squares
+  * problems, and graft already solves those in one pass each:
+  *
+  *  - **No-FE families**: at iteration t the working weight w = μ(η) and
+  *    working response z = η + (y − μ)/w are CLOSED-FORM row expressions
+  *    of the current coefficient vector (η = x'β with β literals), so
+  *    every iteration is exactly ONE codegen'd aggregate pass computing
+  *    the weighted Gram X'WX, X'Wz and the deviance together — no
+  *    materialized intermediate, no cache, no lineage growth. The k×k
+  *    solve happens on the driver ([[LinAlg]]).
+  *  - **Poisson with absorbed FEs** (PPML): η carries the absorbed
+  *    effects, so it is data, not an expression — each iteration runs
+  *    [[FixedEffects.fitWeighted]] on the working response (weighted
+  *    alternating projections + cell-Gram solve) and recovers the new
+  *    η = z − (z̃ − x̃'β) row-locally from the demeaned frame. The η
+  *    frame is localCheckpoint'ed per iteration (eager, superseded
+  *    blocks released) so lineage stays flat across iterations.
+  *
+  * Statistical notes: canonical links only (log for Poisson, logit for
+  * binomial, identity for gaussian — for which IRLS converges to OLS in
+  * one step, pinned by spec). FE-Poisson drops statistically separated
+  * groups (an FE group whose y is all zero has no finite MLE) the way
+  * ppmlhdfe's simplest check does, iterating across FE dimensions to a
+  * fixpoint. Inference: expected-information SEs from the converged
+  * weighted Gram, plus the robust/cluster-robust sandwich (HC0 meat on
+  * the score u = y − μ, bread (X'WX)⁻¹ — the PPML standard).
+  */
+case class GlmModel(
+    family: String,
+    xNames: Seq[String],          // intercept first when present
+    coef: Array[Double],
+    n: Long,
+    iters: Int,
+    converged: Boolean,
+    deviance: Double,
+    gramW: Array[Array[Double]]   // X'WX at the converged weights
+) {
+  /** Expected-information (inverse Fisher) SEs: sqrt diag (X'WX)⁻¹. */
+  def seInformation: Array[Double] =
+    LinAlg.inverse(gramW).zipWithIndex.map { case (r, i) => math.sqrt(r(i)) }
+
+  /** Linear predictor η = x'β as a column expression. */
+  def etaCol: Column =
+    xNames.zip(coef).map {
+      case ("(intercept)", b) => lit(b)
+      case (x, b)             => col(x).cast("double") * b
+    }.reduce(_ + _)
+}
+
+/** PPML fit with absorbed fixed effects. `frame` is the final working
+  * frame: original columns plus `__mu` (fitted mean), `__eta`, and the
+  * weighted-demeaned `<x>__dm` columns — everything the sandwich SEs
+  * need, with no re-iteration.
+  */
+case class GlmFeModel(
+    yName: String,
+    xNames: Seq[String],
+    feNames: Seq[String],
+    coef: Array[Double],
+    n: Long,
+    iters: Int,
+    converged: Boolean,
+    deviance: Double,
+    droppedSeparated: Long,       // rows removed by the separation check
+    ols: OlsModel,                // within WLS at convergence (gram = X̃'WX̃)
+    frame: DataFrame
+) {
+  /** Robust (HC0) sandwich: (X̃'WX̃)⁻¹ [Σ u² x̃x̃'] (X̃'WX̃)⁻¹ with
+    * u = y − μ. One map-side-combined meat pass.
+    */
+  def varianceRobust: Array[Array[Double]] = Glm.sandwich(
+    frame.withColumn("__u", col(yName).cast("double") - col("__mu")),
+    xNames.map(x => col(s"${x}__dm")), ols.gram, None)
+
+  def seRobust: Array[Double] =
+    varianceRobust.zipWithIndex.map { case (r, i) => math.sqrt(r(i)) }
+
+  /** Cluster-robust sandwich over the score u = y − μ (cluster column
+    * must be listed in `keep` at fit time to survive into the frame).
+    */
+  def varianceClustered(cluster: String): Array[Array[Double]] = Glm.sandwich(
+    frame.withColumn("__u", col(yName).cast("double") - col("__mu")),
+    xNames.map(x => col(s"${x}__dm")), ols.gram, Some(cluster))
+
+  def seClustered(cluster: String): Array[Double] =
+    varianceClustered(cluster).zipWithIndex.map { case (r, i) => math.sqrt(r(i)) }
+}
+
+object Glm {
+
+  /** Canonical-link family: w = dμ/dη evaluates the IRLS weight and the
+    * working response is z = η + (y − μ)/w.
+    */
+  sealed trait Family {
+    def name: String
+    /** μ = g⁻¹(η), with any overflow guard folded in. */
+    def mu(eta: Column): Column
+    /** IRLS weight w(μ) = dμ/dη for the canonical link. */
+    def weight(mu: Column): Column
+    /** Pointwise deviance contribution d(y, μ) with Σd the deviance. */
+    def deviance(y: Column, mu: Column): Column
+    /** Starting η per row (standard GLM initializers; mean-adjusted so
+      * zero counts start finite).
+      */
+    def etaInit(y: Column, ybar: Double): Column
+  }
+
+  case object Poisson extends Family {
+    val name = "poisson"
+    def mu(eta: Column): Column = exp(least(greatest(eta, lit(-30.0)), lit(30.0)))
+    def weight(mu: Column): Column = mu
+    def deviance(y: Column, mu: Column): Column =
+      lit(2.0) * (when(y > 0.0, y * log(y / mu)).otherwise(lit(0.0)) - (y - mu))
+    def etaInit(y: Column, ybar: Double): Column = log((y + lit(ybar)) / 2.0)
+  }
+
+  /** Bernoulli outcome in {0, 1} with the logit link. */
+  case object Binomial extends Family {
+    val name = "binomial"
+    def mu(eta: Column): Column = {
+      val e = least(greatest(eta, lit(-30.0)), lit(30.0))
+      lit(1.0) / (lit(1.0) + exp(-e))
+    }
+    def weight(mu: Column): Column = mu * (lit(1.0) - mu)
+    def deviance(y: Column, mu: Column): Column =
+      lit(-2.0) * (when(y > 0.0, y * log(mu)).otherwise(lit(0.0)) +
+        when(y < 1.0, (lit(1.0) - y) * log(lit(1.0) - mu)).otherwise(lit(0.0)))
+    def etaInit(y: Column, ybar: Double): Column = {
+      val m = (y + 0.5) / 2.0
+      log(m / (lit(1.0) - m))
+    }
+  }
+
+  /** Identity link, unit weights: IRLS solves OLS exactly in one step —
+    * kept as the algebraic sanity anchor (spec-pinned ≡ [[Ols.fit]]).
+    */
+  case object Gaussian extends Family {
+    val name = "gaussian"
+    def mu(eta: Column): Column = eta
+    def weight(mu: Column): Column = lit(1.0)
+    def deviance(y: Column, mu: Column): Column = (y - mu) * (y - mu)
+    def etaInit(y: Column, ybar: Double): Column = lit(ybar)
+  }
+
+  /** Fit y ~ family(x'β) without fixed effects. One aggregate pass per
+    * IRLS iteration (see object doc); β, the converged weighted Gram and
+    * the deviance come back in a [[GlmModel]].
+    */
+  def fit(
+      df: DataFrame,
+      y: String,
+      xs: Seq[String],
+      family: Family,
+      intercept: Boolean = true,
+      tol: Double = 1e-9,
+      maxIter: Int = 30
+  ): GlmModel = {
+    val names = (if (intercept) Seq("(intercept)") else Nil) ++ xs
+    val xcols: Seq[Column] =
+      (if (intercept) Seq(lit(1.0)) else Nil) ++ xs.map(c => col(c).cast("double"))
+    val yc = col(y).cast("double")
+    val k = xcols.length
+
+    val ybar = df.agg(avg(yc)).head().getDouble(0)
+
+    var beta: Array[Double] = null
+    var dev = Double.MaxValue
+    var n = 0L
+    var gramW: Array[Array[Double]] = null
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // η from current β (or the family initializer on the first pass)
+      val eta: Column =
+        if (beta == null) family.etaInit(yc, ybar)
+        else xcols.zip(beta).map { case (x, b) => x * b }.reduce(_ + _)
+      val mu = family.mu(eta)
+      val w = family.weight(mu)
+      val z = eta + (yc - mu) / w
+
+      // one pass: weighted Gram + X'Wz + deviance at the CURRENT β
+      val aggs: Seq[Column] =
+        (for (i <- 0 until k; j <- i until k) yield sum(w * xcols(i) * xcols(j))) ++
+          (0 until k).map(i => sum(w * xcols(i) * z)) ++
+          Seq(sum(family.deviance(yc, mu)), count(lit(1)))
+      val row: Row = df.agg(aggs.head, aggs.tail: _*).head()
+
+      var p = 0
+      val g = Array.ofDim[Double](k, k)
+      for (i <- 0 until k; j <- i until k) {
+        val v = row.getDouble(p); p += 1
+        g(i)(j) = v; g(j)(i) = v
+      }
+      val c = Array.tabulate(k)(i => row.getDouble(p + i))
+      p += k
+      val devNow = row.getDouble(p)
+      n = row.getLong(p + 1)
+
+      val betaNew = LinAlg.solve(g, c)
+      // deviance is evaluated at the β that PRODUCED this pass's μ, so
+      // convergence compares successive iterates' own fits
+      converged = beta != null && math.abs(devNow - dev) / (math.abs(devNow) + 0.1) < tol
+      beta = betaNew
+      dev = devNow
+      gramW = g
+      iter += 1
+    }
+    GlmModel(family.name, names, beta, n, iter, converged, dev, gramW)
+  }
+
+  def poisson(df: DataFrame, y: String, xs: Seq[String], intercept: Boolean = true,
+      tol: Double = 1e-9, maxIter: Int = 30): GlmModel =
+    fit(df, y, xs, Poisson, intercept, tol, maxIter)
+
+  def logistic(df: DataFrame, y: String, xs: Seq[String], intercept: Boolean = true,
+      tol: Double = 1e-9, maxIter: Int = 30): GlmModel =
+    fit(df, y, xs, Binomial, intercept, tol, maxIter)
+
+  /** Robust / cluster-robust GLM sandwich for a no-FE model: bread
+    * (X'WX)⁻¹, meat Σ u²xx' (HC0) or Σ_g s_g s_g' with s_g = Σ_{i∈g}
+    * u_i x_i, u = y − μ. One pass (plus the per-cluster reduce when
+    * clustered).
+    */
+  def varianceRobust(df: DataFrame, model: GlmModel, y: String,
+      cluster: Option[String] = None): Array[Array[Double]] = {
+    val fam = familyOf(model.family)
+    val mu = fam.mu(model.etaCol)
+    val xcols: Seq[Column] = model.xNames.map {
+      case "(intercept)" => lit(1.0)
+      case x             => col(x).cast("double")
+    }
+    sandwich(df.withColumn("__u", col(y).cast("double") - mu), xcols, model.gramW, cluster)
+  }
+
+  def seRobust(df: DataFrame, model: GlmModel, y: String): Array[Double] =
+    varianceRobust(df, model, y).zipWithIndex.map { case (r, i) => math.sqrt(r(i)) }
+
+  def seClustered(df: DataFrame, model: GlmModel, y: String, cluster: String): Array[Double] =
+    varianceRobust(df, model, y, Some(cluster))
+      .zipWithIndex.map { case (r, i) => math.sqrt(r(i)) }
+
+  /** PPML: Poisson regression of y on xs with `fes` absorbed — IRLS
+    * where every iteration is one [[FixedEffects.fitWeighted]] on the
+    * working response (see object doc). `keep` carries extra columns
+    * (e.g. cluster keys) into the final frame for [[GlmFeModel]]'s
+    * sandwich SEs.
+    */
+  def poissonFE(
+      df: DataFrame,
+      y: String,
+      xs: Seq[String],
+      fes: Seq[String],
+      tol: Double = 1e-8,
+      maxIter: Int = 25,
+      keep: Seq[String] = Nil,
+      dropSeparated: Boolean = true,
+      collectCellLimit: Long = 2000000L
+  ): GlmFeModel = {
+    require(fes.nonEmpty, "use Glm.poisson when there are no fixed effects")
+    require(maxIter >= 1, "PPML needs at least one IRLS iteration")
+    val yc = col(y).cast("double")
+    val needed = (fes ++ (y +: xs) ++ keep).distinct
+    val base0 = df.select(needed.map(col): _*)
+    val (base, nDropped) =
+      if (dropSeparated) dropSeparatedGroups(base0, y, fes) else (base0, 0L)
+
+    val ybar = base.agg(avg(yc)).head().getDouble(0)
+    require(ybar > 0.0, "PPML needs a strictly positive outcome mean")
+
+    var cur = base.withColumn("__eta", Poisson.etaInit(yc, ybar)).localCheckpoint()
+    base.unpersist() // no-op unless the separation check checkpointed it
+    // observation count (fm.ols.n is the weight mass Σμ, which the ML
+    // normal equations make ≈ Σy — not the row count)
+    val nObs = cur.count()
+    var prev: DataFrame = null
+    var dev = Double.MaxValue
+    var iter = 0
+    var converged = false
+    var fm: FeModel = null
+    while (iter < maxIter && !converged) {
+      val mu = Poisson.mu(col("__eta"))
+      val work = cur
+        .withColumn("__mu", mu)
+        .withColumn("__z", col("__eta") + (yc - col("__mu")) / col("__mu"))
+      fm = FixedEffects.fitWeighted(
+        work, "__z", xs, fes, weight = "__mu",
+        keep = (y +: "__eta" +: "__mu" +: keep).distinct,
+        collectCellLimit = collectCellLimit)
+      // η' = z − (z̃ − x̃'β): the fitted value of the working response,
+      // absorbed effects included, recovered row-locally
+      val resid = xs.zip(fm.coef).map { case (x, b) => col(s"${x}__dm") * b }
+        .foldLeft(col("__z__dm"))(_ - _)
+      val next = fm.demeaned
+        .withColumn("__eta", col("__z") - resid)
+        .select((needed :+ "__eta").map(col): _*)
+        .localCheckpoint()
+      val devNow = next
+        .agg(sum(Poisson.deviance(yc, Poisson.mu(col("__eta"))))).head().getDouble(0)
+
+      if (prev != null) prev.unpersist()
+      prev = cur
+      cur = next
+      converged = math.abs(devNow - dev) / (math.abs(devNow) + 0.1) < tol
+      dev = devNow
+      iter += 1
+    }
+    // `prev` stays materialized: the returned frame reads the last
+    // iteration's demeaned columns, whose lineage roots in it (a
+    // localCheckpoint cannot be recomputed once dropped). The final
+    // `cur` η-frame is no longer referenced by anything.
+    if (cur ne null) cur.unpersist()
+    // final frame: the last iteration's demeaned design with μ
+    // recomputed at the converged β (η' = z − (z̃ − x̃'β); the x̃ columns
+    // move O(tol) per late iteration — the standard IRLS-sandwich
+    // convention)
+    val etaFinal = col("__z") - xs.zip(fm.coef).map { case (x, b) => col(s"${x}__dm") * b }
+      .foldLeft(col("__z__dm"))(_ - _)
+    val frame = fm.demeaned.drop("__mu").withColumn("__mu", Poisson.mu(etaFinal))
+    GlmFeModel(y, xs, fes, fm.coef, nObs, iter, converged, dev, nDropped,
+      fm.ols, frame)
+  }
+
+  /** Drop observations in statistically separated FE groups: any group
+    * (in any FE dimension) whose outcome is identically zero admits no
+    * finite Poisson MLE. Removing one dimension's all-zero groups can
+    * zero out another's, so iterate to a fixpoint (bounded — each round
+    * strictly shrinks or stops). Returns (kept frame, #rows dropped).
+    */
+  private[ml] def dropSeparatedGroups(
+      df: DataFrame, y: String, fes: Seq[String]): (DataFrame, Long) = {
+    val yc = col(y).cast("double")
+    var cur = df.localCheckpoint()
+    val n0 = cur.count()
+    var n = n0
+    var changed = true
+    while (changed) {
+      var step = cur
+      for (fe <- fes) {
+        val ok = step.groupBy(col(fe)).agg(max(yc).as("__m")).filter(col("__m") > 0.0)
+          .select(col(fe))
+        step = step.join(broadcast(ok), Seq(fe), "left_semi")
+      }
+      val next = step.localCheckpoint()
+      val nNext = next.count()
+      changed = nNext != n
+      cur.unpersist()
+      cur = next
+      n = nNext
+    }
+    (cur, n0 - n)
+  }
+
+  private def familyOf(name: String): Family = name match {
+    case "poisson"  => Poisson
+    case "binomial" => Binomial
+    case "gaussian" => Gaussian
+    case other      => throw new IllegalArgumentException(s"unknown family $other")
+  }
+
+  /** Shared sandwich: bread⁻¹ · meat · bread⁻¹ where meat is Σ u²xx'
+    * (row-local, no shuffle) or the per-cluster score outer product (one
+    * groupBy of k sums). `frame` must carry `__u`.
+    */
+  private[ml] def sandwich(
+      frame: DataFrame,
+      xcols: Seq[Column],
+      bread: Array[Array[Double]],
+      cluster: Option[String]
+  ): Array[Array[Double]] = {
+    val k = xcols.length
+    val meatRow: Row = cluster match {
+      case None =>
+        val aggs = for (i <- 0 until k; j <- i until k)
+          yield sum(col("__u") * col("__u") * xcols(i) * xcols(j))
+        frame.agg(aggs.head, aggs.tail: _*).head()
+      case Some(cl) =>
+        val scores = (0 until k).map(i => sum(col("__u") * xcols(i)).as(s"s_$i"))
+        val per = frame.groupBy(col(cl)).agg(scores.head, scores.tail: _*)
+        val aggs = for (i <- 0 until k; j <- i until k)
+          yield sum(col(s"s_$i") * col(s"s_$j"))
+        per.agg(aggs.head, aggs.tail: _*).head()
+    }
+    val meat = Array.ofDim[Double](k, k)
+    var p = 0
+    for (i <- 0 until k; j <- i until k) {
+      val v = meatRow.getDouble(p); p += 1
+      meat(i)(j) = v; meat(j)(i) = v
+    }
+    val inv = LinAlg.inverse(bread)
+    LinAlg.matMul(LinAlg.matMul(inv, meat), inv)
+  }
+}

@@ -819,6 +819,65 @@ object CoreQueries {
     )
   )
 
+  // ---- C32: Poisson GLM + PPML with absorbed FEs (rows-only: the ML
+  // fixpoint is not ANSI-SQL-expressible; GlmSpec pins both paths
+  // against an independent dense IRLS and explicit-dummy parity) -------
+
+  val q79 = Q(
+    "q79_poisson",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .withColumn("lp", log(col("l_extendedprice")))
+      val m = graft.ml.Glm.poisson(li, "l_quantity", Seq("lp", "l_discount"))
+      val seR = graft.ml.Glm.seRobust(li, m, "l_quantity")
+      val fe = graft.ml.Glm.poissonFE(
+        li, "l_quantity", Seq("lp", "l_discount"),
+        Seq("l_returnflag", "l_linestatus"))
+      scalarRow(
+        s,
+        Seq(
+          "glm_beta_lp" -> rnd(m.coef(1), 4),
+          "glm_beta_disc" -> rnd(m.coef(2), 4),
+          "glm_se_rob_lp" -> rnd(seR(1), 4),
+          "ppml_beta_lp" -> rnd(fe.coef(0), 4),
+          "ppml_beta_disc" -> rnd(fe.coef(1), 4),
+          "ppml_se_rob_lp" -> rnd(fe.seRobust(0), 4)
+        ),
+        Seq("n" -> m.n, "glm_iters" -> m.iters.toLong,
+          "ppml_iters" -> fe.iters.toLong,
+          "converged" -> (if (m.converged && fe.converged) 1L else 0L))
+      )
+    },
+    None
+  )
+
+  // ---- C33: logistic regression (same IRLS engine, logit link) -------
+
+  val q80 = Q(
+    "q80_logit",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .withColumn("lp", log(col("l_extendedprice")))
+        .withColumn("ret", when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
+      val m = graft.ml.Glm.logistic(li, "ret", Seq("lp", "l_discount", "l_quantity"))
+      val seC = graft.ml.Glm.seClustered(li, m, "ret", "l_orderkey")
+      scalarRow(
+        s,
+        Seq(
+          "beta_lp" -> rnd(m.coef(1), 4),
+          "beta_disc" -> rnd(m.coef(2), 4),
+          "beta_qty" -> rnd(m.coef(3), 4),
+          "se_info_lp" -> rnd(m.seInformation(1), 4),
+          "se_cl_lp" -> rnd(seC(1), 4),
+          "deviance" -> rnd(m.deviance, 2)
+        ),
+        Seq("n" -> m.n, "iters" -> m.iters.toLong,
+          "converged" -> (if (m.converged) 1L else 0L))
+      )
+    },
+    None
+  )
+
   /** Round a driver-side double the same way Spark/DuckDB `round` does
     * (HALF_UP on the decimal representation).
     */
@@ -827,5 +886,5 @@ object CoreQueries {
 
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18,
-      q19, q36, q37, q38, q41, q42, q43, q59, q68, q70, q74)
+      q19, q36, q37, q38, q41, q42, q43, q59, q68, q70, q74, q79, q80)
 }

@@ -1235,8 +1235,103 @@ object PipelineQueries {
     )
   )
 
+  // ---- P13: C4-style line-level dedup (oracle) --------------------------
+  // The corpus has no newlines, so both engines derive the SAME line
+  // structure first (10-token lines) — then every duplicated line is
+  // removed except its earliest (doc, pos) occurrence and documents are
+  // reassembled in order. The oracle replays it with window functions
+  // over raw line text; Spark groups 8-byte xxhash64 keys and broadcasts
+  // only the duplicated-line table (see LineDedup).
+  val q77 = Q(
+    "q77_line_dedup",
+    (s, dir) => {
+      val toks = split(col("text"), " ")
+      // Column `/` is double division: floor+cast for the line count
+      val m = greatest(floor((size(toks) + lit(9)) / lit(10)).cast("int"), lit(1))
+      val lined = Tables.documents(s, dir).select(
+        col("doc_id"),
+        array_join(
+          transform(sequence(lit(0), m - 1),
+            i => array_join(slice(toks, i * 10 + 1, lit(10)), " ")),
+          "\n").as("lt"))
+      graft.dedup.LineDedup.clean(lined, "lt", "doc_id", "\n", minCount = 2)
+    },
+    Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |lined AS (SELECT doc_id,
+        |    list_transform(range(greatest((len(ts)+9)//10, 1)),
+        |      i -> array_to_string(ts[i*10+1:i*10+10], ' ')) AS ls
+        |  FROM t),
+        |lines AS (SELECT doc_id, i AS pos, ls[i+1] AS line
+        |  FROM lined, UNNEST(range(len(ls))) AS u(i)),
+        |marked AS (SELECT doc_id, pos, line,
+        |    count(*) OVER (PARTITION BY line) AS cnt,
+        |    row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        |  FROM lines)
+        |SELECT doc_id,
+        |  coalesce(string_agg(line, chr(10) ORDER BY pos)
+        |    FILTER (WHERE cnt < 2 OR rn = 1), '') AS clean_text,
+        |  count(*) FILTER (WHERE NOT (cnt < 2 OR rn = 1)) AS n_removed,
+        |  count(*) AS n_lines
+        |FROM marked GROUP BY doc_id""".stripMargin
+    )
+  )
+
+  // ---- T16: BM25 ranked retrieval (oracle) ------------------------------
+  // Queries are 3-term bags drawn deterministically from the corpus
+  // (docs 0-7, token positions 1/11/21). Every score is pinned to 4
+  // decimals: the slot-ordered sum makes the float arithmetic identical
+  // on both engines, and the rank-5/6 gaps (min 2.6e-4 at sf0.01) dwarf
+  // cross-engine libm noise.
+  val q78 = Q(
+    "q78_bm25",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val qs = docs
+        .filter(col("doc_id") < 8)
+        .select(col("doc_id").as("qid"), split(col("text"), " ").as("__qt"))
+        .select(
+          col("qid"),
+          // try_element_at: a query doc shorter than the slot position
+          // yields a NULL term, which the term join drops — exactly the
+          // oracle's ts[i] list semantics
+          posexplode(array(
+            try_element_at(col("__qt"), lit(1)),
+            try_element_at(col("__qt"), lit(11)),
+            try_element_at(col("__qt"), lit(21)))).as(Seq("qpos", "term")))
+      graft.text.Bm25.topK(docs, "text", "doc_id", qs, k = 5)
+        .withColumn("score", round(col("score"), 4))
+    },
+    Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |stats AS (SELECT count(*) AS n, avg(len(ts)) AS avgdl FROM t),
+        |tf AS (SELECT doc_id, u.term, count(*) AS tf, any_value(dl) AS dl
+        |       FROM (SELECT doc_id, ts, len(ts) AS dl FROM t), UNNEST(ts) AS u(term)
+        |       GROUP BY doc_id, u.term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |qt AS (SELECT doc_id AS qid, i AS qpos,
+        |         ts[CASE i WHEN 0 THEN 1 WHEN 1 THEN 11 ELSE 21 END] AS term
+        |       FROM t, UNNEST(range(3)) AS u(i) WHERE doc_id < 8),
+        |ts2 AS (SELECT qt.qid, qt.qpos, tf.doc_id,
+        |    ln(1 + ((SELECT n FROM stats) - df.df + 0.5) / (df.df + 0.5)) *
+        |    (tf.tf * 2.2) /
+        |    (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / (SELECT avgdl FROM stats))) AS s
+        |  FROM qt JOIN tf ON qt.term = tf.term JOIN df ON qt.term = df.term),
+        |scored AS (SELECT qid, doc_id,
+        |    coalesce(max(s) FILTER (WHERE qpos = 0), 0) +
+        |    coalesce(max(s) FILTER (WHERE qpos = 1), 0) +
+        |    coalesce(max(s) FILTER (WHERE qpos = 2), 0) AS score
+        |  FROM ts2 GROUP BY qid, doc_id),
+        |ranked AS (SELECT qid, doc_id, score,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+        |  FROM scored)
+        |SELECT qid, rn AS rank, doc_id, round(score, 4) AS score
+        |FROM ranked WHERE rn <= 5""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
-      q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76)
+      q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78)
 }

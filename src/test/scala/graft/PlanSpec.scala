@@ -204,4 +204,36 @@ class PlanSpec extends SparkSpec {
     // text: no concat/slice of L tokens appears in the physical plan
     assert(!plan.contains("slice("), plan)
   }
+
+  test("line dedup broadcasts the duplicated-line table; two hash shuffles, no sort-merge join") {
+    import spark.implicits._
+    val docs = (1L to 60L)
+      .map(i => (i, s"HDR\nbody $i line a\nbody $i line b\nFOOT"))
+      .toDF("doc_id", "text")
+    val plan = executedPlan(graft.dedup.LineDedup.clean(docs, "text", "doc_id"))
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // line-count groupBy + doc reassembly groupBy: nothing else moves
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected <= 2 exchanges, got $exchanges:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
+
+  test("BM25 broadcasts the idf-enriched query table; postings frame computed once") {
+    import spark.implicits._
+    val docs = (1L to 80L)
+      .map(i => (i, (0 until 30).map(j => s"w${(i + j) % 11}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val qs = Seq((0L, 0, "w1"), (0L, 1, "w2"), (0L, 2, "w3")).toDF("qid", "qpos", "term")
+    val out = graft.text.Bm25.topK(docs, "text", "doc_id", qs, k = 5)
+    val plan = executedPlan(out)
+    // scoring join: broadcast, never an exchange of the postings side
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the persisted postings frame serves both the df aggregate and the
+    // scoring join — the corpus is not re-tokenized
+    assert(plan.contains("InMemoryTableScan"), plan)
+    out.sparkSession.sharedState.cacheManager.clearCache()
+  }
 }

@@ -305,4 +305,41 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept11 == Set(1L, 3L))
   }
+
+  test("LineDedup removes corpus-duplicated lines, keeps earliest occurrence, preserves order") {
+    // boilerplate "HDR" appears in docs 1,2,3 (and twice inside doc 3);
+    // "FOOT" in docs 2,3; unique lines survive untouched
+    val df = Seq(
+      (1L, "HDR\nalpha\nbeta"),
+      (2L, "HDR\ngamma\nFOOT"),
+      (3L, "HDR\nHDR\ndelta\nFOOT"),
+      (4L, "unique one\nunique two")
+    ).toDF("doc_id", "text")
+    val out = LineDedup.clean(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // keeper of HDR is (doc 1, pos 0); keeper of FOOT is (doc 2, pos 2)
+    assert(out(1L) == (("HDR\nalpha\nbeta", 0L, 3L)))
+    assert(out(2L) == (("gamma\nFOOT", 1L, 3L)))
+    assert(out(3L) == (("delta", 3L, 4L)))
+    assert(out(4L) == (("unique one\nunique two", 0L, 2L)))
+  }
+
+  test("LineDedup minCount=3 keeps lines below the threshold; all-removed doc stays with empty text") {
+    val df = Seq(
+      (1L, "X"),
+      (2L, "X"),
+      (3L, "X"),
+      (4L, "X\nY"),
+      (5L, "Y")
+    ).toDF("doc_id", "text")
+    // X occurs 4 times (>= 3): removed everywhere but doc 1. Y occurs
+    // twice (< 3): survives everywhere.
+    val out = LineDedup.clean(df, "text", "doc_id", minCount = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("X", 0L)))
+    assert(out(2L) == (("", 1L)))
+    assert(out(3L) == (("", 1L)))
+    assert(out(4L) == (("Y", 1L))) // its X is not the keeper
+    assert(out(5L) == (("Y", 0L)))
+  }
 }

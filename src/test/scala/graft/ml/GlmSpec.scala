@@ -1,0 +1,277 @@
+package graft.ml
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** GLM/IRLS specs. The anchor is an INDEPENDENT dense IRLS implemented
+  * here with explicit row loops (same canonical-link math, no Spark, no
+  * shared aggregation code) — the distributed fits must reproduce its
+  * coefficients, information SEs, deviance, and sandwich variances.
+  */
+class GlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- independent dense IRLS ------------------------------------------
+
+  /** family: "poisson" | "binomial". X rows WITHOUT intercept; one is
+    * prepended here. Returns (beta, X'WX, deviance, iters).
+    */
+  private def denseIrls(
+      xRaw: Array[Array[Double]],
+      y: Array[Double],
+      family: String,
+      tol: Double = 1e-9,
+      maxIter: Int = 30
+  ): (Array[Double], Array[Array[Double]], Double, Int) = {
+    val n = y.length
+    val x = xRaw.map(r => 1.0 +: r)
+    val k = x.head.length
+    val ybar = y.sum / n
+    def clip(e: Double) = math.max(-30.0, math.min(30.0, e))
+    def mu(eta: Double) = family match {
+      case "poisson"  => math.exp(clip(eta))
+      case "binomial" => 1.0 / (1.0 + math.exp(-clip(eta)))
+    }
+    def devTerm(yi: Double, m: Double) = family match {
+      case "poisson" =>
+        2.0 * ((if (yi > 0) yi * math.log(yi / m) else 0.0) - (yi - m))
+      case "binomial" =>
+        -2.0 * ((if (yi > 0) yi * math.log(m) else 0.0) +
+          (if (yi < 1) (1 - yi) * math.log(1 - m) else 0.0))
+    }
+    def etaInit(yi: Double) = family match {
+      case "poisson"  => math.log((yi + ybar) / 2.0)
+      case "binomial" => { val m = (yi + 0.5) / 2.0; math.log(m / (1 - m)) }
+    }
+
+    var beta: Array[Double] = null
+    var dev = Double.MaxValue
+    var g: Array[Array[Double]] = null
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val eta = Array.tabulate(n) { i =>
+        if (beta == null) etaInit(y(i))
+        else (0 until k).map(j => x(i)(j) * beta(j)).sum
+      }
+      val m = eta.map(mu)
+      val w = family match {
+        case "poisson"  => m
+        case "binomial" => m.map(v => v * (1 - v))
+      }
+      val z = Array.tabulate(n)(i => eta(i) + (y(i) - m(i)) / w(i))
+      g = Array.ofDim[Double](k, k)
+      val c = Array.ofDim[Double](k)
+      for (i <- 0 until n; a <- 0 until k) {
+        c(a) += w(i) * x(i)(a) * z(i)
+        for (b <- 0 until k) g(a)(b) += w(i) * x(i)(a) * x(i)(b)
+      }
+      val devNow = (0 until n).map(i => devTerm(y(i), m(i))).sum
+      val betaNew = LinAlg.solve(g.map(_.clone()), c)
+      converged = beta != null && math.abs(devNow - dev) / (math.abs(devNow) + 0.1) < tol
+      beta = betaNew
+      dev = devNow
+      iter += 1
+    }
+    (beta, g, dev, iter)
+  }
+
+  /** Dense sandwich at the converged fit: bread⁻¹ meat bread⁻¹, meat from
+    * per-cluster score sums (clusters = singletons for HC0).
+    */
+  private def denseSandwich(
+      xRaw: Array[Array[Double]],
+      y: Array[Double],
+      beta: Array[Double],
+      gramW: Array[Array[Double]],
+      family: String,
+      clusters: Array[Int]
+  ): Array[Array[Double]] = {
+    val x = xRaw.map(r => 1.0 +: r)
+    val k = x.head.length
+    def clip(e: Double) = math.max(-30.0, math.min(30.0, e))
+    def mu(eta: Double) = family match {
+      case "poisson"  => math.exp(clip(eta))
+      case "binomial" => 1.0 / (1.0 + math.exp(-clip(eta)))
+    }
+    val scores = scala.collection.mutable.Map[Int, Array[Double]]()
+    for (i <- y.indices) {
+      val eta = (0 until k).map(j => x(i)(j) * beta(j)).sum
+      val u = y(i) - mu(eta)
+      val s = scores.getOrElseUpdate(clusters(i), Array.ofDim[Double](k))
+      for (a <- 0 until k) s(a) += u * x(i)(a)
+    }
+    val meat = Array.ofDim[Double](k, k)
+    for (s <- scores.values; a <- 0 until k; b <- 0 until k) meat(a)(b) += s(a) * s(b)
+    val inv = LinAlg.inverse(gramW)
+    LinAlg.matMul(LinAlg.matMul(inv, meat), inv)
+  }
+
+  private def rpois(lambda: Double, rng: Random): Double = {
+    val l = math.exp(-lambda)
+    var kk = 0
+    var p = 1.0
+    while ({ kk += 1; p *= rng.nextDouble(); p > l }) ()
+    (kk - 1).toDouble
+  }
+
+  // deterministic Poisson panel: x, two FEs, y ~ Pois(exp(.4x + a_g + b_h))
+  private lazy val panel: Seq[(Double, String, String, Double)] = {
+    val rng = new Random(20260813L)
+    val aEff = Map("g0" -> 0.0, "g1" -> 0.6, "g2" -> -0.4, "g3" -> 0.9)
+    val bEff = Map("h0" -> 0.0, "h1" -> -0.5, "h2" -> 0.3)
+    for (i <- 0 until 240) yield {
+      val g = s"g${i % 4}"
+      val h = s"h${(i / 4) % 3}"
+      val x = math.sin(i * 0.37) * 1.5
+      val lam = math.exp(0.4 * x + aEff(g) + bEff(h))
+      (x, g, h, rpois(lam, rng))
+    }
+  }
+
+  test("Gaussian-identity IRLS reproduces OLS exactly (one-step fixpoint)") {
+    val rows = for (i <- 0 until 60)
+      yield (math.sin(i * 1.3) * 2, math.cos(i * 0.7), 1.0 + 2.0 * math.sin(i * 1.3) * 2 - 0.5 * math.cos(i * 0.7) + math.sin(i * 5.1) * 0.1)
+    val df = rows.toDF("a", "b", "y")
+    val ols = Ols.fit(df, "y", Seq("a", "b"))
+    val glm = Glm.fit(df, "y", Seq("a", "b"), Glm.Gaussian)
+    assert(glm.converged)
+    ols.coef.zip(glm.coef).foreach { case (o, g) => assert(math.abs(o - g) < 1e-10) }
+    assert(math.abs(glm.deviance - ols.ssr) < 1e-8)
+  }
+
+  test("Poisson GLM matches the independent dense IRLS (coef, SE, deviance, iters)") {
+    val rng = new Random(7L)
+    val data = for (i <- 0 until 300) yield {
+      val x1 = math.sin(i * 0.61) * 1.2
+      val x2 = math.cos(i * 1.13)
+      (x1, x2, rpois(math.exp(0.5 + 0.3 * x1 - 0.6 * x2), rng))
+    }
+    val df = data.toDF("x1", "x2", "y")
+    val m = Glm.poisson(df, "y", Seq("x1", "x2"))
+    val (bD, gD, devD, itD) = denseIrls(
+      data.map(d => Array(d._1, d._2)).toArray, data.map(_._3).toArray, "poisson")
+    assert(m.converged)
+    assert(m.iters == itD)
+    m.coef.zip(bD).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    assert(math.abs(m.deviance - devD) < 1e-7)
+    val seD = LinAlg.inverse(gD).zipWithIndex.map { case (r, i) => math.sqrt(r(i)) }
+    m.seInformation.zip(seD).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    // true parameters recovered within a few SEs on this draw
+    assert(math.abs(m.coef(1) - 0.3) < 4 * m.seInformation(1))
+    assert(math.abs(m.coef(2) + 0.6) < 4 * m.seInformation(2))
+  }
+
+  test("logistic GLM matches the independent dense IRLS") {
+    val data = for (i <- 0 until 400) yield {
+      val x = math.sin(i * 0.77) * 2
+      // deterministic threshold draw: uniform via hash-free recurrence
+      val u = (math.sin(i * 12.9898) * 43758.5453) % 1.0
+      val p = 1.0 / (1.0 + math.exp(-(-0.3 + 1.1 * x)))
+      (x, if (math.abs(u) < p) 1.0 else 0.0)
+    }
+    val df = data.toDF("x", "y")
+    val m = Glm.logistic(df, "y", Seq("x"))
+    val (bD, gD, devD, _) = denseIrls(
+      data.map(d => Array(d._1)).toArray, data.map(_._2).toArray, "binomial")
+    assert(m.converged)
+    m.coef.zip(bD).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    assert(math.abs(m.deviance - devD) < 1e-7)
+    val seD = LinAlg.inverse(gD).zipWithIndex.map { case (r, i) => math.sqrt(r(i)) }
+    m.seInformation.zip(seD).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+  }
+
+  test("Poisson robust and clustered sandwich match the dense computation") {
+    val rng = new Random(11L)
+    val data = for (i <- 0 until 200) yield {
+      val x = math.sin(i * 0.41) * 1.3
+      (i.toLong, x, i % 7, rpois(math.exp(0.2 + 0.5 * x), rng))
+    }
+    val df = data.toDF("rid", "x", "cl", "y")
+    val m = Glm.poisson(df, "y", Seq("x"))
+    val xArr = data.map(d => Array(d._2)).toArray
+    val yArr = data.map(_._4).toArray
+    val vRob = Glm.varianceRobust(df, m, "y")
+    val vRobD = denseSandwich(xArr, yArr, m.coef, m.gramW, "poisson",
+      data.indices.toArray) // singleton clusters = HC0
+    val vCl = Glm.varianceRobust(df, m, "y", Some("cl"))
+    val vClD = denseSandwich(xArr, yArr, m.coef, m.gramW, "poisson",
+      data.map(_._3).toArray)
+    for (i <- 0 until 2; j <- 0 until 2) {
+      assert(math.abs(vRob(i)(j) - vRobD(i)(j)) < 1e-9)
+      assert(math.abs(vCl(i)(j) - vClD(i)(j)) < 1e-9)
+    }
+  }
+
+  test("PPML with one absorbed FE equals Poisson with explicit dummies") {
+    val df = panel.toDF("x", "g", "h", "y")
+    val withDummies = df
+      .withColumn("d1", when($"g" === "g1", 1.0).otherwise(0.0))
+      .withColumn("d2", when($"g" === "g2", 1.0).otherwise(0.0))
+      .withColumn("d3", when($"g" === "g3", 1.0).otherwise(0.0))
+    val full = Glm.poisson(withDummies, "y", Seq("x", "d1", "d2", "d3"), tol = 1e-12)
+    val fe = Glm.poissonFE(df, "y", Seq("x"), Seq("g"), tol = 1e-12)
+    assert(fe.converged && full.converged)
+    assert(math.abs(fe.coef(0) - full.coef(1)) < 1e-7)
+    assert(math.abs(fe.deviance - full.deviance) < 1e-6)
+    assert(fe.n == panel.length)
+    assert(fe.droppedSeparated == 0L)
+  }
+
+  test("PPML with two absorbed FEs equals Poisson with explicit dummies, robust SE included") {
+    val df = panel.toDF("x", "g", "h", "y")
+    val withDummies = df
+      .withColumn("d1", when($"g" === "g1", 1.0).otherwise(0.0))
+      .withColumn("d2", when($"g" === "g2", 1.0).otherwise(0.0))
+      .withColumn("d3", when($"g" === "g3", 1.0).otherwise(0.0))
+      .withColumn("e1", when($"h" === "h1", 1.0).otherwise(0.0))
+      .withColumn("e2", when($"h" === "h2", 1.0).otherwise(0.0))
+    val dums = Seq("x", "d1", "d2", "d3", "e1", "e2")
+    val full = Glm.poisson(withDummies, "y", dums, tol = 1e-12)
+    val fe = Glm.poissonFE(df, "y", Seq("x"), Seq("g", "h"), tol = 1e-12)
+    assert(fe.converged && full.converged)
+    assert(math.abs(fe.coef(0) - full.coef(1)) < 1e-6)
+    assert(math.abs(fe.deviance - full.deviance) < 1e-5)
+    // weighted-FWL: the x-block of the full-design sandwich equals the
+    // demeaned-design sandwich (meat on the same score u = y − μ)
+    val vFull = Glm.varianceRobust(withDummies, full, "y")
+    val seFullX = math.sqrt(vFull(1)(1))
+    assert(math.abs(fe.seRobust(0) - seFullX) / seFullX < 1e-4)
+  }
+
+  test("PPML separation check drops all-zero FE groups before fitting") {
+    val df = panel.toDF("x", "g", "h", "y")
+    // plant a group whose outcome is identically zero
+    val planted = df.union(
+      Seq((0.3, "gZ", "h0", 0.0), (-0.2, "gZ", "h1", 0.0), (0.1, "gZ", "h2", 0.0))
+        .toDF("x", "g", "h", "y"))
+    val fe = Glm.poissonFE(planted, "y", Seq("x"), Seq("g"), tol = 1e-12)
+    val clean = Glm.poissonFE(df, "y", Seq("x"), Seq("g"), tol = 1e-12)
+    assert(fe.droppedSeparated == 3L)
+    assert(fe.n == panel.length)
+    assert(math.abs(fe.coef(0) - clean.coef(0)) < 1e-10)
+  }
+
+  test("PPML clustered SE matches the dense cluster sandwich via dummies") {
+    val df = panel.toDF("x", "g", "h", "y")
+      .withColumn("cl", (monotonically_increasing_id() % 10).cast("int"))
+      .localCheckpoint()
+    val fe = Glm.poissonFE(df, "y", Seq("x"), Seq("g"), tol = 1e-12, keep = Seq("cl"))
+    // dense: dummy-expanded design, cluster meat, x-block
+    val rows = df.select("x", "g", "y", "cl").collect()
+    val xArr = rows.map { r =>
+      val g = r.getString(1)
+      Array(r.getDouble(0),
+        if (g == "g1") 1.0 else 0.0, if (g == "g2") 1.0 else 0.0, if (g == "g3") 1.0 else 0.0)
+    }
+    val yArr = rows.map(_.getDouble(2))
+    val clArr = rows.map(_.getInt(3))
+    val (bD, gD, _, _) = denseIrls(xArr, yArr, "poisson", tol = 1e-12)
+    val vD = denseSandwich(xArr, yArr, bD, gD, "poisson", clArr)
+    val seDx = math.sqrt(vD(1)(1))
+    assert(math.abs(fe.seClustered("cl")(0) - seDx) / seDx < 1e-4)
+  }
+}

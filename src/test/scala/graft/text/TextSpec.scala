@@ -327,4 +327,56 @@ class TextSpec extends SparkSpec {
       assert(rebuilt == original(id), s"doc $id reassembly")
     }
   }
+
+  test("Bm25.topK matches hand-computed Okapi scores; ranks, ties, missing terms") {
+    val docs = Seq(
+      (0L, "apple banana apple"),
+      (1L, "banana cherry"),
+      (2L, "cherry cherry cherry durian")
+    ).toDF("doc_id", "text")
+    // query 0: apple + cherry + apple (a repeated slot); query 1 has a
+    // term absent from the corpus in slot 1
+    val qs = Seq(
+      (0L, 0, "apple"), (0L, 1, "cherry"), (0L, 2, "apple"),
+      (1L, 0, "banana"), (1L, 1, "zzz"), (1L, 2, "durian")
+    ).toDF("qid", "qpos", "term")
+    val out = Bm25.topK(docs, "text", "doc_id", qs, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+
+    // independent scalar reimplementation
+    val dl = Map(0L -> 3.0, 1L -> 2.0, 2L -> 4.0)
+    val avgdl = 3.0
+    val n = 3.0
+    def idf(df: Int) = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    def term(tf: Int, d: Long, df: Int) =
+      idf(df) * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl(d) / avgdl))
+    // q0: apple (df 1) hits d0 tf2 in slots 0 AND 2; cherry (df 2) hits d1 tf1, d2 tf3
+    val s00 = 2 * term(2, 0L, 1)
+    val s01 = term(1, 1L, 2)
+    val s02 = term(3, 2L, 2)
+    assert(s00 > s02 && s02 > s01) // expected ordering
+    assert(out((0L, 1L)) == ((0L, s00)) || math.abs(out((0L, 1L))._2 - s00) < 1e-12)
+    assert(out((0L, 1L))._1 == 0L)
+    assert(math.abs(out((0L, 2L))._2 - s02) < 1e-12)
+    assert(out((0L, 2L))._1 == 2L)
+    assert(!out.contains((0L, 3L))) // k = 2 cutoff
+    // q1: banana (df 2) hits d0 tf1, d1 tf1; zzz contributes nothing;
+    // durian (df 1) hits d2 tf1
+    val s10 = term(1, 0L, 2)
+    val s11 = term(1, 1L, 2)
+    val s12 = term(1, 2L, 1)
+    assert(math.abs(out((1L, 1L))._2 - Seq(s10, s11, s12).max) < 1e-12)
+    // banana's equal idf but shorter d1 beats d0 (length normalization)
+    assert(s11 > s10)
+    assert(out((1L, 2L))._1 == (if (s12 > s11) 1L else 2L) ||
+      math.abs(out((1L, 2L))._2 - Seq(s10, s11, s12).sorted.apply(1)) < 1e-12)
+  }
+
+  test("Bm25 tie-break: equal scores rank by ascending doc id") {
+    val docs = Seq((10L, "t t"), (11L, "t t"), (12L, "t t")).toDF("doc_id", "text")
+    val qs = Seq((0L, 0, "t")).toDF("qid", "qpos", "term")
+    val ranked = Bm25.topK(docs, "text", "doc_id", qs, k = 3, qLen = 1)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(ranked.toSeq == Seq((1L, 10L), (2L, 11L), (3L, 12L)))
+  }
 }
