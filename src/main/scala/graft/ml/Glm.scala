@@ -41,22 +41,26 @@ case class GlmModel(
     family: String,
     xNames: Seq[String],          // intercept first when present
     coef: Array[Double],
-    n: Long,
+    n: Long,                      // Σ frequency weights (row count unweighted)
     iters: Int,
     converged: Boolean,
     deviance: Double,
-    gramW: Array[Array[Double]]   // X'WX at the converged weights
+    gramW: Array[Array[Double]],  // X'WX at the converged weights
+    offsetCol: Option[String] = None,
+    weightCol: Option[String] = None
 ) {
   /** Expected-information (inverse Fisher) SEs: sqrt diag (X'WX)⁻¹. */
   def seInformation: Array[Double] =
     LinAlg.inverse(gramW).zipWithIndex.map { case (r, i) => math.sqrt(r(i)) }
 
-  /** Linear predictor η = x'β as a column expression. */
-  def etaCol: Column =
-    xNames.zip(coef).map {
+  /** Linear predictor η = x'β (+ offset) as a column expression. */
+  def etaCol: Column = {
+    val xb = xNames.zip(coef).map {
       case ("(intercept)", b) => lit(b)
       case (x, b)             => col(x).cast("double") * b
     }.reduce(_ + _)
+    offsetCol.map(o => xb + col(o).cast("double")).getOrElse(xb)
+  }
 }
 
 /** PPML fit with absorbed fixed effects. `frame` is the final working
@@ -154,9 +158,17 @@ object Glm {
     def etaInit(y: Column, ybar: Double): Column = lit(ybar)
   }
 
-  /** Fit y ~ family(x'β) without fixed effects. One aggregate pass per
-    * IRLS iteration (see object doc); β, the converged weighted Gram and
-    * the deviance come back in a [[GlmModel]].
+  /** Fit y ~ family(x'β + offset) without fixed effects. One aggregate
+    * pass per IRLS iteration (see object doc); β, the converged weighted
+    * Gram and the deviance come back in a [[GlmModel]].
+    *
+    * `offset`: a known additive term of the linear predictor — the
+    * ln(exposure) of rate/count models (β is NOT estimated for it).
+    * `weight`: FREQUENCY weights, the [[Ols.fitWeighted]] convention —
+    * a weight-f row behaves exactly like f repeated rows (Gram, deviance,
+    * n = Σf, and the sandwich SEs; pinned by the row-expansion spec).
+    * This is also the compressed-regression path: aggregate duplicate
+    * (y, x) rows to counts once and fit the distinct rows.
     */
   def fit(
       df: DataFrame,
@@ -165,15 +177,22 @@ object Glm {
       family: Family,
       intercept: Boolean = true,
       tol: Double = 1e-9,
-      maxIter: Int = 30
+      maxIter: Int = 30,
+      offset: Option[String] = None,
+      weight: Option[String] = None
   ): GlmModel = {
     val names = (if (intercept) Seq("(intercept)") else Nil) ++ xs
     val xcols: Seq[Column] =
       (if (intercept) Seq(lit(1.0)) else Nil) ++ xs.map(c => col(c).cast("double"))
     val yc = col(y).cast("double")
+    val off = offset.map(c => col(c).cast("double"))
+    val fw = weight.map(c => col(c).cast("double")).getOrElse(lit(1.0))
     val k = xcols.length
 
-    val ybar = df.agg(avg(yc)).head().getDouble(0)
+    val ybar = {
+      val r = df.agg(sum(fw * yc), sum(fw)).head()
+      r.getDouble(0) / r.getDouble(1)
+    }
 
     var beta: Array[Double] = null
     var dev = Double.MaxValue
@@ -182,19 +201,24 @@ object Glm {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // η from current β (or the family initializer on the first pass)
+      // η from current β (or the family initializer on the first pass —
+      // the init is a function of y, so it already reflects any offset)
       val eta: Column =
         if (beta == null) family.etaInit(yc, ybar)
-        else xcols.zip(beta).map { case (x, b) => x * b }.reduce(_ + _)
+        else {
+          val xb = xcols.zip(beta).map { case (x, b) => x * b }.reduce(_ + _)
+          off.map(xb + _).getOrElse(xb)
+        }
       val mu = family.mu(eta)
-      val w = family.weight(mu)
-      val z = eta + (yc - mu) / w
+      val w = fw * family.weight(mu)
+      // the regression target is the working response net of the offset
+      val z = eta + (yc - mu) / family.weight(mu) - off.getOrElse(lit(0.0))
 
       // one pass: weighted Gram + X'Wz + deviance at the CURRENT β
       val aggs: Seq[Column] =
         (for (i <- 0 until k; j <- i until k) yield sum(w * xcols(i) * xcols(j))) ++
           (0 until k).map(i => sum(w * xcols(i) * z)) ++
-          Seq(sum(family.deviance(yc, mu)), count(lit(1)))
+          Seq(sum(fw * family.deviance(yc, mu)), sum(fw))
       val row: Row = df.agg(aggs.head, aggs.tail: _*).head()
 
       var p = 0
@@ -206,7 +230,7 @@ object Glm {
       val c = Array.tabulate(k)(i => row.getDouble(p + i))
       p += k
       val devNow = row.getDouble(p)
-      n = row.getLong(p + 1)
+      n = math.round(row.getDouble(p + 1))
 
       val betaNew = LinAlg.solve(g, c)
       // deviance is evaluated at the β that PRODUCED this pass's μ, so
@@ -217,16 +241,18 @@ object Glm {
       gramW = g
       iter += 1
     }
-    GlmModel(family.name, names, beta, n, iter, converged, dev, gramW)
+    GlmModel(family.name, names, beta, n, iter, converged, dev, gramW, offset, weight)
   }
 
   def poisson(df: DataFrame, y: String, xs: Seq[String], intercept: Boolean = true,
-      tol: Double = 1e-9, maxIter: Int = 30): GlmModel =
-    fit(df, y, xs, Poisson, intercept, tol, maxIter)
+      tol: Double = 1e-9, maxIter: Int = 30, offset: Option[String] = None,
+      weight: Option[String] = None): GlmModel =
+    fit(df, y, xs, Poisson, intercept, tol, maxIter, offset, weight)
 
   def logistic(df: DataFrame, y: String, xs: Seq[String], intercept: Boolean = true,
-      tol: Double = 1e-9, maxIter: Int = 30): GlmModel =
-    fit(df, y, xs, Binomial, intercept, tol, maxIter)
+      tol: Double = 1e-9, maxIter: Int = 30, offset: Option[String] = None,
+      weight: Option[String] = None): GlmModel =
+    fit(df, y, xs, Binomial, intercept, tol, maxIter, offset, weight)
 
   /** Robust / cluster-robust GLM sandwich for a no-FE model: bread
     * (X'WX)⁻¹, meat Σ u²xx' (HC0) or Σ_g s_g s_g' with s_g = Σ_{i∈g}
@@ -236,12 +262,13 @@ object Glm {
   def varianceRobust(df: DataFrame, model: GlmModel, y: String,
       cluster: Option[String] = None): Array[Array[Double]] = {
     val fam = familyOf(model.family)
-    val mu = fam.mu(model.etaCol)
+    val mu = fam.mu(model.etaCol) // etaCol includes the model's offset
     val xcols: Seq[Column] = model.xNames.map {
       case "(intercept)" => lit(1.0)
       case x             => col(x).cast("double")
     }
-    sandwich(df.withColumn("__u", col(y).cast("double") - mu), xcols, model.gramW, cluster)
+    val fw = model.weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
+    sandwich(df.withColumn("__u", col(y).cast("double") - mu), xcols, model.gramW, cluster, fw)
   }
 
   def seRobust(df: DataFrame, model: GlmModel, y: String): Array[Double] =
@@ -266,12 +293,14 @@ object Glm {
       maxIter: Int = 25,
       keep: Seq[String] = Nil,
       dropSeparated: Boolean = true,
-      collectCellLimit: Long = 2000000L
+      collectCellLimit: Long = 2000000L,
+      offset: Option[String] = None
   ): GlmFeModel = {
     require(fes.nonEmpty, "use Glm.poisson when there are no fixed effects")
     require(maxIter >= 1, "PPML needs at least one IRLS iteration")
     val yc = col(y).cast("double")
-    val needed = (fes ++ (y +: xs) ++ keep).distinct
+    val off = offset.map(c => col(c).cast("double")).getOrElse(lit(0.0))
+    val needed = (fes ++ (y +: xs) ++ offset.toSeq ++ keep).distinct
     val base0 = df.select(needed.map(col): _*)
     val (base, nDropped) =
       if (dropSeparated) dropSeparatedGroups(base0, y, fes) else (base0, 0L)
@@ -294,14 +323,17 @@ object Glm {
       val work = cur
         .withColumn("__mu", mu)
         .withColumn("__z", col("__eta") + (yc - col("__mu")) / col("__mu"))
+        // the regression target is the working response net of the
+        // offset: η = Xβ + FE + offset, so z − offset ≈ Xβ + FE
+        .withColumn("__zr", col("__z") - off)
       fm = FixedEffects.fitWeighted(
-        work, "__z", xs, fes, weight = "__mu",
-        keep = (y +: "__eta" +: "__mu" +: keep).distinct,
+        work, "__zr", xs, fes, weight = "__mu",
+        keep = ((y +: "__eta" +: "__mu" +: "__z" +: offset.toSeq) ++ keep).distinct,
         collectCellLimit = collectCellLimit)
-      // η' = z − (z̃ − x̃'β): the fitted value of the working response,
-      // absorbed effects included, recovered row-locally
+      // η' = z − (z̃r − x̃'β): the fitted value of the working response
+      // (offset re-included via z = zr + offset), recovered row-locally
       val resid = xs.zip(fm.coef).map { case (x, b) => col(s"${x}__dm") * b }
-        .foldLeft(col("__z__dm"))(_ - _)
+        .foldLeft(col("__zr__dm"))(_ - _)
       val next = fm.demeaned
         .withColumn("__eta", col("__z") - resid)
         .select((needed :+ "__eta").map(col): _*)
@@ -326,7 +358,7 @@ object Glm {
     // move O(tol) per late iteration — the standard IRLS-sandwich
     // convention)
     val etaFinal = col("__z") - xs.zip(fm.coef).map { case (x, b) => col(s"${x}__dm") * b }
-      .foldLeft(col("__z__dm"))(_ - _)
+      .foldLeft(col("__zr__dm"))(_ - _)
     val frame = fm.demeaned.drop("__mu").withColumn("__mu", Poisson.mu(etaFinal))
     GlmFeModel(y, xs, fes, fm.coef, nObs, iter, converged, dev, nDropped,
       fm.ols, frame)
@@ -369,24 +401,28 @@ object Glm {
     case other      => throw new IllegalArgumentException(s"unknown family $other")
   }
 
-  /** Shared sandwich: bread⁻¹ · meat · bread⁻¹ where meat is Σ u²xx'
+  /** Shared sandwich: bread⁻¹ · meat · bread⁻¹ where meat is Σ f·u²xx'
     * (row-local, no shuffle) or the per-cluster score outer product (one
-    * groupBy of k sums). `frame` must carry `__u`.
+    * groupBy of k sums, scores Σ f·u·x). `frame` must carry `__u`; `fw`
+    * is the frequency weight (HC0 gets f ONCE — a weight-f row is f
+    * singleton clusters — while clustered scores sum f·u·x since copies
+    * share their cluster).
     */
   private[ml] def sandwich(
       frame: DataFrame,
       xcols: Seq[Column],
       bread: Array[Array[Double]],
-      cluster: Option[String]
+      cluster: Option[String],
+      fw: Column = lit(1.0)
   ): Array[Array[Double]] = {
     val k = xcols.length
     val meatRow: Row = cluster match {
       case None =>
         val aggs = for (i <- 0 until k; j <- i until k)
-          yield sum(col("__u") * col("__u") * xcols(i) * xcols(j))
+          yield sum(fw * col("__u") * col("__u") * xcols(i) * xcols(j))
         frame.agg(aggs.head, aggs.tail: _*).head()
       case Some(cl) =>
-        val scores = (0 until k).map(i => sum(col("__u") * xcols(i)).as(s"s_$i"))
+        val scores = (0 until k).map(i => sum(fw * col("__u") * xcols(i)).as(s"s_$i"))
         val per = frame.groupBy(col(cl)).agg(scores.head, scores.tail: _*)
         val aggs = for (i <- 0 until k; j <- i until k)
           yield sum(col(s"s_$i") * col(s"s_$j"))

@@ -24,11 +24,13 @@ class GlmSpec extends SparkSpec {
       y: Array[Double],
       family: String,
       tol: Double = 1e-9,
-      maxIter: Int = 30
+      maxIter: Int = 30,
+      offset: Array[Double] = null
   ): (Array[Double], Array[Array[Double]], Double, Int) = {
     val n = y.length
     val x = xRaw.map(r => 1.0 +: r)
     val k = x.head.length
+    val offs = if (offset == null) Array.fill(n)(0.0) else offset
     val ybar = y.sum / n
     def clip(e: Double) = math.max(-30.0, math.min(30.0, e))
     def mu(eta: Double) = family match {
@@ -55,14 +57,14 @@ class GlmSpec extends SparkSpec {
     while (iter < maxIter && !converged) {
       val eta = Array.tabulate(n) { i =>
         if (beta == null) etaInit(y(i))
-        else (0 until k).map(j => x(i)(j) * beta(j)).sum
+        else (0 until k).map(j => x(i)(j) * beta(j)).sum + offs(i)
       }
       val m = eta.map(mu)
       val w = family match {
         case "poisson"  => m
         case "binomial" => m.map(v => v * (1 - v))
       }
-      val z = Array.tabulate(n)(i => eta(i) + (y(i) - m(i)) / w(i))
+      val z = Array.tabulate(n)(i => eta(i) + (y(i) - m(i)) / w(i) - offs(i))
       g = Array.ofDim[Double](k, k)
       val c = Array.ofDim[Double](k)
       for (i <- 0 until n; a <- 0 until k) {
@@ -253,6 +255,85 @@ class GlmSpec extends SparkSpec {
     assert(fe.droppedSeparated == 3L)
     assert(fe.n == panel.length)
     assert(math.abs(fe.coef(0) - clean.coef(0)) < 1e-10)
+  }
+
+  test("Poisson with an exposure offset matches the offset-aware dense IRLS") {
+    val rng = new Random(31L)
+    val data = for (i <- 0 until 250) yield {
+      val x = math.sin(i * 0.53) * 1.1
+      val t = 1.0 + (i % 3) // exposure 1..3
+      (x, math.log(t), rpois(t * math.exp(0.2 + 0.4 * x), rng))
+    }
+    val df = data.toDF("x", "ln_t", "y")
+    val m = Glm.poisson(df, "y", Seq("x"), offset = Some("ln_t"))
+    val (bD, gD, devD, _) = denseIrls(
+      data.map(d => Array(d._1)).toArray, data.map(_._3).toArray, "poisson",
+      offset = data.map(_._2).toArray)
+    assert(m.converged)
+    m.coef.zip(bD).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    assert(math.abs(m.deviance - devD) < 1e-7)
+    // robust sandwich evaluates μ with the offset folded into η
+    val vR = Glm.varianceRobust(df, m, "y")
+    assert(vR(1)(1) > 0 && vR(1)(1).isFinite)
+    // and the offset fit differs from the offset-less one (sanity)
+    val m0 = Glm.poisson(df, "y", Seq("x"))
+    assert(math.abs(m0.coef(0) - m.coef(0)) > 1e-3)
+  }
+
+  test("GLM frequency weights equal the row-expanded fit (coef, SE, deviance, sandwiches)") {
+    val rng = new Random(13L)
+    val base = for (i <- 0 until 120) yield {
+      val x = math.cos(i * 0.83) * 1.4
+      (x, rpois(math.exp(0.3 + 0.4 * x), rng), 1L + (i % 3), i % 5)
+    }
+    val wdf = base.toDF("x", "y", "w", "cl")
+    val expanded = base.flatMap { case (x, y, w, cl) => Seq.fill(w.toInt)((x, y, cl)) }
+      .toDF("x", "y", "cl")
+    val mw = Glm.poisson(wdf, "y", Seq("x"), weight = Some("w"))
+    val me = Glm.poisson(expanded, "y", Seq("x"))
+    assert(mw.n == me.n)
+    mw.coef.zip(me.coef).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    assert(math.abs(mw.deviance - me.deviance) < 1e-8)
+    mw.seInformation.zip(me.seInformation).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-10)
+    }
+    // HC0: each copy is its own singleton cluster
+    val vw = Glm.varianceRobust(wdf, mw, "y")
+    val ve = Glm.varianceRobust(expanded, me, "y")
+    // clustered: copies share their cluster
+    val cw = Glm.varianceRobust(wdf, mw, "y", Some("cl"))
+    val ce = Glm.varianceRobust(expanded, me, "y", Some("cl"))
+    for (i <- 0 until 2; j <- 0 until 2) {
+      assert(math.abs(vw(i)(j) - ve(i)(j)) < 1e-10)
+      assert(math.abs(cw(i)(j) - ce(i)(j)) < 1e-10)
+    }
+  }
+
+  test("PPML with a non-constant offset equals Poisson-with-dummies at the same offset") {
+    val rng = new Random(47L)
+    val rows = for (i <- 0 until 200) yield {
+      val g = s"g${i % 4}"
+      val x = math.sin(i * 0.71) * 1.2
+      // exposure varies WITHIN each FE group (i%4 and (i/4)%2 are
+      // independent cycles) — otherwise the FE absorbs the offset
+      val t = 1.0 + ((i / 4) % 2)
+      val eff = Map("g0" -> 0.0, "g1" -> 0.5, "g2" -> -0.3, "g3" -> 0.7)(g)
+      (x, g, math.log(t), rpois(t * math.exp(0.3 * x + eff), rng))
+    }
+    val df = rows.toDF("x", "g", "ln_t", "y")
+    val withDummies = df
+      .withColumn("d1", when($"g" === "g1", 1.0).otherwise(0.0))
+      .withColumn("d2", when($"g" === "g2", 1.0).otherwise(0.0))
+      .withColumn("d3", when($"g" === "g3", 1.0).otherwise(0.0))
+    val full = Glm.poisson(withDummies, "y", Seq("x", "d1", "d2", "d3"),
+      tol = 1e-12, offset = Some("ln_t"))
+    val fe = Glm.poissonFE(df, "y", Seq("x"), Seq("g"), tol = 1e-12, offset = Some("ln_t"))
+    assert(fe.converged && full.converged)
+    assert(math.abs(fe.coef(0) - full.coef(1)) < 1e-7)
+    assert(math.abs(fe.deviance - full.deviance) < 1e-6)
+    // sanity: dropping the offset moves the coefficient
+    val fe0 = Glm.poissonFE(df, "y", Seq("x"), Seq("g"), tol = 1e-12)
+    assert(math.abs(fe0.deviance - fe.deviance) > 1e-3)
   }
 
   test("PPML clustered SE matches the dense cluster sandwich via dummies") {
