@@ -100,6 +100,24 @@ case class GlmFeModel(
 
   def seClustered(cluster: String): Array[Double] =
     varianceClustered(cluster).zipWithIndex.map { case (r, i) => math.sqrt(r(i)) }
+
+  /** Two-way CGM for the PPML fit (both cluster columns must be listed
+    * in `keep` at fit time): V_a + V_b − V_{a∩b} over the score
+    * u = y − μ on the weighted-demeaned design.
+    */
+  def varianceClustered2(clusterA: String, clusterB: String): Array[Array[Double]] = {
+    val va = varianceClustered(clusterA)
+    val vb = varianceClustered(clusterB)
+    val withKey = frame.withColumn("__ab", Ols.interactionKey(clusterA, clusterB))
+    val vab = Glm.sandwich(
+      withKey.withColumn("__u", col(yName).cast("double") - col("__mu")),
+      xNames.map(x => col(s"${x}__dm")), ols.gram, Some("__ab"))
+    Array.tabulate(coef.length, coef.length)((i, j) => va(i)(j) + vb(i)(j) - vab(i)(j))
+  }
+
+  def seClustered2(clusterA: String, clusterB: String): Array[Double] =
+    varianceClustered2(clusterA, clusterB)
+      .zipWithIndex.map { case (r, i) => math.sqrt(math.max(r(i), 0.0)) }
 }
 
 object Glm {
@@ -277,6 +295,26 @@ object Glm {
   def seClustered(df: DataFrame, model: GlmModel, y: String, cluster: String): Array[Double] =
     varianceRobust(df, model, y, Some(cluster))
       .zipWithIndex.map { case (r, i) => math.sqrt(r(i)) }
+
+  /** Two-way cluster-robust GLM covariance (Cameron–Gelbach–Miller:
+    * V_a + V_b − V_{a∩b}) — the gravity-model PPML standard (cluster by
+    * exporter AND importer). Three runs of the same score sandwich, the
+    * third on the collision-proof interaction key.
+    */
+  def varianceClustered2(df: DataFrame, model: GlmModel, y: String,
+      clusterA: String, clusterB: String): Array[Array[Double]] = {
+    val inter = df.withColumn("__ab", Ols.interactionKey(clusterA, clusterB))
+    val va = varianceRobust(df, model, y, Some(clusterA))
+    val vb = varianceRobust(df, model, y, Some(clusterB))
+    val vab = varianceRobust(inter, model, y, Some("__ab"))
+    Array.tabulate(model.coef.length, model.coef.length)((i, j) =>
+      va(i)(j) + vb(i)(j) - vab(i)(j))
+  }
+
+  def seClustered2(df: DataFrame, model: GlmModel, y: String,
+      clusterA: String, clusterB: String): Array[Double] =
+    varianceClustered2(df, model, y, clusterA, clusterB)
+      .zipWithIndex.map { case (r, i) => math.sqrt(math.max(r(i), 0.0)) }
 
   /** PPML: Poisson regression of y on xs with `fes` absorbed — IRLS
     * where every iteration is one [[FixedEffects.fitWeighted]] on the

@@ -336,6 +336,46 @@ class GlmSpec extends SparkSpec {
     assert(math.abs(fe0.deviance - fe.deviance) > 1e-3)
   }
 
+  test("GLM two-way CGM: dense three-term check and same-dimension identity") {
+    val rng = new Random(59L)
+    val data = for (i <- 0 until 180) yield {
+      val x = math.sin(i * 0.47) * 1.2
+      (x, i % 6, (i / 6) % 5, rpois(math.exp(0.3 + 0.4 * x), rng))
+    }
+    val df = data.toDF("x", "ca", "cb", "y")
+    val m = Glm.poisson(df, "y", Seq("x"))
+    val xArr = data.map(d => Array(d._1)).toArray
+    val yArr = data.map(_._4).toArray
+    val va = denseSandwich(xArr, yArr, m.coef, m.gramW, "poisson", data.map(_._2).toArray)
+    val vb = denseSandwich(xArr, yArr, m.coef, m.gramW, "poisson", data.map(_._3).toArray)
+    val vab = denseSandwich(xArr, yArr, m.coef, m.gramW, "poisson",
+      data.map(d => d._2 * 100 + d._3).toArray)
+    val v2 = Glm.varianceClustered2(df, m, "y", "ca", "cb")
+    for (i <- 0 until 2; j <- 0 until 2)
+      assert(math.abs(v2(i)(j) - (va(i)(j) + vb(i)(j) - vab(i)(j))) < 1e-10)
+    // V2(a, a) = V(a)
+    val vaSpark = Glm.varianceRobust(df, m, "y", Some("ca"))
+    val v2aa = Glm.varianceClustered2(df, m, "y", "ca", "ca")
+    for (i <- 0 until 2; j <- 0 until 2)
+      assert(math.abs(v2aa(i)(j) - vaSpark(i)(j)) < 1e-12)
+  }
+
+  test("PPML two-way CGM: same-dimension identity on the FE fit") {
+    val df = panel.toDF("x", "g", "h", "y")
+      .withColumn("ca", (monotonically_increasing_id() % 8).cast("int"))
+      .localCheckpoint()
+    val fe = Glm.poissonFE(df, "y", Seq("x"), Seq("g"), tol = 1e-12, keep = Seq("ca"))
+    val v1 = fe.varianceClustered("ca")
+    val v2 = fe.varianceClustered2("ca", "ca")
+    assert(math.abs(v2(0)(0) - v1(0)(0)) < 1e-12)
+    // crossing dims give a finite, different answer
+    val df2 = df.withColumn("cb", (monotonically_increasing_id() % 5).cast("int"))
+      .localCheckpoint()
+    val fe2 = Glm.poissonFE(df2, "y", Seq("x"), Seq("g"), tol = 1e-12, keep = Seq("ca", "cb"))
+    val vx = fe2.varianceClustered2("ca", "cb")
+    assert(vx(0)(0).isFinite && math.abs(vx(0)(0) - v1(0)(0)) > 1e-12)
+  }
+
   test("PPML clustered SE matches the dense cluster sandwich via dummies") {
     val df = panel.toDF("x", "g", "h", "y")
       .withColumn("cl", (monotonically_increasing_id() % 10).cast("int"))
