@@ -1330,8 +1330,94 @@ object PipelineQueries {
     )
   )
 
+  // ---- T17: pipeline attrition audit (oracle) ---------------------------
+  // The Dolma/RefinedWeb-style funnel: five REAL gates (language ID,
+  // quality, repetition, exact dedup, decontamination — each one an
+  // already-oracled graft operator) composed as VERDICTS, attributing to
+  // every document the first stage that would drop it. The oracle
+  // replays all five gates plus the CASE attribution, so the entire
+  // funnel is hash-pinned. Gate thresholds sit on values both engines
+  // compute bit-identically (single integer divisions / the 4-decimal
+  // pre-rounded quality score; margins probed).
+  val q81 = Q(
+    "q81_attrition",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val lang = LangId.withLangId(docs, "text").select(col("doc_id"), col("pred_lang"))
+      val quality = TextStats.withQuality(docs, "text").select(col("doc_id"), col("quality"))
+      val rep = graft.text.Repetition.stats(docs, "text", "doc_id")
+        .select(col("doc_id"), col("frac_top_token"))
+      val keepers = docs.groupBy(md5(col("text")).as("__h")).agg(min(col("doc_id")).as("__keep_id"))
+      val dup = docs.select(col("doc_id"), md5(col("text")).as("__h"))
+        .join(keepers, Seq("__h")).select(col("doc_id"), col("__keep_id"))
+      val decon = graft.dedup.SpanDedup
+        .contamination(docs, docs.where(col("doc_id") % 50 === 0), "text", "doc_id", n = 8)
+        .select(col("doc_id"), col("n_hits"))
+      val joined = docs.select(col("doc_id"), col("lang"))
+        .join(lang, Seq("doc_id")).join(quality, Seq("doc_id")).join(rep, Seq("doc_id"))
+        .join(dup, Seq("doc_id")).join(decon, Seq("doc_id"))
+      graft.ops.Attrition
+        .firstFailed(joined, Seq(
+          "lang" -> (col("pred_lang") === col("lang")),
+          "quality" -> (col("quality") >= 0.55),
+          "repetition" -> (col("frac_top_token") <= 0.15),
+          "exact_dup" -> (col("doc_id") === col("__keep_id")),
+          "decontam" -> (col("n_hits") === 0)))
+        .select(col("doc_id"), coalesce(col("first_failed"), lit("kept")).as("first_failed"))
+    },
+    Some(
+      """WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents),
+        |h AS (SELECT doc_id,
+        |    len(list_filter(toks, tk -> list_contains(['the','a','of','and','is'], tk))) AS h_en,
+        |    len(list_filter(toks, tk -> list_contains(['el','la','de','que','y'], tk))) AS h_es,
+        |    len(list_filter(toks, tk -> list_contains(['der','die','das','und','ist'], tk))) AS h_de,
+        |    len(list_filter(toks, tk -> list_contains(['le','les','une','et','est'], tk))) AS h_fr,
+        |    len(list_filter(toks, tk -> list_contains(['的','是','在','了','我'], tk))) AS h_zh
+        |  FROM t),
+        |pl AS (SELECT doc_id,
+        |    CASE WHEN greatest(h_en, h_es, h_de, h_fr, h_zh) = 0 THEN 'und'
+        |         WHEN h_en = greatest(h_en, h_es, h_de, h_fr, h_zh) THEN 'en'
+        |         WHEN h_es = greatest(h_en, h_es, h_de, h_fr, h_zh) THEN 'es'
+        |         WHEN h_de = greatest(h_en, h_es, h_de, h_fr, h_zh) THEN 'de'
+        |         WHEN h_fr = greatest(h_en, h_es, h_de, h_fr, h_zh) THEN 'fr'
+        |         ELSE 'zh' END AS pred_lang
+        |  FROM h),
+        |f AS (SELECT doc_id, len(toks)::DOUBLE AS n,
+        |    len(list_filter(toks, tk -> list_contains(['the','a','of','and','is','to','in'], tk)))::DOUBLE AS stops,
+        |    len(list_distinct(toks))::DOUBLE AS uniq
+        |  FROM t),
+        |qual AS (SELECT doc_id,
+        |    round(least(n/100.0, 1.0)*0.4 + (1.0 - stops/n)*0.3 + (uniq/n)*0.3, 4) AS quality
+        |  FROM f),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+        |rep AS (SELECT doc_id, max(c)::DOUBLE / sum(c)::DOUBLE AS ftt FROM tc GROUP BY 1),
+        |dup AS (SELECT DISTINCT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+        |  FROM documents),
+        |g0 AS (SELECT s.doc_id, array_to_string(s.a[i:i+7], ' ') AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS a FROM documents) s,
+        |       UNNEST(generate_series(1, len(s.a) - 7)) AS u(i) WHERE len(s.a) >= 8),
+        |gshort AS (SELECT doc_id, text AS g FROM documents
+        |  WHERE len(string_split(text, ' ')) < 8),
+        |grams AS (SELECT DISTINCT doc_id, g FROM (SELECT * FROM g0 UNION ALL SELECT * FROM gshort)),
+        |probe AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+        |dec AS (SELECT doc_id, sum(CASE WHEN p.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+        |  FROM grams LEFT JOIN probe p USING (g) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CASE WHEN pl.pred_lang <> d.lang THEN 'lang'
+        |       WHEN q.quality < 0.55 THEN 'quality'
+        |       WHEN r.ftt > 0.15 THEN 'repetition'
+        |       WHEN d.doc_id <> u.keep_id THEN 'exact_dup'
+        |       WHEN x.n_hits > 0 THEN 'decontam'
+        |       ELSE 'kept' END AS first_failed
+        |FROM documents d
+        |  JOIN pl USING (doc_id) JOIN qual q USING (doc_id) JOIN rep r USING (doc_id)
+        |  JOIN dup u USING (doc_id) JOIN dec x USING (doc_id)""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
-      q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78)
+      q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81)
 }

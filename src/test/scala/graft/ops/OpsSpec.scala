@@ -377,4 +377,36 @@ class OpsSpec extends SparkSpec {
     for ((b, fill) <- bins if b != lastBin)
       assert(fill >= 256 - maxDoc && fill <= 256 + maxDoc, s"bin $b fill $fill")
   }
+
+  test("Attrition.firstFailed attributes the FIRST failing stage in order; kept rows null") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, 0, 0), // fails A and B -> attributed to A
+      (2L, 1, 0), // fails only B
+      (3L, 0, 1), // fails only A
+      (4L, 1, 1)  // kept
+    ).toDF("id", "a_ok", "b_ok")
+    val v = graft.ops.Attrition.firstFailed(df,
+      Seq("A" -> (col("a_ok") === 1), "B" -> (col("b_ok") === 1)))
+      .select("id", "first_failed").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(v(1L) == Some("A"))
+    assert(v(2L) == Some("B"))
+    assert(v(3L) == Some("A"))
+    assert(v(4L) == None)
+  }
+
+  test("Attrition.funnel: cumulative reach, zero-drop stages, kept total") {
+    import org.apache.spark.sql.functions.col
+    val df = (1L to 10L).map { i =>
+      (i, if (i <= 3) 0 else 1, 1, if (i >= 9) 0 else 1)
+    }.toDF("id", "a_ok", "b_ok", "c_ok")
+    val v = graft.ops.Attrition.firstFailed(df, Seq(
+      "A" -> (col("a_ok") === 1), "B" -> (col("b_ok") === 1), "C" -> (col("c_ok") === 1)))
+    val f = graft.ops.Attrition.funnel(v, Seq("A", "B", "C")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(f("A") == ((10L, 3L, 7L)))
+    assert(f("B") == ((7L, 0L, 7L)))  // zero-drop stage keeps the chain
+    assert(f("C") == ((7L, 2L, 5L)))  // ids 9, 10 fail C after passing A
+  }
 }
