@@ -158,4 +158,81 @@ object LinAlg {
       }
     }
   }
+
+  /** Symmetric eigendecomposition by cyclic Jacobi rotations — the
+    * classic driver-side solver for the small (d×d) matrices graft's
+    * one-pass second-moment aggregates produce (covariance / Gram).
+    * Deterministic; O(d³) per sweep, converges quadratically. Returns
+    * (eigenvalues descending, eigenvectors as ROWS in the same order),
+    * each eigenvector unit-norm with its largest-|entry| coordinate
+    * positive (a deterministic sign convention — eigenvectors are
+    * otherwise sign-ambiguous).
+    */
+  def symEigen(
+      aIn: Array[Array[Double]],
+      tol: Double = 1e-12,
+      maxSweeps: Int = 100
+  ): (Array[Double], Array[Array[Double]]) = {
+    val n = aIn.length
+    require(aIn.forall(_.length == n), "symEigen needs a square matrix")
+    val a = aIn.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    val scale = math.max(1e-300, aIn.map(_.map(math.abs).max).max)
+
+    def offDiag(): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < n) { var j = i + 1; while (j < n) { s += a(i)(j) * a(i)(j); j += 1 }; i += 1 }
+      s
+    }
+
+    var sweep = 0
+    while (sweep < maxSweeps && math.sqrt(offDiag()) > tol * scale) {
+      var p = 0
+      while (p < n) {
+        var q = p + 1
+        while (q < n) {
+          if (math.abs(a(p)(q)) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            val t =
+              if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              else -1.0 / (-theta + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            val tau = s / (1.0 + c)
+            val apq = a(p)(q)
+            a(p)(p) -= t * apq
+            a(q)(q) += t * apq
+            a(p)(q) = 0.0
+            a(q)(p) = 0.0
+            var i = 0
+            while (i < n) {
+              if (i != p && i != q) {
+                val aip = a(i)(p); val aiq = a(i)(q)
+                a(i)(p) = aip - s * (aiq + tau * aip); a(p)(i) = a(i)(p)
+                a(i)(q) = aiq + s * (aip - tau * aiq); a(q)(i) = a(i)(q)
+              }
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = vip - s * (viq + tau * vip)
+              v(i)(q) = viq + s * (vip - tau * viq)
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+
+    // sort descending; eigenvector k is COLUMN k of v — emit as rows
+    val order = (0 until n).sortBy(i => -a(i)(i))
+    val values = order.map(i => a(i)(i)).toArray
+    val vectors = order.map { k =>
+      val col = Array.tabulate(n)(i => v(i)(k))
+      val m = col.indices.maxBy(i => math.abs(col(i)))
+      if (col(m) < 0) col.map(x => -x) else col
+    }.toArray
+    (values, vectors)
+  }
 }

@@ -1416,8 +1416,28 @@ object PipelineQueries {
     )
   )
 
+  // ---- P14: PCA / whitening over embeddings (rows-only: the Jacobi
+  // eigensolve is not ANSI-SQL-expressible; SimSpec pins the fit against
+  // a driver-side dense covariance eigendecomposition and the planted
+  // principal direction, LinAlgSpec pins the solver itself) ------------
+  val q82 = Q(
+    "q82_pca",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val m = graft.sim.Pca.fit(emb, "embedding", k = 8)
+      val cum = m.varianceExplained.scanLeft(0.0)(_ + _).tail
+      m.eigenvalues.indices.map { i =>
+        (i, BigDecimal(m.eigenvalues(i)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(m.varianceExplained(i)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(cum(i)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toDF("component", "eigenvalue", "var_explained", "cum_explained")
+    },
+    None
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
-      q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81)
+      q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82)
 }

@@ -58,4 +58,41 @@ class LinAlgSpec extends AnyFunSuite {
     val (dropped, kept) = LinAlg.collinearFromGram(g)
     assert(dropped == Seq(1) && kept == Seq(0))
   }
+
+  test("symEigen: hand-solved 2x2") {
+    // [[2,1],[1,2]] has eigenvalues 3 (vector [1,1]/√2) and 1 ([1,-1]/√2)
+    val (vals, vecs) = LinAlg.symEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(vals(0) - 3.0) < 1e-12)
+    assert(math.abs(vals(1) - 1.0) < 1e-12)
+    val r2 = 1.0 / math.sqrt(2.0)
+    assert(math.abs(vecs(0)(0) - r2) < 1e-12 && math.abs(vecs(0)(1) - r2) < 1e-12)
+    // sign convention: largest-|entry| coordinate positive
+    assert(math.abs(math.abs(vecs(1)(0)) - r2) < 1e-12)
+    assert(vecs(1).map(math.abs).max == vecs(1).map(math.abs).max.abs)
+  }
+
+  test("symEigen: reconstruction, orthonormality, descending order on a 6x6") {
+    val n = 6
+    val a = Array.tabulate(n, n)((i, j) => 0.0)
+    // deterministic symmetric matrix
+    for (i <- 0 until n; j <- i until n) {
+      val v = math.sin(i * 2.3 + j * 1.7) + (if (i == j) 3.0 + i else 0.0)
+      a(i)(j) = v; a(j)(i) = v
+    }
+    val (vals, vecs) = LinAlg.symEigen(a)
+    // descending
+    for (i <- 1 until n) assert(vals(i - 1) >= vals(i) - 1e-12)
+    // orthonormal rows
+    for (i <- 0 until n; j <- 0 until n) {
+      val d = LinAlg.dot(vecs(i), vecs(j))
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-10, s"dot($i,$j)=$d")
+    }
+    // A = Σ λ_k u_k u_kᵀ
+    for (i <- 0 until n; j <- 0 until n) {
+      val r = (0 until n).map(k => vals(k) * vecs(k)(i) * vecs(k)(j)).sum
+      assert(math.abs(r - a(i)(j)) < 1e-9, s"recon($i,$j)")
+    }
+    // trace preserved
+    assert(math.abs(vals.sum - (0 until n).map(i => a(i)(i)).sum) < 1e-9)
+  }
 }

@@ -1,5 +1,7 @@
 package graft.sim
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 import graft.util.Tables
 
@@ -616,5 +618,82 @@ class SimSpec extends SparkSpec {
     val got = Embed.assign(df, cents, "v", "id", centIdCol = "grp")
       .select("id", "assigned").as[(Long, Int)].collect().toMap
     assert(got == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1))
+  }
+
+  // deterministic anisotropic cloud: strong planted direction u, weaker
+  // orthogonal direction w, tiny residual in the remaining dims
+  private def pcaCloud: Seq[(Long, Array[Float])] = {
+    val u = Array(0.8, 0.6, 0.0, 0.0)
+    val w = Array(-0.6, 0.8, 0.0, 0.0)
+    (0 until 400).map { i =>
+      val t = 3.0 * math.sin(i * 0.7)          // big variance along u
+      val s = 1.0 * math.cos(i * 1.3)          // smaller along w
+      val r1 = 0.05 * math.sin(i * 2.9)        // dust
+      val r2 = 0.05 * math.cos(i * 3.7)
+      val v = Array.tabulate(4)(d => t * u(d) + s * w(d) +
+        (if (d == 2) r1 else if (d == 3) r2 else 0.0) + (if (d == 0) 1.5 else 0.0))
+      (i.toLong, v.map(_.toFloat))
+    }
+  }
+
+  test("Pca.fit matches a driver-side dense covariance fit exactly; planted direction recovered") {
+    val data = pcaCloud
+    val df = data.toDF("id", "v")
+    val m = Pca.fit(df, "v", k = 2)
+    assert(m.dim == 4 && m.n == 400)
+
+    // dense reference from the same rows (float-cast, like the aggregate saw)
+    val rows = data.map(_._2.map(_.toDouble))
+    val n = rows.length
+    val mean = Array.tabulate(4)(d => rows.map(_(d)).sum / n)
+    val cov = Array.tabulate(4, 4) { (a, b) =>
+      rows.map(r => (r(a) - mean(a)) * (r(b) - mean(b))).sum / (n - 1)
+    }
+    val (vals, vecs) = graft.ml.LinAlg.symEigen(cov)
+    m.mean.zip(mean).foreach { case (a, b) => assert(math.abs(a - b) < 1e-6) }
+    m.eigenvalues.zip(vals.take(2)).foreach { case (a, b) =>
+      assert(math.abs(a - b) / b < 1e-6)
+    }
+    // top component is ±u (planted); sign convention makes it comparable
+    val u = Array(0.8, 0.6, 0.0, 0.0)
+    val align = math.abs(graft.ml.LinAlg.dot(m.components(0), u))
+    assert(align > 0.999, s"top-component alignment $align")
+    assert(m.varianceExplained.sum > 0.99) // dust dims carry < 1%
+  }
+
+  test("Pca.transform: projection parity, per-component variance = eigenvalue, whitening") {
+    val data = pcaCloud
+    val df = data.toDF("id", "v")
+    val m = Pca.fit(df, "v", k = 2)
+    val projs = df.select(col("id"), m.transform(col("v")).as("p")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    // row-local parity with a scala dot product (float-literal components)
+    for ((id, vec) <- data.take(20)) {
+      val expect = m.components.map { c =>
+        val cf = c.map(_.toFloat)
+        vec.zip(cf).map { case (a, b) => (a * b).toDouble }.sum -
+          c.zip(m.mean).map { case (ci, mi) => ci * mi }.sum
+      }
+      expect.zip(projs(id)).foreach { case (e, g) => assert(math.abs(e - g) < 1e-3) }
+    }
+    // projected coordinates: mean ~0, variance ~eigenvalue, decorrelated
+    val ps = data.map(d => projs(d._1))
+    for (c <- 0 until 2) {
+      val xs = ps.map(_(c))
+      val mu = xs.sum / xs.length
+      val va = xs.map(x => (x - mu) * (x - mu)).sum / (xs.length - 1)
+      assert(math.abs(mu) < 1e-4)
+      assert(math.abs(va - m.eigenvalues(c)) / m.eigenvalues(c) < 1e-3)
+    }
+    val cross = ps.map(p => p(0) * p(1)).sum / (ps.length - 1)
+    assert(math.abs(cross) < 0.02 * m.eigenvalues.head)
+    // whitened: unit variance per component
+    val wh = df.select(col("id"), m.transform(col("v"), whiten = true).as("p")).collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    for (c <- 0 until 2) {
+      val mu = wh.map(_(c)).sum / wh.length
+      val va = wh.map(x => (x(c) - mu) * (x(c) - mu)).sum / (wh.length - 1)
+      assert(math.abs(va - 1.0) < 1e-3)
+    }
   }
 }
