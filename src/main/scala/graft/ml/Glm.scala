@@ -18,8 +18,11 @@ import org.apache.spark.sql.functions._
   *    of the current coefficient vector (η = x'β with β literals), so
   *    every iteration is exactly ONE codegen'd aggregate pass computing
   *    the weighted Gram X'WX, X'Wz and the deviance together — no
-  *    materialized intermediate, no cache, no lineage growth. The k×k
-  *    solve happens on the driver ([[LinAlg]]).
+  *    per-iteration intermediate, no lineage growth. The minimal
+  *    (k+2)-double projection of the source is persisted once up front
+  *    (spill-to-disk) so iterations re-read ~n·(k+2)·8 bytes instead of
+  *    rescanning the source table; it is released before return. The
+  *    k×k solve happens on the driver ([[LinAlg]]).
   *  - **Poisson with absorbed FEs** (PPML): η carries the absorbed
   *    effects, so it is data, not an expression — each iteration runs
   *    [[FixedEffects.fitWeighted]] on the working response (weighted
@@ -200,15 +203,26 @@ object Glm {
       weight: Option[String] = None
   ): GlmModel = {
     val names = (if (intercept) Seq("(intercept)") else Nil) ++ xs
+    // Project the minimal sufficient columns ONCE and persist: every
+    // IRLS pass re-reads this narrow (k+2)-double frame instead of
+    // rescanning the source + re-evaluating casts/derived expressions
+    // per iteration (at scale the repeated source scan IS the cost; the
+    // projection spills to disk if it doesn't fit). All model outputs
+    // are driver-side scalars, so the frame is released before return.
+    val projected = df.select(
+      (xs.map(c => col(c).cast("double").as(s"__x_$c")) ++
+        Seq(col(y).cast("double").as("__y")) ++
+        offset.map(c => col(c).cast("double").as("__off")).toSeq ++
+        weight.map(c => col(c).cast("double").as("__fw")).toSeq): _*).persist()
     val xcols: Seq[Column] =
-      (if (intercept) Seq(lit(1.0)) else Nil) ++ xs.map(c => col(c).cast("double"))
-    val yc = col(y).cast("double")
-    val off = offset.map(c => col(c).cast("double"))
-    val fw = weight.map(c => col(c).cast("double")).getOrElse(lit(1.0))
+      (if (intercept) Seq(lit(1.0)) else Nil) ++ xs.map(c => col(s"__x_$c"))
+    val yc = col("__y")
+    val off = offset.map(_ => col("__off"))
+    val fw = weight.map(_ => col("__fw")).getOrElse(lit(1.0))
     val k = xcols.length
 
     val ybar = {
-      val r = df.agg(sum(fw * yc), sum(fw)).head()
+      val r = projected.agg(sum(fw * yc), sum(fw)).head()
       r.getDouble(0) / r.getDouble(1)
     }
 
@@ -237,7 +251,7 @@ object Glm {
         (for (i <- 0 until k; j <- i until k) yield sum(w * xcols(i) * xcols(j))) ++
           (0 until k).map(i => sum(w * xcols(i) * z)) ++
           Seq(sum(fw * family.deviance(yc, mu)), sum(fw))
-      val row: Row = df.agg(aggs.head, aggs.tail: _*).head()
+      val row: Row = projected.agg(aggs.head, aggs.tail: _*).head()
 
       var p = 0
       val g = Array.ofDim[Double](k, k)
@@ -259,6 +273,7 @@ object Glm {
       gramW = g
       iter += 1
     }
+    projected.unpersist(false)
     GlmModel(family.name, names, beta, n, iter, converged, dev, gramW, offset, weight)
   }
 
