@@ -1436,8 +1436,29 @@ object PipelineQueries {
     None
   )
 
+  // ---- T17: exact per-stratum heavy hitters via a Misra–Gries candidate
+  // pass + exact verification (FULL oracle: the sketch only prunes — the
+  // MG containment guarantee makes the candidate set a superset of every
+  // token with cnt·100 > n, so the exact pass reproduces DuckDB's plain
+  // group-by answer; the threshold is integer arithmetic on both
+  // engines, no float margin) -----------------------------------------
+  val q83 = Q(
+    "q83_heavy_hitters",
+    (s, dir) =>
+      graft.text.Vocab
+        .heavyHitters(Tables.documents(s, dir), "text", "lang", pct = 100, capacity = 256)
+        .select(col("lang"), col("token"), col("cnt"), col("n_tokens")),
+    Some(
+      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        |n AS (SELECT lang, count(*) AS n_tokens FROM t GROUP BY lang),
+        |c AS (SELECT lang, token, count(*) AS cnt FROM t GROUP BY lang, token)
+        |SELECT c.lang, c.token, c.cnt, n.n_tokens
+        |FROM c JOIN n USING (lang) WHERE c.cnt * 100 > n.n_tokens""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
-      q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82)
+      q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83)
 }

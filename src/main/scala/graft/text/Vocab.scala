@@ -111,4 +111,48 @@ object Vocab {
             col("__p").getItem(i).as(s"p${(p * 100).round}_tokens")
           }: _*)
   }
+
+  /** Per-stratum EXACT frequent tokens — every token whose occurrence
+    * count exceeds 1/`pct` of its stratum's token mass — found at sketch
+    * cost: a Misra–Gries pass ([[graft.functions.HeavyHittersAgg]],
+    * bounded state per stratum, map-side combined) generates candidates,
+    * then one exact counting pass over ONLY candidate occurrences
+    * verifies them. Because Misra–Gries guarantees every token with
+    * frequency > n/(capacity+1) survives the sketch, capacity ≥ pct − 1
+    * makes the candidate set a superset of the true answer and the
+    * composed output EXACT and partition-invariant — the standard
+    * two-phase frequent-items shape. Nothing vocabulary-sized ever
+    * shuffles: phase 1 moves `capacity` counters per (partition,
+    * stratum); phase 2 semi-joins the token stream against the
+    * broadcast candidate table before its (already map-side-combined)
+    * count shuffle.
+    *
+    * Output: (strataCol, token, cnt, n_tokens) rows with
+    * cnt * pct > n_tokens.
+    */
+  def heavyHitters(
+      df: DataFrame,
+      textCol: String,
+      strataCol: String,
+      pct: Int = 100,
+      capacity: Int = 256
+  ): DataFrame = {
+    require(pct >= 2, "pct < 2 has no heavy-hitter reading")
+    require(capacity + 1 >= pct,
+      s"capacity $capacity cannot guarantee the 1/$pct threshold (need >= ${pct - 1})")
+    val toks = df.select(col(strataCol), split(col(textCol), " ").as("__toks"))
+    val sketch = toks
+      .groupBy(col(strataCol))
+      .agg(
+        graft.functions.HeavyHittersAgg.heavyHitters(col("__toks"), capacity).as("__cand"),
+        sum(size(col("__toks"))).as("n_tokens"))
+    val cands = sketch.select(
+      col(strataCol), col("n_tokens"), explode(col("__cand.token")).as("token"))
+    toks
+      .select(col(strataCol), explode(col("__toks")).as("token"))
+      .join(broadcast(cands), Seq(strataCol, "token"))
+      .groupBy(col(strataCol), col("token"))
+      .agg(count(lit(1)).as("cnt"), first(col("n_tokens")).as("n_tokens"))
+      .filter(col("cnt") * pct > col("n_tokens"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.functions.{col, count_distinct, explode, size, split, sum}
+import org.apache.spark.sql.functions.{col, count, count_distinct, explode, lit, size, split, sum}
 
 import graft.SparkSpec
 
@@ -378,5 +378,56 @@ class TextSpec extends SparkSpec {
     val ranked = Bm25.topK(docs, "text", "doc_id", qs, k = 3, qLen = 1)
       .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(2)))
     assert(ranked.toSeq == Seq((1L, 10L), (2L, 11L), (3L, 12L)))
+  }
+
+  test("HeavyHittersAgg: Misra–Gries containment and underestimate bounds on a Zipf stream") {
+    import graft.functions.HeavyHittersAgg.heavyHitters
+    // deterministic Zipf-ish stream: token t_r appears ~600/r times
+    val stream = (1 to 60).flatMap(r => Seq.fill(600 / r)(s"t_$r"))
+    val n = stream.length
+    val cap = 16
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // many partitions → the merge path runs, not just update
+    val df = stream.grouped(50).toSeq.map(g => Tuple1(g.toArray)).toDF("toks").repartition(13)
+    val sketch = df.agg(heavyHitters(col("toks"), cap)).head()
+      .getSeq[org.apache.spark.sql.Row](0).map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sketch.size <= cap)
+    val bound = n.toDouble / (cap + 1)
+    for ((tok, cnt) <- exact) {
+      if (cnt > bound) assert(sketch.contains(tok), s"$tok (cnt=$cnt > $bound) missing")
+      sketch.get(tok).foreach { est =>
+        assert(est <= cnt, s"$tok overestimated: $est > $cnt")
+        assert(cnt - est <= bound + 1e-9, s"$tok undershoots by ${cnt - est} > $bound")
+      }
+    }
+  }
+
+  test("Vocab.heavyHitters: exact output, partition-invariant, equals the plain group-by answer") {
+    // skewed synthetic corpus: per lang, token h_i is hot, the rest dust
+    val docs = (1 to 200).map { i =>
+      val lang = if (i % 2 == 0) "en" else "es"
+      val hot = Seq.fill(8)(s"hot_${lang}_${i % 3}")
+      val dust = (1 to 12).map(j => s"dust_${(i * 131 + j * 17) % 1499}")
+      (i.toLong, lang, (hot ++ dust).mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val got = Vocab.heavyHitters(docs, "text", "lang", pct = 50, capacity = 64)
+      .as[(String, String, Long, Long)].collect().toSet
+    // exact reference computed the brute way
+    val toks = docs.select($"lang", explode(split($"text", " ")).as("token"))
+    val nTok = toks.groupBy("lang").agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap
+    val expect = toks.groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+      .as[(String, String, Long)].collect()
+      .filter { case (l, _, c) => c * 50 > nTok(l) }
+      .map { case (l, t, c) => (l, t, c, nTok(l)) }.toSet
+    assert(got == expect && got.nonEmpty)
+    // partition-invariance of the COMPOSED output (sketch internals may
+    // differ per partitioning; the verified answer may not)
+    val got17 = Vocab.heavyHitters(docs.repartition(17), "text", "lang", pct = 50, capacity = 64)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got17 == got)
+    // capacity too small for the threshold is refused, not silently lossy
+    assertThrows[IllegalArgumentException] {
+      Vocab.heavyHitters(docs, "text", "lang", pct = 50, capacity = 16)
+    }
   }
 }
