@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -126,5 +127,64 @@ class SourcesSpec extends SparkSpec {
       // an equality filter on the bucket key scans 1 of 4 buckets
       assert(plan.contains("SelectedBucketsCount: 1 out of 4"), plan)
     } finally spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
+  }
+
+  test("ZOrder.write: layout-only rewrite — read-back equality, both dims cluster tightly") {
+    import spark.implicits._
+    // two INDEPENDENT skewed-ish dims: a linear sort on one can't serve
+    // the other, the z-curve serves both
+    val rows = (0 until 40000).map { i =>
+      val a = (i * 48271) % 40000          // pseudo-shuffled
+      val b = (i * 16807) % 40000
+      (i.toLong, a.toLong, b.toLong)
+    }
+    val df = rows.toDF("id", "a", "b").repartition(8)
+    val zdir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val sdir = java.nio.file.Files.createTempDirectory("asort").toString
+    ZOrder.write(df, zdir, Seq("a", "b"), files = 64, bits = 8)
+    // control: classic single-column sort layout, same file count
+    df.repartitionByRange(64, col("a")).sortWithinPartitions("a")
+      .write.mode("overwrite").parquet(sdir)
+
+    val z = spark.read.parquet(zdir)
+    // layout only: same schema, same row multiset
+    assert(z.schema.fieldNames.toSeq == Seq("id", "a", "b"))
+    assert(z.as[(Long, Long, Long)].collect().sorted.toSeq == rows.sorted)
+
+    def filesHit(path: String, pred: Column): Long =
+      spark.read.parquet(path).where(pred)
+        .select(col("_metadata.file_path")).distinct().count()
+
+    // a 1%-selective range on EACH dim: the z-layout confines either
+    // to a handful of the 16 files; the a-sorted control serves only a
+    val aPred = col("a").between(10000, 10399)
+    val bPred = col("b").between(20000, 20399)
+    // ≤ 25% of files on EITHER dim beats the control's non-sort dim
+    // (≥ 85%) by 3.5×+; the single-column sort only serves its own dim
+    assert(filesHit(zdir, aPred) <= 16, s"z-layout spread a-matches over ${filesHit(zdir, aPred)}/64 files")
+    assert(filesHit(zdir, bPred) <= 16, s"z-layout spread b-matches over ${filesHit(zdir, bPred)}/64 files")
+    assert(filesHit(sdir, aPred) <= 3)          // the sort's own dim: best case
+    assert(filesHit(sdir, bPred) >= 55, "control should smear the non-sort dim")
+    // predicates still push to the scan on the rewritten layout
+    val plan = spark.read.parquet(zdir).where(aPred).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(a,"), plan)
+  }
+
+  test("ZOrder.zKey: quantile buckets keep the curve balanced under heavy skew") {
+    import spark.implicits._
+    // 90% of mass piled near zero, long thin tail: uniform-range buckets
+    // would put 90% of rows in one z-prefix; quantile buckets spread them
+    val rows = (0 until 20000).map { i =>
+      val v = if (i % 10 < 9) (i % 997).toDouble else 1e6 + i
+      (i.toLong, v, (i * 7919 % 20000).toDouble)
+    }
+    val df = rows.toDF("id", "x", "y")
+    val keyed = df.withColumn("__z", ZOrder.zKey(df, Seq("x", "y"), bits = 6))
+    val q = keyed.stat.approxQuantile("__z", Array(0.25, 0.5, 0.75), 0.01)
+    // a balanced key has genuinely distinct quartiles (no mass collapse)
+    assert(q(0) < q(1) && q(1) < q(2), q.mkString(","))
+    // every row keyed, key within the 2·6-bit range
+    val mm = keyed.agg(min("__z"), max("__z")).head()
+    assert(mm.getLong(0) >= 0L && mm.getLong(1) < (1L << 12))
   }
 }
