@@ -1457,8 +1457,25 @@ object PipelineQueries {
     )
   )
 
+  // ---- P7h: OPQ — PCA-rotated, eigenvalue-allocated PQ (rows-only:
+  // ANN recall isn't SQL-expressible; SimSpec pins the rotation
+  // invariants and the 0.23→0.86 recall win on the unbalanced corpus;
+  // the exact-rerank output here goes through the same TopK machinery
+  // q51 pins) ----------------------------------------------------------
+  val q84 = Q(
+    "q84_opq_topk",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      graft.sim.Opq.topK(
+        emb.where($"vec_id" < 8), emb, "vec_id", "embedding",
+        k = 5, m = 16, kCent = 16, rerank = 50, sampleN = 512)
+    },
+    None
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
-      q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83)
+      q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84)
 }

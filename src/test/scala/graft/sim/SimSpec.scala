@@ -620,6 +620,59 @@ class SimSpec extends SparkSpec {
     assert(got == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1))
   }
 
+  // OPQ's target regime: ALL the energy piled into raw-PQ's first
+  // subspace (dims 0..3 of 16, m=4), dust elsewhere — the blind split
+  // must cover a fat 4-D cloud with k centroids while the other three
+  // subspaces quantize noise
+  private def opqCloud: Seq[(Long, Array[Float])] = {
+    val amp = Array(4.0, 3.0, 2.5, 2.0)
+    (0 until 600).map { i =>
+      val v = Array.tabulate(16) { d =>
+        if (d < 4) amp(d) * math.sin(i * (0.37 + 0.11 * d) + d)
+        else 0.05 * math.sin(i * 1.1 * (d + 1))
+      }
+      (i.toLong, v.map(_.toFloat))
+    }
+  }
+
+  test("Opq rotation: orthonormal, dot/norm-preserving, variance-balanced allocation") {
+    val df = opqCloud.toDF("id", "v")
+    val rot = Opq.fit(df, "v", m = 4)
+    assert(rot.dim == 16 && rot.rows.length == 16)
+    // R Rᵀ = I
+    for (i <- 0 until 16; j <- 0 until 16) {
+      val d = graft.ml.LinAlg.dot(rot.rows(i), rot.rows(j))
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-9, s"RRt($i,$j)=$d")
+    }
+    // allocation spreads the four fat eigendirections one per subspace
+    val fatPerSub = rot.allocation.grouped(4).map(_.count(_ < 4)).toSeq
+    assert(fatPerSub == Seq(1, 1, 1, 1), s"allocation $fatPerSub")
+    // the applied rotation preserves the inner-product geometry exactly
+    val pairs = df.limit(40)
+      .select($"v", rot(col("v")).as("rv")).collect()
+      .map(r => (r.getSeq[Float](0).toArray, r.getSeq[Float](1).toArray))
+    for (((x, rx), (y, ry)) <- pairs.zip(pairs.reverse)) {
+      def dotF(a: Array[Float], b: Array[Float]) =
+        a.zip(b).map { case (p, q) => p.toDouble * q }.sum
+      assert(math.abs(dotF(x, y) - dotF(rx, ry)) < 1e-3)
+    }
+  }
+
+  test("Opq.topK beats plain AnnPq recall on the unbalanced-subspace corpus") {
+    val df = opqCloud.toDF("id", "v")
+    val queries = df.where($"id" < 20)
+    val exact = Cosine.topK(queries, df, "id", "v", k = 10)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    def recallOf(got: Set[(Long, Long)]) = exact.intersect(got).size.toDouble / exact.size
+    val raw = recallOf(AnnPq.topK(queries, df, "id", "v", k = 10, m = 4, kCent = 16, sampleN = 600)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet)
+    val rotated = recallOf(Opq.topK(queries, df, "id", "v", k = 10, m = 4, kCent = 16, sampleN = 600)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet)
+    info(s"recall raw=$raw rotated=$rotated")
+    assert(rotated >= raw, s"rotated $rotated < raw $raw")
+    assert(rotated >= 0.7, s"rotated recall $rotated too low")
+  }
+
   // deterministic anisotropic cloud: strong planted direction u, weaker
   // orthogonal direction w, tiny residual in the remaining dims
   private def pcaCloud: Seq[(Long, Array[Float])] = {
