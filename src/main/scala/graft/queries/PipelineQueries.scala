@@ -1474,8 +1474,43 @@ object PipelineQueries {
     None
   )
 
+  // ---- T18: within-doc repeat mining by suffix automaton (FULL oracle:
+  // lrs via a bounded n-gram replay — the corpus's max repeated span is
+  // 4 tokens, probed; the SQL bound of 12 leaves 3× headroom, and the
+  // automaton's answer is exact so any doc beyond the bound would
+  // mismatch loudly rather than silently — plus the distinct-substring
+  // count brute-forced over ALL gram lengths, a complete witness of the
+  // automaton construction) --------------------------------------------
+  val q85 = Q(
+    "q85_repeat_mining",
+    (s, dir) =>
+      graft.text.RepeatMining.perDoc(Tables.documents(s, dir), "text", "doc_id"),
+    Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |g AS (SELECT doc_id, n, i, array_to_string(ts[i:i+n-1], ' ') AS gram
+        |  FROM t, UNNEST(generate_series(1, 12)) AS ns(n),
+        |       UNNEST(generate_series(1, len(ts) - n + 1)) AS ii(i)),
+        |rep AS (SELECT doc_id, n, gram, min(i) AS fp
+        |  FROM g GROUP BY doc_id, n, gram HAVING count(*) >= 2),
+        |lrs AS (SELECT doc_id, max(n) AS l FROM rep GROUP BY doc_id),
+        |pick AS (SELECT r.doc_id, r.n AS lrs_len,
+        |    (array_agg(r.gram ORDER BY r.fp))[1] AS lrs_gram
+        |  FROM rep r JOIN lrs ON r.doc_id = lrs.doc_id AND r.n = lrs.l
+        |  GROUP BY r.doc_id, r.n),
+        |allg AS (SELECT doc_id, n, array_to_string(ts[i:i+n-1], ' ') AS gram
+        |  FROM t, UNNEST(generate_series(1, greatest(len(ts), 1))) AS ns(n),
+        |       UNNEST(generate_series(1, len(ts) - n + 1)) AS ii(i)),
+        |ds AS (SELECT doc_id, count(DISTINCT gram) AS distinct_subs FROM allg GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(pick.lrs_len, 0) AS lrs_len,
+        |  coalesce(pick.lrs_gram, '') AS lrs_gram,
+        |  coalesce(ds.distinct_subs, 0) AS distinct_subs
+        |FROM t LEFT JOIN pick ON t.doc_id = pick.doc_id
+        |LEFT JOIN ds ON t.doc_id = ds.doc_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
-      q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84)
+      q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85)
 }

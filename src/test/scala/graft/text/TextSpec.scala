@@ -380,6 +380,44 @@ class TextSpec extends SparkSpec {
     assert(ranked.toSeq == Seq((1L, 10L), (2L, 11L), (3L, 12L)))
   }
 
+  test("RepeatMining.perDoc: suffix-automaton answers equal brute force on adversarial docs") {
+    // brute force: all distinct token n-grams; repeated = count >= 2
+    def brute(toks: Array[String]): (Long, String, Long) = {
+      val grams = for {
+        n <- 1 to toks.length
+        i <- 0 to toks.length - n
+      } yield (n, toks.slice(i, i + n).toSeq, i)
+      val byGram = grams.groupBy(g => (g._1, g._2))
+      val distinct = byGram.size.toLong
+      val reps = byGram.filter(_._2.size >= 2)
+      if (reps.isEmpty) (0L, "", distinct)
+      else {
+        val lrs = reps.keys.map(_._1).max
+        val best = reps.collect { case ((n, g), occ) if n == lrs => (occ.map(_._3).min, g) }.minBy(_._1)
+        (lrs.toLong, best._2.mkString(" "), distinct)
+      }
+    }
+    val docs = Seq(
+      "a b c a b d a b c",                    // overlapping repeats, lrs = "a b c"
+      "x y z w",                              // no repeats at all
+      "t t t t t t",                          // all-same: lrs = n-1, maximal overlap
+      "p q p q p q r",                        // periodic
+      "m",                                    // single token
+      "u v u v x u v u v",                    // nested periodic
+      (1 to 30).map(i => s"w${i % 7}").mkString(" ") // cyclic vocabulary
+    )
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = RepeatMining.perDoc(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+    docs.zipWithIndex.foreach { case (t, i) =>
+      val expect = brute(t.split(" "))
+      assert(got(i.toLong) == expect, s"doc $i '$t': got ${got(i.toLong)}, expect $expect")
+    }
+    // empty text degrades to zeros
+    val empty = RepeatMining.perDoc(Seq((9L, "")).toDF("doc_id", "text"), "text", "doc_id").head()
+    assert(empty.getLong(1) == 0L && empty.getString(2) == "" && empty.getLong(3) == 0L)
+  }
+
   test("HeavyHittersAgg: Misra–Gries containment and underestimate bounds on a Zipf stream") {
     import graft.functions.HeavyHittersAgg.heavyHitters
     // deterministic Zipf-ish stream: token t_r appears ~600/r times
