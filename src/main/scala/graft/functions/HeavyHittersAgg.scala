@@ -57,20 +57,7 @@ case class HeavyHittersAgg(
     mutable.HashMap.empty
 
   private def updateOne(m: mutable.HashMap[String, Long], tok: String): Unit =
-    m.get(tok) match {
-      case Some(c) => m.update(tok, c + 1L)
-      case None =>
-        if (m.size < capacity) m.update(tok, 1L)
-        else {
-          // decrement-all; amortized O(1) per token: each pass here
-          // consumes capacity+1 count units (the arriving token included)
-          val keys = m.keysIterator.toArray
-          keys.foreach { k =>
-            val c = m(k)
-            if (c == 1L) m.remove(k) else m.update(k, c - 1L)
-          }
-        }
-    }
+    MisraGries.updateOne(m, tok, capacity)
 
   override def update(
       buffer: mutable.HashMap[String, Long],
@@ -90,21 +77,8 @@ case class HeavyHittersAgg(
 
   override def merge(
       b1: mutable.HashMap[String, Long],
-      b2: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
-    b2.foreachEntry { (k, c) => b1.update(k, b1.getOrElse(k, 0L) + c) }
-    if (b1.size > capacity) {
-      // subtract the (capacity+1)-th largest count, evict what hits <= 0
-      val counts = b1.values.toArray
-      java.util.Arrays.sort(counts)
-      val sub = counts(counts.length - capacity - 1)
-      val keys = b1.keysIterator.toArray
-      keys.foreach { k =>
-        val c = b1(k)
-        if (c <= sub) b1.remove(k) else b1.update(k, c - sub)
-      }
-    }
-    b1
-  }
+      b2: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] =
+    MisraGries.merge(b1, b2, capacity)
 
   override def eval(buffer: mutable.HashMap[String, Long]): Any = {
     val entries = buffer.toArray.sortBy { case (t, c) => (-c, t) }
@@ -157,4 +131,49 @@ object HeavyHittersAgg {
   /** Column form: Misra–Gries sketch of an array<string> token column. */
   def heavyHitters(tokens: Column, capacity: Int): Column =
     Bridge.aggColumn(HeavyHittersAgg(Bridge.expr(tokens), capacity))
+}
+
+/** The Misra–Gries counter moves, shared by the batch aggregate above
+  * and the streaming per-stratum state
+  * ([[graft.streaming.DocStream.heavyHittersStream]]) so both carry the
+  * same containment guarantee from the same code.
+  */
+object MisraGries {
+
+  def updateOne(m: mutable.HashMap[String, Long], tok: String, capacity: Int): Unit =
+    m.get(tok) match {
+      case Some(c) => m.update(tok, c + 1L)
+      case None =>
+        if (m.size < capacity) m.update(tok, 1L)
+        else {
+          // decrement-all; amortized O(1) per token: each pass here
+          // consumes capacity+1 count units (the arriving token included)
+          val keys = m.keysIterator.toArray
+          keys.foreach { k =>
+            val c = m(k)
+            if (c == 1L) m.remove(k) else m.update(k, c - 1L)
+          }
+        }
+    }
+
+  /** Pointwise-sum then subtract the (capacity+1)-th largest count —
+    * the mergeable-summaries rule (Agarwal 2013). Mutates and returns b1.
+    */
+  def merge(
+      b1: mutable.HashMap[String, Long],
+      b2: mutable.HashMap[String, Long],
+      capacity: Int): mutable.HashMap[String, Long] = {
+    b2.foreachEntry { (k, c) => b1.update(k, b1.getOrElse(k, 0L) + c) }
+    if (b1.size > capacity) {
+      val counts = b1.values.toArray
+      java.util.Arrays.sort(counts)
+      val sub = counts(counts.length - capacity - 1)
+      val keys = b1.keysIterator.toArray
+      keys.foreach { k =>
+        val c = b1(k)
+        if (c <= sub) b1.remove(k) else b1.update(k, c - sub)
+      }
+    }
+    b1
+  }
 }

@@ -266,4 +266,46 @@ object DocStream {
           .cast("long")
           .as("n_hits"))
   }
+
+  /** Continuous per-stratum frequent-token telemetry (S15): the
+    * Misra–Gries counters ([[graft.functions.MisraGries]] — the same
+    * moves as the batch T17 sketch) carried as `mapGroupsWithState`
+    * state, updated with each micro-batch's tokens, emitting the
+    * current (stratum, tokens-so-far, candidate list) every trigger.
+    * MG is a one-pass streaming algorithm, so the containment guarantee
+    * is LIVE at every emission: any token whose frequency over
+    * everything ingested so far exceeds n/(capacity+1) is in the
+    * candidate list, with its counter undershooting by at most that
+    * bound (candidate CONTENTS may vary with arrival order; the
+    * guarantee does not — pinned by `StreamingSpec`). State per stratum
+    * is ≤ capacity counters, forever. Run the batch
+    * [[graft.text.Vocab.heavyHitters]] exact pass over the accumulated
+    * corpus whenever the dashboard needs verified counts.
+    */
+  def heavyHittersStream(
+      stream: DataFrame,
+      textCol: String,
+      strataCol: String,
+      capacity: Int = 256
+  ): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col(strataCol).cast("string"), split(col(textCol), " "))
+      .as[(String, Seq[String])]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Map[String, Long], Long), (String, Long, Seq[(String, Long)])](
+        GroupStateTimeout.NoTimeout) { (stratum, rows, state) =>
+        val (m0, n0) = state.getOption.getOrElse((Map.empty[String, Long], 0L))
+        val m = scala.collection.mutable.HashMap.from(m0)
+        var n = n0
+        rows.foreach(_._2.foreach { t =>
+          graft.functions.MisraGries.updateOne(m, t, capacity); n += 1
+        })
+        state.update((m.toMap, n))
+        (stratum, n, m.toSeq.sortBy { case (t, c) => (-c, t) })
+      }
+      .toDF(strataCol, "n_tokens", "candidates")
+  }
 }

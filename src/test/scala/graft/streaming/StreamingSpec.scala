@@ -433,4 +433,50 @@ class StreamingSpec extends SparkSpec {
       assert(!got.exists(r => r._2 == 101L || r._2 == 102L))
     } finally q.stop()
   }
+
+  test("streaming heavy hitters: live MG guarantee per stratum across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, String)]
+    val df = ms.toDF.toDF("lang", "text")
+    val cap = 8
+    val out = DocStream.heavyHittersStream(df, "text", "lang", capacity = cap)
+    val q = out.writeStream.outputMode("update").format("memory").queryName("hh_stream").start()
+    // three batches, hot tokens split ACROSS batches so state must carry
+    def doc(lang: String, toks: Seq[String]) = (lang, toks.mkString(" "))
+    val b1 = Seq(
+      doc("en", Seq.fill(30)("hot_a") ++ (1 to 20).map(i => s"d$i")),
+      doc("es", Seq.fill(25)("hot_x") ++ (1 to 15).map(i => s"e$i")))
+    val b2 = Seq(
+      doc("en", Seq.fill(25)("hot_a") ++ Seq.fill(35)("hot_b") ++ (21 to 40).map(i => s"d$i")),
+      doc("es", Seq.fill(20)("hot_x") ++ (16 to 30).map(i => s"e$i")))
+    val b3 = Seq(
+      doc("en", Seq.fill(20)("hot_b") ++ (41 to 55).map(i => s"d$i")))
+    try {
+      Seq(b1, b2, b3).foreach { b => ms.addData(b); q.processAllAvailable() }
+      // LAST emission per stratum = the live sketch after everything
+      val rows = spark.table("hh_stream")
+        .groupBy("lang").agg(org.apache.spark.sql.functions.max_by(
+          org.apache.spark.sql.functions.struct($"n_tokens", $"candidates"), $"n_tokens").as("s"))
+        .select($"lang", $"s.n_tokens", $"s.candidates").collect()
+      val all = (b1 ++ b2 ++ b3).flatMap { case (l, t) => t.split(" ").map(l -> _) }
+      val exact = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val nBy = all.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      assert(rows.map(_.getString(0)).toSet == Set("en", "es"))
+      rows.foreach { r =>
+        val lang = r.getString(0)
+        assert(r.getLong(1) == nBy(lang)) // token mass exact
+        val cands = r.getSeq[org.apache.spark.sql.Row](2)
+          .map(c => c.getString(0) -> c.getLong(1)).toMap
+        assert(cands.size <= cap)
+        val bound = nBy(lang).toDouble / (cap + 1)
+        exact.collect { case ((l, t), c) if l == lang => t -> c }.foreach { case (t, c) =>
+          if (c > bound) assert(cands.contains(t), s"$lang/$t (cnt=$c > $bound) missing")
+          cands.get(t).foreach { est =>
+            assert(est <= c && c - est <= bound + 1e-9, s"$lang/$t est=$est true=$c")
+          }
+        }
+      }
+    } finally q.stop()
+  }
 }
