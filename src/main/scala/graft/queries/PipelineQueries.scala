@@ -1509,8 +1509,27 @@ object PipelineQueries {
     )
   )
 
+  // ---- T1c: unigram-LM tokenizer (rows-only: lattice EM isn't
+  // SQL-expressible; UnigramLmSpec pins a hand-computed E-step, Viterbi
+  // vs brute force, the tie-break, and determinism — while
+  // roundtrip_ok is re-checked in-query per document, q71-style) -------
+  val q86 = Q(
+    "q86_unigram_tokenize",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val v = graft.text.UnigramLm.train(
+        docs, "text", targetVocab = 800, maxPieceLen = 6, seedSize = 2000)
+      graft.text.UnigramLm.withPieces(docs, "text", "doc_id", v)
+        .select(
+          col("doc_id"), col("n_pieces"), col("roundtrip_ok"),
+          xxhash64(concat_ws("", col("pieces"))).as("pieces_hash"))
+    },
+    None
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
-      q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85)
+      q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
+      q86)
 }
