@@ -1527,9 +1527,38 @@ object PipelineQueries {
     None
   )
 
+  // ---- T19: token-budget mix selection (FULL oracle incl. the running
+  // totals: both engines order by the shared md5-60 hash and sum exact
+  // BIGINTs — the two-level bucket prefix provably changes nothing, it
+  // only bounds partition sizes; budget tiers derived from the source
+  // name so both sides compute them independently) ---------------------
+  val q87 = Q(
+    "q87_token_budget",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      val budgets = docs.select("source").distinct().as[String].collect()
+        .map(src => src -> (if (src.stripPrefix("src").toInt % 2 == 0) 500L else 900L))
+        .toMap
+      graft.ops.TokenBudget.select(docs, "doc_id", "source", "n_tok", budgets)
+        .select(col("doc_id"), col("source"), col("n_tok"), col("cum_tokens"))
+    },
+    Some(
+      s"""WITH t AS (SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS n_tok,
+         |    ${graft.functions.SharedHash.md5Long60Sql("'graft:' || doc_id::VARCHAR")} AS h
+         |  FROM documents),
+         |c AS (SELECT doc_id, source, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id) AS cum_tokens FROM t)
+         |SELECT doc_id, source, n_tok, cum_tokens FROM c
+         |WHERE cum_tokens <=
+         |  CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 500 ELSE 900 END""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
-      q86)
+      q86, q87)
 }

@@ -409,4 +409,44 @@ class OpsSpec extends SparkSpec {
     assert(f("B") == ((7L, 0L, 7L)))  // zero-drop stage keeps the chain
     assert(f("C") == ((7L, 2L, 5L)))  // ids 9, 10 fail C after passing A
   }
+
+  test("TokenBudget.select: exact hash-ordered budget cut, brute-force parity, partition-invariant") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val rows = (0 until 300).map { i =>
+      val src = s"s${i % 3}"
+      (i.toLong, src, 10L + (i * 7) % 50) // token counts 10..59
+    }
+    val df = rows.toDF("doc_id", "source", "n_tok")
+    val budgets = Map("s0" -> 900L, "s1" -> 1500L, "s2" -> 1L) // s2: below any doc
+    // brute force with the SAME cross-engine hash values
+    val hs = df
+      .select(col("doc_id"), graft.functions.SharedHash
+        .md5Long60(concat(lit("graft:"), col("doc_id").cast("string"))).as("h"))
+      .as[(Long, Long)].collect().toMap
+    val expect = rows.groupBy(_._2).flatMap { case (src, docs) =>
+      budgets.get(src).toSeq.flatMap { b =>
+        var run = 0L
+        docs.sortBy(d => (hs(d._1), d._1)).flatMap { case (id, s, t) =>
+          run += t
+          if (run <= b) Some((id, s, t, run)) else None
+        }
+      }
+    }.toSet
+    // buckets=4 forces real multi-bucket prefix composition
+    val got = TokenBudget.select(df, "doc_id", "source", "n_tok", budgets, buckets = 4)
+      .select("doc_id", "source", "n_tok", "cum_tokens")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == expect && got.nonEmpty)
+    assert(!got.exists(_._2 == "s2")) // sub-doc budget keeps nothing
+    // unbudgeted source dropped entirely
+    val gotNoS1 = TokenBudget.select(df, "doc_id", "source", "n_tok", budgets - "s1", buckets = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(gotNoS1 == expect.collect { case (id, "s0", _, _) => id })
+    // partitioning cannot change an order defined by (hash, id)
+    val got13 = TokenBudget
+      .select(df.repartition(13), "doc_id", "source", "n_tok", budgets, buckets = 4)
+      .select("doc_id", "source", "n_tok", "cum_tokens")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got13 == got)
+  }
 }
