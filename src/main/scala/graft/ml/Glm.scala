@@ -132,7 +132,9 @@ object Glm {
     def name: String
     /** μ = g⁻¹(η), with any overflow guard folded in. */
     def mu(eta: Column): Column
-    /** IRLS weight w(μ) = dμ/dη for the canonical link. */
+    /** IRLS weight w(μ) = (dμ/dη)²/V(μ) — for a canonical link this
+      * coincides with dμ/dη and with V(μ).
+      */
     def weight(mu: Column): Column
     /** Pointwise deviance contribution d(y, μ) with Σd the deviance. */
     def deviance(y: Column, mu: Column): Column
@@ -140,6 +142,16 @@ object Glm {
       * zero counts start finite).
       */
     def etaInit(y: Column, ybar: Double): Column
+    /** Canonical-link families keep the coincidence w = dμ/dη = V(μ),
+      * letting the hot path use `weight` everywhere (bit-identical to
+      * the pre-Gamma expressions). Non-canonical families override
+      * this with [[dMuDeta]]/[[varFun]].
+      */
+    def canonical: Boolean = true
+    /** dμ/dη at μ (only consulted when !canonical). */
+    def dMuDeta(mu: Column): Column = weight(mu)
+    /** Variance function V(μ) (only consulted when !canonical). */
+    def varFun(mu: Column): Column = weight(mu)
   }
 
   case object Poisson extends Family {
@@ -166,6 +178,27 @@ object Glm {
       val m = (y + 0.5) / 2.0
       log(m / (lit(1.0) - m))
     }
+  }
+
+  /** Gamma outcome (y > 0) with the LOG link — the standard practical
+    * choice for strictly-positive right-skewed outcomes (costs,
+    * durations), cf. McCullagh–Nelder ch. 8. Log is NOT the gamma
+    * canonical link, so the coincidence breaks: V(μ) = μ², dμ/dη = μ,
+    * and the IRLS weight is μ²/μ² = 1. [[GlmModel.seInformation]]
+    * assumes unit dispersion (φ = 1); gamma users should take
+    * [[seRobust]] / [[seClustered]], whose score residual
+    * (y − μ)·(dμ/dη)/V(μ) = (y − μ)/μ this family wires in.
+    */
+  case object Gamma extends Family {
+    val name = "gamma"
+    def mu(eta: Column): Column = exp(least(greatest(eta, lit(-30.0)), lit(30.0)))
+    def weight(mu: Column): Column = lit(1.0)
+    def deviance(y: Column, mu: Column): Column =
+      lit(2.0) * (-log(y / mu) + (y - mu) / mu)
+    def etaInit(y: Column, ybar: Double): Column = log((y + lit(ybar)) / 2.0)
+    override def canonical: Boolean = false
+    override def dMuDeta(mu: Column): Column = mu
+    override def varFun(mu: Column): Column = mu * mu
   }
 
   /** Identity link, unit weights: IRLS solves OLS exactly in one step —
@@ -243,8 +276,14 @@ object Glm {
         }
       val mu = family.mu(eta)
       val w = fw * family.weight(mu)
-      // the regression target is the working response net of the offset
-      val z = eta + (yc - mu) / family.weight(mu) - off.getOrElse(lit(0.0))
+      // the regression target is the working response net of the offset;
+      // general-link form z = η + (y − μ)·dη/dμ (the canonical branch
+      // keeps the historical expression bit-for-bit)
+      val z =
+        if (family.canonical)
+          eta + (yc - mu) / family.weight(mu) - off.getOrElse(lit(0.0))
+        else
+          eta + (yc - mu) / family.dMuDeta(mu) - off.getOrElse(lit(0.0))
 
       // one pass: weighted Gram + X'Wz + deviance at the CURRENT β
       val aggs: Seq[Column] =
@@ -287,10 +326,17 @@ object Glm {
       weight: Option[String] = None): GlmModel =
     fit(df, y, xs, Binomial, intercept, tol, maxIter, offset, weight)
 
+  def gamma(df: DataFrame, y: String, xs: Seq[String], intercept: Boolean = true,
+      tol: Double = 1e-9, maxIter: Int = 30, offset: Option[String] = None,
+      weight: Option[String] = None): GlmModel =
+    fit(df, y, xs, Gamma, intercept, tol, maxIter, offset, weight)
+
   /** Robust / cluster-robust GLM sandwich for a no-FE model: bread
     * (X'WX)⁻¹, meat Σ u²xx' (HC0) or Σ_g s_g s_g' with s_g = Σ_{i∈g}
-    * u_i x_i, u = y − μ. One pass (plus the per-cluster reduce when
-    * clustered).
+    * u_i x_i, u the SCORE residual (y − μ)·(dμ/dη)/V(μ) — which is
+    * y − μ for every canonical link (that branch keeps the historical
+    * expression bit-for-bit), (y − μ)/μ for gamma-log. One pass (plus
+    * the per-cluster reduce when clustered).
     */
   def varianceRobust(df: DataFrame, model: GlmModel, y: String,
       cluster: Option[String] = None): Array[Array[Double]] = {
@@ -301,7 +347,10 @@ object Glm {
       case x             => col(x).cast("double")
     }
     val fw = model.weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
-    sandwich(df.withColumn("__u", col(y).cast("double") - mu), xcols, model.gramW, cluster, fw)
+    val u =
+      if (fam.canonical) col(y).cast("double") - mu
+      else (col(y).cast("double") - mu) * fam.dMuDeta(mu) / fam.varFun(mu)
+    sandwich(df.withColumn("__u", u), xcols, model.gramW, cluster, fw)
   }
 
   def seRobust(df: DataFrame, model: GlmModel, y: String): Array[Double] =
@@ -451,6 +500,7 @@ object Glm {
     case "poisson"  => Poisson
     case "binomial" => Binomial
     case "gaussian" => Gaussian
+    case "gamma"    => Gamma
     case other      => throw new IllegalArgumentException(s"unknown family $other")
   }
 

@@ -34,8 +34,8 @@ class GlmSpec extends SparkSpec {
     val ybar = y.sum / n
     def clip(e: Double) = math.max(-30.0, math.min(30.0, e))
     def mu(eta: Double) = family match {
-      case "poisson"  => math.exp(clip(eta))
-      case "binomial" => 1.0 / (1.0 + math.exp(-clip(eta)))
+      case "poisson" | "gamma" => math.exp(clip(eta))
+      case "binomial"          => 1.0 / (1.0 + math.exp(-clip(eta)))
     }
     def devTerm(yi: Double, m: Double) = family match {
       case "poisson" =>
@@ -43,10 +43,12 @@ class GlmSpec extends SparkSpec {
       case "binomial" =>
         -2.0 * ((if (yi > 0) yi * math.log(m) else 0.0) +
           (if (yi < 1) (1 - yi) * math.log(1 - m) else 0.0))
+      case "gamma" =>
+        2.0 * (-math.log(yi / m) + (yi - m) / m)
     }
     def etaInit(yi: Double) = family match {
-      case "poisson"  => math.log((yi + ybar) / 2.0)
-      case "binomial" => { val m = (yi + 0.5) / 2.0; math.log(m / (1 - m)) }
+      case "poisson" | "gamma" => math.log((yi + ybar) / 2.0)
+      case "binomial"          => { val m = (yi + 0.5) / 2.0; math.log(m / (1 - m)) }
     }
 
     var beta: Array[Double] = null
@@ -63,8 +65,14 @@ class GlmSpec extends SparkSpec {
       val w = family match {
         case "poisson"  => m
         case "binomial" => m.map(v => v * (1 - v))
+        case "gamma"    => Array.fill(n)(1.0)
       }
-      val z = Array.tabulate(n)(i => eta(i) + (y(i) - m(i)) / w(i) - offs(i))
+      // z uses dη/dμ, which equals 1/w only for canonical links
+      val dmde = family match {
+        case "gamma" => m
+        case _       => w
+      }
+      val z = Array.tabulate(n)(i => eta(i) + (y(i) - m(i)) / dmde(i) - offs(i))
       g = Array.ofDim[Double](k, k)
       val c = Array.ofDim[Double](k)
       for (i <- 0 until n; a <- 0 until k) {
@@ -96,13 +104,15 @@ class GlmSpec extends SparkSpec {
     val k = x.head.length
     def clip(e: Double) = math.max(-30.0, math.min(30.0, e))
     def mu(eta: Double) = family match {
-      case "poisson"  => math.exp(clip(eta))
-      case "binomial" => 1.0 / (1.0 + math.exp(-clip(eta)))
+      case "poisson" | "gamma" => math.exp(clip(eta))
+      case "binomial"          => 1.0 / (1.0 + math.exp(-clip(eta)))
     }
     val scores = scala.collection.mutable.Map[Int, Array[Double]]()
     for (i <- y.indices) {
       val eta = (0 until k).map(j => x(i)(j) * beta(j)).sum
-      val u = y(i) - mu(eta)
+      // score residual (y − μ)·(dμ/dη)/V(μ): y − μ canonical, (y − μ)/μ gamma-log
+      val u0 = y(i) - mu(eta)
+      val u = if (family == "gamma") u0 / mu(eta) else u0
       val s = scores.getOrElseUpdate(clusters(i), Array.ofDim[Double](k))
       for (a <- 0 until k) s(a) += u * x(i)(a)
     }
@@ -165,6 +175,37 @@ class GlmSpec extends SparkSpec {
     // true parameters recovered within a few SEs on this draw
     assert(math.abs(m.coef(1) - 0.3) < 4 * m.seInformation(1))
     assert(math.abs(m.coef(2) + 0.6) < 4 * m.seInformation(2))
+  }
+
+  test("gamma-log GLM (non-canonical link) matches the independent dense IRLS + sandwich") {
+    // strictly positive, right-skewed outcome: y = exp(0.8 + 0.5x) · e^ε
+    val rows = (0 until 200).map { i =>
+      val x = math.sin(i * 0.41) * 1.2
+      val eps = 0.4 * math.sin(i * 1.7 + 0.3) // deterministic, mean ~0
+      (x, math.exp(0.8 + 0.5 * x + eps), s"c${i % 8}")
+    }
+    val df = rows.toDF("x", "y", "cl")
+    val m = Glm.gamma(df, "y", Seq("x"))
+    val (bD, gD, devD, itD) = denseIrls(
+      rows.map(r => Array(r._1)).toArray, rows.map(_._2).toArray, "gamma")
+    assert(m.converged && m.iters == itD)
+    m.coef.zip(bD).foreach { case (a, b) => assert(math.abs(a - b) < 1e-10, s"$a vs $b") }
+    assert(math.abs(m.deviance - devD) / devD < 1e-10)
+    for (a <- 0 until 2; b <- 0 until 2)
+      assert(math.abs(m.gramW(a)(b) - gD(a)(b)) / math.abs(gD(a)(b)) < 1e-9)
+    // coefficient recovery sanity on the planted slope
+    assert(math.abs(m.coef(1) - 0.5) < 0.05, m.coef.mkString(","))
+    // robust + clustered sandwiches use the (y − μ)/μ score residual
+    val vR = Glm.varianceRobust(df, m, "y")
+    val vRd = denseSandwich(rows.map(r => Array(r._1)).toArray, rows.map(_._2).toArray,
+      m.coef, m.gramW, "gamma", rows.indices.toArray)
+    for (a <- 0 until 2; b <- 0 until 2)
+      assert(math.abs(vR(a)(b) - vRd(a)(b)) / math.abs(vRd(a)(b)) < 1e-8)
+    val vC = Glm.varianceRobust(df, m, "y", cluster = Some("cl"))
+    val vCd = denseSandwich(rows.map(r => Array(r._1)).toArray, rows.map(_._2).toArray,
+      m.coef, m.gramW, "gamma", rows.map(_._3.drop(1).toInt).toArray)
+    for (a <- 0 until 2; b <- 0 until 2)
+      assert(math.abs(vC(a)(b) - vCd(a)(b)) / math.abs(vCd(a)(b)) < 1e-8)
   }
 
   test("logistic GLM matches the independent dense IRLS") {
