@@ -220,6 +220,40 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange SinglePartition"), plan)
   }
 
+  test("heavy hitters: candidate table broadcasts; no vocabulary-sized exchange") {
+    import spark.implicits._
+    val docs = (1L to 80L).map { i =>
+      (i, if (i % 2 == 0) "en" else "es",
+        (0 until 30).map(j => s"w${(i * 7 + j) % 23}").mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val plan = executedPlan(
+      graft.text.Vocab.heavyHitters(docs, "text", "lang", pct = 50, capacity = 64))
+    // the exact pass joins the token stream against the BROADCAST
+    // candidates — the full vocabulary never shuffles as a join side
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // sketch groupBy(stratum) + exact groupBy(stratum, token): both
+    // map-side combined (partial_ aggregates present)
+    assert(plan.contains("partial_heavyhittersagg") || plan.contains("HeavyHittersAgg"), plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
+
+  test("token budget: prefix table broadcasts; running totals window is bucket-bounded") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, s"s${i % 2}", 10L + i % 7)).toDF("doc_id", "source", "n_tok")
+    val out = graft.ops.TokenBudget.select(
+      docs, "doc_id", "source", "n_tok", Map("s0" -> 500L, "s1" -> 500L), buckets = 8)
+    val plan = executedPlan(out)
+    // budgets + bucket-prefix tables ride broadcast joins
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the ONLY window partitions by (source, __bucket) — never a
+    // source-wide (let alone global) ordered scan
+    assert(plan.contains("windowspecdefinition(source"), plan)
+    assert(plan.contains("__bucket"), plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
+
   test("BM25 broadcasts the idf-enriched query table; postings frame computed once") {
     import spark.implicits._
     val docs = (1L to 80L)
