@@ -27,6 +27,10 @@ import graft.functions._
   *                                     grouped 60-bit hash values, same
   *                                     seeded permutations as
   *                                     [[MinHashLsh.coefficients]]
+  *   heavy_hitters(toks, capacity)     AGGREGATE: Misra–Gries frequent-
+  *                                     tokens sketch (T17/S15 core)
+  *   vec_outer(v)                      AGGREGATE: [n, Σv, upper(Σvvᵀ)]
+  *                                     second-moment buffer (PCA/OPQ fit)
   */
 object GraftFunctions {
 
@@ -63,6 +67,16 @@ object GraftFunctions {
           args(0), Literal(2147483647L)),
         coefs.map(_._1), coefs.map(_._2), 2147483647L)
         .toAggregateExpression(isDistinct = false)
+    },
+    "heavy_hitters" -> { args =>
+      // AGGREGATE: Misra–Gries sketch of array<string> token rows
+      HeavyHittersAgg(args(0), intArg(args(1), "capacity"))
+        .toAggregateExpression(isDistinct = false)
+    },
+    "vec_outer" -> { args =>
+      // AGGREGATE: [n, Σv, upper(Σvvᵀ)] second-moment buffer of an
+      // array<float> column (the PCA/covariance substrate)
+      VecOuterAgg(args(0)).toAggregateExpression(isDistinct = false)
     }
   )
 

@@ -61,6 +61,38 @@ class SqlSpec extends SparkSpec {
     assert(viaSql.toSeq == viaDf.toSeq)
   }
 
+  test("heavy_hitters aggregate from SQL equals the DataFrame form") {
+    val docs = Seq(
+      ("en", Seq("a", "a", "a", "b", "c")),
+      ("en", Seq("a", "b", "b", "d", "e")),
+      ("es", Seq("x", "x", "y"))
+    ).toDF("lang", "toks")
+    docs.createOrReplaceTempView("hh_in")
+    val viaSql = spark.sql(
+      "SELECT lang, heavy_hitters(toks, 4) AS hh FROM hh_in GROUP BY lang")
+      .orderBy("lang").collect()
+      .map(r => r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getString(0), x.getLong(1))))
+    val viaDf = docs.groupBy("lang")
+      .agg(graft.functions.HeavyHittersAgg.heavyHitters(col("toks"), 4).as("hh"))
+      .orderBy("lang").collect()
+      .map(r => r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getString(0), x.getLong(1))))
+    assert(viaSql.toSeq == viaDf.toSeq)
+  }
+
+  test("vec_outer aggregate from SQL equals the DataFrame form bit-for-bit") {
+    val vecs = Seq(
+      Tuple1(Array(1.0f, 2.0f)), Tuple1(Array(3.0f, 4.0f)), Tuple1(Array(-1.0f, 0.5f))
+    ).toDF("v")
+    vecs.createOrReplaceTempView("vo_in")
+    val viaSql = spark.sql("SELECT vec_outer(v) AS o FROM vo_in").head().getSeq[Double](0)
+    val viaDf = vecs.agg(graft.functions.VecOuterAgg.vecOuter(col("v"))).head().getSeq[Double](0)
+    assert(viaSql == viaDf)
+    // layout check: [n, s0, s1, q00, q01, q11]
+    assert(viaSql.head == 3.0 && viaSql(1) == 3.0 && viaSql(2) == 6.5)
+  }
+
   test("GraftExtensions injects the same function list (wiring smoke)") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; names stay unique
