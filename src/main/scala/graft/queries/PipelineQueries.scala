@@ -1556,9 +1556,35 @@ object PipelineQueries {
     )
   )
 
+  // ---- P15: per-dimension embedding standardization (FULL oracle in
+  // long form: DuckDB recomputes μ/σ per dim with avg/stddev_samp —
+  // mathematically identical to the one-pass moment form. Margins
+  // probed at sf0.01: nearest z to a 1e-6 rounding boundary is
+  // 1.84e-11 away while the cross-engine moment noise is ≤ ~1e-12,
+  // and the post-round max |Δz| measures exactly 0.0) ------------------
+  val q88 = Q(
+    "q88_embed_standardize",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (_, _, tf) = graft.sim.Embed.standardizer(emb, "embedding")
+      emb.select(col("vec_id"), posexplode(tf(col("embedding"))).as(Seq("dim0", "z")))
+        .select(
+          col("vec_id"), (col("dim0") + 1).as("dim"),
+          round(col("z"), 6).as("z"))
+    },
+    Some(
+      """WITH s AS (SELECT i AS dim, avg(embedding[i]::DOUBLE) AS mu,
+        |    stddev_samp(embedding[i]::DOUBLE) AS sd
+        |  FROM embeddings, UNNEST(generate_series(1, 64)) AS u(i) GROUP BY i)
+        |SELECT e.vec_id, s.dim,
+        |  round((e.embedding[s.dim]::DOUBLE - s.mu) / s.sd, 6) AS z
+        |FROM embeddings e, s""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
-      q86, q87)
+      q86, q87, q88)
 }

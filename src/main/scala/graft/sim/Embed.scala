@@ -28,6 +28,42 @@ object Embed {
     */
   def normalized(vec: Column): Column = FloatVec.normalize(vec)
 
+  /** Per-dimension standardization (z-scoring) of an embedding column —
+    * the feature-scaling step in front of distance-based anything
+    * (k-means, LSH bands, PCA whitening's cheap cousin). Fit is ONE
+    * [[graft.functions.VecOuterAgg]] pass (only n, Σv and the diagonal
+    * of Σvvᵀ are consumed; σ² uses the n−1 convention); the transform
+    * is a row-local codegen array expression — no UDF, no shuffle.
+    * Returns (means, stds, transformColumn-builder); dims with σ <
+    * `eps` pass through centered-only (z = v − μ) rather than dividing
+    * by ~0.
+    */
+  def standardizer(
+      df: DataFrame,
+      vecCol: String,
+      eps: Double = 1e-12
+  ): (Array[Double], Array[Double], Column => Column) = {
+    val flat = df.agg(graft.functions.VecOuterAgg.vecOuter(col(vecCol)))
+      .head().getSeq[Double](0).toArray
+    require(flat.nonEmpty, "standardizer over an empty frame")
+    val d = ((math.sqrt(9.0 + 8.0 * (flat.length - 1)) - 3.0) / 2.0).round.toInt
+    val n = math.round(flat(0))
+    require(n > 1, s"standardizer needs at least 2 rows, got $n")
+    val mean = Array.tabulate(d)(i => flat(1 + i) / n)
+    // q_ii sits at offset 1 + d + (i-th diagonal of the packed upper
+    // triangle): rows of length d, d-1, ... before it
+    val std = Array.tabulate(d) { i =>
+      val qii = flat(1 + d + (0 until i).map(r => d - r).sum)
+      math.sqrt(math.max(0.0, (qii - n * mean(i) * mean(i)) / (n - 1.0)))
+    }
+    val tf: Column => Column = v =>
+      array((0 until d).map { i =>
+        val centered = element_at(v, i + 1).cast("double") - lit(mean(i))
+        if (std(i) < eps) centered else centered / lit(std(i))
+      }: _*)
+    (mean, std, tf)
+  }
+
   /** Assign each vector to its nearest centroid (cosine): broadcast the
     * (tiny) centroid table, score with the codegen'd dot product. The
     * corpus is scanned once and never shuffled on vectors — same shape

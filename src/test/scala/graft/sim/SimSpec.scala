@@ -673,6 +673,30 @@ class SimSpec extends SparkSpec {
     assert(rotated >= 0.7, s"rotated recall $rotated too low")
   }
 
+  test("Embed.standardizer: driver-parity z-scores; constant dims center without dividing") {
+    val data = (0 until 200).map { i =>
+      // dim 2 is CONSTANT (σ = 0 → centered-only path)
+      (i.toLong, Array(2.0f + i % 7, -1.0f + (i % 3) * 0.5f, 4.25f))
+    }
+    val df = data.toDF("id", "v")
+    val (mu, sd, tf) = Embed.standardizer(df, "v")
+    // driver reference
+    val cols = (0 until 3).map(d => data.map(_._2(d).toDouble))
+    val muRef = cols.map(c => c.sum / c.length)
+    val sdRef = cols.zip(muRef).map { case (c, m) =>
+      math.sqrt(c.map(x => (x - m) * (x - m)).sum / (c.length - 1)) }
+    mu.zip(muRef).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    sd.zip(sdRef).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    assert(sd(2) == 0.0)
+    val out = df.select($"id", tf($"v").as("z")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    for ((id, v) <- data.take(25)) {
+      for (d <- 0 until 2)
+        assert(math.abs(out(id)(d) - (v(d) - muRef(d)) / sdRef(d)) < 1e-9)
+      assert(out(id)(2) == 4.25 - mu(2)) // centered, not divided
+    }
+  }
+
   // deterministic anisotropic cloud: strong planted direction u, weaker
   // orthogonal direction w, tiny residual in the remaining dims
   private def pcaCloud: Seq[(Long, Array[Float])] = {
