@@ -85,4 +85,73 @@ object EmbedStream {
   ): DataFrame =
     assignStream(stream, cents, vecCol, idCol, centIdCol)
       .where(col("assigned").isin(keepLabels.toSeq: _*) && col("cos") >= minCos)
+
+  /** Streaming embedding-DRIFT monitor (S16): per stratum, running
+    * first/second moments (n, Σv, Σv² per dim — the same sufficient
+    * statistics as `VecOuterAgg`'s diagonal) carried as
+    * `mapGroupsWithState` state; each micro-batch emits the z-distance
+    * of the batch's mean vector from the RUNNING mean under the
+    * standard error of a batch mean,
+    * drift = √(Σ_d ((μ̂_d − μ_d)/(σ_d/√m))² / dims), m = batch rows —
+    * ≈ 1 when the new batch is exchangeable with history, rising
+    * sharply when the embedding distribution moves (upstream encoder
+    * swap, corpus contamination, pipeline bug: the things a 100 TB
+    * continuous ingest must catch BEFORE retraining). The state is
+    * 2·dims + 1 doubles per stratum forever; the score is emitted
+    * BEFORE folding the batch in, so drift is measured against history
+    * (first batch per stratum → NaN-free score 0, no history to
+    * contradict). Scoring mirrors the [[graft.sim.Embed.standardizer]]
+    * moment identities row-for-row (StreamingSpec pins parity).
+    */
+  def driftMonitor(
+      stream: DataFrame,
+      vecCol: String,
+      strataCol: String,
+      minHistory: Long = 20L,
+      eps: Double = 1e-12
+  ): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col(strataCol).cast("string"), col(vecCol))
+      .as[(String, Seq[Float])]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Array[Double], Array[Double]),
+        (String, Long, Long, Double)](GroupStateTimeout.NoTimeout) { (stratum, rows, state) =>
+        val batch = rows.map(_._2).toArray
+        val m = batch.length
+        // with NoTimeout the function only fires for groups with rows
+        require(m > 0, s"empty batch for stratum $stratum")
+        val d = batch.head.length
+        val (n0, s0, q0) = state.getOption.getOrElse(
+          (0L, new Array[Double](d), new Array[Double](d)))
+        // score the batch against HISTORY (before folding it in)
+        val score =
+          if (n0 < minHistory || m == 0) 0.0
+          else {
+            val bMean = new Array[Double](d)
+            batch.foreach { v => var i = 0; while (i < d) { bMean(i) += v(i); i += 1 } }
+            var acc = 0.0
+            var i = 0
+            while (i < d) {
+              bMean(i) /= m
+              val mu = s0(i) / n0
+              val va = math.max(0.0, (q0(i) - n0 * mu * mu) / (n0 - 1.0))
+              val se = math.sqrt(math.max(va, eps) / m)
+              val z = (bMean(i) - mu) / se
+              acc += z * z
+              i += 1
+            }
+            math.sqrt(acc / d)
+          }
+        batch.foreach { v =>
+          var i = 0
+          while (i < d) { s0(i) += v(i); q0(i) += v(i).toDouble * v(i); i += 1 }
+        }
+        state.update((n0 + m, s0, q0))
+        (stratum, n0 + m, m.toLong, score)
+      }
+      .toDF(strataCol, "n_seen", "batch_rows", "drift_score")
+  }
 }

@@ -434,6 +434,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming drift monitor: exchangeable batches stay calm, planted mean shift spikes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Seq[Float])]
+    val df = ms.toDF.toDF("source", "embedding")
+    val out = EmbedStream.driftMonitor(df, "embedding", "source", minHistory = 20L)
+    val q = out.writeStream.outputMode("update").format("memory").queryName("drift").start()
+    // deterministic base distribution: mean ~0 per dim, spread ~1
+    def vec(i: Int, shift: Double): Seq[Float] =
+      (0 until 8).map(d => (math.sin(i * 0.71 + d * 1.3) * 1.2 + shift).toFloat)
+    try {
+      // batch 1: seed history (score 0 — nothing to contradict yet)
+      ms.addData((0 until 40).map(i => ("s", vec(i, 0.0))))
+      q.processAllAvailable()
+      // batch 2: same distribution → modest score
+      ms.addData((40 until 80).map(i => ("s", vec(i, 0.0))))
+      q.processAllAvailable()
+      // batch 3: planted mean shift of ~1σ per dim → z ~ √m per dim
+      ms.addData((80 until 120).map(i => ("s", vec(i, 1.0))))
+      q.processAllAvailable()
+      val rows = spark.table("drift").orderBy("n_seen")
+        .select("n_seen", "batch_rows", "drift_score")
+        .as[(Long, Long, Double)].collect()
+      assert(rows.map(_._1).toSeq == Seq(40L, 80L, 120L))
+      assert(rows(0)._3 == 0.0)                      // no history yet
+      assert(rows(1)._3 < 3.0, s"calm batch scored ${rows(1)._3}")
+      assert(rows(2)._3 > 5 * math.max(rows(1)._3, 0.5),
+        s"shifted batch ${rows(2)._3} vs calm ${rows(1)._3}")
+      // scoring parity with the standardizer moment identities: replay
+      // batch 3's score from the first 80 vectors' moments
+      val hist = (0 until 80).map(i => vec(i, 0.0).map(_.toDouble))
+      val b3 = (80 until 120).map(i => vec(i, 1.0).map(_.toDouble))
+      val z2 = (0 until 8).map { d0 =>
+        val mu = hist.map(_(d0)).sum / 80
+        val va = hist.map(_(d0)).map(x => (x - mu) * (x - mu)).sum / 79.0
+        val bm = b3.map(_(d0)).sum / 40
+        val z = (bm - mu) / math.sqrt(va / 40)
+        z * z
+      }.sum
+      assert(math.abs(rows(2)._3 - math.sqrt(z2 / 8)) < 1e-6)
+    } finally q.stop()
+  }
+
   test("streaming heavy hitters: live MG guarantee per stratum across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
