@@ -94,6 +94,56 @@ object AnnIvfPq {
     Index(cents, cb)
   }
 
+  /** Persist the index STATE (centroids + codebook) next to the code
+    * layout — the piece that makes [[writePartitioned]] a real on-disk
+    * index: without it a fresh session would have to re-train, and a
+    * re-trained codebook scores the stored codes as garbage. Same
+    * train-once-serve-anywhere convention as the tokenizer vocabs
+    * ([[graft.text.Bpe.saveVocab]]); driver-bounded by construction
+    * (the index IS broadcast state). Layout: `<path>/centroids` +
+    * `<path>/codebook` parquet.
+    */
+  def saveIndex(spark: SparkSession, index: Index, path: String): Unit = {
+    import spark.implicits._
+    index.centsDf(spark).coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    Seq((index.cb.m, index.cb.k, index.cb.dsub, index.cb.flat.toSeq))
+      .toDF("m", "k", "dsub", "flat")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  def loadIndex(spark: SparkSession, path: String): Index = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val cb = spark.read.parquet(s"$path/codebook").head()
+    Index(cents, AnnPq.Codebook(
+      cb.getInt(0), cb.getInt(1), cb.getInt(2), cb.getSeq[Float](3).toArray))
+  }
+
+  /** [[saveIndex]] for the per-cell-codebook variant: `<path>/centroids`
+    * + `<path>/codebooks` with one row per cell.
+    */
+  def saveIndexPerCell(spark: SparkSession, index: IndexPerCell, path: String): Unit = {
+    import spark.implicits._
+    index.centsDf(spark).coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    index.cbs.toSeq
+      .map { case (cid, cb) => (cid, cb.m, cb.k, cb.dsub, cb.flat.toSeq) }
+      .toDF("cid", "m", "k", "dsub", "flat")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  def loadIndexPerCell(spark: SparkSession, path: String): IndexPerCell = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val cbs = spark.read.parquet(s"$path/codebooks")
+      .collect()
+      .map(r => (r.getLong(0), AnnPq.Codebook(
+        r.getInt(1), r.getInt(2), r.getInt(3), r.getSeq[Float](4).toArray)))
+      .sortBy(_._1)
+    IndexPerCell(cents, cbs)
+  }
+
   /** (id, cid, residual = v − centroid_cid) — one broadcast argmax +
     * one broadcast centroid join; the corpus is never shuffled.
     */

@@ -223,6 +223,43 @@ class SimSpec extends SparkSpec {
     assert(!scanLine.get.contains("embedding"), scanLine.get)
   }
 
+  test("AnnIvfPq save/load index: fresh-session search over the stored layout is identical") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.where($"vec_id" < 5)
+    val codeDir = java.nio.file.Files.createTempDirectory("ivfpq_codes").toString
+    val idxDir = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    val index = AnnIvfPq.build(emb, "vec_id", "embedding",
+      numCentroids = 8, m = 16, kCent = 16, sampleN = 512)
+    AnnIvfPq.writePartitioned(emb, "vec_id", "embedding", index, codeDir)
+    AnnIvfPq.saveIndex(spark, index, idxDir)
+
+    val loaded = AnnIvfPq.loadIndex(spark, idxDir)
+    // state round-trips exactly
+    assert(loaded.cents.map(_._1).toSeq == index.cents.sortBy(_._1).map(_._1).toSeq)
+    loaded.cents.sortBy(_._1).zip(index.cents.sortBy(_._1)).foreach { case ((_, a), (_, b)) =>
+      assert(a.toSeq == b.toSeq)
+    }
+    assert(loaded.cb.m == index.cb.m && loaded.cb.k == index.cb.k &&
+      loaded.cb.dsub == index.cb.dsub && loaded.cb.flat.toSeq == index.cb.flat.toSeq)
+    // searching the stored codes with the LOADED index = with the original
+    def run(ix: AnnIvfPq.Index) = AnnIvfPq
+      .topKPartitioned(queries, ix, codeDir, emb, "vec_id", "embedding",
+        k = 5, nProbe = 4, rerank = 20)
+      .select("qid", "nid", "cos_sim").as[(Long, Long, Double)].collect().toSet
+    assert(run(loaded) == run(index) && run(loaded).nonEmpty)
+
+    // per-cell variant round-trips too
+    val pc = AnnIvfPq.buildPerCell(emb, "vec_id", "embedding",
+      numCentroids = 8, m = 16, kCent = 16, samplePerCell = 256)
+    val pcDir = java.nio.file.Files.createTempDirectory("ivfpq_pc").toString
+    AnnIvfPq.saveIndexPerCell(spark, pc, pcDir)
+    val pcLoaded = AnnIvfPq.loadIndexPerCell(spark, pcDir)
+    assert(pcLoaded.cbs.map(_._1).toSeq == pc.cbs.sortBy(_._1).map(_._1).toSeq)
+    pcLoaded.cbs.sortBy(_._1).zip(pc.cbs.sortBy(_._1)).foreach { case ((_, a), (_, b)) =>
+      assert(a.m == b.m && a.k == b.k && a.dsub == b.dsub && a.flat.toSeq == b.flat.toSeq)
+    }
+  }
+
   test("AnnIvfPq.appendPartitioned: incremental docs are probed like a rebuild") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, sf).limit(400)
