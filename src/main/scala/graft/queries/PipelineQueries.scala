@@ -1582,9 +1582,30 @@ object PipelineQueries {
     )
   )
 
+  // ---- T20: model-based quality filter (rows-only: the logistic fit
+  // isn't SQL-expressible; TextSpec pins held-out separation on planted
+  // populations — here the weak supervision is a source-name tier, and
+  // the query exercises the full train→score→aggregate composition) ----
+  val q89 = Q(
+    "q89_quality_model",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("label",
+          (expr("CAST(substr(source, 4) AS INT)") % 2).cast("double"))
+      val m = graft.text.QualityModel.train(docs, "text", "label")
+      graft.text.QualityModel.score(docs, "text", m)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(col("q_score")), 4).as("mean_q"))
+        .orderBy(col("source"))
+    },
+    None
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
-      q86, q87, q88)
+      q86, q87, q88, q89)
 }

@@ -380,6 +380,34 @@ class TextSpec extends SparkSpec {
     assert(ranked.toSeq == Seq((1L, 10L), (2L, 11L), (3L, 12L)))
   }
 
+  test("QualityModel: trained logistic gate separates held-out planted populations") {
+    def goodDoc(i: Int): String = {
+      val fillers = Seq("morning", "market", "river", "garden", "signal", "window",
+        "story", "number", "silver", "meadow")
+      (0 until 12).map { j =>
+        s"the ${fillers((i * 3 + j) % 10)} and a ${fillers((i * 7 + j * 5) % 10)} of it"
+      }.mkString(" ")
+    }
+    def badDoc(i: Int): String =
+      (0 until 20).map(_ => s"$$$$## spam${i % 3} @@!!").mkString(" ")
+    val labeled = ((0 until 40).map(i => (i.toLong, goodDoc(i), 1.0)) ++
+      (0 until 40).map(i => (1000L + i, badDoc(i), 0.0))).toDF("doc_id", "text", "label")
+    val m = QualityModel.train(labeled, "text", "label")
+    assert(m.converged)
+    // held-out docs from BOTH populations, ids the trainer never saw
+    val holdout = ((100 until 120).map(i => (i.toLong, goodDoc(i), true)) ++
+      (100 until 120).map(i => (2000L + i, badDoc(i), false))).toDF("doc_id", "text", "is_good")
+    val scored = QualityModel.score(holdout, "text", m)
+      .select("doc_id", "is_good", "q_score").as[(Long, Boolean, Double)].collect()
+    val good = scored.filter(_._2).map(_._3)
+    val bad = scored.filterNot(_._2).map(_._3)
+    assert(good.min > bad.max, s"no separation: good min ${good.min} vs bad max ${bad.max}")
+    // the 0.5 gate keeps exactly the good half
+    val kept = QualityModel.filter(holdout, "text", m, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == scored.filter(_._2).map(_._1).toSet)
+  }
+
   test("RepeatMining.perDoc: suffix-automaton answers equal brute force on adversarial docs") {
     // brute force: all distinct token n-grams; repeated = count >= 2
     def brute(toks: Array[String]): (Long, String, Long) = {
