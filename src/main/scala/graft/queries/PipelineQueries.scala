@@ -1330,7 +1330,7 @@ object PipelineQueries {
     )
   )
 
-  // ---- T17: pipeline attrition audit (oracle) ---------------------------
+  // ---- T21: pipeline attrition audit (oracle) ---------------------------
   // The Dolma/RefinedWeb-style funnel: five REAL gates (language ID,
   // quality, repetition, exact dedup, decontamination — each one an
   // already-oracled graft operator) composed as VERDICTS, attributing to
@@ -1549,7 +1549,7 @@ object PipelineQueries {
          |    ${graft.functions.SharedHash.md5Long60Sql("'graft:' || doc_id::VARCHAR")} AS h
          |  FROM documents),
          |c AS (SELECT doc_id, source, n_tok,
-         |    sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id) AS cum_tokens FROM t)
+         |    (sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id))::BIGINT AS cum_tokens FROM t)
          |SELECT doc_id, source, n_tok, cum_tokens FROM c
          |WHERE cum_tokens <=
          |  CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 500 ELSE 900 END""".stripMargin
