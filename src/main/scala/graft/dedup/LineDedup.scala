@@ -27,13 +27,24 @@ object LineDedup {
     * A line occurrence survives when its line's total occurrence count
     * is < minCount, or when it is the keeper: the lexicographically
     * earliest (doc id, position) occurrence corpus-wide.
+    *
+    * `broadcastDupLimit`: the duplicated-line table is only broadcast
+    * back onto the exploded lines when it holds at most this many rows
+    * (counted — one action over the persisted agg, the FixedEffects
+    * broadcast-gate pattern). A heavily near-duplicated corpus — the
+    * exact case dedup targets — can make that table corpus-sized; above
+    * the gate the planner picks a shuffle join instead of OOMing the
+    * executors on a forced broadcast. The persisted dup table (bounded
+    * by MEMORY_AND_DISK) is released by the caller's session cache
+    * sweep.
     */
   def clean(
       df: DataFrame,
       textCol: String,
       idCol: String,
       delim: String = "\n",
-      minCount: Int = 2
+      minCount: Int = 2,
+      broadcastDupLimit: Long = 5000000L
   ): DataFrame = {
     require(minCount >= 2, "minCount < 2 would remove every line")
     val lines = df
@@ -49,12 +60,15 @@ object LineDedup {
         min(struct(col(idCol).as("d"), col("__pos").as("p"))).as("__keep"))
       .filter(col("__cnt") >= minCount)
       .select(col("__k"), col("__keep"))
+      .persist()
 
     val kept: Column = col("__keep").isNull ||
       (col("__keep.d") === col(idCol) && col("__keep.p") === col("__pos"))
 
+    val dupSide = if (dup.count() <= broadcastDupLimit) broadcast(dup) else dup
+
     lines
-      .join(broadcast(dup), Seq("__k"), "left")
+      .join(dupSide, Seq("__k"), "left")
       .groupBy(col(idCol))
       .agg(
         array_join(

@@ -106,8 +106,14 @@ object RepeatedSpans {
     *   - `n_rep_starts`  positions starting such a span
     *   - `rep_tokens`    tokens covered by at least one such span
     *                     (exact interval union)
-    *   - `max_rep_len`   length of the longest maximal repeated span
-    *                     (runs of consecutive flagged starts)
+    *   - `max_rep_len`   UPPER BOUND on the longest repeated span: the
+    *                     longest run of consecutive flagged starts plus
+    *                     minLen − 1. When two DIFFERENT repeated
+    *                     minLen-grams happen to start at adjacent
+    *                     positions, their runs merge and the bound
+    *                     exceeds any single span that actually repeats
+    *                     (run continuity is not owner-verified); use it
+    *                     as a filter ceiling, not an exact length
     *   - `n_foreign`     flagged starts whose span's earliest owner is
     *                     a DIFFERENT (smaller-id) document
     *

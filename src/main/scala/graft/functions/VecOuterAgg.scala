@@ -44,7 +44,12 @@ case class VecOuterAgg(
       b(0) += 1.0
       val x = new Array[Double](d)
       var i = 0
-      while (i < d) { x(i) = arr.getFloat(i); b(1 + i) += x(i); i += 1 }
+      while (i < d) {
+        // a null element would read as 0/garbage and silently skew every
+        // downstream moment (Pca.fit, Embed.standardizer) — fail loudly
+        require(!arr.isNullAt(i), s"VecOuterAgg: null element at dim $i (containsNull input)")
+        x(i) = arr.getFloat(i); b(1 + i) += x(i); i += 1
+      }
       var p = 1 + d
       i = 0
       while (i < d) {

@@ -47,6 +47,10 @@ object TrainingShards {
     // document beyond 2^20 chunks (≈ a billion-token doc at default
     // stride) or a doc id outside [0, 2^43) would silently collide keys
     // and corrupt bin assignment — fail the job instead of mis-packing.
+    // A NULL id (a non-numeric string id survives the cast as null, and
+    // null makes every range predicate null too) must trip the guard
+    // explicitly, or every such document's chunks collapse onto one
+    // null packing key.
     val maxChunks = 1L << 20
     val maxId = Long.MaxValue / maxChunks
     val id = col(idCol).cast("long")
@@ -54,7 +58,8 @@ object TrainingShards {
       .withColumn(
         "__ck",
         when(
-          col("chunk_id") >= maxChunks || id < 0 || id >= maxId,
+          id.isNull || col("chunk_id").isNull ||
+            col("chunk_id") >= maxChunks || id < 0 || id >= maxId,
           raise_error(concat(
             lit(s"TrainingShards: key out of packable range (need 0 <= id < $maxId, "
               + s"chunk_id < $maxChunks): id="),

@@ -43,6 +43,30 @@ object Bm25 {
       k1: Double = 1.2,
       b: Double = 0.75
   ): DataFrame = {
+    val (out, tf) = topKPlan(docs, textCol, idCol, queries, k, qLen, k1, b)
+    // the result is only #queries × k rows: materialize it eagerly and
+    // free the corpus-sized postings cache here, rather than leaving it
+    // for a session cache sweep library callers don't get
+    val materialized = out.localCheckpoint(true)
+    tf.unpersist(false)
+    materialized
+  }
+
+  /** The lazy scoring plan plus its persisted postings intermediate —
+    * the [[graft.ops.TrainingShards.shardsPlan]] split: plan specs pin
+    * THIS plan (the one that actually executes inside [[topK]]);
+    * [[topK]] owns the materialize-then-release lifecycle.
+    */
+  private[graft] def topKPlan(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      queries: DataFrame,
+      k: Int,
+      qLen: Int,
+      k1: Double,
+      b: Double
+  ): (DataFrame, DataFrame) = {
     val withDl = docs
       .select(col(idCol), split(col(textCol), " ").as("__ts"))
       .withColumn("__dl", size(col("__ts")))
@@ -50,7 +74,10 @@ object Bm25 {
     // postings: one shuffle of (doc, term) partial counts. Persisted —
     // both the df aggregate and the scoring join read it, and without
     // the persist the corpus would tokenize twice (the q76 fingerprint-
-    // frame pattern; Bench/Verify release dead blocks after the action)
+    // frame pattern). Released before return: the result is only
+    // #queries × k rows, so it is materialized eagerly (localCheckpoint)
+    // and the corpus-sized cache freed here rather than left for a
+    // session cache sweep library callers don't get.
     val tf = withDl
       .select(col(idCol), col("__dl"), explode(col("__ts")).as("term"))
       .groupBy(col(idCol), col("term"))
@@ -82,7 +109,7 @@ object Bm25 {
       .reduce(_ + _)
     val scored = scoredTerms.groupBy(col("qid"), col(idCol)).agg(slotSum.as("score"))
 
-    scored
+    val out = scored
       .groupBy(col("qid"))
       .agg(TopK.agg(col("score"), col(idCol), k).as("__topk"))
       .select(col("qid"), posexplode(col("__topk")).as(Seq("__r", "__kv")))
@@ -91,5 +118,6 @@ object Bm25 {
         (col("__r") + 1).cast("long").as("rank"),
         col("__kv.payload").as(idCol),
         col("__kv.score").as("score"))
+    (out, tf)
   }
 }

@@ -220,6 +220,24 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange SinglePartition"), plan)
   }
 
+  test("line dedup above the broadcast gate falls back to a shuffle join (no forced broadcast OOM)") {
+    import spark.implicits._
+    val docs = (1L to 60L)
+      .map(i => (i, s"HDR\nbody $i line a\nbody $i line b\nFOOT"))
+      .toDF("doc_id", "text")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = graft.dedup.LineDedup.clean(docs, "text", "doc_id", broadcastDupLimit = 0L)
+      val plan = executedPlan(out).split("== Initial Plan ==")(0)
+      assert(!plan.contains("BroadcastHashJoin"), plan)
+      // and the gated plan still computes the same answer: doc 1 holds
+      // the earliest occurrence of both duplicated lines, so it keeps all
+      val kept = out.where(col("doc_id") === 1L).select("clean_text").as[String].head()
+      assert(kept == "HDR\nbody 1 line a\nbody 1 line b\nFOOT", kept)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("heavy hitters: candidate table broadcasts; no vocabulary-sized exchange") {
     import spark.implicits._
     val docs = (1L to 80L).map { i =>
@@ -260,7 +278,10 @@ class PlanSpec extends SparkSpec {
       .map(i => (i, (0 until 30).map(j => s"w${(i + j) % 11}").mkString(" ")))
       .toDF("doc_id", "text")
     val qs = Seq((0L, 0, "w1"), (0L, 1, "w2"), (0L, 2, "w3")).toDF("qid", "qpos", "term")
-    val out = graft.text.Bm25.topK(docs, "text", "doc_id", qs, k = 5)
+    // the lazy plan that executes inside topK (the public API checkpoints
+    // the #queries×k result and releases the postings cache)
+    val (out, tf) =
+      graft.text.Bm25.topKPlan(docs, "text", "doc_id", qs, k = 5, qLen = 3, k1 = 1.2, b = 0.75)
     val plan = executedPlan(out)
     // scoring join: broadcast, never an exchange of the postings side
     assert(plan.contains("BroadcastHashJoin"), plan)
@@ -268,6 +289,10 @@ class PlanSpec extends SparkSpec {
     // the persisted postings frame serves both the df aggregate and the
     // scoring join — the corpus is not re-tokenized
     assert(plan.contains("InMemoryTableScan"), plan)
-    out.sparkSession.sharedState.cacheManager.clearCache()
+    tf.unpersist(false)
+    // and the public API leaves no cached postings behind
+    spark.sharedState.cacheManager.clearCache()
+    graft.text.Bm25.topK(docs, "text", "doc_id", qs, k = 5).collect()
+    assert(spark.sharedState.cacheManager.isEmpty, "topK left a cached frame behind")
   }
 }

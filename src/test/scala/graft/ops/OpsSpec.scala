@@ -138,6 +138,22 @@ class OpsSpec extends SparkSpec {
     val chain = Iterator.iterate[Throwable](err)(_.getCause).takeWhile(_ != null)
       .map(t => String.valueOf(t.getMessage)).mkString("|")
     assert(chain.contains("out of packable range"), chain.take(500))
+
+    // a NULL id must fail LOUDLY somewhere, never collapse every chunk
+    // of the doc onto one null packing key: today Bpe.chunk's typed
+    // encoder rejects it (NOT_NULL_ASSERT_VIOLATION); the __ck guard's
+    // isNull arm is the backstop should that path ever change
+    val nullId = docs.withColumn(
+      "doc_id", when(col("doc_id") % 2 === 0, col("doc_id")).otherwise(lit(null).cast("long")))
+    val err2 = intercept[Exception] {
+      graft.ops.TrainingShards.shards(nullId, "text", "doc_id", vocab,
+        chunkSize = 16, overlap = 0, budget = 64L).count()
+    }
+    val chain2 = Iterator.iterate[Throwable](err2)(_.getCause).takeWhile(_ != null)
+      .map(t => String.valueOf(t.getMessage)).mkString("|")
+    assert(
+      chain2.contains("out of packable range") || chain2.contains("NOT_NULL_ASSERT_VIOLATION"),
+      chain2.take(500))
   }
 
   test("AsOf.joinAsOf picks latest preceding right row; ties and strictness honored") {

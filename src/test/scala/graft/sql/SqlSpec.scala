@@ -93,6 +93,20 @@ class SqlSpec extends SparkSpec {
     assert(viaSql.head == 3.0 && viaSql(1) == 3.0 && viaSql(2) == 6.5)
   }
 
+  test("vec_outer rejects null vector ELEMENTS loudly (no silent moment skew)") {
+    val withNullElem = spark.sql("SELECT array(1.0f, CAST(NULL AS FLOAT)) AS v")
+    val err = intercept[Exception] {
+      withNullElem.agg(graft.functions.VecOuterAgg.vecOuter(col("v"))).head()
+    }
+    val chain = Iterator.iterate[Throwable](err)(_.getCause).takeWhile(_ != null)
+      .map(t => String.valueOf(t.getMessage)).mkString("|")
+    assert(chain.contains("null element"), chain.take(500))
+    // whole-row nulls stay skipped, as before
+    val skipped = spark.sql("SELECT CAST(NULL AS ARRAY<FLOAT>) AS v UNION ALL SELECT array(2.0f)")
+      .agg(graft.functions.VecOuterAgg.vecOuter(col("v"))).head().getSeq[Double](0)
+    assert(skipped == Seq(1.0, 2.0, 4.0))
+  }
+
   test("GraftExtensions injects the same function list (wiring smoke)") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; names stay unique
