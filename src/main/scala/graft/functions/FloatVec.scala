@@ -110,9 +110,76 @@ case class FloatNormalize(child: Expression)
     copy(child = newChild)
 }
 
+/** Codegen'd dense matrix × float-vector product: out[r] = Σ_j
+  * flat[r·dim + j] · v[j], double accumulation per row, float output —
+  * bit-identical to a stack of [[FloatDot]]s cast to float, which is
+  * exactly what it replaces in [[graft.sim.Opq.Rotation]]: a d×d
+  * rotation as d separate dot expressions is d literal arrays and d
+  * codegen subtrees (a Janino-sized expression at d = 64+); here the
+  * matrix is ONE broadcast reference object and the product one tight
+  * loop. The matrix is constructor state, not a child expression.
+  */
+case class FloatMatVec(child: Expression, flat: Array[Float], rows: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(rows > 0 && flat.length % rows == 0, s"bad matrix shape: ${flat.length} floats / $rows rows")
+  private val dim = flat.length / rows
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = math.min(dim, x.numElements())
+    val out = new Array[Float](rows)
+    var r = 0
+    while (r < rows) {
+      var s = 0.0
+      var j = 0
+      while (j < n) { s += flat(r * dim + j).toDouble * x.getFloat(j).toDouble; j += 1 }
+      out(r) = s.toFloat
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mat = ctx.addReferenceObj("fmvMat", flat, "float[]")
+    val n = ctx.freshName("fmvN")
+    val out = ctx.freshName("fmvOut")
+    val r = ctx.freshName("fmvR")
+    val j = ctx.freshName("fmvJ")
+    val s = ctx.freshName("fmvS")
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      a => s"""
+        |int $n = java.lang.Math.min($dim, $a.numElements());
+        |float[] $out = new float[$rows];
+        |for (int $r = 0; $r < $rows; $r++) {
+        |  double $s = 0.0;
+        |  for (int $j = 0; $j < $n; $j++) {
+        |    $s += (double) $mat[$r * $dim + $j] * (double) $a.getFloat($j);
+        |  }
+        |  $out[$r] = (float) $s;
+        |}
+        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+        |""".stripMargin
+    )
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FloatMatVec =
+    copy(child = newChild)
+}
+
 object FloatVec {
   /** Dot product of two float-array columns (double result). */
   def dot(a: Column, b: Column): Column = Bridge.column(FloatDot(Bridge.expr(a), Bridge.expr(b)))
+
+  /** Dense matrix (row-major flat, `rows` rows) × float-vector column:
+    * array<float> of length `rows`.
+    */
+  def matVec(v: Column, flat: Array[Float], rows: Int): Column =
+    Bridge.column(FloatMatVec(Bridge.expr(v), flat, rows))
 
   /** L2 norm of a float-array column. */
   def norm(v: Column): Column = org.apache.spark.sql.functions.sqrt(dot(v, v))

@@ -1468,7 +1468,7 @@ object PipelineQueries {
       import s.implicits._
       val emb = Tables.embeddings(s, dir)
       graft.sim.Opq.topK(
-        emb.where($"vec_id" < 8), emb, "vec_id", "embedding",
+        emb.where($"vec_id" < 8), emb, "vec_id", "embedding", dims = 64,
         k = 5, m = 16, kCent = 16, rerank = 50, sampleN = 512)
     },
     None

@@ -420,6 +420,62 @@ object AnnGraph {
     out
   }
 
+  /** [[writeHierarchicalIndex]] plus an [[graft.sources.IndexCatalog]]
+    * entry at `path` recording the layer TABLE NAMES and the build
+    * parameters the serving side must agree on — `coarseEvery` above
+    * all: searching with a different value than the index was built
+    * with silently routes through a mismatched entry-point corpus.
+    * The edge lists themselves stay in their bucketed-table layout
+    * (that's what keeps the index side exchange-free); the catalog
+    * entry is metadata-only and REFERENCES them from props.
+    */
+  def writeHierarchicalCatalog(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      path: String,
+      table: String,
+      buckets: Int,
+      graphK: Int = 10,
+      sweeps: Int = 2,
+      coarseEvery: Int = 8
+  ): Unit = {
+    writeHierarchicalIndex(corpus, idCol, vecCol, dims, table, buckets, graphK, sweeps, coarseEvery)
+    graft.sources.IndexCatalog.write(
+      corpus.sparkSession, path, "ann_graph",
+      Map(
+        "table" -> table,
+        "coarse_table" -> s"${table}__coarse",
+        "coarse_every" -> coarseEvery.toString,
+        "graph_k" -> graphK.toString,
+        "buckets" -> buckets.toString,
+        "dims" -> dims.toString),
+      Seq.empty)
+  }
+
+  /** [[searchHierarchicalIndexed]] driven by a catalog entry: the layer
+    * tables and `coarseEvery` come from the entry's props, so a serving
+    * session cannot mis-pair them with the stored layers.
+    */
+  def searchHierarchicalCatalog(
+      spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame,
+      path: String,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      beam: Int = 10,
+      hops: Int = 3,
+      fullEntries: Int = 4
+  ): DataFrame = {
+    val meta = graft.sources.IndexCatalog.open(spark, path, "ann_graph")
+    searchHierarchicalIndexed(
+      spark, queries, meta.prop("table"), corpus, idCol, vecCol, k,
+      beam, hops, meta.propInt("coarse_every"), fullEntries)
+  }
+
   /** Hierarchical (HNSW-style) layered search: a COARSE graph over a
     * deterministic hash sample of the corpus (every `coarseEvery`-th
     * node) is searched first with the cheap fixed entries; each query's

@@ -100,43 +100,51 @@ object AnnIvfPq {
     * re-trained codebook scores the stored codes as garbage. Same
     * train-once-serve-anywhere convention as the tokenizer vocabs
     * ([[graft.text.Bpe.saveVocab]]); driver-bounded by construction
-    * (the index IS broadcast state). Layout: `<path>/centroids` +
-    * `<path>/codebook` parquet.
+    * (the index IS broadcast state). One [[graft.sources.IndexCatalog]]
+    * entry: `centroids` + `codebook` parts.
     */
   def saveIndex(spark: SparkSession, index: Index, path: String): Unit = {
     import spark.implicits._
-    index.centsDf(spark).coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    Seq((index.cb.m, index.cb.k, index.cb.dsub, index.cb.flat.toSeq))
-      .toDF("m", "k", "dsub", "flat")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    graft.sources.IndexCatalog.write(
+      spark, path, "ivfpq",
+      Map("m" -> index.cb.m.toString, "k" -> index.cb.k.toString),
+      Seq(
+        "centroids" -> index.centsDf(spark),
+        "codebook" -> Seq((index.cb.m, index.cb.k, index.cb.dsub, index.cb.flat.toSeq))
+          .toDF("m", "k", "dsub", "flat")))
   }
 
   def loadIndex(spark: SparkSession, path: String): Index = {
-    val cents = spark.read.parquet(s"$path/centroids")
+    graft.sources.IndexCatalog.open(spark, path, "ivfpq")
+    val cents = graft.sources.IndexCatalog.part(spark, path, "centroids")
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
-    val cb = spark.read.parquet(s"$path/codebook").head()
+    val cb = graft.sources.IndexCatalog.part(spark, path, "codebook").head()
     Index(cents, AnnPq.Codebook(
       cb.getInt(0), cb.getInt(1), cb.getInt(2), cb.getSeq[Float](3).toArray))
   }
 
-  /** [[saveIndex]] for the per-cell-codebook variant: `<path>/centroids`
-    * + `<path>/codebooks` with one row per cell.
+  /** [[saveIndex]] for the per-cell-codebook variant: catalog kind
+    * `ivfpq_percell`, `centroids` + `codebooks` (one row per cell).
     */
   def saveIndexPerCell(spark: SparkSession, index: IndexPerCell, path: String): Unit = {
     import spark.implicits._
-    index.centsDf(spark).coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    index.cbs.toSeq
-      .map { case (cid, cb) => (cid, cb.m, cb.k, cb.dsub, cb.flat.toSeq) }
-      .toDF("cid", "m", "k", "dsub", "flat")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    graft.sources.IndexCatalog.write(
+      spark, path, "ivfpq_percell",
+      Map("cells" -> index.cbs.length.toString),
+      Seq(
+        "centroids" -> index.centsDf(spark),
+        "codebooks" -> index.cbs.toSeq
+          .map { case (cid, cb) => (cid, cb.m, cb.k, cb.dsub, cb.flat.toSeq) }
+          .toDF("cid", "m", "k", "dsub", "flat")))
   }
 
   def loadIndexPerCell(spark: SparkSession, path: String): IndexPerCell = {
-    val cents = spark.read.parquet(s"$path/centroids")
+    graft.sources.IndexCatalog.open(spark, path, "ivfpq_percell")
+    val cents = graft.sources.IndexCatalog.part(spark, path, "centroids")
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
-    val cbs = spark.read.parquet(s"$path/codebooks")
+    val cbs = graft.sources.IndexCatalog.part(spark, path, "codebooks")
       .collect()
       .map(r => (r.getLong(0), AnnPq.Codebook(
         r.getInt(1), r.getInt(2), r.getInt(3), r.getSeq[Float](4).toArray)))

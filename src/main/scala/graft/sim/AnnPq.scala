@@ -142,8 +142,21 @@ object AnnPq {
       kCent: Int = 16,
       rerank: Int = 0,
       sampleN: Int = 2048
+  ): DataFrame =
+    topKWith(queries, corpus, idCol, vecCol, train(corpus, idCol, vecCol, m, kCent, sampleN), k, rerank)
+
+  /** [[topK]] under a prebuilt codebook — the serve path for persisted
+    * index state ([[graft.sim.Opq.loadIndex]]): no training pass.
+    */
+  def topKWith(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cb: Codebook,
+      k: Int,
+      rerank: Int = 0
   ): DataFrame = {
-    val cb = train(corpus, idCol, vecCol, m, kCent, sampleN)
     val codes = encode(corpus, idCol, vecCol, cb)
       .withColumnRenamed(idCol, "nid")
     // query side: LUT once per query; corpus codes are scanned once and

@@ -136,24 +136,29 @@ object Bpe {
   /** Persist a trained vocab: one (rank, a, b) row per merge — the
     * whole tokenizer state, reloadable by any session ([[loadVocab]]).
     * The natural companion of the persisted ANN/graph indexes: train
-    * once on the 100 TB corpus, tokenize everywhere.
+    * once on the 100 TB corpus, tokenize everywhere. Stored as a
+    * [[graft.sources.IndexCatalog]] entry (kind `bpe_vocab`, part
+    * `merges`).
     */
   def saveVocab(spark: org.apache.spark.sql.SparkSession, vocab: Vocab, path: String): Unit = {
     import spark.implicits._
-    vocab.merges.zipWithIndex
-      .map { case ((a, b), i) => (i, a, b) }
-      .toDF("rank", "a", "b")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(path)
+    graft.sources.IndexCatalog.write(
+      spark, path, "bpe_vocab",
+      Map("num_merges" -> vocab.merges.length.toString),
+      Seq("merges" -> vocab.merges.zipWithIndex
+        .map { case ((a, b), i) => (i, a, b) }
+        .toDF("rank", "a", "b")))
   }
 
-  def loadVocab(spark: org.apache.spark.sql.SparkSession, path: String): Vocab =
+  def loadVocab(spark: org.apache.spark.sql.SparkSession, path: String): Vocab = {
+    graft.sources.IndexCatalog.open(spark, path, "bpe_vocab")
     Vocab(
-      spark.read.parquet(path)
+      graft.sources.IndexCatalog.part(spark, path, "merges")
         .orderBy(col("rank"))
         .collect()
         .map(r => (r.getInt(1), r.getInt(2)))
         .toIndexedSeq)
+  }
 
   /** Distributed pre-token frequency table — the ONE corpus-sized pass
     * of training. `(word, count)` rows, exact.

@@ -298,15 +298,23 @@ object UnigramLm {
       .toDF(idCol, "pieces", "n_pieces", "roundtrip_ok")
   }
 
-  /** Persist / restore a vocabulary (train once, tokenize anywhere). */
+  /** Persist / restore a vocabulary (train once, tokenize anywhere) —
+    * an [[graft.sources.IndexCatalog]] entry (kind `unigram_vocab`,
+    * part `pieces`).
+    */
   def saveVocab(spark: SparkSession, vocab: UVocab, path: String): Unit = {
     import spark.implicits._
-    vocab.pieces.toSeq.sortBy(_._1).toDF("piece", "logprob")
-      .coalesce(1).write.mode("overwrite").parquet(path)
+    graft.sources.IndexCatalog.write(
+      spark, path, "unigram_vocab",
+      Map("vocab_size" -> vocab.pieces.size.toString),
+      Seq("pieces" -> vocab.pieces.toSeq.sortBy(_._1).toDF("piece", "logprob")))
   }
 
   def loadVocab(spark: SparkSession, path: String): UVocab = {
     import spark.implicits._
-    UVocab(spark.read.parquet(path).as[(String, Double)].collect().toMap)
+    graft.sources.IndexCatalog.open(spark, path, "unigram_vocab")
+    UVocab(
+      graft.sources.IndexCatalog.part(spark, path, "pieces")
+        .as[(String, Double)].collect().toMap)
   }
 }

@@ -429,6 +429,26 @@ class SimSpec extends SparkSpec {
     assert(cnts.values.forall(_ == 3), cnts.toString)
   }
 
+  test("graph index catalog entry: serving params come from the entry, search parity") {
+    // deterministic subset (limit() can pick different rows per action)
+    val emb = Tables.embeddings(spark, sf).where($"vec_id" < 200)
+    val queries = emb.where($"vec_id" < 5)
+    val catDir = java.nio.file.Files.createTempDirectory("graph_cat").toString
+    AnnGraph.writeHierarchicalCatalog(emb, "vec_id", "embedding", dims = 64,
+      path = catDir, table = "graph_cidx", buckets = 4, graphK = 6, sweeps = 1, coarseEvery = 4)
+    // the catalog records the build params the serving side must agree on
+    val meta = graft.sources.IndexCatalog.open(spark, catDir, "ann_graph")
+    assert(meta.prop("table") == "graph_cidx" && meta.propInt("coarse_every") == 4)
+    // catalog-driven search (no re-passed params) == explicit indexed search
+    val viaCat = AnnGraph.searchHierarchicalCatalog(spark, queries, catDir, emb,
+      "vec_id", "embedding", k = 3, beam = 8, hops = 2, fullEntries = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    val explicit = AnnGraph.searchHierarchicalIndexed(spark, queries, "graph_cidx", emb,
+      "vec_id", "embedding", k = 3, beam = 8, hops = 2, coarseEvery = 4, fullEntries = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaCat == explicit && viaCat.nonEmpty)
+  }
+
   test("SemanticDedup clusters planted embedding near-dups within cells only") {
     import org.apache.spark.sql.functions._
     // two tight cells; 1≈2≈3 are near-parallel (dups), 4 is alone in its
@@ -674,7 +694,7 @@ class SimSpec extends SparkSpec {
 
   test("Opq rotation: orthonormal, dot/norm-preserving, variance-balanced allocation") {
     val df = opqCloud.toDF("id", "v")
-    val rot = Opq.fit(df, "v", m = 4)
+    val rot = Opq.fit(df, "v", m = 4, dims = 16)
     assert(rot.dim == 16 && rot.rows.length == 16)
     // R Rᵀ = I
     for (i <- 0 until 16; j <- 0 until 16) {
@@ -703,11 +723,34 @@ class SimSpec extends SparkSpec {
     def recallOf(got: Set[(Long, Long)]) = exact.intersect(got).size.toDouble / exact.size
     val raw = recallOf(AnnPq.topK(queries, df, "id", "v", k = 10, m = 4, kCent = 16, sampleN = 600)
       .select("qid", "nid").as[(Long, Long)].collect().toSet)
-    val rotated = recallOf(Opq.topK(queries, df, "id", "v", k = 10, m = 4, kCent = 16, sampleN = 600)
-      .select("qid", "nid").as[(Long, Long)].collect().toSet)
+    val rotated = recallOf(
+      Opq.topK(queries, df, "id", "v", dims = 16, k = 10, m = 4, kCent = 16, sampleN = 600)
+        .select("qid", "nid").as[(Long, Long)].collect().toSet)
     info(s"recall raw=$raw rotated=$rotated")
     assert(rotated >= raw, s"rotated $rotated < raw $raw")
     assert(rotated >= 0.7, s"rotated recall $rotated too low")
+  }
+
+  test("Opq save/load index: state round-trips exactly; loaded-index search is identical") {
+    val df = opqCloud.toDF("id", "v")
+    val queries = df.where($"id" < 20)
+    val index = Opq.build(df, "id", "v", dims = 16, m = 4, kCent = 16, sampleN = 600)
+    val dir = java.nio.file.Files.createTempDirectory("opq_idx").toString
+    Opq.saveIndex(spark, index, dir)
+    val loaded = Opq.loadIndex(spark, dir)
+    // rotation + codebook round-trip exactly (a re-trained rotation
+    // would score codes encoded under the old one as garbage)
+    assert(loaded.rot.dim == index.rot.dim && loaded.rot.m == index.rot.m)
+    assert(loaded.rot.rows.map(_.toSeq).toSeq == index.rot.rows.map(_.toSeq).toSeq)
+    assert(loaded.rot.eigenvalues.toSeq == index.rot.eigenvalues.toSeq)
+    assert(loaded.rot.allocation.toSeq == index.rot.allocation.toSeq)
+    assert(loaded.cb.flat.toSeq == index.cb.flat.toSeq &&
+      loaded.cb.m == index.cb.m && loaded.cb.k == index.cb.k && loaded.cb.dsub == index.cb.dsub)
+    // fresh-session serve path: searching with the LOADED index = original
+    def run(ix: Opq.Index) =
+      Opq.topKWith(queries, df, "id", "v", ix, k = 10, rerank = 30)
+        .select("qid", "nid", "cos_sim").as[(Long, Long, Double)].collect().toSet
+    assert(run(loaded) == run(index) && run(loaded).nonEmpty)
   }
 
   test("Embed.standardizer: driver-parity z-scores; constant dims center without dividing") {

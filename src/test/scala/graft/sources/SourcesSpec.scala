@@ -187,4 +187,46 @@ class SourcesSpec extends SparkSpec {
     val mm = keyed.agg(min("__z"), max("__z")).head()
     assert(mm.getLong(0) >= 0L && mm.getLong(1) < (1L << 12))
   }
+
+  test("IndexCatalog: write/open round-trip, kind validation, incomplete-entry rejection") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("idxcat").toString
+    IndexCatalog.write(
+      spark, dir, "test_kind",
+      Map("alpha" -> "1", "beta" -> "two"),
+      Seq(
+        "nums" -> Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+        "more" -> Seq((3.5, 7)).toDF("x", "y")))
+
+    val meta = IndexCatalog.open(spark, dir, "test_kind")
+    assert(meta.kind == "test_kind" && meta.version == IndexCatalog.FormatVersion)
+    assert(meta.props == Map("alpha" -> "1", "beta" -> "two") && meta.propInt("alpha") == 1)
+    assert(meta.parts.toSet == Set("nums", "more"))
+    assert(IndexCatalog.part(spark, dir, "nums").as[(Long, String)].collect().toSet
+      == Set((1L, "a"), (2L, "b")))
+    // missing prop names itself in the error
+    val missing = intercept[RuntimeException](meta.prop("gamma"))
+    assert(missing.getMessage.contains("gamma"), missing.getMessage)
+
+    // opening under the wrong kind fails with a message, not a cast
+    // error three calls later
+    val wrong = intercept[IllegalArgumentException](IndexCatalog.open(spark, dir, "other_kind"))
+    assert(wrong.getMessage.contains("test_kind") && wrong.getMessage.contains("other_kind"))
+
+    // a directory with parts but NO meta marker (interrupted write) is
+    // unopenable — never silently half-readable
+    val partial = java.nio.file.Files.createTempDirectory("idxcat_part").toString
+    Seq((1, 2)).toDF("a", "b").write.parquet(s"$partial/nums")
+    val bad = intercept[IllegalStateException](IndexCatalog.open(spark, partial, "test_kind"))
+    assert(bad.getMessage.contains("no complete entry"), bad.getMessage)
+
+    // reserved / duplicate part names rejected at write time
+    intercept[IllegalArgumentException] {
+      IndexCatalog.write(spark, dir, "k", Map(), Seq("_graft_meta" -> Seq((1, 1)).toDF("a", "b")))
+    }
+    intercept[IllegalArgumentException] {
+      IndexCatalog.write(spark, dir, "k", Map(),
+        Seq("p" -> Seq((1, 1)).toDF("a", "b"), "p" -> Seq((2, 2)).toDF("a", "b")))
+    }
+  }
 }
