@@ -50,7 +50,8 @@ case class GlmModel(
     deviance: Double,
     gramW: Array[Array[Double]],  // X'WX at the converged weights
     offsetCol: Option[String] = None,
-    weightCol: Option[String] = None
+    weightCol: Option[String] = None,
+    dispersion: Option[Double] = None // NB2 α (None for one-parameter families)
 ) {
   /** Expected-information (inverse Fisher) SEs: sqrt diag (X'WX)⁻¹. */
   def seInformation: Array[Double] =
@@ -82,38 +83,50 @@ case class GlmFeModel(
     deviance: Double,
     droppedSeparated: Long,       // rows removed by the separation check
     ols: OlsModel,                // within WLS at convergence (gram = X̃'WX̃)
-    frame: DataFrame
+    frame: DataFrame,
+    family: String = "poisson"
 ) {
-  /** Robust (HC0) sandwich: (X̃'WX̃)⁻¹ [Σ u² x̃x̃'] (X̃'WX̃)⁻¹ with
-    * u = y − μ. One map-side-combined meat pass.
+  /** The family's SCORE residual (y − μ)·(dμ/dη)/V(μ): y − μ for every
+    * canonical link (Poisson keeps its historical expression
+    * bit-for-bit), (y − μ)/μ for gamma-log.
+    */
+  private def scoreCol: Column = {
+    val fam = Glm.familyOf(family)
+    val resid = col(yName).cast("double") - col("__mu")
+    if (fam.canonical) resid
+    else resid * fam.dMuDeta(col("__mu")) / fam.varFun(col("__mu"))
+  }
+
+  /** Robust (HC0) sandwich: (X̃'WX̃)⁻¹ [Σ u² x̃x̃'] (X̃'WX̃)⁻¹ with the
+    * family score u. One map-side-combined meat pass.
     */
   def varianceRobust: Array[Array[Double]] = Glm.sandwich(
-    frame.withColumn("__u", col(yName).cast("double") - col("__mu")),
+    frame.withColumn("__u", scoreCol),
     xNames.map(x => col(s"${x}__dm")), ols.gram, None)
 
   def seRobust: Array[Double] =
     varianceRobust.zipWithIndex.map { case (r, i) => math.sqrt(r(i)) }
 
-  /** Cluster-robust sandwich over the score u = y − μ (cluster column
+  /** Cluster-robust sandwich over the family score (cluster column
     * must be listed in `keep` at fit time to survive into the frame).
     */
   def varianceClustered(cluster: String): Array[Array[Double]] = Glm.sandwich(
-    frame.withColumn("__u", col(yName).cast("double") - col("__mu")),
+    frame.withColumn("__u", scoreCol),
     xNames.map(x => col(s"${x}__dm")), ols.gram, Some(cluster))
 
   def seClustered(cluster: String): Array[Double] =
     varianceClustered(cluster).zipWithIndex.map { case (r, i) => math.sqrt(r(i)) }
 
-  /** Two-way CGM for the PPML fit (both cluster columns must be listed
-    * in `keep` at fit time): V_a + V_b − V_{a∩b} over the score
-    * u = y − μ on the weighted-demeaned design.
+  /** Two-way CGM for the FE fit (both cluster columns must be listed
+    * in `keep` at fit time): V_a + V_b − V_{a∩b} over the family score
+    * on the weighted-demeaned design.
     */
   def varianceClustered2(clusterA: String, clusterB: String): Array[Array[Double]] = {
     val va = varianceClustered(clusterA)
     val vb = varianceClustered(clusterB)
     val withKey = frame.withColumn("__ab", Ols.interactionKey(clusterA, clusterB))
     val vab = Glm.sandwich(
-      withKey.withColumn("__u", col(yName).cast("double") - col("__mu")),
+      withKey.withColumn("__u", scoreCol),
       xNames.map(x => col(s"${x}__dm")), ols.gram, Some("__ab"))
     Array.tabulate(coef.length, coef.length)((i, j) => va(i)(j) + vb(i)(j) - vab(i)(j))
   }
@@ -199,6 +212,37 @@ object Glm {
     override def canonical: Boolean = false
     override def dMuDeta(mu: Column): Column = mu
     override def varFun(mu: Column): Column = mu * mu
+  }
+
+  /** NB2 negative binomial with the LOG link and dispersion α:
+    * V(μ) = μ + αμ² — the standard overdispersion follow-up to Poisson
+    * (Cameron–Trivedi ch. 3): Poisson forces Var = mean, and real count
+    * data (events per user, tokens per doc) almost always carries
+    * Var > mean, deflating Poisson SEs. α is a FIXED parameter of the
+    * family object; [[Glm.negBinomial]] re-estimates it each IRLS pass
+    * by the Cameron–Trivedi moment condition. α = 0 degrades exactly to
+    * Poisson (guards below keep the expressions finite there). Log is
+    * not the NB2 canonical link (that is ln(αμ/(1+αμ))), so the
+    * non-canonical split applies: dμ/dη = μ, w = μ/(1+αμ), score
+    * residual (y−μ)/(1+αμ).
+    */
+  final case class NegBin(alpha: Double) extends Family {
+    require(alpha >= 0.0, s"NB2 dispersion must be >= 0, got $alpha")
+    val name = "negbin"
+    def mu(eta: Column): Column = exp(least(greatest(eta, lit(-30.0)), lit(30.0)))
+    def weight(mu: Column): Column =
+      if (alpha == 0.0) mu else mu / (lit(1.0) + lit(alpha) * mu)
+    def deviance(y: Column, mu: Column): Column =
+      if (alpha == 0.0) Poisson.deviance(y, mu)
+      else
+        lit(2.0) * (when(y > 0.0, y * log(y / mu)).otherwise(lit(0.0)) -
+          (y + lit(1.0 / alpha)) *
+            log((lit(1.0) + lit(alpha) * y) / (lit(1.0) + lit(alpha) * mu)))
+    def etaInit(y: Column, ybar: Double): Column = log((y + lit(ybar)) / 2.0)
+    override def canonical: Boolean = false
+    override def dMuDeta(mu: Column): Column = mu
+    override def varFun(mu: Column): Column =
+      if (alpha == 0.0) mu else mu * (lit(1.0) + lit(alpha) * mu)
   }
 
   /** Identity link, unit weights: IRLS solves OLS exactly in one step —
@@ -331,6 +375,111 @@ object Glm {
       weight: Option[String] = None): GlmModel =
     fit(df, y, xs, Gamma, intercept, tol, maxIter, offset, weight)
 
+  /** NB2 negative binomial regression, log link, with the dispersion α
+    * RE-ESTIMATED each IRLS pass by the Cameron–Trivedi moment
+    * condition: the auxiliary through-origin OLS of ((y−μ)² − y)/μ on μ
+    * gives α̂ = Σf((y−μ)² − y) / Σfμ² (Cameron–Trivedi 1986, the
+    * standard overdispersion estimate), clamped at 0 — so equidispersed
+    * data converges to the Poisson fit itself. Each iteration is still
+    * ONE aggregate pass over the persisted (k+2)-double projection: the
+    * two moment sums ride in the same pass as the weighted Gram. At the
+    * joint fixpoint, β solves the NB2 normal equations at α̂ and α̂ is
+    * the moment estimate at β — both self-consistent.
+    *
+    * `alphaInit` seeds α (default 0 = first pass is exactly a Poisson
+    * step); `estimateAlpha = false` fixes α at `alphaInit` (known
+    * dispersion). Inference: [[GlmModel.seInformation]] from the
+    * converged NB2-weighted Gram; [[seRobust]]/[[seClustered]] wire the
+    * NB2 score residual (y−μ)/(1+αμ) through `dispersion`.
+    */
+  def negBinomial(
+      df: DataFrame,
+      y: String,
+      xs: Seq[String],
+      intercept: Boolean = true,
+      tol: Double = 1e-9,
+      maxIter: Int = 50,
+      offset: Option[String] = None,
+      weight: Option[String] = None,
+      alphaInit: Double = 0.0,
+      estimateAlpha: Boolean = true
+  ): GlmModel = {
+    val names = (if (intercept) Seq("(intercept)") else Nil) ++ xs
+    // same persisted minimal projection as [[fit]]
+    val projected = df.select(
+      (xs.map(c => col(c).cast("double").as(s"__x_$c")) ++
+        Seq(col(y).cast("double").as("__y")) ++
+        offset.map(c => col(c).cast("double").as("__off")).toSeq ++
+        weight.map(c => col(c).cast("double").as("__fw")).toSeq): _*).persist()
+    val xcols: Seq[Column] =
+      (if (intercept) Seq(lit(1.0)) else Nil) ++ xs.map(c => col(s"__x_$c"))
+    val yc = col("__y")
+    val off = offset.map(_ => col("__off"))
+    val fw = weight.map(_ => col("__fw")).getOrElse(lit(1.0))
+    val k = xcols.length
+
+    val ybar = {
+      val r = projected.agg(sum(fw * yc), sum(fw)).head()
+      r.getDouble(0) / r.getDouble(1)
+    }
+
+    var alpha = alphaInit
+    var beta: Array[Double] = null
+    var dev = Double.MaxValue
+    var n = 0L
+    var gramW: Array[Array[Double]] = null
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val fam = NegBin(alpha)
+      val eta: Column =
+        if (beta == null) fam.etaInit(yc, ybar)
+        else {
+          val xb = xcols.zip(beta).map { case (x, b) => x * b }.reduce(_ + _)
+          off.map(xb + _).getOrElse(xb)
+        }
+      val mu = fam.mu(eta)
+      val w = fw * fam.weight(mu)
+      val z = eta + (yc - mu) / fam.dMuDeta(mu) - off.getOrElse(lit(0.0))
+
+      // one pass: weighted Gram + X'Wz + deviance + the two α-moment sums
+      val aggs: Seq[Column] =
+        (for (i <- 0 until k; j <- i until k) yield sum(w * xcols(i) * xcols(j))) ++
+          (0 until k).map(i => sum(w * xcols(i) * z)) ++
+          Seq(
+            sum(fw * fam.deviance(yc, mu)), sum(fw),
+            sum(fw * ((yc - mu) * (yc - mu) - yc)), sum(fw * mu * mu))
+      val row: Row = projected.agg(aggs.head, aggs.tail: _*).head()
+
+      var p = 0
+      val g = Array.ofDim[Double](k, k)
+      for (i <- 0 until k; j <- i until k) {
+        val v = row.getDouble(p); p += 1
+        g(i)(j) = v; g(j)(i) = v
+      }
+      val c = Array.tabulate(k)(i => row.getDouble(p + i))
+      p += k
+      val devNow = row.getDouble(p)
+      n = math.round(row.getDouble(p + 1))
+      val alphaNew =
+        if (estimateAlpha) math.max(row.getDouble(p + 2) / row.getDouble(p + 3), 0.0)
+        else alpha
+
+      val betaNew = LinAlg.solve(g, c)
+      converged = beta != null &&
+        math.abs(devNow - dev) / (math.abs(devNow) + 0.1) < tol &&
+        math.abs(alphaNew - alpha) / (alphaNew + 0.1) < tol
+      beta = betaNew
+      dev = devNow
+      gramW = g
+      alpha = alphaNew
+      iter += 1
+    }
+    projected.unpersist(false)
+    GlmModel("negbin", names, beta, n, iter, converged, dev, gramW, offset, weight,
+      dispersion = Some(alpha))
+  }
+
   /** Robust / cluster-robust GLM sandwich for a no-FE model: bread
     * (X'WX)⁻¹, meat Σ u²xx' (HC0) or Σ_g s_g s_g' with s_g = Σ_{i∈g}
     * u_i x_i, u the SCORE residual (y − μ)·(dμ/dη)/V(μ) — which is
@@ -340,7 +489,7 @@ object Glm {
     */
   def varianceRobust(df: DataFrame, model: GlmModel, y: String,
       cluster: Option[String] = None): Array[Array[Double]] = {
-    val fam = familyOf(model.family)
+    val fam = familyOf(model.family, model.dispersion)
     val mu = fam.mu(model.etaCol) // etaCol includes the model's offset
     val xcols: Seq[Column] = model.xNames.map {
       case "(intercept)" => lit(1.0)
@@ -397,9 +546,77 @@ object Glm {
       dropSeparated: Boolean = true,
       collectCellLimit: Long = 2000000L,
       offset: Option[String] = None
+  ): GlmFeModel =
+    fitFE(df, y, xs, fes, Poisson, tol, maxIter, keep, dropSeparated,
+      collectCellLimit, offset)
+
+  /** Gamma-log regression with absorbed FEs — same IRLS-over-
+    * [[FixedEffects.fitWeighted]] loop as PPML (the ppmlhdfe-family
+    * surface beyond Poisson). No separation check: Gamma requires
+    * y > 0 everywhere, enforced up front.
+    */
+  def gammaFE(
+      df: DataFrame,
+      y: String,
+      xs: Seq[String],
+      fes: Seq[String],
+      tol: Double = 1e-8,
+      maxIter: Int = 25,
+      keep: Seq[String] = Nil,
+      collectCellLimit: Long = 2000000L,
+      offset: Option[String] = None
+  ): GlmFeModel =
+    fitFE(df, y, xs, fes, Gamma, tol, maxIter, keep, dropSeparated = false,
+      collectCellLimit, offset)
+
+  /** Gaussian-identity FE "GLM": IRLS degenerates to one weighted
+    * within regression (z = y, w = 1) — the algebraic anchor tying the
+    * [[fitFE]] loop to [[FixedEffects.fit]] exactly (spec-pinned).
+    */
+  def gaussianFE(
+      df: DataFrame,
+      y: String,
+      xs: Seq[String],
+      fes: Seq[String],
+      tol: Double = 1e-8,
+      maxIter: Int = 25,
+      keep: Seq[String] = Nil,
+      collectCellLimit: Long = 2000000L,
+      offset: Option[String] = None
+  ): GlmFeModel =
+    fitFE(df, y, xs, fes, Gaussian, tol, maxIter, keep, dropSeparated = false,
+      collectCellLimit, offset)
+
+  /** The shared FE-GLM loop: IRLS where each iteration is one
+    * [[FixedEffects.fitWeighted]] of the working response on xs with
+    * the FEs absorbed, at the family's IRLS weight w(μ); η is recovered
+    * row-locally from the demeaned frame (η' = z − (z̃r − x̃'β), offset
+    * re-included through z) and localCheckpoint'ed per iteration with
+    * superseded-block release. Families supported: log or identity
+    * link with positive weight everywhere the family's support allows —
+    * Poisson (w = μ, the historical PPML expressions bit-for-bit),
+    * Gamma-log (w = 1, score (y−μ)/μ), Gaussian-identity (one-step).
+    * Binomial-logit is deliberately ABSENT: absorbed logit FEs hit the
+    * incidental-parameters problem and need a conditional-likelihood
+    * estimator, not this loop.
+    */
+  private[ml] def fitFE(
+      df: DataFrame,
+      y: String,
+      xs: Seq[String],
+      fes: Seq[String],
+      family: Family,
+      tol: Double = 1e-8,
+      maxIter: Int = 25,
+      keep: Seq[String] = Nil,
+      dropSeparated: Boolean = true,
+      collectCellLimit: Long = 2000000L,
+      offset: Option[String] = None
   ): GlmFeModel = {
-    require(fes.nonEmpty, "use Glm.poisson when there are no fixed effects")
-    require(maxIter >= 1, "PPML needs at least one IRLS iteration")
+    require(fes.nonEmpty, "use the no-FE fit when there are no fixed effects")
+    require(maxIter >= 1, "FE-GLM needs at least one IRLS iteration")
+    require(family.name != "binomial",
+      "absorbed-FE logit is statistically distinct (incidental parameters); not offered")
     val yc = col(y).cast("double")
     val off = offset.map(c => col(c).cast("double")).getOrElse(lit(0.0))
     val needed = (fes ++ (y +: xs) ++ offset.toSeq ++ keep).distinct
@@ -407,13 +624,22 @@ object Glm {
     val (base, nDropped) =
       if (dropSeparated) dropSeparatedGroups(base0, y, fes) else (base0, 0L)
 
+    family.name match {
+      case "gamma" =>
+        val ymin = base.agg(min(yc)).head().getDouble(0)
+        require(ymin > 0.0, s"Gamma FE-GLM needs y > 0 everywhere (min = $ymin)")
+      case "poisson" =>
+        () // positivity of the MEAN checked below; zeros are fine
+      case _ => ()
+    }
     val ybar = base.agg(avg(yc)).head().getDouble(0)
-    require(ybar > 0.0, "PPML needs a strictly positive outcome mean")
+    if (family.name == "poisson")
+      require(ybar > 0.0, "PPML needs a strictly positive outcome mean")
 
-    var cur = base.withColumn("__eta", Poisson.etaInit(yc, ybar)).localCheckpoint()
+    var cur = base.withColumn("__eta", family.etaInit(yc, ybar)).localCheckpoint()
     base.unpersist() // no-op unless the separation check checkpointed it
-    // observation count (fm.ols.n is the weight mass Σμ, which the ML
-    // normal equations make ≈ Σy — not the row count)
+    // observation count (fm.ols.n is the weight mass Σw — not the row
+    // count for non-unit weights)
     val nObs = cur.count()
     var prev: DataFrame = null
     var dev = Double.MaxValue
@@ -421,15 +647,21 @@ object Glm {
     var converged = false
     var fm: FeModel = null
     while (iter < maxIter && !converged) {
-      val mu = Poisson.mu(col("__eta"))
+      val mu = family.mu(col("__eta"))
       val work = cur
         .withColumn("__mu", mu)
-        .withColumn("__z", col("__eta") + (yc - col("__mu")) / col("__mu"))
+        .withColumn("__w", family.weight(col("__mu")))
+        .withColumn(
+          "__z",
+          if (family.canonical)
+            col("__eta") + (yc - col("__mu")) / family.weight(col("__mu"))
+          else
+            col("__eta") + (yc - col("__mu")) / family.dMuDeta(col("__mu")))
         // the regression target is the working response net of the
         // offset: η = Xβ + FE + offset, so z − offset ≈ Xβ + FE
         .withColumn("__zr", col("__z") - off)
       fm = FixedEffects.fitWeighted(
-        work, "__zr", xs, fes, weight = "__mu",
+        work, "__zr", xs, fes, weight = "__w",
         keep = ((y +: "__eta" +: "__mu" +: "__z" +: offset.toSeq) ++ keep).distinct,
         collectCellLimit = collectCellLimit)
       // η' = z − (z̃r − x̃'β): the fitted value of the working response
@@ -441,7 +673,7 @@ object Glm {
         .select((needed :+ "__eta").map(col): _*)
         .localCheckpoint()
       val devNow = next
-        .agg(sum(Poisson.deviance(yc, Poisson.mu(col("__eta"))))).head().getDouble(0)
+        .agg(sum(family.deviance(yc, family.mu(col("__eta"))))).head().getDouble(0)
 
       if (prev != null) prev.unpersist()
       prev = cur
@@ -461,9 +693,9 @@ object Glm {
     // convention)
     val etaFinal = col("__z") - xs.zip(fm.coef).map { case (x, b) => col(s"${x}__dm") * b }
       .foldLeft(col("__zr__dm"))(_ - _)
-    val frame = fm.demeaned.drop("__mu").withColumn("__mu", Poisson.mu(etaFinal))
+    val frame = fm.demeaned.drop("__mu").withColumn("__mu", family.mu(etaFinal))
     GlmFeModel(y, xs, fes, fm.coef, nObs, iter, converged, dev, nDropped,
-      fm.ols, frame)
+      fm.ols, frame, family.name)
   }
 
   /** Drop observations in statistically separated FE groups: any group
@@ -496,11 +728,14 @@ object Glm {
     (cur, n0 - n)
   }
 
-  private def familyOf(name: String): Family = name match {
+  private[ml] def familyOf(name: String, dispersion: Option[Double] = None): Family = name match {
     case "poisson"  => Poisson
     case "binomial" => Binomial
     case "gaussian" => Gaussian
     case "gamma"    => Gamma
+    case "negbin" =>
+      NegBin(dispersion.getOrElse(
+        throw new IllegalArgumentException("negbin model carries no dispersion")))
     case other      => throw new IllegalArgumentException(s"unknown family $other")
   }
 

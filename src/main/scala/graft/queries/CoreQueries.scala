@@ -878,6 +878,71 @@ object CoreQueries {
     None
   )
 
+  // ---- C35: NB2 negative binomial — overdispersed counts (rows-only:
+  // the joint β/α fixpoint is not ANSI-SQL-expressible; GlmSpec pins it
+  // against an independent dense IRLS with the interleaved
+  // Cameron–Trivedi moment update, incl. both sandwiches) ---------------
+
+  val q90 = Q(
+    "q90_negbin",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .withColumn("lp", log(col("l_extendedprice")))
+      val m = graft.ml.Glm.negBinomial(li, "l_quantity", Seq("lp", "l_discount"))
+      val seR = graft.ml.Glm.seRobust(li, m, "l_quantity")
+      val mp = graft.ml.Glm.poisson(li, "l_quantity", Seq("lp", "l_discount"))
+      scalarRow(
+        s,
+        Seq(
+          "beta_lp" -> rnd(m.coef(1), 4),
+          "beta_disc" -> rnd(m.coef(2), 4),
+          "alpha" -> rnd(m.dispersion.get, 4),
+          "se_info_lp" -> rnd(m.seInformation(1), 4),
+          "se_rob_lp" -> rnd(seR(1), 4),
+          // l_quantity is uniform-ish (Var < mean at fixed x): the NB2
+          // information SE must NOT fall below Poisson's by more than
+          // numerical noise — recorded as a cross-model telemetry ratio
+          "se_ratio_vs_pois" -> rnd(m.seInformation(1) / mp.seInformation(1), 4)
+        ),
+        Seq("n" -> m.n, "iters" -> m.iters.toLong,
+          "converged" -> (if (m.converged) 1L else 0L))
+      )
+    },
+    None
+  )
+
+  // ---- C36: Gamma/gaussian FE absorption (rows-only: iterative; the
+  // GlmSpec dummy-parity + identity-anchor specs pin it) ----------------
+
+  val q91 = Q(
+    "q91_gamma_fe",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .withColumn("lp", log(col("l_extendedprice")))
+      // strictly positive right-skewed outcome: extended price itself
+      val fe = graft.ml.Glm.gammaFE(
+        li, "l_extendedprice", Seq("l_discount", "l_quantity"),
+        Seq("l_returnflag", "l_linestatus"))
+      val lin = graft.ml.Glm.gaussianFE(
+        li, "lp", Seq("l_discount", "l_quantity"),
+        Seq("l_returnflag", "l_linestatus"))
+      scalarRow(
+        s,
+        Seq(
+          "gamma_beta_disc" -> rnd(fe.coef(0), 4),
+          "gamma_beta_qty" -> rnd(fe.coef(1), 4),
+          "gamma_se_rob_disc" -> rnd(fe.seRobust(0), 4),
+          "loglin_beta_disc" -> rnd(lin.coef(0), 4),
+          "loglin_beta_qty" -> rnd(lin.coef(1), 4)
+        ),
+        Seq("n" -> fe.n, "gamma_iters" -> fe.iters.toLong,
+          "loglin_iters" -> lin.iters.toLong,
+          "converged" -> (if (fe.converged && lin.converged) 1L else 0L))
+      )
+    },
+    None
+  )
+
   /** Round a driver-side double the same way Spark/DuckDB `round` does
     * (HALF_UP on the decimal representation).
     */
@@ -886,5 +951,5 @@ object CoreQueries {
 
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18,
-      q19, q36, q37, q38, q41, q42, q43, q59, q68, q70, q74, q79, q80)
+      q19, q36, q37, q38, q41, q42, q43, q59, q68, q70, q74, q79, q80, q90, q91)
 }

@@ -417,6 +417,208 @@ class GlmSpec extends SparkSpec {
     assert(vx(0)(0).isFinite && math.abs(vx(0)(0) - v1(0)(0)) > 1e-12)
   }
 
+  /** Independent dense NB2 with the interleaved Cameron–Trivedi moment
+    * update — mirrors [[Glm.negBinomial]]'s iteration order exactly so
+    * the distributed fit must match it iteration-for-iteration.
+    */
+  private def denseNegBin(
+      xRaw: Array[Array[Double]],
+      y: Array[Double],
+      tol: Double = 1e-9,
+      maxIter: Int = 50,
+      alphaInit: Double = 0.0,
+      estimate: Boolean = true
+  ): (Array[Double], Array[Array[Double]], Double, Double, Int) = {
+    val n = y.length
+    val x = xRaw.map(r => 1.0 +: r)
+    val k = x.head.length
+    val ybar = y.sum / n
+    def clip(e: Double) = math.max(-30.0, math.min(30.0, e))
+    var alpha = alphaInit
+    var beta: Array[Double] = null
+    var dev = Double.MaxValue
+    var g: Array[Array[Double]] = null
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val eta = Array.tabulate(n) { i =>
+        if (beta == null) math.log((y(i) + ybar) / 2.0)
+        else (0 until k).map(j => x(i)(j) * beta(j)).sum
+      }
+      val m = eta.map(e => math.exp(clip(e)))
+      val w = m.map(mi => if (alpha == 0.0) mi else mi / (1.0 + alpha * mi))
+      val z = Array.tabulate(n)(i => eta(i) + (y(i) - m(i)) / m(i))
+      g = Array.ofDim[Double](k, k)
+      val c = Array.ofDim[Double](k)
+      for (i <- 0 until n; a <- 0 until k) {
+        c(a) += w(i) * x(i)(a) * z(i)
+        for (b <- 0 until k) g(a)(b) += w(i) * x(i)(a) * x(i)(b)
+      }
+      val devNow = (0 until n).map { i =>
+        if (alpha == 0.0)
+          2.0 * ((if (y(i) > 0) y(i) * math.log(y(i) / m(i)) else 0.0) - (y(i) - m(i)))
+        else
+          2.0 * ((if (y(i) > 0) y(i) * math.log(y(i) / m(i)) else 0.0) -
+            (y(i) + 1.0 / alpha) * math.log((1.0 + alpha * y(i)) / (1.0 + alpha * m(i))))
+      }.sum
+      val alphaNew =
+        if (estimate)
+          math.max(
+            (0 until n).map(i => (y(i) - m(i)) * (y(i) - m(i)) - y(i)).sum /
+              (0 until n).map(i => m(i) * m(i)).sum, 0.0)
+        else alpha
+      val betaNew = LinAlg.solve(g.map(_.clone()), c)
+      converged = beta != null &&
+        math.abs(devNow - dev) / (math.abs(devNow) + 0.1) < tol &&
+        math.abs(alphaNew - alpha) / (alphaNew + 0.1) < tol
+      beta = betaNew
+      dev = devNow
+      alpha = alphaNew
+      iter += 1
+    }
+    (beta, g, dev, alpha, iter)
+  }
+
+  // overdispersed counts: mixture heterogeneity v ∈ {0.4, 1.6} doubles
+  // the conditional variance relative to Poisson at the same mean
+  private lazy val nbData: Seq[(Double, Int, Double)] = {
+    val rng = new Random(20260813L)
+    for (i <- 0 until 400) yield {
+      val x = math.sin(i * 0.61) * 1.2
+      val v = if (i % 2 == 0) 0.4 else 1.6
+      (x, i % 9, rpois(v * math.exp(0.4 + 0.5 * x), rng))
+    }
+  }
+
+  test("NB2 matches the independent dense IRLS with interleaved dispersion (coef, SE, dev, alpha)") {
+    val df = nbData.toDF("x", "cl", "y")
+    val m = Glm.negBinomial(df, "y", Seq("x"))
+    val (bD, gD, devD, aD, itD) = denseNegBin(
+      nbData.map(d => Array(d._1)).toArray, nbData.map(_._3).toArray)
+    assert(m.converged && m.iters == itD)
+    assert(m.dispersion.isDefined)
+    assert(math.abs(m.dispersion.get - aD) < 1e-9, s"${m.dispersion.get} vs $aD")
+    // the planted mixture IS overdispersed — α must come out positive
+    assert(m.dispersion.get > 0.05, m.dispersion.get.toString)
+    m.coef.zip(bD).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    assert(math.abs(m.deviance - devD) / math.abs(devD) < 1e-9)
+    val seD = LinAlg.inverse(gD).zipWithIndex.map { case (r, i) => math.sqrt(r(i)) }
+    m.seInformation.zip(seD).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    // NB2 information SEs exceed the (variance-understating) Poisson ones
+    val mp = Glm.poisson(df, "y", Seq("x"))
+    assert(m.seInformation(1) > mp.seInformation(1))
+  }
+
+  test("NB2 with fixed alpha = 0 reproduces the Poisson fit; equidispersed data drives alpha ~ 0") {
+    val rng = new Random(7L)
+    val data = for (i <- 0 until 300) yield {
+      val x = math.sin(i * 0.61) * 1.2
+      (x, rpois(math.exp(0.5 + 0.3 * x), rng))
+    }
+    val df = data.toDF("x", "y")
+    val pois = Glm.poisson(df, "y", Seq("x"))
+    // α pinned at 0: the NB2 expressions degrade to Poisson's exactly
+    val fixed = Glm.negBinomial(df, "y", Seq("x"), alphaInit = 0.0, estimateAlpha = false)
+    assert(fixed.converged && fixed.iters == pois.iters)
+    fixed.coef.zip(pois.coef).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+    assert(math.abs(fixed.deviance - pois.deviance) < 1e-9)
+    // estimated: Poisson-generated counts give a near-zero moment α and
+    // coefficients indistinguishable from the Poisson fit
+    val est = Glm.negBinomial(df, "y", Seq("x"))
+    assert(est.converged && est.dispersion.get < 0.1, est.dispersion.get.toString)
+    est.coef.zip(pois.coef).foreach { case (a, b) => assert(math.abs(a - b) < 5e-3) }
+  }
+
+  test("NB2 robust and clustered sandwiches use the (y-mu)/(1+alpha*mu) score") {
+    val df = nbData.toDF("x", "cl", "y")
+    val m = Glm.negBinomial(df, "y", Seq("x"))
+    val a = m.dispersion.get
+    // dense sandwich with the NB2 score residual at the fitted β
+    def dense(clusters: Array[Int]): Array[Array[Double]] = {
+      val x = nbData.map(d => Array(1.0, d._1)).toArray
+      val k = 2
+      val scores = scala.collection.mutable.Map[Int, Array[Double]]()
+      for (i <- nbData.indices) {
+        val eta = (0 until k).map(j => x(i)(j) * m.coef(j)).sum
+        val mu = math.exp(math.max(-30.0, math.min(30.0, eta)))
+        val u = (nbData(i)._3 - mu) / (1.0 + a * mu)
+        val s = scores.getOrElseUpdate(clusters(i), Array.ofDim[Double](k))
+        for (q <- 0 until k) s(q) += u * x(i)(q)
+      }
+      val meat = Array.ofDim[Double](k, k)
+      for (s <- scores.values; p <- 0 until k; q <- 0 until k) meat(p)(q) += s(p) * s(q)
+      val inv = LinAlg.inverse(m.gramW)
+      LinAlg.matMul(LinAlg.matMul(inv, meat), inv)
+    }
+    val vR = Glm.varianceRobust(df, m, "y")
+    val vRd = dense(nbData.indices.toArray)
+    val vC = Glm.varianceRobust(df, m, "y", Some("cl"))
+    val vCd = dense(nbData.map(_._2).toArray)
+    for (i <- 0 until 2; j <- 0 until 2) {
+      assert(math.abs(vR(i)(j) - vRd(i)(j)) / math.abs(vRd(i)(j)) < 1e-8)
+      assert(math.abs(vC(i)(j) - vCd(i)(j)) / math.abs(vCd(i)(j)) < 1e-8)
+    }
+  }
+
+  // strictly-positive panel for the FE-Gamma parity: y = exp(0.4x + a_g + ε)
+  private lazy val gammaPanel: Seq[(Double, String, String, Double)] =
+    for (i <- 0 until 240) yield {
+      val g = s"g${i % 4}"
+      val h = s"h${(i / 4) % 3}"
+      val aEff = Map("g0" -> 0.0, "g1" -> 0.6, "g2" -> -0.4, "g3" -> 0.9)(g)
+      val bEff = Map("h0" -> 0.0, "h1" -> -0.5, "h2" -> 0.3)(h)
+      val x = math.sin(i * 0.37) * 1.5
+      val eps = 0.3 * math.sin(i * 1.9 + 0.7)
+      (x, g, h, math.exp(0.4 * x + aEff + bEff + eps))
+    }
+
+  test("FE-Gamma equals gamma-log with explicit dummies (coef, deviance, robust SE)") {
+    val df = gammaPanel.toDF("x", "g", "h", "y")
+    val withDummies = df
+      .withColumn("d1", when($"g" === "g1", 1.0).otherwise(0.0))
+      .withColumn("d2", when($"g" === "g2", 1.0).otherwise(0.0))
+      .withColumn("d3", when($"g" === "g3", 1.0).otherwise(0.0))
+    val full = Glm.gamma(withDummies, "y", Seq("x", "d1", "d2", "d3"), tol = 1e-12)
+    val fe = Glm.gammaFE(df, "y", Seq("x"), Seq("g"), tol = 1e-12)
+    assert(fe.converged && full.converged)
+    assert(math.abs(fe.coef(0) - full.coef(1)) < 1e-7, s"${fe.coef(0)} vs ${full.coef(1)}")
+    assert(math.abs(fe.deviance - full.deviance) < 1e-6)
+    assert(fe.droppedSeparated == 0L)
+    // weighted-FWL: x-block of the full-design gamma sandwich
+    val vFull = Glm.varianceRobust(withDummies, full, "y")
+    val seFullX = math.sqrt(vFull(1)(1))
+    assert(math.abs(fe.seRobust(0) - seFullX) / seFullX < 1e-4)
+  }
+
+  test("FE-Gamma with two absorbed FEs equals the dummy-expanded fit") {
+    val df = gammaPanel.toDF("x", "g", "h", "y")
+    val withDummies = df
+      .withColumn("d1", when($"g" === "g1", 1.0).otherwise(0.0))
+      .withColumn("d2", when($"g" === "g2", 1.0).otherwise(0.0))
+      .withColumn("d3", when($"g" === "g3", 1.0).otherwise(0.0))
+      .withColumn("e1", when($"h" === "h1", 1.0).otherwise(0.0))
+      .withColumn("e2", when($"h" === "h2", 1.0).otherwise(0.0))
+    val full = Glm.gamma(withDummies, "y", Seq("x", "d1", "d2", "d3", "e1", "e2"), tol = 1e-12)
+    val fe = Glm.gammaFE(df, "y", Seq("x"), Seq("g", "h"), tol = 1e-12)
+    assert(fe.converged && full.converged)
+    assert(math.abs(fe.coef(0) - full.coef(1)) < 1e-6)
+    assert(math.abs(fe.deviance - full.deviance) < 1e-5)
+    // Gamma rejects non-positive outcomes up front
+    val bad = df.withColumn("y", when($"g" === "g1", 0.0).otherwise($"y"))
+    val err = intercept[IllegalArgumentException](Glm.gammaFE(bad, "y", Seq("x"), Seq("g")))
+    assert(err.getMessage.contains("y > 0"), err.getMessage)
+  }
+
+  test("gaussianFE equals the linear FE estimator (identity-link anchor)") {
+    val df = panel.toDF("x", "g", "h", "y")
+    val fe = Glm.gaussianFE(df, "y", Seq("x"), Seq("g", "h"), tol = 1e-12)
+    val lin = FixedEffects.fit(df, "y", Seq("x"), Seq("g", "h"), tol = 1e-12)
+    assert(fe.converged)
+    assert(math.abs(fe.coef(0) - lin.coef(0)) < 1e-9, s"${fe.coef(0)} vs ${lin.coef(0)}")
+    // deviance of the gaussian family is the SSR of the within fit
+    assert(math.abs(fe.deviance - lin.ols.ssr) < 1e-6)
+  }
+
   test("PPML clustered SE matches the dense cluster sandwich via dummies") {
     val df = panel.toDF("x", "g", "h", "y")
       .withColumn("cl", (monotonically_increasing_id() % 10).cast("int"))
