@@ -244,7 +244,8 @@ object FixedEffects {
       tol: Double = 1e-9,
       collectCellLimit: Long = 2000000L,
       weight: Option[String] = None,
-      accelerate: Boolean = true
+      accelerate: Boolean = true,
+      knownCellCount: Option[Long] = None
   ): Demeaned = {
     val k = cols.length
     val K = fes.length
@@ -281,8 +282,18 @@ object FixedEffects {
       ((0 until k).map(i => sum(w * dcols(i)).as(s"__s_$i")) ++
         (for (i <- 0 until k; j <- i until k)
           yield sum(w * dcols(i) * dcols(j)).as(s"__q_${i}_$j")))
-    val cells = df.groupBy(fes.map(col): _*).agg(statAggs.head, statAggs.tail: _*).persist()
-    val nCells = timed("cells build+count")(cells.count())
+    val cells0 = df.groupBy(fes.map(col): _*).agg(statAggs.head, statAggs.tail: _*)
+    // the distinct-FE-tuple count is a property of the FRAME, not of
+    // this call — iterative fitters (FE-GLM: one fitWeighted per IRLS
+    // step over the same rows) pass it in once and save the
+    // count-then-collect double action every iteration (driver regime
+    // collects the unpersisted agg directly)
+    val (cells, nCells) = knownCellCount match {
+      case Some(n) => (if (n <= collectCellLimit) cells0 else cells0.persist(), n)
+      case None =>
+        val c = cells0.persist()
+        (c, timed("cells build+count")(c.count()))
+    }
 
     if (nCells <= collectCellLimit)
       demeanDriverCells(df, cols, fes, cells, maxSweeps, tol, accelerate)
@@ -968,13 +979,14 @@ object FixedEffects {
       maxSweeps: Int = 500,
       tol: Double = 1e-9,
       keep: Seq[String] = Nil,
-      collectCellLimit: Long = 2000000L
+      collectCellLimit: Long = 2000000L,
+      knownCellCount: Option[Long] = None
   ): FeModel = {
     require(fes.nonEmpty, "use Ols.fitWeighted when there are no fixed effects")
     val needed = (fes ++ (y +: xs) :+ weight) ++ keep
     val d = demeanFull(
       df.select(needed.distinct.map(col): _*), y +: xs, fes, maxSweeps, tol,
-      collectCellLimit, weight = Some(weight))
+      collectCellLimit, weight = Some(weight), knownCellCount = knownCellCount)
     val ols = d.cellGram match {
       case Some(cg) => olsFromCellGram(cg, y, xs, checkRank = false)
       case None => Ols.fitWeighted(

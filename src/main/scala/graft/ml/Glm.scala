@@ -138,6 +138,27 @@ case class GlmFeModel(
 
 object Glm {
 
+  /** An iterative fitter re-reads its working frame once per IRLS pass,
+    * so its parallelism is worth one up-front shuffle when the SOURCE
+    * fans out to fewer partitions than the session has cores (a single
+    * small parquet file otherwise serializes every pass of every
+    * iteration onto one thread — measured 3-4x on local benches). At
+    * scale inputs already carry >= cores partitions and this is a
+    * no-op.
+    */
+  private def spreadForIteration(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
+  private def timed[A](name: String)(f: => A): A =
+    if (sys.env.contains("GRAFT_GLM_DEBUG")) {
+      val t0 = System.nanoTime
+      val r = f
+      println(f"[glm-debug] $name: ${(System.nanoTime - t0) / 1e9}%.2fs")
+      r
+    } else f
+
   /** Canonical-link family: w = dμ/dη evaluates the IRLS weight and the
     * working response is z = η + (y − μ)/w.
     */
@@ -286,11 +307,11 @@ object Glm {
     // per iteration (at scale the repeated source scan IS the cost; the
     // projection spills to disk if it doesn't fit). All model outputs
     // are driver-side scalars, so the frame is released before return.
-    val projected = df.select(
+    val projected = spreadForIteration(df.select(
       (xs.map(c => col(c).cast("double").as(s"__x_$c")) ++
         Seq(col(y).cast("double").as("__y")) ++
         offset.map(c => col(c).cast("double").as("__off")).toSeq ++
-        weight.map(c => col(c).cast("double").as("__fw")).toSeq): _*).persist()
+        weight.map(c => col(c).cast("double").as("__fw")).toSeq): _*)).persist()
     val xcols: Seq[Column] =
       (if (intercept) Seq(lit(1.0)) else Nil) ++ xs.map(c => col(s"__x_$c"))
     val yc = col("__y")
@@ -406,11 +427,11 @@ object Glm {
   ): GlmModel = {
     val names = (if (intercept) Seq("(intercept)") else Nil) ++ xs
     // same persisted minimal projection as [[fit]]
-    val projected = df.select(
+    val projected = spreadForIteration(df.select(
       (xs.map(c => col(c).cast("double").as(s"__x_$c")) ++
         Seq(col(y).cast("double").as("__y")) ++
         offset.map(c => col(c).cast("double").as("__off")).toSeq ++
-        weight.map(c => col(c).cast("double").as("__fw")).toSeq): _*).persist()
+        weight.map(c => col(c).cast("double").as("__fw")).toSeq): _*)).persist()
     val xcols: Seq[Column] =
       (if (intercept) Seq(lit(1.0)) else Nil) ++ xs.map(c => col(s"__x_$c"))
     val yc = col("__y")
@@ -620,9 +641,24 @@ object Glm {
     val yc = col(y).cast("double")
     val off = offset.map(c => col(c).cast("double")).getOrElse(lit(0.0))
     val needed = (fes ++ (y +: xs) ++ offset.toSeq ++ keep).distinct
-    val base0 = df.select(needed.map(col): _*)
-    val (base, nDropped) =
-      if (dropSeparated) dropSeparatedGroups(base0, y, fes) else (base0, 0L)
+    // materialize the projected source ONCE, spread to core-count
+    // partitions — every subsequent pass (separation check, scalar
+    // aggs, each IRLS iteration) reads these blocks in parallel instead
+    // of re-scanning a possibly single-split source serially
+    val raw = timed("source checkpoint")(
+      spreadForIteration(df.select(needed.map(col): _*)).localCheckpoint())
+    // fast path: ONE grouping-sets pass answers "is any FE group
+    // all-zero" — the common healthy-panel case then skips the
+    // checkpoint-and-count drop loop entirely (profiled at ~1.4s of a
+    // 6s warm PPML fit). Only a frame that actually contains separated
+    // groups pays for the iterate-to-fixpoint removal.
+    val (base, nDropped) = timed("separation check")(
+      if (dropSeparated && anySeparatedGroup(raw, y, fes))
+        dropSeparatedGroups(raw, y, fes)
+      else (raw, 0L))
+    // the drop loop checkpoints its own filtered frame — raw's blocks
+    // are dead the moment it returns a different one
+    if (base ne raw) raw.unpersist(false)
 
     family.name match {
       case "gamma" =>
@@ -632,20 +668,31 @@ object Glm {
         () // positivity of the MEAN checked below; zeros are fine
       case _ => ()
     }
-    val ybar = base.agg(avg(yc)).head().getDouble(0)
+    // one pass: ybar + observation count (fm.ols.n is the weight mass
+    // Σw, not the row count) + the distinct-FE-tuple count that feeds
+    // every iteration's fitWeighted (a property of the rows, not the
+    // iteration — counting once saves one action per IRLS step)
+    val initRow = timed("ybar/counts agg")(base
+      .agg(avg(yc), count(lit(1)), count_distinct(struct(fes.map(col): _*)))
+      .head())
+    val ybar = initRow.getDouble(0)
+    val nObs = initRow.getLong(1)
+    val nCells = initRow.getLong(2)
     if (family.name == "poisson")
       require(ybar > 0.0, "PPML needs a strictly positive outcome mean")
 
-    var cur = base.withColumn("__eta", family.etaInit(yc, ybar)).localCheckpoint()
-    base.unpersist() // no-op unless the separation check checkpointed it
-    // observation count (fm.ols.n is the weight mass Σw — not the row
-    // count for non-unit weights)
-    val nObs = cur.count()
+    // η rides as a row-local expression over the checkpointed blocks —
+    // no second materialization before the first iteration
+    var cur: DataFrame = base.withColumn("__eta", family.etaInit(yc, ybar))
     var prev: DataFrame = null
     var dev = Double.MaxValue
     var iter = 0
     var converged = false
     var fm: FeModel = null
+    // working-response residual z̃r − x̃'β of a within fit, row-local
+    def resid(m: FeModel): Column =
+      xs.zip(m.coef).map { case (x, b) => col(s"${x}__dm") * b }
+        .foldLeft(col("__zr__dm"))(_ - _)
     while (iter < maxIter && !converged) {
       val mu = family.mu(col("__eta"))
       val work = cur
@@ -660,20 +707,22 @@ object Glm {
         // the regression target is the working response net of the
         // offset: η = Xβ + FE + offset, so z − offset ≈ Xβ + FE
         .withColumn("__zr", col("__z") - off)
-      fm = FixedEffects.fitWeighted(
+      fm = timed(s"iter $iter fitWeighted")(FixedEffects.fitWeighted(
         work, "__zr", xs, fes, weight = "__w",
         keep = ((y +: "__eta" +: "__mu" +: "__z" +: offset.toSeq) ++ keep).distinct,
-        collectCellLimit = collectCellLimit)
+        collectCellLimit = collectCellLimit, knownCellCount = Some(nCells)))
       // η' = z − (z̃r − x̃'β): the fitted value of the working response
-      // (offset re-included via z = zr + offset), recovered row-locally
-      val resid = xs.zip(fm.coef).map { case (x, b) => col(s"${x}__dm") * b }
-        .foldLeft(col("__zr__dm"))(_ - _)
-      val next = fm.demeaned
-        .withColumn("__eta", col("__z") - resid)
+      // (offset re-included via z = zr + offset), recovered row-locally.
+      // localCheckpoint, not persist: a cache-backed materialization
+      // pays InMemoryRelation's columnar encoding of the FE string
+      // columns every iteration (measured ~2x the checkpoint write),
+      // and the eager checkpoint keeps plan growth flat.
+      val next = timed(s"iter $iter eta checkpoint")(fm.demeaned
+        .withColumn("__eta", col("__z") - resid(fm))
         .select((needed :+ "__eta").map(col): _*)
-        .localCheckpoint()
-      val devNow = next
-        .agg(sum(family.deviance(yc, family.mu(col("__eta"))))).head().getDouble(0)
+        .localCheckpoint(false))
+      val devNow = timed(s"iter $iter deviance agg")(next
+        .agg(sum(family.deviance(yc, family.mu(col("__eta"))))).head().getDouble(0))
 
       if (prev != null) prev.unpersist()
       prev = cur
@@ -683,19 +732,40 @@ object Glm {
       iter += 1
     }
     // `prev` stays materialized: the returned frame reads the last
-    // iteration's demeaned columns, whose lineage roots in it (a
-    // localCheckpoint cannot be recomputed once dropped). The final
-    // `cur` η-frame is no longer referenced by anything.
+    // iteration's demeaned columns, whose lineage roots in it. The
+    // final `cur` η-frame is no longer referenced by anything, and the
+    // source blocks are superseded once an iteration checkpoint beyond
+    // the returned frame's root exists (a 1-iteration fit still roots
+    // in them — keep).
     if (cur ne null) cur.unpersist()
+    if (iter > 1) base.unpersist(false)
     // final frame: the last iteration's demeaned design with μ
     // recomputed at the converged β (η' = z − (z̃ − x̃'β); the x̃ columns
     // move O(tol) per late iteration — the standard IRLS-sandwich
     // convention)
-    val etaFinal = col("__z") - xs.zip(fm.coef).map { case (x, b) => col(s"${x}__dm") * b }
-      .foldLeft(col("__zr__dm"))(_ - _)
-    val frame = fm.demeaned.drop("__mu").withColumn("__mu", family.mu(etaFinal))
+    val frame = fm.demeaned.drop("__mu")
+      .withColumn("__mu", family.mu(col("__z") - resid(fm)))
     GlmFeModel(y, xs, fes, fm.coef, nObs, iter, converged, dev, nDropped,
       fm.ols, frame, family.name)
+  }
+
+  /** Does ANY group of ANY FE dimension fail the max(y) > 0 keep rule?
+    * One distributed pass: GROUPING SETS((fe_1), …, (fe_K)) computes
+    * every dimension's per-group max together (the expand operator
+    * replicates rows K× map-side, but only #groups rows ever shuffle),
+    * and a second aggregate over those group rows — never collected —
+    * reduces to one boolean. The `!(mx > 0)` form also catches an
+    * all-NULL-outcome group, matching [[dropSeparatedGroups]]'s
+    * `filter(max > 0)` keep-semantics exactly.
+    */
+  private[ml] def anySeparatedGroup(df: DataFrame, y: String, fes: Seq[String]): Boolean = {
+    val yc = col(y).cast("double")
+    val sets: Seq[Seq[Column]] = fes.map(f => Seq(col(f)))
+    val perGroup = df.groupingSets(sets, fes.map(col): _*)
+      .agg(max(yc).as("__mx"))
+    perGroup
+      .agg(sum(when(!(col("__mx") > 0.0), 1L).otherwise(0L)).as("__sep"))
+      .head().getLong(0) > 0L
   }
 
   /** Drop observations in statistically separated FE groups: any group
