@@ -64,6 +64,46 @@ object Embed {
     (mean, std, tf)
   }
 
+  /** Persist a fitted standardizer (one [[graft.sources.IndexCatalog]]
+    * entry, kind `standardizer`) — fit once on the full corpus, z-score
+    * any session's frames with the SAME μ/σ (refitting on a subset
+    * would shift every z-score).
+    */
+  def saveStandardizer(
+      spark: org.apache.spark.sql.SparkSession,
+      mean: Array[Double],
+      std: Array[Double],
+      path: String
+  ): Unit = {
+    import spark.implicits._
+    graft.sources.IndexCatalog.write(
+      spark, path, "standardizer",
+      Map("dim" -> mean.length.toString),
+      Seq("dims" -> mean.indices.map(i => (i, mean(i), std(i))).toDF("dim", "mean", "std")))
+  }
+
+  /** Load a standardizer: the exact stored μ/σ plus the same row-local
+    * transform builder [[standardizer]] returns.
+    */
+  def loadStandardizer(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      eps: Double = 1e-12
+  ): (Array[Double], Array[Double], Column => Column) = {
+    graft.sources.IndexCatalog.open(spark, path, "standardizer")
+    val rows = graft.sources.IndexCatalog.part(spark, path, "dims")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    val mean = rows.map(_._2)
+    val std = rows.map(_._3)
+    val d = mean.length
+    val tf: Column => Column = v =>
+      array((0 until d).map { i =>
+        val centered = element_at(v, i + 1).cast("double") - lit(mean(i))
+        if (std(i) < eps) centered else centered / lit(std(i))
+      }: _*)
+    (mean, std, tf)
+  }
+
   /** Assign each vector to its nearest centroid (cosine): broadcast the
     * (tiny) centroid table, score with the codegen'd dot product. The
     * corpus is scanned once and never shuffled on vectors — same shape

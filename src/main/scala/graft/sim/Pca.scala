@@ -80,4 +80,36 @@ object Pca {
     val (values, vectors) = LinAlg.symEigen(cov)
     PcaModel(d, n, mean, values.take(k), vectors.take(k), total)
   }
+
+  /** Persist a fitted model (one [[graft.sources.IndexCatalog]] entry,
+    * kind `pca`): `components` part (rank, direction, eigenvalue) +
+    * `center` part (the mean vector). Scalars ride in props —
+    * `Double.toString` round-trips exactly, so the reloaded transform
+    * is bit-identical to the fitted one.
+    */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, m: PcaModel, path: String): Unit = {
+    import spark.implicits._
+    graft.sources.IndexCatalog.write(
+      spark, path, "pca",
+      Map(
+        "dim" -> m.dim.toString, "n" -> m.n.toString,
+        "total_variance" -> m.totalVariance.toString),
+      Seq(
+        "components" -> m.components.indices
+          .map(r => (r, m.components(r).toSeq, m.eigenvalues(r)))
+          .toDF("rank", "component", "eigenvalue"),
+        "center" -> Seq(Tuple1(m.mean.toSeq)).toDF("mean")))
+  }
+
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): PcaModel = {
+    val meta = graft.sources.IndexCatalog.open(spark, path, "pca")
+    val comps = graft.sources.IndexCatalog.part(spark, path, "components")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    val mean = graft.sources.IndexCatalog.part(spark, path, "center")
+      .head().getSeq[Double](0).toArray
+    PcaModel(
+      meta.propInt("dim"), meta.prop("n").toLong, mean,
+      comps.map(_._3), comps.map(_._2), meta.prop("total_variance").toDouble)
+  }
 }

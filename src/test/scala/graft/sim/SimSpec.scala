@@ -818,6 +818,34 @@ class SimSpec extends SparkSpec {
     assert(m.varianceExplained.sum > 0.99) // dust dims carry < 1%
   }
 
+  test("Pca / standardizer save+load: state round-trips exactly, reloaded transforms identical") {
+    val df = pcaCloud.toDF("id", "v")
+    val m = Pca.fit(df, "v", k = 2)
+    val dir = java.nio.file.Files.createTempDirectory("pca_idx").toString
+    Pca.saveModel(spark, m, dir)
+    val lm = Pca.loadModel(spark, dir)
+    assert(lm.dim == m.dim && lm.n == m.n && lm.totalVariance == m.totalVariance)
+    assert(lm.mean.toSeq == m.mean.toSeq && lm.eigenvalues.toSeq == m.eigenvalues.toSeq)
+    assert(lm.components.map(_.toSeq).toSeq == m.components.map(_.toSeq).toSeq)
+    // the reloaded transform is the SAME column expression → identical output
+    val a = df.select(m.transform(col("v"), whiten = true).as("p")).collect().map(_.getSeq[Double](0))
+    val b = df.select(lm.transform(col("v"), whiten = true).as("p")).collect().map(_.getSeq[Double](0))
+    assert(a.zip(b).forall { case (x, y) => x == y })
+
+    val (mu, sd, tf) = Embed.standardizer(df, "v")
+    val sDir = java.nio.file.Files.createTempDirectory("std_idx").toString
+    Embed.saveStandardizer(spark, mu, sd, sDir)
+    val (mu2, sd2, tf2) = Embed.loadStandardizer(spark, sDir)
+    assert(mu2.toSeq == mu.toSeq && sd2.toSeq == sd.toSeq)
+    val za = df.select(tf(col("v")).as("z")).collect().map(_.getSeq[Double](0))
+    val zb = df.select(tf2(col("v")).as("z")).collect().map(_.getSeq[Double](0))
+    assert(za.zip(zb).forall { case (x, y) => x == y })
+
+    // wrong-kind cross-load fails loudly (the catalog's point)
+    val err = intercept[IllegalArgumentException](Pca.loadModel(spark, sDir))
+    assert(err.getMessage.contains("standardizer"), err.getMessage)
+  }
+
   test("Pca.transform: projection parity, per-component variance = eigenvalue, whitening") {
     val data = pcaCloud
     val df = data.toDF("id", "v")
