@@ -42,7 +42,7 @@ object NgramLm {
     * row-locally (element_at is 1-based, posexplode 0-based, so
     * element_at(toks, pos) is exactly the previous token).
     */
-  private def tokenStream(df: DataFrame, textCol: String, idCol: String): DataFrame =
+  private[text] def tokenStream(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(col(idCol), split(col(textCol), " ").as("__toks"))
       .select(col(idCol), posexplode(col("__toks")).as(Seq("pos", "token")),
         col("__toks"))

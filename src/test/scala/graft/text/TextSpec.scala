@@ -261,6 +261,40 @@ class TextSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("Dsir: log-weights favor target-like docs; Gumbel top-k deterministic, partition-invariant") {
+    // two vocabularies: target domain speaks A-words, background mixes
+    val aDoc = (i: Int) => (0 until 30).map(j => s"alpha${(i + j) % 6}").mkString(" ")
+    val bDoc = (i: Int) => (0 until 30).map(j => s"beta${(i * 3 + j) % 6}").mkString(" ")
+    val corpus = ((0 until 40).map(i => (i.toLong, aDoc(i))) ++
+      (40 until 80).map(i => (i.toLong, bDoc(i)))).toDF("doc_id", "text")
+    val targetFrame = (100 until 120).map(i => (i.toLong, aDoc(i))).toDF("doc_id", "text")
+    val target = NgramLm.train(targetFrame, "text", "doc_id")
+    val background = NgramLm.train(corpus, "text", "doc_id")
+
+    val lw = Dsir.logWeights(corpus, "text", "doc_id", target, background)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    // every A-doc outweighs every B-doc (B tokens are OOV for the target LM)
+    val aMin = (0 until 40).map(i => lw(i.toLong)).min
+    val bMax = (40 until 80).map(i => lw(i.toLong)).max
+    assert(aMin > bMax, s"target-like min $aMin !> background-only max $bMax")
+
+    // resampling: k of 30 picks A-docs overwhelmingly, ranked by key desc
+    val sel = Dsir.resample(corpus, "text", "doc_id", target, background, k = 30)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(sel.length == 30)
+    assert(sel.map(_._2).distinct.length == 30, "without replacement: ids distinct")
+    assert(sel.map(_._1).toSeq == (1L to 30L), "ranks contiguous")
+    assert(sel.sliding(2).forall(p => p(0)._5 >= p(1)._5), "keys descend with rank")
+    val aPicked = sel.count(_._2 < 40)
+    assert(aPicked >= 28, s"expected nearly all picks from the target-like half, got $aPicked/30")
+
+    // determinism: same result from a different partitioning
+    val sel2 = Dsir.resample(corpus.repartition(7), "text", "doc_id", target, background, k = 30)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(sel.map(r => (r._1, r._2)).toSeq == sel2.map(r => (r._1, r._2)).toSeq)
+    target.release(); background.release()
+  }
+
   test("Repetition stats match hand computation, including the single-token edge") {
     val docs = Seq(
       (1L, "a a a b"), // top tok a:3/4, unique 2/4, top bigram "a a":2/3
