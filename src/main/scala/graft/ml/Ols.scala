@@ -317,4 +317,66 @@ object Ols {
 
   def seHC1(df: DataFrame, model: OlsModel, y: String): Array[Double] =
     varianceHC1(df, model, y).zipWithIndex.map { case (r, i) => math.sqrt(r(i)) }
+
+  /** Leverage-corrected robust covariance, HC2 (δ=1) and HC3 (δ=2):
+    * (X'X)⁻¹ [Σ_i u_i²/(1−h_i)^δ x_i x_i'] (X'X)⁻¹ with leverage
+    * h_i = x_i'(X'X)⁻¹x_i (MacKinnon–White 1985). HC1's global n/(n−k)
+    * scale under-corrects exactly the high-leverage rows that drive
+    * heteroskedasticity-robust bias in finite samples; HC2 makes
+    * E[u_i²/(1−h_i)] = σ_i² exact under homoskedasticity, HC3
+    * approximates the jackknife.
+    *
+    * Distribution: (X'X)⁻¹ is k×k driver state, so h_i is a ROW-LOCAL
+    * codegen'd quadratic form with literal coefficients — the whole meat
+    * is still ONE map-side-combined aggregate pass, identical in shape
+    * to [[varianceHC1]]. No per-row hat-matrix materialization, no
+    * second shuffle, scale-free at 100 TB.
+    *
+    * A numerically-exact-fit row has h_i → 1 and u_i → 0 (the true
+    * contribution is a 0/0 → 0 limit only for HC2); 1−h_i is floored at
+    * 1e-12 so such rows produce a huge-but-finite weight instead of
+    * NaN-poisoning the sums — with k regressors over n ≫ k rows,
+    * max h_i ≪ 1 in any non-degenerate design.
+    */
+  def varianceHC(
+      df: DataFrame,
+      model: OlsModel,
+      y: String,
+      delta: Int
+  ): Array[Array[Double]] = {
+    require(delta == 1 || delta == 2, s"delta must be 1 (HC2) or 2 (HC3), got $delta")
+    val k = model.coef.length
+    val inv = LinAlg.inverse(model.gram)
+    val xcols: Seq[Column] = model.xNames.map {
+      case "(intercept)" => lit(1.0)
+      case name          => col(name).cast("double")
+    }
+    // h = Σ_a inv(a)(a)·x_a² + 2·Σ_{a<b} inv(a)(b)·x_a·x_b
+    val hTerms =
+      (0 until k).map(a => lit(inv(a)(a)) * xcols(a) * xcols(a)) ++
+        (for (a <- 0 until k; b <- a + 1 until k)
+          yield lit(2.0 * inv(a)(b)) * xcols(a) * xcols(b))
+    val h = hTerms.reduce(_ + _)
+    val u = residualCol(model, y)
+    val oneMinusH = greatest(lit(1.0) - h, lit(1e-12))
+    val w =
+      if (delta == 1) (u * u) / oneMinusH
+      else (u * u) / (oneMinusH * oneMinusH)
+    val meatAggs = for (i <- 0 until k; j <- i until k)
+      yield sum(col("__w") * xcols(i) * xcols(j)).as(s"m_${i}_$j")
+    val row = df.withColumn("__w", w).agg(meatAggs.head, meatAggs.tail: _*).head()
+    val meat = Array.ofDim[Double](k, k)
+    var p = 0
+    for (i <- 0 until k; j <- i until k) {
+      val v = row.getDouble(p); p += 1
+      meat(i)(j) = v; meat(j)(i) = v
+    }
+    LinAlg.matMul(LinAlg.matMul(inv, meat), inv)
+  }
+
+  def seHC2(df: DataFrame, model: OlsModel, y: String): Array[Double] =
+    varianceHC(df, model, y, delta = 1).zipWithIndex.map { case (r, i) => math.sqrt(r(i)) }
+
+  def seHC3(df: DataFrame, model: OlsModel, y: String): Array[Double] =
+    varianceHC(df, model, y, delta = 2).zipWithIndex.map { case (r, i) => math.sqrt(r(i)) }
 }

@@ -81,6 +81,27 @@ object Dsir {
     * (rank, idCol, n_tokens, log_w, key), rank 1 = best; ties broken by
     * id ([[TopK]]'s payload order).
     */
+  /** (idCol, n_tokens, log_w, __key) — the weights plus their Gumbel
+    * keys. u in (0, 1): the 60-bit hash over 2^60, floored away from 0
+    * so the double log stays finite.
+    */
+  private def keyedWeights(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      target: NgramLm.Model,
+      background: NgramLm.Model,
+      salt: String,
+      oovCount: Double
+  ): DataFrame = {
+    val u = greatest(
+      SharedHash.md5Long60(concat(lit(s"$salt:"), col(idCol).cast("string")))
+        .cast("double") / lit(1152921504606846976.0),
+      lit(1e-18))
+    logWeights(docs, textCol, idCol, target, background, oovCount)
+      .withColumn("__key", col("log_w") - log(-log(u)))
+  }
+
   def resample(
       docs: DataFrame,
       textCol: String,
@@ -91,15 +112,7 @@ object Dsir {
       salt: String = "dsir",
       oovCount: Double = 0.5
   ): DataFrame = {
-    val lw = logWeights(docs, textCol, idCol, target, background, oovCount)
-    // u in (0, 1): the 60-bit hash over 2^60, floored away from 0 so
-    // the double log stays finite
-    val u = greatest(
-      SharedHash.md5Long60(concat(lit(s"$salt:"), col(idCol).cast("string")))
-        .cast("double") / lit(1152921504606846976.0),
-      lit(1e-18))
-    val keyed = lw.withColumn("__key", col("log_w") - log(-log(u)))
-    keyed
+    keyedWeights(docs, textCol, idCol, target, background, salt, oovCount)
       .agg(TopK.agg(col("__key"), struct(col(idCol), col("n_tokens"), col("log_w")), k)
         .as("__topk"))
       .select(posexplode(col("__topk")).as(Seq("__r", "__kv")))
@@ -109,5 +122,42 @@ object Dsir {
         col("__kv.payload.n_tokens").as("n_tokens"),
         col("__kv.payload.log_w").as("log_w"),
         col("__kv.score").as("key"))
+  }
+
+  /** The corpus-fraction selection path the ranked [[resample]] doc
+    * comment promises: same Gumbel keys, but the cut is a THRESHOLD
+    * from one `approxQuantile` (Greenwald–Khanna) pass — no heap holds
+    * a corpus-fraction of rows, and the filter is a row-local map, so
+    * selecting 30% of 100 TB costs a sketch pass plus a scan. The
+    * realized fraction is exact up to the sketch's rank error
+    * (`relErr`); the threshold semantic itself is exact — every kept
+    * key >= every dropped key by construction. Output: (idCol,
+    * n_tokens, log_w, key), unranked.
+    */
+  def selectFraction(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      target: NgramLm.Model,
+      background: NgramLm.Model,
+      fraction: Double,
+      salt: String = "dsir",
+      oovCount: Double = 0.5,
+      relErr: Double = 1e-3
+  ): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0, s"fraction must be in (0, 1], got $fraction")
+    // deliberately NOT persisted: the scoring join runs once for the
+    // sketch and once when the caller consumes the result — two scans
+    // beat silently parking a corpus-sized keyed frame in the session
+    // cache (the Bm25 lifecycle lesson). Callers selecting repeatedly
+    // at different fractions should materialize keyedWeights themselves
+    // via [[logWeights]].
+    val keyed = keyedWeights(docs, textCol, idCol, target, background, salt, oovCount)
+    val thr =
+      if (fraction == 1.0) Double.NegativeInfinity
+      else keyed.stat.approxQuantile("__key", Array(1.0 - fraction), relErr).head
+    keyed
+      .where(col("__key") >= thr)
+      .select(col(idCol), col("n_tokens"), col("log_w"), col("__key").as("key"))
   }
 }

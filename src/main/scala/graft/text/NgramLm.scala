@@ -103,6 +103,46 @@ object NgramLm {
         round(exp(-avg(col("__logp"))), 2).as("ppl"))
   }
 
+  /** Persist a trained model — train the LM on the 100 TB corpus once,
+    * score/filter/DSIR from any session. The count frames are
+    * VOCABULARY-sized, not driver-bounded, so they are written as
+    * ordinary distributed parquet datasets under `path` and REFERENCED
+    * from a meta-only [[graft.sources.IndexCatalog]] entry (the
+    * graph-ANN pattern — catalog parts proper are reserved for
+    * driver-bounded state); `alpha` rides in props so the serving side
+    * scores with the backoff the model was counted under.
+    */
+  def saveModel(
+      spark: org.apache.spark.sql.SparkSession,
+      model: Model,
+      path: String
+  ): Unit = {
+    model.uni.write.mode("overwrite").parquet(s"$path/uni")
+    model.bi.write.mode("overwrite").parquet(s"$path/bi")
+    model.totalDf.coalesce(1).write.mode("overwrite").parquet(s"$path/total")
+    graft.sources.IndexCatalog.write(
+      spark, path, "ngram_lm",
+      Map("alpha" -> model.alpha.toString,
+        "uni" -> "uni", "bi" -> "bi", "total" -> "total"),
+      Seq.empty)
+  }
+
+  /** Load a persisted model; the unigram frame comes back persisted,
+    * matching [[train]]'s contract (release with
+    * [[Model.release]]).
+    */
+  def loadModel(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String
+  ): Model = {
+    val meta = graft.sources.IndexCatalog.open(spark, path, "ngram_lm")
+    Model(
+      spark.read.parquet(s"$path/${meta.prop("uni")}").persist(),
+      spark.read.parquet(s"$path/${meta.prop("bi")}"),
+      spark.read.parquet(s"$path/${meta.prop("total")}"),
+      meta.prop("alpha").toDouble)
+  }
+
   /** The gate: keep documents in the wanted perplexity band (CCNet keeps
     * the low band; a floor also exists to drop degenerate repetition,
     * which scores unnaturally LOW).

@@ -292,7 +292,43 @@ class TextSpec extends SparkSpec {
     val sel2 = Dsir.resample(corpus.repartition(7), "text", "doc_id", target, background, k = 30)
       .as[(Long, Long, Long, Double, Double)].collect()
     assert(sel.map(r => (r._1, r._2)).toSeq == sel2.map(r => (r._1, r._2)).toSeq)
+
+    // fraction path: threshold semantics exact (kept min >= dropped max),
+    // realized fraction within the sketch's rank error
+    val frac = Dsir.selectFraction(corpus, "text", "doc_id", target, background, fraction = 0.4)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(math.abs(frac.length - 32) <= 2, s"~40% of 80 expected, got ${frac.length}")
+    val keptIds = frac.map(_._1).toSet
+    val allKeys = Dsir.resample(corpus, "text", "doc_id", target, background, k = 80)
+      .as[(Long, Long, Long, Double, Double)].collect().map(r => r._2 -> r._5).toMap
+    val keptMin = frac.map(r => allKeys(r._1)).min
+    val dropMax = allKeys.filterNot(kv => keptIds(kv._1)).values.max
+    assert(keptMin >= dropMax, s"threshold violated: kept min $keptMin < dropped max $dropMax")
+    // and the fraction cut equals the top-|kept| of the ranked path
+    val topIds = Dsir.resample(corpus, "text", "doc_id", target, background, k = frac.length)
+      .as[(Long, Long, Long, Double, Double)].collect().map(_._2).toSet
+    assert(keptIds == topIds)
     target.release(); background.release()
+  }
+
+  test("NgramLm save/load model: fresh-session scoring parity, alpha preserved") {
+    val corpus = graft.util.Tables.documents(spark, sf).limit(150).localCheckpoint()
+    val model = NgramLm.train(corpus, "text", "doc_id", alpha = 0.3)
+    val dir = java.nio.file.Files.createTempDirectory("ngram_lm").toString
+    NgramLm.saveModel(spark, model, dir)
+    val loaded = NgramLm.loadModel(spark, dir)
+    assert(loaded.alpha == 0.3)
+    val before = NgramLm.score(corpus, "text", "doc_id", model)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    val after = NgramLm.score(corpus, "text", "doc_id", loaded)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(before == after)
+    // wrong-kind load fails with a message
+    val err = intercept[IllegalArgumentException] {
+      graft.sources.IndexCatalog.open(spark, dir, "bpe_vocab")
+    }
+    assert(err.getMessage.contains("ngram_lm"), err.getMessage)
+    model.release(); loaded.release()
   }
 
   test("Repetition stats match hand computation, including the single-token edge") {
