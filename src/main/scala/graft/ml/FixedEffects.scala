@@ -206,6 +206,63 @@ object FixedEffects {
     Ols.fromGram(xs.map(x => s"${x}__dm"), g, c, cg.gram(yI)(yI), math.round(cg.n), checkRank)
   }
 
+  /** Dot products between the last plain sweep step vectors (d0 =
+    * newest); the d2 terms are zero when only two steps exist since the
+    * last jump.
+    */
+  private case class AitkenDots(
+      d0d0: Double,
+      d0d1: Double,
+      d1d1: Double,
+      d0d2: Double,
+      d1d2: Double,
+      d2d2: Double)
+
+  /** Coefficients (c0, c1) of the Aitken jump vector c0·d_s + c1·d_{s-1}
+    * summing the geometric step tail in closed form, or None when the
+    * gates reject. Order 2 fits d_s ≈ a·d_{s-1} + b·d_{s-2} (dominant
+    * modes = roots of t² − a·t − b) and requires real roots in
+    * [−0.995, 0.995] with the dominant one ≥ 0.5; the b = 0 single-mode
+    * Irons–Tuck form is the fallback. The ≥ 0.5 floor keeps
+    * fast-converging panels' sweep trajectories bit-identical; the
+    * ≤ 0.995 cap leaves unstable estimates to the CG bail.
+    */
+  private def aitkenCoef(dots: AitkenDots): Option[(Double, Double)] = {
+    import dots._
+    // d2d2 ≤ 10·d1d1: in a settled geometric tail consecutive step
+    // norms shrink by ρ² ≈ O(1); a much larger d_{s-2} means the
+    // startup transient is still in the window and the LSQ fit would be
+    // dominated by it (observed: a transient-polluted fit burns the
+    // jump on ρ ≈ 0.6 when the true slow mode is 0.97)
+    val order2 = if (d2d2 > 0.0 && d2d2 <= 10.0 * d1d1) {
+      val det = d1d1 * d2d2 - d1d2 * d1d2
+      if (det > 1e-12 * d1d1 * d2d2) {
+        val a = (d0d1 * d2d2 - d0d2 * d1d2) / det
+        val b = (d0d2 * d1d1 - d0d1 * d1d2) / det
+        val disc = a * a + 4.0 * b
+        val mass = 1.0 - a - b
+        if (disc >= 0.0 && mass > 1e-3) {
+          val rho = (a + math.sqrt(disc)) / 2.0
+          if (rho >= 0.5 && rho <= 0.995 && math.abs(a - math.sqrt(disc)) / 2.0 <= 0.995)
+            Some(((a + b) / mass, b / mass))
+          else None
+        } else None
+      } else None
+    } else None
+    val res = order2.orElse {
+      // single-mode fallback (Irons–Tuck) — only when the last two steps
+      // are near-parallel (cos² ≥ 0.98): a two-mode residual fails this
+      // and WAITS for the next order-2 window instead of burning the
+      // step history on a mixed-ρ jump
+      val rho = if (d1d1 > 0.0) d0d1 / d1d1 else 0.0
+      val cos2 = if (d0d0 > 0.0 && d1d1 > 0.0) d0d1 * d0d1 / (d0d0 * d1d1) else 0.0
+      if (rho >= 0.5 && rho <= 0.995 && cos2 >= 0.98) Some((rho / (1.0 - rho), 0.0)) else None
+    }
+    if (sys.env.contains("GRAFT_FE_DEBUG"))
+      println(s"[fe-debug] aitken dots=$dots order2=$order2 res=$res")
+    res
+  }
+
   /** Stage timing for the distributed-cell path, printed only when
     * GRAFT_FE_DEBUG is set (perf triage; no cost otherwise).
     */
@@ -421,8 +478,30 @@ object FixedEffects {
     // too clustered for extrapolation; measured on the path-graph spec:
     // plain MAP needs thousands of sweeps, CG ≤ dim(parameter space)).
     val halperinCap = if (accelerate) math.min(10, maxSweeps) else maxSweeps
+    // Vector-Aitken extrapolation on the sweep step sequence. The step
+    // vectors of a linearly converging AP iteration follow d_s ≈
+    // a·d_{s-1} + b·d_{s-2} (two dominant modes ρ₁, ρ₂ = roots of
+    // t² − a·t − b; one mode is the b = 0 special case). Fitting (a, b)
+    // by least squares over the last three PLAIN steps sums the implied
+    // tail in closed form: Σ_{j≥1} d_{s+j} = [(a+b)·d_s + b·d_{s-1}] /
+    // (1 − a − b) — one jump annihilates a two-mode geometric tail that
+    // plain sweeps crawl through. Gates: dominant root ∈ [0.5, 0.995]
+    // (fast spectra — TPC-H keys converge at ρ ≈ 0.08 — never trigger,
+    // so their trajectory is bit-identical; clustered ill-conditioned
+    // spectra beyond the gate are left to the CG bail), real roots,
+    // positive mass. Convergence is still certified only by a PLAIN
+    // sweep's raw step means, so the fixpoint criterion is unchanged.
+    val stepHist = scala.collection.mutable.ArrayBuffer.empty[Array[Array[Array[Double]]]]
+    def stepDot(x: Array[Array[Array[Double]]], y: Array[Array[Array[Double]]]): Double = {
+      var acc = 0.0
+      for (f2 <- 0 until K; g <- 0 until idx(f2).size(); c <- 0 until k)
+        acc += x(f2)(g)(c) * y(f2)(g)(c)
+      acc
+    }
     while (!converged && sweeps < halperinCap) {
       sweeps += 1
+      val curStep =
+        if (accelerate) Array.tabulate(K)(f => Array.ofDim[Double](idx(f).size(), k)) else null
       var delta = 0.0
       var f = 0
       while (f < K) {
@@ -446,6 +525,7 @@ object FixedEffects {
           while (c < k) {
             val m = num(g)(c) / gN(f)(g)
             eff(f)(g)(c) += m
+            if (curStep != null) curStep(f)(g)(c) = m
             if (math.abs(m) > delta) delta = math.abs(m)
             c += 1
           }
@@ -454,6 +534,32 @@ object FixedEffects {
         f += 1
       }
       converged = delta < tol * scale
+      if (sys.env.contains("GRAFT_FE_DEBUG"))
+        println(f"[fe-debug] driver sweep $sweeps: delta=${delta / scale}%.3e")
+      if (accelerate && !converged) {
+        stepHist += curStep
+        // sweeps >= 3: by then the fast intra-cluster transient has
+        // decayed enough that the fit reads the slow modes
+        if (stepHist.length >= 2 && sweeps >= 3) {
+          val d0 = stepHist.last
+          val d1 = stepHist(stepHist.length - 2)
+          val d2opt = if (stepHist.length >= 3) Some(stepHist(stepHist.length - 3)) else None
+          val dots = AitkenDots(
+            d0d0 = stepDot(d0, d0),
+            d0d1 = stepDot(d0, d1),
+            d1d1 = stepDot(d1, d1),
+            d0d2 = d2opt.map(stepDot(d0, _)).getOrElse(0.0),
+            d1d2 = d2opt.map(stepDot(d1, _)).getOrElse(0.0),
+            d2d2 = d2opt.map(d2 => stepDot(d2, d2)).getOrElse(0.0))
+          aitkenCoef(dots).foreach { case (c0, c1) =>
+            for (f2 <- 0 until K; g <- 0 until idx(f2).size(); c <- 0 until k)
+              eff(f2)(g)(c) += c0 * d0(f2)(g)(c) + c1 * d1(f2)(g)(c)
+            // step vectors are not comparable across the jump: re-seed
+            stepHist.clear()
+          }
+        }
+        if (stepHist.length > 3) stepHist.remove(0)
+      }
     }
     if (accelerate && !converged) {
       // PCG on H a = b, H = AᵀNA (A: effects → cell totals, N = diag
@@ -671,6 +777,13 @@ object FixedEffects {
     // the driver regime; requires every FE under the broadcast gate,
     // since CG keeps the parameter vectors driver-side)
     var bailToCg = false
+    // sweep number of the last applied Aitken correction — the ratio
+    // estimate needs two PLAIN sweeps since the jump
+    var lastExtrap = 0
+    // previous probe's delta: a fast-falling probe sequence (ratio
+    // < 0.1 per probe gap ⇒ ρ well under the 0.5 jump floor) skips the
+    // Aitken dot-product jobs entirely, so fast panels pay nothing
+    var lastProbeDelta = Double.PositiveInfinity
     val history = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     // every applied correction frame (REAL per-FE step means, plus the
     // CG correction frames — flagged), in sweep order; persisted: each
@@ -723,6 +836,83 @@ object FixedEffects {
           .head()
           .getDouble(0))
         converged = delta < tol * scale
+        val slowProbe = delta >= 0.1 * lastProbeDelta
+        lastProbeDelta = delta
+        if (accelerate && !converged && slowProbe && sweeps >= 4 && sweeps - 1 > lastExtrap) {
+          // vector-Aitken, the distributed twin of the driver regime's:
+          // the same order-2 step-recurrence fit, with the dot products
+          // taken over the last plain sweeps' step-means frames (all
+          // already persisted and materialized by this probe's
+          // checkpoint job — K group-sized joins, never cell-sized). A
+          // two-mode geometric tail is summed in closed form by ONE
+          // correction join per FE — each further sweep it replaces
+          // costs K joins + a checkpoint, so the gate pays for itself
+          // immediately. Fast spectra (dominant ρ < 0.5) never trigger;
+          // unstable estimates (ρ > 0.995) are left to the CG bail.
+          def meansAt(fe: String, s2: Int): DataFrame =
+            meansHistory.collect { case (`fe`, s3, true, m) if s3 == s2 => m }.head
+          val hasD2 = sw - 2 > lastExtrap
+          var d0d0 = 0.0; var d0d1 = 0.0; var d1d1 = 0.0
+          var d0d2 = 0.0; var d1d2 = 0.0; var d2d2 = 0.0
+          for (fe <- fes) {
+            val renamed = Seq(("a", sw), ("b", sw - 1)) ++
+              (if (hasD2) Seq(("c", sw - 2)) else Nil)
+            val joined = renamed.map { case (p, s2) =>
+              meansAt(fe, s2).select(
+                col(fe) +: (0 until k).map(i => col(s"__mean_$i").as(s"__${p}_$i")): _*)
+            }.reduce(_.join(_, Seq(fe)))
+            def dotAgg(p: String, q: String) =
+              sum((0 until k).map(i => col(s"__${p}_$i") * col(s"__${q}_$i")).reduce(_ + _))
+            val aggs =
+              Seq(
+                dotAgg("a", "a").as("d0d0"),
+                dotAgg("a", "b").as("d0d1"),
+                dotAgg("b", "b").as("d1d1")) ++
+                (if (hasD2)
+                   Seq(
+                     dotAgg("a", "c").as("d0d2"),
+                     dotAgg("b", "c").as("d1d2"),
+                     dotAgg("c", "c").as("d2d2"))
+                 else Nil)
+            val r = joined.agg(aggs.head, aggs.tail: _*).head()
+            if (!r.isNullAt(0)) {
+              d0d0 += r.getDouble(0); d0d1 += r.getDouble(1); d1d1 += r.getDouble(2)
+              if (hasD2) { d0d2 += r.getDouble(3); d1d2 += r.getDouble(4); d2d2 += r.getDouble(5) }
+            }
+          }
+          aitkenCoef(AitkenDots(d0d0, d0d1, d1d1, d0d2, d1d2, d2d2)).foreach { case (c0, c1) =>
+            for (fe <- fes) {
+              val prev = meansAt(fe, sw - 1).select(
+                col(fe) +: (0 until k).map(i => col(s"__mean_$i").as(s"__pm_$i")): _*)
+              // EAGER localCheckpoint, not persist: the correction must
+              // enter cur's lineage as a LEAF. Its logical plan embeds
+              // both means frames' plans, which embed the pre-checkpoint
+              // sweep lineage — chaining that un-truncated re-embeds the
+              // previous correction each time and the analyzer's plan
+              // walk goes exponential (observed: minutes of driver CPU
+              // by sweep 8). The frame is #groups rows; the checkpoint
+              // job reads only the means caches the probe's checkpoint
+              // already materialized.
+              val corr = meansAt(fe, sw)
+                .join(prev, Seq(fe))
+                .select(
+                  col(fe) +: (0 until k).map(i =>
+                    (col(s"__mean_$i") * c0 + col(s"__pm_$i") * c1).as(s"__mean_$i")): _*)
+                .localCheckpoint(true)
+              // flag=false: applied to the effects (so the effect-table
+              // union-sum and the CG warm start include it) but never a
+              // probe's convergence evidence
+              meansHistory += ((fe, sw, false, corr))
+              val joinSide = if (feBroadcast(fe)) broadcast(corr) else corr
+              cur = (0 until k)
+                .foldLeft(cur.join(joinSide, Seq(fe), "left")) { (j, i) =>
+                  j.withColumn(s"__r_$i", col(s"__r_$i") - col("__n") * col(s"__mean_$i"))
+                }
+                .drop((0 until k).map(i => s"__mean_$i"): _*)
+            }
+            lastExtrap = sw
+          }
+        }
       }
       if (accelerate && !converged && sweeps >= 10 && fes.forall(feBroadcast)) bailToCg = true
     }
@@ -920,7 +1110,11 @@ object FixedEffects {
       t
     }
     history.foreach(d => checkpointRdd(d).foreach(_.unpersist(false)))
-    meansHistory.foreach(_._4.unpersist(false))
+    meansHistory.foreach { case (_, _, _, m) =>
+      m.unpersist(false)
+      // Aitken correction frames are localCheckpoint leaves, not caches
+      checkpointRdd(m).foreach(_.unpersist(false))
+    }
     cells.unpersist(false)
 
     val joined = df.join(adj, fes, "left")

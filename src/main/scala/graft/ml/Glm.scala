@@ -84,14 +84,15 @@ case class GlmFeModel(
     droppedSeparated: Long,       // rows removed by the separation check
     ols: OlsModel,                // within WLS at convergence (gram = X̃'WX̃)
     frame: DataFrame,
-    family: String = "poisson"
+    family: String = "poisson",
+    dispersion: Option[Double] = None // NB2 α (None for one-parameter families)
 ) {
   /** The family's SCORE residual (y − μ)·(dμ/dη)/V(μ): y − μ for every
     * canonical link (Poisson keeps its historical expression
-    * bit-for-bit), (y − μ)/μ for gamma-log.
+    * bit-for-bit), (y − μ)/μ for gamma-log, (y − μ)/(1 + αμ) for NB2.
     */
   private def scoreCol: Column = {
-    val fam = Glm.familyOf(family)
+    val fam = Glm.familyOf(family, dispersion)
     val resid = col(yName).cast("double") - col("__mu")
     if (fam.canonical) resid
     else resid * fam.dMuDeta(col("__mu")) / fam.varFun(col("__mu"))
@@ -590,6 +591,37 @@ object Glm {
     fitFE(df, y, xs, fes, Gamma, tol, maxIter, keep, dropSeparated = false,
       collectCellLimit, offset)
 
+  /** NB2 negative binomial with absorbed FEs — the gravity-model
+    * overdispersion follow-up to [[poissonFE]] (PPML coefficients are
+    * consistent under overdispersion but its information SEs are not;
+    * NB2-FE reweights by μ/(1+αμ)). Same IRLS-over-
+    * [[FixedEffects.fitWeighted]] loop; the Cameron–Trivedi α update
+    * interleaves exactly as in [[negBinomial]], with the two moment
+    * sums riding each iteration's deviance aggregate (zero extra
+    * passes). `alphaInit = 0` makes the first step exactly a PPML
+    * step; `estimateAlpha = false` fixes α (at 0 that reproduces
+    * [[poissonFE]] identically — the NegBin(0) column expressions
+    * degrade to Poisson's, spec-pinned). Separation: same all-zero-
+    * group drop rule as PPML (an FE group with y ≡ 0 has no finite
+    * MLE under any α).
+    */
+  def negBinomialFE(
+      df: DataFrame,
+      y: String,
+      xs: Seq[String],
+      fes: Seq[String],
+      tol: Double = 1e-8,
+      maxIter: Int = 40,
+      keep: Seq[String] = Nil,
+      dropSeparated: Boolean = true,
+      collectCellLimit: Long = 2000000L,
+      offset: Option[String] = None,
+      alphaInit: Double = 0.0,
+      estimateAlpha: Boolean = true
+  ): GlmFeModel =
+    fitFE(df, y, xs, fes, NegBin(alphaInit), tol, maxIter, keep, dropSeparated,
+      collectCellLimit, offset, estimateAlpha = estimateAlpha)
+
   /** Gaussian-identity FE "GLM": IRLS degenerates to one weighted
     * within regression (z = y, w = 1) — the algebraic anchor tying the
     * [[fitFE]] loop to [[FixedEffects.fit]] exactly (spec-pinned).
@@ -632,12 +664,15 @@ object Glm {
       keep: Seq[String] = Nil,
       dropSeparated: Boolean = true,
       collectCellLimit: Long = 2000000L,
-      offset: Option[String] = None
+      offset: Option[String] = None,
+      estimateAlpha: Boolean = false
   ): GlmFeModel = {
     require(fes.nonEmpty, "use the no-FE fit when there are no fixed effects")
     require(maxIter >= 1, "FE-GLM needs at least one IRLS iteration")
     require(family.name != "binomial",
       "absorbed-FE logit is statistically distinct (incidental parameters); not offered")
+    require(!estimateAlpha || family.name == "negbin",
+      "estimateAlpha applies only to the NB2 family")
     val yc = col(y).cast("double")
     val off = offset.map(c => col(c).cast("double")).getOrElse(lit(0.0))
     val needed = (fes ++ (y +: xs) ++ offset.toSeq ++ keep).distinct
@@ -664,7 +699,7 @@ object Glm {
       case "gamma" =>
         val ymin = base.agg(min(yc)).head().getDouble(0)
         require(ymin > 0.0, s"Gamma FE-GLM needs y > 0 everywhere (min = $ymin)")
-      case "poisson" =>
+      case "poisson" | "negbin" =>
         () // positivity of the MEAN checked below; zeros are fine
       case _ => ()
     }
@@ -678,8 +713,8 @@ object Glm {
     val ybar = initRow.getDouble(0)
     val nObs = initRow.getLong(1)
     val nCells = initRow.getLong(2)
-    if (family.name == "poisson")
-      require(ybar > 0.0, "PPML needs a strictly positive outcome mean")
+    if (family.name == "poisson" || family.name == "negbin")
+      require(ybar > 0.0, s"${family.name} FE-GLM needs a strictly positive outcome mean")
 
     // η rides as a row-local expression over the checkpointed blocks —
     // no second materialization before the first iteration
@@ -689,21 +724,29 @@ object Glm {
     var iter = 0
     var converged = false
     var fm: FeModel = null
+    // NB2 interleaved dispersion: `fam` tracks the CURRENT α (the other
+    // families never reassign it). The Cameron–Trivedi moment sums ride
+    // the deviance aggregate — evaluated at the freshly recovered η, so
+    // the α update costs zero extra passes — and the joint (β, α)
+    // fixpoint mirrors [[negBinomial]]'s: β solves the NB2-weighted
+    // within equations at α̂, α̂ is the moment estimate at β.
+    var fam: Family = family
+    def alphaOf(f: Family): Double = f match { case NegBin(a) => a; case _ => 0.0 }
     // working-response residual z̃r − x̃'β of a within fit, row-local
     def resid(m: FeModel): Column =
       xs.zip(m.coef).map { case (x, b) => col(s"${x}__dm") * b }
         .foldLeft(col("__zr__dm"))(_ - _)
     while (iter < maxIter && !converged) {
-      val mu = family.mu(col("__eta"))
+      val mu = fam.mu(col("__eta"))
       val work = cur
         .withColumn("__mu", mu)
-        .withColumn("__w", family.weight(col("__mu")))
+        .withColumn("__w", fam.weight(col("__mu")))
         .withColumn(
           "__z",
-          if (family.canonical)
-            col("__eta") + (yc - col("__mu")) / family.weight(col("__mu"))
+          if (fam.canonical)
+            col("__eta") + (yc - col("__mu")) / fam.weight(col("__mu"))
           else
-            col("__eta") + (yc - col("__mu")) / family.dMuDeta(col("__mu")))
+            col("__eta") + (yc - col("__mu")) / fam.dMuDeta(col("__mu")))
         // the regression target is the working response net of the
         // offset: η = Xβ + FE + offset, so z − offset ≈ Xβ + FE
         .withColumn("__zr", col("__z") - off)
@@ -721,13 +764,28 @@ object Glm {
         .withColumn("__eta", col("__z") - resid(fm))
         .select((needed :+ "__eta").map(col): _*)
         .localCheckpoint(false))
-      val devNow = timed(s"iter $iter deviance agg")(next
-        .agg(sum(family.deviance(yc, family.mu(col("__eta"))))).head().getDouble(0))
+      val muNew = fam.mu(col("__eta"))
+      val devAggs =
+        sum(fam.deviance(yc, muNew)) +:
+          (if (estimateAlpha)
+             Seq(sum((yc - muNew) * (yc - muNew) - yc), sum(muNew * muNew))
+           else Nil)
+      val devRow = timed(s"iter $iter deviance agg")(
+        next.agg(devAggs.head, devAggs.tail: _*).head())
+      val devNow = devRow.getDouble(0)
+      val alphaConverged =
+        if (estimateAlpha) {
+          val alphaNew = math.max(devRow.getDouble(1) / devRow.getDouble(2), 0.0)
+          val ok = math.abs(alphaNew - alphaOf(fam)) / (alphaNew + 0.1) < tol
+          fam = NegBin(alphaNew)
+          ok
+        } else true
 
       if (prev != null) prev.unpersist()
       prev = cur
       cur = next
-      converged = math.abs(devNow - dev) / (math.abs(devNow) + 0.1) < tol
+      converged =
+        math.abs(devNow - dev) / (math.abs(devNow) + 0.1) < tol && alphaConverged
       dev = devNow
       iter += 1
     }
@@ -744,9 +802,10 @@ object Glm {
     // move O(tol) per late iteration — the standard IRLS-sandwich
     // convention)
     val frame = fm.demeaned.drop("__mu")
-      .withColumn("__mu", family.mu(col("__z") - resid(fm)))
+      .withColumn("__mu", fam.mu(col("__z") - resid(fm)))
     GlmFeModel(y, xs, fes, fm.coef, nObs, iter, converged, dev, nDropped,
-      fm.ols, frame, family.name)
+      fm.ols, frame, family.name,
+      dispersion = if (family.name == "negbin") Some(alphaOf(fam)) else None)
   }
 
   /** Does ANY group of ANY FE dimension fail the max(y) > 0 keep rule?

@@ -890,7 +890,11 @@ object CoreQueries {
         .withColumn("lp", log(col("l_extendedprice")))
       val m = graft.ml.Glm.negBinomial(li, "l_quantity", Seq("lp", "l_discount"))
       val seR = graft.ml.Glm.seRobust(li, m, "l_quantity")
-      val mp = graft.ml.Glm.poisson(li, "l_quantity", Seq("lp", "l_discount"))
+      // the NB2-vs-Poisson information-SE ratio pin (NB2 must not fall
+      // below Poisson beyond numerical noise on this under-dispersed
+      // outcome) lives in GlmSpec, which already fits both models — a
+      // second full Poisson IRLS here doubled the query's cost for one
+      // telemetry scalar
       scalarRow(
         s,
         Seq(
@@ -898,11 +902,7 @@ object CoreQueries {
           "beta_disc" -> rnd(m.coef(2), 4),
           "alpha" -> rnd(m.dispersion.get, 4),
           "se_info_lp" -> rnd(m.seInformation(1), 4),
-          "se_rob_lp" -> rnd(seR(1), 4),
-          // l_quantity is uniform-ish (Var < mean at fixed x): the NB2
-          // information SE must NOT fall below Poisson's by more than
-          // numerical noise — recorded as a cross-model telemetry ratio
-          "se_ratio_vs_pois" -> rnd(m.seInformation(1) / mp.seInformation(1), 4)
+          "se_rob_lp" -> rnd(seR(1), 4)
         ),
         Seq("n" -> m.n, "iters" -> m.iters.toLong,
           "converged" -> (if (m.converged) 1L else 0L))
@@ -943,6 +943,33 @@ object CoreQueries {
     None
   )
 
+  // ---- C37: NB2-FE absorption (rows-only: joint (β, α) fixpoint with
+  // absorbed FEs; GlmSpec pins dummy parity for 1/2 FEs incl. α and the
+  // robust SE, and fixed-α=0 ≡ poissonFE exactly) -----------------------
+
+  val q94 = Q(
+    "q94_negbin_fe",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .withColumn("lp", log(col("l_extendedprice")))
+      val fe = graft.ml.Glm.negBinomialFE(
+        li, "l_quantity", Seq("lp", "l_discount"),
+        Seq("l_returnflag", "l_linestatus"))
+      scalarRow(
+        s,
+        Seq(
+          "beta_lp" -> rnd(fe.coef(0), 4),
+          "beta_disc" -> rnd(fe.coef(1), 4),
+          "alpha" -> rnd(fe.dispersion.get, 4),
+          "se_rob_lp" -> rnd(fe.seRobust(0), 4)
+        ),
+        Seq("n" -> fe.n, "iters" -> fe.iters.toLong,
+          "converged" -> (if (fe.converged) 1L else 0L))
+      )
+    },
+    None
+  )
+
   /** Round a driver-side double the same way Spark/DuckDB `round` does
     * (HALF_UP on the decimal representation).
     */
@@ -951,5 +978,5 @@ object CoreQueries {
 
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18,
-      q19, q36, q37, q38, q41, q42, q43, q59, q68, q70, q74, q79, q80, q90, q91)
+      q19, q36, q37, q38, q41, q42, q43, q59, q68, q70, q74, q79, q80, q90, q91, q94)
 }

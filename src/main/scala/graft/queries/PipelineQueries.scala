@@ -1673,9 +1673,84 @@ object PipelineQueries {
     )
   )
 
+  // ---- T22b: DSIR corpus-fraction threshold path — the 100 TB shape
+  // (quantile sketch → row-local filter, no corpus-sized heap). The
+  // sketch runs at relErr 1e-6: exact at this scale, so the threshold
+  // is the ascending order statistic at rank ceil((1-f)·n) and the
+  // oracle replays the cut as an order-statistic LIMIT (quantile_cont
+  // would INTERPOLATE between elements — that value can never equal a
+  // `key >= element` cut; the rank form is the exact semantic). Kept
+  // set = every key >= that element: n − ceil((1-f)·n) + 1 rows.
+  // Margins: the cut boundary gap is the adjacent-Gumbel-key gap
+  // (md5-60 derived, ≫ libm noise — probed at sf0.01 alongside the
+  // q92 roundings).
+  val q93 = Q(
+    "q93_dsir_fraction",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val target = graft.text.NgramLm.train(docs.where(col("source") === "src0"), "text", "doc_id")
+      val background = graft.text.NgramLm.train(docs, "text", "doc_id")
+      graft.text.Dsir
+        .selectFraction(
+          docs, "text", "doc_id", target, background, fraction = 0.25, relErr = 1e-6)
+        .select(
+          col("doc_id"), col("n_tokens"),
+          round(col("log_w"), 4).as("log_w"), round(col("key"), 4).as("key"))
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      s"""WITH toks0 AS (
+         |  SELECT doc_id,
+         |    unnest(string_split(text, ' ')) AS token,
+         |    unnest(generate_series(0, len(string_split(text, ' ')) - 1)) AS pos,
+         |    string_split(text, ' ') AS l
+         |  FROM documents),
+         |toks AS (SELECT doc_id, token, pos,
+         |           CASE WHEN pos >= 1 THEN l[pos] END AS prev FROM toks0),
+         |tdocs AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+         |ttoks AS (SELECT t.* FROM toks t JOIN tdocs USING (doc_id)),
+         |uni_b AS (SELECT token, count(*)::BIGINT AS c1 FROM toks GROUP BY token),
+         |bi_b AS (SELECT prev, token, count(*)::BIGINT AS c2 FROM toks
+         |         WHERE prev IS NOT NULL GROUP BY 1, 2),
+         |tot_b AS (SELECT sum(c1)::DOUBLE AS t FROM uni_b),
+         |uni_t AS (SELECT token, count(*)::BIGINT AS c1 FROM ttoks GROUP BY token),
+         |bi_t AS (SELECT prev, token, count(*)::BIGINT AS c2 FROM ttoks
+         |         WHERE prev IS NOT NULL GROUP BY 1, 2),
+         |tot_t AS (SELECT sum(c1)::DOUBLE AS t FROM uni_t),
+         |s AS (
+         |  SELECT tk.doc_id,
+         |    (CASE WHEN tk.pos = 0 THEN ln(COALESCE(ut.c1::DOUBLE, 0.5) / tot_t.t)
+         |          WHEN bt.c2 IS NOT NULL THEN ln(bt.c2::DOUBLE / utp.c1)
+         |          ELSE ln(0.4 * COALESCE(ut.c1::DOUBLE, 0.5) / tot_t.t) END)
+         |  - (CASE WHEN tk.pos = 0 THEN ln(COALESCE(ub.c1::DOUBLE, 0.5) / tot_b.t)
+         |          WHEN bb.c2 IS NOT NULL THEN ln(bb.c2::DOUBLE / ubp.c1)
+         |          ELSE ln(0.4 * COALESCE(ub.c1::DOUBLE, 0.5) / tot_b.t) END) AS lr
+         |  FROM toks tk
+         |  LEFT JOIN uni_t ut ON ut.token = tk.token
+         |  LEFT JOIN uni_t utp ON utp.token = tk.prev
+         |  LEFT JOIN bi_t bt ON bt.prev = tk.prev AND bt.token = tk.token
+         |  LEFT JOIN uni_b ub ON ub.token = tk.token
+         |  LEFT JOIN uni_b ubp ON ubp.token = tk.prev
+         |  LEFT JOIN bi_b bb ON bb.prev = tk.prev AND bb.token = tk.token
+         |  CROSS JOIN tot_t CROSS JOIN tot_b),
+         |w AS (SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(lr) AS log_w
+         |      FROM s GROUP BY doc_id),
+         |keyed AS (SELECT doc_id, n_tokens, log_w,
+         |    log_w - ln(-ln(GREATEST(
+         |      ${graft.functions.SharedHash.md5Long60Sql("'dsir:' || doc_id::VARCHAR")}::DOUBLE
+         |        / 1152921504606846976.0, 1e-18))) AS key
+         |  FROM w)
+         |SELECT doc_id, n_tokens, round(log_w, 4) AS log_w, round(key, 4) AS key
+         |FROM keyed
+         |QUALIFY row_number() OVER (ORDER BY key DESC, doc_id)
+         |  <= (SELECT count(*) - ceil(0.75 * count(*)) + 1 FROM w)
+         |ORDER BY doc_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
-      q86, q87, q88, q89, q92)
+      q86, q87, q88, q89, q92, q93)
 }

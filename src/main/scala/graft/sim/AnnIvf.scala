@@ -293,6 +293,73 @@ object AnnIvf {
     * score within cells. The collected probe-cell set is bounded by
     * #queries × nProbe longs — driver-safe by construction.
     */
+  /** Persist the cell layout's serving state — centroids plus the data
+    * path and build params — as ONE [[graft.sources.IndexCatalog]]
+    * entry. Before this, [[writePartitionedByCell]]'s returned centroid
+    * frame lived only in the building session: a fresh serving session
+    * had to re-run the k-means build (or be handed the centroids out of
+    * band) to probe a layout that was already on disk. The catalog
+    * entry closes that gap with the same open/validate story as IVF-PQ,
+    * OPQ, and the graph index.
+    */
+  def saveCellIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      cents: DataFrame,
+      dataPath: String,
+      numCentroids: Int,
+      lloydIters: Int
+  ): Unit =
+    graft.sources.IndexCatalog.write(
+      spark,
+      indexPath,
+      "ivf-cells",
+      Map(
+        "data_path" -> dataPath,
+        "num_centroids" -> numCentroids.toString,
+        "lloyd_iters" -> lloydIters.toString),
+      Seq("centroids" -> cents))
+
+  /** Open a persisted cell index: (centroids, corpus data path). */
+  def openCellIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String
+  ): (DataFrame, String) = {
+    val meta = graft.sources.IndexCatalog.open(spark, indexPath, "ivf-cells")
+    (graft.sources.IndexCatalog.part(spark, indexPath, "centroids"), meta.prop("data_path"))
+  }
+
+  /** [[writePartitionedByCell]] + [[saveCellIndex]] in one call. */
+  def writePartitionedByCellIndexed(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dataPath: String,
+      indexPath: String,
+      numCentroids: Int = 16,
+      lloydIters: Int = 2
+  ): DataFrame = {
+    val cents =
+      writePartitionedByCell(corpus, idCol, vecCol, dataPath, numCentroids, lloydIters)
+    saveCellIndex(corpus.sparkSession, indexPath, cents, dataPath, numCentroids, lloydIters)
+    cents
+  }
+
+  /** [[topKPartitioned]] served entirely from a persisted cell index —
+    * the fresh-session probe path (no rebuild, no out-of-band state).
+    */
+  def topKIndexed(
+      queries: DataFrame,
+      indexPath: String,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 4
+  ): DataFrame = {
+    val (cents, dataPath) = openCellIndex(queries.sparkSession, indexPath)
+    topKPartitioned(queries, cents, dataPath, idCol, vecCol, k, nProbe)
+  }
+
   def topKPartitioned(
       queries: DataFrame,
       cents: DataFrame,

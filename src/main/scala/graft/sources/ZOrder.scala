@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Z-order (Morton-curve) clustered parquet layout — the multi-column
@@ -54,14 +54,87 @@ object ZOrder {
     * the Morton interleave. Exposed for tests and for callers composing
     * their own rewrite.
     */
-  def zKey(df: DataFrame, cols: Seq[String], bits: Int = 8, relErr: Double = 0.001): Column = {
+  def zKey(df: DataFrame, cols: Seq[String], bits: Int = 8, relErr: Double = 0.001): Column =
+    zKeyOf(cols, fitBoundaries(df, cols, bits, relErr), bits)
+
+  /** The boundary half of [[zKey]]: one `approxQuantile` pass, distinct
+    * ascending boundaries per column. Split out so the boundaries can be
+    * PERSISTED — an append to a z-ordered table must bucket by the SAME
+    * boundaries as the original write, or the interleaved ranks (and so
+    * the row-group clustering the reader's skipping relies on) silently
+    * shift between the old and new files.
+    */
+  def fitBoundaries(
+      df: DataFrame,
+      cols: Seq[String],
+      bits: Int = 8,
+      relErr: Double = 0.001
+  ): Seq[Array[Double]] = {
     require(cols.size >= 2, "z-ordering one column is a plain sort — use sortWithinPartitions")
     require(bits >= 1 && bits * cols.size <= 62, s"z-key would overflow a long")
     val nB = (1 << bits) - 1
     val probs = (1 to nB).map(_.toDouble / (nB + 1)).toArray
-    val bounds = df.stat.approxQuantile(cols.toArray, probs, relErr)
-    val buckets = cols.zip(bounds).map { case (c, b) => bucketOf(col(c), b.distinct.sorted) }
-    morton(buckets, bits)
+    df.stat.approxQuantile(cols.toArray, probs, relErr).map(_.distinct.sorted).toSeq
+  }
+
+  /** The pure-expression half of [[zKey]]: bucket folds + Morton
+    * interleave over GIVEN boundaries (no data pass).
+    */
+  def zKeyOf(cols: Seq[String], bounds: Seq[Array[Double]], bits: Int): Column = {
+    require(cols.size == bounds.size, "one boundary set per column")
+    morton(cols.zip(bounds).map { case (c, b) => bucketOf(col(c), b) }, bits)
+  }
+
+  /** Persist fitted boundaries as an [[IndexCatalog]] entry (kind
+    * `zorder`): props carry the column list and bit width, the
+    * `boundaries` part holds (col, pos, bound) rows. Broadcast-sized by
+    * construction (≤ cols × 2^bits doubles).
+    */
+  def saveBoundaries(
+      spark: SparkSession,
+      indexPath: String,
+      cols: Seq[String],
+      bits: Int,
+      bounds: Seq[Array[Double]]
+  ): Unit = {
+    import spark.implicits._
+    require(!cols.exists(_.contains(",")), "column names must not contain ','")
+    val rows = cols.zip(bounds).flatMap { case (c, b) =>
+      b.zipWithIndex.map { case (v, i) => (c, i, v) }
+    }
+    IndexCatalog.write(
+      spark,
+      indexPath,
+      "zorder",
+      Map("cols" -> cols.mkString(","), "bits" -> bits.toString),
+      Seq("boundaries" -> rows.toDF("col", "pos", "bound")))
+  }
+
+  /** Load a persisted boundary entry: (cols, bits, boundaries). */
+  def loadBoundaries(
+      spark: SparkSession,
+      indexPath: String
+  ): (Seq[String], Int, Seq[Array[Double]]) = {
+    val meta = IndexCatalog.open(spark, indexPath, "zorder")
+    val cols = meta.prop("cols").split(",").toSeq
+    val bits = meta.propInt("bits")
+    val byCol = IndexCatalog
+      .part(spark, indexPath, "boundaries")
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (c, rows) =>
+        c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+      }
+    (cols, bits, cols.map(byCol(_)))
+  }
+
+  /** The z-key expression a persisted entry defines — what an APPEND
+    * writer (or a reader reproducing the clustering) uses instead of
+    * re-sketching quantiles on its own slice of data.
+    */
+  def zKeyIndexed(spark: SparkSession, indexPath: String): Column = {
+    val (cols, bits, bounds) = loadBoundaries(spark, indexPath)
+    zKeyOf(cols, bounds, bits)
   }
 
   /** Rewrite `df` at `path` clustered on the z-curve of `cols`:

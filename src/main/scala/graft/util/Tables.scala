@@ -2,7 +2,7 @@ package graft.util
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Parquet table loader for the driver's test star schema (TESTDATA.md). */
 object Tables {
@@ -11,12 +11,22 @@ object Tables {
 
   /** Spark 4 rejects parquet TIMESTAMP(NANOS) unless it is read as a
     * long; convert that long back to a microsecond TimestampType (the
-    * same truncation DuckDB's epoch functions apply).
+    * same truncation DuckDB's epoch functions apply). A timezone-less
+    * parquet TIMESTAMP (isAdjustedToUTC = false — what the generator
+    * emits since r8) infers as TIMESTAMP_NTZ, which event-time
+    * watermarks reject; cast it to TimestampType — under the UTC
+    * session every wall-clock value is preserved, so batch results and
+    * the DuckDB oracle (which reads the same naive values) are
+    * untouched.
     */
   def normalizeTs(df: DataFrame, tsCol: String = "ts"): DataFrame =
-    if (df.schema.fieldNames.contains(tsCol) && df.schema(tsCol).dataType == LongType)
-      df.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
-    else df
+    if (!df.schema.fieldNames.contains(tsCol)) df
+    else
+      df.schema(tsCol).dataType match {
+        case LongType => df.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+        case TimestampNTZType => df.withColumn(tsCol, col(tsCol).cast("timestamp"))
+        case _ => df
+      }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")

@@ -490,6 +490,72 @@ class GlmSpec extends SparkSpec {
     }
   }
 
+  // overdispersed PANEL: the nbData mixture on top of two FE dimensions
+  private lazy val nbPanel: Seq[(Double, String, String, Double)] = {
+    val rng = new Random(20260813L)
+    val aEff = Map("g0" -> 0.0, "g1" -> 0.6, "g2" -> -0.4, "g3" -> 0.9)
+    val bEff = Map("h0" -> 0.0, "h1" -> -0.5, "h2" -> 0.3)
+    for (i <- 0 until 400) yield {
+      val g = s"g${i % 4}"
+      val h = s"h${(i / 4) % 3}"
+      val x = math.sin(i * 0.37) * 1.5
+      // mixture indicator decorrelated from BOTH FE cycles (an i % 2
+      // pattern is constant within each g group — the FEs would absorb
+      // it and the within-group variance would be exactly Poisson)
+      val v = if (rng.nextBoolean()) 0.4 else 1.6
+      (x, g, h, rpois(v * math.exp(0.4 * x + aEff(g) + bEff(h)), rng))
+    }
+  }
+
+  test("NB2-FE absorption equals NB2 with explicit dummies (1 and 2 FEs: coef, alpha, robust SE)") {
+    val df = nbPanel.toDF("x", "g", "h", "y")
+    val withDummies = df
+      .withColumn("d1", when($"g" === "g1", 1.0).otherwise(0.0))
+      .withColumn("d2", when($"g" === "g2", 1.0).otherwise(0.0))
+      .withColumn("d3", when($"g" === "g3", 1.0).otherwise(0.0))
+      .withColumn("e1", when($"h" === "h1", 1.0).otherwise(0.0))
+      .withColumn("e2", when($"h" === "h2", 1.0).otherwise(0.0))
+    // one FE: coefficient AND the interleaved dispersion agree with the
+    // dummy fit's joint (β, α) fixpoint
+    val full1 = Glm.negBinomial(withDummies, "y", Seq("x", "d1", "d2", "d3"), tol = 1e-12)
+    val fe1 = Glm.negBinomialFE(df, "y", Seq("x"), Seq("g"), tol = 1e-12)
+    assert(fe1.converged && full1.converged)
+    assert(math.abs(fe1.coef(0) - full1.coef(1)) < 1e-6,
+      s"${fe1.coef(0)} vs ${full1.coef(1)}")
+    assert(math.abs(fe1.dispersion.get - full1.dispersion.get) < 1e-6,
+      s"alpha ${fe1.dispersion.get} vs ${full1.dispersion.get}")
+    // two FEs: plus the robust sandwich through the NB2 score
+    // (y−μ)/(1+αμ) on the weighted-demeaned design (weighted FWL)
+    val dums = Seq("x", "d1", "d2", "d3", "e1", "e2")
+    val full2 = Glm.negBinomial(withDummies, "y", dums, tol = 1e-12)
+    val fe2 = Glm.negBinomialFE(df, "y", Seq("x"), Seq("g", "h"), tol = 1e-12)
+    assert(fe2.converged && full2.converged)
+    assert(math.abs(fe2.coef(0) - full2.coef(1)) < 1e-6,
+      s"${fe2.coef(0)} vs ${full2.coef(1)}")
+    assert(math.abs(fe2.dispersion.get - full2.dispersion.get) < 1e-6,
+      s"alpha ${fe2.dispersion.get} vs ${full2.dispersion.get}")
+    // the planted mixture IS overdispersed — α must detect it
+    assert(fe2.dispersion.get > 0.05, fe2.dispersion.get.toString)
+    val vFull = Glm.varianceRobust(withDummies, full2, "y")
+    val seFullX = math.sqrt(vFull(1)(1))
+    assert(math.abs(fe2.seRobust(0) - seFullX) / seFullX < 1e-4,
+      s"${fe2.seRobust(0)} vs $seFullX")
+  }
+
+  test("NB2-FE with fixed alpha = 0 reproduces poissonFE exactly") {
+    val df = nbPanel.toDF("x", "g", "h", "y")
+    val pois = Glm.poissonFE(df, "y", Seq("x"), Seq("g", "h"), tol = 1e-12)
+    // NegBin(0)'s column expressions degrade to Poisson's — same
+    // iteration count, same coefficients to machine precision
+    val fixed = Glm.negBinomialFE(df, "y", Seq("x"), Seq("g", "h"), tol = 1e-12,
+      alphaInit = 0.0, estimateAlpha = false)
+    assert(fixed.converged && fixed.iters == pois.iters)
+    assert(math.abs(fixed.coef(0) - pois.coef(0)) < 1e-12)
+    assert(math.abs(fixed.deviance - pois.deviance) < 1e-9)
+    assert(math.abs(fixed.seRobust(0) - pois.seRobust(0)) < 1e-12)
+    assert(fixed.dispersion == Some(0.0))
+  }
+
   test("NB2 matches the independent dense IRLS with interleaved dispersion (coef, SE, dev, alpha)") {
     val df = nbData.toDF("x", "cl", "y")
     val m = Glm.negBinomial(df, "y", Seq("x"))
@@ -527,6 +593,11 @@ class GlmSpec extends SparkSpec {
     val est = Glm.negBinomial(df, "y", Seq("x"))
     assert(est.converged && est.dispersion.get < 0.1, est.dispersion.get.toString)
     est.coef.zip(pois.coef).foreach { case (a, b) => assert(math.abs(a - b) < 5e-3) }
+    // cross-model SE pin (moved from q90, which now runs ONE fit): the
+    // NB2 information SE can never fall below Poisson's by more than
+    // numerical noise — α ≥ 0 only widens the variance
+    assert(est.seInformation(1) >= pois.seInformation(1) * (1.0 - 1e-6),
+      s"NB2 SE ${est.seInformation(1)} fell below Poisson ${pois.seInformation(1)}")
   }
 
   test("NB2 robust and clustered sandwiches use the (y-mu)/(1+alpha*mu) score") {

@@ -723,6 +723,50 @@ class RegressionSpec extends SparkSpec {
       s"${slopeOf(dist)} vs ${slopeOf(accel)}")
   }
 
+  test("Aitken sweeps: bridged-cluster panel converges inside the pre-CG budget, same fixpoint") {
+    // two dense bipartite FE clusters joined by two bridge observations:
+    // the inter-cluster imbalance is a SINGLE slow AP mode (ρ ≈ 0.98)
+    // well separated from the fast intra-cluster spectrum — exactly the
+    // geometric tail the Irons–Tuck extrapolation sums in closed form.
+    // Plain MAP needs hundreds of sweeps here; the accelerated loop must
+    // finish INSIDE the 10-sweep pre-CG Halperin budget.
+    val rows =
+      (for (u <- 0 until 10; t <- 0 until 10) yield (u, t)) ++
+        (for (u <- 10 until 20; t <- 10 until 20) yield (u, t)) ++
+        Seq((9, 10), (10, 9))
+    val df = rows.zipWithIndex.map { case ((u, t), i) =>
+      val x = math.sin(u * 1.3 + t * 0.7 + i * 0.01) * 2
+      (u, t, x, 2.0 * x + u.toDouble * 0.5 - t.toDouble * 0.3 + math.cos(i * 0.37))
+    }.toDF("u", "t", "x", "y")
+    def slopeOf(d: Demeaned): Double = {
+      val cg = d.cellGram.get
+      val yI = cg.cols.indexOf("y"); val xI = cg.cols.indexOf("x")
+      cg.gram(xI)(yI) / cg.gram(xI)(xI)
+    }
+    val accel = FixedEffects.demeanFull(df, Seq("y", "x"), Seq("u", "t"),
+      maxSweeps = 4000, tol = 1e-11)
+    val plain = FixedEffects.demeanFull(df, Seq("y", "x"), Seq("u", "t"),
+      maxSweeps = 4000, tol = 1e-11, accelerate = false)
+    info(s"Aitken sweeps=${accel.sweeps}, plain sweeps=${plain.sweeps}")
+    assert(accel.sweeps <= 10,
+      s"Aitken must converge inside the 10-sweep pre-CG budget: ${accel.sweeps}")
+    assert(plain.sweeps >= 5 * accel.sweeps,
+      s"plain MAP should crawl on the bridge mode: ${plain.sweeps} vs ${accel.sweeps}")
+    // identical fixpoint at 1e-10
+    assert(math.abs(slopeOf(accel) - slopeOf(plain)) < 1e-10,
+      s"${slopeOf(accel)} vs ${slopeOf(plain)}")
+
+    // distributed regime: same extrapolation from the probe's means
+    // frames — must also beat the CG bail (sweeps < 10 would bail at 10)
+    val dist = FixedEffects.demeanFull(df, Seq("y", "x"), Seq("u", "t"),
+      maxSweeps = 4000, tol = 1e-11, collectCellLimit = 0)
+    info(s"distributed Aitken sweeps=${dist.sweeps}")
+    assert(dist.sweeps <= 10,
+      s"distributed Aitken must converge inside the pre-CG budget: ${dist.sweeps}")
+    assert(math.abs(slopeOf(dist) - slopeOf(plain)) < 1e-10,
+      s"${slopeOf(dist)} vs ${slopeOf(plain)}")
+  }
+
   test("fitWeighted: distributed cell regime matches the driver regime") {
     val rows = for (u <- 0 until 5; t <- 0 until 6) yield {
       val x = math.sin(u * 2.1 + t * 0.9) * 3

@@ -127,6 +127,32 @@ class SimSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [cid"), plan)
   }
 
+  test("IVF cell index persists via the catalog: fresh-open probe parity, wrong kind rejected") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.where($"vec_id" < 5)
+    val dataDir = java.nio.file.Files.createTempDirectory("ivf_cells_data").toString
+    val idxDir = java.nio.file.Files.createTempDirectory("ivf_cells_idx").toString
+    val cents = AnnIvf.writePartitionedByCellIndexed(
+      emb, "vec_id", "embedding", dataDir, idxDir, numCentroids = 8)
+
+    val direct = AnnIvf
+      .topKPartitioned(queries, cents, dataDir, "vec_id", "embedding", k = 5, nProbe = 4)
+      .select("qid", "nid", "cos_sim").as[(Long, Long, Double)].collect().toSet
+    // served purely from the catalog entry — no in-session centroid
+    // state, the fresh-session path
+    val served = AnnIvf
+      .topKIndexed(queries, idxDir, "vec_id", "embedding", k = 5, nProbe = 4)
+      .select("qid", "nid", "cos_sim").as[(Long, Long, Double)].collect().toSet
+    assert(served == direct && served.nonEmpty)
+
+    // a different catalog kind must be rejected on open
+    val other = java.nio.file.Files.createTempDirectory("ivf_wrong").toString
+    graft.sources.IndexCatalog.write(
+      spark, other, "test_kind", Map(), Seq("p" -> Seq(1).toDF("x")))
+    val e = intercept[IllegalArgumentException](AnnIvf.openCellIndex(spark, other))
+    assert(e.getMessage.contains("kind"))
+  }
+
   test("AnnLsh bucket assignment is deterministic") {
     val emb = Tables.embeddings(spark, sf).limit(20)
     val b1 = AnnLsh.bucketize(emb, "vec_id", "embedding", 64).select("vec_id", "table", "bucket")

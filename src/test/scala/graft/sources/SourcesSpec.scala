@@ -188,6 +188,33 @@ class SourcesSpec extends SparkSpec {
     assert(mm.getLong(0) >= 0L && mm.getLong(1) < (1L << 12))
   }
 
+  test("ZOrder boundaries persist via the catalog: appends reuse the exact bucketing") {
+    import spark.implicits._
+    val rows = (0 until 5000).map { i =>
+      (i.toLong, (i * 48271 % 5000).toDouble, (i * 16807 % 5000).toDouble)
+    }
+    val df = rows.toDF("id", "a", "b")
+    val bounds = ZOrder.fitBoundaries(df, Seq("a", "b"), bits = 6)
+    val dir = java.nio.file.Files.createTempDirectory("zorder_idx").toString
+    ZOrder.saveBoundaries(spark, dir, Seq("a", "b"), 6, bounds)
+    val (cols, bits, loaded) = ZOrder.loadBoundaries(spark, dir)
+    assert(cols == Seq("a", "b") && bits == 6)
+    assert(loaded.zip(bounds).forall { case (l, o) => l.sameElements(o) })
+    // the reconstructed key expression matches the in-session one
+    // row-for-row — an append bucketized by the persisted entry lands
+    // in the same z-ranks as the original write
+    val inMem = df.withColumn("__z", ZOrder.zKeyOf(Seq("a", "b"), bounds, 6))
+      .select("id", "__z").as[(Long, Long)].collect().toSet
+    val fromDisk = df.withColumn("__z", ZOrder.zKeyIndexed(spark, dir))
+      .select("id", "__z").as[(Long, Long)].collect().toSet
+    assert(inMem == fromDisk)
+    // wrong-kind entry rejected on open
+    val other = java.nio.file.Files.createTempDirectory("zorder_wrong").toString
+    IndexCatalog.write(spark, other, "test_kind", Map(), Seq("p" -> Seq(1).toDF("x")))
+    val e = intercept[IllegalArgumentException](ZOrder.loadBoundaries(spark, other))
+    assert(e.getMessage.contains("kind"))
+  }
+
   test("IndexCatalog: write/open round-trip, kind validation, incomplete-entry rejection") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("idxcat").toString
