@@ -1748,9 +1748,53 @@ object PipelineQueries {
     )
   )
 
+  // ---- P4b: edit-distance-verified near-dup (FULL oracle: the q21
+  // signature/banding replay + DuckDB levenshtein — the verify filter,
+  // budget floor, and 4dp ratio are replayed exactly; Spark's side runs
+  // the per-row THRESHOLDED DP, whose kept set and distances equal the
+  // full DP's by construction) ------------------------------------------
+  val q95 = Q(
+    "q95_edit_dedup",
+    (s, dir) =>
+      graft.dedup.EditDedup
+        .pairs(
+          Tables.documents(s, dir), "text", "doc_id",
+          maxDistRatio = 0.3,
+          gramHash = graft.functions.SharedHash.md5Long60)
+        .orderBy(col("id_a"), col("id_b")),
+    Some(
+      s"""WITH consts AS (SELECT ${mhCoefs.map(_._1).mkString("[", ",", "]")}::BIGINT[] AS ca,
+         |                       ${mhCoefs.map(_._2).mkString("[", ",", "]")}::BIGINT[] AS cb),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+         |g0 AS (SELECT doc_id, array_to_string(a[i:i+2], ' ') AS g
+         |       FROM toks, UNNEST(generate_series(1, len(a) - 2)) AS u(i) WHERE len(a) >= 3),
+         |gshort AS (SELECT doc_id, text AS g FROM documents WHERE len(string_split(text, ' ')) < 3),
+         |grams AS (SELECT DISTINCT doc_id,
+         |    ${graft.functions.SharedHash.md5Long60Sql("g")} AS sh
+         |  FROM (SELECT * FROM g0 UNION ALL SELECT * FROM gshort)),
+         |hl AS (SELECT doc_id, list(sh % 2147483647) AS hs FROM grams GROUP BY doc_id),
+         |sig AS (SELECT doc_id,
+         |    list_transform(range(64), i ->
+         |      list_min(list_transform(hs, h -> (ca[i + 1] * h + cb[i + 1]) % 2147483647))) AS s
+         |  FROM hl CROSS JOIN consts),
+         |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |  WHERE len(list_filter(range(16), bb ->
+         |    list_slice(a.s, bb * 4 + 1, bb * 4 + 4) = list_slice(b.s, bb * 4 + 1, bb * 4 + 4))) > 0),
+         |v AS (SELECT id_a, id_b, levenshtein(ta.text, tb.text) AS d,
+         |    greatest(length(ta.text), length(tb.text)) AS ml
+         |  FROM cand
+         |  JOIN documents ta ON ta.doc_id = id_a
+         |  JOIN documents tb ON tb.doc_id = id_b)
+         |SELECT id_a, id_b, d::BIGINT AS edit_dist, round(d::DOUBLE / ml, 4) AS edit_ratio
+         |FROM v WHERE d <= floor(0.3 * ml)
+         |ORDER BY id_a, id_b""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
-      q86, q87, q88, q89, q92, q93)
+      q86, q87, q88, q89, q92, q93, q95)
 }

@@ -43,6 +43,61 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => b == 3L || b == 4L || a == 3L || a == 4L })
   }
 
+  test("EditDedup: banded candidates verified by bounded Levenshtein, budget semantics exact") {
+    val base = "the quick brown fox jumps over the lazy dog near the wide river bank " +
+      "while morning light settles across the quiet valley and birds begin to call"
+    val docs = Seq(
+      (0L, base),
+      (1L, base.replace("morning", "evening")),          // tiny edit, shares most shingles
+      (2L, base.take(130) + "entirely rewritten closing words sharing nothing at all"),
+      // ^ long shared head → bands collide; the rewritten tail alone
+      //   exceeds a 10% edit budget
+      (3L, "completely different words about spark clusters and shuffle partitions here")
+    ).toDF("doc_id", "text")
+
+    // driver-side reference Levenshtein (full matrix, unbounded)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j => i.max(j)))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(
+          math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val texts = Map(0L -> base, 1L -> base.replace("morning", "evening"),
+      2L -> (base.take(130) + "entirely rewritten closing words sharing nothing at all"))
+
+    val out = EditDedup.pairs(docs, "text", "doc_id", maxDistRatio = 0.1)
+      .select("id_a", "id_b", "edit_dist", "edit_ratio")
+      .as[(Long, Long, Long, Double)]
+      .collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4))
+      .toMap
+    // the tiny edit passes: distance matches the reference DP exactly
+    assert(out.contains((0L, 1L)), out.toString)
+    val (d01, r01) = out((0L, 1L))
+    assert(d01 == lev(texts(0L), texts(1L)).toLong, s"$d01 vs ${lev(texts(0L), texts(1L))}")
+    val maxLen01 = math.max(texts(0L).length, texts(1L).length).toDouble
+    assert(math.abs(r01 - BigDecimal(d01 / maxLen01)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    // doc 2 IS a banding candidate of doc 0 (shared head shingles) but
+    // fails the edit budget — the thresholded DP must drop it, so its
+    // absence proves the verify stage, not the recall stage
+    val cands = MinHashLsh.candidatePairs(docs, "text", "doc_id").
+      select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cands.contains((0L, 2L)), s"precondition: 0-2 must band-collide, got $cands")
+    assert(lev(texts(0L), texts(2L)) >
+      0.1 * math.max(texts(0L).length, texts(2L).length))
+    assert(!out.contains((0L, 2L)))
+    // unrelated doc never pairs
+    assert(!out.keys.exists { case (a, b) => a == 3L || b == 3L })
+    // a generous budget admits doc 2 with the exact reference distance
+    val wide = EditDedup.pairs(docs, "text", "doc_id", maxDistRatio = 0.9)
+      .select("id_a", "id_b", "edit_dist").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(wide((0L, 2L)) == lev(texts(0L), texts(2L)).toLong)
+  }
+
   test("MinHash signature is deterministic across invocations") {
     val s1 = MinHashLsh.signatures(docs, "text", "doc_id").orderBy("doc_id").collect()
     val s2 = MinHashLsh.signatures(docs, "text", "doc_id").orderBy("doc_id").collect()
