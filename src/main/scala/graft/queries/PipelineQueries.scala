@@ -1792,9 +1792,102 @@ object PipelineQueries {
     )
   )
 
+  // ---- T23: hybrid retrieval via Reciprocal Rank Fusion (FULL oracle:
+  // both systems' rankings replayed — BM25 with q78's exact formula,
+  // tf-idf cosine with q48's — then the fusion arithmetic. Cross-engine
+  // rank stability: BM25 scores are a fixed-order slot fold (exact same
+  // doubles on both engines, q78's guarantee); the cosine is a
+  // shuffle-order float sum, so ranking happens on the 6dp-ROUNDED
+  // cosine in both engines (margins probed); rrf contributions
+  // 1/(60+rank) are exact rationals folded in fixed system order) ------
+  val q96 = Q(
+    "q96_hybrid_rrf",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val qs = docs
+        .filter(col("doc_id") < 8)
+        .select(col("doc_id").as("qid"), split(col("text"), " ").as("__qt"))
+        .select(
+          col("qid"),
+          posexplode(array(
+            try_element_at(col("__qt"), lit(1)),
+            try_element_at(col("__qt"), lit(11)),
+            try_element_at(col("__qt"), lit(21)))).as(Seq("qpos", "term")))
+      val bm = graft.text.Bm25.topK(docs, "text", "doc_id", qs, k = 10)
+        .select(col("qid"), col("doc_id").as("id"), col("rank"))
+      val unit = graft.text.TfIdf.unitVectors(
+        graft.text.TfIdf.vectors(docs, "text", "doc_id"), "doc_id")
+      val qv = unit.where(col("doc_id") < 8)
+        .select(col("doc_id").as("qid"), col("token"), col("w").as("qw"))
+      val cosTop = unit
+        .join(broadcast(qv), Seq("token"))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(round(sum(col("qw") * col("w")), 6).as("cos"))
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopK.agg(col("cos"), col("doc_id"), 10).as("__topk"))
+        .select(col("qid"), posexplode(col("__topk")).as(Seq("__r", "__kv")))
+        .select(col("qid"), (col("__r") + 1).cast("long").as("rank"),
+          col("__kv.payload").as("id"))
+      graft.text.Hybrid.rrf(Seq(bm, cosTop), k = 10)
+        .select(col("qid"), col("rank"), col("id"),
+          round(col("rrf_score"), 6).as("rrf_score"))
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |stats AS (SELECT count(*) AS n, avg(len(ts)) AS avgdl FROM t),
+        |tf AS (SELECT doc_id, u.term, count(*) AS tf, any_value(dl) AS dl
+        |       FROM (SELECT doc_id, ts, len(ts) AS dl FROM t), UNNEST(ts) AS u(term)
+        |       GROUP BY doc_id, u.term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |qt AS (SELECT doc_id AS qid, i AS qpos,
+        |         ts[CASE i WHEN 0 THEN 1 WHEN 1 THEN 11 ELSE 21 END] AS term
+        |       FROM t, UNNEST(range(3)) AS u(i) WHERE doc_id < 8),
+        |ts2 AS (SELECT qt.qid, qt.qpos, tf.doc_id,
+        |    ln(1 + ((SELECT n FROM stats) - df.df + 0.5) / (df.df + 0.5)) *
+        |    (tf.tf * 2.2) /
+        |    (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / (SELECT avgdl FROM stats))) AS s
+        |  FROM qt JOIN tf ON qt.term = tf.term JOIN df ON qt.term = df.term),
+        |bmscored AS (SELECT qid, doc_id,
+        |    coalesce(max(s) FILTER (WHERE qpos = 0), 0) +
+        |    coalesce(max(s) FILTER (WHERE qpos = 1), 0) +
+        |    coalesce(max(s) FILTER (WHERE qpos = 2), 0) AS score
+        |  FROM ts2 GROUP BY qid, doc_id),
+        |bmrank AS (SELECT qid, doc_id AS id, row_number()
+        |    OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rk
+        |  FROM bmscored QUALIFY rk <= 10),
+        |tok AS (SELECT doc_id, unnest(ts) AS token FROM t),
+        |tf2 AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |idf AS (SELECT token, count(*) AS dfreq FROM tf2 GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM (SELECT DISTINCT doc_id FROM tok)),
+        |v AS (SELECT tf2.doc_id, tf2.token,
+        |        tf2.tf * (ln((1.0 + nn.n) / (1.0 + idf.dfreq)) + 1.0) AS w
+        |      FROM tf2 JOIN idf USING (token) CROSS JOIN nn),
+        |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM v GROUP BY 1),
+        |u2 AS (SELECT v.doc_id, token, w / nrm AS w FROM v JOIN nrm USING (doc_id)),
+        |cos AS (SELECT q.doc_id AS qid, d.doc_id AS id, round(sum(q.w * d.w), 6) AS c
+        |        FROM u2 q JOIN u2 d ON q.token = d.token
+        |        WHERE q.doc_id < 8 GROUP BY 1, 2),
+        |cosrank AS (SELECT qid, id, row_number()
+        |    OVER (PARTITION BY qid ORDER BY c DESC, id) AS rk
+        |  FROM cos QUALIFY rk <= 10),
+        |tagged AS (
+        |  SELECT qid, id, rk, 0 AS sys FROM bmrank
+        |  UNION ALL SELECT qid, id, rk, 1 AS sys FROM cosrank),
+        |fused AS (SELECT qid, id,
+        |    coalesce(max(CASE WHEN sys = 0 THEN 1.0 / (60 + rk) END), 0) +
+        |    coalesce(max(CASE WHEN sys = 1 THEN 1.0 / (60 + rk) END), 0) AS rrf
+        |  FROM tagged GROUP BY qid, id)
+        |SELECT qid, row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, id) AS rank,
+        |  id, round(rrf, 6) AS rrf_score
+        |FROM fused QUALIFY rank <= 10
+        |ORDER BY qid, rank""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
-      q86, q87, q88, q89, q92, q93, q95)
+      q86, q87, q88, q89, q92, q93, q95, q96)
 }

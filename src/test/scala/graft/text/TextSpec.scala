@@ -450,6 +450,34 @@ class TextSpec extends SparkSpec {
     assert(ranked.toSeq == Seq((1L, 10L), (2L, 11L), (3L, 12L)))
   }
 
+  test("Hybrid.rrf: hand-computed fusion, missing-doc zero, ties by id, k cut") {
+    // system A: q1 ranks d1, d2, d3; system B: q1 ranks d3, d1
+    val sysA = Seq((1L, 1L, 1L), (1L, 2L, 2L), (1L, 3L, 3L)).toDF("qid", "id", "rank")
+    val sysB = Seq((1L, 3L, 1L), (1L, 1L, 2L)).toDF("qid", "id", "rank")
+    val out = Hybrid.rrf(Seq(sysA, sysB), k = 10)
+      .orderBy("rank")
+      .select("rank", "id", "rrf_score")
+      .as[(Long, Long, Double)]
+      .collect()
+    def r(a: Double, b: Double) = a + b
+    val expect = Map(
+      1L -> r(1.0 / 61, 1.0 / 62), // d1: rank 1 in A, 2 in B
+      2L -> r(1.0 / 62, 0.0),      // d2: only in A
+      3L -> r(1.0 / 63, 1.0 / 61)) // d3: rank 3 in A, 1 in B
+    assert(out.map(_._2).toSeq == Seq(1L, 3L, 2L), out.mkString(","))
+    out.foreach { case (_, id, s) => assert(math.abs(s - expect(id)) < 1e-15, s"$id: $s") }
+    // tie: two docs with symmetric ranks fuse to the SAME score — the
+    // smaller id must win the rank (heap payload order)
+    val tA = Seq((1L, 7L, 1L), (1L, 9L, 2L)).toDF("qid", "id", "rank")
+    val tB = Seq((1L, 9L, 1L), (1L, 7L, 2L)).toDF("qid", "id", "rank")
+    val tied = Hybrid.rrf(Seq(tA, tB), k = 10)
+      .orderBy("rank").select("id").as[Long].collect()
+    assert(tied.toSeq == Seq(7L, 9L))
+    // k cuts the fused list, not the inputs
+    val cut = Hybrid.rrf(Seq(sysA, sysB), k = 2).select("id").as[Long].collect()
+    assert(cut.toSet == Set(1L, 3L))
+  }
+
   test("QualityModel: trained logistic gate separates held-out planted populations") {
     def goodDoc(i: Int): String = {
       val fillers = Seq("morning", "market", "river", "garden", "signal", "window",
