@@ -197,6 +197,87 @@ object DocStream {
         col("pred_lang").isin(allowedLangs: _*))
   }
 
+  /** S17: streaming DSIR importance gate — the online form of
+    * [[graft.text.Dsir]]: each arriving document is scored
+    * log w = Σ_tokens (log p_tgt − log p_bg) against two STATIC
+    * stupid-backoff LMs (train once batch-side, persist via
+    * [[graft.text.NgramLm.saveModel]], load in the serving session) and
+    * kept when log_w ≥ `minLogW` — the threshold a batch
+    * [[graft.text.Dsir.selectFraction]] calibration produces, so the
+    * stream admits "documents the batch selection would have kept" as
+    * the corpus grows.
+    *
+    * Scale shape: the per-token lookups are stream–static broadcast
+    * joins against the vocabulary-sized count frames (LM totals are
+    * driver scalars read once at plan-build); the per-document reduce is
+    * a [[org.apache.spark.sql.streaming.GroupState]]-free
+    * `flatMapGroupsWithState` that aggregates the micro-batch's token
+    * rows per doc and emits immediately — no retained state, no
+    * watermark (a document is one input row, so its tokens never span a
+    * trigger). Output: (idCol, n_tokens, log_w), append-mode safe.
+    *
+    * Per-token probabilities follow [[graft.text.NgramLm.score]]'s
+    * backoff cases exactly; parity with the batch
+    * [[graft.text.Dsir.logWeights]] is pinned by `StreamingSpec`.
+    */
+  def dsirGateStream(
+      stream: DataFrame,
+      textCol: String,
+      idCol: String,
+      target: graft.text.NgramLm.Model,
+      background: graft.text.NgramLm.Model,
+      minLogW: Double,
+      oovCount: Double = 0.5
+  ): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val tTot = target.totalDf.head().getDouble(0)
+    val bTot = background.totalDf.head().getDouble(0)
+
+    val toks = stream
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .select(col(idCol), posexplode(col("__toks")).as(Seq("pos", "token")), col("__toks"))
+      .withColumn("prev", when(col("pos") >= 1, element_at(col("__toks"), col("pos"))))
+      .drop("__toks")
+
+    def joined(base: DataFrame, m: graft.text.NgramLm.Model, tag: String): DataFrame =
+      base
+        .join(broadcast(m.uni.select(col("token"), col("c1").as(s"__c1t_$tag"))),
+          Seq("token"), "left")
+        .join(broadcast(m.uni.select(col("token").as("prev"), col("c1").as(s"__c1p_$tag"))),
+          Seq("prev"), "left")
+        .join(broadcast(m.bi.select(col("prev"), col("token"), col("c2").as(s"__c2_$tag"))),
+          Seq("prev", "token"), "left")
+
+    def logp(m: graft.text.NgramLm.Model, tag: String, total: Double): Column = {
+      val cu = coalesce(col(s"__c1t_$tag").cast("double"), lit(oovCount))
+      when(col("pos") === 0, log(cu / total))
+        .otherwise(
+          when(col(s"__c2_$tag").isNotNull,
+            log(col(s"__c2_$tag").cast("double") / col(s"__c1p_$tag")))
+            .otherwise(log(lit(m.alpha) * cu / total)))
+    }
+
+    val lr = joined(joined(toks, target, "t"), background, "b")
+      .withColumn("__lr", logp(target, "t", tTot) - logp(background, "b", bTot))
+      .select(col(idCol).cast("long").as("__id"), col("__lr"))
+      .as[(Long, Double)]
+
+    lr.groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (Long, Long, Double)](
+        OutputMode.Append,
+        GroupStateTimeout.NoTimeout
+      ) { (id: Long, rows: Iterator[(Long, Double)], _: GroupState[Boolean]) =>
+        var n = 0L
+        var s = 0.0
+        rows.foreach { r => n += 1; s += r._2 }
+        Iterator((id, n, s))
+      }
+      .toDF(idCol, "n_tokens", "log_w")
+      .where(col("log_w") >= minLogW)
+  }
+
   /** Per streamed document: `n_spans` distinct n-token spans and
     * `n_hits` of them appearing anywhere in the static `probe` set —
     * the streaming form of [[graft.dedup.SpanDedup.contamination]]

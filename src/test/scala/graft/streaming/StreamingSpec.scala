@@ -400,6 +400,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming DSIR gate: multi-batch stream admits exactly the batch selection, same scores") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // two vocabularies: even docs target-like, odd docs background-only
+    val docs = (0 until 12).map { i =>
+      if (i % 2 == 0) (i.toLong, s"alpha beta gamma delta alpha beta gamma t$i")
+      else (i.toLong, s"zonk quux blarg wibble zonk quux blarg b$i")
+    }
+    val df = docs.toDF("doc_id", "text")
+    val target = graft.text.NgramLm.train(df.where($"doc_id" % 2 === 0), "text", "doc_id")
+    val background = graft.text.NgramLm.train(df, "text", "doc_id")
+    val batchW = graft.text.Dsir.logWeights(df, "text", "doc_id", target, background)
+      .select("doc_id", "n_tokens", "log_w").as[(Long, Long, Double)].collect()
+    val thr = 0.0 // target-like docs score positive, background-only negative
+    val batchKept = batchW.filter(_._3 >= thr).map(_._1).toSet
+    assert(batchKept.nonEmpty && batchKept.size < docs.size,
+      s"threshold must split the corpus: $batchKept")
+
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val out = DocStream.dsirGateStream(
+      ms.toDF.toDF("doc_id", "text"), "text", "doc_id", target, background, thr)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("dsir_gate_out").start()
+    try {
+      ms.addData(docs.take(5): _*)
+      q.processAllAvailable()
+      ms.addData(docs.drop(5): _*)
+      q.processAllAvailable()
+      val got = spark.table("dsir_gate_out")
+        .select("doc_id", "n_tokens", "log_w").as[(Long, Long, Double)].collect()
+      assert(got.map(_._1).toSet == batchKept, s"${got.map(_._1).toSet} vs $batchKept")
+      // row-for-row score parity with the batch scorer (per-doc sum
+      // order differs, hence the 1e-9 tolerance, not exactness)
+      val bw = batchW.map(r => r._1 -> (r._2, r._3)).toMap
+      got.foreach { case (id, n, w) =>
+        assert(n == bw(id)._1, s"doc $id token count $n vs ${bw(id)._1}")
+        assert(math.abs(w - bw(id)._2) < 1e-9, s"doc $id: $w vs ${bw(id)._2}")
+      }
+    } finally q.stop()
+  }
+
   test("streaming near-dup against a static corpus flags planted copies across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val corpus = Seq(
