@@ -1885,9 +1885,41 @@ object PipelineQueries {
     )
   )
 
+  // ---- P16: semantic decontamination — per-corpus-row max cosine
+  // against a broadcast probe (eval/benchmark) set + hit flag; the
+  // embedding-space complement of span decontamination (q52/q75):
+  // paraphrased test material shares no 8-gram but carries
+  // near-identical embeddings. Threshold 0.35 probed at sf0.01: cut
+  // margin 6.9e-4 and 4dp-rounding margin 1.7e-8 vs ~1e-12 engine
+  // noise; 24 planted hits.
+  val q97 = Q(
+    "q97_semantic_decon",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.sim.Cosine
+        .decontaminate(
+          emb, emb.where(col("vec_id") % 50 === 0), "vec_id", "embedding", threshold = 0.35)
+        .orderBy(col("vec_id"))
+    },
+    Some(
+      """WITH f AS (
+        |  SELECT vec_id, unnest(embedding)::DOUBLE AS v, unnest(range(len(embedding))) AS i
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM f GROUP BY vec_id),
+        |d AS (SELECT c.vec_id AS cid, p.vec_id AS pid, sum(c.v*p.v) AS dot
+        |      FROM f c JOIN f p ON c.i = p.i AND p.vec_id % 50 = 0 AND c.vec_id <> p.vec_id
+        |      GROUP BY 1, 2),
+        |m AS (SELECT cid AS vec_id, max(dot / (nc.nrm * np.nrm)) AS mc
+        |      FROM d JOIN n nc ON nc.vec_id = cid JOIN n np ON np.vec_id = pid
+        |      GROUP BY 1)
+        |SELECT vec_id, round(mc, 4) AS max_probe_cos, (mc >= 0.35)::INT AS hit
+        |FROM m ORDER BY vec_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
-      q86, q87, q88, q89, q92, q93, q95, q96)
+      q86, q87, q88, q89, q92, q93, q95, q96, q97)
 }

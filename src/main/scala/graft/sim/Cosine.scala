@@ -65,4 +65,37 @@ object Cosine {
       .where(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
   }
+
+  /** Semantic decontamination: per CORPUS row, the max cosine against a
+    * (small) PROBE set — eval/benchmark embeddings — and a `hit` flag
+    * at `threshold`. The embedding-space complement of the span-based
+    * [[graft.dedup.SpanDedup.contamination]]: paraphrased or translated
+    * test material carries near-identical embeddings while sharing no
+    * 8-gram, so span decontamination alone misses it.
+    *
+    * Scale shape: the probe set is broadcast (benchmarks are thousands
+    * of rows, the corpus is the 100 TB side) and the corpus is scanned
+    * ONCE — the per-row max is a map-side-combined aggregate over the
+    * probe-joined rows, never a shuffle of the corpus. The corpus-side
+    * norm is hoisted before the join so a row's O(dims) norm is
+    * computed once, not once per probe.
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      probe: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"))
+    val p = probe.select(
+      col(idCol).as("__pid"), col(vecCol).as("__pv"), norm(col(vecCol)).as("__pn"))
+    c.join(broadcast(p), col(idCol) =!= col("__pid"))
+      .groupBy(col(idCol))
+      .agg(max(cosine(col("__cv"), col("__pv"), col("__cn"), col("__pn"))).as("__mc"))
+      .select(
+        col(idCol),
+        round(col("__mc"), 4).as("max_probe_cos"),
+        (col("__mc") >= threshold).cast("int").as("hit"))
+  }
 }

@@ -65,6 +65,31 @@ class SimSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("Cosine.decontaminate: max-vs-probe cosine, hit flag, every corpus row covered") {
+    val corpus = Seq(
+      (0L, vec(1, 0, 0)),       // probe
+      (1L, vec(0.99, 0.1, 0)),  // near probe 0 → hit
+      (2L, vec(0, 1, 0)),       // orthogonal to both probes → clean
+      (3L, vec(0, 0.98, 0.2)),  // near probe... no probe like this → clean
+      (4L, vec(-1, 0.02, 0))    // anti-parallel to probe 0 → clean
+    ).toDF("vec_id", "embedding")
+    val probe = corpus.where($"vec_id" === 0L)
+    val out = Cosine.decontaminate(corpus, probe, "vec_id", "embedding", threshold = 0.9)
+      .select("vec_id", "max_probe_cos", "hit")
+      .as[(Long, Double, Int)]
+      .collect()
+      .map(r => r._1 -> (r._2, r._3))
+      .toMap
+    // every corpus row except the probe itself is scored (self excluded)
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(1L)._2 == 1 && out(1L)._1 > 0.9)
+    assert(out(2L)._2 == 0 && out(3L)._2 == 0 && out(4L)._2 == 0)
+    // hand-check doc 1's cosine: dot(probe, v1)/norms
+    val expect = 0.99 / math.sqrt(0.99 * 0.99 + 0.1 * 0.1)
+    assert(math.abs(out(1L)._1 -
+      BigDecimal(expect).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+  }
+
   test("AnnLsh recall vs brute force on real embeddings is reasonable") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.where($"vec_id" < 5)
