@@ -50,10 +50,11 @@ object EditDedup {
   ): DataFrame = {
     require(maxDistRatio > 0.0 && maxDistRatio < 1.0,
       s"maxDistRatio must be in (0, 1), got $maxDistRatio")
-    val sh = MinHashLsh.shingleHashes(df, textCol, idCol, shingleSize, gramHash)
-    val sig = MinHashLsh.signaturesFromShingles(sh, idCol, numHashes, seed)
-    val b = MinHashLsh.bands(sig, idCol, numBands, numHashes).persist()
-    val cands = MinHashLsh.pairsFromBands(b, idCol)
+    // one source of banding truth: the shared candidate generator owns
+    // the shingle→signature→bands pipeline and its cache lifecycle
+    val cands =
+      MinHashLsh.candidatePairs(df, textCol, idCol, numHashes, shingleSize, numBands, seed,
+        gramHash)
 
     val texts = df.select(col(idCol), col(textCol))
     val verified = cands
@@ -74,10 +75,9 @@ object EditDedup {
         col("id_b"),
         col("__d").cast("long").as("edit_dist"),
         round(col("__d") / greatest(col("__la"), col("__lb")), 4).as("edit_ratio"))
-    // small by construction (verified near-dups): materialize eagerly so
-    // the banded intermediate cache is released before returning
-    val out = verified.localCheckpoint()
-    b.unpersist(false)
-    out
+    // small by construction (verified near-dups); the candidate frame is
+    // already an eagerly-materialized localCheckpoint, so the verify
+    // plan roots in a leaf and the banding caches are long released
+    verified.localCheckpoint()
   }
 }

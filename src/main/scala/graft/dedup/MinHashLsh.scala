@@ -203,9 +203,11 @@ object MinHashLsh {
       numHashes: Int = 64,
       shingleSize: Int = 3,
       numBands: Int = 16,
-      seed: Long = 42L
+      seed: Long = 42L,
+      gramHash: Column => Column = xxhash64(_)
   ): DataFrame = {
-    val sig = signatures(df, textCol, idCol, numHashes, shingleSize, seed)
+    val sh = shingleHashes(df, textCol, idCol, shingleSize, gramHash)
+    val sig = signaturesFromShingles(sh, idCol, numHashes, seed)
     val b = bands(sig, idCol, numBands, numHashes).persist()
     val out = pairsFromBands(b, idCol).localCheckpoint()
     b.unpersist(false)

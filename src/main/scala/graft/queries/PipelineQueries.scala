@@ -1815,8 +1815,12 @@ object PipelineQueries {
             try_element_at(col("__qt"), lit(21)))).as(Seq("qpos", "term")))
       val bm = graft.text.Bm25.topK(docs, "text", "doc_id", qs, k = 10)
         .select(col("qid"), col("doc_id").as("id"), col("rank"))
+      // persist: the unit-vector pipeline (tokenize + tf/idf/norm) feeds
+      // BOTH cosine sides; unpersisted, the query branch would re-run
+      // the corpus-wide aggregations to keep 8 docs (TfIdf.vectors'
+      // caller-materializes contract — the similarityJoin pattern)
       val unit = graft.text.TfIdf.unitVectors(
-        graft.text.TfIdf.vectors(docs, "text", "doc_id"), "doc_id")
+        graft.text.TfIdf.vectors(docs, "text", "doc_id"), "doc_id").persist()
       val qv = unit.where(col("doc_id") < 8)
         .select(col("doc_id").as("qid"), col("token"), col("w").as("qw"))
       val cosTop = unit
@@ -1828,10 +1832,13 @@ object PipelineQueries {
         .select(col("qid"), posexplode(col("__topk")).as(Seq("__r", "__kv")))
         .select(col("qid"), (col("__r") + 1).cast("long").as("rank"),
           col("__kv.payload").as("id"))
-      graft.text.Hybrid.rrf(Seq(bm, cosTop), k = 10)
+      val fused = graft.text.Hybrid.rrf(Seq(bm, cosTop), k = 10)
         .select(col("qid"), col("rank"), col("id"),
           round(col("rrf_score"), 6).as("rrf_score"))
         .orderBy(col("qid"), col("rank"))
+        .localCheckpoint() // #queries × k rows; frees the unit cache now
+      unit.unpersist(false)
+      fused
     },
     Some(
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
@@ -1898,7 +1905,8 @@ object PipelineQueries {
       val emb = Tables.embeddings(s, dir)
       graft.sim.Cosine
         .decontaminate(
-          emb, emb.where(col("vec_id") % 50 === 0), "vec_id", "embedding", threshold = 0.35)
+          emb, emb.where(col("vec_id") % 50 === 0), "vec_id", "embedding", threshold = 0.35,
+          excludeSelfId = true) // probe drawn from the corpus itself
         .orderBy(col("vec_id"))
     },
     Some(

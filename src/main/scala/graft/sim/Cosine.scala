@@ -79,18 +79,24 @@ object Cosine {
     * probe-joined rows, never a shuffle of the corpus. The corpus-side
     * norm is hoisted before the join so a row's O(dims) norm is
     * computed once, not once per probe.
+    *
+    * `excludeSelfId` is for a probe DRAWN FROM the corpus (same id
+    * space): it skips the trivial self-pair. Leave it false for a real
+    * cross-corpus eval set — its ids are unrelated to the corpus's,
+    * and an accidental id collision must NOT suppress a genuine hit.
     */
   def decontaminate(
       corpus: DataFrame,
       probe: DataFrame,
       idCol: String,
       vecCol: String,
-      threshold: Double
+      threshold: Double,
+      excludeSelfId: Boolean = false
   ): DataFrame = {
     val c = corpus.select(col(idCol), col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"))
     val p = probe.select(
       col(idCol).as("__pid"), col(vecCol).as("__pv"), norm(col(vecCol)).as("__pn"))
-    c.join(broadcast(p), col(idCol) =!= col("__pid"))
+    c.join(broadcast(p), if (excludeSelfId) col(idCol) =!= col("__pid") else lit(true))
       .groupBy(col(idCol))
       .agg(max(cosine(col("__cv"), col("__pv"), col("__cn"), col("__pn"))).as("__mc"))
       .select(

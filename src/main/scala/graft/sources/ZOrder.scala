@@ -64,23 +64,30 @@ object ZOrder {
     * the row-group clustering the reader's skipping relies on) silently
     * shift between the old and new files.
     */
+  private def validate(cols: Seq[String], bits: Int): Unit = {
+    require(cols.size >= 2, "z-ordering one column is a plain sort — use sortWithinPartitions")
+    require(bits >= 1 && bits * cols.size <= 62, s"z-key would overflow a long")
+  }
+
   def fitBoundaries(
       df: DataFrame,
       cols: Seq[String],
       bits: Int = 8,
       relErr: Double = 0.001
   ): Seq[Array[Double]] = {
-    require(cols.size >= 2, "z-ordering one column is a plain sort — use sortWithinPartitions")
-    require(bits >= 1 && bits * cols.size <= 62, s"z-key would overflow a long")
+    validate(cols, bits)
     val nB = (1 << bits) - 1
     val probs = (1 to nB).map(_.toDouble / (nB + 1)).toArray
     df.stat.approxQuantile(cols.toArray, probs, relErr).map(_.distinct.sorted).toSeq
   }
 
   /** The pure-expression half of [[zKey]]: bucket folds + Morton
-    * interleave over GIVEN boundaries (no data pass).
+    * interleave over GIVEN boundaries (no data pass). Validates the
+    * same overflow/arity rules as the fitting half — direct callers
+    * (append writers) get the same fail-fast as [[zKey]].
     */
   def zKeyOf(cols: Seq[String], bounds: Seq[Array[Double]], bits: Int): Column = {
+    validate(cols, bits)
     require(cols.size == bounds.size, "one boundary set per column")
     morton(cols.zip(bounds).map { case (c, b) => bucketOf(col(c), b) }, bits)
   }
@@ -98,6 +105,8 @@ object ZOrder {
       bounds: Seq[Array[Double]]
   ): Unit = {
     import spark.implicits._
+    validate(cols, bits)
+    require(cols.size == bounds.size, "one boundary set per column")
     require(!cols.exists(_.contains(",")), "column names must not contain ','")
     val rows = cols.zip(bounds).flatMap { case (c, b) =>
       b.zipWithIndex.map { case (v, i) => (c, i, v) }
@@ -125,7 +134,11 @@ object ZOrder {
       .map { case (c, rows) =>
         c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
       }
-    (cols, bits, cols.map(byCol(_)))
+    // a column whose fit produced no boundaries (all-null/NaN input —
+    // approxQuantile's contract) has no rows in the part; reconstruct
+    // it as the empty set, which buckets every row to 0 exactly like
+    // the in-session zKey did
+    (cols, bits, cols.map(c => byCol.getOrElse(c, Array.empty[Double])))
   }
 
   /** The z-key expression a persisted entry defines — what an APPEND

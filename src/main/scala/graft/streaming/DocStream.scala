@@ -232,6 +232,17 @@ object DocStream {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = stream.sparkSession
     import spark.implicits._
+    // the typed per-doc reduce keys on a long id; a non-integral id
+    // column would either die per-batch under ANSI or (ANSI off) cast
+    // every id to null and collapse the whole corpus into one bogus
+    // group — fail loudly instead (hash/map string ids upstream)
+    require(
+      {
+        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+        Seq(ByteType, ShortType, IntegerType, LongType).contains(stream.schema(idCol).dataType)
+      },
+      s"dsirGateStream needs an integral id column; '$idCol' is " +
+        s"${stream.schema(idCol).dataType.simpleString}")
     val tTot = target.totalDf.head().getDouble(0)
     val bTot = background.totalDf.head().getDouble(0)
 

@@ -74,7 +74,8 @@ class SimSpec extends SparkSpec {
       (4L, vec(-1, 0.02, 0))    // anti-parallel to probe 0 → clean
     ).toDF("vec_id", "embedding")
     val probe = corpus.where($"vec_id" === 0L)
-    val out = Cosine.decontaminate(corpus, probe, "vec_id", "embedding", threshold = 0.9)
+    val out = Cosine.decontaminate(corpus, probe, "vec_id", "embedding", threshold = 0.9,
+        excludeSelfId = true)
       .select("vec_id", "max_probe_cos", "hit")
       .as[(Long, Double, Int)]
       .collect()
@@ -82,6 +83,14 @@ class SimSpec extends SparkSpec {
       .toMap
     // every corpus row except the probe itself is scored (self excluded)
     assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    // cross-corpus default: an id COLLISION with an unrelated probe set
+    // must not suppress a hit — probe row reuses id 1 with doc 1's
+    // vector; doc 1 must still be flagged
+    val foreign = Seq((1L, vec(0.99, 0.1, 0))).toDF("vec_id", "embedding")
+    val cross = Cosine.decontaminate(corpus, foreign, "vec_id", "embedding", threshold = 0.99)
+      .select("vec_id", "hit").as[(Long, Int)].collect().toMap
+    assert(cross(1L) == 1, s"id-colliding probe must still flag doc 1: $cross")
+    assert(cross.keySet == Set(0L, 1L, 2L, 3L, 4L))
     assert(out(1L)._2 == 1 && out(1L)._1 > 0.9)
     assert(out(2L)._2 == 0 && out(3L)._2 == 0 && out(4L)._2 == 0)
     // hand-check doc 1's cosine: dot(probe, v1)/norms
