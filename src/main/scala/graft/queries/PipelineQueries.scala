@@ -1815,12 +1815,14 @@ object PipelineQueries {
             try_element_at(col("__qt"), lit(21)))).as(Seq("qpos", "term")))
       val bm = graft.text.Bm25.topK(docs, "text", "doc_id", qs, k = 10)
         .select(col("qid"), col("doc_id").as("id"), col("rank"))
-      // persist: the unit-vector pipeline (tokenize + tf/idf/norm) feeds
-      // BOTH cosine sides; unpersisted, the query branch would re-run
-      // the corpus-wide aggregations to keep 8 docs (TfIdf.vectors'
-      // caller-materializes contract — the similarityJoin pattern)
+      // deliberately NOT persisted: the doc_id < 8 filter pushes
+      // through the partition-key window, so the query branch only
+      // tokenizes 8 docs — while caching `unit` would materialize the
+      // corpus-sized token-level frame into InMemoryRelation's columnar
+      // encoding (measured: persist + eager result 8.4s vs 4.6s lazy;
+      // the FE-GLM persist-vs-checkpoint lesson in §8f)
       val unit = graft.text.TfIdf.unitVectors(
-        graft.text.TfIdf.vectors(docs, "text", "doc_id"), "doc_id").persist()
+        graft.text.TfIdf.vectors(docs, "text", "doc_id"), "doc_id")
       val qv = unit.where(col("doc_id") < 8)
         .select(col("doc_id").as("qid"), col("token"), col("w").as("qw"))
       val cosTop = unit
@@ -1832,13 +1834,10 @@ object PipelineQueries {
         .select(col("qid"), posexplode(col("__topk")).as(Seq("__r", "__kv")))
         .select(col("qid"), (col("__r") + 1).cast("long").as("rank"),
           col("__kv.payload").as("id"))
-      val fused = graft.text.Hybrid.rrf(Seq(bm, cosTop), k = 10)
+      graft.text.Hybrid.rrf(Seq(bm, cosTop), k = 10)
         .select(col("qid"), col("rank"), col("id"),
           round(col("rrf_score"), 6).as("rrf_score"))
         .orderBy(col("qid"), col("rank"))
-        .localCheckpoint() // #queries × k rows; frees the unit cache now
-      unit.unpersist(false)
-      fused
     },
     Some(
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
