@@ -1,0 +1,114 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.SharedHash
+
+/** Content-defined chunking (CDC) dedup — the FastCDC/LBFS family
+  * (Muthitacharoen et al. 2001) re-expressed relationally: cut each
+  * document where the hash of the `window`-char sliding context, taken
+  * mod `divisor`, hits 0 (expected chunk length ≈ `divisor` chars),
+  * then dedup CHUNKS corpus-wide by hash.
+  *
+  * Why content-defined instead of fixed-stride: a boundary depends only
+  * on the `window` characters ending at it, so an insertion or deletion
+  * near the head of a document shifts every byte offset yet leaves
+  * every boundary — and therefore every chunk hash — beyond the edit
+  * region untouched. Fixed-stride chunking loses ALL alignment after
+  * one inserted character; whole-doc hashing loses everything. This is
+  * the dedup regime between exact ([[Exact]]) and line-level
+  * ([[LineDedup]]): shared boilerplate blocks that don't fall on line
+  * boundaries (templated HTML, licence headers re-wrapped, quoted
+  * mail) dedup at chunk granularity.
+  *
+  * Scale shape (100 TB): boundary detection is an embarrassingly
+  * parallel per-document explode (window hashes never leave their
+  * partition — the groupBy that assembles a document's cut list is
+  * keyed by the document id the rows already carry); the only
+  * corpus-wide movement is the chunk-hash groupBy, which shuffles
+  * (hash, id, len) triples, never chunk text. Cut lists are bounded by
+  * document length, the same per-doc bound every span/chunking operator
+  * here assumes.
+  *
+  * The boundary hash is [[SharedHash.md5Long60]] so a DuckDB oracle
+  * replays boundaries, chunk hashes, and the dup stats verbatim (q99).
+  * A production build would swap in a gear/rolling hash Expression (one
+  * table lookup per char instead of one md5 per window) without
+  * changing any downstream semantics.
+  */
+object CdcChunks {
+
+  /** Chunk every document: (idCol, chunk_idx, chunk_start, chunk_len,
+    * chunk_hash). 1-based chunk_start; chunks are non-empty, contiguous,
+    * and concatenate back to the document exactly. Documents shorter
+    * than `window`+1 chars are a single chunk; empty documents yield no
+    * rows. A window hash at the final position is not a cut (it would
+    * create an empty tail chunk).
+    */
+  def chunks(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      window: Int = 8,
+      divisor: Int = 32
+  ): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(divisor >= 2, s"divisor must be >= 2, got $divisor")
+    val base = docs
+      .select(col(idCol), col(textCol).as("__t"), length(col(textCol)).as("__n"))
+      .where(col("__n") >= 1)
+
+    // candidate cut positions w..n-1 (guard n >= w+1: Spark's sequence()
+    // runs DESCENDING when stop < start)
+    val cuts = base
+      .where(col("__n") >= window + 1)
+      .select(col(idCol), col("__t"), explode(sequence(lit(window), col("__n") - 1)).as("__i"))
+      .where(
+        SharedHash.md5Long60(col("__t").substr(col("__i") - (window - 1), lit(window)))
+          % divisor === 0)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__i"))).as("__cuts"))
+
+    base
+      .join(cuts, Seq(idCol), "left")
+      .withColumn("__cuts", coalesce(col("__cuts"), array().cast("array<int>")))
+      .withColumn("chunk_idx", explode(sequence(lit(0), size(col("__cuts")))))
+      .withColumn(
+        "chunk_start",
+        when(col("chunk_idx") === 0, lit(1))
+          .otherwise(element_at(col("__cuts"), col("chunk_idx")) + 1))
+      .withColumn(
+        "__end",
+        when(col("chunk_idx") === size(col("__cuts")), col("__n"))
+          .otherwise(element_at(col("__cuts"), col("chunk_idx") + 1)))
+      .withColumn("chunk_len", col("__end") - col("chunk_start") + 1)
+      .withColumn(
+        "chunk_hash",
+        SharedHash.md5Long60(col("__t").substr(col("chunk_start"), col("chunk_len"))))
+      .select(
+        col(idCol), col("chunk_idx"), col("chunk_start"), col("chunk_len"), col("chunk_hash"))
+  }
+
+  /** Per-document chunk-dedup stats: (idCol, n_chunks, n_dup_chunks,
+    * dup_chars), where a chunk is "dup" when its hash occurs in at
+    * least one OTHER document (within-doc repeats alone don't count).
+    * dup_chars / length is the document's boilerplate share.
+    */
+  def dedupStats(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      window: Int = 8,
+      divisor: Int = 32
+  ): DataFrame = {
+    val ch = chunks(docs, textCol, idCol, window, divisor)
+    val occ = ch.groupBy(col("chunk_hash")).agg(countDistinct(col(idCol)).as("__nd"))
+    ch.join(occ, Seq("chunk_hash"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("__nd") > 1, col("chunk_len").cast("long")).otherwise(0L)).as("dup_chars"))
+  }
+}

@@ -1924,9 +1924,101 @@ object PipelineQueries {
     )
   )
 
+  // ---- T24: CCNet-style perplexity partitioning (FULL oracle: the
+  // q93 target-LM scoring replay + the exact order-statistic cut rule
+  // — histogram, running count, min(ppl) at ceil(phi*n) — and the
+  // bucket CASE, all replayed verbatim; cut literals are the same
+  // doubles on both engines via Double.toString round-trip) ------------
+  val q98 = Q(
+    "q98_ppl_buckets",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val model = graft.text.NgramLm.train(docs.where(col("source") === "src0"), "text", "doc_id")
+      graft.text.PplBuckets
+        .bucket(docs, "text", "doc_id", model)
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      s"""WITH toks0 AS (
+         |  SELECT doc_id,
+         |    unnest(string_split(text, ' ')) AS token,
+         |    unnest(generate_series(0, len(string_split(text, ' ')) - 1)) AS pos,
+         |    string_split(text, ' ') AS l
+         |  FROM documents),
+         |toks AS (SELECT doc_id, token, pos,
+         |           CASE WHEN pos >= 1 THEN l[pos] END AS prev FROM toks0),
+         |tdocs AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+         |ttoks AS (SELECT t.* FROM toks t JOIN tdocs USING (doc_id)),
+         |uni_t AS (SELECT token, count(*)::BIGINT AS c1 FROM ttoks GROUP BY token),
+         |bi_t AS (SELECT prev, token, count(*)::BIGINT AS c2 FROM ttoks
+         |         WHERE prev IS NOT NULL GROUP BY 1, 2),
+         |tot_t AS (SELECT sum(c1)::DOUBLE AS t FROM uni_t),
+         |sc AS (
+         |  SELECT tk.doc_id,
+         |    CASE WHEN tk.pos = 0 THEN ln(COALESCE(ut.c1::DOUBLE, 0.5) / tot_t.t)
+         |         WHEN bt.c2 IS NOT NULL THEN ln(bt.c2::DOUBLE / utp.c1)
+         |         ELSE ln(0.4 * COALESCE(ut.c1::DOUBLE, 0.5) / tot_t.t) END AS logp
+         |  FROM toks tk
+         |  LEFT JOIN uni_t ut ON ut.token = tk.token
+         |  LEFT JOIN uni_t utp ON utp.token = tk.prev
+         |  LEFT JOIN bi_t bt ON bt.prev = tk.prev AND bt.token = tk.token
+         |  CROSS JOIN tot_t),
+         |w AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         |        round(exp(-avg(logp)), 2) AS ppl
+         |      FROM sc GROUP BY doc_id),
+         |hist AS (SELECT ppl, count(*)::BIGINT AS c FROM w GROUP BY ppl),
+         |cum AS (SELECT ppl, sum(c) OVER (ORDER BY ppl) AS cum FROM hist),
+         |tot AS (SELECT sum(c)::DOUBLE AS n FROM hist),
+         |cuts AS (SELECT
+         |    min(CASE WHEN cum >= ceil(${(1.0 / 3.0).toString} * n) THEN ppl END) AS cut0,
+         |    min(CASE WHEN cum >= ceil(${(2.0 / 3.0).toString} * n) THEN ppl END) AS cut1
+         |  FROM cum CROSS JOIN tot)
+         |SELECT doc_id, n_tokens, ppl,
+         |  CASE WHEN ppl <= cut0 THEN 'head'
+         |       WHEN ppl <= cut1 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM w CROSS JOIN cuts ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  // ---- P17: content-defined chunking dedup (FULL oracle: boundary
+  // hashes, cut lists, chunk segmentation, chunk hashes, and the
+  // cross-doc dup stats all replayed — the shared 60-bit md5 hash makes
+  // the window predicate engine-portable) ------------------------------
+  val q99 = Q(
+    "q99_cdc_dedup",
+    (s, dir) =>
+      graft.dedup.CdcChunks
+        .dedupStats(Tables.documents(s, dir), "text", "doc_id", window = 8, divisor = 32)
+        .orderBy(col("doc_id")),
+    Some(
+      s"""WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents WHERE len(text) >= 1),
+         |pos AS (SELECT doc_id, text, unnest(generate_series(8, n - 1)) AS i
+         |        FROM d WHERE n >= 9),
+         |b AS (SELECT doc_id, i FROM pos
+         |      WHERE ${graft.functions.SharedHash.md5Long60Sql("substr(text, i - 7, 8)")} % 32 = 0),
+         |cuts AS (SELECT doc_id, list_sort(list(i)) AS c FROM b GROUP BY doc_id),
+         |j AS (SELECT d.doc_id, d.text, d.n, COALESCE(cuts.c, []) AS c
+         |      FROM d LEFT JOIN cuts USING (doc_id)),
+         |ch0 AS (SELECT doc_id, text, n, c, unnest(generate_series(0, len(c))) AS jx FROM j),
+         |seg AS (SELECT doc_id, jx,
+         |          CASE WHEN jx = 0 THEN 1 ELSE c[jx] + 1 END AS s,
+         |          CASE WHEN jx = len(c) THEN n ELSE c[jx + 1] END AS e, text FROM ch0),
+         |hx AS (SELECT doc_id, jx, e - s + 1 AS clen,
+         |         ${graft.functions.SharedHash.md5Long60Sql("substr(text, s, e - s + 1)")} AS h
+         |       FROM seg),
+         |occ AS (SELECT h, count(DISTINCT doc_id) AS nd FROM hx GROUP BY h)
+         |SELECT hx.doc_id, count(*)::BIGINT AS n_chunks,
+         |  sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
+         |  sum(CASE WHEN nd > 1 THEN clen ELSE 0 END)::BIGINT AS dup_chars
+         |FROM hx JOIN occ ON occ.h = hx.h
+         |GROUP BY hx.doc_id ORDER BY doc_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
-      q86, q87, q88, q89, q92, q93, q95, q96, q97)
+      q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99)
 }

@@ -397,4 +397,73 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == (("Y", 1L))) // its X is not the keeper
     assert(out(5L) == (("Y", 0L)))
   }
+
+  test("CdcChunks: chunks are contiguous, non-empty, and reassemble each document exactly") {
+    val corpus = graft.util.Tables.documents(spark, sf).limit(50)
+      .select(col("doc_id"), col("text")).cache()
+    val ch = CdcChunks.chunks(corpus, "text", "doc_id", window = 8, divisor = 32)
+      .as[(Long, Int, Int, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val texts = corpus.as[(Long, String)].collect().toMap
+    assert(ch.keySet == texts.keySet.filter(texts(_).nonEmpty))
+    ch.foreach { case (id, parts) =>
+      val t = texts(id)
+      // contiguity: chunk 0 starts at 1, each next starts where the
+      // previous ended, the last ends at len; every chunk non-empty
+      assert(parts.head._3 == 1)
+      parts.foreach(p => assert(p._4 >= 1, s"doc $id empty chunk at idx ${p._2}"))
+      parts.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 == a._3 + a._4)
+        case _           =>
+      }
+      assert(parts.last._3 + parts.last._4 - 1 == t.length)
+      // reassembly + per-chunk hash definition
+      val rebuilt = parts.map(p => t.substring(p._3 - 1, p._3 - 1 + p._4)).mkString
+      assert(rebuilt == t, s"doc $id does not reassemble")
+    }
+    corpus.unpersist()
+  }
+
+  test("CdcChunks: boundaries survive a head insertion (shift invariance) where fixed stride loses all alignment") {
+    val a = graft.util.Tables.documents(spark, sf)
+      .where(length(col("text")) > 200).select("text").as[String].first()
+    val b = "zzzz " + a // 5-char head insertion: every offset shifts
+    val two = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val ch = CdcChunks.chunks(two, "text", "doc_id", window = 8, divisor = 32)
+      .as[(Long, Int, Int, Int, Long)].collect()
+    val hashesA = ch.filter(_._1 == 1L).sortBy(_._2)
+    val hashesB = ch.filter(_._1 == 2L).map(_._5).toSet
+    assert(hashesA.length >= 3, s"text too short to cut: ${hashesA.length} chunks")
+    // every chunk of A after its first boundary reappears verbatim in B:
+    // boundary windows beyond the edit see identical content
+    hashesA.drop(1).foreach(p =>
+      assert(hashesB.contains(p._5), s"chunk idx ${p._2} lost after head insertion"))
+
+    // dedupStats sees the shared tail as dup chars in BOTH docs
+    val stats = CdcChunks.dedupStats(two, "text", "doc_id", window = 8, divisor = 32)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val firstLenA = hashesA.head._4
+    assert(stats(1L)._4 >= a.length - firstLenA,
+      s"dup_chars ${stats(1L)._4} < shared-tail bound ${a.length - firstLenA}")
+    // fixed-stride counterexample: stride-32 block hashes of A vs B
+    // share (near) nothing after the 5-char shift
+    val strideA = a.grouped(32).toSeq.dropRight(1).map(s => s.hashCode).toSet
+    val strideB = b.grouped(32).toSeq.dropRight(1).map(s => s.hashCode).toSet
+    assert(strideA.intersect(strideB).size <= 1, "stride hashing unexpectedly aligned")
+  }
+
+  test("CdcChunks: short and degenerate docs — single chunk below window+1, empty dropped, exact dups fully dup") {
+    val two = Seq((1L, "tiny"), (2L, ""), (3L, "exactly8"), (4L, "same same same body"), (5L, "same same same body"))
+      .toDF("doc_id", "text")
+    val ch = CdcChunks.chunks(two, "text", "doc_id").as[(Long, Int, Int, Int, Long)].collect()
+    assert(!ch.exists(_._1 == 2L), "empty doc must yield no chunks")
+    assert(ch.count(_._1 == 1L) == 1 && ch.find(_._1 == 1L).get._4 == 4)
+    assert(ch.count(_._1 == 3L) == 1, "len == window doc has no cut candidates (needs w+1)")
+    val stats = CdcChunks.dedupStats(two, "text", "doc_id")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // exact dup pair: every chunk shared, dup_chars == full length
+    assert(stats(4L)._2 == stats(4L)._3 && stats(4L)._4 == 19L)
+    assert(stats(5L)._4 == 19L)
+    assert(stats(1L)._3 == 0L && stats(1L)._4 == 0L)
+  }
 }

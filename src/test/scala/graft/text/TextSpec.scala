@@ -594,4 +594,50 @@ class TextSpec extends SparkSpec {
       Vocab.heavyHitters(docs, "text", "lang", pct = 50, capacity = 16)
     }
   }
+
+  test("PplBuckets: exact order-statistic cuts, per-doc bucket parity, trained-domain bias") {
+    val docs = graft.util.Tables.documents(spark, sf).cache()
+    val model = NgramLm.train(docs.where(col("source") === "src0"), "text", "doc_id")
+
+    val got = PplBuckets
+      .bucket(docs, "text", "doc_id", model)
+      .select("doc_id", "ppl", "bucket")
+      .as[(Long, Double, String)].collect()
+
+    // recompute the contract from scratch: sorted ppl, cut_j =
+    // min{v : #(ppl <= v) >= ceil(phi_j * n)} = sorted(ceil(phi_j*n)-1)
+    val scored = NgramLm.score(docs, "text", "doc_id", model)
+      .select("doc_id", "ppl").as[(Long, Double)].collect()
+    val n = scored.length
+    val sortedPpl = scored.map(_._2).sorted
+    def cut(phi: Double): Double = sortedPpl(math.ceil(phi * n).toInt - 1)
+    val (c0, c1) = (cut(1.0 / 3.0), cut(2.0 / 3.0))
+    val expect = scored.map { case (id, p) =>
+      id -> (if (p <= c0) "head" else if (p <= c1) "middle" else "tail")
+    }.toMap
+    assert(got.length == n)
+    got.foreach { case (id, p, b) =>
+      assert(b == expect(id), s"doc $id ppl=$p: got $b, expected ${expect(id)}")
+    }
+    // every bucket non-empty at terciles on this corpus, and bucket
+    // ranges are monotone: max(head) <= min(middle) <= ... by the cuts
+    val byBucket = got.groupBy(_._3)
+    assert(Set("head", "middle", "tail").subsetOf(byBucket.keySet))
+    assert(byBucket("head").map(_._2).max <= byBucket("middle").map(_._2).min)
+    assert(byBucket("middle").map(_._2).max <= byBucket("tail").map(_._2).min)
+
+    // the CCNet point: docs from the LM's training domain skew toward
+    // head (lower perplexity) vs the rest of the corpus
+    val srcOf = docs.select("doc_id", "source").as[(Long, String)].collect().toMap
+    val (inDom, outDom) = got.partition(r => srcOf(r._1) == "src0")
+    val headShare = (rs: Array[(Long, Double, String)]) =>
+      rs.count(_._3 == "head").toDouble / rs.length
+    assert(headShare(inDom) > headShare(outDom),
+      s"src0 head share ${headShare(inDom)} !> other ${headShare(outDom)}")
+
+    assertThrows[IllegalArgumentException] {
+      PplBuckets.bucket(docs, "text", "doc_id", model, labels = Seq("a", "b"))
+    }
+    docs.unpersist(); model.release()
+  }
 }
