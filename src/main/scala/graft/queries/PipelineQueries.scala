@@ -2016,9 +2016,40 @@ object PipelineQueries {
     )
   )
 
+  // ---- P18: filtered ANN — metadata predicate applied INSIDE the IVF
+  // probe (one index serves every filter). Run here in the exact mode
+  // (nProbe = numCentroids: every cell probed), so the DuckDB oracle is
+  // the filtered brute-force top-k; SimSpec pins the approximate-nProbe
+  // recall and the partitioned path's PushedFilters plan shape. --------
+  val q100 = Q(
+    "q100_ann_filtered",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.sim.AnnIvf.topKFiltered(
+        emb.where(col("vec_id") < 10), emb, "vec_id", "embedding",
+        predicate = col("label").isin(1, 3),
+        k = 5, numCentroids = 8, nProbe = 8)
+    },
+    Some(
+      """WITH f AS (
+        |  SELECT vec_id, label, unnest(embedding)::DOUBLE AS v,
+        |         unnest(range(len(embedding))) AS i
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM f GROUP BY vec_id),
+        |d AS (SELECT a.vec_id AS qid, b.vec_id AS nid, sum(a.v*b.v) AS dot
+        |      FROM f a JOIN f b ON a.i = b.i AND a.vec_id < 10 AND b.vec_id <> a.vec_id
+        |        AND b.label IN (1, 3)
+        |      GROUP BY 1, 2),
+        |c AS (SELECT qid, nid, dot/(na.nrm*nb.nrm) AS cos FROM d
+        |      JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = nid),
+        |r AS (SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM c)
+        |SELECT qid, nid, round(cos, 4) AS cos_sim FROM r WHERE rk <= 5""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
-      q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99)
+      q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100)
 }

@@ -261,6 +261,94 @@ object AnnIvf {
       .select(col("qid"), col("nid"), round(col("cos_sim"), 4).as("cos_sim"))
   }
 
+  /** [[topK]] restricted to corpus rows satisfying `predicate` —
+    * filtered ANN. The index (centroids + cell assignment) is built on
+    * the FULL corpus once; the metadata predicate is applied at search
+    * time inside the probed cells, so ONE index serves every predicate
+    * instead of one index per filter value. With nProbe = numCentroids
+    * this is EXACT filtered search (every cell probed — the
+    * oracle-checked mode, q100); at small nProbe the usual IVF
+    * recall/cost trade applies, with the caveat that a highly selective
+    * predicate thins the probed cells and may need a larger nProbe to
+    * fill k (SimSpec pins recall at both settings).
+    */
+  def topKFiltered(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      predicate: Column,
+      k: Int,
+      numCentroids: Int = 16,
+      nProbe: Int = 4,
+      lloydIters: Int = 2
+  ): DataFrame = {
+    val cents = centroids(corpus, idCol, vecCol, numCentroids, lloydIters)
+    val cellOf = assign(corpus, cents, idCol, vecCol)
+    val corpusCells = corpus
+      .where(predicate)
+      .select(col(idCol).as("nid"), col(vecCol).as("nv"))
+      .join(cellOf.withColumnRenamed(idCol, "nid"), Seq("nid"))
+
+    val probes = TopK.perKey(
+      queries
+        .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+        .crossJoin(broadcast(cents))
+        .withColumn("cscore", cosScore(col("qv"), col("centroid"))),
+      Seq("qid"), "cscore", "cid", nProbe, carry = Seq("qv"))
+      .select(col("qid"), col("qv"), col("cid"))
+
+    TopK.perKey(
+      corpusCells
+        .join(broadcast(probes), Seq("cid"))
+        .where(col("qid") =!= col("nid"))
+        .withColumn("cos_sim", cosScore2(col("qv"), col("nv"))),
+      Seq("qid"), "cos_sim", "nid", k)
+      .select(col("qid"), col("nid"), round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
+  /** [[topKPartitioned]] with a search-time metadata predicate. The
+    * predicate rides the partition-pruned scan as a parquet
+    * `PushedFilters` entry (pinned by SimSpec): at 100 TB the probe
+    * reads nProbe cell DIRECTORIES and row-group-skips on the metadata
+    * column inside them — the filter never materializes unfiltered
+    * cells.
+    */
+  def topKPartitionedFiltered(
+      queries: DataFrame,
+      cents: DataFrame,
+      path: String,
+      idCol: String,
+      vecCol: String,
+      predicate: Column,
+      k: Int,
+      nProbe: Int = 4
+  ): DataFrame = {
+    val spark = queries.sparkSession
+    val probes = TopK.perKey(
+      queries
+        .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+        .crossJoin(broadcast(cents))
+        .withColumn("cscore", cosScore(col("qv"), col("centroid"))),
+      Seq("qid"), "cscore", "cid", nProbe, carry = Seq("qv"))
+      .select(col("qid"), col("qv"), col("cid"))
+
+    val probedCells = probes.select("cid").distinct().collect().map(_.getLong(0).toInt)
+    val corpusCells = spark.read
+      .parquet(path)
+      .where(col("cid").isin(probedCells: _*)) // partition-pruned scan
+      .where(predicate) // parquet PushedFilters, not a post-scan filter
+      .select(col(idCol).as("nid"), col(vecCol).as("nv"), col("cid").cast("long").as("cid"))
+
+    TopK.perKey(
+      corpusCells
+        .join(broadcast(probes), Seq("cid"))
+        .where(col("qid") =!= col("nid"))
+        .withColumn("cos_sim", cosScore2(col("qv"), col("nv"))),
+      Seq("qid"), "cos_sim", "nid", k)
+      .select(col("qid"), col("nid"), round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
   private def cosScore2(a: Column, b: Column): Column =
     FloatVec.dot(a, b) / (FloatVec.norm(a) * FloatVec.norm(b))
 

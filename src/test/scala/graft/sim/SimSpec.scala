@@ -128,6 +128,49 @@ class SimSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("AnnIvf filtered search: exact at full probe, decent recall probed, pushed filter on the partitioned scan") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.where($"vec_id" < 5)
+    val pred = $"label".isin(1, 3)
+
+    // exact mode (every cell probed) ≡ brute force over the filtered corpus
+    val exact = Cosine
+      .topK(queries, emb.where(pred), "vec_id", "embedding", k = 5)
+      .select("qid", "nid", "cos_sim").as[(Long, Long, Double)].collect().toSet
+    val full = AnnIvf
+      .topKFiltered(queries, emb, "vec_id", "embedding", pred,
+        k = 5, numCentroids = 8, nProbe = 8)
+      .select("qid", "nid", "cos_sim").as[(Long, Long, Double)].collect().toSet
+    assert(full == exact, "full-probe filtered search must equal filtered brute force")
+
+    // approximate mode: selective predicates thin the cells, so probe
+    // generously; recall floor vs the filtered ground truth
+    val approx = AnnIvf
+      .topKFiltered(queries, emb, "vec_id", "embedding", pred,
+        k = 5, numCentroids = 8, nProbe = 6)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val truth = exact.map(r => (r._1, r._2))
+    val recall = truth.intersect(approx).size.toDouble / truth.size
+    assert(recall >= 0.5, s"filtered recall $recall too low")
+
+    // partitioned path: parity with the in-memory probe at the same
+    // params, cid partition-pruned AND the label predicate pushed to
+    // the parquet scan (row-group skipping at scale, not a post-scan
+    // filter on materialized cells)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_cells_filt").toString
+    val cents = AnnIvf.writePartitionedByCell(emb, "vec_id", "embedding", dir, numCentroids = 8)
+    val part = AnnIvf.topKPartitionedFiltered(
+      queries, cents, dir, "vec_id", "embedding", pred, k = 5, nProbe = 8)
+    val got = part.select("qid", "nid", "cos_sim").as[(Long, Long, Double)].collect().toSet
+    assert(got == exact)
+    val plan = part.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cid"), plan)
+    val scanLine = plan.linesIterator.find(_.contains("PushedFilters: [In(label")
+      ).orElse(plan.linesIterator.find(_.contains("PushedFilters")))
+    assert(scanLine.exists(_.contains("label")),
+      s"label predicate not pushed to the scan:\n$plan")
+  }
+
   test("AnnIvf assigns every corpus vector to exactly one cell") {
     val emb = Tables.embeddings(spark, sf)
     val cents = AnnIvf.centroids(emb, "vec_id", "embedding", k = 8)
