@@ -90,6 +90,53 @@ object CdcChunks {
         col(idCol), col("chunk_idx"), col("chunk_start"), col("chunk_len"), col("chunk_hash"))
   }
 
+  /** Sub-document dedup: drop every repeated chunk except its FIRST
+    * occurrence corpus-wide (lowest (id, chunk_idx) owning the hash —
+    * within-doc repeats collapse too) and rebuild each document from
+    * its surviving chunks. The chunk-granular complement of
+    * [[Survivors]]' whole-doc keep-best: templated boilerplate is cut
+    * out of every later document while their unique content survives.
+    *
+    * Scale shape: chunk TEXT never shuffles — the keeper election and
+    * keep-flag join move only (hash, id, idx, offset) tuples; the
+    * surviving offsets aggregate to one bounded array per document and
+    * join back to the original text, where `clean_text` is rebuilt
+    * ROW-LOCALLY by slicing the document at the kept offsets.
+    */
+  def removeDupChunks(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      window: Int = 8,
+      divisor: Int = 32
+  ): DataFrame = {
+    val ch = chunks(docs, textCol, idCol, window, divisor)
+    val keeper = ch
+      .groupBy(col("chunk_hash"))
+      .agg(min(struct(col(idCol), col("chunk_idx"))).as("__k"))
+    val kept = ch
+      .join(keeper, Seq("chunk_hash"))
+      .where(struct(col(idCol), col("chunk_idx")) === col("__k"))
+      .groupBy(col(idCol))
+      .agg(
+        sort_array(collect_list(struct(
+          col("chunk_idx").as("i"), col("chunk_start").as("s"), col("chunk_len").as("l"))))
+          .as("__kept"),
+        count(lit(1)).as("n_kept"),
+        sum(col("chunk_len").cast("long")).as("__kc"))
+    docs
+      .select(col(idCol), col(textCol).as("__t"), length(col(textCol)).as("__n"))
+      .where(col("__n") >= 1)
+      .join(kept, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(
+          array_join(transform(col("__kept"), o => col("__t").substr(o("s"), o("l"))), ""),
+          lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n").cast("long") - coalesce(col("__kc"), lit(0L))).as("removed_chars"))
+  }
+
   /** Per-document chunk-dedup stats: (idCol, n_chunks, n_dup_chunks,
     * dup_chars), where a chunk is "dup" when its hash occurs in at
     * least one OTHER document (within-doc repeats alone don't count).

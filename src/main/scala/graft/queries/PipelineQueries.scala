@@ -2047,9 +2047,48 @@ object PipelineQueries {
     )
   )
 
+  // ---- P17b: CDC boilerplate removal — q99's chunking composed with a
+  // first-occurrence keeper election and row-local text rebuild. FULL
+  // oracle: the whole chain INCLUDING the reconstructed clean_text
+  // string is replayed (string_agg over kept chunks in chunk order). --
+  val q101 = Q(
+    "q101_cdc_clean",
+    (s, dir) =>
+      graft.dedup.CdcChunks
+        .removeDupChunks(Tables.documents(s, dir), "text", "doc_id", window = 8, divisor = 32)
+        .orderBy(col("doc_id")),
+    Some(
+      s"""WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents WHERE len(text) >= 1),
+         |pos AS (SELECT doc_id, text, unnest(generate_series(8, n - 1)) AS i
+         |        FROM d WHERE n >= 9),
+         |b AS (SELECT doc_id, i FROM pos
+         |      WHERE ${graft.functions.SharedHash.md5Long60Sql("substr(text, i - 7, 8)")} % 32 = 0),
+         |cuts AS (SELECT doc_id, list_sort(list(i)) AS c FROM b GROUP BY doc_id),
+         |j AS (SELECT d.doc_id, d.text, d.n, COALESCE(cuts.c, []) AS c
+         |      FROM d LEFT JOIN cuts USING (doc_id)),
+         |ch0 AS (SELECT doc_id, text, n, c, unnest(generate_series(0, len(c))) AS jx FROM j),
+         |seg AS (SELECT doc_id, jx,
+         |          CASE WHEN jx = 0 THEN 1 ELSE c[jx] + 1 END AS s,
+         |          CASE WHEN jx = len(c) THEN n ELSE c[jx + 1] END AS e, text FROM ch0),
+         |hx AS (SELECT doc_id, jx, e - s + 1 AS clen, substr(text, s, e - s + 1) AS ctext,
+         |         ${graft.functions.SharedHash.md5Long60Sql("substr(text, s, e - s + 1)")} AS h
+         |       FROM seg),
+         |k AS (SELECT doc_id, jx, clen, ctext,
+         |        row_number() OVER (PARTITION BY h ORDER BY doc_id, jx) AS rk FROM hx),
+         |kept AS (SELECT doc_id, jx, clen, ctext FROM k WHERE rk = 1),
+         |agg AS (SELECT doc_id, string_agg(ctext, '' ORDER BY jx) AS clean_text,
+         |          count(*)::BIGINT AS n_kept, sum(clen) AS kc
+         |        FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(agg.clean_text, '') AS clean_text,
+         |  COALESCE(agg.n_kept, 0)::BIGINT AS n_kept,
+         |  (d.n - COALESCE(agg.kc, 0))::BIGINT AS removed_chars
+         |FROM d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
-      q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100)
+      q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101)
 }

@@ -452,6 +452,37 @@ class DedupSpec extends SparkSpec {
     assert(strideA.intersect(strideB).size <= 1, "stride hashing unexpectedly aligned")
   }
 
+  test("CdcChunks.removeDupChunks: first occurrence survives, later copies cut, unique docs untouched") {
+    val a = graft.util.Tables.documents(spark, sf)
+      .where(length(col("text")) > 200).select("text").as[String].first()
+    val corpus = Seq(
+      (1L, a),            // keeper: first occurrence of every chunk
+      (2L, "qq " + a),    // shifted copy: shared-tail chunks must vanish
+      (3L, "completely unrelated content with no shared window anywhere here")
+    ).toDF("doc_id", "text")
+    val got = CdcChunks.removeDupChunks(corpus, "text", "doc_id")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+
+    // doc 1 keeps everything (it owns the lowest (id, idx) per hash)
+    assert(got(1L)._2 == a && got(1L)._4 == 0L)
+    // doc 3 shares nothing → untouched
+    assert(got(3L)._4 == 0L && got(3L)._2.nonEmpty)
+    // doc 2 loses its shared tail: cleaned text is a strict prefix-ish
+    // shrink, and what survives is exactly its first (edited) chunk(s)
+    val ch2 = CdcChunks.chunks(corpus, "text", "doc_id")
+      .where(col("doc_id") === 2L).as[(Long, Int, Int, Int, Long)].collect().sortBy(_._2)
+    val ch1Hashes = CdcChunks.chunks(corpus, "text", "doc_id")
+      .where(col("doc_id") === 1L).as[(Long, Int, Int, Int, Long)].collect().map(_._5).toSet
+    val expectKept = ch2.filter(c => !ch1Hashes.contains(c._5))
+    val t2 = "qq " + a
+    val expectText = expectKept.map(c => t2.substring(c._3 - 1, c._3 - 1 + c._4)).mkString
+    assert(got(2L)._2 == expectText, "doc 2 cleaned text must be its non-shared chunks in order")
+    assert(got(2L)._4 > a.length / 2, s"expected most of doc 2 removed, got ${got(2L)._4}")
+    // totals: removed chars + kept chars == original length per doc
+    got.values.foreach(r => assert(r._2.length + r._4 == corpus
+      .where(col("doc_id") === r._1).select(length(col("text"))).as[Int].first()))
+  }
+
   test("CdcChunks: short and degenerate docs — single chunk below window+1, empty dropped, exact dups fully dup") {
     val two = Seq((1L, "tiny"), (2L, ""), (3L, "exactly8"), (4L, "same same same body"), (5L, "same same same body"))
       .toDF("doc_id", "text")
