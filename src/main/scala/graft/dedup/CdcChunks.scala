@@ -90,6 +90,20 @@ object CdcChunks {
         col(idCol), col("chunk_idx"), col("chunk_start"), col("chunk_len"), col("chunk_hash"))
   }
 
+  /** The distinct chunk-hash index of a static corpus — the serve-side
+    * state for [[graft.streaming.DocStream.cdcGateStream]]. One column
+    * `chunk_hash`; corpus-sized, so it stream-static JOINS (never
+    * broadcasts).
+    */
+  def hashIndex(
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      window: Int = 8,
+      divisor: Int = 32
+  ): DataFrame =
+    chunks(corpus, textCol, idCol, window, divisor).select(col("chunk_hash")).distinct()
+
   /** Sub-document dedup: drop every repeated chunk except its FIRST
     * occurrence corpus-wide (lowest (id, chunk_idx) owning the hash —
     * within-doc repeats collapse too) and rebuild each document from

@@ -289,6 +289,93 @@ object DocStream {
       .where(col("log_w") >= minLogW)
   }
 
+  /** Streaming CDC boilerplate gate (S18): chunk each streamed document
+    * with the SAME content-defined boundary rule as
+    * [[graft.dedup.CdcChunks]] — row-local HOFs reproduce identical cut
+    * positions, chunk offsets, and 60-bit chunk hashes (pinned by
+    * `StreamingSpec` against the batch chunker) — then stream-static
+    * join the chunk hashes against a static corpus
+    * [[graft.dedup.CdcChunks.hashIndex]] (corpus-sized: joined, never
+    * broadcast) and reassemble the per-document dup share with a
+    * state-free `flatMapGroupsWithState` (a document's chunk rows ride
+    * one micro-batch, so no state crosses batches — the S17 pattern).
+    * Emits (idCol, n_chunks, dup_chunks, dup_chars, n_chars, dup_share)
+    * for documents whose share of corpus-known chars stays BELOW
+    * `maxDupShare`; mostly-boilerplate documents are gated out. Empty
+    * documents are dropped (the batch chunker yields no rows for them).
+    */
+  def cdcGateStream(
+      stream: DataFrame,
+      corpusIndex: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxDupShare: Double = 0.5,
+      window: Int = 8,
+      divisor: Int = 32
+  ): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    require(
+      {
+        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+        Seq(ByteType, ShortType, IntegerType, LongType).contains(stream.schema(idCol).dataType)
+      },
+      s"cdcGateStream needs an integral id column; '$idCol' is " +
+        s"${stream.schema(idCol).dataType.simpleString}")
+    val n = length(col(textCol))
+    val w = window
+    val hash60 = graft.functions.SharedHash.md5Long60 _
+    // cut candidates w..n-1, guarded: Spark's sequence() runs DESCENDING
+    // when stop < start (same guard as the batch chunker)
+    val cutsArr = when(
+      n >= w + 1,
+      filter(
+        sequence(lit(w), n - 1),
+        i => hash60(col(textCol).substr(i - (w - 1), lit(w))) % divisor === 0))
+      .otherwise(array().cast("array<int>"))
+    val bounds = transform(
+      sequence(lit(0), size(col("__cuts"))),
+      j =>
+        struct(
+          when(j === 0, 1).otherwise(element_at(col("__cuts"), j) + 1).as("s"),
+          when(j === size(col("__cuts")), n).otherwise(element_at(col("__cuts"), j + 1)).as("e")))
+    val chunkArr = transform(
+      bounds,
+      b =>
+        struct(
+          (b("e") - b("s") + 1).as("len"),
+          hash60(col(textCol).substr(b("s"), b("e") - b("s") + 1)).as("hash")))
+
+    val chunkRows = stream
+      .where(n >= 1)
+      .withColumn("__cuts", cutsArr)
+      .select(col(idCol), posexplode(chunkArr).as(Seq("__ci", "__ck")))
+      .select(col(idCol).cast("long").as("__id"),
+        col("__ck.len").as("__len"), col("__ck.hash").as("__h"))
+      .join(
+        corpusIndex.select(col("chunk_hash").as("__h"), lit(1).as("__hit")), Seq("__h"), "left")
+      .select(col("__id"), col("__len"), col("__hit").isNotNull.as("__dup"))
+      .as[(Long, Int, Boolean)]
+
+    chunkRows
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (Long, Long, Long, Long, Long)](
+        OutputMode.Append,
+        GroupStateTimeout.NoTimeout
+      ) { (id: Long, rows: Iterator[(Long, Int, Boolean)], _: GroupState[Boolean]) =>
+        var nc = 0L; var dc = 0L; var chars = 0L; var dchars = 0L
+        rows.foreach { r =>
+          nc += 1; chars += r._2
+          if (r._3) { dc += 1; dchars += r._2 }
+        }
+        Iterator((id, nc, dc, dchars, chars))
+      }
+      .toDF(idCol, "n_chunks", "dup_chunks", "dup_chars", "n_chars")
+      .withColumn("dup_share", round(col("dup_chars").cast("double") / col("n_chars"), 4))
+      .where(col("dup_share") < maxDupShare)
+  }
+
   /** Per streamed document: `n_spans` distinct n-token spans and
     * `n_hits` of them appearing anywhere in the static `probe` set —
     * the streaming form of [[graft.dedup.SpanDedup.contamination]]

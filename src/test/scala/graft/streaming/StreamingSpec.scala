@@ -563,4 +563,59 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("streaming CDC gate: corpus-known boilerplate gated out across batches, exact parity with the batch chunker") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, length}
+    val base = Tables.documents(spark, sf)
+      .where(length(col("text")) > 200).select("text").as[String].take(2)
+    val corpus = Seq((100L, base(0)), (101L, base(1))).toDF("doc_id", "text")
+    val index = graft.dedup.CdcChunks.hashIndex(corpus, "text", "doc_id").persist()
+    val unrelated = (1 to 40).map(i => s"tok${i}q").mkString(" ")
+
+    val streamDocs = Seq(
+      (1L, "zz " + base(0)), // shifted copy: shared tail → gated
+      (2L, unrelated), //       nothing known → kept
+      (3L, base(1))) //         exact copy: share 1.0 → gated
+
+    // ground truth from the BATCH chunker + the same index
+    val known = index.as[Long].collect().toSet
+    val exp = graft.dedup.CdcChunks
+      .chunks(streamDocs.toDF("doc_id", "text"), "text", "doc_id")
+      .as[(Long, Int, Int, Int, Long)].collect()
+      .groupBy(_._1).map { case (id, rs) =>
+        val dup = rs.filter(r => known.contains(r._5))
+        val chars = rs.map(_._4).sum
+        val share = math.round(dup.map(_._4).sum * 10000.0 / chars) / 10000.0
+        id -> (rs.length.toLong, dup.length.toLong, dup.map(_._4).sum.toLong,
+          chars.toLong, share)
+      }
+    assert(exp(3L)._5 == 1.0, "exact copy must be fully corpus-known")
+    assert(exp(2L)._3 == 0L, "unrelated doc must share nothing")
+    val expKept = exp.filter(_._2._5 < 0.5).keySet
+
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val out = DocStream.cdcGateStream(
+      ms.toDF.toDF("doc_id", "text"), index, "text", "doc_id", maxDupShare = 0.5)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("cdc_gate_out").start()
+    try {
+      ms.addData(streamDocs.take(2): _*)
+      q.processAllAvailable()
+      ms.addData(streamDocs.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("cdc_gate_out")
+        .select("doc_id", "n_chunks", "dup_chunks", "dup_chars", "n_chars", "dup_share")
+        .as[(Long, Long, Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> r).toMap
+      assert(got.keySet == expKept, s"${got.keySet} vs $expKept")
+      got.foreach { case (id, r) =>
+        val e = exp(id)
+        assert((r._2, r._3, r._4, r._5) == ((e._1, e._2, e._3, e._4)),
+          s"doc $id stats $r vs $e")
+        assert(math.abs(r._6 - e._5) < 1e-9, s"doc $id share ${r._6} vs ${e._5}")
+      }
+    } finally { q.stop(); index.unpersist() }
+  }
 }
