@@ -104,6 +104,46 @@ object CdcChunks {
   ): DataFrame =
     chunks(corpus, textCol, idCol, window, divisor).select(col("chunk_hash")).distinct()
 
+  /** Persist a chunk-hash index — chunk the 100 TB corpus once, gate
+    * any stream from any session. The hash set is CORPUS-sized, so it
+    * is written as an ordinary distributed parquet dataset under `path`
+    * and REFERENCED from a meta-only [[graft.sources.IndexCatalog]]
+    * entry (the NgramLm/graph pattern — catalog parts proper are
+    * reserved for driver-bounded state); `window`/`divisor` ride in
+    * props because a serving session MUST chunk with the parameters the
+    * index was built under or every lookup silently misses.
+    */
+  def saveIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      index: DataFrame,
+      path: String,
+      window: Int,
+      divisor: Int
+  ): Unit = {
+    index.write.mode("overwrite").parquet(s"$path/hashes")
+    graft.sources.IndexCatalog.write(
+      spark, path, "cdc_hash_index",
+      Map(
+        "window" -> window.toString,
+        "divisor" -> divisor.toString,
+        "hashes" -> "hashes"),
+      Seq.empty)
+  }
+
+  /** Open a persisted chunk-hash index: (hash frame, window, divisor).
+    * Serving code must chunk with the RETURNED params, not its own.
+    */
+  def loadIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String
+  ): (DataFrame, Int, Int) = {
+    val meta = graft.sources.IndexCatalog.open(spark, path, "cdc_hash_index")
+    (
+      spark.read.parquet(s"$path/${meta.prop("hashes")}"),
+      meta.prop("window").toInt,
+      meta.prop("divisor").toInt)
+  }
+
   /** Sub-document dedup: drop every repeated chunk except its FIRST
     * occurrence corpus-wide (lowest (id, chunk_idx) owning the hash —
     * within-doc repeats collapse too) and rebuild each document from

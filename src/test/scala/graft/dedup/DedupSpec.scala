@@ -483,6 +483,24 @@ class DedupSpec extends SparkSpec {
       .where(col("doc_id") === r._1).select(length(col("text"))).as[Int].first()))
   }
 
+  test("CdcChunks index persists via the catalog: fresh-open parity, params travel, wrong kind rejected") {
+    val corpus = graft.util.Tables.documents(spark, sf).limit(20)
+      .select(col("doc_id"), col("text"))
+    val idx = CdcChunks.hashIndex(corpus, "text", "doc_id", window = 8, divisor = 16)
+    val dir = java.nio.file.Files.createTempDirectory("cdc_idx").toString
+    CdcChunks.saveIndex(spark, idx, dir, window = 8, divisor = 16)
+
+    val (loaded, w, d) = CdcChunks.loadIndex(spark, dir)
+    // the build params travel with the index — a serving session must
+    // chunk with THESE, not its own defaults
+    assert((w, d) == ((8, 16)))
+    assert(loaded.as[Long].collect().toSet == idx.as[Long].collect().toSet)
+
+    intercept[IllegalArgumentException] {
+      graft.sources.IndexCatalog.open(spark, dir, "ivf-cells")
+    }
+  }
+
   test("CdcChunks: short and degenerate docs — single chunk below window+1, empty dropped, exact dups fully dup") {
     val two = Seq((1L, "tiny"), (2L, ""), (3L, "exactly8"), (4L, "same same same body"), (5L, "same same same body"))
       .toDF("doc_id", "text")
