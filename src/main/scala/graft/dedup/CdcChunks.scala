@@ -202,8 +202,47 @@ object CdcChunks {
       idCol: String,
       window: Int = 8,
       divisor: Int = 32
-  ): DataFrame = {
-    val ch = chunks(docs, textCol, idCol, window, divisor)
+  ): DataFrame =
+    statsOf(chunks(docs, textCol, idCol, window, divisor), idCol)
+
+  /** [[chunks]] via the [[graft.functions.GearChunks]] kernel — same
+    * output shape (BYTE offsets, 0-based start; FNV fingerprints), one
+    * table lookup per byte instead of one md5 per window position, plus
+    * the min/max chunk bounds the relational form cannot express. The
+    * 100 TB path; the md5 form stays the cross-engine-oracle pin.
+    */
+  def chunksGear(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      minLen: Int = 16,
+      maxLen: Int = 256,
+      maskBits: Int = 5
+  ): DataFrame =
+    docs
+      .select(
+        col(idCol),
+        posexplode(
+          graft.functions.GearChunks.gearChunks(col(textCol), minLen, maxLen, maskBits))
+          .as(Seq("chunk_idx", "__c")))
+      .select(
+        col(idCol), col("chunk_idx"), col("__c.start").as("chunk_start"),
+        col("__c.len").as("chunk_len"), col("__c.hash").as("chunk_hash"))
+
+  /** [[dedupStats]] over the gear kernel (rows+spec: FNV/gear are not
+    * SQL-replayable; the md5 twin q99 pins the stats semantics).
+    */
+  def dedupStatsGear(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      minLen: Int = 16,
+      maxLen: Int = 256,
+      maskBits: Int = 5
+  ): DataFrame =
+    statsOf(chunksGear(docs, textCol, idCol, minLen, maxLen, maskBits), idCol)
+
+  private def statsOf(ch: DataFrame, idCol: String): DataFrame = {
     val occ = ch.groupBy(col("chunk_hash")).agg(countDistinct(col(idCol)).as("__nd"))
     ch.join(occ, Seq("chunk_hash"))
       .groupBy(col(idCol))

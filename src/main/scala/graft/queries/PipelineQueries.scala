@@ -2086,9 +2086,23 @@ object PipelineQueries {
     )
   )
 
+  // ---- P17c: gear-kernel CDC dedup (rows+spec: the FNV/gear hashes are
+  // not SQL-replayable — q99's md5 twin pins the stats semantics, the
+  // GearChunks spec pins the kernel: coverage, bounds, resync,
+  // codegen/eval parity) -----------------------------------------------
+  val q102 = Q(
+    "q102_cdc_gear",
+    (s, dir) =>
+      graft.dedup.CdcChunks
+        .dedupStatsGear(
+          Tables.documents(s, dir), "text", "doc_id", minLen = 16, maxLen = 256, maskBits = 5)
+        .orderBy(col("doc_id")),
+    None
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
-      q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101)
+      q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102)
 }

@@ -483,6 +483,62 @@ class DedupSpec extends SparkSpec {
       .where(col("doc_id") === r._1).select(length(col("text"))).as[Int].first()))
   }
 
+  test("GearChunks kernel: exact coverage, min/max bounds, edit resynchronization, codegen path parity") {
+    // deterministic pseudo-random text long enough for ~80 chunks
+    def synth(seed: Long, n: Int): String = {
+      val sb = new StringBuilder; var z = seed
+      while (sb.length < n) {
+        z = z * 6364136223846793005L + 1442695040888963407L
+        sb.append((' ' + ((z >>> 33) % 90)).toChar)
+      }
+      sb.toString
+    }
+    val a = synth(7L, 4000)
+    val b = "zzz " + a
+    val docs = Seq((1L, a), (2L, b), (3L, ""), (4L, "x")).toDF("doc_id", "text")
+    val ch = CdcChunks.chunksGear(docs, "text", "doc_id", minLen = 16, maxLen = 128, maskBits = 5)
+      .as[(Long, Int, Int, Int, Long)].collect()
+    val byDoc = ch.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+
+    // empty doc yields nothing; 1-byte doc is one forced final chunk
+    assert(!byDoc.contains(3L))
+    assert(byDoc(4L).map(c => (c._3, c._4)).toSeq == Seq((0, 1)))
+
+    // coverage + bounds on the long docs (byte == char here: ASCII)
+    Seq(1L -> a, 2L -> b).foreach { case (id, t) =>
+      val parts = byDoc(id)
+      assert(parts.head._3 == 0)
+      parts.sliding(2).foreach {
+        case Array(x, y) => assert(y._3 == x._3 + x._4)
+        case _           =>
+      }
+      assert(parts.map(_._4).sum == t.length)
+      parts.dropRight(1).foreach(p => assert(p._4 >= 16 && p._4 <= 128))
+      assert(parts.last._4 <= 128)
+      assert(parts.length >= 20, s"doc $id only ${parts.length} chunks")
+    }
+
+    // self-synchronization: after the 4-byte head insertion the chunk
+    // streams re-coalesce; most of A's chunks reappear verbatim in B
+    val hashesB = byDoc(2L).map(_._5).toSet
+    val shared = byDoc(1L).count(c => hashesB.contains(c._5))
+    assert(shared >= byDoc(1L).length / 2,
+      s"only $shared/${byDoc(1L).length} chunks survived the head edit")
+
+    // the Dataset path (codegen) agrees with a direct kernel call
+    val direct = graft.functions.GearChunks
+      .compute(org.apache.spark.unsafe.types.UTF8String.fromString(a), 16, 128, 5)
+    assert(direct.numElements() == byDoc(1L).length)
+    byDoc(1L).zipWithIndex.foreach { case (c, i) =>
+      val r = direct.getStruct(i, 3)
+      assert((r.getInt(0), r.getInt(1), r.getLong(2)) == ((c._3, c._4, c._5)))
+    }
+
+    assertThrows[IllegalArgumentException] {
+      graft.functions.GearChunks(null, 0, 10, 5)
+    }
+  }
+
   test("CdcChunks index persists via the catalog: fresh-open parity, params travel, wrong kind rejected") {
     val corpus = graft.util.Tables.documents(spark, sf).limit(20)
       .select(col("doc_id"), col("text"))
