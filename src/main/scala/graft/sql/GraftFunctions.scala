@@ -31,6 +31,9 @@ import graft.functions._
   *                                     tokens sketch (T17/S15 core)
   *   vec_outer(v)                      AGGREGATE: [n, Σv, upper(Σvvᵀ)]
   *                                     second-moment buffer (PCA/OPQ fit)
+  *   cdc_gear(text, minLen, maxLen, maskBits)
+  *                                     gear rolling-hash CDC chunks:
+  *                                     array<struct<start,len,hash>>
   */
 object GraftFunctions {
 
@@ -77,6 +80,12 @@ object GraftFunctions {
       // AGGREGATE: [n, Σv, upper(Σvvᵀ)] second-moment buffer of an
       // array<float> column (the PCA/covariance substrate)
       VecOuterAgg(args(0)).toAggregateExpression(isDistinct = false)
+    },
+    "cdc_gear" -> { args =>
+      // gear rolling-hash CDC: array<struct<start,len,hash>> chunks
+      GearChunks(
+        args(0), intArg(args(1), "minLen"), intArg(args(2), "maxLen"),
+        intArg(args(3), "maskBits"))
     }
   )
 

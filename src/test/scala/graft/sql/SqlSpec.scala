@@ -25,6 +25,19 @@ class SqlSpec extends SparkSpec {
     assert(r.getSeq[Double](2).zip(Seq(0.6, 0.8)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
   }
 
+  test("cdc_gear from SQL equals the DataFrame kernel") {
+    val t = "the quick brown fox jumps over the lazy dog " * 8
+    val sqlRows = spark
+      .sql(s"SELECT inline(cdc_gear('$t', 16, 128, 5))")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    val direct = graft.functions.GearChunks
+      .compute(org.apache.spark.unsafe.types.UTF8String.fromString(t), 16, 128, 5)
+    val expect = (0 until direct.numElements()).map { i =>
+      val s = direct.getStruct(i, 3); (s.getInt(0), s.getInt(1), s.getLong(2))
+    }
+    assert(sqlRows == expect && sqlRows.nonEmpty)
+  }
+
   test("sorted_intersect_size from SQL") {
     val n = spark.sql(
       "SELECT sorted_intersect_size(array(1L, 2L, 3L, 9L), array(2L, 3L, 5L)) AS n")
