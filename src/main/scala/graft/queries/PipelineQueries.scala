@@ -2100,9 +2100,80 @@ object PipelineQueries {
     None
   )
 
+  // ---- Z10: corpus snapshot diff (FULL oracle: the derived "next
+  // crawl" snapshot, the full-outer status CASE, and the CDC chunk
+  // replay of BOTH versions of every edited doc — retained_chars is
+  // the (id, hash) semi-join sum, replayed verbatim) --------------------
+  val q103 = Q(
+    "q103_corpus_diff",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      // deterministic "next crawl": every 17th id dropped, every 13th
+      // surviving id re-headered (edit most chunks survive), every 11th
+      // re-published under a fresh id
+      val next = docs
+        .where(col("doc_id") % 17 =!= 0)
+        .withColumn(
+          "text",
+          when(col("doc_id") % 13 === 0, concat(lit("NEWHEADER "), col("text")))
+            .otherwise(col("text")))
+        .unionByName(
+          docs
+            .where(col("doc_id") % 11 === 0)
+            .select(
+              (col("doc_id") + 1000000L).as("doc_id"),
+              concat(lit("added "), col("text")).as("text")))
+      graft.ops.CorpusDiff
+        .diff(docs, next, "text", "doc_id", window = 8, divisor = 32)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      def chunkChain(p: String, src: String, txt: String) =
+        s"""${p}d AS (SELECT doc_id, $txt AS text, len($txt) AS n FROM $src WHERE len($txt) >= 1),
+           |${p}pos AS (SELECT doc_id, text, unnest(generate_series(8, n - 1)) AS i
+           |            FROM ${p}d WHERE n >= 9),
+           |${p}b AS (SELECT doc_id, i FROM ${p}pos
+           |      WHERE ${graft.functions.SharedHash.md5Long60Sql("substr(text, i - 7, 8)")} % 32 = 0),
+           |${p}cuts AS (SELECT doc_id, list_sort(list(i)) AS c FROM ${p}b GROUP BY doc_id),
+           |${p}j AS (SELECT ${p}d.doc_id, ${p}d.text, ${p}d.n, COALESCE(${p}cuts.c, []) AS c
+           |      FROM ${p}d LEFT JOIN ${p}cuts USING (doc_id)),
+           |${p}ch AS (SELECT doc_id, text, n, c, unnest(generate_series(0, len(c))) AS jx FROM ${p}j),
+           |${p}seg AS (SELECT doc_id, jx,
+           |          CASE WHEN jx = 0 THEN 1 ELSE c[jx] + 1 END AS s,
+           |          CASE WHEN jx = len(c) THEN n ELSE c[jx + 1] END AS e, text FROM ${p}ch),
+           |${p}hx AS (SELECT doc_id, e - s + 1 AS clen,
+           |         ${graft.functions.SharedHash.md5Long60Sql("substr(text, s, e - s + 1)")} AS h
+           |       FROM ${p}seg)""".stripMargin
+      s"""WITH olds AS (SELECT doc_id, text FROM documents),
+         |nw AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 13 = 0 THEN 'NEWHEADER ' || text ELSE text END AS text
+         |  FROM documents WHERE doc_id % 17 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, 'added ' || text FROM documents WHERE doc_id % 11 = 0),
+         |fj AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, o.text AS ot, n.text AS nt
+         |      FROM olds o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id),
+         |st AS (SELECT doc_id, ot, nt,
+         |        CASE WHEN ot IS NULL THEN 'added' WHEN nt IS NULL THEN 'removed'
+         |             WHEN ot = nt THEN 'unchanged' ELSE 'edited' END AS status FROM fj),
+         |ed AS (SELECT doc_id, ot, nt FROM st WHERE status = 'edited'),
+         |${chunkChain("n", "ed", "nt")},
+         |${chunkChain("o", "ed", "ot")},
+         |ohset AS (SELECT DISTINCT doc_id, h FROM ohx),
+         |ret AS (SELECT nhx.doc_id, sum(nhx.clen)::BIGINT AS ret
+         |        FROM nhx JOIN ohset ON ohset.doc_id = nhx.doc_id AND ohset.h = nhx.h
+         |        GROUP BY 1)
+         |SELECT st.doc_id, status, len(ot)::BIGINT AS old_chars, len(nt)::BIGINT AS new_chars,
+         |  (CASE WHEN status = 'unchanged' THEN len(nt)
+         |        WHEN status = 'edited' THEN COALESCE(ret.ret, 0)
+         |        WHEN status = 'added' THEN 0 END)::BIGINT AS retained_chars
+         |FROM st LEFT JOIN ret USING (doc_id) ORDER BY st.doc_id""".stripMargin
+    }
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
-      q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102)
+      q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103)
 }

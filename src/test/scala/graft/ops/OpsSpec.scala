@@ -465,4 +465,52 @@ class OpsSpec extends SparkSpec {
       .as[(Long, String, Long, Long)].collect().toSet
     assert(got13 == got)
   }
+
+  test("CorpusDiff: statuses, chunk-level retained chars, and the rollup arithmetic") {
+    import org.apache.spark.sql.functions.{col, length}
+    val a = graft.util.Tables.documents(spark, sf)
+      .where(length(col("text")) > 200).select("text").as[String].take(2)
+    val oldSnap = Seq((1L, a(0)), (2L, a(1)), (3L, "short stable row here")).toDF("doc_id", "text")
+    val newSnap = Seq(
+      (2L, a(1)), //                  unchanged
+      (3L, "short stable row here"), // unchanged
+      (4L, "a brand new page"), //    added
+      (5L, "HDR " + a(0))) //         id 5 is added; id 1 removed
+      .toDF("doc_id", "text")
+    val got = graft.ops.CorpusDiff.diff(oldSnap, newSnap, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(got(1L)._1 == "removed" && got(1L)._3 == -1L && got(1L)._4 == -1L)
+    assert(got(2L) == (("unchanged", a(1).length.toLong, a(1).length.toLong, a(1).length.toLong)))
+    assert(got(3L)._1 == "unchanged")
+    assert(got(4L) == (("added", -1L, 16L, 0L)))
+    assert(got(5L)._1 == "added" && got(5L)._4 == 0L)
+
+    // an EDIT of doc 1 under the same id: retained = exactly the new
+    // version's chunks whose hash exists in the old version (CDC makes
+    // a head edit cheap — most chunks survive)
+    val edited = Seq((1L, "HDR " + a(0))).toDF("doc_id", "text")
+    val d2 = graft.ops.CorpusDiff.diff(oldSnap, edited
+      .unionByName(Seq((2L, a(1)), (3L, "short stable row here")).toDF("doc_id", "text")),
+      "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(4))).toMap
+    assert(d2(1L)._1 == "edited")
+    val oldH = graft.dedup.CdcChunks.chunks(oldSnap.where(col("doc_id") === 1L), "text", "doc_id")
+      .as[(Long, Int, Int, Int, Long)].collect().map(_._5).toSet
+    val expRet = graft.dedup.CdcChunks.chunks(edited, "text", "doc_id")
+      .as[(Long, Int, Int, Int, Long)].collect()
+      .filter(c => oldH.contains(c._5)).map(_._4.toLong).sum
+    assert(d2(1L)._2 == expRet && expRet > a(0).length / 2,
+      s"retained ${d2(1L)._2} vs $expRet (doc len ${a(0).length})")
+
+    // rollup: per-status doc counts and churn arithmetic
+    val sum1 = graft.ops.CorpusDiff
+      .summary(graft.ops.CorpusDiff.diff(oldSnap, newSnap, "text", "doc_id"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(sum1("unchanged") == ((2L, 0L)))
+    assert(sum1("removed")._1 == 1L)
+    assert(sum1("added") == ((2L, 16L + ("HDR " + a(0)).length)))
+  }
 }
