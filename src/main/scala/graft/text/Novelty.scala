@@ -1,0 +1,62 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** N-gram novelty / information-density scoring — SURVEY.md §2 T27.
+  *
+  * For each document: what fraction of its distinct token n-grams occur
+  * NOWHERE else in the corpus (document frequency 1), and the mean
+  * inverse document frequency of its n-grams. Low novelty ⇒ the
+  * document is assembled from corpus-common material (boilerplate,
+  * templates, near-copies below the dedup thresholds); high novelty ⇒
+  * unique content worth keeping under a token budget. This is the
+  * document-level aggregate of the same df signal TF-IDF (T7) uses per
+  * term, and a cheap complement to perplexity-based selection (T24):
+  * no model to train, one corpus statistic.
+  *
+  * Scale shape: one row-local shingling pass (distinct within document),
+  * one hash-aggregate for corpus df, one join of the doc-gram frame
+  * against the df frame (both keyed on the gram hash — at 100 TB this
+  * is the exact shuffle TF-IDF already pays), one groupBy(doc). No
+  * all-pairs stage, nothing driver-side.
+  */
+object Novelty {
+
+  /** Per-document novelty stats over distinct `n`-token shingles.
+    * Documents shorter than `n` tokens contribute their whole text as
+    * a single gram (q21's convention). Output: id, n_grams, n_novel,
+    * novel_frac, info_density = round(avg(1/df), 4).
+    */
+  def score(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val grams = df
+      .select(
+        col(idCol),
+        explode(
+          array_distinct(
+            when(
+              size(toks) >= n,
+              transform(
+                sequence(lit(0), size(toks) - n),
+                i => concat_ws(" ", slice(toks, i + 1, lit(n)))
+              )
+            ).otherwise(array(col(textCol)))
+          )
+        ).as("gram")
+      )
+    val dfreq = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+    grams
+      .join(dfreq, "gram")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"),
+        round(avg(lit(1.0) / col("df")), 4).as("info_density")
+      )
+      .withColumn(
+        "novel_frac",
+        round(col("n_novel").cast("double") / col("n_grams"), 4)
+      )
+  }
+}
