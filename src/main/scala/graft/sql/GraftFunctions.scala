@@ -23,6 +23,13 @@ import graft.functions._
   *   pq_encode(v, codebook, dsub)      m-byte PQ code (binary)
   *   pq_lut(q, codebook, dsub)         per-query ADC lookup table
   *   pq_adc(code, lut)                 ADC score (m adds)
+  *   count_min(h, width, depth, seed)  AGGREGATE: Count-Min sketch over
+  *                                     60-bit token hashes (same affine
+  *                                     rows as minhash_sig)
+  *   cms_query(cms, h, width, depth, seed)  point-frequency estimate
+  *   sq8_encode(v, bounds)             d-byte SQ8 code (binary)
+  *   sq8_decode(code, bounds)          reconstruction (array<float>)
+  *   sq8_adc_dot(q, code, bounds)      fused asymmetric dot (double)
   *   minhash_sig(h, numHashes, seed)   AGGREGATE: minhash signature over
   *                                     grouped 60-bit hash values, same
   *                                     seeded permutations as
@@ -59,6 +66,17 @@ object GraftFunctions {
     "pq_encode" -> { args => PqOps.PqEncode(args(0), args(1), intArg(args(2), "dsub")) },
     "pq_lut" -> { args => PqOps.PqLut(args(0), args(1), intArg(args(2), "dsub")) },
     "pq_adc" -> { args => PqOps.PqAdc(args(0), args(1)) },
+    "count_min" -> { args =>
+      CountMinAgg(args(0), intArg(args(1), "width"), intArg(args(2), "depth"),
+        longArg(args(3), "seed"))
+    },
+    "cms_query" -> { args =>
+      new CmsQuery(args(0), args(1), intArg(args(2), "width"), intArg(args(3), "depth"),
+        longArg(args(4), "seed"))
+    },
+    "sq8_encode" -> { args => Sq8Ops.Sq8Encode(args(0), args(1)) },
+    "sq8_decode" -> { args => Sq8Ops.Sq8Decode(args(0), args(1)) },
+    "sq8_adc_dot" -> { args => Sq8Ops.Sq8AdcDot(args(0), args(1), args(2)) },
     "minhash_sig" -> { args =>
       val numHashes = intArg(args(1), "numHashes")
       val seed = longArg(args(2), "seed")

@@ -984,4 +984,104 @@ class SimSpec extends SparkSpec {
       assert(math.abs(va - 1.0) < 1e-3)
     }
   }
+
+  test("AnnSq8: decode error bounded by scale/2; boundary values exact; fused adc ≡ decode-then-dot") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val b = AnnSq8.fit(emb, "embedding")
+    assert(b.scales.forall(_ >= 0f))
+    val lit = typedLit(b.flat)
+    val checked = emb
+      .select(
+        col("embedding"),
+        graft.functions.Sq8Ops.decode(
+          graft.functions.Sq8Ops.encode(col("embedding"), lit), lit).as("rec"),
+        graft.functions.Sq8Ops.adcDot(
+          col("embedding"),
+          graft.functions.Sq8Ops.encode(col("embedding"), lit), lit).as("adc"))
+      .collect()
+    checked.foreach { r =>
+      val x = r.getSeq[Float](0)
+      val rec = r.getSeq[Float](1)
+      // per-dim reconstruction error ≤ scale/2 (+ float eps)
+      x.indices.foreach { i =>
+        val tol = b.scales(i) / 2f + 1e-4f
+        assert(math.abs(x(i) - rec(i)) <= tol, s"dim $i: ${x(i)} vs ${rec(i)} tol $tol")
+      }
+      // the fused adc loop is EXACTLY dot(x, rec) — same float rounding
+      val dot = x.indices.foldLeft(0.0)((s, i) => s + x(i).toDouble * rec(i).toDouble)
+      assert(math.abs(r.getDouble(2) - dot) < 1e-12)
+    }
+    // min and max of every dimension land exactly on codes 0 and 255
+    val minMax = emb
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("dim").agg(min("x").as("lo"), max("x").as("hi"))
+      .collect().map(r => r.getInt(0) -> (r.getFloat(1), r.getFloat(2))).toMap
+    minMax.foreach { case (d, (lo, hi)) =>
+      assert(math.abs(lo - b.mins(d)) == 0f)
+      assert(math.abs((b.mins(d) + 255f * b.scales(d)) - hi) <= b.scales(d) * 1e-3f + 1e-6f)
+    }
+  }
+
+  test("AnnSq8 recall vs brute force: near-exact without re-rank, exact-set with re-rank") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.where($"vec_id" < 5)
+    val exact = Cosine
+      .topK(queries, emb, "vec_id", "embedding", k = 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    // 8-bit per-dim quantization is near-lossless: demand a HIGH floor
+    // even with no re-rank (PQ's floor is 0.5; SQ8 must beat it)
+    val noRerank = AnnSq8
+      .topK(queries, emb, "vec_id", "embedding", k = 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall0 = exact.intersect(noRerank).size.toDouble / exact.size
+    assert(recall0 >= 0.8, s"no-rerank recall $recall0 too low for 8-bit")
+    val reranked = AnnSq8
+      .topK(queries, emb, "vec_id", "embedding", k = 5, rerank = 25)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall1 = exact.intersect(reranked).size.toDouble / exact.size
+    assert(recall1 >= 0.95, s"reranked recall $recall1")
+  }
+
+  test("AnnSq8 save/load index: bounds round-trip exactly; loaded-index search identical; wrong kind rejected") {
+    val emb = Tables.embeddings(spark, sf)
+    val b = AnnSq8.fit(emb, "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sq8").toString
+    AnnSq8.saveIndex(spark, b, dir)
+    val b2 = AnnSq8.loadIndex(spark, dir)
+    assert(b2.dims == b.dims)
+    assert(b2.mins.sameElements(b.mins) && b2.scales.sameElements(b.scales))
+    val queries = emb.where($"vec_id" < 3)
+    val a = AnnSq8.topKWith(queries, emb, "vec_id", "embedding", b, k = 4, rerank = 10)
+      .collect().map(_.toSeq).toSet
+    val c = AnnSq8.topKWith(queries, emb, "vec_id", "embedding", b2, k = 4, rerank = 10)
+      .collect().map(_.toSeq).toSet
+    assert(a == c)
+    intercept[IllegalArgumentException](graft.sim.Opq.loadIndex(spark, dir))
+  }
+
+  test("sq8 SQL surface ≡ DataFrame expressions bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    graft.sql.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sf).limit(50)
+    val b = AnnSq8.fit(emb, "embedding")
+    val lit = typedLit(b.flat)
+    emb.createOrReplaceTempView("sq8_emb")
+    val boundsSql = b.flat.map(f => s"cast('$f' as float)").mkString("array(", ",", ")")
+    val viaSql = spark.sql(
+      s"""SELECT vec_id,
+         |  sq8_adc_dot(embedding, sq8_encode(embedding, $boundsSql), $boundsSql) AS adc,
+         |  sq8_decode(sq8_encode(embedding, $boundsSql), $boundsSql) AS rec
+         |FROM sq8_emb""".stripMargin)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getSeq[Float](2))).toMap
+    val viaDf = emb
+      .select(
+        col("vec_id"),
+        graft.functions.Sq8Ops.adcDot(
+          col("embedding"), graft.functions.Sq8Ops.encode(col("embedding"), lit), lit).as("adc"),
+        graft.functions.Sq8Ops.decode(
+          graft.functions.Sq8Ops.encode(col("embedding"), lit), lit).as("rec"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getSeq[Float](2))).toMap
+    assert(viaSql == viaDf)
+  }
 }
