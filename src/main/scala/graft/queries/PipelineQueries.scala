@@ -2171,9 +2171,289 @@ object PipelineQueries {
     }
   )
 
+  // ---- P7i: SQ8 scalar-quantized ANN (rows+spec like the other ANN
+  // families: quantization rounds through float arithmetic DuckDB
+  // cannot replay bit-for-bit; SimSpec pins decode error bounds, fused
+  // adc ≡ decode-then-dot parity, recall vs exact brute force, and the
+  // catalog round-trip) -------------------------------------------------
+  val q109 = Q(
+    "q109_ann_sq8",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.sim.AnnSq8
+        .topK(emb.where(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5, rerank = 20)
+        .orderBy(col("qid"), col("cos_sim").desc, col("nid"))
+    },
+    None
+  )
+
+  // ---- T25: PMI collocation mining (FULL oracle: unigram/bigram
+  // counts, the N-total cross join, and the log-ratio replayed; the
+  // selection gate is the INTEGER min-count so the row set is exact) ----
+  val q104 = Q(
+    "q104_collocations",
+    (s, dir) =>
+      graft.text.Collocations
+        .pmi(Tables.documents(s, dir), "text", minCount = 5)
+        .orderBy(col("prev"), col("token")),
+    Some(
+      """WITH toks AS (SELECT string_split(text, ' ') AS a FROM documents),
+        |uni AS (SELECT unnest(a) AS token FROM toks),
+        |uc AS (SELECT token, count(*)::BIGINT AS c1 FROM uni GROUP BY 1),
+        |tot AS (SELECT sum(c1)::DOUBLE AS n FROM uc),
+        |pr AS (SELECT a[i] AS prev, a[i + 1] AS token
+        |       FROM toks, unnest(generate_series(1, len(a) - 1)) AS u(i) WHERE len(a) >= 2),
+        |bc AS (SELECT prev, token, count(*)::BIGINT AS c_pair FROM pr
+        |       GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT bc.prev, bc.token, c_pair, up.c1 AS c_prev, ut.c1 AS c_tok,
+        |  round(ln(c_pair::DOUBLE * tot.n / (up.c1::DOUBLE * ut.c1::DOUBLE)), 4) AS pmi
+        |FROM bc JOIN uc up ON up.token = bc.prev JOIN uc ut ON ut.token = bc.token
+        |CROSS JOIN tot ORDER BY bc.prev, bc.token""".stripMargin
+    )
+  )
+
+  // ---- T26: Gopher-style rule filter (FULL oracle: every rule's
+  // arithmetic replayed — the per-rule booleans make the gate auditable
+  // and feed the attrition funnel) --------------------------------------
+  val q105 = Q(
+    "q105_rule_filter",
+    (s, dir) =>
+      graft.text.RuleFilter
+        .withRules(Tables.documents(s, dir), "text")
+        .select(
+          col("doc_id"),
+          col("r_word_count"),
+          col("r_mean_word_len"),
+          col("r_alpha"),
+          col("r_stopwords"),
+          col("r_dup_tokens"),
+          col("r_symbols"),
+          col("keep"))
+        .orderBy(col("doc_id")),
+    Some(
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS a FROM documents),
+         |m AS (SELECT doc_id,
+         |  len(a)::BIGINT AS n,
+         |  len(replace(text, ' ', ''))::BIGINT AS chars,
+         |  len(list_filter(a, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS alpha,
+         |  len(list_intersect(a, ${TextStats.stopwords.map(w => s"'$w'").mkString("[", ",", "]")})) AS nstop,
+         |  len(list_distinct(a))::BIGINT AS dst,
+         |  (len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')))::BIGINT
+         |    AS sym
+         |  FROM t),
+         |r AS (SELECT doc_id,
+         |  n >= ${graft.text.RuleFilter.MinWords} AND n <= ${graft.text.RuleFilter.MaxWords} AS r_word_count,
+         |  chars >= 2 * n AND chars <= 10 * n AS r_mean_word_len,
+         |  5 * alpha >= 4 * n AS r_alpha,
+         |  nstop >= ${graft.text.RuleFilter.MinDistinctStopwords} AS r_stopwords,
+         |  5 * dst >= 2 * n AS r_dup_tokens,
+         |  10 * sym <= n AS r_symbols
+         |  FROM m)
+         |SELECT doc_id, r_word_count, r_mean_word_len, r_alpha, r_stopwords, r_dup_tokens,
+         |  r_symbols,
+         |  r_word_count AND r_mean_word_len AND r_alpha AND r_stopwords AND r_dup_tokens
+         |    AND r_symbols AS keep
+         |FROM r ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  // ---- P19: canonicalization-keyed exact dedup (FULL oracle: the
+  // lower/strip/collapse/trim chain and md5 replayed; n_variants counts
+  // the raw texts each canonical group merged). The corpus has no
+  // natural reformatted copies at sf0.01, so the query plants them the
+  // q103 way: every 10th doc re-published uppercased with punctuation
+  // churn — raw exact dedup (q20) sees distinct texts, the canonical
+  // key merges them. ----------------------------------------------------
+  val q106 = Q(
+    "q106_canonical_dedup",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val churned = docs
+        .where(col("doc_id") % 10 === 0)
+        .select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          concat(upper(col("text")), lit(" !!")).as("text"))
+      graft.dedup.Canonical
+        .dedupGroups(docs.unionByName(churned), "text", "doc_id")
+        .orderBy(col("canon_hash"))
+    },
+    Some(
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, upper(text) || ' !!' FROM documents WHERE doc_id % 10 = 0)
+        |SELECT
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |    ' +', ' ', 'g'))) AS canon_hash,
+        |  min(doc_id) AS keep_id, count(*)::BIGINT AS n_copies,
+        |  count(DISTINCT text)::BIGINT AS n_variants
+        |FROM corpus GROUP BY 1 ORDER BY 1""".stripMargin
+    )
+  )
+
+  // ---- T27: n-gram novelty / information-density scoring (FULL
+  // oracle on the integer-exact columns: distinct-shingle pass, corpus
+  // df, novel count and the single-division novel_frac — whose only
+  // midpoint hits at sf0.01 are binary-EXACT rationals (k/32), which
+  // both engines round away from zero identically. info_density is an
+  // avg of 1/df rationals: probed margins put rows 9e-13 from a 4dp
+  // midpoint, within summation-order noise — so it stays OUT of the
+  // hashed projection and is pinned by CurationSpec instead. Short docs
+  // contribute their whole text, q21's convention. ----------------------
+  val q107 = Q(
+    "q107_novelty",
+    (s, dir) =>
+      graft.text.Novelty
+        .score(Tables.documents(s, dir), "text", "doc_id", n = 3)
+        .select("doc_id", "n_grams", "n_novel", "novel_frac")
+        .orderBy(col("doc_id")),
+    Some(
+      """WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS a FROM documents),
+        |g0 AS (SELECT doc_id, array_to_string(a[i:i+2], ' ') AS gram
+        |       FROM toks, unnest(generate_series(1, len(a) - 2)) AS u(i) WHERE len(a) >= 3),
+        |gshort AS (SELECT doc_id, text AS gram FROM toks WHERE len(a) < 3),
+        |grams AS (SELECT DISTINCT doc_id, gram
+        |          FROM (SELECT * FROM g0 UNION ALL SELECT * FROM gshort)),
+        |dfreq AS (SELECT gram, count(*)::BIGINT AS df FROM grams GROUP BY 1)
+        |SELECT doc_id, count(*)::BIGINT AS n_grams,
+        |  sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+        |  round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS novel_frac
+        |FROM grams JOIN dfreq USING (gram) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  // ---- T28: length-bucketed batch assignment (FULL oracle: the
+  // power-of-two CASE ladder — integer comparisons, no float log2 —
+  // the sharded row_number batching and per-batch padding replayed) ----
+  val q108 = Q(
+    "q108_length_buckets",
+    (s, dir) =>
+      graft.ops.LengthBuckets
+        .assign(Tables.documents(s, dir), "text", "doc_id", batchSize = 8, nShards = 4)
+        .orderBy(col("doc_id")),
+    Some(
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+        |b AS (SELECT doc_id, n_tokens,
+        |  CASE WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32
+        |       WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128
+        |       WHEN n_tokens <= 256 THEN 256 WHEN n_tokens <= 512 THEN 512
+        |       WHEN n_tokens <= 1024 THEN 1024 ELSE 4096 END AS bucket,
+        |  doc_id % 4 AS shard FROM t),
+        |r AS (SELECT *, (row_number() OVER (PARTITION BY bucket, shard ORDER BY doc_id) - 1) // 8
+        |        AS batch_idx FROM b),
+        |f AS (SELECT *, max(n_tokens) OVER (PARTITION BY bucket, shard, batch_idx) AS batch_max
+        |      FROM r)
+        |SELECT doc_id, n_tokens, bucket, shard, batch_idx, batch_max,
+        |  batch_max - n_tokens AS pad
+        |FROM f ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  // ---- T29: Count-Min sketch with FULL oracle replay — the affine
+  // hash rows are the q21 minhash constants over the shared md5-60
+  // token hash, so DuckDB rebuilds every cell and replays the min-over-
+  // rows point query exactly (integer arithmetic < 2^62 throughout).
+  // Probes are the 20 globally-hottest tokens (integer count cut,
+  // deterministic tie-break). ------------------------------------------
+  private val cmsW = 64
+  private val cmsD = 4
+  private val cmsCoefs = MinHashLsh.coefficients(cmsD, 7L)
+
+  val q110 = Q(
+    "q110_cms_counts",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(explode(split(col("text"), " ")).as("token"))
+      val probes = toks
+        .groupBy("token")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(20)
+      val sketches = graft.text.Vocab.cmsSketch(
+        docs, "text", "lang", cmsW, cmsD, seed = 7L,
+        tokenHash = graft.functions.SharedHash.md5Long60)
+      graft.text.Vocab
+        .cmsEstimates(
+          sketches, probes, "token", "lang", cmsW, cmsD, seed = 7L,
+          tokenHash = graft.functions.SharedHash.md5Long60)
+        .orderBy(col("lang"), col("token"))
+    },
+    Some(
+      s"""WITH consts AS (SELECT ${cmsCoefs.map(_._1).mkString("[", ",", "]")}::BIGINT[] AS ca,
+         |                       ${cmsCoefs.map(_._2).mkString("[", ",", "]")}::BIGINT[] AS cb),
+         |toks AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+         |hs AS (SELECT lang, token,
+         |         ${graft.functions.SharedHash.md5Long60Sql("token")} % 2147483647 AS hh
+         |       FROM toks),
+         |cells AS (
+         |  SELECT lang, r, ((ca[r + 1] * hh + cb[r + 1]) % 2147483647) % $cmsW AS idx,
+         |         count(*)::BIGINT AS c
+         |  FROM hs CROSS JOIN consts, unnest(range($cmsD)) AS t(r)
+         |  GROUP BY 1, 2, 3),
+         |probes AS (SELECT token FROM (
+         |  SELECT token, count(*) AS cnt FROM toks GROUP BY 1
+         |  ORDER BY cnt DESC, token LIMIT 20)),
+         |ph AS (SELECT token,
+         |         ${graft.functions.SharedHash.md5Long60Sql("token")} % 2147483647 AS hh
+         |       FROM probes),
+         |pidx AS (SELECT token, r, ((ca[r + 1] * hh + cb[r + 1]) % 2147483647) % $cmsW AS idx
+         |         FROM ph CROSS JOIN consts, unnest(range($cmsD)) AS t(r)),
+         |est AS (SELECT s.lang, p.token, min(COALESCE(c.c, 0)) AS est
+         |        FROM (SELECT DISTINCT lang FROM documents) s
+         |        CROSS JOIN pidx p
+         |        LEFT JOIN cells c ON c.lang = s.lang AND c.r = p.r AND c.idx = p.idx
+         |        GROUP BY 1, 2)
+         |SELECT lang, token, est FROM est ORDER BY lang, token""".stripMargin
+    )
+  )
+
+  // ---- T30: eval-split construction — the T6c exact-count stratified
+  // take elects a per-language eval set, the P9b 8-gram decontamination
+  // then certifies the REMAINING train side against it (FULL oracle:
+  // the bit-for-bit take replay composed with the span replay — the
+  // whole pipeline, not the stages in isolation). ----------------------
+  val q111 = Q(
+    "q111_eval_split",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val eval = graft.ops.Sampling
+        .takePerStratum(docs, "lang", "doc_id", n = 3)
+        .select(col("doc_id"))
+      val train = docs.join(eval, Seq("doc_id"), "left_anti")
+      graft.dedup.SpanDedup
+        .contamination(train, docs.join(eval, Seq("doc_id")), "text", "doc_id", n = 8)
+        .withColumn("contaminated", col("n_hits") > 0)
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      s"""WITH ev AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (
+         |      PARTITION BY lang
+         |      ORDER BY ${graft.functions.SharedHash.md5Long60Sql("'graft:' || doc_id::VARCHAR")}, doc_id) AS rn
+         |    FROM documents)
+         |  WHERE rn <= 3),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+         |g0 AS (SELECT doc_id, array_to_string(a[i:i+7], ' ') AS g
+         |       FROM t, UNNEST(generate_series(1, len(a) - 7)) AS u(i) WHERE len(a) >= 8),
+         |gshort AS (SELECT doc_id, text AS g FROM documents
+         |           WHERE len(string_split(text, ' ')) < 8),
+         |grams AS (SELECT DISTINCT doc_id, g
+         |          FROM (SELECT * FROM g0 UNION ALL SELECT * FROM gshort)),
+         |probe AS (SELECT DISTINCT g FROM grams JOIN ev USING (doc_id)),
+         |tr AS (SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM ev))
+         |SELECT g.doc_id, count(*) AS n_spans,
+         |  sum(CASE WHEN p.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+         |  sum(CASE WHEN p.g IS NOT NULL THEN 1 ELSE 0 END) > 0 AS contaminated
+         |FROM grams g JOIN tr USING (doc_id) LEFT JOIN probe p USING (g)
+         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
-      q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103)
+      q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
+      q106, q107, q108, q109, q110, q111)
 }

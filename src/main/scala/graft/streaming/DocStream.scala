@@ -461,6 +461,52 @@ object DocStream {
     * [[graft.text.Vocab.heavyHitters]] exact pass over the accumulated
     * corpus whenever the dashboard needs verified counts.
     */
+  /** Streaming per-stratum Count-Min sketch — S19, the online form of
+    * [[graft.text.Vocab.cmsSketch]] (T29). State is the depth·width
+    * counter array + token total per stratum, updated through the SAME
+    * [[graft.functions.CountMinAgg.updateCells]] the batch aggregate
+    * uses; because CMS counters add element-wise, the streamed sketch
+    * CONTENT equals the batch sketch bit-for-bit on any batch split
+    * (stronger than S15's containment-only parity — the spec asserts
+    * cell equality). Emits the current sketch every trigger; point
+    * queries go through [[graft.functions.CmsQuery]] on the emitted
+    * frame. State size is fixed (depth·width longs per stratum)
+    * forever, the S15 argument.
+    */
+  def cmsStream(
+      stream: DataFrame,
+      textCol: String,
+      strataCol: String,
+      width: Int,
+      depth: Int,
+      seed: Long,
+      tokenHash: Column => Column
+  ): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val coefs = MinHashLsh.coefficients(depth, seed)
+    stream
+      .select(
+        col(strataCol).cast("string"),
+        transform(split(col(textCol), " "), tokenHash).as("hs"))
+      .as[(String, Seq[Long])]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Seq[Long], Long), (String, Long, Seq[Long])](
+        GroupStateTimeout.NoTimeout) { (stratum, rows, state) =>
+        val (c0, n0) = state.getOption.getOrElse((Seq.fill(depth * width)(0L), 0L))
+        val cells = c0.toArray
+        var n = n0
+        rows.foreach(_._2.foreach { h =>
+          graft.functions.CountMinAgg.updateCells(cells, h, width, coefs); n += 1
+        })
+        val out = cells.toSeq
+        state.update((out, n))
+        (stratum, n, out)
+      }
+      .toDF(strataCol, "n_tokens", "cms")
+  }
+
   def heavyHittersStream(
       stream: DataFrame,
       textCol: String,

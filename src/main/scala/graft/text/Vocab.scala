@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus vocabulary statistics: per-token term frequency (total
@@ -155,4 +155,47 @@ object Vocab {
       .agg(count(lit(1)).as("cnt"), first(col("n_tokens")).as("n_tokens"))
       .filter(col("cnt") * pct > col("n_tokens"))
   }
+
+  /** Per-stratum Count-Min sketch over token occurrences (T29): one
+    * pass, map-side combined, depth·width longs per stratum. `tokenHash`
+    * maps a token string to the long the sketch rows hash — the shared
+    * md5-60 for oracle replay, xxhash64 for production (q21's trade).
+    */
+  def cmsSketch(
+      df: DataFrame,
+      textCol: String,
+      strataCol: String,
+      width: Int,
+      depth: Int,
+      seed: Long,
+      tokenHash: Column => Column
+  ): DataFrame =
+    df.select(col(strataCol), explode(split(col(textCol), " ")).as("__tok"))
+      .select(col(strataCol), tokenHash(col("__tok")).as("__h"))
+      .groupBy(col(strataCol))
+      .agg(
+        graft.functions.CountMinAgg.countMin(col("__h"), width, depth, seed).as("cms"),
+        count(lit(1)).as("n_tokens"))
+
+  /** Point-frequency estimates for `probes` (a token list frame) against
+    * every stratum sketch: sketch frame is stratum-sized and the probe
+    * list is broadcast, so this never touches the corpus again.
+    */
+  def cmsEstimates(
+      sketches: DataFrame,
+      probes: DataFrame,
+      probeCol: String,
+      strataCol: String,
+      width: Int,
+      depth: Int,
+      seed: Long,
+      tokenHash: Column => Column
+  ): DataFrame =
+    sketches
+      .crossJoin(broadcast(probes.select(col(probeCol).as("token"))))
+      .select(
+        col(strataCol),
+        col("token"),
+        graft.functions.CmsQuery(
+          col("cms"), tokenHash(col("token")), width, depth, seed).as("est"))
 }

@@ -618,4 +618,42 @@ class StreamingSpec extends SparkSpec {
       }
     } finally { q.stop(); index.unpersist() }
   }
+
+  test("streaming Count-Min sketch: cell content EXACTLY equals the batch sketch on any batch split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      t => org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(t),
+        org.apache.spark.sql.functions.lit(1152921504606846976L))
+    val w = 64; val d = 3; val seed = 11L
+
+    val ms = MemoryStream[(String, String)]
+    val df = ms.toDF.toDF("lang", "text")
+    val out = DocStream.cmsStream(df, "text", "lang", w, d, seed, hashFn)
+    val q = out.writeStream.outputMode("update").format("memory").queryName("cms_stream").start()
+    val b1 = Seq(("en", "a b a c d"), ("es", "x y x"))
+    val b2 = Seq(("en", "a a e f"), ("es", "y z"))
+    val b3 = Seq(("en", "g b"))
+    try {
+      Seq(b1, b2, b3).foreach { b => ms.addData(b); q.processAllAvailable() }
+      val live = spark.table("cms_stream")
+        .groupBy("lang").agg(org.apache.spark.sql.functions.max_by(
+          org.apache.spark.sql.functions.struct($"n_tokens", $"cms"), $"n_tokens").as("s"))
+        .select($"lang", $"s.n_tokens", $"s.cms")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getSeq[Long](2))).toMap
+
+      val batchDocs = (b1 ++ b2 ++ b3).zipWithIndex
+        .map { case ((l, t), i) => (i.toLong, t, l) }.toDF("id", "text", "lang")
+      val batch = graft.text.Vocab.cmsSketch(batchDocs, "text", "lang", w, d, seed, hashFn)
+        .collect().map(r =>
+          r.getString(0) -> (r.getAs[Long]("n_tokens"), r.getSeq[Long](1))).toMap
+
+      assert(live.keySet == Set("en", "es"))
+      live.foreach { case (lang, (n, cells)) =>
+        assert(n == batch(lang)._1, s"$lang token count")
+        assert(cells == batch(lang)._2, s"$lang sketch cells diverge from batch")
+      }
+    } finally q.stop()
+  }
 }

@@ -640,4 +640,62 @@ class TextSpec extends SparkSpec {
     }
     docs.unpersist(); model.release()
   }
+
+  test("CountMinAgg: overcount-only estimates, exact for a collision-free width, content partition-invariant") {
+    import org.apache.spark.sql.functions._
+    val hashFn = graft.functions.SharedHash.md5Long60 _
+    // Zipf-ish stream: token t_i occurs 2^(8-i) times, i = 0..8
+    val rows = (0 to 8).flatMap(i => Seq.fill(1 << (8 - i))((s"tok$i", "s")))
+    val docs = rows.zipWithIndex
+      .map { case ((t, l), j) => (j.toLong, t, l) }.toDF("id", "text", "lang")
+    val exact = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+
+    val w = 512; val d = 4; val seed = 7L
+    val sk = Vocab.cmsSketch(docs, "text", "lang", w, d, seed, hashFn)
+    val probes = exact.keys.toSeq.toDF("token")
+    val est = Vocab.cmsEstimates(sk, probes, "token", "lang", w, d, seed, hashFn)
+      .select("token", "est").as[(String, Long)].collect().toMap
+    // one-sided error: never undercounts; at width 512 with 9 tokens the
+    // deterministic hash layout is collision-free -> exact
+    exact.foreach { case (t, c) =>
+      assert(est(t) >= c, s"$t undercounted: ${est(t)} < $c")
+      assert(est(t) == c, s"$t not exact at collision-free width: ${est(t)} vs $c")
+    }
+    // an absent token reads 0 under the same collision-free layout
+    val ghost = Vocab.cmsEstimates(sk, Seq("neverseen").toDF("token"),
+      "token", "lang", w, d, seed, hashFn)
+      .select("est").as[Long].head()
+    assert(ghost == 0L)
+
+    // sketch CONTENT (not just guarantees) is partition-invariant:
+    // counters add elementwise, merge order cannot matter
+    val sk1 = sk.select("cms").as[Seq[Long]].head()
+    val sk17 = Vocab.cmsSketch(docs.repartition(17), "text", "lang", w, d, seed, hashFn)
+      .select("cms").as[Seq[Long]].head()
+    assert(sk1 == sk17)
+    assert(sk1.sum == rows.size.toLong * d) // every occurrence lands in d cells
+
+    // tiny width FORCES collisions: still never undercounts
+    val wee = Vocab.cmsSketch(docs, "text", "lang", 4, 2, seed, hashFn)
+    val weeEst = Vocab.cmsEstimates(wee, probes, "token", "lang", 4, 2, seed, hashFn)
+      .select("token", "est").as[(String, Long)].collect().toMap
+    exact.foreach { case (t, c) => assert(weeEst(t) >= c) }
+  }
+
+  test("count_min / cms_query SQL surface ≡ DataFrame sketch bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    graft.sql.GraftFunctions.register(spark)
+    val docs = Seq((0L, "a b a c", "x"), (1L, "b b c d", "x"), (2L, "a a a a", "y"))
+      .toDF("id", "text", "lang")
+    docs.createOrReplaceTempView("cms_docs")
+    val viaSql = spark.sql(
+      """SELECT lang, count_min(pmod(xxhash64(tok), 1152921504606846976), 32, 3, 11L) AS cms
+        |FROM (SELECT lang, explode(split(text, ' ')) AS tok FROM cms_docs)
+        |GROUP BY lang""".stripMargin)
+      .as[(String, Seq[Long])].collect().toMap
+    val viaDf = Vocab.cmsSketch(docs, "text", "lang", 32, 3, 11L,
+      t => pmod(xxhash64(t), lit(1152921504606846976L)))
+      .select("lang", "cms").as[(String, Seq[Long])].collect().toMap
+    assert(viaSql == viaDf)
+  }
 }
