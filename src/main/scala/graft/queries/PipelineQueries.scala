@@ -2304,14 +2304,17 @@ object PipelineQueries {
     "q107_novelty",
     (s, dir) =>
       graft.text.Novelty
-        .score(Tables.documents(s, dir), "text", "doc_id", n = 3)
+        .score(Tables.documents(s, dir), "text", "doc_id", n = 3,
+          gramHash = graft.functions.SharedHash.md5Long60)
         .select("doc_id", "n_grams", "n_novel", "novel_frac")
         .orderBy(col("doc_id")),
     Some(
-      """WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS a FROM documents),
-        |g0 AS (SELECT doc_id, array_to_string(a[i:i+2], ' ') AS gram
+      s"""WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS a FROM documents),
+        |g0 AS (SELECT doc_id,
+        |         ${graft.functions.SharedHash.md5Long60Sql("array_to_string(a[i:i+2], ' ')")} AS gram
         |       FROM toks, unnest(generate_series(1, len(a) - 2)) AS u(i) WHERE len(a) >= 3),
-        |gshort AS (SELECT doc_id, text AS gram FROM toks WHERE len(a) < 3),
+        |gshort AS (SELECT doc_id, ${graft.functions.SharedHash.md5Long60Sql("text")} AS gram
+        |           FROM toks WHERE len(a) < 3),
         |grams AS (SELECT DISTINCT doc_id, gram
         |          FROM (SELECT * FROM g0 UNION ALL SELECT * FROM gshort)),
         |dfreq AS (SELECT gram, count(*)::BIGINT AS df FROM grams GROUP BY 1)

@@ -17,9 +17,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: one row-local shingling pass (distinct within document),
   * one hash-aggregate for corpus df, one join of the doc-gram frame
-  * against the df frame (both keyed on the gram hash — at 100 TB this
-  * is the exact shuffle TF-IDF already pays), one groupBy(doc). No
-  * all-pairs stage, nothing driver-side.
+  * against the df frame, one groupBy(doc). No all-pairs stage, nothing
+  * driver-side. Grams travel as 64-bit HASHES, not strings — the df
+  * shuffle carries 8-byte keys instead of multi-token text (measured
+  * sf0.1: the string form paid ~7s mostly in that exchange). `gramHash`
+  * is xxhash64 for production, the shared md5-60 when a DuckDB oracle
+  * must replay the exact df table (q21's trade).
   */
 object Novelty {
 
@@ -28,7 +31,13 @@ object Novelty {
     * a single gram (q21's convention). Output: id, n_grams, n_novel,
     * novel_frac, info_density = round(avg(1/df), 4).
     */
-  def score(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame = {
+  def score(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      gramHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column = xxhash64(_)
+  ): DataFrame = {
     val toks = split(col(textCol), " ")
     val grams = df
       .select(
@@ -39,9 +48,9 @@ object Novelty {
               size(toks) >= n,
               transform(
                 sequence(lit(0), size(toks) - n),
-                i => concat_ws(" ", slice(toks, i + 1, lit(n)))
+                i => gramHash(concat_ws(" ", slice(toks, i + 1, lit(n))))
               )
-            ).otherwise(array(col(textCol)))
+            ).otherwise(array(gramHash(col(textCol))))
           )
         ).as("gram")
       )
