@@ -255,4 +255,164 @@ object MinHashLsh {
     Seq(sh, b, sets).foreach(_.unpersist(false))
     out
   }
+
+  // ---- persisted corpus index (P2c): build / save / load / append ------
+
+  /** Serving-shaped corpus index: one row per (band, bucket) membership
+    * carrying the member's full signature and exact verify set — the
+    * frame every against-corpus consumer (batch
+    * [[dedupeAgainstIndex]], streaming
+    * [[graft.streaming.DocStream.nearDupAgainstCorpus]]) joins on
+    * (band, bucket). Corpus-sized by design: it is written as a
+    * referenced parquet dataset, never broadcast.
+    */
+  def corpusIndex(
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 64,
+      shingleSize: Int = 3,
+      numBands: Int = 16,
+      seed: Long = 42L,
+      gramHash: Column => Column = xxhash64(_)
+  ): DataFrame = {
+    val sh = shingleHashes(corpus, textCol, idCol, shingleSize, gramHash)
+    val sig = signaturesFromShingles(sh, idCol, numHashes, seed)
+    bands(sig, idCol, numBands, numHashes)
+      .join(
+        sig.select(col(idCol).as("corpus_id"), col("sig").as("corpus_sig")),
+        col(idCol) === col("corpus_id"))
+      .join(
+        setsFromShingles(sh, idCol)
+          .select(col(idCol).as("__sid"), col("sh_set").as("corpus_set")),
+        col("corpus_id") === col("__sid"))
+      .select(col("band"), col("bucket"), col("corpus_id"), col("corpus_sig"), col("corpus_set"))
+  }
+
+  val IndexKind = "minhash_index"
+
+  /** A loaded corpus index: the banded frame plus the parameters every
+    * serve-side computation MUST share with the build (a signature
+    * computed under different constants never matches — the params
+    * travel in the catalog entry, the CDC-index lesson).
+    * `gramHashName` ∈ {xxhash64, md5_60}.
+    */
+  final case class Index(
+      numHashes: Int,
+      shingleSize: Int,
+      numBands: Int,
+      seed: Long,
+      gramHashName: String,
+      bands: DataFrame
+  ) {
+    def gramHashFn: Column => Column = Index.hashFn(gramHashName)
+  }
+
+  object Index {
+    def hashFn(name: String): Column => Column = name match {
+      case "xxhash64" => xxhash64(_)
+      case "md5_60" => graft.functions.SharedHash.md5Long60
+      case other => sys.error(s"minhash_index: unknown gram_hash '$other'")
+    }
+  }
+
+  /** Build and persist the corpus index as an [[graft.sources.IndexCatalog]]
+    * entry: the corpus-sized banded frame is a REFERENCED parquet
+    * dataset (`bands/`), the meta entry carries every build parameter.
+    */
+  def saveIndex(
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      path: String,
+      numHashes: Int = 64,
+      shingleSize: Int = 3,
+      numBands: Int = 16,
+      seed: Long = 42L,
+      gramHashName: String = "xxhash64"
+  ): Unit = {
+    val spark = corpus.sparkSession
+    corpusIndex(corpus, textCol, idCol, numHashes, shingleSize, numBands, seed,
+      Index.hashFn(gramHashName))
+      .write.mode("overwrite").parquet(s"$path/bands")
+    graft.sources.IndexCatalog.write(
+      spark, path, IndexKind,
+      Map(
+        "num_hashes" -> numHashes.toString,
+        "shingle_size" -> shingleSize.toString,
+        "num_bands" -> numBands.toString,
+        "seed" -> seed.toString,
+        "gram_hash" -> gramHashName,
+        "bands" -> "bands"),
+      Seq.empty)
+  }
+
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
+    val meta = graft.sources.IndexCatalog.open(spark, path, IndexKind)
+    Index(
+      meta.propInt("num_hashes"),
+      meta.propInt("shingle_size"),
+      meta.propInt("num_bands"),
+      meta.prop("seed").toLong,
+      meta.prop("gram_hash"),
+      spark.read.parquet(s"$path/${meta.prop("bands")}"))
+  }
+
+  /** Append new documents to a persisted index under the SAME build
+    * parameters (read back from the entry — the caller cannot get them
+    * wrong). Existing rows are untouched; the daily-crawl flow is
+    * dedupe-the-batch → append-the-survivors.
+    */
+  def appendIndex(newDocs: DataFrame, textCol: String, idCol: String, path: String): Unit = {
+    val spark = newDocs.sparkSession
+    val idx = loadIndex(spark, path)
+    corpusIndex(newDocs, textCol, idCol, idx.numHashes, idx.shingleSize, idx.numBands,
+      idx.seed, idx.gramHashFn)
+      .write.mode("append").parquet(s"$path/bands")
+  }
+
+  /** Fuzzy-dedupe a NEW batch against a prebuilt index: band join for
+    * candidates, exact shingle-set Jaccard verify, no corpus pass.
+    * Scale shape: the new batch's bands join the index on (band,
+    * bucket); the candidate pair set is new-batch-bounded, so the
+    * corpus verify sets are fetched by a candidate semi-join — the
+    * corpus-sized index is scanned once and only candidate rows'
+    * (fat) verify sets ever reach the pair join.
+    */
+  def dedupeAgainstIndex(
+      newDocs: DataFrame,
+      textCol: String,
+      idCol: String,
+      idx: Index,
+      threshold: Double
+  ): DataFrame = {
+    val sh = shingleHashes(newDocs, textCol, idCol, idx.shingleSize, idx.gramHashFn).persist()
+    val sig = signaturesFromShingles(sh, idCol, idx.numHashes, idx.seed)
+    val b = bands(sig, idCol, idx.numBands, idx.numHashes)
+    val pairs = b
+      .join(idx.bands.select(col("band"), col("bucket"), col("corpus_id")), Seq("band", "bucket"))
+      .where(col(idCol) =!= col("corpus_id"))
+      .select(col(idCol), col("corpus_id"))
+      .distinct()
+      .persist()
+    val corpusSets = idx.bands
+      .join(pairs.select(col("corpus_id")).distinct(), Seq("corpus_id"), "left_semi")
+      .select(col("corpus_id"), col("corpus_set"))
+      .dropDuplicates("corpus_id")
+    val verified = pairs
+      .join(setsFromShingles(sh, idCol), Seq(idCol))
+      .join(corpusSets, Seq("corpus_id"))
+      .withColumn(
+        "inter",
+        graft.functions.SetOps.sortedIntersectSize(col("sh_set"), col("corpus_set")).cast("double"))
+      .withColumn(
+        "jaccard",
+        round(
+          col("inter") / (size(col("sh_set")) + size(col("corpus_set")) - col("inter")), 4))
+      .where(col("jaccard") >= threshold)
+      .select(col(idCol), col("corpus_id"), col("jaccard"))
+    val out = verified.localCheckpoint()
+    Seq(sh, pairs).foreach(_.unpersist(false))
+    out
+  }
 }

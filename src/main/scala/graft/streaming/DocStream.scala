@@ -72,23 +72,50 @@ object DocStream {
       numBands: Int = 16,
       seed: Long = 42L
   ): DataFrame = {
+    // ---- static index (computed once, reused every micro-batch; the
+    // same frame `MinHashLsh.saveIndex` persists — see
+    // [[nearDupAgainstIndex]] for the load-don't-rebuild serve path) ----
+    val corpusBands = MinHashLsh
+      .corpusIndex(corpus, textCol, idCol, numHashes, shingleSize, numBands, seed)
+      .persist()
+    serveNearDup(stream, corpusBands, textCol, idCol, threshold,
+      numHashes, shingleSize, numBands, seed)
+  }
+
+  /** [[nearDupAgainstCorpus]] against a LOADED persisted index
+    * ([[MinHashLsh.loadIndex]]): a fresh ingest session gates against
+    * yesterday's corpus without a single corpus pass. The stream side
+    * hashes row-locally with xxhash64 ([[spanArray]]), so the index
+    * must have been built with the same gram hash.
+    */
+  def nearDupAgainstIndex(
+      stream: DataFrame,
+      idx: MinHashLsh.Index,
+      textCol: String,
+      idCol: String,
+      threshold: Double
+  ): DataFrame = {
+    require(
+      idx.gramHashName == "xxhash64",
+      s"streaming serve hashes row-locally with xxhash64; index was built with '${idx.gramHashName}'")
+    serveNearDup(stream, idx.bands, textCol, idCol, threshold,
+      idx.numHashes, idx.shingleSize, idx.numBands, idx.seed)
+  }
+
+  private def serveNearDup(
+      stream: DataFrame,
+      corpusBands: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      numHashes: Int,
+      shingleSize: Int,
+      numBands: Int,
+      seed: Long
+  ): DataFrame = {
     val rowsPerBand = numHashes / numBands
     val coefs = MinHashLsh.coefficients(numHashes, seed)
     val prime = 2147483647L
-
-    // ---- static index (computed once, reused every micro-batch) ----
-    val sh = MinHashLsh.shingleHashes(corpus, textCol, idCol, shingleSize)
-    val sig = MinHashLsh.signaturesFromShingles(sh, idCol, numHashes, seed)
-    val corpusBands = MinHashLsh
-      .bands(sig, idCol, numBands, numHashes)
-      .join(sig.select(col(idCol).as("corpus_id"), col("sig").as("corpus_sig")),
-        col(idCol) === col("corpus_id"))
-      .join(
-        MinHashLsh.setsFromShingles(sh, idCol)
-          .select(col(idCol).as("__sid"), col("sh_set").as("corpus_set")),
-        col("corpus_id") === col("__sid"))
-      .select(col("band"), col("bucket"), col("corpus_id"), col("corpus_sig"), col("corpus_set"))
-      .persist()
 
     // ---- per-row signature on the stream side ----
     val aLit = lit(coefs.map(_._1).toArray)

@@ -571,4 +571,62 @@ class DedupSpec extends SparkSpec {
     assert(stats(5L)._4 == 19L)
     assert(stats(1L)._3 == 0L && stats(1L)._4 == 0L)
   }
+
+  private val corpusA = Seq(
+    (100L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (101L, "completely different words about spark clusters and shuffle partitions here"),
+    (102L, "another unrelated document mentioning parquet files and columnar storage layouts")
+  ).toDF("doc_id", "text")
+
+  test("MinHashLsh persisted index: params travel, batch serve parity with a from-scratch union run") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mh-idx").toString
+    MinHashLsh.saveIndex(corpusA, "text", "doc_id", dir, numHashes = 64, shingleSize = 3,
+      numBands = 16, seed = 42L)
+    val idx = MinHashLsh.loadIndex(spark, dir)
+    assert(idx.numHashes == 64 && idx.shingleSize == 3 && idx.numBands == 16 &&
+      idx.seed == 42L && idx.gramHashName == "xxhash64")
+
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact of 100
+      (2L, "the quick brown fox jumps over the lazy dog near the river bend today"), // near of 100
+      (3L, "nothing in common with anything stored previously in the corpus lake")
+    ).toDF("doc_id", "text")
+    val got = MinHashLsh.dedupeAgainstIndex(batch, "text", "doc_id", idx, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+
+    // reference: the ordinary union-self near-dup run restricted to
+    // (new, corpus) pairs — the index path must agree value-for-value
+    val ref = MinHashLsh
+      .nearDuplicates(batch.unionByName(corpusA), "text", "doc_id", threshold = 0.3)
+      .as[(Long, Long, Double)].collect()
+      .collect { case (a, b, j) if a < 100L && b >= 100L => (a, b) -> j }
+      .toMap
+    assert(got == ref, s"$got vs $ref")
+    assert(got.contains((1L, 100L)) && got((1L, 100L)) == 1.0)
+    assert(got.contains((2L, 100L)) && got((2L, 100L)) >= 0.3)
+    assert(!got.keys.exists(_._1 == 3L))
+
+    // wrong kind rejected with a message, not a cast error
+    intercept[IllegalArgumentException](graft.sim.AnnSq8.loadIndex(spark, dir))
+  }
+
+  test("MinHashLsh.appendIndex: appended docs are findable; original rows untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mh-app").toString
+    MinHashLsh.saveIndex(corpusA, "text", "doc_id", dir)
+    val day2 = Seq(
+      (200L, "a second crawl contributes fresh material about streaming state stores tonight")
+    ).toDF("doc_id", "text")
+    MinHashLsh.appendIndex(day2, "text", "doc_id", dir)
+    val idx = MinHashLsh.loadIndex(spark, dir)
+    assert(idx.bands.select("corpus_id").distinct().count() == 4)
+
+    val day3 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"), // dup of A
+      (2L, "a second crawl contributes fresh material about streaming state stores tonight") // dup of day2
+    ).toDF("doc_id", "text")
+    val got = MinHashLsh.dedupeAgainstIndex(day3, "text", "doc_id", idx, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 100L)) == 1.0) // pre-append content still served
+    assert(got((2L, 200L)) == 1.0) // appended content found
+  }
 }

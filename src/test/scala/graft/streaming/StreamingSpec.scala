@@ -475,6 +475,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup from a LOADED persisted index matches the in-session corpus build row-for-row") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (101L, "completely different words about spark clusters and shuffle partitions here"),
+      (102L, "another unrelated document mentioning parquet files and columnar storage layouts")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mh-stream").toString
+    graft.dedup.MinHashLsh.saveIndex(corpus, "text", "doc_id", dir)
+    val idx = graft.dedup.MinHashLsh.loadIndex(spark, dir)
+
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val batches = Seq(
+      Seq(
+        (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2L, "nothing in common with anything stored previously in the corpus lake")),
+      Seq((3L, "the quick brown fox jumps over the lazy dog near the river bend today")))
+
+    def run(name: String, mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+      val ms = MemoryStream[(Long, String)]
+      val q = mk(ms.toDF.toDF("doc_id", "text"))
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+        spark.table(name).select("doc_id", "corpus_id", "jaccard")
+          .as[(Long, Long, Double)].collect().toSet
+      } finally q.stop()
+    }
+
+    val fromIndex = run("nd_idx",
+      df => DocStream.nearDupAgainstIndex(df, idx, "text", "doc_id", threshold = 0.5))
+    val fromCorpus = run("nd_mem",
+      df => DocStream.nearDupAgainstCorpus(df, corpus, "text", "doc_id", threshold = 0.5))
+    assert(fromIndex == fromCorpus && fromIndex.nonEmpty)
+
+    // a gram-hash mismatch is refused up front, not silently zero matches
+    val badIdx = idx.copy(gramHashName = "md5_60")
+    intercept[IllegalArgumentException](
+      DocStream.nearDupAgainstIndex(spark.range(1).toDF(), badIdx, "text", "doc_id", 0.5))
+  }
+
   test("streaming drift monitor: exchangeable batches stay calm, planted mean shift spikes") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
