@@ -51,10 +51,14 @@ object Collocations {
       )
       .select(col("p.prev"), col("p.token"))
 
+    // the unigram count table is referenced three times (total, prev
+    // join, token join) — materialize it ONCE (it is vocabulary-sized,
+    // not corpus-sized) or each reference re-scans the corpus
     val uni = df
       .select(explode(toks).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("c1"))
+      .localCheckpoint()
 
     val bi = pairs
       .groupBy("prev", "token")

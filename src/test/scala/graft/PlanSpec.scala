@@ -295,4 +295,60 @@ class PlanSpec extends SparkSpec {
     graft.text.Bm25.topK(docs, "text", "doc_id", qs, k = 5).collect()
     assert(spark.sharedState.cacheManager.isEmpty, "topK left a cached frame behind")
   }
+
+  // AQE plan strings carry BOTH the final and the initial plan; scan
+  // counting must look at the final segment only
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String =
+    executedPlan(df).split("== Initial Plan ==").head
+
+  test("collocations: pairs are built row-locally — the only joins are count-frame joins, no corpus self-join") {
+    val docs = Tables.documents(spark, sf)
+    val q = graft.text.Collocations.pmi(docs, "text", minCount = 2)
+    val plan = finalPlan(q)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // at most two corpus scans (pair pass + unigram pass; AQE may even
+    // reuse the exchange down to one) — the checkpointed count table
+    // serves its three consumers, where the uncheckpointed form
+    // re-scanned the corpus per reference (measured: 3 extra scans)
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans <= 2, s"expected <= 2 corpus scans, got $scans\n$plan")
+  }
+
+  test("length buckets: windows partition by (bucket, shard) — batching parallelizes, no global single-partition window") {
+    val docs = Tables.documents(spark, sf)
+    val q = graft.ops.LengthBuckets.assign(docs, "text", "doc_id")
+    val plan = executedPlan(q)
+    // a Window whose partition spec is empty would read "Window [...], []"
+    // or hashpartitioning on nothing; both batching windows must key on
+    // bucket AND shard
+    val windows = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windows.nonEmpty, plan)
+    windows.foreach { w =>
+      assert(w.contains("bucket") && w.contains("shard"), s"window not sharded: $w\n$plan")
+    }
+  }
+
+  test("novelty: the df join is keyed on the 64-bit gram hash, not gram text") {
+    val docs = Tables.documents(spark, sf)
+    val q = graft.text.Novelty.score(docs, "text", "doc_id", n = 3)
+    val plan = executedPlan(q)
+    // the join/aggregate exchanges partition on the long hash column
+    // ("gram#N: bigint" in hashpartitioning) — gram strings never shuffle
+    val exch = plan.linesIterator.filter(_.contains("hashpartitioning(gram#")).toSeq
+    assert(exch.nonEmpty, plan)
+    assert(plan.contains("gram:bigint") || plan.contains("gram#") && !plan.contains("gram:string"),
+      s"gram travels as a string\n$plan")
+  }
+
+  test("cms estimates: sketch frame crossjoins the broadcast probe list — the corpus is scanned once") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val probes = Seq("the", "a", "value").toDF("token")
+    val sk = graft.text.Vocab.cmsSketch(docs, "text", "lang", 64, 4, 7L, xxhash64(_))
+    val q = graft.text.Vocab.cmsEstimates(sk, probes, "token", "lang", 64, 4, 7L, xxhash64(_))
+    val plan = finalPlan(q)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected 1 corpus scan, got $scans\n$plan")
+  }
 }
