@@ -1060,6 +1060,47 @@ class SimSpec extends SparkSpec {
     intercept[IllegalArgumentException](graft.sim.Opq.loadIndex(spark, dir))
   }
 
+  test("HashEmbed: unit norm, partition-invariant bit-for-bit, similarity ranks token overlap") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (0L, "spark shuffles data between stages during wide transformations"),
+      (1L, "spark shuffles data between stages during wide operations"), // near-copy of 0
+      (2L, "an entirely unrelated sentence about gardening and tomato plants"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val emb = HashEmbed.embed(docs, "text", "doc_id", dims = 32)
+    val byId = emb.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def nrm(v: Seq[Double]) = math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(nrm(byId(0L)) - 1.0) < 1e-12)
+    // empty doc: the single empty-string token still hashes somewhere,
+    // so the vector is a unit impulse — never NaN
+    assert(!byId(3L).exists(_.isNaN))
+
+    def cos(a: Seq[Double], b: Seq[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
+    val near = cos(byId(0L), byId(1L))
+    val far = cos(byId(0L), byId(2L))
+    assert(near > 0.7 && near > far + 0.3, s"near=$near far=$far")
+
+    // integer cells -> identical bits on any partitioning
+    val again = HashEmbed.embed(docs.repartition(7), "text", "doc_id", dims = 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(byId == again)
+  }
+
+  test("HashEmbed.embedF feeds the ANN stack: SQ8 top-k over hashed text embeddings matches brute force") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val emb = HashEmbed.embedF(docs, "text", "doc_id", dims = 64).persist()
+    val queries = emb.where($"doc_id" < 3)
+    val exact = Cosine.topK(queries, emb, "doc_id", "embedding", k = 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val viaSq8 = AnnSq8.topK(queries, emb, "doc_id", "embedding", k = 3, rerank = 15)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(viaSq8).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall")
+    emb.unpersist()
+  }
+
   test("sq8 SQL surface ≡ DataFrame expressions bit-for-bit") {
     import org.apache.spark.sql.functions._
     graft.sql.GraftFunctions.register(spark)
