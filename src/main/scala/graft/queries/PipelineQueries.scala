@@ -2505,10 +2505,90 @@ object PipelineQueries {
     )
   )
 
+  // ---- T31: character-class / script profile (FULL oracle — outputs
+  // are deliberately integer-only, so the replay is exact by
+  // construction; the dominant CASE compares integers in fixed order) --
+  val q113 = Q(
+    "q113_script_profile",
+    (s, dir) =>
+      graft.text.TextStats
+        .withScriptProfile(Tables.documents(s, dir), "text")
+        .select("doc_id", "n_chars_p", "n_letters", "n_digits", "n_spaces", "n_punct",
+          "n_tokens_p", "n_alpha_tokens", "n_digit_tokens", "dominant")
+        .orderBy(col("doc_id")),
+    Some(
+      """SELECT doc_id,
+        |  len(text)::BIGINT AS n_chars_p,
+        |  len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT AS n_letters,
+        |  len(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT AS n_digits,
+        |  (len(text) - len(replace(text, ' ', '')))::BIGINT AS n_spaces,
+        |  (len(text) - len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |    - len(regexp_replace(text, '[^0-9]', '', 'g'))
+        |    - (len(text) - len(replace(text, ' ', ''))))::BIGINT AS n_punct,
+        |  len(string_split(text, ' '))::BIGINT AS n_tokens_p,
+        |  len(list_filter(string_split(text, ' '),
+        |    x -> regexp_matches(x, '^[A-Za-z]+$')))::BIGINT AS n_alpha_tokens,
+        |  len(list_filter(string_split(text, ' '),
+        |    x -> regexp_matches(x, '^[0-9]+$')))::BIGINT AS n_digit_tokens,
+        |  CASE
+        |    WHEN len(regexp_replace(text, '[^A-Za-z]', '', 'g')) >= len(regexp_replace(text, '[^0-9]', '', 'g'))
+        |     AND len(regexp_replace(text, '[^A-Za-z]', '', 'g')) >=
+        |       (len(text) - len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |         - len(regexp_replace(text, '[^0-9]', '', 'g'))
+        |         - (len(text) - len(replace(text, ' ', ''))))
+        |    THEN 'alpha'
+        |    WHEN len(regexp_replace(text, '[^0-9]', '', 'g')) >=
+        |       (len(text) - len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |         - len(regexp_replace(text, '[^0-9]', '', 'g'))
+        |         - (len(text) - len(replace(text, ' ', ''))))
+        |    THEN 'digit'
+        |    ELSE 'punct' END AS dominant
+        |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  // ---- T32: Zipf-slope vocabulary diagnostic — the corpus statistics
+  // engine eating its own dogfood: Vocab.top supplies the (rank, freq)
+  // frame and the C4 OLS operator fits ln(freq) ~ ln(rank); a natural
+  // corpus is near slope -1, strong deviations flag synthetic or
+  // templated text. FULL oracle via DuckDB regr_slope/regr_intercept
+  // (the q04 pattern; deterministic top-100 cut via (freq DESC, token)).
+  val q114 = Q(
+    "q114_zipf_slope",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val top = graft.text.Vocab
+        .top(Tables.documents(s, dir), "text", "doc_id", k = 100)
+        .withColumn(
+          "rank",
+          row_number().over(Window.orderBy(col("term_freq").desc, col("token"))))
+      val logs = top.select(
+        log(col("rank").cast("double")).as("x"),
+        log(col("term_freq").cast("double")).as("y"))
+      val m = graft.ml.Ols.fit(logs, "y", Seq("x"))
+      Seq((BigDecimal(m.coef(1)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(m.coef(0)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        m.n))
+        .toDF("slope", "intercept", "n")
+    },
+    Some(
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |uc AS (SELECT token, count(*)::BIGINT AS c FROM toks GROUP BY 1),
+        |top AS (SELECT token, c, row_number() OVER (ORDER BY c DESC, token) AS r
+        |        FROM uc ORDER BY c DESC, token LIMIT 100),
+        |l AS (SELECT ln(r::DOUBLE) AS x, ln(c::DOUBLE) AS y FROM top)
+        |SELECT round(regr_slope(y, x), 4) AS slope,
+        |  round(regr_intercept(y, x), 4) AS intercept,
+        |  count(*)::BIGINT AS n
+        |FROM l""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
-      q106, q107, q108, q109, q110, q111, q112)
+      q106, q107, q108, q109, q110, q111, q112, q113, q114)
 }

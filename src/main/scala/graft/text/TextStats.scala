@@ -42,6 +42,42 @@ object TextStats {
   /** English stopwords present in the synthetic corpus vocabulary. */
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "is", "to", "in")
 
+  /** Character-class / script profile (T31): per-document counts of
+    * letters, digits, spaces and other marks, token-level all-alpha /
+    * all-digit counts, and the dominant class — the cheap signal behind
+    * charset-quality gates (code vs prose vs tables vs garbage) and
+    * per-source ingest dashboards. Deliberately INTEGER-ONLY outputs:
+    * counts are exact on every engine; callers derive ratios where a
+    * rounding convention is their own problem (the q105 lesson). The
+    * dominant-class CASE compares integers in a fixed order, so ties
+    * resolve identically everywhere. One codegen map pass, no shuffle.
+    */
+  def withScriptProfile(df: DataFrame, textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    val nChars = length(col(textCol)).cast("long")
+    val nLetters = length(regexp_replace(col(textCol), "[^A-Za-z]", "")).cast("long")
+    val nDigits = length(regexp_replace(col(textCol), "[^0-9]", "")).cast("long")
+    val nSpaces = (nChars - length(regexp_replace(col(textCol), " ", ""))).cast("long")
+    val nPunct = nChars - nLetters - nDigits - nSpaces
+    df.withColumn("n_chars_p", nChars)
+      .withColumn("n_letters", nLetters)
+      .withColumn("n_digits", nDigits)
+      .withColumn("n_spaces", nSpaces)
+      .withColumn("n_punct", nPunct)
+      .withColumn("n_tokens_p", size(t).cast("long"))
+      .withColumn(
+        "n_alpha_tokens",
+        size(filter(t, tk => tk.rlike("^[A-Za-z]+$"))).cast("long"))
+      .withColumn(
+        "n_digit_tokens",
+        size(filter(t, tk => tk.rlike("^[0-9]+$"))).cast("long"))
+      .withColumn(
+        "dominant",
+        when(nLetters >= nDigits && nLetters >= nPunct, lit("alpha"))
+          .when(nDigits >= nPunct, lit("digit"))
+          .otherwise(lit("punct")))
+  }
+
   /** Quality score in [0,1]: length saturation, stopword balance and
     * lexical diversity — the usual cheap heuristics used to pre-filter
     * LLM training corpora.

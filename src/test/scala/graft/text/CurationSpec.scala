@@ -98,6 +98,48 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(byId(0L).getAs[Double]("info_density") - expCopy) < 1e-3)
   }
 
+  test("TextStats.withScriptProfile: class counts partition the text; dominant ties resolve in fixed order") {
+    val docs = Seq(
+      (0L, "plain alpha words only here"),
+      (1L, "123 456 789 000 111"),
+      (2L, "!!! ??? ... ;;; :::"),
+      (3L, "mix3d t0kens with 42 numbers"),
+      (4L, "ab 12") // letters == digits -> alpha wins the tie
+    ).toDF("doc_id", "text")
+    val r = TextStats.withScriptProfile(docs, "text").collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    r.values.foreach { x =>
+      assert(
+        x.getAs[Long]("n_letters") + x.getAs[Long]("n_digits") +
+          x.getAs[Long]("n_spaces") + x.getAs[Long]("n_punct") == x.getAs[Long]("n_chars_p"))
+    }
+    assert(r(0L).getAs[String]("dominant") == "alpha")
+    assert(r(0L).getAs[Long]("n_alpha_tokens") == 5L && r(0L).getAs[Long]("n_punct") == 0L)
+    assert(r(1L).getAs[String]("dominant") == "digit")
+    assert(r(1L).getAs[Long]("n_digit_tokens") == 5L)
+    assert(r(2L).getAs[String]("dominant") == "punct")
+    assert(r(3L).getAs[Long]("n_alpha_tokens") == 2L) // "with", "numbers"
+    assert(r(3L).getAs[Long]("n_digit_tokens") == 1L) // "42"
+    assert(r(4L).getAs[String]("dominant") == "alpha")
+  }
+
+  test("Zipf slope via Vocab.top + Ols: a planted power-law corpus recovers its exponent") {
+    import org.apache.spark.sql.expressions.Window
+    // token t_r occurs round(1000 * r^-0.8) times: slope must come back ~-0.8
+    val rows = (1 to 60).flatMap { rank =>
+      Seq.fill(math.max(1, math.round(1000.0 * math.pow(rank, -0.8)).toInt))(f"tok$rank%03d")
+    }
+    val docs = rows.grouped(40).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq.toDF("doc_id", "text")
+    val top = Vocab.top(docs, "text", "doc_id", k = 50)
+      .withColumn("rank", row_number().over(Window.orderBy(col("term_freq").desc, col("token"))))
+    val logs = top.select(
+      log(col("rank").cast("double")).as("x"),
+      log(col("term_freq").cast("double")).as("y"))
+    val m = graft.ml.Ols.fit(logs, "y", Seq("x"))
+    assert(math.abs(m.coef(1) - (-0.8)) < 0.02, s"slope ${m.coef(1)}")
+  }
+
   test("Novelty: short docs fall back to whole-text grams (q21 convention)") {
     val docs = Seq((0L, "tiny doc"), (1L, "tiny doc"), (2L, "solo")).toDF("doc_id", "text")
     val byId = Novelty.score(docs, "text", "doc_id", n = 3).collect()
