@@ -16,13 +16,15 @@ import org.apache.spark.sql.functions._
   * no model to train, one corpus statistic.
   *
   * Scale shape: one row-local shingling pass (distinct within document),
-  * one hash-aggregate for corpus df, one join of the doc-gram frame
-  * against the df frame, one groupBy(doc). No all-pairs stage, nothing
-  * driver-side. Grams travel as 64-bit HASHES, not strings — the df
-  * shuffle carries 8-byte keys instead of multi-token text (measured
-  * sf0.1: the string form paid ~7s mostly in that exchange). `gramHash`
-  * is xxhash64 for production, the shared md5-60 when a DuckDB oracle
-  * must replay the exact df table (q21's trade).
+  * then df via count() OVER (PARTITION BY gram) and one groupBy(doc) —
+  * ONE corpus scan and two shuffles. The groupBy(gram)+join formulation
+  * costs a third shuffle and a second scan: the join side must move
+  * every (doc, gram) row anyway, so the window loses nothing to
+  * map-side combining and saves the count-table round trip. Grams
+  * travel as 64-bit HASHES, not strings — 8-byte exchange keys instead
+  * of multi-token text. `gramHash` is xxhash64 for production, the
+  * shared md5-60 when a DuckDB oracle must replay the exact df values
+  * (q21's trade).
   */
 object Novelty {
 
@@ -54,9 +56,9 @@ object Novelty {
           )
         ).as("gram")
       )
-    val dfreq = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("gram")
     grams
-      .join(dfreq, "gram")
+      .withColumn("df", count(lit(1)).over(w))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_grams"),
