@@ -2585,10 +2585,58 @@ object PipelineQueries {
     )
   )
 
+  // ---- T33: KMV corpus-overlap sketches (FULL oracle — the kept
+  // hash values are the k smallest distinct md5-60 token hashes, which
+  // DuckDB replays with row_number() OVER (ORDER BY h); theta, the
+  // restricted intersections/unions and both estimates are
+  // deterministic functions of those values, so the whole frame
+  // hash-matches). k = 16 keeps every sf0.01 sketch FULL (per-source
+  // vocab ≈ 30 distinct tokens), exercising the estimator branch, not
+  // just the exact-set degenerate case.
+  val q115 = Q(
+    "q115_corpus_overlap",
+    (s, dir) => {
+      val sk = graft.text.CorpusOverlap
+        .sketches(Tables.documents(s, dir), "text", "source", k = 16)
+      graft.text.CorpusOverlap.pairOverlap(sk)
+        .orderBy(col("src_a"), col("src_b"))
+    },
+    Some(
+      s"""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |hs AS (SELECT DISTINCT source, ${graft.functions.SharedHash.md5Long60Sql("tok")} AS h FROM toks),
+         |rk AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS r FROM hs),
+         |sk AS (SELECT source, h FROM rk WHERE r <= 16),
+         |th AS (SELECT source, count(*) AS nk,
+         |         CASE WHEN count(*) >= 16 THEN max(h) ELSE 1152921504606846976 END AS theta
+         |       FROM sk GROUP BY 1),
+         |pr AS (SELECT a.source AS src_a, b.source AS src_b,
+         |         least(a.theta, b.theta) AS theta
+         |       FROM th a JOIN th b ON a.source < b.source),
+         |fa AS (SELECT p.src_a, p.src_b, s.h FROM pr p
+         |       JOIN sk s ON s.source = p.src_a AND s.h < p.theta),
+         |fb AS (SELECT p.src_a, p.src_b, s.h FROM pr p
+         |       JOIN sk s ON s.source = p.src_b AND s.h < p.theta),
+         |un AS (SELECT src_a, src_b, count(DISTINCT h) AS n_union
+         |       FROM (SELECT * FROM fa UNION ALL SELECT * FROM fb) GROUP BY 1, 2),
+         |ix AS (SELECT fa.src_a, fa.src_b, count(*) AS n_inter FROM fa
+         |       JOIN fb ON fa.src_a = fb.src_a AND fa.src_b = fb.src_b AND fa.h = fb.h
+         |       GROUP BY 1, 2)
+         |SELECT p.src_a, p.src_b, p.theta,
+         |  COALESCE(ix.n_inter, 0)::BIGINT AS n_inter,
+         |  un.n_union::BIGINT AS n_union,
+         |  round(COALESCE(ix.n_inter, 0) / un.n_union, 4) AS jaccard_kmv,
+         |  round(COALESCE(ix.n_inter, 0) * (1152921504606846976.0 / p.theta), 4) AS inter_est
+         |FROM pr p
+         |JOIN un ON un.src_a = p.src_a AND un.src_b = p.src_b
+         |LEFT JOIN ix ON ix.src_a = p.src_a AND ix.src_b = p.src_b
+         |ORDER BY p.src_a, p.src_b""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
-      q106, q107, q108, q109, q110, q111, q112, q113, q114)
+      q106, q107, q108, q109, q110, q111, q112, q113, q114, q115)
 }
