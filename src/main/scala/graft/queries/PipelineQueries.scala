@@ -2633,10 +2633,63 @@ object PipelineQueries {
     )
   )
 
+  // ---- P7j: binary sign-quantized ANN (FULL oracle — sign packing,
+  // the popcount scan, the (hamming, nid) shortlist cut AND the exact
+  // cosine rerank all replay in DuckDB; the only float arithmetic is
+  // the rerank cosine, rounded like q24/q25/q112). shortlist = 40 of
+  // 499 keeps the approximation real (a wrong shortlist changes the
+  // answer) while recall stays pinned by AnnBinarySpec.
+  val q116 = Q(
+    "q116_ann_binary",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.sim.AnnBinary
+        .topK(emb.where(col("vec_id") < 10), emb, "vec_id", "embedding",
+          k = 3, shortlist = 40)
+        .orderBy(col("qid"), col("cos_sim").desc, col("nid"))
+    },
+    Some(
+      """WITH dims AS (SELECT unnest(range(64)) AS i),
+        |sb AS (SELECT e.vec_id, d.i // 32 AS w, d.i % 32 AS b,
+        |         CASE WHEN e.embedding[d.i + 1] < 0 THEN 1 ELSE 0 END AS bit
+        |       FROM embeddings e CROSS JOIN dims d),
+        |words AS (SELECT vec_id, w, sum(bit * (1::BIGINT << b))::BIGINT AS word
+        |          FROM sb GROUP BY 1, 2),
+        |ham AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |          sum(bit_count(xor(a.word, b.word)))::BIGINT AS hamming
+        |        FROM words a JOIN words b ON a.w = b.w
+        |          AND a.vec_id < 10 AND b.vec_id <> a.vec_id
+        |        GROUP BY 1, 2),
+        |cand AS (SELECT qid, nid FROM
+        |           (SELECT qid, nid,
+        |              row_number() OVER (PARTITION BY qid ORDER BY hamming, nid) AS r
+        |            FROM ham)
+        |         WHERE r <= 40),
+        |nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nv FROM
+        |          (SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM embeddings)
+        |        GROUP BY 1),
+        |dots AS (SELECT c.qid, c.nid,
+        |           sum(eq.embedding[d.i + 1]::DOUBLE * en.embedding[d.i + 1]::DOUBLE) AS dot
+        |         FROM cand c
+        |         JOIN embeddings eq ON eq.vec_id = c.qid
+        |         JOIN embeddings en ON en.vec_id = c.nid
+        |         CROSS JOIN dims d GROUP BY 1, 2),
+        |scored AS (SELECT dots.qid, dots.nid,
+        |             round(dot / (q.nv * n.nv), 4) AS cos_sim
+        |           FROM dots JOIN nrm q ON q.vec_id = dots.qid
+        |           JOIN nrm n ON n.vec_id = dots.nid),
+        |rk AS (SELECT qid, nid, cos_sim,
+        |         row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS r
+        |       FROM scored)
+        |SELECT qid, nid, cos_sim FROM rk WHERE r <= 3
+        |ORDER BY qid, cos_sim DESC, nid""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
-      q106, q107, q108, q109, q110, q111, q112, q113, q114, q115)
+      q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116)
 }

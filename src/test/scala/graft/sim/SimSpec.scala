@@ -1125,4 +1125,77 @@ class SimSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getSeq[Float](2))).toMap
     assert(viaSql == viaDf)
   }
+
+  test("BinaryPack: 32 sign bits per word, every word below 2^32, hand-checked bits") {
+    import org.apache.spark.sql.functions._
+    // dims 0, 33, 63 negative → word0 bit0, word1 bits 1 and 31
+    val v = Array.tabulate(64)(i => if (i == 0 || i == 33 || i == 63) -1f else 1f)
+    val words = Seq(Tuple1(v)).toDF("v")
+      .select(graft.functions.BitOps.pack(col("v"))).head().getSeq[Long](0)
+    assert(words === Seq(1L, (1L << 1) | (1L << 31)))
+    assert(words.forall(w => w >= 0 && w < (1L << 32)))
+  }
+
+  test("Hamming: zero on self, d on complement, symmetric, matches a hand count") {
+    import org.apache.spark.sql.functions._
+    val a = Array.tabulate(64)(i => if (i % 3 == 0) -1f else 1f)
+    val b = Array.tabulate(64)(i => if (i % 5 == 0) -1f else 1f)
+    val df = Seq((a, b)).toDF("a", "b").select(
+      graft.functions.BitOps.hamming(
+        graft.functions.BitOps.pack(col("a")), graft.functions.BitOps.pack(col("a"))).as("self"),
+      graft.functions.BitOps.hamming(
+        graft.functions.BitOps.pack(col("a")),
+        graft.functions.BitOps.pack(transform(col("a"), x => -x))).as("comp"),
+      graft.functions.BitOps.hamming(
+        graft.functions.BitOps.pack(col("a")), graft.functions.BitOps.pack(col("b"))).as("ab"),
+      graft.functions.BitOps.hamming(
+        graft.functions.BitOps.pack(col("b")), graft.functions.BitOps.pack(col("a"))).as("ba"))
+    val r = df.head()
+    assert(r.getAs[Long]("self") === 0L)
+    assert(r.getAs[Long]("comp") === 64L)
+    assert(r.getAs[Long]("ab") === r.getAs[Long]("ba"))
+    // hand count: sign differs where exactly one of (i%3==0, i%5==0)
+    val expect = (0 until 64).count(i => (i % 3 == 0) ^ (i % 5 == 0))
+    assert(r.getAs[Long]("ab") === expect.toLong)
+  }
+
+  test("AnnBinary pure-Hamming top-k ≡ window brute force, partition-invariant") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.where($"vec_id" < 5)
+    def run(parts: Int) = AnnBinary
+      .topK(queries, emb.repartition(parts), "vec_id", "embedding", k = 4)
+      .select("qid", "nid", "hamming").as[(Long, Long, Long)].collect().toSet
+    val got = run(1)
+    assert(got === run(7))
+    val packed = emb.select(
+      col("vec_id"), graft.functions.BitOps.pack(col("embedding")).as("bits"))
+    val ref = packed.select(col("vec_id").as("qid"), col("bits").as("qb"))
+      .where(col("qid") < 5)
+      .crossJoin(packed.select(col("vec_id").as("nid"), col("bits").as("nb")))
+      .where(col("qid") =!= col("nid"))
+      .withColumn("hamming", graft.functions.BitOps.hamming(col("qb"), col("nb")))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("qid").orderBy(col("hamming"), col("nid"))))
+      .where(col("r") <= 4)
+      .select("qid", "nid", "hamming").as[(Long, Long, Long)].collect().toSet
+    assert(got === ref)
+  }
+
+  test("AnnBinary rerank recall vs exact cosine on real embeddings") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.where($"vec_id" < 5)
+    val exact = Cosine
+      .topK(queries, emb, "vec_id", "embedding", k = 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    // 64 sign bits on near-uniform 64-d vectors: a generous shortlist
+    // keeps most true neighbors; this pins the composition, the q116
+    // oracle pins the exact shortlist/rerank arithmetic
+    val approx = AnnBinary
+      .topK(queries, emb, "vec_id", "embedding", k = 5, shortlist = 100)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall too low")
+  }
 }
