@@ -2686,10 +2686,30 @@ object PipelineQueries {
     )
   )
 
+  // ---- T34: WordPiece tokenizer (rows-only by design — likelihood-
+  // score training is iterative and not ANSI-SQL-expressible, the
+  // declared pattern for all three tokenizer families; semantics are
+  // pinned by WordPieceSpec: BERT greedy longest-match reference
+  // cases, the PMI-vs-frequency trainer difference vs BPE, UNK-free
+  // roundtrip on the training corpus, catalog persistence parity).
+  // n_unk is 0 here BY CONSTRUCTION (vocab trained on the same corpus
+  // covers its alphabet) — the column is real signal on held-out text.
+  val q117 = Q(
+    "q117_wordpiece",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = graft.text.WordPiece.trainOn(docs, "text", numMerges = 64)
+      graft.text.WordPiece.tokenize(docs, "text", "doc_id", vocab)
+        .select("doc_id", "n_pieces", "n_unk")
+        .orderBy("doc_id")
+    },
+    None
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
-      q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116)
+      q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117)
 }
