@@ -2706,10 +2706,84 @@ object PipelineQueries {
     None
   )
 
+  // ---- T35: G² log-likelihood keyness per source (FULL oracle — G²
+  // is a per-row closed form over integer counts, no summation; the
+  // overrepresentation gate is an EXACT integer cross-product; ranking
+  // binds to the 4dp-rounded statistic per the q96/q112 convention) --
+  val q118 = Q(
+    "q118_keyness",
+    (s, dir) =>
+      graft.text.Keyness
+        .topKeyness(Tables.documents(s, dir), "text", "source", k = 5)
+        .orderBy(col("corpus"), col("rk")),
+    Some(
+      """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT source AS corpus, token, count(*)::BIGINT AS cnt FROM toks GROUP BY 1, 2),
+        |ct AS (SELECT corpus, sum(cnt)::BIGINT AS n1 FROM c GROUP BY 1),
+        |tt AS (SELECT token, sum(cnt)::BIGINT AS tok_total FROM c GROUP BY 1),
+        |g AS (SELECT sum(cnt)::BIGINT AS n FROM c),
+        |s AS (SELECT c.corpus, c.token, c.cnt AS n_self, tt.tok_total - c.cnt AS n_rest,
+        |        2.0 * (CASE WHEN c.cnt > 0
+        |                 THEN c.cnt::DOUBLE * ln(c.cnt::DOUBLE /
+        |                   (ct.n1::DOUBLE * tt.tok_total::DOUBLE / g.n::DOUBLE))
+        |                 ELSE 0.0 END
+        |             + CASE WHEN tt.tok_total - c.cnt > 0
+        |                 THEN (tt.tok_total - c.cnt)::DOUBLE * ln((tt.tok_total - c.cnt)::DOUBLE /
+        |                   ((g.n - ct.n1)::DOUBLE * tt.tok_total::DOUBLE / g.n::DOUBLE))
+        |                 ELSE 0.0 END) AS g2,
+        |        c.cnt * (g.n - ct.n1) > (tt.tok_total - c.cnt) * ct.n1 AS over
+        |      FROM c JOIN ct USING (corpus) JOIN tt USING (token) CROSS JOIN g),
+        |rk AS (SELECT corpus, token, n_self, n_rest, round(g2, 4) AS g2,
+        |         row_number() OVER (PARTITION BY corpus
+        |           ORDER BY round(g2, 4) DESC, token) AS rk
+        |       FROM s WHERE over)
+        |SELECT corpus, token, n_self, n_rest, g2, rk FROM rk WHERE rk <= 5
+        |ORDER BY corpus, rk""".stripMargin
+    )
+  )
+
+  // ---- T36: Jensen–Shannon source drift vs the global distribution
+  // (FULL oracle — the sum runs over the dense corpus×vocab frame on
+  // both engines; 4dp rounding absorbs summation-order noise, margins
+  // probed per the float-threshold protocol) -------------------------
+  val q119 = Q(
+    "q119_js_drift",
+    (s, dir) =>
+      graft.text.Keyness
+        .jsDivergence(Tables.documents(s, dir), "text", "source")
+        .orderBy(col("corpus")),
+    Some(
+      """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT source AS corpus, token, count(*)::BIGINT AS cnt FROM toks GROUP BY 1, 2),
+        |ct AS (SELECT corpus, sum(cnt)::BIGINT AS n1 FROM c GROUP BY 1),
+        |tt AS (SELECT token, sum(cnt)::BIGINT AS tok_total FROM c GROUP BY 1),
+        |g AS (SELECT sum(cnt)::BIGINT AS n FROM c),
+        |dense AS (SELECT ct.corpus, tt.token, COALESCE(c.cnt, 0) AS cnt,
+        |            ct.n1, tt.tok_total, g.n
+        |          FROM ct CROSS JOIN tt
+        |          LEFT JOIN c ON c.corpus = ct.corpus AND c.token = tt.token
+        |          CROSS JOIN g),
+        |terms AS (SELECT corpus,
+        |            CASE WHEN cnt > 0
+        |              THEN 0.5 * (cnt::DOUBLE / n1::DOUBLE) *
+        |                ln((cnt::DOUBLE / n1::DOUBLE) /
+        |                   ((cnt::DOUBLE / n1::DOUBLE + tok_total::DOUBLE / n::DOUBLE) / 2.0))
+        |              ELSE 0.0 END
+        |          + CASE WHEN tok_total > 0
+        |              THEN 0.5 * (tok_total::DOUBLE / n::DOUBLE) *
+        |                ln((tok_total::DOUBLE / n::DOUBLE) /
+        |                   ((cnt::DOUBLE / n1::DOUBLE + tok_total::DOUBLE / n::DOUBLE) / 2.0))
+        |              ELSE 0.0 END AS term
+        |          FROM dense)
+        |SELECT corpus, round(sum(term), 4) AS js_div FROM terms GROUP BY corpus
+        |ORDER BY corpus""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
-      q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117)
+      q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119)
 }
