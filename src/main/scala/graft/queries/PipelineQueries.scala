@@ -2780,10 +2780,81 @@ object PipelineQueries {
     )
   )
 
+  // ---- P21: hard-negative mining (FULL oracle — a three-operator
+  // composition replayed end-to-end: the q54 signature/banding/verify/
+  // reachability cluster replay + the q112 hash-embed replay + the
+  // exclusion join + the rank cut on the ROUNDED cosine; the q54/q111
+  // composition argument — stages verified alone can still disagree at
+  // the seams) -------------------------------------------------------
+  val q120 = Q(
+    "q120_hard_negatives",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.sim.HardNegatives
+        .mine(docs, "text", "doc_id", docs.where(col("doc_id") < 10), dims = 64, k = 3)
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some(
+      s"""WITH RECURSIVE consts AS (SELECT ${mhCoefs.map(_._1).mkString("[", ",", "]")}::BIGINT[] AS ca,
+         |                       ${mhCoefs.map(_._2).mkString("[", ",", "]")}::BIGINT[] AS cb),
+         |toksw AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+         |g0 AS (SELECT doc_id, array_to_string(a[i:i+2], ' ') AS g
+         |       FROM toksw, UNNEST(generate_series(1, len(a) - 2)) AS u(i) WHERE len(a) >= 3),
+         |gshort AS (SELECT doc_id, text AS g FROM documents WHERE len(string_split(text, ' ')) < 3),
+         |grams AS (SELECT DISTINCT doc_id,
+         |    ${graft.functions.SharedHash.md5Long60Sql("g")} AS sh
+         |  FROM (SELECT * FROM g0 UNION ALL SELECT * FROM gshort)),
+         |hl AS (SELECT doc_id, list(sh % 2147483647) AS hs, list(sh) AS ss FROM grams GROUP BY doc_id),
+         |sig AS (SELECT doc_id, ss,
+         |    list_transform(range(64), i ->
+         |      list_min(list_transform(hs, h -> (ca[i + 1] * h + cb[i + 1]) % 2147483647))) AS s
+         |  FROM hl CROSS JOIN consts),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |  WHERE len(list_filter(range(16), bb ->
+         |    list_slice(a.s, bb * 4 + 1, bb * 4 + 4) = list_slice(b.s, bb * 4 + 1, bb * 4 + 4))) > 0
+         |  AND round(len(list_filter(a.ss, x -> list_contains(b.ss, x)))::DOUBLE /
+         |    (len(a.ss) + len(b.ss) - len(list_filter(a.ss, x -> list_contains(b.ss, x)))), 4) >= 0.5),
+         |e AS (SELECT id_a AS a, id_b AS b FROM p UNION ALL SELECT id_b, id_a FROM p),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b),
+         |clus AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |hs2 AS (SELECT doc_id, ${graft.functions.SharedHash.md5Long60Sql("token")} AS h FROM toks),
+         |cells AS (SELECT doc_id, h % 64 AS idx,
+         |            sum(1 - 2 * ((h >> 30) & 1))::BIGINT AS s
+         |          FROM hs2 GROUP BY 1, 2),
+         |dense AS (SELECT d.doc_id, i.i AS idx, COALESCE(c.s, 0) AS s
+         |          FROM (SELECT DISTINCT doc_id FROM documents) d
+         |          CROSS JOIN (SELECT unnest(range(64)) AS i) i
+         |          LEFT JOIN cells c ON c.doc_id = d.doc_id AND c.idx = i.i),
+         |nrm AS (SELECT doc_id, sqrt(sum(s * s)) AS n FROM dense GROUP BY 1),
+         |vecs AS (SELECT dense.doc_id, idx,
+         |           CASE WHEN n > 0 THEN s::DOUBLE / n ELSE s::DOUBLE END AS v
+         |         FROM dense JOIN nrm USING (doc_id)),
+         |pairsc AS (SELECT a.doc_id AS qid, b.doc_id AS nid, round(sum(a.v * b.v), 4) AS cos_sim
+         |           FROM vecs a JOIN vecs b ON a.idx = b.idx
+         |             AND a.doc_id < 10 AND b.doc_id <> a.doc_id
+         |           GROUP BY 1, 2),
+         |keep AS (SELECT pc.qid, pc.nid, pc.cos_sim
+         |         FROM pairsc pc
+         |         JOIN clus cq ON cq.doc_id = pc.qid
+         |         JOIN clus cn ON cn.doc_id = pc.nid
+         |         WHERE cq.cluster <> cn.cluster),
+         |rk AS (SELECT qid, nid, cos_sim,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
+         |       FROM keep)
+         |SELECT qid, nid, cos_sim, rank FROM rk WHERE rank <= 3
+         |ORDER BY qid, rank""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
-      q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119)
+      q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120)
 }

@@ -1183,6 +1183,38 @@ class SimSpec extends SparkSpec {
     assert(got === ref)
   }
 
+  test("HardNegatives: near-dup excluded even at cosine ~1, best non-dup wins, k ranks per query") {
+    import org.apache.spark.sql.functions._
+    // doc 1 ~ doc 2 (near-dup: one token changed in 12 -> jaccard well
+    // over 0.5), doc 3 shares half the vocabulary (hard negative),
+    // docs 4/5 unrelated
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (1L, base, "s"),
+      (2L, base.replace("mu", "nu"), "s"),
+      (3L, "alpha beta gamma delta epsilon zeta crow dove eagle finch gull hawk", "s"),
+      (4L, "one two three four five six seven eight nine ten eleven twelve", "s"),
+      (5L, "red orange yellow green blue indigo violet white black brown pink grey", "s")
+    ).toDF("doc_id", "text", "source")
+    val out = HardNegatives
+      .mine(docs, "text", "doc_id", docs.where($"doc_id" === 1), dims = 64, k = 3)
+      .select("qid", "nid", "cos_sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    assert(out.length === 3)
+    assert(!out.map(_._2).contains(2L), s"near-dup leaked into negatives: ${out.toSeq}")
+    assert(out.head._2 === 3L, s"hardest negative should be the vocab-overlap doc: ${out.toSeq}")
+    assert(out.map(_._4).toSeq === Seq(1, 2, 3))
+    // sanity: the excluded near-dup really is the highest-cosine doc
+    val emb = HashEmbed.embed(docs, "text", "doc_id", 64,
+      tokenHash = graft.functions.SharedHash.md5Long60)
+    val cos = emb.where($"doc_id" === 1).select($"embedding".as("qv"))
+      .crossJoin(emb.where($"doc_id" =!= 1).select($"doc_id".as("nid"), $"embedding".as("nv")))
+      .select($"nid",
+        aggregate(zip_with($"qv", $"nv", (x, y) => x * y), lit(0.0), (a, x) => a + x).as("c"))
+      .as[(Long, Double)].collect().toMap
+    assert(cos(2L) === cos.values.max)
+  }
+
   test("AnnBinary rerank recall vs exact cosine on real embeddings") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.where($"vec_id" < 5)
