@@ -48,10 +48,7 @@ case class KmvAgg(
     mutable.TreeSet.empty[Long]
 
   @inline private def insert(s: mutable.TreeSet[Long], v: Long): Unit =
-    if (s.size < k) s.add(v)
-    else if (v < s.last) { // s.last = current kth minimum
-      if (s.add(v)) s.remove(s.last)
-    }
+    Kmv.insert(s, v, k)
 
   override def update(
       buffer: mutable.TreeSet[Long],
@@ -112,4 +109,18 @@ object KmvAgg {
     */
   def kmv(hashes: Column, k: Int): Column =
     Bridge.aggColumn(KmvAgg(Bridge.expr(hashes), k))
+}
+
+/** The KMV insert move, shared by the batch aggregate above and the
+  * streaming per-corpus state
+  * ([[graft.streaming.DocStream.kmvStream]]) — same code, so the
+  * streamed sketch CONTENT equals the batch sketch bit-for-bit on any
+  * batch split (k smallest of a union is symmetric).
+  */
+object Kmv {
+  def insert(s: mutable.TreeSet[Long], v: Long, k: Int): Unit =
+    if (s.size < k) s.add(v)
+    else if (v < s.last) { // s.last = current kth minimum
+      if (s.add(v)) s.remove(s.last)
+    }
 }

@@ -1,9 +1,10 @@
 package graft.sim
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{BitOps, FloatVec, TopK}
+import graft.sources.IndexCatalog
 
 /** Binary (1-bit) sign-quantized ANN — the 32× compression tier below
   * [[AnnSq8]]'s 4×: each dimension keeps only its sign, distance is
@@ -78,5 +79,92 @@ object AnnBinary {
       TopK.perKey(exact, Seq("qid"), "cos_sim", "nid", k)
         .select(col("qid"), col("nid"), round(col("cos_sim"), 4).as("cos_sim"))
     }
+  }
+
+  // ---- persisted serving layout ([[IndexCatalog]]) -------------------
+
+  private val Kind = "binary_ann"
+
+  /** Persist the packed corpus as a catalog entry. The code table is
+    * corpus-sized (d/8 bytes + id per row), so it is written as a
+    * REFERENCED parquet dataset under the entry (the [[IndexCatalog]]
+    * corpus-payload convention), not a driver-bounded part: the
+    * popcount scan side of a fresh session never touches float
+    * vectors. `dims` travels in props so a serve under different
+    * geometry is refused, not silently wrong. Encoding is stateless,
+    * so append = encode the new batch and write it next to the old
+    * codes — no retraining, no merge.
+    */
+  def saveCodes(
+      spark: SparkSession,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      dims: Int): Unit = {
+    encode(corpus, idCol, vecCol).write.mode("overwrite").parquet(s"$path/codes")
+    IndexCatalog.write(
+      spark, path, Kind,
+      Map("dims" -> dims.toString, "codes" -> s"$path/codes"),
+      Seq.empty)
+  }
+
+  def appendCodes(
+      spark: SparkSession,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String): Unit = {
+    val meta = IndexCatalog.open(spark, path, Kind)
+    encode(corpus, idCol, vecCol).write.mode("append").parquet(meta.prop("codes"))
+  }
+
+  /** [[topK]] served from persisted codes: the Hamming scan reads the
+    * stored packed table (never the float corpus); only the rerank
+    * shortlist joins `corpus` for exact vectors.
+    */
+  def topKIndexed(
+      spark: SparkSession,
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      k: Int,
+      shortlist: Int
+  ): DataFrame = {
+    val meta = IndexCatalog.open(spark, path, Kind)
+    val dims = meta.propInt("dims")
+    val codes = spark.read.parquet(meta.prop("codes")).withColumnRenamed(idCol, "nid")
+    require(shortlist > 0, "topKIndexed serves the rerank path; shortlist must be > 0")
+    // geometry guard: a query packed under different dims must fail
+    // loudly (truncated Hamming is silently wrong, the worst failure)
+    val qs = queries.select(
+      col(idCol).as("qid"),
+      col(vecCol).as("qv"),
+      when(
+        size(col(vecCol)) === dims,
+        BitOps.pack(col(vecCol)))
+        .otherwise(raise_error(concat(
+          lit(s"AnnBinary: query vector dims != index dims $dims, got "),
+          size(col(vecCol)).cast("string"))))
+        .as("qbits"))
+
+    val scored = codes
+      .crossJoin(broadcast(qs))
+      .where(col("qid") =!= col("nid"))
+      .withColumn("hamming", BitOps.hamming(col("qbits"), col("bits")))
+    val cand = TopK.perKey(
+      scored.withColumn("neg_h", -col("hamming")),
+      Seq("qid"), "neg_h", "nid", math.max(k, shortlist), carry = Seq("qv"))
+    val exact = cand
+      .select(col("qid"), col("qv"), col("nid"))
+      .join(corpus.select(col(idCol).as("nid"), col(vecCol).as("nv")), Seq("nid"))
+      .withColumn(
+        "cos_sim",
+        FloatVec.dot(col("qv"), col("nv")) /
+          (FloatVec.norm(col("qv")) * FloatVec.norm(col("nv"))))
+    TopK.perKey(exact, Seq("qid"), "cos_sim", "nid", k)
+      .select(col("qid"), col("nid"), round(col("cos_sim"), 4).as("cos_sim"))
   }
 }

@@ -41,6 +41,11 @@ import graft.functions._
   *   cdc_gear(text, minLen, maxLen, maskBits)
   *                                     gear rolling-hash CDC chunks:
   *                                     array<struct<start,len,hash>>
+  *   binary_pack(v)                    sign bits of array<float>, 32
+  *                                     dims per long word (P7j)
+  *   hamming(a, b)                     XOR+popcount over packed words
+  *   kmv(hs, k)                        AGGREGATE: k smallest distinct
+  *                                     long hashes, ascending (T33)
   */
 object GraftFunctions {
 
@@ -104,6 +109,12 @@ object GraftFunctions {
       GearChunks(
         args(0), intArg(args(1), "minLen"), intArg(args(2), "maxLen"),
         intArg(args(3), "maskBits"))
+    },
+    "binary_pack" -> { args => BinaryPack(args(0)) },
+    "hamming" -> { args => Hamming(args(0), args(1)) },
+    "kmv" -> { args =>
+      // AGGREGATE: k smallest distinct long hashes, ascending
+      KmvAgg(args(0), intArg(args(1), "k")).toAggregateExpression(isDistinct = false)
     }
   )
 

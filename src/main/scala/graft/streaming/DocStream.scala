@@ -534,6 +534,54 @@ object DocStream {
       .toDF(strataCol, "n_tokens", "cms")
   }
 
+  /** Streaming per-corpus KMV distinct-vocabulary sketch — the online
+    * [[graft.text.CorpusOverlap]]: state = the k smallest distinct
+    * token hashes per corpus, updated through the SAME
+    * [[graft.functions.Kmv]] insert the batch aggregate uses, so the
+    * streamed sketch CONTENT equals the batch sketch BIT-FOR-BIT on
+    * any batch split (k smallest of a union is symmetric — the S19
+    * CMS argument). Emits (corpus, kmv, n_kept, theta, distinct_est)
+    * every trigger, the batch `sketches` schema, so the emitted frame
+    * feeds `pairOverlap`/`saveSketches` unchanged: the live "how big
+    * is each source's vocabulary, how much does today's crawl overlap"
+    * dashboard. State ≤ k longs per corpus forever.
+    */
+  def kmvStream(
+      stream: DataFrame,
+      textCol: String,
+      corpusCol: String,
+      k: Int,
+      tokenHash: Column => Column
+  ): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(
+        col(corpusCol).cast("string"),
+        transform(split(col(textCol), " "), tokenHash).as("hs"))
+      .as[(String, Seq[Long])]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Seq[Long], (String, Seq[Long], Long, Long, Double)](
+        GroupStateTimeout.NoTimeout) { (corpus, rows, state) =>
+        val s = scala.collection.mutable.TreeSet.empty[Long]
+        state.getOption.foreach(_.foreach(s.add))
+        rows.foreach(_._2.foreach(h => graft.functions.Kmv.insert(s, h, k)))
+        val kept = s.toSeq // ascending
+        state.update(kept)
+        val m = graft.text.CorpusOverlap.M
+        val (theta, est) =
+          if (kept.size >= k) {
+            val t = kept.last
+            // the batch column's double arithmetic, including rounding
+            (t, BigDecimal((k - 1).toDouble * (m.toDouble / t.toDouble))
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          } else (m, kept.size.toDouble)
+        (corpus, kept, kept.size.toLong, theta, est)
+      }
+      .toDF(corpusCol, "kmv", "n_kept", "theta", "distinct_est")
+  }
+
   def heavyHittersStream(
       stream: DataFrame,
       textCol: String,

@@ -351,4 +351,59 @@ class PlanSpec extends SparkSpec {
     val scans = plan.linesIterator.count(_.contains("Scan parquet"))
     assert(scans == 1, s"expected 1 corpus scan, got $scans\n$plan")
   }
+
+  test("kmv sketches: one corpus scan, one corpus-keyed shuffle, map-side-combined sketch agg") {
+    val docs = Tables.documents(spark, sf)
+    val q = graft.text.CorpusOverlap.sketches(docs, "text", "source", k = 16)
+    val plan = finalPlan(q)
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected 1 corpus scan, got $scans\n$plan")
+    // TypedImperativeAggregate runs as ObjectHashAggregate with a
+    // partial pass before the exchange (map-side combine)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_kmvagg") || plan.contains("partial_kmv"), plan)
+  }
+
+  test("kmv pair overlap: sketch self-join broadcasts — never a shuffle of sketches") {
+    val docs = Tables.documents(spark, sf)
+    val sk = graft.text.CorpusOverlap.sketches(docs, "text", "source", k = 16)
+    val plan = finalPlan(graft.text.CorpusOverlap.pairOverlap(sk))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("binary ANN: queries broadcast over the packed scan; corpus touched twice (scan + rerank fetch)") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = graft.sim.AnnBinary.topK(
+      emb.where(col("vec_id") < 3), emb, "vec_id", "embedding", k = 2, shortlist = 10)
+    val plan = finalPlan(q)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans <= 3, s"expected <= 3 embedding scans (codes + probes + rerank), got $scans\n$plan")
+  }
+
+  test("keyness: corpus-sized count aggregate computed once (exchange reuse), totals broadcast") {
+    val docs = Tables.documents(spark, sf)
+    val q = graft.text.Keyness.g2(docs, "text", "source")
+    val plan = finalPlan(q)
+    // corpTotals/tokTotals/grand re-aggregate the SAME counts subplan:
+    // the token shuffle must be planned once and reused, not re-scanned
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(
+      scans == 1 || plan.contains("ReusedExchange"),
+      s"counts subplan re-executed ($scans scans, no ReusedExchange)\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("js drift: dense frame is corpus-totals x broadcast vocab — corpus scanned once or reused") {
+    val docs = Tables.documents(spark, sf)
+    val q = graft.text.Keyness.jsDivergence(docs, "text", "source")
+    val plan = finalPlan(q)
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(
+      scans == 1 || plan.contains("ReusedExchange"),
+      s"counts subplan re-executed ($scans scans, no ReusedExchange)\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }

@@ -1183,6 +1183,37 @@ class SimSpec extends SparkSpec {
     assert(got === ref)
   }
 
+  test("AnnBinary persisted codes: served search ≡ in-memory, append visible, guards loud") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val head = emb.where($"vec_id" < 400)
+    val tail = emb.where($"vec_id" >= 400)
+    val queries = emb.where($"vec_id" < 3)
+    val dir = java.nio.file.Files.createTempDirectory("bin_ann").toString
+    AnnBinary.saveCodes(spark, head, "vec_id", "embedding", dir, dims = 64)
+    AnnBinary.appendCodes(spark, tail, "vec_id", "embedding", dir)
+    val served = AnnBinary
+      .topKIndexed(spark, queries, emb, "vec_id", "embedding", dir, k = 4, shortlist = 30)
+      .select("qid", "nid", "cos_sim").as[(Long, Long, Double)].collect().toSet
+    val mem = AnnBinary
+      .topK(queries, emb, "vec_id", "embedding", k = 4, shortlist = 30)
+      .select("qid", "nid", "cos_sim").as[(Long, Long, Double)].collect().toSet
+    assert(served === mem)
+    assert(served.exists(_._2 >= 400), "appended codes never searched")
+    val e1 = intercept[Exception] {
+      graft.sources.IndexCatalog.open(spark, dir, "sq8")
+    }
+    assert(e1.getMessage.contains("kind"))
+    val shortQ = Seq((99L, Array.fill(32)(1.0f))).toDF("vec_id", "embedding")
+    val e2 = intercept[Exception] {
+      AnnBinary.topKIndexed(spark, shortQ, emb, "vec_id", "embedding", dir,
+        k = 2, shortlist = 10).collect()
+    }
+    val chain = Iterator.iterate[Throwable](e2)(_.getCause).takeWhile(_ != null)
+      .map(t => String.valueOf(t.getMessage)).mkString("|")
+    assert(chain.contains("dims"), chain.take(300))
+  }
+
   test("HardNegatives: near-dup excluded even at cosine ~1, best non-dup wins, k ranks per query") {
     import org.apache.spark.sql.functions._
     // doc 1 ~ doc 2 (near-dup: one token changed in 12 -> jaccard well

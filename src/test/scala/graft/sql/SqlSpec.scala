@@ -120,6 +120,37 @@ class SqlSpec extends SparkSpec {
     assert(skipped == Seq(1.0, 2.0, 4.0))
   }
 
+  test("binary_pack / hamming / kmv SQL ≡ DataFrame bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val vecs = Seq(
+      (1L, Array(-1.0f, 2.0f, -3.0f, 4.0f)),
+      (2L, Array(1.0f, -2.0f, 3.0f, -4.0f))
+    ).toDF("id", "v")
+    vecs.createOrReplaceTempView("bp_in")
+    val viaSql = spark.sql(
+      """SELECT a.id, binary_pack(a.v) AS bits,
+        |  hamming(binary_pack(a.v), binary_pack(b.v)) AS h
+        |FROM bp_in a JOIN bp_in b ON b.id = 1 ORDER BY a.id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toSeq
+    val packed = vecs.select(col("id"), graft.functions.BitOps.pack(col("v")).as("bits"))
+    val ref = packed
+      .crossJoin(packed.where(col("id") === 1).select(col("bits").as("qb")))
+      .select(col("id"), col("bits"),
+        graft.functions.BitOps.hamming(col("bits"), col("qb")).as("h"))
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toSeq
+    assert(viaSql === ref)
+    assert(viaSql.head._3 === 0L) // self
+    assert(viaSql(1)._3 === 4L) // full sign flip
+
+    val hs = Seq(Seq(9L, 3L, 3L), Seq(1L, 7L)).toDF("hs")
+    hs.createOrReplaceTempView("kmv_in")
+    val sqlKmv = spark.sql("SELECT kmv(hs, 3) FROM kmv_in").head().getSeq[Long](0)
+    val dfKmv = hs.agg(graft.functions.KmvAgg.kmv(col("hs"), 3)).head().getSeq[Long](0)
+    assert(sqlKmv === dfKmv)
+    assert(sqlKmv === Seq(1L, 3L, 7L))
+  }
+
   test("GraftExtensions injects the same function list (wiring smoke)") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; names stay unique

@@ -697,4 +697,50 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("streaming KMV sketch: kept values EXACTLY equal the batch sketch on any batch split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      graft.functions.SharedHash.md5Long60
+    val k = 8
+
+    val ms = MemoryStream[(String, String)]
+    val df = ms.toDF.toDF("source", "text")
+    val out = DocStream.kmvStream(df, "text", "source", k, hashFn)
+    val q = out.writeStream.outputMode("update").format("memory").queryName("kmv_stream").start()
+    // s1 exceeds k distinct tokens (estimator branch); s2 stays exact
+    val b1 = Seq(("s1", "a b c d e f"), ("s2", "x y"))
+    val b2 = Seq(("s1", "g h i j a b"), ("s2", "y z"))
+    val b3 = Seq(("s1", "k l m n"), ("s2", "x"))
+    try {
+      Seq(b1, b2, b3).foreach { b => ms.addData(b); q.processAllAvailable() }
+      val live = spark.table("kmv_stream")
+        .groupBy("source").agg(org.apache.spark.sql.functions.max_by(
+          org.apache.spark.sql.functions.struct($"n_kept", $"kmv", $"theta", $"distinct_est"),
+          $"n_kept").as("s"))
+        .select($"source", $"s.kmv", $"s.n_kept", $"s.theta", $"s.distinct_est")
+        .collect()
+        .map(r => r.getString(0) -> (r.getSeq[Long](1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toMap
+
+      val batchDocs = (b1 ++ b2 ++ b3).zipWithIndex
+        .map { case ((s, t), i) => (i.toLong, t, s) }.toDF("doc_id", "text", "source")
+      val batch = graft.text.CorpusOverlap.sketches(batchDocs, "text", "source", k)
+        .collect()
+        .map(r => r.getString(r.fieldIndex("corpus")) -> (
+          r.getSeq[Long](r.fieldIndex("kmv")),
+          r.getLong(r.fieldIndex("n_kept")),
+          r.getLong(r.fieldIndex("theta")),
+          r.getDouble(r.fieldIndex("distinct_est"))))
+        .toMap
+
+      assert(live.keySet == Set("s1", "s2"))
+      live.foreach { case (src, got) =>
+        assert(got === batch(src), s"$src stream/batch sketch diverge: $got vs ${batch(src)}")
+      }
+      assert(live("s1")._2 === k.toLong) // estimator branch exercised
+      assert(live("s2")._3 === graft.text.CorpusOverlap.M) // exact branch
+    } finally q.stop()
+  }
 }
