@@ -30,6 +30,16 @@ case class VecSumAgg(
 ) extends TypedImperativeAggregate[Array[Double]]
     with UnaryLike[Expression] {
 
+  // element accessor resolved ONCE from the input type: float vectors
+  // (raw embeddings) and double vectors (normalized [[graft.sim.HashEmbed]]
+  // output, [[graft.sim.DocEmbed]] pooling) both sum in double
+  private lazy val isDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"VecSumAgg: expected array<float> or array<double>, got $other")
+  }
+
   override def createAggregationBuffer(): Array[Double] = Array.emptyDoubleArray
 
   override def update(buffer: Array[Double], input: InternalRow): Array[Double] = {
@@ -41,7 +51,8 @@ case class VecSumAgg(
       val b = if (buffer.length == 0) new Array[Double](n) else buffer
       require(b.length == n, s"vector length mismatch: ${b.length} vs $n")
       var i = 0
-      while (i < n) { b(i) += arr.getFloat(i); i += 1 }
+      if (isDouble) while (i < n) { b(i) += arr.getDouble(i); i += 1 }
+      else while (i < n) { b(i) += arr.getFloat(i); i += 1 }
       b
     }
   }
@@ -83,6 +94,8 @@ case class VecSumAgg(
 }
 
 object VecSumAgg {
-  /** Column form: element-wise sum (array<double>) of an array<float> column. */
+  /** Column form: element-wise sum (array<double>) of an array<float>
+    * or array<double> column.
+    */
   def vecSum(vec: Column): Column = Bridge.aggColumn(VecSumAgg(Bridge.expr(vec)))
 }

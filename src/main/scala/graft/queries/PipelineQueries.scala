@@ -2851,10 +2851,61 @@ object PipelineQueries {
     )
   )
 
+  // ---- P22: chunk-pooled long-document embeddings (FULL oracle —
+  // the q55 chunker replay feeds the q112 embed replay per chunk,
+  // sum-pool + normalize per doc, cosine top-3 on the rounded value;
+  // 4dp absorbs pool-summation order, margins probed) ---------------
+  val q121 = Q(
+    "q121_doc_embed",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.sim.DocEmbed
+        .topK(docs, "text", "doc_id", docs.where(col("doc_id") < 10), k = 3)
+        .orderBy(col("qid"), col("cos_sim").desc, col("nid"))
+    },
+    Some(
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+         |c AS (SELECT doc_id, a, len(a)::BIGINT AS n,
+         |        CASE WHEN len(a) <= 20 THEN 1
+         |             ELSE (len(a) - 20 + 14) // 15 + 1 END AS nc
+         |      FROM t),
+         |chunks AS (SELECT doc_id, doc_id::VARCHAR || ':' || i::VARCHAR AS cid,
+         |             array_to_string(a[i * 15 + 1 : least(i * 15 + 20, n)], ' ') AS chunk_text
+         |           FROM c, UNNEST(generate_series(0, nc - 1)) AS u(i)),
+         |toks AS (SELECT doc_id, cid, unnest(string_split(chunk_text, ' ')) AS token FROM chunks),
+         |hs AS (SELECT doc_id, cid, ${graft.functions.SharedHash.md5Long60Sql("token")} AS h FROM toks),
+         |cells AS (SELECT doc_id, cid, h % 64 AS idx,
+         |            sum(1 - 2 * ((h >> 30) & 1))::BIGINT AS s
+         |          FROM hs GROUP BY 1, 2, 3),
+         |dense AS (SELECT ch.doc_id, ch.cid, i.i AS idx, COALESCE(cl.s, 0) AS s
+         |          FROM chunks ch
+         |          CROSS JOIN (SELECT unnest(range(64)) AS i) i
+         |          LEFT JOIN cells cl ON cl.cid = ch.cid AND cl.idx = i.i),
+         |cnrm AS (SELECT cid, sqrt(sum(s * s)) AS cn FROM dense GROUP BY 1),
+         |cvecs AS (SELECT dense.doc_id, dense.cid, idx,
+         |            CASE WHEN cn > 0 THEN s::DOUBLE / cn ELSE s::DOUBLE END AS v
+         |          FROM dense JOIN cnrm USING (cid)),
+         |pool AS (SELECT doc_id, idx, sum(v) AS sv FROM cvecs GROUP BY 1, 2),
+         |dnrm AS (SELECT doc_id, sqrt(sum(sv * sv)) AS dn FROM pool GROUP BY 1),
+         |dvecs AS (SELECT pool.doc_id, idx,
+         |            CASE WHEN dn > 0 THEN sv / dn ELSE sv END AS v
+         |          FROM pool JOIN dnrm USING (doc_id)),
+         |pairs AS (SELECT a.doc_id AS qid, b.doc_id AS nid, round(sum(a.v * b.v), 4) AS cos_sim
+         |          FROM dvecs a JOIN dvecs b ON a.idx = b.idx
+         |            AND a.doc_id < 10 AND b.doc_id <> a.doc_id
+         |          GROUP BY 1, 2),
+         |r AS (SELECT qid, nid, cos_sim,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rk
+         |      FROM pairs)
+         |SELECT qid, nid, cos_sim FROM r WHERE rk <= 3
+         |ORDER BY qid, cos_sim DESC, nid""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
-      q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120)
+      q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121)
 }

@@ -1214,6 +1214,45 @@ class SimSpec extends SparkSpec {
     assert(chain.contains("dims"), chain.take(300))
   }
 
+  test("DocEmbed: pooled = normalized chunk-vector sum, single-chunk identity, unit norm, chunk count") {
+    import org.apache.spark.sql.functions._
+    val md5 = graft.functions.SharedHash.md5Long60 _
+    // doc 1: 35 tokens -> exactly 2 chunks at size 20 / stride 15;
+    // doc 2: 5 tokens -> 1 chunk
+    val longText = (0 until 35).map(i => s"w$i").mkString(" ")
+    val shortText = "a b c d e"
+    val docs = Seq((1L, longText), (2L, shortText)).toDF("doc_id", "text")
+    val pooled = DocEmbed.pooled(docs, "text", "doc_id", dims = 64)
+      .collect().map(r => r.getLong(0) -> (
+        r.getSeq[Double](r.fieldIndex("embedding")), r.getLong(r.fieldIndex("n_chunks"))))
+      .toMap
+    assert(pooled(1L)._2 === 2L)
+    assert(pooled(2L)._2 === 1L)
+    // unit norm
+    pooled.values.foreach { case (v, _) =>
+      assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-12)
+    }
+    // hand pooling: embed the two chunks separately, sum, normalize
+    val chunks = Seq(
+      (10L, (0 until 20).map(i => s"w$i").mkString(" ")),
+      (11L, (15 until 35).map(i => s"w$i").mkString(" "))).toDF("cid", "text")
+    val cvecs = HashEmbed.embed(chunks, "text", "cid", 64, tokenHash = md5)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val sum = cvecs(10L).zip(cvecs(11L)).map { case (a, b) => a + b }
+    val n = math.sqrt(sum.map(x => x * x).sum)
+    val expect = sum.map(_ / n)
+    pooled(1L)._1.zip(expect).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-12, s"$g vs $e")
+    }
+    // single-chunk doc: pooled == its chunk embedding exactly
+    val single = HashEmbed.embed(
+      Seq((2L, shortText)).toDF("doc_id", "text"), "text", "doc_id", 64, tokenHash = md5)
+      .head().getSeq[Double](1)
+    pooled(2L)._1.zip(single).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-12)
+    }
+  }
+
   test("HardNegatives: near-dup excluded even at cosine ~1, best non-dup wins, k ranks per query") {
     import org.apache.spark.sql.functions._
     // doc 1 ~ doc 2 (near-dup: one token changed in 12 -> jaccard well
