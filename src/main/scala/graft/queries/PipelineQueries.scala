@@ -2902,10 +2902,44 @@ object PipelineQueries {
     )
   )
 
+  // ---- T37a: DEFLATE compression-ratio quality tagger (rows-only by
+  // design — DuckDB has no zlib; determinism and the repetition-
+  // separates-from-prose property are pinned in CompressSpec) --------
+  val q122 = Q(
+    "q122_deflate_ratio",
+    (s, dir) =>
+      graft.text.Compressibility
+        .deflateRatio(Tables.documents(s, dir), "text", "doc_id")
+        .orderBy(col("doc_id")),
+    None
+  )
+
+  // ---- T37b: per-doc token Shannon entropy (FULL oracle — closed
+  // form on integer counts, one per-doc sum; 4dp margins probed) -----
+  val q123 = Q(
+    "q123_token_entropy",
+    (s, dir) =>
+      graft.text.Compressibility
+        .tokenEntropy(Tables.documents(s, dir), "text", "doc_id")
+        .orderBy(col("doc_id")),
+    Some(
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT doc_id, tok, count(*)::BIGINT AS cnt FROM toks GROUP BY 1, 2),
+        |t AS (SELECT doc_id, sum(cnt)::BIGINT AS n FROM c GROUP BY 1)
+        |SELECT c.doc_id,
+        |  max(t.n) AS n_tokens_e,
+        |  count(*)::BIGINT AS n_distinct,
+        |  round(-sum((c.cnt::DOUBLE / t.n::DOUBLE) * ln(c.cnt::DOUBLE / t.n::DOUBLE)), 4) AS entropy
+        |FROM c JOIN t USING (doc_id)
+        |GROUP BY c.doc_id
+        |ORDER BY c.doc_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
-      q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121)
+      q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123)
 }
