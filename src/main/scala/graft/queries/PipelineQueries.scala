@@ -2936,10 +2936,68 @@ object PipelineQueries {
     )
   )
 
+  // ---- T38a: per-source percentile calibration (FULL oracle — the
+  // q28 quality replay + percent_rank, an exact rational (rank−1)/(n−1)
+  // on the 4dp-rounded score so ties resolve identically) ------------
+  val q124 = Q(
+    "q124_quality_pct",
+    (s, dir) =>
+      graft.ops.Calibrate
+        .percentileWithin(
+          TextStats.withQuality(Tables.documents(s, dir), "text"),
+          "quality", Seq("source"))
+        .select(col("doc_id"), col("source"), col("quality"), col("pct_rank"))
+        .orderBy(col("doc_id")),
+    Some(
+      """WITH t AS (
+        |  SELECT doc_id, source, text, string_split(text, ' ') AS toks FROM documents),
+        |f AS (
+        |  SELECT doc_id, source,
+        |    len(toks)::DOUBLE AS n,
+        |    len(list_filter(toks, tk -> list_contains(['the','a','of','and','is','to','in'], tk)))::DOUBLE AS stops,
+        |    len(list_distinct(toks))::DOUBLE AS uniq
+        |  FROM t),
+        |q AS (SELECT doc_id, source,
+        |        round(least(n/100.0, 1.0)*0.4 + (1.0 - stops/n)*0.3 + (uniq/n)*0.3, 4) AS quality
+        |      FROM f)
+        |SELECT doc_id, source, quality,
+        |  round(percent_rank() OVER (PARTITION BY source ORDER BY quality), 4) AS pct_rank
+        |FROM q ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  // ---- T38b: robust z (median/MAD) per source (FULL oracle — exact
+  // sort-based median both engines, outputs rounded 4dp because the
+  // two engines' interpolation arithmetic may differ in the last ulp) -
+  val q125 = Q(
+    "q125_robust_z",
+    (s, dir) =>
+      graft.ops.Calibrate
+        .robustZ(Tables.documents(s, dir), "n_chars", Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          round(col("med"), 4).as("med"), round(col("mad"), 4).as("mad"), col("robust_z"))
+        .orderBy(col("doc_id")),
+    Some(
+      """WITH m AS (SELECT source, quantile_cont(n_chars, 0.5) AS med
+        |           FROM documents GROUP BY 1),
+        |d AS (SELECT doc_id, documents.source, n_chars, med
+        |      FROM documents JOIN m ON m.source = documents.source),
+        |md AS (SELECT source, quantile_cont(abs(n_chars - med), 0.5) AS mad
+        |       FROM d GROUP BY 1)
+        |SELECT d.doc_id, d.source, d.n_chars,
+        |  round(d.med, 4) AS med, round(md.mad, 4) AS mad,
+        |  CASE WHEN md.mad > 0
+        |    THEN round((d.n_chars - d.med) / (1.4826 * md.mad), 4)
+        |    ELSE 0.0 END AS robust_z
+        |FROM d JOIN md ON md.source = d.source
+        |ORDER BY d.doc_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
-      q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123)
+      q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125)
 }
