@@ -2994,10 +2994,89 @@ object PipelineQueries {
     )
   )
 
+  // ---- T12b: Luhn-validated card redaction (FULL oracle). The corpus
+  // has no digit runs, so the query CONSTRUCTS deterministic
+  // candidates from doc_id — even ids get a computed Luhn check digit
+  // and 4-4-4-4 spacing (valid, redacted, separators stripped), odd
+  // ids get a bare 15-digit run that passes only when Luhn happens to
+  // hold (~10%, data-dependent) — both engines replay construction,
+  // checksum, and the redacted text itself. -------------------------
+  val q126 = Q(
+    "q126_card_redact",
+    (s, dir) => {
+      val base15 = concat(
+        lit("4"),
+        lpad(pmod(col("doc_id") * lit(2654435761L), lit(100000000000000L)).cast("string"),
+          14, "0"))
+      // parity-shifted sum of base15 (appended digit occupies the
+      // un-doubled last slot): luhnSum(base15 || '0')
+      val s0 = graft.text.Redact.luhnSum(concat(base15, lit("0")))
+      val check = pmod(lit(10) - pmod(s0, lit(10)), lit(10)).cast("string")
+      val full16 = concat(base15, check)
+      val spaced = concat_ws(" ",
+        substring(full16, 1, 4), substring(full16, 5, 4),
+        substring(full16, 9, 4), substring(full16, 13, 4))
+      val cand = when(col("doc_id") % 2 === 0, spaced).otherwise(base15)
+      val df = Tables.documents(s, dir)
+        .withColumn("txt", concat(col("text"), lit(" card "), cand))
+      graft.text.Redact.withCardRedaction(df, "txt")
+        .select(col("doc_id"), col("n_card_candidates"), col("n_cards"),
+          col("n_luhn_rejected"), col("text_cards_redacted"))
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      """WITH cons AS (
+        |  SELECT doc_id, text,
+        |    '4' || lpad(((doc_id * 2654435761) % 100000000000000)::VARCHAR, 14, '0') AS base15
+        |  FROM documents),
+        |chk AS (
+        |  SELECT doc_id, text, base15,
+        |    list_sum(list_transform(range(1, len(base15 || '0') + 1), i ->
+        |      CASE WHEN (len(base15 || '0') - i) % 2 = 1
+        |        THEN CASE WHEN 2 * substr(base15 || '0', i, 1)::INT > 9
+        |               THEN 2 * substr(base15 || '0', i, 1)::INT - 9
+        |               ELSE 2 * substr(base15 || '0', i, 1)::INT END
+        |        ELSE substr(base15 || '0', i, 1)::INT END))::BIGINT AS s0
+        |  FROM cons),
+        |cand AS (
+        |  SELECT doc_id,
+        |    text || ' card ' ||
+        |      CASE WHEN doc_id % 2 = 0 THEN
+        |        substr(f16, 1, 4) || ' ' || substr(f16, 5, 4) || ' ' ||
+        |        substr(f16, 9, 4) || ' ' || substr(f16, 13, 4)
+        |      ELSE base15 END AS txt
+        |  FROM (SELECT *, base15 || ((10 - (s0 % 10)) % 10)::VARCHAR AS f16 FROM chk)),
+        |ext AS (
+        |  SELECT doc_id, txt,
+        |    regexp_extract_all(txt, '\b(?:[0-9][ -]?){12,18}[0-9]\b') AS cands
+        |  FROM cand),
+        |val AS (
+        |  SELECT doc_id, txt, cands,
+        |    list_filter(cands, c ->
+        |      len(replace(replace(c, ' ', ''), '-', '')) BETWEEN 13 AND 19
+        |      AND list_sum(list_transform(
+        |            range(1, len(replace(replace(c, ' ', ''), '-', '')) + 1), i ->
+        |        CASE WHEN (len(replace(replace(c, ' ', ''), '-', '')) - i) % 2 = 1
+        |          THEN CASE WHEN 2 * substr(replace(replace(c, ' ', ''), '-', ''), i, 1)::INT > 9
+        |                 THEN 2 * substr(replace(replace(c, ' ', ''), '-', ''), i, 1)::INT - 9
+        |                 ELSE 2 * substr(replace(replace(c, ' ', ''), '-', ''), i, 1)::INT END
+        |          ELSE substr(replace(replace(c, ' ', ''), '-', ''), i, 1)::INT END)) % 10 = 0
+        |    ) AS valid
+        |  FROM ext)
+        |SELECT doc_id,
+        |  len(cands)::BIGINT AS n_card_candidates,
+        |  len(valid)::BIGINT AS n_cards,
+        |  (len(cands) - len(valid))::BIGINT AS n_luhn_rejected,
+        |  list_reduce(list_prepend(txt, valid), (acc, c) -> replace(acc, c, '[CARD]'))
+        |    AS text_cards_redacted
+        |FROM val ORDER BY doc_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
-      q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125)
+      q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126)
 }

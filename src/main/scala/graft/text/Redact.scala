@@ -51,4 +51,51 @@ object Redact {
       .withColumn("n_phones", regexp_count(afterIp, lit(PhonePattern)))
       .withColumn("text_redacted", redactText(col(textCol)))
   }
+
+  // ---- Luhn-validated payment-card redaction -------------------------
+  // A bare digit-run pattern redacts order ids, timestamps and ISBNs as
+  // "cards"; the Luhn mod-10 checksum (public, ISO/IEC 7812) rejects
+  // ~90% of random digit runs, so validation belongs IN the scrubber.
+  // Pure column algebra in the portable regex/HOF subset — the checksum
+  // replays exactly in the DuckDB oracle.
+
+  /** 13–19 digits with optional single space/dash separators. */
+  val CardCandidatePattern = "\\b(?:[0-9][ -]?){12,18}[0-9]\\b"
+
+  /** Luhn weighted digit sum of a pure digit string: from the RIGHT,
+    * double every second digit, subtract 9 when the double exceeds 9.
+    */
+  def luhnSum(digits: Column): Column =
+    aggregate(
+      sequence(lit(1), length(digits)),
+      lit(0),
+      (acc, i) => {
+        val d = digits.substr(i, lit(1)).cast("int")
+        val dd = when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)
+        acc + when(((length(digits) - i) % 2) === 1, dd).otherwise(d)
+      })
+
+  /** Candidate (possibly separator-bearing) passes iff its digit count
+    * is 13–19 and the Luhn sum is ≡ 0 (mod 10).
+    */
+  def luhnValid(cand: Column): Column = {
+    val digits = replace(replace(cand, lit(" "), lit("")), lit("-"), lit(""))
+    length(digits).between(13, 19) && luhnSum(digits) % 10 === 0
+  }
+
+  /** Adds `n_card_candidates`, `n_cards` (Luhn-valid, redacted),
+    * `n_luhn_rejected` (the false positives validation saved) and
+    * `text_cards_redacted` (valid candidates replaced with [CARD] in
+    * document order).
+    */
+  def withCardRedaction(df: DataFrame, textCol: String): DataFrame = {
+    val cands = regexp_extract_all(col(textCol), lit(CardCandidatePattern), lit(0))
+    val valid = filter(cands, c => luhnValid(c))
+    df.withColumn("n_card_candidates", size(cands).cast("long"))
+      .withColumn("n_cards", size(valid).cast("long"))
+      .withColumn("n_luhn_rejected", (size(cands) - size(valid)).cast("long"))
+      .withColumn(
+        "text_cards_redacted",
+        aggregate(valid, col(textCol), (acc, c) => replace(acc, c, lit("[CARD]"))))
+  }
 }

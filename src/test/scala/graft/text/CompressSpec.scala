@@ -33,6 +33,29 @@ class CompressSpec extends SparkSpec {
     assert(repDef === n.toLong)
   }
 
+  test("Luhn card redaction: known-valid card redacted through separators, invalid kept, counts audit") {
+    val docs = Seq(
+      (1L, "pay with 4111 1111 1111 1111 today"), // canonical valid test number
+      (2L, "ref 4111 1111 1111 1112 thanks"), // off-by-one: fails Luhn
+      (3L, "order 4111-1111-1111-1111 shipped"), // dashes strip too
+      (4L, "no digits here at all"),
+      (5L, "pin 1234 code 99") // too short: not even a candidate
+    ).toDF("doc_id", "text")
+    val got = Redact.withCardRedaction(docs, "text")
+      .select("doc_id", "n_card_candidates", "n_cards", "n_luhn_rejected", "text_cards_redacted")
+      .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._3 === 1L)
+    assert(got(1L)._5 === "pay with [CARD] today")
+    assert(got(2L) === ((2L, 1L, 0L, 1L, "ref 4111 1111 1111 1112 thanks")))
+    assert(got(3L)._5 === "order [CARD] shipped")
+    assert(got(4L) === ((4L, 0L, 0L, 0L, "no digits here at all")))
+    assert(got(5L) === ((5L, 0L, 0L, 0L, "pin 1234 code 99")))
+    // luhnSum reference: 4111111111111111 -> weighted sum 30
+    val s = docs.sparkSession.range(1)
+      .select(Redact.luhnSum(lit("4111111111111111"))).head().getInt(0)
+    assert(s === 30)
+  }
+
   test("token entropy: uniform tokens hit ln(k), constant doc hits 0, reference parity") {
     val uniform = (0 until 8).map(i => s"t$i").mkString(" ") // 8 distinct once each
     val const = "x x x x x x"
