@@ -192,4 +192,42 @@ object Sampling {
       seed: Long
   ): DataFrame =
     df.stat.sampleBy(col(strataCol), fractions, seed)
+
+  /** Exact-size weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006, the exponential-clocks form): row i gets key
+    * −ln(u_i)/w_i with u_i the deterministic salted-hash uniform; the n
+    * SMALLEST keys are a weighted sample without replacement with
+    * inclusion probabilities ∝ w (the A-ES result). Quality-weighted
+    * corpus subsetting in one expression: reproducible across runs,
+    * cluster sizes and engines (u is the [[shuffleKey]] uniform), and
+    * the top-n plans as TakeOrderedAndProject — per-partition bounded
+    * heaps, no global sort shuffle.
+    *
+    * Zero/negative weights are excluded loudly (a weight of 0 must not
+    * win on hash luck). Ties break on id.
+    */
+  def weightedTake(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      n: Int,
+      salt: String = "graft"
+  ): DataFrame = {
+    val u =
+      (shuffleKey(col(idCol), salt).cast("double") + lit(1.0)) /
+        lit(1152921504606846976.0 /* 2^60 */) // +1 keeps u in (0, 1]
+    val guarded = df.withColumn(
+      "__w",
+      when(
+        col(weightCol).isNull || col(weightCol) <= 0,
+        raise_error(concat(
+          lit(s"weightedTake: non-positive weight for id="),
+          col(idCol).cast("string"))))
+        .otherwise(col(weightCol).cast("double")))
+    guarded
+      .withColumn("__key", -log(u) / col("__w"))
+      .orderBy(col("__key"), col(idCol))
+      .limit(n)
+      .drop("__w")
+  }
 }

@@ -3073,10 +3073,35 @@ object PipelineQueries {
     )
   )
 
+  // ---- T39: Efraimidis–Spirakis weighted sampling without
+  // replacement (FULL oracle — the exponential-clock keys are a
+  // deterministic function of the salted hash, so DuckDB rebuilds
+  // every key and replays the exact top-n cut; boundary margins
+  // probed) ----------------------------------------------------------
+  val q127 = Q(
+    "q127_weighted_take",
+    (s, dir) =>
+      graft.ops.Sampling
+        .weightedTake(
+          Tables.documents(s, dir).select("doc_id", "n_chars"),
+          "doc_id", "n_chars", n = 50)
+        .select(col("doc_id"), col("n_chars"), round(col("__key"), 4).as("es_key"))
+        .orderBy(col("doc_id")),
+    Some(
+      s"""WITH k AS (SELECT doc_id, n_chars,
+         |  -ln((${graft.functions.SharedHash.md5Long60Sql("'graft:' || doc_id::VARCHAR")} + 1.0)
+         |      / 1152921504606846976.0) / n_chars::DOUBLE AS key
+         |  FROM documents)
+         |SELECT doc_id, n_chars, round(key, 4) AS es_key
+         |FROM (SELECT * FROM k ORDER BY key, doc_id LIMIT 50)
+         |ORDER BY doc_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
-      q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126)
+      q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127)
 }

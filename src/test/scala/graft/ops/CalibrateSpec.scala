@@ -23,6 +23,40 @@ class CalibrateSpec extends SparkSpec {
     assert(got(6L) === 0.0 && got(7L) === 1.0)
   }
 
+  test("weightedTake: exact n, partition-deterministic, key formula matches a driver reference, weights bias inclusion") {
+    import graft.ops.Sampling
+    val df = (1L to 400L).map(i => (i, if (i <= 40) 50.0 else 1.0)).toDF("id", "w")
+    def ids(parts: Int, salt: String) = Sampling
+      .weightedTake(df.repartition(parts), "id", "w", n = 60, salt = salt)
+      .select("id").as[Long].collect().toSet
+    val a = ids(1, "s1")
+    assert(a === ids(7, "s1")) // deterministic under partitioning
+    assert(a.size === 60)
+    // reference: recompute keys driver-side, same top-60
+    val M = 1152921504606846976.0
+    val refKeys = (1L to 400L).map { i =>
+      val h = new java.math.BigInteger(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"s1:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+        .longValue()
+      val u = (h.toDouble + 1.0) / M
+      i -> -math.log(u) / (if (i <= 40) 50.0 else 1.0)
+    }
+    val ref = refKeys.sortBy { case (i, k) => (k, i) }.take(60).map(_._1).toSet
+    assert(a === ref)
+    // heavy weights (10% of rows, 50x weight) dominate the sample
+    val heavy = a.count(_ <= 40)
+    assert(heavy > 25, s"only $heavy of 40 heavy rows sampled")
+    // zero weight fails loudly
+    val err = intercept[Exception] {
+      Sampling.weightedTake(
+        Seq((1L, 0.0)).toDF("id", "w"), "id", "w", n = 1).collect()
+    }
+    val chain = Iterator.iterate[Throwable](err)(_.getCause).takeWhile(_ != null)
+      .map(t => String.valueOf(t.getMessage)).mkString("|")
+    assert(chain.contains("non-positive weight"), chain.take(300))
+  }
+
   test("robustZ: hand-computed median/MAD, outlier magnitude, degenerate MAD guarded") {
     val df = Seq(
       (1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0), (4L, "a", 4.0), (5L, "a", 100.0),
