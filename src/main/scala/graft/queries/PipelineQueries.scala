@@ -3098,10 +3098,45 @@ object PipelineQueries {
     )
   )
 
+  // ---- T40: skip-gram pair generation with word2vec subsampling
+  // (FULL oracle — the keep draw is the salted-hash uniform of
+  // (doc, pos), so subsampling, re-positioning and the window pairing
+  // all replay; t = 1e-3 makes the subsample real on this corpus:
+  // common tokens drop ~75% of occurrences) -------------------------
+  val q128 = Q(
+    "q128_skipgram",
+    (s, dir) =>
+      graft.text.SkipGram
+        .pairCounts(Tables.documents(s, dir), "text", "doc_id", window = 2, t = 1e-3)
+        .orderBy(col("center"), col("context")),
+    Some(
+      s"""WITH toks AS (SELECT doc_id, i AS pos, a[i + 1] AS token
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+         |    UNNEST(generate_series(0, len(a) - 1)) AS u(i)),
+         |f AS (SELECT token, count(*)::BIGINT AS c FROM toks GROUP BY 1),
+         |n AS (SELECT count(*)::BIGINT AS n FROM toks),
+         |kp AS (SELECT t.doc_id, t.pos, t.token,
+         |         least(1.0, (sqrt((f.c::DOUBLE / n.n::DOUBLE) / 0.001) + 1.0) * 0.001
+         |           / (f.c::DOUBLE / n.n::DOUBLE)) AS p,
+         |         ${graft.functions.SharedHash.md5Long60Sql(
+               "'sg:' || t.doc_id::VARCHAR || ':' || t.pos::VARCHAR")}::DOUBLE
+         |           / 1152921504606846976.0 AS u
+         |       FROM toks t JOIN f USING (token) CROSS JOIN n),
+         |kept AS (SELECT doc_id, token,
+         |           row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS np
+         |         FROM kp WHERE u < p),
+         |prs AS (SELECT a.token AS center, b.token AS context
+         |        FROM kept a JOIN kept b ON a.doc_id = b.doc_id
+         |          AND a.np <> b.np AND abs(a.np - b.np) <= 2)
+         |SELECT center, context, count(*)::BIGINT AS cnt FROM prs
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
-      q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127)
+      q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128)
 }
