@@ -3133,10 +3133,65 @@ object PipelineQueries {
     )
   )
 
+  // ---- P20b: idf-weighted hash embeddings (FULL oracle — q112's
+  // replay with the T7 smoothed-idf weight joined on the token hash;
+  // cells are double sums so 4dp absorbs summation order, margins
+  // probed) ----------------------------------------------------------
+  val q129 = Q(
+    "q129_hash_embed_idf",
+    (s, dir) => {
+      val emb = graft.sim.HashEmbed
+        .embedIdf(Tables.documents(s, dir), "text", "doc_id", dims = 64,
+          tokenHash = graft.functions.SharedHash.md5Long60)
+      val probes = emb.where(col("doc_id") < 10)
+        .select(col("doc_id").as("qid"), col("embedding").as("qv"))
+      val scored = emb
+        .select(col("doc_id").as("nid"), col("embedding").as("nv"))
+        .crossJoin(broadcast(probes))
+        .where(col("qid") =!= col("nid"))
+        .withColumn(
+          "cos_sim",
+          round(
+            aggregate(zip_with(col("qv"), col("nv"), (x, y) => x * y),
+              lit(0.0), (acc, x) => acc + x),
+            4))
+      graft.functions.TopK.perKey(scored, Seq("qid"), "cos_sim", "nid", 3)
+        .select(col("qid"), col("nid"), col("cos_sim"))
+        .orderBy(col("qid"), col("cos_sim").desc, col("nid"))
+    },
+    Some(
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |hs AS (SELECT doc_id, ${graft.functions.SharedHash.md5Long60Sql("token")} AS h FROM toks),
+         |dfq AS (SELECT h, count(DISTINCT doc_id)::BIGINT AS dfc FROM hs GROUP BY 1),
+         |nn AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM documents),
+         |cells AS (SELECT hs.doc_id, hs.h % 64 AS idx,
+         |            sum((1 - 2 * ((hs.h >> 30) & 1))::DOUBLE *
+         |                (ln((1.0 + nn.n) / (dfq.dfc::DOUBLE + 1.0)) + 1.0)) AS s
+         |          FROM hs JOIN dfq USING (h) CROSS JOIN nn GROUP BY 1, 2),
+         |dense AS (SELECT d.doc_id, i.i AS idx, COALESCE(c.s, 0.0) AS s
+         |          FROM (SELECT DISTINCT doc_id FROM documents) d
+         |          CROSS JOIN (SELECT unnest(range(64)) AS i) i
+         |          LEFT JOIN cells c ON c.doc_id = d.doc_id AND c.idx = i.i),
+         |nrm AS (SELECT doc_id, sqrt(sum(s * s)) AS nv FROM dense GROUP BY 1),
+         |vecs AS (SELECT dense.doc_id, idx,
+         |           CASE WHEN nv > 0 THEN s / nv ELSE s END AS v
+         |         FROM dense JOIN nrm USING (doc_id)),
+         |pairs AS (SELECT a.doc_id AS qid, b.doc_id AS nid, round(sum(a.v * b.v), 4) AS cos_sim
+         |          FROM vecs a JOIN vecs b ON a.idx = b.idx
+         |            AND a.doc_id < 10 AND b.doc_id <> a.doc_id
+         |          GROUP BY 1, 2),
+         |r AS (SELECT qid, nid, cos_sim,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rk
+         |      FROM pairs)
+         |SELECT qid, nid, cos_sim FROM r WHERE rk <= 3
+         |ORDER BY qid, cos_sim DESC, nid""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
-      q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128)
+      q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129)
 }

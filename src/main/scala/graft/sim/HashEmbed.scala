@@ -71,4 +71,50 @@ object HashEmbed {
   ): DataFrame =
     embed(df, textCol, idCol, dims, tokenHash)
       .select(col(idCol), col("embedding").cast("array<float>").as("embedding"))
+
+  /** [[embed]] with tokens weighted by smoothed idf (the [[graft.text.TfIdf]]
+    * convention, ln((1+N)/(1+df)) + 1) instead of raw counts — the
+    * common-token washout fix: under raw counts two documents cosine-
+    * match on shared stopwords; under idf weights the rare terms carry
+    * the vector. One extra vocab-sized aggregate (distinct-doc counts
+    * per token, keyed on the 64-bit token HASH — gram strings never
+    * shuffle, the novelty lesson) broadcast onto the token stream; the
+    * cell sums become doubles, so unlike [[embed]]'s integer cells the
+    * vector content is exact only up to summation order (outputs are
+    * rounded at the query layer like every float surface).
+    */
+  def embedIdf(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      dims: Int = 64,
+      tokenHash: Column => Column = xxhash64(_)
+  ): DataFrame = {
+    require(dims >= 2, "dims must be >= 2")
+    val h = abs(tokenHash(col("__tok")))
+    val toks = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("__tok"))
+      .select(
+        col(idCol),
+        h.as("__h"),
+        pmod(h, lit(dims)).cast("int").as("__idx"),
+        (lit(1L) - lit(2L) * pmod(shiftright(h, 30), lit(2L))).cast("double").as("__sign"))
+    val dfreq = toks.select(col(idCol), col("__h")).distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__df"))
+    val n = df.select(col(idCol)).distinct().count().toDouble
+    val weighted = toks
+      .join(broadcast(dfreq), Seq("__h"))
+      .withColumn(
+        "__w",
+        col("__sign") *
+          (log((lit(1.0) + n) / (col("__df").cast("double") + lit(1.0))) + lit(1.0)))
+    val sums = (0 until dims).map(d =>
+      sum(when(col("__idx") === d, col("__w")).otherwise(0.0)).as(s"__d$d"))
+    val counted = weighted.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+    val vec = array((0 until dims).map(d => col(s"__d$d")): _*)
+    val nrm = sqrt(aggregate(vec, lit(0.0), (acc, x) => acc + x * x))
+    counted.select(
+      col(idCol),
+      when(nrm > 0, transform(vec, x => x / nrm)).otherwise(vec).as("embedding"))
+  }
 }

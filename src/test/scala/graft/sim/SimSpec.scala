@@ -1214,6 +1214,32 @@ class SimSpec extends SparkSpec {
     assert(chain.contains("dims"), chain.take(300))
   }
 
+  test("embedIdf: rare-term overlap beats stopword overlap (the washout fix); unit norm; raw embed lacks the property here") {
+    import org.apache.spark.sql.functions._
+    val md5 = graft.functions.SharedHash.md5Long60 _
+    // q shares ONLY the rare token 'zyzzyva' with a; r shares ONLY
+    // ubiquitous filler with a. Filler appears in every doc (df = N),
+    // rare tokens in two docs.
+    val fill = "the of and to in is"
+    val docs = (Seq(
+      (1L, s"zyzzyva qat xylo $fill"),
+      (2L, "zyzzyva qat xylo umiaq"),
+      (3L, s"$fill $fill")
+    ) ++ (4L to 20L).map(i => (i, fill))).toDF("doc_id", "text")
+    def cos(emb: Map[Long, Seq[Double]], i: Long, j: Long): Double =
+      emb(i).zip(emb(j)).map { case (x, y) => x * y }.sum
+    val idf = HashEmbed.embedIdf(docs, "text", "doc_id", 64, tokenHash = md5)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    idf.values.foreach(v => assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-12))
+    assert(cos(idf, 1L, 2L) > cos(idf, 1L, 3L),
+      s"idf: rare-term pair ${cos(idf, 1L, 2L)} should beat stopword pair ${cos(idf, 1L, 3L)}")
+    // raw counts: the stopword mass dominates doc 1, so the stopword
+    // pair wins — the exact failure embedIdf exists to fix
+    val raw = HashEmbed.embed(docs, "text", "doc_id", 64, tokenHash = md5)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(cos(raw, 1L, 3L) > cos(raw, 1L, 2L))
+  }
+
   test("DocEmbed: pooled = normalized chunk-vector sum, single-chunk identity, unit norm, chunk count") {
     import org.apache.spark.sql.functions._
     val md5 = graft.functions.SharedHash.md5Long60 _
