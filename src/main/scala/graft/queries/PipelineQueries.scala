@@ -3188,10 +3188,26 @@ object PipelineQueries {
     )
   )
 
+  // ---- P7k: multi-probe LSH (rows-only like every recall-floor ANN
+  // row — the splitmix64 plane construction has no SQL replay; the
+  // probe-set algebra and the recall-vs-single-probe gain are pinned
+  // in SimSpec) ------------------------------------------------------
+  val q130 = Q(
+    "q130_ann_multiprobe",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.sim.AnnLsh
+        .topKMultiProbe(emb.where(col("vec_id") < 10), emb, "vec_id", "embedding",
+          dims = 64, k = 5, numPlanes = 4, numTables = 4, numProbes = 5)
+        .orderBy(col("qid"), col("cos_sim").desc, col("nid"))
+    },
+    None
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
-      q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129)
+      q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130)
 }

@@ -91,4 +91,89 @@ object AnnLsh {
     graft.functions.TopK.perKey(cand, Seq("qid"), "cos_sim", "nid", k)
       .select(col("qid"), col("nid"), round(col("cos_sim"), 4).as("cos_sim"))
   }
+
+  // ---- multi-probe (Lv et al. 2007) ----------------------------------
+
+  /** Probe buckets for one table: the base bucket plus single-bit flips
+    * of the `numProbes − 1` planes whose projections sit CLOSEST to the
+    * hyperplane — the near-boundary planes are exactly where a true
+    * neighbor most likely landed on the other side. Returns an
+    * array<long> of `numProbes` buckets, base first.
+    */
+  def probeBuckets(
+      vec: Column,
+      dims: Int,
+      numPlanes: Int,
+      table: Int,
+      numProbes: Int): Column = {
+    require(numProbes >= 1 && numProbes <= numPlanes + 1,
+      s"numProbes must be in [1, numPlanes + 1]")
+    val projs = array((0 until numPlanes).map { p =>
+      val planeArr =
+        typedlit((0 until dims).map(d => planeComponent(table, p, d).toFloat).toArray)
+      graft.functions.FloatVec.dot(vec, planeArr)
+    }: _*)
+    val base = aggregate(
+      zip_with(projs, sequence(lit(0), lit(numPlanes - 1)),
+        (pr, i) => struct(pr.as("pr"), i.as("i"))),
+      lit(0L),
+      (acc, s) =>
+        acc.bitwiseOR(
+          when(s.getField("pr") > 0,
+            pow(lit(2.0), s.getField("i")).cast("long")).otherwise(lit(0L))))
+    // rank planes by |projection| asc (ties by index — array_sort on
+    // (abs, idx) structs is lexicographic), flip the closest ones
+    val ranked = slice(
+      array_sort(
+        zip_with(transform(projs, abs(_)), sequence(lit(0), lit(numPlanes - 1)),
+          (a, i) => struct(a.as("a"), i.as("i")))),
+      1, numProbes - 1)
+    concat(
+      array(base),
+      transform(ranked, s =>
+        base.bitwiseXOR(pow(lit(2.0), s.getField("i")).cast("long"))))
+  }
+
+  /** [[topK]] with multi-probe queries: the corpus is bucketed ONCE
+    * (same tables, same cost) while each query probes `numProbes`
+    * buckets per table — recall comparable to many more tables at a
+    * fraction of the corpus-side build/storage, the standard
+    * memory/recall trade (Lv 2007). Probing expands only the
+    * broadcast-sized QUERY frame.
+    */
+  def topKMultiProbe(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      k: Int,
+      numPlanes: Int = 12,
+      numTables: Int = 4,
+      numProbes: Int = 4
+  ): DataFrame = {
+    val qprobe = {
+      val tcols = (0 until numTables).map { t =>
+        struct(
+          lit(t).as("table"),
+          probeBuckets(col(vecCol), dims, numPlanes, t, numProbes).as("buckets"))
+      }
+      queries
+        .select(col(idCol).as("qid"), col(vecCol).as("qv"),
+          Cosine.norm(col(vecCol)).as("qn"), explode(array(tcols: _*)).as("tb"))
+        .select(col("qid"), col("qv"), col("qn"), col("tb.table"),
+          explode(col("tb.buckets")).as("bucket"))
+    }
+    val cb = bucketize(corpus, idCol, vecCol, dims, numPlanes, numTables)
+      .select(col("table"), col("bucket"), col(idCol).as("nid"), col(vecCol).as("nv"),
+        Cosine.norm(col(vecCol)).as("nn"))
+    val cand = cb
+      .join(broadcast(qprobe), Seq("table", "bucket"))
+      .where(col("qid") =!= col("nid"))
+      .withColumn("cos_sim", Cosine.cosine(col("qv"), col("nv"), col("qn"), col("nn")))
+      .select(col("qid"), col("nid"), col("cos_sim"))
+      .distinct() // OR across tables AND probes
+    graft.functions.TopK.perKey(cand, Seq("qid"), "cos_sim", "nid", k)
+      .select(col("qid"), col("nid"), round(col("cos_sim"), 4).as("cos_sim"))
+  }
 }

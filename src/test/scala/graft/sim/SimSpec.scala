@@ -1214,6 +1214,41 @@ class SimSpec extends SparkSpec {
     assert(chain.contains("dims"), chain.take(300))
   }
 
+  test("multi-probe LSH: probe set = base + single-bit flips; recall beats single-probe at equal tables") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val one = emb.where($"vec_id" === 0)
+    val probes = one.select(
+      AnnLsh.probeBuckets(col("embedding"), 64, numPlanes = 8, table = 1, numProbes = 5).as("pb"),
+      AnnLsh.bucket(col("embedding"), 64, numPlanes = 8, table = 1).as("base"))
+      .head()
+    val pb = probes.getSeq[Long](0)
+    val base = probes.getLong(1)
+    assert(pb.length === 5)
+    assert(pb.head === base)
+    assert(pb.distinct.length === 5)
+    pb.tail.foreach { b =>
+      assert(java.lang.Long.bitCount(b ^ base) === 1, s"probe $b not 1 flip from $base")
+    }
+
+    val queries = emb.where($"vec_id" < 5)
+    val exact = Cosine.topK(queries, emb, "vec_id", "embedding", k = 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val s = df.select("qid", "nid").as[(Long, Long)].collect().toSet
+      exact.intersect(s).size.toDouble / exact.size
+    }
+    // near-uniform vectors are LSH's hard case (the P7 spec note):
+    // coarse buckets, few tables — multi-probe must claw recall back
+    val single = recall(AnnLsh.topK(
+      queries, emb, "vec_id", "embedding", dims = 64, k = 5, numPlanes = 4, numTables = 4))
+    val multi = recall(AnnLsh.topKMultiProbe(
+      queries, emb, "vec_id", "embedding", dims = 64, k = 5,
+      numPlanes = 4, numTables = 4, numProbes = 5))
+    assert(multi >= single, s"multi-probe recall $multi below single-probe $single")
+    assert(multi >= 0.5, s"multi-probe recall $multi too low")
+  }
+
   test("embedIdf: rare-term overlap beats stopword overlap (the washout fix); unit norm; raw embed lacks the property here") {
     import org.apache.spark.sql.functions._
     val md5 = graft.functions.SharedHash.md5Long60 _
