@@ -3204,10 +3204,74 @@ object PipelineQueries {
     None
   )
 
+  // ---- S21a/b: ordered funnel analysis (FULL oracles — the one-pass
+  // per-user fold is equivalent to the sequential-minimum definition
+  // under the (ts, step) tie rule; the oracle replays the sequential
+  // form, so the equivalence itself is what the hash-match checks) ---
+  private val funnelSteps = Seq("signup", "view", "click", "purchase")
+
+  val q131 = Q(
+    "q131_funnel_users",
+    (s, dir) =>
+      graft.ops.Funnel
+        .userFunnel(Tables.events(s, dir), "user_id", "event_type", "ts", funnelSteps)
+        .orderBy(col("user_id")),
+    Some(
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON s1.user_id = e.user_id
+        |       WHERE e.event_type = 'view' AND e.ts >= s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON s2.user_id = e.user_id
+        |       WHERE e.event_type = 'click' AND e.ts >= s2.t2 GROUP BY 1),
+        |s4 AS (SELECT e.user_id, min(e.ts) AS t4 FROM events e
+        |       JOIN s3 ON s3.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts >= s3.t3 GROUP BY 1)
+        |SELECT s1.user_id,
+        |  CASE WHEN t4 IS NOT NULL THEN 4 WHEN t3 IS NOT NULL THEN 3
+        |       WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS steps_completed,
+        |  s1.t1 AS t_first,
+        |  COALESCE(t4, t3, t2, s1.t1) AS t_done
+        |FROM s1
+        |LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |LEFT JOIN s4 USING (user_id)
+        |ORDER BY s1.user_id""".stripMargin
+    )
+  )
+
+  val q132 = Q(
+    "q132_funnel_conversion",
+    (s, dir) =>
+      graft.ops.Funnel
+        .conversion(Tables.events(s, dir), "user_id", "event_type", "ts", funnelSteps)
+        .orderBy(col("step")),
+    Some(
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON s1.user_id = e.user_id
+        |       WHERE e.event_type = 'view' AND e.ts >= s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON s2.user_id = e.user_id
+        |       WHERE e.event_type = 'click' AND e.ts >= s2.t2 GROUP BY 1),
+        |s4 AS (SELECT e.user_id, min(e.ts) AS t4 FROM events e
+        |       JOIN s3 ON s3.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts >= s3.t3 GROUP BY 1),
+        |cnt AS (SELECT 1 AS step, 'signup' AS step_name, (SELECT count(*) FROM s1)::BIGINT AS users
+        |        UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)::BIGINT
+        |        UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)::BIGINT
+        |        UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)::BIGINT)
+        |SELECT step, step_name, users,
+        |  round(users::DOUBLE / (SELECT users FROM cnt WHERE step = 1)::DOUBLE, 4) AS conv_rate
+        |FROM cnt ORDER BY step""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
-      q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130)
+      q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132)
 }
