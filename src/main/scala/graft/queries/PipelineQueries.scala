@@ -3268,10 +3268,34 @@ object PipelineQueries {
     )
   )
 
+  // ---- S22: cohort retention (FULL oracle — integer epoch-day
+  // buckets on both engines, no calendar-truncation conventions) -----
+  val q133 = Q(
+    "q133_retention",
+    (s, dir) =>
+      graft.ops.Cohorts
+        .retention(Tables.events(s, dir), "user_id", "ts")
+        .orderBy(col("cohort_day"), col("day_offset")),
+    Some(
+      """WITH act AS (SELECT DISTINCT user_id,
+        |               floor(epoch(ts) / 86400)::BIGINT AS day FROM events),
+        |fd AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY 1),
+        |sz AS (SELECT cohort_day, count(*)::BIGINT AS cohort_size FROM fd GROUP BY 1),
+        |r AS (SELECT fd.cohort_day, act.day - fd.cohort_day AS day_offset,
+        |        count(DISTINCT act.user_id)::BIGINT AS n_active
+        |      FROM act JOIN fd ON fd.user_id = act.user_id
+        |      GROUP BY 1, 2)
+        |SELECT r.cohort_day, r.day_offset, r.n_active, sz.cohort_size,
+        |  round(r.n_active::DOUBLE / sz.cohort_size::DOUBLE, 4) AS retention
+        |FROM r JOIN sz ON sz.cohort_day = r.cohort_day
+        |ORDER BY r.cohort_day, r.day_offset""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
-      q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132)
+      q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133)
 }

@@ -57,6 +57,30 @@ class FunnelSpec extends SparkSpec {
       (1, "a", 4L, 1.0), (2, "b", 2L, 0.5), (3, "c", 1L, 0.25)))
   }
 
+  test("cohort retention: hand-checked cohorts, offsets and rates; offset 0 is the full cohort") {
+    def day(d: Int, h: Int = 3) = new Timestamp((d * 86400L + h * 3600L) * 1000L)
+    val ev = Seq(
+      // cohort day 0: users 1,2. user 1 active days 0,1,2; user 2 days 0,2
+      (1L, day(0)), (1L, day(1)), (1L, day(2)),
+      (2L, day(0)), (2L, day(2)),
+      // cohort day 1: user 3, active days 1 and 3
+      (3L, day(1)), (3L, day(3)),
+      // multiple events same day collapse
+      (1L, day(0, 5))
+    ).toDF("user_id", "ts")
+    val got = Cohorts.retention(ev, "user_id", "ts")
+      .select("cohort_day", "day_offset", "n_active", "cohort_size", "retention")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(got((0L, 0L)) === ((2L, 2L, 1.0)))
+    assert(got((0L, 1L)) === ((1L, 2L, 0.5)))
+    assert(got((0L, 2L)) === ((2L, 2L, 1.0)))
+    assert(got((1L, 0L)) === ((1L, 1L, 1.0)))
+    assert(got((1L, 2L)) === ((1L, 1L, 1.0)))
+    assert(!got.contains((1L, 1L))) // user 3 inactive on day 2
+    assert(got.size === 5)
+  }
+
   test("fold is partition-invariant (event arrival order never matters)") {
     val ev = graft.util.Tables.events(spark, sf)
     def run(parts: Int) = Funnel
