@@ -153,4 +153,61 @@ object EventStream {
         col("n"),
         col("sum_value")
       )
+
+  /** Streaming ordered funnel — the online [[graft.ops.Funnel]]: per
+    * user, state = (stage, t_first, t_done), advanced by each
+    * micro-batch's events sorted by the SAME (ts, step) tie rule the
+    * batch fold uses. Emits every user's current funnel row per
+    * trigger.
+    *
+    * Guarantee: equal to the batch `userFunnel` ROW-FOR-ROW when each
+    * user's events arrive timestamp-ordered ACROSS batches (the
+    * per-key-ordered source assumption, e.g. a Kafka partition per
+    * user). The funnel stage only advances, so an out-of-order EARLIER
+    * event cannot be retro-fitted — streams that violate per-key order
+    * need the batch form over a corrected log; stated here rather than
+    * silently approximated.
+    */
+  def funnelStream(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      "steps must be non-empty and distinct")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    events
+      .select(
+        col(userCol).cast("long"),
+        col(typeCol).cast("string"),
+        col(tsCol).cast("timestamp"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .filter(e => stepIdx.contains(e._2))
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Int, java.sql.Timestamp, java.sql.Timestamp),
+        (Long, Int, java.sql.Timestamp, java.sql.Timestamp)](
+        GroupStateTimeout.NoTimeout) { (user, rows, state) =>
+        val zero = new java.sql.Timestamp(0L)
+        var (stage, t1, td) = state.getOption.getOrElse((0, zero, zero))
+        // full-microsecond ordering: Timestamp.getTime is millis only
+        def micros(t: java.sql.Timestamp): Long =
+          (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+        val sorted = rows.toArray.sortBy(e => (micros(e._3), stepIdx(e._2)))
+        sorted.foreach { case (_, tp, ts) =>
+          if (stage < steps.length && stepIdx(tp) == stage) {
+            if (stage == 0) t1 = ts
+            td = ts
+            stage += 1
+          }
+        }
+        state.update((stage, t1, td))
+        (user, stage, t1, td)
+      }
+      .toDF(userCol, "steps_completed", "t_first", "t_done")
+      .where(col("steps_completed") > 0)
+  }
 }

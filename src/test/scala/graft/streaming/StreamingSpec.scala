@@ -743,4 +743,39 @@ class StreamingSpec extends SparkSpec {
       assert(live("s2")._3 === graft.text.CorpusOverlap.M) // exact branch
     } finally q.stop()
   }
+
+  test("streaming funnel ≡ batch userFunnel row-for-row under ts-ordered arrival") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val steps = Seq("signup", "view", "click", "purchase")
+    val ev = graft.util.Tables.events(spark, sf)
+      .select($"user_id", $"event_type", $"ts")
+      .orderBy($"ts") // global ts order implies per-user ts order
+      .as[(Long, String, java.sql.Timestamp)].collect()
+    val n = ev.length
+    val batches = Seq(ev.slice(0, n / 3), ev.slice(n / 3, 2 * n / 3), ev.slice(2 * n / 3, n))
+
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val df = ms.toDF.toDF("user_id", "event_type", "ts")
+    val out = graft.streaming.EventStream.funnelStream(df, "user_id", "event_type", "ts", steps)
+    val q = out.writeStream.outputMode("update").format("memory").queryName("funnel_stream").start()
+    try {
+      batches.foreach { b => ms.addData(b.toSeq); q.processAllAvailable() }
+      val live = spark.table("funnel_stream")
+        .groupBy("user_id").agg(org.apache.spark.sql.functions.max_by(
+          org.apache.spark.sql.functions.struct($"steps_completed", $"t_first", $"t_done"),
+          $"steps_completed").as("s"))
+        .select($"user_id", $"s.steps_completed", $"s.t_first", $"s.t_done")
+        .as[(Long, Int, java.sql.Timestamp, java.sql.Timestamp)]
+        .collect().map(r => r._1 -> r).toMap
+      val batch = graft.ops.Funnel
+        .userFunnel(graft.util.Tables.events(spark, sf), "user_id", "event_type", "ts", steps)
+        .as[(Long, Int, java.sql.Timestamp, java.sql.Timestamp)]
+        .collect().map(r => r._1 -> r).toMap
+      assert(live.keySet === batch.keySet)
+      batch.foreach { case (u, row) =>
+        assert(live(u) === row, s"user $u stream ${live(u)} vs batch $row")
+      }
+    } finally q.stop()
+  }
 }
