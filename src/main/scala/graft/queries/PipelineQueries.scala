@@ -3292,10 +3292,61 @@ object PipelineQueries {
     )
   )
 
+  // ---- T3b: language-confusion matrix (FULL oracle — the q29
+  // classifier replay aggregated against the declared label) ---------
+  val q134 = Q(
+    "q134_lang_confusion",
+    (s, dir) =>
+      graft.text.LangId
+        .confusion(Tables.documents(s, dir), "text", "lang")
+        .orderBy(col("label"), col("pred_lang")),
+    Some(
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |h AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(toks, tk -> list_contains(['the','a','of','and','is'], tk))) AS h_en,
+        |    len(list_filter(toks, tk -> list_contains(['el','la','de','que','y'], tk))) AS h_es,
+        |    len(list_filter(toks, tk -> list_contains(['der','die','das','und','ist'], tk))) AS h_de,
+        |    len(list_filter(toks, tk -> list_contains(['le','les','une','et','est'], tk))) AS h_fr,
+        |    len(list_filter(toks, tk -> list_contains(['的','是','在','了','我'], tk))) AS h_zh
+        |  FROM t),
+        |p AS (SELECT lang AS label,
+        |  CASE WHEN greatest(h_en, h_es, h_de, h_fr, h_zh) = 0 THEN 'und'
+        |       WHEN h_en = greatest(h_en, h_es, h_de, h_fr, h_zh) THEN 'en'
+        |       WHEN h_es = greatest(h_en, h_es, h_de, h_fr, h_zh) THEN 'es'
+        |       WHEN h_de = greatest(h_en, h_es, h_de, h_fr, h_zh) THEN 'de'
+        |       WHEN h_fr = greatest(h_en, h_es, h_de, h_fr, h_zh) THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang
+        |  FROM h),
+        |c AS (SELECT label, pred_lang, count(*)::BIGINT AS n FROM p GROUP BY 1, 2),
+        |tt AS (SELECT label, sum(n)::BIGINT AS label_total FROM c GROUP BY 1)
+        |SELECT c.label, c.pred_lang, c.n, tt.label_total,
+        |  round(c.n::DOUBLE / tt.label_total::DOUBLE, 4) AS share
+        |FROM c JOIN tt ON tt.label = c.label
+        |ORDER BY c.label, c.pred_lang""".stripMargin
+    )
+  )
+
+  // ---- T12c: k-anonymity audit on quasi-identifiers (FULL oracle —
+  // pure integer group arithmetic) -----------------------------------
+  val q135 = Q(
+    "q135_k_anonymity",
+    (s, dir) =>
+      graft.ops.Anonymity
+        .audit(Tables.documents(s, dir), Seq("source", "lang"), k = 5)
+        .orderBy(col("source"), col("lang")),
+    Some(
+      """SELECT source, lang, count(*)::BIGINT AS group_n,
+        |  count(*) < 5 AS at_risk
+        |FROM documents GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
-      q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133)
+      q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135)
 }

@@ -37,4 +37,24 @@ object LangId {
     // foldRight gives priority to the FIRST language in `markers`
     withHits.withColumn("pred_lang", pred)
   }
+
+  /** Confusion matrix of declared label vs predicted language:
+    * (label, pred_lang, n, label_total, share) — share of the label
+    * routed to that prediction (the diagonal share IS per-label recall)
+    * — the calibration check a pipeline runs before trusting either the classifier OR
+    * the upstream metadata (the two disagree on exactly the documents
+    * worth auditing). One classify pass + a cells×labels aggregate.
+    */
+  def confusion(df: DataFrame, textCol: String, labelCol: String): DataFrame = {
+    val pred = withLangId(df, textCol)
+    val cells = pred
+      .groupBy(col(labelCol).as("label"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy("label").agg(sum("n").as("label_total"))
+    cells
+      .join(broadcast(totals), Seq("label"))
+      .withColumn(
+        "share",
+        round(col("n").cast("double") / col("label_total").cast("double"), 4))
+  }
 }

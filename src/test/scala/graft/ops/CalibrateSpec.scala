@@ -57,6 +57,26 @@ class CalibrateSpec extends SparkSpec {
     assert(chain.contains("non-positive weight"), chain.take(300))
   }
 
+  test("k-anonymity: audit flags below-k combos, suppress removes exactly their rows, summary counts the cost") {
+    import graft.ops.Anonymity
+    val df = Seq(
+      (1L, "a", "x"), (2L, "a", "x"), (3L, "a", "x"), // combo (a,x): n=3, safe at k=3
+      (4L, "a", "y"), (5L, "a", "y"), // (a,y): n=2, risky at k=3
+      (6L, "b", "x") // (b,x): n=1, risky
+    ).toDF("id", "src", "lng")
+    val audit = Anonymity.audit(df, Seq("src", "lng"), k = 3)
+      .as[(String, String, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(audit(("a", "x")) === ((3L, false)))
+    assert(audit(("a", "y")) === ((2L, true)))
+    assert(audit(("b", "x")) === ((1L, true)))
+    val sum = Anonymity.summary(df, Seq("src", "lng"), k = 3).head()
+    assert((sum.getLong(0), sum.getLong(1), sum.getLong(2), sum.getLong(3)) === ((3L, 2L, 3L, 1L)))
+    val kept = Anonymity.suppress(df, Seq("src", "lng"), k = 3)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 3L))
+  }
+
   test("robustZ: hand-computed median/MAD, outlier magnitude, degenerate MAD guarded") {
     val df = Seq(
       (1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0), (4L, "a", 4.0), (5L, "a", 100.0),

@@ -121,6 +121,26 @@ class TextSpec extends SparkSpec {
     assert(got == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "fr", 5L -> "zh", 6L -> "und"))
   }
 
+  test("LangId.confusion: mislabels land off-diagonal, shares sum to 1 per label") {
+    val df = Seq(
+      (1L, "the cat is a friend of the dog", "en"),
+      (2L, "the other one is of the same", "en"),
+      (3L, "el perro de la casa es que y grande", "en"), // mislabeled: es text tagged en
+      (4L, "der hund und die katze das ist gut", "de")
+    ).toDF("id", "text", "lang")
+    val got = LangId.confusion(df, "text", "lang")
+      .select("label", "pred_lang", "n", "label_total", "share")
+      .as[(String, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(got(("en", "en")) === ((2L, 3L, 0.6667)))
+    assert(got(("en", "es")) === ((1L, 3L, 0.3333))) // the mislabel surfaces
+    assert(got(("de", "de")) === ((1L, 1L, 1.0)))
+    // shares per label sum to ~1
+    got.groupBy(_._1._1).foreach { case (lbl, cells) =>
+      assert(math.abs(cells.values.map(_._3).sum - 1.0) < 1e-3, s"label $lbl")
+    }
+  }
+
   test("Vocab counts term and document frequency; idf follows the smoothed formula") {
     val docs = Seq(
       (1L, "the cat sat"),
