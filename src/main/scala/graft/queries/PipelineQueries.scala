@@ -3343,10 +3343,74 @@ object PipelineQueries {
     )
   )
 
+  // ---- Z10: per-source dataset-card report (FULL oracle — the whole
+  // composition replayed: volume counts + the q115 KMV estimate + the
+  // q28 quality mean + the q119 JS drift, joined on source) ----------
+  val q136 = Q(
+    "q136_source_report",
+    (s, dir) =>
+      graft.ops.SourceReport
+        .build(Tables.documents(s, dir), "text", "source", kmvK = 16)
+        .orderBy(col("source")),
+    Some(
+      s"""WITH vol AS (SELECT source, count(*)::BIGINT AS n_docs,
+         |               sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+         |             FROM documents GROUP BY 1),
+         |toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |hs AS (SELECT DISTINCT source, ${graft.functions.SharedHash.md5Long60Sql("tok")} AS h FROM toks),
+         |rk AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS r FROM hs),
+         |sk AS (SELECT source, h FROM rk WHERE r <= 16),
+         |vocab AS (SELECT source,
+         |            CASE WHEN count(*) >= 16
+         |              THEN round(15.0 * (1152921504606846976.0 / max(h)), 4)
+         |              ELSE count(*)::DOUBLE END AS distinct_est
+         |          FROM sk GROUP BY 1),
+         |qf AS (SELECT source,
+         |         len(string_split(text, ' '))::DOUBLE AS n,
+         |         len(list_filter(string_split(text, ' '),
+         |           tk -> list_contains(['the','a','of','and','is','to','in'], tk)))::DOUBLE AS stops,
+         |         len(list_distinct(string_split(text, ' ')))::DOUBLE AS uniq
+         |       FROM documents),
+         |qual AS (SELECT source, round(avg(round(
+         |           least(n/100.0, 1.0)*0.4 + (1.0 - stops/n)*0.3 + (uniq/n)*0.3, 4)), 4)
+         |           AS mean_quality
+         |         FROM qf GROUP BY 1),
+         |c AS (SELECT source AS corpus, tok AS token, count(*)::BIGINT AS cnt
+         |      FROM toks GROUP BY 1, 2),
+         |ct AS (SELECT corpus, sum(cnt)::BIGINT AS n1 FROM c GROUP BY 1),
+         |tt AS (SELECT token, sum(cnt)::BIGINT AS tok_total FROM c GROUP BY 1),
+         |g AS (SELECT sum(cnt)::BIGINT AS n FROM c),
+         |dense AS (SELECT ct.corpus, tt.token, COALESCE(c.cnt, 0) AS cnt,
+         |            ct.n1, tt.tok_total, g.n
+         |          FROM ct CROSS JOIN tt
+         |          LEFT JOIN c ON c.corpus = ct.corpus AND c.token = tt.token
+         |          CROSS JOIN g),
+         |terms AS (SELECT corpus,
+         |            CASE WHEN cnt > 0
+         |              THEN 0.5 * (cnt::DOUBLE / n1::DOUBLE) *
+         |                ln((cnt::DOUBLE / n1::DOUBLE) /
+         |                   ((cnt::DOUBLE / n1::DOUBLE + tok_total::DOUBLE / n::DOUBLE) / 2.0))
+         |              ELSE 0.0 END
+         |          + CASE WHEN tok_total > 0
+         |              THEN 0.5 * (tok_total::DOUBLE / n::DOUBLE) *
+         |                ln((tok_total::DOUBLE / n::DOUBLE) /
+         |                   ((cnt::DOUBLE / n1::DOUBLE + tok_total::DOUBLE / n::DOUBLE) / 2.0))
+         |              ELSE 0.0 END AS term
+         |          FROM dense),
+         |drift AS (SELECT corpus AS source, round(sum(term), 4) AS js_div
+         |          FROM terms GROUP BY corpus)
+         |SELECT vol.source, vol.n_docs, vol.n_tokens, vocab.distinct_est,
+         |  qual.mean_quality, drift.js_div
+         |FROM vol JOIN vocab USING (source) JOIN qual USING (source)
+         |JOIN drift USING (source)
+         |ORDER BY vol.source""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
-      q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135)
+      q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136)
 }
