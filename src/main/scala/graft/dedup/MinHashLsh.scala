@@ -256,6 +256,42 @@ object MinHashLsh {
     out
   }
 
+  /** Threshold-sweep telemetry: the verified-Jaccard HISTOGRAM of all
+    * LSH candidate pairs, plus the cumulative pair count at each bin
+    * floor — the tuning artifact behind "what does 0.5 vs 0.7 actually
+    * drop on THIS corpus". One extra aggregate over the pairs
+    * [[nearDuplicates]] already verifies (threshold 0 keeps them all);
+    * the histogram is bins-sized, so the cumulative window is driver-
+    * trivial.
+    */
+  def thresholdSweep(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      bins: Int = 10,
+      numHashes: Int = 64,
+      shingleSize: Int = 3,
+      numBands: Int = 16,
+      seed: Long = 42L,
+      gramHash: Column => Column = xxhash64(_)
+  ): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    nearDuplicates(df, textCol, idCol, threshold = 0.0,
+      numHashes, shingleSize, numBands, seed, gramHash)
+      .withColumn(
+        "bin",
+        least(floor(col("jaccard") * bins), lit(bins - 1L)).cast("int"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("lo", round(col("bin").cast("double") / bins, 4))
+      .withColumn("hi", round((col("bin") + 1).cast("double") / bins, 4))
+      .withColumn(
+        "n_pairs_ge_lo",
+        sum(col("n_pairs")).over(Window.orderBy(col("bin").desc)))
+      .select("bin", "lo", "hi", "n_pairs", "n_pairs_ge_lo")
+  }
+
   // ---- persisted corpus index (P2c): build / save / load / append ------
 
   /** Serving-shaped corpus index: one row per (band, bucket) membership

@@ -3407,10 +3407,85 @@ object PipelineQueries {
     )
   )
 
+  // ---- T41: tokenizer bake-off (rows-only — three trainings are
+  // iterative; the fertility relationships are pinned in TextSpec).
+  // The selection telemetry a pipeline runs before committing a
+  // tokenizer: tokens/word (fertility) and bytes/token per family on
+  // the SAME corpus.
+  val q137 = Q(
+    "q137_tokenizer_bakeoff",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val base = docs.agg(
+        sum(size(split(col("text"), " ")).cast("long")).as("w"),
+        sum(octet_length(col("text")).cast("long")).as("b")).head()
+      val (nWords, nBytes) = (base.getLong(0), base.getLong(1))
+      val bpeN = graft.text.Bpe
+        .tokenize(docs, "text", "doc_id", graft.text.Bpe.trainOn(docs, "text", 32))
+        .agg(sum("n_tokens_bpe")).head().getLong(0)
+      val wpN = graft.text.WordPiece
+        .tokenize(docs, "text", "doc_id", graft.text.WordPiece.trainOn(docs, "text", 32))
+        .agg(sum("n_pieces")).head().getLong(0)
+      val ugN = graft.text.UnigramLm
+        .withPieces(docs, "text", "doc_id",
+          graft.text.UnigramLm.train(docs, "text", targetVocab = 400,
+            maxPieceLen = 6, seedSize = 1000))
+        .agg(sum("n_pieces").cast("long")).head().getLong(0)
+      Seq(
+        ("whitespace", nWords), ("bpe", bpeN), ("wordpiece", wpN), ("unigram", ugN))
+        .toDF("family", "n_tokens")
+        .withColumn("tokens_per_word",
+          round(col("n_tokens").cast("double") / nWords.toDouble, 4))
+        .withColumn("bytes_per_token",
+          round(lit(nBytes.toDouble) / col("n_tokens").cast("double"), 4))
+        .orderBy(col("family"))
+    },
+    None
+  )
+
+  // ---- P2d: dedup threshold sweep (FULL oracle — the q21/q54
+  // signature+banding replay WITHOUT the threshold filter, verified
+  // Jaccard binned and cumulated) ------------------------------------
+  val q138 = Q(
+    "q138_dedup_sweep",
+    (s, dir) =>
+      MinHashLsh
+        .thresholdSweep(Tables.documents(s, dir), "text", "doc_id", bins = 10,
+          gramHash = graft.functions.SharedHash.md5Long60)
+        .orderBy(col("bin")),
+    Some(
+      s"""WITH consts AS (SELECT ${mhCoefs.map(_._1).mkString("[", ",", "]")}::BIGINT[] AS ca,
+         |                       ${mhCoefs.map(_._2).mkString("[", ",", "]")}::BIGINT[] AS cb),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+         |g0 AS (SELECT doc_id, array_to_string(a[i:i+2], ' ') AS g
+         |       FROM toks, UNNEST(generate_series(1, len(a) - 2)) AS u(i) WHERE len(a) >= 3),
+         |gshort AS (SELECT doc_id, text AS g FROM documents WHERE len(string_split(text, ' ')) < 3),
+         |grams AS (SELECT DISTINCT doc_id,
+         |    ${graft.functions.SharedHash.md5Long60Sql("g")} AS sh
+         |  FROM (SELECT * FROM g0 UNION ALL SELECT * FROM gshort)),
+         |hl AS (SELECT doc_id, list(sh % 2147483647) AS hs, list(sh) AS ss FROM grams GROUP BY doc_id),
+         |sig AS (SELECT doc_id, ss,
+         |    list_transform(range(64), i ->
+         |      list_min(list_transform(hs, h -> (ca[i + 1] * h + cb[i + 1]) % 2147483647))) AS s
+         |  FROM hl CROSS JOIN consts),
+         |p AS (SELECT round(len(list_filter(a.ss, x -> list_contains(b.ss, x)))::DOUBLE /
+         |        (len(a.ss) + len(b.ss) - len(list_filter(a.ss, x -> list_contains(b.ss, x)))), 4) AS j
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |  WHERE len(list_filter(range(16), bb ->
+         |    list_slice(a.s, bb * 4 + 1, bb * 4 + 4) = list_slice(b.s, bb * 4 + 1, bb * 4 + 4))) > 0),
+         |h AS (SELECT least(floor(j * 10), 9)::INT AS bin, count(*)::BIGINT AS n_pairs
+         |      FROM p GROUP BY 1)
+         |SELECT bin, round(bin::DOUBLE / 10, 4) AS lo, round((bin + 1)::DOUBLE / 10, 4) AS hi,
+         |  n_pairs, sum(n_pairs) OVER (ORDER BY bin DESC)::BIGINT AS n_pairs_ge_lo
+         |FROM h ORDER BY bin""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
-      q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136)
+      q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138)
 }

@@ -629,4 +629,33 @@ class DedupSpec extends SparkSpec {
     assert(got((1L, 100L)) == 1.0) // pre-append content still served
     assert(got((2L, 200L)) == 1.0) // appended content found
   }
+
+  test("thresholdSweep: planted pairs land in their Jaccard bins, cumulative counts descend correctly") {
+    import org.apache.spark.sql.functions._
+    // base 20-token doc; copies at decreasing overlap: identical (j=1),
+    // three-quarters, half-ish — all band-collide with the base
+    val base = (0 until 20).map(i => s"w$i").mkString(" ")
+    val threeQ = ((0 until 15).map(i => s"w$i") ++ (0 until 5).map(i => s"x$i")).mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, threeQ),
+      (4L, "totally different words that never collide with anything here at all")
+    ).toDF("doc_id", "text")
+    val sweep = MinHashLsh
+      .thresholdSweep(docs, "text", "doc_id", bins = 10,
+        gramHash = graft.functions.SharedHash.md5Long60)
+      .select("bin", "n_pairs", "n_pairs_ge_lo")
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    val byBin = sweep.map(r => r._1 -> r._2).toMap
+    assert(byBin(9) === 1L, s"identical pair must land in the top bin: ${sweep.toSeq}")
+    assert(byBin.keys.exists(_ < 9), s"partial-overlap pair missing: ${sweep.toSeq}")
+    // cumulative = suffix sums over bins
+    val sorted = sweep.sortBy(-_._1)
+    var run = 0L
+    sorted.foreach { case (_, n, ge) => run += n; assert(ge === run) }
+    // total pairs = all candidate pairs (no threshold filter)
+    val nCand = MinHashLsh
+      .nearDuplicates(docs, "text", "doc_id", threshold = 0.0,
+        gramHash = graft.functions.SharedHash.md5Long60).count()
+    assert(sweep.map(_._2).sum === nCand)
+  }
 }

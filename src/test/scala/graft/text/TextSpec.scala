@@ -141,6 +141,26 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("tokenizer bake-off invariants: whitespace fertility is exactly 1, BPE merges reduce tokens, all families positive") {
+    val docs = graft.util.Tables.documents(spark, sf).limit(60)
+    val words = docs
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split($"text", " ")))).head().getLong(0)
+    // byte-level BPE: zero merges -> one token per BYTE; merges strictly reduce
+    val v0 = Bpe.Vocab(IndexedSeq.empty)
+    val n0 = Bpe.tokenize(docs, "text", "doc_id", v0)
+      .agg(org.apache.spark.sql.functions.sum("n_tokens_bpe")).head().getLong(0)
+    val v32 = Bpe.trainOn(docs, "text", 32)
+    val n32 = Bpe.tokenize(docs, "text", "doc_id", v32)
+      .agg(org.apache.spark.sql.functions.sum("n_tokens_bpe")).head().getLong(0)
+    assert(n32 < n0, s"merges did not reduce tokens: $n32 vs $n0")
+    assert(n32 > words, "subword tokens cannot be fewer than words on this corpus")
+    val wp = WordPiece.tokenize(docs, "text", "doc_id", WordPiece.trainOn(docs, "text", 32))
+      .agg(org.apache.spark.sql.functions.sum("n_pieces")).head().getLong(0)
+    assert(wp > 0L && wp >= words)
+  }
+
   test("Vocab counts term and document frequency; idf follows the smoothed formula") {
     val docs = Seq(
       (1L, "the cat sat"),
