@@ -3482,10 +3482,75 @@ object PipelineQueries {
     )
   )
 
+  // ---- Z3b: forward as-of join (FULL oracle — the earliest-following
+  // right row picked by a plain min-ts subjoin in DuckDB, vs the
+  // Spark union+window compilation: two independent formulations of
+  // the same semantics) ----------------------------------------------
+  val q139 = Q(
+    "q139_asof_forward",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev
+        .where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("p_value"))
+      graft.ops.AsOf
+        .joinAsOfForward(
+          ev.select(col("event_id"), col("user_id"), col("ts")),
+          purchases,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          payload = Seq("p_value"))
+        .select(col("event_id"), col("user_id"), round(col("p_value"), 4).as("next_purchase"))
+    },
+    Some(
+      """WITH p AS (
+        |  SELECT user_id, ts, max(value) AS p_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |nxt AS (
+        |  SELECT e.event_id, min(p.ts) AS mts
+        |  FROM events e JOIN p ON p.user_id = e.user_id AND p.ts >= e.ts
+        |  GROUP BY e.event_id)
+        |SELECT e.event_id, e.user_id, round(p.p_value, 4) AS next_purchase
+        |FROM events e
+        |LEFT JOIN nxt ON nxt.event_id = e.event_id
+        |LEFT JOIN p ON p.user_id = e.user_id AND p.ts = nxt.mts""".stripMargin
+    )
+  )
+
+  // ---- Z3c: backward as-of with tolerance (FULL oracle — ASOF join
+  // plus the staleness filter replayed independently) ----------------
+  val q140 = Q(
+    "q140_asof_tolerance",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev
+        .where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("p_value"))
+      graft.ops.AsOf
+        .joinAsOfTolerance(
+          ev.select(col("event_id"), col("user_id"), col("ts")),
+          purchases,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          payload = Seq("p_value"), toleranceSec = 3600.0)
+        .select(col("event_id"), col("user_id"),
+          round(col("p_value"), 4).as("recent_purchase"))
+    },
+    Some(
+      """WITH p AS (
+        |  SELECT user_id, ts, max(value) AS p_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT e.event_id, e.user_id,
+        |  CASE WHEN epoch(e.ts) - epoch(p.ts) <= 3600.0
+        |    THEN round(p.p_value, 4) ELSE NULL END AS recent_purchase
+        |FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
-      q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138)
+      q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140)
 }

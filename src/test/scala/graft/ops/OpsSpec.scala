@@ -187,6 +187,51 @@ class OpsSpec extends SparkSpec {
     assert(strictOut(5L) == None)        // tie excluded → nothing before
   }
 
+  test("AsOf.joinAsOfForward picks earliest following right row; ties and strictness honored") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val left = Seq(
+      (1L, 10L, ts(5)),  // before r@10 → 200
+      (2L, 10L, ts(10)), // tie with r@10 → 200 (>= semantics)
+      (3L, 10L, ts(11)), // after the last right row → null
+      (4L, 11L, ts(7)),  // user with no right rows → null
+      (5L, 10L, ts(0))   // tie with r@0 → 100
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts(0), 100.0),
+      (10L, ts(10), 200.0)
+    ).toDF("user_id", "ts", "v")
+    val out = AsOf
+      .joinAsOfForward(left, right, Seq("user_id"), "ts", "ts", Seq("v"))
+      .select("event_id", "v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out == Map(
+      1L -> Some(200.0), 2L -> Some(200.0), 3L -> None, 4L -> None, 5L -> Some(100.0)))
+    val strictOut = AsOf
+      .joinAsOfForward(left, right, Seq("user_id"), "ts", "ts", Seq("v"), strict = true)
+      .select("event_id", "v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(strictOut(2L) == None)        // tie excluded → nothing after
+    assert(strictOut(5L) == Some(200.0)) // tie excluded → NEXT row
+  }
+
+  test("AsOf.joinAsOfTolerance: match at exactly the tolerance kept, staler nulled, no-match stays null") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val left = Seq(
+      (1L, 10L, ts(5)),  // 5 min after r@0: exactly 300s → kept at tol 300
+      (2L, 10L, ts(6)),  // 360s stale → nulled
+      (3L, 10L, ts(0)),  // exact tie, 0s → kept
+      (4L, 11L, ts(7))   // no right rows → null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, ts(0), 100.0)).toDF("user_id", "ts", "v")
+    val out = AsOf
+      .joinAsOfTolerance(left, right, Seq("user_id"), "ts", "ts", Seq("v"), toleranceSec = 300.0)
+      .select("event_id", "v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out == Map(1L -> Some(100.0), 2L -> None, 3L -> Some(100.0), 4L -> None))
+  }
+
   test("RangeJoin.pointInInterval equals the naive inequality join") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
