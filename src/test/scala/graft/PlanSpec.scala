@@ -396,6 +396,40 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("weightedTake plans as TakeOrderedAndProject — per-partition heaps, no global sort exchange") {
+    val docs = Tables.documents(spark, sf)
+    val q = graft.ops.Sampling.weightedTake(
+      docs.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars", n = 20)
+    val plan = finalPlan(q)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("rangepartitioning"), s"global sort shuffle crept in\n$plan")
+  }
+
+  test("funnel: one user-keyed shuffle, no join operator, no window") {
+    val ev = Tables.events(spark, sf)
+    val q = graft.ops.Funnel.userFunnel(
+      ev, "user_id", "event_type", "ts", Seq("signup", "view", "click", "purchase"))
+    val plan = finalPlan(q)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 user shuffle, got $exchanges\n$plan")
+    // the funnel-type filter reaches the scan
+    assert(plan.contains("PushedFilters") && plan.contains("In(event_type"), plan)
+  }
+
+  test("skip-gram pairing is an equi-join on (doc, position) — no range join, no cartesian") {
+    val docs = Tables.documents(spark, sf).limit(80)
+    val q = graft.text.SkipGram.pairCounts(docs, "text", "doc_id", window = 2, t = 1e9)
+    val plan = finalPlan(q)
+    // the only nested-loop is the broadcast of the 1-ROW token total
+    // (the established corpus-constant pattern); the PAIR join itself
+    // must be a hash/merge equi-join and nothing may be cartesian
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("js drift: dense frame is corpus-totals x broadcast vocab — corpus scanned once or reused") {
     val docs = Tables.documents(spark, sf)
     val q = graft.text.Keyness.jsDivergence(docs, "text", "source")
