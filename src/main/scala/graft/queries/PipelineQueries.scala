@@ -3547,10 +3547,40 @@ object PipelineQueries {
     )
   )
 
+  // ---- T42: per-source KS drift on a numeric column (FULL oracle —
+  // exact integer ratios until the final rounding; the discrete-data
+  // supremum is attained at data points, so both engines scan the
+  // same dense frame) ------------------------------------------------
+  val q141 = Q(
+    "q141_ks_drift",
+    (s, dir) =>
+      graft.ops.Drift
+        .ksTest(Tables.documents(s, dir), "n_chars", "source")
+        .orderBy(col("source")),
+    Some(
+      """WITH c AS (SELECT source AS g, n_chars AS v, count(*)::BIGINT AS c
+        |           FROM documents GROUP BY 1, 2),
+        |vals AS (SELECT v, sum(c)::BIGINT AS cv FROM c GROUP BY 1),
+        |grps AS (SELECT g, sum(c)::BIGINT AS ng FROM c GROUP BY 1),
+        |tot AS (SELECT sum(c)::BIGINT AS n FROM c),
+        |dense AS (SELECT grps.g, vals.v, COALESCE(c.c, 0) AS c, vals.cv, grps.ng, tot.n
+        |          FROM grps CROSS JOIN vals
+        |          LEFT JOIN c ON c.g = grps.g AND c.v = vals.v
+        |          CROSS JOIN tot),
+        |cums AS (SELECT g, ng, n,
+        |           sum(c) OVER (PARTITION BY g ORDER BY v) AS cum_g,
+        |           sum(cv) OVER (PARTITION BY g ORDER BY v) AS cum_all
+        |         FROM dense)
+        |SELECT g AS source, max(ng)::BIGINT AS n_group,
+        |  round(max(abs(cum_g::DOUBLE / ng::DOUBLE - cum_all::DOUBLE / n::DOUBLE)), 4) AS d_stat
+        |FROM cums GROUP BY g ORDER BY source""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
-      q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140)
+      q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141)
 }

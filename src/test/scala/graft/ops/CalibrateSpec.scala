@@ -57,6 +57,26 @@ class CalibrateSpec extends SparkSpec {
     assert(chain.contains("non-positive weight"), chain.take(300))
   }
 
+  test("KS drift: hand-computed D on a planted shift, zero for an identical group, scipy-checkable value") {
+    import graft.ops.Drift
+    // group "same" mirrors the pooled distribution of itself vs all;
+    // group "hi" is shifted entirely above group "lo"
+    val lo = (1 to 10).map(v => ("lo", v))
+    val hi = (1 to 10).map(v => ("hi", v + 10))
+    val df = (lo ++ hi).toDF("g", "x")
+    val got = Drift.ksTest(df, "x", "g")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // pooled ECDF at x=10: 10/20 = 0.5; F_lo(10) = 1 -> D_lo = 0.5; by
+    // symmetry D_hi = 0.5 (largest gap at x=10: F_hi = 0 vs 0.5)
+    assert(got("lo") === ((10L, 0.5)))
+    assert(got("hi") === ((10L, 0.5)))
+    // a group identical to the pool drifts zero
+    val one = (1 to 6).map(v => ("a", v)) ++ (1 to 6).map(v => ("b", v))
+    val z = Drift.ksTest(one.toDF("g", "x"), "x", "g")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(z("a") === 0.0 && z("b") === 0.0)
+  }
+
   test("k-anonymity: audit flags below-k combos, suppress removes exactly their rows, summary counts the cost") {
     import graft.ops.Anonymity
     val df = Seq(
