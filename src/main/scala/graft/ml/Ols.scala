@@ -193,6 +193,16 @@ object Ols {
     }.toMap
   }
 
+  /** Fitted-value column expression — the model SERVING surface: score
+    * any frame with the regressor columns (train or held-out) with a
+    * codegen'd linear form, no data movement, no driver involvement.
+    */
+  def fittedCol(model: OlsModel): Column =
+    model.xNames.zip(model.coef).map {
+      case ("(intercept)", b) => lit(b)
+      case (name, b)          => col(name).cast("double") * b
+    }.reduce(_ + _)
+
   /** Residual column expression for a fitted model. */
   def residualCol(model: OlsModel, y: String): Column = {
     val terms = model.xNames.zip(model.coef).map {

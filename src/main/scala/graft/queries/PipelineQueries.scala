@@ -3577,10 +3577,53 @@ object PipelineQueries {
     )
   )
 
+  // ---- C37: model scoring + per-group specification diagnostic
+  // (FULL oracle — fitted values from the q05 Cramer β replay,
+  // aggregated per group; per-row outputs would inherit the ~1e-9
+  // relative solver difference between QR and Cramer, but GROUP MEANS
+  // cancel it — rounded 2dp with margins probed) ---------------------
+  val q142 = Q(
+    "q142_ols_score_groups",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val m = graft.ml.Ols.fit(li, "l_extendedprice", Seq("l_quantity", "l_discount"))
+      li.withColumn("__fit", graft.ml.Ols.fittedCol(m))
+        .withColumn("__res", graft.ml.Ols.residualCol(m, "l_extendedprice"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg(col("__fit")), 2).as("mean_fitted"),
+          round(avg(col("__res")), 2).as("mean_resid"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some(
+      """WITH s AS (
+        |  SELECT count(*)::DOUBLE AS n, sum(l_quantity) AS sx, sum(l_discount) AS sz,
+        |    sum(l_extendedprice) AS sy, sum(l_quantity*l_quantity) AS sxx,
+        |    sum(l_quantity*l_discount) AS sxz, sum(l_discount*l_discount) AS szz,
+        |    sum(l_quantity*l_extendedprice) AS sxy, sum(l_discount*l_extendedprice) AS szy
+        |  FROM lineitem),
+        |b AS (SELECT
+        |  (sy*(sxx*szz-sxz*sxz) - sx*(sxy*szz-sxz*szy) + sz*(sxy*sxz-sxx*szy))
+        |    / (n*(sxx*szz-sxz*sxz) - sx*(sx*szz-sxz*sz) + sz*(sx*sxz-sxx*sz)) AS b0,
+        |  (n*(sxy*szz-sxz*szy) - sy*(sx*szz-sxz*sz) + sz*(sx*szy-sxy*sz))
+        |    / (n*(sxx*szz-sxz*sxz) - sx*(sx*szz-sxz*sz) + sz*(sx*sxz-sxx*sz)) AS b1,
+        |  (n*(sxx*szy-sxy*sxz) - sx*(sx*szy-sxy*sz) + sy*(sx*sxz-sxx*sz))
+        |    / (n*(sxx*szz-sxz*sxz) - sx*(sx*szz-sxz*sz) + sz*(sx*sxz-sxx*sz)) AS b2
+        |  FROM s)
+        |SELECT l_returnflag, count(*)::BIGINT AS n,
+        |  round(avg(b.b0 + b.b1 * l_quantity + b.b2 * l_discount), 2) AS mean_fitted,
+        |  round(avg(l_extendedprice - (b.b0 + b.b1 * l_quantity + b.b2 * l_discount)), 2)
+        |    AS mean_resid
+        |FROM lineitem CROSS JOIN b
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
-      q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141)
+      q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142)
 }

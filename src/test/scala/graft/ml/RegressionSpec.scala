@@ -832,4 +832,27 @@ class RegressionSpec extends SparkSpec {
     val se = oneFe.se
     assert(math.abs(se(0) - math.sqrt(oneFe.model.sigma2 * oneFe.model.bread(0)(0))) < 1e-12)
   }
+
+  test("fittedCol: exact on a noiseless design, fitted + residual == y, scores held-out rows") {
+    import org.apache.spark.sql.functions._
+    // y = 3 + 2a - b exactly
+    val train = Seq(
+      (1.0, 1.0, 4.0), (2.0, 1.0, 6.0), (3.0, 2.0, 7.0), (4.0, 5.0, 6.0), (5.0, 2.0, 11.0)
+    ).toDF("a", "b", "y")
+    val m = Ols.fit(train, "y", Seq("a", "b"))
+    val scored = train
+      .withColumn("fit", Ols.fittedCol(m))
+      .withColumn("res", Ols.residualCol(m, "y"))
+      .select("y", "fit", "res").as[(Double, Double, Double)].collect()
+    scored.foreach { case (y, f, r) =>
+      assert(math.abs(f - y) < 1e-9, s"noiseless fit off: $f vs $y")
+      assert(math.abs(f + r - y) < 1e-12)
+    }
+    // held-out scoring: new rows never seen by the fit
+    val heldOut = Seq((10.0, 3.0), (0.0, 0.0)).toDF("a", "b")
+    val preds = heldOut.withColumn("fit", Ols.fittedCol(m))
+      .select("fit").as[Double].collect()
+    assert(math.abs(preds(0) - (3 + 2 * 10.0 - 3.0)) < 1e-9)
+    assert(math.abs(preds(1) - 3.0) < 1e-9)
+  }
 }
