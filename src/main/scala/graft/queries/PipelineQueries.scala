@@ -3620,10 +3620,51 @@ object PipelineQueries {
     )
   )
 
+  // ---- T43: trained multinomial naive Bayes (FULL oracle — training
+  // counts are integers, every score a closed form over them, the
+  // argmax comparator bound to (score DESC, label); top-2 gaps probed
+  // vs summation-order noise) ----------------------------------------
+  val q143 = Q(
+    "q143_naive_bayes",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val m = graft.text.NaiveBayes.train(docs, "text", "lang")
+      graft.text.NaiveBayes.predict(docs, "text", "doc_id", m)
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      """WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT lang AS label, token, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2),
+        |lt AS (SELECT label, sum(c)::BIGINT AS n_l FROM c GROUP BY 1),
+        |v AS (SELECT count(DISTINCT token)::DOUBLE AS vocab FROM c),
+        |dl AS (SELECT lang AS label, count(*)::BIGINT AS d_l FROM documents GROUP BY 1),
+        |nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        |lik AS (SELECT c.label, c.token,
+        |          ln((c.c::DOUBLE + 1.0) / (lt.n_l::DOUBLE + v.vocab)) AS ll
+        |        FROM c JOIN lt USING (label) CROSS JOIN v),
+        |stats AS (SELECT dl.label, ln(dl.d_l::DOUBLE / nd.n) AS log_prior,
+        |            ln(1.0 / (lt.n_l::DOUBLE + v.vocab)) AS unseen_ll
+        |          FROM dl JOIN lt USING (label) CROSS JOIN nd CROSS JOIN v),
+        |sc AS (SELECT t.doc_id, s.label, sum(COALESCE(l.ll, s.unseen_ll)) AS sum_ll
+        |       FROM (SELECT doc_id, token FROM toks) t
+        |       CROSS JOIN (SELECT label, unseen_ll FROM stats) s
+        |       LEFT JOIN lik l ON l.label = s.label AND l.token = t.token
+        |       GROUP BY 1, 2),
+        |fs AS (SELECT sc.doc_id, sc.label, st.log_prior + sc.sum_ll AS score
+        |       FROM sc JOIN stats st ON st.label = sc.label),
+        |rk AS (SELECT doc_id, label, score,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS r
+        |       FROM fs)
+        |SELECT a.doc_id, a.label AS nb_label, round(a.score - b.score, 4) AS margin
+        |FROM rk a JOIN rk b ON b.doc_id = a.doc_id AND b.r = 2
+        |WHERE a.r = 1 ORDER BY a.doc_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
-      q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142)
+      q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143)
 }
