@@ -1,0 +1,66 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Binary-classifier evaluation over a score column — the measurement
+  * side of the model-based curation operators
+  * ([[graft.text.QualityModel]], [[graft.text.NaiveBayes]],
+  * [[graft.ops.Calibrate]]).
+  */
+object Eval {
+
+  /** Exact ROC AUC via the Mann–Whitney rank-sum identity with average
+    * ranks for ties:
+    *
+    *   AUC = Σ_s pos(s) · (negBelow(s) + neg(s)/2) / (P·N)
+    *
+    * Scale shape: the corpus collapses to per-distinct-score
+    * (pos, neg) counts in one shuffle. The cumulative negBelow then
+    * needs a GLOBAL prefix sum over scores — a naive
+    * `Window.orderBy(score)` with no partition key funnels every
+    * distinct score through ONE task, so instead the prefix sum is
+    * two-level: distinct scores are range-bucketed, per-bucket windows
+    * run in parallel, and the (tiny, #buckets-sized) bucket totals
+    * frame joins back as each bucket's starting offset. Every count is
+    * an exact integer; the one division happens last.
+    */
+  def auc(df: DataFrame, scoreCol: String, labelCol: String, buckets: Int = 256): Double = {
+    val counts = df
+      .groupBy(col(scoreCol).cast("double").as("s"))
+      .agg(
+        sum(col(labelCol).cast("int")).cast("long").as("pos"),
+        sum(lit(1) - col(labelCol).cast("int")).cast("long").as("neg"))
+
+    val mm = counts.agg(min("s"), max("s")).head()
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val width = if (hi > lo) (hi - lo) / buckets else 1.0
+    val bucketed = counts.withColumn(
+      "b", least(floor((col("s") - lit(lo)) / lit(width)), lit(buckets - 1)).cast("int"))
+
+    // tiny frame: one row per non-empty bucket, prefix-summed on the
+    // driver (#buckets longs), broadcast-joined back as each bucket's
+    // starting offset
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bucketNeg = bucketed.groupBy("b").agg(sum("neg").as("bn")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = bucketNeg.map(_._1)
+      .zip(bucketNeg.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
+    val offsetsDf = offsets.toSeq.toDF("b", "off")
+
+    val wb = Window.partitionBy("b").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val row = bucketed
+      .withColumn("cum_in_b", sum(col("neg")).over(wb) - col("neg"))
+      .join(broadcast(offsetsDf), Seq("b"))
+      .withColumn("neg_below", col("cum_in_b") + col("off"))
+      .agg(
+        sum(col("pos").cast("double") * (col("neg_below").cast("double") + col("neg").cast("double") / 2.0)).as("num"),
+        sum("pos").as("p"),
+        sum("neg").as("nn"))
+      .head()
+    row.getDouble(0) / (row.getLong(1).toDouble * row.getLong(2).toDouble)
+  }
+}

@@ -149,6 +149,37 @@ object Ols {
     OlsModel(names, LinAlg.solve(g, c), n, g, c, yty, Nil)
   }
 
+  /** Ridge regression: solve (X'X + λ·D) b = X'y where D is the
+    * identity with a ZERO in the intercept slot (the level is never
+    * penalized). Reuses the [[fit]] single-pass Gram — the penalty is a
+    * driver-side diagonal add, so a λ-sweep (model selection) costs ONE
+    * distributed pass total, not one per λ. No standardization is
+    * applied; callers wanting scale-invariant penalties standardize
+    * first (`sim.Embed.standardizer` for vectors, or plain
+    * (x−μ)/σ columns).
+    */
+  def fitRidge(
+      df: DataFrame,
+      y: String,
+      xs: Seq[String],
+      lambda: Double,
+      intercept: Boolean = true
+  ): OlsModel = {
+    val base = fit(df, y, xs, intercept)
+    ridgeFromModel(base, lambda, intercept)
+  }
+
+  /** The driver-side back half of [[fitRidge]]: penalize an
+    * already-aggregated Gram. Exposed so a λ-sweep reuses one pass.
+    */
+  def ridgeFromModel(base: OlsModel, lambda: Double, intercept: Boolean = true): OlsModel = {
+    val k = base.xNames.length
+    val g = Array.tabulate(k, k) { (i, j) =>
+      base.gram(i)(j) + (if (i == j && !(intercept && i == 0)) lambda else 0.0)
+    }
+    base.copy(coef = LinAlg.solve(g, base.xty), gram = g)
+  }
+
   /** Multi-outcome least squares (the reference's 2-D `y`,
     * hdfe.py:129-135 loops a solver per outcome over the same design).
     * graft shares ONE distributed pass: X'X is aggregated once and X'y_j

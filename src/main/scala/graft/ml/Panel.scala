@@ -1,0 +1,88 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Panel-data estimators that sit beside the reference's pooled-OLS /
+  * within-estimator pair (reference: `estimate`, hdfe/hdfe.py:49-144).
+  * Econometricians run these on the SAME panels the reference targets;
+  * each reduces to a transformation the cluster does in one or two
+  * shuffles followed by the [[Ols]] single-pass Gram, so nothing here
+  * adds a new scale regime.
+  */
+object Panel {
+
+  /** Between estimator: OLS on group means. The classic companion to the
+    * within estimator (their weighted combination is pooled OLS). One
+    * groupBy pass collapses the facts to a frame with ONE ROW PER GROUP
+    * — at 100 TB the Gram pass then runs over millions of rows, not
+    * billions — and the OLS dof is the number of groups.
+    */
+  def between(df: DataFrame, y: String, xs: Seq[String], group: String): OlsModel = {
+    val aggs = (y +: xs).map(c => avg(col(c).cast("double")).as(c))
+    val means = df.groupBy(col(group)).agg(aggs.head, aggs.tail: _*)
+    Ols.fit(means, y, xs)
+  }
+
+  /** First-difference estimator: regress Δy on Δx within each group,
+    * ordered by `order` (pass enough columns for a TOTAL order — ties
+    * would make the lag nondeterministic), no intercept (differencing
+    * removes the group effect AND the common level). One shuffle
+    * (window partition) then the standard Gram pass; the first row of
+    * each group has no lag and is dropped.
+    */
+  def firstDifference(
+      df: DataFrame,
+      y: String,
+      xs: Seq[String],
+      group: String,
+      order: Seq[String]
+  ): OlsModel = {
+    val w = Window.partitionBy(col(group)).orderBy(order.map(col): _*)
+    val diffed = df
+      .select((y +: xs).map { c =>
+        (col(c).cast("double") - lag(col(c).cast("double"), 1).over(w)).as(c)
+      }: _*)
+      .na.drop()
+    Ols.fit(diffed, y, xs, intercept = false)
+  }
+
+  /** Mundlak correlated-random-effects device: augment the regression
+    * with the group means of the regressors. The coefficient on each x
+    * then reproduces the WITHIN estimator exactly (Mundlak 1978) — a
+    * cross-pin between two different computational paths to the same
+    * number. One window shuffle to attach the means, then the Gram pass.
+    */
+  def mundlak(df: DataFrame, y: String, xs: Seq[String], group: String): OlsModel = {
+    val w = Window.partitionBy(col(group))
+    val aug = xs.foldLeft(df) { (d, x) =>
+      d.withColumn(s"${x}_gmean", avg(col(x).cast("double")).over(w))
+    }
+    Ols.fit(aug, y, xs ++ xs.map(x => s"${x}_gmean"))
+  }
+
+  /** 2×2 difference-in-differences from cell statistics. One aggregate
+    * pass computes n / mean / sample-variance for the four
+    * (treated, post) cells; the estimate
+    * (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre) and its
+    * unequal-variance SE sqrt(Σ s²_c / n_c) are closed forms on the
+    * driver. Identical to running OLS with the full interaction, but
+    * with an explicit SE that DuckDB can replay exactly.
+    */
+  case class Did(estimate: Double, se: Double, n: Long)
+
+  def didTwoByTwo(df: DataFrame, y: String, treated: Column, post: Column): Did = {
+    val yc = col(y).cast("double")
+    val cells = df
+      .groupBy(treated.cast("int").as("t"), post.cast("int").as("p"))
+      .agg(count(lit(1)).as("n"), avg(yc).as("m"), var_samp(yc).as("v"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    require(cells.size == 4, s"DiD needs all four (treated, post) cells; got ${cells.keys}")
+    val est = (cells((1, 1))._2 - cells((1, 0))._2) - (cells((0, 1))._2 - cells((0, 0))._2)
+    val se = math.sqrt(cells.values.map { case (n, _, v) => v / n.toDouble }.sum)
+    Did(est, se, cells.values.map(_._1).sum)
+  }
+}

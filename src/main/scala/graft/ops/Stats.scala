@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classical test statistics over grouped data — companions to the KS
+  * drift test ([[Drift]]): chi-square for categorical×categorical
+  * association, Welch's t for numeric-mean drift per group, and share
+  * concentration gauges for corpus-mix monitoring. Every statistic is a
+  * closed form over counts/sums, so each runs in one or two codegen'd
+  * aggregate passes and DuckDB can replay it exactly.
+  */
+object Stats {
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns. One (a, b) count aggregate (contingency-table-sized, never
+    * corpus-sized); expected counts come from broadcast-joined margins;
+    * the statistic reduces over the observed cells only, with the
+    * missing-cell mass Σ_missing E added in closed form
+    * (Σ (O−E)²/E over O=0 cells is Σ E = n − Σ_observed E).
+    * Returns one row: chi2, dof, n, and Cramér's V.
+    */
+  def chiSquare(df: DataFrame, a: String, b: String): DataFrame = {
+    val cells = df.groupBy(col(a).as("ca"), col(b).as("cb")).agg(count(lit(1)).as("o"))
+    val ma = cells.groupBy("ca").agg(sum("o").as("na"))
+    val mb = cells.groupBy("cb").agg(sum("o").as("nb"))
+    val tot = cells.agg(sum("o").as("n"))
+
+    cells
+      .join(broadcast(ma), Seq("ca"))
+      .join(broadcast(mb), Seq("cb"))
+      .crossJoin(broadcast(tot))
+      .withColumn("e", col("na").cast("double") * col("nb").cast("double") / col("n").cast("double"))
+      .withColumn("d", col("o").cast("double") - col("e"))
+      .agg(
+        sum(col("d") * col("d") / col("e")).as("obs_term"),
+        sum(col("e")).as("e_obs"),
+        countDistinct(col("ca")).as("ka"),
+        countDistinct(col("cb")).as("kb"),
+        max(col("n")).as("n"))
+      .select(
+        round(col("obs_term") + (col("n").cast("double") - col("e_obs")), 4).as("chi2"),
+        ((col("ka") - 1) * (col("kb") - 1)).cast("long").as("dof"),
+        col("n").cast("long").as("n"),
+        round(
+          sqrt((col("obs_term") + (col("n").cast("double") - col("e_obs"))) /
+            (col("n").cast("double") * least(col("ka") - 1, col("kb") - 1).cast("double"))),
+          4).as("cramers_v"))
+  }
+
+  /** Welch's t per group vs the REST of the corpus (the leave-one-out
+    * contrast — the natural "is this source drifting?" question). One
+    * per-group (n, Σy, Σy²) aggregate; rest-of-corpus moments are the
+    * broadcast totals minus the group's own, so the whole table costs
+    * one corpus pass regardless of group count. Emits t and the
+    * Welch–Satterthwaite dof, 4dp.
+    */
+  def welchT(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val y = col(valueCol).cast("double")
+    val g = df.groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n1"), sum(y).as("s1"), sum(y * y).as("q1"))
+    val tot = g.agg(sum("n1").as("nt"), sum("s1").as("st"), sum("q1").as("qt"))
+
+    g.crossJoin(broadcast(tot))
+      .withColumn("n2", col("nt") - col("n1"))
+      .withColumn("s2", col("st") - col("s1"))
+      .withColumn("q2", col("qt") - col("q1"))
+      .withColumn("m1", col("s1") / col("n1").cast("double"))
+      .withColumn("m2", col("s2") / col("n2").cast("double"))
+      .withColumn("v1",
+        (col("q1") - col("s1") * col("s1") / col("n1").cast("double")) / (col("n1") - 1).cast("double"))
+      .withColumn("v2",
+        (col("q2") - col("s2") * col("s2") / col("n2").cast("double")) / (col("n2") - 1).cast("double"))
+      .withColumn("se2", col("v1") / col("n1").cast("double") + col("v2") / col("n2").cast("double"))
+      .select(
+        col("g").as(groupCol),
+        col("n1").cast("long").as("n_group"),
+        round(col("m1"), 4).as("mean_group"),
+        round(col("m2"), 4).as("mean_rest"),
+        round((col("m1") - col("m2")) / sqrt(col("se2")), 4).as("t_welch"),
+        round(
+          col("se2") * col("se2") /
+            ((col("v1") / col("n1").cast("double")) * (col("v1") / col("n1").cast("double")) / (col("n1") - 1).cast("double") +
+              (col("v2") / col("n2").cast("double")) * (col("v2") / col("n2").cast("double")) / (col("n2") - 1).cast("double")),
+          2).as("df_welch"))
+  }
+
+  /** Winsorized per-group statistics: clip `valueCol` to its group's
+    * [pLo, pHi] interpolated percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, the q17 bridge) and report the clipped mean next
+    * to the raw one — the outlier-robust location gauge. Two passes:
+    * one groupBy computing both cut points (exact percentile — for
+    * sketch-accuracy at extreme scale swap `percentile_approx`), one
+    * broadcast-join + clip + mean. The cut frame is group-cardinality-
+    * sized, never corpus-sized.
+    */
+  def winsorizedMean(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      pLo: Double = 0.05,
+      pHi: Double = 0.95
+  ): DataFrame = {
+    val y = col(valueCol).cast("double")
+    val cuts = df.groupBy(col(groupCol).as("__wg"))
+      .agg(percentile(y, lit(pLo)).as("lo"), percentile(y, lit(pHi)).as("hi"))
+    df.join(broadcast(cuts), col(groupCol) === col("__wg"))
+      .withColumn("yw", least(greatest(y, col("lo")), col("hi")))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        round(min(col("lo")), 4).as("p_lo"),
+        round(min(col("hi")), 4).as("p_hi"),
+        round(avg(col("yw")), 4).as("mean_winsorized"),
+        round(avg(y), 4).as("mean_raw"))
+  }
+
+  /** Share-concentration gauges of a child category within each parent
+    * group: Herfindahl–Hirschman index Σ s², Shannon entropy −Σ s ln s,
+    * and the Gini coefficient of the share distribution
+    * G = (2 Σ_i i·c_(i))/(k Σ c) − (k+1)/k over ascending-sorted counts.
+    * One (parent, child) count aggregate; ranks via a per-parent window
+    * (child-cardinality-sized partitions); integer arithmetic until the
+    * final divisions. The corpus-mix dashboard primitive: HHI near 1 =
+    * one child dominates; entropy near ln k = balanced.
+    */
+  def concentration(df: DataFrame, parent: String, child: String): DataFrame = {
+    val counts = df.groupBy(col(parent).as("p"), col(child).as("c")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("p").orderBy(col("n").asc, col("c").asc)
+    counts
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("p").as(parent))
+      .agg(
+        count(lit(1)).cast("long").as("k"),
+        sum("n").cast("long").as("n_total"),
+        round(sum(col("n").cast("double") * col("n").cast("double")) /
+          (sum(col("n")).cast("double") * sum(col("n")).cast("double")), 4).as("hhi"),
+        round(-sum(col("n").cast("double") * log(col("n").cast("double"))) /
+          sum(col("n")).cast("double") + log(sum(col("n")).cast("double")), 4).as("entropy"),
+        round(
+          lit(2.0) * sum(col("rk").cast("double") * col("n").cast("double")) /
+            (count(lit(1)).cast("double") * sum(col("n")).cast("double")) -
+            (count(lit(1)) + 1).cast("double") / count(lit(1)).cast("double"),
+          4).as("gini"))
+  }
+}

@@ -970,6 +970,206 @@ object CoreQueries {
     None
   )
 
+  // ---- C39: between estimator (FULL oracle — group-mean collapse +
+  // 2×2 Cramer slope over the collapsed frame) -------------------------
+
+  val q144 = Q(
+    "q144_between",
+    (s, dir) => {
+      val m = graft.ml.Panel.between(
+        Tables.lineitem(s, dir), "l_extendedprice", Seq("l_quantity"), "l_suppkey")
+      scalarRow(
+        s,
+        // rounding scales leave ≥100× headroom over the ~1e-9 RELATIVE
+        // QR-vs-Cramer solver difference (the q146 lesson: margins must
+        // be probed against |value|·1e-9, not summation noise)
+        Seq("slope" -> rnd(m.coef(1), 4), "intercept" -> rnd(m.coef(0), 2)),
+        Seq("n_groups" -> m.n))
+    },
+    Some(
+      """WITH m AS (SELECT avg(l_extendedprice) AS y, avg(l_quantity) AS x
+        |           FROM lineitem GROUP BY l_suppkey),
+        |s AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+        |        sum(x*y) AS sxy, sum(x*x) AS sxx FROM m)
+        |SELECT round((n*sxy - sx*sy)/(n*sxx - sx*sx), 4) AS slope,
+        |  round((sy - (n*sxy - sx*sy)/(n*sxx - sx*sx)*sx)/n, 2) AS intercept,
+        |  n::BIGINT AS n_groups FROM s""".stripMargin
+    )
+  )
+
+  // ---- C40: first-difference estimator (FULL oracle — lag window on a
+  // total order, no-intercept slope on the differences) ----------------
+
+  val q145 = Q(
+    "q145_first_difference",
+    (s, dir) => {
+      val m = graft.ml.Panel.firstDifference(
+        Tables.lineitem(s, dir), "l_extendedprice", Seq("l_quantity"),
+        "l_suppkey", Seq("l_shipdate", "l_orderkey", "l_linenumber"))
+      scalarRow(s, Seq("slope" -> rnd(m.coef(0), 6)), Seq("n" -> m.n))
+    },
+    Some(
+      """WITH d AS (
+        |  SELECT l_extendedprice - lag(l_extendedprice) OVER w AS dy,
+        |         l_quantity - lag(l_quantity) OVER w AS dx
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_suppkey
+        |               ORDER BY l_shipdate, l_orderkey, l_linenumber))
+        |SELECT round(sum(dx*dy)/sum(dx*dx), 6) AS slope, count(*)::BIGINT AS n
+        |FROM d WHERE dy IS NOT NULL""".stripMargin
+    )
+  )
+
+  // ---- C41: Mundlak correlated-random-effects device (FULL oracle —
+  // 3×3 Cramer on [1, x, group-mean(x)]; the x coefficient equals the
+  // within estimator, cross-pinned in RegressionSpec) ------------------
+
+  val q146 = Q(
+    "q146_mundlak",
+    (s, dir) => {
+      val m = graft.ml.Panel.mundlak(
+        Tables.lineitem(s, dir), "l_extendedprice", Seq("l_quantity"), "l_suppkey")
+      scalarRow(
+        s,
+        Seq("beta_within" -> rnd(m.coef(1), 6), "beta_gmean" -> rnd(m.coef(2), 4)),
+        Seq("n" -> m.n))
+    },
+    Some(
+      """WITH a AS (SELECT l_extendedprice AS y, l_quantity AS x,
+        |             avg(l_quantity) OVER (PARTITION BY l_suppkey) AS z
+        |           FROM lineitem),
+        |s AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(z) AS sz, sum(y) AS sy,
+        |        sum(x*x) AS sxx, sum(x*z) AS sxz, sum(z*z) AS szz,
+        |        sum(x*y) AS sxy, sum(z*y) AS szy FROM a)
+        |SELECT
+        |  round((n*(sxy*szz-sxz*szy) - sy*(sx*szz-sxz*sz) + sz*(sx*szy-sxy*sz))
+        |    / (n*(sxx*szz-sxz*sxz) - sx*(sx*szz-sxz*sz) + sz*(sx*sxz-sxx*sz)), 6) AS beta_within,
+        |  round((n*(sxx*szy-sxy*sxz) - sx*(sx*szy-sxy*sz) + sy*(sx*sxz-sxx*sz))
+        |    / (n*(sxx*szz-sxz*sxz) - sx*(sx*szz-sxz*sz) + sz*(sx*sxz-sxx*sz)), 4) AS beta_gmean,
+        |  n::BIGINT AS n
+        |FROM s""".stripMargin
+    )
+  )
+
+  // ---- C42: 2×2 difference-in-differences (FULL oracle — four cell
+  // means/variances and the closed-form estimate + unequal-variance SE) -
+
+  val q147 = Q(
+    "q147_did",
+    (s, dir) => {
+      val o = Tables.normalizeTs(Tables.orders(s, dir), "o_orderdate")
+      val did = graft.ml.Panel.didTwoByTwo(
+        o, "o_totalprice",
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+        col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+      scalarRow(
+        s,
+        Seq("did_estimate" -> rnd(did.estimate, 4), "did_se" -> rnd(did.se, 4)),
+        Seq("n" -> did.n))
+    },
+    Some(
+      """WITH c AS (
+        |  SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS t,
+        |         CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END AS p,
+        |         count(*)::BIGINT AS n, avg(o_totalprice) AS m, var_samp(o_totalprice) AS v
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT
+        |  round(((SELECT m FROM c WHERE t=1 AND p=1) - (SELECT m FROM c WHERE t=1 AND p=0))
+        |      - ((SELECT m FROM c WHERE t=0 AND p=1) - (SELECT m FROM c WHERE t=0 AND p=0)), 4)
+        |    AS did_estimate,
+        |  round(sqrt((SELECT sum(v/n::DOUBLE) FROM c)), 4) AS did_se,
+        |  (SELECT sum(n)::BIGINT FROM c) AS n""".stripMargin
+    )
+  )
+
+  // ---- C43: ridge regression (FULL oracle — 3×3 Cramer on the
+  // diagonal-penalized Gram; intercept unpenalized) --------------------
+
+  val q148 = Q(
+    "q148_ridge",
+    (s, dir) => {
+      val m = graft.ml.Ols.fitRidge(
+        Tables.lineitem(s, dir), "l_extendedprice",
+        Seq("l_quantity", "l_discount"), lambda = 1e6)
+      scalarRow(
+        s,
+        Seq(
+          "b_qty" -> rnd(m.coef(1), 4),
+          "b_disc" -> rnd(m.coef(2), 6),
+          "intercept" -> rnd(m.coef(0), 2)),
+        Seq("n" -> m.n))
+    },
+    Some(
+      """WITH s AS (
+        |  SELECT count(*)::DOUBLE AS n, sum(l_quantity) AS sx, sum(l_discount) AS sz,
+        |    sum(l_extendedprice) AS sy, sum(l_quantity*l_quantity) + 1000000.0 AS sxx,
+        |    sum(l_quantity*l_discount) AS sxz,
+        |    sum(l_discount*l_discount) + 1000000.0 AS szz,
+        |    sum(l_quantity*l_extendedprice) AS sxy, sum(l_discount*l_extendedprice) AS szy
+        |  FROM lineitem)
+        |SELECT
+        |  round((n*(sxy*szz-sxz*szy) - sy*(sx*szz-sxz*sz) + sz*(sx*szy-sxy*sz))
+        |    / (n*(sxx*szz-sxz*sxz) - sx*(sx*szz-sxz*sz) + sz*(sx*sxz-sxx*sz)), 4) AS b_qty,
+        |  round((n*(sxx*szy-sxy*sxz) - sx*(sx*szy-sxy*sz) + sy*(sx*sxz-sxx*sz))
+        |    / (n*(sxx*szz-sxz*sxz) - sx*(sx*szz-sxz*sz) + sz*(sx*sxz-sxx*sz)), 6) AS b_disc,
+        |  round((sy*(sxx*szz-sxz*sxz) - sx*(sxy*szz-sxz*szy) + sz*(sxy*sxz-sxx*szy))
+        |    / (n*(sxx*szz-sxz*sxz) - sx*(sx*szz-sxz*sz) + sz*(sx*sxz-sxx*sz)), 2) AS intercept,
+        |  n::BIGINT AS n FROM s""".stripMargin
+    )
+  )
+
+  // ---- C44: one-pass Poisson bootstrap SE (FULL oracle — every
+  // Poisson(1) draw replayed from the shared md5-60 hash) --------------
+
+  val q149 = Q(
+    "q149_boot_se",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      graft.ops.Bootstrap
+        .groupedMeanSE(
+          li, "l_quantity", "l_returnflag",
+          concat(col("l_orderkey").cast("string"), lit("-"), col("l_linenumber").cast("string")),
+          b = 32)
+        .orderBy(col("l_returnflag"))
+    },
+    Some {
+      val id = "l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR"
+      val w = graft.ops.Bootstrap.weightSqlRep(id, "rep")
+      s"""WITH r AS (SELECT unnest(range(32)) AS rep),
+         |w AS (SELECT l_returnflag AS g, l_quantity::DOUBLE AS y, rep, $w::DOUBLE AS w
+         |      FROM lineitem CROSS JOIN r),
+         |m AS (SELECT g, rep, sum(w*y)/sum(w) AS mr FROM w GROUP BY 1, 2),
+         |se AS (SELECT g, sqrt((sum(mr*mr) - 32.0*avg(mr)*avg(mr))/31.0) AS s FROM m GROUP BY 1),
+         |base AS (SELECT l_returnflag, count(*)::BIGINT AS n, round(avg(l_quantity), 4) AS mean
+         |         FROM lineitem GROUP BY 1)
+         |SELECT base.l_returnflag, base.n, base.mean, round(se.s, 4) AS boot_se
+         |FROM base JOIN se ON se.g = base.l_returnflag
+         |ORDER BY base.l_returnflag""".stripMargin
+    }
+  )
+
+  // ---- C45: winsorized group means (FULL oracle — percentile ≡
+  // quantile_cont, the q17 interpolation bridge) -----------------------
+
+  val q150 = Q(
+    "q150_winsorized",
+    (s, dir) =>
+      graft.ops.Stats
+        .winsorizedMean(Tables.lineitem(s, dir), "l_extendedprice", "l_returnflag")
+        .orderBy(col("l_returnflag")),
+    Some(
+      """WITH c AS (SELECT l_returnflag AS g, quantile_cont(l_extendedprice, 0.05) AS lo,
+        |             quantile_cont(l_extendedprice, 0.95) AS hi
+        |           FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, count(*)::BIGINT AS n,
+        |  round(min(lo), 4) AS p_lo, round(min(hi), 4) AS p_hi,
+        |  round(avg(least(greatest(l_extendedprice, lo), hi)), 4) AS mean_winsorized,
+        |  round(avg(l_extendedprice), 4) AS mean_raw
+        |FROM lineitem JOIN c ON c.g = l_returnflag
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    )
+  )
+
   /** Round a driver-side double the same way Spark/DuckDB `round` does
     * (HALF_UP on the decimal representation).
     */
@@ -978,5 +1178,6 @@ object CoreQueries {
 
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18,
-      q19, q36, q37, q38, q41, q42, q43, q59, q68, q70, q74, q79, q80, q90, q91, q94)
+      q19, q36, q37, q38, q41, q42, q43, q59, q68, q70, q74, q79, q80, q90, q91, q94,
+      q144, q145, q146, q147, q148, q149, q150)
 }

@@ -3661,10 +3661,163 @@ object PipelineQueries {
     )
   )
 
+  // ---- T44: Welch's t per source vs rest (FULL oracle — integer
+  // moment sums, identical expression tree on both sides) --------------
+
+  val q151 = Q(
+    "q151_welch_t",
+    (s, dir) =>
+      graft.ops.Stats
+        .welchT(Tables.documents(s, dir), "n_chars", "source")
+        .orderBy(col("source")),
+    Some(
+      """WITH g AS (SELECT source AS g, count(*)::BIGINT AS n1,
+        |             sum(n_chars)::DOUBLE AS s1, sum(n_chars::DOUBLE * n_chars::DOUBLE) AS q1
+        |           FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(n1)::BIGINT AS nt, sum(s1) AS st, sum(q1) AS qt FROM g),
+        |d AS (SELECT g, n1, (nt - n1) AS n2, s1, (st - s1) AS s2, q1, (qt - q1) AS q2
+        |      FROM g CROSS JOIN tot),
+        |e AS (SELECT g, n1, n2,
+        |        s1/n1::DOUBLE AS m1, s2/n2::DOUBLE AS m2,
+        |        (q1 - s1*s1/n1::DOUBLE)/(n1 - 1)::DOUBLE AS v1,
+        |        (q2 - s2*s2/n2::DOUBLE)/(n2 - 1)::DOUBLE AS v2
+        |      FROM d),
+        |f AS (SELECT g, n1, m1, m2, v1, v2, n2,
+        |        v1/n1::DOUBLE + v2/n2::DOUBLE AS se2 FROM e)
+        |SELECT g AS source, n1 AS n_group,
+        |  round(m1, 4) AS mean_group, round(m2, 4) AS mean_rest,
+        |  round((m1 - m2)/sqrt(se2), 4) AS t_welch,
+        |  round(se2*se2 / ((v1/n1::DOUBLE)*(v1/n1::DOUBLE)/(n1-1)::DOUBLE
+        |                 + (v2/n2::DOUBLE)*(v2/n2::DOUBLE)/(n2-1)::DOUBLE), 2) AS df_welch
+        |FROM f ORDER BY source""".stripMargin
+    )
+  )
+
+  // ---- T45: chi-square independence lang × source (FULL oracle —
+  // closed form over observed cells + missing-cell mass) ---------------
+
+  val q152 = Q(
+    "q152_chi2",
+    (s, dir) => graft.ops.Stats.chiSquare(Tables.documents(s, dir), "lang", "source"),
+    Some(
+      """WITH cells AS (SELECT lang AS ca, source AS cb, count(*)::DOUBLE AS o
+        |               FROM documents GROUP BY 1, 2),
+        |ma AS (SELECT ca, sum(o) AS na FROM cells GROUP BY 1),
+        |mb AS (SELECT cb, sum(o) AS nb FROM cells GROUP BY 1),
+        |tot AS (SELECT sum(o) AS n FROM cells),
+        |ex AS (SELECT o, na*nb/n AS e, (o - na*nb/n) AS d, ca, cb
+        |       FROM cells JOIN ma USING (ca) JOIN mb USING (cb) CROSS JOIN tot),
+        |agg AS (SELECT sum(d*d/e) AS obs_term, sum(e) AS e_obs,
+        |          count(DISTINCT ca)::DOUBLE AS ka, count(DISTINCT cb)::DOUBLE AS kb
+        |        FROM ex)
+        |SELECT round(obs_term + ((SELECT n FROM tot) - e_obs), 4) AS chi2,
+        |  ((ka - 1)*(kb - 1))::BIGINT AS dof,
+        |  (SELECT n::BIGINT FROM tot) AS n,
+        |  round(sqrt((obs_term + ((SELECT n FROM tot) - e_obs))
+        |    / ((SELECT n FROM tot) * least(ka - 1, kb - 1))), 4) AS cramers_v
+        |FROM agg""".stripMargin
+    )
+  )
+
+  // ---- T46: corpus-mix concentration HHI/entropy/Gini (FULL oracle —
+  // integer counts, rank-sum Gini over a deterministic total order) ----
+
+  val q153 = Q(
+    "q153_concentration",
+    (s, dir) =>
+      graft.ops.Stats
+        .concentration(Tables.documents(s, dir), "lang", "source")
+        .orderBy(col("lang")),
+    Some(
+      """WITH counts AS (SELECT lang AS p, source AS c, count(*)::BIGINT AS n
+        |                FROM documents GROUP BY 1, 2),
+        |rk AS (SELECT p, c, n, row_number() OVER (PARTITION BY p ORDER BY n ASC, c ASC) AS rk
+        |       FROM counts)
+        |SELECT p AS lang, count(*)::BIGINT AS k, sum(n)::BIGINT AS n_total,
+        |  round(sum(n::DOUBLE * n::DOUBLE) / (sum(n)::DOUBLE * sum(n)::DOUBLE), 4) AS hhi,
+        |  round(-sum(n::DOUBLE * ln(n::DOUBLE)) / sum(n)::DOUBLE + ln(sum(n)::DOUBLE), 4)
+        |    AS entropy,
+        |  round(2.0 * sum(rk::DOUBLE * n::DOUBLE) / (count(*)::DOUBLE * sum(n)::DOUBLE)
+        |    - (count(*) + 1)::DOUBLE / count(*)::DOUBLE, 4) AS gini
+        |FROM rk GROUP BY p ORDER BY lang""".stripMargin
+    )
+  )
+
+  // ---- T47: distinct-n lexical diversity per source (FULL oracle —
+  // the md5-60 gram hash replayed so both engines count the same keys) -
+
+  val q154 = Q(
+    "q154_diversity",
+    (s, dir) =>
+      graft.text.Diversity
+        .distinctN(
+          Tables.documents(s, dir), "text", "source",
+          ns = Seq(1, 2), gramHash = graft.functions.SharedHash.md5Long60)
+        .orderBy(col("source")),
+    Some {
+      val h1 = graft.functions.SharedHash.md5Long60Sql("gram")
+      """WITH t AS (SELECT source AS g, text, string_split(text, ' ') AS toks FROM documents),
+        |base AS (SELECT g, count(*)::BIGINT AS n_docs, sum(len(toks))::BIGINT AS n_tokens
+        |         FROM t GROUP BY 1),
+        |g1 AS (SELECT g, unnest(toks) AS gram FROM t),
+        |s1 AS (SELECT g, count(*)::BIGINT AS grams_1, count(DISTINCT HASH1)::BIGINT AS distinct_1
+        |       FROM g1 GROUP BY 1),
+        |g2 AS (SELECT g, unnest(CASE WHEN len(toks) >= 2
+        |         THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |         ELSE [text] END) AS gram
+        |       FROM t),
+        |s2 AS (SELECT g, count(*)::BIGINT AS grams_2, count(DISTINCT HASH1)::BIGINT AS distinct_2
+        |       FROM g2 GROUP BY 1)
+        |SELECT g AS source, n_docs, n_tokens, grams_1, distinct_1,
+        |  round(distinct_1::DOUBLE / grams_1::DOUBLE, 4) AS d1,
+        |  grams_2, distinct_2,
+        |  round(distinct_2::DOUBLE / grams_2::DOUBLE, 4) AS d2
+        |FROM base JOIN s1 USING (g) JOIN s2 USING (g) ORDER BY source""".stripMargin
+        .replace("HASH1", h1)
+    }
+  )
+
+  // ---- T48: exact ROC AUC via rank-sum with tie handling (FULL oracle
+  // — integer pos/neg counts, one cumulative window) -------------------
+
+  val q155 = Q(
+    "q155_auc",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("lbl", (col("lang") === "en").cast("int"))
+      val a = graft.ml.Eval.auc(docs, "n_chars", "lbl")
+      val cnt = docs.agg(sum("lbl").cast("long"), count(lit(1))).head()
+      val base = s.range(1).toDF()
+      base
+        .withColumn("auc", lit(BigDecimal(a).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .withColumn("n_pos", lit(cnt.getLong(0)))
+        .withColumn("n_neg", lit(cnt.getLong(1) - cnt.getLong(0)))
+        .drop("id")
+    },
+    Some(
+      """WITH l AS (SELECT n_chars::DOUBLE AS s,
+        |             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS lbl
+        |           FROM documents),
+        |c AS (SELECT s, sum(lbl)::DOUBLE AS pos, sum(1 - lbl)::DOUBLE AS neg
+        |      FROM l GROUP BY 1),
+        |cum AS (SELECT s, pos, neg,
+        |          COALESCE(sum(neg) OVER (ORDER BY s
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+        |        FROM c)
+        |SELECT
+        |  round(sum(pos*(nb + neg/2)) /
+        |    ((SELECT sum(pos) FROM c) * (SELECT sum(neg) FROM c)), 6) AS auc,
+        |  (SELECT sum(pos)::BIGINT FROM c) AS n_pos,
+        |  (SELECT sum(neg)::BIGINT FROM c) AS n_neg
+        |FROM cum""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
-      q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143)
+      q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
+      q151, q152, q153, q154, q155)
 }

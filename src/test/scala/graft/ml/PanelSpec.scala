@@ -1,0 +1,123 @@
+package graft.ml
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PanelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Panel.between equals closed-form OLS on group means") {
+    val df = Seq(
+      // g, x, y — group means: g1 (2, 12), g2 (4, 19), g3 (6, 30)
+      ("g1", 1.0, 10.0), ("g1", 3.0, 14.0),
+      ("g2", 4.0, 19.0),
+      ("g3", 5.0, 28.0), ("g3", 7.0, 32.0)
+    ).toDF("g", "x", "y")
+    val m = Panel.between(df, "y", Seq("x"), "g")
+    // hand OLS over the 3 mean points
+    val xs = Seq(2.0, 4.0, 6.0); val ys = Seq(12.0, 19.0, 30.0)
+    val n = 3.0; val sx = xs.sum; val sy = ys.sum
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val icept = (sy - slope * sx) / n
+    assert(m.n === 3L)
+    assert(math.abs(m.coef(1) - slope) < 1e-12)
+    assert(math.abs(m.coef(0) - icept) < 1e-12)
+  }
+
+  test("Panel.firstDifference recovers an exact slope through group effects") {
+    // y = 3x + a_g: differencing kills a_g exactly, slope is exactly 3
+    val rows = for {
+      (g, a) <- Seq(("g1", 100.0), ("g2", -50.0), ("g3", 7.0))
+      t <- 1 to 6
+    } yield {
+      val x = t * 1.0 + (g.hashCode % 5)
+      (g, t, x, 3.0 * x + a)
+    }
+    val df = rows.toDF("g", "t", "x", "y")
+    val m = Panel.firstDifference(df, "y", Seq("x"), "g", Seq("t"))
+    assert(m.n === 15L) // 18 rows - 3 group heads
+    assert(math.abs(m.coef(0) - 3.0) < 1e-12)
+  }
+
+  test("Panel.mundlak x-coefficient equals the within estimator (Mundlak 1978)") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val mu = Panel.mundlak(li, "l_extendedprice", Seq("l_quantity"), "l_suppkey")
+    val fe = FixedEffects.fit(li, "l_extendedprice", Seq("l_quantity"), Seq("l_suppkey"))
+    assert(math.abs(mu.coef(1) - fe.coef(0)) < 1e-8 * math.abs(fe.coef(0)))
+  }
+
+  test("Panel.didTwoByTwo equals the OLS interaction coefficient and hand cell math") {
+    val rng = new scala.util.Random(7)
+    val rows = for (i <- 0 until 400) yield {
+      val t = i % 2; val p = (i / 2) % 2
+      // truth: effect of (t=1 AND p=1) interaction = 5
+      val y = 1.0 + 2.0 * t + 3.0 * p + 5.0 * t * p + rng.nextGaussian()
+      (i.toLong, t, p, y)
+    }
+    val df = rows.toDF("id", "t", "p", "y")
+    val did = Panel.didTwoByTwo(df, "y", col("t") === 1, col("p") === 1)
+    // cross-pin 1: the saturated OLS interaction coefficient is identical
+    val ols = Ols.fit(df.withColumn("tp", col("t") * col("p")), "y", Seq("t", "p", "tp"))
+    assert(math.abs(did.estimate - ols.coef(3)) < 1e-9)
+    // cross-pin 2: hand cell means
+    val cells = df.groupBy("t", "p").agg(avg("y").as("m")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val hand = (cells((1, 1)) - cells((1, 0))) - (cells((0, 1)) - cells((0, 0)))
+    assert(math.abs(did.estimate - hand) < 1e-12)
+    assert(did.n === 400L)
+    assert(did.estimate > 4.0 && did.estimate < 6.0)
+    assert(did.se > 0.0 && did.se < 1.0)
+  }
+
+  test("Ols.fitRidge: λ=0 ≡ OLS, shrinkage is monotone, penalized normal equations hold") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val base = Ols.fit(li, "l_extendedprice", Seq("l_quantity", "l_discount"))
+    val r0 = Ols.ridgeFromModel(base, 0.0)
+    assert(base.coef.zip(r0.coef).forall { case (a, b) => a == b })
+
+    val r1 = Ols.ridgeFromModel(base, 1e5)
+    val r2 = Ols.ridgeFromModel(base, 1e8)
+    assert(math.abs(r1.coef(1)) > math.abs(r2.coef(1)))
+    // penalized normal equations: (X'X + λD) b = X'y, from the UNPENALIZED gram
+    val lam = 1e5
+    val k = base.coef.length
+    val lhs = (0 until k).map { i =>
+      (0 until k).map(j => base.gram(i)(j) * r1.coef(j)).sum +
+        (if (i == 0) 0.0 else lam * r1.coef(i))
+    }
+    lhs.zip(base.xty).foreach { case (l, r) =>
+      assert(math.abs(l - r) < 1e-6 * math.max(1.0, math.abs(r)))
+    }
+  }
+
+  test("Eval.auc: separable=1, anti-separable=0, all-ties=0.5") {
+    val sep = Seq((1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1)).toDF("s", "l")
+    assert(math.abs(Eval.auc(sep, "s", "l") - 1.0) < 1e-12)
+    val anti = Seq((1.0, 1), (2.0, 1), (3.0, 0), (4.0, 0)).toDF("s", "l")
+    assert(math.abs(Eval.auc(anti, "s", "l")) < 1e-12)
+    val ties = Seq((5.0, 0), (5.0, 1), (5.0, 0), (5.0, 1)).toDF("s", "l")
+    assert(math.abs(Eval.auc(ties, "s", "l") - 0.5) < 1e-12)
+  }
+
+  test("Eval.auc equals brute-force pair counting, bucket-count invariant") {
+    val rng = new scala.util.Random(11)
+    val data = (0 until 500).map { i =>
+      val l = i % 3 == 0
+      // positives shifted up, heavy ties via rounding to 1dp
+      val s = math.rint((rng.nextGaussian() + (if (l) 0.8 else 0.0)) * 10) / 10.0
+      (s, if (l) 1 else 0)
+    }
+    val df = data.toDF("s", "l")
+    val pos = data.filter(_._2 == 1).map(_._1)
+    val neg = data.filter(_._2 == 0).map(_._1)
+    val brute = pos.flatMap(p => neg.map(n0 =>
+      if (p > n0) 1.0 else if (p == n0) 0.5 else 0.0)).sum / (pos.size.toDouble * neg.size)
+    val a256 = Eval.auc(df, "s", "l")
+    val a3 = Eval.auc(df, "s", "l", buckets = 3)
+    assert(math.abs(a256 - brute) < 1e-12)
+    assert(math.abs(a3 - brute) < 1e-12)
+  }
+}

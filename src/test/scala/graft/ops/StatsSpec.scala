@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Stats.chiSquare: exact independence gives 0; hand 2×2 value; dof") {
+    // perfectly independent: p(a)·p(b) factorizes exactly
+    val indep = (for { a <- Seq("x", "y"); b <- Seq("u", "v", "w"); _ <- 1 to (if (a == "x") 2 else 4) }
+      yield (a, b)).toDF("a", "b")
+    val r0 = Stats.chiSquare(indep, "a", "b").head()
+    assert(r0.getDouble(0) === 0.0)
+    assert(r0.getLong(1) === 2L) // (2-1)(3-1)
+
+    // hand-computed 2×2: cells 10/20/30/5
+    val cells = Seq(("a", "c", 10), ("a", "d", 20), ("b", "c", 30), ("b", "d", 5))
+    val df = cells.flatMap { case (x, y, n) => Seq.fill(n)((x, y)) }.toDF("a", "b")
+    val n = 65.0
+    val e = Map(
+      ("a", "c") -> 30.0 * 40 / n, ("a", "d") -> 30.0 * 25 / n,
+      ("b", "c") -> 35.0 * 40 / n, ("b", "d") -> 35.0 * 25 / n)
+    val hand = cells.map { case (x, y, o) => val ee = e((x, y)); (o - ee) * (o - ee) / ee }.sum
+    val r = Stats.chiSquare(df, "a", "b").head()
+    assert(math.abs(r.getDouble(0) - math.rint(hand * 1e4) / 1e4) < 1e-9)
+    assert(r.getLong(1) === 1L)
+    assert(r.getLong(2) === 65L)
+  }
+
+  test("Stats.chiSquare counts zero cells through the missing-mass term") {
+    // (a,d) never occurs: chi2 must include its expected count
+    val df = (Seq.fill(10)(("a", "c")) ++ Seq.fill(10)(("b", "c")) ++ Seq.fill(10)(("b", "d")))
+      .toDF("a", "b")
+    val chi2 = Stats.chiSquare(df, "a", "b").head().getDouble(0)
+    // hand: margins a=10,b=20 / c=20,d=10; e(a,c)=6.67 e(a,d)=3.33 e(b,c)=13.3 e(b,d)=6.67
+    val e = Map(("a", "c") -> 200.0 / 30, ("a", "d") -> 100.0 / 30,
+      ("b", "c") -> 400.0 / 30, ("b", "d") -> 200.0 / 30)
+    val hand = math.pow(10 - e(("a", "c")), 2) / e(("a", "c")) +
+      math.pow(0 - e(("a", "d")), 2) / e(("a", "d")) +
+      math.pow(10 - e(("b", "c")), 2) / e(("b", "c")) +
+      math.pow(10 - e(("b", "d")), 2) / e(("b", "d"))
+    assert(math.abs(chi2 - math.rint(hand * 1e4) / 1e4) < 1e-9)
+  }
+
+  test("Stats.welchT matches the hand formula on two groups") {
+    val g1 = Seq(1.0, 2.0, 3.0, 4.0, 5.0)
+    val g2 = Seq(10.0, 12.0, 14.0, 16.0)
+    val df = (g1.map(("a", _)) ++ g2.map(("b", _))).toDF("g", "v")
+    val out = Stats.welchT(df, "v", "g").collect().map(r => r.getString(0) -> r).toMap
+    def mv(xs: Seq[Double]) = {
+      val m = xs.sum / xs.size
+      (m, xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1))
+    }
+    val (m1, v1) = mv(g1); val (m2, v2) = mv(g2)
+    val se2 = v1 / g1.size + v2 / g2.size
+    val t = (m1 - m2) / math.sqrt(se2)
+    val dfw = se2 * se2 / (math.pow(v1 / g1.size, 2) / (g1.size - 1) + math.pow(v2 / g2.size, 2) / (g2.size - 1))
+    val ra = out("a")
+    assert(math.abs(ra.getDouble(4) - math.rint(t * 1e4) / 1e4) < 1e-9)
+    assert(math.abs(ra.getDouble(5) - math.rint(dfw * 100) / 100) < 1e-9)
+    // the "b vs rest" row is the sign-flipped contrast
+    assert(math.abs(out("b").getDouble(4) + ra.getDouble(4)) < 1e-3)
+  }
+
+  test("Stats.concentration: degenerate and uniform landmarks") {
+    val one = Seq.fill(10)(("p1", "only")).toDF("p", "c")
+    val r1 = Stats.concentration(one, "p", "c").head()
+    assert(r1.getDouble(3) === 1.0) // hhi
+    assert(r1.getDouble(4) === 0.0) // entropy
+    assert(r1.getDouble(5) === 0.0) // gini of a single share
+
+    val unif = (for (c <- 'a' to 'e'; _ <- 1 to 7) yield ("p1", c.toString)).toDF("p", "c")
+    val ru = Stats.concentration(unif, "p", "c").head()
+    assert(math.abs(ru.getDouble(3) - 0.2) < 1e-9)
+    assert(math.abs(ru.getDouble(4) - math.rint(math.log(5.0) * 1e4) / 1e4) < 1e-9)
+    assert(ru.getDouble(5) === 0.0) // equal shares → zero Gini
+  }
+
+  test("Stats.winsorizedMean clips exactly at the interpolated percentiles") {
+    val vals = (1 to 100).map(_.toDouble)
+    val df = vals.map(("g", _)).toDF("g", "v")
+    val r = Stats.winsorizedMean(df, "v", "g", 0.05, 0.95).head()
+    // percentile over 1..100: p05 at index 4.95 → 5.95; p95 at index 94.05 → 95.05
+    assert(math.abs(r.getDouble(2) - 5.95) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 95.05) < 1e-9)
+    val clipped = vals.map(v => math.min(math.max(v, 5.95), 95.05))
+    assert(math.abs(r.getDouble(4) - math.rint(clipped.sum / 100 * 1e4) / 1e4) < 1e-9)
+    assert(r.getDouble(5) === 50.5)
+  }
+
+  test("Bootstrap weights: deterministic, Poisson(1)-shaped, SE near the analytic one") {
+    val df = spark.range(20000).toDF("id")
+      .withColumn("g", lit("all"))
+      .withColumn("y", (col("id") % 100).cast("double"))
+    // determinism: the same call twice is bit-identical
+    val a = Bootstrap.groupedMeanSE(df, "y", "g", col("id").cast("string"), b = 16).head()
+    val b = Bootstrap.groupedMeanSE(df, "y", "g", col("id").cast("string"), b = 16).head()
+    assert(a === b)
+    // weight distribution: mean ≈ 1 over many draws
+    // truncation at 4 biases E[w] down by ~0.004; 3σ sampling band ~0.021
+    val wbar = df.select(avg(Bootstrap.weight(col("id").cast("string"), 0))).head().getDouble(0)
+    assert(math.abs(wbar - 1.0) < 0.03)
+    // bootstrap SE vs analytic s/sqrt(n): y uniform on 0..99 → s ≈ 28.87
+    val analytic = 28.866 / math.sqrt(20000.0)
+    val se = a.getDouble(3)
+    assert(se > analytic / 2 && se < analytic * 2, s"boot SE $se vs analytic $analytic")
+  }
+
+  test("Diversity.distinctN: repeated text scores below diverse text; exact tiny counts") {
+    val docs = Seq(
+      ("rep", "a a a a"),      // 4 unigrams 1 distinct; 3 bigrams 1 distinct
+      ("div", "a b c d")       // 4 unigrams 4 distinct; 3 bigrams 3 distinct
+    ).toDF("src", "text")
+    val out = graft.text.Diversity.distinctN(docs, "text", "src")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val rep = out("rep"); val div = out("div")
+    assert(rep.getLong(3) === 4L && rep.getLong(4) === 1L)
+    assert(rep.getDouble(5) === 0.25)
+    assert(rep.getLong(6) === 3L && rep.getLong(7) === 1L)
+    assert(div.getDouble(5) === 1.0)
+    assert(div.getLong(6) === 3L && div.getLong(7) === 3L)
+    assert(div.getDouble(8) === 1.0)
+    // short-doc fallback: a 1-token doc contributes its text as the single 2-gram
+    val short = Seq(("s", "solo")).toDF("src", "text")
+    val rs = graft.text.Diversity.distinctN(short, "text", "src").head()
+    assert(rs.getLong(6) === 1L && rs.getLong(7) === 1L)
+  }
+}
