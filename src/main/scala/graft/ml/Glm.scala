@@ -215,6 +215,41 @@ object Glm {
     }
   }
 
+  /** Bernoulli outcome in {0, 1} with the complementary log-log link
+    * η = ln(−ln(1−μ)) — the rare-event / discrete-time-hazard family:
+    * the link is ASYMMETRIC (μ → 1 much faster than μ → 0 as |η|
+    * grows), and a cloglog GLM on event indicators is exactly the
+    * grouped-data proportional-hazards model (Prentice–Gloeckler 1978),
+    * so β keeps a hazard-ratio reading logit coefficients lack. Not the
+    * binomial canonical link, so the non-canonical split applies:
+    * dμ/dη = −(1−μ)ln(1−μ), V(μ) = μ(1−μ),
+    * w = (dμ/dη)²/V = (1−μ)(ln(1−μ))²/μ. Unlike probit this needs no
+    * normal CDF — exp/ln only, so the DuckDB-side replay and the dense
+    * parity checker use EXACTLY the same primitives. η is clamped to
+    * [−30, 3.4] (exp(3.4) ≈ 30 keeps the double-exponential finite) and
+    * μ to [1e−12, 1−1e−12] so the μ-division in w stays finite on
+    * separated points.
+    */
+  case object Cloglog extends Family {
+    val name = "cloglog"
+    def mu(eta: Column): Column = {
+      val e = least(greatest(eta, lit(-30.0)), lit(3.4))
+      least(greatest(lit(1.0) - exp(-exp(e)), lit(1e-12)), lit(1.0 - 1e-12))
+    }
+    def weight(mu: Column): Column = {
+      val l = log(lit(1.0) - mu)
+      (lit(1.0) - mu) * l * l / mu
+    }
+    def deviance(y: Column, mu: Column): Column = Binomial.deviance(y, mu)
+    def etaInit(y: Column, ybar: Double): Column = {
+      val m = (y + 0.5) / 2.0
+      log(-log(lit(1.0) - m))
+    }
+    override def canonical: Boolean = false
+    override def dMuDeta(mu: Column): Column = -(lit(1.0) - mu) * log(lit(1.0) - mu)
+    override def varFun(mu: Column): Column = mu * (lit(1.0) - mu)
+  }
+
   /** Gamma outcome (y > 0) with the LOG link — the standard practical
     * choice for strictly-positive right-skewed outcomes (costs,
     * durations), cf. McCullagh–Nelder ch. 8. Log is NOT the gamma
@@ -396,6 +431,11 @@ object Glm {
       tol: Double = 1e-9, maxIter: Int = 30, offset: Option[String] = None,
       weight: Option[String] = None): GlmModel =
     fit(df, y, xs, Gamma, intercept, tol, maxIter, offset, weight)
+
+  def cloglog(df: DataFrame, y: String, xs: Seq[String], intercept: Boolean = true,
+      tol: Double = 1e-9, maxIter: Int = 30, offset: Option[String] = None,
+      weight: Option[String] = None): GlmModel =
+    fit(df, y, xs, Cloglog, intercept, tol, maxIter, offset, weight)
 
   /** NB2 negative binomial regression, log link, with the dispersion α
     * RE-ESTIMATED each IRLS pass by the Cameron–Trivedi moment
@@ -862,6 +902,7 @@ object Glm {
     case "binomial" => Binomial
     case "gaussian" => Gaussian
     case "gamma"    => Gamma
+    case "cloglog"  => Cloglog
     case "negbin" =>
       NegBin(dispersion.getOrElse(
         throw new IllegalArgumentException("negbin model carries no dispersion")))

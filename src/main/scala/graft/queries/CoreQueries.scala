@@ -1170,6 +1170,62 @@ object CoreQueries {
     )
   )
 
+  // ---- C46: cloglog GLM (rows-only: IRLS not ANSI-SQL-expressible;
+  // GlmSpec pins iteration-for-iteration dense parity, both sandwiches
+  // and planted-hazard recovery) ---------------------------------------
+
+  val q156 = Q(
+    "q156_cloglog",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .withColumn("is_return", (col("l_returnflag") === "R").cast("double"))
+      val m = graft.ml.Glm.cloglog(li, "is_return", Seq("l_discount", "l_quantity"))
+      val se = graft.ml.Glm.seRobust(
+        Tables.lineitem(s, dir)
+          .withColumn("is_return", (col("l_returnflag") === "R").cast("double")),
+        m, "is_return")
+      scalarRow(
+        s,
+        Seq(
+          "b_disc" -> rnd(m.coef(1), 4),
+          "b_qty" -> rnd(m.coef(2), 4),
+          "se_rob_disc" -> rnd(se(1), 4)),
+        Seq("n" -> m.n, "iters" -> m.iters.toLong,
+          "converged" -> (if (m.converged) 1L else 0L)))
+    },
+    None
+  )
+
+  // ---- C47: pairs-cluster Poisson bootstrap of an OLS slope (FULL
+  // oracle — per-cluster draws and all 32 replicate regressions
+  // replayed from the shared hash) -------------------------------------
+
+  val q157 = Q(
+    "q157_boot_slope_cluster",
+    (s, dir) =>
+      graft.ops.Bootstrap.olsSlopeSE(
+        Tables.lineitem(s, dir), "l_extendedprice", "l_quantity", "l_suppkey", b = 32),
+    Some {
+      val w = graft.ops.Bootstrap.weightSqlRep("l_suppkey::VARCHAR", "rep")
+      s"""WITH r AS (SELECT unnest(range(32)) AS rep),
+         |w AS (SELECT l_quantity::DOUBLE AS x, l_extendedprice::DOUBLE AS y, rep,
+         |        $w::DOUBLE AS w
+         |      FROM lineitem CROSS JOIN r),
+         |m AS (SELECT rep, sum(w) AS sw, sum(w*x) AS swx, sum(w*y) AS swy,
+         |        sum(w*x*x) AS swxx, sum(w*x*y) AS swxy FROM w GROUP BY 1),
+         |sl AS (SELECT (sw*swxy - swx*swy)/(sw*swxx - swx*swx) AS s FROM m),
+         |se AS (SELECT sqrt((sum(s*s) - 32.0*avg(s)*avg(s))/31.0) AS v FROM sl),
+         |base AS (SELECT count(*)::DOUBLE AS n, sum(l_quantity) AS sx,
+         |           sum(l_extendedprice) AS sy,
+         |           sum(l_quantity*l_quantity) AS sxx,
+         |           sum(l_quantity*l_extendedprice) AS sxy FROM lineitem)
+         |SELECT n::BIGINT AS n,
+         |  round((n*sxy - sx*sy)/(n*sxx - sx*sx), 4) AS slope,
+         |  round((SELECT v FROM se), 4) AS boot_se_cluster
+         |FROM base""".stripMargin
+    }
+  )
+
   /** Round a driver-side double the same way Spark/DuckDB `round` does
     * (HALF_UP on the decimal representation).
     */
@@ -1179,5 +1235,5 @@ object CoreQueries {
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18,
       q19, q36, q37, q38, q41, q42, q43, q59, q68, q70, q74, q79, q80, q90, q91, q94,
-      q144, q145, q146, q147, q148, q149, q150)
+      q144, q145, q146, q147, q148, q149, q150, q156, q157)
 }

@@ -36,11 +36,14 @@ class GlmSpec extends SparkSpec {
     def mu(eta: Double) = family match {
       case "poisson" | "gamma" => math.exp(clip(eta))
       case "binomial"          => 1.0 / (1.0 + math.exp(-clip(eta)))
+      case "cloglog" =>
+        val e = math.max(-30.0, math.min(3.4, eta))
+        math.min(1.0 - 1e-12, math.max(1e-12, 1.0 - math.exp(-math.exp(e))))
     }
     def devTerm(yi: Double, m: Double) = family match {
       case "poisson" =>
         2.0 * ((if (yi > 0) yi * math.log(yi / m) else 0.0) - (yi - m))
-      case "binomial" =>
+      case "binomial" | "cloglog" =>
         -2.0 * ((if (yi > 0) yi * math.log(m) else 0.0) +
           (if (yi < 1) (1 - yi) * math.log(1 - m) else 0.0))
       case "gamma" =>
@@ -49,6 +52,7 @@ class GlmSpec extends SparkSpec {
     def etaInit(yi: Double) = family match {
       case "poisson" | "gamma" => math.log((yi + ybar) / 2.0)
       case "binomial"          => { val m = (yi + 0.5) / 2.0; math.log(m / (1 - m)) }
+      case "cloglog"           => { val m = (yi + 0.5) / 2.0; math.log(-math.log(1 - m)) }
     }
 
     var beta: Array[Double] = null
@@ -66,11 +70,13 @@ class GlmSpec extends SparkSpec {
         case "poisson"  => m
         case "binomial" => m.map(v => v * (1 - v))
         case "gamma"    => Array.fill(n)(1.0)
+        case "cloglog"  => m.map { v => val l = math.log(1 - v); (1 - v) * l * l / v }
       }
       // z uses dη/dμ, which equals 1/w only for canonical links
       val dmde = family match {
-        case "gamma" => m
-        case _       => w
+        case "gamma"   => m
+        case "cloglog" => m.map(v => -(1 - v) * math.log(1 - v))
+        case _         => w
       }
       val z = Array.tabulate(n)(i => eta(i) + (y(i) - m(i)) / dmde(i) - offs(i))
       g = Array.ofDim[Double](k, k)
@@ -106,13 +112,21 @@ class GlmSpec extends SparkSpec {
     def mu(eta: Double) = family match {
       case "poisson" | "gamma" => math.exp(clip(eta))
       case "binomial"          => 1.0 / (1.0 + math.exp(-clip(eta)))
+      case "cloglog" =>
+        val e = math.max(-30.0, math.min(3.4, eta))
+        math.min(1.0 - 1e-12, math.max(1e-12, 1.0 - math.exp(-math.exp(e))))
     }
     val scores = scala.collection.mutable.Map[Int, Array[Double]]()
     for (i <- y.indices) {
       val eta = (0 until k).map(j => x(i)(j) * beta(j)).sum
-      // score residual (y − μ)·(dμ/dη)/V(μ): y − μ canonical, (y − μ)/μ gamma-log
+      // score residual (y − μ)·(dμ/dη)/V(μ): y − μ canonical, (y − μ)/μ
+      // gamma-log, −(y − μ)·ln(1−μ)/μ cloglog
       val u0 = y(i) - mu(eta)
-      val u = if (family == "gamma") u0 / mu(eta) else u0
+      val u = family match {
+        case "gamma"   => u0 / mu(eta)
+        case "cloglog" => val m = mu(eta); u0 * (-(1 - m) * math.log(1 - m)) / (m * (1 - m))
+        case _         => u0
+      }
       val s = scores.getOrElseUpdate(clusters(i), Array.ofDim[Double](k))
       for (a <- 0 until k) s(a) += u * x(i)(a)
     }
@@ -225,6 +239,41 @@ class GlmSpec extends SparkSpec {
     assert(math.abs(m.deviance - devD) < 1e-7)
     val seD = LinAlg.inverse(gD).zipWithIndex.map { case (r, i) => math.sqrt(r(i)) }
     m.seInformation.zip(seD).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+  }
+
+  test("cloglog GLM (non-canonical link) matches dense IRLS + sandwich; recovers planted hazard") {
+    val data = for (i <- 0 until 600) yield {
+      val x = math.sin(i * 0.77) * 1.5
+      val u = math.abs((math.sin(i * 12.9898) * 43758.5453) % 1.0)
+      val p = 1.0 - math.exp(-math.exp(-1.2 + 0.9 * x))
+      (x, if (u < p) 1.0 else 0.0, s"c${i % 10}")
+    }
+    val df = data.toDF("x", "y", "cl")
+    val m = Glm.cloglog(df, "y", Seq("x"))
+    val (bD, gD, devD, itD) = denseIrls(
+      data.map(d => Array(d._1)).toArray, data.map(_._2).toArray, "cloglog")
+    assert(m.converged && m.iters == itD)
+    m.coef.zip(bD).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9, s"$a vs $b") }
+    assert(math.abs(m.deviance - devD) < 1e-7)
+    for (a <- 0 until 2; b <- 0 until 2)
+      assert(math.abs(m.gramW(a)(b) - gD(a)(b)) / math.abs(gD(a)(b)) < 1e-9)
+    // planted (a, b) = (−1.2, 0.9) recovered
+    assert(math.abs(m.coef(0) + 1.2) < 0.25, m.coef.mkString(","))
+    assert(math.abs(m.coef(1) - 0.9) < 0.25, m.coef.mkString(","))
+    // robust + clustered sandwiches use the −(y−μ)ln(1−μ)/μ score
+    val vR = Glm.varianceRobust(df, m, "y")
+    val vRd = denseSandwich(data.map(d => Array(d._1)).toArray, data.map(_._2).toArray,
+      m.coef, m.gramW, "cloglog", data.indices.toArray)
+    for (a <- 0 until 2; b <- 0 until 2)
+      assert(math.abs(vR(a)(b) - vRd(a)(b)) / math.abs(vRd(a)(b)) < 1e-8)
+    val vC = Glm.varianceRobust(df, m, "y", cluster = Some("cl"))
+    val vCd = denseSandwich(data.map(d => Array(d._1)).toArray, data.map(_._2).toArray,
+      m.coef, m.gramW, "cloglog", data.map(_._3.drop(1).toInt).toArray)
+    for (a <- 0 until 2; b <- 0 until 2)
+      assert(math.abs(vC(a)(b) - vCd(a)(b)) / math.abs(vCd(a)(b)) < 1e-8)
+    // the link really is asymmetric: μ(0) = 1 − e^{−1}, not 0.5
+    val mu0 = spark.range(1).select(Glm.Cloglog.mu(lit(0.0))).head().getDouble(0)
+    assert(math.abs(mu0 - (1.0 - math.exp(-1.0))) < 1e-12)
   }
 
   test("Poisson robust and clustered sandwich match the dense computation") {

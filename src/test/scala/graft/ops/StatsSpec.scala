@@ -108,6 +108,28 @@ class StatsSpec extends SparkSpec {
     assert(se > analytic / 2 && se < analytic * 2, s"boot SE $se vs analytic $analytic")
   }
 
+  test("Bootstrap.olsSlopeSE: point slope ≡ Ols.fit; cluster SE tracks the clustered analytic") {
+    val rng = new scala.util.Random(19)
+    // strong within-cluster correlation: cluster effect dominates noise
+    val rows = for (c <- 0 until 50; _ <- 0 until 40) yield {
+      val eff = (c % 7 - 3.0) * 2.0
+      val x = rng.nextDouble() * 10
+      (c, x, 2.0 * x + eff + rng.nextGaussian() * 0.5)
+    }
+    val df = rows.toDF("cl", "x", "y")
+    val out = graft.ops.Bootstrap.olsSlopeSE(df, "y", "x", "cl", b = 32).head()
+    val fit = graft.ml.Ols.fit(df, "y", Seq("x"))
+    assert(math.abs(out.getDouble(1) - math.rint(fit.coef(1) * 1e4) / 1e4) < 1e-9)
+    val vc = graft.ml.Ols.varianceClustered(df, fit, "y", "cl")
+    val seAnalytic = math.sqrt(vc(1)(1))
+    val seBoot = out.getDouble(2)
+    assert(seBoot > seAnalytic / 3 && seBoot < seAnalytic * 3,
+      s"boot $seBoot vs clustered analytic $seAnalytic")
+    // determinism
+    val again = graft.ops.Bootstrap.olsSlopeSE(df, "y", "x", "cl", b = 32).head()
+    assert(out === again)
+  }
+
   test("Diversity.distinctN: repeated text scores below diverse text; exact tiny counts") {
     val docs = Seq(
       ("rep", "a a a a"),      // 4 unigrams 1 distinct; 3 bigrams 1 distinct

@@ -256,4 +256,33 @@ class SourcesSpec extends SparkSpec {
         Seq("p" -> Seq((1, 1)).toDF("a", "b"), "p" -> Seq((2, 2)).toDF("a", "b")))
     }
   }
+
+  test("Compact: many small files bin-packed to sized outputs; rows kept; sort stays selective") {
+    import spark.implicits._
+    val rows = (0 until 20000).map(i => (i.toLong, (i * 48271) % 20000, s"pad_${i % 97}"))
+    val in = java.nio.file.Files.createTempDirectory("cmp_in").toString
+    val outA = java.nio.file.Files.createTempDirectory("cmp_outa").toString
+    val outB = java.nio.file.Files.createTempDirectory("cmp_outb").toString
+    // fragment: 64 files of a few hundred rows each
+    rows.toDF("id", "k", "pad").repartition(64).write.mode("overwrite").parquet(in)
+
+    // ungrouped: file listing sizes the job, rows survive exactly
+    val rep = Compact.compact(spark, in, outA, targetBytes = 256L << 10)
+    assert(rep.filesBefore === 64L)
+    assert(rep.filesAfter === rep.outputs.toLong)
+    assert(rep.filesAfter < 16L, s"still fragmented: ${rep.filesAfter}")
+    assert(spark.read.parquet(outA).as[(Long, Long, String)].collect().sorted.toSeq
+      == rows.map(r => (r._1, r._2.toLong, r._3)).sorted)
+
+    // sortBy: range partitioning keeps a key predicate confined to few files
+    val rep2 = Compact.compact(spark, in, outB, targetBytes = 64L << 10, sortBy = Seq("k"))
+    assert(rep2.filesAfter >= 4L, s"need several outputs to test selectivity, got ${rep2.filesAfter}")
+    def filesHit(path: String, pred: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(path).where(pred)
+        .select(col("_metadata.file_path")).distinct().count()
+    val pred = col("k").between(5000, 5199) // 1% of the key range
+    assert(filesHit(outB, pred) <= 2L, s"sorted compaction smeared the key: ${filesHit(outB, pred)}/${rep2.filesAfter}")
+    assert(filesHit(in, pred) >= 60L, "the fragmented input should smear the key everywhere")
+    assert(spark.read.parquet(outB).count() === 20000L)
+  }
 }
