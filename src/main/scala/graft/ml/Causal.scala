@@ -1,0 +1,92 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Design-based treatment-effect estimators composing the engine's own
+  * GLM and OLS primitives — the observational-data companions to the
+  * experimental contrasts ([[Panel.didTwoByTwo]], the within/FE family):
+  * inverse-propensity weighting and the doubly-robust AIPW estimator
+  * (Robins–Rotnitzky–Zhao 1994). Where DiD needs a parallel-trends
+  * design and FE a panel, these need conditional ignorability given the
+  * covariates — the standard cross-sectional fallback.
+  *
+  * Scale shape: the propensity is one [[Glm.logistic]] fit (one
+  * aggregate pass per IRLS step); the outcome models are [[Ols]] fits
+  * per arm sharing the same Gram machinery; the estimator itself is ONE
+  * row-local scoring pass + a global mean — no shuffle beyond the
+  * aggregates, nothing corpus-sized on the driver.
+  */
+object Causal {
+
+  case class Ate(
+      ate: Double,
+      meanTreated: Double,    // weighted (Hajek) arm means for IPW; arm-mean
+      meanControl: Double,    // components of the plug-in for AIPW
+      n: Long,
+      propensity: GlmModel
+  )
+
+  private def eCol(m: GlmModel, clip: Double): Column = {
+    val mu = Glm.Binomial.mu(m.etaCol)
+    least(greatest(mu, lit(clip)), lit(1.0 - clip))
+  }
+
+  /** Hajek-normalized IPW: ATE = Σ_T y/e ⁄ Σ_T 1/e − Σ_C y/(1−e) ⁄ Σ_C 1/(1−e).
+    * The normalization makes the estimate invariant to propensity
+    * miscalibration by a constant and bounds it inside the observed y
+    * range; `clip` truncates extreme propensities (positivity guard —
+    * at 100 TB a handful of e ≈ 0 rows would otherwise own the
+    * estimate).
+    */
+  def ipwATE(
+      df: DataFrame,
+      y: String,
+      treat: String,
+      xs: Seq[String],
+      clip: Double = 0.01
+  ): Ate = {
+    val pm = Glm.logistic(df, treat, xs)
+    val e = eCol(pm, clip)
+    val t = col(treat).cast("double")
+    val yc = col(y).cast("double")
+    val r = df.agg(
+      sum(t * yc / e).as("ty"), sum(t / e).as("tw"),
+      sum((lit(1.0) - t) * yc / (lit(1.0) - e)).as("cy"),
+      sum((lit(1.0) - t) / (lit(1.0) - e)).as("cw"),
+      count(lit(1)).as("n")).head()
+    val mt = r.getDouble(0) / r.getDouble(1)
+    val mc = r.getDouble(2) / r.getDouble(3)
+    Ate(mt - mc, mt, mc, r.getLong(4), pm)
+  }
+
+  /** Doubly-robust AIPW: consistent if EITHER the propensity OR the
+    * per-arm outcome regressions are right.
+    * ATE = mean[ m₁(x) − m₀(x) + T(y − m₁(x))/e − (1−T)(y − m₀(x))/(1−e) ].
+    * Three fits (logistic + OLS per arm), then one row-local scoring
+    * pass.
+    */
+  def aipwATE(
+      df: DataFrame,
+      y: String,
+      treat: String,
+      xs: Seq[String],
+      clip: Double = 0.01
+  ): Ate = {
+    val pm = Glm.logistic(df, treat, xs)
+    val t = col(treat).cast("double")
+    val m1 = Ols.fit(df.where(t === 1.0), y, xs)
+    val m0 = Ols.fit(df.where(t === 0.0), y, xs)
+    val e = eCol(pm, clip)
+    val f1 = Ols.fittedCol(m1)
+    val f0 = Ols.fittedCol(m0)
+    val yc = col(y).cast("double")
+    val psi = f1 - f0 + t * (yc - f1) / e - (lit(1.0) - t) * (yc - f0) / (lit(1.0) - e)
+    val r = df.agg(
+      avg(psi).as("ate"),
+      avg(f1 + t * (yc - f1) / e).as("mt"),
+      avg(f0 + (lit(1.0) - t) * (yc - f0) / (lit(1.0) - e)).as("mc"),
+      count(lit(1)).as("n")).head()
+    Ate(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getLong(3), pm)
+  }
+}

@@ -1226,6 +1226,52 @@ object CoreQueries {
     }
   )
 
+  // ---- C48: quantile regression (rows-only: the pinball LP has no
+  // ANSI-SQL form; QuantileRegSpec pins analytic heteroskedastic
+  // quantile lines, the subgradient certificate, and the τ resid split)
+
+  val q158 = Q(
+    "q158_quantile_reg",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val m50 = graft.ml.QuantileReg.fit(li, "l_extendedprice", Seq("l_quantity"), 0.5)
+      val m90 = graft.ml.QuantileReg.fit(li, "l_extendedprice", Seq("l_quantity"), 0.9)
+      scalarRow(
+        s,
+        Seq(
+          "slope_p50" -> rnd(m50.coef(1), 4),
+          "slope_p90" -> rnd(m90.coef(1), 4),
+          "gap_p50" -> rnd(m50.gradGap, 6),
+          "gap_p90" -> rnd(m90.gradGap, 6)),
+        Seq("n" -> m50.n,
+          "converged" -> (if (m50.converged && m90.converged) 1L else 0L)))
+    },
+    None
+  )
+
+  // ---- C49: IPW + AIPW treatment effects (rows-only: logistic
+  // propensity is iterative; CausalSpec pins planted-confounding
+  // debiasing and double robustness) -----------------------------------
+
+  val q159 = Q(
+    "q159_ate",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .withColumn("hi_disc", (col("l_discount") > 0.05).cast("double"))
+      val ipw = graft.ml.Causal.ipwATE(li, "l_extendedprice", "hi_disc", Seq("l_quantity"))
+      val aipw = graft.ml.Causal.aipwATE(li, "l_extendedprice", "hi_disc", Seq("l_quantity"))
+      scalarRow(
+        s,
+        Seq(
+          "ate_ipw" -> rnd(ipw.ate, 4),
+          "ate_aipw" -> rnd(aipw.ate, 4),
+          "mean_treated_ipw" -> rnd(ipw.meanTreated, 4),
+          "mean_control_ipw" -> rnd(ipw.meanControl, 4)),
+        Seq("n" -> ipw.n))
+    },
+    None
+  )
+
   /** Round a driver-side double the same way Spark/DuckDB `round` does
     * (HALF_UP on the decimal representation).
     */
@@ -1235,5 +1281,5 @@ object CoreQueries {
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18,
       q19, q36, q37, q38, q41, q42, q43, q59, q68, q70, q74, q79, q80, q90, q91, q94,
-      q144, q145, q146, q147, q148, q149, q150, q156, q157)
+      q144, q145, q146, q147, q148, q149, q150, q156, q157, q158, q159)
 }

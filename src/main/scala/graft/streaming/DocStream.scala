@@ -608,4 +608,56 @@ object DocStream {
       }
       .toDF(strataCol, "n_tokens", "candidates")
   }
+
+  /** Streaming categorical-drift gate (S22) — the categorical member of
+    * the drift family ([[graft.streaming.EmbedStream.driftMonitor]]
+    * embeddings, [[graft.ops.Drift.ksTest]] batch numeric): per
+    * stratum, each micro-batch's category histogram is chi-square
+    * tested against the RUNNING histogram, scored BEFORE the batch
+    * folds into state (the driftMonitor convention — drift is measured
+    * against history, so batch 1 scores 0). Expected counts
+    * e_c = m·n_c/N over the categories history knows; batch rows in
+    * categories history has NEVER seen carry no expected mass and are
+    * reported separately as `novel_rows` (a new language code appearing
+    * in an ingest feed is exactly the alarm this gate exists to raise).
+    * State per stratum: the category→count map (bounded by category
+    * cardinality, the [[graft.ops.Stats.chiSquare]] honest cost).
+    */
+  def categoryDriftMonitor(
+      stream: DataFrame,
+      catCol: String,
+      strataCol: String,
+      minHistory: Long = 50L
+  ): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col(strataCol).cast("string"), col(catCol).cast("string"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Map[String, Long], (String, Long, Long, Double, Long, Long)](
+        GroupStateTimeout.NoTimeout) { (stratum, rows, state) =>
+        val hist = state.getOption.getOrElse(Map.empty[String, Long])
+        val nHist = hist.valuesIterator.sum
+        val batch = scala.collection.mutable.HashMap.empty[String, Long]
+        rows.foreach { r => batch(r._2) = batch.getOrElse(r._2, 0L) + 1L }
+        val m = batch.valuesIterator.sum
+        val novel = batch.filterNot { case (c, _) => hist.contains(c) }.valuesIterator.sum
+        val chi2 =
+          if (nHist < minHistory) 0.0
+          else
+            hist.iterator.map { case (c, nc) =>
+              val e = m.toDouble * nc / nHist
+              val o = batch.getOrElse(c, 0L).toDouble
+              val d = o - e
+              d * d / e
+            }.sum
+        val merged = (hist.keySet ++ batch.keySet).iterator
+          .map(c => c -> (hist.getOrElse(c, 0L) + batch.getOrElse(c, 0L))).toMap
+        state.update(merged)
+        (stratum, nHist + m, m, chi2, math.max(0L, hist.size.toLong - 1L), novel)
+      }
+      .toDF(strataCol, "n_seen", "batch_rows", "chi2", "dof", "novel_rows")
+  }
 }

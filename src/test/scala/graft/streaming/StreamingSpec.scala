@@ -778,4 +778,33 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("streaming categorical drift: chi2 vs running histogram, novel categories flagged") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, String)]
+    val df = ms.toDF.toDF("src", "lang")
+    val out = DocStream.categoryDriftMonitor(df, "lang", "src", minHistory = 50L)
+    val q = out.writeStream.outputMode("update").format("memory").queryName("cat_drift").start()
+    def batch(counts: (String, Int)*): Seq[(String, String)] =
+      counts.flatMap { case (c, n) => Seq.fill(n)(("s1", c)) }
+    try {
+      // b1 seeds history (scored vs empty: chi2 0, all novel)
+      ms.addData(batch("en" -> 80, "de" -> 20)); q.processAllAvailable()
+      // b2 identical mix: chi2 exactly 0
+      ms.addData(batch("en" -> 80, "de" -> 20)); q.processAllAvailable()
+      // b3 flipped mix vs hist(en 160, de 40): (20-80)^2/80 + (80-20)^2/20 = 225
+      ms.addData(batch("en" -> 20, "de" -> 80)); q.processAllAvailable()
+      // b4 novel category vs hist(en 180, de 120): 15 + 40 = 55, novel 10
+      ms.addData(batch("en" -> 90, "zz" -> 10)); q.processAllAvailable()
+
+      val rows = spark.table("cat_drift").orderBy("n_seen").collect()
+      assert(rows.length === 4)
+      val Seq(r1, r2, r3, r4) = rows.toSeq
+      assert(r1.getDouble(3) === 0.0 && r1.getLong(5) === 100L) // pre-history
+      assert(r2.getDouble(3) === 0.0 && r2.getLong(5) === 0L)   // identical mix
+      assert(math.abs(r3.getDouble(3) - 225.0) < 1e-9 && r3.getLong(4) === 1L)
+      assert(math.abs(r4.getDouble(3) - 55.0) < 1e-9 && r4.getLong(5) === 10L)
+    } finally q.stop()
+  }
 }
