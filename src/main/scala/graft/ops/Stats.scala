@@ -22,7 +22,12 @@ object Stats {
     * Returns one row: chi2, dof, n, and Cramér's V.
     */
   def chiSquare(df: DataFrame, a: String, b: String): DataFrame = {
+    // cells is contingency-table-sized; materialize it ONCE — the three
+    // margin aggregates derive from it with different column prunings,
+    // which defeats exchange reuse and would rescan the corpus 4×
+    // (pinned by PlanSpec)
     val cells = df.groupBy(col(a).as("ca"), col(b).as("cb")).agg(count(lit(1)).as("o"))
+      .localCheckpoint(true)
     val ma = cells.groupBy("ca").agg(sum("o").as("na"))
     val mb = cells.groupBy("cb").agg(sum("o").as("nb"))
     val tot = cells.agg(sum("o").as("n"))

@@ -440,4 +440,61 @@ class PlanSpec extends SparkSpec {
       s"counts subplan re-executed ($scans scans, no ReusedExchange)\n$plan")
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("poisson bootstrap: all replicates ride ONE corpus scan — one group shuffle, no join, no explode") {
+    val li = Tables.lineitem(spark, sf)
+    val q = graft.ops.Bootstrap.groupedMeanSE(
+      li, "l_quantity", "l_returnflag",
+      concat(col("l_orderkey").cast("string"), lit("-"), col("l_linenumber").cast("string")),
+      b = 8)
+    val plan = finalPlan(q)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Generate"), s"replicates must not explode rows\n$plan")
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1, plan)
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected the one group shuffle, got $exchanges\n$plan")
+  }
+
+  test("cluster bootstrap slope: 32 replicate regressions from one scan and one global aggregate") {
+    val li = Tables.lineitem(spark, sf)
+    val q = graft.ops.Bootstrap.olsSlopeSE(li, "l_extendedprice", "l_quantity", "l_suppkey", b = 32)
+    val plan = finalPlan(q)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Generate"), plan)
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1, plan)
+  }
+
+  test("between estimator: the Gram pass runs over the COLLAPSED group frame — one corpus scan") {
+    val li = Tables.lineitem(spark, sf)
+    var plan: String = null
+    val m = graft.ml.Panel.between(li, "l_extendedprice", Seq("l_quantity"), "l_suppkey")
+    // the fit consumed the frame internally; re-derive the same plan shape
+    val means = li.groupBy(col("l_suppkey"))
+      .agg(avg(col("l_extendedprice").cast("double")).as("y"), avg(col("l_quantity").cast("double")).as("x"))
+      .agg(sum(col("x") * col("y")), count(lit(1)))
+    plan = finalPlan(means)
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1, plan)
+    assert(m.n < 200L, "fit must see group rows, not fact rows")
+  }
+
+  test("welch t: rest-of-corpus moments come from the per-group frame — corpus scanned once") {
+    val docs = Tables.documents(spark, sf)
+    val q = graft.ops.Stats.welchT(docs, "n_chars", "source")
+    val plan = finalPlan(q)
+    val scans = plan.linesIterator.count(l => l.contains("Scan parquet") && !l.contains("Reused"))
+    assert(scans == 1, s"corpus must be scanned once, got $scans\n$plan")
+  }
+
+  test("chi-square: margins and totals reuse the MATERIALIZED cells table — zero corpus rescans") {
+    val docs = Tables.documents(spark, sf)
+    val q = graft.ops.Stats.chiSquare(docs, "lang", "source")
+    val plan = finalPlan(q)
+    // the corpus was scanned exactly once, at cells-checkpoint time;
+    // the statistic's own plan reads only the checkpointed cell RDD
+    // (before the checkpoint, column pruning differentiated the three
+    // margin subplans and the corpus was scanned FOUR times)
+    val scans = plan.linesIterator.count(l => l.contains("Scan parquet") && !l.contains("Reused"))
+    assert(scans == 0, s"statistic plan must read the cells checkpoint, got $scans corpus scans\n$plan")
+    assert(plan.contains("ExistingRDD") || plan.contains("LocalTableScan"), plan)
+  }
 }
