@@ -62,6 +62,44 @@ object Panel {
     Ols.fit(aug, y, xs ++ xs.map(x => s"${x}_gmean"))
   }
 
+  /** Event-study (dynamic DiD) around staggered treatment timing: the
+    * standard leads-and-lags regression
+    * y_it = α_i + λ_t + Σ_{r≠−1} τ_r·1{t − E_i = r} + ε, estimated by
+    * the engine's own two-way FE absorption ([[FixedEffects.fit]]), so
+    * the whole thing inherits the AP/CG machinery and its scale story.
+    * Relative time is clamped to [−leads, lags] (binned endpoints, the
+    * standard convention); r = −1 is the omitted base period;
+    * never-treated units (null `eventTime`) carry all-zero dummies and
+    * identify the time effects. Returns the FeModel whose coefficients
+    * are τ_r in `relOrder` order — pre-period τ̂ ≈ 0 is the
+    * parallel-trends diagnostic this design exists to show.
+    */
+  case class EventStudy(model: FeModel, relOrder: Seq[Int])
+
+  def eventStudy(
+      df: DataFrame,
+      y: String,
+      unit: String,
+      time: String,
+      eventTime: String,
+      leads: Int = 3,
+      lags: Int = 3
+  ): EventStudy = {
+    val rels = ((-leads) to lags).filter(_ != -1)
+    val rel = when(col(eventTime).isNull, lit(null))
+      .otherwise(
+        least(greatest(col(time).cast("long") - col(eventTime).cast("long"),
+          lit(-leads.toLong)), lit(lags.toLong)))
+    val withDummies = df.withColumn("__rel", rel)
+    val named = rels.map(r => r -> s"__ev_${if (r < 0) "m" + (-r) else "p" + r}")
+    val aug = named.foldLeft(withDummies) { case (d, (r, nm)) =>
+      d.withColumn(nm, when(col("__rel") === r.toLong, 1.0).otherwise(0.0))
+    }
+    EventStudy(
+      FixedEffects.fit(aug, y, named.map(_._2), Seq(unit, time)),
+      rels)
+  }
+
   /** 2×2 difference-in-differences from cell statistics. One aggregate
     * pass computes n / mean / sample-variance for the four
     * (treated, post) cells; the estimate

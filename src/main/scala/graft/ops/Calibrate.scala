@@ -32,6 +32,58 @@ object Calibrate {
       round(percent_rank().over(
         Window.partitionBy(groupCols.map(col): _*).orderBy(col(scoreCol))), 4))
 
+  /** Exact weighted isotonic regression of a binary (or bounded) label
+    * on a score — the calibration map p̂(score) as a MONOTONE step
+    * function, fitted by pool-adjacent-violators. PAV over per-distinct-
+    * score (mean, weight) pairs is EXACTLY the row-level solution
+    * (isotonic regression only ever pools adjacent blocks, and rows
+    * sharing a score are one block from the start), so the corpus
+    * collapses to one groupBy(score) aggregate and the PAV stack runs on
+    * the driver over score-cardinality-many blocks — model state, the
+    * [[graft.sim.Pca]] convention. Returns the breakpoint frame
+    * (score_lo, score_hi, p) for serving via a range join or a
+    * broadcast UDF-free `when` chain; here as a DataFrame join-able by
+    * `score between lo and hi`.
+    */
+  def isotonic(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      maxPoints: Long = 1L << 20
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grouped = df
+      .groupBy(col(scoreCol).cast("double").as("s"))
+      .agg(sum(col(labelCol).cast("double")).as("sy"), count(lit(1)).cast("double").as("w"))
+    // positive-guard BEFORE the collect: a continuous score must be
+    // quantized by the caller (round / fixed-width bins) — bin-level
+    // PAV stays exact for the binned score, and the driver holds
+    // score-cardinality blocks, not corpus rows
+    val card = grouped.count()
+    require(card <= maxPoints,
+      s"$card distinct scores exceed maxPoints=$maxPoints: quantize the score before isotonic()")
+    val pts = grouped
+      .orderBy("s")
+      .collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+
+    // PAV: maintain a stack of blocks (sLo, sHi, sumY, w); merge while
+    // the monotonicity y/w is violated
+    case class Block(lo: Double, hi: Double, sy: Double, w: Double) { def m: Double = sy / w }
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Block]
+    pts.foreach { case (s, sy, w) =>
+      var b = Block(s, s, sy, w)
+      while (stack.nonEmpty && stack.last.m >= b.m) {
+        val t = stack.remove(stack.length - 1)
+        b = Block(t.lo, b.hi, t.sy + b.sy, t.w + b.w)
+      }
+      stack += b
+    }
+    stack.toSeq.map(b => (b.lo, b.hi, b.sy / b.w, b.w.toLong))
+      .toDF("score_lo", "score_hi", "p_cal", "n")
+  }
+
   /** Adds `robust_z` (4dp) plus the per-group `med` and `mad` it used.
     * Degenerate groups (MAD = 0: over half the values identical) get
     * robust_z = 0 rather than ±∞ — flagged by mad = 0 in the output.

@@ -3813,11 +3813,75 @@ object PipelineQueries {
     )
   )
 
+  // ---- T49: token dispersion / burstiness (FULL oracle — integer
+  // per-doc counts, closed-form zero-doc mass, deterministic top-k) ----
+
+  val q160 = Q(
+    "q160_dispersion",
+    (s, dir) =>
+      graft.text.Dispersion.tokenDispersion(Tables.documents(s, dir), "text", "doc_id", k = 30),
+    Some(
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT tok, doc_id, count(*)::DOUBLE AS c FROM t GROUP BY 1, 2),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        |a AS (SELECT tok, count(*)::BIGINT AS doc_freq, sum(c) AS tf, sum(c*c) AS sq
+        |      FROM c GROUP BY 1)
+        |SELECT tok AS token, doc_freq, tf::BIGINT AS term_freq,
+        |  round(((sq - tf*tf/n.n)/(n.n - 1.0))/(tf/n.n), 4) AS vmr
+        |FROM a CROSS JOIN n
+        |ORDER BY term_freq DESC, token LIMIT 30""".stripMargin
+    )
+  )
+
+  // ---- T50: isotonic calibration (rows-only: PAV is a driver-side
+  // stack over the score-collapsed frame, not SQL; CalibrateSpec pins
+  // hand PAV blocks, monotonicity, mass preservation, the guard) -------
+
+  val q161 = Q(
+    "q161_isotonic",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("lbl", (col("lang") === "en").cast("int"))
+      graft.ops.Calibrate.isotonic(docs, "n_chars", "lbl")
+        .select(col("score_lo"), col("score_hi"), round(col("p_cal"), 6).as("p_cal"), col("n"))
+        .orderBy(col("score_lo"))
+    },
+    None
+  )
+
+  // ---- C50: event-study dynamic DiD (rows-only: two-way FE absorption
+  // is iterative; PanelSpec pins exact dynamic effects and flat
+  // pre-trends on staggered adoption) ----------------------------------
+
+  val q162 = Q(
+    "q162_event_study",
+    (s, dir) => {
+      val o = Tables.normalizeTs(Tables.orders(s, dir), "o_orderdate")
+        .withColumn("yr", year(col("o_orderdate")).cast("long"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("o_custkey")
+      val panel = o
+        .withColumn("etime",
+          min(when(col("o_orderpriority") === "1-URGENT", col("yr"))).over(w))
+        .groupBy(col("o_custkey"), col("yr"), col("etime"))
+        .agg(avg(col("o_totalprice")).as("y"))
+      val es = graft.ml.Panel.eventStudy(panel, "y", "o_custkey", "yr", "etime",
+        leads = 2, lags = 2)
+      import s.implicits._
+      es.relOrder.zip(es.model.coef)
+        .map { case (r, c) =>
+          (r, BigDecimal(c).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        .toDF("rel", "tau")
+        .orderBy(col("rel"))
+    },
+    None
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-      q151, q152, q153, q154, q155)
+      q151, q152, q153, q154, q155, q160, q161, q162)
 }

@@ -120,4 +120,33 @@ class PanelSpec extends SparkSpec {
     assert(math.abs(a256 - brute) < 1e-12)
     assert(math.abs(a3 - brute) < 1e-12)
   }
+
+  test("Panel.eventStudy: staggered adoption, exact dynamic effects, flat pre-trends") {
+    // 40 units × 10 periods; adoption at 4/6/8 or never; zero noise so
+    // τ(rel) = [1.0, 1.5, 2.0+] is recovered exactly through both FEs
+    val rows = for (u <- 0 until 40; t <- 0 until 10) yield {
+      val e: java.lang.Long = (u % 4) match {
+        case 0 => 4L
+        case 1 => 6L
+        case 2 => 8L
+        case _ => null
+      }
+      val rel = if (e == null) Long.MinValue else t - e.longValue
+      val tau =
+        if (rel == Long.MinValue || rel < 0) 0.0
+        else if (rel == 0) 1.0
+        else if (rel == 1) 1.5
+        else 2.0
+      val y = (u % 7) * 3.0 + t * 0.5 + tau
+      (u.toLong, t.toLong, e, y)
+    }
+    val df = rows.toDF("unit", "t", "etime", "y")
+    val es = graft.ml.Panel.eventStudy(df, "y", "unit", "t", "etime", leads = 3, lags = 3)
+    val byRel = es.relOrder.zip(es.model.coef).toMap
+    // pre-periods flat at 0 (the parallel-trends diagnostic)
+    Seq(-3, -2).foreach(r => assert(math.abs(byRel(r)) < 1e-6, s"pre rel=$r -> ${byRel(r)}"))
+    assert(math.abs(byRel(0) - 1.0) < 1e-6, byRel.toString)
+    assert(math.abs(byRel(1) - 1.5) < 1e-6)
+    Seq(2, 3).foreach(r => assert(math.abs(byRel(r) - 2.0) < 1e-6))
+  }
 }

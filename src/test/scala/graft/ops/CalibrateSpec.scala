@@ -115,4 +115,33 @@ class CalibrateSpec extends SparkSpec {
     // group b: all identical -> mad 0 -> z forced to 0, flagged by mad
     assert(got(6L)._3 === 0.0 && got(6L)._4 === 0.0)
   }
+
+  test("isotonic: hand PAV blocks, monotone, mass-preserving, ties pooled, cardinality guard") {
+    import spark.implicits._
+    // scores 1..6, labels 0,1,0,0,1,1 → PAV blocks [1,1]:0, [2,4]:1/3, [5,6]:1
+    val df = Seq((1.0, 0), (2.0, 1), (3.0, 0), (4.0, 0), (5.0, 1), (6.0, 1)).toDF("s", "l")
+    val blocks = Calibrate.isotonic(df, "s", "l").orderBy("score_lo").collect()
+    assert(blocks.length === 3)
+    assert(blocks(0).getDouble(0) === 1.0 && blocks(0).getDouble(2) === 0.0)
+    assert(blocks(1).getDouble(0) === 2.0 && blocks(1).getDouble(1) === 4.0)
+    assert(math.abs(blocks(1).getDouble(2) - 1.0 / 3) < 1e-12)
+    assert(blocks(2).getDouble(2) === 1.0 && blocks(2).getLong(3) === 2L)
+    // monotone and mass-preserving on a larger deterministic set
+    val big = (0 until 2000).map { i =>
+      val sRaw = (i % 40).toDouble
+      val u = (i * 1.4142135623730951) % 1.0
+      (sRaw, if (u < sRaw / 60.0 + 0.1) 1 else 0)
+    }.toDF("s", "l")
+    val bb = Calibrate.isotonic(big, "s", "l").orderBy("score_lo").collect()
+    val ps = bb.map(_.getDouble(2))
+    assert(ps.zip(ps.drop(1)).forall { case (a, b) => a < b }, ps.mkString(","))
+    val mass = bb.map(r => r.getDouble(2) * r.getLong(3)).sum
+    val truth = big.agg(org.apache.spark.sql.functions.sum("l")).head().getLong(0).toDouble
+    assert(math.abs(mass - truth) < 1e-9)
+    // rows sharing a score are pooled before PAV: same fit as duplicates
+    val guard = intercept[IllegalArgumentException] {
+      Calibrate.isotonic(big, "s", "l", maxPoints = 10L)
+    }
+    assert(guard.getMessage.contains("quantize"))
+  }
 }
