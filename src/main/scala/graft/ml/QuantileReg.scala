@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   *
   * Convergence is declared on the relative change of the PINBALL LOSS
   * (not the coefficients), and the model carries the subgradient-
-  * optimality gap max_j |Σ x_j(τ − 1{r<0})| / Σ|x_j| — an a-posteriori
+  * optimality gap max_j |Σ x_j(τ − 1{r<0})| / √(τ(1−τ)Σx_j²) — a z-score against the subgradient's own sampling noise at the optimum (an exact LP optimum scores ≤ max|x|/√(τ(1−τ)Σx²) ≈ 0; an unconverged fit scores O(√n)) — an a-posteriori
   * certificate INDEPENDENT of the iteration path (at the true optimum
   * the pinball subgradient contains 0), so a caller can tell a
   * converged fit from a stalled one.
@@ -41,8 +41,9 @@ object QuantileReg {
       xs: Seq[String],
       tau: Double,
       intercept: Boolean = true,
-      delta: Double = 1e-4,
+      delta: Double = Double.NaN,
       tol: Double = 1e-7,
+      gapTol: Double = 0.1,
       maxIter: Int = 100
   ): QrModel = {
     require(tau > 0.0 && tau < 1.0, s"tau must be in (0,1), got $tau")
@@ -56,7 +57,13 @@ object QuantileReg {
     val k = xcols.length
 
     // start from the OLS fit (the τ-independent center)
-    var beta = {
+    var beta: Array[Double] = null
+    // certificate denominators √(τ(1−τ)·Σx_j²): one standard error of
+    // the subgradient sum AT the optimum (each row contributes x_j·sgn
+    // with sgn ∈ {τ, τ−1}, variance τ(1−τ)x_j² under the optimal split)
+    // — iteration-constant, rides the init Gram's diagonal
+    val gradSe = new Array[Double](k)
+    locally {
       val aggs = (for (i <- 0 until k; j <- i until k) yield sum(xcols(i) * xcols(j))) ++
         (0 until k).map(i => sum(xcols(i) * yc))
       val row = projected.agg(aggs.head, aggs.tail: _*).head()
@@ -64,16 +71,38 @@ object QuantileReg {
       val g = Array.ofDim[Double](k, k)
       for (i <- 0 until k; j <- i until k) { val v = row.getDouble(p); p += 1; g(i)(j) = v; g(j)(i) = v }
       val c = Array.tabulate(k)(i => row.getDouble(p + i))
-      LinAlg.solve(g, c)
+      for (i <- 0 until k) gradSe(i) = math.sqrt(tau * (1.0 - tau) * g(i)(i))
+      beta = LinAlg.solve(g, c)
     }
 
+    // auto-δ: the smoothing floor must live on the RESIDUAL scale — a
+    // δ orders of magnitude below mean|r| lets near-zero residuals
+    // dominate every weighted Gram (w = τside/δ) and freezes the line
+    // on its current zero crossings, creeping for 100 iterations on
+    // skewed data; 1e-3·mean|r_OLS| keeps the smoothing bias O(δ)
+    // (far below coefficient tolerances) while the weights stay tame
+    val deltaEff =
+      if (!delta.isNaN) delta
+      else {
+        val xb0 = xcols.zip(beta).map { case (x, b) => x * b }.reduce(_ + _)
+        val madr = projected.agg(avg(abs(yc - xb0))).head().getDouble(0)
+        math.max(1e-12, 1e-3 * madr)
+      }
+
     // the δ-smoothed IRLS can 2-cycle within O(δ) of the optimum
-    // (residuals crossing zero flip their weights each pass); track the
-    // best pinball iterate and return THAT — the gradGap certificate
-    // below measures the returned β, not the final iterate
+    // (residuals crossing zero flip their weights each pass), and on
+    // flat valleys the loss can creep below tol-per-step for many
+    // passes while the CERTIFICATE is already tight — so the
+    // subgradient sums Σ x_j(τ − 1{r<0}) ride the SAME per-iteration
+    // aggregate (free: the sign is a function of this pass's r) and the
+    // loop stops at certified near-optimality, on smooth loss
+    // convergence, or on cycle detection, whichever first. The returned
+    // iterate is the best-loss one WITH ITS OWN certificate.
     var loss = Double.MaxValue
     var bestLoss = Double.MaxValue
     var bestBeta = beta
+    var bestGap = Double.MaxValue
+    var noImprove = 0
     var n = 0L
     var iter = 0
     var converged = false
@@ -81,37 +110,33 @@ object QuantileReg {
       val xb = xcols.zip(beta).map { case (x, b) => x * b }.reduce(_ + _)
       val r = yc - xb
       val tauSide = when(r < 0.0, lit(1.0 - tau)).otherwise(lit(tau))
-      val w = tauSide / greatest(abs(r), lit(delta))
+      val sgn = when(r < 0.0, lit(tau - 1.0)).otherwise(lit(tau))
+      val w = tauSide / greatest(abs(r), lit(deltaEff))
       val aggs: Seq[Column] =
         (for (i <- 0 until k; j <- i until k) yield sum(w * xcols(i) * xcols(j))) ++
           (0 until k).map(i => sum(w * xcols(i) * yc)) ++
+          (0 until k).map(i => sum(xcols(i) * sgn)) ++
           Seq(sum(tauSide * abs(r)).as("loss"), count(lit(1)).as("n"))
       val row = projected.agg(aggs.head, aggs.tail: _*).head()
       var p = 0
       val g = Array.ofDim[Double](k, k)
       for (i <- 0 until k; j <- i until k) { val v = row.getDouble(p); p += 1; g(i)(j) = v; g(j)(i) = v }
       val c = Array.tabulate(k)(i => row.getDouble(p + i))
-      val lossNow = row.getDouble(p + k)
-      n = row.getLong(p + k + 1)
-      converged = math.abs(lossNow - loss) / (math.abs(lossNow) + 1e-12) < tol
+      val gapNow = (0 until k).map { i =>
+        math.abs(row.getDouble(p + k + i)) / math.max(gradSe(i), 1e-12)
+      }.max
+      val lossNow = row.getDouble(p + 2 * k)
+      n = row.getLong(p + 2 * k + 1)
+      val smooth = math.abs(lossNow - loss) / (math.abs(lossNow) + 1e-12) < tol
+      if (lossNow < bestLoss - tol * (math.abs(bestLoss) + 1e-12)) noImprove = 0
+      else noImprove += 1
+      if (lossNow < bestLoss) { bestLoss = lossNow; bestBeta = beta; bestGap = gapNow }
+      converged = gapNow < gapTol || (loss != Double.MaxValue && smooth) || noImprove >= 3
       loss = lossNow
-      if (lossNow < bestLoss) { bestLoss = lossNow; bestBeta = beta }
       beta = LinAlg.solve(g, c)
       iter += 1
     }
-    beta = bestBeta
-    loss = bestLoss
-
-    // a-posteriori optimality certificate at the returned β
-    val xbF = xcols.zip(beta).map { case (x, b) => x * b }.reduce(_ + _)
-    val sgn = when(yc - xbF < 0.0, lit(tau - 1.0)).otherwise(lit(tau))
-    val gradAggs = (0 until k).flatMap(i =>
-      Seq(sum(xcols(i) * sgn).as(s"g_$i"), sum(abs(xcols(i))).as(s"a_$i")))
-    val gr = projected.agg(gradAggs.head, gradAggs.tail: _*).head()
-    val gap = (0 until k).map { i =>
-      math.abs(gr.getDouble(2 * i)) / math.max(gr.getDouble(2 * i + 1), 1e-12)
-    }.max
     projected.unpersist(false)
-    QrModel(tau, names, beta, n, iter, converged, loss, gap)
+    QrModel(tau, names, bestBeta, n, iter, converged, bestLoss, bestGap)
   }
 }

@@ -1233,9 +1233,12 @@ object CoreQueries {
   val q158 = Q(
     "q158_quantile_reg",
     (s, dir) => {
+      // maxIter bounds the bench cost: the skewed price tail polishes
+      // slowly past ~15 sweeps while the coefficients are stable to 4dp;
+      // the z-gap in the output is the honest convergence certificate
       val li = Tables.lineitem(s, dir)
-      val m50 = graft.ml.QuantileReg.fit(li, "l_extendedprice", Seq("l_quantity"), 0.5)
-      val m90 = graft.ml.QuantileReg.fit(li, "l_extendedprice", Seq("l_quantity"), 0.9)
+      val m50 = graft.ml.QuantileReg.fit(li, "l_extendedprice", Seq("l_quantity"), 0.5, maxIter = 20)
+      val m90 = graft.ml.QuantileReg.fit(li, "l_extendedprice", Seq("l_quantity"), 0.9, maxIter = 20)
       scalarRow(
         s,
         Seq(
@@ -1243,7 +1246,7 @@ object CoreQueries {
           "slope_p90" -> rnd(m90.coef(1), 4),
           "gap_p50" -> rnd(m50.gradGap, 6),
           "gap_p90" -> rnd(m90.gradGap, 6)),
-        Seq("n" -> m50.n,
+        Seq("n" -> m50.n, "iters_p50" -> m50.iters.toLong, "iters_p90" -> m90.iters.toLong,
           "converged" -> (if (m50.converged && m90.converged) 1L else 0L)))
     },
     None

