@@ -1,0 +1,144 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Post-fit regression diagnostics — the checks an analyst runs on an
+  * [[Ols]] fit before trusting its standard errors: serial-correlation-
+  * robust covariance (Driscoll–Kraay), heteroskedasticity (Breusch–
+  * Pagan) and autocorrelation (Durbin–Watson). Every statistic is a
+  * closed form over sums the cluster produces in one or two passes,
+  * and every one is exactly replayable in ANSI SQL.
+  */
+object Diagnostics {
+
+  private def xCols(model: OlsModel): Seq[Column] = model.xNames.map {
+    case "(intercept)" => lit(1.0)
+    case name          => col(name).cast("double")
+  }
+
+  /** Driscoll–Kraay (1998) covariance: serial- AND cross-sectionally-
+    * robust for panels/time series. The per-period score vector
+    * h_t = Σ_{i∈t} u_it·x_it collapses the corpus to a PERIOD-length
+    * series (one groupBy — at 100 TB that is thousands of rows, not
+    * billions); the Newey–West kernel then runs over that tiny series
+    * with Bartlett weights w_l = 1 − l/(L+1):
+    * meat = Γ₀ + Σ_{l=1..L} w_l(Γ_l + Γ_l'), Γ_l = Σ_t h_t h_{t−l}',
+    * V = (X'X)⁻¹ meat (X'X)⁻¹. Lag products via window lags on the
+    * period frame — no self-join, no corpus re-scan.
+    */
+  def varianceDriscollKraay(
+      df: DataFrame,
+      model: OlsModel,
+      y: String,
+      timeCol: String,
+      maxLag: Int
+  ): Array[Array[Double]] = {
+    val k = model.coef.length
+    val xs = xCols(model)
+    val u = Ols.residualCol(model, y)
+    val scoreAggs = (0 until k).map(i => sum(col("__u") * xs(i)).as(s"h_$i"))
+    val periods = df
+      .withColumn("__u", u)
+      .groupBy(col(timeCol).as("__t"))
+      .agg(scoreAggs.head, scoreAggs.tail: _*)
+
+    val w = Window.orderBy("__t")
+    val withLags = (1 to maxLag).foldLeft(periods) { (d, l) =>
+      (0 until k).foldLeft(d) { (d2, i) =>
+        d2.withColumn(s"h_${i}_lag$l", lag(col(s"h_$i"), l).over(w))
+      }
+    }
+    val gammaAggs =
+      (for (i <- 0 until k; j <- 0 until k) yield sum(col(s"h_$i") * col(s"h_$j")).as(s"g0_${i}_$j")) ++
+        (for (l <- 1 to maxLag; i <- 0 until k; j <- 0 until k)
+          yield sum(col(s"h_$i") * col(s"h_${j}_lag$l")).as(s"g${l}_${i}_$j"))
+    val row = withLags.na.fill(0.0).agg(gammaAggs.head, gammaAggs.tail: _*).head()
+
+    var p = 0
+    val meat = Array.ofDim[Double](k, k)
+    for (i <- 0 until k; j <- 0 until k) { meat(i)(j) = row.getDouble(p); p += 1 }
+    for (l <- 1 to maxLag) {
+      val wl = 1.0 - l.toDouble / (maxLag + 1)
+      for (i <- 0 until k; j <- 0 until k) {
+        val g = row.getDouble(p); p += 1
+        meat(i)(j) += wl * g
+        meat(j)(i) += wl * g
+      }
+    }
+    val bread = LinAlg.inverse(model.gram)
+    val tmp = LinAlg.matMul(bread, meat)
+    LinAlg.matMul(tmp, bread)
+  }
+
+  def seDriscollKraay(df: DataFrame, model: OlsModel, y: String, timeCol: String, maxLag: Int): Array[Double] =
+    varianceDriscollKraay(df, model, y, timeCol, maxLag)
+      .zipWithIndex.map { case (r, i) => math.sqrt(r(i)) }
+
+  /** Breusch–Pagan LM test for heteroskedasticity: regress u² on the
+    * regressors; LM = n·R² of that auxiliary regression, χ²(k−1) under
+    * homoskedasticity. One extra Gram pass with u² as the outcome.
+    */
+  def breuschPagan(df: DataFrame, model: OlsModel, y: String): (Double, Long) = {
+    val u = Ols.residualCol(model, y)
+    val aux = Ols.fit(
+      df.withColumn("__u2", u * u),
+      "__u2",
+      model.xNames.filter(_ != "(intercept)"))
+    // R² = 1 − SSR/SST from the aux model's own gram identities
+    // (gram(0)(0) = n, xty(0) = Σu² since column 0 is the intercept)
+    val ybar = aux.xty(0) / aux.gram(0)(0)
+    val sst = aux.yty - aux.gram(0)(0) * ybar * ybar
+    val r2 = 1.0 - aux.ssr / sst
+    (aux.n.toDouble * r2, aux.n)
+  }
+
+  /** Durbin–Watson statistic over a total time order:
+    * DW = Σ_t (u_t − u_{t−1})² / Σ u² — ≈ 2 under no first-order
+    * autocorrelation, → 0 under positive, → 4 under negative. Pass
+    * enough `order` columns for a TOTAL order (the
+    * [[graft.ml.Panel.firstDifference]] rule).
+    *
+    * Scale shape: a naive `Window.orderBy(time)` funnels the corpus
+    * through ONE task (the AUC lesson, [[Eval.auc]]); instead rows are
+    * RANGE-partitioned and sorted on the time order, each partition
+    * reduces to (Σdu² internal, Σu², first u, last u, n), and the
+    * driver stitches the partition-boundary (first − previous last)²
+    * terms — exact, with only #partitions rows leaving the cluster.
+    */
+  def durbinWatson(df: DataFrame, model: OlsModel, y: String, order: Seq[String]): Double = {
+    val parts = df
+      .withColumn("__u", Ols.residualCol(model, y))
+      .select((order.map(col) :+ col("__u")): _*)
+      .repartitionByRange(order.map(col): _*)
+      .sortWithinPartitions(order.map(col): _*)
+      .select(col("__u"))
+      .rdd
+      .mapPartitionsWithIndex { (idx, it) =>
+        var n = 0L; var sumSq = 0.0; var sumDu2 = 0.0
+        var first = 0.0; var last = 0.0; var prev = 0.0
+        it.foreach { row =>
+          val u = row.getDouble(0)
+          if (n == 0L) first = u
+          else { val d = u - prev; sumDu2 += d * d }
+          sumSq += u * u
+          prev = u; last = u; n += 1
+        }
+        if (n == 0L) Iterator.empty
+        else Iterator((idx, n, sumSq, sumDu2, first, last))
+      }
+      .collect()
+      .sortBy(_._1)
+
+    var num = 0.0; var den = 0.0
+    var prevLast = Double.NaN
+    parts.foreach { case (_, _, sumSq, sumDu2, first, last) =>
+      num += sumDu2
+      if (!prevLast.isNaN) { val d = first - prevLast; num += d * d }
+      den += sumSq
+      prevLast = last
+    }
+    num / den
+  }
+}

@@ -1275,6 +1275,112 @@ object CoreQueries {
     None
   )
 
+  // ---- C51: Driscoll–Kraay serial+cross-sectional robust SE (FULL
+  // oracle — per-period scores, Bartlett kernel, sandwich, all replayed
+  // from the Cramer β) -------------------------------------------------
+
+  val q163 = Q(
+    "q163_driscoll_kraay",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val m = olsSimple(s, dir)
+      val se = graft.ml.Diagnostics.seDriscollKraay(li, m, "l_extendedprice", "l_shipdate", maxLag = 2)
+      scalarRow(
+        s,
+        Seq("se_dk_intercept" -> rnd(se(0), 4), "se_dk_qty" -> rnd(se(1), 4)),
+        Seq("n" -> m.n))
+    },
+    Some(
+      """WITH s AS (SELECT count(*)::DOUBLE AS n, sum(l_quantity) AS sx,
+        |             sum(l_extendedprice) AS sy, sum(l_quantity*l_quantity) AS sxx,
+        |             sum(l_quantity*l_extendedprice) AS sxy FROM lineitem),
+        |b AS (SELECT (n*sxy - sx*sy)/(n*sxx - sx*sx) AS b1,
+        |        (sy - (n*sxy - sx*sy)/(n*sxx - sx*sx)*sx)/n AS b0,
+        |        n, sx, sxx, n*sxx - sx*sx AS det FROM s),
+        |u AS (SELECT l_shipdate AS t,
+        |        l_extendedprice - b.b0 - b.b1*l_quantity AS u, l_quantity AS x
+        |      FROM lineitem CROSS JOIN b),
+        |h AS (SELECT t, sum(u) AS h0, sum(u*x) AS h1 FROM u GROUP BY t),
+        |hl AS (SELECT h0, h1,
+        |         lag(h0, 1) OVER w AS h0l1, lag(h1, 1) OVER w AS h1l1,
+        |         lag(h0, 2) OVER w AS h0l2, lag(h1, 2) OVER w AS h1l2
+        |       FROM h WINDOW w AS (ORDER BY t)),
+        |g AS (SELECT sum(h0*h0) AS g000, sum(h0*h1) AS g001, sum(h1*h1) AS g011,
+        |        sum(h0*COALESCE(h0l1, 0)) AS a00, sum(h0*COALESCE(h1l1, 0)) AS a01,
+        |        sum(h1*COALESCE(h0l1, 0)) AS a10, sum(h1*COALESCE(h1l1, 0)) AS a11,
+        |        sum(h0*COALESCE(h0l2, 0)) AS c00, sum(h0*COALESCE(h1l2, 0)) AS c01,
+        |        sum(h1*COALESCE(h0l2, 0)) AS c10, sum(h1*COALESCE(h1l2, 0)) AS c11
+        |      FROM hl),
+        |m AS (SELECT g000 + (2.0/3.0)*(a00 + a00) + (1.0/3.0)*(c00 + c00) AS m00,
+        |        g001 + (2.0/3.0)*(a01 + a10) + (1.0/3.0)*(c01 + c10) AS m01,
+        |        g011 + (2.0/3.0)*(a11 + a11) + (1.0/3.0)*(c11 + c11) AS m11
+        |      FROM g)
+        |SELECT
+        |  round(sqrt((b.sxx*b.sxx*m.m00 - 2.0*b.sxx*b.sx*m.m01 + b.sx*b.sx*m.m11)
+        |    / (b.det*b.det)), 4) AS se_dk_intercept,
+        |  round(sqrt((b.sx*b.sx*m.m00 - 2.0*b.sx*b.n*m.m01 + b.n*b.n*m.m11)
+        |    / (b.det*b.det)), 4) AS se_dk_qty,
+        |  b.n::BIGINT AS n
+        |FROM m CROSS JOIN b""".stripMargin
+    )
+  )
+
+  // ---- C52: Breusch–Pagan heteroskedasticity LM (FULL oracle —
+  // n·corr²(x, u²) closed form) ----------------------------------------
+
+  val q164 = Q(
+    "q164_breusch_pagan",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val m = olsSimple(s, dir)
+      val (lm, n) = graft.ml.Diagnostics.breuschPagan(li, m, "l_extendedprice")
+      scalarRow(s, Seq("bp_lm" -> rnd(lm, 1)), Seq("n" -> n))
+    },
+    Some(
+      """WITH s AS (SELECT count(*)::DOUBLE AS n, sum(l_quantity) AS sx,
+        |             sum(l_extendedprice) AS sy, sum(l_quantity*l_quantity) AS sxx,
+        |             sum(l_quantity*l_extendedprice) AS sxy FROM lineitem),
+        |b AS (SELECT (n*sxy - sx*sy)/(n*sxx - sx*sx) AS b1,
+        |        (sy - (n*sxy - sx*sy)/(n*sxx - sx*sx)*sx)/n AS b0 FROM s),
+        |z AS (SELECT l_quantity AS x,
+        |        (l_extendedprice - b.b0 - b.b1*l_quantity)
+        |          * (l_extendedprice - b.b0 - b.b1*l_quantity) AS z
+        |      FROM lineitem CROSS JOIN b),
+        |t AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(z) AS sz,
+        |        sum(x*x) AS sxx, sum(z*z) AS szz, sum(x*z) AS sxz FROM z)
+        |SELECT round(n*(n*sxz - sx*sz)*(n*sxz - sx*sz)
+        |    / ((n*sxx - sx*sx)*(n*szz - sz*sz)), 1) AS bp_lm,
+        |  n::BIGINT AS n FROM t""".stripMargin
+    )
+  )
+
+  // ---- C53: Durbin–Watson over the ship-date total order (FULL oracle
+  // — boundary-stitched range partitions ≡ one global lag window) ------
+
+  val q165 = Q(
+    "q165_durbin_watson",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val m = olsSimple(s, dir)
+      val dw = graft.ml.Diagnostics.durbinWatson(
+        li, m, "l_extendedprice", Seq("l_shipdate", "l_orderkey", "l_linenumber"))
+      scalarRow(s, Seq("dw" -> rnd(dw, 6)), Seq("n" -> m.n))
+    },
+    Some(
+      """WITH s AS (SELECT count(*)::DOUBLE AS n, sum(l_quantity) AS sx,
+        |             sum(l_extendedprice) AS sy, sum(l_quantity*l_quantity) AS sxx,
+        |             sum(l_quantity*l_extendedprice) AS sxy FROM lineitem),
+        |b AS (SELECT (n*sxy - sx*sy)/(n*sxx - sx*sx) AS b1,
+        |        (sy - (n*sxy - sx*sy)/(n*sxx - sx*sx)*sx)/n AS b0 FROM s),
+        |u AS (SELECT l_extendedprice - b.b0 - b.b1*l_quantity AS u,
+        |        l_shipdate, l_orderkey, l_linenumber
+        |      FROM lineitem CROSS JOIN b),
+        |d AS (SELECT u, u - lag(u) OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber) AS du
+        |      FROM u)
+        |SELECT round(sum(du*du)/sum(u*u), 6) AS dw, count(*)::BIGINT AS n FROM d""".stripMargin
+    )
+  )
+
   /** Round a driver-side double the same way Spark/DuckDB `round` does
     * (HALF_UP on the decimal representation).
     */
@@ -1284,5 +1390,5 @@ object CoreQueries {
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18,
       q19, q36, q37, q38, q41, q42, q43, q59, q68, q70, q74, q79, q80, q90, q91, q94,
-      q144, q145, q146, q147, q148, q149, q150, q156, q157, q158, q159)
+      q144, q145, q146, q147, q148, q149, q150, q156, q157, q158, q159, q163, q164, q165)
 }
