@@ -1,0 +1,76 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank by synchronous power iteration — the second graph operator
+  * beside [[graft.dedup.ConnectedComponents]]: where CC answers "which
+  * near-dup cluster is this", PageRank answers "which nodes matter" —
+  * seed-document selection over a citation/link graph, source authority
+  * for curation weighting, hub detection in user-interaction graphs.
+  *
+  *   r ← (1−d)/n + d·(Σ_incoming r_src/outdeg_src + danglingMass/n)
+  *
+  * with the dangling mass (rank parked on sink nodes) redistributed
+  * uniformly — the standard convention, and the part naive
+  * implementations drop (rank then leaks and the vector stops summing
+  * to 1; the spec pins Σr = 1 every iteration).
+  *
+  * Scale shape per iteration: ONE equi-join ranks⋈edges on the source
+  * key, one groupBy(dst), a 1-row dangling aggregate, a left join back
+  * to the node set for zero-indegree nodes — all shuffles on the node
+  * key. The rank frame is localCheckpoint'ed each iteration (the FE
+  * lesson: an uncheckpointed iterative frame's plan doubles per sweep
+  * and the analyzer, not the cluster, becomes the bottleneck).
+  * Fixed iteration count keeps the result deterministic and
+  * cross-engine replayable (the q166 oracle unrolls the same
+  * iterations in SQL).
+  */
+object PageRank {
+
+  /** (node, rank) after `iters` iterations over `edges(src, dst)`.
+    * Multi-edges should be pre-deduplicated by the caller if unwanted;
+    * self-loops are legal.
+    */
+  def run(
+      edges: DataFrame,
+      src: String = "src",
+      dst: String = "dst",
+      iters: Int = 10,
+      damping: Double = 0.85
+  ): DataFrame = {
+    val e = edges.select(col(src).cast("string").as("src"), col(dst).cast("string").as("dst"))
+      .persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist()
+    val n = nodes.count().toDouble
+    // distinct column name so the edge frame can re-join without a
+    // self-join ambiguity
+    val outdeg = e.groupBy(col("src").as("od_src")).agg(count(lit(1)).cast("double").as("outdeg"))
+
+    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      // rank parked on sinks (no out-edges) this iteration
+      val dangling = ranks.join(outdeg, col("node") === col("od_src"), "left_anti")
+        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+      val contribs = ranks
+        .join(outdeg, col("node") === col("od_src"))
+        .join(e, col("node") === col("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") / col("outdeg")).as("contrib"))
+      ranks = nodes
+        .join(contribs, Seq("node"), "left")
+        .na.fill(0.0, Seq("contrib"))
+        .select(
+          col("node"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * (col("contrib") + lit(dangling / n))).as("rank"))
+        .localCheckpoint(true)
+    }
+    e.unpersist(false)
+    nodes.unpersist(false)
+    ranks
+  }
+}

@@ -3877,11 +3877,56 @@ object PipelineQueries {
     None
   )
 
+  // ---- P16: PageRank (FULL oracle — the same 10 synchronous power
+  // iterations UNROLLED into SQL CTEs, dangling mass included) ---------
+
+  private def pageRankOracleSql(iters: Int, d: Double): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS MATERIALIZED (SELECT DISTINCT 'c' || o_custkey::VARCHAR AS src,
+              |            's' || l_suppkey::VARCHAR AS dst
+              |          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+              |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+              |nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes),
+              |od AS MATERIALIZED (SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY 1),
+              |r0 AS MATERIALIZED (SELECT node, (SELECT 1.0/n FROM nn) AS rank FROM nodes)""".stripMargin
+    for (k <- 1 to iters) {
+      sb ++= s""",
+                |d$k AS MATERIALIZED (SELECT COALESCE(sum(rank), 0) AS dm
+                |        FROM r${k - 1} LEFT JOIN od ON node = od.src WHERE od.src IS NULL),
+                |c$k AS MATERIALIZED (SELECT e.dst AS node, sum(r.rank/od.outdeg) AS contrib
+                |        FROM r${k - 1} r JOIN od ON r.node = od.src JOIN e ON e.src = r.node
+                |        GROUP BY 1),
+                |r$k AS MATERIALIZED (SELECT nodes.node,
+                |          (SELECT (1.0-$d)/n FROM nn)
+                |            + $d*(COALESCE(c$k.contrib, 0) + (SELECT dm FROM d$k)/(SELECT n FROM nn)) AS rank
+                |        FROM nodes LEFT JOIN c$k USING (node))""".stripMargin
+    }
+    sb ++= s"\nSELECT node, round(rank, 8) AS rank FROM r$iters"
+    sb.toString
+  }
+
+  val q166 = Q(
+    "q166_pagerank",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir)
+      val edges = o.join(li, col("l_orderkey") === col("o_orderkey"))
+        .select(
+          concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+        .distinct()
+      graft.graph.PageRank.run(edges, iters = 10)
+        .select(col("node"), round(col("rank"), 8).as("rank"))
+        .orderBy(col("node"))
+    },
+    Some(pageRankOracleSql(10, 0.85))
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-      q151, q152, q153, q154, q155, q160, q161, q162)
+      q151, q152, q153, q154, q155, q160, q161, q162, q166)
 }
