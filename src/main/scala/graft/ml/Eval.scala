@@ -63,4 +63,47 @@ object Eval {
       .head()
     row.getDouble(0) / (row.getLong(1).toDouble * row.getLong(2).toDouble)
   }
+
+  /** Decile lift table — the business-facing companion to [[auc]]:
+    * rank by score descending (`tieBreak` columns complete a TOTAL
+    * order so the decile cut is deterministic and cross-engine
+    * replayable — plain `ntile` over tied scores is not), bucket into
+    * `buckets` equal slices, report per-bucket response rate, lift vs
+    * the base rate, and cumulative lift. Integer counts throughout.
+    *
+    * The global `ntile` funnels rows through one task — deliberate
+    * here: exact equal-count deciles REQUIRE a global rank, and lift
+    * tables are computed on scored EVALUATION samples (always
+    * sample-sized), not the corpus. For corpus-scale bucketing use
+    * score-quantile cuts (`graft.ops.Stats.winsorizedMean`'s
+    * percentile machinery) and accept unequal bucket counts.
+    */
+  def liftTable(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      tieBreak: Seq[String],
+      buckets: Int = 10
+  ): DataFrame = {
+    val w = Window.orderBy(
+      (col(scoreCol).desc +: tieBreak.map(col(_).asc)): _*)
+    val base = df
+      .withColumn("__bkt", ntile(buckets).over(w))
+      .groupBy(col("__bkt").as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col(labelCol).cast("long")).as("n_pos"))
+    val tot = base.agg(sum("n").as("nt"), sum("n_pos").as("pt"))
+    val wc = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .crossJoin(broadcast(tot))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wc))
+      .withColumn("cum_n", sum(col("n")).over(wc))
+      .select(
+        col("bucket"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6).as("resp_rate"),
+        round((col("n_pos").cast("double") / col("n").cast("double")) /
+          (col("pt").cast("double") / col("nt").cast("double")), 4).as("lift"),
+        round((col("cum_pos").cast("double") / col("cum_n").cast("double")) /
+          (col("pt").cast("double") / col("nt").cast("double")), 4).as("cum_lift"))
+      .orderBy("bucket")
+  }
 }

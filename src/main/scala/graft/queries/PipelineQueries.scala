@@ -3922,11 +3922,105 @@ object PipelineQueries {
     Some(pageRankOracleSql(10, 0.85))
   )
 
+  // ---- T51: market-basket association rules (FULL oracle — integer
+  // counts, closed forms, string-ordered pairs on both engines) --------
+
+  val q167 = Q(
+    "q167_basket_rules",
+    (s, dir) =>
+      graft.ops.MarketBasket
+        .pairRules(Tables.lineitem(s, dir), "l_orderkey", "l_suppkey", minSupport = 30L)
+        .orderBy(col("item_a"), col("item_b")),
+    Some(
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_suppkey::VARCHAR AS i FROM lineitem),
+        |nb AS (SELECT count(DISTINCT b)::DOUBLE AS n FROM bi),
+        |ic AS (SELECT i, count(*)::BIGINT AS n_i FROM bi GROUP BY 1),
+        |p AS (SELECT l.i AS item_a, r.i AS item_b, count(*)::BIGINT AS n_ab
+        |      FROM bi l JOIN bi r ON l.b = r.b AND l.i < r.i
+        |      GROUP BY 1, 2 HAVING count(*) >= 30)
+        |SELECT item_a, item_b, n_ab, a.n_i AS n_a, c.n_i AS n_b,
+        |  (SELECT n::BIGINT FROM nb) AS n_baskets,
+        |  round(n_ab::DOUBLE/(SELECT n FROM nb), 6) AS support,
+        |  round(n_ab::DOUBLE/a.n_i::DOUBLE, 6) AS conf_a_to_b,
+        |  round(n_ab::DOUBLE/c.n_i::DOUBLE, 6) AS conf_b_to_a,
+        |  round((SELECT n FROM nb)*n_ab::DOUBLE/(a.n_i::DOUBLE*c.n_i::DOUBLE), 6) AS lift
+        |FROM p JOIN ic a ON a.i = item_a JOIN ic c ON c.i = item_b
+        |ORDER BY item_a, item_b""".stripMargin
+    )
+  )
+
+  // ---- T52: Kaplan–Meier survival over user activity spans (FULL
+  // oracle — integer day buckets, suffix-sum risk sets, ln/exp product)
+
+  val q168 = Q(
+    "q168_kaplan_meier",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val per = ev
+        .select(col("user_id"), floor(unix_timestamp(col("ts")) / 86400).as("day"))
+        .groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+      val maxDay = per.agg(max("d1")).head().getLong(0)
+      val spans = per.select(
+        (col("d1") - col("d0") + 1).cast("double").as("dur"),
+        when(col("d1") < maxDay - 7, 1).otherwise(0).as("ev"))
+      graft.ml.Survival.kaplanMeier(spans, "dur", "ev")
+    },
+    Some(
+      """WITH d AS (SELECT user_id, floor(epoch(ts)/86400)::BIGINT AS day FROM events),
+        |p AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1),
+        |mx AS (SELECT max(d1) AS m FROM p),
+        |sp AS (SELECT (d1 - d0 + 1)::DOUBLE AS t,
+        |         CASE WHEN d1 < (SELECT m FROM mx) - 7 THEN 1 ELSE 0 END AS ev FROM p),
+        |c AS (SELECT t, sum(ev)::BIGINT AS d, sum(1 - ev)::BIGINT AS cns FROM sp GROUP BY 1),
+        |r AS (SELECT t, d, cns,
+        |        sum(d + cns) OVER (ORDER BY t DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk FROM c),
+        |k AS (SELECT t, n_risk, d, cns,
+        |        CASE WHEN d > 0
+        |          THEN ln(greatest(1.0 - d::DOUBLE/n_risk::DOUBLE, 1e-300)) ELSE 0.0 END AS lt
+        |      FROM r)
+        |SELECT t, n_risk, d AS d_events, cns AS n_censored,
+        |  round(exp(sum(lt) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS survival
+        |FROM k ORDER BY t""".stripMargin
+    )
+  )
+
+  // ---- T53: decile lift table (FULL oracle — total-ordered ntile,
+  // integer counts, identical ratio expressions) -----------------------
+
+  val q169 = Q(
+    "q169_lift_table",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("lbl", (col("lang") === "en").cast("int"))
+      graft.ml.Eval.liftTable(docs, "n_chars", "lbl", Seq("doc_id"), buckets = 10)
+    },
+    Some(
+      """WITH r AS (SELECT doc_id, n_chars, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS lbl,
+        |             ntile(10) OVER (ORDER BY n_chars DESC, doc_id ASC) AS bkt
+        |           FROM documents),
+        |b AS (SELECT bkt AS bucket, count(*)::BIGINT AS n, sum(lbl)::BIGINT AS n_pos
+        |      FROM r GROUP BY 1),
+        |t AS (SELECT sum(n)::DOUBLE AS nt, sum(n_pos)::DOUBLE AS pt FROM b),
+        |c AS (SELECT bucket, n, n_pos,
+        |        sum(n_pos) OVER (ORDER BY bucket) AS cum_pos,
+        |        sum(n) OVER (ORDER BY bucket) AS cum_n FROM b)
+        |SELECT bucket, n, n_pos,
+        |  round(n_pos::DOUBLE/n::DOUBLE, 6) AS resp_rate,
+        |  round((n_pos::DOUBLE/n::DOUBLE)/((SELECT pt FROM t)/(SELECT nt FROM t)), 4) AS lift,
+        |  round((cum_pos::DOUBLE/cum_n::DOUBLE)/((SELECT pt FROM t)/(SELECT nt FROM t)), 4)
+        |    AS cum_lift
+        |FROM c ORDER BY bucket""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-      q151, q152, q153, q154, q155, q160, q161, q162, q166)
+      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169)
 }

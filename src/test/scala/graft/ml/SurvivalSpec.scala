@@ -1,0 +1,68 @@
+package graft.ml
+
+import graft.SparkSpec
+
+class SurvivalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kaplanMeier: textbook example with censoring; survival steps only at event times") {
+    // durations: 1(event) 2(censored) 3(event) 4(event) 5(censored)
+    val df = Seq((1.0, 1), (2.0, 0), (3.0, 1), (4.0, 1), (5.0, 0)).toDF("dur", "ev")
+    val km = Survival.kaplanMeier(df, "dur", "ev").collect()
+    val byT = km.map(r => r.getDouble(0) -> r).toMap
+    assert(byT(1.0).getLong(1) === 5L)                       // n_risk at t=1
+    assert(byT(1.0).getDouble(4) === 0.8)                    // 1 - 1/5
+    assert(byT(2.0).getDouble(4) === 0.8)                    // censoring: no step
+    assert(byT(2.0).getLong(3) === 1L)                       // but it IS recorded
+    assert(byT(3.0).getLong(1) === 3L)                       // risk set shrank by the censored one
+    assert(math.abs(byT(3.0).getDouble(4) - 0.8 * 2 / 3) < 1e-6)
+    assert(math.abs(byT(4.0).getDouble(4) - 0.8 * (2.0 / 3) * 0.5) < 1e-6)
+    assert(byT(5.0).getDouble(4) === byT(4.0).getDouble(4))  // final censoring: flat
+    // survival is non-increasing in t
+    val surv = km.sortBy(_.getDouble(0)).map(_.getDouble(4))
+    assert(surv.zip(surv.drop(1)).forall { case (a, b) => b <= a + 1e-12 })
+  }
+
+  test("kaplanMeier without censoring equals the empirical survival function; terminal 0") {
+    val df = (1 to 4).map(d => (d.toDouble, 1)).toDF("dur", "ev")
+    val km = Survival.kaplanMeier(df, "dur", "ev").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(4)).toMap
+    assert(math.abs(km(1.0) - 0.75) < 1e-9)
+    assert(math.abs(km(2.0) - 0.5) < 1e-9)
+    assert(math.abs(km(3.0) - 0.25) < 1e-9)
+    assert(km(4.0) === 0.0) // everyone at the last time dies: the ln floor path
+  }
+
+  test("dropping censored rows (the naive mistake) biases survival down vs proper KM") {
+    val rows = (0 until 200).map { i =>
+      val d = 1.0 + (i % 10)
+      val ev = if (i % 3 == 0) 0 else 1
+      (d, ev)
+    }
+    val df = rows.toDF("dur", "ev")
+    val proper = Survival.kaplanMeier(df, "dur", "ev").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(4)).toMap
+    val naive = Survival.kaplanMeier(df.where($"ev" === 1), "dur", "ev").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(4)).toMap
+    assert(proper(5.0) > naive(5.0), s"proper ${proper(5.0)} vs naive ${naive(5.0)}")
+  }
+
+  test("Eval.liftTable: perfect separation puts all response in the top buckets; cum_lift sane") {
+    val rows = (0 until 200).map { i =>
+      val score = 200 - i        // descending with i
+      val label = if (i < 50) 1 else 0  // top quartile all positive
+      (i.toLong, score.toDouble, label)
+    }
+    val df = rows.toDF("id", "s", "l")
+    val lt = Eval.liftTable(df, "s", "l", Seq("id"), buckets = 4).collect()
+    assert(lt.length === 4)
+    val b1 = lt.find(_.getInt(0) == 1).get
+    assert(b1.getLong(1) === 50L && b1.getLong(2) === 50L)
+    assert(b1.getDouble(3) === 1.0)
+    assert(b1.getDouble(4) === 4.0)  // base rate 0.25 -> lift 4
+    assert(b1.getDouble(5) === 4.0)
+    val b4 = lt.find(_.getInt(0) == 4).get
+    assert(b4.getLong(2) === 0L && b4.getDouble(4) === 0.0)
+    assert(math.abs(lt.find(_.getInt(0) == 4).get.getDouble(5) - 1.0) < 1e-9) // full-cum lift = 1
+  }
+}
