@@ -210,4 +210,49 @@ object EventStream {
       .toDF(userCol, "steps_completed", "t_first", "t_done")
       .where(col("steps_completed") > 0)
   }
+
+  /** Stream-stream interval join (S24): attribute each click to every
+    * impression of the same user within `windowMinutes` BEFORE it —
+    * the canonical two-stream workload (ad attribution, request/
+    * response pairing, order/shipment matching). BOTH sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * Spark can expire join state: without the interval bound the
+    * engine must hold every impression forever (unbounded state — the
+    * failure mode this operator exists to avoid). Inner join: matches
+    * emit as soon as both sides arrive; pass `joinType = "leftOuter"`
+    * to also emit watermark-expired unmatched impressions with null
+    * click columns.
+    */
+  def attributionJoin(
+      impressions: DataFrame,
+      clicks: DataFrame,
+      userCol: String,
+      tsCol: String,
+      windowMinutes: Int = 30,
+      watermark: String = "1 hour",
+      joinType: String = "inner"
+  ): DataFrame = {
+    val imp = impressions
+      .withWatermark(tsCol, watermark)
+      .select(
+        col(userCol).as("user"),
+        col(tsCol).as("imp_ts"))
+    val clk = clicks
+      .withWatermark(tsCol, watermark)
+      .select(
+        col(userCol).as("c_user"),
+        col(tsCol).as("click_ts"))
+    imp
+      .join(
+        clk,
+        col("user") === col("c_user") &&
+          col("click_ts") >= col("imp_ts") &&
+          col("click_ts") <= col("imp_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+        joinType)
+      .select(
+        col("user"),
+        col("imp_ts"),
+        col("click_ts"),
+        (unix_timestamp(col("click_ts")) - unix_timestamp(col("imp_ts"))).as("lag_seconds"))
+  }
 }

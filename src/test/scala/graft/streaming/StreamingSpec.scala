@@ -807,4 +807,32 @@ class StreamingSpec extends SparkSpec {
       assert(math.abs(r4.getDouble(3) - 55.0) < 1e-9 && r4.getLong(5) === 10L)
     } finally q.stop()
   }
+
+  test("stream-stream interval join: clicks attribute to in-window impressions only, across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Int): java.sql.Timestamp = new java.sql.Timestamp(3600L * 1000 + min * 60000L)
+    val impStream = MemoryStream[(String, java.sql.Timestamp)]
+    val clkStream = MemoryStream[(String, java.sql.Timestamp)]
+    val out = EventStream.attributionJoin(
+      impStream.toDF.toDF("user", "ts"), clkStream.toDF.toDF("user", "ts"),
+      "user", "ts", windowMinutes = 30, watermark = "10 minutes")
+    val q = out.writeStream.outputMode("append").format("memory").queryName("attr_join").start()
+    try {
+      // batch 1: impressions only — nothing can match yet
+      impStream.addData(Seq(("u1", ts(0)), ("u2", ts(5)), ("u3", ts(0))))
+      q.processAllAvailable()
+      assert(spark.table("attr_join").count() === 0)
+      // batch 2: clicks — u1 in-window, u2 in-window, u3 too late (40 min), u4 has no impression
+      clkStream.addData(Seq(("u1", ts(10)), ("u2", ts(34)), ("u3", ts(40)), ("u4", ts(10))))
+      q.processAllAvailable()
+      val rows = spark.table("attr_join")
+        .collect().map(r => (r.getString(0), r.getLong(3))).sortBy(_._1).toSeq
+      assert(rows === Seq(("u1", 600L), ("u2", 29L * 60)))
+      // batch 3: a later impression for u4 cannot claim the EARLIER click (click before impression)
+      impStream.addData(Seq(("u4", ts(20))))
+      q.processAllAvailable()
+      assert(!spark.table("attr_join").collect().map(_.getString(0)).contains("u4"))
+    } finally q.stop()
+  }
 }
