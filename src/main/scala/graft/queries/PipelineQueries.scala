@@ -4016,11 +4016,28 @@ object PipelineQueries {
     )
   )
 
+  // ---- P17: margin-based bitext mining (rows-only: FloatVec cosine +
+  // bounded-heap top-k are engine expressions; BitextSpec pins planted
+  // pairs, hub rejection, orphan rejection) ----------------------------
+
+  val q170 = Q(
+    "q170_bitext",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val src = emb.where(col("vec_id") % 2 === 0)
+      val tgt = emb.where(col("vec_id") % 2 === 1)
+      graft.sim.Bitext
+        .mineParallel(src, tgt, "vec_id", "embedding", k = 4, minMargin = 1.0, minCos = 0.3)
+        .orderBy(col("src_id"))
+    },
+    None
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169)
+      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170)
 }
