@@ -285,4 +285,50 @@ class SourcesSpec extends SparkSpec {
     assert(filesHit(in, pred) >= 60L, "the fragmented input should smear the key everywhere")
     assert(spark.read.parquet(outB).count() === 20000L)
   }
+
+  test("Rollup: three incremental maintenance rounds equal the one-shot aggregate; crash-safe swap") {
+    import spark.implicits._
+    val all = (0 until 3000).map(i => (s"k${i % 7}", (i % 100).toDouble))
+    val chunks = all.grouped(1000).toSeq
+    val statePath = java.nio.file.Files.createTempDirectory("rollup").toString + "/state"
+    chunks.foreach { c =>
+      Rollup.maintain(spark, statePath, c.toDF("k", "v"), Seq("k"), "v")
+    }
+    val incr = Rollup.withStats(spark.read.parquet(statePath))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val direct = Rollup.withStats(Rollup.aggregate(all.toDF("k", "v"), Seq("k"), "v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(incr.keySet === direct.keySet)
+    incr.foreach { case (k, r) =>
+      val d = direct(k)
+      assert(r.getLong(1) === d.getLong(1))                      // n
+      assert(math.abs(r.getDouble(2) - d.getDouble(2)) < 1e-9)   // s
+      assert(r.getDouble(4) === d.getDouble(4))                  // mn
+      assert(r.getDouble(5) === d.getDouble(5))                  // mx
+      assert(math.abs(r.getDouble(6) - d.getDouble(6)) < 1e-9)   // mean
+      assert(math.abs(r.getDouble(7) - d.getDouble(7)) < 1e-6)   // variance
+    }
+    // staging/old are cleaned up after the swap
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(statePath + "__staging")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(statePath + "__old")))
+  }
+
+  test("Observe: write-job metrics equal direct aggregation; single scan (no second metrics pass)") {
+    import spark.implicits._
+    val df = (0 until 5000)
+      .map(i => (i.toLong, if (i % 10 == 0) null else s"v$i", (i % 50).toDouble))
+      .toDF("id", "txt", "score")
+    val out = java.nio.file.Files.createTempDirectory("observe").toString + "/data"
+    val m = Observe.writeWithMetrics(df, out, Map(
+      "rows" -> count(lit(1)),
+      "null_txt" -> sum(when(col("txt").isNull, 1L).otherwise(0L)),
+      "score_sum" -> sum(col("score"))))
+    assert(m("rows") === 5000L)
+    assert(m("null_txt") === 500L)
+    assert(math.abs(m("score_sum").asInstanceOf[Double] -
+      df.agg(sum("score")).head().getDouble(0)) < 1e-9)
+    assert(spark.read.parquet(out).count() === 5000L)
+  }
 }
