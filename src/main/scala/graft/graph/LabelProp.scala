@@ -1,0 +1,66 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Synchronous label propagation (Raghavan 2007) — community detection
+  * by majority vote: each node adopts the most frequent label among its
+  * neighbors, ties broken by the SMALLEST label so every step is
+  * deterministic and cross-engine replayable (the asynchronous
+  * random-order variant converges faster but is not). Where
+  * [[graft.dedup.ConnectedComponents]] answers "reachable at all?",
+  * LPA answers "densely knit together?" — template families in a
+  * near-dup graph, user cohorts in an interaction graph — without a
+  * cluster-count parameter.
+  *
+  * A fixed iteration count (synchronous LPA can 2-cycle on bipartite
+  * structures, so "run to convergence" is not well-defined) keeps the
+  * result a pure function of the edge list — the q172 oracle unrolls
+  * the same iterations as SQL CTEs.
+  *
+  * Per iteration: ONE labels⋈edges equi-join on the source key, a
+  * (node, label) count aggregate with map-side combine, and a
+  * min(struct(−count, label)) argmax — all shuffles on node keys; the
+  * label frame is localCheckpoint'ed each iteration (the FE lineage
+  * lesson).
+  */
+object LabelProp {
+
+  /** (node, label) after `iters` synchronous sweeps over the undirected
+    * simple graph induced by `edges`. Labels start as the node ids.
+    * Isolated direction/duplicate noise in the input is canonicalized
+    * away; nodes keep their own label when a sweep gives them no
+    * neighbor votes (impossible here — every node comes from an edge).
+    */
+  def run(
+      edges: DataFrame,
+      src: String = "src",
+      dst: String = "dst",
+      iters: Int = 4
+  ): DataFrame = {
+    val half = edges
+      .select(col(src).cast("string").as("u"), col(dst).cast("string").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    val e = half.union(half.select(col("v"), col("u")))
+      .distinct()
+      .localCheckpoint(true) // consumed every sweep
+
+    var labels = e.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+
+    for (_ <- 0 until iters) {
+      val votes = labels
+        .join(e, col("node") === col("u"))
+        .groupBy(col("v"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      labels = votes
+        .groupBy(col("v").as("node"))
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("w"))
+        .select(col("node"), col("w.l").as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+}

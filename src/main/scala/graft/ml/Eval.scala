@@ -64,6 +64,57 @@ object Eval {
     row.getDouble(0) / (row.getLong(1).toDouble * row.getLong(2).toDouble)
   }
 
+  /** Binned calibration report — per-bin reliability table plus ECE and
+    * Brier score as constant columns: does a probability-emitting
+    * curation model MEAN what it says (a 0.9 that is right 70% of the
+    * time over-filters silently)? The companion to [[auc]] (ranking
+    * quality) and [[graft.ops.Calibrate]] (the fix — isotonic/percentile
+    * remapping); this is the gauge that says whether the fix is needed.
+    *
+    * Bins are equal-width on [0,1]: bin = min(⌊p·bins⌋, bins−1). Per
+    * bin: n, positives, mean score (confidence), empirical accuracy,
+    * and |gap|. The aggregates use the identity
+    * n_b·|conf_b − acc_b| = |Σp − Σy|, so
+    *
+    *   ECE  = Σ_b |Σ_b p − Σ_b y| / N
+    *   Brier = Σ (p−y)² / N
+    *
+    * ride the same per-bin sums with the divisions last — one shuffle
+    * on the bin key (bins-sized), one broadcast of the 1-row totals.
+    * Every step is plain IEEE arithmetic, cross-engine replayable.
+    */
+  def calibration(df: DataFrame, scoreCol: String, labelCol: String, bins: Int = 10): DataFrame = {
+    val p = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("int")
+    val per = df
+      .select(
+        least(floor(p * bins), lit(bins - 1)).cast("int").as("bin"),
+        p.as("p"),
+        y.cast("double").as("y"))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("y").cast("long").as("n_pos"),
+        sum("p").as("sp"),
+        sum(pow(col("p") - col("y"), 2)).as("sq"))
+    val tot = per.agg(
+      sum("n").cast("double").as("nt"),
+      sum(abs(col("sp") - col("n_pos"))).as("gapsum"),
+      sum("sq").as("sqt"))
+    per
+      .crossJoin(broadcast(tot))
+      .select(
+        col("bin"),
+        col("n"),
+        col("n_pos"),
+        round(col("sp") / col("n"), 6).as("conf"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("acc"),
+        round(abs(col("sp") - col("n_pos")) / col("n"), 6).as("gap"),
+        round(col("gapsum") / col("nt"), 6).as("ece"),
+        round(col("sqt") / col("nt"), 6).as("brier"))
+      .orderBy("bin")
+  }
+
   /** Decile lift table — the business-facing companion to [[auc]]:
     * rank by score descending (`tieBreak` columns complete a TOTAL
     * order so the decile cut is deterministic and cross-engine

@@ -4033,11 +4033,187 @@ object PipelineQueries {
     None
   )
 
+  // ---- T54: binned calibration report (FULL oracle — exact bin
+  // arithmetic, per-bin sums with divisions last; sum-dependent 6dp
+  // margins probed ≥ 2.4e-8 at sf0.001/0.01/0.1 vs ~1e-12 engine noise;
+  // acc is an exact integer ratio) -------------------------------------
+
+  val q171 = Q(
+    "q171_calibration",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("p", least(col("n_chars") / 600.0, lit(1.0)))
+        .withColumn("lbl", (col("lang") === "en").cast("int"))
+      graft.ml.Eval.calibration(docs, "p", "lbl", bins = 10)
+    },
+    Some(
+      """WITH s AS (SELECT least(n_chars/600.0, 1.0) AS p,
+        |             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+        |b AS (SELECT least(floor(p*10), 9)::INT AS bin, count(*)::BIGINT AS n,
+        |        sum(y)::BIGINT AS n_pos, sum(p) AS sp, sum((p-y)*(p-y)) AS sq
+        |      FROM s GROUP BY 1),
+        |t AS (SELECT sum(n)::DOUBLE AS nt, sum(abs(sp - n_pos)) AS gapsum, sum(sq) AS sqt FROM b)
+        |SELECT bin, n, n_pos,
+        |  round(sp/n, 6) AS conf,
+        |  round(n_pos::DOUBLE/n, 6) AS acc,
+        |  round(abs(sp - n_pos)/n, 6) AS gap,
+        |  round((SELECT gapsum FROM t)/(SELECT nt FROM t), 6) AS ece,
+        |  round((SELECT sqt FROM t)/(SELECT nt FROM t), 6) AS brier
+        |FROM b ORDER BY bin""".stripMargin
+    )
+  )
+
+  // ---- P23: triangle counting + clustering coefficient over the part
+  // co-occurrence graph (FULL oracle — the DuckDB side replays the
+  // naive a<b<c three-way join, the engine runs degree orientation;
+  // both count each unordered triangle exactly once, and every output
+  // value is integer or a single exact-integer-ratio division) --------
+
+  val q172 = Q(
+    "q172_triangles",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
+      val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
+      val edges = a.join(b, Seq("ok"))
+        .where(col("pa") =!= col("pb"))
+        .select(col("pa").as("src"), col("pb").as("dst"))
+      graft.graph.Triangles.perNode(edges).orderBy("node")
+    },
+    Some(
+      """WITH pe AS MATERIALIZED (
+        |  SELECT DISTINCT least(a.l_partkey::VARCHAR, b.l_partkey::VARCHAR) AS u,
+        |         greatest(a.l_partkey::VARCHAR, b.l_partkey::VARCHAR) AS v
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey <> b.l_partkey),
+        |deg AS (SELECT node, count(*)::BIGINT AS degree
+        |        FROM (SELECT u AS node FROM pe UNION ALL SELECT v FROM pe) GROUP BY 1),
+        |tri AS MATERIALIZED (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM pe e1 JOIN pe e2 ON e1.u = e2.u AND e1.v < e2.v
+        |  JOIN pe e3 ON e3.u = e1.v AND e3.v = e2.v),
+        |pn AS (SELECT node, count(*)::BIGINT AS triangles
+        |       FROM (SELECT a AS node FROM tri UNION ALL
+        |             SELECT b FROM tri UNION ALL SELECT c FROM tri) GROUP BY 1)
+        |SELECT d.node, d.degree, COALESCE(pn.triangles, 0)::BIGINT AS triangles,
+        |  CASE WHEN d.degree < 2 THEN 0.0
+        |       ELSE round(2.0*COALESCE(pn.triangles, 0)/(d.degree*(d.degree - 1)), 6)
+        |  END AS coeff
+        |FROM deg d LEFT JOIN pn ON d.node = pn.node ORDER BY d.node""".stripMargin
+    )
+  )
+
+  // ---- P24: label-propagation communities (FULL oracle — the same 4
+  // synchronous min-label-tie-break sweeps unrolled as materialized
+  // CTEs, every vote an integer count) ---------------------------------
+
+  private def labelPropOracleSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH eh AS MATERIALIZED (SELECT DISTINCT 'c' || o_custkey::VARCHAR AS u,
+             |            's' || l_suppkey::VARCHAR AS v
+             |          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |e AS MATERIALIZED (SELECT u, v FROM eh UNION SELECT v, u FROM eh),
+             |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM e)""".stripMargin
+    for (k <- 1 to iters) {
+      sb ++= s""",
+                |v$k AS MATERIALIZED (SELECT e.v AS node, l.label AS label, count(*) AS c
+                |        FROM e JOIN l${k - 1} l ON e.u = l.node GROUP BY 1, 2),
+                |l$k AS MATERIALIZED (SELECT node, label FROM (
+                |        SELECT node, label,
+                |          row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+                |        FROM v$k) WHERE rn = 1)""".stripMargin
+    }
+    sb ++= s"\nSELECT node, label FROM l$iters ORDER BY node"
+    sb.toString
+  }
+
+  val q173 = Q(
+    "q173_label_prop",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir)
+      val edges = o.join(li, col("l_orderkey") === col("o_orderkey"))
+        .select(
+          concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+        .distinct()
+      graft.graph.LabelProp.run(edges, iters = 4).orderBy("node")
+    },
+    Some(labelPropOracleSql(4))
+  )
+
+  // ---- Z13: SCD Type-2 dimension merge (FULL oracle — the three merge
+  // cases replayed as joins; changed/unchanged/new keys all exercised,
+  // every value copied or an exact IEEE +100.0) ------------------------
+
+  val q174 = Q(
+    "q174_scd2_merge",
+    (s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val dim0 = graft.sources.Scd2
+        .initial(cust, "c_custkey", Seq("c_mktsegment", "c_acctbal"), from = 0L)
+      val updates = cust.where(col("c_custkey") % 7 === 0)
+        .select(
+          col("c_custkey"),
+          concat(col("c_mktsegment"), lit("_V2")).as("c_mktsegment"),
+          (col("c_acctbal") + 100.0).as("c_acctbal"))
+        .unionByName(
+          cust.where(col("c_custkey") % 5 === 0 && col("c_custkey") % 7 =!= 0)
+            .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")))
+        .unionByName(
+          cust.where(col("c_custkey") % 97 === 0)
+            .select(
+              (col("c_custkey") + 1000000).as("c_custkey"),
+              col("c_mktsegment"), col("c_acctbal")))
+        .withColumn("eff", lit(5L))
+      graft.sources.Scd2
+        .merge(dim0, updates, "c_custkey", Seq("c_mktsegment", "c_acctbal"), "eff")
+        .select(
+          col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          col("valid_from"), col("valid_to"), col("is_current").cast("int").as("is_current"))
+        .orderBy("c_custkey", "valid_from")
+    },
+    Some(
+      """WITH upd AS (
+        |  SELECT c_custkey, c_mktsegment || '_V2' AS c_mktsegment,
+        |         c_acctbal + 100.0 AS c_acctbal
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, c_acctbal
+        |  FROM customer WHERE c_custkey % 5 = 0 AND c_custkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_mktsegment, c_acctbal
+        |  FROM customer WHERE c_custkey % 97 = 0),
+        |kept AS (
+        |  SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
+        |         0::BIGINT AS valid_from, NULL::BIGINT AS valid_to, 1 AS is_current
+        |  FROM customer c LEFT JOIN upd u ON c.c_custkey = u.c_custkey
+        |  WHERE u.c_custkey IS NULL
+        |     OR (c.c_mktsegment IS NOT DISTINCT FROM u.c_mktsegment
+        |         AND c.c_acctbal IS NOT DISTINCT FROM u.c_acctbal)),
+        |closed AS (
+        |  SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
+        |         0::BIGINT, 5::BIGINT, 0
+        |  FROM customer c JOIN upd u ON c.c_custkey = u.c_custkey
+        |  WHERE c.c_mktsegment IS DISTINCT FROM u.c_mktsegment
+        |     OR c.c_acctbal IS DISTINCT FROM u.c_acctbal),
+        |opened AS (
+        |  SELECT u.c_custkey, u.c_mktsegment, u.c_acctbal,
+        |         5::BIGINT, NULL::BIGINT, 1
+        |  FROM upd u LEFT JOIN customer c ON c.c_custkey = u.c_custkey
+        |  WHERE c.c_custkey IS NULL
+        |     OR c.c_mktsegment IS DISTINCT FROM u.c_mktsegment
+        |     OR c.c_acctbal IS DISTINCT FROM u.c_acctbal)
+        |SELECT * FROM kept UNION ALL SELECT * FROM closed UNION ALL SELECT * FROM opened
+        |ORDER BY c_custkey, valid_from""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170)
+      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174)
 }

@@ -121,6 +121,40 @@ class PanelSpec extends SparkSpec {
     assert(math.abs(a3 - brute) < 1e-12)
   }
 
+  test("Eval.calibration: perfectly calibrated data has ECE 0 and Brier = Σw·p(1−p)") {
+    // three bins, each with constant p and an exactly-p fraction of
+    // positives: gap per bin is 0, ECE 0, and Brier = mean of p(1−p)
+    val rows =
+      Seq.fill(3)((0.25, 0)) ++ Seq((0.25, 1)) ++ // p=.25, 1/4 pos
+        Seq((0.5, 0), (0.5, 1)) ++ // p=.5, 1/2 pos
+        Seq((0.75, 1), (0.75, 1), (0.75, 1), (0.75, 0)) // p=.75, 3/4 pos
+    val out = Eval.calibration(rows.toDF("p", "l"), "p", "l", bins = 4).collect()
+    assert(out.length === 3)
+    out.foreach { r =>
+      assert(r.getAs[Double]("gap") === 0.0)
+      assert(r.getAs[Double]("ece") === 0.0)
+    }
+    val brier = (4 * 0.25 * 0.75 + 2 * 0.5 * 0.5 + 4 * 0.75 * 0.25) / 10.0
+    assert(math.abs(out.head.getAs[Double]("brier") - brier) < 1e-9)
+    assert(math.abs(out.head.getAs[Double]("conf") - out.head.getAs[Double]("acc")) < 1e-9)
+  }
+
+  test("Eval.calibration: overconfident scores show the gap; p=1.0 lands in the top bin") {
+    // all rows claim 0.9 but only half are positive
+    val df = (Seq.fill(5)((0.9, 1)) ++ Seq.fill(5)((0.9, 0)) ++ Seq((1.0, 1))).toDF("p", "l")
+    val out = Eval.calibration(df, "p", "l", bins = 10).collect()
+    assert(out.map(_.getAs[Int]("bin")).toSeq === Seq(9)) // 1.0 clips into bin 9
+    val r = out.head
+    assert(r.getAs[Long]("n") === 11L)
+    assert(math.abs(r.getAs[Double]("conf") - (10 * 0.9 + 1.0) / 11) < 1e-6)
+    assert(math.abs(r.getAs[Double]("acc") - 6.0 / 11) < 1e-6)
+    assert(r.getAs[Double]("gap") > 0.3)
+    assert(r.getAs[Double]("ece") === r.getAs[Double]("gap")) // single bin
+    val brier = (Seq.fill(5)(math.pow(0.9 - 1, 2)) ++ Seq.fill(5)(math.pow(0.9, 2)) ++
+      Seq(0.0)).sum / 11
+    assert(math.abs(r.getAs[Double]("brier") - brier) < 1e-6)
+  }
+
   test("Panel.eventStudy: staggered adoption, exact dynamic effects, flat pre-trends") {
     // 40 units × 10 periods; adoption at 4/6/8 or never; zero noise so
     // τ(rel) = [1.0, 1.5, 2.0+] is recovered exactly through both FEs

@@ -331,4 +331,65 @@ class SourcesSpec extends SparkSpec {
       df.agg(sum("score")).head().getDouble(0)) < 1e-9)
     assert(spark.read.parquet(out).count() === 5000L)
   }
+
+  private def scd2Rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, Long, Option[Long], Boolean)] =
+    df.collect().map { r =>
+      (r.getAs[Long]("k"), r.getAs[String]("seg"), r.getAs[Long]("valid_from"),
+        Option(r.getAs[java.lang.Long]("valid_to")).map(_.longValue), r.getAs[Boolean]("is_current"))
+    }.toSeq.sortBy(t => (t._1, t._3))
+
+  test("Scd2.merge: changed keys close+reopen, unchanged keep, new keys insert") {
+    import spark.implicits._
+    val snap = Seq((1L, "A"), (2L, "B"), (3L, "C")).toDF("k", "seg")
+    val dim0 = Scd2.initial(snap, "k", Seq("seg"), from = 0L)
+    val upd = Seq(
+      (1L, "A2", 10L), // changed
+      (2L, "B", 10L), // identical → no-op
+      (9L, "NEW", 10L) // unknown key
+    ).toDF("k", "seg", "eff")
+    val out = scd2Rows(Scd2.merge(dim0, upd, "k", Seq("seg"), "eff"))
+    assert(out === Seq(
+      (1L, "A", 0L, Some(10L), false),
+      (1L, "A2", 10L, None, true),
+      (2L, "B", 0L, None, true),
+      (3L, "C", 0L, None, true),
+      (9L, "NEW", 10L, None, true)))
+  }
+
+  test("Scd2.merge is idempotent and chains versions across rounds") {
+    import spark.implicits._
+    val dim0 = Scd2.initial(Seq((1L, "A")).toDF("k", "seg"), "k", Seq("seg"), from = 0L)
+    val upd1 = Seq((1L, "A2", 10L)).toDF("k", "seg", "eff")
+    val dim1 = Scd2.merge(dim0, upd1, "k", Seq("seg"), "eff")
+    // re-merging the same batch (now matching the open version) changes nothing
+    val again = Scd2.merge(dim1, upd1, "k", Seq("seg"), "eff")
+    assert(scd2Rows(again) === scd2Rows(dim1))
+    // a later round chains: every closed version's valid_to is its successor's valid_from
+    val dim2 = Scd2.merge(dim1, Seq((1L, "A3", 20L)).toDF("k", "seg", "eff"),
+      "k", Seq("seg"), "eff")
+    assert(scd2Rows(dim2) === Seq(
+      (1L, "A", 0L, Some(10L), false),
+      (1L, "A2", 10L, Some(20L), false),
+      (1L, "A3", 20L, None, true)))
+  }
+
+  test("Scd2.merge: null-safe tracked comparison and duplicate-key batches raise") {
+    import spark.implicits._
+    val dim0 = Scd2.initial(
+      Seq((1L, null.asInstanceOf[String])).toDF("k", "seg"), "k", Seq("seg"), from = 0L)
+    // null → null is NOT a change
+    val same = Scd2.merge(dim0,
+      Seq((1L, null.asInstanceOf[String], 5L)).toDF("k", "seg", "eff"),
+      "k", Seq("seg"), "eff")
+    assert(scd2Rows(same) === Seq((1L, null, 0L, None, true)))
+    // null → value IS a change
+    val chg = Scd2.merge(dim0, Seq((1L, "X", 5L)).toDF("k", "seg", "eff"),
+      "k", Seq("seg"), "eff")
+    assert(scd2Rows(chg).map(_._5) === Seq(false, true))
+    val dup = Seq((1L, "X", 5L), (1L, "Y", 5L)).toDF("k", "seg", "eff")
+    val ex = intercept[Exception] {
+      Scd2.merge(dim0, dup, "k", Seq("seg"), "eff").collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }
