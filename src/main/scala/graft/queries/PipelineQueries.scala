@@ -4209,11 +4209,107 @@ object PipelineQueries {
     )
   )
 
+  // ---- P29: Fellegi–Sunter record linkage (FULL oracle — roster B is
+  // a deterministic perturbation of customer; the log-likelihood
+  // weights are Scala doubles embedded in the SQL via Double.toString,
+  // so both engines sum IDENTICAL doubles in the same left-to-right
+  // order — the score replay is bit-exact before rounding) -------------
+
+  private val rlRules = Seq(
+    (graft.dedup.RecordLinkage.FieldRule("name", (l, r) => l <=> r, m = 0.92, u = 0.002),
+      "c_name", "b_name"),
+    (graft.dedup.RecordLinkage.FieldRule("seg", (l, r) => l <=> r, m = 0.95, u = 0.2),
+      "c_mktsegment", "b_seg"),
+    (graft.dedup.RecordLinkage.FieldRule("bal", (l, r) => l <=> r, m = 0.9, u = 0.01),
+      "balbucket", "b_bal"))
+
+  val q175 = Q(
+    "q175_record_linkage",
+    (s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val a = cust.select(
+        col("c_custkey"), col("c_nationkey"), col("c_name"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 100).as("balbucket"))
+      val b = cust.where(col("c_custkey") % 2 === 0).select(
+        (col("c_custkey") + 500000).as("b_id"),
+        col("c_nationkey").as("b_nation"),
+        when(col("c_custkey") % 11 === 0, concat(lit("X"), col("c_name")))
+          .otherwise(col("c_name")).as("b_name"),
+        when(col("c_custkey") % 13 === 0, lit("OTHER"))
+          .otherwise(col("c_mktsegment")).as("b_seg"),
+        when(col("c_custkey") % 17 === 0, floor(col("c_acctbal") / 100) + 1)
+          .otherwise(floor(col("c_acctbal") / 100)).as("b_bal"))
+      graft.dedup.RecordLinkage
+        .linkPairs(a, b, "c_custkey", "b_id", Seq(("c_nationkey", "b_nation")),
+          rlRules, minScore = 5.0)
+        .select(
+          col("c_custkey"), col("b_id"),
+          col("agree_name").cast("int").as("agree_name"),
+          col("agree_seg").cast("int").as("agree_seg"),
+          col("agree_bal").cast("int").as("agree_bal"),
+          col("score"))
+        .orderBy("c_custkey", "b_id")
+    },
+    Some {
+      val ws = rlRules.map(_._1).map(r => (r.agreeWeight, r.disagreeWeight))
+      s"""WITH a AS (SELECT c_custkey, c_nationkey, c_name, c_mktsegment,
+         |             floor(c_acctbal/100) AS balbucket FROM customer),
+         |b AS (SELECT c_custkey + 500000 AS b_id, c_nationkey AS b_nation,
+         |        CASE WHEN c_custkey % 11 = 0 THEN 'X' || c_name ELSE c_name END AS b_name,
+         |        CASE WHEN c_custkey % 13 = 0 THEN 'OTHER' ELSE c_mktsegment END AS b_seg,
+         |        CASE WHEN c_custkey % 17 = 0 THEN floor(c_acctbal/100) + 1
+         |             ELSE floor(c_acctbal/100) END AS b_bal
+         |      FROM customer WHERE c_custkey % 2 = 0),
+         |p AS (SELECT c_custkey, b_id,
+         |        (c_name IS NOT DISTINCT FROM b_name)::INT AS agree_name,
+         |        (c_mktsegment IS NOT DISTINCT FROM b_seg)::INT AS agree_seg,
+         |        (balbucket IS NOT DISTINCT FROM b_bal)::INT AS agree_bal
+         |      FROM a JOIN b ON c_nationkey = b_nation),
+         |sc AS (SELECT *,
+         |        round((CASE WHEN agree_name = 1 THEN ${ws(0)._1} ELSE ${ws(0)._2} END)
+         |          + (CASE WHEN agree_seg = 1 THEN ${ws(1)._1} ELSE ${ws(1)._2} END)
+         |          + (CASE WHEN agree_bal = 1 THEN ${ws(2)._1} ELSE ${ws(2)._2} END), 4) AS score
+         |       FROM p)
+         |SELECT c_custkey, b_id, agree_name, agree_seg, agree_bal, score
+         |FROM sc WHERE score >= 5.0 ORDER BY c_custkey, b_id""".stripMargin
+    }
+  )
+
+  // ---- P30: Johnson–Lindenstrauss sign projection (FULL oracle — the
+  // k×d ±1/√k matrix rebuilt in SQL from the shared md5-60 parity;
+  // k = 16 keeps the scale an exact float 0.25, every product is exact
+  // in double, and the sums proved order-invariant bit-for-bit at
+  // sf0.01/0.1, so the REAL outputs replay with NO rounding) -----------
+
+  val q176 = Q(
+    "q176_jl_projection",
+    (s, dir) => {
+      val model = graft.sim.RandomProjection.fit(dim = 64, k = 16)
+      graft.sim.RandomProjection
+        .projectLong(Tables.embeddings(s, dir), "vec_id", "embedding", model)
+        .orderBy("vec_id", "dim")
+    },
+    Some(
+      """WITH mat AS MATERIALIZED (
+        |  SELECT r, j,
+        |    CASE WHEN ('0x' || substr(md5('jl:' || r::VARCHAR || ':' || j::VARCHAR), 1, 15))::UBIGINT
+        |              % 2 = 0
+        |         THEN 0.25::DOUBLE ELSE -0.25::DOUBLE END AS w
+        |  FROM range(16) t1(r), range(64) t2(j)),
+        |ex AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+        |         unnest(range(len(embedding))) AS j
+        |       FROM embeddings)
+        |SELECT e.vec_id, m.r::INT AS dim, sum(m.w * e.x)::REAL AS val
+        |FROM ex e JOIN mat m ON m.j = e.j
+        |GROUP BY 1, 2 ORDER BY vec_id, dim""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174)
+      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176)
 }
