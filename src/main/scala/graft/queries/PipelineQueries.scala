@@ -4305,11 +4305,35 @@ object PipelineQueries {
     )
   )
 
+  // ---- T55: LDA topic model (rows-only: 10 EM iterations of joint
+  // θ/φ coordinate ascent are not ANSI-SQL-expressible; LdaSpec pins
+  // planted-topic recovery, monotone objective, K=1 closed form,
+  // normalization, determinism) ----------------------------------------
+
+  val q177 = Q(
+    "q177_lda_topics",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .where(length(col("word")) > 0)
+      val counts = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      // vocab cap: top 300 tokens by corpus count (ties by token) keeps
+      // the φ frame compact without changing the plan shape
+      val vocab = counts.groupBy("word").agg(sum("cnt").as("tot"))
+        .orderBy(col("tot").desc, col("word")).limit(300).select("word")
+      val capped = counts.join(vocab, "word")
+      val model = graft.text.Lda.fit(capped, "doc_id", "word", "cnt", k = 4, iters = 10)
+      graft.text.Lda.topWords(model, 8).orderBy("topic", "rank")
+    },
+    None
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176)
+      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177)
 }

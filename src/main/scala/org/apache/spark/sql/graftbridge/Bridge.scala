@@ -16,6 +16,33 @@ object Bridge {
   def aggColumn(f: AggregateFunction): Column =
     ExpressionUtils.column(f.toAggregateExpression(isDistinct = false))
 
+  /** Rebuild a localCheckpoint'ed frame as a LogicalRDD leaf with NO
+    * origin stats/constraints. `Dataset.localCheckpoint` deliberately
+    * PRESERVES the source plan's statistics on its leaf; in a frame
+    * loop where each iteration joins the previous iteration's
+    * checkpoints, join size estimation MULTIPLIES those carried
+    * sizeInBytes — the digit count compounds per iteration and
+    * Catalyst's BigInt stats arithmetic (Karatsuba/Toom-Cook in
+    * `SizeInBytesOnlyStatsPlanVisitor`) becomes the driver bottleneck
+    * long before any job runs. Dropping origin stats resets each leaf
+    * to `defaultSizeInBytes`, keeping every iteration's stats walk
+    * constant-cost. No data movement — the same checkpointed RDD backs
+    * the new leaf.
+    */
+  def freshLeaf(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.execution.LogicalRDD
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    ds.queryExecution.analyzed match {
+      case lr: LogicalRDD =>
+        org.apache.spark.sql.classic.Dataset.ofRows(
+          ds.sparkSession,
+          new LogicalRDD(
+            lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering, lr.isStreaming,
+            lr.stream)(ds.sparkSession, None, None))
+      case _ => df
+    }
+  }
+
   /** Register a temp SQL function on an EXISTING session (the extension
     * path only covers sessions built with `spark.sql.extensions`).
     */
