@@ -89,4 +89,49 @@ object Causal {
       count(lit(1)).as("n")).head()
     Ate(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getLong(3), pm)
   }
+
+  /** CUPED variance reduction (Deng 2013) — the experimentation-stack
+    * companion to [[ipwATE]]: adjust the outcome with a PRE-period
+    * covariate x (θ = cov(x,y)/var(x), y' = y − θ(x − x̄)) before the
+    * treatment contrast; the difference estimate is unchanged in
+    * expectation but its variance shrinks by the squared correlation —
+    * the standard way to halve an A/B test's runtime with data the
+    * pipeline already has. ONE aggregate pass collects every moment
+    * (pooled + per-arm); all closed forms evaluate on the driver.
+    * Output row: naive estimate, CUPED estimate, θ, variance-reduction
+    * factor 1−ρ², per-arm counts.
+    */
+  def cuped(df: DataFrame, yCol: String, xCol: String, treatCol: String): DataFrame = {
+    val y = col(yCol).cast("double")
+    val x = col(xCol).cast("double")
+    val t = col(treatCol).cast("int")
+    val r = df.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * x).as("sxx"), sum(x * y).as("sxy"), sum(y * y).as("syy"),
+      sum(t.cast("double")).as("n1"),
+      sum(t.cast("double") * y).as("sy1"),
+      sum(t.cast("double") * x).as("sx1")).head()
+    val n = r.getDouble(0)
+    val (sx, sy, sxx, sxy, syy) =
+      (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    val n1 = r.getDouble(6); val sy1 = r.getDouble(7); val sx1 = r.getDouble(8)
+    val n0 = n - n1
+    val varX = sxx / n - (sx / n) * (sx / n)
+    val covXY = sxy / n - (sx / n) * (sy / n)
+    val varY = syy / n - (sy / n) * (sy / n)
+    require(varX > 0 && varY > 0, "CUPED needs non-degenerate x and y")
+    val theta = covXY / varX
+    val rho2 = covXY * covXY / (varX * varY)
+    val naive = sy1 / n1 - (sy - sy1) / n0
+    // mean of y' per arm: adjusted means shift by θ·(x̄_arm − x̄)
+    val adj = naive - theta * (sx1 / n1 - (sx - sx1) / n0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((n1.toLong, n0.toLong)).toDF("n_treat", "n_control")
+      .withColumn("naive_est", round(lit(naive), 6))
+      .withColumn("cuped_est", round(lit(adj), 6))
+      .withColumn("theta", round(lit(theta), 6))
+      .withColumn("var_reduction", round(lit(1.0 - rho2), 6))
+  }
 }

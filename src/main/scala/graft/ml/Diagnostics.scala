@@ -141,4 +141,31 @@ object Diagnostics {
     }
     num / den
   }
+
+  /** Benjamini–Hochberg FDR control over a frame of test results — the
+    * multiple-testing gate the per-group test family needs (run
+    * [[graft.ops.Drift.ksTest]] / [[graft.ops.Stats.welchT]] over 500
+    * sources and ~25 "drifting" groups appear at α=0.05 by chance
+    * alone): rank p ascending (ties broken by the key columns so the
+    * rank — and therefore the flag set — is deterministic and
+    * replayable), find k* = max{i : p_(i) ≤ α·i/m}, flag ranks ≤ k*.
+    *
+    * The global rank window is deliberate and safe: BH runs on TEST
+    * RESULTS (one row per group/hypothesis — thousands at any corpus
+    * size), never on corpus rows — the [[Eval.liftTable]] argument.
+    * The step-up cutoff is a 1-row broadcast joined back.
+    */
+  def bhFdr(df: DataFrame, pCol: String, alpha: Double, tieBreak: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy((col(pCol).asc +: tieBreak.map(col(_).asc)): _*)
+    val m = df.count()
+    val ranked = df
+      .withColumn("rank", row_number().over(w))
+      .withColumn("bh_crit", round(lit(alpha) * col("rank") / m, 10))
+    val kStar = ranked
+      .agg(coalesce(max(when(col(pCol) <= col("bh_crit"), col("rank"))), lit(0)).as("k_star"))
+    ranked
+      .crossJoin(broadcast(kStar))
+      .withColumn("significant", (col("rank") <= col("k_star")).cast("int"))
+  }
 }

@@ -27,6 +27,21 @@ object Eval {
     * an exact integer; the one division happens last.
     */
   def auc(df: DataFrame, scoreCol: String, labelCol: String, buckets: Int = 256): Double = {
+    val (num, p, n, _) = rankSumCore(df, scoreCol, labelCol, buckets)
+    num / (p.toDouble * n.toDouble)
+  }
+
+  /** Shared rank-sum machinery: (Σ pos·(negBelow + neg/2), P, N,
+    * Σ(t³−t) over tied values) — the numerator is both AUC·P·N and the
+    * Mann–Whitney U of the positive sample; the tie term feeds the
+    * U-test variance correction.
+    */
+  private def rankSumCore(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      buckets: Int
+  ): (Double, Long, Long, Double) = {
     val counts = df
       .groupBy(col(scoreCol).cast("double").as("s"))
       .agg(
@@ -59,9 +74,46 @@ object Eval {
       .agg(
         sum(col("pos").cast("double") * (col("neg_below").cast("double") + col("neg").cast("double") / 2.0)).as("num"),
         sum("pos").as("p"),
-        sum("neg").as("nn"))
+        sum("neg").as("nn"),
+        // t*t*t, not pow(t,3): pow is only ~1-ulp accurate and the two
+        // engines' libms may disagree; the product of exact integers is
+        // exact in double on both
+        sum((col("pos") + col("neg")).cast("double") * (col("pos") + col("neg")) *
+          (col("pos") + col("neg")) - (col("pos") + col("neg"))).as("ties"))
       .head()
-    row.getDouble(0) / (row.getLong(1).toDouble * row.getLong(2).toDouble)
+    (row.getDouble(0), row.getLong(1), row.getLong(2), row.getDouble(3))
+  }
+
+  /** Mann–Whitney U test (two-sample rank-sum, average-rank ties) —
+    * the nonparametric member of the location-test family beside
+    * [[graft.ops.Stats.welchT]] (parametric) and
+    * [[graft.ops.Drift.ksTest]] (whole-distribution): is the flagged
+    * sample stochastically larger? Reuses [[auc]]'s two-level prefix
+    * sum — the U of the flagged sample IS AUC·n1·n0, computed here with
+    * the integer-exact numerator (no round-trip through the AUC ratio).
+    * Normal approximation with the tie-corrected variance
+    *
+    *   σ² = (n1·n0/12)·((N+1) − Σ(t³−t)/(N(N−1)))
+    *
+    * — every input an exact integer, the closed forms evaluated last.
+    * One row out; nothing corpus-sized collected.
+    */
+  def mannWhitney(
+      df: DataFrame,
+      valueCol: String,
+      flagCol: String,
+      buckets: Int = 256): DataFrame = {
+    val (u, n1, n0, ties) = rankSumCore(df, valueCol, flagCol, buckets)
+    val nn = (n1 + n0).toDouble
+    val mu = n1.toDouble * n0.toDouble / 2.0
+    val sigma = math.sqrt(
+      n1.toDouble * n0.toDouble / 12.0 * ((nn + 1.0) - ties / (nn * (nn - 1.0))))
+    val z = (u - mu) / sigma
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((n1, n0, u, mu)).toDF("n1", "n0", "u", "mu")
+      .withColumn("sigma", round(lit(sigma), 6))
+      .withColumn("z", round(lit(z), 6))
   }
 
   /** Binned calibration report — per-bin reliability table plus ECE and

@@ -4329,11 +4329,144 @@ object PipelineQueries {
     None
   )
 
+  // ---- T56: Mann–Whitney U (FULL oracle — integer-exact U numerator
+  // via the q155 prefix-sum replay, identical closed-form expression
+  // trees for σ and z on both engines) ---------------------------------
+
+  val q178 = Q(
+    "q178_mann_whitney",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("lbl", (col("lang") === "en").cast("int"))
+      graft.ml.Eval.mannWhitney(docs, "n_chars", "lbl")
+    },
+    Some(
+      """WITH l AS (SELECT n_chars::DOUBLE AS s,
+        |             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS lbl FROM documents),
+        |c AS (SELECT s, sum(lbl)::DOUBLE AS pos, sum(1 - lbl)::DOUBLE AS neg
+        |      FROM l GROUP BY 1),
+        |cum AS (SELECT s, pos, neg,
+        |          COALESCE(sum(neg) OVER (ORDER BY s
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+        |        FROM c),
+        |a AS (SELECT sum(pos*(nb + neg/2)) AS u,
+        |        (SELECT sum(pos) FROM c) AS n1, (SELECT sum(neg) FROM c) AS n0,
+        |        sum((pos + neg)*(pos + neg)*(pos + neg) - (pos + neg)) AS ties
+        |      FROM cum)
+        |SELECT n1::BIGINT AS n1, n0::BIGINT AS n0, u, n1*n0/2.0 AS mu,
+        |  round(sqrt(n1*n0/12.0*((n1 + n0 + 1.0) - ties/((n1 + n0)*(n1 + n0 - 1.0)))), 6)
+        |    AS sigma,
+        |  round((u - n1*n0/2.0)
+        |    / sqrt(n1*n0/12.0*((n1 + n0 + 1.0) - ties/((n1 + n0)*(n1 + n0 - 1.0)))), 6) AS z
+        |FROM a""".stripMargin
+    )
+  )
+
+  // ---- T57: Benjamini–Hochberg FDR over per-group KS drift (FULL
+  // oracle — the q141 KS replay by lang, the asymptotic-p transform on
+  // the 4dp-rounded D so both engines exponentiate identical doubles,
+  // and the step-up rank rule with deterministic tie-break) -------------
+
+  val q179 = Q(
+    "q179_bh_fdr",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val n = docs.count()
+      val ks = graft.ops.Drift.ksTest(docs, "n_chars", "lang")
+      val withP = ks.withColumn(
+        "p",
+        round(
+          least(
+            lit(1.0),
+            lit(2.0) * exp(lit(-2.0) *
+              (col("n_group").cast("double") * n / (col("n_group").cast("double") + n)) *
+              (col("d_stat") * col("d_stat")))),
+          6))
+      graft.ml.Diagnostics.bhFdr(withP, "p", alpha = 0.10, tieBreak = Seq("lang"))
+        .select(
+          col("lang"), col("n_group"), col("d_stat"), col("p"),
+          col("rank"), col("bh_crit"), col("significant"))
+        .orderBy("rank")
+    },
+    Some(
+      """WITH c AS (SELECT lang AS g, n_chars AS v, count(*)::BIGINT AS c
+        |           FROM documents GROUP BY 1, 2),
+        |vals AS (SELECT v, sum(c)::BIGINT AS cv FROM c GROUP BY 1),
+        |grps AS (SELECT g, sum(c)::BIGINT AS ng FROM c GROUP BY 1),
+        |tot AS (SELECT sum(c)::BIGINT AS n FROM c),
+        |dense AS (SELECT grps.g, grps.ng, vals.v, vals.cv, COALESCE(c.c, 0) AS cc
+        |          FROM grps CROSS JOIN vals LEFT JOIN c ON c.g = grps.g AND c.v = vals.v),
+        |cum AS (SELECT g, ng, v,
+        |          sum(cc) OVER (PARTITION BY g ORDER BY v) AS cg,
+        |          sum(cv) OVER (PARTITION BY g ORDER BY v) AS ca
+        |        FROM dense),
+        |ks AS (SELECT g AS lang, max(ng) AS n_group,
+        |         round(max(abs(cg::DOUBLE/ng - ca::DOUBLE/(SELECT n FROM tot))), 4) AS d_stat
+        |       FROM cum GROUP BY 1),
+        |p AS (SELECT lang, n_group, d_stat,
+        |        round(least(1.0,
+        |          2.0*exp(-2.0*(n_group::DOUBLE*(SELECT n FROM tot)
+        |                         /(n_group::DOUBLE + (SELECT n FROM tot)))
+        |                 *(d_stat*d_stat))), 6) AS p
+        |      FROM ks),
+        |r AS (SELECT *, row_number() OVER (ORDER BY p ASC, lang ASC) AS rank,
+        |        round(0.10*row_number() OVER (ORDER BY p ASC, lang ASC)
+        |              /(SELECT count(*) FROM p), 10) AS bh_crit
+        |      FROM p),
+        |k AS (SELECT COALESCE(max(CASE WHEN p <= bh_crit THEN rank END), 0) AS k_star FROM r)
+        |SELECT lang, n_group, d_stat, p, rank, bh_crit,
+        |  (rank <= (SELECT k_star FROM k))::INT AS significant
+        |FROM r ORDER BY rank""".stripMargin
+    )
+  )
+
+  // ---- C54: CUPED variance reduction (FULL oracle — per-user pre/post
+  // sums, one moment pass, closed forms replayed with the same
+  // association order) -------------------------------------------------
+
+  val q180 = Q(
+    "q180_cuped",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("value"),
+          floor(unix_timestamp(col("ts")) / 86400).as("day"))
+      val mm = ev.agg(min("day"), max("day")).head()
+      val mid = (mm.getLong(0) + mm.getLong(1)) / 2
+      val per = ev.groupBy("user_id").agg(
+        sum(when(col("day") < mid, col("value")).otherwise(0.0)).as("x"),
+        sum(when(col("day") >= mid, col("value")).otherwise(0.0)).as("y"))
+        .withColumn("treat", (col("user_id") % 2 === 0).cast("int"))
+      graft.ml.Causal.cuped(per, "y", "x", "treat")
+    },
+    Some(
+      """WITH e AS (SELECT user_id, value, floor(epoch(ts)/86400)::BIGINT AS day FROM events),
+        |mm AS (SELECT (min(day) + max(day))//2 AS mid FROM e),
+        |per AS (SELECT user_id,
+        |          sum(CASE WHEN day < (SELECT mid FROM mm) THEN value ELSE 0.0 END) AS x,
+        |          sum(CASE WHEN day >= (SELECT mid FROM mm) THEN value ELSE 0.0 END) AS y,
+        |          CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t
+        |        FROM e GROUP BY 1),
+        |m AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+        |        sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy,
+        |        sum(t::DOUBLE) AS n1, sum(t*y) AS sy1, sum(t*x) AS sx1
+        |      FROM per)
+        |SELECT n1::BIGINT AS n_treat, (n - n1)::BIGINT AS n_control,
+        |  round(sy1/n1 - (sy - sy1)/(n - n1), 6) AS naive_est,
+        |  round(sy1/n1 - (sy - sy1)/(n - n1)
+        |    - ((sxy/n - (sx/n)*(sy/n))/(sxx/n - (sx/n)*(sx/n)))
+        |      *(sx1/n1 - (sx - sx1)/(n - n1)), 6) AS cuped_est,
+        |  round((sxy/n - (sx/n)*(sy/n))/(sxx/n - (sx/n)*(sx/n)), 6) AS theta,
+        |  round(1.0 - (sxy/n - (sx/n)*(sy/n))*(sxy/n - (sx/n)*(sy/n))
+        |    /((sxx/n - (sx/n)*(sx/n))*(syy/n - (sy/n)*(sy/n))), 6) AS var_reduction
+        |FROM m""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177)
+      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180)
 }

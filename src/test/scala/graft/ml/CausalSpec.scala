@@ -56,4 +56,36 @@ class CausalSpec extends SparkSpec {
     val ipw = Causal.ipwATE(df, "y", "t", Seq("x"), clip = 0.45)
     assert(math.abs(ipw.ate - 1.5) > 0.3, s"ipw should break here: ${ipw.ate}")
   }
+
+  test("Causal.cuped: noiseless y = b·x gives an exactly-zero CUPED estimate and zero residual variance") {
+    import spark.implicits._
+    // imbalanced arms in x so the naive contrast is badly nonzero
+    val rows = (0 until 200).map { i =>
+      val t = if (i < 120) 1 else 0
+      val x = if (t == 1) i * 0.1 else i * 0.05 + 30.0
+      (x, 3.0 * x, t)
+    }
+    val r = Causal.cuped(rows.toDF("x", "y", "t"), "y", "x", "t").head()
+    assert(math.abs(r.getAs[Double]("naive_est")) > 1.0) // contaminated contrast
+    assert(math.abs(r.getAs[Double]("cuped_est")) < 1e-6) // θ=b cancels it exactly
+    assert(math.abs(r.getAs[Double]("theta") - 3.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("var_reduction")) < 1e-6) // ρ² = 1
+  }
+
+  test("Causal.cuped: planted effect under noise — estimate near truth, variance reduced") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val rows = (0 until 4000).map { i =>
+      val t = i % 2
+      val x = rng.nextGaussian() * 2.0
+      val y = 1.5 * x + 2.0 * t + rng.nextGaussian() * 0.5
+      (x, y, t)
+    }
+    val r = Causal.cuped(rows.toDF("x", "y", "t"), "y", "x", "t").head()
+    assert(math.abs(r.getAs[Double]("cuped_est") - 2.0) < 0.1)
+    val vr = r.getAs[Double]("var_reduction")
+    // ρ² = cov²/(var_x·var_y) ≈ 36/(4·10.25) ≈ 0.88 → 1−ρ² ≈ 0.12
+    assert(vr > 0.05 && vr < 0.2, s"expected strong reduction, got $vr")
+    assert(r.getAs[Long]("n_treat") === 2000L)
+  }
 }

@@ -155,6 +155,60 @@ class PanelSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("brier") - brier) < 1e-6)
   }
 
+
+  test("Eval.mannWhitney: hand-computed U, mu, tie-corrected sigma on a tiny sample") {
+    // A = {1, 3, 3}, B = {2, 3} — ranks with average ties:
+    // values 1,2,3,3,3: rank(1)=1, rank(2)=2, rank(3)=4 (avg of 3,4,5)
+    // U_A = sum over A of (#B below + #B tied/2) = 0 + (1+0.5) + (1+0.5) = 3
+    val df = Seq((1.0, 1), (3.0, 1), (3.0, 1), (2.0, 0), (3.0, 0)).toDF("v", "f")
+    val r = Eval.mannWhitney(df, "v", "f").head()
+    assert(r.getAs[Long]("n1") === 3L)
+    assert(r.getAs[Long]("n0") === 2L)
+    assert(r.getAs[Double]("u") === 3.0)
+    assert(r.getAs[Double]("mu") === 3.0)
+    // ties: one group of t=3 -> correction (27-3)=24; N=5
+    val sigma = math.sqrt(3.0 * 2.0 / 12.0 * ((5 + 1.0) - 24.0 / (5.0 * 4.0)))
+    assert(math.abs(r.getAs[Double]("sigma") - sigma) < 1e-6)
+    assert(math.abs(r.getAs[Double]("z")) < 1e-6) // u == mu exactly
+  }
+
+  test("Eval.mannWhitney: separable samples hit the extreme U and a large |z|") {
+    val df = ((1 to 20).map(i => (i.toDouble, 0)) ++
+      (21 to 40).map(i => (i.toDouble, 1))).toDF("v", "f")
+    val r = Eval.mannWhitney(df, "v", "f").head()
+    assert(r.getAs[Double]("u") === 400.0) // every flagged beats every control
+    assert(r.getAs[Double]("z") > 5.0)
+    // no ties: sigma equals the classic closed form
+    val sigma = math.sqrt(20.0 * 20.0 * 41.0 / 12.0)
+    assert(math.abs(r.getAs[Double]("sigma") - sigma) < 1e-6)
+  }
+
+  test("Diagnostics.bhFdr: the step-up rescue — a middle failure is significant when a later rank passes") {
+    val df = Seq(("a", 0.02), ("b", 0.068), ("c", 0.09)).toDF("k", "p")
+    val out = Diagnostics.bhFdr(df, "p", alpha = 0.10, tieBreak = Seq("k"))
+      .select("k", "rank", "significant").collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    // crit = [0.0333, 0.0667, 0.1]: rank 2 fails alone but rank 3
+    // passes, so ALL of ranks 1..3 are significant (step-up)
+    assert(out("a") === ((1, 1)))
+    assert(out("b") === ((2, 1)))
+    assert(out("c") === ((3, 1)))
+  }
+
+  test("Diagnostics.bhFdr: k*=0 when nothing passes; deterministic tie-break; flags monotone in rank") {
+    val none = Diagnostics.bhFdr(
+      Seq(("a", 0.5), ("b", 0.9)).toDF("k", "p"), "p", alpha = 0.05, tieBreak = Seq("k"))
+    assert(none.agg(sum("significant")).head().getLong(0) === 0L)
+    val tied = Diagnostics.bhFdr(
+      Seq(("b", 0.01), ("a", 0.01), ("c", 0.9)).toDF("k", "p"), "p", 0.05, Seq("k"))
+      .select("k", "rank").collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(tied("a") === 1 && tied("b") === 2) // ties ranked by key
+    val mixed = Diagnostics.bhFdr(
+      Seq(("a", 0.001), ("b", 0.002), ("c", 0.9), ("d", 0.95)).toDF("k", "p"), "p", 0.05, Seq("k"))
+      .orderBy("rank").select("significant").collect().map(_.getInt(0)).toSeq
+    assert(mixed === Seq(1, 1, 0, 0)) // significant set is a rank prefix
+  }
+
   test("Panel.eventStudy: staggered adoption, exact dynamic effects, flat pre-trends") {
     // 40 units × 10 periods; adoption at 4/6/8 or never; zero noise so
     // τ(rel) = [1.0, 1.5, 2.0+] is recovered exactly through both FEs
