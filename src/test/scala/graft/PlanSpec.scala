@@ -497,4 +497,62 @@ class PlanSpec extends SparkSpec {
     assert(scans == 0, s"statistic plan must read the cells checkpoint, got $scans corpus scans\n$plan")
     assert(plan.contains("ExistingRDD") || plan.contains("LocalTableScan"), plan)
   }
+
+  test("triangles: every join is an equi-join — no cartesian, no nested loop at any stage") {
+    val li = Tables.lineitem(spark, sf)
+    val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
+    val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
+    val edges = a.join(b, Seq("ok")).where(col("pa") =!= col("pb"))
+      .select(col("pa").as("src"), col("pb").as("dst"))
+    val q = graft.graph.Triangles.perNode(edges)
+    val plan = finalPlan(q)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("record linkage: blocking compiles to one equi-join; weights are folded constants") {
+    import graft.dedup.RecordLinkage
+    val cust = Tables.customer(spark, sf)
+    val a = cust.select(col("c_custkey"), col("c_nationkey"), col("c_name"))
+    val b = cust.select(col("c_custkey").as("b_id"), col("c_nationkey").as("b_n"),
+      col("c_name").as("b_name"))
+    val q = RecordLinkage.linkPairs(a, b, "c_custkey", "b_id", Seq(("c_nationkey", "b_n")),
+      Seq((RecordLinkage.FieldRule("nm", (l, r) => l <=> r, 0.9, 0.01), "c_name", "b_name")),
+      minScore = -100.0)
+    val plan = finalPlan(q)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    val joins = plan.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin") ||
+        l.contains("ShuffledHashJoin"))
+    assert(joins == 1, s"expected exactly the blocking join, got $joins\n$plan")
+  }
+
+  test("scd2 merge: one full-outer join on the key; history unions in shuffle-free") {
+    import graft.sources.Scd2
+    val cust = Tables.customer(spark, sf)
+    val dim0 = Scd2.initial(cust, "c_custkey", Seq("c_mktsegment"), 0L)
+    val upd = cust.limit(50).select(col("c_custkey"), concat(col("c_mktsegment"), lit("_x")).as("c_mktsegment"))
+      .withColumn("eff", lit(5L))
+    val q = Scd2.merge(dim0, upd, "c_custkey", Seq("c_mktsegment"), "eff")
+    val plan = finalPlan(q)
+    // the merge DECLARES one full-outer join; Catalyst specializes it
+    // per union branch (LeftOuter for kept, Inner for closed, …) and
+    // broadcasts the small batch — every join must stay a key equi-join
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    val joins = plan.linesIterator.count(l =>
+      l.contains("HashJoin") || l.contains("SortMergeJoin"))
+    assert(joins >= 1, s"expected key equi-joins\n$plan")
+  }
+
+  test("JL projection is exchange-free: scan, mat-vec project, posexplode — nothing shuffles") {
+    val emb = Tables.embeddings(spark, sf)
+    val model = graft.sim.RandomProjection.fit(64, 16)
+    val q = graft.sim.RandomProjection.projectLong(emb, "vec_id", "embedding", model)
+    val plan = finalPlan(q)
+    // Tables.embeddings injects one repartition (split emulation); the
+    // operator itself must add NO further exchange
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"projection must not shuffle\n$plan")
+    assert(plan.contains("float_mat_vec") || plan.contains("FloatMatVec") ||
+      plan.contains("Generate"), plan)
+  }
 }
