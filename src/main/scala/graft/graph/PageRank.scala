@@ -73,4 +73,72 @@ object PageRank {
     nodes.unpersist(false)
     ranks
   }
+
+  /** Personalized PageRank — restart mass goes to a SEED distribution
+    * instead of uniformly (and so does the dangling mass, the PPR
+    * convention): "expand from these trusted documents/domains" — seed
+    * -based curation growth, related-item scoring, topic-conditional
+    * authority. Seeds not in the edge set still receive their restart
+    * share (they are added to the node set); seed weights are
+    * normalized internally.
+    *
+    *   r ← (1−d)·s + d·(Σ_in r/outdeg + danglingMass·s)
+    *
+    * Same per-iteration shape as [[run]]: one equi-join, one groupBy,
+    * a 1-row dangling aggregate, localCheckpoint. Kept as its own loop
+    * rather than expressing run() through it: run()'s `(1−d)/n` and
+    * PPR's `(1−d)·(1/n)` round differently in IEEE arithmetic and
+    * q166's replay pins run()'s exact trajectory.
+    */
+  def personalized(
+      edges: DataFrame,
+      seeds: DataFrame,
+      seedNode: String = "node",
+      seedWeight: String = "weight",
+      src: String = "src",
+      dst: String = "dst",
+      iters: Int = 10,
+      damping: Double = 0.85
+  ): DataFrame = {
+    val e = edges.select(col(src).cast("string").as("src"), col(dst).cast("string").as("dst"))
+      .persist()
+    val sTotal = seeds.agg(sum(col(seedWeight).cast("double"))).head().getDouble(0)
+    require(sTotal > 0, "seed weights must have positive mass")
+    val sNorm = seeds
+      .select(
+        col(seedNode).cast("string").as("node"),
+        (col(seedWeight).cast("double") / sTotal).as("sw"))
+      .groupBy("node").agg(sum("sw").as("sw")) // collapse duplicate seeds
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .union(sNorm.select("node"))
+      .distinct()
+      .join(sNorm, Seq("node"), "left")
+      .na.fill(0.0, Seq("sw"))
+      .persist()
+    nodes.count()
+    val outdeg = e.groupBy(col("src").as("od_src")).agg(count(lit(1)).cast("double").as("outdeg"))
+
+    var ranks = nodes.select(col("node"), col("sw").as("rank")).localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val dangling = ranks.join(outdeg, col("node") === col("od_src"), "left_anti")
+        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+      val contribs = ranks
+        .join(outdeg, col("node") === col("od_src"))
+        .join(e, col("node") === col("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") / col("outdeg")).as("contrib"))
+      ranks = nodes
+        .join(contribs, Seq("node"), "left")
+        .na.fill(0.0, Seq("contrib"))
+        .select(
+          col("node"),
+          (lit(1.0 - damping) * col("sw") +
+            lit(damping) * (col("contrib") + lit(dangling) * col("sw"))).as("rank"))
+        .localCheckpoint(true)
+    }
+    e.unpersist(false)
+    nodes.unpersist(false)
+    ranks
+  }
 }

@@ -4462,11 +4462,114 @@ object PipelineQueries {
     )
   )
 
+  // ---- P31: personalized PageRank (FULL oracle — same unrolled-CTE
+  // replay as q166 with the seed-restart arithmetic; the damping
+  // constants ship as CAST('<Double.toString>' AS DOUBLE) so both
+  // engines use bit-identical doubles) ---------------------------------
+
+  private def pprOracleSql(iters: Int, d: Double): String = {
+    val dS = s"CAST('${d.toString}' AS DOUBLE)"
+    val rS = s"CAST('${(1.0 - d).toString}' AS DOUBLE)"
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS MATERIALIZED (SELECT DISTINCT 'c' || o_custkey::VARCHAR AS src,
+              |            's' || l_suppkey::VARCHAR AS dst
+              |          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+              |sn AS MATERIALIZED (SELECT DISTINCT 'c' || o_custkey::VARCHAR AS node
+              |          FROM orders WHERE o_custkey % 50 = 0),
+              |sw0 AS (SELECT node, (1.0::DOUBLE)/(SELECT count(*) FROM sn) AS sw FROM sn),
+              |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e
+              |          UNION SELECT node FROM sn),
+              |ns AS MATERIALIZED (SELECT nodes.node, COALESCE(sw0.sw, 0.0) AS sw
+              |          FROM nodes LEFT JOIN sw0 ON nodes.node = sw0.node),
+              |od AS MATERIALIZED (SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY 1),
+              |r0 AS MATERIALIZED (SELECT node, sw AS rank FROM ns)""".stripMargin
+    for (k <- 1 to iters) {
+      sb ++= s""",
+                |d$k AS MATERIALIZED (SELECT COALESCE(sum(rank), 0) AS dm
+                |        FROM r${k - 1} LEFT JOIN od ON node = od.src WHERE od.src IS NULL),
+                |c$k AS MATERIALIZED (SELECT e.dst AS node, sum(r.rank/od.outdeg) AS contrib
+                |        FROM r${k - 1} r JOIN od ON r.node = od.src JOIN e ON e.src = r.node
+                |        GROUP BY 1),
+                |r$k AS MATERIALIZED (SELECT ns.node,
+                |          $rS*ns.sw
+                |            + $dS*(COALESCE(c$k.contrib, 0) + (SELECT dm FROM d$k)*ns.sw) AS rank
+                |        FROM ns LEFT JOIN c$k ON ns.node = c$k.node)""".stripMargin
+    }
+    sb ++= s"\nSELECT node, round(rank, 8) AS rank FROM r$iters ORDER BY node"
+    sb.toString
+  }
+
+  val q181 = Q(
+    "q181_personalized_pagerank",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir)
+      val edges = o.join(li, col("l_orderkey") === col("o_orderkey"))
+        .select(
+          concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+        .distinct()
+      val seeds = o.where(col("o_custkey") % 50 === 0)
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("node"))
+        .distinct()
+        .withColumn("weight", lit(1.0))
+      graft.graph.PageRank.personalized(edges, seeds, iters = 10)
+        .select(col("node"), round(col("rank"), 8).as("rank"))
+        .orderBy("node")
+    },
+    Some(pprOracleSql(10, 0.85))
+  )
+
+  // ---- Z15: interval-overlap join (FULL oracle — DuckDB runs the
+  // plain inequality join; the engine's binned equi-join with the
+  // first-shared-bin dedup must produce the identical pair set) --------
+
+  val q182 = Q(
+    "q182_interval_overlap",
+    (s, dir) => {
+      val sp = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"),
+          floor(unix_timestamp(col("ts")) / 86400).as("day"))
+        .groupBy("user_id", "day")
+        .agg(min("ts").as("s"), max("ts").as("e"))
+      val l = sp.where(col("user_id") % 10 === 0)
+        .select(col("user_id").as("l_user"), col("day").as("l_day"),
+          col("s").as("l_s"), col("e").as("l_e"))
+      val r = sp.where(col("user_id") % 10 =!= 0)
+        .select(col("user_id").as("r_user"), col("day").as("r_day"),
+          col("s").as("r_s"), col("e").as("r_e"))
+      graft.ops.RangeJoin
+        .intervalOverlap(l, r, "l_s", "l_e", "r_s", "r_e", binSeconds = 86400)
+        .select(
+          col("l_user"), col("l_day"), col("r_user"), col("r_day"),
+          // Spark `/` is double division; the cast truncates — equal to
+          // DuckDB's `//` floor for these non-negative spans
+          ((least(unix_micros(col("l_e")), unix_micros(col("r_e"))) -
+            greatest(unix_micros(col("l_s")), unix_micros(col("r_s")))) / 1000000L)
+            .cast("long").as("overlap_sec"))
+        .orderBy("l_user", "l_day", "r_user", "r_day")
+    },
+    Some(
+      """WITH sp AS (SELECT user_id, floor(epoch(ts)/86400)::BIGINT AS day,
+        |              min(ts) AS s, max(ts) AS e
+        |            FROM events GROUP BY 1, 2),
+        |l AS (SELECT user_id AS l_user, day AS l_day, s AS l_s, e AS l_e
+        |      FROM sp WHERE user_id % 10 = 0),
+        |r AS (SELECT user_id AS r_user, day AS r_day, s AS r_s, e AS r_e
+        |      FROM sp WHERE user_id % 10 <> 0)
+        |SELECT l_user, l_day, r_user, r_day,
+        |  (least(epoch_us(l_e), epoch_us(r_e))
+        |   - greatest(epoch_us(l_s), epoch_us(r_s)))//1000000 AS overlap_sec
+        |FROM l JOIN r ON l_s <= r_e AND r_s <= l_e
+        |ORDER BY l_user, l_day, r_user, r_day""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180)
+      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182)
 }

@@ -62,4 +62,64 @@ class PageRankSpec extends SparkSpec {
     val ref = dense(edges, 12, 0.85)
     out.foreach { case (k, v) => assert(math.abs(v - ref(k)) < 1e-12, s"$k") }
   }
+
+  private def densePpr(
+      edges: Seq[(String, String)], seeds: Map[String, Double], iters: Int,
+      d: Double): Map[String, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2) ++ seeds.keys).distinct.sorted
+    val tot = seeds.values.sum
+    val sw = nodes.map(n => seeds.getOrElse(n, 0.0) / tot)
+    val idx = nodes.zipWithIndex.toMap
+    val out = edges.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    var r = nodes.indices.map(sw).toArray
+    for (_ <- 0 until iters) {
+      val dangling = nodes.indices.filter(i => !out.contains(nodes(i))).map(r).sum
+      val contrib = Array.fill(nodes.size)(0.0)
+      edges.foreach { case (a, b) => contrib(idx(b)) += r(idx(a)) / out(a) }
+      r = nodes.indices.map(i => (1.0 - d) * sw(i) + d * (contrib(i) + dangling * sw(i))).toArray
+    }
+    nodes.zip(r).toMap
+  }
+
+  test("personalized: matches the dense reference; mass sums to 1; seeds dominate") {
+    import org.apache.spark.sql.functions._
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"), ("e", "c"))
+    val seeds = Seq(("a", 1.0))
+    val got = PageRank.personalized(
+      edges.toDF("src", "dst"), seeds.toDF("node", "weight"), iters = 12)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val ref = densePpr(edges, Map("a" -> 1.0), 12, 0.85)
+    got.foreach { case (k, v) => assert(math.abs(v - ref(k)) < 1e-12, s"$k: $v vs ${ref(k)}") }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // restart pins mass near the seed: a beats the node farthest from it
+    assert(got("a") > got("e"))
+  }
+
+  test("personalized with uniform seeds equals plain PageRank (up to IEEE const rounding)") {
+    val edges = (0 until 8).map(i => (s"n$i", s"n${(i * 3 + 1) % 8}")) :+ (("n0", "n5"))
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val uni = nodes.map(n => (n, 1.0))
+    val ppr = PageRank.personalized(
+      edges.toDF("src", "dst"), uni.toDF("node", "weight"), iters = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val pr = PageRank.run(edges.toDF("src", "dst"), iters = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    ppr.foreach { case (k, v) => assert(math.abs(v - pr(k)) < 1e-12, s"$k: $v vs ${pr(k)}") }
+  }
+
+  test("personalized: an off-graph seed keeps its restart share; zero-mass seeds rejected") {
+    val edges = Seq(("x", "y"), ("y", "x"))
+    val got = PageRank.personalized(
+      edges.toDF("src", "dst"), Seq(("ghost", 1.0)).toDF("node", "weight"), iters = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // ghost has no out-edges: its rank is (1-d)·1 + d·(its own dangling
+    // share) every iteration — strictly positive, and x/y only receive
+    // dangling-free link mass (none reaches them) → exactly 0
+    assert(got("ghost") > 0.15)
+    assert(got("x") === 0.0 && got("y") === 0.0)
+    intercept[IllegalArgumentException] {
+      PageRank.personalized(
+        edges.toDF("src", "dst"), Seq(("x", 0.0)).toDF("node", "weight"), iters = 2)
+    }
+  }
 }

@@ -252,6 +252,40 @@ class OpsSpec extends SparkSpec {
     assert(binned.nonEmpty)
   }
 
+  test("RangeJoin.intervalOverlap equals the naive inequality join; bin-width invariant; no duplicate pairs") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val rng = new scala.util.Random(3)
+    val left = (0 until 40).map { i =>
+      val s0 = rng.nextInt(600); (i.toLong, ts(s0), ts(s0 + 1 + rng.nextInt(90)))
+    }.toDF("lid", "ls", "le")
+    val right = (0 until 40).map { i =>
+      val s0 = rng.nextInt(600); (i.toLong, ts(s0), ts(s0 + 1 + rng.nextInt(90)))
+    }.toDF("rid", "rs", "re")
+    val naive = left.join(right, col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lid", "rid").collect().map(_.toString).sorted.toSeq
+    for (bin <- Seq(300L, 600L, 3600L)) {
+      val got = RangeJoin.intervalOverlap(left, right, "ls", "le", "rs", "re", bin)
+        .select("lid", "rid").collect().map(_.toString).toSeq
+      assert(got.sorted == naive, s"bin=$bin")
+      assert(got.distinct.size == got.size, s"bin=$bin produced duplicate pairs")
+    }
+    assert(naive.nonEmpty)
+  }
+
+  test("RangeJoin.intervalOverlap: touching endpoints included (closed), disjoint excluded") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val left = Seq((1L, ts(0), ts(10))).toDF("lid", "ls", "le")
+    val right = Seq(
+      (1L, ts(10), ts(20)), // touches at the endpoint → included
+      (2L, ts(11), ts(20)) // strictly after → excluded
+    ).toDF("rid", "rs", "re")
+    val got = RangeJoin.intervalOverlap(left, right, "ls", "le", "rs", "re", 600L)
+      .select("rid").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L))
+  }
+
   test("Sampling.deterministicSplit is stable, complete, and near the target fractions") {
     val ids = (0L until 2000L).toDF("doc_id")
     val s1 = Sampling.deterministicSplit(ids, "doc_id")
