@@ -1,0 +1,68 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** HITS hubs-and-authorities (Kleinberg 1999) — the DIRECTED-role
+  * companion to [[PageRank]]: where PageRank assigns one authority
+  * score, HITS separates "points at good things" (hub) from "is pointed
+  * at by good things" (authority) — exactly the two roles in a
+  * bipartite interaction graph (curators vs documents, buyers vs
+  * suppliers, queries vs results). Mutual recursion
+  *
+  *   a ← Aᵀh / ‖Aᵀh‖₂,   h ← Aa / ‖Aa‖₂
+  *
+  * with L2 normalization each half-step (unnormalized HITS diverges).
+  * Fixed iteration count for cross-engine replay; per half-step: ONE
+  * equi-join + groupBy on node keys, a 1-row norm aggregate, and the
+  * score frame localCheckpoint'ed (the FE lineage lesson). Scores are
+  * maintained over the FULL node set (zero-filled) so the norm and the
+  * output cover isolated roles.
+  */
+object Hits {
+
+  /** (node, hub, auth) after `iters` full iterations over
+    * `edges(src, dst)`. All nodes start with hub = 1.
+    */
+  def run(
+      edges: DataFrame,
+      src: String = "src",
+      dst: String = "dst",
+      iters: Int = 8
+  ): DataFrame = {
+    val e = edges.select(col(src).cast("string").as("src"), col(dst).cast("string").as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+
+    var hub = nodes.withColumn("hub", lit(1.0)).localCheckpoint(true)
+    var auth = nodes.withColumn("auth", lit(0.0)).localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val araw = hub.join(e, col("node") === col("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum("hub").as("v"))
+        .localCheckpoint(true)
+      val na = math.sqrt(araw.agg(sum(col("v") * col("v"))).head().getDouble(0))
+      auth = nodes
+        .join(araw, Seq("node"), "left")
+        .na.fill(0.0, Seq("v"))
+        .select(col("node"), (col("v") / lit(na)).as("auth"))
+        .localCheckpoint(true)
+
+      val hraw = auth.join(e, col("node") === col("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(sum("auth").as("v"))
+        .localCheckpoint(true)
+      val nh = math.sqrt(hraw.agg(sum(col("v") * col("v"))).head().getDouble(0))
+      hub = nodes
+        .join(hraw, Seq("node"), "left")
+        .na.fill(0.0, Seq("v"))
+        .select(col("node"), (col("v") / lit(nh)).as("hub"))
+        .localCheckpoint(true)
+    }
+    hub.join(auth, Seq("node"))
+  }
+}

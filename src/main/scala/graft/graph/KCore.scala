@@ -1,0 +1,72 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** k-core decomposition by synchronous peeling (Seidman 1983, the
+  * Batagelj–Zaveršnik fixpoint form): repeatedly delete every node
+  * whose degree in the SURVIVING subgraph is < k; what remains is the
+  * maximal subgraph with minimum degree ≥ k — the density filter of
+  * the graph family ([[Triangles]] measures local cohesion, this one
+  * global: spam/template rings and tightly-knit communities survive
+  * high k, stragglers and chains peel away).
+  *
+  * Peeling is a MONOTONE fixpoint: each round's alive set shrinks or
+  * stays, and once stable every further round is a no-op. That makes
+  * the result replayable with a FIXED round count R ≥ the rounds to
+  * convergence — the q-oracle unrolls R rounds and the engine RAISES
+  * if convergence needs more than `maxRounds` (so a green gate proves
+  * the replay covered the fixpoint).
+  *
+  * Per round: one induced-subgraph semi-join (edges whose both
+  * endpoints are alive), one degree aggregate, one filter — all
+  * shuffles on node keys; the alive set is localCheckpoint'ed.
+  */
+object KCore {
+
+  /** (node, degree) of the k-core — degrees measured IN the core. */
+  def core(
+      edges: DataFrame,
+      k: Int,
+      src: String = "src",
+      dst: String = "dst",
+      maxRounds: Int = 20
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val e = edges
+      .select(
+        least(col(src).cast("string"), col(dst).cast("string")).as("u"),
+        greatest(col(src).cast("string"), col(dst).cast("string")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    var alive = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    var aliveCount = alive.count()
+    var degrees: DataFrame = null
+    var rounds = 0
+    var converged = false
+    while (!converged) {
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"k-core did not converge within $maxRounds rounds — raise maxRounds " +
+          "(and the oracle's unroll depth with it)")
+      val au = alive.select(col("node").as("u"))
+      val av = alive.select(col("node").as("v"))
+      val induced = e.join(au, Seq("u")).join(av, Seq("v"))
+      degrees = induced.select(col("u").as("node"))
+        .union(induced.select(col("v").as("node")))
+        .groupBy("node")
+        .agg(count(lit(1)).as("degree"))
+        .localCheckpoint(true)
+      val next = degrees.where(col("degree") >= k).select("node").localCheckpoint(true)
+      val nextCount = next.count()
+      converged = nextCount == aliveCount
+      alive = next
+      aliveCount = nextCount
+    }
+    degrees.where(col("degree") >= k)
+  }
+}

@@ -38,6 +38,29 @@ object Sampling {
       when(b < trainBp, "train").when(b < trainBp + valBp, "val").otherwise("test"))
   }
 
+  /** Stratified k-fold assignment — the cross-validation companion to
+    * [[deterministicSplit]]: within each stratum, rows are ordered by
+    * the shared md5-60 hash of (salt, id) and dealt round-robin into k
+    * folds, so every fold holds ⌈n_s/k⌉ or ⌊n_s/k⌋ rows of EVERY
+    * stratum (a plain hash-mod split only hits the per-stratum balance
+    * in expectation — a 20-row stratum can easily land 8/2 across two
+    * folds). Deterministic on any cluster size; one stratum-keyed
+    * window. Fold ids are 0..k−1.
+    */
+  def stratifiedKFold(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      k: Int,
+      salt: String = "cv"
+  ): DataFrame = {
+    require(k >= 2, "k-fold needs k >= 2")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(shuffleKey(col(idCol), salt), col(idCol))
+    df.withColumn("fold", ((row_number().over(w) - 1) % k).cast("int"))
+  }
+
   /** Deterministic pseudo-random ORDER for training: sort by this key
     * to get a reproducible corpus shuffle; change the salt to reshuffle.
     */

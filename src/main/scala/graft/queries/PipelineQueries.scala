@@ -4565,11 +4565,153 @@ object PipelineQueries {
     )
   )
 
+  // ---- P32: centroid silhouette (FULL oracle — exact double replay of
+  // centroids, distances, a/b selection and the (b−a)/max ratio) -------
+
+  val q183 = Q(
+    "q183_silhouette",
+    (s, dir) =>
+      graft.sim.Embed
+        .silhouette(Tables.embeddings(s, dir), "embedding", "label")
+        .orderBy("label"),
+    Some(
+      """WITH f AS (SELECT vec_id, label, unnest(embedding)::DOUBLE AS v,
+        |             unnest(range(len(embedding))) AS i FROM embeddings),
+        |cent AS (SELECT label AS cl, i, sum(v)/count(*) AS c FROM f GROUP BY 1, 2),
+        |d AS (SELECT f.vec_id, f.label, cent.cl,
+        |        sqrt(greatest(0.0, sum((f.v - cent.c)*(f.v - cent.c)))) AS dist
+        |      FROM f JOIN cent ON f.i = cent.i GROUP BY 1, 2, 3),
+        |ab AS (SELECT vec_id, label,
+        |         min(CASE WHEN cl = label THEN dist END) AS a,
+        |         min(CASE WHEN cl <> label THEN dist END) AS b
+        |       FROM d GROUP BY 1, 2),
+        |sil AS (SELECT label, a, b,
+        |          CASE WHEN greatest(a, b) > 0 THEN (b - a)/greatest(a, b)
+        |               ELSE 0.0 END AS s
+        |        FROM ab)
+        |SELECT label, count(*)::BIGINT AS n, round(avg(s), 4) AS mean_sil,
+        |  round(avg(a), 4) AS mean_own_dist, round(avg(b), 4) AS mean_other_dist
+        |FROM sil GROUP BY 1 ORDER BY label""".stripMargin
+    )
+  )
+
+  // ---- T59: stratified k-fold (FULL oracle — md5-60 order + dealt
+  // round-robin, bit-for-bit) ------------------------------------------
+
+  val q184 = Q(
+    "q184_stratified_kfold",
+    (s, dir) =>
+      graft.ops.Sampling
+        .stratifiedKFold(Tables.documents(s, dir), "doc_id", "lang", k = 5)
+        .select(col("doc_id"), col("lang"), col("fold"))
+        .orderBy("doc_id"),
+    Some(
+      s"""WITH t AS (SELECT doc_id, lang,
+         |  ${graft.functions.SharedHash.md5Long60Sql("'cv:' || doc_id::VARCHAR")} AS hk
+         |  FROM documents)
+         |SELECT doc_id, lang,
+         |  ((row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) - 1) % 5)::INT AS fold
+         |FROM t ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  // ---- P33: HITS hubs/authorities (FULL oracle — 8 unrolled
+  // iterations with the L2 normalization replayed per half-step) -------
+
+  private def hitsOracleSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH e AS MATERIALIZED (SELECT DISTINCT 'c' || o_custkey::VARCHAR AS src,
+             |            's' || l_suppkey::VARCHAR AS dst
+             |          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+             |h0 AS MATERIALIZED (SELECT node, 1.0::DOUBLE AS hub FROM nodes)""".stripMargin
+    for (k <- 1 to iters) {
+      sb ++= s""",
+                |ar$k AS MATERIALIZED (SELECT e.dst AS node, sum(h.hub) AS v
+                |        FROM e JOIN h${k - 1} h ON h.node = e.src GROUP BY 1),
+                |na$k AS (SELECT sqrt(sum(v*v)) AS s FROM ar$k),
+                |a$k AS MATERIALIZED (SELECT nodes.node,
+                |          COALESCE(ar$k.v, 0)/(SELECT s FROM na$k) AS auth
+                |        FROM nodes LEFT JOIN ar$k ON nodes.node = ar$k.node),
+                |hr$k AS MATERIALIZED (SELECT e.src AS node, sum(a.auth) AS v
+                |        FROM e JOIN a$k a ON a.node = e.dst GROUP BY 1),
+                |nh$k AS (SELECT sqrt(sum(v*v)) AS s FROM hr$k),
+                |h$k AS MATERIALIZED (SELECT nodes.node,
+                |          COALESCE(hr$k.v, 0)/(SELECT s FROM nh$k) AS hub
+                |        FROM nodes LEFT JOIN hr$k ON nodes.node = hr$k.node)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT h$iters.node, round(h$iters.hub, 8) AS hub,
+              |  round(a$iters.auth, 8) AS auth
+              |FROM h$iters JOIN a$iters ON h$iters.node = a$iters.node
+              |ORDER BY h$iters.node""".stripMargin
+    sb.toString
+  }
+
+  val q185 = Q(
+    "q185_hits",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir)
+      val edges = o.join(li, col("l_orderkey") === col("o_orderkey"))
+        .select(
+          concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+        .distinct()
+      graft.graph.Hits.run(edges, iters = 8)
+        .select(col("node"), round(col("hub"), 8).as("hub"), round(col("auth"), 8).as("auth"))
+        .orderBy("node")
+    },
+    Some(hitsOracleSql(8))
+  )
+
+  // ---- P34: k-core decomposition (FULL oracle — peeling is a MONOTONE
+  // fixpoint, so a fixed 12-round unroll ≥ convergence replays it
+  // exactly; the engine raises if it needs more rounds than the oracle
+  // covers) ------------------------------------------------------------
+
+  private def kcoreOracleSql(kk: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH e AS MATERIALIZED (
+             |  SELECT DISTINCT least(a.l_partkey::VARCHAR, b.l_partkey::VARCHAR) AS u,
+             |         greatest(a.l_partkey::VARCHAR, b.l_partkey::VARCHAR) AS v
+             |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+             |  WHERE a.l_partkey <> b.l_partkey),
+             |a0 AS MATERIALIZED (SELECT u AS node FROM e UNION SELECT v FROM e)""".stripMargin
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+                |d$r AS MATERIALIZED (SELECT node, count(*)::BIGINT AS degree FROM (
+                |    SELECT e.u AS node FROM e
+                |      JOIN a${r - 1} x ON e.u = x.node JOIN a${r - 1} y ON e.v = y.node
+                |    UNION ALL
+                |    SELECT e.v FROM e
+                |      JOIN a${r - 1} x ON e.u = x.node JOIN a${r - 1} y ON e.v = y.node)
+                |  GROUP BY 1),
+                |a$r AS MATERIALIZED (SELECT node FROM d$r WHERE degree >= $kk)""".stripMargin
+    }
+    sb ++= s"\nSELECT node, degree FROM d$rounds WHERE degree >= $kk ORDER BY node"
+    sb.toString
+  }
+
+  val q186 = Q(
+    "q186_kcore",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
+      val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
+      val edges = a.join(b, Seq("ok"))
+        .where(col("pa") =!= col("pb"))
+        .select(col("pa").as("src"), col("pb").as("dst"))
+      graft.graph.KCore.core(edges, k = 80, maxRounds = 12).orderBy("node")
+    },
+    Some(kcoreOracleSql(80, 12))
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182)
+      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186)
 }

@@ -119,6 +119,52 @@ object Embed {
     * the window form. Pinned by a PlanSpec assertion (partial aggregate,
     * no Window exchange).
     */
+  /** Simplified (centroid-based) silhouette per label (Vendramin 2010)
+    * — the clustering-quality gauge for any labeled embedding set
+    * ([[assign]]'s output, a k-means run, a source/topic partition):
+    * per point, a = distance to its OWN centroid, b = the nearest
+    * OTHER centroid, s = (b−a)/max(a,b) ∈ [−1, 1]; s ≈ 1 means tight
+    * well-separated clusters, s < 0 means the point sits closer to a
+    * foreign centroid. The classic all-pairs silhouette is O(n²); the
+    * centroid form is the standard corpus-scale substitute — one
+    * centroid pass + one row-local scoring pass against k broadcast
+    * centroid literals (k·dims doubles folded into the plan, exact
+    * double arithmetic throughout — no float round-trip).
+    */
+  def silhouette(df: DataFrame, vecCol: String, labelCol: String): DataFrame = {
+    val cents = centroids(df, vecCol, labelCol)
+      .select(col(labelCol), col("centroid"))
+      .collect()
+      .map(r => r.get(0) -> r.getSeq[Double](1))
+    require(cents.length >= 2, "silhouette needs at least two labels")
+    val v = col(vecCol).cast("array<double>")
+    val dists = cents.map { case (lbl, c) =>
+      val arr = array(c.map(lit): _*)
+      lbl -> sqrt(greatest(
+        lit(0.0),
+        aggregate(
+          zip_with(v, arr, (x, y) => (x - y) * (x - y)),
+          lit(0.0),
+          (acc, t) => acc + t)))
+    }
+    val a = coalesce(dists.map { case (l, d) => when(col(labelCol) === lit(l), d) }: _*)
+    val b = least(dists.map { case (l, d) => when(col(labelCol) =!= lit(l), d) }: _*)
+    df
+      .withColumn("__a", a)
+      .withColumn("__b", b)
+      .withColumn(
+        "__s",
+        when(greatest(col("__a"), col("__b")) > 0,
+          (col("__b") - col("__a")) / greatest(col("__a"), col("__b")))
+          .otherwise(lit(0.0)))
+      .groupBy(col(labelCol))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg("__s"), 4).as("mean_sil"),
+        round(avg("__a"), 4).as("mean_own_dist"),
+        round(avg("__b"), 4).as("mean_other_dist"))
+  }
+
   def assign(
       df: DataFrame,
       cents: DataFrame,

@@ -286,6 +286,28 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq(1L))
   }
 
+  test("Sampling.stratifiedKFold: per-stratum balance within 1, deterministic, complete") {
+    val df = ((0 until 100).map(i => (i.toLong, "big")) ++
+      (1000 until 1007).map(i => (i.toLong, "tiny"))).toDF("doc_id", "strata")
+    val f1 = Sampling.stratifiedKFold(df, "doc_id", "strata", k = 5)
+      .select("doc_id", "strata", "fold").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(f1.length === 107)
+    // every stratum's fold sizes differ by at most 1 — even the 7-row one
+    for ((st, rows) <- f1.groupBy(_._2)) {
+      val sizes = rows.groupBy(_._3).view.mapValues(_.size).values
+      assert(sizes.max - sizes.min <= 1, s"$st folds unbalanced: $sizes")
+      assert(rows.map(_._3).toSet.subsetOf((0 until 5).toSet))
+    }
+    val f2 = Sampling.stratifiedKFold(df, "doc_id", "strata", k = 5)
+      .select("doc_id", "fold").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(f1.map(r => r._1 -> r._3).toMap === f2) // bit-deterministic
+    // a different salt deals differently
+    val f3 = Sampling.stratifiedKFold(df, "doc_id", "strata", k = 5, salt = "cv2")
+      .select("doc_id", "fold").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(f2 !== f3)
+  }
+
   test("Sampling.deterministicSplit is stable, complete, and near the target fractions") {
     val ids = (0L until 2000L).toDF("doc_id")
     val s1 = Sampling.deterministicSplit(ids, "doc_id")

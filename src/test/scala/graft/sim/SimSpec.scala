@@ -1361,4 +1361,55 @@ class SimSpec extends SparkSpec {
     val recall = exact.intersect(approx).size.toDouble / exact.size
     assert(recall >= 0.6, s"recall $recall too low")
   }
+
+  test("Embed.silhouette: separated clusters near 1, merged labels near 0, misassigned negative") {
+    import spark.implicits._
+    // two tight, far-apart clusters, correctly labeled
+    def vec(base: Float, jitter: Float) = Array(base + jitter, base - jitter, 0f, 0f)
+    val good = ((0 until 20).map(i => (i.toLong, "a", vec(0f, i * 0.01f))) ++
+      (0 until 20).map(i => (100L + i, "b", vec(10f, i * 0.01f)))).toDF("id", "label", "v")
+    val g = Embed.silhouette(good, "v", "label").collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("mean_sil")).toMap
+    assert(g("a") > 0.9 && g("b") > 0.9, g.toString)
+
+    // the same points with labels painted at random: silhouette collapses
+    val mixed = ((0 until 20).map(i => (i.toLong, if (i % 2 == 0) "a" else "b", vec(0f, i * 0.01f))) ++
+      (0 until 20).map(i => (100L + i, if (i % 2 == 0) "a" else "b", vec(10f, i * 0.01f))))
+      .toDF("id", "label", "v")
+    val m = Embed.silhouette(mixed, "v", "label").collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("mean_sil")).toMap
+    assert(math.abs(m("a")) < 0.2 && math.abs(m("b")) < 0.2, m.toString)
+
+    // a BIMODAL label (half at 0, half at 20 → centroid ~10, far from
+    // every member) next to a tight label at 0.2: the 0-side members
+    // sit much closer to the foreign centroid → negative mean for "a"
+    // (a consistent label SWAP would just rename the clusters — the
+    // partition, and so the silhouette, would be unchanged)
+    val bimodal = ((0 until 10).map(i => (i.toLong, "a", vec(0f, i * 0.01f))) ++
+      (0 until 10).map(i => (50L + i, "a", vec(20f, i * 0.01f))) ++
+      (0 until 20).map(i => (100L + i, "b", vec(0.2f, i * 0.01f)))).toDF("id", "label", "v")
+    val bi = Embed.silhouette(bimodal, "v", "label").collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("mean_sil")).toMap
+    assert(bi("a") < -0.1, bi.toString)
+    assert(bi("b") > 0.9, bi.toString)
+  }
+
+  test("Embed.silhouette: hand-computed two-point-per-label values; single label rejected") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", Array(0f, 0f)), (2L, "a", Array(2f, 0f)), // centroid (1,0)
+      (3L, "b", Array(10f, 0f)), (4L, "b", Array(12f, 0f)) // centroid (11,0)
+    ).toDF("id", "label", "v")
+    val out = Embed.silhouette(df, "v", "label").collect()
+      .map(r => r.getString(0) -> ((r.getAs[Double]("mean_sil"),
+        r.getAs[Double]("mean_own_dist"), r.getAs[Double]("mean_other_dist")))).toMap
+    // label a: both points at distance 1 from own centroid; other dists 11 and 9
+    assert(math.abs(out("a")._2 - 1.0) < 1e-9)
+    assert(math.abs(out("a")._3 - 10.0) < 1e-9)
+    val sA = ((11.0 - 1.0) / 11.0 + (9.0 - 1.0) / 9.0) / 2
+    assert(math.abs(out("a")._1 - math.rint(sA * 1e4) / 1e4) < 1e-9)
+    intercept[IllegalArgumentException] {
+      Embed.silhouette(df.where(col("label") === "a"), "v", "label")
+    }
+  }
 }
