@@ -63,4 +63,32 @@ object Grouped {
       acc.withColumn(n, f(col(valueCol)).over(w))
     }
   }
+
+  /** Time-RANGE rolling aggregates per key — the event-time sibling of
+    * [[rolling]] (which counts ROWS): each row aggregates every row of
+    * its key within the trailing `windowSec` seconds of ITS OWN event
+    * time (pandas `rolling('7D')`, the "7-day rolling activity"
+    * feature). RANGE frames need a numeric order key, so the window
+    * runs over epoch seconds; same single key shuffle as `rolling`.
+    */
+  def rollingByTime(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      windowSec: Long,
+      aggs: Seq[Column => Column],
+      valueCol: String,
+      names: Seq[String]
+  ): DataFrame = {
+    require(aggs.length == names.length, "one output name per aggregate")
+    require(windowSec >= 0, "window must be >= 0 seconds")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts_sec"))
+      .rangeBetween(-windowSec, org.apache.spark.sql.expressions.Window.currentRow)
+    val withSec = df.withColumn("__ts_sec", unix_timestamp(col(tsCol)))
+    aggs.zip(names).foldLeft(withSec) { case (acc, (f, n)) =>
+      acc.withColumn(n, f(col(valueCol)).over(w))
+    }.drop("__ts_sec")
+  }
 }

@@ -149,4 +149,36 @@ object Stats {
             (count(lit(1)) + 1).cast("double") / count(lit(1)).cast("double"),
           4).as("gini"))
   }
+
+  /** RFM (recency / frequency / monetary) user features — the classic
+    * activity-segmentation triple over an event stream, plus 1–5
+    * quintile scores per axis so downstream mixes can sample by
+    * segment. One groupBy collapses the corpus to user rows; recency is
+    * measured in whole days back from the corpus max timestamp (one
+    * broadcast scalar); quintiles are `ntile(5)` over a deterministic
+    * total order (value, key) — user frames are segment-analysis-sized,
+    * the [[graft.ml.Eval.liftTable]] global-rank argument.
+    */
+  def rfm(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxTs = df.agg(max(unix_timestamp(col(tsCol)))).head().getLong(0)
+    val per = df.groupBy(col(keyCol))
+      .agg(
+        ((lit(maxTs) - max(unix_timestamp(col(tsCol)))) / 86400L).cast("long")
+          .as("recency_days"),
+        count(lit(1)).as("frequency"),
+        round(sum(col(valueCol).cast("double")), 4).as("monetary"))
+    per
+      .withColumn("r_score",
+        ntile(5).over(Window.orderBy(col("recency_days").desc, col(keyCol))))
+      .withColumn("f_score",
+        ntile(5).over(Window.orderBy(col("frequency").asc, col(keyCol))))
+      .withColumn("m_score",
+        ntile(5).over(Window.orderBy(col("monetary").asc, col(keyCol))))
+  }
 }

@@ -4707,11 +4707,99 @@ object PipelineQueries {
     Some(kcoreOracleSql(80, 12))
   )
 
+  // ---- P35: covariance-aware embedding outliers (rows-only: the fit
+  // is an eigendecomposition; OutliersSpec pins the direction-aware
+  // behavior z-scoring can't see + a dense-reference parity) -----------
+
+  val q187 = Q(
+    "q187_mahalanobis",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = graft.sim.Pca.fit(emb, "embedding", k = 16)
+      graft.sim.Outliers
+        .pcaMahalanobis(emb, "vec_id", "embedding", model, threshold = 32.0)
+        .orderBy("vec_id")
+    },
+    None
+  )
+
+  // ---- C55: time-range rolling aggregates (FULL oracle — RANGE frames
+  // over floored epoch seconds on both engines) ------------------------
+
+  val q188 = Q(
+    "q188_rolling_time",
+    (s, dir) =>
+      graft.ops.Grouped
+        .rollingByTime(
+          Tables.events(s, dir), Seq("user_id"), "ts", windowSec = 86400,
+          Seq(c => sum(c), c => count(c)), "value", Seq("roll_sum", "roll_n"))
+        .select(
+          col("user_id"), col("event_id"),
+          round(col("roll_sum"), 4).as("roll_sum"), col("roll_n"))
+        .orderBy("user_id", "event_id"),
+    Some(
+      """SELECT user_id, event_id,
+        |  round(sum(value) OVER w, 4) AS roll_sum,
+        |  count(*) OVER w AS roll_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY floor(epoch(ts))::BIGINT
+        |             RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin
+    )
+  )
+
+  // ---- S26: event-transition matrix (FULL oracle — one lead window
+  // over a (ts, event_id) total order, integer counts, exact ratios) ---
+
+  val q189 = Q(
+    "q189_transitions",
+    (s, dir) =>
+      graft.ops.Transitions
+        .matrix(Tables.events(s, dir), "user_id", "ts", "event_type", "event_id")
+        .orderBy("from_type", "to_type"),
+    Some(
+      """WITH p AS (SELECT event_type AS from_type,
+        |             COALESCE(lead(event_type) OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id), '__end') AS to_type
+        |           FROM events),
+        |c AS (SELECT from_type, to_type, count(*)::BIGINT AS n FROM p GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(n::DOUBLE/sum(n) OVER (PARTITION BY from_type), 6) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin
+    )
+  )
+
+  // ---- T60: RFM segmentation features (FULL oracle — integer recency/
+  // frequency, 4dp monetary, ntile over the rounded deterministic
+  // order) -------------------------------------------------------------
+
+  val q190 = Q(
+    "q190_rfm",
+    (s, dir) =>
+      graft.ops.Stats
+        .rfm(Tables.events(s, dir), "user_id", "ts", "value")
+        .orderBy("user_id"),
+    Some(
+      """WITH mx AS (SELECT max(floor(epoch(ts))::BIGINT) AS m FROM events),
+        |per AS (SELECT user_id,
+        |          (((SELECT m FROM mx) - max(floor(epoch(ts))::BIGINT))//86400)::BIGINT
+        |            AS recency_days,
+        |          count(*)::BIGINT AS frequency,
+        |          round(sum(value), 4) AS monetary
+        |        FROM events GROUP BY 1)
+        |SELECT user_id, recency_days, frequency, monetary,
+        |  ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS r_score,
+        |  ntile(5) OVER (ORDER BY frequency ASC, user_id) AS f_score,
+        |  ntile(5) OVER (ORDER BY monetary ASC, user_id) AS m_score
+        |FROM per ORDER BY user_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186)
+      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190)
 }

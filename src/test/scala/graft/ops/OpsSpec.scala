@@ -308,6 +308,53 @@ class OpsSpec extends SparkSpec {
     assert(f2 !== f3)
   }
 
+  test("Grouped.rollingByTime: trailing RANGE window by event time, equal timestamps pooled") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(sec: Int) = new java.sql.Timestamp(base.getTime + sec * 1000L)
+    val df = Seq(
+      (1L, "u", ts(0), 1.0), (2L, "u", ts(10), 2.0), (3L, "u", ts(30), 4.0),
+      (4L, "u", ts(100), 8.0),
+      (5L, "u", ts(100), 16.0), // same second as 4 → both windows include both
+      (6L, "w", ts(5), 100.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = graft.ops.Grouped.rollingByTime(
+      df, Seq("user_id"), "ts", windowSec = 25,
+      Seq(c => sum(c), c => count(c)), "value", Seq("rs", "rn"))
+      .select("event_id", "rs", "rn").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(out(1L) === ((1.0, 1L)))
+    assert(out(2L) === ((3.0, 2L))) // 0 and 10 within 25s
+    assert(out(3L) === ((6.0, 2L))) // 10 and 30; 0 fell out
+    assert(out(4L) === ((24.0, 2L))) // RANGE: the equal-ts row 5 is included
+    assert(out(5L) === ((24.0, 2L)))
+    assert(out(6L) === ((100.0, 1L))) // other key untouched
+  }
+
+  test("Transitions.matrix: hand-computed pairs, terminal rows, per-from probabilities sum to 1") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(sec: Int) = new java.sql.Timestamp(base.getTime + sec * 1000L)
+    val df = Seq(
+      (1L, "u1", ts(0), "view"), (2L, "u1", ts(1), "cart"), (3L, "u1", ts(2), "buy"),
+      (4L, "u2", ts(0), "view"), (5L, "u2", ts(1), "leave"),
+      (6L, "u3", ts(0), "view"), (7L, "u3", ts(1), "cart"), (8L, "u3", ts(2), "leave")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = graft.ops.Transitions.matrix(df, "user_id", "ts", "event_type", "event_id")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(("view", "cart")) === ((2L, 0.666667)))
+    assert(out(("view", "leave")) === ((1L, 0.333333)))
+    assert(out(("cart", "buy")) === ((1L, 0.5)))
+    assert(out(("cart", "leave")) === ((1L, 0.5)))
+    assert(out(("buy", "__end")) === ((1L, 1.0)))
+    assert(out(("leave", "__end")) === ((2L, 1.0)))
+    // per-from probability mass is 1
+    out.keys.map(_._1).toSeq.distinct.foreach { f =>
+      val mass = out.collect { case ((`f`, _), (_, p)) => p }.sum
+      assert(math.abs(mass - 1.0) < 1e-4, s"$f mass $mass")
+    }
+  }
+
   test("Sampling.deterministicSplit is stable, complete, and near the target fractions") {
     val ids = (0L until 2000L).toDF("doc_id")
     val s1 = Sampling.deterministicSplit(ids, "doc_id")

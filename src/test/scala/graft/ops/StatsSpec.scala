@@ -149,4 +149,30 @@ class StatsSpec extends SparkSpec {
     val rs = graft.text.Diversity.distinctN(short, "text", "src").head()
     assert(rs.getLong(6) === 1L && rs.getLong(7) === 1L)
   }
+
+  test("Stats.rfm: hand-computed recency/frequency/monetary and quintile scores") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    def ts(daysAgo: Int) = new java.sql.Timestamp(base.getTime - daysAgo * 86400000L)
+    // 10 users: user i has i+1 events, most recent i days ago, value 10*(i+1)
+    val rows = for {
+      i <- 0 until 10
+      j <- 0 to i
+    } yield (i.toLong, ts(i + j), 10.0)
+    val out = graft.ops.Stats.rfm(rows.toDF("user_id", "ts", "value"), "user_id", "ts", "value")
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("recency_days"), r.getAs[Long]("frequency"),
+          r.getAs[Double]("monetary"), r.getAs[Int]("r_score"), r.getAs[Int]("f_score"))))
+      .toMap
+    // user 0: 1 event 0 days ago; user 9: 10 events, latest 9 days ago
+    assert(out(0L)._1 === 0L && out(0L)._2 === 1L && out(0L)._3 === 10.0)
+    assert(out(9L)._1 === 9L && out(9L)._2 === 10L && out(9L)._3 === 100.0)
+    // r_score: most recent = highest quintile; f_score: most frequent = 5
+    assert(out(0L)._4 === 5 && out(9L)._4 === 1)
+    assert(out(0L)._5 === 1 && out(9L)._5 === 5)
+    // 10 users over 5 quintiles: every score appears exactly twice
+    val rCounts = out.values.groupBy(_._4).view.mapValues(_.size).toMap
+    assert(rCounts === Map(1 -> 2, 2 -> 2, 3 -> 2, 4 -> 2, 5 -> 2))
+  }
 }
