@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Experiment-readout primitives: the two-proportion z-test and the
+  * sample-ratio-mismatch (SRM) guard — the two checks every A/B readout
+  * runs before anyone looks at a lift number. Both are closed forms over
+  * one per-variant count aggregate (variant-cardinality output, never
+  * row-scaled), so the whole readout is a single codegen'd pass that
+  * DuckDB replays exactly. Complements the experimentation stack already
+  * in place: CUPED ([[graft.ml.Causal]]), Mann-Whitney U
+  * ([[graft.ml.Diagnostics]]), BH-FDR ([[Drift]]).
+  */
+object Abtest {
+
+  /** Two-proportion z-test between exactly two variants, plus the SRM
+    * chi-square of the observed assignment counts against the expected
+    * split. One groupBy over variant (2 rows), then a driver-free pivot
+    * via conditional aggregation. `expectedA` is variant A's intended
+    * assignment share (0.5 for a 50/50 test).
+    *
+    * Output (one row): per-variant n and conversions, conversion rates,
+    * absolute lift, pooled two-proportion z, and the 1-dof SRM
+    * chi-square. Rates/statistics rounded to 6dp for cross-engine
+    * comparison; the z sign convention is B minus A.
+    */
+  def twoProportion(
+      df: DataFrame,
+      variant: Column,
+      success: Column,
+      expectedA: Double = 0.5): DataFrame = {
+    val per = df
+      .groupBy(variant.as("v"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(when(success, 1L).otherwise(0L)).cast("double").as("conv"))
+
+    val agg = per.agg(
+      count(lit(1)).as("k"),
+      sum(when(col("v") === "A", col("n"))).as("na0"),
+      sum(when(col("v") === "A", col("conv"))).as("ca"),
+      sum(when(col("v") === "B", col("n"))).as("nb"),
+      sum(when(col("v") === "B", col("conv"))).as("cb"))
+      .select(
+        // the guard rides the n_a output expression (a pruned side
+        // column would be optimized away and never evaluated)
+        when(col("k") =!= 2 || col("na0").isNull || col("nb").isNull,
+          raise_error(lit("Abtest.twoProportion: expected exactly variants A and B")))
+          .otherwise(col("na0")).as("na"),
+        col("ca"), col("nb"), col("cb"))
+
+    val pa = col("ca") / col("na")
+    val pb = col("cb") / col("nb")
+    val pPool = (col("ca") + col("cb")) / (col("na") + col("nb"))
+    val se = sqrt(pPool * (lit(1.0) - pPool) * (lit(1.0) / col("na") + lit(1.0) / col("nb")))
+    val n = col("na") + col("nb")
+    val ea = n * lit(expectedA)
+    val eb = n * lit(1.0 - expectedA)
+    val srm = (col("na") - ea) * (col("na") - ea) / ea + (col("nb") - eb) * (col("nb") - eb) / eb
+
+    agg.select(
+      col("na").cast("long").as("n_a"),
+      col("ca").cast("long").as("conv_a"),
+      col("nb").cast("long").as("n_b"),
+      col("cb").cast("long").as("conv_b"),
+      round(pa, 6).as("p_a"),
+      round(pb, 6).as("p_b"),
+      round(pb - pa, 6).as("lift"),
+      round((pb - pa) / se, 6).as("z"),
+      round(srm, 6).as("srm_chi2"))
+  }
+}

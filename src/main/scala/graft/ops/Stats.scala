@@ -181,4 +181,83 @@ object Stats {
       .withColumn("m_score",
         ntile(5).over(Window.orderBy(col("monetary").asc, col(keyCol))))
   }
+
+  /** Spearman rank correlation of two numeric columns per group. Ranks
+    * use the average-of-tied-row-numbers convention (the classical
+    * mid-rank), built from two window passes that both engines compute
+    * identically: a deterministic row_number inside the group (ties
+    * broken by `tieCol`), then the avg of those row numbers over equal
+    * values. The correlation itself is the Pearson closed form over the
+    * two rank columns — one final aggregate per group, no driver state.
+    * Per-group windows shard by the grouping key, so no global sort; at
+    * scale each group's rows co-locate on its hash partition.
+    */
+  def spearman(
+      df: DataFrame,
+      groupCol: String,
+      xCol: String,
+      yCol: String,
+      tieCol: String): DataFrame = {
+    val g = Window.partitionBy(col(groupCol))
+    def midRank(c: String, out: String)(d: DataFrame): DataFrame = {
+      val rn = row_number().over(g.orderBy(col(c), col(tieCol)))
+      d.withColumn(s"_rn_$out", rn.cast("double"))
+        .withColumn(out, avg(col(s"_rn_$out")).over(Window.partitionBy(col(groupCol), col(c))))
+        .drop(s"_rn_$out")
+    }
+    val ranked = midRank(xCol, "_rx")(midRank(yCol, "_ry")(df))
+    val n = count(lit(1)).cast("double")
+    val sx = sum(col("_rx")); val sy = sum(col("_ry"))
+    val sxx = sum(col("_rx") * col("_rx")); val syy = sum(col("_ry") * col("_ry"))
+    val sxy = sum(col("_rx") * col("_ry"))
+    ranked
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        round((n * sxy - sx * sy) /
+          sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6).as("rho"))
+  }
+
+  /** Benford first-digit audit of a positive 2-decimal-place money
+    * column. The leading digit is extracted in EXACT integer arithmetic
+    * (scale to cents as BIGINT, then the first character of its decimal
+    * representation) — no log10 on doubles, whose libm ULP differences
+    * near powers of ten would diverge across engines. Output: one row
+    * per digit 1-9 with observed count/share, the Benford expected
+    * share, and the total chi-square repeated on every row (window
+    * total — the table is 9 rows, so the window is free).
+    */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val cents = round(col(valueCol) * 100).cast("long")
+    val digit = substring(cents.cast("string"), 1, 1).cast("int")
+    val counts = df
+      .where(col(valueCol) > 0)
+      .groupBy(digit.as("digit"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy()
+    val tot = sum(col("n")).over(w).cast("double")
+    // expected shares are the SAME nine double constants the oracle SQL
+    // ships (Double.toString round-trip), so the chi-square arithmetic
+    // is +,-,*,/ over bit-identical inputs on both engines — no libm
+    // log10 in either plan
+    val expShare = (1 to 9).foldLeft(lit(Double.NaN)) { (acc, d) =>
+      when(col("digit") === d, lit(benfordShare(d))).otherwise(acc)
+    }
+    val e = expShare * tot
+    counts
+      .withColumn("share", round(col("n") / tot, 6))
+      .withColumn("exp_share", round(expShare, 6))
+      .withColumn(
+        "chi2",
+        // unobserved digits contribute (0−E)²/E = E; their total is
+        // n − Σ_observed E because the nine expected shares sum to 1
+        // (the chiSquare missing-mass trick)
+        round(sum((col("n") - e) * (col("n") - e) / e).over(w) +
+          (tot - sum(e).over(w)), 4))
+  }
+
+  /** Benford's expected first-digit share, log10(1 + 1/d). Exposed so
+    * the oracle SQL can ship the identical binary64 constants.
+    */
+  def benfordShare(d: Int): Double = math.log10(1.0 + 1.0 / d)
 }

@@ -4795,11 +4795,142 @@ object PipelineQueries {
     )
   )
 
+  // ---- T61: A/B readout — two-proportion z + SRM guard (FULL oracle —
+  // closed forms over one 2-row variant aggregate; 0.5 split constant
+  // is exactly representable so the decimal-literal hazard is moot) ----
+
+  val q191 = Q(
+    "q191_abtest",
+    (s, dir) =>
+      graft.ops.Abtest.twoProportion(
+        Tables.events(s, dir),
+        when(col("user_id") % 2 === 0, "A").otherwise("B"),
+        col("event_type") === "purchase",
+        expectedA = 0.5),
+    Some(
+      """WITH per AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,
+        |         count(*)::DOUBLE AS n,
+        |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::DOUBLE AS conv
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT
+        |  sum(CASE WHEN v='A' THEN n END) AS na, sum(CASE WHEN v='A' THEN conv END) AS ca,
+        |  sum(CASE WHEN v='B' THEN n END) AS nb, sum(CASE WHEN v='B' THEN conv END) AS cb
+        |  FROM per)
+        |SELECT na::BIGINT AS n_a, ca::BIGINT AS conv_a, nb::BIGINT AS n_b, cb::BIGINT AS conv_b,
+        |  round(ca/na, 6) AS p_a, round(cb/nb, 6) AS p_b,
+        |  round(cb/nb - ca/na, 6) AS lift,
+        |  round((cb/nb - ca/na) /
+        |        sqrt(((ca+cb)/(na+nb)) * (1 - (ca+cb)/(na+nb)) * (1/na + 1/nb)), 6) AS z,
+        |  round((na - (na+nb)*0.5)*(na - (na+nb)*0.5)/((na+nb)*0.5)
+        |      + (nb - (na+nb)*0.5)*(nb - (na+nb)*0.5)/((na+nb)*0.5), 6) AS srm_chi2
+        |FROM w""".stripMargin
+    )
+  )
+
+  // ---- C56: Spearman rank correlation per group (FULL oracle — both
+  // engines build the same deterministic mid-ranks from row_number +
+  // avg-over-ties windows; rank sums are exact multiples of 0.25 well
+  // under 2^53, so the Pearson closed form is order-independent) -------
+
+  val q192 = Q(
+    "q192_spearman",
+    (s, dir) =>
+      graft.ops.Stats
+        .spearman(
+          Tables.lineitem(s, dir)
+            .withColumn("tie", col("l_orderkey") * 10 + col("l_linenumber")),
+          "l_returnflag", "l_quantity", "l_extendedprice", "tie")
+        .orderBy("l_returnflag"),
+    Some(
+      """WITH t AS (SELECT l_returnflag AS g, l_quantity AS x, l_extendedprice AS y,
+        |                  l_orderkey * 10 + l_linenumber AS tie FROM lineitem),
+        |r1 AS (SELECT g, x, y,
+        |         row_number() OVER (PARTITION BY g ORDER BY x, tie) AS rnx,
+        |         row_number() OVER (PARTITION BY g ORDER BY y, tie) AS rny
+        |       FROM t),
+        |r2 AS (SELECT g,
+        |         avg(rnx::DOUBLE) OVER (PARTITION BY g, x) AS rx,
+        |         avg(rny::DOUBLE) OVER (PARTITION BY g, y) AS ry
+        |       FROM r1)
+        |SELECT g AS l_returnflag, count(*)::BIGINT AS n,
+        |  round((count(*)::DOUBLE * sum(rx*ry) - sum(rx)*sum(ry)) /
+        |        sqrt((count(*)::DOUBLE * sum(rx*rx) - sum(rx)*sum(rx)) *
+        |             (count(*)::DOUBLE * sum(ry*ry) - sum(ry)*sum(ry))), 6) AS rho
+        |FROM r2 GROUP BY g ORDER BY g""".stripMargin
+    )
+  )
+
+  // ---- T62: Benford first-digit audit (FULL oracle — the leading digit
+  // comes from EXACT integer arithmetic (cents as BIGINT → first decimal
+  // char), and the nine expected shares are shipped to both engines as
+  // identical binary64 literals, so no libm log10 in either plan) ------
+
+  val q193 = Q(
+    "q193_benford",
+    (s, dir) =>
+      graft.ops.Stats
+        .benford(Tables.lineitem(s, dir), "l_extendedprice")
+        .orderBy("digit"),
+    Some {
+      val cases = (1 to 9)
+        .map(d => s"WHEN $d THEN CAST('${graft.ops.Stats.benfordShare(d)}' AS DOUBLE)")
+        .mkString(" ")
+      s"""WITH c AS (
+         |  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+         |         count(*)::BIGINT AS n
+         |  FROM lineitem WHERE l_extendedprice > 0 GROUP BY 1),
+         |t AS (SELECT sum(n)::DOUBLE AS tot FROM c),
+         |e AS (SELECT digit, n, tot, CASE digit $cases END AS es FROM c, t)
+         |SELECT digit, n,
+         |  round(n / tot, 6) AS share,
+         |  round(es, 6) AS exp_share,
+         |  round(sum((n - es*tot)*(n - es*tot)/(es*tot)) OVER ()
+         |      + (tot - sum(es*tot) OVER ()), 4) AS chi2
+         |FROM e ORDER BY digit""".stripMargin
+    }
+  )
+
+  // ---- C57: per-key EWMA smoothing + one-step-forecast spike flag
+  // (FULL oracle — the inherently-sequential recurrence folds in IEEE
+  // order on both engines: a codegen'd aggregate() HOF here, a
+  // recursive CTE in DuckDB, with α and 1−α shipped as the same
+  // binary64 literals) -------------------------------------------------
+
+  val q194 = Q(
+    "q194_ewma", {
+      (s, dir) =>
+        graft.ops.Ewma
+          .smooth(Tables.events(s, dir), "user_id", "ts", "event_id", "value",
+            alpha = 0.3, delta = 150.0)
+          .orderBy("user_id", "event_id")
+    },
+    Some {
+      val a = 0.3.toString
+      val b = (1.0 - 0.3).toString
+      s"""WITH RECURSIVE base AS (
+         |  SELECT user_id, event_id, value,
+         |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         |  FROM events),
+         |ew AS (
+         |  SELECT user_id, event_id, value, rn, value AS s FROM base WHERE rn = 1
+         |  UNION ALL
+         |  SELECT b.user_id, b.event_id, b.value, b.rn,
+         |         CAST('$a' AS DOUBLE) * b.value + CAST('$b' AS DOUBLE) * e.s
+         |  FROM base b JOIN ew e ON b.user_id = e.user_id AND b.rn = e.rn + 1)
+         |SELECT user_id, event_id, value,
+         |  floor(s * 1e6 + 0.5) / 1e6 AS ewma,
+         |  floor((value - lag(s) OVER (PARTITION BY user_id ORDER BY rn)) * 1e6 + 0.5) / 1e6 AS resid,
+         |  coalesce(abs(value - lag(s) OVER (PARTITION BY user_id ORDER BY rn)) > 150, false) AS spike
+         |FROM ew ORDER BY user_id, event_id""".stripMargin
+    }
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190)
+      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194)
 }

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class AbtestEwmaSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Abtest.twoProportion: hand z, lift, and SRM on planted counts") {
+    // A: 1000 users, 100 conversions; B: 1100 users, 143 conversions
+    val rows = Seq.fill(100)(("A", true)) ++ Seq.fill(900)(("A", false)) ++
+      Seq.fill(143)(("B", true)) ++ Seq.fill(957)(("B", false))
+    val df = rows.toDF("v", "s")
+    val r = Abtest.twoProportion(df, col("v"), col("s")).head()
+    assert(r.getAs[Long]("n_a") === 1000L && r.getAs[Long]("conv_a") === 100L)
+    assert(r.getAs[Long]("n_b") === 1100L && r.getAs[Long]("conv_b") === 143L)
+    val pa = 0.1; val pb = 143.0 / 1100; val pp = 243.0 / 2100
+    val z = (pb - pa) / math.sqrt(pp * (1 - pp) * (1.0 / 1000 + 1.0 / 1100))
+    assert(math.abs(r.getAs[Double]("z") - math.rint(z * 1e6) / 1e6) < 1e-9)
+    assert(r.getAs[Double]("lift") === math.rint((pb - pa) * 1e6) / 1e6)
+    val e = 2100 * 0.5
+    val srm = 2 * (1050.0 - 1000) * (1050.0 - 1000) / e
+    assert(math.abs(r.getAs[Double]("srm_chi2") - math.rint(srm * 1e6) / 1e6) < 1e-9)
+  }
+
+  test("Abtest.twoProportion raises on a malformed variant set") {
+    val df = Seq(("A", true), ("A", false), ("C", true)).toDF("v", "s")
+    val ex = intercept[Exception] {
+      Abtest.twoProportion(df, col("v"), col("s")).head()
+    }
+    assert(ex.getMessage.contains("expected exactly variants A and B") ||
+      ex.getCause != null)
+  }
+
+  test("Ewma.smooth replays the hand recurrence and flags the planted spike") {
+    val ts = (1 to 6).map(i => java.sql.Timestamp.valueOf(f"2024-01-01 00:00:0$i"))
+    // steady 10s, then a 300 spike at position 5
+    val vals = Seq(10.0, 10.0, 12.0, 11.0, 300.0, 10.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (1L, ts(i), i.toLong, v) }
+      .toDF("k", "ts", "tie", "v")
+    val out = Ewma.smooth(df, "k", "ts", "tie", "v", alpha = 0.5, delta = 100.0)
+      .orderBy("tie").collect()
+    // hand fold, same IEEE order
+    val s = vals.tail.scanLeft(vals.head)((acc, x) => 0.5 * x + 0.5 * acc)
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Double]("ewma") === math.floor(s(i) * 1e6 + 0.5) / 1e6, s"row $i")
+    }
+    // resid: null on first row, value - prev smoothed after
+    assert(r0Null(out.head))
+    assert(out(4).getAs[Double]("resid") === math.floor((300.0 - s(3)) * 1e6 + 0.5) / 1e6)
+    // the spike inflates the level to 155.5, so the return-to-normal row
+    // (10 − 155.5 = −145.5) flags too — the one-step-residual convention
+    assert(out.map(_.getAs[Boolean]("spike")).toSeq ===
+      Seq(false, false, false, false, true, true))
+  }
+
+  private def r0Null(r: org.apache.spark.sql.Row): Boolean = r.isNullAt(r.fieldIndex("resid"))
+
+  test("Ewma.smooth folds in (ts, tie) order, not tie order alone") {
+    // event ids deliberately reversed vs time: the fold must follow ts
+    val ts = (1 to 3).map(i => java.sql.Timestamp.valueOf(f"2024-01-01 00:00:0$i"))
+    val df = Seq((1L, ts(0), 30L, 1.0), (1L, ts(1), 20L, 2.0), (1L, ts(2), 10L, 4.0))
+      .toDF("k", "ts", "tie", "v")
+    val out = Ewma.smooth(df, "k", "ts", "tie", "v", alpha = 0.5, delta = 1e9)
+      .collect().map(r => r.getAs[Long]("tie") -> r.getAs[Double]("ewma")).toMap
+    assert(out(30L) === 1.0)      // first in time
+    assert(out(20L) === 1.5)      // 0.5*2 + 0.5*1
+    assert(out(10L) === 2.75)     // 0.5*4 + 0.5*1.5
+  }
+}

@@ -175,4 +175,46 @@ class StatsSpec extends SparkSpec {
     val rCounts = out.values.groupBy(_._4).view.mapValues(_.size).toMap
     assert(rCounts === Map(1 -> 2, 2 -> 2, 3 -> 2, 4 -> 2, 5 -> 2))
   }
+
+  test("Stats.spearman: monotone gives 1, reversed gives -1, ties use mid-ranks") {
+    val mono = (1 to 8).map(i => ("g", i.toDouble, i * i.toDouble, i.toLong))
+    val rev = (1 to 8).map(i => ("h", i.toDouble, -i.toDouble, i.toLong))
+    val df = (mono ++ rev).toDF("g", "x", "y", "tie")
+    val out = Stats.spearman(df, "g", "x", "y", "tie").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out("g") === 1.0)
+    assert(out("h") === -1.0)
+
+    // hand case with ties: x = (1,2,2,3), y = (10,20,30,40)
+    // mid-ranks x: 1, 2.5, 2.5, 4; y: 1,2,3,4
+    val tied = Seq(("t", 1.0, 10.0, 1L), ("t", 2.0, 20.0, 2L), ("t", 2.0, 30.0, 3L), ("t", 3.0, 40.0, 4L))
+    val rx = Seq(1.0, 2.5, 2.5, 4.0); val ry = Seq(1.0, 2.0, 3.0, 4.0)
+    val n = 4.0
+    val num = n * rx.zip(ry).map { case (a, b) => a * b }.sum - rx.sum * ry.sum
+    val den = math.sqrt((n * rx.map(a => a * a).sum - rx.sum * rx.sum) *
+      (n * ry.map(a => a * a).sum - ry.sum * ry.sum))
+    val hand = math.rint(num / den * 1e6) / 1e6
+    val got = Stats.spearman(tied.toDF("g", "x", "y", "tie"), "g", "x", "y", "tie")
+      .head().getDouble(2)
+    assert(math.abs(got - hand) < 1e-12)
+  }
+
+  test("Stats.benford: planted digit counts, exact extraction, hand chi2") {
+    // 30 values leading with 1, 10 with 2, 5 with 9; include a sub-1.0
+    // value (0.05 → cents 5 → digit 5) to pin the integer extraction
+    val vals = Seq.fill(30)(123.45) ++ Seq.fill(10)(29.99) ++ Seq.fill(5)(9000.01) ++ Seq(0.05)
+    val df = vals.map(Tuple1(_)).toDF("v")
+    val rows = Stats.benford(df, "v").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(rows(1)._1 === 30L && rows(2)._1 === 10L && rows(9)._1 === 5L && rows(5)._1 === 1L)
+    assert(rows(1)._2 === math.rint(30.0 / 46 * 1e6) / 1e6)
+    val tot = 46.0
+    val obs = Map(1 -> 30L, 2 -> 10L, 5 -> 1L, 9 -> 5L)
+    // observed digits + the missing-mass term for the five absent ones
+    val hand = obs.map { case (d, n) =>
+      val e = Stats.benfordShare(d) * tot; (n - e) * (n - e) / e
+    }.sum + (tot - obs.keys.map(d => Stats.benfordShare(d) * tot).sum)
+    val got = Stats.benford(df, "v").collect().head.getDouble(4)
+    assert(math.abs(got - math.rint(hand * 1e4) / 1e4) < 1e-6)
+  }
 }
