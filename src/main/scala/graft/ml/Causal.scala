@@ -134,4 +134,59 @@ object Causal {
       .withColumn("theta", round(lit(theta), 6))
       .withColumn("var_reduction", round(lit(1.0 - rho2), 6))
   }
+
+  /** Nearest-neighbor matching with replacement on a scalar score (the
+    * matching estimator's workhorse — propensity-score matching when the
+    * score is a fitted propensity, covariate matching when it's a raw
+    * covariate). Each treated unit matches the control with the closest
+    * score within `caliper`; ties between an equally-close lower and
+    * upper neighbor go to the lower (deterministic).
+    *
+    * SORT-based, not join-based: one global order by (score, arm, id)
+    * gives every treated row its nearest control below (last control in
+    * the preceding frame) and above (first in the following frame) —
+    * two IGNORE NULLS windows, no candidate join at all. Equal-score
+    * controls sort before treated (arm 0 < 1), so a zero-distance match
+    * is always found. The frame is experimental-unit-sized, not
+    * corpus-sized (the RFM/lift global-rank argument), so the global
+    * window is a deliberate cost.
+    *
+    * Output, one row per MATCHED treated unit: t_id, c_id, y_t, y_c,
+    * dist — raw doubles (subtractions of identical inputs are
+    * bit-deterministic; no rounding needed). ATT = avg(y_t − y_c) is
+    * left to the caller (order-dependent summation — see CausalSpec).
+    */
+  def nnMatch(
+      df: DataFrame,
+      idCol: String,
+      treatCol: String,
+      scoreCol: String,
+      yCol: String,
+      caliper: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = df.select(
+      col(idCol).as("id"),
+      col(treatCol).cast("int").as("tr"),
+      col(scoreCol).cast("double").as("sc"),
+      col(yCol).cast("double").as("y"))
+    val order = Seq(col("sc"), col("tr"), col("id"))
+    val pw = Window.orderBy(order: _*).rowsBetween(Window.unboundedPreceding, -1)
+    val nw = Window.orderBy(order: _*).rowsBetween(1, Window.unboundedFollowing)
+    def ctl(c: Column) = when(col("tr") === 0, c)
+    val s = u
+      .withColumn("psc", last(ctl(col("sc")), ignoreNulls = true).over(pw))
+      .withColumn("pid", last(ctl(col("id")), ignoreNulls = true).over(pw))
+      .withColumn("py", last(ctl(col("y")), ignoreNulls = true).over(pw))
+      .withColumn("nsc", first(ctl(col("sc")), ignoreNulls = true).over(nw))
+      .withColumn("nid", first(ctl(col("id")), ignoreNulls = true).over(nw))
+      .withColumn("ny", first(ctl(col("y")), ignoreNulls = true).over(nw))
+    val usePrev = col("psc").isNotNull &&
+      (col("nsc").isNull || (col("sc") - col("psc")) <= (col("nsc") - col("sc")))
+    s.where(col("tr") === 1)
+      .withColumn("c_id", when(usePrev, col("pid")).otherwise(col("nid")))
+      .withColumn("y_c", when(usePrev, col("py")).otherwise(col("ny")))
+      .withColumn("dist", when(usePrev, col("sc") - col("psc")).otherwise(col("nsc") - col("sc")))
+      .where(col("c_id").isNotNull && col("dist") <= caliper)
+      .select(col("id").as("t_id"), col("c_id"), col("y").as("y_t"), col("y_c"), col("dist"))
+  }
 }

@@ -4926,11 +4926,85 @@ object PipelineQueries {
     }
   )
 
+  // ---- C58: nearest-neighbor matching with replacement (FULL oracle —
+  // both engines run the identical sort-based two-window argmin; ids,
+  // raw doubles, and exact-subtraction distances only, so the row set
+  // hashes with no rounding at all) ------------------------------------
+
+  val q195 = Q(
+    "q195_nn_match",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+        .where(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(
+          col("o_orderkey").as("id"),
+          (col("o_orderpriority") === "1-URGENT").cast("int").as("tr"),
+          col("o_totalprice").as("sc"),
+          floor(unix_timestamp(col("o_orderdate")) / 86400).cast("double").as("y"))
+      graft.ml.Causal.nnMatch(o, "id", "tr", "sc", "y", caliper = 50.0)
+        .orderBy("t_id")
+    },
+    Some(
+      """WITH u AS (
+        |  SELECT o_orderkey AS id,
+        |         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS tr,
+        |         o_totalprice AS sc,
+        |         floor(epoch(o_orderdate)/86400)::DOUBLE AS y
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT','5-LOW')),
+        |s AS (SELECT *,
+        |  last_value(CASE WHEN tr=0 THEN sc END IGNORE NULLS) OVER pw AS psc,
+        |  last_value(CASE WHEN tr=0 THEN id END IGNORE NULLS) OVER pw AS pid,
+        |  last_value(CASE WHEN tr=0 THEN y END IGNORE NULLS) OVER pw AS py,
+        |  first_value(CASE WHEN tr=0 THEN sc END IGNORE NULLS) OVER nw AS nsc,
+        |  first_value(CASE WHEN tr=0 THEN id END IGNORE NULLS) OVER nw AS nid,
+        |  first_value(CASE WHEN tr=0 THEN y END IGNORE NULLS) OVER nw AS ny
+        |FROM u
+        |WINDOW pw AS (ORDER BY sc, tr, id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |       nw AS (ORDER BY sc, tr, id ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+        |m AS (SELECT id AS t_id, y AS y_t,
+        |        CASE WHEN psc IS NOT NULL AND (nsc IS NULL OR sc - psc <= nsc - sc)
+        |             THEN pid ELSE nid END AS c_id,
+        |        CASE WHEN psc IS NOT NULL AND (nsc IS NULL OR sc - psc <= nsc - sc)
+        |             THEN py ELSE ny END AS y_c,
+        |        CASE WHEN psc IS NOT NULL AND (nsc IS NULL OR sc - psc <= nsc - sc)
+        |             THEN sc - psc ELSE nsc - sc END AS dist
+        |      FROM s WHERE tr = 1)
+        |SELECT t_id, c_id, y_t, y_c, dist FROM m
+        |WHERE c_id IS NOT NULL AND dist <= 50.0 ORDER BY t_id""".stripMargin
+    )
+  )
+
+  // ---- C59: Cox proportional hazards, Breslow ties (rows-only: the
+  // fit is iterative Newton on the partial likelihood; CoxSpec pins a
+  // dense single-machine replica at 1e-9 and a planted hazard ratio) ---
+
+  val q196 = Q(
+    "q196_cox",
+    (s, dir) => {
+      // subject = order; duration = ship-span days; event = order
+      // finalized ('F'); covariates = volume and mean discount
+      val per = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(
+          (datediff(max("l_shipdate"), min("l_shipdate")) + 1).cast("double").as("dur"),
+          log1p(sum("l_quantity")).as("x_qty"),
+          avg("l_discount").as("x_disc"))
+        .join(
+          Tables.orders(s, dir).select(
+            col("o_orderkey").as("l_orderkey"),
+            (col("o_orderstatus") === "F").cast("int").as("ev")),
+          Seq("l_orderkey"))
+      val m = graft.ml.Cox.fit(per, "dur", "ev", Seq("x_qty", "x_disc"))
+      graft.ml.Cox.summary(s, m, Seq("x_qty", "x_disc")).orderBy("covariate")
+    },
+    None
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194)
+      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196)
 }

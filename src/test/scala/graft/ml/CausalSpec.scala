@@ -88,4 +88,49 @@ class CausalSpec extends SparkSpec {
     assert(vr > 0.05 && vr < 0.2, s"expected strong reduction, got $vr")
     assert(r.getAs[Long]("n_treat") === 2000L)
   }
+
+  test("Causal.nnMatch: hand-checkable neighbors, ties to lower, caliper excludes") {
+    import spark.implicits._
+    // controls at scores 10, 20, 40; treated at 12 (→10), 30 (tie → 20),
+    // 39 (→40), 90 (caliper-excluded)
+    val df = Seq(
+      (1L, 0, 10.0, 100.0), (2L, 0, 20.0, 200.0), (3L, 0, 40.0, 400.0),
+      (11L, 1, 12.0, 111.0), (12L, 1, 30.0, 333.0), (13L, 1, 39.0, 399.0),
+      (14L, 1, 90.0, 900.0)
+    ).toDF("id", "tr", "sc", "y")
+    val m = Causal.nnMatch(df, "id", "tr", "sc", "y", caliper = 20.0)
+      .collect().map(r => r.getAs[Long]("t_id") ->
+        ((r.getAs[Long]("c_id"), r.getAs[Double]("y_c"), r.getAs[Double]("dist")))).toMap
+    assert(m(11L) === ((1L, 100.0, 2.0)))
+    assert(m(12L) === ((2L, 200.0, 10.0))) // equidistant 20/40: lower wins
+    assert(m(13L) === ((3L, 400.0, 1.0)))
+    assert(!m.contains(14L)) // nearest is 50 away > caliper
+  }
+
+  test("Causal.nnMatch on a logit propensity debiases a planted confounded ATT") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    // confounder x drives BOTH treatment assignment and outcome; true
+    // effect 2. Naive diff is badly biased; matching on the fitted
+    // propensity recovers ~2.
+    val rows = (0L until 3000L).map { i =>
+      val x = rng.nextGaussian()
+      val pT = 1.0 / (1.0 + math.exp(-1.5 * x))
+      val t = if (rng.nextDouble() < pT) 1 else 0
+      val y = 3.0 * x + 2.0 * t + rng.nextGaussian() * 0.3
+      (i, t, x, y)
+    }
+    val df = rows.toDF("id", "t", "x", "y")
+    val prop = Glm.logistic(df, "t", Seq("x"))
+    val scored = df.withColumn("e", Glm.Binomial.mu(prop.etaCol))
+    val pairs = Causal.nnMatch(scored, "id", "t", "e", "y", caliper = 0.05)
+    val att = pairs.agg(org.apache.spark.sql.functions.avg(
+      org.apache.spark.sql.functions.col("y_t") - org.apache.spark.sql.functions.col("y_c"))).head().getDouble(0)
+    val naive = {
+      val a = rows.filter(_._2 == 1).map(_._4); val b = rows.filter(_._2 == 0).map(_._4)
+      a.sum / a.size - b.sum / b.size
+    }
+    assert(math.abs(naive - 2.0) > 1.0, s"confounding should bias naive, got $naive")
+    assert(math.abs(att - 2.0) < 0.4, s"matched ATT should be near 2, got $att")
+  }
 }
