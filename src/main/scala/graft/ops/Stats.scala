@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -260,4 +260,34 @@ object Stats {
     * the oracle SQL can ship the identical binary64 constants.
     */
   def benfordShare(d: Int): Double = math.log10(1.0 + 1.0 / d)
+
+  /** Gini coefficient of a 2-decimal money column per group — the
+    * inequality/concentration gauge beside the share-based HHI
+    * ([[concentration]]): G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over
+    * the ascending sort. Computed ENTIRELY in integer cents: ranks ×
+    * cents products and their sums stay in BIGINT (exact on any
+    * engine; tie order among equal values provably cancels out of
+    * Σ i·x), so the only float op is one final division of identical
+    * integers — no summation-order noise at all. The per-group sort is
+    * a window sharded on the group key. BIGINT bounds: n·Σx overflows
+    * at ~10^19 cents·rows (petabyte-scale money columns); beyond that,
+    * switch the two sums to DECIMAL(38).
+    */
+  def gini(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val cents = round(col(valueCol) * 100).cast("long")
+    val ranked = df
+      .select(col(groupCol).as("g"), cents.as("x"))
+      .withColumn("i", row_number().over(Window.partitionBy("g").orderBy("x")))
+    // portable quantizer, not round(): identical IEEE ops both engines
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    ranked
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum(col("i") * col("x")).as("six"))
+      .select(
+        col("g").as(groupCol),
+        col("n"),
+        col("sx").as("sum_cents"),
+        q6((lit(2) * col("six") - (col("n") + 1) * col("sx")).cast("double") /
+          (col("n") * col("sx")).cast("double")).as("gini"))
+  }
 }

@@ -5000,11 +5000,82 @@ object PipelineQueries {
     None
   )
 
+  // ---- T63: TextRank keywords (FULL oracle — tokenize → filtered
+  // adjacency → symmetric distinct edges replayed in SQL, then the
+  // q166 PageRank unroll over that edge CTE; unique keyword names make
+  // the (score DESC, keyword) top-k a strict total order) --------------
+
+  private def textRankOracleSql(minLen: Int, iters: Int, d: Double, topK: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH t AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+              |tk AS MATERIALIZED (SELECT doc_id, unnest(a) AS tok,
+              |        unnest(generate_series(1, len(a))) AS pos FROM t),
+              |f AS MATERIALIZED (SELECT doc_id, tok, pos FROM tk WHERE length(tok) >= $minLen),
+              |pr AS MATERIALIZED (SELECT doc_id, tok,
+              |        lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM f),
+              |pe AS MATERIALIZED (SELECT prev, tok FROM pr
+              |        WHERE prev IS NOT NULL AND prev <> tok),
+              |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+              |        SELECT prev AS src, tok AS dst FROM pe
+              |        UNION ALL SELECT tok AS src, prev AS dst FROM pe)),
+              |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+              |nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes),
+              |od AS MATERIALIZED (SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY 1),
+              |r0 AS MATERIALIZED (SELECT node, (SELECT 1.0/n FROM nn) AS rank FROM nodes)""".stripMargin
+    for (k <- 1 to iters) {
+      sb ++= s""",
+                |d$k AS MATERIALIZED (SELECT COALESCE(sum(rank), 0) AS dm
+                |        FROM r${k - 1} LEFT JOIN od ON node = od.src WHERE od.src IS NULL),
+                |c$k AS MATERIALIZED (SELECT e.dst AS node, sum(r.rank/od.outdeg) AS contrib
+                |        FROM r${k - 1} r JOIN od ON r.node = od.src JOIN e ON e.src = r.node
+                |        GROUP BY 1),
+                |r$k AS MATERIALIZED (SELECT nodes.node,
+                |          (SELECT (1.0-$d)/n FROM nn)
+                |            + $d*(COALESCE(c$k.contrib, 0) + (SELECT dm FROM d$k)/(SELECT n FROM nn)) AS rank
+                |        FROM nodes LEFT JOIN c$k USING (node))""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT node AS keyword, round(rank, 8) AS score FROM r$iters
+              |ORDER BY score DESC, keyword LIMIT $topK""".stripMargin
+    sb.toString
+  }
+
+  val q197 = Q(
+    "q197_textrank",
+    (s, dir) =>
+      graft.text.TextRank.keywords(
+        Tables.documents(s, dir), "doc_id", "text",
+        minLen = 4, iters = 10, damping = 0.85, topK = 30),
+    Some(textRankOracleSql(4, 10, 0.85, 30))
+  )
+
+  // ---- T64: Gini concentration per group (FULL oracle — every sum in
+  // exact BIGINT cents, one final division of identical integers, the
+  // portable floor-quantizer; tie order provably cancels) --------------
+
+  val q198 = Q(
+    "q198_gini",
+    (s, dir) =>
+      graft.ops.Stats
+        .gini(Tables.lineitem(s, dir), "l_returnflag", "l_extendedprice")
+        .orderBy("l_returnflag"),
+    Some(
+      """WITH x AS (SELECT l_returnflag AS g,
+        |             CAST(round(l_extendedprice*100) AS BIGINT) AS x FROM lineitem),
+        |r AS (SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x) AS i FROM x),
+        |a AS (SELECT g, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |             sum(i*x)::BIGINT AS six FROM r GROUP BY g)
+        |SELECT g AS l_returnflag, n, sx AS sum_cents,
+        |  floor(((2*six - (n+1)*sx)::DOUBLE / (n*sx)::DOUBLE) * 1e6 + 0.5) / 1e6 AS gini
+        |FROM a ORDER BY g""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196)
+      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198)
 }

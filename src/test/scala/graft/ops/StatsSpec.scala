@@ -217,4 +217,24 @@ class StatsSpec extends SparkSpec {
     val got = Stats.benford(df, "v").collect().head.getDouble(4)
     assert(math.abs(got - math.rint(hand * 1e4) / 1e4) < 1e-6)
   }
+
+  test("Stats.gini: uniform 0, single-owner (n-1)/n, hand mid case; tie-order invariant") {
+    val uniform = Seq.fill(8)(("u", 5.0)).toDF("g", "v")
+    assert(Stats.gini(uniform, "g", "v").head().getAs[Double]("gini") === 0.0)
+
+    // one unit owns everything: G = (n-1)/n = 0.75 for n=4
+    val owner = (Seq.fill(3)(("o", 0.0)) :+ (("o", 100.0))).toDF("g", "v")
+    assert(Stats.gini(owner, "g", "v").head().getAs[Double]("gini") === 0.75)
+
+    // hand: x = 1,2,3,4 cents .01..?  use 0.01,0.02,0.03,0.04
+    // G = (2*(1+4+9+16) - 5*10) / (4*10) = (60-50)/40 = 0.25
+    val hand = Seq(("h", 0.01), ("h", 0.02), ("h", 0.03), ("h", 0.04)).toDF("g", "v")
+    assert(Stats.gini(hand, "g", "v").head().getAs[Double]("gini") === 0.25)
+
+    // ties: duplicated values in any insertion order give the same G
+    val t1 = Seq(("t", 1.0), ("t", 1.0), ("t", 3.0)).toDF("g", "v")
+    val t2 = Seq(("t", 3.0), ("t", 1.0), ("t", 1.0)).toDF("g", "v")
+    assert(Stats.gini(t1, "g", "v").head().getAs[Double]("gini") ===
+      Stats.gini(t2, "g", "v").head().getAs[Double]("gini"))
+  }
 }
