@@ -130,12 +130,17 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** A REAL WAV payload: 16-bit PCM mono sine wave at `freqHz`. */
-  def encodeWav(nSamples: Int, sampleRate: Int, freqHz: Double): Array[Byte] = {
+  /** A REAL WAV payload: 16-bit PCM mono sine wave at `freqHz`. `amp`
+    * above 32767 yields a deliberately clipped signal (clamped, not
+    * wrapped) for clipping-detection tests.
+    */
+  def encodeWav(
+      nSamples: Int, sampleRate: Int, freqHz: Double, amp: Double = 16384.0): Array[Byte] = {
     val pcm = new Array[Byte](nSamples * 2)
     var i = 0
     while (i < nSamples) {
-      val s = (math.sin(2.0 * math.Pi * freqHz * i / sampleRate) * 16384.0).toInt
+      val s = math.max(-32768, math.min(32767,
+        (math.sin(2.0 * math.Pi * freqHz * i / sampleRate) * amp).toInt))
       pcm(2 * i) = (s & 0xff).toByte
       pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
       i += 1
@@ -203,6 +208,32 @@ object Multimodal {
         }
       } finally if (iis != null) iis.close()
     } catch { case _: Exception => None }
+
+  /** REAL image decode to a grayscale plane (ITU-R 601 integer luma,
+    * (299r + 587g + 114b)/1000 — exact integer arithmetic, so the
+    * plane is bit-deterministic on any JVM): (width, height, row-major
+    * luma). Feeds [[PerceptualHash]].
+    */
+  def decodeGray(
+      payload: Array[Byte],
+      maxPixels: Long = MaxImagePixels
+  ): Option[(Int, Int, Array[Int])] =
+    readBudgeted(payload, maxPixels).map { img =>
+      val (w, h) = (img.getWidth, img.getHeight)
+      val gray = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          gray(y * w + x) =
+            (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, gray)
+    }
 
   /** REAL image decode (JDK ImageIO): dimensions + per-channel means.
     * Header dimensions are checked against `maxPixels` before decoding.

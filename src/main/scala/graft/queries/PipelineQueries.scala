@@ -5071,11 +5071,77 @@ object PipelineQueries {
     )
   )
 
+  // ---- X2: perceptual-hash image near-dup dedup (rows-only: no SQL
+  // engine decodes PNG; PerceptualHashSpec pins hash determinism,
+  // edit-locality, and pair completeness). Payloads are genuine PNGs
+  // synthesized per row; every 5th doc joins one of 20 duplicate
+  // classes, every 11th is corrupt and must degrade ---------------------
+
+  val q199 = Q(
+    "q199_image_neardup",
+    (s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir).select("doc_id", "text")
+        .where(col("doc_id") < 2000)
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val payload =
+            if (id % 11 == 0) text.getBytes("UTF-8") // corrupt
+            else {
+              val seed = if (id % 5 == 0) 100000L + ((id / 5) % 20) else id
+              graft.media.Multimodal.encodePng(24, 24, seed)
+            }
+          graft.media.Multimodal.MediaRow(id, "image", payload, 0, 0)
+        }
+      val hashes = graft.media.PerceptualHash.hashAll(media).where(col("ok"))
+      graft.media.PerceptualHash.nearDupPairs(hashes, "media_id", "phash", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    },
+    None
+  )
+
+  // ---- X3: audio quality profiling (rows-only: no SQL engine decodes
+  // WAV; AudioSpec pins RMS/ZCR/clipping/silence against closed forms
+  // on synthesized tones). Every 4th payload is overdriven (clipped),
+  // every 7th is low-amplitude near-silence, every 9th corrupt --------
+
+  val q200 = Q(
+    "q200_audio_profile",
+    (s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir).select("doc_id", "text")
+        .where(col("doc_id") < 3000)
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val payload =
+            if (id % 9 == 0) text.getBytes("UTF-8")
+            else {
+              val amp =
+                if (id % 4 == 0) 48000.0
+                else if (id % 7 == 0) 40.0
+                else 16384.0
+              graft.media.Multimodal.encodeWav(1600, 8000, 100.0 + (id % 50) * 10.0, amp)
+            }
+          graft.media.Multimodal.MediaRow(id, "audio", payload, 0, 0)
+        }
+      graft.media.AudioProfile.profileAll(media).toDF()
+        .select(
+          col("media_id"), col("ok"), col("n_frames"), col("rate"),
+          round(col("duration_sec"), 4).as("duration_sec"),
+          round(col("rms"), 4).as("rms"),
+          round(col("zcr"), 4).as("zcr"),
+          round(col("clip_ratio"), 4).as("clip_ratio"),
+          round(col("silence_ratio"), 4).as("silence_ratio"))
+        .orderBy("media_id")
+    },
+    None
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198)
+      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200)
 }
