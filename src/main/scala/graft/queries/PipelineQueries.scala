@@ -5137,11 +5137,64 @@ object PipelineQueries {
     None
   )
 
+  // ---- C60: Oaxaca–Blinder decomposition (FULL oracle — conditional
+  // moment sums + OLS closed forms, floor-quantized; margins probed:
+  // the moment sums are ~1e-15-relative summation noise against 6dp) --
+
+  val q201 = Q(
+    "q201_oaxaca",
+    (s, dir) =>
+      graft.ml.Decompose.oaxaca(
+        Tables.lineitem(s, dir), "l_returnflag", "R", "A",
+        "l_extendedprice", "l_quantity"),
+    Some(
+      """WITH m AS (
+        |  SELECT
+        |    sum(CASE WHEN l_returnflag='R' THEN 1.0 END) AS na,
+        |    sum(CASE WHEN l_returnflag='R' THEN l_quantity END) AS sxa,
+        |    sum(CASE WHEN l_returnflag='R' THEN l_extendedprice END) AS sya,
+        |    sum(CASE WHEN l_returnflag='R' THEN l_quantity*l_quantity END) AS sxxa,
+        |    sum(CASE WHEN l_returnflag='R' THEN l_quantity*l_extendedprice END) AS sxya,
+        |    sum(CASE WHEN l_returnflag='A' THEN 1.0 END) AS nb,
+        |    sum(CASE WHEN l_returnflag='A' THEN l_quantity END) AS sxb,
+        |    sum(CASE WHEN l_returnflag='A' THEN l_extendedprice END) AS syb,
+        |    sum(CASE WHEN l_returnflag='A' THEN l_quantity*l_quantity END) AS sxxb,
+        |    sum(CASE WHEN l_returnflag='A' THEN l_quantity*l_extendedprice END) AS sxyb
+        |  FROM lineitem WHERE l_returnflag IN ('R','A')),
+        |d AS (SELECT na, nb,
+        |        sxa/na AS mxa, sya/na AS mya, sxb/nb AS mxb, syb/nb AS myb,
+        |        (sxya - na*(sxa/na)*(sya/na)) / (sxxa - na*(sxa/na)*(sxa/na)) AS ba,
+        |        (sxyb - nb*(sxb/nb)*(syb/nb)) / (sxxb - nb*(sxb/nb)*(sxb/nb)) AS bb
+        |      FROM m)
+        |SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+        |  floor((mya - myb)*1e6 + 0.5)/1e6 AS gap,
+        |  floor((bb*(mxa - mxb))*1e6 + 0.5)/1e6 AS explained,
+        |  floor((((mya - ba*mxa) - (myb - bb*mxb)) + mxa*(ba - bb))*1e6 + 0.5)/1e6 AS unexplained,
+        |  floor(ba*1e6 + 0.5)/1e6 AS beta_a,
+        |  floor(bb*1e6 + 0.5)/1e6 AS beta_b
+        |FROM d""".stripMargin
+    )
+  )
+
+  // ---- C61: Huber robust regression (rows-only: IRLS with a MAD scale
+  // is iterative; RobustSpec pins a dense replica and the
+  // outlier-resistance contrast vs plain OLS) --------------------------
+
+  val q202 = Q(
+    "q202_huber",
+    (s, dir) => {
+      val m = graft.ml.Robust.huber(
+        Tables.lineitem(s, dir), "l_extendedprice", Seq("l_quantity", "l_discount"))
+      graft.ml.Robust.summary(s, m).orderBy("name")
+    },
+    None
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200)
+      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202)
 }

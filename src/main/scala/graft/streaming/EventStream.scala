@@ -255,4 +255,57 @@ object EventStream {
         col("click_ts"),
         (unix_timestamp(col("click_ts")) - unix_timestamp(col("imp_ts"))).as("lag_seconds"))
   }
+
+  /** Streaming per-key EWMA spike monitor (S27) — the live form of
+    * [[graft.ops.Ewma.smooth]]: state is ONE double per key (the last
+    * smoothed level), each micro-batch folds its rows in (ts, tie)
+    * order and emits every row with its ewma/resid/spike. Same
+    * per-key-ordered arrival guarantee as [[funnelStream]] (S21b):
+    * rows must not arrive across batches out of event order within a
+    * key — the batch parity spec pins that contract, and within a
+    * batch the fold sorts. Identical IEEE recurrence as batch, so
+    * multi-batch output ≡ the batch operator row-for-row.
+    */
+  def ewmaStream(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      valueCol: String,
+      alpha: Double,
+      delta: Double): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(
+        col(keyCol).cast("long"),
+        col(tsCol).cast("timestamp"),
+        col(tieCol).cast("long"),
+        col(valueCol).cast("double"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Boolean, Double),
+        (Long, Long, Double, Double, Option[Double], Boolean)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (key, rows, state) =>
+        def micros(t: java.sql.Timestamp): Long =
+          (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+        var (has, s) = state.getOption.getOrElse((false, 0.0))
+        val out = rows.toArray.sortBy(e => (micros(e._2), e._3)).map {
+          case (_, _, tie, v) =>
+            val resid = if (has) Some(v - s) else None
+            s = if (has) alpha * v + (1.0 - alpha) * s else v
+            has = true
+            (key, tie,
+              v,
+              math.floor(s * 1e6 + 0.5) / 1e6,
+              resid.map(r => math.floor(r * 1e6 + 0.5) / 1e6),
+              resid.exists(r => math.abs(r) > delta))
+        }
+        state.update((has, s))
+        out.iterator
+      }
+      .toDF(keyCol, tieCol, valueCol, "ewma", "resid", "spike")
+  }
 }

@@ -896,4 +896,43 @@ class StreamingSpec extends SparkSpec {
     q2.stop()
     assert(table() === want)
   }
+
+  test("streaming EWMA monitor ≡ batch Ewma.smooth row-for-row across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // two keys, in-order arrivals (the stated S27 contract), a spike
+    val rows = Seq(
+      (1L, ts(0), 1L, 10.0), (1L, ts(1), 2L, 12.0), (1L, ts(2), 3L, 300.0),
+      (1L, ts(3), 4L, 11.0),
+      (2L, ts(0), 5L, 5.0), (2L, ts(1), 6L, 5.5), (2L, ts(2), 7L, 6.0))
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val df = ms.toDF.toDF("k", "ts", "tie", "v")
+    val out = EventStream.ewmaStream(df, "k", "ts", "tie", "v", alpha = 0.3, delta = 100.0)
+    val q = out.writeStream.outputMode("append").format("memory").queryName("ewma_s").start()
+    try {
+      ms.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      ms.addData(rows.slice(3, 5): _*)
+      q.processAllAvailable()
+      ms.addData(rows.drop(5): _*)
+      q.processAllAvailable()
+      val got = spark.table("ewma_s")
+        .select("k", "tie", "v", "ewma", "resid", "spike")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)), r.getBoolean(5)))
+        .toSet
+      val batch = graft.ops.Ewma
+        .smooth(rows.toDF("k", "ts", "tie", "v"), "k", "ts", "tie", "v", 0.3, 100.0)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)), r.getBoolean(5)))
+        .toSet
+      assert(got === batch)
+      // the planted spike flagged
+      assert(got.exists(t => t._2 === 3L && t._6))
+    } finally q.stop()
+  }
 }
