@@ -52,4 +52,60 @@ object Drift {
         max(col("ng")).as("n_group"),
         round(max(col("gap")), 4).as("d_stat"))
   }
+
+  /** Population Stability Index between a reference and a current
+    * sample of a numeric column — the scorecard-monitoring standard
+    * beside KS ([[ksTest]]) and JS divergence: bin by the REFERENCE
+    * deciles, PSI = Σ (p_cur − p_ref)·ln(p_cur/p_ref) (< 0.1 stable,
+    * > 0.25 action). Decile edges are EXACT ORDER STATISTICS at ranks
+    * ⌊i·n/10⌋ (data values, no interpolation — any engine selects the
+    * identical element); bin counts are integers; only the final
+    * ln/division is float. Laplace-style `eps` keeps empty bins finite.
+    *
+    * One sort of the reference for the 9 edges (driver-bounded: 9
+    * values), then one when-chain binning pass + decile-sized
+    * aggregate per side. Output: one row per bin + the total PSI
+    * repeated (10-row window).
+    */
+  def psi(
+      ref: DataFrame,
+      cur: DataFrame,
+      valueCol: String,
+      eps: Double = 1e-6): DataFrame = {
+    val rv = ref.select(col(valueCol).cast("double").as("v"))
+    val n = rv.count()
+    require(n >= 10, "Drift.psi: reference too small for deciles")
+    val ranks = (1 to 9).map(i => i.toLong * n / 10)
+    val edges = rv
+      .withColumn("rn", row_number().over(Window.orderBy(col("v"))))
+      .where(col("rn").isin(ranks: _*))
+      .orderBy("rn")
+      .collect().map(_.getDouble(0))
+    def binCol = {
+      // bin = number of edges strictly below v (ties land in the lower
+      // bin): build the when-chain lowest-edge-first so v <= e0 wins
+      // before v <= e1 is consulted
+      edges.zipWithIndex.reverse.foldLeft(lit(9)) { case (acc, (e, i)) =>
+        when(col("v") <= e, lit(i)).otherwise(acc)
+      }
+    }
+    def counts(df: DataFrame, out: String) = df
+      .select(col(valueCol).cast("double").as("v"))
+      .withColumn("bin", binCol)
+      .groupBy("bin").agg(count(lit(1)).as(out))
+    val bins = ref.sparkSession.range(0, 10).select(col("id").cast("int").as("bin"))
+    val joined = bins
+      .join(counts(ref.select(col(valueCol)), "n_ref"), Seq("bin"), "left")
+      .join(counts(cur.select(col(valueCol)), "n_cur"), Seq("bin"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+    val tr = sum(col("n_ref")).over(Window.partitionBy()).cast("double")
+    val tc = sum(col("n_cur")).over(Window.partitionBy()).cast("double")
+    val pr = col("n_ref") / tr + eps
+    val pc = col("n_cur") / tc + eps
+    joined
+      .withColumn("p_ref", round(col("n_ref") / tr, 6))
+      .withColumn("p_cur", round(col("n_cur") / tc, 6))
+      .withColumn("psi", round(sum((pc - pr) * log(pc / pr)).over(Window.partitionBy()), 6))
+      .select(col("bin"), col("n_ref"), col("n_cur"), col("p_ref"), col("p_cur"), col("psi"))
+  }
 }

@@ -5190,11 +5190,85 @@ object PipelineQueries {
     None
   )
 
+  // ---- T65: split-conformal prediction intervals (FULL oracle — id%2
+  // split, regr_slope closed form vs the engine Gram solve (q04/q05
+  // precedent), EXACT integer order-statistic rank; 2dp outputs with a
+  // probed 6e-5 midpoint margin vs ~1e-7 coefficient noise) -------------------------------------------------------------
+
+  val q203 = Q(
+    "q203_conformal",
+    (s, dir) =>
+      graft.ml.Conformal
+        .splitIntervals(
+          Tables.lineitem(s, dir)
+            .withColumn("rid", col("l_orderkey") * 10 + col("l_linenumber")),
+          "rid", "l_extendedprice", Seq("l_quantity"),
+          covNum = 9, covDen = 10, emitEvery = 251, emitResidue = 3)
+        .orderBy("id"),
+    Some(
+      """WITH b AS (SELECT l_orderkey*10+l_linenumber AS id, l_quantity AS x,
+        |             l_extendedprice AS y FROM lineitem),
+        |m AS (SELECT regr_slope(y, x) AS b1, regr_intercept(y, x) AS b0
+        |      FROM b WHERE id % 2 = 0),
+        |c AS (SELECT id, abs(y - (b0 + b1*x)) AS r FROM b, m WHERE id % 2 = 1),
+        |nc AS (SELECT count(*)::BIGINT AS n FROM c),
+        |rk AS (SELECT least((9*(n+1) + 9) // 10, n) AS k FROM nc),
+        |o AS (SELECT r, row_number() OVER (ORDER BY r, id) AS rn FROM c),
+        |qv AS (SELECT o.r AS q FROM o, rk WHERE o.rn = rk.k)
+        |SELECT id,
+        |  floor((b0+b1*x)*1e2+0.5)/1e2 AS pred,
+        |  floor((b0+b1*x-q)*1e2+0.5)/1e2 AS lo,
+        |  floor((b0+b1*x+q)*1e2+0.5)/1e2 AS hi
+        |FROM b, m, qv WHERE id % 251 = 3 ORDER BY id""".stripMargin
+    )
+  )
+
+  // ---- T66: PSI drift score (FULL oracle — reference-decile edges are
+  // exact order statistics (identical element both engines), integer
+  // bin counts; only the final ln is float, 6dp probed) ----------------
+
+  val q204 = Q(
+    "q204_psi",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      graft.ops.Drift
+        .psi(
+          li.where(col("l_returnflag") === "A"),
+          li.where(col("l_returnflag") === "R"),
+          "l_extendedprice")
+        .orderBy("bin")
+    },
+    Some(
+      """WITH rv AS (SELECT l_extendedprice::DOUBLE AS v FROM lineitem WHERE l_returnflag='A'),
+        |n AS (SELECT count(*)::BIGINT AS n FROM rv),
+        |o AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM rv),
+        |ed AS (SELECT o.v AS e FROM o, n
+        |       WHERE rn IN ((1*n)//10,(2*n)//10,(3*n)//10,(4*n)//10,(5*n)//10,
+        |                    (6*n)//10,(7*n)//10,(8*n)//10,(9*n)//10)),
+        |refb AS (SELECT (SELECT count(*) FROM ed WHERE ed.e < l.l_extendedprice::DOUBLE)::INT AS bin
+        |         FROM lineitem l WHERE l_returnflag='A'),
+        |curb AS (SELECT (SELECT count(*) FROM ed WHERE ed.e < l.l_extendedprice::DOUBLE)::INT AS bin
+        |         FROM lineitem l WHERE l_returnflag='R'),
+        |rc AS (SELECT bin, count(*)::BIGINT AS n_ref FROM refb GROUP BY 1),
+        |cc AS (SELECT bin, count(*)::BIGINT AS n_cur FROM curb GROUP BY 1),
+        |bins AS (SELECT unnest(generate_series(0, 9))::INT AS bin),
+        |j AS (SELECT bins.bin, COALESCE(rc.n_ref, 0) AS n_ref, COALESCE(cc.n_cur, 0) AS n_cur
+        |      FROM bins LEFT JOIN rc USING (bin) LEFT JOIN cc USING (bin)),
+        |t AS (SELECT sum(n_ref)::DOUBLE AS tr, sum(n_cur)::DOUBLE AS tc FROM j)
+        |SELECT bin, n_ref, n_cur,
+        |  round(n_ref/tr, 6) AS p_ref,
+        |  round(n_cur/tc, 6) AS p_cur,
+        |  round(sum(((n_cur/tc + 1e-6) - (n_ref/tr + 1e-6)) *
+        |            ln((n_cur/tc + 1e-6)/(n_ref/tr + 1e-6))) OVER (), 6) AS psi
+        |FROM j, t ORDER BY bin""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202)
+      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204)
 }

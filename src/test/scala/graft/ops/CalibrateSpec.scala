@@ -144,4 +144,30 @@ class CalibrateSpec extends SparkSpec {
     }
     assert(guard.getMessage.contains("quantize"))
   }
+
+  test("Drift.psi: self-comparison is 0, a shift scores >0.25, hand bin counts") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    val ref = (1 to 5000).map(_ => rng.nextGaussian()).toDF("v")
+    val self = Drift.psi(ref, ref, "v").collect()
+    assert(self.length === 10)
+    // identical samples: every bin's p_cur == p_ref → psi exactly 0
+    assert(self.head.getAs[Double]("psi") === 0.0)
+    // ~uniform decile masses by construction (edges are ref deciles)
+    self.foreach(r => assert(math.abs(r.getAs[Double]("p_ref") - 0.1) < 0.01))
+
+    val shifted = (1 to 5000).map(_ => rng.nextGaussian() + 1.0).toDF("v")
+    val psiShift = Drift.psi(ref, shifted, "v").head().getAs[Double]("psi")
+    assert(psiShift > 0.25, s"a full-sigma shift must alarm, got $psiShift")
+
+    // hand case: ref 1..100; cur all in the top decile
+    val r100 = (1 to 100).map(_.toDouble).toDF("v")
+    val top = Seq.fill(50)(99.5).toDF("v")
+    val out = Drift.psi(r100, top, "v").collect().map(r =>
+      r.getAs[Int]("bin") -> ((r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur")))).toMap
+    // edges are 10,20,...,90 → ref bins hold exactly 10 each; all cur
+    // rows land in bin 9 (99.5 > 90)
+    (0 to 9).foreach(b => assert(out(b)._1 === 10L, s"bin $b"))
+    assert(out(9)._2 === 50L && (0 to 8).forall(b => out(b)._2 === 0L))
+  }
 }
