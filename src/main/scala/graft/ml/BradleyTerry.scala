@@ -1,0 +1,98 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bradley–Terry pairwise-preference model (Bradley & Terry 1952) via
+  * Hunter's MM algorithm (Hunter 2004) — strength scores from win/loss
+  * duels: P(i beats j) = π_i/(π_i + π_j). THE model behind preference-
+  * data curation (RLHF/DPO pair quality, annotator-agreement ranking,
+  * "which response won" leaderboards) — it turns raw pairwise labels
+  * into a consistent global ranking and flags upsets.
+  *
+  * MM update: π_i ← W_i / Σ_{j≠i} n_ij/(π_i + π_j), with W_i = total
+  * wins of i and n_ij = games between i and j; each iteration is one
+  * join of the item-strength frame onto the games table + one groupBy —
+  * pairs-sized shuffle, items-sized state, nothing driver-side except
+  * the convergence scalar. Comparability (one connected component)
+  * is the caller's contract — a never-beaten item drives its π to 0,
+  * reported, not hidden.
+  */
+object BradleyTerry {
+
+  /** Fit from a duel table: one row per game, (winnerCol, loserCol).
+    * Returns (item, pi, wins, games, rank) with π normalized to sum 1,
+    * rank 1 = strongest (ties broken by item for determinism).
+    *
+    * Runs a FIXED `iters` synchronous MM sweeps (the PageRank
+    * convention — deterministic job count, no per-iteration driver
+    * round-trips); the MM map is scale-EQUIVARIANT, so normalizing
+    * once at the end is exactly the per-iteration-normalized sequence.
+    * One eager checkpoint job per iteration.
+    */
+  def fit(
+      duels: DataFrame,
+      winnerCol: String,
+      loserCol: String,
+      iters: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // every checkpoint in the iteration loop goes through freshLeaf:
+    // iteration i joins iteration i-1's checkpoints, and carried
+    // originStats otherwise compound per iteration (the Lda lesson,
+    // SURVEY §8g)
+    def ck(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graftbridge.Bridge.freshLeaf(df.localCheckpoint(true))
+
+    // n_ij games per unordered pair + per-item win totals
+    val games = duels
+      .select(col(winnerCol).cast("string").as("w"), col(loserCol).cast("string").as("l"))
+      .groupBy(
+        least(col("w"), col("l")).as("i"),
+        greatest(col("w"), col("l")).as("j"))
+      .agg(count(lit(1)).cast("double").as("n"))
+      .localCheckpoint(true)
+    val wins = duels
+      .groupBy(col(winnerCol).cast("string").as("item"))
+      .agg(count(lit(1)).cast("double").as("wins"))
+    val items = games.select(col("i").as("item"))
+      .union(games.select(col("j").as("item")))
+      .distinct()
+      .join(wins, Seq("item"), "left")
+      .na.fill(0.0, Seq("wins"))
+      .localCheckpoint(true)
+
+    var pi = ck(items.withColumn("pi", lit(1.0)).select("item", "pi"))
+    for (_ <- 0 until iters) {
+      val gp = games
+        .join(pi.select(col("item").as("i"), col("pi").as("pi_i")), Seq("i"))
+        .join(pi.select(col("item").as("j"), col("pi").as("pi_j")), Seq("j"))
+        .withColumn("d", col("n") / (col("pi_i") + col("pi_j")))
+      val denom = gp.select(col("i").as("item"), col("d"))
+        .union(gp.select(col("j").as("item"), col("d")))
+        .groupBy("item").agg(sum("d").as("denom"))
+      val next = items
+        .join(denom, Seq("item"), "left")
+        .withColumn("pi_new",
+          when(col("denom").isNull || col("denom") === 0.0, lit(0.0))
+            .otherwise(col("wins") / col("denom")))
+        .select(col("item"), col("pi_new").as("pi"))
+      pi = ck(next)
+    }
+    val tot = pi.agg(sum("pi")).head().getDouble(0)
+    val normed = pi.select(col("item"), (col("pi") / tot).as("pi"))
+    val ranked = items
+      .join(normed, Seq("item"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("pi").desc, col("item"))))
+    val totalGames = games.select(col("i").as("item"), col("n"))
+      .union(games.select(col("j").as("item"), col("n")))
+      .groupBy("item").agg(sum("n").cast("long").as("games"))
+    ranked.join(totalGames, Seq("item"))
+      .select(
+        col("item"),
+        (floor(col("pi") * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)).as("pi"),
+        col("wins").cast("long").as("wins"),
+        col("games"),
+        col("rank"))
+  }
+}

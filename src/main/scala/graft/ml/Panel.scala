@@ -123,4 +123,51 @@ object Panel {
     val se = math.sqrt(cells.values.map { case (n, _, v) => v / n.toDouble }.sum)
     Did(est, se, cells.values.map(_._1).sum)
   }
+
+  /** Fama–MacBeth two-pass regression (Fama & MacBeth 1973) — the
+    * cross-sectional panel estimator whose SEs are robust to
+    * cross-sectional correlation within a period (the failure mode
+    * plain pooled OLS understates): per period t, a cross-sectional
+    * slope b_t (one-regressor closed form); the estimate is the mean
+    * of the b_t and its SE the time-series sd/√T. One groupBy(period)
+    * moment aggregate (period-cardinality output), then a T-row
+    * reduction — two shuffles total, nothing row-scaled.
+    *
+    * Output (one row): n_periods, b_mean, se, t_stat — floor-quantized
+    * 6dp. Degenerate periods (var x = 0 or < minObs rows) are DROPPED,
+    * counted in n_dropped.
+    */
+  def famaMacBeth(
+      df: DataFrame,
+      periodCol: String,
+      yCol: String,
+      xCol: String,
+      minObs: Long = 2L): DataFrame = {
+    val x = col(xCol).cast("double"); val yc = col(yCol).cast("double")
+    val per = df
+      .groupBy(col(periodCol).as("t"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(x).as("sx"), sum(yc).as("sy"),
+        sum(x * x).as("sxx"), sum(x * yc).as("sxy"))
+      .withColumn("vx", col("sxx") - col("sx") * col("sx") / col("n"))
+      .withColumn("b",
+        (col("sxy") - col("sx") * col("sy") / col("n")) / col("vx"))
+    val kept = per.where(col("n") >= minObs && col("vx") > 0.0)
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    kept.agg(
+      count(lit(1)).as("np"),
+      sum("b").as("sb"),
+      sum(col("b") * col("b")).as("sbb"))
+      .crossJoin(per.agg(count(lit(1)).as("n_total")))
+      .select(
+        col("np").cast("long").as("n_periods"),
+        (col("n_total") - col("np")).cast("long").as("n_dropped"),
+        q6(col("sb") / col("np")).as("b_mean"),
+        q6(sqrt((col("sbb") - col("sb") * col("sb") / col("np")) /
+          (col("np") - 1) / col("np"))).as("se"),
+        q6((col("sb") / col("np")) /
+          sqrt((col("sbb") - col("sb") * col("sb") / col("np")) /
+            (col("np") - 1) / col("np"))).as("t_stat"))
+  }
 }

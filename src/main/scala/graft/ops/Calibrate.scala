@@ -104,4 +104,43 @@ object Calibrate {
           round((col(scoreCol) - col("med")) / (lit(1.4826) * col("mad")), 4))
           .otherwise(lit(0.0)))
   }
+
+  /** Quantile normalization: map each CURRENT value onto the REFERENCE
+    * distribution's value at the same quantile — the batch-effect /
+    * scorecard-migration alignment transform (genomics' quantile
+    * normalization; "make source B's scores comparable to source A's").
+    * Entirely rank arithmetic: the current rank uses rank() (min rank —
+    * tied values map to the SAME reference element, so output is
+    * deterministic with no tiebreak column), the reference index is the
+    * floor mapping 1 + ⌊(rank−1)·(n_ref−1)/(n_cur−1)⌋, and the mapped
+    * value is a SELECTED reference element — integers and data values
+    * only, no interpolation, exact on any engine.
+    *
+    * Two window sorts (reference- and current-sized) + one
+    * integer-key join. Output: id, v, mapped.
+    */
+  def quantileMap(
+      ref: DataFrame,
+      cur: DataFrame,
+      valueCol: String,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rv = ref.select(col(valueCol).cast("double").as("rv"))
+      .withColumn("idx", row_number().over(Window.orderBy(col("rv"))))
+    val nRef = rv.count()
+    require(nRef >= 2, "Calibrate.quantileMap: reference needs >= 2 rows")
+    val ranked = cur.select(col(idCol).as("id"), col(valueCol).cast("double").as("v"))
+      .withColumn("rk", rank().over(Window.orderBy(col("v"))))
+    val nCur = cur.count()
+    val withIdx =
+      if (nCur <= 1) ranked.withColumn("idx", lit(1))
+      else ranked.withColumn("idx",
+        // integral `div`, not `/`: Spark's / is double division, and
+        // the floor must be exact integer arithmetic like DuckDB's //
+        (lit(1) + expr(s"(cast(rk as bigint) - 1) * ${nRef - 1} div ${nCur - 1}"))
+          .cast("int"))
+    withIdx
+      .join(rv, Seq("idx"))
+      .select(col("id"), col("v"), col("rv").as("mapped"))
+  }
 }

@@ -5264,11 +5264,103 @@ object PipelineQueries {
     )
   )
 
+  // ---- C62: Bradley–Terry preference ranking (rows-only: MM is
+  // iterative; BradleyTerrySpec pins a dense replica, planted-strength
+  // recovery, and the probability identity) ----------------------------
+
+  val q205 = Q(
+    "q205_bradley_terry",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+          col("l_extendedprice").as("p"), col("l_linenumber").as("ln"))
+      val a = li.select(col("ok"), col("sk").as("sa"), col("p").as("pa"), col("ln").as("la"))
+      val b = li.select(col("ok"), col("sk").as("sb"), col("p").as("pb"), col("ln").as("lb"))
+      // duel: within an order, the pricier line's supplier beats the
+      // cheaper's (la < lb dedups the unordered pair)
+      val duels = a.join(b, Seq("ok"))
+        .where(col("la") < col("lb") && col("sa") =!= col("sb") && col("pa") =!= col("pb"))
+        .select(
+          when(col("pa") > col("pb"), col("sa")).otherwise(col("sb")).as("winner"),
+          when(col("pa") > col("pb"), col("sb")).otherwise(col("sa")).as("loser"))
+      graft.ml.BradleyTerry.fit(duels, "winner", "loser", iters = 30)
+        .orderBy("item")
+    },
+    None
+  )
+
+  // ---- C63: Fama–MacBeth two-pass regression (FULL oracle — per-period
+  // closed-form slopes, T-row reduction, floor-quantized; margins are
+  // moment-sum noise ~1e-15 relative vs 6dp) ---------------------------
+
+  val q206 = Q(
+    "q206_fama_macbeth",
+    (s, dir) =>
+      graft.ml.Panel.famaMacBeth(
+        Tables.lineitem(s, dir).withColumn("yr", year(col("l_shipdate"))),
+        "yr", "l_extendedprice", "l_quantity"),
+    Some(
+      """WITH per AS (
+        |  SELECT year(l_shipdate) AS t, count(*)::DOUBLE AS n,
+        |    sum(l_quantity) AS sx, sum(l_extendedprice) AS sy,
+        |    sum(l_quantity*l_quantity) AS sxx,
+        |    sum(l_quantity*l_extendedprice) AS sxy
+        |  FROM lineitem GROUP BY 1),
+        |b AS (SELECT t, n, sxx - sx*sx/n AS vx,
+        |        (sxy - sx*sy/n) / (sxx - sx*sx/n) AS b FROM per),
+        |k AS (SELECT count(*)::DOUBLE AS np, sum(b) AS sb, sum(b*b) AS sbb
+        |      FROM b WHERE n >= 2 AND vx > 0),
+        |tt AS (SELECT count(*)::BIGINT AS n_total FROM b)
+        |SELECT CAST(np AS BIGINT) AS n_periods,
+        |  n_total - CAST(np AS BIGINT) AS n_dropped,
+        |  floor((sb/np)*1e6 + 0.5)/1e6 AS b_mean,
+        |  floor(sqrt((sbb - sb*sb/np)/(np - 1)/np)*1e6 + 0.5)/1e6 AS se,
+        |  floor(((sb/np)/sqrt((sbb - sb*sb/np)/(np - 1)/np))*1e6 + 0.5)/1e6 AS t_stat
+        |FROM k, tt""".stripMargin
+    )
+  )
+
+  // ---- T67: quantile normalization onto a reference distribution
+  // (FULL oracle — pure rank arithmetic: min-rank ties, exact integer
+  // floor index, mapped values are SELECTED reference elements; no
+  // float op anywhere) --------------------------------------------------
+
+  val q207 = Q(
+    "q207_quantile_map",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .withColumn("rid", col("l_orderkey") * 10 + col("l_linenumber"))
+      graft.ops.Calibrate
+        .quantileMap(
+          li.where(col("l_returnflag") === "A"),
+          li.where(col("l_returnflag") === "R" && col("rid") % 101 === 7),
+          "l_extendedprice", "rid")
+        .orderBy("id")
+    },
+    Some(
+      """WITH rv AS (SELECT l_extendedprice::DOUBLE AS rv,
+        |              row_number() OVER (ORDER BY l_extendedprice) AS idx
+        |            FROM lineitem WHERE l_returnflag='A'),
+        |nr AS (SELECT count(*)::BIGINT AS n FROM rv),
+        |cu AS (SELECT l_orderkey*10+l_linenumber AS id, l_extendedprice::DOUBLE AS v
+        |       FROM lineitem WHERE l_returnflag='R' AND (l_orderkey*10+l_linenumber) % 101 = 7),
+        |nc AS (SELECT count(*)::BIGINT AS n FROM cu),
+        |rk AS (SELECT id, v, rank() OVER (ORDER BY v) AS rk FROM cu),
+        |ix AS (SELECT id, v,
+        |         CASE WHEN (SELECT n FROM nc) <= 1 THEN 1
+        |              ELSE 1 + (rk - 1) * ((SELECT n FROM nr) - 1) // ((SELECT n FROM nc) - 1)
+        |         END AS idx
+        |       FROM rk)
+        |SELECT ix.id, ix.v, rv.rv AS mapped FROM ix JOIN rv USING (idx)
+        |ORDER BY ix.id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204)
+      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207)
 }
