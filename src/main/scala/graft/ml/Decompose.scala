@@ -58,4 +58,32 @@ object Decompose {
       q6(ba).as("beta_a"),
       q6(bb).as("beta_b"))
   }
+
+  /** Baron–Kenny mediation with the Sobel test (Baron & Kenny 1986;
+    * Sobel 1982): how much of x's effect on y routes through mediator
+    * m? a-path slope (m ~ x), b-path and direct c′ from (y ~ x + m),
+    * indirect effect a·b with Sobel z = a·b/√(a²·se_b² + b²·se_a²).
+    * Two [[Ols]] Gram passes, driver closed forms — same cost as two
+    * plain regressions.
+    */
+  def mediation(
+      df: DataFrame,
+      xCol: String,
+      mCol: String,
+      yCol: String,
+      dp: Int = 4): DataFrame = {
+    val fa = Ols.fit(df, mCol, Seq(xCol))
+    val fb = Ols.fit(df, yCol, Seq(xCol, mCol))
+    val a = fa.coef(1); val seA = fa.seHomoskedastic(1)
+    val cPrime = fb.coef(1)
+    val b = fb.coef(2); val seB = fb.seHomoskedastic(2)
+    val indirect = a * b
+    val sobel = indirect / math.sqrt(a * a * seB * seB + b * b * seA * seA)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val scale = math.pow(10, dp)
+    def q(x: Double) = math.floor(x * scale + 0.5) / scale
+    Seq((fa.n, q(a), q(b), q(cPrime), q(indirect), q(sobel)))
+      .toDF("n", "a_path", "b_path", "direct", "indirect", "sobel_z")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -52,5 +52,53 @@ object Survival {
         col("t"), col("n_risk"), col("d").as("d_events"), col("c").as("n_censored"),
         col("survival"))
       .orderBy(col("t"))
+  }
+
+  /** Two-group log-rank test (Mantel 1966) — "are these two survival
+    * curves the same?", the inferential companion to the descriptive KM
+    * curves: at each distinct event time, group A's observed events d1j
+    * vs the hypergeometric expectation E = dj·n1j/nj and variance
+    * V = dj·(n1j/nj)(1−n1j/nj)(nj−dj)/(nj−1); χ²(1) = (Σ(d1j−E))²/ΣV.
+    *
+    * Same shape as [[kaplanMeier]]: one (t, group) count aggregate,
+    * suffix-sum windows for the at-risk counts (distinct-duration
+    * frame, never subject rows), one final reduction. All counts are
+    * integers; only the E/V arithmetic is float.
+    */
+  def logRank(
+      df: DataFrame,
+      durationCol: String,
+      eventCol: String,
+      groupCol: String,
+      groupA: String): DataFrame = {
+    val counts = df
+      .groupBy(col(durationCol).cast("double").as("t"))
+      .agg(
+        sum(col(eventCol).cast("int")).cast("long").as("d"),
+        count(lit(1)).cast("long").as("tot"),
+        sum(when(col(groupCol) === groupA, col(eventCol).cast("int")).otherwise(0))
+          .cast("long").as("d1"),
+        sum(when(col(groupCol) === groupA, 1).otherwise(0)).cast("long").as("tot1"))
+    val wDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = counts
+      .withColumn("nj", sum(col("tot")).over(wDesc))
+      .withColumn("n1j", sum(col("tot1")).over(wDesc))
+      .where(col("d") > 0 && col("nj") > 1)
+    val p1 = col("n1j").cast("double") / col("nj").cast("double")
+    val e = col("d").cast("double") * p1
+    val v = col("d").cast("double") * p1 * (lit(1.0) - p1) *
+      (col("nj") - col("d")).cast("double") / (col("nj") - 1).cast("double")
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    risk
+      .agg(
+        sum(col("d1")).cast("long").as("o_a"),
+        sum(e).as("e_a"),
+        sum(col("d1").cast("double") - e).as("ome"),
+        sum(v).as("vsum"))
+      .select(
+        col("o_a"),
+        q6(col("e_a")).as("e_a"),
+        q6(col("ome") * col("ome") / col("vsum")).as("chi2"))
   }
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Experiment-readout primitives: the two-proportion z-test and the
@@ -70,5 +71,62 @@ object Abtest {
       round(pb - pa, 6).as("lift"),
       round((pb - pa) / se, 6).as("z"),
       round(srm, 6).as("srm_chi2"))
+  }
+
+  /** Always-valid sequential test (mixture SPRT, Johari et al. 2017 /
+    * Robbins 1970): the p-value you may peek at after EVERY event
+    * without inflating false positives — the fix for the peeking
+    * problem that invalidates fixed-horizon z-tests under continuous
+    * monitoring. Two-sample normal-mixture form: at event n,
+    * Λ_n = √(V/(V+τ²))·exp(δ²τ²/(2V(V+τ²))) with δ the running mean
+    * difference, V = σ̂²(1/n_A + 1/n_B), and p_av = min(1, 1/Λ) is
+    * monotone non-increasing in evidence.
+    *
+    * One pass: six conditional cumulative sums over the (ts, tie)
+    * event order (a global window — experiment-event-stream-sized, the
+    * RFM argument; at larger scale, checkpoint rows shard per
+    * experiment key), closed forms per row, emit every `emitEvery`-th
+    * event past `minPerArm`. τ ships as the same binary64 literal to
+    * any replaying engine.
+    */
+  def msprt(
+      df: DataFrame,
+      variant: Column,
+      value: Column,
+      tsCol: String,
+      tieCol: String,
+      tau: Double = 1.0,
+      minPerArm: Long = 30L,
+      emitEvery: Long = 500L): DataFrame = {
+    val w = Window.orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isA = variant === "A"
+    val v = value.cast("double")
+    val base = df
+      .withColumn("__rn", row_number().over(Window.orderBy(col(tsCol), col(tieCol))))
+      .withColumn("na", sum(when(isA, 1L).otherwise(0L)).over(w))
+      .withColumn("nb", sum(when(!isA, 1L).otherwise(0L)).over(w))
+      .withColumn("sa", sum(when(isA, v).otherwise(lit(0.0))).over(w))
+      .withColumn("sb", sum(when(!isA, v).otherwise(lit(0.0))).over(w))
+      .withColumn("qa", sum(when(isA, v * v).otherwise(lit(0.0))).over(w))
+      .withColumn("qb", sum(when(!isA, v * v).otherwise(lit(0.0))).over(w))
+    val nA = col("na").cast("double"); val nB = col("nb").cast("double")
+    val delta = col("sb") / nB - col("sa") / nA
+    val sig2 = (col("qa") - col("sa") * col("sa") / nA +
+      (col("qb") - col("sb") * col("sb") / nB)) / (nA + nB - lit(2.0))
+    val bigV = sig2 * (lit(1.0) / nA + lit(1.0) / nB)
+    val t2 = lit(tau * tau)
+    val lam = sqrt(bigV / (bigV + t2)) *
+      exp(delta * delta * t2 / (lit(2.0) * bigV * (bigV + t2)))
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    base
+      .where(col("na") >= minPerArm && col("nb") >= minPerArm &&
+        col("__rn") % emitEvery === 0)
+      .select(
+        col("__rn").as("at_event"),
+        col("na").as("n_a"),
+        col("nb").as("n_b"),
+        q6(delta).as("delta"),
+        q6(least(lit(1.0), lit(1.0) / lam)).as("p_av"))
   }
 }

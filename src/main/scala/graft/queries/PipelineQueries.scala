@@ -5356,11 +5356,139 @@ object PipelineQueries {
     )
   )
 
+  // ---- C64: two-group log-rank test (FULL oracle — integer risk-set
+  // suffix sums, hypergeometric E/V closed forms, q168's span
+  // construction split by user parity) ---------------------------------
+
+  val q208 = Q(
+    "q208_logrank",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val per = ev
+        .select(col("user_id"), floor(unix_timestamp(col("ts")) / 86400).as("day"))
+        .groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+      val maxDay = per.agg(max("d1")).head().getLong(0)
+      val spans = per.select(
+        (col("d1") - col("d0") + 1).cast("double").as("dur"),
+        when(col("d1") < maxDay, 1).otherwise(0).as("ev"),
+        when(col("user_id") % 2 === 0, "A").otherwise("B").as("grp"))
+      graft.ml.Survival.logRank(spans, "dur", "ev", "grp", "A")
+    },
+    Some(
+      """WITH d AS (SELECT user_id, floor(epoch(ts)/86400)::BIGINT AS day FROM events),
+        |p AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1),
+        |mx AS (SELECT max(d1) AS m FROM p),
+        |sp AS (SELECT (d1 - d0 + 1)::DOUBLE AS t,
+        |         CASE WHEN d1 < (SELECT m FROM mx) THEN 1 ELSE 0 END AS ev,
+        |         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS grp FROM p),
+        |c AS (SELECT t, sum(ev)::BIGINT AS d, count(*)::BIGINT AS tot,
+        |        sum(CASE WHEN grp='A' THEN ev ELSE 0 END)::BIGINT AS d1,
+        |        sum(CASE WHEN grp='A' THEN 1 ELSE 0 END)::BIGINT AS tot1
+        |      FROM sp GROUP BY 1),
+        |r AS (SELECT t, d, d1,
+        |        sum(tot) OVER (ORDER BY t DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nj,
+        |        sum(tot1) OVER (ORDER BY t DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n1j
+        |      FROM c),
+        |k AS (SELECT d1, d::DOUBLE * (n1j::DOUBLE/nj::DOUBLE) AS e,
+        |        d::DOUBLE * (n1j::DOUBLE/nj::DOUBLE) * (1.0 - n1j::DOUBLE/nj::DOUBLE)
+        |          * (nj - d)::DOUBLE / (nj - 1)::DOUBLE AS v
+        |      FROM r WHERE d > 0 AND nj > 1)
+        |SELECT sum(d1)::BIGINT AS o_a,
+        |  floor(sum(e)*1e6 + 0.5)/1e6 AS e_a,
+        |  floor((sum(d1::DOUBLE - e)*sum(d1::DOUBLE - e)/sum(v))*1e6 + 0.5)/1e6 AS chi2
+        |FROM k""".stripMargin
+    )
+  )
+
+  // ---- C65: Baron–Kenny mediation + Sobel (FULL oracle — centered
+  // closed forms for both regressions and both SEs replayed in SQL;
+  // 4dp, margins probed vs the Gram-solve noise) -----------------------
+
+  val q209 = Q(
+    "q209_mediation",
+    (s, dir) =>
+      graft.ml.Decompose.mediation(
+        Tables.lineitem(s, dir), "l_quantity", "l_discount", "l_extendedprice"),
+    Some(
+      """WITH s AS (
+        |  SELECT count(*)::DOUBLE AS n,
+        |    sum(l_quantity) AS sx, sum(l_discount) AS sm, sum(l_extendedprice) AS sy,
+        |    sum(l_quantity*l_quantity) AS sxx, sum(l_discount*l_discount) AS smm,
+        |    sum(l_extendedprice*l_extendedprice) AS syy,
+        |    sum(l_quantity*l_discount) AS sxm, sum(l_quantity*l_extendedprice) AS sxy,
+        |    sum(l_discount*l_extendedprice) AS smy
+        |  FROM lineitem),
+        |cen AS (SELECT n,
+        |    sxx - sx*sx/n AS cxx, smm - sm*sm/n AS cmm, syy - sy*sy/n AS cyy,
+        |    sxm - sx*sm/n AS cxm, sxy - sx*sy/n AS cxy, smy - sm*sy/n AS cmy
+        |  FROM s),
+        |ab AS (SELECT n, cxx, cmm, cxm, cxy, cmy, cyy,
+        |    cxm/cxx AS a,
+        |    (cmm - cxm*cxm/cxx)/(n - 2) / cxx AS se_a2,
+        |    (cxx*cmy - cxm*cxy)/(cxx*cmm - cxm*cxm) AS b,
+        |    (cmm*cxy - cxm*cmy)/(cxx*cmm - cxm*cxm) AS cprime
+        |  FROM cen),
+        |fin AS (SELECT n, a, b, cprime, se_a2,
+        |    (cyy - cprime*cxy - b*cmy)/(n - 3) * cxx/(cxx*cmm - cxm*cxm) AS se_b2
+        |  FROM ab)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  floor(a*1e4 + 0.5)/1e4 AS a_path,
+        |  floor(b*1e4 + 0.5)/1e4 AS b_path,
+        |  floor(cprime*1e4 + 0.5)/1e4 AS direct,
+        |  floor(a*b*1e4 + 0.5)/1e4 AS indirect,
+        |  floor((a*b/sqrt(a*a*se_b2 + b*b*se_a2))*1e4 + 0.5)/1e4 AS sobel_z
+        |FROM fin""".stripMargin
+    )
+  )
+
+  // ---- C66: always-valid sequential p (mSPRT) (FULL oracle — six
+  // conditional cumulative sums over the same (ts, id) order, identical
+  // closed forms, τ² shipped as the same binary64 literal) -------------
+
+  val q210 = Q(
+    "q210_msprt",
+    (s, dir) =>
+      graft.ops.Abtest.msprt(
+        Tables.events(s, dir),
+        when(col("user_id") % 2 === 0, "A").otherwise("B"),
+        col("value"), "ts", "event_id",
+        tau = 1.0, minPerArm = 30, emitEvery = 500)
+        .orderBy("at_event"),
+    Some(
+      """WITH b AS (
+        |  SELECT value::DOUBLE AS v,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS ia,
+        |    row_number() OVER (ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |c AS (SELECT rn,
+        |    sum(ia) OVER w AS na, sum(1 - ia) OVER w AS nb,
+        |    sum(CASE WHEN ia = 1 THEN v ELSE 0.0 END) OVER w AS sa,
+        |    sum(CASE WHEN ia = 0 THEN v ELSE 0.0 END) OVER w AS sb,
+        |    sum(CASE WHEN ia = 1 THEN v*v ELSE 0.0 END) OVER w AS qa,
+        |    sum(CASE WHEN ia = 0 THEN v*v ELSE 0.0 END) OVER w AS qb
+        |  FROM b
+        |  WINDOW w AS (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |k AS (SELECT rn, na, nb,
+        |    sb/nb::DOUBLE - sa/na::DOUBLE AS delta,
+        |    ((qa - sa*sa/na::DOUBLE + (qb - sb*sb/nb::DOUBLE)) / (na + nb - 2.0))
+        |      * (1.0/na::DOUBLE + 1.0/nb::DOUBLE) AS bv
+        |  FROM c WHERE na >= 30 AND nb >= 30 AND rn % 500 = 0)
+        |SELECT rn AS at_event, na::BIGINT AS n_a, nb::BIGINT AS n_b,
+        |  floor(delta*1e6 + 0.5)/1e6 AS delta,
+        |  floor(least(1.0, 1.0/(sqrt(bv/(bv + 1.0)) *
+        |    exp(delta*delta*1.0/(2.0*bv*(bv + 1.0)))))*1e6 + 0.5)/1e6 AS p_av
+        |FROM k ORDER BY at_event""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207)
+      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210)
 }
