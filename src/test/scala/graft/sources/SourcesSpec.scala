@@ -392,4 +392,39 @@ class SourcesSpec extends SparkSpec {
     }
     assert(ex.getMessage != null)
   }
+
+  test("Snapshots: append/overwrite versioning, time travel, torn commits invisible") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    // v1: append 3 rows; v2: append 2 more; v3: overwrite with 1
+    val v1 = Snapshots.append(spark, root, Seq(1, 2, 3).toDF("x"))
+    val v2 = Snapshots.append(spark, root, Seq(4, 5).toDF("x"))
+    assert(v1 === 1 && v2 === 2)
+    assert(Snapshots.readVersion(spark, root, 1).as[Int].collect().sorted.toSeq === Seq(1, 2, 3))
+    assert(Snapshots.readVersion(spark, root, 2).as[Int].collect().sorted.toSeq === Seq(1, 2, 3, 4, 5))
+    assert(Snapshots.readLatest(spark, root).count() === 5L)
+
+    val v3 = Snapshots.overwrite(spark, root, Seq(9).toDF("x"))
+    assert(v3 === 3)
+    assert(Snapshots.readLatest(spark, root).as[Int].collect().toSeq === Seq(9))
+    // time travel still sees v1/v2 unchanged after the overwrite
+    assert(Snapshots.readVersion(spark, root, 1).count() === 3L)
+    assert(Snapshots.versions(spark, root) === Seq(1, 2, 3))
+
+    // torn commit: a data dir WITHOUT a manifest must be invisible to
+    // readers and must not block the next committed version
+    Seq(99).toDF("x").write.parquet(s"$root/data/v4-torn")
+    assert(Snapshots.versions(spark, root) === Seq(1, 2, 3))
+    assert(Snapshots.readLatest(spark, root).as[Int].collect().toSeq === Seq(9))
+    // ...and an incomplete MANIFEST dir (no _graft_meta) is skipped too
+    new java.io.File(s"$root/_manifests/v5").mkdirs()
+    assert(Snapshots.versions(spark, root) === Seq(1, 2, 3))
+
+    // append after the torn artifacts: commits as v4, orphan dir and
+    // orphan manifest dir stay inert, data unaffected
+    val v4 = Snapshots.append(spark, root, Seq(7).toDF("x"))
+    assert(v4 === 4)
+    assert(Snapshots.readLatest(spark, root).as[Int].collect().sorted.toSeq === Seq(7, 9))
+    assert(Snapshots.readVersion(spark, root, 2).count() === 5L)
+  }
 }
