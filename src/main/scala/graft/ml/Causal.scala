@@ -169,17 +169,23 @@ object Causal {
       col(treatCol).cast("int").as("tr"),
       col(scoreCol).cast("double").as("sc"),
       col(yCol).cast("double").as("y"))
-    val order = Seq(col("sc"), col("tr"), col("id"))
-    val pw = Window.orderBy(order: _*).rowsBetween(Window.unboundedPreceding, -1)
-    val nw = Window.orderBy(order: _*).rowsBetween(1, Window.unboundedFollowing)
+    val pw = Window.orderBy(col("sc"), col("tr"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // "first control strictly AFTER me in ascending order" is computed
+    // as "last control strictly BEFORE me in DESCENDING order": a
+    // shrinking (n FOLLOWING, UNBOUNDED FOLLOWING) frame re-scans the
+    // remainder per row in WindowExec — O(n²), measured 150s at sf0.1 —
+    // while both growing frames below are incremental, O(n)
+    val nw = Window.orderBy(col("sc").desc, col("tr").desc, col("id").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
     def ctl(c: Column) = when(col("tr") === 0, c)
     val s = u
       .withColumn("psc", last(ctl(col("sc")), ignoreNulls = true).over(pw))
       .withColumn("pid", last(ctl(col("id")), ignoreNulls = true).over(pw))
       .withColumn("py", last(ctl(col("y")), ignoreNulls = true).over(pw))
-      .withColumn("nsc", first(ctl(col("sc")), ignoreNulls = true).over(nw))
-      .withColumn("nid", first(ctl(col("id")), ignoreNulls = true).over(nw))
-      .withColumn("ny", first(ctl(col("y")), ignoreNulls = true).over(nw))
+      .withColumn("nsc", last(ctl(col("sc")), ignoreNulls = true).over(nw))
+      .withColumn("nid", last(ctl(col("id")), ignoreNulls = true).over(nw))
+      .withColumn("ny", last(ctl(col("y")), ignoreNulls = true).over(nw))
     val usePrev = col("psc").isNotNull &&
       (col("nsc").isNull || (col("sc") - col("psc")) <= (col("nsc") - col("sc")))
     s.where(col("tr") === 1)

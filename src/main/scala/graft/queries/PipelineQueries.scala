@@ -5283,7 +5283,7 @@ object PipelineQueries {
         .select(
           when(col("pa") > col("pb"), col("sa")).otherwise(col("sb")).as("winner"),
           when(col("pa") > col("pb"), col("sb")).otherwise(col("sa")).as("loser"))
-      graft.ml.BradleyTerry.fit(duels, "winner", "loser", iters = 30)
+      graft.ml.BradleyTerry.fit(duels, "winner", "loser", iters = 12)
         .orderBy("item")
     },
     None
