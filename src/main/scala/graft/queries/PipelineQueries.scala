@@ -5484,11 +5484,78 @@ object PipelineQueries {
     )
   )
 
+  // ---- T68: Cohen's kappa inter-annotator agreement (FULL oracle —
+  // label-space counts, per-LABEL margin join for p_e, closed forms) --
+
+  val q211 = Q(
+    "q211_cohen_kappa",
+    (s, dir) => {
+      // two deterministic "raters" over documents: a length heuristic
+      // and a vocabulary heuristic — correlated but not identical
+      val docs = Tables.documents(s, dir)
+        .withColumn("rater_a", when(col("n_chars") >= 300, "keep").otherwise("drop"))
+        .withColumn("rater_b",
+          when(length(col("text")) - length(regexp_replace(col("text"), "table", "")) >= 10,
+            "keep").otherwise("drop"))
+      graft.ops.Agreement.cohenKappa(docs, "rater_a", "rater_b")
+    },
+    Some(
+      """WITH r AS (
+        |  SELECT CASE WHEN n_chars >= 300 THEN 'keep' ELSE 'drop' END AS a,
+        |         CASE WHEN length(text) - length(replace(text, 'table', '')) >= 10
+        |              THEN 'keep' ELSE 'drop' END AS b
+        |  FROM documents),
+        |cells AS (SELECT a, b, count(*)::BIGINT AS c FROM r GROUP BY 1, 2),
+        |ma AS (SELECT a AS lbl, sum(c)::DOUBLE AS na FROM cells GROUP BY 1),
+        |mb AS (SELECT b AS lbl, sum(c)::DOUBLE AS nb FROM cells GROUP BY 1),
+        |pe AS (SELECT COALESCE(sum(na*nb), 0.0) AS pesum FROM ma JOIN mb USING (lbl)),
+        |ag AS (SELECT sum(c)::DOUBLE AS nn,
+        |         sum(CASE WHEN a = b THEN c ELSE 0 END)::DOUBLE AS agree FROM cells)
+        |SELECT CAST(nn AS BIGINT) AS n,
+        |  floor((agree/nn)*1e6 + 0.5)/1e6 AS p_o,
+        |  floor((pesum/(nn*nn))*1e6 + 0.5)/1e6 AS p_e,
+        |  floor(((agree/nn - pesum/(nn*nn)) / (1.0 - pesum/(nn*nn)))*1e6 + 0.5)/1e6 AS kappa
+        |FROM ag, pe""".stripMargin
+    )
+  )
+
+  // ---- C67: partial correlation (FULL oracle — one nine-moment pass,
+  // identical closed forms both engines) -------------------------------
+
+  val q212 = Q(
+    "q212_partial_corr",
+    (s, dir) =>
+      graft.ops.Agreement.partialCorr(
+        Tables.lineitem(s, dir), "l_quantity", "l_extendedprice", "l_discount"),
+    Some(
+      """WITH m AS (
+        |  SELECT count(*)::DOUBLE AS n,
+        |    sum(l_quantity) AS sx, sum(l_extendedprice) AS sy, sum(l_discount) AS sz,
+        |    sum(l_quantity*l_quantity) AS sxx, sum(l_extendedprice*l_extendedprice) AS syy,
+        |    sum(l_discount*l_discount) AS szz,
+        |    sum(l_quantity*l_extendedprice) AS sxy, sum(l_quantity*l_discount) AS sxz,
+        |    sum(l_extendedprice*l_discount) AS syz
+        |  FROM lineitem),
+        |c AS (SELECT n,
+        |    (n*sxy - sx*sy)/sqrt((n*sxx - sx*sx)*(n*syy - sy*sy)) AS rxy,
+        |    (n*sxz - sx*sz)/sqrt((n*sxx - sx*sx)*(n*szz - sz*sz)) AS rxz,
+        |    (n*syz - sy*sz)/sqrt((n*syy - sy*sy)*(n*szz - sz*sz)) AS ryz
+        |  FROM m)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  floor(rxy*1e6 + 0.5)/1e6 AS r_xy,
+        |  floor(rxz*1e6 + 0.5)/1e6 AS r_xz,
+        |  floor(ryz*1e6 + 0.5)/1e6 AS r_yz,
+        |  floor(((rxy - rxz*ryz)/sqrt((1.0 - rxz*rxz)*(1.0 - ryz*ryz)))*1e6 + 0.5)/1e6
+        |    AS r_xy_given_z
+        |FROM c""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210)
+      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212)
 }
