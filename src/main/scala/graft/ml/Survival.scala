@@ -47,7 +47,12 @@ object Survival {
             lit(1.0) - col("d").cast("double") / col("n_risk").cast("double"),
             lit(1e-300))))
           .otherwise(lit(0.0)))
-      .withColumn("survival", round(exp(sum(col("ln_term")).over(wAsc)), 6))
+      // house floor-quantizer (NOT round): floor(x·1e6 + 0.5)/1e6 is
+      // bit-stable across engines where round()'s midpoint handling is not
+      .withColumn(
+        "survival",
+        floor(exp(sum(col("ln_term")).over(wAsc)) * lit(1e6) + lit(0.5))
+          .cast("double") / lit(1e6))
       .select(
         col("t"), col("n_risk"), col("d").as("d_events"), col("c").as("n_censored"),
         col("survival"))

@@ -3974,15 +3974,15 @@ object PipelineQueries {
         |         CASE WHEN d1 < (SELECT m FROM mx) - 7 THEN 1 ELSE 0 END AS ev FROM p),
         |c AS (SELECT t, sum(ev)::BIGINT AS d, sum(1 - ev)::BIGINT AS cns FROM sp GROUP BY 1),
         |r AS (SELECT t, d, cns,
-        |        sum(d + cns) OVER (ORDER BY t DESC
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk FROM c),
+        |        (sum(d + cns) OVER (ORDER BY t DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS n_risk FROM c),
         |k AS (SELECT t, n_risk, d, cns,
         |        CASE WHEN d > 0
         |          THEN ln(greatest(1.0 - d::DOUBLE/n_risk::DOUBLE, 1e-300)) ELSE 0.0 END AS lt
         |      FROM r)
         |SELECT t, n_risk, d AS d_events, cns AS n_censored,
-        |  round(exp(sum(lt) OVER (ORDER BY t
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS survival
+        |  floor(exp(sum(lt) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1e6 + 0.5) / 1e6 AS survival
         |FROM k ORDER BY t""".stripMargin
     )
   )

@@ -36,6 +36,31 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def kind(dtype) -> str:
+    """Dtype CLASS after normalization — the driver's hash distinguishes
+    int from float (150 vs 150.0 hash differently), so a post-norm
+    int-vs-float mismatch must FAIL here too, not silently compare equal
+    (the q168 r8 escape: DuckDB window sum(BIGINT) -> HUGEINT -> float64)."""
+    s = str(dtype)
+    if s.startswith("datetime"):
+        return "datetime"
+    if s in ("object", "string", "str"):
+        return "str"
+    if s == "bool":
+        return "bool"
+    if "int" in s:
+        return "int"
+    if "float" in s or "double" in s:
+        return "float"
+    return s
+
+
+# DuckDB result types that pandas coerces AWAY from int64 — any oracle
+# emitting one of these hashes as float driver-side while Spark hashes
+# bigint. Uncast sum() is the usual source (sum(BIGINT) -> HUGEINT).
+HAZARD_TYPES = ("HUGEINT", "UHUGEINT")
+
+
 def main(out_dir: str, sf_dir: str) -> None:
     con = duckdb.connect()
     for t in TABLES:
@@ -56,14 +81,32 @@ def main(out_dir: str, sf_dir: str) -> None:
             n_rowsonly += 1
             continue
         try:
-            oracle_df = con.sql(oracles[q]).df()
+            rel = con.sql(oracles[q])
+            hazards = [
+                (c, t) for c, t in zip(rel.columns, [str(t) for t in rel.types])
+                if t in HAZARD_TYPES or t.startswith("DECIMAL")
+            ]
+            oracle_df = rel.df()
         except Exception as e:  # noqa: BLE001
             print(f"{q}: ORACLE SQL ERROR: {e}")
+            n_bad += 1
+            continue
+        if hazards:
+            print(f"{q}: ORACLE TYPE LINT: uncast wide types {hazards} — add ::BIGINT/::DOUBLE")
             n_bad += 1
             continue
         a, b = norm(spark_df), norm(oracle_df)
         if list(a.columns) != list(b.columns):
             print(f"{q}: COLUMN MISMATCH spark={list(a.columns)} oracle={list(b.columns)}")
+            n_bad += 1
+            continue
+        kinds_a = [kind(a[c].dtype) for c in a.columns]
+        kinds_b = [kind(b[c].dtype) for c in b.columns]
+        if kinds_a != kinds_b:
+            diff = [
+                (c, ka, kb) for c, ka, kb in zip(a.columns, kinds_a, kinds_b) if ka != kb
+            ]
+            print(f"{q}: DTYPE CLASS MISMATCH (driver hash would fail): {diff}")
             n_bad += 1
             continue
         if len(a) != len(b):
