@@ -142,14 +142,21 @@ object Causal {
     * score within `caliper`; ties between an equally-close lower and
     * upper neighbor go to the lower (deterministic).
     *
-    * SORT-based, not join-based: one global order by (score, arm, id)
+    * SORT-based, not join-based: the global order by (score, arm, id)
     * gives every treated row its nearest control below (last control in
-    * the preceding frame) and above (first in the following frame) —
-    * two IGNORE NULLS windows, no candidate join at all. Equal-score
-    * controls sort before treated (arm 0 < 1), so a zero-distance match
-    * is always found. The frame is experimental-unit-sized, not
-    * corpus-sized (the RFM/lift global-rank argument), so the global
-    * window is a deliberate cost.
+    * the preceding frame) and above (first in the following frame).
+    * Equal-score controls sort before treated (arm 0 < 1), so a
+    * zero-distance match is always found. The order is DISTRIBUTED via
+    * [[graft.ops.Rank.partitionedBySortKey]]: both IGNORE NULLS prefix
+    * windows run per range-partition (`Window.partitionBy(__pid)` —
+    * P-way parallel, never the single-partition WindowExec), and the
+    * cross-partition carry (the last/first control of earlier/later
+    * partitions) comes from a P-row collected summary scanned on the
+    * driver — model state, not corpus rows. "First control after me" is
+    * still computed as a GROWING prefix in descending order: a
+    * shrinking (n FOLLOWING, UNBOUNDED FOLLOWING) frame re-scans the
+    * partition tail per row in WindowExec — O(n²), measured 150s at
+    * sf0.1 — while growing frames are incremental, O(n).
     *
     * Output, one row per MATCHED treated unit: t_id, c_id, y_t, y_c,
     * dist — raw doubles (subtractions of identical inputs are
@@ -164,28 +171,57 @@ object Causal {
       yCol: String,
       caliper: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
     val u = df.select(
       col(idCol).as("id"),
       col(treatCol).cast("int").as("tr"),
       col(scoreCol).cast("double").as("sc"),
       col(yCol).cast("double").as("y"))
-    val pw = Window.orderBy(col("sc"), col("tr"), col("id"))
+    val sortKey = Seq(col("sc"), col("tr"), col("id"))
+    val (marked, _) = graft.ops.Rank.partitionedBySortKey(u, sortKey)
+    def ctlStruct = when(col("tr") === 0,
+      struct(col("sc").as("sc"), col("id").as("id"), col("y").as("y")))
+
+    // per-partition first/last control (P rows) -> driver prefix scan ->
+    // broadcast carry-ins; struct min/max compare (sc, id) lexicographically,
+    // matching the (sc, tr, id) order on the tr = 0 subset
+    val summary = marked.groupBy("__pid")
+      .agg(max(ctlStruct).as("lastc"), min(ctlStruct).as("firstc"))
+      .orderBy("__pid")
+      .collect()
+    val structType = marked.select(ctlStruct.as("c")).schema("c").dataType
+    val carryRows = new Array[org.apache.spark.sql.Row](summary.length)
+    var prev: Any = null
+    for (i <- summary.indices) {
+      carryRows(i) = org.apache.spark.sql.Row(summary(i).getInt(0), prev, null)
+      if (summary(i).get(1) != null) prev = summary(i).get(1)
+    }
+    var nxt: Any = null
+    for (i <- summary.indices.reverse) {
+      carryRows(i) = org.apache.spark.sql.Row(carryRows(i).get(0), carryRows(i).get(1), nxt)
+      if (summary(i).get(2) != null) nxt = summary(i).get(2)
+    }
+    val spark = df.sparkSession
+    val carry = spark.createDataFrame(
+      java.util.Arrays.asList(carryRows: _*),
+      StructType(Seq(
+        StructField("__pid", IntegerType, nullable = false),
+        StructField("cp", structType, nullable = true),
+        StructField("cn", structType, nullable = true))))
+
+    val pw = Window.partitionBy("__pid").orderBy(sortKey: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    // "first control strictly AFTER me in ascending order" is computed
-    // as "last control strictly BEFORE me in DESCENDING order": a
-    // shrinking (n FOLLOWING, UNBOUNDED FOLLOWING) frame re-scans the
-    // remainder per row in WindowExec — O(n²), measured 150s at sf0.1 —
-    // while both growing frames below are incremental, O(n)
-    val nw = Window.orderBy(col("sc").desc, col("tr").desc, col("id").desc)
+    val nw = Window.partitionBy("__pid")
+      .orderBy(col("sc").desc, col("tr").desc, col("id").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    def ctl(c: Column) = when(col("tr") === 0, c)
-    val s = u
-      .withColumn("psc", last(ctl(col("sc")), ignoreNulls = true).over(pw))
-      .withColumn("pid", last(ctl(col("id")), ignoreNulls = true).over(pw))
-      .withColumn("py", last(ctl(col("y")), ignoreNulls = true).over(pw))
-      .withColumn("nsc", last(ctl(col("sc")), ignoreNulls = true).over(nw))
-      .withColumn("nid", last(ctl(col("id")), ignoreNulls = true).over(nw))
-      .withColumn("ny", last(ctl(col("y")), ignoreNulls = true).over(nw))
+    val s = marked
+      .join(broadcast(carry), Seq("__pid"))
+      .withColumn("p", coalesce(last(ctlStruct, ignoreNulls = true).over(pw), col("cp")))
+      .withColumn("nx", coalesce(last(ctlStruct, ignoreNulls = true).over(nw), col("cn")))
+      .withColumn("psc", col("p.sc")).withColumn("pid", col("p.id"))
+      .withColumn("py", col("p.y"))
+      .withColumn("nsc", col("nx.sc")).withColumn("nid", col("nx.id"))
+      .withColumn("ny", col("nx.y"))
     val usePrev = col("psc").isNotNull &&
       (col("nsc").isNull || (col("sc") - col("psc")) <= (col("nsc") - col("sc")))
     s.where(col("tr") === 1)

@@ -82,12 +82,18 @@ object Abtest {
     * difference, V = σ̂²(1/n_A + 1/n_B), and p_av = min(1, 1/Λ) is
     * monotone non-increasing in evidence.
     *
-    * One pass: six conditional cumulative sums over the (ts, tie)
-    * event order (a global window — experiment-event-stream-sized, the
-    * RFM argument; at larger scale, checkpoint rows shard per
-    * experiment key), closed forms per row, emit every `emitEvery`-th
-    * event past `minPerArm`. τ ships as the same binary64 literal to
-    * any replaying engine.
+    * One distributed prefix scan: the six conditional cumulative sums
+    * run as [[Rank.partitionedBySortKey]] two-pass prefix sums —
+    * range-partition on (ts, tie), per-partition cumulative windows
+    * (`Window.partitionBy(__pid)`, P-way parallel, never
+    * single-partition), then broadcast per-partition carry-ins from a
+    * P-row collected summary. Counts stay exact integers; the float
+    * sums regroup per partition (sequential within a partition +
+    * carry), which perturbs sig2 only at machine epsilon — far inside
+    * the 6dp quantization. Emit every `emitEvery`-th event past
+    * `minPerArm`. τ ships as the same binary64 literal to any
+    * replaying engine. Degenerate evidence (all values identical →
+    * bigV = 0) emits p_av = 1 rather than NaN.
     */
   def msprt(
       df: DataFrame,
@@ -98,18 +104,49 @@ object Abtest {
       tau: Double = 1.0,
       minPerArm: Long = 30L,
       emitEvery: Long = 500L): DataFrame = {
-    val w = Window.orderBy(col(tsCol), col(tieCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val isA = variant === "A"
     val v = value.cast("double")
-    val base = df
-      .withColumn("__rn", row_number().over(Window.orderBy(col(tsCol), col(tieCol))))
-      .withColumn("na", sum(when(isA, 1L).otherwise(0L)).over(w))
-      .withColumn("nb", sum(when(!isA, 1L).otherwise(0L)).over(w))
-      .withColumn("sa", sum(when(isA, v).otherwise(lit(0.0))).over(w))
-      .withColumn("sb", sum(when(!isA, v).otherwise(lit(0.0))).over(w))
-      .withColumn("qa", sum(when(isA, v * v).otherwise(lit(0.0))).over(w))
-      .withColumn("qb", sum(when(!isA, v * v).otherwise(lit(0.0))).over(w))
+    // per-row terms BEFORE partitioning so the checkpoint carries them
+    val pre = df
+      .withColumn("__ta", when(isA, 1L).otherwise(0L))
+      .withColumn("__tb", when(!isA, 1L).otherwise(0L))
+      .withColumn("__va", when(isA, v).otherwise(lit(0.0)))
+      .withColumn("__vb", when(!isA, v).otherwise(lit(0.0)))
+      .withColumn("__qa", when(isA, v * v).otherwise(lit(0.0)))
+      .withColumn("__qb", when(!isA, v * v).otherwise(lit(0.0)))
+    val (marked, _) = Rank.partitionedBySortKey(pre, Seq(col(tsCol), col(tieCol)))
+    val terms = Seq("__ta", "__tb", "__va", "__vb", "__qa", "__qb")
+    val w = Window.partitionBy("__pid").orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // per-partition totals -> driver exclusive prefix -> broadcast carry
+    val totals = marked.groupBy("__pid")
+      .agg(count(lit(1)).as("__cn"), terms.map(t => sum(col(t)).as(t)): _*)
+      .collect()
+      .map(r => (r.getAs[Int]("__pid"), r.getAs[Long]("__cn"),
+        terms.map(t => if (r.schema(t).dataType.typeName == "long")
+          r.getAs[Long](t).toDouble else r.getAs[Double](t))))
+      .sortBy(_._1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    var cn = 0L
+    var acc = Array.fill(terms.size)(0.0)
+    val carryRows = totals.map { case (pid, c, ts) =>
+      val row = (pid, cn, acc(0).toLong, acc(1).toLong, acc(2), acc(3), acc(4), acc(5))
+      cn += c
+      acc = acc.zip(ts).map { case (a, t) => a + t }
+      row
+    }.toSeq
+    val carry = carryRows.toDF(
+      "__pid", "__crn", "__cna", "__cnb", "__csa", "__csb", "__cqa", "__cqb")
+    val base = marked
+      .join(broadcast(carry), Seq("__pid"))
+      .withColumn("__rn", col("__crn") + col("__local") + 1L)
+      .withColumn("na", col("__cna") + sum(col("__ta")).over(w))
+      .withColumn("nb", col("__cnb") + sum(col("__tb")).over(w))
+      .withColumn("sa", col("__csa") + sum(col("__va")).over(w))
+      .withColumn("sb", col("__csb") + sum(col("__vb")).over(w))
+      .withColumn("qa", col("__cqa") + sum(col("__qa")).over(w))
+      .withColumn("qb", col("__cqb") + sum(col("__qb")).over(w))
     val nA = col("na").cast("double"); val nB = col("nb").cast("double")
     val delta = col("sb") / nB - col("sa") / nA
     val sig2 = (col("qa") - col("sa") * col("sa") / nA +
@@ -127,6 +164,10 @@ object Abtest {
         col("na").as("n_a"),
         col("nb").as("n_b"),
         q6(delta).as("delta"),
-        q6(least(lit(1.0), lit(1.0) / lam)).as("p_av"))
+        // bigV = 0 (zero within-arm variance): no evidence either way,
+        // the mixture likelihood ratio is 1 -> p_av = 1, not NaN
+        when(col("qa") + col("qb") - col("sa") * col("sa") / nA -
+          col("sb") * col("sb") / nB <= lit(0.0), lit(1.0))
+          .otherwise(q6(least(lit(1.0), lit(1.0) / lam))).as("p_av"))
   }
 }

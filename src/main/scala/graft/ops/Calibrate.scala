@@ -116,29 +116,32 @@ object Calibrate {
     * value is a SELECTED reference element — integers and data values
     * only, no interpolation, exact on any engine.
     *
-    * Two window sorts (reference- and current-sized) + one
-    * integer-key join. Output: id, v, mapped.
+    * Both ranks run through [[Rank]] (range-partition + broadcast
+    * offsets — NO single-partition WindowExec, so both frames can be
+    * corpus-sized) + one integer-key join. Output: id, v, mapped.
     */
   def quantileMap(
       ref: DataFrame,
       cur: DataFrame,
       valueCol: String,
       idCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val rv = ref.select(col(valueCol).cast("double").as("rv"))
-      .withColumn("idx", row_number().over(Window.orderBy(col("rv"))))
-    val nRef = rv.count()
+    val rv = Rank.withGlobalRowNumber(
+      ref.select(col(valueCol).cast("double").as("rv")), "idx", Seq(col("rv")))
+    val nRef = rv.agg(count(lit(1))).head().getLong(0)
     require(nRef >= 2, "Calibrate.quantileMap: reference needs >= 2 rows")
-    val ranked = cur.select(col(idCol).as("id"), col(valueCol).cast("double").as("v"))
-      .withColumn("rk", rank().over(Window.orderBy(col("v"))))
+    // min-rank (SQL rank()): tied current values map to the SAME
+    // reference element, deterministic with no tiebreak column
+    val ranked = Rank.withGlobalMinRank(
+      cur.select(col(idCol).as("id"), col(valueCol).cast("double").as("v")),
+      "rk", Seq(col("v")), Seq(col("id")))
     val nCur = cur.count()
     val withIdx =
-      if (nCur <= 1) ranked.withColumn("idx", lit(1))
+      if (nCur <= 1) ranked.withColumn("idx", lit(1L))
       else ranked.withColumn("idx",
         // integral `div`, not `/`: Spark's / is double division, and
         // the floor must be exact integer arithmetic like DuckDB's //
-        (lit(1) + expr(s"(cast(rk as bigint) - 1) * ${nRef - 1} div ${nCur - 1}"))
-          .cast("int"))
+        (lit(1L) + expr(s"(cast(rk as bigint) - 1) * ${nRef - 1} div ${nCur - 1}"))
+          .cast("bigint"))
     withIdx
       .join(rv, Seq("idx"))
       .select(col("id"), col("v"), col("rv").as("mapped"))

@@ -62,7 +62,9 @@ object Drift {
     * identical element); bin counts are integers; only the final
     * ln/division is float. Laplace-style `eps` keeps empty bins finite.
     *
-    * One sort of the reference for the 9 edges (driver-bounded: 9
+    * The 9 edge ranks come from [[Rank.withGlobalRowNumber]] (range
+    * partition + broadcast offsets — NO single-partition WindowExec, so
+    * the reference can be corpus-sized; driver holds only the 9 edge
     * values), then one when-chain binning pass + decile-sized
     * aggregate per side. Output: one row per bin + the total PSI
     * repeated (10-row window).
@@ -76,8 +78,7 @@ object Drift {
     val n = rv.count()
     require(n >= 10, "Drift.psi: reference too small for deciles")
     val ranks = (1 to 9).map(i => i.toLong * n / 10)
-    val edges = rv
-      .withColumn("rn", row_number().over(Window.orderBy(col("v"))))
+    val edges = Rank.withGlobalRowNumber(rv, "rn", Seq(col("v")))
       .where(col("rn").isin(ranks: _*))
       .orderBy("rn")
       .collect().map(_.getDouble(0))

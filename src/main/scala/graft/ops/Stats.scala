@@ -155,9 +155,10 @@ object Stats {
     * quintile scores per axis so downstream mixes can sample by
     * segment. One groupBy collapses the corpus to user rows; recency is
     * measured in whole days back from the corpus max timestamp (one
-    * broadcast scalar); quintiles are `ntile(5)` over a deterministic
-    * total order (value, key) — user frames are segment-analysis-sized,
-    * the [[graft.ml.Eval.liftTable]] global-rank argument.
+    * broadcast scalar); quintiles are exact ntile(5) over a
+    * deterministic total order (value, key) via [[Rank.withGlobalNtile]]
+    * — range-partitioned + broadcast offsets, NO single-partition
+    * WindowExec, so the user frame can be corpus-sized.
     */
   def rfm(
       df: DataFrame,
@@ -165,7 +166,6 @@ object Stats {
       tsCol: String,
       valueCol: String
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val maxTs = df.agg(max(unix_timestamp(col(tsCol)))).head().getLong(0)
     val per = df.groupBy(col(keyCol))
       .agg(
@@ -173,13 +173,14 @@ object Stats {
           .as("recency_days"),
         count(lit(1)).as("frequency"),
         round(sum(col(valueCol).cast("double")), 4).as("monetary"))
-    per
-      .withColumn("r_score",
-        ntile(5).over(Window.orderBy(col("recency_days").desc, col(keyCol))))
-      .withColumn("f_score",
-        ntile(5).over(Window.orderBy(col("frequency").asc, col(keyCol))))
-      .withColumn("m_score",
-        ntile(5).over(Window.orderBy(col("monetary").asc, col(keyCol))))
+    // each pass checkpoints its (narrow) input, so the chain re-reads
+    // checkpoint blocks rather than recomputing the groupBy three times
+    val r = Rank.withGlobalNtile(per, "r_score", 5,
+      Seq(col("recency_days").desc, col(keyCol)))
+    val f = Rank.withGlobalNtile(r, "f_score", 5,
+      Seq(col("frequency").asc, col(keyCol)))
+    Rank.withGlobalNtile(f, "m_score", 5,
+      Seq(col("monetary").asc, col(keyCol)))
   }
 
   /** Spearman rank correlation of two numeric columns per group. Ranks
