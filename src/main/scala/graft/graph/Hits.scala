@@ -33,11 +33,16 @@ object Hits {
     val e = edges.select(col(src).cast("string").as("src"), col(dst).cast("string").as("dst"))
       .distinct()
       .localCheckpoint(true)
+    require(!e.isEmpty, "Hits.run: empty edge set (no hubs or authorities to score)")
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint(true)
 
+    // the L2 norm rides the same job as the score checkpoint (1-row
+    // broadcast, SQL sqrt = java.lang.Math.sqrt — bit-identical to the
+    // former driver-side math.sqrt); with a non-empty edge set every
+    // norm is positive, so no 0/0
     var hub = nodes.withColumn("hub", lit(1.0)).localCheckpoint(true)
     var auth = nodes.withColumn("auth", lit(0.0)).localCheckpoint(true)
     for (_ <- 0 until iters) {
@@ -45,22 +50,24 @@ object Hits {
         .groupBy(col("dst").as("node"))
         .agg(sum("hub").as("v"))
         .localCheckpoint(true)
-      val na = math.sqrt(araw.agg(sum(col("v") * col("v"))).head().getDouble(0))
+      val na = araw.agg(sqrt(coalesce(sum(col("v") * col("v")), lit(0.0))).as("nrm"))
       auth = nodes
         .join(araw, Seq("node"), "left")
         .na.fill(0.0, Seq("v"))
-        .select(col("node"), (col("v") / lit(na)).as("auth"))
+        .crossJoin(broadcast(na))
+        .select(col("node"), (col("v") / col("nrm")).as("auth"))
         .localCheckpoint(true)
 
       val hraw = auth.join(e, col("node") === col("dst"))
         .groupBy(col("src").as("node"))
         .agg(sum("auth").as("v"))
         .localCheckpoint(true)
-      val nh = math.sqrt(hraw.agg(sum(col("v") * col("v"))).head().getDouble(0))
+      val nh = hraw.agg(sqrt(coalesce(sum(col("v") * col("v")), lit(0.0))).as("nrm"))
       hub = nodes
         .join(hraw, Seq("node"), "left")
         .na.fill(0.0, Seq("v"))
-        .select(col("node"), (col("v") / lit(nh)).as("hub"))
+        .crossJoin(broadcast(nh))
+        .select(col("node"), (col("v") / col("nrm")).as("hub"))
         .localCheckpoint(true)
     }
     hub.join(auth, Seq("node"))

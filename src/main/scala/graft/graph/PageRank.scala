@@ -41,6 +41,7 @@ object PageRank {
   ): DataFrame = {
     val e = edges.select(col(src).cast("string").as("src"), col(dst).cast("string").as("dst"))
       .persist()
+    require(!e.isEmpty, "PageRank.run: empty edge set (no nodes to rank)")
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
@@ -52,21 +53,25 @@ object PageRank {
 
     var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
     for (_ <- 0 until iters) {
-      // rank parked on sinks (no out-edges) this iteration
-      val dangling = ranks.join(outdeg, col("node") === col("od_src"), "left_anti")
-        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
-      val contribs = ranks
-        .join(outdeg, col("node") === col("od_src"))
+      // rank parked on sinks (no out-edges) this iteration: a 1-row frame
+      // broadcast into the update expression rather than head()'d — the
+      // dangling aggregate and the contribs pass ride ONE job (the
+      // checkpoint action), halving driver round-trips per iteration
+      val withDeg = ranks.join(outdeg, col("node") === col("od_src"), "left")
+      val dangling = withDeg.where(col("od_src").isNull)
+        .agg(coalesce(sum("rank"), lit(0.0)).as("dmass"))
+      val contribs = withDeg.where(col("od_src").isNotNull)
         .join(e, col("node") === col("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("outdeg")).as("contrib"))
       ranks = nodes
         .join(contribs, Seq("node"), "left")
         .na.fill(0.0, Seq("contrib"))
+        .crossJoin(broadcast(dangling))
         .select(
           col("node"),
           (lit((1.0 - damping) / n) +
-            lit(damping) * (col("contrib") + lit(dangling / n))).as("rank"))
+            lit(damping) * (col("contrib") + col("dmass") / lit(n))).as("rank"))
         .localCheckpoint(true)
     }
     e.unpersist(false)
@@ -102,6 +107,7 @@ object PageRank {
   ): DataFrame = {
     val e = edges.select(col(src).cast("string").as("src"), col(dst).cast("string").as("dst"))
       .persist()
+    require(!e.isEmpty, "PageRank.personalized: empty edge set (no nodes to rank)")
     val sTotal = seeds.agg(sum(col(seedWeight).cast("double"))).head().getDouble(0)
     require(sTotal > 0, "seed weights must have positive mass")
     val sNorm = seeds
@@ -121,20 +127,22 @@ object PageRank {
 
     var ranks = nodes.select(col("node"), col("sw").as("rank")).localCheckpoint(true)
     for (_ <- 0 until iters) {
-      val dangling = ranks.join(outdeg, col("node") === col("od_src"), "left_anti")
-        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
-      val contribs = ranks
-        .join(outdeg, col("node") === col("od_src"))
+      // same one-job fold as run(): dangling rides the checkpoint action
+      val withDeg = ranks.join(outdeg, col("node") === col("od_src"), "left")
+      val dangling = withDeg.where(col("od_src").isNull)
+        .agg(coalesce(sum("rank"), lit(0.0)).as("dmass"))
+      val contribs = withDeg.where(col("od_src").isNotNull)
         .join(e, col("node") === col("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("outdeg")).as("contrib"))
       ranks = nodes
         .join(contribs, Seq("node"), "left")
         .na.fill(0.0, Seq("contrib"))
+        .crossJoin(broadcast(dangling))
         .select(
           col("node"),
           (lit(1.0 - damping) * col("sw") +
-            lit(damping) * (col("contrib") + lit(dangling) * col("sw"))).as("rank"))
+            lit(damping) * (col("contrib") + col("dmass") * col("sw"))).as("rank"))
         .localCheckpoint(true)
     }
     e.unpersist(false)

@@ -91,8 +91,12 @@ object PerceptualHash {
     val banded = hashes
       .select(col(idCol).as("id"), col(hashCol).as("h"))
       .select(col("id"), col("h"),
+        // mask, not %: shiftrightunsigned(h, 0) is h itself, and Spark's
+        // % keeps the sign — a hash with bit 63 set would get a NEGATIVE
+        // band-0 key and miss partners agreeing on the low 16 bits
         explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"), (shiftrightunsigned(col("h"), 16 * b) % 65536).as("key"))): _*))
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("h"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("key"))): _*))
           .as("bk"))
       .select(col("id"), col("h"), col("bk.band").as("band"), col("bk.key").as("key"))
     val a = banded.select(col("band"), col("key"), col("id").as("id_a"), col("h").as("h_a"))

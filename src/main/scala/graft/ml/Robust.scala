@@ -26,6 +26,15 @@ object Robust {
   /** Fit with tuning constant `k` (1.345 = 95% Gaussian efficiency).
     * Scale σ is re-estimated each iteration as MAD/0.6745 of the
     * current residuals (the standard proposal-2 pairing).
+    *
+    * `approxMad = true` switches each iteration's median-of-|resid| to
+    * the Greenwald–Khanna sketch (`percentile_approx`, rank error ≤
+    * n/`approxAccuracy`) — the >10⁸-row path: the exact `percentile`
+    * aggregate buffers every residual through the final reducer, the GK
+    * sketch ships one bounded summary per partition. σ only gates the
+    * Huber weights, so a rank-ε MAD perturbs coefficients at O(ε)
+    * (RobustSpec pins ≤ 1e-3 drift on a planted-outlier corpus).
+    * Default stays exact — oracle parity.
     */
   def huber(
       df: DataFrame,
@@ -33,7 +42,9 @@ object Robust {
       xs: Seq[String],
       k: Double = 1.345,
       maxIter: Int = 30,
-      tol: Double = 1e-9): HuberModel = {
+      tol: Double = 1e-9,
+      approxMad: Boolean = false,
+      approxAccuracy: Int = 10000): HuberModel = {
     val base = df.select((col(y).cast("double").as("__y") +:
       xs.map(c => col(c).cast("double").as(c))): _*).localCheckpoint(true)
     var model = Ols.fit(base, "__y", xs)
@@ -42,9 +53,11 @@ object Robust {
     var done = false
     while (iter < maxIter && !done) {
       val resid = col("__y") - Ols.fittedCol(model)
-      val mad = base
-        .agg(expr(s"percentile(abs(${residSql(model, xs)}), 0.5)"))
-        .head().getDouble(0)
+      val madAgg =
+        if (approxMad)
+          expr(s"percentile_approx(abs(${residSql(model, xs)}), 0.5, $approxAccuracy)")
+        else expr(s"percentile(abs(${residSql(model, xs)}), 0.5)")
+      val mad = base.agg(madAgg).head().getDouble(0)
       sigma = math.max(mad / 0.6745, 1e-12)
       val wcol = least(lit(1.0), lit(k * sigma) / greatest(abs(resid), lit(1e-300)))
       val next = Ols.fitWeighted(base.withColumn("__w", wcol), "__y", xs, "__w")

@@ -73,15 +73,28 @@ object Drift {
       ref: DataFrame,
       cur: DataFrame,
       valueCol: String,
-      eps: Double = 1e-6): DataFrame = {
+      eps: Double = 1e-6,
+      approxEdges: Boolean = false,
+      approxAccuracy: Int = 10000): DataFrame = {
     val rv = ref.select(col(valueCol).cast("double").as("v"))
     val n = rv.count()
     require(n >= 10, "Drift.psi: reference too small for deciles")
-    val ranks = (1 to 9).map(i => i.toLong * n / 10)
-    val edges = Rank.withGlobalRowNumber(rv, "rn", Seq(col("v")))
-      .where(col("rn").isin(ranks: _*))
-      .orderBy("rn")
-      .collect().map(_.getDouble(0))
+    // approx path: ONE Greenwald-Khanna aggregate (rank error <=
+    // n/approxAccuracy) replaces the range shuffle + checkpoint — the
+    // >10^8-row reference path; bins shift by at most the rank error, so
+    // PSI moves O(error) (DriftSpec pins the drift). Default exact.
+    val edges =
+      if (approxEdges)
+        rv.agg(percentile_approx(col("v"),
+            array((1 to 9).map(i => lit(i / 10.0)): _*), lit(approxAccuracy)))
+          .head().getSeq[Double](0).toArray
+      else {
+        val ranks = (1 to 9).map(i => i.toLong * n / 10)
+        Rank.withGlobalRowNumber(rv, "rn", Seq(col("v")))
+          .where(col("rn").isin(ranks: _*))
+          .orderBy("rn")
+          .collect().map(_.getDouble(0))
+      }
     def binCol = {
       // bin = number of edges strictly below v (ties land in the lower
       // bin): build the when-chain lowest-edge-first so v <= e0 wins

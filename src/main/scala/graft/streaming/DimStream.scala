@@ -63,6 +63,18 @@ object DimStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val dedup = latestPerKey(batch, key, tracked, effCol)
+        // crash recovery for the two-rename swap below: a crash BETWEEN
+        // rename(p, old) and rename(staging, p) leaves no table at
+        // dimPath but an intact __old — roll it back before merging so
+        // the read below always sees the previous committed state
+        // (idempotence layer 1 re-applies the interrupted epoch)
+        locally {
+          val conf0 = spark.sparkContext.hadoopConfiguration
+          val p0 = new Path(dimPath)
+          val fs0 = p0.getFileSystem(conf0)
+          val old0 = new Path(dimPath + "__old")
+          if (!fs0.exists(p0) && fs0.exists(old0)) fs0.rename(old0, p0)
+        }
         val dim = spark.read.parquet(dimPath)
         val merged = Scd2.merge(dim, dedup, key, tracked, effCol)
           // the merge plan reads dimPath lazily; materialize BEFORE the

@@ -53,4 +53,16 @@ class HitsSpec extends SparkSpec {
     assert(math.abs(got.values.map(v => v._2 * v._2).sum - 1.0) < 1e-9)
     assert(math.abs(got.values.map(v => v._1 * v._1).sum - 1.0) < 1e-9)
   }
+
+  test("empty edge set fails fast with a descriptive message, not an NPE") {
+    val empty = Seq.empty[(String, String)].toDF("src", "dst")
+    val eH = intercept[IllegalArgumentException] { Hits.run(empty) }
+    assert(eH.getMessage.contains("empty edge set"))
+    val eP = intercept[IllegalArgumentException] { PageRank.run(empty) }
+    assert(eP.getMessage.contains("empty edge set"))
+    val eQ = intercept[IllegalArgumentException] {
+      PageRank.personalized(empty, Seq(("a", 1.0)).toDF("node", "weight"))
+    }
+    assert(eQ.getMessage.contains("empty edge set"))
+  }
 }

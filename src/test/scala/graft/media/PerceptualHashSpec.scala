@@ -56,4 +56,18 @@ class PerceptualHashSpec extends SparkSpec {
     // no singleton appears in any exact-duplicate pair
     assert(!pairs.exists(p => p._3 == 0 && (p._1 >= 30 || p._2 >= 30)))
   }
+
+  test("nearDupPairs band-0 key: pigeonhole holds for hashes with bit 63 set") {
+    import spark.implicits._
+    // pairs whose ONLY agreeing band is band 0, with bit 63 set (negative
+    // long): one differing bit each in bands 1 and 2 plus bit 63 itself
+    // toggled in the partner's band 3 — hamming 3, must be found
+    val base = 0xF0F0_0F0F_1234_ABCDL // bit 63 set -> negative
+    val partner = base ^ (1L << 20) ^ (1L << 40) ^ (1L << 63) // bands 1,2,3 each differ by 1 bit
+    assert(base < 0 && java.lang.Long.bitCount(base ^ partner) == 3)
+    val hashes = Seq((1L, base), (2L, partner), (3L, 0x12345L)).toDF("media_id", "phash")
+    val pairs = PerceptualHash.nearDupPairs(hashes, "media_id", "phash", maxHamming = 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.toSet == Set((1L, 2L)))
+  }
 }

@@ -81,6 +81,22 @@ class RobustSpec extends SparkSpec {
     assert(math.abs(hub.coef(1) - 2.0) < 0.2, s"Huber should resist, got ${hub.coef(1)}")
   }
 
+  test("Robust.huber GK-sketch MAD: coefficients within 1e-3 of the exact path") {
+    val rng = new scala.util.Random(11)
+    // planted-outlier corpus: y = 1 + 2x with 5% gross outliers
+    val dirty = (1 to 4000).map { i =>
+      val x = rng.nextGaussian()
+      val y = if (i % 20 == 0) 50.0 + rng.nextGaussian() else 1.0 + 2.0 * x + rng.nextGaussian() * 0.3
+      (y, x)
+    }
+    val df = dirty.toDF("y", "x")
+    val exact = Robust.huber(df, "y", Seq("x"))
+    val approx = Robust.huber(df, "y", Seq("x"), approxMad = true)
+    for ((a, b) <- exact.coef.zip(approx.coef))
+      assert(math.abs(a - b) < 1e-3, s"sketch drift: exact=$a approx=$b")
+    assert(math.abs(approx.coef(1) - 2.0) < 0.2)
+  }
+
   test("Decompose.oaxaca: identical structures make the gap fully explained") {
     val rng = new scala.util.Random(4)
     // both groups share y = 1 + 2x; only the x composition differs →

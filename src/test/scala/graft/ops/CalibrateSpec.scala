@@ -170,4 +170,19 @@ class CalibrateSpec extends SparkSpec {
     (0 to 9).foreach(b => assert(out(b)._1 === 10L, s"bin $b"))
     assert(out(9)._2 === 50L && (0 to 8).forall(b => out(b)._2 === 0L))
   }
+
+  test("Drift.psi GK-sketch edges track the exact PSI") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val ref = (1 to 8000).map(_ => rng.nextGaussian()).toDF("v")
+    val cur = (1 to 8000).map(_ => rng.nextGaussian() * 1.2 + 0.3).toDF("v")
+    val exact = Drift.psi(ref, cur, "v").head().getAs[Double]("psi")
+    val approx = Drift.psi(ref, cur, "v", approxEdges = true).head().getAs[Double]("psi")
+    // rank error <= n/accuracy shifts each edge by <= 1 rank per 10k:
+    // bin masses move O(1e-4), PSI by far less than the decision bands
+    assert(math.abs(exact - approx) < 0.02, s"exact=$exact approx=$approx")
+    // sketch self-comparison still reads as stable
+    val selfA = Drift.psi(ref, ref, "v", approxEdges = true).head().getAs[Double]("psi")
+    assert(selfA < 0.01)
+  }
 }

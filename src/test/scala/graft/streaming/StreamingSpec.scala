@@ -895,6 +895,24 @@ class StreamingSpec extends SparkSpec {
     q2.processAllAvailable()
     q2.stop()
     assert(table() === want)
+
+    // crash between the two swap renames: dimPath gone, __old intact.
+    // The next batch must roll __old back and merge on top of it.
+    val fs = new org.apache.hadoop.fs.Path(dimPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dimPath),
+      new org.apache.hadoop.fs.Path(dimPath + "__old")))
+    val ms3 = MemoryStream[(Long, String, Long)]
+    val q3 = DimStream.scd2Sink(
+      ms3.toDF.toDF("k", "seg", "eff"), dimPath, "k", Seq("seg"), "eff",
+      dir.resolve("ckpt3").toString,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    ms3.addData((2L, "B2", 30L))
+    q3.processAllAvailable()
+    q3.stop()
+    val afterCrash = table()
+    assert(afterCrash.count(_._1 == 1L) === 3)            // prior state recovered
+    assert(afterCrash.count(t => t._1 == 2L && t._2 == "B2" && t._5) === 1) // new merge applied
   }
 
   test("streaming EWMA monitor ≡ batch Ewma.smooth row-for-row across micro-batches") {
