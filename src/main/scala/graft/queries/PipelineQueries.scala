@@ -5551,11 +5551,96 @@ object PipelineQueries {
     )
   )
 
+  // ---- T69: HTML/boilerplate extraction (FULL oracle — the portable
+  // Java∩RE2 regex pipeline replayed line-by-line in SQL: script/style/
+  // comment strips, block tags → newlines, per-line link census, tag
+  // strip, entity decode, density keep-rule, ordered reassembly. All
+  // emitted columns are strings/integers; the one float comparison
+  // (alpha density ≥ 0.5) divides small exact integers identically on
+  // both engines. Nav chrome, a footer, a comment, entities, and an
+  // UNTERMINATED tag (doc_id % 7 — flagged malformed, not failed) are
+  // planted around each document's real text, the q106 convention. ----
+  val q213 = Q(
+    "q213_html_extract",
+    (s, dir) => {
+      val html = Tables.documents(s, dir).select(
+        col("doc_id"),
+        concat(
+          lit("<html><head><title>T</title><style>body{color:red;}</style></head><body>"),
+          lit("<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a>" +
+            " <a href=\"/contact\">Contact</a></nav>"),
+          lit("<p>"), col("text"), lit("</p>"),
+          when(col("doc_id") % 5 === 0,
+            lit("<p>Fish &amp; Chips &lt;menu&gt; special today only here</p>"))
+            .otherwise(lit("")),
+          lit("<!-- tracking -->"),
+          lit("<div class=\"footer\"><a href=\"/p\">Privacy</a> |" +
+            " <a href=\"/t\">Terms</a></div>"),
+          lit("</body></html>"),
+          when(col("doc_id") % 7 === 0, lit("<div class=broken")).otherwise(lit("")))
+          .as("html"))
+      graft.text.Extract.fromHtml(html, "html", "doc_id").orderBy("doc_id")
+    },
+    Some(
+      """WITH plant AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>T</title><style>body{color:red;}</style></head><body>' ||
+        |    '<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></nav>' ||
+        |    '<p>' || text || '</p>' ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN '<p>Fish &amp; Chips &lt;menu&gt; special today only here</p>' ELSE '' END ||
+        |    '<!-- tracking -->' ||
+        |    '<div class="footer"><a href="/p">Privacy</a> | <a href="/t">Terms</a></div>' ||
+        |    '</body></html>' ||
+        |    CASE WHEN doc_id % 7 = 0 THEN '<div class=broken' ELSE '' END AS html
+        |  FROM documents),
+        |t AS (SELECT doc_id,
+        |  string_split(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |      '(?is)<script[^>]*>.*?</script[^>]*>', ' ', 'g'),
+        |      '(?is)<style[^>]*>.*?</style[^>]*>', ' ', 'g'),
+        |      '(?s)<!--.*?-->', ' ', 'g'),
+        |      '(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|section|article|header|footer|nav|blockquote)[^>]*>',
+        |      chr(10), 'g'),
+        |    chr(10)) AS a
+        |  FROM plant),
+        |l AS (SELECT doc_id, i AS pos, a[i] AS raw
+        |      FROM t, unnest(generate_series(1, len(a))) AS u(i)),
+        |s AS (SELECT doc_id, pos,
+        |        len(regexp_extract_all(raw, '(?i)<a[ \t>]'))::BIGINT AS nl,
+        |        trim(regexp_replace(regexp_replace(raw, '<[^>]*>', ' ', 'g'),
+        |          '[ \t]+', ' ', 'g')) AS s1
+        |      FROM l),
+        |d AS (SELECT doc_id, pos, nl,
+        |        CASE WHEN position('<' IN s1) > 0 THEN 1 ELSE 0 END AS mal,
+        |        trim(regexp_replace(
+        |          replace(replace(replace(replace(replace(replace(s1,
+        |            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |            '&#39;', ''''), '&amp;', '&'),
+        |          ' +', ' ', 'g')) AS ln
+        |      FROM s),
+        |k AS (SELECT doc_id, pos, nl, mal, ln,
+        |        CASE WHEN ln = '' THEN 0 ELSE len(string_split(ln, ' ')) END AS w,
+        |        length(regexp_replace(ln, '[^A-Za-z0-9]', '', 'g')) AS al
+        |      FROM d),
+        |f AS (SELECT doc_id, pos, nl, mal, ln,
+        |        (w >= 3 AND (nl = 0 OR w >= 4*nl)
+        |          AND al::DOUBLE / length(ln) >= 0.5) AS keep
+        |      FROM k)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN keep THEN ln END, chr(10) ORDER BY pos), '') AS body_text,
+        |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |  sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_dropped,
+        |  sum(nl)::BIGINT AS n_links,
+        |  max(mal)::BIGINT AS malformed
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212)
+      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213)
 }
