@@ -80,10 +80,12 @@ object BradleyTerry {
     }
     val tot = pi.agg(sum("pi")).head().getDouble(0)
     val normed = pi.select(col("item"), (col("pi") / tot).as("pi"))
-    val ranked = items
-      .join(normed, Seq("item"))
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("pi").desc, col("item"))))
+    // item-cardinality can be corpus-scale (ranking documents/models):
+    // exact global rank without the single-partition WindowExec
+    val ranked = graft.ops.Rank
+      .withGlobalRowNumber(items.join(normed, Seq("item")), "rank",
+        Seq(col("pi").desc, col("item")))
+      .withColumn("rank", col("rank").cast("int"))
     val totalGames = games.select(col("i").as("item"), col("n"))
       .union(games.select(col("j").as("item"), col("n")))
       .groupBy("item").agg(sum("n").cast("long").as("games"))

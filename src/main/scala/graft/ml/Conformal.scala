@@ -51,8 +51,11 @@ object Conformal {
     val nCal = resid.count()
     require(nCal > 0, "Conformal.splitIntervals: empty calibration split")
     val rank = math.min((covNum * (nCal + 1) + covDen - 1) / covDen, nCal)
-    val q = resid
-      .withColumn("rn", row_number().over(Window.orderBy(col("r"), col("id"))))
+    // rank selection via the distributed global row number (exact, no
+    // single-partition WindowExec) — the calibration split is HALF the
+    // input, corpus-sized by construction
+    val q = graft.ops.Rank
+      .withGlobalRowNumber(resid, "rn", Seq(col("r"), col("id")))
       .where(col("rn") === rank)
       .head().getAs[Double]("r")
 

@@ -150,17 +150,17 @@ object Diagnostics {
     * rank — and therefore the flag set — is deterministic and
     * replayable), find k* = max{i : p_(i) ≤ α·i/m}, flag ranks ≤ k*.
     *
-    * The global rank window is deliberate and safe: BH runs on TEST
-    * RESULTS (one row per group/hypothesis — thousands at any corpus
-    * size), never on corpus rows — the [[Eval.liftTable]] argument.
+    * The rank runs through [[graft.ops.Rank.withGlobalRowNumber]]
+    * (range partition + broadcast offsets — exact, NO single-partition
+    * WindowExec), so BH scales past hypothesis frames that are
+    * themselves corpus-sized (per-token tests over a web-scale vocab).
     * The step-up cutoff is a 1-row broadcast joined back.
     */
   def bhFdr(df: DataFrame, pCol: String, alpha: Double, tieBreak: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy((col(pCol).asc +: tieBreak.map(col(_).asc)): _*)
     val m = df.count()
-    val ranked = df
-      .withColumn("rank", row_number().over(w))
+    val ranked = graft.ops.Rank
+      .withGlobalRowNumber(df, "rank", col(pCol).asc +: tieBreak.map(col(_).asc))
+      .withColumn("rank", col("rank").cast("int"))
       .withColumn("bh_crit", round(lit(alpha) * col("rank") / m, 10))
     val kStar = ranked
       .agg(coalesce(max(when(col(pCol) <= col("bh_crit"), col("rank"))), lit(0)).as("k_star"))

@@ -174,12 +174,11 @@ object Eval {
     * `buckets` equal slices, report per-bucket response rate, lift vs
     * the base rate, and cumulative lift. Integer counts throughout.
     *
-    * The global `ntile` funnels rows through one task — deliberate
-    * here: exact equal-count deciles REQUIRE a global rank, and lift
-    * tables are computed on scored EVALUATION samples (always
-    * sample-sized), not the corpus. For corpus-scale bucketing use
-    * score-quantile cuts (`graft.ops.Stats.winsorizedMean`'s
-    * percentile machinery) and accept unequal bucket counts.
+    * Exact equal-count deciles REQUIRE a global rank; it runs through
+    * [[graft.ops.Rank.withGlobalNtile]] (range partition + broadcast
+    * offsets — identical ntile values, NO single-partition WindowExec),
+    * so the scored frame may be corpus-sized. The 10-row cumulative
+    * window below is bucket-cardinality, free.
     */
   def liftTable(
       df: DataFrame,
@@ -188,10 +187,9 @@ object Eval {
       tieBreak: Seq[String],
       buckets: Int = 10
   ): DataFrame = {
-    val w = Window.orderBy(
-      (col(scoreCol).desc +: tieBreak.map(col(_).asc)): _*)
-    val base = df
-      .withColumn("__bkt", ntile(buckets).over(w))
+    val base = graft.ops.Rank
+      .withGlobalNtile(df, "__bkt", buckets,
+        col(scoreCol).desc +: tieBreak.map(col(_).asc))
       .groupBy(col("__bkt").as("bucket"))
       .agg(count(lit(1)).as("n"), sum(col(labelCol).cast("long")).as("n_pos"))
     val tot = base.agg(sum("n").as("nt"), sum("n_pos").as("pt"))

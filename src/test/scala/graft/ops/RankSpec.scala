@@ -166,6 +166,23 @@ class RankSpec extends SparkSpec {
     assert(got.forall(r => r.getDouble(4) == 1.0))
   }
 
+  test("liftTable and bhFdr plan no unpartitioned Window over row-scaled frames") {
+    val scored = (1 to 300).map(i => (i.toLong, (i * 31 % 97).toDouble, i % 3 == 0))
+      .toDF("id", "score", "label")
+    val lift = graft.ml.Eval.liftTable(scored, "score", "label", Seq("id"))
+    // the only window left is the bucket-cardinality cumsum: every
+    // unpartitioned Window must sort on the post-aggregation bucket key,
+    // never on the row-scaled score order
+    val uw = unpartitionedWindows(lift)
+    assert(uw.nonEmpty && uw.forall(_.orderSpec.forall(_.child.references.forall(
+      a => a.name == "__bkt" || a.name == "bucket"))), uw.map(_.orderSpec).toString)
+    val tests = (1 to 200).map(i =>
+      (s"g$i", if (i <= 50) i * 1e-5 else 0.5 + i / 1000.0)).toDF("g", "p")
+    val bh = graft.ml.Diagnostics.bhFdr(tests, "p", 0.05, Seq("g"))
+    assert(unpartitionedWindows(bh).isEmpty)
+    assert(bh.where(col("significant") === 1).count() == 50L)
+  }
+
   test("psi plans no unpartitioned Window; identical distributions give psi ~ 0") {
     val ref = (1 to 1000).map(i => (i % 97).toDouble).toDF("x")
     val cur = (1 to 1000).map(i => (i % 97).toDouble).toDF("x")
