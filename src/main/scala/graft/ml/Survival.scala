@@ -59,6 +59,37 @@ object Survival {
       .orderBy(col("t"))
   }
 
+  /** Nelson–Aalen cumulative hazard (Nelson 1972; Aalen 1978) —
+    * Ĥ(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ over distinct event times, the estimator
+    * behind hazard plots and the Fleming–Harrington survival variant
+    * exp(−Ĥ) (reported alongside; it dominates Kaplan–Meier's product
+    * form in small risk sets). Identical scale shape to
+    * [[kaplanMeier]]: one duration count aggregate, a suffix-sum
+    * window for the risk set and a prefix sum of d/n — distinct-
+    * duration rows only, never corpus rows.
+    */
+  def nelsonAalen(df: DataFrame, durationCol: String, eventCol: String): DataFrame = {
+    val counts = df
+      .groupBy(col(durationCol).cast("double").as("t"))
+      .agg(
+        sum(col(eventCol).cast("int")).cast("long").as("d"),
+        sum(lit(1) - col(eventCol).cast("int")).cast("long").as("c"))
+    val wDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    counts
+      .withColumn("n_risk", sum(col("d") + col("c")).over(wDesc))
+      .withColumn("cum_hazard",
+        sum(col("d").cast("double") / col("n_risk").cast("double")).over(wAsc))
+      .select(
+        col("t"), col("n_risk"), col("d").as("d_events"),
+        q6(col("cum_hazard")).as("cum_hazard"),
+        q6(exp(-col("cum_hazard"))).as("survival_fh"))
+      .orderBy(col("t"))
+  }
+
   /** Two-group log-rank test (Mantel 1966) — "are these two survival
     * curves the same?", the inferential companion to the descriptive KM
     * curves: at each distinct event time, group A's observed events d1j

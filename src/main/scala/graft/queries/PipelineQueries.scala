@@ -5636,11 +5636,230 @@ object PipelineQueries {
     )
   )
 
+  // ---- T70: readability indices (FULL oracle — the vowel-group
+  // syllable heuristic replayed per word via unnest; sentence
+  // punctuation PLANTED by a deterministic replace (the corpus has
+  // none); all counts integer-exact, the four scores fixed-literal
+  // arithmetic over small-int ratios with identical association,
+  // floor-quantized 6dp) ----------------------------------------------
+  val q214 = Q(
+    "q214_readability",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(
+        col("doc_id"),
+        expr("replace(text, ' table ', '. Table ')").as("text"))
+      graft.text.Readability.scores(docs, "text", "doc_id").orderBy("doc_id")
+    },
+    Some(
+      """WITH plant AS (
+        |  SELECT doc_id, replace(text, ' table ', '. Table ') AS text FROM documents),
+        |t AS (SELECT doc_id, text, string_split(text, ' ') AS a FROM plant),
+        |w AS (SELECT doc_id, lower(a[i]) AS lw
+        |      FROM t, unnest(generate_series(1, len(a))) AS u(i)),
+        |syl AS (SELECT doc_id,
+        |          sum(greatest(1,
+        |            len(regexp_extract_all(lw, '[aeiouy]+')) -
+        |            CASE WHEN regexp_matches(lw, '[a-z]e$')
+        |                  AND NOT regexp_matches(lw, 'le$')
+        |                  AND len(regexp_extract_all(lw, '[aeiouy]+')) >= 2
+        |                 THEN 1 ELSE 0 END))::BIGINT AS n_syllables
+        |        FROM w GROUP BY doc_id),
+        |base AS (SELECT doc_id,
+        |           len(string_split(text, ' '))::BIGINT AS n_words,
+        |           greatest(1, len(regexp_extract_all(text, '[.!?]+')))::BIGINT AS n_sentences,
+        |           length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::BIGINT AS n_letters
+        |         FROM t WHERE len(string_split(text, ' ')) > 0),
+        |j AS (SELECT b.doc_id, n_words, n_sentences, n_syllables, n_letters,
+        |        n_words::DOUBLE / n_sentences::DOUBLE AS wps,
+        |        n_syllables::DOUBLE / n_words::DOUBLE AS spw,
+        |        n_letters::DOUBLE / n_words::DOUBLE AS lpw
+        |      FROM base b JOIN syl USING (doc_id))
+        |SELECT doc_id, n_words, n_sentences, n_syllables, n_letters,
+        |  floor((206.835 - 1.015 * wps - 84.6 * spw) * 1e6 + 0.5) / 1e6 AS flesch_ease,
+        |  floor((0.39 * wps + 11.8 * spw - 15.59) * 1e6 + 0.5) / 1e6 AS fk_grade,
+        |  floor((0.0588 * (lpw * 100.0) -
+        |    0.296 * (n_sentences::DOUBLE / n_words::DOUBLE * 100.0) - 15.8) * 1e6 + 0.5) / 1e6
+        |    AS coleman_liau,
+        |  floor((4.71 * lpw + 0.5 * wps - 21.43) * 1e6 + 0.5) / 1e6 AS ari
+        |FROM j ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  // ---- T71: Nelson-Aalen cumulative hazard (FULL oracle — q168's
+  // span construction, suffix-sum risk set cast ::BIGINT per the R9
+  // HUGEINT lesson, prefix sum of d/n in identical ascending order,
+  // floor-quantized 6dp) ----------------------------------------------
+  val q215 = Q(
+    "q215_nelson_aalen",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val per = ev
+        .select(col("user_id"), floor(unix_timestamp(col("ts")) / 86400).as("day"))
+        .groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+      val maxDay = per.agg(max("d1")).head().getLong(0)
+      val spans = per.select(
+        (col("d1") - col("d0") + 1).cast("double").as("dur"),
+        when(col("d1") < maxDay - 7, 1).otherwise(0).as("ev"))
+      graft.ml.Survival.nelsonAalen(spans, "dur", "ev")
+    },
+    Some(
+      """WITH d AS (SELECT user_id, floor(epoch(ts)/86400)::BIGINT AS day FROM events),
+        |p AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1),
+        |mx AS (SELECT max(d1) AS m FROM p),
+        |sp AS (SELECT (d1 - d0 + 1)::DOUBLE AS t,
+        |         CASE WHEN d1 < (SELECT m FROM mx) - 7 THEN 1 ELSE 0 END AS ev FROM p),
+        |c AS (SELECT t, sum(ev)::BIGINT AS d, sum(1 - ev)::BIGINT AS cns FROM sp GROUP BY 1),
+        |r AS (SELECT t, d,
+        |        (sum(d + cns) OVER (ORDER BY t DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS n_risk FROM c),
+        |h AS (SELECT t, n_risk, d,
+        |        sum(d::DOUBLE / n_risk::DOUBLE) OVER (ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ch
+        |      FROM r)
+        |SELECT t, n_risk, d AS d_events,
+        |  floor(ch * 1e6 + 0.5) / 1e6 AS cum_hazard,
+        |  floor(exp(-ch) * 1e6 + 0.5) / 1e6 AS survival_fh
+        |FROM h ORDER BY t""".stripMargin
+    )
+  )
+
+  // ---- P36: leakage-safe train/val/test split (FULL oracle — q54's
+  // minhash+CC replay extended with the component-min cluster id and
+  // the shared-md5 bucket assignment; every emitted column is an
+  // integer or a label from exact integer thresholds) ------------------
+  val q216 = Q(
+    "q216_leakage_safe_split",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.ops.Splits.leakageSafe(
+        docs.select(col("doc_id"), col("text")), "text", "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        gramHash = graft.functions.SharedHash.md5Long60)
+        .select(col("doc_id"), col("cluster_id"), col("split_bucket"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      s"""WITH RECURSIVE consts AS (SELECT ${mhCoefs.map(_._1).mkString("[", ",", "]")}::BIGINT[] AS ca,
+         |                       ${mhCoefs.map(_._2).mkString("[", ",", "]")}::BIGINT[] AS cb),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+         |g0 AS (SELECT doc_id, array_to_string(a[i:i+2], ' ') AS g
+         |       FROM toks, UNNEST(generate_series(1, len(a) - 2)) AS u(i) WHERE len(a) >= 3),
+         |gshort AS (SELECT doc_id, text AS g FROM documents WHERE len(string_split(text, ' ')) < 3),
+         |grams AS (SELECT DISTINCT doc_id,
+         |    ${graft.functions.SharedHash.md5Long60Sql("g")} AS sh
+         |  FROM (SELECT * FROM g0 UNION ALL SELECT * FROM gshort)),
+         |hl AS (SELECT doc_id, list(sh % 2147483647) AS hs, list(sh) AS ss FROM grams GROUP BY doc_id),
+         |sig AS (SELECT doc_id, ss,
+         |    list_transform(range(64), i ->
+         |      list_min(list_transform(hs, h -> (ca[i + 1] * h + cb[i + 1]) % 2147483647))) AS s
+         |  FROM hl CROSS JOIN consts),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |  WHERE len(list_filter(range(16), bb ->
+         |    list_slice(a.s, bb * 4 + 1, bb * 4 + 4) = list_slice(b.s, bb * 4 + 1, bb * 4 + 4))) > 0
+         |  AND round(len(list_filter(a.ss, x -> list_contains(b.ss, x)))::DOUBLE /
+         |    (len(a.ss) + len(b.ss) - len(list_filter(a.ss, x -> list_contains(b.ss, x)))), 4) >= 0.5),
+         |e AS (SELECT id_a AS a, id_b AS b FROM p UNION ALL SELECT id_b, id_a FROM p),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b),
+         |comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |buck AS (SELECT doc_id, cluster_id,
+         |    ${graft.functions.SharedHash.md5Long60Sql("cluster_id::VARCHAR || '|' || 'graft-split'")} % 1000000
+         |      AS split_bucket
+         |  FROM comp)
+         |SELECT doc_id, cluster_id, split_bucket,
+         |  CASE WHEN split_bucket < 800000 THEN 'train'
+         |       WHEN split_bucket < 900000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM buck ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  // shared daily per-type event-count series for q217/q218
+  private def dailySeries(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.events(s, dir)
+      .select(col("event_type"), floor(unix_timestamp(col("ts")) / 86400).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+  private val dailySeriesSql =
+    """d AS (SELECT event_type AS k, floor(epoch(ts)/86400)::BIGINT AS t,
+      |        count(*)::BIGINT AS v FROM events GROUP BY 1, 2)""".stripMargin
+
+  // ---- S28: CUSUM changepoint detection (FULL oracle — the Page
+  // recursion via the prefix-sum - running-min identity: cumulative
+  // ROWS windows evaluate sequentially on both engines, and the
+  // explicit-moment mu/sigma are exact doubles for integer series, so
+  // every emitted float matches bit-for-bit pre-quantization) ----------
+  val q217 = Q(
+    "q217_cusum",
+    (s, dir) =>
+      graft.ops.Changepoint.cusum(dailySeries(s, dir), "event_type", "day", "n")
+        .select(col("event_type"), col("day"), col("n"), col("sigma"),
+          col("cusum_pos"), col("cusum_neg"), col("alarm"))
+        .orderBy("event_type", "day"),
+    Some(
+      s"""WITH $dailySeriesSql,
+        |st AS (SELECT k, avg(v::DOUBLE) AS mu,
+        |         sqrt(greatest(0.0, avg(v::DOUBLE * v::DOUBLE) -
+        |           avg(v::DOUBLE) * avg(v::DOUBLE))) AS sigma
+        |       FROM d GROUP BY 1),
+        |s AS (SELECT d.k, t, v, sigma,
+        |        sum(v::DOUBLE - mu - 0.5 * sigma) OVER pw AS sp,
+        |        sum(v::DOUBLE - mu + 0.5 * sigma) OVER pw AS sn
+        |      FROM d JOIN st USING (k)
+        |      WINDOW pw AS (PARTITION BY d.k ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |c AS (SELECT k, t, v, sigma,
+        |        floor((sp - least(0.0, min(sp) OVER pw)) * 1e6 + 0.5) / 1e6 AS cusum_pos,
+        |        floor((greatest(0.0, max(sn) OVER pw) - sn) * 1e6 + 0.5) / 1e6 AS cusum_neg
+        |      FROM s WINDOW pw AS (PARTITION BY k ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT k AS event_type, t AS day, v AS n,
+        |  floor(sigma * 1e6 + 0.5) / 1e6 AS sigma, cusum_pos, cusum_neg,
+        |  (CASE WHEN sigma > 0 AND (cusum_pos > 4.0 * sigma OR cusum_neg > 4.0 * sigma)
+        |        THEN 1 ELSE 0 END)::BIGINT AS alarm
+        |FROM c ORDER BY event_type, day""".stripMargin
+    )
+  )
+
+  // ---- S29: classical seasonal decomposition (FULL oracle — the
+  // 7-day centered MA is an exact integer sum / 7.0, the per-position
+  // seasonal means re-centered per key; trend bit-identical, seasonal/
+  // resid carry only summation-order ulps under the 6dp quantizer) -----
+  val q218 = Q(
+    "q218_seasonal_decompose",
+    (s, dir) =>
+      graft.ops.Seasonal.decompose(dailySeries(s, dir), "event_type", "day", "n", period = 7)
+        .select(col("event_type"), col("day"), col("n"), col("pos"),
+          col("trend"), col("seasonal"), col("resid"))
+        .orderBy("event_type", "day"),
+    Some(
+      s"""WITH $dailySeriesSql,
+        |b AS (SELECT k, t, v, (t % 7)::BIGINT AS pos,
+        |        CASE WHEN count(v) OVER cw = 7
+        |             THEN (sum(v::DOUBLE) OVER cw) / 7.0 END AS trend
+        |      FROM d WINDOW cw AS (PARTITION BY k ORDER BY t
+        |        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |se AS (SELECT k, pos, avg(v::DOUBLE - trend) AS smean
+        |       FROM b WHERE trend IS NOT NULL GROUP BY 1, 2),
+        |ce AS (SELECT k, pos, smean - avg(smean) OVER (PARTITION BY k) AS seasonal FROM se)
+        |SELECT b.k AS event_type, t AS day, v AS n, b.pos,
+        |  floor(trend * 1e6 + 0.5) / 1e6 AS trend,
+        |  floor(seasonal * 1e6 + 0.5) / 1e6 AS seasonal,
+        |  CASE WHEN trend IS NOT NULL AND seasonal IS NOT NULL
+        |       THEN floor((v::DOUBLE - trend - seasonal) * 1e6 + 0.5) / 1e6 END AS resid
+        |FROM b LEFT JOIN ce ON b.k = ce.k AND b.pos = ce.pos
+        |ORDER BY event_type, day""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213)
+      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218)
 }

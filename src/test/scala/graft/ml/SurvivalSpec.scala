@@ -33,6 +33,22 @@ class SurvivalSpec extends SparkSpec {
     assert(km(4.0) === 0.0) // everyone at the last time dies: the ln floor path
   }
 
+  test("nelsonAalen: textbook hazard; FH survival bounds KM from above") {
+    val df = Seq((1.0, 1), (2.0, 0), (3.0, 1), (4.0, 1), (5.0, 0)).toDF("dur", "ev")
+    val na = Survival.nelsonAalen(df, "dur", "ev").collect()
+      .map(r => r.getDouble(0) -> r).toMap
+    assert(na(1.0).getLong(1) === 5L)
+    assert(math.abs(na(1.0).getAs[Double]("cum_hazard") - 0.2) < 1e-9)          // 1/5
+    assert(math.abs(na(2.0).getAs[Double]("cum_hazard") - 0.2) < 1e-9)          // censor: flat
+    assert(math.abs(na(3.0).getAs[Double]("cum_hazard") - (0.2 + 1.0 / 3)) < 1e-6)
+    assert(math.abs(na(4.0).getAs[Double]("cum_hazard") - (0.2 + 1.0 / 3 + 0.5)) < 1e-6)
+    // Fleming-Harrington exp(-H) >= Kaplan-Meier product at every t
+    val km = Survival.kaplanMeier(df, "dur", "ev").collect()
+      .map(r => r.getDouble(0) -> r.getAs[Double]("survival")).toMap
+    na.foreach { case (t, r) =>
+      assert(r.getAs[Double]("survival_fh") >= km(t) - 1e-9, s"t=$t") }
+  }
+
   test("dropping censored rows (the naive mistake) biases survival down vs proper KM") {
     val rows = (0 until 200).map { i =>
       val d = 1.0 + (i % 10)

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TimeseriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Changepoint.cusum equals the textbook max(0, ...) recursion") {
+    val vals = Seq(10.0, 11, 9, 10, 10, 11, 9, 10, 15, 16, 15, 17, 16, 15)
+    val df = vals.zipWithIndex.map { case (v, t) => ("k", t, v) }.toDF("k", "t", "v")
+    val got = Changepoint.cusum(df, "k", "t", "v", kSigma = 0.5, hSigma = 3.0)
+      .orderBy("t").collect()
+    // driver replay of the recursion with the same explicit-moment mu/sigma
+    val n = vals.size
+    val mu = vals.sum / n
+    val sigma = math.sqrt(vals.map(v => v * v).sum / n - mu * mu)
+    var (cp, cn) = (0.0, 0.0)
+    val want = vals.map { v =>
+      cp = math.max(0.0, cp + v - mu - 0.5 * sigma)
+      cn = math.max(0.0, cn + mu - v - 0.5 * sigma)
+      (cp, cn)
+    }
+    for ((r, (wp, wn)) <- got.zip(want)) {
+      assert(math.abs(r.getAs[Double]("cusum_pos") - wp) < 1e-6, s"pos at t=${r.getAs[Int]("t")}")
+      assert(math.abs(r.getAs[Double]("cusum_neg") - wn) < 1e-6, s"neg at t=${r.getAs[Int]("t")}")
+    }
+    // the planted level shift at t=8 alarms; the stable prefix does not
+    assert(got.take(8).forall(_.getAs[Long]("alarm") == 0L))
+    assert(got.drop(9).exists(_.getAs[Long]("alarm") == 1L))
+  }
+
+  test("Changepoint.cusum: constant series has sigma 0 and never alarms") {
+    val df = (0 until 20).map(t => ("k", t, 7.0)).toDF("k", "t", "v")
+    val got = Changepoint.cusum(df, "k", "t", "v").collect()
+    assert(got.forall(_.getAs[Double]("sigma") == 0.0))
+    assert(got.forall(_.getAs[Long]("alarm") == 0L))
+  }
+
+  test("Seasonal.decompose recovers a planted trend + weekly pattern") {
+    val season = Array(4.0, -2, -1, 0, 1, -3, 1) // sums to 0
+    val rows = (0 until 70).map { t => ("k", t, 100.0 + 0.5 * t + season(t % 7)) }
+    val df = rows.toDF("k", "t", "v")
+    val got = Seasonal.decompose(df, "k", "t", "v", period = 7).orderBy("t").collect()
+    // edges: first/last 3 rows have null trend/resid
+    assert(got.take(3).forall(_.isNullAt(got.head.fieldIndex("trend"))))
+    assert(got.takeRight(3).forall(_.isNullAt(got.head.fieldIndex("trend"))))
+    // interior: centered MA of a linear+zero-sum-seasonal series IS the trend line
+    got.drop(3).dropRight(3).foreach { r =>
+      val t = r.getAs[Int]("t")
+      assert(math.abs(r.getAs[Double]("trend") - (100.0 + 0.5 * t)) < 1e-6, s"trend t=$t")
+    }
+    // seasonal component recovered per position; residuals ~ 0
+    got.drop(3).dropRight(3).foreach { r =>
+      val t = r.getAs[Int]("t")
+      assert(math.abs(r.getAs[Double]("seasonal") - season(t % 7)) < 1e-6, s"seasonal t=$t")
+      assert(math.abs(r.getAs[Double]("resid")) < 1e-6, s"resid t=$t")
+    }
+  }
+
+  test("Seasonal.decompose validates the period and shards by key") {
+    intercept[IllegalArgumentException] {
+      Seasonal.decompose(Seq(("k", 1, 1.0)).toDF("k", "t", "v"), "k", "t", "v", period = 4)
+    }
+    // two keys with different levels decompose independently
+    val df = (0 until 35).flatMap(t => Seq(("a", t, 10.0), ("b", t, 50.0)))
+      .toDF("k", "t", "v")
+    val got = Seasonal.decompose(df, "k", "t", "v", period = 7)
+      .where(col("trend").isNotNull)
+    val trends = got.groupBy("k").agg(min("trend"), max("trend")).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(trends("a") == ((10.0, 10.0)) && trends("b") == ((50.0, 50.0)))
+  }
+}
