@@ -60,6 +60,62 @@ object Causal {
     Ate(mt - mc, mt, mc, r.getLong(4), pm)
   }
 
+  /** Propensity-score stratification (Rosenbaum–Rubin 1984's
+    * subclassification): fit the propensity, cut the corpus into
+    * `strata` equal-count propensity bins, contrast arm means WITHIN
+    * each bin, and average the per-stratum effects weighted by stratum
+    * size — the transparent middle ground between the raw contrast
+    * (confounded) and IPW (variance-fragile). Five subclasses remove
+    * ~90% of the bias under the classic conditions.
+    *
+    * The equal-count cut is [[graft.ops.Rank.withGlobalNtile]] over
+    * (propensity, tie id) — exact strata, NO single-partition
+    * WindowExec, corpus-scale safe. Strata missing an arm are reported
+    * with null ate_s and EXCLUDED from the weighted total (their
+    * weight renormalized away — the standard overlap trim).
+    *
+    * Output: one row per stratum (stratum, n, n_treat, mean_t, mean_c,
+    * ate_s 6dp) plus the overall `ate` repeated on every row
+    * (strata-cardinality window — free).
+    */
+  def stratifiedATE(
+      df: DataFrame,
+      y: String,
+      treat: String,
+      xs: Seq[String],
+      idCol: String,
+      strata: Int = 5,
+      clip: Double = 0.01
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pm = Glm.logistic(df, treat, xs)
+    val scored = df.withColumn("__e", eCol(pm, clip))
+    val cut = graft.ops.Rank.withGlobalNtile(
+      scored, "stratum", strata, Seq(col("__e"), col(idCol)))
+    val t = col(treat).cast("double")
+    val yc = col(y).cast("double")
+    val per = cut
+      .groupBy(col("stratum"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(t).cast("long").as("n_treat"),
+        avg(when(t === 1.0, yc)).as("__mt"),
+        avg(when(t === 0.0, yc)).as("__mc"))
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    val ok = col("__mt").isNotNull && col("__mc").isNotNull
+    val w = Window.partitionBy()
+    per
+      .withColumn("__ates", when(ok, col("__mt") - col("__mc")))
+      .withColumn("ate",
+        q6(sum(when(ok, (col("__mt") - col("__mc")) * col("n").cast("double"))).over(w) /
+          sum(when(ok, col("n").cast("double"))).over(w)))
+      .select(
+        col("stratum"), col("n"), col("n_treat"),
+        q6(col("__mt")).as("mean_t"), q6(col("__mc")).as("mean_c"),
+        q6(col("__ates")).as("ate_s"), col("ate"))
+      .orderBy("stratum")
+  }
+
   /** Doubly-robust AIPW: consistent if EITHER the propensity OR the
     * per-arm outcome regressions are right.
     * ATE = mean[ m₁(x) − m₀(x) + T(y − m₁(x))/e − (1−T)(y − m₀(x))/(1−e) ].

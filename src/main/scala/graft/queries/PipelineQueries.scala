@@ -5855,11 +5855,111 @@ object PipelineQueries {
     )
   )
 
+  // ---- T72: URL parse/normalize + registrable domain (FULL oracle —
+  // URLs synthesized deterministically from source/doc_id with planted
+  // scheme case, www, ports, co.uk second-levels, tracking params,
+  // fragments, trailing slashes, and a malformed residue class; the
+  // regex pipeline replays verbatim; every output string/integer) -----
+  val q219 = Q(
+    "q219_url_parse",
+    (s, dir) => {
+      val urls = Tables.documents(s, dir).select(
+        col("doc_id"),
+        concat(
+          when(col("doc_id") % 3 === 0, lit("HTTPS")).otherwise(lit("https")),
+          lit("://"),
+          when(col("doc_id") % 2 === 0, lit("www.")).otherwise(lit("")),
+          col("source"),
+          when(col("doc_id") % 4 === 0, lit(".example.co.uk")).otherwise(lit(".example.com")),
+          when(col("doc_id") % 5 === 0, lit(":8080")).otherwise(lit("")),
+          lit("/articles/item-"), col("doc_id"),
+          when(col("doc_id") % 6 === 0, lit("/")).otherwise(lit("")),
+          when(col("doc_id") % 2 === 0,
+            concat(lit("?utm_source=feed&id="), col("doc_id"), lit("&utm_campaign=x")))
+            .otherwise(concat(lit("?id="), col("doc_id"))),
+          when(col("doc_id") % 7 === 0, lit("#section-2")).otherwise(lit("")))
+          .as("url"))
+        // a malformed residue class: no scheme at all
+        .withColumn("url", when(col("doc_id") % 97 === 0, lit("not a url")).otherwise(col("url")))
+      graft.text.Urls.parse(urls, "url")
+        .select(col("doc_id"), col("scheme"), col("host"), col("registered_domain"),
+          col("path"), col("depth"), col("n_params"), col("url_norm"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 97 = 0 THEN 'not a url' ELSE
+        |      (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+        |      (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END) || source ||
+        |      (CASE WHEN doc_id % 4 = 0 THEN '.example.co.uk' ELSE '.example.com' END) ||
+        |      (CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END) ||
+        |      '/articles/item-' || doc_id ||
+        |      (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END) ||
+        |      (CASE WHEN doc_id % 2 = 0
+        |            THEN '?utm_source=feed&id=' || doc_id || '&utm_campaign=x'
+        |            ELSE '?id=' || doc_id END) ||
+        |      (CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END)
+        |    END AS url
+        |  FROM documents),
+        |p AS (SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*):', 1)) AS scheme,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+        |      '^[^@]*@', ''), ':[0-9]+$', '') AS host,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS q
+        |  FROM u),
+        |r AS (SELECT doc_id, url, scheme, host, path, q,
+        |    regexp_replace(host, '^www\.', '') AS bare
+        |  FROM p),
+        |d AS (SELECT doc_id, url, scheme, host, path, q,
+        |    CASE WHEN host = '' THEN ''
+        |         WHEN regexp_extract(bare,
+        |            '([^.]+\.(?:co|com|org|net|ac|gov|edu)\.[a-z][a-z])$', 1) <> ''
+        |           THEN regexp_extract(bare,
+        |            '([^.]+\.(?:co|com|org|net|ac|gov|edu)\.[a-z][a-z])$', 1)
+        |         WHEN regexp_extract(bare, '([^.]+\.[^.]+)$', 1) <> ''
+        |           THEN regexp_extract(bare, '([^.]+\.[^.]+)$', 1)
+        |         ELSE bare END AS registered_domain,
+        |    list_aggregate(list_filter(string_split(q, '&'),
+        |      x -> x <> '' AND NOT regexp_matches(x, '^(utm_[A-Za-z0-9_]*|fbclid|gclid)=')),
+        |      'string_agg', '&') AS keptq
+        |  FROM r)
+        |SELECT doc_id, scheme, host, registered_domain, path,
+        |  len(regexp_extract_all(path, '[^/]+'))::BIGINT AS depth,
+        |  len(regexp_extract_all(q, '[^&]+'))::BIGINT AS n_params,
+        |  CASE WHEN host = '' THEN '' ELSE
+        |    scheme || '://' || host ||
+        |    (CASE WHEN regexp_matches(path, '.+/$')
+        |          THEN substring(path, 1, length(path) - 1) ELSE path END) ||
+        |    (CASE WHEN coalesce(keptq, '') <> '' THEN '?' || keptq ELSE '' END)
+        |  END AS url_norm
+        |FROM d ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  // ---- C68: propensity stratification (rows-only: the logistic
+  // propensity is iterative IRLS; CausalSpec pins bias removal on a
+  // planted confounder and the exact-ntile stratum balance) ------------
+  val q220 = Q(
+    "q220_stratified_ate",
+    (s, dir) => {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("id"),
+        (col("o_orderpriority") === "1-URGENT").cast("int").as("tr"),
+        (col("o_totalprice") / lit(1000.0)).as("x"),
+        floor(unix_timestamp(col("o_orderdate")) / 86400).cast("double").as("y"))
+      graft.ml.Causal.stratifiedATE(o, "y", "tr", Seq("x"), "id", strata = 5)
+    },
+    None
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218)
+      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220)
 }

@@ -133,4 +133,32 @@ class CausalSpec extends SparkSpec {
     assert(math.abs(naive - 2.0) > 1.0, s"confounding should bias naive, got $naive")
     assert(math.abs(att - 2.0) < 0.4, s"matched ATT should be near 2, got $att")
   }
+
+  test("Causal.stratifiedATE: equal-count strata debias a planted confounder") {
+    val rng = new scala.util.Random(9)
+    val rows = (1 to 6000).map { i =>
+      val x = rng.nextGaussian()
+      val t = if (rng.nextDouble() < 1.0 / (1.0 + math.exp(-1.5 * x))) 1 else 0
+      val y = 2.0 * t + 3.0 * x + rng.nextGaussian() * 0.5
+      (i.toLong, t, x, y)
+    }
+    val df = rows.toDF("id", "t", "x", "y")
+    val out = Causal.stratifiedATE(df, "y", "t", Seq("x"), "id", strata = 5).collect()
+    assert(out.length == 5)
+    // exact ntile: stratum sizes equal (6000 / 5)
+    assert(out.forall(_.getAs[Long]("n") == 1200L))
+    val naive = {
+      val a = rows.filter(_._2 == 1).map(_._4); val b = rows.filter(_._2 == 0).map(_._4)
+      a.sum / a.size - b.sum / b.size
+    }
+    val ate = out.head.getAs[Double]("ate")
+    assert(math.abs(naive - 2.0) > 1.0, s"naive should be confounded, got $naive")
+    assert(math.abs(ate - 2.0) < 0.35, s"stratified ATE should be near 2, got $ate")
+    // per-stratum rows carry consistent arm means
+    out.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("ate_s")))
+        assert(math.abs(r.getAs[Double]("mean_t") - r.getAs[Double]("mean_c") -
+          r.getAs[Double]("ate_s")) < 2e-6)
+    }
+  }
 }
