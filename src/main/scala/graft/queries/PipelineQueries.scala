@@ -5955,11 +5955,61 @@ object PipelineQueries {
     None
   )
 
+  // ---- Z2 (promoted to oracle): skew-salted join ≡ the plain join —
+  // the oracle RUNS the plain join; any salt-induced row loss,
+  // duplication, or mis-keying breaks the per-nation aggregate hash ---
+  val q221 = Q(
+    "q221_salted_join",
+    (s, dir) => {
+      val facts = Tables.lineitem(s, dir)
+        .select(col("l_suppkey").as("k"), col("l_quantity"))
+      val dim = Tables.supplier(s, dir)
+        .select(col("s_suppkey").as("k"), col("s_nationkey"))
+      graft.ops.Salt.saltedJoin(facts, dim, "k", factor = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("double")).cast("long").as("sum_qty"))
+        .orderBy("s_nationkey")
+    },
+    Some(
+      """SELECT s_nationkey, count(*)::BIGINT AS n_rows,
+        |  sum(l_quantity)::BIGINT AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    )
+  )
+
+  // ---- C15 (promoted to oracle): get_all_dummies — first categorical
+  // keeps every category, later ones drop their (sorted) last, the
+  // reference's collinearity convention (hdfe.py:35-43) ----------------
+  val q222 = Q(
+    "q222_all_dummies",
+    (s, dir) =>
+      graft.ops.Dummies.allDummies(
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_orderstatus")),
+        Seq("o_orderpriority", "o_orderstatus"))
+        .drop("o_orderpriority", "o_orderstatus")
+        .orderBy("o_orderkey"),
+    Some(
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS "o_orderpriority_1-URGENT",
+        |  CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END AS "o_orderpriority_2-HIGH",
+        |  CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END AS "o_orderpriority_3-MEDIUM",
+        |  CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END AS "o_orderpriority_4-NOT SPECIFIED",
+        |  CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS "o_orderpriority_5-LOW",
+        |  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS o_orderstatus_F,
+        |  CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS o_orderstatus_O
+        |FROM orders ORDER BY o_orderkey""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220)
+      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222)
 }
