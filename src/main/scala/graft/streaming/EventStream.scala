@@ -308,4 +308,64 @@ object EventStream {
       }
       .toDF(keyCol, tieCol, valueCol, "ewma", "resid", "spike")
   }
+
+  /** Streaming per-key CUSUM mean-shift monitor (S28) — the live form
+    * of [[graft.ops.Changepoint.cusum]] in its control-chart reading:
+    * the baseline (per-key μ, σ — yesterday's corpus, joined
+    * broadcast) is FIXED, state is the two accumulators per key, each
+    * micro-batch folds rows in (ts, tie) order through the textbook
+    * recursion C⁺ = max(0, C⁺ + v − μ − kσ), C⁻ = max(0, C⁻ + μ − v −
+    * kσ). The batch operator's prefix-sum identity equals this
+    * recursion exactly in real arithmetic and to summation-order ulps
+    * in floats (the identity subtracts two accumulated prefix sums
+    * where the recursion re-accumulates from each reset), so a stream
+    * fed the batch's own μ/σ reproduces the batch output to 1e-9
+    * across any micro-batch split (the spec pins it). Same
+    * in-order-arrival contract as [[ewmaStream]].
+    */
+  def cusumStream(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      valueCol: String,
+      baseline: DataFrame, // (keyCol, mu, sigma)
+      kSigma: Double = 0.5,
+      hSigma: Double = 4.0): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val spark = events.sparkSession
+    import spark.implicits._
+    def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    events
+      .join(broadcast(baseline), Seq(keyCol))
+      .select(
+        col(keyCol).cast("long"),
+        col(tsCol).cast("timestamp"),
+        col(tieCol).cast("long"),
+        col(valueCol).cast("double"),
+        col("mu").cast("double"),
+        col("sigma").cast("double"))
+      .as[(Long, java.sql.Timestamp, Long, Double, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Double, Double),
+        (Long, Long, Double, Double, Double, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (key, rows, state) =>
+        def micros(t: java.sql.Timestamp): Long =
+          (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+        var (cp, cn) = state.getOption.getOrElse((0.0, 0.0))
+        val out = rows.toArray.sortBy(e => (micros(e._2), e._3)).map {
+          case (_, _, tie, v, mu, sigma) =>
+            cp = math.max(0.0, cp + v - mu - kSigma * sigma)
+            cn = math.max(0.0, cn + mu - v - kSigma * sigma)
+            val cpQ = q6(cp); val cnQ = q6(cn)
+            val alarm =
+              if (sigma > 0 && (cpQ > hSigma * sigma || cnQ > hSigma * sigma)) 1L else 0L
+            (key, tie, v, cpQ, cnQ, alarm)
+        }
+        state.update((cp, cn))
+        out.iterator
+      }
+      .toDF(keyCol, tieCol, valueCol, "cusum_pos", "cusum_neg", "alarm")
+  }
 }

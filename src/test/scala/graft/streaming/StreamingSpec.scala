@@ -953,4 +953,53 @@ class StreamingSpec extends SparkSpec {
       assert(got.exists(t => t._2 === 3L && t._6))
     } finally q.stop()
   }
+
+  test("streaming CUSUM monitor ≡ batch Changepoint.cusum across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // key 1: stable then a level shift; key 2: stable throughout
+    val vals1 = Seq(10.0, 11, 9, 10, 10, 11, 9, 10, 15, 16, 15, 17, 16, 15)
+    val vals2 = Seq(5.0, 5, 6, 5, 5, 6, 5)
+    val rows =
+      vals1.zipWithIndex.map { case (v, i) => (1L, ts(i), i.toLong, v) } ++
+        vals2.zipWithIndex.map { case (v, i) => (2L, ts(i), 100L + i, v) }
+    val batchDf = rows.toDF("k", "ts", "tie", "v")
+    val batch = graft.ops.Changepoint.cusum(batchDf, "k", "ts", "v", hSigma = 3.0)
+      .select("k", "tie", "cusum_pos", "cusum_neg", "alarm", "sigma").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getLong(4), r.getDouble(5)))).toMap
+    // streaming against the batch's own baseline: same explicit-moment
+    // mu/sigma (exact doubles for integer series, NOT the quantized
+    // sigma column the batch emits)
+    val baseline = Seq(1L -> vals1, 2L -> vals2).map { case (k, vs) =>
+      val mu = vs.sum / vs.size
+      val sigma = math.sqrt(math.max(0.0, vs.map(v => v * v).sum / vs.size - mu * mu))
+      (k, mu, sigma)
+    }.toDF("k", "mu", "sigma")
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val out = EventStream.cusumStream(
+      ms.toDF.toDF("k", "ts", "tie", "v"), "k", "ts", "tie", "v", baseline, hSigma = 3.0)
+    val q = out.writeStream.outputMode("append").format("memory").queryName("cusum_s").start()
+    try {
+      ms.addData(rows.take(6): _*); q.processAllAvailable()
+      ms.addData(rows.slice(6, 15): _*); q.processAllAvailable()
+      ms.addData(rows.drop(15): _*); q.processAllAvailable()
+      val got = spark.table("cusum_s")
+        .select("k", "tie", "cusum_pos", "cusum_neg", "alarm").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+      assert(got.size == rows.size)
+      got.foreach { case (key, (cp, cn, al)) =>
+        val (bp, bn, ba, _) = batch(key)
+        assert(math.abs(cp - bp) < 1e-9, s"$key pos")
+        assert(math.abs(cn - bn) < 1e-9, s"$key neg")
+        assert(al == ba, s"$key alarm")
+      }
+      // the level shift alarms in the stream; the stable key never does
+      assert(got.exists { case ((k, _), (_, _, al)) => k == 1L && al == 1L })
+      assert(got.forall { case ((k, _), (_, _, al)) => k != 2L || al == 0L })
+    } finally q.stop()
+  }
 }
