@@ -167,6 +167,162 @@ object Eval {
       .orderBy("bin")
   }
 
+  /** Precision–recall curve over distinct score thresholds (descending)
+    * plus step-wise average precision (the sklearn definition
+    * AP = Σ_k (R_k − R_{k−1})·P_k — NOT the interpolated 11-point
+    * variant): the ranking gauge that, unlike [[auc]], collapses under
+    * class imbalance exactly when retrieval/curation does. Same scale
+    * shape as auc: per-distinct-score counts in one shuffle, the
+    * cumulative-from-the-top TP/FP via the two-level prefix sum
+    * (range-bucketed per-bucket windows + broadcast bucket offsets —
+    * no single-partition WindowExec), and ΔR·P is row-local once TP/FP
+    * exist, so AP rides one final aggregate.
+    *
+    * Output: one row per distinct score (threshold, tp, fp, precision,
+    * recall — exact-integer ratios, 6dp) with `ap` repeated.
+    */
+  def prCurve(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      buckets: Int = 256): DataFrame = {
+    val counts = df
+      .groupBy(col(scoreCol).cast("double").as("s"))
+      .agg(
+        sum(col(labelCol).cast("int")).cast("long").as("pos"),
+        sum(lit(1) - col(labelCol).cast("int")).cast("long").as("neg"))
+      .persist()
+    val mm = counts.agg(min("s"), max("s")).head()
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val width = if (hi > lo) (hi - lo) / buckets else 1.0
+    val bucketed = counts.withColumn(
+      "b", least(floor((col("s") - lit(lo)) / lit(width)), lit(buckets - 1)).cast("int"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    // descending prefix: bucket totals prefix-summed from the TOP
+    val bt = bucketed.groupBy("b")
+      .agg(sum("pos").as("bp"), sum("neg").as("bn")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(-_._1)
+    val offs = bt.map(_._1)
+      .zip(bt.map(t => (t._2, t._3)).scanLeft((0L, 0L)) {
+        case ((ap0, an0), (p0, n0)) => (ap0 + p0, an0 + n0)
+      }.dropRight(1))
+      .map { case (b, (op, on)) => (b, op, on) }
+    val offsDf = offs.toSeq.toDF("b", "offp", "offn")
+    val wb = Window.partitionBy("b").orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def q6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    val withCum = bucketed
+      .withColumn("cp", sum(col("pos")).over(wb))
+      .withColumn("cn", sum(col("neg")).over(wb))
+      .join(broadcast(offsDf), Seq("b"))
+      .withColumn("tp", col("cp") + col("offp"))
+      .withColumn("fp", col("cn") + col("offn"))
+    val totP = counts.agg(sum("pos")).head().getLong(0)
+    require(totP > 0, "Eval.prCurve: no positive labels")
+    val ap = withCum
+      .agg(sum(
+        col("pos").cast("double") / lit(totP.toDouble) *
+          (col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))))
+      .head().getDouble(0)
+    val out = withCum
+      .select(
+        col("s").as("threshold"), col("tp"), col("fp"),
+        q6(col("tp").cast("double") / (col("tp") + col("fp")).cast("double")).as("precision"),
+        q6(col("tp").cast("double") / lit(totP.toDouble)).as("recall"))
+      .withColumn("ap", lit(math.floor(ap * 1e6 + 0.5) / 1e6))
+      .orderBy(col("threshold").desc)
+    counts.unpersist(false)
+    out
+  }
+
+  /** NDCG@k per query group (Järvelin & Kekäläinen 2002) — the graded
+    * retrieval gauge for the [[graft.text.Bm25]]/[[graft.text.Hybrid]]
+    * stack: DCG = Σ_{i≤k} (2^relᵢ − 1)/log2(i+1) over results ranked by
+    * `scoreCol` (ties broken by `tieCol` — a deterministic total
+    * order), IDCG the same sum over relevance re-sorted descending,
+    * NDCG their ratio (groups with zero relevant results report 0).
+    * Every window is query-keyed; 2^rel is exact for small integer
+    * relevance; one row per query out.
+    */
+  def ndcg(
+      df: DataFrame,
+      queryCol: String,
+      scoreCol: String,
+      relCol: String,
+      tieCol: String,
+      k: Int = 10): DataFrame = {
+    val g = Window.partitionBy(col(queryCol))
+    val byScore = row_number().over(g.orderBy(col(scoreCol).desc, col(tieCol)))
+    val byRel = row_number().over(g.orderBy(col(relCol).desc, col(tieCol)))
+    val gain = pow(lit(2.0), col(relCol).cast("double")) - lit(1.0)
+    def q6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    df.withColumn("__rs", byScore)
+      .withColumn("__rr", byRel)
+      .groupBy(col(queryCol))
+      .agg(
+        count(lit(1)).as("n_results"),
+        sum(when(col("__rs") <= k, gain / (log(col("__rs").cast("double") + 1.0) / log(lit(2.0)))))
+          .as("__dcg"),
+        sum(when(col("__rr") <= k, gain / (log(col("__rr").cast("double") + 1.0) / log(lit(2.0)))))
+          .as("__idcg"))
+      .select(
+        col(queryCol), col("n_results"),
+        q6(coalesce(col("__dcg"), lit(0.0))).as("dcg"),
+        q6(coalesce(col("__idcg"), lit(0.0))).as("idcg"),
+        q6(when(col("__idcg") > 0, col("__dcg") / col("__idcg")).otherwise(lit(0.0)))
+          .as("ndcg"))
+  }
+
+  /** Murphy (1973) decomposition of the Brier score over probability
+    * bins: REL − RES + UNC with reliability Σ n_b(p̄_b − ō_b)²/N,
+    * resolution Σ n_b(ō_b − ō)²/N, uncertainty ō(1 − ō) — "how much of
+    * my Brier score is miscalibration (fixable by [[graft.ops
+    * .Calibrate]]) vs missing discrimination vs irreducible base
+    * rate". Same binned sums as [[calibration]] + the 1-row broadcast
+    * totals; one row out. (The identity is exact for the BINNED
+    * forecast — the within-bin variance term is the usual binning
+    * residue, reported as `brier_residue`.)
+    */
+  def brierDecomposition(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      bins: Int = 10): DataFrame = {
+    val p = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("int")
+    val per = df
+      .select(
+        least(floor(p * bins), lit(bins - 1)).cast("int").as("bin"),
+        p.as("p"), y.cast("double").as("y"))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum("p").as("sp"),
+        sum("y").as("sy"),
+        sum(pow(col("p") - col("y"), 2)).as("sq"))
+    def q6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    val obar = col("syt") / col("nt")
+    per
+      .agg(
+        sum("n").as("nt"), sum("sy").as("syt"), sum("sq").as("sqt"),
+        sum(col("n") * pow(col("sp") / col("n") - col("sy") / col("n"), 2)).as("reln"),
+        sum(col("n") * pow(col("sy") / col("n"), 2)).as("resn"))
+      .select(
+        col("nt").cast("long").as("n"),
+        q6(col("sqt") / col("nt")).as("brier"),
+        q6(col("reln") / col("nt")).as("reliability"),
+        // Σ n(ō_b − ō)²/N = Σ n·ō_b²/N − ō²  (König–Huygens)
+        q6(col("resn") / col("nt") - obar * obar).as("resolution"),
+        q6(obar * (lit(1.0) - obar)).as("uncertainty"),
+        q6(col("sqt") / col("nt") -
+          (col("reln") / col("nt") - (col("resn") / col("nt") - obar * obar) +
+            obar * (lit(1.0) - obar))).as("brier_residue"))
+  }
+
   /** Decile lift table — the business-facing companion to [[auc]]:
     * rank by score descending (`tieBreak` columns complete a TOTAL
     * order so the decile cut is deterministic and cross-engine

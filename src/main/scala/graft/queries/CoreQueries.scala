@@ -465,7 +465,7 @@ object CoreQueries {
     Some(
       """SELECT o_orderkey, o_custkey,
         |  coalesce(lag(o_totalprice, 1) OVER w, 0.0) AS o_totalprice_lag_1,
-        |  CASE WHEN lag(o_totalprice, 1) OVER w IS NULL THEN 1.0 ELSE 0.0 END AS o_totalprice_lag_1_mi
+        |  (CASE WHEN lag(o_totalprice, 1) OVER w IS NULL THEN 1.0 ELSE 0.0 END)::DOUBLE AS o_totalprice_lag_1_mi
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
     )

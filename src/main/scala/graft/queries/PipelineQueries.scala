@@ -4270,7 +4270,7 @@ object PipelineQueries {
          |          + (CASE WHEN agree_seg = 1 THEN ${ws(1)._1} ELSE ${ws(1)._2} END)
          |          + (CASE WHEN agree_bal = 1 THEN ${ws(2)._1} ELSE ${ws(2)._2} END), 4) AS score
          |       FROM p)
-         |SELECT c_custkey, b_id, agree_name, agree_seg, agree_bal, score
+         |SELECT c_custkey, b_id, agree_name, agree_seg, agree_bal, score::DOUBLE AS score
          |FROM sc WHERE score >= 5.0 ORDER BY c_custkey, b_id""".stripMargin
     }
   )
@@ -6005,11 +6005,107 @@ object PipelineQueries {
     )
   )
 
+  // ---- T73: precision-recall curve + average precision (FULL oracle
+  // — integer TP/FP ratios per distinct threshold; AP is one float sum
+  // quantized 6dp; DuckDB replays the descending cumulative windows) --
+  val q223 = Q(
+    "q223_pr_curve",
+    (s, dir) =>
+      graft.ml.Eval.prCurve(
+        Tables.documents(s, dir).withColumn("lbl", (col("lang") === "en").cast("int")),
+        "n_chars", "lbl"),
+    Some(
+      """WITH c AS (SELECT n_chars::DOUBLE AS s,
+        |             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS pos,
+        |             sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)::BIGINT AS neg
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT sum(pos)::DOUBLE AS p FROM c),
+        |r AS (SELECT s, pos,
+        |        (sum(pos) OVER (ORDER BY s DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS tp,
+        |        (sum(neg) OVER (ORDER BY s DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS fp
+        |      FROM c),
+        |a AS (SELECT sum(pos::DOUBLE / (SELECT p FROM t) * (tp::DOUBLE / (tp + fp)::DOUBLE))
+        |        AS ap FROM r)
+        |SELECT s AS threshold, tp, fp,
+        |  floor((tp::DOUBLE / (tp + fp)::DOUBLE) * 1e6 + 0.5) / 1e6 AS "precision",
+        |  floor((tp::DOUBLE / (SELECT p FROM t)) * 1e6 + 0.5) / 1e6 AS recall,
+        |  floor((SELECT ap FROM a) * 1e6 + 0.5) / 1e6 AS ap
+        |FROM r ORDER BY threshold DESC""".stripMargin
+    )
+  )
+
+  // ---- T74: NDCG@k per query group (FULL oracle — deterministic
+  // total orders via tie column, 2^rel exact for small ints, the
+  // log2 discount written as ln(x)/ln(2) on BOTH engines) -------------
+  val q224 = Q(
+    "q224_ndcg",
+    (s, dir) =>
+      graft.ml.Eval.ndcg(
+        Tables.documents(s, dir)
+          .withColumn("rel",
+            when(col("lang") === "en", 2).when(col("lang") === "de", 1).otherwise(0)),
+        "source", "n_chars", "rel", "doc_id", k = 10)
+        .orderBy("source"),
+    Some(
+      """WITH r AS (SELECT source, doc_id, n_chars,
+        |             CASE WHEN lang = 'en' THEN 2 WHEN lang = 'de' THEN 1 ELSE 0 END AS rel,
+        |             row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rs,
+        |             row_number() OVER (PARTITION BY source ORDER BY rel DESC, doc_id) AS rr
+        |           FROM documents),
+        |g AS (SELECT source, count(*)::BIGINT AS n_results,
+        |        sum(CASE WHEN rs <= 10
+        |              THEN (pow(2.0, rel) - 1.0) / (ln(rs::DOUBLE + 1.0) / ln(2.0)) END) AS dcg,
+        |        sum(CASE WHEN rr <= 10
+        |              THEN (pow(2.0, rel) - 1.0) / (ln(rr::DOUBLE + 1.0) / ln(2.0)) END) AS idcg
+        |      FROM r GROUP BY 1)
+        |SELECT source, n_results,
+        |  floor(coalesce(dcg, 0.0) * 1e6 + 0.5) / 1e6 AS dcg,
+        |  floor(coalesce(idcg, 0.0) * 1e6 + 0.5) / 1e6 AS idcg,
+        |  floor((CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS ndcg
+        |FROM g ORDER BY source""".stripMargin
+    )
+  )
+
+  // ---- T75: Murphy Brier decomposition (FULL oracle — binned sums,
+  // Konig-Huygens resolution identity, divisions last) ----------------
+  val q225 = Q(
+    "q225_brier_decomposition",
+    (s, dir) =>
+      graft.ml.Eval.brierDecomposition(
+        Tables.documents(s, dir)
+          .withColumn("p", (col("n_chars") % 100).cast("double") / lit(100.0))
+          .withColumn("lbl", (col("lang") === "en").cast("int")),
+        "p", "lbl", bins = 10),
+    Some(
+      """WITH b AS (SELECT least(floor(((n_chars % 100)::DOUBLE / 100.0) * 10), 9)::INT AS bin,
+        |             (n_chars % 100)::DOUBLE / 100.0 AS p,
+        |             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        |           FROM documents),
+        |per AS (SELECT bin, count(*)::DOUBLE AS n, sum(p) AS sp, sum(y) AS sy,
+        |          sum(pow(p - y, 2)) AS sq
+        |        FROM b GROUP BY 1),
+        |t AS (SELECT sum(n) AS nt, sum(sy) AS syt, sum(sq) AS sqt,
+        |        sum(n * pow(sp / n - sy / n, 2)) AS reln,
+        |        sum(n * pow(sy / n, 2)) AS resn
+        |      FROM per)
+        |SELECT nt::BIGINT AS n,
+        |  floor((sqt / nt) * 1e6 + 0.5) / 1e6 AS brier,
+        |  floor((reln / nt) * 1e6 + 0.5) / 1e6 AS reliability,
+        |  floor((resn / nt - (syt / nt) * (syt / nt)) * 1e6 + 0.5) / 1e6 AS resolution,
+        |  floor(((syt / nt) * (1.0 - syt / nt)) * 1e6 + 0.5) / 1e6 AS uncertainty,
+        |  floor((sqt / nt - (reln / nt - (resn / nt - (syt / nt) * (syt / nt)) +
+        |    (syt / nt) * (1.0 - syt / nt))) * 1e6 + 0.5) / 1e6 AS brier_residue
+        |FROM t""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222)
+      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225)
 }
