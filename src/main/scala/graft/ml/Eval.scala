@@ -276,6 +276,61 @@ object Eval {
           .as("ndcg"))
   }
 
+  /** Multi-class confusion counts + per-class precision/recall/F1 and
+    * the macro/micro summary — the label-model QA table behind
+    * [[graft.text.NaiveBayes]]/[[graft.text.LangId]] evaluations. One
+    * (truth, predicted) count aggregate (label-space-sized), per-class
+    * margins from TWO tiny re-aggregations of it, closed forms last.
+    * Micro-F1 over a complete frame equals accuracy; macro averages
+    * classes equally (absent-class convention: a class never predicted
+    * gets precision 0, never true gets recall 0 — flagged by the zero
+    * margins, not dropped: dropping silently inflates macro scores).
+    *
+    * Output: one row per class in the union of truth/predicted labels
+    * (class, n_true, n_pred, tp, precision, recall, f1) with accuracy,
+    * macro_f1, micro_f1 repeated (class-cardinality window — free).
+    */
+  def confusion(df: DataFrame, truthCol: String, predCol: String): DataFrame = {
+    val cells = df
+      .groupBy(col(truthCol).cast("string").as("t"), col(predCol).cast("string").as("p"))
+      .agg(count(lit(1)).as("n"))
+      .persist()
+    val trues = cells.groupBy(col("t").as("class")).agg(sum("n").as("n_true"))
+    val preds = cells.groupBy(col("p").as("class")).agg(sum("n").as("n_pred"))
+    val tps = cells.where(col("t") === col("p"))
+      .select(col("t").as("class"), col("n").as("tp"))
+    def q6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    val per = trues
+      .join(preds, Seq("class"), "full_outer")
+      .join(tps, Seq("class"), "left")
+      .na.fill(0L, Seq("n_true", "n_pred", "tp"))
+      .withColumn("precision",
+        when(col("n_pred") > 0, col("tp").cast("double") / col("n_pred").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("recall",
+        when(col("n_true") > 0, col("tp").cast("double") / col("n_true").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("f1",
+        when(col("precision") + col("recall") > 0,
+          lit(2.0) * col("precision") * col("recall") / (col("precision") + col("recall")))
+          .otherwise(lit(0.0)))
+    val w = Window.partitionBy()
+    val out = per
+      .withColumn("accuracy",
+        q6(sum(col("tp")).over(w).cast("double") / sum(col("n_true")).over(w).cast("double")))
+      .withColumn("macro_f1", q6(avg(col("f1")).over(w)))
+      .withColumn("micro_f1",
+        q6(sum(col("tp")).over(w).cast("double") / sum(col("n_true")).over(w).cast("double")))
+      .select(
+        col("class"), col("n_true"), col("n_pred"), col("tp"),
+        q6(col("precision")).as("precision"), q6(col("recall")).as("recall"),
+        q6(col("f1")).as("f1"), col("accuracy"), col("macro_f1"), col("micro_f1"))
+      .orderBy("class")
+    cells.unpersist(false)
+    out
+  }
+
   /** Murphy (1973) decomposition of the Brier score over probability
     * bins: REL − RES + UNC with reliability Σ n_b(p̄_b − ō_b)²/N,
     * resolution Σ n_b(ō_b − ō)²/N, uncertainty ō(1 − ō) — "how much of

@@ -73,6 +73,94 @@ object Abtest {
       round(srm, 6).as("srm_chi2"))
   }
 
+  /** Inverse standard-normal CDF — Acklam's rational approximation
+    * (|rel err| < 1.15e-9 over (0,1)), the textbook public algorithm;
+    * driver-side scalar for the power closed forms.
+    */
+  private[ops] def probit(p: Double): Double = {
+    require(p > 0 && p < 1, s"probit domain (0,1), got $p")
+    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02, -2.759285104469687e+02,
+      1.383577518672690e+02, -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02, -1.556989798598866e+02,
+      6.680131188771972e+01, -1.328068155288572e+01)
+    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e+00,
+      -2.549732539343734e+00, 4.374664141464968e+00, 2.938163982698783e+00)
+    val d = Array(7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e+00,
+      3.754408661907416e+00)
+    val pl = 0.02425
+    if (p < pl) {
+      val q = math.sqrt(-2.0 * math.log(p))
+      (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1.0)
+    } else if (p <= 1 - pl) {
+      val q = p - 0.5; val r = q * q
+      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) * q /
+        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1.0)
+    } else {
+      val q = math.sqrt(-2.0 * math.log(1 - p))
+      -(((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1.0)
+    }
+  }
+
+  /** Two-proportion experiment sizing (Fleiss): per-arm n for detecting
+    * an absolute lift `mde` off baseline `p0` at two-sided `alpha` and
+    * `power`, plus the companion inversion [[mde]]. Pure driver closed
+    * forms emitted as a 1-row frame — the planning step before
+    * [[twoProportion]] reads the experiment out.
+    */
+  def requiredN(
+      spark: org.apache.spark.sql.SparkSession,
+      p0: Double,
+      mde: Double,
+      alpha: Double = 0.05,
+      power: Double = 0.8): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p0 + mde > 0 && p0 + mde < 1, "rates must stay inside (0,1)")
+    require(mde != 0, "mde must be nonzero")
+    val p1 = p0 + mde
+    val za = probit(1 - alpha / 2)
+    val zb = probit(power)
+    val pbar = (p0 + p1) / 2
+    val n = math.pow(
+      za * math.sqrt(2 * pbar * (1 - pbar)) + zb * math.sqrt(p0 * (1 - p0) + p1 * (1 - p1)),
+      2) / (mde * mde)
+    import spark.implicits._
+    Seq((p0, p1, alpha, power, math.ceil(n).toLong))
+      .toDF("p0", "p1", "alpha", "power", "n_per_arm")
+  }
+
+  /** Smallest detectable absolute lift at a fixed per-arm n — the
+    * monotone inversion of [[requiredN]] by bisection (driver-side, 60
+    * iterations ≈ machine precision).
+    */
+  def mde(
+      spark: org.apache.spark.sql.SparkSession,
+      p0: Double,
+      nPerArm: Long,
+      alpha: Double = 0.05,
+      power: Double = 0.8): DataFrame = {
+    require(nPerArm > 1, "need nPerArm > 1")
+    val za = probit(1 - alpha / 2)
+    val zb = probit(power)
+    def nFor(m: Double): Double = {
+      val p1 = p0 + m
+      val pbar = (p0 + p1) / 2
+      math.pow(
+        za * math.sqrt(2 * pbar * (1 - pbar)) + zb * math.sqrt(p0 * (1 - p0) + p1 * (1 - p1)),
+        2) / (m * m)
+    }
+    var lo = 1e-12
+    var hi = 1 - p0 - 1e-12
+    for (_ <- 0 until 60) {
+      val mid = (lo + hi) / 2
+      if (nFor(mid) > nPerArm) lo = mid else hi = mid
+    }
+    import spark.implicits._
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    Seq((p0, nPerArm, alpha, power, q6((lo + hi) / 2)))
+      .toDF("p0", "n_per_arm", "alpha", "power", "mde")
+  }
+
   /** Always-valid sequential test (mixture SPRT, Johari et al. 2017 /
     * Robbins 1970): the p-value you may peek at after EVERY event
     * without inflating false positives — the fix for the peeking

@@ -64,6 +64,33 @@ object Grouped {
     }
   }
 
+  /** Per-group EXPANDING statistics — pandas `groupby().expanding()`:
+    * each row aggregates everything from its group's start through
+    * itself in `orderCol` order (running mean, cumulative max, …). The
+    * cumulative ROWS frame is incremental in WindowExec (O(n) per
+    * group — NOT the shrinking-frame hazard, SURVEY §8g) and shares
+    * [[rolling]]'s single key shuffle.
+    */
+  def expanding(
+      df: DataFrame,
+      keys: Seq[String],
+      orderCol: String,
+      aggs: Seq[Column => Column],
+      valueCol: String,
+      names: Seq[String]
+  ): DataFrame = {
+    require(aggs.length == names.length, "one output name per aggregate")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    aggs.zip(names).foldLeft(df) { case (acc, (f, n)) =>
+      acc.withColumn(n, f(col(valueCol)).over(w))
+    }
+  }
+
   /** Time-RANGE rolling aggregates per key — the event-time sibling of
     * [[rolling]] (which counts ROWS): each row aggregates every row of
     * its key within the trailing `windowSec` seconds of ITS OWN event

@@ -22,6 +22,52 @@ import org.apache.spark.sql.functions._
   */
 object Lags {
 
+  /** Per-group fractional change vs the previous row (pandas
+    * `groupby().pct_change()`): (v − lag v)/|lag v|, null on the first
+    * row of a group and where the base is 0. Same single key-shuffle
+    * window as [[makeLags]]; output 6dp floor-quantized.
+    */
+  def pctChange(
+      df: DataFrame,
+      group: Seq[String],
+      order: Seq[String],
+      valueCol: String,
+      out: String
+  ): DataFrame = {
+    val w = Window.partitionBy(group.map(col): _*).orderBy(order.map(col): _*)
+    val prev = lag(col(valueCol).cast("double"), 1).over(w)
+    df.withColumn(out,
+      when(prev.isNotNull && prev =!= 0.0,
+        floor((col(valueCol).cast("double") - prev) / abs(prev) * lit(1e6) + lit(0.5))
+          .cast("double") / lit(1e6)))
+  }
+
+  /** Per-group forward-fill / back-fill of nulls (pandas
+    * `groupby().ffill()/bfill()`): the last (resp. next) non-null value
+    * in `order` — two IGNORE NULLS growing-frame windows sharing one
+    * key shuffle (the reversed-sort trick from SURVEY §8g keeps the
+    * backward pass O(n), never a FOLLOWING frame).
+    */
+  def fillGaps(
+      df: DataFrame,
+      group: Seq[String],
+      order: Seq[String],
+      valueCol: String,
+      direction: String = "forward"
+  ): DataFrame = {
+    require(Set("forward", "backward").contains(direction),
+      s"direction must be forward|backward, got $direction")
+    val w =
+      if (direction == "forward")
+        Window.partitionBy(group.map(col): _*).orderBy(order.map(col): _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      else
+        Window.partitionBy(group.map(col): _*)
+          .orderBy(order.map(c => col(c).desc): _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
+  }
+
   def makeLags(
       df: DataFrame,
       group: Seq[String],

@@ -6101,11 +6101,133 @@ object PipelineQueries {
     )
   )
 
+  // ---- T76: experiment sizing closed forms (rows-only — the probit
+  // is a driver-side rational approximation with no SQL twin; the spec
+  // pins textbook values and the requiredN/mde round trip) -------------
+  val q226 = Q(
+    "q226_power_analysis",
+    (s, dir) => {
+      // size the purchase-rate experiment the q191 readout measures:
+      // baseline from the corpus, target lift 10% relative
+      val base = Tables.events(s, dir)
+        .agg(avg((col("event_type") === "purchase").cast("double"))).head().getDouble(0)
+      graft.ops.Abtest.requiredN(s, math.max(0.01, math.floor(base * 1e4) / 1e4),
+        mde = 0.01)
+    },
+    None
+  )
+
+  // ---- C69: pandas expanding + pct_change parity (FULL oracle —
+  // cumulative ROWS windows evaluate sequentially on both engines;
+  // pct_change is a row-local ratio of lagged values) -------------------
+  val q227 = Q(
+    "q227_expanding_pct",
+    (s, dir) => {
+      val ser = dailySeries(s, dir)
+      val exp = graft.ops.Grouped.expanding(
+        ser, Seq("event_type"), "day",
+        Seq(c => avg(c.cast("double")), c => max(c)), "n", Seq("run_mean_raw", "run_max"))
+        .withColumn("run_mean",
+          floor(col("run_mean_raw") * 1e6 + 0.5).cast("double") / 1e6)
+        .drop("run_mean_raw")
+      graft.ops.Lags.pctChange(exp, Seq("event_type"), Seq("day"), "n", "pct")
+        .select(col("event_type"), col("day"), col("n"), col("run_mean"),
+          col("run_max"), col("pct"))
+        .orderBy("event_type", "day")
+    },
+    Some(
+      s"""WITH $dailySeriesSql
+        |SELECT k AS event_type, t AS day, v AS n,
+        |  floor((avg(v::DOUBLE) OVER cw) * 1e6 + 0.5) / 1e6 AS run_mean,
+        |  (max(v) OVER cw)::BIGINT AS run_max,
+        |  CASE WHEN lag(v, 1) OVER pw IS NOT NULL AND lag(v, 1) OVER pw <> 0
+        |       THEN floor((v::DOUBLE - lag(v, 1) OVER pw) / abs(lag(v, 1) OVER pw)
+        |              * 1e6 + 0.5) / 1e6 END AS pct
+        |FROM d
+        |WINDOW cw AS (PARTITION BY k ORDER BY t
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |       pw AS (PARTITION BY k ORDER BY t)
+        |ORDER BY event_type, day""".stripMargin
+    )
+  )
+
+  // ---- C70: per-group forward/backward fill (FULL oracle — planted
+  // null gaps, IGNORE NULLS growing frames both directions) ------------
+  val q228 = Q(
+    "q228_fill_gaps",
+    (s, dir) => {
+      val gapped = dailySeries(s, dir)
+        .withColumn("v", when(col("day") % 3 === 0, lit(null)).otherwise(col("n")))
+        .select("event_type", "day", "v")
+      val fwd = graft.ops.Lags.fillGaps(
+        gapped.withColumnRenamed("v", "v_ffill"), Seq("event_type"), Seq("day"), "v_ffill")
+      val bwd = graft.ops.Lags.fillGaps(
+        gapped.withColumnRenamed("v", "v_bfill"), Seq("event_type"), Seq("day"), "v_bfill",
+        direction = "backward")
+      fwd.join(bwd, Seq("event_type", "day"))
+        .join(gapped, Seq("event_type", "day"))
+        .select(col("event_type"), col("day"), col("v"), col("v_ffill"), col("v_bfill"))
+        .orderBy("event_type", "day")
+    },
+    Some(
+      s"""WITH $dailySeriesSql,
+        |g AS (SELECT k, t, CASE WHEN t % 3 = 0 THEN NULL ELSE v END AS v FROM d)
+        |SELECT k AS event_type, t AS day, v,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY t DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_bfill
+        |FROM g ORDER BY event_type, day""".stripMargin
+    )
+  )
+
+  // ---- T77: multi-class confusion + macro/micro F1 (FULL oracle — a
+  // deterministic corrupted predictor over documents; counts, margins,
+  // and closed forms replayed; absent-class conventions pinned) --------
+  val q229 = Q(
+    "q229_confusion_f1",
+    (s, dir) =>
+      graft.ml.Eval.confusion(
+        Tables.documents(s, dir)
+          .withColumn("pred",
+            when(col("n_chars") % 5 === 0, lit("en")).otherwise(col("lang"))),
+        "lang", "pred"),
+    Some(
+      """WITH rows_ AS (SELECT lang AS t,
+        |    CASE WHEN n_chars % 5 = 0 THEN 'en' ELSE lang END AS p FROM documents),
+        |cells AS (SELECT t, p, count(*)::BIGINT AS n FROM rows_ GROUP BY 1, 2),
+        |tr AS (SELECT t AS class, sum(n)::BIGINT AS n_true FROM cells GROUP BY 1),
+        |pr AS (SELECT p AS class, sum(n)::BIGINT AS n_pred FROM cells GROUP BY 1),
+        |tp AS (SELECT t AS class, n::BIGINT AS tp FROM cells WHERE t = p),
+        |per AS (SELECT coalesce(tr.class, pr.class) AS class,
+        |          coalesce(n_true, 0) AS n_true, coalesce(n_pred, 0) AS n_pred,
+        |          coalesce(tp, 0) AS tp
+        |        FROM tr FULL OUTER JOIN pr ON tr.class = pr.class
+        |          LEFT JOIN tp ON coalesce(tr.class, pr.class) = tp.class),
+        |f AS (SELECT class, n_true, n_pred, tp,
+        |        CASE WHEN n_pred > 0 THEN tp::DOUBLE / n_pred ELSE 0.0 END AS prec,
+        |        CASE WHEN n_true > 0 THEN tp::DOUBLE / n_true ELSE 0.0 END AS rec
+        |      FROM per),
+        |ff AS (SELECT *, CASE WHEN prec + rec > 0
+        |         THEN 2.0 * prec * rec / (prec + rec) ELSE 0.0 END AS f1 FROM f)
+        |SELECT class, n_true, n_pred, tp,
+        |  floor(prec * 1e6 + 0.5) / 1e6 AS "precision",
+        |  floor(rec * 1e6 + 0.5) / 1e6 AS recall,
+        |  floor(f1 * 1e6 + 0.5) / 1e6 AS f1,
+        |  floor((sum(tp) OVER () )::DOUBLE / (sum(n_true) OVER ())::DOUBLE * 1e6 + 0.5) / 1e6
+        |    AS accuracy,
+        |  floor((avg(f1) OVER ()) * 1e6 + 0.5) / 1e6 AS macro_f1,
+        |  floor((sum(tp) OVER ())::DOUBLE / (sum(n_true) OVER ())::DOUBLE * 1e6 + 0.5) / 1e6
+        |    AS micro_f1
+        |FROM ff ORDER BY class""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225)
+      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229)
 }

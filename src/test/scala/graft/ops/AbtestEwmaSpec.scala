@@ -68,4 +68,27 @@ class AbtestEwmaSpec extends SparkSpec {
     assert(out(20L) === 1.5)      // 0.5*2 + 0.5*1
     assert(out(10L) === 2.75)     // 0.5*4 + 0.5*1.5
   }
+
+  test("Abtest.probit: textbook quantiles and symmetry") {
+    assert(math.abs(Abtest.probit(0.975) - 1.959963985) < 1e-7)
+    assert(math.abs(Abtest.probit(0.8) - 0.8416212336) < 1e-7)
+    assert(math.abs(Abtest.probit(0.5)) < 1e-9)
+    assert(math.abs(Abtest.probit(0.025) + Abtest.probit(0.975)) < 1e-7)
+    assert(math.abs(Abtest.probit(0.001) + 3.090232306) < 1e-6)
+  }
+
+  test("Abtest.requiredN: the classic 10% -> 12% sizing; mde inverts it") {
+    // Fleiss closed form at p0=.10, p1=.12, alpha=.05, power=.8:
+    // ~3835 per arm (the standard textbook neighborhood)
+    val n = Abtest.requiredN(spark, 0.10, 0.02).head().getAs[Long]("n_per_arm")
+    assert(n >= 3750 && n <= 3900, s"got $n")
+    // round trip: the MDE at that n is ~0.02
+    val m = Abtest.mde(spark, 0.10, n).head().getAs[Double]("mde")
+    assert(math.abs(m - 0.02) < 5e-4, s"got $m")
+    // more power -> more samples; smaller mde -> more samples
+    val n9 = Abtest.requiredN(spark, 0.10, 0.02, power = 0.9).head().getAs[Long]("n_per_arm")
+    assert(n9 > n)
+    val nSmall = Abtest.requiredN(spark, 0.10, 0.01).head().getAs[Long]("n_per_arm")
+    assert(nSmall > 3 * n)
+  }
 }

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** pandas-parity frame operators: expanding, pct_change, ffill/bfill. */
+class PandasParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Grouped.expanding: running mean/max per group in order") {
+    val df = Seq(("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 3.0),
+      ("b", 1, 5.0), ("b", 2, 1.0)).toDF("k", "t", "v")
+    val got = Grouped.expanding(df, Seq("k"), "t",
+      Seq(c => avg(c), c => max(c)), "v", Seq("m", "mx"))
+      .orderBy("k", "t").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      ("a", 1, 10.0, 10.0), ("a", 2, 15.0, 20.0), ("a", 3, 11.0, 20.0),
+      ("b", 1, 5.0, 5.0), ("b", 2, 3.0, 5.0)))
+  }
+
+  test("Lags.pctChange: first row null, zero base null, signed ratios") {
+    val df = Seq(("a", 1, 10.0), ("a", 2, 15.0), ("a", 3, 0.0), ("a", 4, 7.0),
+      ("a", 5, -14.0)).toDF("k", "t", "v")
+    val got = Lags.pctChange(df, Seq("k"), Seq("t"), "v", "pct")
+      .orderBy("t").collect()
+      .map(r => if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    assert(got(0).isEmpty)                    // no previous row
+    assert(got(1).contains(0.5))              // 10 -> 15
+    assert(got(2).contains(-1.0))             // 15 -> 0
+    assert(got(3).isEmpty)                    // base 0
+    assert(got(4).contains(-3.0))             // 7 -> -14
+  }
+
+  test("Lags.fillGaps forward and backward, per group, leading/trailing gaps stay null") {
+    val df = Seq(
+      ("a", 1, None), ("a", 2, Some(5.0)), ("a", 3, None), ("a", 4, Some(9.0)), ("a", 5, None),
+      ("b", 1, Some(1.0)), ("b", 2, None))
+      .toDF("k", "t", "v")
+    val f = Lags.fillGaps(df, Seq("k"), Seq("t"), "v").orderBy("k", "t").collect()
+      .map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    assert(f.toSeq == Seq(None, Some(5.0), Some(5.0), Some(9.0), Some(9.0), Some(1.0), Some(1.0)))
+    val b = Lags.fillGaps(df, Seq("k"), Seq("t"), "v", direction = "backward")
+      .orderBy("k", "t").collect()
+      .map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    assert(b.toSeq == Seq(Some(5.0), Some(5.0), Some(9.0), Some(9.0), None, Some(1.0), None))
+  }
+
+  test("Eval.confusion: hand 3-class table; absent predicted class scores precision 0") {
+    // truth:  a a a b b c ; pred: a a b b b a  -> c never predicted
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"), ("c", "a"))
+      .toDF("t", "p")
+    val rows = graft.ml.Eval.confusion(df, "t", "p").collect()
+      .map(r => r.getAs[String]("class") -> r).toMap
+    assert(rows("a").getAs[Long]("tp") == 2L && rows("a").getAs[Long]("n_pred") == 3L)
+    assert(rows("b").getAs[Long]("tp") == 2L && rows("b").getAs[Long]("n_pred") == 3L)
+    assert(rows("c").getAs[Long]("tp") == 0L && rows("c").getAs[Long]("n_pred") == 0L)
+    assert(rows("c").getAs[Double]("precision") == 0.0 && rows("c").getAs[Double]("recall") == 0.0)
+    // accuracy = 4/6; micro = accuracy
+    val acc = rows("a").getAs[Double]("accuracy")
+    assert(math.abs(acc - 4.0 / 6) < 2e-6)
+    assert(rows("a").getAs[Double]("micro_f1") == acc)
+    // macro: f1(a) with p=2/3 r=2/3 -> 2/3; f1(b) p=2/3 r=1 -> 0.8; f1(c)=0
+    val macroF1 = rows("a").getAs[Double]("macro_f1")
+    assert(math.abs(macroF1 - (2.0 / 3 + 0.8 + 0.0) / 3) < 2e-6)
+  }
+}
