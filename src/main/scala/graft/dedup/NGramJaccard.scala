@@ -49,4 +49,43 @@ object NGramJaccard {
     sets.unpersist(false)
     out
   }
+
+  /** Directional n-gram CONTAINMENT join — |A∩B|/|A| and |A∩B|/|B| per
+    * blocked pair: the asymmetric score Jaccard hides. A short quote
+    * inside a long article has containment(short→long) ≈ 1 while
+    * Jaccard ≈ |short|/|long| ≈ 0 — exactly the doc-in-doc /
+    * quote-inclusion / boilerplate-wrapper case dedup-by-Jaccard
+    * misses (Broder's original resemblance-vs-containment split).
+    * Same block self-join + sorted-intersection machinery as
+    * [[similarityJoin]]; pairs kept when EITHER direction ≥
+    * `minContainment`.
+    */
+  def containmentJoin(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      blockCol: String,
+      n: Int = 2,
+      minContainment: Double = 0.5
+  ): DataFrame = {
+    val sets = MinHashLsh
+      .shingleSets(df, textCol, idCol, n)
+      .join(df.select(col(idCol), col(blockCol).as("block")), Seq(idCol))
+      .select(col("block"), col(idCol), col("sh_set").as("ngrams"))
+      .persist()
+    val l = sets.select(col("block"), col(idCol).as("id_a"), col("ngrams").as("ng_a"))
+    val r = sets.select(col("block"), col(idCol).as("id_b"), col("ngrams").as("ng_b"))
+    val out = l.join(r, Seq("block"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn(
+        "inter",
+        graft.functions.SetOps.sortedIntersectSize(col("ng_a"), col("ng_b")).cast("double"))
+      .withColumn("cont_a_in_b", round(col("inter") / size(col("ng_a")), 4))
+      .withColumn("cont_b_in_a", round(col("inter") / size(col("ng_b")), 4))
+      .where(col("cont_a_in_b") >= minContainment || col("cont_b_in_a") >= minContainment)
+      .select(col("block"), col("id_a"), col("id_b"), col("cont_a_in_b"), col("cont_b_in_a"))
+      .localCheckpoint()
+    sets.unpersist(false)
+    out
+  }
 }

@@ -6223,11 +6223,76 @@ object PipelineQueries {
     )
   )
 
+  // ---- P37: exact MIPS top-k (FULL oracle — q25's machinery on the
+  // RAW dot product; the augmentation path that feeds the cosine ANN
+  // stack is spec-pinned in MipsSpec) ----------------------------------
+  val q230 = Q(
+    "q230_mips_topk",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.sim.Mips.topK(emb.where(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+    },
+    Some(
+      """WITH f AS (
+        |  SELECT vec_id, unnest(embedding)::DOUBLE AS v, unnest(range(len(embedding))) AS i
+        |  FROM embeddings),
+        |d AS (SELECT a.vec_id AS qid, b.vec_id AS nid, sum(a.v*b.v) AS dot
+        |      FROM f a JOIN f b ON a.i = b.i AND a.vec_id < 10 AND b.vec_id <> a.vec_id
+        |      GROUP BY 1, 2),
+        |r AS (SELECT qid, nid, dot,
+        |        row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rk FROM d)
+        |SELECT qid, nid, round(dot, 4) AS dot FROM r WHERE rk <= 5""".stripMargin
+    )
+  )
+
+  // ---- P38: directional n-gram containment (FULL oracle — planted
+  // doc-in-doc pairs: each %9 doc's 15-token prefix becomes its own
+  // document; containment(short→long) ≈ 1 where Jaccard stays low) -----
+  val q231 = Q(
+    "q231_containment",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"), col("source"))
+      val quotes = docs
+        .where(col("doc_id") % 9 === 0)
+        .select(
+          (col("doc_id") + 2000000L).as("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 15)).as("text"),
+          col("source"))
+      graft.dedup.NGramJaccard
+        .containmentJoin(docs.unionByName(quotes), "text", "doc_id", "source",
+          n = 2, minContainment = 0.8)
+        .orderBy("block", "id_a", "id_b")
+    },
+    Some(
+      """WITH corpus AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    array_to_string(string_split(text, ' ')[1:15], ' '), source
+        |  FROM documents WHERE doc_id % 9 = 0),
+        |t AS (
+        |  SELECT source AS block, doc_id,
+        |    list_distinct(list_transform(range(1, len(string_split(text,' '))),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS ngrams
+        |  FROM corpus),
+        |p AS (SELECT a.block, a.doc_id AS id_a, b.doc_id AS id_b,
+        |        len(list_filter(a.ngrams, g -> list_contains(b.ngrams, g)))::DOUBLE AS inter,
+        |        len(a.ngrams) AS la, len(b.ngrams) AS lb
+        |      FROM t a JOIN t b ON a.block = b.block AND a.doc_id < b.doc_id)
+        |SELECT block, id_a, id_b,
+        |  round(inter / la, 4) AS cont_a_in_b,
+        |  round(inter / lb, 4) AS cont_b_in_a
+        |FROM p
+        |WHERE round(inter / la, 4) >= 0.8 OR round(inter / lb, 4) >= 0.8
+        |ORDER BY block, id_a, id_b""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229)
+      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231)
 }

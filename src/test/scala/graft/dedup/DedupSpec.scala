@@ -658,4 +658,23 @@ class DedupSpec extends SparkSpec {
         gramHash = graft.functions.SharedHash.md5Long60).count()
     assert(sweep.map(_._2).sum === nCand)
   }
+
+  test("NGramJaccard.containmentJoin: a quote inside a long doc scores ~1 one way, Jaccard low") {
+    val long = (1 to 60).map(j => s"w$j").mkString(" ")
+    val quote = (10 to 20).map(j => s"w$j").mkString(" ") // 11-token contiguous slice
+    val other = (100 to 160).map(j => s"x$j").mkString(" ")
+    val df = Seq((1L, long, "s"), (2L, quote, "s"), (3L, other, "s"))
+      .toDF("doc_id", "text", "source")
+    val pairs = NGramJaccard.containmentJoin(df, "text", "doc_id", "source",
+      n = 2, minContainment = 0.8)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) ->
+        ((r.getDouble(3), r.getDouble(4)))).toMap
+    // pair (1,2): quote's 10 bigrams all inside long's 59 -> cont_b_in_a = 1
+    assert(pairs.keySet == Set((1L, 2L)))
+    assert(pairs((1L, 2L))._2 == 1.0)
+    assert(pairs((1L, 2L))._1 < 0.2, "containment of long in quote stays low")
+    // and the symmetric Jaccard would never have flagged it at 0.5
+    val j = NGramJaccard.similarityJoin(df, "text", "doc_id", "source", n = 2, minJaccard = 0.5)
+    assert(j.count() == 0L)
+  }
 }
