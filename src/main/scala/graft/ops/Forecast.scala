@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Additive Holt–Winters (triple exponential smoothing; Winters 1960)
+  * per key — the FORECASTING member of the time-series family:
+  * [[Ewma]] smooths, [[Seasonal]] decomposes retrospectively,
+  * [[Changepoint]] alarms, this extrapolates level + trend + season
+  * `horizon` steps ahead and scores in-sample one-step-ahead fits:
+  *
+  *   l_t = α(y_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+  *   b_t = β(l_t − l_{t−1}) + (1−β) b_{t−1}
+  *   s_t = γ(y_t − l_t) + (1−γ) s_{t−m}
+  *
+  * The recursion is inherently sequential per key, so it runs as ONE
+  * `flatMapGroups` fold over each key's rows sorted by time — the
+  * [[graft.streaming.EventStream.ewmaStream]] shape and contract: a
+  * key's series fits one executor (time-cardinality rows, not corpus
+  * rows; a 10-year daily series is 3,650 doubles). Keys parallelize;
+  * nothing global.
+  *
+  * Initialization is the textbook two-season scheme: s = first-season
+  * deviations from its mean, l = first-season mean, b = (second-season
+  * mean − first)/m; series shorter than 2m are emitted with null
+  * outputs (flagged, not failed). 6dp floor-quantized outputs.
+  */
+object Forecast {
+
+  def holtWinters(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      valueCol: String,
+      period: Int,
+      alpha: Double = 0.3,
+      beta: Double = 0.1,
+      gamma: Double = 0.2,
+      horizon: Int = 0): DataFrame = {
+    require(period >= 2, "period must be >= 2")
+    require(horizon >= 0, "horizon must be >= 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+    val typed = df.select(
+      col(keyCol).cast("string").as("k"),
+      col(timeCol).cast("long").as("t"),
+      col(valueCol).cast("double").as("v"))
+      .as[(String, Long, Double)]
+
+    val out = typed
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        val n = rows.length
+        if (n < 2 * period) {
+          // too short to initialize: flagged rows, no forecasts
+          rows.iterator.map(r =>
+            (key, r._2, Option(r._3), None: Option[Double], None: Option[Double],
+              None: Option[Double], None: Option[Double], false))
+        } else {
+          val y = rows.map(_._3)
+          val m = period
+          val mean1 = y.take(m).sum / m
+          val mean2 = y.slice(m, 2 * m).sum / m
+          val s = Array.tabulate(m)(i => y(i) - mean1)
+          var l = mean1
+          var b = (mean2 - mean1) / m
+          val res = Array.newBuilder[(String, Long, Option[Double], Option[Double],
+            Option[Double], Option[Double], Option[Double], Boolean)]
+          var i = 0
+          while (i < n) {
+            if (i < m) {
+              res += ((key, rows(i)._2, Some(y(i)), None, None, Some(q6(s(i))), None, false))
+            } else {
+              val sPrev = s(i % m)
+              val fitted = l + b + sPrev
+              val lPrev = l
+              l = alpha * (y(i) - sPrev) + (1 - alpha) * (l + b)
+              b = beta * (l - lPrev) + (1 - beta) * b
+              s(i % m) = gamma * (y(i) - l) + (1 - gamma) * sPrev
+              res += ((key, rows(i)._2, Some(y(i)), Some(q6(l)), Some(q6(b)),
+                Some(q6(s(i % m))), Some(q6(fitted)), false))
+            }
+            i += 1
+          }
+          // forecasts extend the OBSERVED time index by its last spacing
+          // of 1 (integer steps, the dailySeries convention)
+          val lastT = rows(n - 1)._2
+          for (j <- 1 to horizon) {
+            val sj = s((n - 1 + j) % m)
+            res += ((key, lastT + j, None, None, None, Some(q6(sj)),
+              Some(q6(l + j * b + sj)), true))
+          }
+          res.result().iterator
+        }
+      }
+      .toDF("k", "t", "v", "level", "trend", "seasonal", "fitted", "is_forecast")
+    out
+      .withColumnRenamed("k", keyCol)
+      .withColumnRenamed("t", timeCol)
+      .withColumnRenamed("v", valueCol)
+  }
+}

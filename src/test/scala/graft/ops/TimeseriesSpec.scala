@@ -59,6 +59,38 @@ class TimeseriesSpec extends SparkSpec {
     }
   }
 
+  test("Forecast.holtWinters tracks a planted trend+season and forecasts it") {
+    val season = Array(5.0, -2, -1, -2)
+    val rows = (0 until 96).map(t => ("k", t.toLong, 50.0 + 2.0 * t + season(t % 4)))
+    val got = Forecast.holtWinters(rows.toDF("k", "t", "v"), "k", "t", "v",
+      period = 4, alpha = 0.5, beta = 0.3, gamma = 0.4, horizon = 8)
+      .orderBy("t").collect()
+    assert(got.length == 96 + 8)
+    val obs = got.filter(!_.getAs[Boolean]("is_forecast"))
+    // late in-sample one-step fits land within the noise-free tolerance
+    obs.drop(48).foreach { r =>
+      val t = r.getAs[Long]("t")
+      val fitted = r.getAs[Double]("fitted")
+      val truth = 50.0 + 2.0 * t + season((t % 4).toInt)
+      assert(math.abs(fitted - truth) < 0.8, s"t=$t fitted=$fitted truth=$truth")
+    }
+    // forecasts extrapolate trend + season within tolerance
+    got.filter(_.getAs[Boolean]("is_forecast")).foreach { r =>
+      val t = r.getAs[Long]("t")
+      val truth = 50.0 + 2.0 * t + season((t % 4).toInt)
+      assert(math.abs(r.getAs[Double]("fitted") - truth) < 1.5, s"forecast t=$t")
+      assert(r.isNullAt(r.fieldIndex("v")))
+    }
+  }
+
+  test("Forecast.holtWinters: short series flagged with null outputs, never failed") {
+    val rows = (0 until 5).map(t => ("k", t.toLong, 1.0 * t))
+    val got = Forecast.holtWinters(rows.toDF("k", "t", "v"), "k", "t", "v", period = 4)
+      .collect()
+    assert(got.length == 5)
+    assert(got.forall(r => r.isNullAt(r.fieldIndex("level"))))
+  }
+
   test("Seasonal.decompose validates the period and shards by key") {
     intercept[IllegalArgumentException] {
       Seasonal.decompose(Seq(("k", 1, 1.0)).toDF("k", "t", "v"), "k", "t", "v", period = 4)
