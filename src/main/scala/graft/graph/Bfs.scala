@@ -1,0 +1,65 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Multi-source BFS hop distance — "how far is every node from this
+  * seed set": influence radius from trusted domains, contamination
+  * blast-radius over a citation graph, crawl frontier depth. The
+  * frontier-expansion companion to [[PageRank.personalized]] (which
+  * spreads MASS; this spreads the MINIMUM HOP COUNT).
+  *
+  * Synchronous frontier iteration: dist holds settled (node, dist);
+  * each round joins the LAST frontier against the edge list, keeps
+  * genuinely new nodes (left_anti vs settled — a node's first
+  * discovery IS its minimum distance, the BFS invariant), unions them
+  * in at dist+1, and checkpoints through `Bridge.freshLeaf` (the FE
+  * lineage lesson). Per round: one equi-join + one anti-join + one
+  * distinct, all shuffled on the node key — frontier-sized, never
+  * corpus-rescanned. Terminates at `maxHops` or an empty frontier,
+  * whichever first. Unreached nodes are absent from the output (the
+  * caller left-joins its node universe; see q233).
+  */
+object Bfs {
+
+  def hopDistance(
+      edges: DataFrame,
+      seeds: DataFrame,
+      src: String = "src",
+      dst: String = "dst",
+      seedCol: String = "node",
+      maxHops: Int = 10
+  ): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val e = edges
+      .select(col(src).cast("string").as("es"), col(dst).cast("string").as("ed"))
+      .distinct()
+      .persist()
+    var settled = seeds
+      .select(col(seedCol).cast("string").as("node"))
+      .distinct()
+      .withColumn("dist", lit(0))
+      .localCheckpoint(true)
+    var frontier = settled
+    var hop = 0
+    var done = frontier.isEmpty
+    while (hop < maxHops && !done) {
+      val next = frontier
+        .join(e, col("node") === col("es"))
+        .select(col("ed").as("node"))
+        .distinct()
+        .join(settled, Seq("node"), "left_anti")
+        .withColumn("dist", lit(hop + 1))
+        .localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else {
+        settled = Bridge.freshLeaf(settled.unionByName(next).localCheckpoint(true))
+        frontier = next
+      }
+      hop += 1
+    }
+    e.unpersist(false)
+    settled
+  }
+}

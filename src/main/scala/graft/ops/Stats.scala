@@ -91,6 +91,26 @@ object Stats {
           2).as("df_welch"))
   }
 
+  /** Paired t-test on (x, y) rows — same-unit before/after contrasts
+    * (the matched companion to [[welchT]]'s independent-samples form):
+    * one aggregate over d = x − y, t = d̄ / (s_d/√n) with the explicit-
+    * moment sample variance, dof = n − 1. One codegen pass, one row
+    * out, 6dp.
+    */
+  def pairedT(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val d = col(xCol).cast("double") - col(yCol).cast("double")
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    df.agg(count(lit(1)).as("n"), sum(d).as("sd"), sum(d * d).as("qd"))
+      .select(
+        col("n").cast("long").as("n"),
+        q6(col("sd") / col("n").cast("double")).as("mean_diff"),
+        q6(sqrt((col("qd") - col("sd") * col("sd") / col("n").cast("double")) /
+          (col("n") - 1).cast("double"))).as("sd_diff"),
+        q6((col("sd") / col("n").cast("double")) /
+          sqrt(((col("qd") - col("sd") * col("sd") / col("n").cast("double")) /
+            (col("n") - 1).cast("double")) / col("n").cast("double"))).as("t"))
+  }
+
   /** Winsorized per-group statistics: clip `valueCol` to its group's
     * [pLo, pHi] interpolated percentiles (Spark `percentile` ≡ DuckDB
     * `quantile_cont`, the q17 bridge) and report the clipped mean next

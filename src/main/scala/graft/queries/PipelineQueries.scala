@@ -6300,11 +6300,118 @@ object PipelineQueries {
     None
   )
 
+  // ---- P39: multi-source BFS hop distance (FULL oracle — the q54
+  // recursive-CTE convention with a hop bound; undirected q166 edges;
+  // first discovery = min distance on both engines) --------------------
+  val q233 = Q(
+    "q233_bfs_distance",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir)
+      val directed = o.join(li, col("l_orderkey") === col("o_orderkey"))
+        .select(
+          concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      val edges = directed
+        .unionByName(directed.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val seeds = Tables.customer(s, dir)
+        .where(col("c_custkey") < 5)
+        .select(concat(lit("c"), col("c_custkey").cast("string")).as("node"))
+      graft.graph.Bfs.hopDistance(edges, seeds, maxHops = 4).orderBy("node")
+    },
+    Some(
+      """WITH RECURSIVE d0 AS (
+        |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM d0 UNION SELECT dst, src FROM d0),
+        |seeds AS (SELECT 'c' || c_custkey AS node FROM customer WHERE c_custkey < 5),
+        |reach(node, d) AS (
+        |  SELECT node, 0 FROM seeds
+        |  UNION
+        |  SELECT e.dst, reach.d + 1 FROM e JOIN reach ON e.src = reach.node
+        |  WHERE reach.d < 4)
+        |SELECT node, min(d) AS dist FROM reach GROUP BY 1 ORDER BY node""".stripMargin
+    )
+  )
+
+  // ---- Z18: gaps-and-islands interval union (FULL oracle — keyed
+  // running-max windows, integer second arithmetic; half-hour activity
+  // windows per event merge into per-user sessions-of-coverage) --------
+  val q234 = Q(
+    "q234_interval_islands",
+    (s, dir) => {
+      val spans = Tables.events(s, dir).select(
+        col("user_id"),
+        unix_timestamp(col("ts")).as("s"),
+        (unix_timestamp(col("ts")) + 1800L).as("e"))
+      graft.ops.Islands.coverage(spans, "user_id", "s", "e")
+        .orderBy("user_id", "island")
+    },
+    Some(
+      """WITH sp AS (SELECT user_id, floor(epoch(ts))::BIGINT AS s,
+        |              floor(epoch(ts))::BIGINT + 1800 AS e FROM events),
+        |m AS (SELECT user_id, s, e,
+        |        CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |               OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |             THEN 1 ELSE 0 END AS nw
+        |      FROM sp),
+        |i AS (SELECT user_id, s, e,
+        |        (sum(nw) OVER (PARTITION BY user_id ORDER BY s, e
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS island
+        |      FROM m),
+        |isl AS (SELECT user_id, island, min(s) AS island_start, max(e) AS island_end,
+        |          count(*)::BIGINT AS n_spans
+        |        FROM i GROUP BY 1, 2)
+        |SELECT user_id, island, island_start, island_end, n_spans,
+        |  (island_end - island_start) AS covered,
+        |  (count(*) OVER (PARTITION BY user_id))::BIGINT AS n_islands,
+        |  (sum(island_end - island_start) OVER (PARTITION BY user_id))::BIGINT AS total_covered
+        |FROM isl ORDER BY user_id, island""".stripMargin
+    )
+  )
+
+  // ---- T78: paired t-test (FULL oracle — explicit-moment variance,
+  // per-user first-half/second-half activity means as matched pairs) ---
+  val q235 = Q(
+    "q235_paired_t",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), unix_timestamp(col("ts")).as("sec"), col("value"))
+      val mm = ev.agg(min("sec"), max("sec")).head()
+      val mid = (mm.getLong(0) + mm.getLong(1)) / 2
+      val pairs = ev
+        .groupBy("user_id")
+        .agg(
+          avg(when(col("sec") <= mid, col("value"))).as("x"),
+          avg(when(col("sec") > mid, col("value"))).as("y"))
+        .where(col("x").isNotNull && col("y").isNotNull)
+      graft.ops.Stats.pairedT(pairs, "x", "y")
+    },
+    Some(
+      """WITH ev AS (SELECT user_id, floor(epoch(ts))::BIGINT AS sec, value FROM events),
+        |mm AS (SELECT (min(sec) + max(sec)) // 2 AS mid FROM ev),
+        |p AS (SELECT user_id,
+        |        avg(CASE WHEN sec <= (SELECT mid FROM mm) THEN value END) AS x,
+        |        avg(CASE WHEN sec > (SELECT mid FROM mm) THEN value END) AS y
+        |      FROM ev GROUP BY 1),
+        |q AS (SELECT x - y AS d FROM p WHERE x IS NOT NULL AND y IS NOT NULL),
+        |t AS (SELECT count(*)::DOUBLE AS n, sum(d) AS sd, sum(d*d) AS qd FROM q)
+        |SELECT n::BIGINT AS n,
+        |  floor((sd / n) * 1e6 + 0.5) / 1e6 AS mean_diff,
+        |  floor(sqrt((qd - sd*sd/n) / (n - 1)) * 1e6 + 0.5) / 1e6 AS sd_diff,
+        |  floor(((sd / n) / sqrt(((qd - sd*sd/n) / (n - 1)) / n)) * 1e6 + 0.5) / 1e6 AS t
+        |FROM t""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232)
+      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235)
 }

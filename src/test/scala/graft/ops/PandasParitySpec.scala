@@ -47,6 +47,34 @@ class PandasParitySpec extends SparkSpec {
     assert(b.toSeq == Seq(Some(5.0), Some(5.0), Some(9.0), Some(9.0), None, Some(1.0), None))
   }
 
+  test("Islands.coverage merges overlapping and touching spans, keeps gaps apart") {
+    val spans = Seq(
+      ("u", 0L, 10L), ("u", 5L, 12L), ("u", 12L, 20L), // one island [0,20] (touching merges)
+      ("u", 30L, 40L),                                  // gap -> second island
+      ("v", 100L, 110L))
+      .toDF("k", "s", "e")
+    val got = Islands.coverage(spans, "k", "s", "e").orderBy("k", "island").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(got.toSeq == Seq(
+      ("u", 1L, 0L, 20L, 3L, 20L, 2L, 30L),
+      ("u", 2L, 30L, 40L, 1L, 10L, 2L, 30L),
+      ("v", 1L, 100L, 110L, 1L, 10L, 1L, 10L)))
+  }
+
+  test("Stats.pairedT: hand value; zero-difference pairs give t ~ 0") {
+    val pairs = Seq((5.0, 3.0), (6.0, 5.0), (8.0, 4.0), (7.0, 7.0)).toDF("x", "y")
+    val r = Stats.pairedT(pairs, "x", "y").head()
+    // d = 2,1,4,0: mean 1.75, s^2 = (21 - 12.25)/3, t = 1.75/(sqrt(2.91667)/2)
+    assert(r.getAs[Long]("n") == 4L)
+    assert(math.abs(r.getAs[Double]("mean_diff") - 1.75) < 1e-9)
+    val s = math.sqrt((21.0 - 4 * 1.75 * 1.75) / 3)
+    assert(math.abs(r.getAs[Double]("sd_diff") - s) < 2e-6)
+    assert(math.abs(r.getAs[Double]("t") - 1.75 / (s / 2)) < 2e-6)
+    val same = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0 + 1e-12)).toDF("x", "y")
+    assert(math.abs(Stats.pairedT(same, "x", "y").head().getAs[Double]("mean_diff")) < 1e-9)
+  }
+
   test("Eval.confusion: hand 3-class table; absent predicted class scores precision 0") {
     // truth:  a a a b b c ; pred: a a b b b a  -> c never predicted
     val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"), ("c", "a"))
