@@ -945,4 +945,26 @@ object Glm {
     val inv = LinAlg.inverse(bread)
     LinAlg.matMul(LinAlg.matMul(inv, meat), inv)
   }
+
+  /** Average marginal effects for a fitted GLM — the quantity applied
+    * work reports instead of link-scale coefficients ("one more unit of
+    * x moves the PROBABILITY by…"): for a continuous regressor,
+    * AME_j = β_j · E[dμ/dη] by the chain rule, with the expectation
+    * taken over the ESTIMATION sample (the standard observed-data AME,
+    * not the at-the-mean MEM). ONE scoring aggregate over the frame
+    * (dμ/dη is a row-local expression of η) — no per-covariate passes;
+    * intercept excluded. Output: (name, coef, ame) per covariate, 6dp.
+    */
+  def averageMarginalEffects(df: DataFrame, m: GlmModel): DataFrame = {
+    val fam = familyOf(m.family, m.dispersion)
+    val mu = fam.mu(m.etaCol)
+    val meanDeriv = df.agg(avg(fam.dMuDeta(mu))).head().getDouble(0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    m.xNames.zip(m.coef)
+      .filter(_._1 != "(intercept)")
+      .map { case (nm, b) => (nm, q6(b), q6(b * meanDeriv)) }
+      .toDF("name", "coef", "ame")
+  }
 }

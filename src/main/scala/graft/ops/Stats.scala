@@ -91,6 +91,57 @@ object Stats {
           2).as("df_welch"))
   }
 
+  /** One-way ANOVA — does the group mean differ ANYWHERE across k
+    * groups (the k-group generalization of [[welchT]]'s two-sample
+    * contrast, classical equal-variance form):
+    * F = (SSB/(k−1)) / (SSW/(n−k)) with SSB = Σ nⱼ(x̄ⱼ − x̄)²,
+    * SSW = SST − SSB, plus the η² = SSB/SST effect size. ONE per-group
+    * moment aggregate (k rows) + closed forms — every sum exact for
+    * integer-ish values, divisions last, 6dp.
+    */
+  def anovaOneWay(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val y = col(valueCol).cast("double")
+    val g = df.groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).cast("double").as("nj"), sum(y).as("sj"), sum(y * y).as("qj"))
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    // raw sums of squares are corpus-magnitude (Σv² ~ 1e9 at sf0.1), so
+    // cross-engine summation-order noise (~1e-5 absolute) would trip a
+    // 6dp quantizer — the SS columns quantize at 2dp; the O(1) ratios
+    // (F, η²) keep 6dp
+    def q2(c: Column) = floor(c * lit(1e2) + lit(0.5)).cast("double") / lit(1e2)
+    g.agg(
+      count(lit(1)).as("k"),
+      sum("nj").as("n"),
+      sum("sj").as("st"),
+      sum("qj").as("qt"),
+      sum(col("sj") * col("sj") / col("nj")).as("sb_raw"))
+      .select(
+        col("k").cast("long").as("k"),
+        col("n").cast("long").as("n"),
+        q2(col("sb_raw") - col("st") * col("st") / col("n")).as("ss_between"),
+        q2(col("qt") - col("sb_raw")).as("ss_within"),
+        q6(((col("sb_raw") - col("st") * col("st") / col("n")) / (col("k") - 1)) /
+          ((col("qt") - col("sb_raw")) / (col("n") - col("k")))).as("f_stat"),
+        q6((col("sb_raw") - col("st") * col("st") / col("n")) /
+          (col("qt") - col("st") * col("st") / col("n"))).as("eta_sq"))
+  }
+
+  /** Brown–Forsythe/Levene homogeneity-of-variance test — ANOVA on the
+    * absolute deviations from each group's MEDIAN (the robust 1974
+    * variant): the gate before trusting [[anovaOneWay]]'s pooled
+    * variance. One exact per-group percentile pass (group-cardinality
+    * frame, broadcast back — the [[winsorizedMean]] shape), then the
+    * same one-aggregate ANOVA closed form over |x − medⱼ|.
+    */
+  def leveneTest(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val meds = df.groupBy(col(groupCol).as("__lev_g"))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("__lev_med"))
+    val dev = df
+      .join(broadcast(meds), col(groupCol) === col("__lev_g"))
+      .select(col(groupCol), abs(col(valueCol).cast("double") - col("__lev_med")).as("__z"))
+    anovaOneWay(dev, "__z", groupCol)
+  }
+
   /** Paired t-test on (x, y) rows — same-unit before/after contrasts
     * (the matched companion to [[welchT]]'s independent-samples form):
     * one aggregate over d = x − y, t = d̄ / (s_d/√n) with the explicit-

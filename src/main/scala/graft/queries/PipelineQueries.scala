@@ -6407,11 +6407,74 @@ object PipelineQueries {
     )
   )
 
+  // ---- T79: one-way ANOVA + eta-squared (FULL oracle — one k-row
+  // moment aggregate, closed forms, divisions last) --------------------
+  val q236 = Q(
+    "q236_anova",
+    (s, dir) =>
+      graft.ops.Stats.anovaOneWay(Tables.events(s, dir), "value", "event_type"),
+    Some(
+      """WITH g AS (SELECT event_type, count(*)::DOUBLE AS nj, sum(value) AS sj,
+        |             sum(value*value) AS qj
+        |           FROM events GROUP BY 1),
+        |t AS (SELECT count(*)::DOUBLE AS k, sum(nj) AS n, sum(sj) AS st, sum(qj) AS qt,
+        |        sum(sj*sj/nj) AS sb_raw FROM g)
+        |SELECT k::BIGINT AS k, n::BIGINT AS n,
+        |  floor((sb_raw - st*st/n) * 1e2 + 0.5) / 1e2 AS ss_between,
+        |  floor((qt - sb_raw) * 1e2 + 0.5) / 1e2 AS ss_within,
+        |  floor((((sb_raw - st*st/n) / (k - 1)) / ((qt - sb_raw) / (n - k))) * 1e6 + 0.5) / 1e6
+        |    AS f_stat,
+        |  floor(((sb_raw - st*st/n) / (qt - st*st/n)) * 1e6 + 0.5) / 1e6 AS eta_sq
+        |FROM t""".stripMargin
+    )
+  )
+
+  // ---- T80: Brown-Forsythe/Levene variance-homogeneity test (FULL
+  // oracle — exact group medians via the q17 percentile bridge, then
+  // the q236 ANOVA closed form over |x - med|) -------------------------
+  val q237 = Q(
+    "q237_levene",
+    (s, dir) =>
+      graft.ops.Stats.leveneTest(Tables.events(s, dir), "value", "event_type"),
+    Some(
+      """WITH meds AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |              FROM events GROUP BY 1),
+        |z AS (SELECT e.event_type, abs(e.value - m.med) AS z
+        |      FROM events e JOIN meds m USING (event_type)),
+        |g AS (SELECT event_type, count(*)::DOUBLE AS nj, sum(z) AS sj, sum(z*z) AS qj
+        |      FROM z GROUP BY 1),
+        |t AS (SELECT count(*)::DOUBLE AS k, sum(nj) AS n, sum(sj) AS st, sum(qj) AS qt,
+        |        sum(sj*sj/nj) AS sb_raw FROM g)
+        |SELECT k::BIGINT AS k, n::BIGINT AS n,
+        |  floor((sb_raw - st*st/n) * 1e2 + 0.5) / 1e2 AS ss_between,
+        |  floor((qt - sb_raw) * 1e2 + 0.5) / 1e2 AS ss_within,
+        |  floor((((sb_raw - st*st/n) / (k - 1)) / ((qt - sb_raw) / (n - k))) * 1e6 + 0.5) / 1e6
+        |    AS f_stat,
+        |  floor(((sb_raw - st*st/n) / (qt - st*st/n)) * 1e6 + 0.5) / 1e6 AS eta_sq
+        |FROM t""".stripMargin
+    )
+  )
+
+  // ---- C71: GLM average marginal effects (rows-only: the logit fit
+  // is iterative; GlmSpec pins AME against a numerical derivative) -----
+  val q238 = Q(
+    "q238_logit_ame",
+    (s, dir) => {
+      val o = Tables.orders(s, dir).select(
+        (col("o_orderpriority") === "1-URGENT").cast("int").as("y"),
+        (col("o_totalprice") / lit(100000.0)).as("x_price"),
+        (unix_timestamp(col("o_orderdate")) / lit(86400.0 * 3650)).as("x_age"))
+      val m = graft.ml.Glm.logistic(o, "y", Seq("x_price", "x_age"))
+      graft.ml.Glm.averageMarginalEffects(o, m).orderBy("name")
+    },
+    None
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235)
+      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238)
 }

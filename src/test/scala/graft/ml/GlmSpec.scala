@@ -758,4 +758,31 @@ class GlmSpec extends SparkSpec {
     val seDx = math.sqrt(vD(1)(1))
     assert(math.abs(fe.seClustered("cl")(0) - seDx) / seDx < 1e-4)
   }
+
+  test("averageMarginalEffects matches a numerical probability derivative (logit)") {
+    val rng = new scala.util.Random(13)
+    val rows = (1 to 4000).map { _ =>
+      val x1 = rng.nextGaussian(); val x2 = rng.nextDouble()
+      val p = 1.0 / (1.0 + math.exp(-(-0.5 + 1.2 * x1 - 0.8 * x2)))
+      (if (rng.nextDouble() < p) 1 else 0, x1, x2)
+    }
+    val df = rows.toDF("y", "x1", "x2")
+    val m = Glm.logistic(df, "y", Seq("x1", "x2"))
+    val ame = Glm.averageMarginalEffects(df, m).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // numerical AME: mean over rows of [P(.|x_j+h) - P(.|x_j-h)]/2h at
+    // the FITTED coefficients
+    val b = m.coef // (intercept, x1, x2)
+    def pOf(x1: Double, x2: Double) =
+      1.0 / (1.0 + math.exp(-(b(0) + b(1) * x1 + b(2) * x2)))
+    val h = 1e-5
+    val num1 = rows.map { case (_, x1, x2) => (pOf(x1 + h, x2) - pOf(x1 - h, x2)) / (2 * h) }
+      .sum / rows.size
+    val num2 = rows.map { case (_, x1, x2) => (pOf(x1, x2 + h) - pOf(x1, x2 - h)) / (2 * h) }
+      .sum / rows.size
+    assert(math.abs(ame("x1") - num1) < 1e-4, s"${ame("x1")} vs $num1")
+    assert(math.abs(ame("x2") - num2) < 1e-4, s"${ame("x2")} vs $num2")
+    // sign and magnitude sanity: AME is the coefficient shrunk by E[mu(1-mu)] <= 0.25
+    assert(ame("x1") > 0 && ame("x1") < b(1))
+  }
 }

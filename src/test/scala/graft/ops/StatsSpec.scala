@@ -237,4 +237,32 @@ class StatsSpec extends SparkSpec {
     assert(Stats.gini(t1, "g", "v").head().getAs[Double]("gini") ===
       Stats.gini(t2, "g", "v").head().getAs[Double]("gini"))
   }
+
+  test("Stats.anovaOneWay: hand 3-group F and eta^2; identical groups give F = 0") {
+    // groups: (1,2,3), (2,3,4), (7,8,9) — hand: means 2,3,8; grand 13/3
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 2.0), ("b", 3.0), ("b", 4.0),
+      ("c", 7.0), ("c", 8.0), ("c", 9.0)).toDF("g", "v")
+    val r = Stats.anovaOneWay(df, "v", "g").head()
+    val grand = 39.0 / 9
+    val ssb = 3 * (math.pow(2 - grand, 2) + math.pow(3 - grand, 2) + math.pow(8 - grand, 2))
+    val ssw = 6.0 // each group contributes (1+0+1) = 2
+    assert(r.getAs[Long]("k") == 3L && r.getAs[Long]("n") == 9L)
+    assert(math.abs(r.getAs[Double]("ss_between") - ssb) < 0.011)
+    assert(math.abs(r.getAs[Double]("ss_within") - ssw) < 0.011)
+    assert(math.abs(r.getAs[Double]("f_stat") - (ssb / 2) / (ssw / 6)) < 1e-4)
+    assert(math.abs(r.getAs[Double]("eta_sq") - ssb / (ssb + ssw)) < 1e-4)
+    val flat = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0)).toDF("g", "v")
+    assert(Stats.anovaOneWay(flat, "v", "g").head().getAs[Double]("f_stat") == 0.0)
+  }
+
+  test("Stats.leveneTest flags unequal spreads, stays calm on equal ones") {
+    val rng = new scala.util.Random(7)
+    val tight = (1 to 500).map(_ => ("t", rng.nextGaussian() * 1.0))
+    val wide = (1 to 500).map(_ => ("w", rng.nextGaussian() * 5.0))
+    val unequal = Stats.leveneTest((tight ++ wide).toDF("g", "v"), "v", "g").head()
+    assert(unequal.getAs[Double]("f_stat") > 50.0)
+    val tight2 = (1 to 500).map(_ => ("u", rng.nextGaussian() * 1.0))
+    val equal = Stats.leveneTest((tight ++ tight2).toDF("g", "v"), "v", "g").head()
+    assert(equal.getAs[Double]("f_stat") < 5.0)
+  }
 }
