@@ -420,4 +420,34 @@ object Ols {
 
   def seHC3(df: DataFrame, model: OlsModel, y: String): Array[Double] =
     varianceHC(df, model, y, delta = 2).zipWithIndex.map { case (r, i) => math.sqrt(r(i)) }
+
+  /** Model-selection fit statistics from the Gram identities alone (NO
+    * extra data pass): R², adjusted R², RMSE, Gaussian log-likelihood,
+    * AIC, BIC. SST is mean-centered when the model carries an intercept
+    * (Σy rides the intercept row of X'y), uncentered otherwise — the
+    * standard convention pair. σ-count: AIC/BIC charge k + 1 parameters
+    * (coefficients + the error variance). Large raw sums never leave the
+    * driver; only O(1) ratios (6dp) and the information criteria (2dp —
+    * n-scaled) are emitted.
+    */
+  def fitStats(spark: org.apache.spark.sql.SparkSession, m: OlsModel): DataFrame = {
+    val k = m.coef.length
+    val n = m.n.toDouble
+    val hasIntercept = m.xNames.headOption.contains("(intercept)")
+    val sst =
+      if (hasIntercept) m.yty - m.xty(0) * m.xty(0) / n // Σy = intercept row of X'y
+      else m.yty
+    val ssr = m.ssr
+    val r2 = 1.0 - ssr / sst
+    val adj = 1.0 - (1.0 - r2) * (n - (if (hasIntercept) 1.0 else 0.0)) / (n - k)
+    val rmse = math.sqrt(ssr / n)
+    val ll = -0.5 * n * (math.log(2.0 * math.Pi) + math.log(ssr / n) + 1.0)
+    val aic = 2.0 * (k + 1) - 2.0 * ll
+    val bic = math.log(n) * (k + 1) - 2.0 * ll
+    import spark.implicits._
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def q2(x: Double) = math.floor(x * 1e2 + 0.5) / 1e2
+    Seq((m.n, k.toLong, q6(r2), q6(adj), q6(rmse), q2(ll), q2(aic), q2(bic)))
+      .toDF("n", "k", "r2", "adj_r2", "rmse", "log_lik", "aic", "bic")
+  }
 }

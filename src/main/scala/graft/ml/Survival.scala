@@ -59,6 +59,53 @@ object Survival {
       .orderBy(col("t"))
   }
 
+  /** [[kaplanMeier]] plus the Greenwood (1926) standard error and the
+    * plain z confidence band clamped to [0, 1]:
+    * Var Ŝ(t) = Ŝ(t)² Σ_{tᵢ≤t} dᵢ/(nᵢ(nᵢ−dᵢ)). Terminal times where
+    * everyone dies (d = n) get se = 0 by the S = 0 convention (their
+    * Greenwood term is skipped — S² · ∞ reads as 0 here, matching every
+    * survival package). Same distinct-duration window shape; one extra
+    * prefix sum.
+    */
+  def kaplanMeierCI(
+      df: DataFrame,
+      durationCol: String,
+      eventCol: String,
+      z: Double = 1.959964): DataFrame = {
+    val counts = df
+      .groupBy(col(durationCol).cast("double").as("t"))
+      .agg(
+        sum(col(eventCol).cast("int")).cast("long").as("d"),
+        sum(lit(1) - col(eventCol).cast("int")).cast("long").as("c"))
+    val wDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def q6(cc: Column) = floor(cc * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    val base = counts
+      .withColumn("n_risk", sum(col("d") + col("c")).over(wDesc))
+      .withColumn("ln_term",
+        when(col("d") > 0,
+          log(greatest(
+            lit(1.0) - col("d").cast("double") / col("n_risk").cast("double"),
+            lit(1e-300))))
+          .otherwise(lit(0.0)))
+      .withColumn("gw_term",
+        when(col("d") > 0 && col("n_risk") > col("d"),
+          col("d").cast("double") /
+            (col("n_risk").cast("double") * (col("n_risk") - col("d")).cast("double")))
+          .otherwise(lit(0.0)))
+      .withColumn("surv_raw", exp(sum(col("ln_term")).over(wAsc)))
+      .withColumn("se_raw", col("surv_raw") * sqrt(sum(col("gw_term")).over(wAsc)))
+    base.select(
+      col("t"), col("n_risk"), col("d").as("d_events"), col("c").as("n_censored"),
+      q6(col("surv_raw")).as("survival"),
+      q6(col("se_raw")).as("se"),
+      q6(greatest(lit(0.0), col("surv_raw") - lit(z) * col("se_raw"))).as("ci_lo"),
+      q6(least(lit(1.0), col("surv_raw") + lit(z) * col("se_raw"))).as("ci_hi"))
+      .orderBy(col("t"))
+  }
+
   /** Nelson–Aalen cumulative hazard (Nelson 1972; Aalen 1978) —
     * Ĥ(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ over distinct event times, the estimator
     * behind hazard plots and the Fleming–Harrington survival variant

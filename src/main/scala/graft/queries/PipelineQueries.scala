@@ -6470,11 +6470,92 @@ object PipelineQueries {
     None
   )
 
+  // ---- T81: Kaplan-Meier with Greenwood bands (FULL oracle — q168's
+  // replay plus one more prefix sum; the d = n terminal convention is
+  // explicit on both sides) --------------------------------------------
+  val q239 = Q(
+    "q239_km_greenwood",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val per = ev
+        .select(col("user_id"), floor(unix_timestamp(col("ts")) / 86400).as("day"))
+        .groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+      val maxDay = per.agg(max("d1")).head().getLong(0)
+      val spans = per.select(
+        (col("d1") - col("d0") + 1).cast("double").as("dur"),
+        when(col("d1") < maxDay - 7, 1).otherwise(0).as("ev"))
+      graft.ml.Survival.kaplanMeierCI(spans, "dur", "ev")
+    },
+    Some(
+      """WITH d AS (SELECT user_id, floor(epoch(ts)/86400)::BIGINT AS day FROM events),
+        |p AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1),
+        |mx AS (SELECT max(d1) AS m FROM p),
+        |sp AS (SELECT (d1 - d0 + 1)::DOUBLE AS t,
+        |         CASE WHEN d1 < (SELECT m FROM mx) - 7 THEN 1 ELSE 0 END AS ev FROM p),
+        |c AS (SELECT t, sum(ev)::BIGINT AS d, sum(1 - ev)::BIGINT AS cns FROM sp GROUP BY 1),
+        |r AS (SELECT t, d, cns,
+        |        (sum(d + cns) OVER (ORDER BY t DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS n_risk FROM c),
+        |k AS (SELECT t, n_risk, d, cns,
+        |        CASE WHEN d > 0
+        |          THEN ln(greatest(1.0 - d::DOUBLE/n_risk::DOUBLE, 1e-300)) ELSE 0.0 END AS lt,
+        |        CASE WHEN d > 0 AND n_risk > d
+        |          THEN d::DOUBLE / (n_risk::DOUBLE * (n_risk - d)::DOUBLE) ELSE 0.0 END AS gw
+        |      FROM r),
+        |w AS (SELECT t, n_risk, d, cns,
+        |        exp(sum(lt) OVER pa) AS surv,
+        |        exp(sum(lt) OVER pa) * sqrt(sum(gw) OVER pa) AS se
+        |      FROM k WINDOW pa AS (ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT t, n_risk, d AS d_events, cns AS n_censored,
+        |  floor(surv * 1e6 + 0.5) / 1e6 AS survival,
+        |  floor(se * 1e6 + 0.5) / 1e6 AS se,
+        |  floor(greatest(0.0, surv - 1.959964 * se) * 1e6 + 0.5) / 1e6 AS ci_lo,
+        |  floor(least(1.0, surv + 1.959964 * se) * 1e6 + 0.5) / 1e6 AS ci_hi
+        |FROM w ORDER BY t""".stripMargin
+    )
+  )
+
+  // ---- C72: OLS fit statistics (FULL oracle — SSR re-minimized from
+  // the SQL closed-form slope is first-order insensitive to coefficient
+  // ulps, so R2/RMSE/AIC agree far inside their quantizers) ------------
+  val q240 = Q(
+    "q240_ols_fit_stats",
+    (s, dir) => {
+      val o = Tables.orders(s, dir).select(
+        col("o_totalprice").cast("double").as("y"),
+        floor(unix_timestamp(col("o_orderdate")) / 86400).cast("double").as("x"))
+      val m = graft.ml.Ols.fit(o, "y", Seq("x"))
+      graft.ml.Ols.fitStats(s, m)
+    },
+    Some(
+      """WITH d AS (SELECT o_totalprice::DOUBLE AS y,
+        |             floor(epoch(o_orderdate)/86400)::DOUBLE AS x FROM orders),
+        |m AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+        |        sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy FROM d),
+        |cf AS (SELECT n, (n*sxy - sx*sy)/(n*sxx - sx*sx) AS b,
+        |         (sy - (n*sxy - sx*sy)/(n*sxx - sx*sx) * sx)/n AS a,
+        |         syy - sy*sy/n AS sst FROM m),
+        |rr AS (SELECT cf.n AS n, cf.sst AS sst,
+        |         sum((y - a - b*x)*(y - a - b*x)) AS ssr
+        |       FROM d CROSS JOIN cf GROUP BY cf.n, cf.sst)
+        |SELECT n::BIGINT AS n, 2::BIGINT AS k,
+        |  floor((1.0 - ssr/sst) * 1e6 + 0.5) / 1e6 AS r2,
+        |  floor((1.0 - (ssr/sst) * (n - 1.0)/(n - 2.0)) * 1e6 + 0.5) / 1e6 AS adj_r2,
+        |  floor(sqrt(ssr/n) * 1e6 + 0.5) / 1e6 AS rmse,
+        |  floor((-0.5 * n * (ln(2.0 * pi()) + ln(ssr/n) + 1.0)) * 1e2 + 0.5) / 1e2 AS log_lik,
+        |  floor((6.0 + n * (ln(2.0 * pi()) + ln(ssr/n) + 1.0)) * 1e2 + 0.5) / 1e2 AS aic,
+        |  floor((3.0 * ln(n) + n * (ln(2.0 * pi()) + ln(ssr/n) + 1.0)) * 1e2 + 0.5) / 1e2 AS bic
+        |FROM rr""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238)
+      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240)
 }

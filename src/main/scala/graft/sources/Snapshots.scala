@@ -100,4 +100,36 @@ object Snapshots {
     require(vs.nonEmpty, s"Snapshots: no committed versions at $root")
     readVersion(spark, root, vs.last)
   }
+
+  /** Expire history: drop manifests older than the newest `keepVersions`
+    * and delete every data dir no surviving manifest references — the
+    * VACUUM/expire-snapshots half of the table-format contract. Deletion
+    * order is crash-safe in the same spirit as commits: manifests go
+    * FIRST (a version stops being readable before its files vanish), so
+    * a crash mid-vacuum leaves either a still-consistent older table or
+    * a fully-vacuumed one — never a manifest pointing at deleted data.
+    * Orphaned data dirs from torn commits (no manifest at all) are
+    * swept too. Returns (versions dropped, data dirs deleted).
+    */
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1): (Int, Int) = {
+    require(keepVersions >= 1, "must keep at least one version")
+    val f = fs(spark, root)
+    val vs = versions(spark, root)
+    val drop = vs.dropRight(keepVersions)
+    val keep = vs.takeRight(keepVersions)
+    val keptDirs = keep.flatMap(v => dirsOf(spark, root, v)).toSet
+    // 1. manifests of dropped versions first
+    drop.foreach(v => f.delete(new Path(s"$root/_manifests/v$v"), true))
+    // 2. any data dir not referenced by a surviving manifest (covers
+    //    dropped-version dirs AND torn-commit orphans)
+    val dataRoot = new Path(s"$root/data")
+    var removed = 0
+    if (f.exists(dataRoot)) {
+      f.listStatus(dataRoot).foreach { st =>
+        val rel = s"data/${st.getPath.getName}"
+        if (!keptDirs.contains(rel)) { f.delete(st.getPath, true); removed += 1 }
+      }
+    }
+    (drop.size, removed)
+  }
 }

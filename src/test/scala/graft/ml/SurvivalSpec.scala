@@ -49,6 +49,52 @@ class SurvivalSpec extends SparkSpec {
       assert(r.getAs[Double]("survival_fh") >= km(t) - 1e-9, s"t=$t") }
   }
 
+  test("kaplanMeierCI: Greenwood SE hand values; terminal d=n gets se 0; band clamps") {
+    val df = Seq((1.0, 1), (2.0, 0), (3.0, 1), (4.0, 1), (5.0, 0)).toDF("dur", "ev")
+    val km = Survival.kaplanMeierCI(df, "dur", "ev").collect()
+      .map(r => r.getDouble(0) -> r).toMap
+    // t=1: S=0.8, gw = 1/(5*4); se = 0.8*sqrt(0.05)
+    assert(math.abs(km(1.0).getAs[Double]("se") - 0.8 * math.sqrt(1.0 / 20)) < 1e-6)
+    // survival column identical to plain kaplanMeier
+    val plain = Survival.kaplanMeier(df, "dur", "ev").collect()
+      .map(r => r.getDouble(0) -> r.getAs[Double]("survival")).toMap
+    km.foreach { case (t, r) => assert(r.getAs[Double]("survival") == plain(t), s"t=$t") }
+    // bands bracket the estimate and clamp into [0,1]
+    km.values.foreach { r =>
+      assert(r.getAs[Double]("ci_lo") >= 0.0 && r.getAs[Double]("ci_hi") <= 1.0)
+      assert(r.getAs[Double]("ci_lo") <= r.getAs[Double]("survival"))
+      assert(r.getAs[Double]("ci_hi") >= r.getAs[Double]("survival"))
+    }
+    // everyone-dies-at-the-end: se 0 at the terminal time (S = 0)
+    val all = (1 to 4).map(d => (d.toDouble, 1)).toDF("dur", "ev")
+    val last = Survival.kaplanMeierCI(all, "dur", "ev").collect()
+      .map(r => r.getDouble(0) -> r).toMap
+    assert(last(4.0).getAs[Double]("survival") == 0.0)
+    assert(last(4.0).getAs[Double]("se") == 0.0)
+  }
+
+  test("Ols.fitStats: R-squared/AIC closed forms on a hand-checkable fit") {
+    val rng = new scala.util.Random(2)
+    val rows = (1 to 500).map { _ =>
+      val x = rng.nextGaussian() * 3
+      (2.0 + 1.5 * x + rng.nextGaussian() * 0.7, x)
+    }
+    val df = rows.toDF("y", "x")
+    val m = Ols.fit(df, "y", Seq("x"))
+    val st = Ols.fitStats(spark, m).head()
+    // driver replica from raw data
+    val n = rows.size.toDouble
+    val (ys, xs) = (rows.map(_._1), rows.map(_._2))
+    val b = m.coef
+    val ssr = rows.map { case (y, x) => math.pow(y - b(0) - b(1) * x, 2) }.sum
+    val sst = ys.map(y => math.pow(y - ys.sum / n, 2)).sum
+    assert(math.abs(st.getAs[Double]("r2") - (1 - ssr / sst)) < 1e-5)
+    assert(math.abs(st.getAs[Double]("rmse") - math.sqrt(ssr / n)) < 1e-5)
+    val ll = -0.5 * n * (math.log(2 * math.Pi) + math.log(ssr / n) + 1)
+    assert(math.abs(st.getAs[Double]("aic") - (2 * 3 - 2 * ll)) < 0.02)
+    assert(st.getAs[Double]("adj_r2") < st.getAs[Double]("r2"))
+  }
+
   test("dropping censored rows (the naive mistake) biases survival down vs proper KM") {
     val rows = (0 until 200).map { i =>
       val d = 1.0 + (i % 10)

@@ -426,5 +426,18 @@ class SourcesSpec extends SparkSpec {
     assert(v4 === 4)
     assert(Snapshots.readLatest(spark, root).as[Int].collect().sorted.toSeq === Seq(7, 9))
     assert(Snapshots.readVersion(spark, root, 2).count() === 5L)
+
+    // VACUUM: keep the latest 2 versions; v1/v2 manifests and every
+    // unreferenced data dir (incl. the torn v4-torn orphan) are gone,
+    // the kept history still reads exactly
+    val (dropped, deleted) = Snapshots.vacuum(spark, root, keepVersions = 2)
+    assert(dropped === 2)
+    assert(deleted >= 3) // v1's dir, v2's dir, the torn orphan
+    assert(Snapshots.versions(spark, root) === Seq(3, 4))
+    assert(Snapshots.readVersion(spark, root, 3).as[Int].collect().toSeq === Seq(9))
+    assert(Snapshots.readLatest(spark, root).as[Int].collect().sorted.toSeq === Seq(7, 9))
+    assert(intercept[Exception] { Snapshots.readVersion(spark, root, 1) } != null)
+    // idempotent: vacuuming again deletes nothing further
+    assert(Snapshots.vacuum(spark, root, keepVersions = 2) === ((0, 0)))
   }
 }
