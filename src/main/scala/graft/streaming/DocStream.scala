@@ -224,6 +224,32 @@ object DocStream {
         col("pred_lang").isin(allowedLangs: _*))
   }
 
+  /** S31: streaming HTML extraction gate — [[graft.text.Extract]] at
+    * the stream's front door: each arriving raw-HTML document is
+    * extracted (row-local regex/HOF algebra — stateless, so it streams
+    * with NO state store and no watermark), and kept when the extracted
+    * body clears `minBodyWords` and is not flagged malformed (malformed
+    * rows route to the complement, the flagged-not-failed convention).
+    * The natural upstream of [[qualityGateStream]]; batch/stream parity
+    * is exact by construction and pinned by `StreamingSpec`.
+    */
+  def extractGateStream(
+      stream: DataFrame,
+      htmlCol: String,
+      idCol: String,
+      minBodyWords: Int = 10,
+      dropMalformed: Boolean = false
+  ): DataFrame = {
+    // the ROW-LOCAL extraction variant: no posexplode/groupBy, so the
+    // stream carries no aggregation state at all
+    val extracted = graft.text.Extract.fromHtmlRowLocal(stream, htmlCol, idCol)
+    val bodyWords = when(col("body_text") === "", 0)
+      .otherwise(size(split(col("body_text"), " ")))
+    val keep = bodyWords >= minBodyWords &&
+      (!lit(dropMalformed) || col("malformed") === 0L)
+    extracted.where(keep)
+  }
+
   /** S17: streaming DSIR importance gate — the online form of
     * [[graft.text.Dsir]]: each arriving document is scored
     * log w = Σ_tokens (log p_tgt − log p_bg) against two STATIC

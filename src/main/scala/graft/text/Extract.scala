@@ -109,6 +109,62 @@ object Extract {
         max(col("__mal")).as("malformed"))
   }
 
+  /** The same extraction as ONE row-local projection — the whole line
+    * pipeline as HOF array algebra (split → transform → filter →
+    * array_join) with no posexplode and no groupBy, so it runs inside a
+    * STREAM with zero state (see
+    * [[graft.streaming.DocStream.extractGateStream]]). Output schema ≡
+    * [[fromHtml]]; ExtractSpec pins row-for-row parity.
+    */
+  def fromHtmlRowLocal(
+      df: DataFrame,
+      htmlCol: String,
+      idCol: String,
+      minWords: Int = 3,
+      linkWordFactor: Int = 4,
+      minAlphaFrac: Double = 0.5): DataFrame = {
+    val t4 = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(htmlCol),
+            "(?is)<script[^>]*>.*?</script[^>]*>", " "),
+          "(?is)<style[^>]*>.*?</style[^>]*>", " "),
+        "(?s)<!--.*?-->", " "),
+      s"(?i)</?($BlockTags)[^>]*>", "\n")
+    def lineStruct(raw: Column): Column = {
+      val nl = regexp_count(raw, lit("(?i)<a[ \t>]")).cast("long")
+      val s1 = trim(regexp_replace(regexp_replace(raw, "<[^>]*>", " "), "[ \t]+", " "))
+      val mal = when(instr(s1, "<") > 0, 1L).otherwise(0L)
+      val dec = regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(s1, "&nbsp;", " "),
+                "&lt;", "<"),
+              "&gt;", ">"),
+            "&quot;", "\""),
+          "&#39;", "'"),
+        "&amp;", "&")
+      val dec2 = trim(regexp_replace(dec, " +", " "))
+      struct(dec2.as("line"), nl.as("nl"), mal.as("mal"))
+    }
+    val enriched = transform(split(t4, "\n"), lineStruct _)
+    val keptOf = filter(enriched, s =>
+      keepLine(s("line"), s("nl"), minWords, linkWordFactor, minAlphaFrac))
+    df.withColumn("__lines", enriched)
+      .withColumn("__kept", keptOf)
+      .withColumn("body_text",
+        array_join(transform(col("__kept"), s => s("line")), "\n"))
+      .withColumn("n_kept", size(col("__kept")).cast("long"))
+      .withColumn("n_dropped", (size(col("__lines")) - size(col("__kept"))).cast("long"))
+      .withColumn("n_links",
+        aggregate(col("__lines"), lit(0L), (acc, s) => acc + s("nl")))
+      .withColumn("malformed",
+        aggregate(col("__lines"), lit(0L), (acc, s) => greatest(acc, s("mal"))))
+      .drop("__lines", "__kept")
+  }
+
   /** The keep-rule as a standalone Column over (line, nLinks) — exposed
     * for composition tests.
     */

@@ -954,6 +954,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HTML extraction gate: stateless, parity with batch Extract, malformed routed") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mk = (i: Long, body: String, broken: Boolean) =>
+      (i, s"<nav><a href='/'>Home</a> <a href='/a'>About</a></nav><p>$body</p>" +
+        (if (broken) "<div class=" else ""))
+    val rows = Seq(
+      mk(1L, "a long enough real paragraph with plenty of ordinary words inside it", false),
+      mk(2L, "too short", false),
+      mk(3L, "another long enough paragraph with plenty of perfectly ordinary words", true))
+    val ms = MemoryStream[(Long, String)]
+    val out = DocStream.extractGateStream(
+      ms.toDF.toDF("doc_id", "html"), "html", "doc_id", minBodyWords = 5)
+    val q = out.writeStream.outputMode("append").format("memory").queryName("xgate").start()
+    try {
+      ms.addData(rows.take(2): _*); q.processAllAvailable()
+      ms.addData(rows.drop(2): _*); q.processAllAvailable()
+      val got = spark.table("xgate").select("doc_id", "malformed").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // 1 and 3 pass the word floor (3 flagged malformed, kept by default); 2 gated out
+      assert(got.keySet == Set(1L, 3L))
+      assert(got(1L) == 0L && got(3L) == 1L)
+      // dropMalformed routes doc 3 out too
+      val ms2 = MemoryStream[(Long, String)]
+      val out2 = DocStream.extractGateStream(
+        ms2.toDF.toDF("doc_id", "html"), "html", "doc_id", minBodyWords = 5,
+        dropMalformed = true)
+      val q2 = out2.writeStream.outputMode("append").format("memory").queryName("xgate2").start()
+      try {
+        ms2.addData(rows: _*); q2.processAllAvailable()
+        assert(spark.table("xgate2").select("doc_id").collect().map(_.getLong(0)).toSet ==
+          Set(1L))
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
   test("streaming CUSUM monitor ≡ batch Changepoint.cusum across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")

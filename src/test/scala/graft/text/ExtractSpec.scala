@@ -76,6 +76,24 @@ class ExtractSpec extends SparkSpec {
     assert(kept == 0L)
   }
 
+  test("fromHtmlRowLocal (the streaming variant) matches fromHtml row-for-row") {
+    val docs = Seq(
+      (1L, "<html><style>x{}</style><body><nav><a href='/'>Home</a> <a href='/a'>About</a></nav>" +
+        "<p>Real paragraph body with plenty of ordinary words in it.</p>" +
+        "<p>Fish &amp; Chips &lt;menu&gt; special price today only here</p>" +
+        "<!-- c --><div class='f'><a href='p'>P</a> | <a href='t'>T</a></div></body></html>"),
+      (2L, "<p>Short.</p>"),
+      (3L, "<p>Broken doc body with a full sentence of words right here.</p><div class="),
+      (4L, "not html at all just some plain words sitting here quietly")
+    ).toDF("doc_id", "html")
+    val a = Extract.fromHtml(docs, "html", "doc_id")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = Extract.fromHtmlRowLocal(docs, "html", "doc_id")
+      .select("doc_id", "body_text", "n_kept", "n_dropped", "n_links", "malformed")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("composes into LineDedup: shared chrome line removed corpus-wide") {
     val mk = (i: Long) =>
       (i, s"<p>Subscribe to our newsletter for updates every single week.</p>" +
