@@ -6573,11 +6573,36 @@ object PipelineQueries {
     )
   )
 
+  // ---- T83: Laplace-noised count release (FULL oracle — the seeded
+  // inverse-CDF noise is a pure function of (seed, group) via the
+  // shared md5-60, so DuckDB regenerates the identical release) --------
+  val q242 = Q(
+    "q242_dp_counts",
+    (s, dir) =>
+      graft.ops.Privacy.laplaceCounts(
+        Tables.documents(s, dir), "source", epsilon = 0.5)
+        .orderBy("source"),
+    Some(
+      s"""WITH g AS (SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY 1),
+        |u AS (SELECT source, n,
+        |        ((${graft.functions.SharedHash.md5Long60Sql("'graft-release' || '|' || source")})::DOUBLE + 0.5)
+        |          / 1152921504606846976.0 - 0.5 AS uu
+        |      FROM g),
+        |l AS (SELECT source, n,
+        |        -2.0 * sign(uu) * ln(1.0 - 2.0 * abs(uu)) AS lap
+        |      FROM u)
+        |SELECT source, n,
+        |  floor(lap * 1e6 + 0.5) / 1e6 AS noise,
+        |  greatest(0, floor(n + floor(lap * 1e6 + 0.5) / 1e6 + 0.5)::BIGINT) AS released
+        |FROM l ORDER BY source""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241)
+      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242)
 }

@@ -75,6 +75,41 @@ class PandasParitySpec extends SparkSpec {
     assert(math.abs(Stats.pairedT(same, "x", "y").head().getAs[Double]("mean_diff")) < 1e-9)
   }
 
+  test("Quota.perKeyWindow keeps exactly limit rows per (key, bucket) in (ts, tie) order") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(h: Int) = new java.sql.Timestamp(base.getTime + h * 3600000L)
+    // user 1: five events on day 1, two on day 2; limit 3/day
+    val rows = (0 until 5).map(i => (i.toLong, 1L, ts(i))) ++
+      Seq((10L, 1L, ts(25)), (11L, 1L, ts(26))) ++ (20 until 22).map(i => (i.toLong, 2L, ts(0)))
+    val got = Quota.perKeyWindow(rows.toDF("id", "u", "ts"), "u", "ts", "id",
+      bucketSec = 86400L, limit = 3)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("kept")).toMap
+    assert((0L to 2L).forall(got(_) == 1L) && got(3L) == 0L && got(4L) == 0L)
+    assert(got(10L) == 1L && got(11L) == 1L) // fresh bucket resets the quota
+    assert(got(20L) == 1L && got(21L) == 1L) // other keys unaffected
+  }
+
+  test("Privacy.laplaceCounts: reproducible, epsilon-scaled, non-negative releases") {
+    val df = (1 to 2000).map(i => (s"g${i % 40}", i)).toDF("g", "x")
+    val a = Privacy.laplaceCounts(df, "g", epsilon = 0.5).collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getLong(3)))
+    val b = Privacy.laplaceCounts(df, "g", epsilon = 0.5).collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getLong(3)))
+    assert(a.toSet == b.toSet, "same seed -> identical release")
+    assert(a.forall(_._3 >= 0L))
+    // different seed -> different noise
+    val c = Privacy.laplaceCounts(df, "g", epsilon = 0.5, seed = "other").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(a.count { case (g, nz, _) => c(g) != nz } > 30)
+    // tighter epsilon -> strictly larger magnitude per group (b scales linearly)
+    val loose = Privacy.laplaceCounts(df, "g", epsilon = 5.0).collect()
+      .map(r => r.getString(0) -> math.abs(r.getDouble(2))).toMap
+    a.foreach { case (g, nz, _) =>
+      assert(math.abs(nz) >= loose(g) - 1e-6, s"group $g") }
+    // mean noise near zero across groups (Laplace is symmetric)
+    assert(math.abs(a.map(_._2).sum / a.length) < 2.0)
+  }
+
   test("Eval.confusion: hand 3-class table; absent predicted class scores precision 0") {
     // truth:  a a a b b c ; pred: a a b b b a  -> c never predicted
     val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"), ("c", "a"))
