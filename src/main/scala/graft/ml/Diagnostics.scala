@@ -168,4 +168,62 @@ object Diagnostics {
       .crossJoin(broadcast(kStar))
       .withColumn("significant", (col("rank") <= col("k_star")).cast("int"))
   }
+
+  /** Per-key autocorrelation function + Ljung–Box Q — "is this entity's
+    * metric white noise?" across every user/source at once (the
+    * portmanteau sibling of the single-series [[durbinWatson]]).
+    *
+    * ρ_k = Σ_{t>k}(x_t−x̄)(x_{t−k}−x̄) / Σ(x_t−x̄)² with the FULL-series
+    * mean/denominator (the standard ACF; statsmodels' default), and
+    * Q_K = n(n+2) Σ_{k≤K} ρ_k²/(n−k). Implementation: per-key
+    * `row_number` over the keyed window (sharded on the key — never
+    * single-partition), ONE self-join with `1 ≤ Δrn ≤ maxLag` covering
+    * every lag at once (band join on the key; each row meets ≤ maxLag
+    * partners, so the join is O(n·maxLag), not O(n²)), then a
+    * (key, lag) aggregate against broadcast per-key moments. The
+    * cumulative Q runs over ≤ maxLag rows per key. Keys with n ≤
+    * maxLag or zero variance are dropped (ρ undefined).
+    * Returns one row per (key, lag): n, rho, lb_q.
+    */
+  def ljungBox(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      valueCol: String,
+      tieCol: String,
+      maxLag: Int): DataFrame = {
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    val base = df.select(
+      col(keyCol).as("k"), col(timeCol).as("t"),
+      col(valueCol).cast("double").as("x"), col(tieCol).as("tb"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("k").orderBy(col("t"), col("tb"))))
+      .select("k", "rn", "x")
+    val moments = base.groupBy("k").agg(
+      count(lit(1)).as("n"),
+      avg("x").as("mu"),
+      (sum(col("x") * col("x")) - count(lit(1)) * avg("x") * avg("x")).as("den"))
+      .where(col("n") > maxLag && col("den") > 0)
+    val a = base.as("a"); val b = base.as("b")
+    val lagged = a.join(b,
+      col("a.k") === col("b.k") &&
+        col("a.rn") - col("b.rn") >= 1 && col("a.rn") - col("b.rn") <= maxLag)
+      .select(col("a.k").as("k"), (col("a.rn") - col("b.rn")).as("lag"),
+        col("a.x").as("xt"), col("b.x").as("xl"))
+    val rho = lagged.join(moments, Seq("k"))
+      .groupBy(col("k"), col("lag"))
+      .agg(
+        first("n").as("n"),
+        (sum((col("xt") - col("mu")) * (col("xl") - col("mu"))) /
+          first("den")).as("rho_raw"))
+    val cum = Window.partitionBy("k").orderBy("lag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rho
+      .withColumn("lb_raw",
+        col("n") * (col("n") + 2) *
+          sum(col("rho_raw") * col("rho_raw") / (col("n") - col("lag"))).over(cum))
+      .select(
+        col("k").as(keyCol), col("lag"), col("n"),
+        q6(col("rho_raw")).as("rho"), q6(col("lb_raw")).as("lb_q"))
+  }
 }

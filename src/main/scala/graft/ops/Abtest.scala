@@ -258,4 +258,49 @@ object Abtest {
           col("sb") * col("sb") / nB <= lit(0.0), lit(1.0))
           .otherwise(q6(least(lit(1.0), lit(1.0) / lam))).as("p_av"))
   }
+
+  /** Sample-ratio-mismatch check, multi-arm and UNIT-level — the first
+    * guardrail on any experiment readout (a biased assignment path
+    * invalidates every downstream stat; [[twoProportion]] embeds the
+    * 2-arm special case, this is the k-arm batch gate). Distinct
+    * (arm, unit) pairs — a unit logged into two arms counts in both,
+    * which is exactly the pathology SRM exists to surface — reduce to
+    * one row per arm; expected shares broadcast; χ² GoF with dof k−1
+    * repeated on every row of the arm-sized output (window over k
+    * rows, corpus-independent). Arms observed outside `expected` fail
+    * fast with `raise_error` (a typo'd arm name must not silently
+    * skew the test).
+    */
+  def srm(
+      df: DataFrame,
+      unitCol: String,
+      variant: Column,
+      expected: Seq[(String, Double)]): DataFrame = {
+    require(expected.nonEmpty && math.abs(expected.map(_._2).sum - 1.0) < 1e-9,
+      "Abtest.srm: expected shares must sum to 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    val exp = expected.toDF("arm", "exp_share")
+    val perArm = df.select(variant.as("arm"), col(unitCol).as("u")).distinct()
+      .groupBy("arm").agg(count(lit(1)).as("n_units"))
+    val joined = exp.join(perArm, Seq("arm"), "full_outer")
+      .select(
+        // unknown observed arm → exp_share null → fail fast on the
+        // output expression (survives column pruning)
+        when(col("exp_share").isNull,
+          raise_error(concat(lit("Abtest.srm: unexpected arm "), col("arm"))))
+          .otherwise(col("arm")).as("arm"),
+        col("exp_share"),
+        coalesce(col("n_units"), lit(0L)).as("n_units"))
+    val w = Window.partitionBy() // k-arm frame, corpus-independent
+    val tot = sum(col("n_units")).over(w).cast("double")
+    val e = col("exp_share") * tot
+    joined
+      .withColumn("expected_units", q6(e))
+      .withColumn("chi2",
+        q6(sum((col("n_units") - e) * (col("n_units") - e) / e).over(w)))
+      .withColumn("dof", count(lit(1)).over(w) - 1)
+      .select("arm", "n_units", "expected_units", "chi2", "dof")
+  }
 }

@@ -333,6 +333,319 @@ object Stats {
     */
   def benfordShare(d: Int): Double = math.log10(1.0 + 1.0 / d)
 
+  /** Kendall's τ-b rank correlation per group — the tie-robust sibling
+    * of [[spearman]] (reference regime: `hdfe` panels correlate a
+    * covariate against time per entity; τ-b is the standard monotone-
+    * association gauge when the series has repeats). Pairs are generated
+    * by a WITHIN-GROUP self-join (`idCol` totally orders rows, `<` keeps
+    * each unordered pair once), classified into concordant / discordant
+    * / x-tied / y-tied in exact integer counts, and
+    * τ-b = (C − D) / √((n₀−n₁)(n₀−n₂)) with n₀ = n(n−1)/2,
+    * n₁ = #pairs tied on x, n₂ = #pairs tied on y. Everything up to the
+    * final division is BIGINT, so both engines agree bit-for-bit.
+    *
+    * Scale contract: O(m²) pairs per group, experiment-unit-sized groups
+    * (user series, panel entities) — the same bounded-group contract as
+    * every pairwise op here. The join shuffles on the group key only;
+    * for groups beyond ~10⁴ rows switch to the O(m log m) merge-sort
+    * inversion count (not implemented — no current caller has such
+    * groups).
+    */
+  def kendallTau(
+      df: DataFrame,
+      groupCol: String,
+      xCol: String,
+      yCol: String,
+      idCol: String): DataFrame = {
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    val base = df.select(
+      col(groupCol).as("g"),
+      col(xCol).cast("double").as("x"),
+      col(yCol).cast("double").as("y"),
+      col(idCol).as("i"))
+    val l = base.as("l"); val r = base.as("r")
+    val pairs = l.join(r, col("l.g") === col("r.g") && col("l.i") < col("r.i"))
+      .select(
+        col("l.g").as("g"),
+        (col("l.x") - col("r.x")).as("dx"),
+        (col("l.y") - col("r.y")).as("dy"))
+    val cls = pairs.groupBy("g").agg(
+      sum(when(col("dx") =!= 0 && col("dy") =!= 0 &&
+        signum(col("dx")) === signum(col("dy")), 1L).otherwise(0L)).as("concordant"),
+      sum(when(col("dx") =!= 0 && col("dy") =!= 0 &&
+        signum(col("dx")) =!= signum(col("dy")), 1L).otherwise(0L)).as("discordant"),
+      sum(when(col("dx") === 0, 1L).otherwise(0L)).as("tied_x"),
+      sum(when(col("dy") === 0, 1L).otherwise(0L)).as("tied_y"))
+    val ns = base.groupBy("g").agg(count(lit(1)).as("n"))
+    val n0 = (col("n") * (col("n") - 1) / 2).cast("long")
+    cls.join(ns, Seq("g"))
+      .select(
+        col("g").as(groupCol), col("n"),
+        col("concordant"), col("discordant"), col("tied_x"), col("tied_y"),
+        q6((col("concordant") - col("discordant")).cast("double") /
+          sqrt(((n0 - col("tied_x")) * (n0 - col("tied_y"))).cast("double"))).as("tau_b"))
+  }
+
+  /** Kruskal–Wallis H test — the rank-based one-way ANOVA companion to
+    * [[anovaOneWay]] (non-normal metric drift across k corpus sources /
+    * experiment arms). Global mid-ranks come from [[Rank.withGlobalMinRank]]
+    * (range exchange + broadcast offsets — NEVER the single-partition
+    * `Window.orderBy`) plus the hash-windowed tie count: mid-rank =
+    * min-rank + (t−1)/2, exactly DuckDB's `rank() + (count(*) OVER
+    * (PARTITION BY v) − 1)/2`. H = 12/(N(N+1)) Σ R_g²/n_g − 3(N+1),
+    * tie-corrected by C = 1 − Σ(t³−t)/(N³−N). Ranks and tie counts are
+    * exact integers/half-integers, so both engines replay the statistic
+    * inside the 1e-6 quantizer at any N where doubles hold (N ≲ 10⁸;
+    * beyond that the rank sums themselves need DECIMAL).
+    * Returns one row: n, k groups, h, h_adj, dof.
+    */
+  def kruskalWallis(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      tieCol: String): DataFrame = {
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    val base = df.select(
+      col(groupCol).as("g"), col(valueCol).cast("double").as("v"), col(tieCol).as("tb"))
+    val ranked = Rank.withGlobalMinRank(base, "minr", Seq(col("v")), Seq(col("tb")))
+      .withColumn("t", count(lit(1)).over(Window.partitionBy("v")))
+      .withColumn("r", col("minr") + (col("t") - 1) / lit(2.0))
+    val perGroup = ranked.groupBy("g")
+      .agg(count(lit(1)).cast("double").as("ng"), sum("r").as("rg"))
+    val gstats = perGroup.agg(
+      sum(col("rg") * col("rg") / col("ng")).as("sr2"),
+      count(lit(1)).as("k"),
+      sum("ng").as("nn"))
+    // tie spectrum: one row per distinct value — value-table-sized
+    val ties = ranked.groupBy("v").agg(first(col("t")).as("t"))
+      .agg(sum(col("t") * col("t") * col("t") - col("t")).as("t3t"))
+    gstats.crossJoin(broadcast(ties)).select(
+      col("nn").cast("long").as("n"),
+      col("k"),
+      (col("k") - 1).as("dof"),
+      q6(lit(12.0) / (col("nn") * (col("nn") + 1)) * col("sr2") -
+        lit(3.0) * (col("nn") + 1)).as("h"),
+      q6((lit(12.0) / (col("nn") * (col("nn") + 1)) * col("sr2") -
+        lit(3.0) * (col("nn") + 1)) /
+        (lit(1.0) - col("t3t").cast("double") /
+          (col("nn") * col("nn") * col("nn") - col("nn")))).as("h_adj"))
+  }
+
+  /** Jarque–Bera normality test per group — sample skewness/kurtosis
+    * from one raw-moment aggregate pass (s₁..s₄), centralized in closed
+    * form: m₂ = s₂/n − μ², m₃ = s₃/n − 3μs₂/n + 2μ³,
+    * m₄ = s₄/n − 4μs₃/n + 6μ²s₂/n − 3μ⁴; JB = n/6 (S² + (K−3)²/4).
+    * The oracle ships the TEXTUALLY identical centralization algebra, so
+    * the only cross-engine divergence is summation order in the four
+    * sums — relative 1e-16, far inside the 1e-6 quantizer for any
+    * column whose 4th power fits a double (|x| ≲ 10⁹ at 10⁹ rows).
+    * One shuffle (the group-by); no window, no second pass.
+    */
+  def jarqueBera(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    val x = col(valueCol).cast("double")
+    val agg = df.groupBy(col(groupCol).as("g")).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(x).as("s1"), sum(x * x).as("s2"),
+      sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"))
+    val mu = col("s1") / col("n")
+    val m2 = col("s2") / col("n") - mu * mu
+    val m3 = col("s3") / col("n") - lit(3.0) * mu * col("s2") / col("n") +
+      lit(2.0) * mu * mu * mu
+    val m4 = col("s4") / col("n") - lit(4.0) * mu * col("s3") / col("n") +
+      lit(6.0) * mu * mu * col("s2") / col("n") - lit(3.0) * mu * mu * mu * mu
+    val skew = m3 / sqrt(m2 * m2 * m2)
+    val kurt = m4 / (m2 * m2)
+    agg.select(
+      col("g").as(groupCol),
+      col("n").cast("long").as("n"),
+      q6(skew).as("skewness"),
+      q6(kurt).as("kurtosis"),
+      q6(col("n") / lit(6.0) *
+        (skew * skew + (kurt - 3.0) * (kurt - 3.0) / lit(4.0))).as("jb"))
+  }
+
+  /** McNemar's test for paired binary outcomes (did the labeler/model
+    * change its mind on the same unit?) — counts the two discordant
+    * cells over 0/1 columns and applies the continuity-corrected
+    * χ²₁ = (|b−c|−1)²/(b+c). Pure integer aggregate → one row:
+    * n, both, neither, a_only (b), b_only (c), chi2. b+c = 0 (no
+    * discordant pairs) returns chi2 = 0 rather than 0/0.
+    */
+  def mcnemar(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    val a = col(aCol).cast("int"); val b = col(bCol).cast("int")
+    val agg = df.agg(
+      count(lit(1)).as("n"),
+      // n_both / n_neither: `both` is reserved (trim syntax) in ANSI SQL
+      sum(when(a === 1 && b === 1, 1L).otherwise(0L)).as("n_both"),
+      sum(when(a === 0 && b === 0, 1L).otherwise(0L)).as("n_neither"),
+      sum(when(a === 1 && b === 0, 1L).otherwise(0L)).as("a_only"),
+      sum(when(a === 0 && b === 1, 1L).otherwise(0L)).as("b_only"))
+    val bc = col("a_only") + col("b_only")
+    val d = abs(col("a_only") - col("b_only")).cast("double") - lit(1.0)
+    agg.select(
+      col("n"), col("n_both"), col("n_neither"), col("a_only"), col("b_only"),
+      when(bc === 0, lit(0.0))
+        .otherwise(q6(d * d / bc.cast("double"))).as("chi2"))
+  }
+
+  /** Theil–Sen robust slope per group: the median of all pairwise
+    * slopes (dy/dx over pairs with dx ≠ 0), intercept = median of
+    * (y − slope·x). Breakdown point 29% — the outlier-proof companion
+    * to [[graft.ml.GroupedOls]] for per-entity trends. Same
+    * bounded-group O(m²) pair contract as [[kendallTau]] (one shared
+    * self-join shape); medians are Spark's exact interpolating
+    * `percentile`, which DuckDB's `quantile_cont` replays exactly.
+    */
+  def theilSen(
+      df: DataFrame,
+      groupCol: String,
+      xCol: String,
+      yCol: String,
+      idCol: String): DataFrame = {
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    val base = df.select(
+      col(groupCol).as("g"),
+      col(xCol).cast("double").as("x"),
+      col(yCol).cast("double").as("y"),
+      col(idCol).as("i"))
+    val l = base.as("l"); val r = base.as("r")
+    val slopes = l.join(r, col("l.g") === col("r.g") && col("l.i") < col("r.i"))
+      .where(col("l.x") =!= col("r.x"))
+      .select(
+        col("l.g").as("g"),
+        ((col("l.y") - col("r.y")) / (col("l.x") - col("r.x"))).as("s"))
+    val med = slopes.groupBy("g").agg(
+      count(lit(1)).as("n_pairs"),
+      expr("percentile(s, 0.5)").as("ts_slope"))
+    base.join(med, Seq("g"))
+      .groupBy("g")
+      .agg(
+        count(lit(1)).as("n"),
+        first("n_pairs").as("n_pairs"),
+        first("ts_slope").as("b"),
+        expr("percentile(y - ts_slope * x, 0.5)").as("a"))
+      .select(
+        col("g").as(groupCol), col("n"), col("n_pairs"),
+        q6(col("b")).as("slope"), q6(col("a")).as("intercept"))
+  }
+
+  /** Lorenz curve by ntile bucket — the curve behind [[gini]]: bucket
+    * the positive money column into `buckets` exact global ntiles
+    * ([[Rank.withGlobalNtile]] — range exchange, no single-partition
+    * window), then per-bucket population/value shares and their running
+    * totals. All sums are integer cents; the only windows run over the
+    * `buckets`-row aggregate (corpus-independent — 10 rows is 10 rows
+    * at any scale). Returns one row per bucket: n, cents, cum_cents,
+    * pop_share, cum_value_share.
+    */
+  def lorenz(
+      df: DataFrame,
+      valueCol: String,
+      tieCol: String,
+      buckets: Int = 10): DataFrame = {
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    val cents = round(col(valueCol) * 100).cast("long")
+    val base = df.where(col(valueCol) > 0)
+      .select(cents.as("x"), col(tieCol).as("tb"))
+    val tiled = Rank.withGlobalNtile(base, "bucket", buckets, Seq(col("x"), col("tb")))
+    val per = tiled.groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("x").as("cents"))
+    // buckets-row frame: the unpartitioned window here is over ≤`buckets`
+    // rows by construction, not the corpus
+    val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    per
+      .withColumn("cum_cents", sum("cents").over(w))
+      .withColumn("cum_n", sum("n").over(w))
+      .select(
+        col("bucket"), col("n"), col("cents"), col("cum_cents"),
+        q6(col("cum_n").cast("double") / sum("n").over(tot)).as("cum_pop_share"),
+        q6(col("cum_cents").cast("double") / sum("cents").over(tot)).as("cum_value_share"))
+  }
+
+  /** Tukey IQR fences per group — the univariate outlier gate beside
+    * the multivariate [[graft.sim.Outliers.pcaMahalanobis]]: exact
+    * interpolating quartiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`), fences at q1/q3 ∓ `mult`·IQR, and the per-group
+    * outlier census in ONE more aggregated pass (quartiles broadcast
+    * back by group key — two corpus passes total, no window). Returns
+    * one row per group: n, q1, q3, iqr, lo/hi fences, n_low, n_high.
+    * For >10⁸-row groups swap the exact percentile for the GK sketch
+    * (the [[graft.text.Vocab]] strataQuantiles path) — documented
+    * tradeoff, exact is the oracle-parity default.
+    */
+  def iqrFences(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      mult: Double = 1.5): DataFrame = {
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    val base = df.select(col(groupCol).as("g"), col(valueCol).cast("double").as("x"))
+    val quart = base.groupBy("g").agg(
+      count(lit(1)).as("n"),
+      expr("percentile(x, 0.25)").as("q1"),
+      expr("percentile(x, 0.75)").as("q3"))
+      .withColumn("lo", col("q1") - lit(mult) * (col("q3") - col("q1")))
+      .withColumn("hi", col("q3") + lit(mult) * (col("q3") - col("q1")))
+    base.join(quart, Seq("g"))
+      .groupBy("g")
+      .agg(
+        first("n").as("n"),
+        first("q1").as("rq1"), first("q3").as("rq3"),
+        first("lo").as("rlo"), first("hi").as("rhi"),
+        sum(when(col("x") < col("lo"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("x") > col("hi"), 1L).otherwise(0L)).as("n_high"))
+      .select(
+        col("g").as(groupCol), col("n"),
+        q6(col("rq1")).as("q1"), q6(col("rq3")).as("q3"),
+        q6(col("rq3") - col("rq1")).as("iqr"),
+        q6(col("rlo")).as("fence_lo"), q6(col("rhi")).as("fence_hi"),
+        col("n_low"), col("n_high"))
+  }
+
+  /** Cochran–Mantel–Haenszel test for a 2×2 association stratified by a
+    * confounder (treatment×outcome across experiment cohorts / corpus
+    * sources). Per-stratum counts reduce to one stratum-sized frame;
+    * E_i = r1·c1/n, V_i = r1·r2·c1·c2/(n²(n−1)), and the continuity-
+    * corrected CMH = (|Σa − ΣE| − ½)² / ΣV. Integer counts throughout;
+    * one group-by plus a stratum-sized final aggregate. Degenerate
+    * strata (n ≤ 1 or a zero margin) contribute 0 to both sums, the
+    * textbook convention.
+    */
+  def cmh(
+      df: DataFrame,
+      stratumCol: String,
+      exposureCol: String,
+      outcomeCol: String): DataFrame = {
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    val e = col(exposureCol).cast("int"); val o = col(outcomeCol).cast("int")
+    val per = df.groupBy(col(stratumCol).as("s")).agg(
+      sum(when(e === 1 && o === 1, 1L).otherwise(0L)).as("a"),
+      sum(when(e === 1, 1L).otherwise(0L)).as("r1"),
+      sum(when(e === 0, 1L).otherwise(0L)).as("r2"),
+      sum(when(o === 1, 1L).otherwise(0L)).as("c1"),
+      sum(when(o === 0, 1L).otherwise(0L)).as("c2"),
+      count(lit(1)).as("nn"))
+    val valid = col("nn") > 1 && col("r1") > 0 && col("r2") > 0 &&
+      col("c1") > 0 && col("c2") > 0
+    val agg = per.agg(
+      count(lit(1)).as("strata"),
+      sum(when(valid, col("a")).otherwise(0L)).as("sum_a"),
+      sum(when(valid,
+        col("r1").cast("double") * col("c1") / col("nn")).otherwise(0.0)).as("sum_e"),
+      sum(when(valid,
+        col("r1").cast("double") * col("r2") * col("c1") * col("c2") /
+          (col("nn").cast("double") * col("nn") * (col("nn") - 1))).otherwise(0.0)).as("sum_v"))
+    val d = abs(col("sum_a") - col("sum_e")) - lit(0.5)
+    agg.select(
+      col("strata"), col("sum_a"), q6(col("sum_e")).as("sum_e"),
+      q6(col("sum_v")).as("sum_v"),
+      when(col("sum_v") === 0, lit(0.0))
+        .otherwise(q6(d * d / col("sum_v"))).as("cmh_chi2"))
+  }
+
   /** Gini coefficient of a 2-decimal money column per group — the
     * inequality/concentration gauge beside the share-based HHI
     * ([[concentration]]): G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over

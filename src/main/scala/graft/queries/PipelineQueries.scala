@@ -6598,11 +6598,296 @@ object PipelineQueries {
     )
   )
 
+  // ---- C73: Kendall τ-b per entity (FULL oracle — integer pair
+  // classification via the bounded-group self-join; one final division)
+  val q243 = Q(
+    "q243_kendall_tau",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("user_id"),
+        col("value"),
+        unix_timestamp(col("ts")).cast("double").as("tsec"),
+        col("event_id"))
+      graft.ops.Stats.kendallTau(ev, "user_id", "value", "tsec", "event_id")
+        .orderBy("user_id")
+    },
+    Some(
+      """WITH b AS (SELECT user_id AS g, value::DOUBLE AS x,
+        |             floor(epoch(ts))::DOUBLE AS y, event_id AS i FROM events),
+        |p AS (SELECT l.g AS g, l.x - r.x AS dx, l.y - r.y AS dy
+        |      FROM b l JOIN b r ON l.g = r.g AND l.i < r.i),
+        |c AS (SELECT g,
+        |        sum(CASE WHEN dx <> 0 AND dy <> 0 AND sign(dx) = sign(dy)
+        |              THEN 1 ELSE 0 END)::BIGINT AS concordant,
+        |        sum(CASE WHEN dx <> 0 AND dy <> 0 AND sign(dx) <> sign(dy)
+        |              THEN 1 ELSE 0 END)::BIGINT AS discordant,
+        |        sum(CASE WHEN dx = 0 THEN 1 ELSE 0 END)::BIGINT AS tied_x,
+        |        sum(CASE WHEN dy = 0 THEN 1 ELSE 0 END)::BIGINT AS tied_y
+        |      FROM p GROUP BY 1),
+        |nn AS (SELECT g, count(*)::BIGINT AS n FROM b GROUP BY 1)
+        |SELECT nn.g AS user_id, nn.n AS n, concordant, discordant, tied_x, tied_y,
+        |  floor((concordant - discordant)::DOUBLE /
+        |    sqrt(((nn.n*(nn.n-1)//2 - tied_x) * (nn.n*(nn.n-1)//2 - tied_y))::DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS tau_b
+        |FROM c JOIN nn USING (g) ORDER BY user_id""".stripMargin
+    )
+  )
+
+  // ---- C74: Kruskal–Wallis H (FULL oracle — ops.Rank global mid-ranks
+  // replayed by rank() + tie-count windows; exact half-integer ranks) --
+  val q244 = Q(
+    "q244_kruskal_wallis",
+    (s, dir) =>
+      graft.ops.Stats.kruskalWallis(
+        Tables.orders(s, dir), "o_totalprice", "o_orderpriority", "o_orderkey"),
+    Some(
+      """WITH b AS (SELECT o_orderpriority AS g, o_totalprice::DOUBLE AS v,
+        |             o_orderkey AS tb FROM orders),
+        |r AS (SELECT g, v,
+        |        rank() OVER (ORDER BY v) + (count(*) OVER (PARTITION BY v) - 1)/2.0 AS r
+        |      FROM b),
+        |pg AS (SELECT g, count(*)::DOUBLE AS ng, sum(r) AS rg FROM r GROUP BY 1),
+        |gs AS (SELECT sum(rg*rg/ng) AS sr2, count(*)::BIGINT AS k, sum(ng) AS nn FROM pg),
+        |tt AS (SELECT sum(t*t*t - t) AS t3t
+        |       FROM (SELECT count(*)::DOUBLE AS t FROM b GROUP BY v))
+        |SELECT nn::BIGINT AS n, k, (k-1)::BIGINT AS dof,
+        |  floor((12.0/(nn*(nn+1))*sr2 - 3.0*(nn+1)) * 1e6 + 0.5)/1e6 AS h,
+        |  floor(((12.0/(nn*(nn+1))*sr2 - 3.0*(nn+1)) /
+        |    (1.0 - t3t/(nn*nn*nn - nn))) * 1e6 + 0.5)/1e6 AS h_adj
+        |FROM gs CROSS JOIN tt""".stripMargin
+    )
+  )
+
+  // ---- C75: Jarque–Bera normality per group (FULL oracle — textually
+  // identical raw→central moment algebra on both engines) --------------
+  val q245 = Q(
+    "q245_jarque_bera",
+    (s, dir) =>
+      graft.ops.Stats.jarqueBera(Tables.documents(s, dir), "lang", "n_chars")
+        .orderBy("lang"),
+    Some(
+      """WITH a AS (SELECT lang AS g, count(*)::DOUBLE AS n, sum(x) AS s1,
+        |             sum(x*x) AS s2, sum(x*x*x) AS s3, sum(x*x*x*x) AS s4
+        |           FROM (SELECT lang, n_chars::DOUBLE AS x FROM documents) GROUP BY 1),
+        |m AS (SELECT g, n, s1/n AS mu, s2, s3, s4 FROM a),
+        |c AS (SELECT g, n,
+        |        s2/n - mu*mu AS m2,
+        |        s3/n - 3.0*mu*s2/n + 2.0*mu*mu*mu AS m3,
+        |        s4/n - 4.0*mu*s3/n + 6.0*mu*mu*s2/n - 3.0*mu*mu*mu*mu AS m4
+        |      FROM m),
+        |k AS (SELECT g, n, m3/sqrt(m2*m2*m2) AS skew, m4/(m2*m2) AS kurt FROM c)
+        |SELECT g AS lang, n::BIGINT AS n,
+        |  floor(skew*1e6+0.5)/1e6 AS skewness,
+        |  floor(kurt*1e6+0.5)/1e6 AS kurtosis,
+        |  floor(n/6.0*(skew*skew + (kurt-3.0)*(kurt-3.0)/4.0)*1e6+0.5)/1e6 AS jb
+        |FROM k ORDER BY lang""".stripMargin
+    )
+  )
+
+  // ---- C76: McNemar paired flip test (FULL oracle — integer discordant
+  // cells over per-user derived binaries) ------------------------------
+  val q246 = Q(
+    "q246_mcnemar",
+    (s, dir) => {
+      val per = Tables.events(s, dir).groupBy("user_id").agg(
+        (sum(when(col("event_type") === "purchase", 1).otherwise(0)) >
+          sum(when(col("event_type") === "click", 1).otherwise(0))).cast("int").as("a"),
+        (sum(when(col("event_type") === "error", 1).otherwise(0)) >
+          sum(when(col("event_type") === "view", 1).otherwise(0))).cast("int").as("b"))
+      graft.ops.Stats.mcnemar(per, "a", "b")
+    },
+    Some(
+      """WITH per AS (SELECT user_id,
+        |    CASE WHEN sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) >
+        |              sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END)
+        |      THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) >
+        |              sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END)
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM events GROUP BY 1),
+        |agg AS (SELECT count(*)::BIGINT AS n,
+        |    sum(CASE WHEN a=1 AND b=1 THEN 1 ELSE 0 END)::BIGINT AS n_both,
+        |    sum(CASE WHEN a=0 AND b=0 THEN 1 ELSE 0 END)::BIGINT AS n_neither,
+        |    sum(CASE WHEN a=1 AND b=0 THEN 1 ELSE 0 END)::BIGINT AS a_only,
+        |    sum(CASE WHEN a=0 AND b=1 THEN 1 ELSE 0 END)::BIGINT AS b_only
+        |  FROM per)
+        |SELECT n, n_both, n_neither, a_only, b_only,
+        |  CASE WHEN a_only + b_only = 0 THEN 0.0
+        |       ELSE floor((abs(a_only - b_only)::DOUBLE - 1.0) *
+        |              (abs(a_only - b_only)::DOUBLE - 1.0) /
+        |              (a_only + b_only)::DOUBLE * 1e6 + 0.5)/1e6 END AS chi2
+        |FROM agg""".stripMargin
+    )
+  )
+
+  // ---- C77: per-key ACF + Ljung–Box (FULL oracle — keyed row_number,
+  // one band self-join covering all lags, ≤maxLag-row cumulative Q) ----
+  val q247 = Q(
+    "q247_ljung_box",
+    (s, dir) =>
+      graft.ml.Diagnostics.ljungBox(
+        Tables.events(s, dir), "user_id", "ts", "value", "event_id", maxLag = 3)
+        .orderBy("user_id", "lag"),
+    Some(
+      """WITH b AS (SELECT user_id AS k,
+        |             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |             value::DOUBLE AS x FROM events),
+        |m AS (SELECT k, count(*)::BIGINT AS n, avg(x) AS mu,
+        |        sum(x*x) - count(*)*avg(x)*avg(x) AS den
+        |      FROM b GROUP BY 1
+        |      HAVING count(*) > 3 AND (sum(x*x) - count(*)*avg(x)*avg(x)) > 0),
+        |l AS (SELECT a.k AS k, a.rn - bb.rn AS lag, a.x AS xt, bb.x AS xl
+        |      FROM b a JOIN b bb ON a.k = bb.k AND a.rn - bb.rn BETWEEN 1 AND 3),
+        |r AS (SELECT l.k AS k, l.lag AS lag, any_value(m.n) AS n,
+        |        sum((xt - m.mu)*(xl - m.mu)) / any_value(m.den) AS rho_raw
+        |      FROM l JOIN m ON l.k = m.k GROUP BY 1, 2),
+        |q AS (SELECT k, lag, n, rho_raw,
+        |        n*(n+2) * sum(rho_raw*rho_raw/(n - lag))
+        |          OVER (PARTITION BY k ORDER BY lag ROWS UNBOUNDED PRECEDING) AS lb_raw
+        |      FROM r)
+        |SELECT k AS user_id, lag::BIGINT AS lag, n,
+        |  floor(rho_raw*1e6+0.5)/1e6 AS rho,
+        |  floor(lb_raw*1e6+0.5)/1e6 AS lb_q
+        |FROM q ORDER BY user_id, lag""".stripMargin
+    )
+  )
+
+  // ---- C78: Theil–Sen robust trend per entity (FULL oracle — pairwise
+  // slopes via the bounded-group self-join; exact interpolating median
+  // on both engines) ---------------------------------------------------
+  val q248 = Q(
+    "q248_theil_sen",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("user_id"),
+        unix_timestamp(col("ts")).cast("double").as("tsec"),
+        col("value"),
+        col("event_id"))
+      graft.ops.Stats.theilSen(ev, "user_id", "tsec", "value", "event_id")
+        .orderBy("user_id")
+    },
+    Some(
+      """WITH b AS (SELECT user_id AS g, floor(epoch(ts))::DOUBLE AS x,
+        |             value::DOUBLE AS y, event_id AS i FROM events),
+        |sl AS (SELECT l.g AS g, (l.y - r.y)/(l.x - r.x) AS s
+        |       FROM b l JOIN b r ON l.g = r.g AND l.i < r.i WHERE l.x <> r.x),
+        |m AS (SELECT g, count(*)::BIGINT AS n_pairs, quantile_cont(s, 0.5) AS bb
+        |      FROM sl GROUP BY 1),
+        |fin AS (SELECT b.g AS g, count(*)::BIGINT AS n,
+        |          any_value(m.n_pairs) AS n_pairs, any_value(m.bb) AS bb,
+        |          quantile_cont(y - m.bb * x, 0.5) AS aa
+        |        FROM b JOIN m ON b.g = m.g GROUP BY 1)
+        |SELECT g AS user_id, n, n_pairs,
+        |  floor(bb*1e6+0.5)/1e6 AS slope,
+        |  floor(aa*1e6+0.5)/1e6 AS intercept
+        |FROM fin ORDER BY user_id""".stripMargin
+    )
+  )
+
+  // ---- P40: link prediction over the customer–supplier bipartite graph
+  // (FULL oracle — wedge join + integer common-neighbor counts;
+  // Adamic–Adar's 1/ln(deg) summed over ~10² terms sits 10 orders
+  // inside the quantizer) ----------------------------------------------
+  val q249 = Q(
+    "q249_link_pred",
+    (s, dir) => {
+      val edges = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      graft.graph.LinkPred.bipartiteScores(edges, "cust", "supp", minCommon = 20L)
+        .orderBy("node_a", "node_b")
+    },
+    Some(
+      """WITH e AS (SELECT DISTINCT o_custkey AS l, l_suppkey AS r
+        |           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |ld AS (SELECT l, count(*)::BIGINT AS dl FROM e GROUP BY 1),
+        |rd AS (SELECT r, count(*)::BIGINT AS dr FROM e GROUP BY 1),
+        |w AS (SELECT a.r AS ra, b.r AS rb, ld.dl AS dl
+        |      FROM e a JOIN e b ON a.l = b.l AND a.r < b.r JOIN ld ON a.l = ld.l),
+        |p AS (SELECT ra, rb, count(*)::BIGINT AS cn,
+        |        sum(CASE WHEN dl > 1 THEN 1.0/ln(dl::DOUBLE) ELSE 0.0 END) AS aa_raw
+        |      FROM w GROUP BY 1, 2 HAVING count(*) >= 20)
+        |SELECT ra AS node_a, rb AS node_b, cn, da.dr AS deg_a, db.dr AS deg_b,
+        |  floor(aa_raw*1e6+0.5)/1e6 AS aa,
+        |  floor(cn::DOUBLE/(da.dr + db.dr - cn)*1e6+0.5)/1e6 AS jaccard
+        |FROM p JOIN rd da ON p.ra = da.r JOIN rd db ON p.rb = db.r
+        |ORDER BY node_a, node_b""".stripMargin
+    )
+  )
+
+  // ---- C79: Lorenz curve by exact global decile (FULL oracle —
+  // Rank.withGlobalNtile replayed by ntile(); integer-cents cumsums) ---
+  val q250 = Q(
+    "q250_lorenz",
+    (s, dir) =>
+      graft.ops.Stats.lorenz(
+        Tables.customer(s, dir), "c_acctbal", "c_custkey", buckets = 10)
+        .orderBy("bucket"),
+    Some(
+      """WITH b AS (SELECT (round(c_acctbal*100))::BIGINT AS x, c_custkey AS tb
+        |           FROM customer WHERE c_acctbal > 0),
+        |t AS (SELECT x, ntile(10) OVER (ORDER BY x, tb) AS bucket FROM b),
+        |p AS (SELECT bucket, count(*)::BIGINT AS n, sum(x)::BIGINT AS cents
+        |      FROM t GROUP BY 1),
+        |c AS (SELECT bucket, n, cents,
+        |        (sum(cents) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_cents,
+        |        sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum_n,
+        |        sum(n) OVER () AS tot_n, sum(cents) OVER () AS tot_c
+        |      FROM p)
+        |SELECT bucket::INT AS bucket, n, cents, cum_cents,
+        |  floor(cum_n::DOUBLE/tot_n*1e6+0.5)/1e6 AS cum_pop_share,
+        |  floor(cum_cents::DOUBLE/tot_c*1e6+0.5)/1e6 AS cum_value_share
+        |FROM c ORDER BY bucket""".stripMargin
+    )
+  )
+
+  // ---- C80: Cochran–Mantel–Haenszel stratified 2×2 (FULL oracle —
+  // integer per-stratum cells; the chi-square is computed from the RAW
+  // sums in a separate CTE layer so DuckDB's alias-shadowing lateral
+  // references can't quantize early) -----------------------------------
+  val q251 = Q(
+    "q251_cmh",
+    (s, dir) => {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderpriority").as("strat"),
+        (col("o_totalprice") > 250000).cast("int").as("exposed"),
+        (col("o_orderstatus") === "F").cast("int").as("outcome"))
+      graft.ops.Stats.cmh(o, "strat", "exposed", "outcome")
+    },
+    Some(
+      """WITH b AS (SELECT o_orderpriority AS s,
+        |    CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END AS e,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS o
+        |  FROM orders),
+        |per AS (SELECT s,
+        |    sum(CASE WHEN e=1 AND o=1 THEN 1 ELSE 0 END)::BIGINT AS a,
+        |    sum(e)::BIGINT AS r1, sum(1-e)::BIGINT AS r2,
+        |    sum(o)::BIGINT AS c1, sum(1-o)::BIGINT AS c2,
+        |    count(*)::BIGINT AS nn
+        |  FROM b GROUP BY 1),
+        |v AS (SELECT *, nn > 1 AND r1 > 0 AND r2 > 0 AND c1 > 0 AND c2 > 0 AS ok FROM per),
+        |agg AS (SELECT count(*)::BIGINT AS strata,
+        |    sum(CASE WHEN ok THEN a ELSE 0 END)::BIGINT AS sum_a,
+        |    sum(CASE WHEN ok THEN r1::DOUBLE*c1/nn ELSE 0.0 END) AS sum_e,
+        |    sum(CASE WHEN ok THEN r1::DOUBLE*r2*c1*c2/(nn::DOUBLE*nn*(nn-1)) ELSE 0.0 END) AS sum_v
+        |  FROM v),
+        |fin AS (SELECT strata, sum_a, sum_e, sum_v,
+        |    CASE WHEN sum_v = 0 THEN 0.0
+        |         ELSE (abs(sum_a - sum_e) - 0.5)*(abs(sum_a - sum_e) - 0.5)/sum_v END AS chi_raw
+        |  FROM agg)
+        |SELECT strata, sum_a,
+        |  floor(sum_e*1e6+0.5)/1e6 AS sum_e,
+        |  floor(sum_v*1e6+0.5)/1e6 AS sum_v,
+        |  CASE WHEN sum_v = 0 THEN 0.0 ELSE floor(chi_raw*1e6+0.5)/1e6 END AS cmh_chi2
+        |FROM fin""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242)
+      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251)
 }

@@ -40,6 +40,38 @@ object Vocab {
       .orderBy(col("term_freq").desc, col("token"))
       .limit(k)
 
+  /** Chao1 unseen-vocabulary estimate per stratum — "how much
+    * vocabulary has this corpus slice NOT shown us yet?", the
+    * species-richness question behind "is more crawl worth it".
+    * From the per-(stratum, token) frequency table: S_obs observed
+    * types, f₁ singletons, f₂ doubletons; Chao1 = S + f₁(f₁−1)/(2(f₂+1))
+    * (the bias-corrected form, defined even at f₂ = 0), plus the
+    * Good–Turing coverage estimate C = 1 − f₁/N. Two hash aggregates
+    * (token explosion → frequency table → stratum summary); the
+    * shuffle carries (stratum, token) keys, output is stratum-sized.
+    */
+  def chao1(df: DataFrame, textCol: String, strataCol: String): DataFrame = {
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    val freqs = df
+      .select(col(strataCol).as("g"), explode(split(col(textCol), " ")).as("token"))
+      .groupBy("g", "token")
+      .agg(count(lit(1)).as("tf"))
+    freqs
+      .groupBy("g")
+      .agg(
+        sum("tf").as("n_tokens"),
+        count(lit(1)).as("s_obs"),
+        sum(when(col("tf") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("tf") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(
+        col("g").as(strataCol),
+        col("n_tokens"), col("s_obs"), col("f1"), col("f2"),
+        q6(col("s_obs") +
+          col("f1").cast("double") * (col("f1") - 1) /
+            (lit(2.0) * (col("f2") + 1))).as("chao1"),
+        q6(lit(1.0) - col("f1").cast("double") / col("n_tokens")).as("coverage"))
+  }
+
   /** Per-stratum corpus telemetry at sketch cost: total tokens, total
     * documents, and APPROXIMATE distinct tokens / distinct documents via
     * HyperLogLog++ (`approx_count_distinct`) — the per-source dashboard

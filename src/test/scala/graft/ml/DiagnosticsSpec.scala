@@ -121,4 +121,33 @@ class DiagnosticsSpec extends SparkSpec {
     val dwInd = Diagnostics.durbinWatson(indDf, mInd, "y", Seq("i"))
     assert(math.abs(dwInd - 2.0) < 0.25, s"independent noise DW=$dwInd")
   }
+
+  test("Diagnostics.ljungBox: hand ACF on a ramp; alternating series; degenerate keys dropped") {
+    import spark.implicits._
+    // ramp 1..6: mean 3.5, den 17.5; rho1 = 8.75/17.5 = 0.5, rho2 = 1/17.5
+    val ramp = (1 to 6).map(t => ("ramp", t, t.toDouble, t))
+    // alternating ±1, n=8: rho1 = -7/8
+    val alt = (1 to 8).map(t => ("alt", t, if (t % 2 == 0) -1.0 else 1.0, t))
+    // constant series: zero variance → dropped
+    val const = (1 to 6).map(t => ("const", t, 4.0, t))
+    // too short (n ≤ maxLag) → dropped
+    val short = (1 to 2).map(t => ("short", t, t.toDouble, t))
+    val df = (ramp ++ alt ++ const ++ short).toDF("k", "t", "x", "id")
+    val out = Diagnostics.ljungBox(df, "k", "t", "x", "id", maxLag = 2)
+      .collect().map(r => (r.getString(0), r.getAs[Number]("lag").longValue()) -> r).toMap
+
+    assert(out.keys.map(_._1).toSet === Set("ramp", "alt"))
+
+    val r1 = out(("ramp", 1L))
+    assert(r1.getAs[Double]("rho") === 0.5)
+    // Q1 = 6*8*0.25/5 = 2.4
+    assert(r1.getAs[Double]("lb_q") === 2.4)
+    val r2 = out(("ramp", 2L))
+    val rho2 = 1.0 / 17.5
+    assert(math.abs(r2.getAs[Double]("rho") - math.floor(rho2 * 1e6 + 0.5) / 1e6) < 1e-9)
+    val q2 = 48.0 * (0.25 / 5.0 + rho2 * rho2 / 4.0)
+    assert(math.abs(r2.getAs[Double]("lb_q") - math.floor(q2 * 1e6 + 0.5) / 1e6) < 1e-6)
+
+    assert(out(("alt", 1L)).getAs[Double]("rho") === -0.875)
+  }
 }

@@ -1,0 +1,191 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Specs for the round-9 Stats additions: Kendall τ-b, Kruskal–Wallis,
+  * Jarque–Bera, McNemar, Theil–Sen, Lorenz, CMH.
+  */
+class Stats2Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Kendall τ-b ----------------------------------------------------
+
+  test("Stats.kendallTau: perfect monotone +1, reversed -1, hand tie case") {
+    val up = (1 to 8).map(i => ("g", i.toDouble, (i * 10).toDouble, i)).toDF("g", "x", "y", "i")
+    val r1 = Stats.kendallTau(up, "g", "x", "y", "i").head()
+    assert(r1.getAs[Double]("tau_b") === 1.0)
+
+    val down = (1 to 8).map(i => ("g", i.toDouble, (100 - i).toDouble, i)).toDF("g", "x", "y", "i")
+    val r2 = Stats.kendallTau(down, "g", "x", "y", "i").head()
+    assert(r2.getAs[Double]("tau_b") === -1.0)
+
+    // hand case with ties: x = (1,2,2,3), y = (1,3,2,4)
+    // pairs (6): (1,2):C (1,2'):C (1,3):C (2,2'): x-tied (2,3):C (2',3):C
+    // C=5 D=0 tied_x=1 tied_y=0 n0=6 → tau = 5/sqrt(5*6)
+    val hand = Seq(("g", 1.0, 1.0, 1), ("g", 2.0, 3.0, 2), ("g", 2.0, 2.0, 3), ("g", 3.0, 4.0, 4))
+      .toDF("g", "x", "y", "i")
+    val r3 = Stats.kendallTau(hand, "g", "x", "y", "i").head()
+    assert(r3.getAs[Long]("concordant") === 5L)
+    assert(r3.getAs[Long]("discordant") === 0L)
+    assert(r3.getAs[Long]("tied_x") === 1L)
+    assert(r3.getAs[Long]("tied_y") === 0L)
+    val expect = math.floor(5.0 / math.sqrt(5.0 * 6.0) * 1e6 + 0.5) / 1e6
+    assert(r3.getAs[Double]("tau_b") === expect)
+  }
+
+  test("Stats.kendallTau groups are independent") {
+    val df = ((1 to 5).map(i => ("a", i.toDouble, i.toDouble, i)) ++
+      (1 to 5).map(i => ("b", i.toDouble, -i.toDouble, i))).toDF("g", "x", "y", "i")
+    val m = Stats.kendallTau(df, "g", "x", "y", "i").collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("tau_b")).toMap
+    assert(m("a") === 1.0 && m("b") === -1.0)
+  }
+
+  // ---- Kruskal–Wallis -------------------------------------------------
+
+  test("Stats.kruskalWallis: hand example with ties matches the textbook formula") {
+    // groups: a={1,2,3}, b={4,5,6}, c={7,8,9} — fully separated
+    val sep = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 4.0), ("b", 5.0), ("b", 6.0),
+      ("c", 7.0), ("c", 8.0), ("c", 9.0)).zipWithIndex
+      .map { case ((g, v), i) => (g, v, i) }.toDF("g", "v", "tb")
+    val r = Stats.kruskalWallis(sep, "v", "g", "tb").head()
+    // ranks 1..9; R_a=6, R_b=15, R_c=24; H = 12/(9*10)*(36/3+225/3+576/3) - 3*10
+    val h = 12.0 / 90.0 * (36.0 / 3 + 225.0 / 3 + 576.0 / 3) - 30.0
+    assert(math.abs(r.getAs[Double]("h") - math.floor(h * 1e6 + 0.5) / 1e6) < 1e-9)
+    assert(r.getAs[Long]("n") === 9L)
+    assert(r.getAs[Long]("k") === 3L)
+    assert(r.getAs[Long]("dof") === 2L)
+    // no ties → h_adj == h
+    assert(r.getAs[Double]("h_adj") === r.getAs[Double]("h"))
+
+    // tie correction: duplicate a value across groups
+    val tied = Seq(("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0)).zipWithIndex
+      .map { case ((g, v), i) => (g, v, i) }.toDF("g", "v", "tb")
+    val rt = Stats.kruskalWallis(tied, "v", "g", "tb").head()
+    // mid-ranks: 1, 2.5, 2.5, 4; R_a=3.5 R_b=6.5; n=4
+    val hRaw = 12.0 / 20.0 * (3.5 * 3.5 / 2 + 6.5 * 6.5 / 2) - 15.0
+    val corr = 1.0 - (8.0 - 2.0) / (64.0 - 4.0)
+    assert(math.abs(rt.getAs[Double]("h") - math.floor(hRaw * 1e6 + 0.5) / 1e6) < 1e-9)
+    assert(math.abs(rt.getAs[Double]("h_adj") - math.floor(hRaw / corr * 1e6 + 0.5) / 1e6) < 1e-9)
+  }
+
+  // ---- Jarque–Bera ----------------------------------------------------
+
+  test("Stats.jarqueBera: symmetric data has 0 skew; hand moments check") {
+    val sym = Seq(1.0, 2.0, 3.0, 4.0, 5.0).map(("g", _)).toDF("g", "x")
+    val r = Stats.jarqueBera(sym, "g", "x").head()
+    assert(r.getAs[Double]("skewness") === 0.0)
+    // m2 = 2, m4 = (16+1+0+1+16)/5 = 6.8 → kurt = 1.7
+    assert(math.abs(r.getAs[Double]("kurtosis") - 1.7) < 1e-9)
+    val jb = 5.0 / 6.0 * (0.0 + math.pow(1.7 - 3.0, 2) / 4.0)
+    assert(math.abs(r.getAs[Double]("jb") - math.floor(jb * 1e6 + 0.5) / 1e6) < 1e-9)
+  }
+
+  test("Stats.jarqueBera flags a planted heavy-tail group") {
+    val normal = (1 to 200).map(i => ("even", math.sin(i * 1.7) * 2.0))
+    val heavy = (1 to 200).map(i => ("heavy", if (i % 50 == 0) 80.0 else math.sin(i * 1.3)))
+    val r = Stats.jarqueBera((normal ++ heavy).toDF("g", "x"), "g", "x")
+      .collect().map(x => x.getString(0) -> x.getAs[Double]("jb")).toMap
+    assert(r("heavy") > 100.0 * r("even"))
+  }
+
+  // ---- McNemar --------------------------------------------------------
+
+  test("Stats.mcnemar: hand discordant cells and continuity correction") {
+    // 10 both, 5 neither, b=6 a_only, c=2 b_only → chi2 = (|6-2|-1)²/8
+    val rows = Seq.fill(10)((1, 1)) ++ Seq.fill(5)((0, 0)) ++
+      Seq.fill(6)((1, 0)) ++ Seq.fill(2)((0, 1))
+    val r = Stats.mcnemar(rows.toDF("a", "b"), "a", "b").head()
+    assert(r.getAs[Long]("n_both") === 10L)
+    assert(r.getAs[Long]("n_neither") === 5L)
+    assert(r.getAs[Long]("a_only") === 6L)
+    assert(r.getAs[Long]("b_only") === 2L)
+    assert(r.getAs[Double]("chi2") === 9.0 / 8.0)
+
+    // no discordant pairs → chi2 = 0, not 0/0
+    val agree = Seq.fill(4)((1, 1)).toDF("a", "b")
+    assert(Stats.mcnemar(agree, "a", "b").head().getAs[Double]("chi2") === 0.0)
+  }
+
+  // ---- Theil–Sen ------------------------------------------------------
+
+  test("Stats.theilSen: exact line recovered; outlier moves OLS but not the median slope") {
+    val line = (1 to 10).map(i => ("g", i.toDouble, 3.0 * i + 2.0, i)).toDF("g", "x", "y", "i")
+    val r = Stats.theilSen(line, "g", "x", "y", "i").head()
+    assert(r.getAs[Double]("slope") === 3.0)
+    assert(r.getAs[Double]("intercept") === 2.0)
+
+    // one wild outlier: median of pairwise slopes stays ~3
+    val out = ((1 to 20).map(i => ("g", i.toDouble, 3.0 * i + 2.0, i)) :+
+      (("g", 21.0, 500.0, 21))).toDF("g", "x", "y", "i")
+    val r2 = Stats.theilSen(out, "g", "x", "y", "i").head()
+    assert(math.abs(r2.getAs[Double]("slope") - 3.0) < 0.2)
+  }
+
+  test("Stats.theilSen skips dx=0 pairs") {
+    // duplicate x values: slope defined by the remaining pairs only
+    val df = Seq(("g", 1.0, 1.0, 1), ("g", 1.0, 3.0, 2), ("g", 2.0, 2.0, 3))
+      .toDF("g", "x", "y", "i")
+    val r = Stats.theilSen(df, "g", "x", "y", "i").head()
+    assert(r.getAs[Long]("n_pairs") === 2L) // (1,3) and (2,3); (1,2) has dx=0
+    // slopes: (2-1)/(2-1)=1, (2-3)/(2-1)=-1 → median 0
+    assert(r.getAs[Double]("slope") === 0.0)
+  }
+
+  // ---- Lorenz ---------------------------------------------------------
+
+  test("Stats.lorenz: uniform values give the diagonal; concentration bends the curve") {
+    val eq = (1 to 100).map(i => (10.0, i)).toDF("v", "id")
+    val r = Stats.lorenz(eq, "v", "id", buckets = 10).orderBy("bucket").collect()
+    assert(r.length === 10)
+    r.zipWithIndex.foreach { case (row, i) =>
+      assert(row.getAs[Double]("cum_pop_share") === (i + 1) / 10.0)
+      assert(row.getAs[Double]("cum_value_share") === (i + 1) / 10.0)
+    }
+
+    // one holder owns ~all value: first 9 deciles' cumulative share ~ 0
+    val conc = ((1 to 99).map(i => (0.01, i)) :+ ((10000.0, 100))).toDF("v", "id")
+    val rc = Stats.lorenz(conc, "v", "id", buckets = 10).orderBy("bucket").collect()
+    assert(rc(8).getAs[Double]("cum_value_share") < 0.001)
+    assert(rc(9).getAs[Double]("cum_value_share") === 1.0)
+  }
+
+  test("Stats.lorenz drops non-positive values and keeps integer cents exact") {
+    val df = Seq((-5.0, 1), (0.0, 2), (1.23, 3), (2.46, 4)).toDF("v", "id")
+    val r = Stats.lorenz(df, "v", "id", buckets = 2).orderBy("bucket").collect()
+    assert(r.map(_.getAs[Long]("n")).sum === 2L)
+    assert(r.map(_.getAs[Long]("cents")).sum === 123L + 246L)
+  }
+
+  // ---- CMH ------------------------------------------------------------
+
+  test("Stats.cmh: hand two-stratum example") {
+    // stratum s1: a=8, r1=10, r2=10, c1=12, c2=8, n=20
+    //   E=10*12/20=6, V=10*10*12*8/(400*19)=9600/7600
+    // stratum s2: a=2, r1=6, r2=6, c1=6, c2=6, n=12
+    //   E=3, V=6*6*6*6/(144*11)=1296/1584
+    def stratum(s: String, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((s, 1, 1)) ++ Seq.fill(b)((s, 1, 0)) ++
+        Seq.fill(c)((s, 0, 1)) ++ Seq.fill(d)((s, 0, 0))
+    val df = (stratum("s1", 8, 2, 4, 6) ++ stratum("s2", 2, 4, 4, 2)).toDF("s", "e", "o")
+    val r = Stats.cmh(df, "s", "e", "o").head()
+    val sumA = 10.0; val sumE = 6.0 + 3.0
+    val sumV = 9600.0 / 7600.0 + 1296.0 / 1584.0
+    val chi = math.pow(math.abs(sumA - sumE) - 0.5, 2) / sumV
+    assert(r.getAs[Long]("strata") === 2L)
+    assert(r.getAs[Long]("sum_a") === 10L)
+    assert(math.abs(r.getAs[Double]("sum_e") - 9.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("cmh_chi2") - math.floor(chi * 1e6 + 0.5) / 1e6) < 1e-6)
+  }
+
+  test("Stats.cmh: degenerate strata contribute nothing") {
+    // stratum with all-exposed rows (r2=0) must be excluded from both sums
+    val good = Seq(("s1", 1, 1), ("s1", 1, 0), ("s1", 0, 1), ("s1", 0, 0))
+    val degen = Seq(("s2", 1, 1), ("s2", 1, 0))
+    val r = Stats.cmh((good ++ degen).toDF("s", "e", "o"), "s", "e", "o").head()
+    assert(r.getAs[Long]("strata") === 2L)
+    assert(r.getAs[Long]("sum_a") === 1L) // only s1's a
+  }
+}
