@@ -6883,11 +6883,218 @@ object PipelineQueries {
     )
   )
 
+  /** k-step-unrolled greedy MMR replay (the [[pageRankOracleSql]]
+    * convention): candidate shortlist + pairwise sims once, then per
+    * round one argmax CTE (selection compares the 1e-6-quantized score
+    * with cid tie-break — the documented Mmr determinism contract) and
+    * one running-max update CTE. Float constants are interpolated from
+    * the SAME Scala doubles the Spark plan uses (λ and 1−λ), so both
+    * engines evaluate identical binary64 literals.
+    */
+  private def mmrOracleSql(k: Int, lambda: Double, nQueries: Int, shortlist: Int): String = {
+    val lam = lambda.toString
+    val om = (1.0 - lambda).toString
+    val sb = new StringBuilder
+    sb ++= s"""WITH f AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+              |            unnest(range(len(embedding))) AS i FROM embeddings),
+              |n AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM f GROUP BY vec_id),
+              |d AS (SELECT a.vec_id AS qid, b.vec_id AS nid, sum(a.v*b.v) AS dot
+              |      FROM f a JOIN f b ON a.i = b.i AND a.vec_id < $nQueries AND b.vec_id <> a.vec_id
+              |      GROUP BY 1, 2),
+              |c AS (SELECT qid, nid, dot/(na.nrm*nb.nrm) AS cos FROM d
+              |      JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = nid),
+              |cand AS (SELECT qid, nid AS cid, round(cos, 4) AS rel FROM
+              |         (SELECT qid, nid, cos,
+              |            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM c)
+              |         WHERE rk <= $shortlist),
+              |pd AS (SELECT x.qid AS qid, x.cid AS ca, y.cid AS cb, sum(fa.v*fb.v) AS dot
+              |       FROM cand x JOIN cand y ON x.qid = y.qid AND x.cid <> y.cid
+              |       JOIN f fa ON fa.vec_id = x.cid
+              |       JOIN f fb ON fb.vec_id = y.cid AND fa.i = fb.i
+              |       GROUP BY 1, 2, 3),
+              |ps AS (SELECT qid, ca, cb, dot/(na.nrm*nb.nrm) AS cos FROM pd
+              |       JOIN n na ON na.vec_id = ca JOIN n nb ON nb.vec_id = cb),
+              |s0 AS (SELECT qid, cid, rel, -1.0 AS ms FROM cand)""".stripMargin
+    for (i <- 1 to k) {
+      sb ++= s""",
+                |p$i AS (SELECT qid, cid, rel, ms FROM
+                |        (SELECT *, row_number() OVER (PARTITION BY qid
+                |           ORDER BY floor(($lam*rel - $om*ms)*1e6 + 0.5) DESC, cid) AS rk
+                |         FROM s${i - 1})
+                |        WHERE rk = 1)""".stripMargin
+      if (i < k) sb ++= s""",
+                |s$i AS (SELECT r.qid AS qid, r.cid AS cid, r.rel AS rel, greatest(r.ms, p.cos) AS ms
+                |        FROM s${i - 1} r JOIN p$i ON r.qid = p$i.qid AND r.cid <> p$i.cid
+                |        JOIN ps p ON p.qid = r.qid AND p.ca = r.cid AND p.cb = p$i.cid)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT qid, sel_rank, cid, rel,
+              |  floor(ms*1e4 + 0.5)/1e4 AS maxsim,
+              |  floor(($lam*rel - $om*ms)*1e4 + 0.5)/1e4 AS score
+              |FROM (${(1 to k).map(i => s"SELECT qid, cid, rel, ms, $i AS sel_rank FROM p$i").mkString(" UNION ALL ")})
+              |ORDER BY qid, sel_rank""".stripMargin
+    sb.toString
+  }
+
+  // ---- P41: MMR diversified re-rank (FULL oracle — the greedy
+  // selection replays because the argmax compares 1e-6-quantized
+  // scores with cid tie-break; candidates come from the q25-proven
+  // cosine shortlist replay) -------------------------------------------
+  val q252 = Q(
+    "q252_mmr_rerank",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val shortlist = Cosine.topK(emb.where(col("vec_id") < 5), emb, "vec_id", "embedding", k = 20)
+      val cands = shortlist.join(
+        emb.select(col("vec_id").as("nid"), col("embedding").as("vec")), Seq("nid"))
+      graft.sim.Mmr.rerank(cands, "qid", "nid", "cos_sim", "vec", k = 5, lambda = 0.7)
+        .withColumnRenamed("cid", "cid_out")
+        .select(col("qid"), col("sel_rank"), col("cid_out").as("cid"),
+          col("rel"), col("maxsim"), col("score"))
+        .orderBy("qid", "sel_rank")
+    },
+    Some(mmrOracleSql(k = 5, lambda = 0.7, nQueries = 5, shortlist = 20))
+  )
+
+  // ---- T84: multi-arm unit-level SRM gate (FULL oracle — distinct
+  // (arm, unit) counts, broadcast expected shares, chi-square GoF) -----
+  val q253 = Q(
+    "q253_srm",
+    (s, dir) =>
+      graft.ops.Abtest.srm(
+        Tables.events(s, dir), "user_id",
+        when(col("user_id") % 10 === 0, "holdout").otherwise("main"),
+        Seq(("holdout", 0.1), ("main", 0.9)))
+        .orderBy("arm"),
+    Some(
+      """WITH per AS (SELECT arm, count(*)::BIGINT AS n_units FROM
+        |    (SELECT DISTINCT CASE WHEN user_id % 10 = 0 THEN 'holdout' ELSE 'main' END AS arm,
+        |       user_id FROM events)
+        |  GROUP BY 1),
+        |e AS (SELECT 'holdout' AS arm, 0.1::DOUBLE AS exp_share
+        |      UNION ALL SELECT 'main', 0.9::DOUBLE),
+        |j AS (SELECT e.arm AS arm, exp_share, coalesce(n_units, 0)::BIGINT AS n_units
+        |      FROM e LEFT JOIN per ON e.arm = per.arm),
+        |t AS (SELECT *, (sum(n_units) OVER ())::DOUBLE AS tot, count(*) OVER () AS k FROM j)
+        |SELECT arm, n_units,
+        |  floor(exp_share*tot*1e6+0.5)/1e6 AS expected_units,
+        |  floor((sum((n_units - exp_share*tot)*(n_units - exp_share*tot)/(exp_share*tot))
+        |    OVER ())*1e6+0.5)/1e6 AS chi2,
+        |  (k - 1)::BIGINT AS dof
+        |FROM t ORDER BY arm""".stripMargin
+    )
+  )
+
+  // ---- S32/T85: order-3 sequential patterns (FULL oracle — stacked
+  // lead() over the keyed sort; share fixed BEFORE the support prune) --
+  val q254 = Q(
+    "q254_seq_patterns",
+    (s, dir) =>
+      graft.ops.Transitions.ngrams(
+        Tables.events(s, dir), "user_id", "ts", "event_type", "event_id",
+        n = 3, minCount = 5L)
+        .orderBy("pattern"),
+    Some(
+      """WITH s AS (SELECT user_id, event_type,
+        |    lead(event_type, 1) OVER w AS s1, lead(event_type, 2) OVER w AS s2
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT event_type || '>' || s1 || '>' || s2 AS pattern FROM s
+        |      WHERE s1 IS NOT NULL AND s2 IS NOT NULL),
+        |cc AS (SELECT pattern, count(*)::BIGINT AS n FROM g GROUP BY 1),
+        |t AS (SELECT pattern, n,
+        |        floor(n::DOUBLE / sum(n) OVER () * 1e6 + 0.5)/1e6 AS share FROM cc)
+        |SELECT pattern, n, share FROM t WHERE n >= 5 ORDER BY pattern""".stripMargin
+    )
+  )
+
+  // ---- C81: Tukey IQR fences per group (FULL oracle — exact
+  // interpolating quartiles are bit-identical across engines, so the
+  // unquantized fence comparisons agree row-for-row) -------------------
+  val q255 = Q(
+    "q255_iqr_fences",
+    (s, dir) =>
+      graft.ops.Stats.iqrFences(
+        Tables.lineitem(s, dir), "l_returnflag", "l_extendedprice")
+        .orderBy("l_returnflag"),
+    Some(
+      """WITH b AS (SELECT l_returnflag AS g, l_extendedprice::DOUBLE AS x FROM lineitem),
+        |q AS (SELECT g, count(*)::BIGINT AS n,
+        |        quantile_cont(x, 0.25) AS q1v, quantile_cont(x, 0.75) AS q3v
+        |      FROM b GROUP BY 1),
+        |f AS (SELECT g, n, q1v, q3v,
+        |        q1v - 1.5*(q3v-q1v) AS lov, q3v + 1.5*(q3v-q1v) AS hiv FROM q),
+        |c AS (SELECT b.g AS g, any_value(f.n) AS n,
+        |        any_value(q1v) AS q1r, any_value(q3v) AS q3r,
+        |        any_value(lov) AS lor, any_value(hiv) AS hir,
+        |        sum(CASE WHEN x < lov THEN 1 ELSE 0 END)::BIGINT AS n_low,
+        |        sum(CASE WHEN x > hiv THEN 1 ELSE 0 END)::BIGINT AS n_high
+        |      FROM b JOIN f ON b.g = f.g GROUP BY 1)
+        |SELECT g AS l_returnflag, n,
+        |  floor(q1r*1e6+0.5)/1e6 AS q1, floor(q3r*1e6+0.5)/1e6 AS q3,
+        |  floor((q3r-q1r)*1e6+0.5)/1e6 AS iqr,
+        |  floor(lor*1e6+0.5)/1e6 AS fence_lo, floor(hir*1e6+0.5)/1e6 AS fence_hi,
+        |  n_low, n_high
+        |FROM c ORDER BY l_returnflag""".stripMargin
+    )
+  )
+
+  // ---- T86: Laplace-noised clipped-sum release (FULL oracle — the
+  // q242 seeded-noise contract extended to sums; clip bounds fix the
+  // sensitivity) -------------------------------------------------------
+  val q256 = Q(
+    "q256_dp_sum",
+    (s, dir) =>
+      graft.ops.Privacy.laplaceSum(
+        Tables.events(s, dir), "event_type", "value",
+        lo = 0.0, hi = 150.0, epsilon = 0.5)
+        .orderBy("event_type"),
+    Some(
+      s"""WITH g AS (SELECT event_type, count(*)::BIGINT AS n,
+        |        sum(least(greatest("value"::DOUBLE, 0.0), 150.0)) AS csum,
+        |        sum(CASE WHEN "value" < 0.0 OR "value" > 150.0 THEN 1 ELSE 0 END)::BIGINT AS n_clipped
+        |      FROM events GROUP BY 1),
+        |u AS (SELECT event_type, n, csum, n_clipped,
+        |        ((${graft.functions.SharedHash.md5Long60Sql("'graft-release' || '|' || event_type")})::DOUBLE + 0.5)
+        |          / 1152921504606846976.0 - 0.5 AS uu
+        |      FROM g),
+        |l AS (SELECT event_type, n, csum, n_clipped,
+        |        -300.0 * sign(uu) * ln(1.0 - 2.0 * abs(uu)) AS lap
+        |      FROM u)
+        |SELECT event_type, n,
+        |  floor(csum * 1e6 + 0.5) / 1e6 AS clipped_sum,
+        |  n_clipped,
+        |  floor(lap * 1e6 + 0.5) / 1e6 AS noise,
+        |  floor((csum + floor(lap * 1e6 + 0.5) / 1e6) * 1e6 + 0.5) / 1e6 AS released
+        |FROM l ORDER BY event_type""".stripMargin
+    )
+  )
+
+  // ---- T87: Chao1 unseen-vocabulary estimate per language (FULL
+  // oracle — integer frequency-spectrum cells + two closed forms) ------
+  val q257 = Q(
+    "q257_chao1",
+    (s, dir) =>
+      graft.text.Vocab.chao1(Tables.documents(s, dir), "text", "lang")
+        .orderBy("lang"),
+    Some(
+      """WITH toks AS (SELECT lang AS g, unnest(string_split(text, ' ')) AS token FROM documents),
+        |fr AS (SELECT g, token, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+        |s AS (SELECT g, sum(tf)::BIGINT AS n_tokens, count(*)::BIGINT AS s_obs,
+        |        sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+        |        sum(CASE WHEN tf = 2 THEN 1 ELSE 0 END)::BIGINT AS f2
+        |      FROM fr GROUP BY 1)
+        |SELECT g AS lang, n_tokens, s_obs, f1, f2,
+        |  floor((s_obs + f1::DOUBLE*(f1-1)/(2.0*(f2+1)))*1e6+0.5)/1e6 AS chao1,
+        |  floor((1.0 - f1::DOUBLE/n_tokens)*1e6+0.5)/1e6 AS coverage
+        |FROM s ORDER BY lang""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251)
+      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257)
 }

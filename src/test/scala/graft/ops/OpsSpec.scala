@@ -355,6 +355,52 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("Transitions.ngrams: hand trigram counts; incomplete tails dropped; share fixed before the prune") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(sec: Int) = new java.sql.Timestamp(base.getTime + sec * 1000L)
+    // u1: a b c d → abc, bcd ; u2: a b c → abc ; u3: a b → no trigram
+    val df = Seq(
+      (1L, "u1", ts(0), "a"), (2L, "u1", ts(1), "b"), (3L, "u1", ts(2), "c"), (4L, "u1", ts(3), "d"),
+      (5L, "u2", ts(0), "a"), (6L, "u2", ts(1), "b"), (7L, "u2", ts(2), "c"),
+      (8L, "u3", ts(0), "a"), (9L, "u3", ts(1), "b")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = graft.ops.Transitions.ngrams(df, "user_id", "ts", "event_type", "event_id", n = 3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out === Map("a>b>c" -> ((2L, 0.666667)), "b>c>d" -> ((1L, 0.333333))))
+
+    // minCount prunes rows but the share denominator stays the full n-gram count
+    val pruned = graft.ops.Transitions.ngrams(df, "user_id", "ts", "event_type", "event_id",
+      n = 3, minCount = 2L).collect()
+    assert(pruned.length === 1)
+    assert(pruned.head.getDouble(2) === 0.666667)
+  }
+
+  test("Abtest.srm: hand chi-square; zero-count arm charges its full expectation; unknown arm fails fast") {
+    import org.apache.spark.sql.functions.col
+    // 90 units in main, 30 in holdout; expected 0.8/0.2 of 120 → E=96/24
+    val df = ((1 to 90).map(i => (s"m$i", "main")) ++ (1 to 30).map(i => (s"h$i", "holdout")))
+      .toDF("u", "arm")
+    val out = Abtest.srm(df, "u", col("arm"), Seq(("main", 0.8), ("holdout", 0.2)))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val chi = math.pow(90 - 96.0, 2) / 96.0 + math.pow(30 - 24.0, 2) / 24.0
+    assert(out("main").getAs[Long]("n_units") === 90L)
+    assert(math.abs(out("main").getAs[Double]("chi2") - math.floor(chi * 1e6 + 0.5) / 1e6) < 1e-9)
+    assert(out("main").getAs[Long]("dof") === 1L)
+
+    // an arm in `expected` that never shows up still contributes (0−E)²/E
+    val one = Seq(("u1", "main"), ("u2", "main")).toDF("u", "arm")
+    val r2 = Abtest.srm(one, "u", col("arm"), Seq(("main", 0.5), ("ghost", 0.5)))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(r2("ghost").getAs[Long]("n_units") === 0L)
+    assert(r2("ghost").getAs[Double]("chi2") === 2.0) // (0-1)²/1 + (2-1)²/1
+
+    // observed arm missing from `expected` → raise_error
+    val bad = Seq(("u1", "typo")).toDF("u", "arm")
+    intercept[Exception] {
+      Abtest.srm(bad, "u", col("arm"), Seq(("main", 1.0))).collect()
+    }
+  }
+
   test("Sampling.deterministicSplit is stable, complete, and near the target fractions") {
     val ids = (0L until 2000L).toDF("doc_id")
     val s1 = Sampling.deterministicSplit(ids, "doc_id")

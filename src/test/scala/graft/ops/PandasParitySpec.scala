@@ -110,6 +110,28 @@ class PandasParitySpec extends SparkSpec {
     assert(math.abs(a.map(_._2).sum / a.length) < 2.0)
   }
 
+  test("Privacy.laplaceSum: clipping census, reproducible noise, sensitivity from the bounds") {
+    // values 0..9 per group; clip to [0, 5] → 4 rows clipped, clipped sum = 0+1+2+3+4+5+5+5+5+5
+    val df = (0 until 10).flatMap(v => Seq(("a", v.toDouble), ("b", v.toDouble))).toDF("g", "x")
+    val out = Privacy.laplaceSum(df, "g", "x", lo = 0.0, hi = 5.0, epsilon = 1.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Long]("n_clipped") === 4L)
+    assert(out("a").getAs[Double]("clipped_sum") === 35.0)
+    // released = clipped_sum + noise (both quantized)
+    val ra = out("a")
+    assert(math.abs(ra.getAs[Double]("released") -
+      (ra.getAs[Double]("clipped_sum") + ra.getAs[Double]("noise"))) < 2e-6)
+    // reproducible with the same seed
+    val again = Privacy.laplaceSum(df, "g", "x", lo = 0.0, hi = 5.0, epsilon = 1.0)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("noise")).toMap
+    assert(again("a") === ra.getAs[Double]("noise"))
+    // wider bounds → larger sensitivity → noise scales by hi ratio exactly
+    // (same u draw per group, b linear in max(|lo|,|hi|))
+    val wide = Privacy.laplaceSum(df, "g", "x", lo = 0.0, hi = 50.0, epsilon = 1.0)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("noise")).toMap
+    assert(math.abs(wide("a") - 10.0 * ra.getAs[Double]("noise")) < 1e-4)
+  }
+
   test("Eval.confusion: hand 3-class table; absent predicted class scores precision 0") {
     // truth:  a a a b b c ; pred: a a b b b a  -> c never predicted
     val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"), ("c", "a"))

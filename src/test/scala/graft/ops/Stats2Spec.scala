@@ -159,6 +159,30 @@ class Stats2Spec extends SparkSpec {
     assert(r.map(_.getAs[Long]("cents")).sum === 123L + 246L)
   }
 
+  // ---- IQR fences -----------------------------------------------------
+
+  test("Stats.iqrFences: hand quartiles and planted outliers") {
+    // sorted: -100, 1..11, 200 (n=13): q1 = idx 3 = 3, q3 = idx 9 = 9
+    val vals = ((1 to 11).map(_.toDouble) ++ Seq(-100.0, 200.0)).map(("g", _))
+    val r = Stats.iqrFences(vals.toDF("g", "x"), "g", "x").head()
+    assert(r.getAs[Long]("n") === 13L)
+    assert(r.getAs[Double]("q1") === 3.0)
+    assert(r.getAs[Double]("q3") === 9.0)
+    assert(r.getAs[Double]("iqr") === 6.0)
+    assert(r.getAs[Double]("fence_lo") === -6.0)
+    assert(r.getAs[Double]("fence_hi") === 18.0)
+    assert(r.getAs[Long]("n_low") === 1L)  // -100
+    assert(r.getAs[Long]("n_high") === 1L) // 200
+  }
+
+  test("Stats.iqrFences: interpolating quartiles on even counts; clean data has no outliers") {
+    val r = Stats.iqrFences((1 to 4).map(i => ("g", i.toDouble)).toDF("g", "x"), "g", "x").head()
+    // p25 at (4-1)*0.25 = 0.75 → 1.75; p75 at 2.25 → 3.25
+    assert(r.getAs[Double]("q1") === 1.75)
+    assert(r.getAs[Double]("q3") === 3.25)
+    assert(r.getAs[Long]("n_low") === 0L && r.getAs[Long]("n_high") === 0L)
+  }
+
   // ---- CMH ------------------------------------------------------------
 
   test("Stats.cmh: hand two-stratum example") {

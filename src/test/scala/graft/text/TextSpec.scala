@@ -738,4 +738,23 @@ class TextSpec extends SparkSpec {
       .select("lang", "cms").as[(String, Seq[Long])].collect().toMap
     assert(viaSql == viaDf)
   }
+
+  test("Vocab.chao1: hand frequency spectrum; saturated corpus estimates no unseen mass") {
+    // corpus: "a a a b b c d" → S=4, f1={c,d}=2, f2={b}=1, N=7
+    // chao1 = 4 + 2·1/(2·2) = 4.5 ; coverage = 1 − 2/7
+    val df = Seq(("x", "a a a b b c d")).toDF("g", "text")
+    val r = Vocab.chao1(df, "text", "g").head()
+    assert(r.getAs[Long]("n_tokens") === 7L)
+    assert(r.getAs[Long]("s_obs") === 4L)
+    assert(r.getAs[Long]("f1") === 2L)
+    assert(r.getAs[Long]("f2") === 1L)
+    assert(r.getAs[Double]("chao1") === 4.5)
+    assert(r.getAs[Double]("coverage") === math.floor((1.0 - 2.0 / 7.0) * 1e6 + 0.5) / 1e6)
+
+    // every type seen many times → f1 = 0 → chao1 = S_obs, coverage 1
+    val sat = Seq(("y", "a a a b b b")).toDF("g", "text")
+    val rs = Vocab.chao1(sat, "text", "g").head()
+    assert(rs.getAs[Double]("chao1") === rs.getAs[Long]("s_obs").toDouble)
+    assert(rs.getAs[Double]("coverage") === 1.0)
+  }
 }
