@@ -20,6 +20,37 @@ import org.apache.spark.sql.functions._
   */
 object Survival {
 
+  /** τ-restricted mean survival time — the clinically-standard scalar
+    * summary of a KM curve when medians are undefined (heavy
+    * censoring): RMST(τ) = ∫₀^τ Ŝ(t)dt, the exact area under the step
+    * function. Computed FROM the [[kaplanMeier]] frame (its quantized
+    * survival column, so the integral is bit-replayable wherever KM
+    * is): segment [0, t₁) contributes 1·min(t₁,τ); segment [tᵢ,
+    * t_{i+1}) contributes Ŝ(tᵢ)·(min(t_{i+1},τ) − min(tᵢ,τ)); the tail
+    * past the last event time runs at the final Ŝ until τ. One lead()
+    * window + one sum over the duration-cardinality frame (the KM
+    * honest-cost shape — never corpus rows). Returns one row:
+    * (tau, rmst 6dp).
+    */
+  def rmst(df: DataFrame, durationCol: String, eventCol: String, tau: Double): DataFrame = {
+    require(tau > 0, "Survival.rmst: tau must be positive")
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    val km = kaplanMeier(df, durationCol, eventCol)
+    val w = Window.orderBy(col("t")) // duration-cardinality frame
+    val seg = km
+      .withColumn("t_next", coalesce(lead(col("t"), 1).over(w), lit(tau)))
+      .withColumn("head_area",
+        // the [0, t₁) segment at survival 1, attached to the first row
+        when(lag(col("t"), 1).over(w).isNull,
+          least(col("t"), lit(tau))).otherwise(lit(0.0)))
+      .withColumn("seg_area",
+        col("survival") *
+          greatest(lit(0.0), least(col("t_next"), lit(tau)) - least(col("t"), lit(tau))))
+    seg
+      .agg(q6(sum(col("head_area") + col("seg_area"))).as("rmst"))
+      .select(lit(tau).as("tau"), col("rmst"))
+  }
+
   /** (t, n_risk, d_events, n_censored, survival) per distinct duration,
     * survival 6dp, ordered by t.
     */

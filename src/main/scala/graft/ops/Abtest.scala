@@ -259,6 +259,69 @@ object Abtest {
           .otherwise(q6(least(lit(1.0), lit(1.0) / lam))).as("p_av"))
   }
 
+  /** Exact-size permutation test for a two-arm mean difference — the
+    * distribution-free readout when normal-approximation SEs are
+    * suspect (heavy-tailed unit metrics). Each of `reps` permutations
+    * ranks units by the shared md5-60 hash of (seed, rep, unit) and
+    * labels the first n_A as arm A — a uniform random permutation
+    * that PRESERVES the observed arm sizes, is reproducible, and
+    * replays in SQL (the [[graft.ops.Privacy]] seed-as-key contract).
+    *
+    * Scale shape: the corpus first collapses to the UNIT frame (one
+    * row per unit — experiment-sized by definition); permutations
+    * explode that to reps×units rows whose rank windows shard per
+    * rep (never single-partition), then collapse to a reps-sized
+    * diff frame. p = (1 + #{|diff_r| ≥ |observed|}) / (reps + 1),
+    * both sides of the comparison quantized to 1e-9 so cross-engine
+    * summation-order ulps cannot flip a count.
+    * Returns one row: n_a, n_b, obs_diff (6dp), n_ge, p_value (6dp).
+    */
+  def permutationTest(
+      df: DataFrame,
+      unitCol: String,
+      valueCol: String,
+      variant: Column,
+      reps: Int,
+      seed: String = "graft-perm"): DataFrame = {
+    require(reps > 0, "Abtest.permutationTest: reps must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    def q9(c: Column) = floor(c * lit(1e9) + lit(0.5)).cast("double") / lit(1e9)
+    // unit frame: one row per unit with its mean metric and arm
+    val units = df
+      .groupBy(col(unitCol).as("u"))
+      .agg(avg(col(valueCol).cast("double")).as("y"), first(variant).as("arm"))
+      .localCheckpoint()
+    val sizes = units.groupBy("arm").agg(count(lit(1)).as("n")).collect()
+    require(sizes.length == 2, "Abtest.permutationTest: expected exactly two arms")
+    val byArm = sizes.map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val (armA, nA) = byArm(0)
+    val (_, nB) = byArm(1)
+    val obs = units.groupBy("arm").agg(avg("y").as("m")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val obsDiff = obs(armA) - obs(byArm(1)._1)
+    val repsDf = spark.range(1, reps + 1).toDF("rep")
+    // intentional experiment-frame × reps expansion (units are
+    // experiment-sized by contract; the reps side broadcasts)
+    val permed = units.crossJoin(broadcast(repsDf))
+      .withColumn("h", graft.functions.SharedHash.md5Long60(
+        concat(lit(seed), lit("|"), col("rep").cast("string"), lit("|"), col("u").cast("string"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("rep").orderBy(col("h"), col("u"))))
+      .withColumn("as_a", col("rk") <= nA)
+    val diffs = permed.groupBy("rep").agg(
+      (sum(when(col("as_a"), col("y"))) / lit(nA.toDouble) -
+        sum(when(!col("as_a"), col("y"))) / lit(nB.toDouble)).as("pdiff"))
+    val nGe = diffs
+      .agg(sum(when(abs(q9(col("pdiff"))) >= abs(q9(lit(obsDiff))), 1L).otherwise(0L)).as("n_ge"))
+    nGe.select(
+      lit(nA).as("n_a"), lit(nB).as("n_b"),
+      q6(lit(obsDiff)).as("obs_diff"),
+      col("n_ge"),
+      q6((lit(1L) + col("n_ge")).cast("double") / lit((reps + 1).toDouble)).as("p_value"))
+  }
+
   /** Sample-ratio-mismatch check, multi-arm and UNIT-level — the first
     * guardrail on any experiment readout (a biased assignment path
     * invalidates every downstream stat; [[twoProportion]] embeds the

@@ -68,4 +68,48 @@ object Changepoint {
       .withColumn("__sigma", q6(col("__sigma")))
       .withColumnRenamed("__sigma", "sigma")
   }
+
+  /** Page–Hinkley drift detector per key — [[cusum]]'s self-calibrating
+    * sibling: no baseline pass; the reference level is the RUNNING mean
+    * x̄ᵢ, so the detector adapts online (the streaming-drift-literature
+    * default for data-quality monitors). Two-sided: mᵢ = Σ(xⱼ − x̄ⱼ − δ)
+    * resets against its historical minimum (increase alarm when
+    * mᵢ − min m > λ), and the mirrored sum against its minimum for
+    * decreases. All four series are prefix windows over the SAME keyed
+    * (time, tie) sort — one shuffle, four window columns, corpus rows
+    * sharded by key. The alarm compares the 1e-4-quantized statistic
+    * (both engines), so replay cannot flip at a float boundary.
+    * [[graft.streaming.EventStream.pageHinkleyStream]] is the live
+    * fold of the identical recursion.
+    */
+  def pageHinkley(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      tieCol: String,
+      valueCol: String,
+      delta: Double,
+      lambda: Double): DataFrame = {
+    require(lambda > 0, "Changepoint.pageHinkley: lambda must be positive")
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(timeCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val v = col(valueCol).cast("double")
+    // cumulative sum ÷ cumulative count, NOT avg().over(w): cumulative
+    // ROWS sums evaluate sequentially in both engines (the cusum
+    // bit-parity finding), while windowed AVG's internal accumulation is
+    // engine-specific — with 2-decimal inputs the early-prefix PH values
+    // sit EXACTLY on k/200 grid points, so any non-bit-identical mean
+    // flips floor-quantizer midpoints (observed at 1e-4 and 1e-6 both)
+    val runMean = sum(v).over(w) / count(lit(1)).over(w)
+    df
+      .withColumn("__dev", v - runMean)
+      .withColumn("__mu_up", sum(col("__dev") - lit(delta)).over(w))
+      .withColumn("__mu_dn", sum(-col("__dev") - lit(delta)).over(w))
+      .withColumn("ph_up", q6(col("__mu_up") - min(col("__mu_up")).over(w)))
+      .withColumn("ph_dn", q6(col("__mu_dn") - min(col("__mu_dn")).over(w)))
+      .withColumn("alarm",
+        when(col("ph_up") > lambda || col("ph_dn") > lambda, 1L).otherwise(0L))
+      .drop("__dev", "__mu_up", "__mu_dn")
+  }
 }

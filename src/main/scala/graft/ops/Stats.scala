@@ -565,6 +565,27 @@ object Stats {
         q6(col("cum_cents").cast("double") / sum("cents").over(tot)).as("cum_value_share"))
   }
 
+  /** Exact per-group mode with a deterministic tie-break (smallest
+    * value wins — the pandas `Series.mode().iloc[0]` convention made
+    * explicit): two hash aggregates ((group, value) counts → per-group
+    * argmax via `max_by` on the (count, reversed-value) pair). Output
+    * one row per group: mode, n_mode (its count), n_distinct.
+    * Value-cardinality shuffles only.
+    */
+  def modeByGroup(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val counts = df
+      .groupBy(col(groupCol).as("g"), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("n"))
+    val ranked = counts
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy("g")))
+      // value-cardinality frame; the window shards on the group key
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("g").orderBy(col("n").desc, col("v"))))
+    ranked.where(col("rk") === 1)
+      .select(col("g").as(groupCol), col("v").as("mode"),
+        col("n").as("n_mode"), col("nd").as("n_distinct"))
+  }
+
   /** Tukey IQR fences per group — the univariate outlier gate beside
     * the multivariate [[graft.sim.Outliers.pcaMahalanobis]]: exact
     * interpolating quartiles (Spark `percentile` ≡ DuckDB

@@ -7090,11 +7090,181 @@ object PipelineQueries {
     )
   )
 
+  // ---- C82: τ-restricted mean survival time (FULL oracle — the q168
+  // KM replay extended with one lead(); exact step-function area) ------
+  val q258 = Q(
+    "q258_rmst",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val per = ev
+        .select(col("user_id"), floor(unix_timestamp(col("ts")) / 86400).as("day"))
+        .groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+      val maxDay = per.agg(max("d1")).head().getLong(0)
+      val spans = per.select(
+        (col("d1") - col("d0") + 1).cast("double").as("dur"),
+        when(col("d1") < maxDay - 7, 1).otherwise(0).as("ev"))
+      graft.ml.Survival.rmst(spans, "dur", "ev", tau = 30.0)
+    },
+    Some(
+      """WITH d AS (SELECT user_id, floor(epoch(ts)/86400)::BIGINT AS day FROM events),
+        |p AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1),
+        |mx AS (SELECT max(d1) AS m FROM p),
+        |sp AS (SELECT (d1 - d0 + 1)::DOUBLE AS t,
+        |         CASE WHEN d1 < (SELECT m FROM mx) - 7 THEN 1 ELSE 0 END AS ev FROM p),
+        |c AS (SELECT t, sum(ev)::BIGINT AS dd, sum(1 - ev)::BIGINT AS cns FROM sp GROUP BY 1),
+        |r AS (SELECT t, dd, (sum(dd + cns) OVER (ORDER BY t DESC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS n_risk FROM c),
+        |k AS (SELECT t, CASE WHEN dd > 0
+        |         THEN ln(greatest(1.0 - dd::DOUBLE/n_risk::DOUBLE, 1e-300)) ELSE 0.0 END AS lt
+        |      FROM r),
+        |w AS (SELECT t, floor(exp(sum(lt) OVER (ORDER BY t
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))*1e6+0.5)/1e6 AS surv FROM k),
+        |seg AS (SELECT t, surv,
+        |          coalesce(lead(t) OVER (ORDER BY t), 30.0) AS t_next,
+        |          CASE WHEN lag(t) OVER (ORDER BY t) IS NULL
+        |            THEN least(t, 30.0) ELSE 0.0 END AS head_area
+        |        FROM w)
+        |SELECT 30.0::DOUBLE AS tau,
+        |  floor(sum(head_area + surv * greatest(0.0, least(t_next, 30.0) - least(t, 30.0)))
+        |    *1e6+0.5)/1e6 AS rmst
+        |FROM seg""".stripMargin
+    )
+  )
+
+  // ---- T88: exact-size seeded permutation test (FULL oracle — each
+  // permutation is a rank over the shared md5-60 of (seed, rep, unit);
+  // sizes preserved, counts compared at 1e-9 quantization) -------------
+  val q259 = Q(
+    "q259_permutation_test",
+    (s, dir) =>
+      graft.ops.Abtest.permutationTest(
+        Tables.events(s, dir), "user_id", "value",
+        when(col("user_id") % 2 === 0, "A").otherwise("B"),
+        reps = 200),
+    Some(
+      """WITH u AS (SELECT user_id AS u, avg(value::DOUBLE) AS y,
+        |             CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+        |           FROM events GROUP BY user_id),
+        |sz AS (SELECT sum(CASE WHEN arm='A' THEN 1 ELSE 0 END)::BIGINT AS na,
+        |          sum(CASE WHEN arm='B' THEN 1 ELSE 0 END)::BIGINT AS nb FROM u),
+        |ob AS (SELECT avg(CASE WHEN arm='A' THEN y END)
+        |          - avg(CASE WHEN arm='B' THEN y END) AS obs FROM u),
+        |r AS (SELECT unnest(range(1, 201)) AS rep),
+        |h AS (SELECT r.rep AS rep, u.u AS u, u.y AS y,
+        |        ('0x' || substr(md5('graft-perm' || '|' || rep::VARCHAR || '|' || u.u::VARCHAR), 1, 15))::UBIGINT::BIGINT AS hv
+        |      FROM r CROSS JOIN u),
+        |rk AS (SELECT rep, y, row_number() OVER (PARTITION BY rep ORDER BY hv, u) AS rk FROM h),
+        |pd AS (SELECT rep,
+        |        sum(CASE WHEN rk <= (SELECT na FROM sz) THEN y END) / (SELECT na FROM sz)::DOUBLE
+        |        - sum(CASE WHEN rk > (SELECT na FROM sz) THEN y END) / (SELECT nb FROM sz)::DOUBLE AS pdiff
+        |      FROM rk GROUP BY rep),
+        |ng AS (SELECT sum(CASE WHEN abs(floor(pdiff*1e9+0.5)/1e9) >=
+        |          abs(floor((SELECT obs FROM ob)*1e9+0.5)/1e9) THEN 1 ELSE 0 END)::BIGINT AS n_ge
+        |       FROM pd)
+        |SELECT (SELECT na FROM sz) AS n_a, (SELECT nb FROM sz) AS n_b,
+        |  floor((SELECT obs FROM ob)*1e6+0.5)/1e6 AS obs_diff,
+        |  n_ge,
+        |  floor((1 + n_ge)::DOUBLE / 201.0 * 1e6 + 0.5)/1e6 AS p_value
+        |FROM ng""".stripMargin
+    )
+  )
+
+  // ---- Z19: column-level dataset profile (FULL oracle — one stats row
+  // unpivoted; numeric and string ranges typed separately so the
+  // replay never casts a double through a string) ----------------------
+  val q260 = Q(
+    "q260_table_profile",
+    (s, dir) =>
+      graft.ops.Profile.table(
+        Tables.events(s, dir).select("event_id", "user_id", "event_type", "value"),
+        Seq("event_id", "user_id", "event_type", "value"))
+        .orderBy("col_name"),
+    Some(
+      """SELECT 'event_id' AS col_name, count(*)::BIGINT AS n,
+        |  (count(*) - count(event_id))::BIGINT AS n_null,
+        |  count(DISTINCT event_id)::BIGINT AS n_distinct,
+        |  min(event_id)::DOUBLE AS min_num, max(event_id)::DOUBLE AS max_num,
+        |  NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str FROM events
+        |UNION ALL
+        |SELECT 'user_id', count(*)::BIGINT, (count(*) - count(user_id))::BIGINT,
+        |  count(DISTINCT user_id)::BIGINT,
+        |  min(user_id)::DOUBLE, max(user_id)::DOUBLE, NULL::VARCHAR, NULL::VARCHAR FROM events
+        |UNION ALL
+        |SELECT 'event_type', count(*)::BIGINT, (count(*) - count(event_type))::BIGINT,
+        |  count(DISTINCT event_type)::BIGINT,
+        |  NULL::DOUBLE, NULL::DOUBLE, min(event_type), max(event_type) FROM events
+        |UNION ALL
+        |SELECT 'value', count(*)::BIGINT, (count(*) - count("value"))::BIGINT,
+        |  count(DISTINCT "value")::BIGINT,
+        |  min("value")::DOUBLE, max("value")::DOUBLE, NULL::VARCHAR, NULL::VARCHAR FROM events
+        |ORDER BY col_name""".stripMargin
+    )
+  )
+
+  // ---- C83: exact grouped mode with deterministic tie-break (FULL
+  // oracle — integer counts, smallest-value-wins convention) -----------
+  val q261 = Q(
+    "q261_mode_by_group",
+    (s, dir) =>
+      graft.ops.Stats.modeByGroup(Tables.events(s, dir), "user_id", "event_type")
+        .orderBy("user_id"),
+    Some(
+      """WITH c AS (SELECT user_id, event_type AS v, count(*)::BIGINT AS n
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, v, n,
+        |        (count(*) OVER (PARTITION BY user_id))::BIGINT AS nd,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY n DESC, v) AS rk FROM c)
+        |SELECT user_id, v AS mode, n AS n_mode, nd AS n_distinct
+        |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin
+    )
+  )
+
+  // ---- T89: Page–Hinkley drift detector, batch form (FULL oracle — a
+  // SEQUENTIAL recursive-CTE replay, the q233 convention: DuckDB's
+  // windowed SUM accumulates via segment tree (~1e-12 off the
+  // sequential order) while the true PH values of 2-decimal inputs sit
+  // EXACTLY on quantizer midpoints, so only an order-preserving fold —
+  // same parenthesization as Spark's running windows — replays the
+  // bits; ~80 recursive steps, all keys advancing per step) ------------
+  val q262 = Q(
+    "q262_page_hinkley",
+    (s, dir) =>
+      graft.ops.Changepoint.pageHinkley(
+        Tables.events(s, dir).select("event_id", "user_id", "ts", "value"),
+        "user_id", "ts", "event_id", "value", delta = 0.005, lambda = 50.0)
+        .select("event_id", "user_id", "ph_up", "ph_dn", "alarm")
+        .orderBy("event_id"),
+    Some(
+      """WITH RECURSIVE b AS (SELECT user_id AS k, event_id, value::DOUBLE AS v,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |      FROM events),
+        |ph AS (
+        |  SELECT k, event_id, rn, 1::BIGINT AS n, v AS sumx,
+        |         ((v - v) - 0.005::DOUBLE) AS mup, ((v - v) - 0.005::DOUBLE) AS minu,
+        |         ((-(v - v)) - 0.005::DOUBLE) AS mdn, ((-(v - v)) - 0.005::DOUBLE) AS mind
+        |  FROM b WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.k, b.event_id, b.rn, p.n + 1, p.sumx + b.v,
+        |         p.mup + ((b.v - (p.sumx + b.v)/(p.n + 1)) - 0.005::DOUBLE),
+        |         least(p.minu, p.mup + ((b.v - (p.sumx + b.v)/(p.n + 1)) - 0.005::DOUBLE)),
+        |         p.mdn + ((-(b.v - (p.sumx + b.v)/(p.n + 1))) - 0.005::DOUBLE),
+        |         least(p.mind, p.mdn + ((-(b.v - (p.sumx + b.v)/(p.n + 1))) - 0.005::DOUBLE))
+        |  FROM ph p JOIN b ON b.k = p.k AND b.rn = p.rn + 1)
+        |SELECT event_id, k AS user_id,
+        |  floor((mup - minu)*1e6+0.5)/1e6 AS ph_up,
+        |  floor((mdn - mind)*1e6+0.5)/1e6 AS ph_dn,
+        |  (CASE WHEN floor((mup - minu)*1e6+0.5)/1e6 > 50.0
+        |     OR floor((mdn - mind)*1e6+0.5)/1e6 > 50.0 THEN 1 ELSE 0 END)::BIGINT AS alarm
+        |FROM ph ORDER BY event_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257)
+      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262)
 }

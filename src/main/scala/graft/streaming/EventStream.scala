@@ -368,4 +368,62 @@ object EventStream {
       }
       .toDF(keyCol, tieCol, valueCol, "cusum_pos", "cusum_neg", "alarm")
   }
+
+  /** Streaming per-key Page–Hinkley drift detector (S33) — the live
+    * fold of [[graft.ops.Changepoint.pageHinkley]]: unlike
+    * [[cusumStream]] there is NO baseline join — the reference level is
+    * the running mean, carried in state, so the monitor self-calibrates
+    * from the first row it sees. State per key is six doubles
+    * (n, Σx, m↑, min m↑, m↓, min m↓); each micro-batch folds rows in
+    * (ts, tie) order through the identical arithmetic the batch
+    * operator's prefix windows evaluate (running sum ÷ count, then the
+    * deviation sums), so multi-batch output ≡ batch row-for-row (the
+    * parity spec pins it). Same in-order-arrival contract as
+    * [[ewmaStream]].
+    */
+  def pageHinkleyStream(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      valueCol: String,
+      delta: Double,
+      lambda: Double): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val spark = events.sparkSession
+    import spark.implicits._
+    def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6 // batch parity
+    events
+      .select(
+        col(keyCol).cast("long"),
+        col(tsCol).cast("timestamp"),
+        col(tieCol).cast("long"),
+        col(valueCol).cast("double"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double, Double, Double, Double, Double),
+        (Long, Long, Double, Double, Double, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (key, rows, state) =>
+        def micros(t: java.sql.Timestamp): Long =
+          (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+        var (n, sumX, mUp, minUp, mDn, minDn) =
+          state.getOption.getOrElse((0L, 0.0, 0.0, Double.MaxValue, 0.0, Double.MaxValue))
+        val out = rows.toArray.sortBy(e => (micros(e._2), e._3)).map {
+          case (_, _, tie, v) =>
+            n += 1L; sumX += v
+            val dev = v - sumX / n
+            mUp += dev - delta
+            mDn += -dev - delta
+            minUp = math.min(minUp, mUp)
+            minDn = math.min(minDn, mDn)
+            val phUp = q6(mUp - minUp); val phDn = q6(mDn - minDn)
+            val alarm = if (phUp > lambda || phDn > lambda) 1L else 0L
+            (key, tie, v, phUp, phDn, alarm)
+        }
+        state.update((n, sumX, mUp, minUp, mDn, minDn))
+        out.iterator
+      }
+      .toDF(keyCol, tieCol, valueCol, "ph_up", "ph_dn", "alarm")
+  }
 }

@@ -127,4 +127,29 @@ class SurvivalSpec extends SparkSpec {
     assert(b4.getLong(2) === 0L && b4.getDouble(4) === 0.0)
     assert(math.abs(lt.find(_.getInt(0) == 4).get.getDouble(5) - 1.0) < 1e-9) // full-cum lift = 1
   }
+
+  test("Survival.rmst: hand step-function areas; tau inside and beyond the last event") {
+    import spark.implicits._
+    // 4 subjects, events at t=2 (2 deaths) and t=4 (1 death), 1 censored at 4
+    // KM: S(2) = 1 - 2/4 = 0.5 ; S(4) = 0.5 * (1 - 1/2) = 0.25
+    val df = Seq((2.0, 1), (2.0, 1), (4.0, 1), (4.0, 0)).toDF("dur", "ev")
+
+    // tau = 6: area = 1*[0,2) + 0.5*[2,4) + 0.25*[4,6) = 2 + 1 + 0.5
+    val r6 = graft.ml.Survival.rmst(df, "dur", "ev", tau = 6.0).head()
+    assert(r6.getAs[Double]("tau") === 6.0)
+    assert(r6.getAs[Double]("rmst") === 3.5)
+
+    // tau = 3 cuts inside the second segment: 1*2 + 0.5*1 = 2.5
+    val r3 = graft.ml.Survival.rmst(df, "dur", "ev", tau = 3.0).head()
+    assert(r3.getAs[Double]("rmst") === 2.5)
+
+    // tau before the first event time: pure head segment
+    val r1 = graft.ml.Survival.rmst(df, "dur", "ev", tau = 1.0).head()
+    assert(r1.getAs[Double]("rmst") === 1.0)
+
+    // no events at all: survival stays 1, rmst = tau
+    val cens = Seq((5.0, 0), (7.0, 0)).toDF("dur", "ev")
+    assert(graft.ml.Survival.rmst(cens, "dur", "ev", tau = 4.0).head()
+      .getAs[Double]("rmst") === 4.0)
+  }
 }

@@ -7,6 +7,31 @@ import graft.SparkSpec
 class AbtestEwmaSpec extends SparkSpec {
   import spark.implicits._
 
+  test("Abtest.permutationTest: planted effect rejects, null effect doesn't; sizes preserved") {
+    import org.apache.spark.sql.functions.{col, when}
+    // strong effect: arm A units at 10, arm B units at 0 — only the
+    // identity-composition permutation reaches the observed separation
+    val strong = (1 to 40).map(u => (u.toLong, if (u % 2 == 0) 10.0 else 0.0))
+      .flatMap { case (u, y) => Seq((u, y), (u, y)) } // two events per unit
+      .toDF("u", "y")
+    val arm = when(col("u") % 2 === 0, "A").otherwise("B")
+    val r = Abtest.permutationTest(strong, "u", "y", arm, reps = 99).head()
+    assert(r.getAs[Long]("n_a") === 20L && r.getAs[Long]("n_b") === 20L)
+    assert(r.getAs[Double]("obs_diff") === 10.0)
+    // no permutation should reach the observed separation
+    assert(r.getAs[Long]("n_ge") === 0L)
+    assert(r.getAs[Double]("p_value") === math.floor(1.0 / 100.0 * 1e6 + 0.5) / 1e6)
+
+    // pure noise: p should be comfortably non-significant
+    val nullDf = (1 to 40).map(u => (u.toLong, (u * 37 % 11).toDouble)).toDF("u", "y")
+    val rn = Abtest.permutationTest(nullDf, "u", "y", arm, reps = 99).head()
+    assert(rn.getAs[Double]("p_value") > 0.05)
+
+    // reproducible: same seed, same n_ge
+    val rn2 = Abtest.permutationTest(nullDf, "u", "y", arm, reps = 99).head()
+    assert(rn2.getAs[Long]("n_ge") === rn.getAs[Long]("n_ge"))
+  }
+
   test("Abtest.twoProportion: hand z, lift, and SRM on planted counts") {
     // A: 1000 users, 100 conversions; B: 1100 users, 143 conversions
     val rows = Seq.fill(100)(("A", true)) ++ Seq.fill(900)(("A", false)) ++

@@ -159,6 +159,45 @@ class Stats2Spec extends SparkSpec {
     assert(r.map(_.getAs[Long]("cents")).sum === 123L + 246L)
   }
 
+  // ---- grouped mode ---------------------------------------------------
+
+  test("Stats.modeByGroup: hand counts; smallest-value tie-break; distinct census") {
+    val df = Seq(
+      ("g1", "b"), ("g1", "b"), ("g1", "a"), ("g1", "c"),
+      ("g2", "z"), ("g2", "y")).toDF("g", "v") // g2: tie between y and z
+    val out = Stats.modeByGroup(df, "g", "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("g1").getAs[String]("mode") === "b")
+    assert(out("g1").getAs[Long]("n_mode") === 2L)
+    assert(out("g1").getAs[Long]("n_distinct") === 3L)
+    assert(out("g2").getAs[String]("mode") === "y") // tie → smallest value
+    assert(out("g2").getAs[Long]("n_mode") === 1L)
+  }
+
+  // ---- table profile --------------------------------------------------
+
+  test("Profile.table: null census, exact distincts, typed ranges") {
+    val df = Seq(
+      (Some(1L), Some("a"), Some(1.5)),
+      (Some(2L), None, Some(-2.5)),
+      (None, Some("c"), None),
+      (Some(2L), Some("a"), Some(9.0))).toDF("id", "s", "x")
+    val out = Profile.table(df, Seq("id", "s", "x")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("id").getAs[Long]("n") === 4L)
+    assert(out("id").getAs[Long]("n_null") === 1L)
+    assert(out("id").getAs[Long]("n_distinct") === 2L)
+    assert(out("id").getAs[Double]("min_num") === 1.0)
+    assert(out("id").getAs[Double]("max_num") === 2.0)
+    assert(out("id").isNullAt(out("id").fieldIndex("min_str")))
+    assert(out("s").getAs[String]("min_str") === "a")
+    assert(out("s").getAs[String]("max_str") === "c")
+    assert(out("s").isNullAt(out("s").fieldIndex("min_num")))
+    assert(out("x").getAs[Double]("min_num") === -2.5)
+    assert(out("x").getAs[Double]("max_num") === 9.0)
+    assert(out("x").getAs[Long]("n_null") === 1L)
+  }
+
   // ---- IQR fences -----------------------------------------------------
 
   test("Stats.iqrFences: hand quartiles and planted outliers") {

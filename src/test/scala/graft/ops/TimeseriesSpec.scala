@@ -104,4 +104,38 @@ class TimeseriesSpec extends SparkSpec {
       .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
     assert(trends("a") == ((10.0, 10.0)) && trends("b") == ((50.0, 50.0)))
   }
+
+  test("Changepoint.pageHinkley equals the driver fold; shift alarms, stable key doesn't") {
+    // key 1: stable around 10 then a jump to 30; key 2: flat
+    val v1 = Seq(10.0, 11, 9, 10, 11, 9, 10, 30, 31, 30, 29, 31, 30, 30)
+    val v2 = Seq(5.0, 5, 5, 5, 5, 5)
+    val rows = v1.zipWithIndex.map { case (v, t) => (1L, t, t.toLong, v) } ++
+      v2.zipWithIndex.map { case (v, t) => (2L, t, (100 + t).toLong, v) }
+    val df = rows.toDF("k", "t", "tie", "v")
+    val got = Changepoint.pageHinkley(df, "k", "t", "tie", "v", delta = 0.1, lambda = 15.0)
+      .orderBy("k", "t").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Int]("t")) ->
+        ((r.getAs[Double]("ph_up"), r.getAs[Double]("ph_dn"), r.getAs[Long]("alarm"))))
+      .toMap
+
+    // driver fold replicating the exact arithmetic
+    def fold(vs: Seq[Double]): Seq[(Double, Double, Long)] = {
+      var n = 0L; var sx = 0.0; var mu = 0.0; var md = 0.0
+      var minU = Double.MaxValue; var minD = Double.MaxValue
+      vs.map { v =>
+        n += 1; sx += v
+        val dev = v - sx / n
+        mu += dev - 0.1; md += -dev - 0.1
+        minU = math.min(minU, mu); minD = math.min(minD, md)
+        val pu = math.floor((mu - minU) * 1e6 + 0.5) / 1e6
+        val pd = math.floor((md - minD) * 1e6 + 0.5) / 1e6
+        (pu, pd, if (pu > 15.0 || pd > 15.0) 1L else 0L)
+      }
+    }
+    fold(v1).zipWithIndex.foreach { case (exp, t) => assert(got((1L, t)) === exp, s"k1 t=$t") }
+    fold(v2).zipWithIndex.foreach { case (exp, t) => assert(got((2L, t)) === exp, s"k2 t=$t") }
+    // the up-shift alarms on key 1 and never on the stable key 2
+    assert(got.exists { case ((k, _), (_, _, a)) => k == 1L && a == 1L })
+    assert(!got.exists { case ((k, _), (_, _, a)) => k == 2L && a == 1L })
+  }
 }

@@ -1038,4 +1038,43 @@ class StreamingSpec extends SparkSpec {
       assert(got.forall { case ((k, _), (_, _, al)) => k != 2L || al == 0L })
     } finally q.stop()
   }
+
+  test("streaming Page-Hinkley ≡ batch Changepoint.pageHinkley row-for-row across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // key 1: level shift mid-series; key 2: stable
+    val v1 = Seq(10.0, 11, 9, 10, 11, 9, 10, 30, 31, 30, 29, 31, 30, 30)
+    val v2 = Seq(5.0, 5, 6, 5, 5, 6)
+    val rows = v1.zipWithIndex.map { case (v, i) => (1L, ts(i), i.toLong, v) } ++
+      v2.zipWithIndex.map { case (v, i) => (2L, ts(i), (100 + i).toLong, v) }
+
+    val batch = graft.ops.Changepoint
+      .pageHinkley(rows.toDF("k", "ts", "tie", "v"), "k", "ts", "tie", "v",
+        delta = 0.1, lambda = 15.0)
+      .select("k", "tie", "ph_up", "ph_dn", "alarm").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val out = EventStream.pageHinkleyStream(
+      ms.toDF.toDF("k", "ts", "tie", "v"), "k", "ts", "tie", "v",
+      delta = 0.1, lambda = 15.0)
+    val q = out.writeStream.outputMode("append").format("memory").queryName("ph_s").start()
+    try {
+      ms.addData(rows.take(5): _*); q.processAllAvailable()
+      ms.addData(rows.slice(5, 12): _*); q.processAllAvailable()
+      ms.addData(rows.drop(12): _*); q.processAllAvailable()
+      val got = spark.table("ph_s")
+        .select("k", "tie", "ph_up", "ph_dn", "alarm").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+      assert(got.size == rows.size)
+      // identical arithmetic, identical order → exact row-for-row parity
+      assert(got === batch)
+      assert(got.exists { case ((k, _), (_, _, al)) => k == 1L && al == 1L })
+      assert(got.forall { case ((k, _), (_, _, al)) => k != 2L || al == 0L })
+    } finally q.stop()
+  }
 }
