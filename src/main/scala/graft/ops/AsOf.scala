@@ -139,4 +139,84 @@ object AsOf {
     }
     filled.where(col("__side") === leftTag).drop("__ats", "__side")
   }
+
+  /** Nearest-neighbor time join (pandas `merge_asof(direction=
+    * 'nearest')`): each left row takes the payload of the CLOSEST right
+    * row within `toleranceSec` — backward on an exact distance tie.
+    * Millisecond resolution; emits `matched_dist_ms` (null = no match,
+    * payload nulled).
+    *
+    * Shape: the same union-window trick as [[joinAsOf]] run in BOTH
+    * directions — the forward pass re-sorts DESCENDING and reuses the
+    * growing (unbounded preceding, current) frame rather than a
+    * (current, unbounded following) frame, which Spark re-scans per
+    * row (the shrinking-frame hazard, SURVEY §8g). Two sorts, one key
+    * shuffle, zero joins.
+    *
+    * Contract: right rows unique per (keys, rightTs) — duplicate
+    * right timestamps make "the nearest row" ill-defined (dedupe with
+    * [[graft.ops.Stats.modeByGroup]]-style keep rules first).
+    */
+  def joinNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      toleranceSec: Long
+  ): DataFrame = {
+    require(keys.nonEmpty, "as-of join needs at least one equi-key")
+    val rightSchema = right.schema
+    val l0 = left
+      .withColumn("__ats", expr(s"unix_millis(cast($leftTs as timestamp))"))
+      .withColumn("__side", lit(1))
+      .withColumn("__rts", lit(null).cast("long"))
+    val l = payload.foldLeft(l0) { (acc, p) =>
+      acc.withColumn(p, lit(null).cast(rightSchema(p).dataType))
+    }
+    val leftSchema = left.schema
+    val nonKeyLeftCols = left.columns.filterNot(keys.contains)
+    val rBase = right
+      .select(keys.map(col) ++ payload.map(col) :+
+        expr(s"unix_millis(cast($rightTs as timestamp))").as("__ats"): _*)
+      .withColumn("__side", lit(0))
+      .withColumn("__rts", col("__ats"))
+    val r = nonKeyLeftCols.foldLeft(rBase) { (acc, c) =>
+      acc.withColumn(c, lit(null).cast(leftSchema(c).dataType))
+    }
+    // right rows sort before left at equal ts in BOTH directions
+    // (__side 0 < 1 ascending; descending sorts by (-ats, side)) so an
+    // exact-timestamp right row is visible to both passes
+    val wB = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ats"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ats").desc, col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var u = l.unionByName(r)
+    payload.foreach { p =>
+      u = u
+        .withColumn(s"__b_$p", last(col(p), ignoreNulls = true).over(wB))
+        .withColumn(s"__f_$p", last(col(p), ignoreNulls = true).over(wF))
+    }
+    u = u
+      .withColumn("__brts", last(col("__rts"), ignoreNulls = true).over(wB))
+      .withColumn("__frts", last(col("__rts"), ignoreNulls = true).over(wF))
+    val db = col("__ats") - col("__brts")
+    val df_ = col("__frts") - col("__ats")
+    val backward = col("__frts").isNull || (col("__brts").isNotNull && db <= df_)
+    val dist = when(backward, db).otherwise(df_)
+    val matched = dist.isNotNull && dist <= toleranceSec * 1000L
+    val out0 = u.where(col("__side") === 1)
+      .withColumn("matched_dist_ms", when(matched, dist))
+    val out = payload.foldLeft(out0) { (acc, p) =>
+      acc.withColumn(p,
+        when(!matched, lit(null).cast(rightSchema(p).dataType))
+          .when(backward, col(s"__b_$p"))
+          .otherwise(col(s"__f_$p")))
+    }
+    out.drop((payload.flatMap(p => Seq(s"__b_$p", s"__f_$p")) ++
+      Seq("__ats", "__side", "__rts", "__brts", "__frts")): _*)
+  }
 }

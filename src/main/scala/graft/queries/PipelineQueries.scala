@@ -7260,11 +7260,175 @@ object PipelineQueries {
     )
   )
 
+  // ---- C84: per-key time-grid forward fill (FULL oracle — integer
+  // bucket grid + IGNORE NULLS carry; values pass through untouched) ---
+  val q263 = Q(
+    "q263_fill_forward",
+    (s, dir) =>
+      graft.ops.Resample.fillForward(
+        Tables.events(s, dir), "user_id", "ts", "event_id", "value", stepSec = 21600L)
+        .orderBy("user_id", "bucket"),
+    Some(
+      """WITH b AS (SELECT user_id AS k, (floor(epoch(ts)/21600)*21600)::BIGINT AS bucket,
+        |             ts, event_id AS tie, value::DOUBLE AS v FROM events),
+        |o AS (SELECT k, bucket, v AS v_obs FROM
+        |        (SELECT *, row_number() OVER (PARTITION BY k, bucket
+        |           ORDER BY ts DESC, tie DESC) AS rn FROM b) WHERE rn = 1),
+        |s AS (SELECT k, min(bucket) AS b0, max(bucket) AS b1 FROM b GROUP BY 1),
+        |g AS (SELECT k, unnest(generate_series(b0, b1, 21600)) AS bucket FROM s),
+        |j AS (SELECT g.k AS k, g.bucket AS bucket, o.v_obs AS v_obs
+        |      FROM g LEFT JOIN o ON g.k = o.k AND g.bucket = o.bucket)
+        |SELECT k AS user_id, bucket,
+        |  last_value(v_obs IGNORE NULLS) OVER (PARTITION BY k ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+        |  (CASE WHEN v_obs IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS observed
+        |FROM j ORDER BY user_id, bucket""".stripMargin
+    )
+  )
+
+  // ---- Z20: nearest-neighbor time join (FULL oracle — a LATERAL
+  // argmin replays the two-direction window trick; backward wins exact
+  // ties; the right frame is unique per (key, ts) by construction) -----
+  val q264 = Q(
+    "q264_join_nearest",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val right = ev
+        .groupBy(col("user_id"),
+          (floor(unix_timestamp(col("ts")) / 172800) * 172800).cast("long").as("b"))
+        .agg((floor(avg(col("value").cast("double")) * 1e6 + 0.5)
+          .cast("double") / 1e6).as("ref_val"))
+        .select(col("user_id"), timestamp_seconds(col("b") + 86400).as("rts"), col("ref_val"))
+      graft.ops.AsOf.joinNearest(
+        ev.select("event_id", "user_id", "ts"), right,
+        Seq("user_id"), "ts", "rts", Seq("ref_val"), toleranceSec = 86400L)
+        .select("event_id", "user_id", "ref_val", "matched_dist_ms")
+        .orderBy("event_id")
+    },
+    Some(
+      """WITH r AS (SELECT user_id AS k, (floor(epoch(ts)/172800)*172800)::BIGINT AS b,
+        |             floor(avg(value::DOUBLE)*1e6+0.5)/1e6 AS ref_val
+        |           FROM events GROUP BY 1, 2),
+        |rr AS (SELECT k, (b + 86400)*1000 AS rms, ref_val FROM r),
+        |l AS (SELECT event_id, user_id, epoch_ms(ts) AS lms FROM events)
+        |SELECT l.event_id, l.user_id, nn.ref_val, nn.d AS matched_dist_ms
+        |FROM l LEFT JOIN LATERAL (
+        |  SELECT rr.ref_val AS ref_val, abs(rr.rms - l.lms) AS d
+        |  FROM rr WHERE rr.k = l.user_id AND abs(rr.rms - l.lms) <= 86400000
+        |  ORDER BY d, (CASE WHEN rr.rms <= l.lms THEN 0 ELSE 1 END), rr.rms
+        |  LIMIT 1) nn ON true
+        |ORDER BY l.event_id""".stripMargin
+    )
+  )
+
+  // ---- T90: sentence segmentation (FULL oracle — mark-then-split in
+  // the portable Java∩RE2 subset; dense per-doc indices). The corpus
+  // text carries no punctuation, so the query plants terminators
+  // deterministically (same left-to-right regex pass on both engines)
+  // before splitting — every doc becomes genuinely multi-sentence. ----
+  val q265 = Q(
+    "q265_sentences",
+    (s, dir) => {
+      val punct = Tables.documents(s, dir).select(
+        col("doc_id"),
+        regexp_replace(col("text"), " (table|query|window) ", ". $1 ").as("text"))
+      graft.text.Sentences.split(punct, "text", "doc_id")
+        .orderBy("doc_id", "sent_idx")
+    },
+    Some(
+      """WITH m AS (SELECT doc_id,
+        |             regexp_replace(
+        |               regexp_replace(text, ' (table|query|window) ', '. \1 ', 'g'),
+        |               '([.!?]+)\s+', '\1' || chr(30), 'g') AS t
+        |           FROM documents),
+        |e AS (SELECT doc_id, unnest(string_split(t, chr(30))) AS s,
+        |        unnest(range(len(string_split(t, chr(30))))) AS pos FROM m),
+        |f AS (SELECT doc_id, pos, trim(s) AS sentence FROM e WHERE length(trim(s)) > 0),
+        |r AS (SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS sent_idx,
+        |        sentence FROM f)
+        |SELECT doc_id, sent_idx, sentence,
+        |  len(regexp_split_to_array(sentence, '\s+'))::BIGINT AS n_words
+        |FROM r ORDER BY doc_id, sent_idx""".stripMargin
+    )
+  )
+
+  // ---- T91: group-fairness audit table (FULL oracle — integer cells,
+  // quantized rates, ratios from the QUANTIZED rates in a second CTE
+  // layer; reference row cross-joined) ---------------------------------
+  val q266 = Q(
+    "q266_fairness_audit",
+    (s, dir) => {
+      val df = Tables.events(s, dir).select(
+        concat(lit("g"), (col("user_id") % 3).cast("string")).as("cohort"),
+        (col("event_type") === "purchase").cast("int").as("y"),
+        (col("value") > 60).cast("int").as("p"))
+      graft.ml.Fairness.groupRates(df, "cohort", "y", "p", refGroup = "g0")
+        .orderBy("cohort")
+    },
+    Some(
+      """WITH b AS (SELECT 'g' || (user_id % 3)::VARCHAR AS g,
+        |    CASE WHEN event_type='purchase' THEN 1 ELSE 0 END AS y,
+        |    CASE WHEN "value" > 60 THEN 1 ELSE 0 END AS p FROM events),
+        |per AS (SELECT g, count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos,
+        |    sum(p)::BIGINT AS n_pred_pos,
+        |    sum(CASE WHEN y=1 AND p=1 THEN 1 ELSE 0 END)::BIGINT AS tp,
+        |    sum(CASE WHEN y=0 AND p=1 THEN 1 ELSE 0 END)::BIGINT AS fp
+        |  FROM b GROUP BY 1),
+        |rated AS (SELECT g, n, n_pos, n_pred_pos, tp, fp,
+        |    CASE WHEN n > 0 THEN floor(n_pos::DOUBLE/n*1e6+0.5)/1e6 END AS base_rate,
+        |    CASE WHEN n > 0 THEN floor(n_pred_pos::DOUBLE/n*1e6+0.5)/1e6 END AS pred_pos_rate,
+        |    CASE WHEN n_pos > 0 THEN floor(tp::DOUBLE/n_pos*1e6+0.5)/1e6 END AS tpr,
+        |    CASE WHEN n - n_pos > 0 THEN floor(fp::DOUBLE/(n - n_pos)*1e6+0.5)/1e6 END AS fpr,
+        |    CASE WHEN n_pred_pos > 0 THEN floor(tp::DOUBLE/n_pred_pos*1e6+0.5)/1e6 END AS ppv
+        |  FROM per),
+        |ref AS (SELECT pred_pos_rate AS rppr, tpr AS rtpr, fpr AS rfpr
+        |        FROM rated WHERE g = 'g0')
+        |SELECT g AS cohort, n, n_pos, n_pred_pos, tp, fp,
+        |  base_rate, pred_pos_rate, tpr, fpr, ppv,
+        |  CASE WHEN rppr > 0 AND pred_pos_rate IS NOT NULL
+        |    THEN floor(pred_pos_rate/rppr*1e6+0.5)/1e6 END AS parity_ratio,
+        |  CASE WHEN rtpr > 0 AND tpr IS NOT NULL
+        |    THEN floor(tpr/rtpr*1e6+0.5)/1e6 END AS tpr_ratio,
+        |  CASE WHEN rfpr > 0 AND fpr IS NOT NULL
+        |    THEN floor(fpr/rfpr*1e6+0.5)/1e6 END AS fpr_ratio
+        |FROM rated CROSS JOIN ref ORDER BY cohort""".stripMargin
+    )
+  )
+
+  // ---- C85: OHLC candle resample (FULL oracle — first/last by
+  // (ts, tie) via row_number, integer tie-breaks, decimal-sum vsum
+  // lands on quantizer grid POINTS, never midpoints) --------------------
+  val q267 = Q(
+    "q267_ohlc",
+    (s, dir) =>
+      graft.ops.Resample.ohlc(
+        Tables.events(s, dir), "user_id", "ts", "event_id", "value", stepSec = 86400L)
+        .select(col("user_id"), col("bucket"),
+          col("open").as("open_v"), col("high").as("high_v"),
+          col("low").as("low_v"), col("close").as("close_v"),
+          col("n"), col("vsum"))
+        .orderBy("user_id", "bucket"),
+    Some(
+      """WITH b AS (SELECT user_id AS k, (floor(epoch(ts)/86400)*86400)::BIGINT AS bucket,
+        |             ts, event_id AS tie, value::DOUBLE AS v FROM events),
+        |m AS (SELECT k, bucket, v,
+        |        row_number() OVER (PARTITION BY k, bucket ORDER BY ts, tie) AS rn,
+        |        count(*) OVER (PARTITION BY k, bucket) AS cnt FROM b)
+        |SELECT k AS user_id, bucket,
+        |  max(CASE WHEN rn = 1 THEN v END) AS open_v,
+        |  max(v) AS high_v, min(v) AS low_v,
+        |  max(CASE WHEN rn = cnt THEN v END) AS close_v,
+        |  count(*)::BIGINT AS n,
+        |  floor(sum(v)*1e6+0.5)/1e6 AS vsum
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262)
+      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267)
 }

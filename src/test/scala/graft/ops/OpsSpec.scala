@@ -401,6 +401,36 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("AsOf.joinNearest: direction choice, backward tie-break, tolerance, no-candidate null") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000L)
+    // right points for key 1 at t=100 (r1) and t=200 (r2)
+    val right = Seq((1L, ts(100), "r1"), (1L, ts(200), "r2")).toDF("k", "rts", "tag")
+    val left = Seq(
+      (10L, 1L, ts(120)), // nearer to 100 (20s) than 200 (80s) → r1
+      (11L, 1L, ts(180)), // nearer to 200 → r2
+      (12L, 1L, ts(150)), // exact tie 50/50 → backward → r1
+      (13L, 1L, ts(400)), // 200s from r2 > tolerance → null
+      (14L, 2L, ts(100))  // no right rows for key 2 → null
+    ).toDF("id", "k", "ts")
+    val out = AsOf.joinNearest(left, right, Seq("k"), "ts", "rts", Seq("tag"),
+      toleranceSec = 100L)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getAs[String]("tag")),
+          if (r.isNullAt(r.fieldIndex("matched_dist_ms"))) None
+          else Some(r.getAs[Long]("matched_dist_ms"))))).toMap
+    assert(out(10L) === ((Some("r1"), Some(20000L))))
+    assert(out(11L) === ((Some("r2"), Some(20000L))))
+    assert(out(12L) === ((Some("r1"), Some(50000L))))
+    assert(out(13L) === ((None, None)))
+    assert(out(14L) === ((None, None)))
+    // an exact-timestamp right row matches at distance 0
+    val exact = Seq((20L, 1L, ts(200))).toDF("id", "k", "ts")
+    val r0 = AsOf.joinNearest(exact, right, Seq("k"), "ts", "rts", Seq("tag"), 100L).head()
+    assert(r0.getAs[String]("tag") === "r2")
+    assert(r0.getAs[Long]("matched_dist_ms") === 0L)
+  }
+
   test("Sampling.deterministicSplit is stable, complete, and near the target fractions") {
     val ids = (0L until 2000L).toDF("doc_id")
     val s1 = Sampling.deterministicSplit(ids, "doc_id")
