@@ -146,4 +146,20 @@ object Calibrate {
       .join(rv, Seq("idx"))
       .select(col("id"), col("v"), col("rv").as("mapped"))
   }
+
+  /** Platt scaling — the parametric sibling of [[isotonic]]: fit
+    * σ(a + b·score) to the labels with the house IRLS logistic
+    * ([[graft.ml.Glm.logistic]] — distributed Gram passes, driver-side
+    * 2×2 solve) and attach the calibrated probability. Returns the
+    * input plus `p_platt` (6dp). Prefer isotonic when the score-to-
+    * probability map is non-sigmoid; Platt when calibration data is
+    * scarce (2 parameters vs a step function).
+    */
+  def platt(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    def q6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    val m = graft.ml.Glm.logistic(df, labelCol, Seq(scoreCol))
+    val eta = m.etaCol
+    df.withColumn("p_platt", q6(lit(1.0) / (lit(1.0) + exp(-eta))))
+  }
 }

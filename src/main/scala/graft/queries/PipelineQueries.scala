@@ -7424,11 +7424,77 @@ object PipelineQueries {
     )
   )
 
+  // ---- T90: Platt scaling (rows-only: the fit is the house IRLS
+  // logistic — iterative MLE, the q80 convention; CalibrateSpec pins a
+  // driver-side Newton replica at 1e-5 and monotonicity/range) ---------
+  val q268 = Q(
+    "q268_platt",
+    (s, dir) => {
+      val df = Tables.documents(s, dir).select(
+        col("doc_id"),
+        (col("n_chars") / lit(1000.0)).as("score"),
+        (col("lang") === "en").cast("int").as("lbl"))
+      graft.ops.Calibrate.platt(df, "score", "lbl").orderBy("doc_id")
+    },
+    None
+  )
+
+  // ---- C86: Qini / uplift deciles (FULL oracle — ntile via the Z17
+  // range-exchange rank (never a single-partition window), integer
+  // per-bucket cells, every cumulative over the buckets-row aggregate;
+  // all emitted doubles are single closed forms in identical IEEE op
+  // order on both engines, window sums ::BIGINT per the q168 lesson) ---
+  val q269 = Q(
+    "q269_qini",
+    (s, dir) => {
+      val df = Tables.events(s, dir).select(
+        (col("user_id") % 2).cast("int").as("t"),
+        (col("event_type") === "purchase").cast("int").as("y"),
+        col("value").as("s0"),
+        col("event_id").as("tb"))
+      graft.ml.Uplift.qiniDeciles(df, "t", "y", "s0", "tb").orderBy("bucket")
+    },
+    Some(
+      """WITH b AS (SELECT (user_id % 2)::INT AS t,
+        |    CASE WHEN event_type='purchase' THEN 1 ELSE 0 END AS y,
+        |    value::DOUBLE AS s, event_id AS tb FROM events),
+        |r AS (SELECT t, y, ntile(10) OVER (ORDER BY s DESC, tb) AS bucket FROM b),
+        |per AS (SELECT bucket, count(*)::BIGINT AS n,
+        |    sum(t)::BIGINT AS nt, sum(1-t)::BIGINT AS nc,
+        |    sum(y*t)::BIGINT AS rt, sum(y*(1-t))::BIGINT AS rc
+        |  FROM r GROUP BY 1),
+        |c AS (SELECT bucket, n, nt, nc, rt, rc,
+        |    (sum(n) OVER w)::BIGINT AS cum_n,
+        |    (sum(nt) OVER w)::BIGINT AS cum_nt,
+        |    (sum(nc) OVER w)::BIGINT AS cum_nc,
+        |    (sum(rt) OVER w)::BIGINT AS cum_rt,
+        |    (sum(rc) OVER w)::BIGINT AS cum_rc,
+        |    (sum(n) OVER ())::BIGINT AS tot_n,
+        |    (sum(nt) OVER ())::BIGINT AS tot_nt,
+        |    (sum(nc) OVER ())::BIGINT AS tot_nc,
+        |    (sum(rt) OVER ())::BIGINT AS tot_rt,
+        |    (sum(rc) OVER ())::BIGINT AS tot_rc
+        |  FROM per
+        |  WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT bucket, n, nt, nc, rt, rc, cum_nt, cum_nc, cum_rt, cum_rc,
+        |  CASE WHEN cum_nt > 0 AND cum_nc > 0
+        |    THEN floor((cum_rt::DOUBLE / cum_nt - cum_rc::DOUBLE / cum_nc)*1e6+0.5)/1e6
+        |  END AS uplift_at_k,
+        |  CASE WHEN cum_nc > 0
+        |    THEN floor((cum_rt - cum_rc::DOUBLE * cum_nt / cum_nc)*1e6+0.5)/1e6
+        |  END AS qini,
+        |  CASE WHEN tot_nc > 0
+        |    THEN floor(((tot_rt - tot_rc::DOUBLE * tot_nt / tot_nc) * cum_n / tot_n)*1e6+0.5)/1e6
+        |  END AS random_qini
+        |FROM c ORDER BY bucket""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267)
+      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269)
 }

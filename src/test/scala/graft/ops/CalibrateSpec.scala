@@ -185,4 +185,42 @@ class CalibrateSpec extends SparkSpec {
     val selfA = Drift.psi(ref, ref, "v", approxEdges = true).head().getAs[Double]("psi")
     assert(selfA < 0.01)
   }
+
+  test("platt: matches a driver-side Newton replica, monotone, in (0,1)") {
+    import spark.implicits._
+    // noisy sigmoid labels on a score grid — well-conditioned 2-param MLE
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 400).map { i =>
+      val s = (i % 40) / 4.0 - 5.0 // scores in [-5, 4.75]
+      val p = 1.0 / (1.0 + math.exp(-(0.8 * s - 0.3)))
+      (i.toLong, s, if (rng.nextDouble() < p) 1 else 0)
+    }
+    val df = rows.toDF("id", "score", "lbl")
+    val got = Calibrate.platt(df, "score", "lbl")
+      .select("id", "score", "p_platt")
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+
+    // independent dense Newton on the driver (50 iterations, 2x2 solve)
+    var a = 0.0; var b = 0.0
+    for (_ <- 1 to 50) {
+      var g0 = 0.0; var g1 = 0.0; var h00 = 0.0; var h01 = 0.0; var h11 = 0.0
+      rows.foreach { case (_, s, y) =>
+        val mu = 1.0 / (1.0 + math.exp(-(a + b * s)))
+        val w = mu * (1.0 - mu)
+        g0 += y - mu; g1 += (y - mu) * s
+        h00 += w; h01 += w * s; h11 += w * s * s
+      }
+      val det = h00 * h11 - h01 * h01
+      a += (h11 * g0 - h01 * g1) / det
+      b += (h00 * g1 - h01 * g0) / det
+    }
+    got.foreach { case (_, s, p) =>
+      val ref = 1.0 / (1.0 + math.exp(-(a + b * s)))
+      assert(math.abs(p - ref) < 1e-5, s"score=$s p=$p ref=$ref")
+      assert(p > 0.0 && p < 1.0)
+    }
+    // monotone in score (b > 0 here)
+    val bySc = got.map(t => (t._2, t._3)).distinct.sortBy(_._1)
+    bySc.sliding(2).foreach { case Array((_, p1), (_, p2)) => assert(p1 <= p2) }
+  }
 }
