@@ -7490,11 +7490,54 @@ object PipelineQueries {
     )
   )
 
+  // ---- S34/T91: multi-touch attribution (FULL oracle — user-keyed
+  // equi-join + integer-microsecond window filter, per-conversion keyed
+  // windows, all five models as closed forms; unix_micros ≡ epoch_us so
+  // no second-truncation drift; libm pow differences are ulp-level
+  // against a 6dp quantizer) -------------------------------------------
+  val q270 = Q(
+    "q270_attribution",
+    (s, dir) =>
+      graft.ops.Attribution.credit(
+        Tables.events(s, dir), "user_id", "ts", "event_type", "event_id",
+        conversionType = "purchase", touchTypes = Seq("click", "view", "signup"),
+        lookbackSec = 604800L, halfLifeSec = 86400.0)
+        .orderBy("channel"),
+    Some(
+      """WITH conv AS (SELECT user_id AS u, epoch_us(ts) AS cts, event_id AS cid
+        |              FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id AS u, epoch_us(ts) AS tts, event_type AS channel,
+        |        event_id AS tid
+        |      FROM events WHERE event_type IN ('click','view','signup')),
+        |j AS (SELECT c.cid, t.channel, t.tid, c.cts - t.tts AS dt
+        |      FROM conv c JOIN t ON c.u = t.u
+        |      WHERE c.cts - t.tts >= 0 AND c.cts - t.tts <= 604800000000),
+        |r AS (SELECT cid, channel, tid, dt,
+        |        count(*) OVER (PARTITION BY cid) AS k,
+        |        row_number() OVER (PARTITION BY cid ORDER BY dt DESC, tid ASC) AS ra,
+        |        row_number() OVER (PARTITION BY cid ORDER BY dt ASC, tid DESC) AS rd,
+        |        power(2.0, -(dt::DOUBLE / 86400000000.0)) AS raw,
+        |        sum(power(2.0, -(dt::DOUBLE / 86400000000.0)))
+        |          OVER (PARTITION BY cid) AS rawsum
+        |      FROM j)
+        |SELECT channel, count(*)::BIGINT AS touches,
+        |  count(DISTINCT cid)::BIGINT AS conversions,
+        |  floor(sum(1.0 / k)*1e6+0.5)/1e6 AS credit_linear,
+        |  floor(sum(raw / rawsum)*1e6+0.5)/1e6 AS credit_decay,
+        |  floor(sum(CASE WHEN k = 1 THEN 1.0 WHEN k = 2 THEN 0.5
+        |                 WHEN ra = 1 OR rd = 1 THEN 0.4
+        |                 ELSE 0.2 / (k - 2) END)*1e6+0.5)/1e6 AS credit_position,
+        |  floor(sum(CASE WHEN rd = 1 THEN 1.0 ELSE 0.0 END)*1e6+0.5)/1e6 AS credit_last,
+        |  floor(sum(CASE WHEN ra = 1 THEN 1.0 ELSE 0.0 END)*1e6+0.5)/1e6 AS credit_first
+        |FROM r GROUP BY channel ORDER BY channel""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269)
+      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270)
 }

@@ -1,0 +1,73 @@
+package graft.ops
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import graft.SparkSpec
+
+class AttributionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long) = Timestamp.from(Instant.ofEpochSecond(sec))
+
+  // u1: click@0, view@10, click@20 -> purchase@30 (k=3)
+  // u2: purchase@50 with no touches (drops out)
+  // u3: view@0, purchase@1000 with lookback 100 (touch outside window)
+  private def events = Seq(
+    (1L, ts(0L), "u1", "click"),
+    (2L, ts(10L), "u1", "view"),
+    (3L, ts(20L), "u1", "click"),
+    (9L, ts(30L), "u1", "purchase"),
+    (10L, ts(50L), "u2", "purchase"),
+    (11L, ts(0L), "u3", "view"),
+    (12L, ts(1000L), "u3", "purchase")
+  ).toDF("id", "t", "u", "et")
+
+  test("credit: hand-checked three-touch conversion, window filter, no-touch conversion drops") {
+    val got = Attribution
+      .credit(events, "u", "t", "et", "id", "purchase", Seq("click", "view"),
+        lookbackSec = 100L, halfLifeSec = 10.0)
+      .collect().map(r => r.getAs[String]("channel") -> r).toMap
+    assert(got.keySet === Set("click", "view")) // u3's stale view filtered out
+    val c = got("click"); val v = got("view")
+    assert(c.getAs[Long]("touches") === 2L && v.getAs[Long]("touches") === 1L)
+    assert(c.getAs[Long]("conversions") === 1L && v.getAs[Long]("conversions") === 1L)
+    // linear: click 2/3, view 1/3
+    assert(c.getAs[Double]("credit_linear") === 0.666667)
+    assert(v.getAs[Double]("credit_linear") === 0.333333)
+    // decay raws 2^-3, 2^-2, 2^-1 -> click (0.125+0.5)/0.875 = 5/7
+    assert(c.getAs[Double]("credit_decay") === 0.714286)
+    assert(v.getAs[Double]("credit_decay") === 0.285714)
+    // position 40/20/40: click first+last = 0.8
+    assert(c.getAs[Double]("credit_position") === 0.8)
+    assert(v.getAs[Double]("credit_position") === 0.2)
+    assert(c.getAs[Double]("credit_last") === 1.0 && v.getAs[Double]("credit_last") === 0.0)
+    assert(c.getAs[Double]("credit_first") === 1.0 && v.getAs[Double]("credit_first") === 0.0)
+  }
+
+  test("credit: same-instant two-touch tie — ids split first/last, position 0.5/0.5") {
+    val df = Seq(
+      (5L, ts(10L), "u", "click"),
+      (6L, ts(10L), "u", "view"),
+      (7L, ts(20L), "u", "purchase")
+    ).toDF("id", "t", "u", "et")
+    val got = Attribution
+      .credit(df, "u", "t", "et", "id", "purchase", Seq("click", "view"), 100L, 10.0)
+      .collect().map(r => r.getAs[String]("channel") -> r).toMap
+    // tid asc -> click(5) is first; tid desc -> view(6) is last
+    assert(got("click").getAs[Double]("credit_first") === 1.0)
+    assert(got("click").getAs[Double]("credit_last") === 0.0)
+    assert(got("view").getAs[Double]("credit_last") === 1.0)
+    assert(got("click").getAs[Double]("credit_position") === 0.5)
+    assert(got("view").getAs[Double]("credit_position") === 0.5)
+    // equal dt -> equal decay share
+    assert(got("click").getAs[Double]("credit_decay") === 0.5)
+  }
+
+  test("credit: conversion type may not be a touch type") {
+    intercept[IllegalArgumentException] {
+      Attribution.credit(events, "u", "t", "et", "id", "purchase",
+        Seq("purchase", "click"), 100L, 10.0)
+    }
+  }
+}
