@@ -287,4 +287,67 @@ object Causal {
       .where(col("c_id").isNotNull && col("dist") <= caliper)
       .select(col("id").as("t_id"), col("c_id"), col("y").as("y_t"), col("y_c"), col("dist"))
   }
+
+  /** Covariate balance table — the love-plot data behind every IPW /
+    * matching analysis: for each covariate, arm means and the
+    * standardized mean difference BEFORE weighting and AFTER IPW
+    * weighting (treated 1/e, control 1/(1−e), e clipped to
+    * [clip, 1−clip] — the [[ipwATE]] positivity guard). |SMD| < 0.1
+    * post-weighting is the conventional "balanced" bar.
+    *
+    * `propCol` is a propensity COLUMN (caller-supplied — a fitted
+    * [[graft.ml.Glm.logistic]] score via `etaCol`, or any deterministic
+    * score), so the whole table is closed-form replayable. One
+    * corpus aggregate computes every covariate's ten moments
+    * map-side-combined; the per-covariate reshape happens on the
+    * resulting ONE-row frame (k unions of a cached single row — free).
+    * Variances are population-style second moments (Σx²/n − μ²; the
+    * documented convention, weighted identically), SMD divides by
+    * √((v_t+v_c)/2) and is null when both variances are 0.
+    */
+  def balanceTable(
+      df: DataFrame,
+      treat: String,
+      propCol: String,
+      covs: Seq[String],
+      clip: Double = 0.01): DataFrame = {
+    require(covs.nonEmpty, "balanceTable: need at least one covariate")
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    val t = col(treat).cast("double")
+    val e = least(greatest(col(propCol).cast("double"), lit(clip)), lit(1.0 - clip))
+    val wt = t / e                       // nonzero only on treated rows
+    val wc = (lit(1.0) - t) / (lit(1.0) - e)
+
+    val aggs: Seq[Column] = Seq(sum(t).as("nt"), sum(lit(1.0) - t).as("nc"),
+      sum(wt).as("swt"), sum(wc).as("swc")) ++
+      covs.zipWithIndex.flatMap { case (c, i) =>
+        val x = col(c).cast("double")
+        Seq(
+          sum(t * x).as(s"tx_$i"), sum(t * x * x).as(s"txx_$i"),
+          sum((lit(1.0) - t) * x).as(s"cx_$i"), sum((lit(1.0) - t) * x * x).as(s"cxx_$i"),
+          sum(wt * x).as(s"wtx_$i"), sum(wt * x * x).as(s"wtxx_$i"),
+          sum(wc * x).as(s"wcx_$i"), sum(wc * x * x).as(s"wcxx_$i"))
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
+
+    def smdCols(name: String, sx: Column, sxx: Column, n1: Column,
+        cx: Column, cxx: Column, n0: Column) = {
+      val mt = sx / n1
+      val mc = cx / n0
+      val vt = sxx / n1 - mt * mt
+      val vc = cxx / n0 - mc * mc
+      val smd = when(vt + vc > 0, (mt - mc) / sqrt((vt + vc) / lit(2.0)))
+      (q6(mt), q6(mc), q6(smd))
+    }
+    covs.zipWithIndex.map { case (c, i) =>
+      val (mt, mc, smd) = smdCols(c, col(s"tx_$i"), col(s"txx_$i"), col("nt"),
+        col(s"cx_$i"), col(s"cxx_$i"), col("nc"))
+      val (mtw, mcw, smdw) = smdCols(c, col(s"wtx_$i"), col(s"wtxx_$i"), col("swt"),
+        col(s"wcx_$i"), col(s"wcxx_$i"), col("swc"))
+      one.select(
+        lit(c).as("covariate"),
+        mt.as("mean_t"), mc.as("mean_c"), smd.as("smd"),
+        mtw.as("mean_t_w"), mcw.as("mean_c_w"), smdw.as("smd_w"))
+    }.reduce(_ unionAll _)
+  }
 }

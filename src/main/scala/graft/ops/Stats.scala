@@ -696,4 +696,85 @@ object Stats {
         q6((lit(2) * col("six") - (col("n") + 1) * col("sx")).cast("double") /
           (col("n") * col("sx")).cast("double")).as("gini"))
   }
+
+  /** Cochran–Armitage trend test — "does the success rate move
+    * monotonically with the dose": T = Σ sᵢ(rᵢ − nᵢp̄) over dose levels
+    * with numeric scores sᵢ, Var T = p̄(1−p̄)(Σ sᵢ²nᵢ − (Σ sᵢnᵢ)²/N),
+    * z = T/√Var. The ordinal upgrade of the χ² independence test
+    * ([[chiSquare]] ignores level order; this is powered against
+    * monotone alternatives). One dose-level aggregate (level-sized,
+    * never corpus-sized) then closed forms; DuckDB replays exactly.
+    * Returns one row: n, levels, t_stat, var_t, z (6dp), chi2 (6dp).
+    */
+  def cochranArmitage(df: DataFrame, doseCol: String, succCol: String): DataFrame = {
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    val lvl = df
+      .groupBy(col(doseCol).cast("double").as("s"))
+      .agg(count(lit(1)).as("ni"), sum(col(succCol).cast("double")).as("ri"))
+    lvl
+      .agg(
+        sum("ni").as("n"), count(lit(1)).as("levels"), sum("ri").as("r"),
+        sum(col("s") * col("ri")).as("sr"),
+        sum(col("s") * col("ni").cast("double")).as("sn"),
+        sum(col("s") * col("s") * col("ni").cast("double")).as("ssn"))
+      .select(
+        col("n").cast("long").as("n"),
+        col("levels").cast("long").as("levels"),
+        q6(col("sr") - col("r") / col("n").cast("double") * col("sn")).as("t_stat"),
+        q6((col("r") / col("n").cast("double")) *
+          (lit(1.0) - col("r") / col("n").cast("double")) *
+          (col("ssn") - col("sn") * col("sn") / col("n").cast("double"))).as("var_t"),
+        q6((col("sr") - col("r") / col("n").cast("double") * col("sn")) /
+          sqrt((col("r") / col("n").cast("double")) *
+            (lit(1.0) - col("r") / col("n").cast("double")) *
+            (col("ssn") - col("sn") * col("sn") / col("n").cast("double")))).as("z"),
+        q6(pow(col("sr") - col("r") / col("n").cast("double") * col("sn"), 2.0) /
+          ((col("r") / col("n").cast("double")) *
+            (lit(1.0) - col("r") / col("n").cast("double")) *
+            (col("ssn") - col("sn") * col("sn") / col("n").cast("double")))).as("chi2"))
+  }
+
+  /** Empirical-Bayes (beta-binomial) shrinkage of per-group success
+    * rates — the standard CTR / acceptance-rate stabilizer: method-of-
+    * moments prior from the observed rate spread (m = mean of group
+    * rates, v = their (g−1)-divisor sample variance, prior strength
+    * K = m(1−m)/v − 1, α = mK, β = (1−m)K), then each group's release
+    * is the posterior mean (yᵢ+α)/(nᵢ+K) — small groups pull to m,
+    * big groups keep their own rate. When the observed spread exceeds
+    * the binomial maximum (v ≥ m(1−m), K ≤ 0) or is degenerate
+    * (v = 0), shrunk rates are null — the "prior undefined" review
+    * flag, not a silent fallback. Two group-sized aggregates; every
+    * emitted value a closed form.
+    */
+  def ebShrink(df: DataFrame, groupCol: String, succCol: String): DataFrame = {
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    val per = df
+      .groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n"), sum(col(succCol).cast("double")).as("y"))
+      .withColumn("p", col("y") / col("n").cast("double"))
+      .localCheckpoint(true)
+    val prior = per.agg(
+      count(lit(1)).as("gk"), sum("p").as("sp"), sum(col("p") * col("p")).as("spp"))
+      .select(
+        col("gk"),
+        (col("sp") / col("gk").cast("double")).as("m"),
+        when(col("gk") > 1,
+          (col("spp") - col("sp") * col("sp") / col("gk").cast("double")) /
+            (col("gk") - lit(1)).cast("double")).as("v"))
+      .withColumn("k_prior",
+        when(col("v") > 0, col("m") * (lit(1.0) - col("m")) / col("v") - lit(1.0)))
+    per
+      .crossJoin(broadcast(prior))
+      .select(
+        col("g").as(groupCol),
+        col("n").cast("long").as("n"),
+        col("y").cast("long").as("y"),
+        q6(col("p")).as("rate_raw"),
+        when(col("k_prior") > 0,
+          q6((col("y") + col("m") * col("k_prior")) /
+            (col("n").cast("double") + col("k_prior")))).as("rate_shrunk"),
+        when(col("k_prior") > 0, q6(col("m") * col("k_prior"))).as("alpha"),
+        when(col("k_prior") > 0,
+          q6((lit(1.0) - col("m")) * col("k_prior"))).as("beta"))
+  }
 }

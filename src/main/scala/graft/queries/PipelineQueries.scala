@@ -7533,11 +7533,129 @@ object PipelineQueries {
     )
   )
 
+  // ---- C87: IPW covariate balance table (FULL oracle — caller-supplied
+  // deterministic propensity, one 10-moment corpus aggregate, per-
+  // covariate reshape on the one-row frame; population-style variances
+  // documented in the op) ----------------------------------------------
+  val q271 = Q(
+    "q271_balance",
+    (s, dir) => {
+      val df = Tables.events(s, dir).select(
+        (col("user_id") % 2).cast("int").as("t"),
+        least(greatest(col("value") / lit(120.0), lit(0.05)), lit(0.95)).as("e0"),
+        col("value").cast("double").as("v"),
+        hour(col("ts")).cast("double").as("hh"),
+        (col("user_id") % 7).cast("double").as("u7"))
+      graft.ml.Causal.balanceTable(df, "t", "e0", Seq("v", "hh", "u7"))
+        .orderBy("covariate")
+    },
+    Some {
+      def cov(name: String, x: String) =
+        s"""SELECT '$name' AS covariate,
+           |  tx_$x/nt AS mt, cx_$x/nc AS mc,
+           |  txx_$x/nt - (tx_$x/nt)*(tx_$x/nt) AS vt,
+           |  cxx_$x/nc - (cx_$x/nc)*(cx_$x/nc) AS vc,
+           |  wtx_$x/swt AS mtw, wcx_$x/swc AS mcw,
+           |  wtxx_$x/swt - (wtx_$x/swt)*(wtx_$x/swt) AS vtw,
+           |  wcxx_$x/swc - (wcx_$x/swc)*(wcx_$x/swc) AS vcw
+           |FROM a""".stripMargin
+      s"""WITH b AS (SELECT (user_id % 2)::DOUBLE AS t,
+         |    least(greatest("value"/120.0, 0.05), 0.95) AS e0,
+         |    "value"::DOUBLE AS v, hour(ts)::DOUBLE AS hh,
+         |    (user_id % 7)::DOUBLE AS u7 FROM events),
+         |w AS (SELECT t, least(greatest(e0, 0.01), 0.99) AS e, v, hh, u7 FROM b),
+         |a AS (SELECT sum(t) AS nt, sum(1.0 - t) AS nc,
+         |    sum(t/e) AS swt, sum((1.0-t)/(1.0-e)) AS swc,
+         |    sum(t*v) AS tx_v, sum(t*v*v) AS txx_v,
+         |    sum((1.0-t)*v) AS cx_v, sum((1.0-t)*v*v) AS cxx_v,
+         |    sum(t/e*v) AS wtx_v, sum(t/e*v*v) AS wtxx_v,
+         |    sum((1.0-t)/(1.0-e)*v) AS wcx_v, sum((1.0-t)/(1.0-e)*v*v) AS wcxx_v,
+         |    sum(t*hh) AS tx_hh, sum(t*hh*hh) AS txx_hh,
+         |    sum((1.0-t)*hh) AS cx_hh, sum((1.0-t)*hh*hh) AS cxx_hh,
+         |    sum(t/e*hh) AS wtx_hh, sum(t/e*hh*hh) AS wtxx_hh,
+         |    sum((1.0-t)/(1.0-e)*hh) AS wcx_hh, sum((1.0-t)/(1.0-e)*hh*hh) AS wcxx_hh,
+         |    sum(t*u7) AS tx_u7, sum(t*u7*u7) AS txx_u7,
+         |    sum((1.0-t)*u7) AS cx_u7, sum((1.0-t)*u7*u7) AS cxx_u7,
+         |    sum(t/e*u7) AS wtx_u7, sum(t/e*u7*u7) AS wtxx_u7,
+         |    sum((1.0-t)/(1.0-e)*u7) AS wcx_u7, sum((1.0-t)/(1.0-e)*u7*u7) AS wcxx_u7
+         |  FROM w),
+         |rows_ AS (${cov("v", "v")} UNION ALL ${cov("hh", "hh")} UNION ALL ${cov("u7", "u7")})
+         |SELECT covariate,
+         |  floor(mt*1e6+0.5)/1e6 AS mean_t, floor(mc*1e6+0.5)/1e6 AS mean_c,
+         |  CASE WHEN vt + vc > 0
+         |    THEN floor((mt-mc)/sqrt((vt+vc)/2.0)*1e6+0.5)/1e6 END AS smd,
+         |  floor(mtw*1e6+0.5)/1e6 AS mean_t_w, floor(mcw*1e6+0.5)/1e6 AS mean_c_w,
+         |  CASE WHEN vtw + vcw > 0
+         |    THEN floor((mtw-mcw)/sqrt((vtw+vcw)/2.0)*1e6+0.5)/1e6 END AS smd_w
+         |FROM rows_ ORDER BY covariate""".stripMargin
+    }
+  )
+
+  // ---- T92: Cochran–Armitage trend test (FULL oracle — level-sized
+  // aggregate, closed forms in identical op order) ---------------------
+  val q272 = Q(
+    "q272_trend_test",
+    (s, dir) => {
+      val df = Tables.events(s, dir).select(
+        (col("user_id") % 5).cast("double").as("dose"),
+        (col("event_type") === "purchase").cast("int").as("succ"))
+      graft.ops.Stats.cochranArmitage(df, "dose", "succ")
+    },
+    Some(
+      """WITH b AS (SELECT (user_id % 5)::DOUBLE AS s,
+        |    CASE WHEN event_type='purchase' THEN 1.0 ELSE 0.0 END AS y FROM events),
+        |l AS (SELECT s, count(*)::BIGINT AS ni, sum(y) AS ri FROM b GROUP BY 1),
+        |a AS (SELECT sum(ni)::BIGINT AS n, count(*)::BIGINT AS levels, sum(ri) AS r,
+        |        sum(s*ri) AS sr, sum(s*ni::DOUBLE) AS sn, sum(s*s*ni::DOUBLE) AS ssn
+        |      FROM l)
+        |SELECT n, levels,
+        |  floor((sr - r/n::DOUBLE*sn)*1e6+0.5)/1e6 AS t_stat,
+        |  floor(((r/n::DOUBLE)*(1.0 - r/n::DOUBLE)*(ssn - sn*sn/n::DOUBLE))*1e6+0.5)/1e6
+        |    AS var_t,
+        |  floor(((sr - r/n::DOUBLE*sn) /
+        |    sqrt((r/n::DOUBLE)*(1.0 - r/n::DOUBLE)*(ssn - sn*sn/n::DOUBLE)))*1e6+0.5)/1e6
+        |    AS z,
+        |  floor((power(sr - r/n::DOUBLE*sn, 2.0) /
+        |    ((r/n::DOUBLE)*(1.0 - r/n::DOUBLE)*(ssn - sn*sn/n::DOUBLE)))*1e6+0.5)/1e6
+        |    AS chi2
+        |FROM a""".stripMargin
+    )
+  )
+
+  // ---- T93: empirical-Bayes rate shrinkage (FULL oracle — group-sized
+  // aggregates, method-of-moments prior, posterior means; prior-
+  // undefined spread → null release, documented) -----------------------
+  val q273 = Q(
+    "q273_eb_shrink",
+    (s, dir) =>
+      graft.ops.Stats.ebShrink(
+        Tables.documents(s, dir).withColumn("en", (col("lang") === "en").cast("int")),
+        "source", "en")
+        .orderBy("source"),
+    Some(
+      """WITH per AS (SELECT source AS g, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN lang='en' THEN 1.0 ELSE 0.0 END) AS y
+        |  FROM documents GROUP BY 1),
+        |p2 AS (SELECT g, n, y, y/n::DOUBLE AS p FROM per),
+        |pr AS (SELECT count(*)::BIGINT AS gk, sum(p) AS sp, sum(p*p) AS spp FROM p2),
+        |pr2 AS (SELECT gk, sp/gk::DOUBLE AS m,
+        |    CASE WHEN gk > 1
+        |      THEN (spp - sp*sp/gk::DOUBLE)/(gk - 1)::DOUBLE END AS v FROM pr),
+        |pr3 AS (SELECT m, CASE WHEN v > 0 THEN m*(1.0-m)/v - 1.0 END AS kp FROM pr2)
+        |SELECT g AS source, n, y::BIGINT AS y, floor(p*1e6+0.5)/1e6 AS rate_raw,
+        |  CASE WHEN kp > 0
+        |    THEN floor((y + m*kp)/(n::DOUBLE + kp)*1e6+0.5)/1e6 END AS rate_shrunk,
+        |  CASE WHEN kp > 0 THEN floor(m*kp*1e6+0.5)/1e6 END AS alpha,
+        |  CASE WHEN kp > 0 THEN floor((1.0-m)*kp*1e6+0.5)/1e6 END AS beta
+        |FROM p2 CROSS JOIN pr3 ORDER BY source""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270)
+      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273)
 }

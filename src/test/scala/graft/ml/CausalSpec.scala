@@ -161,4 +161,41 @@ class CausalSpec extends SparkSpec {
           r.getAs[Double]("ate_s")) < 2e-6)
     }
   }
+
+  test("balanceTable: hand-checked SMD; constant covariate yields null SMD") {
+    import org.apache.spark.sql.functions._
+    // treated x = {2, 4}, control x = {0, 2}, e = .5 everywhere:
+    // means 3 vs 1, population vars 1 and 1 -> smd = 2; weights are
+    // constant so the weighted table is identical
+    val df = Seq(
+      (1, 0.5, 2.0, 7.0), (1, 0.5, 4.0, 7.0), (0, 0.5, 0.0, 7.0), (0, 0.5, 2.0, 7.0)
+    ).toDF("t", "e0", "x", "cst")
+    val got = Causal.balanceTable(df, "t", "e0", Seq("x", "cst"))
+      .collect().map(r => r.getAs[String]("covariate") -> r).toMap
+    val x = got("x")
+    assert(x.getAs[Double]("mean_t") === 3.0 && x.getAs[Double]("mean_c") === 1.0)
+    assert(x.getAs[Double]("smd") === 2.0)
+    assert(x.getAs[Double]("smd_w") === 2.0)
+    val c = got("cst")
+    assert(c.getAs[Double]("mean_t") === 7.0 && c.getAs[Double]("mean_c") === 7.0)
+    assert(c.isNullAt(c.fieldIndex("smd")) && c.isNullAt(c.fieldIndex("smd_w")))
+  }
+
+  test("balanceTable: IPW weights shrink a planted imbalance") {
+    import org.apache.spark.sql.functions._
+    // x drives take-up; the true propensity is handed in, so weighting
+    // must close most of the raw covariate gap
+    val rows = (0 until 4000).map { i =>
+      val x = ((i * 0.6180339887498949) % 1.0) // uniform-ish in [0,1)
+      val e = 0.2 + 0.6 * x
+      val t = if (((i * 0.7548776662466927) % 1.0) < e) 1 else 0
+      (t, e, x)
+    }
+    val df = rows.toDF("t", "e0", "x")
+    val r = Causal.balanceTable(df, "t", "e0", Seq("x")).head()
+    val raw = math.abs(r.getAs[Double]("smd"))
+    val w = math.abs(r.getAs[Double]("smd_w"))
+    assert(raw > 0.3, s"planted imbalance should be visible, raw=$raw")
+    assert(w < raw / 3, s"IPW must shrink the gap: raw=$raw weighted=$w")
+  }
 }

@@ -251,4 +251,57 @@ class Stats2Spec extends SparkSpec {
     assert(r.getAs[Long]("strata") === 2L)
     assert(r.getAs[Long]("sum_a") === 1L) // only s1's a
   }
+
+  test("cochranArmitage: hand-checked three-level trend") {
+    // doses 0/1/2, two units each, successes 0/1/2 -> p̄ = .5,
+    // T = 5 - .5*6 = 2, Var = .25*(10 - 36/6) = 1, z = 2, chi2 = 4
+    val df = Seq(
+      (0.0, 0), (0.0, 0), (1.0, 1), (1.0, 0), (2.0, 1), (2.0, 1)
+    ).toDF("dose", "succ")
+    val r = Stats.cochranArmitage(df, "dose", "succ").head()
+    assert(r.getAs[Long]("n") === 6L && r.getAs[Long]("levels") === 3L)
+    assert(r.getAs[Double]("t_stat") === 2.0)
+    assert(r.getAs[Double]("var_t") === 1.0)
+    assert(r.getAs[Double]("z") === 2.0)
+    assert(r.getAs[Double]("chi2") === 4.0)
+  }
+
+  test("cochranArmitage: flat rates give zero trend") {
+    val df = Seq(
+      (0.0, 1), (0.0, 0), (1.0, 1), (1.0, 0), (2.0, 1), (2.0, 0)
+    ).toDF("dose", "succ")
+    val r = Stats.cochranArmitage(df, "dose", "succ").head()
+    assert(r.getAs[Double]("t_stat") === 0.0)
+    assert(r.getAs[Double]("z") === 0.0)
+  }
+
+  test("ebShrink: hand-checked MoM prior; small groups pull toward the mean") {
+    val rows =
+      (1 to 10).map(i => ("g1", if (i <= 5) 1 else 0)) ++
+        (1 to 10).map(i => ("g2", if (i <= 3) 1 else 0)) ++
+        (1 to 10).map(i => ("g3", if (i <= 7) 1 else 0))
+    val got = Stats.ebShrink(rows.toDF("g", "en"), "g", "en")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    // p = .5/.3/.7 -> m = .5, v = .04, K = .25/.04 - 1 = 5.25, α = β = 2.625
+    assert(got("g1").getAs[Double]("alpha") === 2.625)
+    assert(got("g1").getAs[Double]("beta") === 2.625)
+    // g2: (3 + 2.625)/(10 + 5.25) = 0.368852...; pulled UP toward .5
+    assert(got("g2").getAs[Double]("rate_shrunk") === 0.368852)
+    assert(got("g2").getAs[Double]("rate_shrunk") > got("g2").getAs[Double]("rate_raw"))
+    // g3 pulled DOWN toward .5
+    assert(got("g3").getAs[Double]("rate_shrunk") < got("g3").getAs[Double]("rate_raw"))
+    // g1 sits at the prior mean: posterior stays exactly .5
+    assert(got("g1").getAs[Double]("rate_shrunk") === 0.5)
+  }
+
+  test("ebShrink: degenerate and over-dispersed spreads release null, not garbage") {
+    // identical rates -> v = 0 -> prior undefined
+    val flat = Seq(("a", 1), ("a", 0), ("b", 1), ("b", 0)).toDF("g", "y")
+    val f = Stats.ebShrink(flat, "g", "y").collect()
+    assert(f.forall(_.isNullAt(f.head.fieldIndex("rate_shrunk"))))
+    // rates 0 and 1 -> v = .5 >= m(1-m) = .25 -> K <= 0 -> null
+    val over = Seq(("a", 1), ("a", 1), ("b", 0), ("b", 0)).toDF("g", "y")
+    val o = Stats.ebShrink(over, "g", "y").collect()
+    assert(o.forall(_.isNullAt(o.head.fieldIndex("rate_shrunk"))))
+  }
 }
