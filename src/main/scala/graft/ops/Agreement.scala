@@ -69,4 +69,129 @@ object Agreement {
       q6((rxy - rxz * ryz) /
         sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz))).as("r_xy_given_z"))
   }
+
+  /** Cronbach's alpha — internal-consistency reliability of a k-item
+    * battery: α = k/(k−1)·(1 − Σ var_item / var_total). Input is ONE
+    * row per (unit, item) with a numeric value; only COMPLETE units
+    * (all k items, k = the observed item universe) enter, and the
+    * completeness filter is reported (`n_complete` vs `n_units`).
+    * Variances are sample (n−1) across complete units. Two keyed
+    * aggregates (unit-sized and item-sized frames) + one reduce;
+    * integer-valued items replay exactly in DuckDB.
+    */
+  def cronbachAlpha(
+      df: DataFrame,
+      unitCol: String,
+      itemCol: String,
+      valueCol: String): DataFrame = {
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    val base = df.select(
+      col(unitCol).as("u"), col(itemCol).as("it"), col(valueCol).cast("double").as("v"))
+    val kItems = base.agg(countDistinct(col("it")).as("k"))
+    // complete units: exactly one row per item, all k items present
+    val perUnit = base
+      .groupBy("u")
+      .agg(count(lit(1)).as("rows_u"), countDistinct(col("it")).as("items_u"),
+        sum("v").as("tot"))
+      .crossJoin(broadcast(kItems))
+      .localCheckpoint(true)
+    val complete = perUnit.where(col("items_u") === col("k") && col("rows_u") === col("k"))
+    val totStats = complete.agg(
+      count(lit(1)).as("nc"), sum("tot").as("st"), sum(col("tot") * col("tot")).as("stt"))
+    val itemStats = base
+      .join(complete.select(col("u")), Seq("u"), "left_semi")
+      .groupBy("it")
+      .agg(count(lit(1)).as("ni"), sum("v").as("si"), sum(col("v") * col("v")).as("sii"))
+      .agg(sum(
+        (col("sii") - col("si") * col("si") / col("ni").cast("double")) /
+          (col("ni") - lit(1)).cast("double")).as("sum_var_items"))
+    val nUnits = perUnit.agg(count(lit(1)).as("n_units"))
+
+    totStats.crossJoin(broadcast(itemStats))
+      .crossJoin(broadcast(kItems)).crossJoin(broadcast(nUnits))
+      .select(
+        col("k").cast("long").as("k_items"),
+        col("n_units").cast("long").as("n_units"),
+        col("nc").cast("long").as("n_complete"),
+        q6(col("sum_var_items")).as("sum_var_items"),
+        q6((col("stt") - col("st") * col("st") / col("nc").cast("double")) /
+          (col("nc") - lit(1)).cast("double")).as("var_total"),
+        when(col("k") > 1 && col("nc") > 1,
+          q6((col("k").cast("double") / (col("k") - lit(1)).cast("double")) *
+            (lit(1.0) - col("sum_var_items") /
+              ((col("stt") - col("st") * col("st") / col("nc").cast("double")) /
+                (col("nc") - lit(1)).cast("double"))))).as("alpha"))
+  }
+
+  /** Fleiss' kappa — chance-corrected agreement for n raters per item
+    * over categorical labels. Input is one row per RATING (item,
+    * category); only items with exactly `raters` ratings enter (the
+    * fixed-n requirement of the statistic — the filter is the caller's
+    * review signal via `n_items` vs items seen). P_i = (Σ_j n_ij² − n)
+    * / (n(n−1)), κ = (P̄ − P_e)/(1 − P_e) with P_e = Σ p_j². Two keyed
+    * count aggregates — (item × category)-sized, never rating-sized.
+    */
+  def fleissKappa(df: DataFrame, itemCol: String, catCol: String, raters: Int): DataFrame = {
+    require(raters >= 2, "fleissKappa: need at least 2 raters per item")
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    val base = df.select(col(itemCol).as("i"), col(catCol).cast("string").as("c"))
+    val eligible = base.groupBy("i").agg(count(lit(1)).as("nr"))
+      .where(col("nr") === raters).select("i")
+    val cells = base
+      .join(eligible, Seq("i"), "left_semi")
+      .groupBy("i", "c").agg(count(lit(1)).as("nij"))
+      .localCheckpoint(true)
+    val perItem = cells.groupBy("i")
+      .agg(((sum(col("nij") * col("nij")) - lit(raters)).cast("double") /
+        lit(raters.toDouble * (raters - 1))).as("pi"))
+    val pBar = perItem.agg(count(lit(1)).as("n_items"), sum("pi").as("spi"))
+    val pe = cells.groupBy("c").agg(sum("nij").as("nj"))
+      .crossJoin(broadcast(pBar.select(col("n_items").as("ni2"))))
+      .agg(sum(
+        (col("nj").cast("double") / (col("ni2") * lit(raters)).cast("double")) *
+          (col("nj").cast("double") / (col("ni2") * lit(raters)).cast("double")))
+        .as("p_e"))
+    pBar.crossJoin(broadcast(pe))
+      .select(
+        col("n_items").cast("long").as("n_items"),
+        lit(raters.toLong).as("raters"),
+        q6(col("spi") / col("n_items").cast("double")).as("p_bar"),
+        q6(col("p_e")).as("p_e"),
+        when(col("p_e") < 1.0,
+          q6((col("spi") / col("n_items").cast("double") - col("p_e")) /
+            (lit(1.0) - col("p_e")))).as("kappa"))
+  }
+
+  /** ICC(1,1) — one-way random-effects intraclass correlation for
+    * unbalanced groups: how much of the value's variance is BETWEEN
+    * groups. SSB/SSW fold algebraically from (n, Σx, Σx²) per group
+    * (SSW = Σx² − Σnᵢm̄ᵢ², SSB = Σnᵢm̄ᵢ² − Nm̄²), MSB = SSB/(g−1),
+    * MSW = SSW/(N−g), n̄₀ = (N − Σnᵢ²/N)/(g−1) (the unbalanced-design
+    * correction), ICC = (MSB − MSW)/(MSB + (n̄₀−1)·MSW). One group-
+    * sized aggregate then closed forms.
+    */
+  def icc(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    val per = df
+      .groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("ni"), sum(col(valueCol).cast("double")).as("si"),
+        sum(col(valueCol).cast("double") * col(valueCol).cast("double")).as("sii"))
+    val a = per.agg(
+      count(lit(1)).as("g"), sum("ni").as("n"), sum("si").as("sx"), sum("sii").as("sxx"),
+      sum(col("si") * col("si") / col("ni").cast("double")).as("snm2"),
+      sum(col("ni") * col("ni")).as("sn2"))
+    val msb = (col("snm2") - col("sx") * col("sx") / col("n").cast("double")) /
+      (col("g") - lit(1)).cast("double")
+    val msw = (col("sxx") - col("snm2")) / (col("n") - col("g")).cast("double")
+    val n0 = (col("n").cast("double") - col("sn2").cast("double") / col("n").cast("double")) /
+      (col("g") - lit(1)).cast("double")
+    a.select(
+      col("n").cast("long").as("n"),
+      col("g").cast("long").as("groups"),
+      q6(msb).as("msb"),
+      q6(msw).as("msw"),
+      q6(n0).as("n0"),
+      when(col("g") > 1 && col("n") > col("g"),
+        q6((msb - msw) / (msb + (n0 - lit(1.0)) * msw))).as("icc"))
+  }
 }

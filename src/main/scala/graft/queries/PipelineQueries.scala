@@ -7651,11 +7651,191 @@ object PipelineQueries {
     )
   )
 
+  // ---- C88: DerSimonian–Laird meta-analysis (FULL oracle — per-study
+  // effects built from per-nation Welch contrasts in kilodollars
+  // (magnitudes ~1e2 keep 6dp margins wide), Q folds algebraically,
+  // both passes map-side-combined aggregates) --------------------------
+  val q274 = Q(
+    "q274_meta",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        .where(col("o_orderstatus").isin("F", "O"))
+        .select(
+          col("c_nationkey").as("study"),
+          (col("o_orderstatus") === "F").cast("int").as("f"),
+          (col("o_totalprice") / lit(1000.0)).as("x"))
+      val per = o.groupBy("study").agg(
+        sum(when(col("f") === 1, col("x"))).as("s1"),
+        sum(when(col("f") === 1, col("x") * col("x"))).as("s11"),
+        sum(col("f")).cast("double").as("n1"),
+        sum(when(col("f") === 0, col("x"))).as("s0"),
+        sum(when(col("f") === 0, col("x") * col("x"))).as("s00"),
+        sum(lit(1) - col("f")).cast("double").as("n0"))
+        .where(col("n1") > 1 && col("n0") > 1)
+        .select(
+          col("study"),
+          (col("s1") / col("n1") - col("s0") / col("n0")).as("effect"),
+          sqrt(
+            (col("s11") - col("s1") * col("s1") / col("n1")) / (col("n1") - 1) / col("n1") +
+              (col("s00") - col("s0") * col("s0") / col("n0")) / (col("n0") - 1) / col("n0"))
+            .as("se"))
+      graft.ml.Meta.combine(per, "effect", "se")
+    },
+    Some(
+      """WITH b AS (SELECT c_nationkey AS study,
+        |    CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END AS f,
+        |    o_totalprice/1000.0 AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_orderstatus IN ('F','O')),
+        |per AS (SELECT study,
+        |    sum(CASE WHEN f=1 THEN x END) AS s1,
+        |    sum(CASE WHEN f=1 THEN x*x END) AS s11,
+        |    sum(f)::DOUBLE AS n1,
+        |    sum(CASE WHEN f=0 THEN x END) AS s0,
+        |    sum(CASE WHEN f=0 THEN x*x END) AS s00,
+        |    sum(1-f)::DOUBLE AS n0
+        |  FROM b GROUP BY 1 HAVING sum(f) > 1 AND sum(1-f) > 1),
+        |st AS (SELECT study, s1/n1 - s0/n0 AS eff,
+        |    sqrt((s11 - s1*s1/n1)/(n1-1)/n1 + (s00 - s0*s0/n0)/(n0-1)/n0) AS se
+        |  FROM per),
+        |f AS (SELECT count(*)::BIGINT AS k, sum(1.0/(se*se)) AS sw,
+        |    sum(1.0/(se*se)*eff) AS swb, sum(1.0/(se*se)*eff*eff) AS swbb,
+        |    sum((1.0/(se*se))*(1.0/(se*se))) AS sww
+        |  FROM st WHERE se IS NOT NULL AND se > 0),
+        |f2 AS (SELECT k, sw, swb,
+        |    CASE WHEN k > 1 THEN swbb - swb*swb/sw END AS q_raw,
+        |    CASE WHEN k > 1 THEN sw - sww/sw END AS c_dl FROM f),
+        |f3 AS (SELECT k, sw, swb, q_raw,
+        |    CASE WHEN k > 1
+        |      THEN greatest(0.0, (q_raw - (k-1)::DOUBLE)/c_dl) END AS tau2_raw FROM f2),
+        |r AS (SELECT f3.k, f3.sw, f3.swb, f3.q_raw, f3.tau2_raw,
+        |    sum(CASE WHEN f3.tau2_raw IS NOT NULL
+        |        THEN 1.0/(st.se*st.se + f3.tau2_raw) END) AS swr,
+        |    sum(CASE WHEN f3.tau2_raw IS NOT NULL
+        |        THEN 1.0/(st.se*st.se + f3.tau2_raw)*st.eff END) AS swrb
+        |  FROM st CROSS JOIN f3 WHERE st.se IS NOT NULL AND st.se > 0
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT k, floor(swb/sw*1e6+0.5)/1e6 AS beta_fixed,
+        |  floor(sqrt(1.0/sw)*1e6+0.5)/1e6 AS se_fixed,
+        |  floor(q_raw*1e6+0.5)/1e6 AS q_stat,
+        |  floor(tau2_raw*1e6+0.5)/1e6 AS tau2,
+        |  CASE WHEN q_raw > 0
+        |    THEN floor(greatest(0.0, (q_raw - (k-1)::DOUBLE)/q_raw)*1e6+0.5)/1e6 END AS i2,
+        |  floor(swrb/swr*1e6+0.5)/1e6 AS beta_random,
+        |  floor(sqrt(1.0/swr)*1e6+0.5)/1e6 AS se_random
+        |FROM r""".stripMargin
+    )
+  )
+
+  // ---- T94: Cronbach's alpha (FULL oracle — integer count "ratings",
+  // complete-unit filter, sample variances; every sum integer-exact
+  // until the final divisions) -----------------------------------------
+  val q275 = Q(
+    "q275_cronbach",
+    (s, dir) => {
+      val ratings = Tables.events(s, dir)
+        .groupBy(col("user_id").as("u"), col("event_type").as("it"))
+        .agg(count(lit(1)).cast("double").as("v"))
+      graft.ops.Agreement.cronbachAlpha(ratings, "u", "it", "v")
+    },
+    Some(
+      """WITH r AS (SELECT user_id AS u, event_type AS it, count(*)::DOUBLE AS v
+        |  FROM events GROUP BY 1, 2),
+        |k AS (SELECT count(DISTINCT it)::BIGINT AS k FROM r),
+        |pu AS (SELECT u, count(*)::BIGINT AS rows_u, count(DISTINCT it)::BIGINT AS items_u,
+        |    sum(v) AS tot FROM r GROUP BY 1),
+        |comp AS (SELECT pu.* FROM pu CROSS JOIN k
+        |  WHERE pu.items_u = k.k AND pu.rows_u = k.k),
+        |ts AS (SELECT count(*)::BIGINT AS nc, sum(tot) AS st, sum(tot*tot) AS stt FROM comp),
+        |iv AS (SELECT sum((sii - si*si/ni::DOUBLE)/(ni - 1)::DOUBLE) AS sum_var_items
+        |  FROM (SELECT it, count(*)::BIGINT AS ni, sum(v) AS si, sum(v*v) AS sii
+        |        FROM r WHERE u IN (SELECT u FROM comp) GROUP BY 1)),
+        |nu AS (SELECT count(*)::BIGINT AS n_units FROM pu)
+        |SELECT k.k AS k_items, nu.n_units, ts.nc AS n_complete,
+        |  floor(iv.sum_var_items*1e6+0.5)/1e6 AS sum_var_items,
+        |  floor((ts.stt - ts.st*ts.st/ts.nc::DOUBLE)/(ts.nc - 1)::DOUBLE*1e6+0.5)/1e6
+        |    AS var_total,
+        |  CASE WHEN k.k > 1 AND ts.nc > 1
+        |    THEN floor((k.k::DOUBLE/(k.k - 1)::DOUBLE) *
+        |      (1.0 - iv.sum_var_items /
+        |        ((ts.stt - ts.st*ts.st/ts.nc::DOUBLE)/(ts.nc - 1)::DOUBLE))*1e6+0.5)/1e6
+        |  END AS alpha
+        |FROM ts CROSS JOIN iv CROSS JOIN k CROSS JOIN nu""".stripMargin
+    )
+  )
+
+  // ---- T95: Fleiss' kappa (FULL oracle — deterministic fixed-n panel:
+  // each user's first 6 events by (ts, event_id); (item×category)
+  // count cells, integer arithmetic to the final divisions) ------------
+  val q276 = Q(
+    "q276_fleiss",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val ratings = Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 6)
+        .select(col("user_id").as("item"), col("event_type").as("cat"))
+      graft.ops.Agreement.fleissKappa(ratings, "item", "cat", raters = 6)
+    },
+    Some(
+      """WITH r AS (SELECT user_id AS i, event_type AS c,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |rt AS (SELECT i, c FROM r WHERE rn <= 6),
+        |elig AS (SELECT i FROM rt GROUP BY i HAVING count(*) = 6),
+        |cells AS (SELECT rt.i, rt.c, count(*)::BIGINT AS nij
+        |  FROM rt WHERE rt.i IN (SELECT i FROM elig) GROUP BY 1, 2),
+        |pi AS (SELECT i, (sum(nij*nij) - 6)::DOUBLE / 30.0 AS pi FROM cells GROUP BY 1),
+        |pb AS (SELECT count(*)::BIGINT AS n_items, sum(pi) AS spi FROM pi),
+        |pe AS (SELECT sum((nj::DOUBLE/(ni2*6)::DOUBLE)*(nj::DOUBLE/(ni2*6)::DOUBLE)) AS p_e
+        |  FROM (SELECT c, sum(nij) AS nj FROM cells GROUP BY 1)
+        |  CROSS JOIN (SELECT n_items AS ni2 FROM pb))
+        |SELECT pb.n_items, 6::BIGINT AS raters,
+        |  floor(pb.spi/pb.n_items::DOUBLE*1e6+0.5)/1e6 AS p_bar,
+        |  floor(pe.p_e*1e6+0.5)/1e6 AS p_e,
+        |  CASE WHEN pe.p_e < 1.0
+        |    THEN floor((pb.spi/pb.n_items::DOUBLE - pe.p_e)/(1.0 - pe.p_e)*1e6+0.5)/1e6
+        |  END AS kappa
+        |FROM pb CROSS JOIN pe""".stripMargin
+    )
+  )
+
+  // ---- T96: ICC(1,1) intraclass correlation (FULL oracle — group-sized
+  // aggregate, algebraic SSB/SSW from integer sums, unbalanced n̄₀) -----
+  val q277 = Q(
+    "q277_icc",
+    (s, dir) =>
+      graft.ops.Agreement.icc(Tables.documents(s, dir), "source", "n_chars"),
+    Some(
+      """WITH per AS (SELECT source AS g, count(*)::BIGINT AS ni,
+        |    sum(n_chars::DOUBLE) AS si, sum(n_chars::DOUBLE*n_chars::DOUBLE) AS sii
+        |  FROM documents GROUP BY 1),
+        |a AS (SELECT count(*)::BIGINT AS g, sum(ni)::BIGINT AS n, sum(si) AS sx,
+        |    sum(sii) AS sxx, sum(si*si/ni::DOUBLE) AS snm2, sum(ni*ni)::BIGINT AS sn2
+        |  FROM per)
+        |SELECT n, g AS groups,
+        |  floor((snm2 - sx*sx/n::DOUBLE)/(g - 1)::DOUBLE*1e6+0.5)/1e6 AS msb,
+        |  floor((sxx - snm2)/(n - g)::DOUBLE*1e6+0.5)/1e6 AS msw,
+        |  floor((n::DOUBLE - sn2::DOUBLE/n::DOUBLE)/(g - 1)::DOUBLE*1e6+0.5)/1e6 AS n0,
+        |  CASE WHEN g > 1 AND n > g THEN
+        |    floor(((snm2 - sx*sx/n::DOUBLE)/(g - 1)::DOUBLE - (sxx - snm2)/(n - g)::DOUBLE) /
+        |      ((snm2 - sx*sx/n::DOUBLE)/(g - 1)::DOUBLE +
+        |        ((n::DOUBLE - sn2::DOUBLE/n::DOUBLE)/(g - 1)::DOUBLE - 1.0) *
+        |          ((sxx - snm2)/(n - g)::DOUBLE))*1e6+0.5)/1e6
+        |  END AS icc
+        |FROM a""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
       q63, q64, q65, q66, q67, q69, q71, q72, q73, q75, q76, q77, q78, q81, q82, q83, q84, q85,
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273)
+      q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276,
+      q277)
 }

@@ -47,4 +47,60 @@ class AgreementSpec extends SparkSpec {
     val r2 = Agreement.partialCorr(rows2.toDF("x", "y", "z"), "x", "y", "z").head()
     assert(r2.getAs[Double]("r_xy_given_z") > 0.8)
   }
+
+  test("cronbachAlpha: hand moments; incomplete units filtered not crashed") {
+    import spark.implicits._
+    // B = 2A over 4 complete units; unit 5 misses item B
+    val df = Seq(
+      (1L, "A", 1.0), (2L, "A", 2.0), (3L, "A", 3.0), (4L, "A", 4.0),
+      (1L, "B", 2.0), (2L, "B", 4.0), (3L, "B", 6.0), (4L, "B", 8.0),
+      (5L, "A", 9.0)
+    ).toDF("u", "it", "v")
+    val r = Agreement.cronbachAlpha(df, "u", "it", "v").head()
+    assert(r.getAs[Long]("k_items") === 2L)
+    assert(r.getAs[Long]("n_units") === 5L && r.getAs[Long]("n_complete") === 4L)
+    // var_A = 5/3, var_B = 20/3 -> sum 25/3 = 8.333333; tot var = 15
+    assert(r.getAs[Double]("sum_var_items") === 8.333333)
+    assert(r.getAs[Double]("var_total") === 15.0)
+    // alpha = 2*(1 - (25/3)/15) = 2*(4/9) = 0.888889
+    assert(r.getAs[Double]("alpha") === 0.888889)
+  }
+
+  test("fleissKappa: hand 2-rater cells; short items excluded") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a"), (1L, "a"), // perfect agreement
+      (2L, "a"), (2L, "b"), // split
+      (3L, "a") // only one rating: excluded
+    ).toDF("item", "cat")
+    val r = Agreement.fleissKappa(df, "item", "cat", raters = 2).head()
+    assert(r.getAs[Long]("n_items") === 2L)
+    // P1 = 1, P2 = 0 -> p_bar = .5; p_a = 3/4, p_b = 1/4 -> Pe = .625
+    assert(r.getAs[Double]("p_bar") === 0.5)
+    assert(r.getAs[Double]("p_e") === 0.625)
+    // kappa = (.5 - .625)/.375 = -1/3
+    assert(r.getAs[Double]("kappa") === -0.333333)
+  }
+
+  test("icc: hand unbalanced-free example; separation raises ICC") {
+    import spark.implicits._
+    val df = Seq(
+      ("g1", 1.0), ("g1", 2.0), ("g1", 3.0),
+      ("g2", 5.0), ("g2", 6.0), ("g2", 7.0)
+    ).toDF("g", "v")
+    val r = Agreement.icc(df, "g", "v").head()
+    assert(r.getAs[Long]("n") === 6L && r.getAs[Long]("groups") === 2L)
+    // SSB = 24, SSW = 4 -> MSB 24, MSW 1, n0 = 3 -> ICC = 23/26
+    assert(r.getAs[Double]("msb") === 24.0)
+    assert(r.getAs[Double]("msw") === 1.0)
+    assert(r.getAs[Double]("n0") === 3.0)
+    assert(r.getAs[Double]("icc") === 0.884615)
+    // same values shuffled into both groups: between-variance dies
+    val mixed = Seq(
+      ("g1", 1.0), ("g1", 7.0), ("g1", 3.0),
+      ("g2", 5.0), ("g2", 2.0), ("g2", 6.0)
+    ).toDF("g", "v")
+    val m = Agreement.icc(mixed, "g", "v").head()
+    assert(m.getAs[Double]("icc") < r.getAs[Double]("icc"))
+  }
 }
