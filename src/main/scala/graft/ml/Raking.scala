@@ -1,0 +1,80 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Survey raking — iterative proportional fitting (Deming–Stephan):
+  * scale cell weights so a biased sample's row and column margins
+  * match population targets. The standard post-stratification tool
+  * when only the MARGINS of the population are known (e.g. re-weight
+  * a filtered training subset back to the full corpus's source × lang
+  * mix without the joint table).
+  *
+  * Each sweep is two keyed aggregates + two joins over the CELL frame
+  * (contingency-sized: |rows| × |cols| cells, margin-sized sums —
+  * never sample-row-sized; collapse the sample to cells first). The
+  * frame is `localCheckpoint`ed through [[Bridge.freshLeaf]] every
+  * sweep so 20 iterations stay constant-cost (the FixedEffects loop
+  * discipline). IPF is contractive on positive cells, so cross-engine
+  * summation-order noise (~1e-16/sweep) stays ~1e-13 — DuckDB replays
+  * the whole loop as a recursive CTE and matches at the 6dp quantizer.
+  *
+  * Conventions: cells must have positive mass and every cell key must
+  * appear in both target frames (inner joins — unmatched cells DROP,
+  * count them upstream); zero targets zero the matching cells (w = 0
+  * is a fixed point). Margins converge exactly on the LAST-swept axis
+  * (columns) and to within the iteration tolerance on rows.
+  */
+object Raking {
+
+  /** Rake `cells` (one row per (r, c) with mass `nCol`) to
+    * `rowTargets`/`colTargets` (frames keyed by the same r / c columns
+    * with a `target` column). Returns one row per surviving cell:
+    * r, c, n (input mass), `weight` (6dp) and `raked` = n·weight (6dp,
+    * quantized from the RAW weight — not from the quantized one).
+    */
+  def ipf(
+      cells: DataFrame,
+      rCol: String,
+      cCol: String,
+      nCol: String,
+      rowTargets: DataFrame,
+      colTargets: DataFrame,
+      iters: Int = 20): DataFrame = {
+    require(iters >= 1, "Raking.ipf: need at least one sweep")
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    val rt = rowTargets.select(col(rCol).as("__r"), col("target").cast("double").as("__tr"))
+    val ct = colTargets.select(col(cCol).as("__c"), col("target").cast("double").as("__tc"))
+    var cur = cells
+      .select(col(rCol).as("__r"), col(cCol).as("__c"), col(nCol).cast("double").as("__n"))
+      .join(rt, Seq("__r"))
+      .join(ct, Seq("__c"))
+      .withColumn("__w", lit(1.0))
+    for (_ <- 1 to iters) {
+      // guard: a zeroed axis (target 0 → mass 0 next sweep) must stay a
+      // fixed point at w = 0, not divide 0/0 into NaN
+      val rsum = cur.groupBy("__r").agg(sum(col("__n") * col("__w")).as("__rs"))
+      val rowScaled = cur
+        .join(rsum, Seq("__r"))
+        .withColumn("__w",
+          when(col("__rs") > 0, col("__w") * col("__tr") / col("__rs"))
+            .otherwise(lit(0.0)))
+        .drop("__rs")
+      val csum = rowScaled.groupBy("__c").agg(sum(col("__n") * col("__w")).as("__cs"))
+      val swept = rowScaled
+        .join(csum, Seq("__c"))
+        .withColumn("__w",
+          when(col("__cs") > 0, col("__w") * col("__tc") / col("__cs"))
+            .otherwise(lit(0.0)))
+        .drop("__cs")
+      cur = Bridge.freshLeaf(swept.localCheckpoint())
+    }
+    cur.select(
+      col("__r").as(rCol),
+      col("__c").as(cCol),
+      col("__n").as("n"),
+      q6(col("__w")).as("weight"),
+      q6(col("__n") * col("__w")).as("raked"))
+  }
+}

@@ -7830,6 +7830,58 @@ object PipelineQueries {
     )
   )
 
+  // ---- C89: IPF raking (FULL oracle — the whole 20-sweep loop replays
+  // as a recursive CTE with windows inside the recursive term; IPF is
+  // contractive so cross-engine sum-order noise stays ~1e-13 vs the 6dp
+  // quantizer; zero-mass guard identical on both sides). Narrative: a
+  // quantity-biased lineitem subsample raked back to the full table's
+  // returnflag × linestatus margins -------------------------------------
+  val q278 = Q(
+    "q278_raking",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val cells = li.where(col("l_quantity") < 20)
+        .groupBy(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
+        .agg(count(lit(1)).cast("double").as("n"))
+      val rt = li.groupBy(col("l_returnflag").as("rf"))
+        .agg(count(lit(1)).cast("double").as("target"))
+      val ct = li.groupBy(col("l_linestatus").as("ls"))
+        .agg(count(lit(1)).cast("double").as("target"))
+      graft.ml.Raking.ipf(cells, "rf", "ls", "n", rt, ct, iters = 20)
+        .select(col("rf"), col("ls"), col("n").cast("long").as("n"),
+          col("weight"), col("raked"))
+        .orderBy("rf", "ls")
+    },
+    Some(
+      """WITH RECURSIVE cells AS (
+        |  SELECT l_returnflag AS r, l_linestatus AS c, count(*)::DOUBLE AS n
+        |  FROM lineitem WHERE l_quantity < 20 GROUP BY 1, 2),
+        |rt AS (SELECT l_returnflag AS r, count(*)::DOUBLE AS tr FROM lineitem GROUP BY 1),
+        |ct AS (SELECT l_linestatus AS c, count(*)::DOUBLE AS tc FROM lineitem GROUP BY 1),
+        |it AS (
+        |  SELECT cells.r, cells.c, cells.n, 1.0::DOUBLE AS w, 0 AS i
+        |  FROM cells JOIN rt ON cells.r = rt.r JOIN ct ON cells.c = ct.c
+        |  UNION ALL
+        |  SELECT r, c, n,
+        |    CASE WHEN (sum(n * w2) OVER (PARTITION BY c)) > 0
+        |      THEN w2 * tc / (sum(n * w2) OVER (PARTITION BY c)) ELSE 0.0 END,
+        |    i + 1
+        |  FROM (
+        |    SELECT q.r, q.c, q.n, ct.tc, q.i,
+        |      CASE WHEN (sum(q.n * q.w) OVER (PARTITION BY q.r)) > 0
+        |        THEN q.w * rt.tr / (sum(q.n * q.w) OVER (PARTITION BY q.r))
+        |        ELSE 0.0 END AS w2
+        |    FROM it q JOIN rt ON q.r = rt.r JOIN ct ON q.c = ct.c
+        |    WHERE q.i < 20
+        |  )
+        |)
+        |SELECT r AS rf, c AS ls, n::BIGINT AS n,
+        |  floor(w*1e6+0.5)/1e6 AS weight,
+        |  floor(n*w*1e6+0.5)/1e6 AS raked
+        |FROM it WHERE i = 20 ORDER BY rf, ls""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
@@ -7837,5 +7889,5 @@ object PipelineQueries {
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
       q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276,
-      q277)
+      q277, q278)
 }
