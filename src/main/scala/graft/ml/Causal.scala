@@ -336,8 +336,11 @@ object Causal {
       val mc = cx / n0
       val vt = sxx / n1 - mt * mt
       val vc = cxx / n0 - mc * mc
-      val smd = when(vt + vc > 0, (mt - mc) / sqrt((vt + vc) / lit(2.0)))
-      (q6(mt), q6(mc), q6(smd))
+      // empty-arm guard first (ANSI: the vt/vc divisions must stay
+      // unevaluated when an arm has no mass)
+      val both = n1 > 0 && n0 > 0
+      val smd = when(both && vt + vc > 0, (mt - mc) / sqrt((vt + vc) / lit(2.0)))
+      (when(n1 > 0, q6(mt)), when(n0 > 0, q6(mc)), q6(smd))
     }
     covs.zipWithIndex.map { case (c, i) =>
       val (mt, mc, smd) = smdCols(c, col(s"tx_$i"), col(s"txx_$i"), col("nt"),

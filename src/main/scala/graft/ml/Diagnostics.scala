@@ -226,4 +226,112 @@ object Diagnostics {
         col("k").as(keyCol), col("lag"), col("n"),
         q6(col("rho_raw")).as("rho"), q6(col("lb_raw")).as("lb_q"))
   }
+
+  /** Per-key one-lag Granger causality — "does x's PAST improve the
+    * one-lag autoregression of y": F for adding x_{t−1} to
+    * y ~ y_{t−1}. With exactly three standardized regressable columns
+    * the whole test folds to pairwise correlations (no matrix solve):
+    * R²_r = r(y,y₁)², R²_u = (r₁² + r₂² − 2r₁r₂r₃)/(1 − r₃²) with
+    * r₁ = r(y,y₁), r₂ = r(y,x₁), r₃ = r(y₁,x₁), and
+    * F = (R²_u − R²_r)/(1 − R²_u)·(n − 3), df = (1, n−3).
+    * One keyed lag window + one (key)-aggregate of the nine moment
+    * sums; keys with n ≤ 3 aligned rows or a degenerate correlation
+    * (zero variance, |r₃| = 1) return null F. Correlations replay in
+    * DuckDB via the raw-moment form.
+    */
+  def grangerOneLag(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      tieCol: String,
+      yCol: String,
+      xCol: String): DataFrame = {
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    val w = Window.partitionBy("k").orderBy(col("t"), col("tb"))
+    val base = df.select(
+      col(keyCol).as("k"), col(timeCol).as("t"), col(tieCol).as("tb"),
+      col(yCol).cast("double").as("y"), col(xCol).cast("double").as("x"))
+      .withColumn("y1", lag("y", 1).over(w))
+      .withColumn("x1", lag("x", 1).over(w))
+      .where(col("y1").isNotNull && col("x1").isNotNull)
+    val m = base.groupBy("k").agg(
+      count(lit(1)).as("n"),
+      sum("y").as("sy"), sum(col("y") * col("y")).as("syy"),
+      sum("y1").as("sa"), sum(col("y1") * col("y1")).as("saa"),
+      sum("x1").as("sb"), sum(col("x1") * col("x1")).as("sbb"),
+      sum(col("y") * col("y1")).as("sya"),
+      sum(col("y") * col("x1")).as("syb"),
+      sum(col("y1") * col("x1")).as("sab"))
+    // variance guards FIRST: under ANSI a zero denominator throws, so
+    // every division sits inside a lazy `when` branch
+    val dyy = col("n") * col("syy") - col("sy") * col("sy")
+    val daa = col("n") * col("saa") - col("sa") * col("sa")
+    val dbb = col("n") * col("sbb") - col("sb") * col("sb")
+    def corrOf(sxy: Column, sx: Column, sy: Column, dx: Column, dy: Column) =
+      when(dx > 0 && dy > 0, (col("n") * sxy - sx * sy) / sqrt(dx * dy))
+    val r1 = corrOf(col("sya"), col("sy"), col("sa"), dyy, daa)
+    val r2 = corrOf(col("syb"), col("sy"), col("sb"), dyy, dbb)
+    val r3 = corrOf(col("sab"), col("sa"), col("sb"), daa, dbb)
+    val r2u = when(abs(r3) < 1.0,
+      (r1 * r1 + r2 * r2 - lit(2.0) * r1 * r2 * r3) / (lit(1.0) - r3 * r3))
+    val f = when(r2u < 1.0,
+      (r2u - r1 * r1) / (lit(1.0) - r2u) * (col("n") - lit(3)).cast("double"))
+    m.select(
+      col("k").as(keyCol),
+      col("n").cast("long").as("n"),
+      when(dyy > 0 && daa > 0, q6(r1)).as("r_y_ylag"),
+      when(dyy > 0 && dbb > 0, q6(r2)).as("r_y_xlag"),
+      when(col("n") > 3 && dyy > 0 && daa > 0 && dbb > 0 &&
+        abs(r3) < 1.0 && r2u < 1.0, q6(f)).as("f_stat"))
+  }
+
+  /** Chow test — one structural break in the simple regression y ~ x:
+    * F = ((SSR_pooled − SSR_a − SSR_b)/2) / ((SSR_a + SSR_b)/(n−4)).
+    * Each SSR folds from the 5 raw moments (SSR = Syy − Sxy²/Sxx,
+    * centered), so the whole test is ONE regime-keyed aggregate + a
+    * reduce — no per-regime refits. Degenerate regimes (n ≤ 2 or zero
+    * x-variance) return null F. Returns one row.
+    */
+  def chow(df: DataFrame, yCol: String, xCol: String, regimeCol: String): DataFrame = {
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    val base = df.select(
+      col(regimeCol).cast("int").as("g"),
+      col(yCol).cast("double").as("y"), col(xCol).cast("double").as("x"))
+    val per = base.groupBy("g").agg(
+      count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    def ssrOf(n: Column, sx: Column, sy: Column, sxx: Column, sxy: Column, syy: Column) = {
+      val cxx = sxx - sx * sx / n.cast("double")
+      val cxy = sxy - sx * sy / n.cast("double")
+      val cyy = syy - sy * sy / n.cast("double")
+      (cyy - cxy * cxy / cxx, cxx)
+    }
+    val a = per.agg(
+      sum("n").as("n"), sum("sx").as("sx"), sum("sy").as("sy"),
+      sum("sxx").as("sxx"), sum("sxy").as("sxy"), sum("syy").as("syy"),
+      min("n").as("n_min"), count(lit(1)).as("regimes"),
+      // per-regime SSRs fold as sums of the same closed form; the ANSI
+      // when-guard skips zero-x-variance regimes (cxx_min then nulls
+      // the emission anyway)
+      sum(when(col("sxx") - col("sx") * col("sx") / col("n").cast("double") > 0,
+        (col("syy") - col("sy") * col("sy") / col("n").cast("double")) -
+          pow(col("sxy") - col("sx") * col("sy") / col("n").cast("double"), 2.0) /
+            (col("sxx") - col("sx") * col("sx") / col("n").cast("double"))))
+        .as("ssr_split"),
+      min(col("sxx") - col("sx") * col("sx") / col("n").cast("double")).as("cxx_min"),
+      sum(when(col("g") === 1, col("n")).otherwise(lit(0))).as("n_b"))
+    val (ssrPooled, cxxPooled) =
+      ssrOf(col("n"), col("sx"), col("sy"), col("sxx"), col("sxy"), col("syy"))
+    val f = ((ssrPooled - col("ssr_split")) / lit(2.0)) /
+      (col("ssr_split") / (col("n") - lit(4)).cast("double"))
+    a.select(
+      col("n").cast("long").as("n"),
+      (col("n") - col("n_b")).cast("long").as("n_a"),
+      col("n_b").cast("long").as("n_b"),
+      when(cxxPooled > 0, q6(ssrPooled)).as("ssr_pooled"),
+      when(col("cxx_min") > 0, q6(col("ssr_split"))).as("ssr_split"),
+      when(col("regimes") === 2 && col("n_min") > 2 && col("cxx_min") > 0 &&
+        cxxPooled > 0 && col("ssr_split") > 0, q6(f)).as("f_stat"))
+  }
 }

@@ -102,9 +102,9 @@ object Agreement {
       .join(complete.select(col("u")), Seq("u"), "left_semi")
       .groupBy("it")
       .agg(count(lit(1)).as("ni"), sum("v").as("si"), sum(col("v") * col("v")).as("sii"))
-      .agg(sum(
+      .agg(sum(when(col("ni") > 1,
         (col("sii") - col("si") * col("si") / col("ni").cast("double")) /
-          (col("ni") - lit(1)).cast("double")).as("sum_var_items"))
+          (col("ni") - lit(1)).cast("double"))).as("sum_var_items"))
     val nUnits = perUnit.agg(count(lit(1)).as("n_units"))
 
     totStats.crossJoin(broadcast(itemStats))
@@ -114,9 +114,11 @@ object Agreement {
         col("n_units").cast("long").as("n_units"),
         col("nc").cast("long").as("n_complete"),
         q6(col("sum_var_items")).as("sum_var_items"),
-        q6((col("stt") - col("st") * col("st") / col("nc").cast("double")) /
-          (col("nc") - lit(1)).cast("double")).as("var_total"),
-        when(col("k") > 1 && col("nc") > 1,
+        when(col("nc") > 1,
+          q6((col("stt") - col("st") * col("st") / col("nc").cast("double")) /
+            (col("nc") - lit(1)).cast("double"))).as("var_total"),
+        when(col("k") > 1 && col("nc") > 1 &&
+          col("stt") - col("st") * col("st") / col("nc").cast("double") > 0,
           q6((col("k").cast("double") / (col("k") - lit(1)).cast("double")) *
             (lit(1.0) - col("sum_var_items") /
               ((col("stt") - col("st") * col("st") / col("nc").cast("double")) /
@@ -188,10 +190,11 @@ object Agreement {
     a.select(
       col("n").cast("long").as("n"),
       col("g").cast("long").as("groups"),
-      q6(msb).as("msb"),
-      q6(msw).as("msw"),
-      q6(n0).as("n0"),
-      when(col("g") > 1 && col("n") > col("g"),
+      when(col("g") > 1, q6(msb)).as("msb"),
+      when(col("n") > col("g"), q6(msw)).as("msw"),
+      when(col("g") > 1, q6(n0)).as("n0"),
+      when(col("g") > 1 && col("n") > col("g") &&
+        msb + (n0 - lit(1.0)) * msw > 0,
         q6((msb - msw) / (msb + (n0 - lit(1.0)) * msw))).as("icc"))
   }
 }

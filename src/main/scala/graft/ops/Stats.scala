@@ -724,15 +724,20 @@ object Stats {
         q6((col("r") / col("n").cast("double")) *
           (lit(1.0) - col("r") / col("n").cast("double")) *
           (col("ssn") - col("sn") * col("sn") / col("n").cast("double"))).as("var_t"),
-        q6((col("sr") - col("r") / col("n").cast("double") * col("sn")) /
-          sqrt((col("r") / col("n").cast("double")) *
-            (lit(1.0) - col("r") / col("n").cast("double")) *
-            (col("ssn") - col("sn") * col("sn") / col("n").cast("double")))).as("z"),
-        q6(pow(col("sr") - col("r") / col("n").cast("double") * col("sn"), 2.0) /
-          ((col("r") / col("n").cast("double")) *
-            (lit(1.0) - col("r") / col("n").cast("double")) *
-            (col("ssn") - col("sn") * col("sn") / col("n").cast("double")))).as("chi2"))
+        // Var T = 0 (all-success, all-failure, or single level) → null z,
+        // and the ANSI when-guard keeps the division unevaluated
+        when(varT > 0,
+          q6((col("sr") - col("r") / col("n").cast("double") * col("sn")) /
+            sqrt(varT))).as("z"),
+        when(varT > 0,
+          q6(pow(col("sr") - col("r") / col("n").cast("double") * col("sn"), 2.0) /
+            varT)).as("chi2"))
   }
+
+  private def varT: Column =
+    (col("r") / col("n").cast("double")) *
+      (lit(1.0) - col("r") / col("n").cast("double")) *
+      (col("ssn") - col("sn") * col("sn") / col("n").cast("double"))
 
   /** Empirical-Bayes (beta-binomial) shrinkage of per-group success
     * rates — the standard CTR / acceptance-rate stabilizer: method-of-
@@ -776,5 +781,48 @@ object Stats {
         when(col("k_prior") > 0, q6(col("m") * col("k_prior"))).as("alpha"),
         when(col("k_prior") > 0,
           q6((lit(1.0) - col("m")) * col("k_prior"))).as("beta"))
+  }
+
+  /** Wald–Wolfowitz runs test per key — "is this entity's binary
+    * sequence random or streaky": R = observed runs (1 + sign
+    * changes via one keyed lag), E[R] = 1 + 2n₁n₀/n,
+    * Var R = 2n₁n₀(2n₁n₀−n)/(n²(n−1)), z = (R−E)/√Var. One keyed
+    * window + one keyed aggregate; single-sign or length-1 keys
+    * return null z (variance degenerate — the review-flag
+    * convention). Returns one row per key: n, n1, n0, runs, e_runs,
+    * z (6dp).
+    */
+  def runsTest(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      tieCol: String,
+      binCol: String): DataFrame = {
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    val w = Window.partitionBy("k").orderBy(col("t"), col("tb"))
+    val base = df.select(
+      col(keyCol).as("k"), col(timeCol).as("t"), col(tieCol).as("tb"),
+      col(binCol).cast("int").as("b"))
+      .withColumn("chg",
+        when(lag("b", 1).over(w).isNull, lit(1))
+          .when(lag("b", 1).over(w) =!= col("b"), lit(1))
+          .otherwise(lit(0)))
+    val agg = base.groupBy("k").agg(
+      count(lit(1)).as("n"), sum("b").as("n1"),
+      sum(lit(1) - col("b")).as("n0"), sum("chg").as("runs"))
+    val two = lit(2.0) * col("n1").cast("double") * col("n0").cast("double")
+    val er = lit(1.0) + two / col("n").cast("double")
+    val vr = two * (two - col("n").cast("double")) /
+      (col("n").cast("double") * col("n").cast("double") *
+        (col("n") - lit(1)).cast("double"))
+    agg.select(
+      col("k").as(keyCol),
+      col("n").cast("long").as("n"),
+      col("n1").cast("long").as("n1"),
+      col("n0").cast("long").as("n0"),
+      col("runs").cast("long").as("runs"),
+      q6(er).as("e_runs"),
+      when(col("n1") > 0 && col("n0") > 0 && col("n") > 1 && vr > 0,
+        q6((col("runs").cast("double") - er) / sqrt(vr))).as("z"))
   }
 }

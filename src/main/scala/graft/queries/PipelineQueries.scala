@@ -7882,6 +7882,120 @@ object PipelineQueries {
     )
   )
 
+  // ---- C90: per-key one-lag Granger F (FULL oracle — keyed lag window,
+  // the 3-variable regression folds to pairwise correlations so no
+  // matrix solve; explicit variance guards mirror the CASEs) -----------
+  val q279 = Q(
+    "q279_granger",
+    (s, dir) => {
+      val df = Tables.events(s, dir).select(
+        col("user_id"), col("ts"), col("event_id"),
+        col("value").cast("double").as("y"),
+        (col("event_type") === "purchase").cast("double").as("x"))
+      graft.ml.Diagnostics.grangerOneLag(df, "user_id", "ts", "event_id", "y", "x")
+        .orderBy("user_id")
+    },
+    Some(
+      """WITH b AS (SELECT user_id AS k, ts, event_id AS tb, value::DOUBLE AS y,
+        |    CASE WHEN event_type='purchase' THEN 1.0 ELSE 0.0 END AS x FROM events),
+        |l AS (SELECT k, y, lag(y) OVER w AS y1, lag(x) OVER w AS x1 FROM b
+        |      WINDOW w AS (PARTITION BY k ORDER BY ts, tb)),
+        |f AS (SELECT k, count(*)::BIGINT AS n, sum(y) AS sy, sum(y*y) AS syy,
+        |        sum(y1) AS sa, sum(y1*y1) AS saa, sum(x1) AS sb, sum(x1*x1) AS sbb,
+        |        sum(y*y1) AS sya, sum(y*x1) AS syb, sum(y1*x1) AS sab
+        |      FROM l WHERE y1 IS NOT NULL AND x1 IS NOT NULL GROUP BY 1),
+        |r AS (SELECT k, n,
+        |    n*syy - sy*sy AS dyy, n*saa - sa*sa AS daa, n*sbb - sb*sb AS dbb,
+        |    (n*sya - sy*sa)/sqrt((n*syy - sy*sy)*(n*saa - sa*sa)) AS r1,
+        |    (n*syb - sy*sb)/sqrt((n*syy - sy*sy)*(n*sbb - sb*sb)) AS r2,
+        |    (n*sab - sa*sb)/sqrt((n*saa - sa*sa)*(n*sbb - sb*sb)) AS r3
+        |  FROM f),
+        |u AS (SELECT k, n, dyy, daa, dbb, r1, r2, r3,
+        |    (r1*r1 + r2*r2 - 2.0*r1*r2*r3)/(1.0 - r3*r3) AS r2u FROM r)
+        |SELECT k AS user_id, n,
+        |  CASE WHEN dyy > 0 AND daa > 0 THEN floor(r1*1e6+0.5)/1e6 END AS r_y_ylag,
+        |  CASE WHEN dyy > 0 AND dbb > 0 THEN floor(r2*1e6+0.5)/1e6 END AS r_y_xlag,
+        |  CASE WHEN n > 3 AND dyy > 0 AND daa > 0 AND dbb > 0
+        |        AND abs(r3) < 1.0 AND r2u < 1.0
+        |    THEN floor((r2u - r1*r1)/(1.0 - r2u)*(n - 3)::DOUBLE*1e6+0.5)/1e6
+        |  END AS f_stat
+        |FROM u ORDER BY user_id""".stripMargin
+    )
+  )
+
+  // ---- C91: Chow structural-break test (FULL oracle — per-regime
+  // 6-moment aggregate, SSRs as closed forms, no refits) ---------------
+  val q280 = Q(
+    "q280_chow",
+    (s, dir) => {
+      val df = Tables.orders(s, dir).select(
+        (col("o_totalprice") / lit(1000.0)).as("y"),
+        (floor(unix_timestamp(col("o_orderdate")) / 86400) / lit(1000.0)).as("x"),
+        (col("o_orderpriority") === "1-URGENT").cast("int").as("regime"))
+      graft.ml.Diagnostics.chow(df, "y", "x", "regime")
+    },
+    Some(
+      """WITH b AS (SELECT o_totalprice/1000.0 AS y,
+        |    floor(epoch(o_orderdate)/86400)/1000.0 AS x,
+        |    CASE WHEN o_orderpriority='1-URGENT' THEN 1 ELSE 0 END AS g FROM orders),
+        |per AS (SELECT g, count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy FROM b GROUP BY 1),
+        |a AS (SELECT sum(n)::BIGINT AS n, sum(sx) AS sx, sum(sy) AS sy,
+        |    sum(sxx) AS sxx, sum(sxy) AS sxy, sum(syy) AS syy,
+        |    min(n)::BIGINT AS n_min, count(*)::BIGINT AS regimes,
+        |    sum((syy - sy*sy/n::DOUBLE) -
+        |        power(sxy - sx*sy/n::DOUBLE, 2.0)/(sxx - sx*sx/n::DOUBLE)) AS ssr_split,
+        |    min(sxx - sx*sx/n::DOUBLE) AS cxx_min,
+        |    sum(CASE WHEN g = 1 THEN n ELSE 0 END)::BIGINT AS n_b
+        |  FROM per)
+        |SELECT n, (n - n_b)::BIGINT AS n_a, n_b,
+        |  CASE WHEN sxx - sx*sx/n::DOUBLE > 0
+        |    THEN floor(((syy - sy*sy/n::DOUBLE) -
+        |      (sxy - sx*sy/n::DOUBLE)*(sxy - sx*sy/n::DOUBLE)/(sxx - sx*sx/n::DOUBLE))
+        |      *1e6+0.5)/1e6 END AS ssr_pooled,
+        |  CASE WHEN cxx_min > 0 THEN floor(ssr_split*1e6+0.5)/1e6 END AS ssr_split,
+        |  CASE WHEN regimes = 2 AND n_min > 2 AND cxx_min > 0
+        |        AND sxx - sx*sx/n::DOUBLE > 0 AND ssr_split > 0
+        |    THEN floor(((((syy - sy*sy/n::DOUBLE) -
+        |      (sxy - sx*sy/n::DOUBLE)*(sxy - sx*sy/n::DOUBLE)/(sxx - sx*sx/n::DOUBLE))
+        |      - ssr_split)/2.0)/(ssr_split/(n - 4)::DOUBLE)*1e6+0.5)/1e6
+        |  END AS f_stat
+        |FROM a""".stripMargin
+    )
+  )
+
+  // ---- T97: Wald–Wolfowitz runs test per key (FULL oracle — one keyed
+  // lag + one keyed aggregate, closed z with degenerate keys null) -----
+  val q281 = Q(
+    "q281_runs_test",
+    (s, dir) => {
+      val df = Tables.events(s, dir).select(
+        col("user_id"), col("ts"), col("event_id"),
+        (col("value") > 50).cast("int").as("hot"))
+      graft.ops.Stats.runsTest(df, "user_id", "ts", "event_id", "hot")
+        .orderBy("user_id")
+    },
+    Some(
+      """WITH b AS (SELECT user_id AS k, ts, event_id AS tb,
+        |    CASE WHEN "value" > 50 THEN 1 ELSE 0 END AS bb FROM events),
+        |l AS (SELECT k, bb,
+        |    CASE WHEN lag(bb) OVER (PARTITION BY k ORDER BY ts, tb) IS NULL THEN 1
+        |         WHEN lag(bb) OVER (PARTITION BY k ORDER BY ts, tb) <> bb THEN 1
+        |         ELSE 0 END AS chg FROM b),
+        |a AS (SELECT k, count(*)::BIGINT AS n, sum(bb)::BIGINT AS n1,
+        |        sum(1-bb)::BIGINT AS n0, sum(chg)::BIGINT AS runs FROM l GROUP BY 1)
+        |SELECT k AS user_id, n, n1, n0, runs,
+        |  floor((1.0 + 2.0*n1*n0/n::DOUBLE)*1e6+0.5)/1e6 AS e_runs,
+        |  CASE WHEN n1 > 0 AND n0 > 0 AND n > 1 AND
+        |      (2.0*n1*n0)*(2.0*n1*n0 - n::DOUBLE)/(n::DOUBLE*n::DOUBLE*(n-1)::DOUBLE) > 0
+        |    THEN floor((runs::DOUBLE - (1.0 + 2.0*n1*n0/n::DOUBLE)) /
+        |      sqrt((2.0*n1*n0)*(2.0*n1*n0 - n::DOUBLE) /
+        |        (n::DOUBLE*n::DOUBLE*(n-1)::DOUBLE))*1e6+0.5)/1e6
+        |  END AS z
+        |FROM a ORDER BY user_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
@@ -7889,5 +8003,5 @@ object PipelineQueries {
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
       q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276,
-      q277, q278)
+      q277, q278, q279, q280, q281)
 }

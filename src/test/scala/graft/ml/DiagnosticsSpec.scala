@@ -150,4 +150,48 @@ class DiagnosticsSpec extends SparkSpec {
 
     assert(out(("alt", 1L)).getAs[Double]("rho") === -0.875)
   }
+
+  test("grangerOneLag: planted x->y lead is detected; independent x is quiet; degenerate keys null") {
+    def noise(i: Int, s: Double) = ((i * s) % 1.0) - 0.5
+    // key "lead": y_t = 0.9*x_{t-1} + small noise; x is its own noisy walk
+    val lead = (1 until 400).map { i =>
+      val xPrev = noise(i - 1, 0.6180339887498949)
+      ("lead", i, 0.9 * xPrev + 0.05 * noise(i, 0.7548776662466927),
+        noise(i, 0.6180339887498949))
+    }
+    // key "indep": y and x unrelated
+    val indep = (1 until 400).map { i =>
+      ("indep", i, noise(i, 0.5545497), noise(i, 0.30801928))
+    }
+    // key "flat": constant y -> zero variance -> nulls
+    val flat = (1 until 10).map(i => ("flat", i, 1.0, noise(i, 0.61)))
+    val df = (lead ++ indep ++ flat).toDF("k", "t", "y", "x")
+    val got = Diagnostics.grangerOneLag(df, "k", "t", "t", "y", "x")
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    assert(got("lead").getAs[Double]("f_stat") > 50.0)
+    assert(got("indep").getAs[Double]("f_stat") < 5.0)
+    assert(got("flat").isNullAt(got("flat").fieldIndex("f_stat")))
+    assert(got("flat").isNullAt(got("flat").fieldIndex("r_y_ylag")))
+  }
+
+  test("chow: a planted slope break alarms; identical regimes are quiet") {
+    def noise(i: Int) = ((i * 0.7548776662466927) % 1.0) - 0.5
+    val broken = (1 to 200).map { i =>
+      val x = i / 10.0
+      if (i % 2 == 0) (1.0 + 2.0 * x + 0.1 * noise(i), x, 0)
+      else (30.0 - 1.0 * x + 0.1 * noise(i), x, 1)
+    }
+    val b = Diagnostics.chow(broken.toDF("y", "x", "g"), "y", "x", "g").head()
+    assert(b.getAs[Double]("f_stat") > 1000.0, s"break must alarm: $b")
+    assert(b.getAs[Long]("n_a") === 100L && b.getAs[Long]("n_b") === 100L)
+
+    val same = (1 to 200).map { i =>
+      val x = i / 10.0
+      (1.0 + 2.0 * x + 0.1 * noise(i), x, i % 2)
+    }
+    val s = Diagnostics.chow(same.toDF("y", "x", "g"), "y", "x", "g").head()
+    assert(s.getAs[Double]("f_stat") < 5.0, s"same line must be quiet: $s")
+    // split SSR can never exceed pooled
+    assert(s.getAs[Double]("ssr_split") <= s.getAs[Double]("ssr_pooled") + 1e-9)
+  }
 }

@@ -304,4 +304,23 @@ class Stats2Spec extends SparkSpec {
     val o = Stats.ebShrink(over, "g", "y").collect()
     assert(o.forall(_.isNullAt(o.head.fieldIndex("rate_shrunk"))))
   }
+
+  test("runsTest: hand z; streaky vs alternating sign; single-sign key null") {
+    // key a: 1,1,0,0 -> runs 2, n1=n0=2, E=3, Var=2/3, z = -1/sqrt(2/3)
+    val a = Seq(("a", 1, 1), ("a", 2, 1), ("a", 3, 0), ("a", 4, 0))
+    // key alt: 1,0,1,0 -> runs 4, z = +1/sqrt(2/3)
+    val alt = Seq(("alt", 1, 1), ("alt", 2, 0), ("alt", 3, 1), ("alt", 4, 0))
+    // key one: all ones -> variance degenerate
+    val one = Seq(("one", 1, 1), ("one", 2, 1))
+    val got = Stats.runsTest((a ++ alt ++ one).toDF("k", "t", "b"), "k", "t", "t", "b")
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    val ra = got("a")
+    assert(ra.getAs[Long]("runs") === 2L)
+    assert(ra.getAs[Double]("e_runs") === 3.0)
+    assert(ra.getAs[Double]("z") === -1.224745)
+    assert(got("alt").getAs[Long]("runs") === 4L)
+    assert(got("alt").getAs[Double]("z") === 1.224745)
+    assert(got("one").isNullAt(got("one").fieldIndex("z")))
+    assert(got("one").getAs[Long]("runs") === 1L)
+  }
 }
