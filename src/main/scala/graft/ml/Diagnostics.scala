@@ -334,4 +334,55 @@ object Diagnostics {
       when(col("regimes") === 2 && col("n_min") > 2 && col("cxx_min") > 0 &&
         cxxPooled > 0 && col("ssr_split") > 0, q6(f)).as("f_stat"))
   }
+
+  /** Per-row influence diagnostics for the simple regression y ~ x:
+    * leverage hᵢ = 1/n + (xᵢ−x̄)²/Sxx, studentized-ish residual via
+    * s² = SSR/(n−2), and Cook's D = eᵢ²·hᵢ/(p·s²·(1−hᵢ)²) with p = 2.
+    * ONE moment aggregate broadcasts back and every row's numbers are
+    * row-local closed forms — no window, no sort, corpus-scale by
+    * construction (the "which training rows own this fit" audit).
+    * Requires n > 2 and positive x-variance and residual variance
+    * (else the diagnostic columns are null — fit is degenerate).
+    */
+  def influenceSimple(
+      df: DataFrame,
+      idCol: String,
+      yCol: String,
+      xCol: String): DataFrame = {
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    val base = df.select(
+      col(idCol).as("id"), col(yCol).cast("double").as("y"), col(xCol).cast("double").as("x"))
+    val m = base.agg(
+      count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+      .withColumn("cxx", col("sxx") - col("sx") * col("sx") / col("n").cast("double"))
+      .withColumn("cxy", col("sxy") - col("sx") * col("sy") / col("n").cast("double"))
+      .withColumn("cyy", col("syy") - col("sy") * col("sy") / col("n").cast("double"))
+    val ok = col("n") > 2 && col("cxx") > 0
+    val slope = col("cxy") / col("cxx")
+    val icept = (col("sy") - slope * col("sx")) / col("n").cast("double")
+    val s2 = (col("cyy") - col("cxy") * col("cxy") / col("cxx")) /
+      (col("n") - lit(2)).cast("double")
+    base.crossJoin(broadcast(m))
+      .withColumn("e",
+        when(ok, col("y") - (icept + slope * col("x"))))
+      .withColumn("h",
+        when(ok, lit(1.0) / col("n").cast("double") +
+          (col("x") - col("sx") / col("n").cast("double")) *
+            (col("x") - col("sx") / col("n").cast("double")) / col("cxx")))
+      .select(
+        col("id").as(idCol),
+        q6(col("e")).as("resid"),
+        // h ~ 1/n is tiny by construction: 1e9 grid keeps ~5 significant
+        // digits where the house 6dp would flatten it
+        q9(col("h")).as("leverage"),
+        when(ok && s2 > 0 && col("h") < 1.0,
+          q9(col("e") * col("e") * col("h") /
+            (lit(2.0) * s2 * (lit(1.0) - col("h")) * (lit(1.0) - col("h")))))
+          .as("cooks_d"))
+  }
+
+  private def q9(c: Column): Column =
+    floor(c * lit(1e9) + lit(0.5)).cast("double") / lit(1e9)
 }

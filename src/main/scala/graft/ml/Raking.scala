@@ -77,4 +77,23 @@ object Raking {
       q6(col("__w")).as("weight"),
       q6(col("__n") * col("__w")).as("raked"))
   }
+
+  /** Kish design effect of a weight column — the price of unequal
+    * weights: deff = n·Σw²/(Σw)², n_eff = n/deff = (Σw)²/Σw². The
+    * standard "how much did raking cost us in effective sample size"
+    * readout over [[ipf]]'s output (or any weight frame). One
+    * aggregate; zero-mass weight sets return null deff.
+    */
+  def designEffect(df: DataFrame, weightCol: String): DataFrame = {
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    val w = col(weightCol).cast("double")
+    df.agg(count(lit(1)).as("n"), sum(w).as("sw"), sum(w * w).as("sww"))
+      .select(
+        col("n").cast("long").as("n"),
+        when(col("sw") > 0,
+          q6(col("n").cast("double") * col("sww") / (col("sw") * col("sw"))))
+          .as("deff"),
+        when(col("sww") > 0,
+          q6(col("sw") * col("sw") / col("sww"))).as("n_eff"))
+  }
 }

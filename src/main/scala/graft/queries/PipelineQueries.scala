@@ -7996,6 +7996,182 @@ object PipelineQueries {
     )
   )
 
+  // ---- C92: per-row OLS influence (FULL oracle — one moment aggregate
+  // broadcast back, every row a local closed form; leverage/Cook's D at
+  // 1e9 quantization because h ~ 1/n is tiny by construction) ----------
+  val q282 = Q(
+    "q282_influence",
+    (s, dir) => {
+      val df = Tables.orders(s, dir).select(
+        col("o_orderkey").as("id"),
+        (col("o_totalprice") / lit(1000.0)).as("y"),
+        (floor(unix_timestamp(col("o_orderdate")) / 86400) / lit(1000.0)).as("x"))
+      graft.ml.Diagnostics.influenceSimple(df, "id", "y", "x").orderBy("id")
+    },
+    Some(
+      """WITH b AS (SELECT o_orderkey AS id, o_totalprice/1000.0 AS y,
+        |    floor(epoch(o_orderdate)/86400)/1000.0 AS x FROM orders),
+        |m AS (SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy FROM b),
+        |m2 AS (SELECT *, sxx - sx*sx/n::DOUBLE AS cxx, sxy - sx*sy/n::DOUBLE AS cxy,
+        |    syy - sy*sy/n::DOUBLE AS cyy FROM m),
+        |m3 AS (SELECT *, cxy/cxx AS slope FROM m2),
+        |m4 AS (SELECT *, (sy - slope*sx)/n::DOUBLE AS icept,
+        |    (cyy - cxy*cxy/cxx)/(n - 2)::DOUBLE AS s2 FROM m3),
+        |r AS (SELECT id,
+        |    CASE WHEN n > 2 AND cxx > 0 THEN y - (icept + slope*x) END AS e,
+        |    CASE WHEN n > 2 AND cxx > 0
+        |      THEN 1.0/n::DOUBLE + (x - sx/n::DOUBLE)*(x - sx/n::DOUBLE)/cxx END AS h,
+        |    n, cxx, s2
+        |  FROM b CROSS JOIN m4)
+        |SELECT id, floor(e*1e6+0.5)/1e6 AS resid,
+        |  floor(h*1e9+0.5)/1e9 AS leverage,
+        |  CASE WHEN n > 2 AND cxx > 0 AND s2 > 0 AND h < 1.0
+        |    THEN floor(e*e*h/(2.0*s2*(1.0-h)*(1.0-h))*1e9+0.5)/1e9
+        |  END AS cooks_d
+        |FROM r ORDER BY id""".stripMargin
+    )
+  )
+
+  // ---- T98: training-mix budget allocation (FULL oracle — source-sized
+  // closed forms; cap shortfall REPORTED not redistributed) ------------
+  val q283 = Q(
+    "q283_mix_budget",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val perSource = docs.groupBy("source")
+        .agg(sum("n_chars").cast("double").as("toks"))
+      val targets = perSource.select(
+        col("source"),
+        when(substring(col("source"), 4, 10).cast("int") < 5, lit(0.08))
+          .otherwise(lit(0.04)).as("share"))
+      val total = docs.agg(sum("n_chars")).head().getLong(0).toDouble
+      graft.ops.Mixing.budgetAllocation(
+        perSource, "source", "toks", targets,
+        budget = 1.2 * total, maxEpochs = 1.5)
+        .orderBy("source")
+    },
+    Some(
+      """WITH tot AS (SELECT 1.2*sum(n_chars)::DOUBLE AS budget FROM documents),
+        |ps AS (SELECT source, sum(n_chars)::DOUBLE AS n FROM documents GROUP BY 1),
+        |t AS (SELECT source,
+        |    CASE WHEN substr(source,4)::INT < 5 THEN 0.08 ELSE 0.04 END AS sh FROM ps),
+        |b AS (SELECT ps.source, ps.n, t.sh,
+        |    t.sh * tot.budget AS want, ps.n * 1.5 AS cap,
+        |    least(t.sh * tot.budget, ps.n * 1.5) AS alloc
+        |  FROM ps JOIN t ON ps.source = t.source CROSS JOIN tot),
+        |a AS (SELECT sum(alloc) AS ta, sum(want - least(want, cap)) AS leftv FROM b)
+        |SELECT source, n::BIGINT AS tokens,
+        |  floor(sh*1e6+0.5)/1e6 AS share,
+        |  floor(alloc*1e6+0.5)/1e6 AS alloc_tokens,
+        |  CASE WHEN n > 0 THEN floor(alloc/n*1e6+0.5)/1e6 END AS epochs,
+        |  cap < want AS capped,
+        |  CASE WHEN ta > 0 THEN floor(alloc/ta*1e6+0.5)/1e6 END AS realized_share,
+        |  floor(leftv*1e6+0.5)/1e6 AS leftover_tokens
+        |FROM b CROSS JOIN a ORDER BY source""".stripMargin
+    )
+  )
+
+  // ---- C93: Kish design effect over IPF unit weights (FULL oracle —
+  // composes the q278 recursive-CTE raking, weights joined back to the
+  // subsample rows, one aggregate) -------------------------------------
+  val q284 = Q(
+    "q284_design_effect",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val sub = li.where(col("l_quantity") < 20)
+      val cells = sub
+        .groupBy(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
+        .agg(count(lit(1)).cast("double").as("n"))
+      val rt = li.groupBy(col("l_returnflag").as("rf"))
+        .agg(count(lit(1)).cast("double").as("target"))
+      val ct = li.groupBy(col("l_linestatus").as("ls"))
+        .agg(count(lit(1)).cast("double").as("target"))
+      val w = graft.ml.Raking.ipf(cells, "rf", "ls", "n", rt, ct, iters = 20)
+        .select(col("rf"), col("ls"), col("weight"))
+      val units = sub
+        .select(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
+        .join(w, Seq("rf", "ls"))
+      graft.ml.Raking.designEffect(units, "weight")
+    },
+    Some(
+      """WITH RECURSIVE cells AS (
+        |  SELECT l_returnflag AS r, l_linestatus AS c, count(*)::DOUBLE AS n
+        |  FROM lineitem WHERE l_quantity < 20 GROUP BY 1, 2),
+        |rt AS (SELECT l_returnflag AS r, count(*)::DOUBLE AS tr FROM lineitem GROUP BY 1),
+        |ct AS (SELECT l_linestatus AS c, count(*)::DOUBLE AS tc FROM lineitem GROUP BY 1),
+        |it AS (
+        |  SELECT cells.r, cells.c, cells.n, 1.0::DOUBLE AS w, 0 AS i
+        |  FROM cells JOIN rt ON cells.r = rt.r JOIN ct ON cells.c = ct.c
+        |  UNION ALL
+        |  SELECT r, c, n,
+        |    CASE WHEN (sum(n * w2) OVER (PARTITION BY c)) > 0
+        |      THEN w2 * tc / (sum(n * w2) OVER (PARTITION BY c)) ELSE 0.0 END,
+        |    i + 1
+        |  FROM (
+        |    SELECT q.r, q.c, q.n, ct.tc, q.i,
+        |      CASE WHEN (sum(q.n * q.w) OVER (PARTITION BY q.r)) > 0
+        |        THEN q.w * rt.tr / (sum(q.n * q.w) OVER (PARTITION BY q.r))
+        |        ELSE 0.0 END AS w2
+        |    FROM it q JOIN rt ON q.r = rt.r JOIN ct ON q.c = ct.c
+        |    WHERE q.i < 20
+        |  )
+        |),
+        |wt AS (SELECT r, c, floor(w*1e6+0.5)/1e6 AS weight FROM it WHERE i = 20),
+        |u AS (SELECT wt.weight AS w
+        |  FROM lineitem JOIN wt ON l_returnflag = wt.r AND l_linestatus = wt.c
+        |  WHERE l_quantity < 20),
+        |a AS (SELECT count(*)::BIGINT AS n, sum(w) AS sw, sum(w*w) AS sww FROM u)
+        |SELECT n,
+        |  CASE WHEN sw > 0 THEN floor(n::DOUBLE*sww/(sw*sw)*1e6+0.5)/1e6 END AS deff,
+        |  CASE WHEN sww > 0 THEN floor(sw*sw/sww*1e6+0.5)/1e6 END AS n_eff
+        |FROM a""".stripMargin
+    )
+  )
+
+  // ---- C94: variance inflation factors (FULL oracle for k = 3 — the
+  // inverse-correlation diagonal equals the closed 1/(1−R²_j) form the
+  // SQL replays from pairwise correlations; the op itself is general-k
+  // via one moment pass + driver k×k invert) ---------------------------
+  val q285 = Q(
+    "q285_vif",
+    (s, dir) =>
+      graft.ml.Collinearity.vif(
+        Tables.lineitem(s, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy("covariate"),
+    Some(
+      """WITH b AS (SELECT l_quantity::DOUBLE AS x1, l_extendedprice::DOUBLE AS x2,
+        |    l_discount::DOUBLE AS x3 FROM lineitem),
+        |m AS (SELECT count(*)::BIGINT AS n,
+        |    sum(x1) AS s1, sum(x2) AS s2, sum(x3) AS s3,
+        |    sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x1*x3) AS s13,
+        |    sum(x2*x2) AS s22, sum(x2*x3) AS s23, sum(x3*x3) AS s33 FROM b),
+        |c AS (SELECT
+        |    (n*s12 - s1*s2)/sqrt((n*s11 - s1*s1)*(n*s22 - s2*s2)) AS r12,
+        |    (n*s13 - s1*s3)/sqrt((n*s11 - s1*s1)*(n*s33 - s3*s3)) AS r13,
+        |    (n*s23 - s2*s3)/sqrt((n*s22 - s2*s2)*(n*s33 - s3*s3)) AS r23
+        |  FROM m),
+        |r2 AS (SELECT
+        |    (r12*r12 + r13*r13 - 2.0*r12*r13*r23)/(1.0 - r23*r23) AS r2_1,
+        |    (r12*r12 + r23*r23 - 2.0*r12*r23*r13)/(1.0 - r13*r13) AS r2_2,
+        |    (r13*r13 + r23*r23 - 2.0*r13*r23*r12)/(1.0 - r12*r12) AS r2_3
+        |  FROM c)
+        |SELECT 'l_quantity' AS covariate,
+        |  floor(1.0/(1.0 - r2_1)*1e6+0.5)/1e6 AS vif,
+        |  floor((1.0 - (1.0 - r2_1))*1e6+0.5)/1e6 AS r2_others FROM r2
+        |UNION ALL
+        |SELECT 'l_extendedprice',
+        |  floor(1.0/(1.0 - r2_2)*1e6+0.5)/1e6,
+        |  floor((1.0 - (1.0 - r2_2))*1e6+0.5)/1e6 FROM r2
+        |UNION ALL
+        |SELECT 'l_discount',
+        |  floor(1.0/(1.0 - r2_3)*1e6+0.5)/1e6,
+        |  floor((1.0 - (1.0 - r2_3))*1e6+0.5)/1e6 FROM r2
+        |ORDER BY covariate""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
@@ -8003,5 +8179,5 @@ object PipelineQueries {
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
       q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276,
-      q277, q278, q279, q280, q281)
+      q277, q278, q279, q280, q281, q282, q283, q284, q285)
 }

@@ -194,4 +194,22 @@ class DiagnosticsSpec extends SparkSpec {
     // split SSR can never exceed pooled
     assert(s.getAs[Double]("ssr_split") <= s.getAs[Double]("ssr_pooled") + 1e-9)
   }
+
+  test("influenceSimple: leverage sums to 2, a planted outlier owns Cook's D") {
+    // clean line y = 2x with one wild point at the x-extreme
+    val rows = (1 to 50).map(i => (i.toLong, 2.0 * i + (if (i % 3 == 0) 0.2 else -0.1), i.toDouble)) :+
+      (99L, 500.0, 60.0) // far in x AND off the line
+    val got = Diagnostics.influenceSimple(rows.toDF("id", "y", "x"), "id", "y", "x")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    // Σh = p = 2 for simple regression with intercept
+    val hSum = got.values.map(_.getAs[Double]("leverage")).sum
+    assert(math.abs(hSum - 2.0) < 1e-5, s"sum of leverages must be 2, got $hSum")
+    val dOutlier = got(99L).getAs[Double]("cooks_d")
+    val dMax = got.filterKeys(_ != 99L).values.map(_.getAs[Double]("cooks_d")).max
+    assert(dOutlier > 100 * dMax, s"outlier must dominate: $dOutlier vs $dMax")
+    // degenerate: constant x -> all diagnostics null
+    val flat = (1 to 5).map(i => (i.toLong, i.toDouble, 1.0))
+    val f = Diagnostics.influenceSimple(flat.toDF("id", "y", "x"), "id", "y", "x").collect()
+    assert(f.forall(_.isNullAt(f.head.fieldIndex("leverage"))))
+  }
 }

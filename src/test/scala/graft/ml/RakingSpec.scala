@@ -47,4 +47,20 @@ class RakingSpec extends SparkSpec {
     val x = out.find(_.getAs[String]("c") == "x").get
     assert(x.getAs[Double]("weight") === 0.0 && x.getAs[Double]("raked") === 0.0)
   }
+
+  test("designEffect: equal weights deff = 1; unequal weights cost effective n") {
+    val eq = Seq.fill(100)(2.5).toDF("w")
+    val e = Raking.designEffect(eq, "w").head()
+    assert(e.getAs[Long]("n") === 100L)
+    assert(e.getAs[Double]("deff") === 1.0)
+    assert(e.getAs[Double]("n_eff") === 100.0)
+    // half the rows weight 9, half weight 1: deff = n*Σw²/(Σw)² = 1.64
+    val uneq = (Seq.fill(50)(9.0) ++ Seq.fill(50)(1.0)).toDF("w")
+    val u = Raking.designEffect(uneq, "w").head()
+    assert(u.getAs[Double]("deff") === 1.64)
+    assert(math.abs(u.getAs[Double]("n_eff") - 100.0 / 1.64) < 1e-4)
+    // all-zero weights: null, not a crash
+    val z = Raking.designEffect(Seq.fill(3)(0.0).toDF("w"), "w").head()
+    assert(z.isNullAt(z.fieldIndex("deff")))
+  }
 }

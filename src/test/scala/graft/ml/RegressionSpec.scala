@@ -855,4 +855,26 @@ class RegressionSpec extends SparkSpec {
     assert(math.abs(preds(0) - (3 + 2 * 10.0 - 3.0)) < 1e-9)
     assert(math.abs(preds(1) - 3.0) < 1e-9)
   }
+
+  test("Collinearity.vif: planted near-duplicate pair inflates; independent column near 1") {
+    def g(i: Int, s: Double) = ((i * s) % 1.0) - 0.5
+    val rows = (1 to 5000).map { i =>
+      val x1 = g(i, 0.6180339887498949)
+      val x2 = x1 + 0.01 * g(i, 0.7548776662466927) // near-copy of x1
+      val x3 = g(i, 0.5545497)                      // independent
+      (x1, x2, x3)
+    }
+    val out = Collinearity.vif(rows.toDF("x1", "x2", "x3"), Seq("x1", "x2", "x3"))
+      .collect().map(r => r.getAs[String]("covariate") -> r).toMap
+    assert(out("x1").getAs[Double]("vif") > 100.0)
+    assert(out("x2").getAs[Double]("vif") > 100.0)
+    assert(out("x3").getAs[Double]("vif") < 1.5)
+    assert(out("x3").getAs[Double]("r2_others") < 0.1)
+    // constant column: null VIF, others still reported
+    val rows2 = (1 to 100).map(i => (g(i, 0.61), g(i, 0.55), 7.0))
+    val out2 = Collinearity.vif(rows2.toDF("a", "b", "c"), Seq("a", "b", "c"))
+      .collect().map(r => r.getAs[String]("covariate") -> r).toMap
+    assert(out2("c").isNullAt(out2("c").fieldIndex("vif")))
+    assert(!out2("a").isNullAt(out2("a").fieldIndex("vif")))
+  }
 }
