@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -102,5 +103,57 @@ object Forecast {
       .withColumnRenamed("k", keyCol)
       .withColumnRenamed("t", timeCol)
       .withColumnRenamed("v", valueCol)
+  }
+
+  /** Per-key AR(1) fit + 3-step forecast, fully closed-form: one keyed
+    * lag window pairs (y_t, y_{t−1}), φ and the intercept come from the
+    * per-key 5-moment lag regression, and the forecasts unroll as
+    * f₁ = c + φ·y_T, f₂ = c + φ·f₁, f₃ = c + φ·f₂ — nested literals,
+    * no geometric-sum division, so there is NOTHING iterative to
+    * replay. The cheap "is tomorrow like today" per-entity baseline
+    * beside the seasonal [[holtWinters]] (which earns its keep only at
+    * period-structure). Keys with < 3 lag pairs or zero lag variance
+    * return null fit columns. Returns one row per key: n_pairs, phi,
+    * icept, y_last, f1, f2, f3 (6dp).
+    */
+  def ar1(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      tieCol: String,
+      valueCol: String): DataFrame = {
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    val w = Window.partitionBy("k").orderBy(col("t"), col("tb"))
+    val base = df.select(
+      col(keyCol).as("k"), col(timeCol).as("t"), col(tieCol).as("tb"),
+      col(valueCol).cast("double").as("y"))
+      .withColumn("y1", lag("y", 1).over(w))
+      .withColumn("rn_desc", row_number().over(
+        Window.partitionBy("k").orderBy(col("t").desc, col("tb").desc)))
+    val m = base.groupBy("k").agg(
+      sum(when(col("y1").isNotNull, lit(1)).otherwise(lit(0))).as("np"),
+      sum(when(col("y1").isNotNull, col("y"))).as("sy"),
+      sum(when(col("y1").isNotNull, col("y1"))).as("sa"),
+      sum(when(col("y1").isNotNull, col("y") * col("y1"))).as("sya"),
+      sum(when(col("y1").isNotNull, col("y1") * col("y1"))).as("saa"),
+      max(when(col("rn_desc") === 1, col("y"))).as("y_last"))
+    // multiplied (division-free) variance form so the ok-predicate never
+    // divides by a zero pair count under ANSI
+    val dxx = col("np").cast("double") * col("saa") - col("sa") * col("sa")
+    val ok = col("np") >= 3 && dxx > 0
+    val phi = (col("np").cast("double") * col("sya") - col("sy") * col("sa")) / dxx
+    val c0 = (col("sy") - phi * col("sa")) / col("np").cast("double")
+    val f1 = c0 + phi * col("y_last")
+    val f2 = c0 + phi * f1
+    val f3 = c0 + phi * f2
+    m.select(
+      col("k").as(keyCol),
+      col("np").cast("long").as("n_pairs"),
+      when(ok, q6(phi)).as("phi"),
+      when(ok, q6(c0)).as("icept"),
+      col("y_last"),
+      when(ok, q6(f1)).as("f1"),
+      when(ok, q6(f2)).as("f2"),
+      when(ok, q6(f3)).as("f3"))
   }
 }

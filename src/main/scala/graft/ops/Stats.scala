@@ -734,6 +734,42 @@ object Stats {
             varT)).as("chi2"))
   }
 
+  /** Indirect standardization — the epidemiology SIR/SMR: per group,
+    * expected events = Σ_strata n_{g,s} · rate_ref(s) with the
+    * reference rates taken from the WHOLE frame's strata, and
+    * SIR = observed/expected. The fair "is this source/cohort hot"
+    * comparison when groups have different stratum mixes (the
+    * count-data sibling of [[graft.ml.Causal.stratifiedATE]]).
+    * Two (group × stratum)-sized aggregates + one broadcast join;
+    * all closed forms. Groups with zero expected return null SIR.
+    */
+  def indirectStandardization(
+      df: DataFrame,
+      groupCol: String,
+      stratumCol: String,
+      eventCol: String): DataFrame = {
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    val cells = df
+      .groupBy(col(groupCol).as("g"), col(stratumCol).as("s"))
+      .agg(count(lit(1)).as("n"), sum(col(eventCol).cast("double")).as("o"))
+      .localCheckpoint(true)
+    val ref = cells.groupBy("s")
+      .agg((sum("o") / sum("n").cast("double")).as("rate_ref"))
+    cells
+      .join(broadcast(ref), Seq("s"))
+      .groupBy("g")
+      .agg(
+        sum("n").as("n"), sum("o").as("observed"),
+        sum(col("n").cast("double") * col("rate_ref")).as("expected"))
+      .select(
+        col("g").as(groupCol),
+        col("n").cast("long").as("n"),
+        col("observed").cast("long").as("observed"),
+        q6(col("expected")).as("expected"),
+        when(col("expected") > 0,
+          q6(col("observed") / col("expected"))).as("sir"))
+  }
+
   private def varT: Column =
     (col("r") / col("n").cast("double")) *
       (lit(1.0) - col("r") / col("n").cast("double")) *

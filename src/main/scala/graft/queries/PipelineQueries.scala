@@ -8172,6 +8172,99 @@ object PipelineQueries {
     )
   )
 
+  // ---- C95: per-key AR(1) + 3-step forecast (FULL oracle — keyed lag
+  // window, multiplied-form lag regression, forecasts unroll as nested
+  // closed forms so nothing iterates) ----------------------------------
+  val q286 = Q(
+    "q286_ar1",
+    (s, dir) =>
+      graft.ops.Forecast.ar1(Tables.events(s, dir), "user_id", "ts", "event_id", "value")
+        .orderBy("user_id"),
+    Some(
+      """WITH b AS (SELECT user_id AS k, ts, event_id AS tb, value::DOUBLE AS y FROM events),
+        |l AS (SELECT k, y, lag(y) OVER (PARTITION BY k ORDER BY ts, tb) AS y1,
+        |        row_number() OVER (PARTITION BY k ORDER BY ts DESC, tb DESC) AS rd FROM b),
+        |m AS (SELECT k,
+        |    sum(CASE WHEN y1 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS np,
+        |    sum(CASE WHEN y1 IS NOT NULL THEN y END) AS sy,
+        |    sum(CASE WHEN y1 IS NOT NULL THEN y1 END) AS sa,
+        |    sum(CASE WHEN y1 IS NOT NULL THEN y*y1 END) AS sya,
+        |    sum(CASE WHEN y1 IS NOT NULL THEN y1*y1 END) AS saa,
+        |    max(CASE WHEN rd = 1 THEN y END) AS y_last
+        |  FROM l GROUP BY 1),
+        |p AS (SELECT k, np, y_last, sy, sa,
+        |    np::DOUBLE*saa - sa*sa AS dxx, np::DOUBLE*sya - sy*sa AS dxy FROM m),
+        |p2 AS (SELECT k, np, y_last, sy, sa,
+        |    CASE WHEN np >= 3 AND dxx > 0 THEN dxy/dxx END AS phi FROM p),
+        |p3 AS (SELECT k, np, y_last, phi, (sy - phi*sa)/np::DOUBLE AS c0 FROM p2),
+        |p4 AS (SELECT k, np, y_last, phi, c0, c0 + phi*y_last AS f1 FROM p3),
+        |p5 AS (SELECT k, np, y_last, phi, c0, f1, c0 + phi*f1 AS f2 FROM p4)
+        |SELECT k AS user_id, np AS n_pairs,
+        |  floor(phi*1e6+0.5)/1e6 AS phi,
+        |  floor(c0*1e6+0.5)/1e6 AS icept,
+        |  y_last,
+        |  floor(f1*1e6+0.5)/1e6 AS f1,
+        |  floor(f2*1e6+0.5)/1e6 AS f2,
+        |  floor((c0 + phi*f2)*1e6+0.5)/1e6 AS f3
+        |FROM p5 ORDER BY user_id""".stripMargin
+    )
+  )
+
+  // ---- T99: indirect standardization / SIR (FULL oracle — two
+  // (group×stratum)-sized aggregates, closed forms) --------------------
+  val q287 = Q(
+    "q287_sir",
+    (s, dir) => {
+      val df = Tables.documents(s, dir).select(
+        col("source"),
+        expr("n_chars div 100").as("len_bucket"),
+        (col("lang") === "en").cast("int").as("en"))
+      graft.ops.Stats.indirectStandardization(df, "source", "len_bucket", "en")
+        .orderBy("source")
+    },
+    Some(
+      """WITH b AS (SELECT source AS g, n_chars // 100 AS s,
+        |    CASE WHEN lang='en' THEN 1.0 ELSE 0.0 END AS e FROM documents),
+        |cells AS (SELECT g, s, count(*)::BIGINT AS n, sum(e) AS o FROM b GROUP BY 1, 2),
+        |ref AS (SELECT s, sum(o)/sum(n)::DOUBLE AS rate_ref FROM cells GROUP BY 1),
+        |a AS (SELECT g, sum(n)::BIGINT AS n, sum(o) AS observed,
+        |        sum(n::DOUBLE*rate_ref) AS expected
+        |      FROM cells JOIN ref USING (s) GROUP BY 1)
+        |SELECT g AS source, n, observed::BIGINT AS observed,
+        |  floor(expected*1e6+0.5)/1e6 AS expected,
+        |  CASE WHEN expected > 0
+        |    THEN floor(observed/expected*1e6+0.5)/1e6 END AS sir
+        |FROM a ORDER BY source""".stripMargin
+    )
+  )
+
+  // ---- T100: cohort LTV curve (FULL oracle — integer cents, fixed
+  // cohort-size denominator, cohort-keyed cumulative) ------------------
+  val q288 = Q(
+    "q288_cohort_ltv",
+    (s, dir) =>
+      graft.ops.Cohorts.ltv(
+        Tables.events(s, dir).where(col("event_type") === "purchase"),
+        "user_id", "ts", "value")
+        .orderBy("cohort_day", "age"),
+    Some(
+      """WITH b AS (SELECT user_id AS u, floor(epoch(ts)/86400)::BIGINT AS day,
+        |    round(value*100)::BIGINT AS cents FROM events WHERE event_type='purchase'),
+        |fd AS (SELECT u, min(day) AS cohort_day FROM b GROUP BY 1),
+        |sz AS (SELECT cohort_day, count(*)::BIGINT AS cohort_size FROM fd GROUP BY 1),
+        |pa AS (SELECT f.cohort_day, b.day - f.cohort_day AS age,
+        |        sum(cents)::BIGINT AS rev_cents
+        |      FROM b JOIN fd f USING (u) GROUP BY 1, 2),
+        |c AS (SELECT cohort_day, age, rev_cents,
+        |    (sum(rev_cents) OVER (PARTITION BY cohort_day ORDER BY age
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum
+        |  FROM pa)
+        |SELECT c.cohort_day, age, cohort_size, rev_cents, cum AS cum_rev_cents,
+        |  floor(cum::DOUBLE/100.0/cohort_size::DOUBLE*1e6+0.5)/1e6 AS cum_rev_per_user
+        |FROM c JOIN sz USING (cohort_day) ORDER BY cohort_day, age""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
@@ -8179,5 +8272,5 @@ object PipelineQueries {
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
       q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276,
-      q277, q278, q279, q280, q281, q282, q283, q284, q285)
+      q277, q278, q279, q280, q281, q282, q283, q284, q285, q286, q287, q288)
 }

@@ -89,4 +89,24 @@ class FunnelSpec extends SparkSpec {
       .orderBy("user_id").collect().toSeq
     assert(run(1) === run(7))
   }
+
+  test("Cohorts.ltv: hand curve — fixed cohort denominator, exact cents") {
+    import java.sql.Timestamp
+    import java.time.Instant
+    def ts(day: Long) = Timestamp.from(Instant.ofEpochSecond(day * 86400 + 10))
+    // cohort day 0: users u1, u2. u1 buys 1.50 on d0 and 2.50 on d2; u2 buys 1.00 on d0
+    val df = Seq(
+      ("u1", ts(0), 1.50), ("u2", ts(0), 1.00), ("u1", ts(2), 2.50)
+    ).toDF("u", "t", "rev")
+    val got = Cohorts.ltv(df, "u", "t", "rev").orderBy("age").collect()
+    assert(got.length === 2)
+    assert(got(0).getAs[Long]("age") === 0L)
+    assert(got(0).getAs[Long]("cohort_size") === 2L)
+    assert(got(0).getAs[Long]("rev_cents") === 250L)
+    assert(got(0).getAs[Double]("cum_rev_per_user") === 1.25)
+    assert(got(1).getAs[Long]("age") === 2L)
+    assert(got(1).getAs[Long]("cum_rev_cents") === 500L)
+    // denominator stays the FULL cohort (2 users) even though only u1 is active
+    assert(got(1).getAs[Double]("cum_rev_per_user") === 2.5)
+  }
 }

@@ -323,4 +323,25 @@ class Stats2Spec extends SparkSpec {
     assert(got("one").isNullAt(got("one").fieldIndex("z")))
     assert(got("one").getAs[Long]("runs") === 1L)
   }
+
+  test("indirectStandardization: mix-adjusted SIR; identical-rate groups land at 1") {
+    // stratum s1 rate 0.5, s2 rate 0.2 overall; group A is all-s1 but
+    // at the reference rates -> SIR exactly 1 despite a hot raw rate
+    val rows =
+      (1 to 40).map(i => ("A", "s1", if (i <= 20) 1 else 0)) ++
+        (1 to 40).map(i => ("B", "s1", if (i <= 20) 1 else 0)) ++
+        (1 to 40).map(i => ("B", "s2", if (i <= 8) 1 else 0))
+    val got = Stats.indirectStandardization(rows.toDF("g", "s", "e"), "g", "s", "e")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(got("A").getAs[Double]("sir") === 1.0)
+    assert(got("B").getAs[Double]("sir") === 1.0)
+    // now heat group A's s1 events: SIR > 1, B < 1 in compensation
+    val hot =
+      (1 to 40).map(i => ("A", "s1", if (i <= 30) 1 else 0)) ++
+        (1 to 40).map(i => ("B", "s1", if (i <= 10) 1 else 0))
+    val h = Stats.indirectStandardization(hot.toDF("g", "s", "e"), "g", "s", "e")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(h("A").getAs[Double]("sir") > 1.0 && h("B").getAs[Double]("sir") < 1.0)
+    assert(h("A").getAs[Long]("observed") === 30L)
+  }
 }

@@ -138,4 +138,25 @@ class TimeseriesSpec extends SparkSpec {
     assert(got.exists { case ((k, _), (_, _, a)) => k == 1L && a == 1L })
     assert(!got.exists { case ((k, _), (_, _, a)) => k == 2L && a == 1L })
   }
+
+  test("Forecast.ar1: exact AR(1) recovered; forecasts unroll; short/flat keys null") {
+    import spark.implicits._
+    // y_t = 5 + 0.5*y_{t-1} exactly -> phi = .5, icept = 5, fixed point 10
+    var y = 0.0
+    val exact = (1 to 40).map { t => y = 5.0 + 0.5 * y; ("ar", t, y) }
+    val shortK = Seq(("short", 1, 1.0), ("short", 2, 2.0))
+    val flat = (1 to 10).map(t => ("flat", t, 7.0))
+    val df = (exact ++ shortK ++ flat).toDF("k", "t", "v")
+    val got = graft.ops.Forecast.ar1(df, "k", "t", "t", "v")
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    val ar = got("ar")
+    assert(math.abs(ar.getAs[Double]("phi") - 0.5) < 1e-6)
+    assert(math.abs(ar.getAs[Double]("icept") - 5.0) < 1e-5)
+    val yl = ar.getAs[Double]("y_last")
+    assert(math.abs(ar.getAs[Double]("f1") - (5.0 + 0.5 * yl)) < 1e-5)
+    assert(math.abs(ar.getAs[Double]("f3") - 10.0) < 1e-3) // pulls to the fixed point
+    assert(got("short").isNullAt(got("short").fieldIndex("phi"))) // < 3 pairs
+    assert(got("flat").isNullAt(got("flat").fieldIndex("phi"))) // zero lag variance
+    assert(got("flat").getAs[Double]("y_last") === 7.0)
+  }
 }
