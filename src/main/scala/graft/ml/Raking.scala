@@ -51,7 +51,7 @@ object Raking {
       .join(rt, Seq("__r"))
       .join(ct, Seq("__c"))
       .withColumn("__w", lit(1.0))
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       // guard: a zeroed axis (target 0 → mass 0 next sweep) must stay a
       // fixed point at w = 0, not divide 0/0 into NaN
       val rsum = cur.groupBy("__r").agg(sum(col("__n") * col("__w")).as("__rs"))
@@ -68,7 +68,13 @@ object Raking {
           when(col("__cs") > 0, col("__w") * col("__tc") / col("__cs"))
             .otherwise(lit(0.0)))
         .drop("__cs")
-      cur = Bridge.freshLeaf(swept.localCheckpoint())
+      // checkpoint every SECOND sweep (and the last): a sweep adds two
+      // joins + two aggregates to the lineage, shallow enough to stack
+      // once — halves the materialization count without letting Catalyst
+      // see an unbounded plan
+      cur =
+        if (it % 2 == 0 || it == iters) Bridge.freshLeaf(swept.localCheckpoint())
+        else swept
     }
     cur.select(
       col("__r").as(rCol),
