@@ -288,6 +288,39 @@ object Causal {
       .select(col("id").as("t_id"), col("c_id"), col("y").as("y_t"), col("y_c"), col("dist"))
   }
 
+  /** Quantile treatment effects — the distributional readout the mean
+    * ATE hides: QTE(τ) = Q_T(τ) − Q_C(τ) per quantile. Exact
+    * interpolating percentiles per arm (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, the q17 bridge) in ONE aggregate (null-skipping
+    * conditional columns — no per-arm scans), reshaped to one row per
+    * τ on the single aggregate row. Degenerate arms (empty) yield null
+    * quantiles. NOTE: these are distribution differences, not
+    * individual-effect quantiles — the standard caveat, documented.
+    */
+  def qte(
+      df: DataFrame,
+      yCol: String,
+      treatCol: String,
+      taus: Seq[Double] = Seq(0.1, 0.25, 0.5, 0.75, 0.9)): DataFrame = {
+    require(taus.nonEmpty && taus.forall(t => t > 0 && t < 1), "qte: taus in (0,1)")
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    val t = col(treatCol).cast("int")
+    val yc = col(yCol).cast("double")
+    val aggs = taus.zipWithIndex.flatMap { case (tau, i) =>
+      Seq(
+        percentile(when(t === 1, yc), lit(tau)).as(s"qt_$i"),
+        percentile(when(t === 0, yc), lit(tau)).as(s"qc_$i"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
+    taus.zipWithIndex.map { case (tau, i) =>
+      one.select(
+        lit(tau).as("tau"),
+        q6(col(s"qt_$i")).as("q_treat"),
+        q6(col(s"qc_$i")).as("q_control"),
+        q6(col(s"qt_$i") - col(s"qc_$i")).as("qte"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Covariate balance table — the love-plot data behind every IPW /
     * matching analysis: for each covariate, arm means and the
     * standardized mean difference BEFORE weighting and AFTER IPW

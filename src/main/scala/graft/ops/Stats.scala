@@ -734,6 +734,27 @@ object Stats {
             varT)).as("chi2"))
   }
 
+  /** Row-level winsorize transform — clamp a value to its group's
+    * [pLo, pHi] exact interpolating percentiles (the ROW-preserving
+    * sibling of [[winsorizedMean]], which reduces). One per-group
+    * percentile aggregate (group-cardinality frame) broadcast-joined
+    * back; the clamp is row-local. Adds `<valueCol>_w`.
+    */
+  def winsorize(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      pLo: Double = 0.05,
+      pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, "winsorize: need 0 <= pLo < pHi <= 1")
+    val y = col(valueCol).cast("double")
+    val cuts = df.groupBy(groupCols.map(col): _*)
+      .agg(percentile(y, lit(pLo)).as("__lo"), percentile(y, lit(pHi)).as("__hi"))
+    df.join(broadcast(cuts), groupCols)
+      .withColumn(s"${valueCol}_w", least(greatest(y, col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
   /** Indirect standardization — the epidemiology SIR/SMR: per group,
     * expected events = Σ_strata n_{g,s} · rate_ref(s) with the
     * reference rates taken from the WHOLE frame's strata, and

@@ -8265,6 +8265,132 @@ object PipelineQueries {
     )
   )
 
+  // ---- T101: out-of-fold target encoding (FULL oracle — shared md5-60
+  // fold hash, (cat×fold) cells, leave-fold-out means, global-OOF
+  // fallback flagged) ---------------------------------------------------
+  val q289 = Q(
+    "q289_target_encode",
+    (s, dir) =>
+      graft.ops.Encode.targetOof(
+        Tables.events(s, dir), "event_id", "event_type", "value",
+        folds = 5, salt = "graft9")
+        .select("event_id", "event_type", "fold", "te", "te_fallback")
+        .orderBy("event_id"),
+    Some {
+      val h = graft.functions.SharedHash.md5Long60Sql("'graft9:' || event_id::VARCHAR")
+      s"""WITH b AS (SELECT event_id AS id, event_type AS c, value::DOUBLE AS y,
+         |    ($h % 5)::INT AS fold FROM events),
+         |cells AS (SELECT c, fold, count(*)::BIGINT AS nf, sum(y) AS sf
+         |  FROM b GROUP BY 1, 2),
+         |pc AS (SELECT c, sum(nf)::BIGINT AS nc, sum(sf) AS sc FROM cells GROUP BY 1),
+         |pf AS (SELECT fold, sum(nf)::BIGINT AS nfg, sum(sf) AS sfg FROM cells GROUP BY 1),
+         |tt AS (SELECT sum(nf)::BIGINT AS nt, sum(sf) AS st FROM cells),
+         |oof AS (SELECT cells.c, cells.fold,
+         |    CASE WHEN nc > nf THEN (sc - sf)/(nc - nf)::DOUBLE END AS tec,
+         |    CASE WHEN nt > nfg THEN (st - sfg)/(nt - nfg)::DOUBLE END AS teg
+         |  FROM cells JOIN pc USING (c) JOIN pf USING (fold) CROSS JOIN tt)
+         |SELECT b.id AS event_id, b.c AS event_type, b.fold,
+         |  floor(coalesce(tec, teg)*1e6+0.5)/1e6 AS te,
+         |  tec IS NULL AS te_fallback
+         |FROM b JOIN oof ON b.c = oof.c AND b.fold = oof.fold
+         |ORDER BY event_id""".stripMargin
+    }
+  )
+
+  // ---- C96: quantile treatment effects (FULL oracle — the q17
+  // percentile ≡ quantile_cont bridge, one aggregate, per-τ reshape) ---
+  val q290 = Q(
+    "q290_qte",
+    (s, dir) => {
+      val df = Tables.orders(s, dir).select(
+        (col("o_totalprice") / lit(1000.0)).as("y"),
+        (col("o_orderpriority") === "1-URGENT").cast("int").as("t"))
+      graft.ml.Causal.qte(df, "y", "t").orderBy("tau")
+    },
+    Some {
+      val taus = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+      val base =
+        """WITH b AS (SELECT CASE WHEN o_orderpriority='1-URGENT' THEN 1 ELSE 0 END AS t,
+          |    o_totalprice/1000.0 AS y FROM orders),
+          |q AS (SELECT """.stripMargin +
+          taus.zipWithIndex.map { case (tau, i) =>
+            s"""quantile_cont(CASE WHEN t=1 THEN y END, $tau) AS qt_$i,
+               |    quantile_cont(CASE WHEN t=0 THEN y END, $tau) AS qc_$i""".stripMargin
+          }.mkString(",\n    ") + "\n  FROM b)\n"
+      val rows = taus.zipWithIndex.map { case (tau, i) =>
+        s"""SELECT $tau::DOUBLE AS tau,
+           |  floor(qt_$i*1e6+0.5)/1e6 AS q_treat,
+           |  floor(qc_$i*1e6+0.5)/1e6 AS q_control,
+           |  floor((qt_$i - qc_$i)*1e6+0.5)/1e6 AS qte FROM q""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      base + rows + "\nORDER BY tau"
+    }
+  )
+
+  // ---- T102: row-level winsorize (FULL oracle — exact group
+  // percentiles broadcast back, row-local clamp, raw values) -----------
+  val q291 = Q(
+    "q291_winsorize",
+    (s, dir) =>
+      graft.ops.Stats.winsorize(
+        Tables.events(s, dir).select("event_id", "event_type", "value"),
+        "value", Seq("event_type"))
+        .orderBy("event_id"),
+    Some(
+      """WITH c AS (SELECT event_type, quantile_cont("value", 0.05) AS lo,
+        |    quantile_cont("value", 0.95) AS hi FROM events GROUP BY 1)
+        |SELECT event_id, events.event_type, "value",
+        |  least(greatest("value", lo), hi) AS value_w
+        |FROM events JOIN c USING (event_type) ORDER BY event_id""".stripMargin
+    )
+  )
+
+  // ---- T103: Kneser–Ney bigram perplexity (FULL oracle — continuation
+  // counts are two more groupBys over the bigram TYPE frame; the whole
+  // train+score replays like q72) --------------------------------------
+  val q292 = Q(
+    "q292_kn_ppl",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val model = graft.text.NgramLm.trainKN(docs, "text", "doc_id")
+      val out = graft.text.NgramLm.scoreKN(docs, "text", "doc_id", model)
+        .orderBy(col("doc_id"))
+      out
+    },
+    Some(
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS token,
+        |    unnest(generate_series(0, len(string_split(text, ' ')) - 1)) AS pos,
+        |    string_split(text, ' ') AS l
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, token, pos,
+        |         CASE WHEN pos >= 1 THEN l[pos] END AS prev FROM toks),
+        |bi AS (SELECT prev, token, count(*)::BIGINT AS c2 FROM t2
+        |       WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |ctx AS (SELECT prev, sum(c2)::BIGINT AS ctot, count(*)::BIGINT AS n1f
+        |        FROM bi GROUP BY 1),
+        |cont AS (SELECT token, count(*)::BIGINT AS nprec FROM bi GROUP BY 1),
+        |tot AS (SELECT count(*)::DOUBLE AS nbt FROM bi),
+        |s AS (SELECT t2.doc_id,
+        |    CASE WHEN t2.pos = 0 OR cx.ctot IS NULL
+        |      THEN coalesce(cn.nprec::DOUBLE / tot.nbt, 0.0)
+        |      ELSE greatest(coalesce(b.c2::DOUBLE, 0.0) - 0.75, 0.0) / cx.ctot::DOUBLE
+        |         + 0.75 * cx.n1f::DOUBLE / cx.ctot::DOUBLE *
+        |           coalesce(cn.nprec::DOUBLE / tot.nbt, 0.0)
+        |    END AS p
+        |  FROM t2
+        |  LEFT JOIN bi b ON b.prev = t2.prev AND b.token = t2.token
+        |  LEFT JOIN ctx cx ON cx.prev = t2.prev
+        |  LEFT JOIN cont cn ON cn.token = t2.token
+        |  CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(avg(ln(greatest(p, 1e-10))), 4) AS avg_logprob,
+        |  round(exp(-avg(ln(greatest(p, 1e-10)))), 2) AS ppl
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
@@ -8272,5 +8398,6 @@ object PipelineQueries {
       q86, q87, q88, q89, q92, q93, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
       q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276,
-      q277, q278, q279, q280, q281, q282, q283, q284, q285, q286, q287, q288)
+      q277, q278, q279, q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290,
+      q291, q292)
 }

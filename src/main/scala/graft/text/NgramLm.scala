@@ -103,6 +103,77 @@ object NgramLm {
         round(exp(-avg(col("__logp"))), 2).as("ppl"))
   }
 
+  /** Interpolated Kneser–Ney bigram model (fixed discount): the
+    * continuation-count upgrade of the stupid-backoff [[Model]] —
+    * P(w|v) = max(c(vw)−d, 0)/c(v·) + d·N₁₊(v·)/c(v·)·P_cont(w) with
+    * P_cont(w) = N₁₊(·w)/N₁₊(··). Brants' objection to KN at scale is
+    * the GLOBAL continuation counts; distributed they are just two
+    * more groupBys over the bigram frame (type counts, not token
+    * counts), so the whole trainer stays column algebra and the oracle
+    * replays it. Frames are vocabulary/bigram-type-sized, never
+    * collected.
+    */
+  final case class KnModel(
+      bi: DataFrame,      // (prev, token, c2)
+      ctx: DataFrame,     // (prev, ctot = c(v·), n1fwd = N₁₊(v·))
+      cont: DataFrame,    // (token, nprec = N₁₊(·w))
+      totalsDf: DataFrame, // 1 row: nbt = N₁₊(··)
+      discount: Double) {
+    def release(): Unit = bi.unpersist(false)
+  }
+
+  def trainKN(df: DataFrame, textCol: String, idCol: String,
+      discount: Double = 0.75): KnModel = {
+    require(discount > 0 && discount < 1, "KN discount in (0,1)")
+    val toks = tokenStream(df, textCol, idCol)
+    val bi = toks
+      .where(col("prev").isNotNull)
+      .groupBy(col("prev"), col("token"))
+      .agg(count(lit(1)).as("c2"))
+      .persist() // three derived frames below re-read it
+    val ctx = bi.groupBy("prev")
+      .agg(sum("c2").as("ctot"), count(lit(1)).as("n1fwd"))
+    val cont = bi.groupBy("token").agg(count(lit(1)).as("nprec"))
+    val totals = bi.agg(count(lit(1)).cast("double").as("nbt"))
+    KnModel(bi, ctx, cont, totals, discount)
+  }
+
+  /** Per-document KN perplexity, the [[score]] shape: (idCol, n_tokens,
+    * avg_logprob 4dp, ppl 2dp). Position 0 and unseen contexts score
+    * as P_cont(w); tokens with no continuation mass floor at `pFloor`
+    * (only reachable scoring off-model corpora).
+    */
+  def scoreKN(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      model: KnModel,
+      pFloor: Double = 1e-10): DataFrame = {
+    val d = model.discount
+    val toks = tokenStream(df, textCol, idCol)
+    val joined = toks
+      .join(model.bi.select(col("prev"), col("token"), col("c2").as("__c2")),
+        Seq("prev", "token"), "left")
+      .join(model.ctx.select(col("prev"), col("ctot").as("__ctot"),
+        col("n1fwd").as("__n1f")), Seq("prev"), "left")
+      .join(model.cont.select(col("token"), col("nprec").as("__nprec")),
+        Seq("token"), "left")
+      .crossJoin(broadcast(model.totalsDf))
+    val pcont = coalesce(col("__nprec").cast("double") / col("nbt"), lit(0.0))
+    val pSeen =
+      greatest(coalesce(col("__c2").cast("double"), lit(0.0)) - lit(d), lit(0.0)) /
+        col("__ctot").cast("double") +
+        lit(d) * col("__n1f").cast("double") / col("__ctot").cast("double") * pcont
+    val p = when(col("pos") === 0 || col("__ctot").isNull, pcont).otherwise(pSeen)
+    joined
+      .withColumn("__logp", log(greatest(p, lit(pFloor))))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(col("__logp")), 4).as("avg_logprob"),
+        round(exp(-avg(col("__logp"))), 2).as("ppl"))
+  }
+
   /** Persist a trained model — train the LM on the 100 TB corpus once,
     * score/filter/DSIR from any session. The count frames are
     * VOCABULARY-sized, not driver-bounded, so they are written as

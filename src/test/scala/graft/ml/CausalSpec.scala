@@ -198,4 +198,23 @@ class CausalSpec extends SparkSpec {
     assert(raw > 0.3, s"planted imbalance should be visible, raw=$raw")
     assert(w < raw / 3, s"IPW must shrink the gap: raw=$raw weighted=$w")
   }
+
+  test("qte: constant shift moves every quantile by the shift; spread shows in the tails") {
+    import org.apache.spark.sql.functions._
+    val control = (1 to 99).map(i => (i.toDouble, 0))
+    val shifted = (1 to 99).map(i => (i.toDouble + 10.0, 1))
+    val df = (control ++ shifted).toDF("y", "t")
+    val got = Causal.qte(df, "y", "t").orderBy("tau").collect()
+    assert(got.length === 5)
+    got.foreach(r => assert(math.abs(r.getAs[Double]("qte") - 10.0) < 1e-9))
+    // median of 1..99 is exactly 50
+    val med = got.find(_.getAs[Double]("tau") == 0.5).get
+    assert(med.getAs[Double]("q_control") === 50.0)
+    // variance treatment: doubled spread widens high quantiles, shrinks low
+    val wide = (1 to 99).map(i => (50.0 + 2.0 * (i - 50.0), 1))
+    val g2 = Causal.qte((control ++ wide).toDF("y", "t"), "y", "t")
+      .orderBy("tau").collect()
+    assert(g2.head.getAs[Double]("qte") < 0) // tau=.1
+    assert(g2.last.getAs[Double]("qte") > 0) // tau=.9
+  }
 }

@@ -344,4 +344,18 @@ class Stats2Spec extends SparkSpec {
     assert(h("A").getAs[Double]("sir") > 1.0 && h("B").getAs[Double]("sir") < 1.0)
     assert(h("A").getAs[Long]("observed") === 30L)
   }
+
+  test("winsorize: interior values untouched, tails clamp to the exact percentile; groups isolated") {
+    val g1 = (1 to 100).map(i => (i.toLong, "a", i.toDouble))
+    val g2 = (1 to 10).map(i => (100L + i, "b", 1000.0 * i))
+    val got = Stats.winsorize((g1 ++ g2).toDF("id", "g", "v"), "v", Seq("g"),
+      pLo = 0.05, pHi = 0.95)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("v_w")).toMap
+    // group a: percentiles of 1..100 at .05/.95 = 5.95 and 95.05 (interpolated)
+    assert(got(1L) === 5.95 && got(100L) === 95.05)
+    assert(got(50L) === 50.0) // interior untouched
+    // group b independent: its own scale
+    assert(got(105L) === 5000.0)
+    assert(got(101L) > 1000.0 && got(110L) < 10000.0)
+  }
 }

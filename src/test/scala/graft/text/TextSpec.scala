@@ -757,4 +757,43 @@ class TextSpec extends SparkSpec {
     assert(rs.getAs[Double]("chao1") === rs.getAs[Long]("s_obs").toDouble)
     assert(rs.getAs[Double]("coverage") === 1.0)
   }
+
+  test("NgramLm KN: hand bigram probabilities; KN separates contexts stupid-backoff can't") {
+    import spark.implicits._
+    // classic KN example: 'francisco' only ever follows 'san', so its
+    // CONTINUATION probability is low even though its raw count is high
+    val docs = Seq(
+      (1L, "san francisco"), (2L, "san francisco"), (3L, "san francisco"),
+      (4L, "new york"), (5L, "old york"), (6L, "big york")
+    ).toDF("doc_id", "text")
+    val m = NgramLm.trainKN(docs, "text", "doc_id", discount = 0.75)
+    // bigram type counts: (san,francisco),(new,york),(old,york),(big,york) -> nbt = 4
+    assert(m.totalsDf.head().getDouble(0) === 4.0)
+    val cont = m.cont.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cont("francisco") === 1L && cont("york") === 3L)
+    // score a doc: p(francisco | san) = (3-.75)/3 + .75*(1/3)*(1/4) = 0.8125
+    val s = NgramLm.scoreKN(Seq((9L, "san francisco")).toDF("doc_id", "text"),
+      "text", "doc_id", m).head()
+    // pos0: p(san) = pcont(san) = 0 -> floored at 1e-10;
+    // avg_logprob = (ln 1e-10 + ln .8125)/2
+    val expected = (math.log(1e-10) + math.log(0.8125)) / 2.0
+    assert(math.abs(s.getAs[Double]("avg_logprob") - expected) < 1e-3)
+    m.release()
+  }
+
+  test("NgramLm KN: unseen context backs off to continuation; york beats francisco there") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "san francisco"), (2L, "san francisco"), (3L, "san francisco"),
+      (4L, "new york"), (5L, "old york"), (6L, "big york")
+    ).toDF("doc_id", "text")
+    val m = NgramLm.trainKN(docs, "text", "doc_id")
+    // 'zzz york' vs 'zzz francisco': unseen context 'zzz' -> pcont decides
+    val out = NgramLm.scoreKN(
+      Seq((1L, "zzz york"), (2L, "zzz francisco")).toDF("doc_id", "text"),
+      "text", "doc_id", m)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("ppl")).toMap
+    assert(out(1L) < out(2L), s"york (3 contexts) must out-score francisco (1): $out")
+    m.release()
+  }
 }
