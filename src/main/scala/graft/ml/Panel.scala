@@ -170,4 +170,55 @@ object Panel {
           sqrt((col("sbb") - col("sb") * col("sb") / col("np")) /
             (col("np") - 1) / col("np"))).as("t_stat"))
   }
+
+  /** Interrupted time series — segmented regression around a KNOWN
+    * breakpoint: independent simple fits on the pre/post segments fold
+    * from one regime-keyed 6-moment aggregate (the [[Diagnostics.chow]]
+    * machinery pointed at EFFECT SIZES instead of the F test), and the
+    * policy readout is the slope change plus the LEVEL change of the
+    * two fitted lines evaluated AT the breakpoint. Degenerate segments
+    * (n ≤ 2 or zero time-variance) null the fit columns. One row:
+    * n_pre, n_post, slope_pre, slope_post, slope_change, level_pre,
+    * level_post, level_change (6dp; levels at t = breakpoint).
+    */
+  def interruptedTs(
+      df: DataFrame,
+      tCol: String,
+      yCol: String,
+      breakpoint: Double): DataFrame = {
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    val base = df.select(
+      (col(tCol).cast("double") >= breakpoint).cast("int").as("g"),
+      col(tCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+    // one conditional aggregate (not a crossJoin of per-segment filters:
+    // an EMPTY segment must still yield the single output row, with its
+    // fit columns null)
+    def segAggs(gv: Int, pfx: String): Seq[Column] = Seq(
+      sum(when(col("g") === gv, 1).otherwise(0)).as(s"n_$pfx"),
+      sum(when(col("g") === gv, col("x"))).as(s"sx_$pfx"),
+      sum(when(col("g") === gv, col("y"))).as(s"sy_$pfx"),
+      sum(when(col("g") === gv, col("x") * col("x"))).as(s"sxx_$pfx"),
+      sum(when(col("g") === gv, col("x") * col("y"))).as(s"sxy_$pfx"))
+    val aggs = segAggs(0, "a") ++ segAggs(1, "b")
+    val one = base.agg(aggs.head, aggs.tail: _*)
+    def fit(pfx: String) = {
+      val n = col(s"n_$pfx").cast("double")
+      val cxx = col(s"sxx_$pfx") - col(s"sx_$pfx") * col(s"sx_$pfx") / n
+      val ok = col(s"n_$pfx") > 2 && cxx > 0
+      val slope = (col(s"sxy_$pfx") - col(s"sx_$pfx") * col(s"sy_$pfx") / n) / cxx
+      val icept = (col(s"sy_$pfx") - slope * col(s"sx_$pfx")) / n
+      (ok, slope, icept + slope * lit(breakpoint))
+    }
+    val (okA, slA, lvA) = fit("a")
+    val (okB, slB, lvB) = fit("b")
+    one.select(
+      col("n_a").cast("long").as("n_pre"),
+      col("n_b").cast("long").as("n_post"),
+      when(okA, q6(slA)).as("slope_pre"),
+      when(okB, q6(slB)).as("slope_post"),
+      when(okA && okB, q6(slB - slA)).as("slope_change"),
+      when(okA, q6(lvA)).as("level_pre"),
+      when(okB, q6(lvB)).as("level_post"),
+      when(okA && okB, q6(lvB - lvA)).as("level_change"))
+  }
 }

@@ -156,4 +156,54 @@ object Forecast {
       when(ok, q6(f2)).as("f2"),
       when(ok, q6(f3)).as("f3"))
   }
+
+  /** Per-key forecast scorecard against a prediction column: MAE,
+    * RMSE, MAPE (zero-actual rows EXCLUDED and counted — the honest
+    * MAPE convention), sMAPE (zero-denominator rows likewise), and
+    * MASE scaled by the in-sample naive |Δy| (one keyed lag — rows
+    * with no lag don't enter the scale). Rows with null predictions
+    * are excluded and counted (`n_unscored`). One keyed window + one
+    * keyed aggregate; every ratio a closed form. MASE null when the
+    * naive scale is 0 (constant series).
+    */
+  def accuracy(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      tieCol: String,
+      actualCol: String,
+      predCol: String): DataFrame = {
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    val w = Window.partitionBy("k").orderBy(col("t"), col("tb"))
+    val base = df.select(
+      col(keyCol).as("k"), col(timeCol).as("t"), col(tieCol).as("tb"),
+      col(actualCol).cast("double").as("y"), col(predCol).cast("double").as("p"))
+      .withColumn("y1", lag("y", 1).over(w))
+    val scored = col("p").isNotNull
+    val e = col("y") - col("p")
+    val m = base.groupBy("k").agg(
+      count(lit(1)).as("n"),
+      sum(when(scored, 1).otherwise(0)).as("ns"),
+      sum(when(scored, abs(e))).as("sae"),
+      sum(when(scored, e * e)).as("sse"),
+      sum(when(scored && col("y") =!= 0.0, abs(e) / abs(col("y")))).as("sape"),
+      sum(when(scored && col("y") =!= 0.0, 1).otherwise(0)).as("nape"),
+      sum(when(scored && abs(col("y")) + abs(col("p")) > 0.0,
+        abs(e) / ((abs(col("y")) + abs(col("p"))) / lit(2.0)))).as("ssm"),
+      sum(when(scored && abs(col("y")) + abs(col("p")) > 0.0, 1).otherwise(0)).as("nsm"),
+      sum(when(col("y1").isNotNull, abs(col("y") - col("y1")))).as("snaive"),
+      sum(when(col("y1").isNotNull, 1).otherwise(0)).as("nnaive"))
+    m.select(
+      col("k").as(keyCol),
+      col("n").cast("long").as("n"),
+      col("ns").cast("long").as("n_scored"),
+      (col("n") - col("ns")).cast("long").as("n_unscored"),
+      when(col("ns") > 0, q6(col("sae") / col("ns").cast("double"))).as("mae"),
+      when(col("ns") > 0, q6(sqrt(col("sse") / col("ns").cast("double")))).as("rmse"),
+      when(col("nape") > 0, q6(col("sape") / col("nape").cast("double"))).as("mape"),
+      when(col("nsm") > 0, q6(col("ssm") / col("nsm").cast("double"))).as("smape"),
+      when(col("ns") > 0 && col("nnaive") > 0 && col("snaive") > 0,
+        q6((col("sae") / col("ns").cast("double")) /
+          (col("snaive") / col("nnaive").cast("double")))).as("mase"))
+  }
 }

@@ -8391,6 +8391,103 @@ object PipelineQueries {
     )
   )
 
+  // ---- C97: interrupted time series (FULL oracle — per-segment
+  // 5-moment fits from ONE conditional aggregate, slope + level change
+  // at the breakpoint; kilodollar scale keeps 6dp margins wide) --------
+  val q293 = Q(
+    "q293_its",
+    (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(floor(unix_timestamp(col("o_orderdate")) / 86400).as("d"))
+        .agg((sum("o_totalprice") / count(lit(1)) / lit(1000.0)).as("y"))
+      graft.ml.Panel.interruptedTs(daily, "d", "y", breakpoint = 9300.0)
+    },
+    Some(
+      """WITH daily AS (SELECT floor(epoch(o_orderdate)/86400) AS d,
+        |    sum(o_totalprice)/count(*)/1000.0 AS y FROM orders GROUP BY 1),
+        |b AS (SELECT CASE WHEN d::DOUBLE >= 9300.0 THEN 1 ELSE 0 END AS g,
+        |    d::DOUBLE AS x, y FROM daily),
+        |a AS (SELECT
+        |    sum(CASE WHEN g=0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN g=0 THEN x END) AS sx_a, sum(CASE WHEN g=0 THEN y END) AS sy_a,
+        |    sum(CASE WHEN g=0 THEN x*x END) AS sxx_a,
+        |    sum(CASE WHEN g=0 THEN x*y END) AS sxy_a,
+        |    sum(CASE WHEN g=1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |    sum(CASE WHEN g=1 THEN x END) AS sx_b, sum(CASE WHEN g=1 THEN y END) AS sy_b,
+        |    sum(CASE WHEN g=1 THEN x*x END) AS sxx_b,
+        |    sum(CASE WHEN g=1 THEN x*y END) AS sxy_b
+        |  FROM b),
+        |f AS (SELECT n_a, n_b,
+        |    CASE WHEN n_a > 2 AND sxx_a - sx_a*sx_a/n_a::DOUBLE > 0
+        |      THEN (sxy_a - sx_a*sy_a/n_a::DOUBLE)/(sxx_a - sx_a*sx_a/n_a::DOUBLE)
+        |    END AS sl_a,
+        |    CASE WHEN n_b > 2 AND sxx_b - sx_b*sx_b/n_b::DOUBLE > 0
+        |      THEN (sxy_b - sx_b*sy_b/n_b::DOUBLE)/(sxx_b - sx_b*sx_b/n_b::DOUBLE)
+        |    END AS sl_b, sx_a, sy_a, sx_b, sy_b FROM a),
+        |g2 AS (SELECT n_a, n_b, sl_a, sl_b,
+        |    (sy_a - sl_a*sx_a)/n_a::DOUBLE + sl_a*9300.0 AS lv_a,
+        |    (sy_b - sl_b*sx_b)/n_b::DOUBLE + sl_b*9300.0 AS lv_b FROM f)
+        |SELECT n_a AS n_pre, n_b AS n_post,
+        |  floor(sl_a*1e6+0.5)/1e6 AS slope_pre,
+        |  floor(sl_b*1e6+0.5)/1e6 AS slope_post,
+        |  CASE WHEN sl_a IS NOT NULL AND sl_b IS NOT NULL
+        |    THEN floor((sl_b - sl_a)*1e6+0.5)/1e6 END AS slope_change,
+        |  floor(lv_a*1e6+0.5)/1e6 AS level_pre,
+        |  floor(lv_b*1e6+0.5)/1e6 AS level_post,
+        |  CASE WHEN sl_a IS NOT NULL AND sl_b IS NOT NULL
+        |    THEN floor((lv_b - lv_a)*1e6+0.5)/1e6 END AS level_change
+        |FROM g2""".stripMargin
+    )
+  )
+
+  // ---- T104: forecast accuracy scorecard (FULL oracle — naive-3
+  // rolling-mean prediction built in-frame (sum/count windows, never
+  // windowed avg — §8h bit-parity note), then one keyed aggregate of
+  // closed-form MAE/RMSE/MAPE/sMAPE/MASE) ------------------------------
+  val q294 = Q(
+    "q294_forecast_acc",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-3, -1)
+      val df = Tables.events(s, dir)
+        .withColumn("pred", sum("value").over(w) / count("value").over(w))
+      graft.ops.Forecast.accuracy(df, "user_id", "ts", "event_id", "value", "pred")
+        .orderBy("user_id")
+    },
+    Some(
+      """WITH b AS (SELECT user_id AS k, ts, event_id AS tb, value::DOUBLE AS y,
+        |    sum(value) OVER w / count(value) OVER w AS p
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)),
+        |l AS (SELECT k, y, p,
+        |    lag(y) OVER (PARTITION BY k ORDER BY ts, tb) AS y1 FROM b),
+        |m AS (SELECT k, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS ns,
+        |    sum(CASE WHEN p IS NOT NULL THEN abs(y - p) END) AS sae,
+        |    sum(CASE WHEN p IS NOT NULL THEN (y - p)*(y - p) END) AS sse,
+        |    sum(CASE WHEN p IS NOT NULL AND y <> 0.0 THEN abs(y - p)/abs(y) END) AS sape,
+        |    sum(CASE WHEN p IS NOT NULL AND y <> 0.0 THEN 1 ELSE 0 END)::BIGINT AS nape,
+        |    sum(CASE WHEN p IS NOT NULL AND abs(y) + abs(p) > 0.0
+        |        THEN abs(y - p)/((abs(y) + abs(p))/2.0) END) AS ssm,
+        |    sum(CASE WHEN p IS NOT NULL AND abs(y) + abs(p) > 0.0
+        |        THEN 1 ELSE 0 END)::BIGINT AS nsm,
+        |    sum(CASE WHEN y1 IS NOT NULL THEN abs(y - y1) END) AS snaive,
+        |    sum(CASE WHEN y1 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS nnaive
+        |  FROM l GROUP BY 1)
+        |SELECT k AS user_id, n, ns AS n_scored, (n - ns)::BIGINT AS n_unscored,
+        |  CASE WHEN ns > 0 THEN floor(sae/ns::DOUBLE*1e6+0.5)/1e6 END AS mae,
+        |  CASE WHEN ns > 0 THEN floor(sqrt(sse/ns::DOUBLE)*1e6+0.5)/1e6 END AS rmse,
+        |  CASE WHEN nape > 0 THEN floor(sape/nape::DOUBLE*1e6+0.5)/1e6 END AS mape,
+        |  CASE WHEN nsm > 0 THEN floor(ssm/nsm::DOUBLE*1e6+0.5)/1e6 END AS smape,
+        |  CASE WHEN ns > 0 AND nnaive > 0 AND snaive > 0
+        |    THEN floor((sae/ns::DOUBLE)/(snaive/nnaive::DOUBLE)*1e6+0.5)/1e6
+        |  END AS mase
+        |FROM m ORDER BY user_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
@@ -8399,5 +8496,5 @@ object PipelineQueries {
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
       q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276,
       q277, q278, q279, q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290,
-      q291, q292)
+      q291, q292, q293, q294)
 }

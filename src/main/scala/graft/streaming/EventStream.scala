@@ -426,4 +426,65 @@ object EventStream {
       }
       .toDF(keyCol, tieCol, valueCol, "ph_up", "ph_dn", "alarm")
   }
+
+  /** Streaming last-touch attribution (S35) — the live form of
+    * [[graft.ops.Attribution.credit]]'s last-touch model: state is ONE
+    * (channel, ts-micros, touch-id) triple per user (the latest touch
+    * seen), each micro-batch folds its rows in (ts, tie) order, and
+    * every conversion emits the channel of the newest touch at-or-
+    * before it within `lookbackSec` (same-instant touch counts, the
+    * batch tie convention: latest ts wins, ties by HIGHEST touch id —
+    * matching the batch `rd` ordering). Conversions with no touch in
+    * the window emit a null channel (counted, not dropped). Same
+    * per-key in-order-arrival contract as [[ewmaStream]]; within a
+    * batch the fold sorts.
+    */
+  def lastTouchStream(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      typeCol: String,
+      conversionType: String,
+      touchTypes: Seq[String],
+      lookbackSec: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val spark = events.sparkSession
+    import spark.implicits._
+    val touchSet = touchTypes.toSet
+    val lookbackUs = lookbackSec * 1000000L
+    events
+      .select(
+        col(userCol).cast("long"),
+        col(tsCol).cast("timestamp"),
+        col(idCol).cast("long"),
+        col(typeCol).cast("string"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(String, Long, Long),
+        (Long, Long, Long, Option[String], Option[Long])](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (user, rows, state) =>
+        def micros(t: java.sql.Timestamp): Long =
+          (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+        var last = state.getOption // (channel, tsUs, touchId)
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Option[String], Option[Long])]
+        rows.toArray.sortBy(e => (micros(e._2), e._3)).foreach {
+          case (_, t, id, tpe) =>
+            val us = micros(t)
+            if (touchSet(tpe)) {
+              // latest ts wins; same-instant ties to the HIGHER id (batch rd order)
+              if (last.forall(s => us > s._2 || (us == s._2 && id > s._3)))
+                last = Some((tpe, us, id))
+            } else if (tpe == conversionType) {
+              val hit = last.filter(s => us - s._2 >= 0L && us - s._2 <= lookbackUs)
+              out += ((user, id, us, hit.map(_._1), hit.map(_._3)))
+            }
+        }
+        last.foreach(state.update)
+        out.iterator
+      }
+      .toDF(userCol, "conv_id", "conv_ts_us", "channel", "touch_id")
+  }
 }

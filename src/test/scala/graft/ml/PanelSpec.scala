@@ -237,4 +237,27 @@ class PanelSpec extends SparkSpec {
     assert(math.abs(byRel(1) - 1.5) < 1e-6)
     Seq(2, 3).foreach(r => assert(math.abs(byRel(r) - 2.0) < 1e-6))
   }
+
+  test("interruptedTs: planted slope+level break recovered exactly; empty segment nulls") {
+    import spark.implicits._
+    // pre (t<50): y = 10 + .5 t ; post: y = 40 - .2 t
+    // at bp=50: level_pre = 35, level_post = 30 -> level_change = -5
+    val rows = (0 until 100).map { t =>
+      val y = if (t < 50) 10.0 + 0.5 * t else 40.0 - 0.2 * t
+      (t.toDouble, y)
+    }
+    val r = Panel.interruptedTs(rows.toDF("t", "y"), "t", "y", breakpoint = 50.0).head()
+    assert(r.getAs[Long]("n_pre") === 50L && r.getAs[Long]("n_post") === 50L)
+    assert(math.abs(r.getAs[Double]("slope_pre") - 0.5) < 1e-9)
+    assert(math.abs(r.getAs[Double]("slope_post") + 0.2) < 1e-9)
+    assert(math.abs(r.getAs[Double]("slope_change") + 0.7) < 1e-9)
+    assert(math.abs(r.getAs[Double]("level_pre") - 35.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("level_post") - 30.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("level_change") + 5.0) < 1e-9)
+    // breakpoint beyond the data: post segment empty, still ONE row, nulls
+    val e = Panel.interruptedTs(rows.toDF("t", "y"), "t", "y", breakpoint = 1000.0).head()
+    assert(e.getAs[Long]("n_post") === 0L)
+    assert(e.isNullAt(e.fieldIndex("slope_post")) && e.isNullAt(e.fieldIndex("level_change")))
+    assert(!e.isNullAt(e.fieldIndex("slope_pre")))
+  }
 }

@@ -159,4 +159,26 @@ class TimeseriesSpec extends SparkSpec {
     assert(got("flat").isNullAt(got("flat").fieldIndex("phi"))) // zero lag variance
     assert(got("flat").getAs[Double]("y_last") === 7.0)
   }
+
+  test("Forecast.accuracy: hand scorecard; naive prediction gives MASE exactly 1") {
+    import spark.implicits._
+    // key a: y = 1..5, pred = y - 1 (constant error 1)
+    val a = (1 to 5).map(i => ("a", i, i.toDouble, Some(i - 1.0)))
+    // key naive: pred = lag(y) exactly -> MASE = 1 by construction
+    val yv = Seq(3.0, 7.0, 2.0, 9.0, 5.0)
+    val nv = yv.zipWithIndex.map { case (v, i) =>
+      ("nv", i + 1, v, if (i == 0) None else Some(yv(i - 1)))
+    }
+    val got = graft.ops.Forecast
+      .accuracy((a ++ nv).toDF("k", "t", "y", "p"), "k", "t", "t", "y", "p")
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    val ra = got("a")
+    assert(ra.getAs[Long]("n_scored") === 5L && ra.getAs[Long]("n_unscored") === 0L)
+    assert(ra.getAs[Double]("mae") === 1.0 && ra.getAs[Double]("rmse") === 1.0)
+    // mape = mean(1/1..1/5)? no: |e|/y = 1/y -> (1+1/2+1/3+1/4+1/5)/5 = 137/300
+    assert(math.abs(ra.getAs[Double]("mape") - 137.0 / 300.0) < 1e-6)
+    val rn = got("nv")
+    assert(rn.getAs[Long]("n_unscored") === 1L) // the first row has no pred
+    assert(rn.getAs[Double]("mase") === 1.0)
+  }
 }

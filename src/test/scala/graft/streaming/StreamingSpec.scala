@@ -1077,4 +1077,38 @@ class StreamingSpec extends SparkSpec {
       assert(got.forall { case ((k, _), (_, _, al)) => k != 2L || al == 0L })
     } finally q.stop()
   }
+
+  test("streaming last-touch attribution: state carries across micro-batches; lookback filters") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(sec: Int) = new java.sql.Timestamp(base.getTime + sec * 1000L)
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // user 1: click@1, view@3, CONV@4 -> view; click@5, CONV@6 -> click;
+    //         touch@10, CONV@200 (lookback 100) -> null channel
+    val rows = Seq(
+      (1L, ts(1), 1L, "click"), (1L, ts(3), 2L, "view"), (1L, ts(4), 10L, "purchase"),
+      (1L, ts(5), 3L, "click"), (1L, ts(6), 11L, "purchase"),
+      (1L, ts(10), 4L, "view"), (1L, ts(200), 12L, "purchase"),
+      // user 2: conversion with NO prior touch at all
+      (2L, ts(2), 20L, "purchase"))
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val out = EventStream.lastTouchStream(
+      ms.toDF.toDF("u", "ts", "id", "et"), "u", "ts", "id", "et",
+      conversionType = "purchase", touchTypes = Seq("click", "view"), lookbackSec = 100L)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("lt_s").start()
+    try {
+      ms.addData(rows.take(3): _*); q.processAllAvailable()
+      ms.addData(rows.slice(3, 6): _*); q.processAllAvailable() // state must carry
+      ms.addData(rows.drop(6): _*); q.processAllAvailable()
+      val got = spark.table("lt_s")
+        .select("conv_id", "channel").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(got.size === 4)
+      assert(got(10L) === Some("view"))
+      assert(got(11L) === Some("click")) // click@5 arrived in a LATER batch than view@3
+      assert(got(12L) === None) // view@10 outside the 100s lookback
+      assert(got(20L) === None) // no touch ever
+    } finally q.stop()
+  }
 }
