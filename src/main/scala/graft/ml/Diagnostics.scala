@@ -169,6 +169,52 @@ object Diagnostics {
       .withColumn("significant", (col("rank") <= col("k_star")).cast("int"))
   }
 
+  /** Holm step-down multiplicity adjustment (+ Bonferroni and Šidák
+    * columns) — the FWER sibling of [[bhFdr]]: adjusted
+    * p_holm(i) = min(1, max_{j≤i} (m−j+1)·p_(j)), significant iff
+    * p_holm ≤ α. The running max runs DISTRIBUTED: global rank via
+    * [[graft.ops.Rank.withGlobalRowNumberAndPid]] (range exchange, no
+    * single-partition window), per-partition prefix max, then a P-row
+    * collected summary becomes broadcast carry-ins — exact, because
+    * max has no accumulation error. Scales to hypothesis frames that
+    * are themselves corpus-sized (per-token tests). Šidák's pow is
+    * 6dp-quantized; Holm/Bonferroni are exact products.
+    */
+  def holm(
+      df: DataFrame,
+      pCol: String,
+      alpha: Double,
+      tieBreak: Seq[String]): DataFrame = {
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    val m = df.count()
+    val ranked = graft.ops.Rank
+      .withGlobalRowNumberAndPid(df, "rank", col(pCol).asc +: tieBreak.map(col(_).asc))
+      .withColumn("rank", col("rank").cast("int"))
+      .withColumn("__raw", (lit(m) - col("rank") + 1).cast("double") * col(pCol))
+      .localCheckpoint()
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy("rank")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val perPid = ranked.groupBy("__pid").agg(max("__raw").as("__pmax"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    // carry-in: max of all PRIOR partitions (raws are ≥ 0, so 0 is a
+    // neutral floor for the first partition)
+    var acc = 0.0
+    val carrySeq = perPid.map { case (pid, mx) => val c = acc; acc = math.max(acc, mx); (pid, c) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val carry = carrySeq.toSeq.toDF("__pid", "__carry")
+    ranked
+      .join(broadcast(carry), Seq("__pid"))
+      .withColumn("p_holm",
+        least(lit(1.0), greatest(max(col("__raw")).over(pw), col("__carry"))))
+      .withColumn("p_bonf", least(lit(1.0), lit(m.toDouble) * col(pCol)))
+      .withColumn("p_sidak",
+        q6(lit(1.0) - pow(lit(1.0) - col(pCol), lit(m.toDouble))))
+      .withColumn("significant", (col("p_holm") <= alpha).cast("int"))
+      .drop("__pid", "__raw", "__carry")
+  }
+
   /** Per-key autocorrelation function + Ljung–Box Q — "is this entity's
     * metric white noise?" across every user/source at once (the
     * portmanteau sibling of the single-series [[durbinWatson]]).

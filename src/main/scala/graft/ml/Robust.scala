@@ -89,4 +89,42 @@ object Robust {
       .withColumn("iters", lit(m.iters))
       .withColumn("n", lit(m.n))
   }
+
+  /** Deming regression — errors-in-BOTH-variables line fit with known
+    * error-variance ratio λ = σ²_y/σ²_x (λ = 1 ⇒ orthogonal
+    * regression): the method-comparison standard where OLS attenuates
+    * (it charges all noise to y). Closed form on centered moments:
+    * slope = (Cyy − λCxx + √((Cyy − λCxx)² + 4λC²xy)) / (2Cxy),
+    * intercept = ȳ − slope·x̄. ONE 5-moment aggregate; Cxy = 0 (no
+    * linear association — the form degenerates) or zero variances →
+    * null fit. Returns one row: n, slope, icept (6dp), plus the OLS
+    * slope for the attenuation comparison.
+    */
+  def deming(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      lambda: Double = 1.0): DataFrame = {
+    require(lambda > 0, "deming: lambda must be positive")
+    def q6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val m = df.agg(
+      count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * x).as("sxx"), sum(x * y).as("sxy"), sum(y * y).as("syy"))
+    val n = col("n").cast("double")
+    val cxx = col("sxx") - col("sx") * col("sx") / n
+    val cxy = col("sxy") - col("sx") * col("sy") / n
+    val cyy = col("syy") - col("sy") * col("sy") / n
+    val d = cyy - lit(lambda) * cxx
+    val slope = (d + sqrt(d * d + lit(4.0 * lambda) * cxy * cxy)) / (lit(2.0) * cxy)
+    val icept = col("sy") / n - slope * (col("sx") / n)
+    val ok = col("n") > 2 && cxx > 0 && cyy > 0 && abs(cxy) > 0
+    m.select(
+      col("n").cast("long").as("n"),
+      when(ok, q6(slope)).as("slope"),
+      when(ok, q6(icept)).as("icept"),
+      when(col("n") > 2 && cxx > 0, q6(cxy / cxx)).as("slope_ols"))
+  }
 }

@@ -164,6 +164,43 @@ object Agreement {
             (lit(1.0) - col("p_e")))).as("kappa"))
   }
 
+  /** Bland–Altman method agreement — paired difference d = a − b:
+    * mean bias, sample SD, limits of agreement at ±1.96·SD, and the
+    * share of pairs OUTSIDE the limits (the honest "95%" check —
+    * second pass against the broadcast one-row stats). All closed
+    * forms over one moment aggregate + one recount.
+    */
+  def blandAltman(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    val d = col(aCol).cast("double") - col(bCol).cast("double")
+    val m = df.agg(
+      count(lit(1)).as("n"), sum(d).as("sd1"), sum(d * d).as("sdd")).localCheckpoint(true)
+    val mean = col("sd1") / col("n").cast("double")
+    val varS = when(col("n") > 1,
+      (col("sdd") - col("sd1") * col("sd1") / col("n").cast("double")) /
+        (col("n") - lit(1)).cast("double"))
+    val stats = m.select(
+      col("n").cast("long").as("n"),
+      mean.as("__mean"),
+      when(varS >= 0, sqrt(varS)).as("__sd"))
+    val outCount = df
+      .crossJoin(broadcast(stats))
+      .agg(sum(when(
+        d < col("__mean") - lit(1.96) * col("__sd") ||
+          d > col("__mean") + lit(1.96) * col("__sd"), 1).otherwise(0)).as("n_outside"))
+    stats.crossJoin(broadcast(outCount))
+      .select(
+        col("n"),
+        q6(col("__mean")).as("bias"),
+        q6(col("__sd")).as("sd_diff"),
+        q6(col("__mean") - lit(1.96) * col("__sd")).as("loa_lo"),
+        q6(col("__mean") + lit(1.96) * col("__sd")).as("loa_hi"),
+        col("n_outside").cast("long").as("n_outside"),
+        when(col("n") > 0,
+          q6(col("n_outside").cast("double") / col("n").cast("double")))
+          .as("share_outside"))
+  }
+
   /** ICC(1,1) — one-way random-effects intraclass correlation for
     * unbalanced groups: how much of the value's variance is BETWEEN
     * groups. SSB/SSW fold algebraically from (n, Σx, Σx²) per group

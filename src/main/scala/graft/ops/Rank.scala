@@ -94,6 +94,23 @@ object Rank {
       .drop("__pid", "__local", "__offset")
   }
 
+  /** [[withGlobalRowNumber]] but KEEPING the `__pid` column — for
+    * callers that follow the row number with a per-partition prefix
+    * scan + broadcast carry (the distributed running-max/cumsum shape;
+    * consumer: [[graft.ml.Diagnostics.holm]]).
+    */
+  def withGlobalRowNumberAndPid(
+      df: DataFrame,
+      out: String,
+      sortCols: Seq[Column],
+      numPartitions: Int = 0): DataFrame = {
+    val (marked, counts) = partitionedBySortKey(df, sortCols, numPartitions)
+    marked
+      .join(broadcast(offsetsFrame(marked, counts)), Seq("__pid"))
+      .withColumn(out, col("__offset") + col("__local") + lit(1L))
+      .drop("__local", "__offset")
+  }
+
   /** Adds `out` = `rank()` (min-rank: ties share the rank of their first
     * row) over `valueCols`. Built as a total-order row_number with
     * `tieCols` breaking ties, then `min` over the value-keyed hash

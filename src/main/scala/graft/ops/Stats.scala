@@ -840,6 +840,48 @@ object Stats {
           q6((lit(1.0) - col("m")) * col("k_prior"))).as("beta"))
   }
 
+  /** Gamma–Poisson (negative-binomial) empirical-Bayes rate shrinkage —
+    * [[ebShrink]]'s sibling for COUNT-per-EXPOSURE data (events/day,
+    * defects/unit): MoM Gamma prior from the group-rate spread
+    * (β = m/v, α = m²/v on the plain group rates), posterior-mean
+    * release (yᵢ+α)/(eᵢ+β). Degenerate spread (v ≤ 0) → null release.
+    * Two group-sized aggregates, closed forms.
+    */
+  def ebShrinkRate(
+      df: DataFrame,
+      groupCol: String,
+      countCol: String,
+      exposureCol: String): DataFrame = {
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    val per = df
+      .groupBy(col(groupCol).as("g"))
+      .agg(sum(col(countCol).cast("double")).as("y"),
+        sum(col(exposureCol).cast("double")).as("e"))
+      .where(col("e") > 0)
+      .withColumn("r", col("y") / col("e"))
+      .localCheckpoint(true)
+    val prior = per.agg(
+      count(lit(1)).as("gk"), sum("r").as("sr"), sum(col("r") * col("r")).as("srr"))
+      .select(
+        col("gk"),
+        (col("sr") / col("gk").cast("double")).as("m"),
+        when(col("gk") > 1,
+          (col("srr") - col("sr") * col("sr") / col("gk").cast("double")) /
+            (col("gk") - lit(1)).cast("double")).as("v"))
+    per
+      .crossJoin(broadcast(prior))
+      .select(
+        col("g").as(groupCol),
+        col("y").cast("long").as("y"),
+        q6(col("e")).as("exposure"),
+        q6(col("r")).as("rate_raw"),
+        when(col("v") > 0,
+          q6((col("y") + col("m") * col("m") / col("v")) /
+            (col("e") + col("m") / col("v")))).as("rate_shrunk"),
+        when(col("v") > 0, q6(col("m") * col("m") / col("v"))).as("alpha"),
+        when(col("v") > 0, q6(col("m") / col("v"))).as("beta"))
+  }
+
   /** Wald–Wolfowitz runs test per key — "is this entity's binary
     * sequence random or streaky": R = observed runs (1 + sign
     * changes via one keyed lag), E[R] = 1 + 2n₁n₀/n,

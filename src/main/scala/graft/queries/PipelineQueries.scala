@@ -8488,6 +8488,131 @@ object PipelineQueries {
     )
   )
 
+  // ---- T105: Holm step-down FWER (FULL oracle — synthetic seeded p's
+  // (the q242 seed-as-key convention), distributed running max via the
+  // Z17 pid/carry machinery; max has no accumulation error so Holm and
+  // Bonferroni are exact, Šidák's pow quantized) -----------------------
+  val q295 = Q(
+    "q295_holm",
+    (s, dir) => {
+      val df = Tables.documents(s, dir).select(
+        col("doc_id"),
+        (pmod(graft.functions.SharedHash.md5Long60(
+          concat(lit("pval:"), col("doc_id").cast("string"))), lit(1000000L))
+          .cast("double") / lit(1e6)).as("p"))
+      graft.ml.Diagnostics.holm(df, "p", alpha = 0.05, tieBreak = Seq("doc_id"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val h = graft.functions.SharedHash.md5Long60Sql("'pval:' || doc_id::VARCHAR")
+      s"""WITH b AS (SELECT doc_id, ($h % 1000000)::DOUBLE/1e6 AS p FROM documents),
+         |r AS (SELECT doc_id, p, row_number() OVER (ORDER BY p, doc_id) AS rank,
+         |        count(*) OVER () AS m FROM b),
+         |a AS (SELECT doc_id, p, rank::INT AS rank, m,
+         |        least(1.0, max((m - rank + 1)::DOUBLE * p)
+         |          OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING)) AS p_holm FROM r)
+         |SELECT doc_id, p, rank, p_holm,
+         |  least(1.0, m::DOUBLE * p) AS p_bonf,
+         |  floor((1.0 - power(1.0 - p, m::DOUBLE))*1e6+0.5)/1e6 AS p_sidak,
+         |  CASE WHEN p_holm <= 0.05 THEN 1 ELSE 0 END AS significant
+         |FROM a ORDER BY doc_id""".stripMargin
+    }
+  )
+
+  // ---- T106: Gamma–Poisson EB rate shrinkage (FULL oracle — the T93
+  // machinery for count-per-exposure; distinct-day exposure) -----------
+  val q296 = Q(
+    "q296_eb_rate",
+    (s, dir) => {
+      val per = Tables.events(s, dir).groupBy("user_id").agg(
+        sum((col("event_type") === "purchase").cast("int")).as("y"),
+        countDistinct(floor(unix_timestamp(col("ts")) / 86400)).as("e"))
+      graft.ops.Stats.ebShrinkRate(per, "user_id", "y", "e").orderBy("user_id")
+    },
+    Some(
+      """WITH per0 AS (SELECT user_id AS g,
+        |    sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)::DOUBLE AS y,
+        |    count(DISTINCT floor(epoch(ts)/86400))::DOUBLE AS e
+        |  FROM events GROUP BY 1),
+        |per AS (SELECT g, y, e, y/e AS r FROM per0 WHERE e > 0),
+        |pr AS (SELECT count(*)::BIGINT AS gk, sum(r) AS sr, sum(r*r) AS srr FROM per),
+        |pr2 AS (SELECT gk, sr/gk::DOUBLE AS m,
+        |    CASE WHEN gk > 1
+        |      THEN (srr - sr*sr/gk::DOUBLE)/(gk - 1)::DOUBLE END AS v FROM pr)
+        |SELECT g AS user_id, y::BIGINT AS y,
+        |  floor(e*1e6+0.5)/1e6 AS exposure,
+        |  floor(r*1e6+0.5)/1e6 AS rate_raw,
+        |  CASE WHEN v > 0
+        |    THEN floor((y + m*m/v)/(e + m/v)*1e6+0.5)/1e6 END AS rate_shrunk,
+        |  CASE WHEN v > 0 THEN floor(m*m/v*1e6+0.5)/1e6 END AS alpha,
+        |  CASE WHEN v > 0 THEN floor(m/v*1e6+0.5)/1e6 END AS beta
+        |FROM per CROSS JOIN pr2 ORDER BY user_id""".stripMargin
+    )
+  )
+
+  // ---- T107: Bland–Altman agreement (FULL oracle — one moment pass +
+  // one recount against the broadcast limits) --------------------------
+  val q297 = Q(
+    "q297_bland_altman",
+    (s, dir) => {
+      val df = Tables.lineitem(s, dir).select(
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")) / lit(1000.0)).as("a"),
+        (col("l_extendedprice") / lit(1000.0)).as("b"))
+      graft.ops.Agreement.blandAltman(df, "a", "b")
+    },
+    Some(
+      """WITH b AS (SELECT l_extendedprice*(1.0 - l_discount)/1000.0 AS a,
+        |    l_extendedprice/1000.0 AS bb FROM lineitem),
+        |m AS (SELECT count(*)::BIGINT AS n, sum(a - bb) AS sd1,
+        |    sum((a - bb)*(a - bb)) AS sdd FROM b),
+        |st AS (SELECT n, sd1/n::DOUBLE AS mean_,
+        |    CASE WHEN (sdd - sd1*sd1/n::DOUBLE)/(n - 1)::DOUBLE >= 0 AND n > 1
+        |      THEN sqrt((sdd - sd1*sd1/n::DOUBLE)/(n - 1)::DOUBLE) END AS sd_ FROM m),
+        |oc AS (SELECT sum(CASE WHEN a - bb < mean_ - 1.96*sd_
+        |        OR a - bb > mean_ + 1.96*sd_ THEN 1 ELSE 0 END)::BIGINT AS n_outside
+        |  FROM b CROSS JOIN st)
+        |SELECT n, floor(mean_*1e6+0.5)/1e6 AS bias,
+        |  floor(sd_*1e6+0.5)/1e6 AS sd_diff,
+        |  floor((mean_ - 1.96*sd_)*1e6+0.5)/1e6 AS loa_lo,
+        |  floor((mean_ + 1.96*sd_)*1e6+0.5)/1e6 AS loa_hi,
+        |  n_outside,
+        |  CASE WHEN n > 0
+        |    THEN floor(n_outside::DOUBLE/n::DOUBLE*1e6+0.5)/1e6 END AS share_outside
+        |FROM st CROSS JOIN oc""".stripMargin
+    )
+  )
+
+  // ---- C98: Deming regression (FULL oracle — closed form on centered
+  // moments; OLS slope beside it for the attenuation readout) ----------
+  val q298 = Q(
+    "q298_deming",
+    (s, dir) =>
+      graft.ml.Robust.deming(
+        Tables.lineitem(s, dir)
+          .select(col("l_quantity").as("x"),
+            (col("l_extendedprice") / lit(1000.0)).as("y")),
+        "x", "y", lambda = 1.0),
+    Some(
+      """WITH b AS (SELECT l_quantity::DOUBLE AS x, l_extendedprice/1000.0 AS y FROM lineitem),
+        |m AS (SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy FROM b),
+        |c AS (SELECT n, sx, sy,
+        |    sxx - sx*sx/n::DOUBLE AS cxx, sxy - sx*sy/n::DOUBLE AS cxy,
+        |    syy - sy*sy/n::DOUBLE AS cyy FROM m),
+        |f AS (SELECT n, sx, sy, cxx, cxy, cyy, cyy - 1.0*cxx AS d FROM c),
+        |g2 AS (SELECT n, sx, sy, cxx, cxy, cyy,
+        |    (d + sqrt(d*d + 4.0*cxy*cxy))/(2.0*cxy) AS slope FROM f)
+        |SELECT n,
+        |  CASE WHEN n > 2 AND cxx > 0 AND cyy > 0 AND abs(cxy) > 0
+        |    THEN floor(slope*1e6+0.5)/1e6 END AS slope,
+        |  CASE WHEN n > 2 AND cxx > 0 AND cyy > 0 AND abs(cxy) > 0
+        |    THEN floor((sy/n::DOUBLE - slope*(sx/n::DOUBLE))*1e6+0.5)/1e6 END AS icept,
+        |  CASE WHEN n > 2 AND cxx > 0
+        |    THEN floor(cxy/cxx*1e6+0.5)/1e6 END AS slope_ols
+        |FROM g2""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
@@ -8496,5 +8621,5 @@ object PipelineQueries {
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
       q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276,
       q277, q278, q279, q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290,
-      q291, q292, q293, q294)
+      q291, q292, q293, q294, q295, q296, q297, q298)
 }

@@ -212,4 +212,39 @@ class DiagnosticsSpec extends SparkSpec {
     val f = Diagnostics.influenceSimple(flat.toDF("id", "y", "x"), "id", "y", "x").collect()
     assert(f.forall(_.isNullAt(f.head.fieldIndex("leverage"))))
   }
+
+  test("holm: hand step-down; running max enforces monotone adjusted p") {
+    val df = Seq((1L, 0.01), (2L, 0.02), (3L, 0.04), (4L, 0.3)).toDF("id", "p")
+    val got = Diagnostics.holm(df, "p", alpha = 0.05, tieBreak = Seq("id"))
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(math.abs(got(1L).getAs[Double]("p_holm") - 0.04) < 1e-12)
+    assert(math.abs(got(2L).getAs[Double]("p_holm") - 0.06) < 1e-12)
+    assert(math.abs(got(3L).getAs[Double]("p_holm") - 0.08) < 1e-12)
+    assert(math.abs(got(4L).getAs[Double]("p_holm") - 0.3) < 1e-12)
+    assert(got(1L).getAs[Int]("significant") === 1)
+    assert(Seq(2L, 3L, 4L).forall(got(_).getAs[Int]("significant") === 0))
+    assert(math.abs(got(1L).getAs[Double]("p_bonf") - 0.04) < 1e-12)
+    // monotonicity: a SMALLER raw later in rank inherits the earlier max
+    val mono = Seq((1L, 0.01), (2L, 0.011), (3L, 0.5)).toDF("id", "p")
+    val g2 = Diagnostics.holm(mono, "p", 0.05, Seq("id"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("p_holm")).toMap
+    assert(math.abs(g2(1L) - 0.03) < 1e-12) // 3*.01
+    assert(math.abs(g2(2L) - 0.03) < 1e-12) // raw .022 < .03 -> inherits
+  }
+
+  test("holm: distributed carry matches a driver replica on 2000 hypotheses") {
+    val rows = (1L to 2000L).map(i => (i, ((i * 0.6180339887498949) % 1.0)))
+    val got = Diagnostics.holm(rows.toDF("id", "p").repartition(13), "p", 0.05, Seq("id"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("p_holm")).toMap
+    val m = rows.size
+    val sorted = rows.sortBy { case (id, p) => (p, id) }
+    var run = 0.0
+    val ref = sorted.zipWithIndex.map { case ((id, p), i) =>
+      run = math.max(run, (m - i).toDouble * p) // rank = i+1 -> m-i terms
+      id -> math.min(1.0, run)
+    }.toMap
+    rows.foreach { case (id, _) =>
+      assert(math.abs(got(id) - ref(id)) < 1e-12, s"id=$id")
+    }
+  }
 }

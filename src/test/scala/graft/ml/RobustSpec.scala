@@ -118,4 +118,30 @@ class RobustSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("gap") - 4.0) < 0.2)
     assert(math.abs(r.getAs[Double]("explained")) < 0.15)
   }
+
+  test("deming: exact line gives slope 1; x-noise attenuates OLS but not Deming") {
+    import spark.implicits._
+    val exact = (0 to 20).map(i => (i.toDouble, i.toDouble)).toDF("x", "y")
+    val e = Robust.deming(exact, "x", "y").head()
+    assert(e.getAs[Double]("slope") === 1.0 && e.getAs[Double]("icept") === 0.0)
+
+    // true t, x measured with symmetric noise, y = t (+ matching noise):
+    // OLS(y~x) attenuates toward 0; Deming (λ=1) stays near 1
+    val rows = (1 to 2000).map { i =>
+      val t = i / 100.0
+      val ex = if (i % 2 == 0) 1.0 else -1.0
+      val ey = if (i % 4 < 2) 1.0 else -1.0
+      (t + ex, t + ey)
+    }
+    val d = Robust.deming(rows.toDF("x", "y"), "x", "y").head()
+    val ols = d.getAs[Double]("slope_ols")
+    val dem = d.getAs[Double]("slope")
+    assert(ols < 0.98, s"OLS must attenuate: $ols")
+    assert(math.abs(dem - 1.0) < 0.02, s"Deming must not: $dem")
+    assert(dem > ols)
+    // degenerate: zero x-variance -> null fit
+    val flat = (1 to 10).map(i => (1.0, i.toDouble)).toDF("x", "y")
+    val f = Robust.deming(flat, "x", "y").head()
+    assert(f.isNullAt(f.fieldIndex("slope")))
+  }
 }

@@ -103,4 +103,20 @@ class AgreementSpec extends SparkSpec {
     val m = Agreement.icc(mixed, "g", "v").head()
     assert(m.getAs[Double]("icc") < r.getAs[Double]("icc"))
   }
+
+  test("blandAltman: hand bias/SD/limits; planted outlier counted outside") {
+    import spark.implicits._
+    // diffs 1,2,3,4: bias 2.5, var (30-25)/3 = 5/3
+    val df = Seq((2.0, 1.0), (4.0, 2.0), (6.0, 3.0), (8.0, 4.0)).toDF("a", "b")
+    val r = Agreement.blandAltman(df, "a", "b").head()
+    assert(r.getAs[Long]("n") === 4L)
+    assert(r.getAs[Double]("bias") === 2.5)
+    assert(math.abs(r.getAs[Double]("sd_diff") - math.sqrt(5.0 / 3.0)) < 1e-6)
+    assert(r.getAs[Long]("n_outside") === 0L)
+    // tight cloud + one wild pair: the outlier falls outside the limits
+    val tight = (1 to 60).map(i => (10.0 + 0.01 * (i % 3), 10.0)) :+ (300.0, 10.0)
+    val o = Agreement.blandAltman(tight.toDF("a", "b"), "a", "b").head()
+    assert(o.getAs[Long]("n_outside") === 1L)
+    assert(o.getAs[Double]("share_outside") > 0.0)
+  }
 }

@@ -358,4 +358,22 @@ class Stats2Spec extends SparkSpec {
     assert(got(105L) === 5000.0)
     assert(got(101L) > 1000.0 && got(110L) < 10000.0)
   }
+
+  test("ebShrinkRate: hand Gamma prior; shrink pulls toward the mean rate") {
+    // rates 1, 2, 3 with exposure 10 each: m = 2, v = 1 -> α = 4, β = 2
+    val rows = Seq(("g1", 10, 10), ("g2", 20, 10), ("g3", 30, 10))
+    val got = Stats.ebShrinkRate(rows.toDF("g", "y", "e"), "g", "y", "e")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(got("g1").getAs[Double]("alpha") === 4.0)
+    assert(got("g1").getAs[Double]("beta") === 2.0)
+    // g1: (10+4)/(10+2) = 7/6 = 1.166667 (pulled UP toward 2)
+    assert(got("g1").getAs[Double]("rate_shrunk") === 1.166667)
+    assert(got("g3").getAs[Double]("rate_shrunk") < 3.0)
+    // prior-mean fixed point: g2 stays exactly 2
+    assert(got("g2").getAs[Double]("rate_shrunk") === 2.0)
+    // degenerate: equal rates -> v = 0 -> null
+    val flat = Seq(("a", 5, 10), ("b", 10, 20)).toDF("g", "y", "e")
+    val f = Stats.ebShrinkRate(flat, "g", "y", "e").collect()
+    assert(f.forall(_.isNullAt(f.head.fieldIndex("rate_shrunk"))))
+  }
 }
