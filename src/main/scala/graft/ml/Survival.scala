@@ -90,6 +90,60 @@ object Survival {
       .orderBy(col("t"))
   }
 
+  /** Competing-risks cumulative incidence (Aalen–Johansen, K causes):
+    * CIF_k(t) = Σ_{s≤t} Ŝ(s⁻)·d_k(s)/n(s), where Ŝ(s⁻) is the
+    * all-cause KM survival JUST BEFORE s (exclusive prefix of the
+    * [[kaplanMeier]] ln-terms). 1 − Σ_k CIF_k(∞) is the censoring-
+    * respecting "still event-free" mass — naive per-cause KM
+    * over-counts when risks compete; this is the standard fix.
+    * `causeCol`: 0 = censored, ≥ 1 = event causes. Same
+    * duration-cardinality window frame as [[kaplanMeier]] (documented
+    * convention), plus cause-KEYED cumulative windows. Returns one row
+    * per (t, cause): n_risk, d_cause, s_minus, cif (6dp), t-ascending.
+    */
+  def cumulativeIncidence(
+      df: DataFrame,
+      durationCol: String,
+      causeCol: String): DataFrame = {
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    val base = df.select(
+      col(durationCol).cast("double").as("t"),
+      col(causeCol).cast("int").as("cause"))
+    val perT = base
+      .groupBy("t")
+      .agg(
+        count(lit(1)).as("all_t"),
+        sum(when(col("cause") > 0, 1).otherwise(0)).cast("long").as("d"))
+    val wDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wExcl = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tFrame = perT
+      .withColumn("n_risk", sum(col("all_t")).over(wDesc))
+      .withColumn("ln_term",
+        when(col("d") > 0,
+          log(greatest(
+            lit(1.0) - col("d").cast("double") / col("n_risk").cast("double"),
+            lit(1e-300))))
+          .otherwise(lit(0.0)))
+      .withColumn("s_minus",
+        exp(coalesce(sum(col("ln_term")).over(wExcl), lit(0.0))))
+    val perTC = base
+      .where(col("cause") > 0)
+      .groupBy("t", "cause")
+      .agg(count(lit(1)).as("d_cause"))
+    val wCause = Window.partitionBy("cause").orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perTC
+      .join(tFrame.select(col("t"), col("n_risk"), col("s_minus")), Seq("t"))
+      .withColumn("term",
+        col("s_minus") * col("d_cause").cast("double") / col("n_risk").cast("double"))
+      .withColumn("cif", q6(sum(col("term")).over(wCause)))
+      .select(col("t"), col("cause"), col("n_risk"), col("d_cause"),
+        q6(col("s_minus")).as("s_minus"), col("cif"))
+      .orderBy(col("t"), col("cause"))
+  }
+
   /** [[kaplanMeier]] plus the Greenwood (1926) standard error and the
     * plain z confidence band clamped to [0, 1]:
     * Var Ŝ(t) = Ŝ(t)² Σ_{tᵢ≤t} dᵢ/(nᵢ(nᵢ−dᵢ)). Terminal times where

@@ -73,6 +73,62 @@ object Abtest {
       round(srm, 6).as("srm_chi2"))
   }
 
+  /** [[twoProportion]] completed with the INFERENCE columns the plain z
+    * readout leaves off: Wilson score intervals per arm (the
+    * small-n-safe CI — never leaves [0,1], unlike the Wald interval)
+    * and the two-sided p-value of the pooled z via the portable
+    * normal CDF ([[graft.functions.NormalDist]] — identical A&S
+    * polynomial on both engines, so even the p-value oracle-checks).
+    * Same A/B contract and raise_error guard as [[twoProportion]].
+    */
+  def wilson(
+      df: DataFrame,
+      variant: Column,
+      success: Column,
+      z: Double = 1.959963984540054): DataFrame = {
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    val per = df
+      .groupBy(variant.as("v"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(when(success, 1L).otherwise(0L)).cast("double").as("conv"))
+    val agg = per.agg(
+      count(lit(1)).as("k"),
+      sum(when(col("v") === "A", col("n"))).as("na0"),
+      sum(when(col("v") === "A", col("conv"))).as("ca"),
+      sum(when(col("v") === "B", col("n"))).as("nb"),
+      sum(when(col("v") === "B", col("conv"))).as("cb"))
+      .select(
+        when(col("k") =!= 2 || col("na0").isNull || col("nb").isNull,
+          raise_error(lit("Abtest.wilson: expected exactly variants A and B")))
+          .otherwise(col("na0")).as("na"),
+        col("ca"), col("nb"), col("cb"))
+    val z2 = z * z
+    def wilsonBounds(x: Column, n: Column): (Column, Column) = {
+      val p = x / n
+      val center = p + lit(z2) / (lit(2.0) * n)
+      val half = lit(z) * sqrt(p * (lit(1.0) - p) / n + lit(z2) / (lit(4.0) * n * n))
+      val denom = lit(1.0) + lit(z2) / n
+      ((center - half) / denom, (center + half) / denom)
+    }
+    val (loA, hiA) = wilsonBounds(col("ca"), col("na"))
+    val (loB, hiB) = wilsonBounds(col("cb"), col("nb"))
+    val pa = col("ca") / col("na")
+    val pb = col("cb") / col("nb")
+    val pPool = (col("ca") + col("cb")) / (col("na") + col("nb"))
+    val se = sqrt(pPool * (lit(1.0) - pPool) * (lit(1.0) / col("na") + lit(1.0) / col("nb")))
+    val zStat = (pb - pa) / se
+    agg.select(
+      col("na").cast("long").as("n_a"),
+      col("ca").cast("long").as("conv_a"),
+      col("nb").cast("long").as("n_b"),
+      col("cb").cast("long").as("conv_b"),
+      q6(pa).as("p_a"), q6(loA).as("lo_a"), q6(hiA).as("hi_a"),
+      q6(pb).as("p_b"), q6(loB).as("lo_b"), q6(hiB).as("hi_b"),
+      when(se > 0, q6(zStat)).as("z"),
+      when(se > 0, q6(graft.functions.NormalDist.pTwoSided(zStat))).as("p_value"))
+  }
+
   /** Inverse standard-normal CDF — Acklam's rational approximation
     * (|rel err| < 1.15e-9 over (0,1)), the textbook public algorithm;
     * driver-side scalar for the power closed forms.
