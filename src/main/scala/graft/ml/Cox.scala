@@ -1,7 +1,6 @@
 package graft.ml
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Cox proportional-hazards regression with Breslow tie handling — the
@@ -13,17 +12,58 @@ import org.apache.spark.sql.functions._
   *
   * Newton–Raphson on the partial log-likelihood. The gradient and
   * Hessian need, at every EVENT time, the risk-set sums S0 = Σ_{t_j ≥ t}
-  * w_j, S1 = Σ x w, S2 = Σ xx' w with w = exp(xβ). Those are SUFFIX
-  * sums in event-time order, so one RANGE window over t DESC (equal
-  * times pooled — exactly Breslow's convention) computes all
-  * 1 + k + k(k+1)/2 of them in a single pass; an events-only aggregate
-  * then reduces gradient, Hessian, and log-likelihood, and the driver
-  * solves the k×k Newton step. Per iteration: one window pass + one
-  * aggregate — the frame is subject-level (one row per unit, like KM),
-  * never event-log-sized, so the global-order window is the same
-  * deliberate cost as [[graft.ops.Stats.rfm]]'s ntiles.
+  * w_j, S1 = Σ x w, S2 = Σ xx' w with w = exp(xβ). Equal times pool
+  * into the same risk set (exactly Breslow's convention), so the
+  * subject frame first COLLAPSES to one row per distinct duration
+  * (per-t sums of w, xw, xx'w plus the event-side sums Σeta, Σx, d) and
+  * the suffix sums ride ONE distributed prefix pass over that frame
+  * ([[graft.ops.Rank.withPrefixSums]]: range exchange + per-partition
+  * windows + P-row carry — never the single-partition WindowExec a
+  * global t-DESC window would be, even when durations are continuous
+  * and distinct t ≈ n). A duration-frame aggregate then reduces
+  * gradient, Hessian, and log-likelihood (events at the same t share
+  * their S values, so Σ_events f(S(tᵢ)) = Σ_t dₜ·f(Sₜ) exactly), and
+  * the driver solves the k×k Newton step. Per iteration: one groupBy,
+  * one distributed scan, one aggregate.
   */
 object Cox {
+
+  /** One Newton iteration's distinct-duration frame at the given β:
+    * per-t risk-side sums (w0, w1_p, w2_pq), event-side sums (dt,
+    * ev_eta, ex_p), and their distributed cumulative/total columns
+    * (`__cum_*` / `__tot_*` from [[graft.ops.Rank.withPrefixSums]]) —
+    * suffix risk sets read as `__tot − __cum + value`. Exposed
+    * package-private so the spec can assert the executed plan has no
+    * unpartitioned WindowExec.
+    */
+  private[ml] def iterationFrame(
+      base: DataFrame,
+      beta: Array[Double],
+      k: Int,
+      pairs: Seq[(Int, Int)]): DataFrame = {
+    val eta = (0 until k).map(p => lit(beta(p)) * col(s"x$p")).reduce(_ + _)
+    val scored = base.withColumn("eta", eta).withColumn("wgt", exp(col("eta")))
+    // collapse to the distinct-duration frame: risk-side sums (w, xw,
+    // xx'w) and event-side sums (d, Σeta, Σx over ev=1) per t
+    val perT = scored
+      .groupBy("t")
+      .agg(
+        sum(col("wgt")).as("w0"),
+        ((0 until k).map(p => sum(col(s"x$p") * col("wgt")).as(s"w1_$p")) ++
+          pairs.map { case (p, q) =>
+            sum(col(s"x$p") * col(s"x$q") * col("wgt")).as(s"w2_${p}_$q")
+          } ++
+          Seq(
+            sum(col("ev").cast("long")).as("dt"),
+            sum(when(col("ev") === 1, col("eta")).otherwise(lit(0.0))).as("ev_eta")) ++
+          (0 until k).map(p =>
+            sum(when(col("ev") === 1, col(s"x$p")).otherwise(lit(0.0))).as(s"ex_$p"))): _*)
+    // suffix sums S(t) = Σ_{t_j >= t} = total − exclusive prefix, one
+    // distributed ascending pass over ALL risk terms at once
+    val terms = "w0" +: (0 until k).map(p => s"w1_$p") ++:
+      pairs.map { case (p, q) => s"w2_${p}_$q" }
+    graft.ops.Rank.withPrefixSums(perT, Seq(col("t")), terms)
+  }
 
   case class Model(
       beta: Array[Double],
@@ -52,36 +92,25 @@ object Cox {
     val n = nRow.getLong(0); val nEvents = nRow.getLong(1)
     require(nEvents > 0, "Cox.fit: no events (all rows censored)")
 
-    // risk set = everyone with t_j >= t_i: suffix RANGE window; equal
-    // durations pool into the same risk set (Breslow)
-    val w = Window.orderBy(col("t").desc)
-      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     val pairs = for { p <- 0 until k; q <- p until k } yield (p, q)
 
-    var beta = Array.fill(k)(0.0)
+    var beta: Array[Double] = Array.fill(k)(0.0)
     var loglik = Double.NegativeInfinity
     var iter = 0
     var done = false
     while (iter < maxIter && !done) {
-      val eta = (0 until k).map(p => lit(beta(p)) * col(s"x$p")).reduce(_ + _)
-      val scored = base.withColumn("eta", eta).withColumn("wgt", exp(col("eta")))
-      val cum = scored
-        .withColumn("s0", sum(col("wgt")).over(w))
-        .withColumns(
-          (0 until k).map(p => s"s1_$p" -> sum(col(s"x$p") * col("wgt")).over(w)).toMap)
-        .withColumns(
-          pairs.map { case (p, q) =>
-            s"s2_${p}_$q" -> sum(col(s"x$p") * col(s"x$q") * col("wgt")).over(w)
-          }.toMap)
+      val cum = iterationFrame(base, beta, k, pairs)
+      def sfx(t: String) = col(s"__tot_$t") - col(s"__cum_$t") + col(t)
+      val s0 = sfx("w0")
       val aggCols =
-        sum(col("eta") - log(col("s0"))).as("ll") +:
+        sum(col("ev_eta") - col("dt").cast("double") * log(s0)).as("ll") +:
           (0 until k).map(p =>
-            sum(col(s"x$p") - col(s"s1_$p") / col("s0")).as(s"g$p")) ++:
+            sum(col(s"ex_$p") - col("dt").cast("double") * sfx(s"w1_$p") / s0).as(s"g$p")) ++:
           pairs.map { case (p, q) =>
-            sum(col(s"s2_${p}_$q") / col("s0") -
-              (col(s"s1_$p") / col("s0")) * (col(s"s1_$q") / col("s0"))).as(s"h${p}_$q")
+            sum(col("dt").cast("double") * (sfx(s"w2_${p}_$q") / s0 -
+              (sfx(s"w1_$p") / s0) * (sfx(s"w1_$q") / s0))).as(s"h${p}_$q")
           }
-      val r = cum.where(col("ev") === 1).agg(aggCols.head, aggCols.tail: _*).head()
+      val r = cum.where(col("dt") > 0).agg(aggCols.head, aggCols.tail: _*).head()
       val ll = r.getDouble(0)
       val g = (0 until k).map(p => r.getDouble(1 + p)).toArray
       val h = Array.ofDim[Double](k, k)

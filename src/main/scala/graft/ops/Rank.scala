@@ -159,4 +159,89 @@ object Rank {
       .withColumn(out, bucket.cast("int"))
       .drop("__pid", "__local", "__offset", "__gn")
   }
+
+  /** Adds, for every `terms` column, `__cum_<t>` = the exact INCLUSIVE
+    * prefix sum over the `sortCols` global order and `__tot_<t>` = the
+    * grand total (a driver-known literal) — all computed distributed:
+    * one range exchange + per-partition windows (`Window.partitionBy
+    * (__pid)` — P-way parallel) + a P-row collected carry, never a
+    * single-partition WindowExec. Suffix sums come free as
+    * `__tot − __cum + value` (suffix-inclusive), which is how the
+    * Survival/Cox family gets its at-risk counts without a second
+    * (descending) pass.
+    *
+    * Integral terms accumulate in Long end-to-end (bit-exact);
+    * everything else in Double. Double prefix sums can differ from a
+    * strictly-sequential fold in the last ulps (the carry regroups
+    * additions at partition boundaries) — consumers quantize with the
+    * house 6dp floor-quantizer, same contract as every other float
+    * column in the oracle suite.
+    */
+  def withPrefixSums(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      terms: Seq[String],
+      numPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    require(terms.nonEmpty, "Rank.withPrefixSums: need at least one term")
+    val (marked, _) = partitionedBySortKey(df, sortCols, numPartitions)
+    val integral: Map[String, Boolean] = terms.map { t =>
+      t -> (marked.schema(t).dataType match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      })
+    }.toMap
+    val aggs = terms.map { t =>
+      (if (integral(t)) sum(col(t).cast("long")) else sum(col(t).cast("double"))).as(t)
+    }
+    val totRows = marked
+      .groupBy("__pid")
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .sortBy(_.getAs[Int]("__pid"))
+    // driver exclusive prefix over the ascending-pid partition totals.
+    // NOTE the explicit `: Any` ascriptions: a bare `if (b) 0L else 0.0`
+    // unifies both branches to Double (Scala numeric widening), silently
+    // boxing the Long accumulator as a Double.
+    var acc: Map[String, Any] =
+      terms.map { t =>
+        val zero: Any = if (integral(t)) 0L else 0.0
+        t -> zero
+      }.toMap
+    val carryRows = totRows.map { r =>
+      val row = Row.fromSeq(r.getAs[Int]("__pid") +: terms.map(acc(_)))
+      acc = terms.map { t =>
+        val v = r.get(r.fieldIndex(t))
+        val nxt: Any =
+          if (integral(t))
+            acc(t).asInstanceOf[Long] + (if (v == null) 0L else v.asInstanceOf[Long])
+          else
+            acc(t).asInstanceOf[Double] + (if (v == null) 0.0 else v.asInstanceOf[Double])
+        t -> nxt
+      }.toMap
+      row
+    }
+    val carrySchema = StructType(
+      StructField("__pid", IntegerType, nullable = false) +:
+        terms.map(t => StructField("__carry_" + t,
+          if (integral(t)) LongType else DoubleType, nullable = false)))
+    val spark = df.sparkSession
+    val carry = spark.createDataFrame(
+      spark.sparkContext.parallelize(carryRows.toSeq, 1), carrySchema)
+    val w = Window.partitionBy("__pid").orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var out = marked.join(broadcast(carry), Seq("__pid"))
+    terms.foreach { t =>
+      val cast = if (integral(t)) "long" else "double"
+      out = out
+        .withColumn("__cum_" + t, col("__carry_" + t) + sum(col(t).cast(cast)).over(w))
+        .withColumn("__tot_" + t,
+          if (integral(t)) lit(acc(t).asInstanceOf[Long])
+          else lit(acc(t).asInstanceOf[Double]))
+        .drop("__carry_" + t)
+    }
+    out.drop("__pid", "__local")
+  }
 }

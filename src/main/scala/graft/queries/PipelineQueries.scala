@@ -7091,7 +7091,8 @@ object PipelineQueries {
   )
 
   // ---- C82: τ-restricted mean survival time (FULL oracle — the q168
-  // KM replay extended with one lead(); exact step-function area) ------
+  // KM replay in the lead-free DROP form the distributed operator uses:
+  // area = τ − Σ_{t≤τ} (S_prev − S)(τ − t), both survivals 6dp) --------
   val q258 = Q(
     "q258_rmst",
     (s, dir) => {
@@ -7118,17 +7119,17 @@ object PipelineQueries {
         |k AS (SELECT t, CASE WHEN dd > 0
         |         THEN ln(greatest(1.0 - dd::DOUBLE/n_risk::DOUBLE, 1e-300)) ELSE 0.0 END AS lt
         |      FROM r),
-        |w AS (SELECT t, floor(exp(sum(lt) OVER (ORDER BY t
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))*1e6+0.5)/1e6 AS surv FROM k),
-        |seg AS (SELECT t, surv,
-        |          coalesce(lead(t) OVER (ORDER BY t), 30.0) AS t_next,
-        |          CASE WHEN lag(t) OVER (ORDER BY t) IS NULL
-        |            THEN least(t, 30.0) ELSE 0.0 END AS head_area
-        |        FROM w)
+        |w AS (SELECT t,
+        |        floor(exp(sum(lt) OVER (ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))*1e6+0.5)/1e6 AS s,
+        |        floor(exp(coalesce(sum(lt) OVER (ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0))*1e6+0.5)/1e6
+        |          AS s_prev
+        |      FROM k)
         |SELECT 30.0::DOUBLE AS tau,
-        |  floor(sum(head_area + surv * greatest(0.0, least(t_next, 30.0) - least(t, 30.0)))
-        |    *1e6+0.5)/1e6 AS rmst
-        |FROM seg""".stripMargin
+        |  floor((30.0 - coalesce(sum(CASE WHEN t <= 30.0
+        |    THEN (s_prev - s) * (30.0 - t) ELSE 0.0 END), 0.0))*1e6+0.5)/1e6 AS rmst
+        |FROM w""".stripMargin
     )
   )
 

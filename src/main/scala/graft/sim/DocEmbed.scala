@@ -65,7 +65,14 @@ object DocEmbed {
       chunkSize: Int = 20,
       overlap: Int = 5,
       tokenHash: Column => Column = SharedHash.md5Long60): DataFrame = {
-    val emb = pooled(docs, textCol, idCol, dims, chunkSize, overlap, tokenHash)
+    // the pooled frame feeds BOTH the probe branch and the corpus scan:
+    // without a materialization Spark re-executes the whole chunk →
+    // hash-embed → VecSumAgg pipeline once per consumer. One
+    // localCheckpoint makes the fan-out read a computed RDD instead
+    // (freshLeaf drops origin stats so downstream joins stay cheap to plan).
+    val emb = org.apache.spark.sql.graftbridge.Bridge.freshLeaf(
+      pooled(docs, textCol, idCol, dims, chunkSize, overlap, tokenHash)
+        .localCheckpoint(true))
     val probes = emb
       .join(broadcast(queryIds.select(col(idCol))), Seq(idCol))
       .select(col(idCol).as("qid"), col("embedding").as("qv"))

@@ -46,8 +46,14 @@ object HardNegatives {
       .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("comp"), col(idCol)).as("cluster"))
 
-    val emb = HashEmbed.embed(docs, textCol, idCol, dims, tokenHash = tokenHash)
-      .join(labels, Seq(idCol))
+    // consumed twice (probe branch + corpus scan); without this
+    // materialization the embed shuffle AND the LSH/connected-components
+    // cluster-label join both execute twice. freshLeaf drops carried
+    // origin stats so the downstream broadcast join plans constant-cost.
+    val emb = org.apache.spark.sql.graftbridge.Bridge.freshLeaf(
+      HashEmbed.embed(docs, textCol, idCol, dims, tokenHash = tokenHash)
+        .join(labels, Seq(idCol))
+        .localCheckpoint(true))
 
     val probes = emb
       .join(broadcast(queryIds.select(col(idCol))), Seq(idCol))

@@ -152,4 +152,61 @@ class SurvivalSpec extends SparkSpec {
     assert(graft.ml.Survival.rmst(cens, "dur", "ev", tau = 4.0).head()
       .getAs[Double]("rmst") === 4.0)
   }
+
+  test("Survival family + Cox iteration plan NO unpartitioned Window (distributed prefix scans)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    def unpartitioned(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+    val df = (1 to 300).map(i => (i / 3.0, i % 3 min 1, if (i % 2 == 0) "A" else "B"))
+      .toDF("dur", "ev", "grp")
+    assert(unpartitioned(graft.ml.Survival.kaplanMeier(df, "dur", "ev")).isEmpty)
+    assert(unpartitioned(graft.ml.Survival.kaplanMeierCI(df, "dur", "ev")).isEmpty)
+    assert(unpartitioned(graft.ml.Survival.nelsonAalen(df, "dur", "ev")).isEmpty)
+    assert(unpartitioned(graft.ml.Survival.rmst(df, "dur", "ev", tau = 50.0)).isEmpty)
+    assert(unpartitioned(
+      graft.ml.Survival.logRank(df, "dur", "ev", "grp", "A")).isEmpty)
+    val ci = df.withColumn("cause", (col("ev") * (lit(1) + col("dur").cast("int") % 2)).cast("int"))
+    assert(unpartitioned(
+      graft.ml.Survival.cumulativeIncidence(ci, "dur", "cause")).isEmpty)
+    // one Cox Newton iteration's frame (the per-iteration risk-set scan)
+    val base = df.select(col("dur").as("t"), col("ev"),
+      (col("dur") * 0.01).as("x0")).localCheckpoint(true)
+    val cum = graft.ml.Cox.iterationFrame(base, Array(0.0), 1, Seq((0, 0)))
+    assert(unpartitioned(cum).isEmpty)
+  }
+
+  test("Cox distinct-duration iteration matches the per-subject formulation (hand replay)") {
+    import spark.implicits._
+    // small frame with TIES at t=2 and t=5 — Breslow pooling must hold
+    val rows = Seq(
+      (2.0, 1, 1.0), (2.0, 1, 0.0), (3.0, 0, 1.0),
+      (5.0, 1, 2.0), (5.0, 1, 1.0), (7.0, 0, 0.0), (8.0, 1, 1.5))
+    val df = rows.toDF("dur", "ev", "x")
+    val m = graft.ml.Cox.fit(df, "dur", "ev", Seq("x"))
+    // driver-side Newton on the same Breslow partial likelihood
+    def scan(beta: Double): (Double, Double, Double) = {
+      val byT = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      var (ll, g, h) = (0.0, 0.0, 0.0)
+      for ((t, _) <- byT) {
+        val risk = rows.filter(_._1 >= t)
+        val s0 = risk.map(r => math.exp(beta * r._3)).sum
+        val s1 = risk.map(r => r._3 * math.exp(beta * r._3)).sum
+        val s2 = risk.map(r => r._3 * r._3 * math.exp(beta * r._3)).sum
+        val evs = rows.filter(r => r._1 == t && r._2 == 1)
+        ll += evs.map(e => beta * e._3 - math.log(s0)).sum
+        g += evs.map(e => e._3 - s1 / s0).sum
+        h += evs.size * (s2 / s0 - (s1 / s0) * (s1 / s0))
+      }
+      (ll, g, h)
+    }
+    var b = 0.0
+    for (_ <- 1 to 25) { val (_, g, h) = scan(b); if (h > 0) b += g / h }
+    assert(math.abs(m.beta(0) - b) < 1e-6, s"got ${m.beta(0)} want $b")
+    val (llStar, _, _) = scan(b)
+    assert(math.abs(m.loglik - llStar) < 1e-6)
+  }
 }

@@ -1314,6 +1314,32 @@ class SimSpec extends SparkSpec {
     }
   }
 
+  test("DocEmbed.topK / HardNegatives.mine materialize the shared embed frame once") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    // the pooled/labeled embedding frame fans out to probe + corpus
+    // branches; it must be checkpointed, so the served plan reads a
+    // LogicalRDD leaf and contains NO chunk/token Generate (explode) —
+    // the upstream pipeline already ran, exactly once
+    val docs = (1 to 12).map(i =>
+      (i.toLong, (0 until 30).map(j => s"w${(i * 31 + j) % 40}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val probe = docs.where(col("doc_id") === 1).select("doc_id")
+    // a Generate over anything but TopK's own __topk serving explode
+    // means the chunk/token pipeline is still in the lazy plan
+    def pipelineGenerates(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case g: Generate if !g.generator.references.exists(_.name.startsWith("__topk")) => g
+      }
+    val topk = DocEmbed.topK(docs, "text", "doc_id", probe, k = 3)
+    assert(pipelineGenerates(topk).isEmpty,
+      "DocEmbed.topK still re-executes the chunk explode per consumer")
+    assert(topk.count() === 3)
+    val mined = HardNegatives.mine(docs, "text", "doc_id", probe, dims = 32, k = 2)
+    assert(pipelineGenerates(mined).isEmpty,
+      "HardNegatives.mine still re-executes the embed pipeline per consumer")
+  }
+
   test("HardNegatives: near-dup excluded even at cosine ~1, best non-dup wins, k ranks per query") {
     import org.apache.spark.sql.functions._
     // doc 1 ~ doc 2 (near-dup: one token changed in 12 -> jaccard well
