@@ -133,7 +133,7 @@ object Abtest {
     * (|rel err| < 1.15e-9 over (0,1)), the textbook public algorithm;
     * driver-side scalar for the power closed forms.
     */
-  private[ops] def probit(p: Double): Double = {
+  private[graft] def probit(p: Double): Double = {
     require(p > 0 && p < 1, s"probit domain (0,1), got $p")
     val a = Array(-3.969683028665376e+01, 2.209460984245205e+02, -2.759285104469687e+02,
       1.383577518672690e+02, -3.066479806614716e+01, 2.506628277459239e+00)
@@ -177,9 +177,11 @@ object Abtest {
     val za = probit(1 - alpha / 2)
     val zb = probit(power)
     val pbar = (p0 + p1) / 2
-    val n = math.pow(
-      za * math.sqrt(2 * pbar * (1 - pbar)) + zb * math.sqrt(p0 * (1 - p0) + p1 * (1 - p1)),
-      2) / (mde * mde)
+    // s*s, not math.pow(s, 2): the square must be the exactly-rounded
+    // product so the DuckDB oracle replays n_per_arm's ceil bit-for-bit
+    val s = za * math.sqrt(2 * pbar * (1 - pbar)) +
+      zb * math.sqrt(p0 * (1 - p0) + p1 * (1 - p1))
+    val n = s * s / (mde * mde)
     import spark.implicits._
     Seq((p0, p1, alpha, power, math.ceil(n).toLong))
       .toDF("p0", "p1", "alpha", "power", "n_per_arm")
@@ -201,9 +203,9 @@ object Abtest {
     def nFor(m: Double): Double = {
       val p1 = p0 + m
       val pbar = (p0 + p1) / 2
-      math.pow(
-        za * math.sqrt(2 * pbar * (1 - pbar)) + zb * math.sqrt(p0 * (1 - p0) + p1 * (1 - p1)),
-        2) / (m * m)
+      val s = za * math.sqrt(2 * pbar * (1 - pbar)) +
+        zb * math.sqrt(p0 * (1 - p0) + p1 * (1 - p1))
+      s * s / (m * m)
     }
     var lo = 1e-12
     var hi = 1 - p0 - 1e-12

@@ -978,16 +978,24 @@ object PipelineQueries {
     )
   )
 
-  // ---- T13: per-stratum sketch telemetry (rows-only; HLL registers are
-  // not SQL-replayable — error contract + partitioning invariance pinned
-  // by TextSpec; exact n_tokens/n_docs columns are deterministic) -------
+  // ---- T13: per-stratum profile, exercised in exact mode (FULL
+  // oracle — exact distincts replay in SQL; the HLL sketch default's
+  // error contract + partitioning invariance stay pinned by TextSpec) --
   val q66 = Q(
     "q66_strata_profile",
     (s, dir) =>
       graft.text.Vocab
-        .strataProfile(Tables.documents(s, dir), "text", "doc_id", "lang")
+        .strataProfile(Tables.documents(s, dir), "text", "doc_id", "lang", exact = true)
         .orderBy(col("lang")),
-    None
+    Some(
+      """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        |t AS (SELECT lang, count(*)::BIGINT AS n_tokens,
+        |        count(DISTINCT token)::BIGINT AS approx_vocab FROM tok GROUP BY 1),
+        |d AS (SELECT lang, count(DISTINCT doc_id)::BIGINT AS n_docs,
+        |        count(DISTINCT doc_id)::BIGINT AS approx_docs FROM documents GROUP BY 1)
+        |SELECT t.lang, n_tokens, n_docs, approx_vocab, approx_docs
+        |FROM t JOIN d ON t.lang = d.lang ORDER BY t.lang""".stripMargin
+    )
   )
 
   // ---- P12: semantic dedup — centroid cells → within-cell cosine pairs
@@ -6101,8 +6109,10 @@ object PipelineQueries {
     )
   )
 
-  // ---- T76: experiment sizing closed forms (rows-only — the probit
-  // is a driver-side rational approximation with no SQL twin; the spec
+  // ---- T76: experiment sizing closed forms (FULL oracle — the probit
+  // constants ship as round-trip binary64 literals, q194's CAST('…' AS
+  // DOUBLE) convention; every remaining op is identical-order IEEE
+  // scalar arithmetic, so ceil(n) matches bit-for-bit; the spec still
   // pins textbook values and the requiredN/mde round trip) -------------
   val q226 = Q(
     "q226_power_analysis",
@@ -6114,7 +6124,21 @@ object PipelineQueries {
       graft.ops.Abtest.requiredN(s, math.max(0.01, math.floor(base * 1e4) / 1e4),
         mde = 0.01)
     },
-    None
+    Some {
+      val za = graft.ops.Abtest.probit(1 - 0.05 / 2).toString
+      val zb = graft.ops.Abtest.probit(0.8).toString
+      s"""WITH b AS (SELECT avg(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END)
+         |             AS base FROM events),
+         |p AS (SELECT greatest(0.01::DOUBLE, floor(base * 1e4) / 1e4) AS p0 FROM b),
+         |c AS (SELECT p0, p0 + 0.01::DOUBLE AS p1 FROM p),
+         |s AS (SELECT p0, p1,
+         |        CAST('$za' AS DOUBLE) * sqrt(2 * ((p0 + p1) / 2) * (1 - (p0 + p1) / 2)) +
+         |        CAST('$zb' AS DOUBLE) * sqrt(p0 * (1 - p0) + p1 * (1 - p1)) AS se
+         |      FROM c)
+         |SELECT p0, p1, 0.05::DOUBLE AS alpha, 0.8::DOUBLE AS "power",
+         |  CAST(ceil(se * se / (0.01::DOUBLE * 0.01::DOUBLE)) AS BIGINT) AS n_per_arm
+         |FROM s""".stripMargin
+    }
   )
 
   // ---- C69: pandas expanding + pct_change parity (FULL oracle —
@@ -6288,16 +6312,84 @@ object PipelineQueries {
     )
   )
 
-  // ---- S30: Holt-Winters forecast (rows-only: the recursion is a
-  // sequential per-key fold with no SQL twin; TimeseriesSpec pins the
-  // planted trend+season recovery and the short-series contract) -------
+  // ---- S30: Holt-Winters forecast (FULL oracle — the triple-recursion
+  // replays as a recursive CTE carrying (level, trend, season-list)
+  // state per key, the q194/q278 loop-replay convention; smoothing
+  // constants ship as round-trip binary64 literals in the exact Scala
+  // op order, so every emitted 6dp value matches) ----------------------
   val q232 = Q(
     "q232_holt_winters",
     (s, dir) =>
       graft.ops.Forecast.holtWinters(
         dailySeries(s, dir), "event_type", "day", "n", period = 7, horizon = 7)
         .orderBy("event_type", "day"),
-    None
+    Some {
+      val al = 0.3.toString; val al1 = (1.0 - 0.3).toString
+      val be = 0.1.toString; val be1 = (1.0 - 0.1).toString
+      val ga = 0.2.toString; val ga1 = (1.0 - 0.2).toString
+      s"""WITH RECURSIVE d AS (SELECT event_type AS k, floor(epoch(ts)/86400)::BIGINT AS t,
+         |        count(*)::BIGINT AS v FROM events GROUP BY 1, 2),
+         |b0 AS (SELECT k, t, v::DOUBLE AS v,
+         |        row_number() OVER (PARTITION BY k ORDER BY t) - 1 AS i,
+         |        count(*) OVER (PARTITION BY k) AS cnt
+         |       FROM d),
+         |ys AS (SELECT k, cnt, max(t) AS last_t, list(v ORDER BY i) AS y
+         |       FROM b0 WHERE cnt >= 14 GROUP BY k, cnt),
+         |ini AS (SELECT k, cnt, last_t, y,
+         |         ((((((y[1]+y[2])+y[3])+y[4])+y[5])+y[6])+y[7])/7 AS m1,
+         |         ((((((y[8]+y[9])+y[10])+y[11])+y[12])+y[13])+y[14])/7 AS m2
+         |        FROM ys),
+         |rec AS (
+         |  SELECT k, cnt, last_t, y,
+         |    list_transform(range(1, 8), j -> y[j] - m1) AS s,
+         |    m1 AS l, (m2 - m1)/7 AS b, 6::BIGINT AS i,
+         |    CAST(NULL AS DOUBLE) AS lv, CAST(NULL AS DOUBLE) AS tr,
+         |    CAST(NULL AS DOUBLE) AS sv, CAST(NULL AS DOUBLE) AS ft
+         |  FROM ini
+         |  UNION ALL
+         |  SELECT k, cnt, last_t, y,
+         |    list_transform(range(1, 8),
+         |      j -> CASE WHEN j = pos THEN snew ELSE s[j] END),
+         |    lnew, bnew, i + 1, lnew, bnew, snew, fitted
+         |  FROM (
+         |    SELECT p.*,
+         |      CAST('$be' AS DOUBLE)*(p.lnew - p.l) + CAST('$be1' AS DOUBLE)*p.b AS bnew,
+         |      CAST('$ga' AS DOUBLE)*(p.yi - p.lnew) + CAST('$ga1' AS DOUBLE)*p.sprev AS snew
+         |    FROM (
+         |      SELECT q.*, ((q.i + 1) % 7) + 1 AS pos, q.y[q.i + 2] AS yi,
+         |        q.s[((q.i + 1) % 7) + 1] AS sprev,
+         |        q.l + q.b + q.s[((q.i + 1) % 7) + 1] AS fitted,
+         |        CAST('$al' AS DOUBLE)*(q.y[q.i + 2] - q.s[((q.i + 1) % 7) + 1])
+         |          + CAST('$al1' AS DOUBLE)*(q.l + q.b) AS lnew
+         |      FROM rec q WHERE q.i + 1 <= q.cnt - 1
+         |    ) p
+         |  )
+         |),
+         |out AS (
+         |  SELECT k, t, v, CAST(NULL AS DOUBLE) AS level, CAST(NULL AS DOUBLE) AS trend,
+         |         CAST(NULL AS DOUBLE) AS seasonal, CAST(NULL AS DOUBLE) AS fitted,
+         |         false AS is_forecast
+         |  FROM b0 WHERE cnt < 14
+         |  UNION ALL
+         |  SELECT b0.k, b0.t, b0.v, NULL, NULL,
+         |         floor((b0.v - ini.m1)*1e6+0.5)/1e6, NULL, false
+         |  FROM b0 JOIN ini ON b0.k = ini.k WHERE b0.i < 7
+         |  UNION ALL
+         |  SELECT r.k, b0.t, b0.v, floor(r.lv*1e6+0.5)/1e6, floor(r.tr*1e6+0.5)/1e6,
+         |         floor(r.sv*1e6+0.5)/1e6, floor(r.ft*1e6+0.5)/1e6, false
+         |  FROM rec r JOIN b0 ON b0.k = r.k AND b0.i = r.i WHERE r.i >= 7
+         |  UNION ALL
+         |  SELECT r.k, r.last_t + h.j, NULL, NULL, NULL,
+         |         floor(r.s[CAST((r.cnt - 1 + h.j) % 7 AS BIGINT) + 1]*1e6+0.5)/1e6,
+         |         floor((r.l + h.j*r.b + r.s[CAST((r.cnt - 1 + h.j) % 7 AS BIGINT) + 1])
+         |           *1e6+0.5)/1e6, true
+         |  FROM rec r CROSS JOIN (SELECT unnest(range(1, 8)) AS j) h
+         |  WHERE r.i = r.cnt - 1
+         |)
+         |SELECT k AS event_type, t AS day, v AS n, level, trend, seasonal, fitted,
+         |       is_forecast
+         |FROM out ORDER BY event_type, day""".stripMargin
+    }
   )
 
   // ---- P39: multi-source BFS hop distance (FULL oracle — the q54
@@ -7437,7 +7529,97 @@ object PipelineQueries {
         (col("lang") === "en").cast("int").as("lbl"))
       graft.ops.Calibrate.platt(df, "score", "lbl").orderBy("doc_id")
     },
-    None
+    // FULL oracle: the IRLS loop replays as a recursive CTE — each pass
+    // recomputes the five weighted sufficient sums as global window
+    // sums (the q278 convention), solves the 2x2 system in LinAlg's
+    // exact pivot/eliminate/back-substitute op order, and stops on the
+    // same relative-deviance test. Per-pass sums differ from Spark's in
+    // ulps (summation order), absorbed by the 6dp output quantizer.
+    Some(
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, n_chars::DOUBLE / 1000.0 AS x,
+        |         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM documents),
+        |it AS (
+        |  SELECT 1 AS i,
+        |    (v0 - m01*b1n)/m00 AS b0, b1n AS b1, devnow AS dev, false AS done
+        |  FROM (
+        |    SELECT u.*,
+        |      (v1 - (m10/m00)*v0) / (m11 - (m10/m00)*m01) AS b1n
+        |    FROM (
+        |      SELECT DISTINCT
+        |        CASE WHEN abs(sB) > abs(sA) THEN sB ELSE sA END AS m00,
+        |        CASE WHEN abs(sB) > abs(sA) THEN sC ELSE sB END AS m01,
+        |        CASE WHEN abs(sB) > abs(sA) THEN sA ELSE sB END AS m10,
+        |        CASE WHEN abs(sB) > abs(sA) THEN sB ELSE sC END AS m11,
+        |        CASE WHEN abs(sB) > abs(sA) THEN d1 ELSE d0 END AS v0,
+        |        CASE WHEN abs(sB) > abs(sA) THEN d0 ELSE d1 END AS v1,
+        |        devnow
+        |      FROM (
+        |        SELECT sum(w) OVER () AS sA, sum(w*x) OVER () AS sB,
+        |               sum(w*x*x) OVER () AS sC, sum(w*z) OVER () AS d0,
+        |               sum(w*x*z) OVER () AS d1, sum(devterm) OVER () AS devnow
+        |        FROM (
+        |          SELECT x, y, eta, mu, mu*(1.0 - mu) AS w,
+        |            eta + (y - mu)/(mu*(1.0 - mu)) AS z,
+        |            -2.0*(CASE WHEN y > 0.0 THEN y*ln(mu) ELSE 0.0 END +
+        |                  CASE WHEN y < 1.0 THEN (1.0 - y)*ln(1.0 - mu) ELSE 0.0 END)
+        |              AS devterm
+        |          FROM (
+        |            SELECT x, y, eta,
+        |              1.0/(1.0 + exp(-least(greatest(eta, -30.0), 30.0))) AS mu
+        |            FROM (
+        |              SELECT x, y,
+        |                ln(((y + 0.5)/2.0)/(1.0 - (y + 0.5)/2.0)) AS eta
+        |              FROM docs))
+        |        )
+        |      )
+        |    ) u
+        |  )
+        |  UNION ALL
+        |  SELECT i + 1,
+        |    (v0 - m01*b1n)/m00, b1n, devnow,
+        |    abs(devnow - dev)/(abs(devnow) + 0.1) < 1e-9
+        |  FROM (
+        |    SELECT u.*,
+        |      (v1 - (m10/m00)*v0) / (m11 - (m10/m00)*m01) AS b1n
+        |    FROM (
+        |      SELECT DISTINCT i, dev,
+        |        CASE WHEN abs(sB) > abs(sA) THEN sB ELSE sA END AS m00,
+        |        CASE WHEN abs(sB) > abs(sA) THEN sC ELSE sB END AS m01,
+        |        CASE WHEN abs(sB) > abs(sA) THEN sA ELSE sB END AS m10,
+        |        CASE WHEN abs(sB) > abs(sA) THEN sB ELSE sC END AS m11,
+        |        CASE WHEN abs(sB) > abs(sA) THEN d1 ELSE d0 END AS v0,
+        |        CASE WHEN abs(sB) > abs(sA) THEN d0 ELSE d1 END AS v1,
+        |        devnow
+        |      FROM (
+        |        SELECT i, dev,
+        |               sum(w) OVER () AS sA, sum(w*x) OVER () AS sB,
+        |               sum(w*x*x) OVER () AS sC, sum(w*z) OVER () AS d0,
+        |               sum(w*x*z) OVER () AS d1, sum(devterm) OVER () AS devnow
+        |        FROM (
+        |          SELECT i, dev, x, y, eta, mu, mu*(1.0 - mu) AS w,
+        |            eta + (y - mu)/(mu*(1.0 - mu)) AS z,
+        |            -2.0*(CASE WHEN y > 0.0 THEN y*ln(mu) ELSE 0.0 END +
+        |                  CASE WHEN y < 1.0 THEN (1.0 - y)*ln(1.0 - mu) ELSE 0.0 END)
+        |              AS devterm
+        |          FROM (
+        |            SELECT q.i, q.dev, d.x, d.y,
+        |              1.0*q.b0 + d.x*q.b1 AS eta,
+        |              1.0/(1.0 + exp(-least(greatest(1.0*q.b0 + d.x*q.b1, -30.0), 30.0)))
+        |                AS mu
+        |            FROM it q, docs d WHERE q.i < 30 AND NOT q.done)
+        |        )
+        |      )
+        |    ) u
+        |  )
+        |),
+        |fin AS (SELECT b0, b1 FROM it WHERE i = (SELECT max(i) FROM it))
+        |SELECT d.doc_id, d.x AS score,
+        |  CASE WHEN d.y > 0.5 THEN 1 ELSE 0 END::INT AS lbl,
+        |  floor((1.0/(1.0 + exp(-(f.b0 + d.x*f.b1))))*1e6 + 0.5)/1e6 AS p_platt
+        |FROM docs d, fin f ORDER BY d.doc_id""".stripMargin
+    )
   )
 
   // ---- C86: Qini / uplift deciles (FULL oracle — ntile via the Z17

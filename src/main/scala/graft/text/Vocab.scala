@@ -85,29 +85,37 @@ object Vocab {
     * max-merge), so results are deterministic and partitioning-
     * independent — pinned, with the rsd error contract, by `TextSpec`.
     */
+  /** @param exact replace the HLL++ sketches with exact distincts —
+    *        the oracle/audit mode (same columns, deterministic SQL
+    *        semantics). Costs the distinct-aggregate Expand the sketch
+    *        exists to avoid; default stays sketch at corpus scale.
+    */
   def strataProfile(
       df: DataFrame,
       textCol: String,
       idCol: String,
       strataCol: String,
-      rsd: Double = 0.02
+      rsd: Double = 0.02,
+      exact: Boolean = false
   ): DataFrame = {
     // doc-level stats come from the UN-exploded frame: an exact distinct
     // over the token explosion would force a distinct-aggregate Expand
     // duplicating every (stratum, doc, token) row — the token pass must
     // stay sketch-only. Both sides aggregate to one row per stratum, so
     // the join is broadcast-sized.
+    def cardinality(c: Column): Column =
+      if (exact) count_distinct(c) else approx_count_distinct(c, rsd)
     val tokSide = df
       .select(col(strataCol), explode(split(col(textCol), " ")).as("token"))
       .groupBy(col(strataCol))
       .agg(
         count(lit(1)).as("n_tokens"),
-        approx_count_distinct(col("token"), rsd).as("approx_vocab"))
+        cardinality(col("token")).as("approx_vocab"))
     val docSide = df
       .groupBy(col(strataCol))
       .agg(
         count_distinct(col(idCol)).as("n_docs"),
-        approx_count_distinct(col(idCol), rsd).as("approx_docs"))
+        cardinality(col(idCol)).as("approx_docs"))
     tokSide
       .join(docSide, Seq(strataCol))
       .select(
