@@ -8796,6 +8796,35 @@ object PipelineQueries {
     )
   )
 
+  // ---- T1b follow-through: byte-level no-OOV under UNSEEN scripts
+  // (rows-only, q71's in-query roundtrip convention: the merge table is
+  // trained on the ASCII-ish synthetic corpus, then must losslessly
+  // round-trip text carrying CJK/emoji/accents it never saw — the exact
+  // property whitespace-word tokenizers cannot have; BpeSpec pins the
+  // trainer determinism and local multibyte round trips) ---------------
+  val q299 = Q(
+    "q299_bpe_bytelevel",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = graft.text.Bpe.trainOn(docs, "text", numMerges = 150, maxWords = 20000)
+      val salted = docs
+        .where(col("doc_id") % 5 === 0)
+        .withColumn("text2",
+          concat(col("text"), lit(" café 東京 🚀 naïve Ω"), col("doc_id").cast("string")))
+      val toks = graft.text.Bpe.withTokens(salted, "text2", vocab)
+      graft.text.Bpe.decodeCol(toks, "tokens", "__rt", vocab)
+        .select(
+          col("doc_id"),
+          col("n_tokens_bpe"),
+          (col("__rt") === col("text2")).as("roundtrip_ok"),
+          // every id must be a raw byte or one of the 150 merges
+          aggregate(col("tokens"), lit(true),
+            (acc, t) => acc && t >= 0 && t < lit(256 + 150)).as("ids_in_vocab"))
+        .orderBy(col("doc_id"))
+    },
+    None
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
@@ -8804,5 +8833,5 @@ object PipelineQueries {
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
       q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276,
       q277, q278, q279, q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290,
-      q291, q292, q293, q294, q295, q296, q297, q298)
+      q291, q292, q293, q294, q295, q296, q297, q298, q299)
 }

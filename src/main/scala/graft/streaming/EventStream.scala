@@ -470,7 +470,15 @@ object EventStream {
         var last = state.getOption // (channel, tsUs, touchId)
         val out = scala.collection.mutable.ArrayBuffer
           .empty[(Long, Long, Long, Option[String], Option[Long])]
-        rows.toArray.sortBy(e => (micros(e._2), e._3)).foreach {
+        // (ts, isConversion, id): all touches at instant T fold BEFORE
+        // conversions at T, so a same-microsecond touch counts no matter
+        // how its id compares to the conversion's — exactly the batch
+        // operator's time-only filter (__dt >= 0). A plain (ts, id) sort
+        // would miss a same-instant touch whose id exceeds the
+        // conversion's.
+        rows.toArray
+          .sortBy(e => (micros(e._2), if (e._4 == conversionType) 1 else 0, e._3))
+          .foreach {
           case (_, t, id, tpe) =>
             val us = micros(t)
             if (touchSet(tpe)) {

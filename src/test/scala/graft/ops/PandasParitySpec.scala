@@ -110,6 +110,30 @@ class PandasParitySpec extends SparkSpec {
     assert(math.abs(a.map(_._2).sum / a.length) < 2.0)
   }
 
+  test("Privacy release nonce: fresh noise per publication; publish views carry only released") {
+    val df = (1 to 2000).map(i => (s"g${i % 40}", i)).toDF("g", "x")
+    val noiseOf = (rel: String) =>
+      Privacy.laplaceCounts(df, "g", epsilon = 0.5, release = rel).collect()
+        .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val r1 = noiseOf("2024-06-01")
+    val r1b = noiseOf("2024-06-01")
+    val r2 = noiseOf("2024-07-01")
+    assert(r1 == r1b, "same (seed, release) -> identical regeneration")
+    // a repeated release on updated data must NOT share noise: otherwise
+    // the difference of the two published tables is the exact count delta
+    assert(r1.count { case (g, nz) => r2(g) != nz } > 30,
+      "different release nonce must redraw the noise")
+    // empty release keeps the legacy (seed|group) draw
+    val legacy = Privacy.laplaceCounts(df, "g", epsilon = 0.5).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(legacy.count { case (g, nz) => r1(g) != nz } > 30)
+    // publication views: just (group, released) — no exact n, no raw noise
+    assert(Privacy.publishCounts(df, "g", epsilon = 0.5, release = "x")
+      .columns.toSeq == Seq("g", "released"))
+    assert(Privacy.publishSums(df, "g", "x", 0.0, 5.0, epsilon = 1.0, release = "x")
+      .columns.toSeq == Seq("g", "released"))
+  }
+
   test("Privacy.laplaceSum: clipping census, reproducible noise, sensitivity from the bounds") {
     // values 0..9 per group; clip to [0, 5] → 4 rows clipped, clipped sum = 0+1+2+3+4+5+5+5+5+5
     val df = (0 until 10).flatMap(v => Seq(("a", v.toDouble), ("b", v.toDouble))).toDF("g", "x")

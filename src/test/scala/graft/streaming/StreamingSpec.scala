@@ -1111,4 +1111,32 @@ class StreamingSpec extends SparkSpec {
       assert(got(20L) === None) // no touch ever
     } finally q.stop()
   }
+
+  test("streaming last-touch: same-instant touch counts even when its id exceeds the conversion's") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(sec: Int) = new java.sql.Timestamp(base.getTime + sec * 1000L)
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the batch operator's filter is time-only (__dt >= 0): a touch at
+    // the conversion's exact instant attributes regardless of id order.
+    // id 99 (touch) > id 5 (conversion), same second — a (ts, id) fold
+    // would process the conversion first and miss it.
+    val rows = Seq(
+      (1L, ts(1), 1L, "click"),
+      (1L, ts(4), 99L, "view"), (1L, ts(4), 5L, "purchase"))
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val out = EventStream.lastTouchStream(
+      ms.toDF.toDF("u", "ts", "id", "et"), "u", "ts", "id", "et",
+      conversionType = "purchase", touchTypes = Seq("click", "view"), lookbackSec = 100L)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("lt_tie").start()
+    try {
+      ms.addData(rows: _*); q.processAllAvailable()
+      val got = spark.table("lt_tie")
+        .select("conv_id", "channel", "touch_id").collect()
+        .map(r => r.getLong(0) -> ((Option(r.getString(1)), Option(r.get(2))))).toMap
+      assert(got(5L)._1 === Some("view"), "same-instant touch must attribute")
+      assert(got(5L)._2 === Some(99L))
+    } finally q.stop()
+  }
 }
