@@ -221,4 +221,65 @@ object Panel {
       when(okB, q6(lvB)).as("level_post"),
       when(okA && okB, q6(lvB - lvA)).as("level_change"))
   }
+
+  /** Callaway–Sant'Anna group-time ATT (2021) — staggered-adoption DiD
+    * done right: with units adopting treatment at different periods,
+    * one pooled two-way-FE DiD mixes already-treated units into the
+    * control group and can even flip the sign (Goodman-Bacon 2021).
+    * CS instead estimates a SEPARATE 2×2 per (adoption cohort g,
+    * period t), always against the never-treated:
+    * ATT(g,t) = [ȳ_{g,t} − ȳ_{g,g−1}] − [ȳ_{∅,t} − ȳ_{∅,g−1}],
+    * anchored at the cohort's last pre-period g−1. Rows with t < g are
+    * pre-trend placebos (should straddle 0); the overall ATT is the
+    * cohort-size-weighted mean over post rows, reported alongside.
+    *
+    * Scale shape: ONE (cohort, period) mean aggregate (cells =
+    * cohorts × periods, bounded — never unit rows), then broadcast
+    * self-joins of the cell frame for the base-period and control
+    * anchors. `gCol` = adoption period, 0 (or null → 0) = never
+    * treated. Cohorts lacking their g−1 base cell, or periods missing
+    * a control cell, are dropped by the inner joins (the estimator is
+    * undefined there, not zero). Returns one row per (g, t):
+    * (g, t, event_time, n_treated, att 6dp, att_overall 6dp — the
+    * same weighted scalar repeated, null if no post rows).
+    */
+  def csDid(
+      df: DataFrame,
+      unitCol: String,
+      timeCol: String,
+      yCol: String,
+      gCol: String): DataFrame = {
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    val cells = df
+      .select(
+        coalesce(col(gCol).cast("long"), lit(0L)).as("g"),
+        col(timeCol).cast("long").as("t"),
+        col(yCol).cast("double").as("y"))
+      .groupBy("g", "t")
+      .agg(count(lit(1)).as("n"), (sum(col("y")) / count(lit(1))).as("m"))
+    val treatedCells = cells.where(col("g") > 0)
+    val treatBase = cells.where(col("g") > 0 && col("t") === col("g") - 1)
+      .select(col("g"), col("m").as("m_g_base"))
+    val ctrl = cells.where(col("g") === 0)
+      .select(col("t"), col("m").as("m_c"))
+    val ctrlBase = ctrl.select(col("t").as("__bt"), col("m_c").as("m_c_base"))
+    val att = treatedCells
+      .join(broadcast(treatBase), Seq("g"))
+      .join(broadcast(ctrl), Seq("t"))
+      .join(broadcast(ctrlBase), col("__bt") === col("g") - 1)
+      .select(
+        col("g"), col("t"), (col("t") - col("g")).as("event_time"),
+        col("n").as("n_treated"),
+        ((col("m") - col("m_g_base")) - (col("m_c") - col("m_c_base"))).as("__att"))
+    // cohort-size-weighted overall ATT over post rows (event_time >= 0)
+    val overall = att.where(col("event_time") >= 0)
+      .agg((sum(col("n_treated") * col("__att")) /
+        sum(col("n_treated"))).as("__att_overall"))
+    att
+      .crossJoin(broadcast(overall))
+      .select(
+        col("g"), col("t"), col("event_time"), col("n_treated"),
+        q6(col("__att")).as("att"),
+        q6(col("__att_overall")).as("att_overall"))
+  }
 }

@@ -103,4 +103,119 @@ object Attribution {
         q6(sum(when(col("__rd") === 1, lit(1.0)).otherwise(lit(0.0)))).as("credit_last"),
         q6(sum(when(col("__ra") === 1, lit(1.0)).otherwise(lit(0.0)))).as("credit_first"))
   }
+
+  /** Markov-chain (removal-effect) attribution — the data-driven model
+    * beside [[credit]]'s five heuristics (Anderl et al. 2016): user
+    * journeys become a first-order chain `(start) → ch… → (conv)|(null)`,
+    * and a channel's credit is its REMOVAL EFFECT — the relative drop
+    * in the chain's start→conversion absorption probability when every
+    * transition into that channel is redirected to `(null)`:
+    * RE_c = (p − p_{−c})/p, shares normalized over channels.
+    *
+    * Journey construction: per user, the FIRST conversion event (by
+    * (ts, id) — a total order, which a path model needs) ends the
+    * journey; touches strictly before it in that order form the path,
+    * in order, consecutive repeats kept (self-loops are real dwell
+    * signal in a first-order chain). Converting users with no touches
+    * contribute `(start)→(conv)` (baseline conversion mass no channel
+    * may claim); non-converting users' paths end in `(null)`.
+    *
+    * Scale shape: journeys/pairs are two keyed windows over touch rows
+    * (user-keyed, never global), the chain collapses to a
+    * (channels+3)²-bounded transition-count aggregate — DRIVER-bounded
+    * model state like every centroid/codebook in this repo — and the
+    * absorption probabilities run `iters` synchronous Jacobi sweeps on
+    * the driver (fixed iteration count, not a tolerance stop, so the
+    * oracle's recursive-CTE replay is exactly reproducible; residual
+    * decays geometrically in the non-absorption rate). Output: one row
+    * per observed channel — (channel, p_conv 6dp, removal_effect 6dp,
+    * share 6dp), nulls when the chain never converts.
+    */
+  def markovRemoval(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      idCol: String,
+      conversionType: String,
+      touchTypes: Seq[String],
+      iters: Int = 100): DataFrame = {
+    require(touchTypes.nonEmpty, "Attribution.markovRemoval: need touch types")
+    require(!touchTypes.contains(conversionType),
+      "Attribution.markovRemoval: the conversion type cannot also be a touch type")
+    require(iters > 0, "iters must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+
+    val ev = events.select(
+      col(userCol).as("u"),
+      unix_micros(col(tsCol).cast("timestamp")).as("us"),
+      col(idCol).cast("long").as("id"),
+      col(typeCol).cast("string").as("et"))
+    val fc = ev.where(col("et") === conversionType)
+      .groupBy("u").agg(min(struct(col("us"), col("id"))).as("fc"))
+    val touches = ev.where(col("et").isin(touchTypes: _*))
+      .join(fc, Seq("u"), "left")
+      .where(col("fc").isNull ||
+        col("us") < col("fc.us") ||
+        (col("us") === col("fc.us") && col("id") < col("fc.id")))
+    val w = Window.partitionBy("u").orderBy("us", "id")
+    val tt = touches
+      .withColumn("src", coalesce(lag(col("et"), 1).over(w), lit("(start)")))
+      .withColumn("nxt", lead(col("et"), 1).over(w))
+    val pairs = tt.select(col("src"), col("et").as("dst"))
+      .unionByName(tt.where(col("nxt").isNull).select(
+        col("et").as("src"),
+        when(col("fc").isNotNull, lit("(conv)")).otherwise(lit("(null)")).as("dst")))
+      .unionByName(
+        fc.join(touches.select("u").distinct(), Seq("u"), "left_anti")
+          .select(lit("(start)").as("src"), lit("(conv)").as("dst")))
+
+    val counts = pairs.groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val totBySrc = counts.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    // edges sorted by dst: a FIXED summation order (the SQL replay sums
+    // unordered — ulp differences only, absorbed by the 6dp quantizer)
+    val edges: Map[String, Seq[(String, Double)]] = counts
+      .groupBy(_._1)
+      .view.mapValues(es =>
+        es.sortBy(_._2).map { case (s, d, n) => (d, n.toDouble / totBySrc(s).toDouble) }.toSeq)
+      .toMap
+    val channels = counts.map(_._1).distinct.filter(_ != "(start)").sorted
+    val states = "(start)" +: channels
+
+    def absorb(removed: Option[String]): Double = {
+      var p: Map[String, Double] = states.map(_ -> 0.0).toMap
+      var k = 0
+      while (k < iters) {
+        p = states.map { s =>
+          s -> edges.getOrElse(s, Nil).iterator.map { case (dst, pr) =>
+            val v =
+              if (dst == "(conv)") 1.0
+              else if (dst == "(null)") 0.0
+              else if (removed.contains(dst)) 0.0
+              else p.getOrElse(dst, 0.0)
+            pr * v
+          }.sum
+        }.toMap
+        k += 1
+      }
+      p.getOrElse("(start)", 0.0)
+    }
+
+    val pBase = absorb(None)
+    val res = channels.map { c =>
+      val re = if (pBase > 0) Some((pBase - absorb(Some(c))) / pBase) else None
+      (c, re)
+    }
+    val reSum = res.flatMap(_._2).sum
+    res.toSeq.map { case (c, re) =>
+      (c,
+        if (pBase > 0) Some(q6(pBase)) else None,
+        re.map(q6),
+        re.flatMap(r => if (reSum > 0) Some(q6(r / reSum)) else None))
+    }.toDF("channel", "p_conv", "removal_effect", "share")
+  }
 }

@@ -8825,6 +8825,137 @@ object PipelineQueries {
     None
   )
 
+  // ---- C99: Callaway–Sant'Anna staggered DiD (FULL oracle — the whole
+  // estimator is (cohort, period) cell means + three broadcast cell
+  // joins; sum/count means per the DuckDB-parity convention; staggered
+  // cohorts derived from each user's first purchase week) --------------
+  val q300 = Q(
+    "q300_cs_did",
+    (s, dir) => {
+      // staggered adoption derived deterministically: a third of users
+      // adopt, cohorts spread over ten start days from day 5 of the
+      // window; the other two thirds are the never-treated controls
+      val ev = Tables.events(s, dir)
+      val base = ev.select(
+        col("user_id"),
+        floor(unix_timestamp(col("ts")) / 86400).as("day"),
+        col("value").cast("double").as("v"))
+      val d0 = base.agg(min(col("day"))).head().getLong(0)
+      val panel = base.groupBy("user_id", "day")
+        .agg((sum(col("v")) / count(lit(1))).as("y"))
+        .withColumn("g",
+          when(col("user_id") % 3 === 0,
+            lit(d0) + lit(5) + col("user_id") % 10).otherwise(lit(0L)))
+      graft.ml.Panel.csDid(panel, "user_id", "day", "y", "g").orderBy("g", "t")
+    },
+    Some(
+      """WITH b AS (SELECT user_id AS u, floor(epoch(ts)/86400)::BIGINT AS day,
+        |             value::DOUBLE AS v
+        |           FROM events),
+        |d0 AS (SELECT min(day) AS d FROM b),
+        |p2 AS (SELECT u, day AS t, sum(v)/count(*) AS y,
+        |         CASE WHEN u % 3 = 0 THEN (SELECT d FROM d0) + 5 + u % 10
+        |              ELSE 0 END AS g
+        |       FROM b GROUP BY u, day),
+        |cells AS (SELECT g, t, count(*)::BIGINT AS n, sum(y)/count(*) AS m
+        |          FROM p2 GROUP BY 1, 2),
+        |tb AS (SELECT g, m AS m_g_base FROM cells WHERE g > 0 AND t = g - 1),
+        |c AS (SELECT t, m AS m_c FROM cells WHERE g = 0),
+        |cb AS (SELECT t AS bt, m AS m_c_base FROM cells WHERE g = 0),
+        |att AS (SELECT cells.g, cells.t, cells.t - cells.g AS event_time,
+        |          cells.n AS n_treated,
+        |          (cells.m - tb.m_g_base) - (c.m_c - cb.m_c_base) AS a
+        |        FROM cells JOIN tb ON cells.g = tb.g JOIN c ON c.t = cells.t
+        |          JOIN cb ON cb.bt = cells.g - 1
+        |        WHERE cells.g > 0),
+        |ov AS (SELECT sum(n_treated * a)/sum(n_treated) AS ao FROM att
+        |       WHERE event_time >= 0)
+        |SELECT g, t, event_time, n_treated,
+        |  floor(a*1e6+0.5)/1e6 AS att,
+        |  floor((SELECT ao FROM ov)*1e6+0.5)/1e6 AS att_overall
+        |FROM att ORDER BY g, t""".stripMargin
+    )
+  )
+
+  // ---- T110: Markov removal-effect attribution (FULL oracle — journey
+  // pairs replay as keyed windows, the bounded transition matrix as
+  // exact count ratios, and the fixed-100-sweep Jacobi absorption as a
+  // recursive CTE with absorbing self-loops; per-sweep sums differ in
+  // ulps only, absorbed by the 6dp quantizer) --------------------------
+  val q301 = Q(
+    "q301_markov_attribution",
+    (s, dir) =>
+      graft.ops.Attribution.markovRemoval(
+        Tables.events(s, dir), "user_id", "ts", "event_type", "event_id",
+        conversionType = "purchase",
+        touchTypes = Seq("click", "view", "signup", "share"))
+        .orderBy("channel"),
+    Some(
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id AS u, epoch_us(ts) AS us, event_id AS id, event_type AS et
+        |  FROM events),
+        |fc AS (SELECT u, us AS cus, id AS cid FROM (
+        |    SELECT u, us, id,
+        |      row_number() OVER (PARTITION BY u ORDER BY us, id) AS rn
+        |    FROM ev WHERE et = 'purchase') WHERE rn = 1),
+        |tch AS (SELECT e.u, e.us, e.id, e.et AS ch, fc.u IS NOT NULL AS conv
+        |        FROM ev e LEFT JOIN fc ON e.u = fc.u
+        |        WHERE e.et IN ('click', 'view', 'signup', 'share')
+        |          AND (fc.u IS NULL OR e.us < fc.cus
+        |               OR (e.us = fc.cus AND e.id < fc.cid))),
+        |tt AS (SELECT u, ch, conv,
+        |         coalesce(lag(ch) OVER w, '(start)') AS src,
+        |         lead(ch) OVER w AS nxt
+        |       FROM tch WINDOW w AS (PARTITION BY u ORDER BY us, id)),
+        |pairs AS (
+        |  SELECT src, ch AS dst FROM tt
+        |  UNION ALL
+        |  SELECT ch, CASE WHEN conv THEN '(conv)' ELSE '(null)' END FROM tt
+        |  WHERE nxt IS NULL
+        |  UNION ALL
+        |  SELECT '(start)', '(conv)' FROM fc
+        |  WHERE u NOT IN (SELECT DISTINCT u FROM tch)),
+        |tr AS (SELECT src, dst, count(*)::BIGINT AS n FROM pairs GROUP BY 1, 2),
+        |tot AS (SELECT src, sum(n) AS t FROM tr GROUP BY 1),
+        |tpx AS (SELECT tr.src, tr.dst, tr.n::DOUBLE / tot.t::DOUBLE AS pr
+        |        FROM tr JOIN tot ON tr.src = tot.src
+        |        UNION ALL SELECT '(conv)', '(conv)', 1.0::DOUBLE
+        |        UNION ALL SELECT '(null)', '(null)', 1.0::DOUBLE),
+        |rm AS (SELECT '(none)' AS removed
+        |       UNION ALL SELECT DISTINCT src FROM tr
+        |       WHERE src NOT IN ('(start)', '(conv)', '(null)')),
+        |sts AS (SELECT DISTINCT src AS st FROM tpx),
+        |rec AS (
+        |  SELECT rm.removed, s.st AS state,
+        |    CASE WHEN s.st = '(conv)' THEN 1.0 ELSE 0.0 END::DOUBLE AS p, 0 AS it
+        |  FROM rm, sts s
+        |  UNION ALL
+        |  SELECT DISTINCT q.removed, q.src AS state, q.np AS p, q.it + 1
+        |  FROM (
+        |    SELECT r.removed, t.src, r.it,
+        |      sum(t.pr * (CASE WHEN r.state = r.removed THEN 0.0 ELSE r.p END))
+        |        OVER (PARTITION BY r.removed, t.src) AS np
+        |    FROM rec r JOIN tpx t ON t.dst = r.state
+        |    WHERE r.it < 100
+        |  ) q
+        |),
+        |fin AS (SELECT removed, p FROM rec WHERE it = 100 AND state = '(start)'),
+        |base AS (SELECT p AS pb FROM fin WHERE removed = '(none)'),
+        |re AS (SELECT removed AS channel,
+        |         CASE WHEN (SELECT pb FROM base) > 0
+        |           THEN ((SELECT pb FROM base) - p) / (SELECT pb FROM base) END AS r
+        |       FROM fin WHERE removed <> '(none)'),
+        |rtot AS (SELECT sum(r) AS s FROM re)
+        |SELECT channel,
+        |  CASE WHEN (SELECT pb FROM base) > 0
+        |    THEN floor((SELECT pb FROM base)*1e6+0.5)/1e6 END AS p_conv,
+        |  floor(r*1e6+0.5)/1e6 AS removal_effect,
+        |  CASE WHEN (SELECT s FROM rtot) > 0
+        |    THEN floor(r/(SELECT s FROM rtot)*1e6+0.5)/1e6 END AS share
+        |FROM re ORDER BY channel""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
@@ -8833,5 +8964,5 @@ object PipelineQueries {
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
       q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276,
       q277, q278, q279, q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290,
-      q291, q292, q293, q294, q295, q296, q297, q298, q299)
+      q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301)
 }

@@ -260,4 +260,34 @@ class PanelSpec extends SparkSpec {
     assert(e.isNullAt(e.fieldIndex("slope_post")) && e.isNullAt(e.fieldIndex("level_change")))
     assert(!e.isNullAt(e.fieldIndex("slope_pre")))
   }
+
+  test("Panel.csDid: hand staggered panel — exact group-time ATTs, pre-period placebo, weighted overall") {
+    // periods 1..4. Control units c1/c2: y = 10 + t (parallel trend).
+    // Cohort g=3 (two units): y = 20 + t, +5 from t=3 on (true ATT 5).
+    // Cohort g=4 (one unit): y = 30 + t, +2 at t=4 (true ATT 2).
+    def rows(u: String, base: Double, g: Long, lift: Map[Long, Double]) =
+      (1L to 4L).map(t => (u, t, base + t + lift.getOrElse(t, 0.0), g))
+    val df = (
+      rows("c1", 10, 0, Map()) ++ rows("c2", 10, 0, Map()) ++
+        rows("t1", 20, 3, Map(3L -> 5.0, 4L -> 5.0)) ++
+        rows("t2", 20, 3, Map(3L -> 5.0, 4L -> 5.0)) ++
+        rows("t3", 30, 4, Map(4L -> 2.0))
+    ).toDF("u", "t", "y", "g")
+    val out = Panel.csDid(df, "u", "t", "y", "g").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    // cohort 3, base t=2: ATT(3,3) = ATT(3,4) = 5; placebo ATT(3,1) = 0
+    assert(out((3L, 3L)).getAs[Double]("att") === 5.0)
+    assert(out((3L, 4L)).getAs[Double]("att") === 5.0)
+    assert(out((3L, 1L)).getAs[Double]("att") === 0.0)
+    assert(out((3L, 1L)).getAs[Long]("event_time") === -2L)
+    // cohort 4, base t=3: ATT(4,4) = 2; placebos 0
+    assert(out((4L, 4L)).getAs[Double]("att") === 2.0)
+    assert(out((4L, 1L)).getAs[Double]("att") === 0.0)
+    // overall = (2·5 + 2·5 + 1·2)/5 — n_treated-weighted over post rows
+    assert(math.abs(out((3L, 3L)).getAs[Double]("att_overall") - 22.0 / 5.0) < 1e-9)
+    assert(out((3L, 3L)).getAs[Long]("n_treated") === 2L)
+    // cohort adopting at the first period has no g-1 base: dropped
+    val early = (rows("e1", 5, 1, Map()) ++ rows("c9", 1, 0, Map())).toDF("u", "t", "y", "g")
+    assert(Panel.csDid(early, "u", "t", "y", "g").where(col("g") === 1).count() === 0L)
+  }
 }

@@ -70,4 +70,47 @@ class AttributionSpec extends SparkSpec {
         Seq("purchase", "click"), 100L, 10.0)
     }
   }
+
+  test("markovRemoval: hand chain — removal effects match the absorbing-chain algebra") {
+    // u1: A -> conv ; u2: A -> B -> conv ; u3: B -> null ; u4: conv (no touches)
+    // chain: start->A (2/4), start->B (1/4), start->conv (1/4)
+    //        A->conv (1/2), A->B (1/2); B->conv (1/2), B->null (1/2)
+    // p(B) = 1/2; p(A) = 1/2 + 1/2·p(B) = 3/4
+    // p(start) = 1/2·(3/4) + 1/4·(1/2) + 1/4 = 3/4
+    // remove A: p(start) = 1/4·(1/2) + 1/4 = 3/8  -> RE_A = (3/4-3/8)/(3/4) = 1/2
+    // remove B: p(A) = 1/2; p(start) = 1/2·(1/2) + 1/4 = 1/2 -> RE_B = 1/3
+    // shares over 5/6: A = 3/5, B = 2/5
+    val events = Seq(
+      (1L, ts(0), 1L, "A"), (1L, ts(10), 2L, "purchase"),
+      (2L, ts(0), 3L, "A"), (2L, ts(5), 4L, "B"), (2L, ts(10), 5L, "purchase"),
+      (3L, ts(0), 6L, "B"),
+      (4L, ts(0), 7L, "purchase")
+    ).toDF("u", "t", "id", "et")
+    val out = Attribution.markovRemoval(events, "u", "t", "et", "id",
+      "purchase", Seq("A", "B")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet === Set("A", "B"))
+    assert(math.abs(out("A").getAs[Double]("p_conv") - 0.75) < 1e-6)
+    assert(math.abs(out("A").getAs[Double]("removal_effect") - 0.5) < 1e-6)
+    assert(math.abs(out("B").getAs[Double]("removal_effect") - 1.0 / 3.0) < 1e-6)
+    assert(math.abs(out("A").getAs[Double]("share") - 0.6) < 1e-6)
+    assert(math.abs(out("B").getAs[Double]("share") - 0.4) < 1e-6)
+    // a channel only on losing paths gets zero removal effect
+    val ev2 = Seq(
+      (1L, ts(0), 1L, "A"), (1L, ts(10), 2L, "purchase"),
+      (3L, ts(0), 6L, "B")
+    ).toDF("u", "t", "id", "et")
+    val o2 = Attribution.markovRemoval(ev2, "u", "t", "et", "id",
+      "purchase", Seq("A", "B")).collect().map(r => r.getString(0) -> r).toMap
+    assert(o2("B").getAs[Double]("removal_effect") === 0.0)
+    assert(o2("A").getAs[Double]("removal_effect") === 1.0)
+    // journeys cut at the FIRST conversion in (ts, id) order: a touch
+    // after it contributes nothing
+    val ev3 = Seq(
+      (1L, ts(0), 1L, "A"), (1L, ts(10), 2L, "purchase"), (1L, ts(20), 3L, "B")
+    ).toDF("u", "t", "id", "et")
+    val o3 = Attribution.markovRemoval(ev3, "u", "t", "et", "id",
+      "purchase", Seq("A", "B")).collect().map(r => r.getString(0)).toSet
+    assert(o3 === Set("A"))
+  }
 }
