@@ -131,6 +131,35 @@ object Attribution {
     * per observed channel — (channel, p_conv 6dp, removal_effect 6dp,
     * share 6dp), nulls when the chain never converts.
     */
+  /** Shared journey derivation for the path models: `fc` = each user's
+    * FIRST conversion as a (us, id) struct (lexicographic min — the
+    * total order a path model needs), `touches` = that user's touch
+    * rows strictly before it in (us, id) order (all touches when the
+    * user never converts), with `fc` joined on.
+    */
+  private def journeyTouches(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      idCol: String,
+      conversionType: String,
+      touchTypes: Seq[String]): (DataFrame, DataFrame) = {
+    val ev = events.select(
+      col(userCol).as("u"),
+      unix_micros(col(tsCol).cast("timestamp")).as("us"),
+      col(idCol).cast("long").as("id"),
+      col(typeCol).cast("string").as("et"))
+    val fc = ev.where(col("et") === conversionType)
+      .groupBy("u").agg(min(struct(col("us"), col("id"))).as("fc"))
+    val touches = ev.where(col("et").isin(touchTypes: _*))
+      .join(fc, Seq("u"), "left")
+      .where(col("fc").isNull ||
+        col("us") < col("fc.us") ||
+        (col("us") === col("fc.us") && col("id") < col("fc.id")))
+    (fc, touches)
+  }
+
   def markovRemoval(
       events: DataFrame,
       userCol: String,
@@ -148,18 +177,8 @@ object Attribution {
     import spark.implicits._
     def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
 
-    val ev = events.select(
-      col(userCol).as("u"),
-      unix_micros(col(tsCol).cast("timestamp")).as("us"),
-      col(idCol).cast("long").as("id"),
-      col(typeCol).cast("string").as("et"))
-    val fc = ev.where(col("et") === conversionType)
-      .groupBy("u").agg(min(struct(col("us"), col("id"))).as("fc"))
-    val touches = ev.where(col("et").isin(touchTypes: _*))
-      .join(fc, Seq("u"), "left")
-      .where(col("fc").isNull ||
-        col("us") < col("fc.us") ||
-        (col("us") === col("fc.us") && col("id") < col("fc.id")))
+    val (fc, touches) = journeyTouches(
+      events, userCol, tsCol, typeCol, idCol, conversionType, touchTypes)
     val w = Window.partitionBy("u").orderBy("us", "id")
     val tt = touches
       .withColumn("src", coalesce(lag(col("et"), 1).over(w), lit("(start)")))
@@ -217,5 +236,80 @@ object Attribution {
         re.map(q6),
         re.flatMap(r => if (reSum > 0) Some(q6(r / reSum)) else None))
     }.toDF("channel", "p_conv", "removal_effect", "share")
+  }
+
+  /** Shapley-value attribution on observed coalitions — the order-free
+    * game-theoretic model beside [[markovRemoval]]'s order-sensitive
+    * chain: each user's journey collapses to its SET of touched
+    * channels, the characteristic function is the observed conversion
+    * rate v(T) = conv(T)/n(T) per exact coalition (v ≡ 0 on unobserved
+    * subsets — the standard observed-coalition simplification, Zhao et
+    * al. 2018), and channel c's credit is the exact Shapley value over
+    * the n observed channels. With v supported only on observed sets
+    * the permutation sum COLLAPSES — no subset enumeration:
+    * φ_c = Σ_{T∋c} [w(|T|−1) + w(|T|)]·v(T) − Σ_T w(|T|)·v(T),
+    * with w(s) = s!(n−s−1)!/n! and w(n) ≡ 0 (the grand coalition is
+    * never a proper subset). So the whole estimator is: one coalition
+    * aggregate (distinct observed sets — bounded by users, typically
+    * tiny), one member explode + keyed sum, one broadcast scalar.
+    * Returns one row per observed channel: (channel, n_sets,
+    * shapley 6dp, share 6dp — share null unless Σφ > 0).
+    */
+  def shapley(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      idCol: String,
+      conversionType: String,
+      touchTypes: Seq[String]): DataFrame = {
+    require(touchTypes.nonEmpty, "Attribution.shapley: need touch types")
+    require(!touchTypes.contains(conversionType),
+      "Attribution.shapley: the conversion type cannot also be a touch type")
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    val (_, touches) = journeyTouches(
+      events, userCol, tsCol, typeCol, idCol, conversionType, touchTypes)
+    val sets = touches
+      .groupBy("u")
+      .agg(
+        array_join(array_sort(collect_set(col("et"))), "|").as("sk"),
+        max(col("fc").isNotNull.cast("int")).as("cv"))
+      .groupBy("sk")
+      .agg(count(lit(1)).as("n_u"), sum(col("cv")).as("n_conv"))
+      .withColumn("sz", size(split(col("sk"), "\\|")))
+      .withColumn("v", col("n_conv").cast("double") / col("n_u").cast("double"))
+      .localCheckpoint(true)
+    val channels = sets.select(explode(split(col("sk"), "\\|")).as("c"))
+      .distinct().collect().map(_.getString(0)).sorted
+    val n = channels.length
+    if (n == 0) {
+      val spark = events.sparkSession
+      import spark.implicits._
+      return Seq.empty[(String, Long, Option[Double], Option[Double])]
+        .toDF("channel", "n_sets", "shapley", "share")
+    }
+    def fact(k: Int): Double = (1 to k).foldLeft(1L)(_ * _.toLong).toDouble
+    // w(s) = s!(n-s-1)!/n!, w(n) = 0 — literals computed once, identical
+    // to the oracle's factorial()::DOUBLE arithmetic (exact small ints)
+    val wOf: Map[Int, Double] =
+      (0 until n).map(s => s -> fact(s) * fact(n - s - 1) / fact(n)).toMap + (n -> 0.0)
+    def wCol(szCol: Column): Column =
+      (0 to n).foldLeft(lit(0.0)) { (acc, s) => when(szCol === s, lit(wOf(s))).otherwise(acc) }
+    val totalW = sets.agg(sum(wCol(col("sz")) * col("v")).as("__tw"))
+    val perChannel = sets
+      .select(explode(split(col("sk"), "\\|")).as("channel"), col("sz"), col("v"))
+      .groupBy("channel")
+      .agg(
+        count(lit(1)).as("n_sets"),
+        sum((wCol(col("sz") - 1) + wCol(col("sz"))) * col("v")).as("__plus"))
+      .crossJoin(broadcast(totalW))
+      .withColumn("__phi", col("__plus") - col("__tw"))
+    val totalPhi = perChannel.agg(sum(col("__phi")).as("__tp"))
+    perChannel
+      .crossJoin(broadcast(totalPhi))
+      .select(
+        col("channel"), col("n_sets"),
+        q6(col("__phi")).as("shapley"),
+        when(col("__tp") > 0, q6(col("__phi") / col("__tp"))).as("share"))
   }
 }

@@ -8956,6 +8956,68 @@ object PipelineQueries {
     )
   )
 
+  // ---- T111: Shapley attribution on observed coalitions (FULL oracle —
+  // coalition sets via list aggregation, the collapsed permutation sum
+  // as factorial-weight closed forms; w(n) ≡ 0 convention on both
+  // sides; exact integer factorials, one scalar subquery) --------------
+  val q302 = Q(
+    "q302_shapley_attribution",
+    (s, dir) =>
+      graft.ops.Attribution.shapley(
+        Tables.events(s, dir), "user_id", "ts", "event_type", "event_id",
+        conversionType = "purchase",
+        touchTypes = Seq("click", "view", "signup", "share"))
+        .orderBy("channel"),
+    Some(
+      """WITH ev AS (
+        |  SELECT user_id AS u, epoch_us(ts) AS us, event_id AS id, event_type AS et
+        |  FROM events),
+        |fc AS (SELECT u, us AS cus, id AS cid FROM (
+        |    SELECT u, us, id,
+        |      row_number() OVER (PARTITION BY u ORDER BY us, id) AS rn
+        |    FROM ev WHERE et = 'purchase') WHERE rn = 1),
+        |tch AS (SELECT e.u, e.et AS ch, fc.u IS NOT NULL AS conv
+        |        FROM ev e LEFT JOIN fc ON e.u = fc.u
+        |        WHERE e.et IN ('click', 'view', 'signup', 'share')
+        |          AND (fc.u IS NULL OR e.us < fc.cus
+        |               OR (e.us = fc.cus AND e.id < fc.cid))),
+        |usr AS (SELECT u,
+        |          array_to_string(list_sort(list_distinct(list(ch))), '|') AS sk,
+        |          max(CASE WHEN conv THEN 1 ELSE 0 END) AS cv
+        |        FROM tch GROUP BY u),
+        |s2 AS (SELECT sk, len(string_split(sk, '|')) AS sz,
+        |         sum(cv)::DOUBLE / count(*)::DOUBLE AS v
+        |       FROM usr GROUP BY sk),
+        |nn AS (SELECT count(DISTINCT c) AS n FROM
+        |        (SELECT unnest(string_split(sk, '|')) AS c FROM s2)),
+        |tw AS (SELECT sum(
+        |         CASE WHEN sz = (SELECT n FROM nn) THEN 0.0
+        |           ELSE factorial(sz::INT)::DOUBLE
+        |             * factorial(((SELECT n FROM nn) - sz - 1)::INT)::DOUBLE
+        |             / factorial((SELECT n FROM nn)::INT)::DOUBLE END * v) AS t
+        |       FROM s2),
+        |pc AS (SELECT c AS channel, count(*)::BIGINT AS n_sets,
+        |         sum((
+        |           (CASE WHEN sz - 1 = (SELECT n FROM nn) THEN 0.0
+        |              ELSE factorial((sz - 1)::INT)::DOUBLE
+        |                * factorial(((SELECT n FROM nn) - sz)::INT)::DOUBLE
+        |                / factorial((SELECT n FROM nn)::INT)::DOUBLE END)
+        |           + (CASE WHEN sz = (SELECT n FROM nn) THEN 0.0
+        |              ELSE factorial(sz::INT)::DOUBLE
+        |                * factorial(((SELECT n FROM nn) - sz - 1)::INT)::DOUBLE
+        |                / factorial((SELECT n FROM nn)::INT)::DOUBLE END)) * v) AS plus
+        |       FROM (SELECT unnest(string_split(sk, '|')) AS c, sz, v FROM s2)
+        |       GROUP BY 1),
+        |tp AS (SELECT sum(plus - (SELECT t FROM tw)) AS t FROM pc)
+        |SELECT channel, n_sets,
+        |  floor((plus - (SELECT t FROM tw))*1e6+0.5)/1e6 AS shapley,
+        |  CASE WHEN (SELECT t FROM tp) > 0
+        |    THEN floor((plus - (SELECT t FROM tw))/(SELECT t FROM tp)*1e6+0.5)/1e6 END
+        |    AS share
+        |FROM pc ORDER BY channel""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
@@ -8964,5 +9026,5 @@ object PipelineQueries {
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
       q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276,
       q277, q278, q279, q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290,
-      q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301)
+      q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302)
 }

@@ -113,4 +113,36 @@ class AttributionSpec extends SparkSpec {
       "purchase", Seq("A", "B")).collect().map(r => r.getString(0)).toSet
     assert(o3 === Set("A"))
   }
+
+  test("shapley: collapsed permutation sum equals the direct Shapley formula on a hand game") {
+    // u1: {A} conv; u2: {A,B} conv; u3: {B} no conv; u4: conv, no touches.
+    // v({A})=1, v({B})=0, v({A,B})=1, v(∅)=0 (observed-coalition v).
+    // Direct Shapley (n=2): φ_A = ½[v(A)−v(∅)] + ½[v(AB)−v(B)] = 1
+    //                       φ_B = ½[v(B)−v(∅)] + ½[v(AB)−v(A)] = 0
+    val events = Seq(
+      (1L, ts(0), 1L, "A"), (1L, ts(10), 2L, "purchase"),
+      (2L, ts(0), 3L, "A"), (2L, ts(5), 4L, "B"), (2L, ts(10), 5L, "purchase"),
+      (3L, ts(0), 6L, "B"),
+      (4L, ts(0), 7L, "purchase")
+    ).toDF("u", "t", "id", "et")
+    val out = Attribution.shapley(events, "u", "t", "et", "id",
+      "purchase", Seq("A", "B")).collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet === Set("A", "B"))
+    assert(math.abs(out("A").getAs[Double]("shapley") - 1.0) < 1e-9)
+    assert(math.abs(out("B").getAs[Double]("shapley")) < 1e-9)
+    assert(math.abs(out("A").getAs[Double]("share") - 1.0) < 1e-9)
+    assert(out("A").getAs[Long]("n_sets") === 2L) // {A} and {A,B}
+    assert(out("B").getAs[Long]("n_sets") === 2L) // {B} and {A,B}
+    // order within the journey must NOT matter (set semantics):
+    // reversing u2's touch order changes nothing
+    val rev = Seq(
+      (1L, ts(0), 1L, "A"), (1L, ts(10), 2L, "purchase"),
+      (2L, ts(0), 3L, "B"), (2L, ts(5), 4L, "A"), (2L, ts(10), 5L, "purchase"),
+      (3L, ts(0), 6L, "B"),
+      (4L, ts(0), 7L, "purchase")
+    ).toDF("u", "t", "id", "et")
+    val o2 = Attribution.shapley(rev, "u", "t", "et", "id",
+      "purchase", Seq("A", "B")).collect().map(r => r.getString(0) -> r.getAs[Double]("shapley")).toMap
+    assert(o2 === out.view.mapValues(_.getAs[Double]("shapley")).toMap)
+  }
 }
