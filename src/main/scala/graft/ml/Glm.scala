@@ -95,7 +95,7 @@ case class GlmFeModel(
     val fam = Glm.familyOf(family, dispersion)
     val resid = col(yName).cast("double") - col("__mu")
     if (fam.canonical) resid
-    else resid * fam.dMuDeta(col("__mu")) / fam.varFun(col("__mu"))
+    else resid * fam.dMuDetaEta(col("__mu"), col("__eta")) / fam.varFun(col("__mu"))
   }
 
   /** Robust (HC0) sandwich: (X̃'WX̃)⁻¹ [Σ u² x̃x̃'] (X̃'WX̃)⁻¹ with the
@@ -187,6 +187,15 @@ object Glm {
     def dMuDeta(mu: Column): Column = weight(mu)
     /** Variance function V(μ) (only consulted when !canonical). */
     def varFun(mu: Column): Column = weight(mu)
+    /** η-aware forms — the ONLY hooks the iteration paths call. For
+      * every link that inverts in closed form they delegate to the
+      * μ-only expressions (bit-identical plans); a family whose link
+      * does NOT invert in closed form (probit: dμ/dη = ϕ(Φ⁻¹(μ)))
+      * overrides these instead, because η is always in scope at the
+      * call sites while Φ⁻¹ has no column form.
+      */
+    def weightEta(mu: Column, eta: Column): Column = weight(mu)
+    def dMuDetaEta(mu: Column, eta: Column): Column = dMuDeta(mu)
   }
 
   case object Poisson extends Family {
@@ -248,6 +257,48 @@ object Glm {
     override def canonical: Boolean = false
     override def dMuDeta(mu: Column): Column = -(lit(1.0) - mu) * log(lit(1.0) - mu)
     override def varFun(mu: Column): Column = mu * (lit(1.0) - mu)
+  }
+
+  /** Bernoulli outcome with the PROBIT link η = Φ⁻¹(μ) — the classic
+    * econometrics binary-choice family (latent-normal-utility reading;
+    * coefficients ≈ logit's / 1.6). The link does NOT invert in closed
+    * column form, so this family overrides the η-aware hooks instead
+    * of the μ-only ones: dμ/dη = ϕ(η) (the normal pdf — pure exp) and
+    * w = ϕ(η)²/(μ(1−μ)), with Φ from the shared portable polynomial
+    * ([[graft.functions.NormalDist]] — the same closed form a DuckDB
+    * replay evaluates). η clamps at ±8 where Φ saturates past 1e-15.
+    */
+  case object Probit extends Family {
+    val name = "probit"
+    private def clamp(eta: Column): Column =
+      least(greatest(eta, lit(-8.0)), lit(8.0))
+    private def pdf(eta: Column): Column = {
+      val e = clamp(eta)
+      lit(graft.functions.NormalDist.INV_SQRT_2PI) * exp(-(e * e) / lit(2.0))
+    }
+    def mu(eta: Column): Column =
+      least(greatest(graft.functions.NormalDist.phi(clamp(eta)), lit(1e-12)),
+        lit(1.0 - 1e-12))
+    def weight(mu: Column): Column =
+      throw new UnsupportedOperationException(
+        "Probit.weight(mu): the probit link has no closed-form inverse — " +
+          "use the eta-aware weightEta (all iteration paths do)")
+    def deviance(y: Column, mu: Column): Column = Binomial.deviance(y, mu)
+    def etaInit(y: Column, ybar: Double): Column = {
+      // logit init rescaled by the classic 1.702 logit-probit factor
+      val m = (y + 0.5) / 2.0
+      log(m / (lit(1.0) - m)) / lit(1.702)
+    }
+    override def canonical: Boolean = false
+    override def dMuDeta(mu: Column): Column =
+      throw new UnsupportedOperationException(
+        "Probit.dMuDeta(mu): use the eta-aware dMuDetaEta")
+    override def varFun(mu: Column): Column = mu * (lit(1.0) - mu)
+    override def weightEta(mu: Column, eta: Column): Column = {
+      val p = pdf(eta)
+      p * p / (mu * (lit(1.0) - mu))
+    }
+    override def dMuDetaEta(mu: Column, eta: Column): Column = pdf(eta)
   }
 
   /** Gamma outcome (y > 0) with the LOG link — the standard practical
@@ -376,7 +427,7 @@ object Glm {
           off.map(xb + _).getOrElse(xb)
         }
       val mu = family.mu(eta)
-      val w = fw * family.weight(mu)
+      val w = fw * family.weightEta(mu, eta)
       // the regression target is the working response net of the offset;
       // general-link form z = η + (y − μ)·dη/dμ (the canonical branch
       // keeps the historical expression bit-for-bit)
@@ -384,7 +435,7 @@ object Glm {
         if (family.canonical)
           eta + (yc - mu) / family.weight(mu) - off.getOrElse(lit(0.0))
         else
-          eta + (yc - mu) / family.dMuDeta(mu) - off.getOrElse(lit(0.0))
+          eta + (yc - mu) / family.dMuDetaEta(mu, eta) - off.getOrElse(lit(0.0))
 
       // one pass: weighted Gram + X'Wz + deviance at the CURRENT β
       val aggs: Seq[Column] =
@@ -431,6 +482,11 @@ object Glm {
       tol: Double = 1e-9, maxIter: Int = 30, offset: Option[String] = None,
       weight: Option[String] = None): GlmModel =
     fit(df, y, xs, Gamma, intercept, tol, maxIter, offset, weight)
+
+  def probit(df: DataFrame, y: String, xs: Seq[String], intercept: Boolean = true,
+      tol: Double = 1e-9, maxIter: Int = 30, offset: Option[String] = None,
+      weight: Option[String] = None): GlmModel =
+    fit(df, y, xs, Probit, intercept, tol, maxIter, offset, weight)
 
   def cloglog(df: DataFrame, y: String, xs: Seq[String], intercept: Boolean = true,
       tol: Double = 1e-9, maxIter: Int = 30, offset: Option[String] = None,
@@ -501,8 +557,8 @@ object Glm {
           off.map(xb + _).getOrElse(xb)
         }
       val mu = fam.mu(eta)
-      val w = fw * fam.weight(mu)
-      val z = eta + (yc - mu) / fam.dMuDeta(mu) - off.getOrElse(lit(0.0))
+      val w = fw * fam.weightEta(mu, eta)
+      val z = eta + (yc - mu) / fam.dMuDetaEta(mu, eta) - off.getOrElse(lit(0.0))
 
       // one pass: weighted Gram + X'Wz + deviance + the two α-moment sums
       val aggs: Seq[Column] =
@@ -560,7 +616,7 @@ object Glm {
     val fw = model.weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
     val u =
       if (fam.canonical) col(y).cast("double") - mu
-      else (col(y).cast("double") - mu) * fam.dMuDeta(mu) / fam.varFun(mu)
+      else (col(y).cast("double") - mu) * fam.dMuDetaEta(mu, model.etaCol) / fam.varFun(mu)
     sandwich(df.withColumn("__u", u), xcols, model.gramW, cluster, fw)
   }
 
@@ -780,13 +836,13 @@ object Glm {
       val mu = fam.mu(col("__eta"))
       val work = cur
         .withColumn("__mu", mu)
-        .withColumn("__w", fam.weight(col("__mu")))
+        .withColumn("__w", fam.weightEta(col("__mu"), col("__eta")))
         .withColumn(
           "__z",
           if (fam.canonical)
             col("__eta") + (yc - col("__mu")) / fam.weight(col("__mu"))
           else
-            col("__eta") + (yc - col("__mu")) / fam.dMuDeta(col("__mu")))
+            col("__eta") + (yc - col("__mu")) / fam.dMuDetaEta(col("__mu"), col("__eta")))
         // the regression target is the working response net of the
         // offset: η = Xβ + FE + offset, so z − offset ≈ Xβ + FE
         .withColumn("__zr", col("__z") - off)
@@ -903,6 +959,7 @@ object Glm {
     case "gaussian" => Gaussian
     case "gamma"    => Gamma
     case "cloglog"  => Cloglog
+    case "probit"   => Probit
     case "negbin" =>
       NegBin(dispersion.getOrElse(
         throw new IllegalArgumentException("negbin model carries no dispersion")))
@@ -958,7 +1015,7 @@ object Glm {
   def averageMarginalEffects(df: DataFrame, m: GlmModel): DataFrame = {
     val fam = familyOf(m.family, m.dispersion)
     val mu = fam.mu(m.etaCol)
-    val meanDeriv = df.agg(avg(fam.dMuDeta(mu))).head().getDouble(0)
+    val meanDeriv = df.agg(avg(fam.dMuDetaEta(mu, m.etaCol))).head().getDouble(0)
     val spark = df.sparkSession
     import spark.implicits._
     def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6

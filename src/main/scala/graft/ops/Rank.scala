@@ -47,6 +47,25 @@ object Rank {
       df: DataFrame,
       sortCols: Seq[Column],
       numPartitions: Int = 0): (DataFrame, Array[(Int, Long)]) = {
+    val marked = markedBySortKey(df, sortCols, numPartitions)
+    val counts = marked
+      .groupBy("__pid")
+      .agg(count(lit(1)).as("__n"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    (marked, counts)
+  }
+
+  /** [[partitionedBySortKey]] minus the per-partition row-count collect —
+    * for consumers ([[withPrefixSums]]) whose carry comes from a
+    * different P-row aggregate anyway. One fewer driver job per pass;
+    * matters for iterative callers (Cox runs one pass per Newton step).
+    */
+  private def markedBySortKey(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      numPartitions: Int): DataFrame = {
     require(sortCols.nonEmpty, "Rank: need at least one sort column")
     val p =
       if (numPartitions > 0) numPartitions
@@ -55,18 +74,11 @@ object Rank {
       .repartitionByRange(p, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
     val cp = Bridge.freshLeaf(sorted.localCheckpoint())
-    val marked = cp
+    cp
       .withColumn("__mid", monotonically_increasing_id())
       .withColumn("__pid", shiftright(col("__mid"), 33).cast("int"))
       .withColumn("__local", col("__mid").bitwiseAND(lit((1L << 33) - 1)))
       .drop("__mid")
-    val counts = marked
-      .groupBy("__pid")
-      .agg(count(lit(1)).as("__n"))
-      .collect()
-      .map(r => (r.getInt(0), r.getLong(1)))
-      .sortBy(_._1)
-    (marked, counts)
   }
 
   /** Exclusive prefix offsets per pid as a broadcastable (P-row) frame. */
@@ -186,7 +198,7 @@ object Rank {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types._
     require(terms.nonEmpty, "Rank.withPrefixSums: need at least one term")
-    val (marked, _) = partitionedBySortKey(df, sortCols, numPartitions)
+    val marked = markedBySortKey(df, sortCols, numPartitions)
     val integral: Map[String, Boolean] = terms.map { t =>
       t -> (marked.schema(t).dataType match {
         case LongType | IntegerType | ShortType | ByteType => true

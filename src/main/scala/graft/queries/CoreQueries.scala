@@ -1387,8 +1387,55 @@ object CoreQueries {
   private def rnd(v: Double, scale: Int): Double =
     BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  // ---- C100: probit GLM (rows-only: iterative MLE, the q80
+  // convention; GlmSpec pins it against an independent dense IRLS and
+  // the planted latent-normal recovery) --------------------------------
+  val q303 = Q(
+    "q303_probit",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .withColumn("lp", log(col("l_extendedprice")))
+        .withColumn("ret", when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
+      val m = graft.ml.Glm.probit(li, "ret", Seq("lp", "l_discount"))
+      val lg = graft.ml.Glm.logistic(li, "ret", Seq("lp", "l_discount"))
+      scalarRow(
+        s,
+        Seq(
+          "beta_lp" -> rnd(m.coef(1), 4),
+          "beta_disc" -> rnd(m.coef(2), 4),
+          "se_info_lp" -> rnd(m.seInformation(1), 4),
+          "deviance" -> rnd(m.deviance, 2),
+          // the latent-scale link check: logit slopes ≈ 1.7× probit's
+          "logit_probit_ratio" -> rnd(lg.coef(1) / m.coef(1), 3)
+        ),
+        Seq("n" -> m.n, "iters" -> m.iters.toLong,
+          "converged" -> (if (m.converged) 1L else 0L))
+      )
+    },
+    None
+  )
+
+  // ---- C101: Heckman two-step selection correction (rows-only: the
+  // probit stage is iterative; GlmSpec pins bias correction vs naive
+  // OLS on a planted correlated-error selection model) -----------------
+  val q304 = Q(
+    "q304_heckman",
+    (s, dir) => {
+      // outcome: log price on quantity, observed only for 'R' returns —
+      // selection modeled on quantity + discount (the exclusion)
+      val li = Tables.lineitem(s, dir)
+        .withColumn("lp", log(col("l_extendedprice")))
+        .withColumn("sel", when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
+      graft.ml.Heckman.twoStep(
+        li, "lp", Seq("l_quantity"), "sel", Seq("l_quantity", "l_discount"))
+        .orderBy("stage", "name")
+    },
+    None
+  )
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18,
       q19, q36, q37, q38, q41, q42, q43, q59, q68, q70, q74, q79, q80, q90, q91, q94,
-      q144, q145, q146, q147, q148, q149, q150, q156, q157, q158, q159, q163, q164, q165)
+      q144, q145, q146, q147, q148, q149, q150, q156, q157, q158, q159, q163, q164, q165,
+      q303, q304)
 }

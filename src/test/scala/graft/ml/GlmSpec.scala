@@ -33,9 +33,23 @@ class GlmSpec extends SparkSpec {
     val offs = if (offset == null) Array.fill(n)(0.0) else offset
     val ybar = y.sum / n
     def clip(e: Double) = math.max(-30.0, math.min(30.0, e))
+    def phiScalar(v: Double): Double = {
+      import graft.functions.NormalDist._
+      val ax = math.abs(v)
+      val t = 1.0 / (1.0 + P * ax)
+      val pdf = INV_SQRT_2PI * math.exp(-(ax * ax) / 2.0)
+      val poly = t * (B1 + t * (B2 + t * (B3 + t * (B4 + t * B5))))
+      val up = 1.0 - pdf * poly
+      if (v >= 0) up else 1.0 - up
+    }
+    def clip8(e: Double) = math.max(-8.0, math.min(8.0, e))
+    def npdf(e: Double) =
+      graft.functions.NormalDist.INV_SQRT_2PI * math.exp(-(clip8(e) * clip8(e)) / 2.0)
     def mu(eta: Double) = family match {
       case "poisson" | "gamma" => math.exp(clip(eta))
       case "binomial"          => 1.0 / (1.0 + math.exp(-clip(eta)))
+      case "probit" =>
+        math.min(1.0 - 1e-12, math.max(1e-12, phiScalar(clip8(eta))))
       case "cloglog" =>
         val e = math.max(-30.0, math.min(3.4, eta))
         math.min(1.0 - 1e-12, math.max(1e-12, 1.0 - math.exp(-math.exp(e))))
@@ -43,7 +57,7 @@ class GlmSpec extends SparkSpec {
     def devTerm(yi: Double, m: Double) = family match {
       case "poisson" =>
         2.0 * ((if (yi > 0) yi * math.log(yi / m) else 0.0) - (yi - m))
-      case "binomial" | "cloglog" =>
+      case "binomial" | "cloglog" | "probit" =>
         -2.0 * ((if (yi > 0) yi * math.log(m) else 0.0) +
           (if (yi < 1) (1 - yi) * math.log(1 - m) else 0.0))
       case "gamma" =>
@@ -52,6 +66,7 @@ class GlmSpec extends SparkSpec {
     def etaInit(yi: Double) = family match {
       case "poisson" | "gamma" => math.log((yi + ybar) / 2.0)
       case "binomial"          => { val m = (yi + 0.5) / 2.0; math.log(m / (1 - m)) }
+      case "probit"            => { val m = (yi + 0.5) / 2.0; math.log(m / (1 - m)) / 1.702 }
       case "cloglog"           => { val m = (yi + 0.5) / 2.0; math.log(-math.log(1 - m)) }
     }
 
@@ -71,11 +86,14 @@ class GlmSpec extends SparkSpec {
         case "binomial" => m.map(v => v * (1 - v))
         case "gamma"    => Array.fill(n)(1.0)
         case "cloglog"  => m.map { v => val l = math.log(1 - v); (1 - v) * l * l / v }
+        case "probit" =>
+          Array.tabulate(n) { i => val p = npdf(eta(i)); p * p / (m(i) * (1 - m(i))) }
       }
       // z uses dη/dμ, which equals 1/w only for canonical links
       val dmde = family match {
         case "gamma"   => m
         case "cloglog" => m.map(v => -(1 - v) * math.log(1 - v))
+        case "probit"  => Array.tabulate(n)(i => npdf(eta(i)))
         case _         => w
       }
       val z = Array.tabulate(n)(i => eta(i) + (y(i) - m(i)) / dmde(i) - offs(i))
@@ -239,6 +257,79 @@ class GlmSpec extends SparkSpec {
     assert(math.abs(m.deviance - devD) < 1e-7)
     val seD = LinAlg.inverse(gD).zipWithIndex.map { case (r, i) => math.sqrt(r(i)) }
     m.seInformation.zip(seD).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+  }
+
+  test("probit GLM matches dense IRLS; recovers planted latent-normal coefficients; mu(0)=0.5") {
+    def phiS(v: Double): Double = {
+      import graft.functions.NormalDist._
+      val ax = math.abs(v)
+      val t = 1.0 / (1.0 + P * ax)
+      val pdf = INV_SQRT_2PI * math.exp(-(ax * ax) / 2.0)
+      val up = 1.0 - pdf * (t * (B1 + t * (B2 + t * (B3 + t * (B4 + t * B5)))))
+      if (v >= 0) up else 1.0 - up
+    }
+    val data = for (i <- 0 until 600) yield {
+      val x = math.sin(i * 0.77) * 1.5
+      val u = math.abs((math.sin(i * 12.9898) * 43758.5453) % 1.0)
+      val p = phiS(-0.4 + 0.8 * x)
+      (x, if (u < p) 1.0 else 0.0)
+    }
+    val df = data.toDF("x", "y")
+    val m = Glm.probit(df, "y", Seq("x"))
+    val (bD, gD, devD, itD) = denseIrls(
+      data.map(d => Array(d._1)).toArray, data.map(_._2).toArray, "probit")
+    assert(m.converged && m.iters == itD)
+    m.coef.zip(bD).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9, s"$a vs $b") }
+    assert(math.abs(m.deviance - devD) < 1e-7)
+    val seD = LinAlg.inverse(gD).zipWithIndex.map { case (r, i) => math.sqrt(r(i)) }
+    m.seInformation.zip(seD).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    // planted (−0.4, 0.8) recovered on the probit scale
+    assert(math.abs(m.coef(0) + 0.4) < 0.2, m.coef.mkString(","))
+    assert(math.abs(m.coef(1) - 0.8) < 0.2, m.coef.mkString(","))
+    // the same data's logit slope sits near 1.702x the probit slope
+    val lg = Glm.logistic(df, "y", Seq("x"))
+    val ratio = lg.coef(1) / m.coef(1)
+    assert(ratio > 1.4 && ratio < 2.0, s"logit/probit slope ratio $ratio")
+    // mu(0) = Φ(0) = 1/2
+    val mu0 = spark.range(1).select(Glm.Probit.mu(lit(0.0))).head().getDouble(0)
+    assert(math.abs(mu0 - 0.5) < 1e-7)
+    // the mu-only hooks are deliberately unreachable
+    intercept[UnsupportedOperationException](Glm.Probit.weight(lit(0.5)))
+  }
+
+  test("Heckman two-step: corrects selection bias the naive selected-sample OLS carries") {
+    // latent: y* = 1 + 2x + e ; selection s = 1{0.5 + 1.5x + v > 0} with
+    // corr(e, v) > 0 via shared component: e = 0.8 v + n. OLS on the
+    // selected sample biases the slope; the lambda term absorbs it.
+    def phiInv(u: Double): Double = { // crude deterministic normal draws
+      // sum of 12 uniforms - 6 (Irwin-Hall) from a hash-free recurrence
+      var s = 0.0
+      for (j <- 1 to 12) s += math.abs((math.sin((u + j) * 12.9898) * 43758.5453) % 1.0)
+      s - 6.0
+    }
+    val data = for (i <- 0 until 2000) yield {
+      val x = math.sin(i * 0.37) * 1.2
+      val v = phiInv(i * 0.001)
+      val e = 0.8 * v + 0.3 * phiInv(i * 0.001 + 99.0)
+      val sel = if (0.5 + 1.5 * x + v > 0) 1.0 else 0.0
+      val y = 1.0 + 2.0 * x + e
+      (x, y, sel)
+    }
+    val df = data.toDF("x", "y", "s")
+    val out = Heckman.twoStep(df, "y", Seq("x"), "s", Seq("x"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val naive = Ols.fit(data.filter(_._3 > 0.5).toDF("x", "y", "s"), "y", Seq("x"))
+    val naiveSlope = naive.coef(1)
+    val heckSlope = out(("outcome", "x"))
+    // the correction moves the slope toward the truth (2.0) vs naive OLS
+    assert(math.abs(heckSlope - 2.0) < math.abs(naiveSlope - 2.0),
+      s"heckit $heckSlope vs naive $naiveSlope")
+    assert(math.abs(heckSlope - 2.0) < 0.15, s"heckit slope $heckSlope")
+    // positive error correlation -> positive lambda coefficient
+    assert(out(("outcome", "lambda")) > 0.0)
+    // selection stage recovers the probit signs
+    assert(out(("selection", "x")) > 0.5)
+    assert(out(("selection", "(intercept)")) > 0.0)
   }
 
   test("cloglog GLM (non-canonical link) matches dense IRLS + sandwich; recovers planted hazard") {
