@@ -21,8 +21,16 @@ import org.apache.spark.sql.functions._
   */
 object Drift {
 
-  /** (groupCol, n_group, d_stat): per-group KS statistic vs the pooled
-    * distribution, 4dp.
+  /** (groupCol, n_group, d_stat, p_value): per-group KS statistic vs
+    * the pooled distribution (4dp) plus the Kolmogorov asymptotic
+    * p-value (6dp): with effective n = n_g·n/(n_g+n) and
+    * λ = (√en + 0.12 + 0.11/√en)·D (Stephens 1970),
+    * p = 2Σ_{k≥1}(−1)^{k−1}e^{−2k²λ²} truncated at 25 terms (residual
+    * < e^{−2·26²λ²} — zero at any λ that matters) and clamped to
+    * [0, 1]. p is computed FROM the 4dp-quantized D, so both engines
+    * exponentiate identical inputs. The asymptotic treats the pooled
+    * CDF as an independent sample (the standard scorecard-monitoring
+    * reading); for small groups it is conservative.
     */
   def ksTest(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
     val counts = df
@@ -50,7 +58,21 @@ object Drift {
       .groupBy(col("g").as(groupCol))
       .agg(
         max(col("ng")).as("n_group"),
-        round(max(col("gap")), 4).as("d_stat"))
+        round(max(col("gap")), 4).as("d_stat"),
+        max(col("n")).as("__n_all"))
+      .withColumn("p_value", {
+        val en = col("n_group").cast("double") * col("__n_all").cast("double") /
+          (col("n_group") + col("__n_all")).cast("double")
+        val sq = sqrt(en)
+        val lam = (sq + lit(0.12) + lit(0.11) / sq) * col("d_stat")
+        val series = (1 to 25).map { k =>
+          lit(if (k % 2 == 1) 1.0 else -1.0) *
+            exp(lit(-2.0 * k * k) * lam * lam)
+        }.reduce(_ + _)
+        floor(least(lit(1.0), greatest(lit(0.0), lit(2.0) * series)) * lit(1e6) +
+          lit(0.5)).cast("double") / lit(1e6)
+      })
+      .drop("__n_all")
   }
 
   /** Population Stability Index between a reference and a current

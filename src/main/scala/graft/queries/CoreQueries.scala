@@ -1433,9 +1433,27 @@ object CoreQueries {
     None
   )
 
+  // ---- C102: Tobit censored regression (rows-only: Newton MLE;
+  // GlmSpec pins planted-parameter recovery + censored-OLS dominance
+  // + the no-censoring OLS limit) --------------------------------------
+  val q305 = Q(
+    "q305_tobit",
+    (s, dir) => {
+      // censor discounted price lift at zero: y = max(0, 10*(disc - 0.03))
+      // regressed on quantity — a deliberately censored-by-construction
+      // outcome over real columns
+      val li = Tables.lineitem(s, dir)
+        .withColumn("ylat",
+          greatest(lit(0.0), (col("l_discount") - lit(0.03)) * lit(10.0)))
+      val m = graft.ml.Tobit.fit(li, "ylat", Seq("l_quantity"), lower = 0.0)
+      graft.ml.Tobit.summary(s, m).orderBy("name")
+    },
+    None
+  )
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18,
       q19, q36, q37, q38, q41, q42, q43, q59, q68, q70, q74, q79, q80, q90, q91, q94,
       q144, q145, q146, q147, q148, q149, q150, q156, q157, q158, q159, q163, q164, q165,
-      q303, q304)
+      q303, q304, q305)
 }

@@ -3578,10 +3578,22 @@ object PipelineQueries {
         |cums AS (SELECT g, ng, n,
         |           sum(c) OVER (PARTITION BY g ORDER BY v) AS cum_g,
         |           sum(cv) OVER (PARTITION BY g ORDER BY v) AS cum_all
-        |         FROM dense)
-        |SELECT g AS source, max(ng)::BIGINT AS n_group,
-        |  round(max(abs(cum_g::DOUBLE / ng::DOUBLE - cum_all::DOUBLE / n::DOUBLE)), 4) AS d_stat
-        |FROM cums GROUP BY g ORDER BY source""".stripMargin
+        |         FROM dense),
+        |sel AS (SELECT g AS source, max(ng)::BIGINT AS n_group,
+        |          round(max(abs(cum_g::DOUBLE / ng::DOUBLE - cum_all::DOUBLE / n::DOUBLE)), 4)
+        |            AS d_stat,
+        |          max(n)::BIGINT AS n_all
+        |        FROM cums GROUP BY g),
+        |lamf AS (SELECT source, n_group, d_stat,
+        |           (sqrt(en) + 0.12 + 0.11/sqrt(en)) * d_stat AS lam
+        |         FROM (SELECT *, n_group::DOUBLE * n_all::DOUBLE
+        |                 / (n_group + n_all)::DOUBLE AS en FROM sel))
+        |SELECT source, n_group, d_stat,
+        |  floor(least(1.0, greatest(0.0, 2.0 * (
+        |    SELECT sum(CASE WHEN k % 2 = 1 THEN 1.0 ELSE -1.0 END
+        |      * exp(-2.0*k*k*lam*lam))
+        |    FROM (SELECT unnest(range(1, 26)) AS k))))*1e6+0.5)/1e6 AS p_value
+        |FROM lamf ORDER BY source""".stripMargin
     )
   )
 

@@ -332,6 +332,40 @@ class GlmSpec extends SparkSpec {
     assert(out(("selection", "(intercept)")) > 0.0)
   }
 
+  test("Tobit MLE recovers planted censored-normal parameters; beats censored OLS") {
+    def ih(u: Double): Double = { // Irwin-Hall(12) - 6 ~ N(0,1), deterministic
+      var s = 0.0
+      for (j <- 1 to 12) s += math.abs((math.sin((u + j) * 12.9898) * 43758.5453) % 1.0)
+      s - 6.0
+    }
+    val data = for (i <- 0 until 3000) yield {
+      val x = math.sin(i * 0.37) * 1.5
+      val yStar = 1.0 + 2.0 * x + 0.5 * ih(i * 0.001)
+      (x, math.max(yStar, 0.0))
+    }
+    val censShare = data.count(_._2 == 0.0).toDouble / data.size
+    assert(censShare > 0.1 && censShare < 0.6, s"want real censoring, got $censShare")
+    val df = data.toDF("x", "y")
+    val m = Tobit.fit(df, "y", Seq("x"), lower = 0.0)
+    assert(m.converged, s"iters ${m.iters}")
+    assert(m.nCensored === data.count(_._2 == 0.0).toLong)
+    assert(math.abs(m.beta(0) - 1.0) < 0.1, s"icept ${m.beta(0)}")
+    assert(math.abs(m.beta(1) - 2.0) < 0.1, s"slope ${m.beta(1)}")
+    assert(math.abs(m.sigma - 0.5) < 0.07, s"sigma ${m.sigma}")
+    // naive OLS on the censored outcome attenuates the slope; Tobit must
+    // land strictly closer to the truth
+    val naive = Ols.fit(df, "y", Seq("x"))
+    assert(naive.coef(1) < m.beta(1))
+    assert(math.abs(m.beta(1) - 2.0) < math.abs(naive.coef(1) - 2.0))
+    // no censoring: Tobit ~ the OLS fit on the same rows
+    val clean = data.map { case (x, _) => (x, 10.0 + 2.0 * x + 0.5 * ih(x * 7.0)) }
+      .toDF("x", "y")
+    val m2 = Tobit.fit(clean, "y", Seq("x"), lower = 0.0)
+    val o2 = Ols.fit(clean, "y", Seq("x"))
+    assert(m2.nCensored === 0L)
+    assert(math.abs(m2.beta(1) - o2.coef(1)) < 1e-4)
+  }
+
   test("cloglog GLM (non-canonical link) matches dense IRLS + sandwich; recovers planted hazard") {
     val data = for (i <- 0 until 600) yield {
       val x = math.sin(i * 0.77) * 1.5
