@@ -156,12 +156,25 @@ object Diagnostics {
     * themselves corpus-sized (per-token tests over a web-scale vocab).
     * The step-up cutoff is a 1-row broadcast joined back.
     */
-  def bhFdr(df: DataFrame, pCol: String, alpha: Double, tieBreak: Seq[String]): DataFrame = {
+  /** @param dependent Benjamini–Yekutieli mode: divide the BH critical
+    *        line by the harmonic number c(m) = Σ 1/i, making the FDR
+    *        control valid under ARBITRARY p-value dependence (BY 2001)
+    *        at a log(m) power cost. Default false = plain BH (PRDS).
+    */
+  def bhFdr(df: DataFrame, pCol: String, alpha: Double, tieBreak: Seq[String],
+      dependent: Boolean = false): DataFrame = {
     val m = df.count()
+    // harmonic ascending fold — exact replay is the same ascending sum
+    val cm = if (dependent) {
+      var s = 0.0; var i = 1L
+      while (i <= m) { s += 1.0 / i; i += 1 }
+      s
+    } else 1.0
+    val critDenom = if (dependent) lit(m.toDouble * cm) else lit(m)
     val ranked = graft.ops.Rank
       .withGlobalRowNumber(df, "rank", col(pCol).asc +: tieBreak.map(col(_).asc))
       .withColumn("rank", col("rank").cast("int"))
-      .withColumn("bh_crit", round(lit(alpha) * col("rank") / m, 10))
+      .withColumn("bh_crit", round(lit(alpha) * col("rank") / critDenom, 10))
     val kStar = ranked
       .agg(coalesce(max(when(col(pCol) <= col("bh_crit"), col("rank"))), lit(0)).as("k_star"))
     ranked

@@ -187,6 +187,62 @@ object Abtest {
       .toDF("p0", "p1", "alpha", "power", "n_per_arm")
   }
 
+  /** Per-arm n for a CONTINUOUS outcome (two-sample z/t sizing):
+    * n = 2σ²(z_{α/2} + z_β)²/Δ² — the mean-metric companion of the
+    * proportion sizing in [[requiredN]], same probit constants, same
+    * exactly-rounded squares so the oracle replays ceil(n) bit-for-bit.
+    * Returns one row: (sd, mde, alpha, power, n_per_arm).
+    */
+  def requiredNContinuous(
+      spark: org.apache.spark.sql.SparkSession,
+      sd: Double,
+      mde: Double,
+      alpha: Double = 0.05,
+      power: Double = 0.8): DataFrame = {
+    require(sd > 0, "sd must be positive")
+    require(mde != 0, "mde must be nonzero")
+    val za = probit(1 - alpha / 2)
+    val zb = probit(power)
+    val s = za + zb
+    val n = 2.0 * (s * s) * (sd * sd) / (mde * mde)
+    import spark.implicits._
+    Seq((sd, mde, alpha, power, math.ceil(n).toLong))
+      .toDF("sd", "mde", "alpha", "power", "n_per_arm")
+  }
+
+  /** Two-sample rate (count-per-exposure) z-test — the COUNT-metric
+    * A/B readout beside [[twoProportion]]: arm rates r = x/n with the
+    * unpooled normal approximation z = (r_b − r_a)/√(r_a/n_a + r_b/n_b)
+    * (each Poisson count's rate variance is r/n), two-sided p from the
+    * shared portable Φ. One conditional aggregate; every emitted float
+    * is a closed form of four integers. Zero-rate-both-arms emits null
+    * z/p (no information), not ±Inf.
+    */
+  def twoRates(
+      df: DataFrame,
+      armCol: Column,
+      isEvent: Column,
+      armA: String,
+      armB: String): DataFrame = {
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    val agg = df.agg(
+      sum(when(armCol === armA, 1L).otherwise(0L)).as("n_a"),
+      sum(when(armCol === armA && isEvent, 1L).otherwise(0L)).as("x_a"),
+      sum(when(armCol === armB, 1L).otherwise(0L)).as("n_b"),
+      sum(when(armCol === armB && isEvent, 1L).otherwise(0L)).as("x_b"))
+    val ra = col("x_a").cast("double") / col("n_a").cast("double")
+    val rb = col("x_b").cast("double") / col("n_b").cast("double")
+    val se = sqrt(ra / col("n_a").cast("double") + rb / col("n_b").cast("double"))
+    val z = (rb - ra) / se
+    agg.select(
+      col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+      q6(ra).as("rate_a"), q6(rb).as("rate_b"),
+      q6(rb - ra).as("diff"),
+      when(col("x_a") + col("x_b") > 0, q6(z)).as("z"),
+      when(col("x_a") + col("x_b") > 0,
+        q6(graft.functions.NormalDist.pTwoSided(z))).as("p_value"))
+  }
+
   /** Smallest detectable absolute lift at a fixed per-arm n — the
     * monotone inversion of [[requiredN]] by bisection (driver-side, 60
     * iterations ≈ machine precision).

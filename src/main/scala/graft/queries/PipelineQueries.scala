@@ -9030,6 +9030,123 @@ object PipelineQueries {
     )
   )
 
+  // ---- T112: Benjamini–Yekutieli FDR under arbitrary dependence (FULL
+  // oracle — q179's replay with the harmonic c(m) divisor; ascending
+  // harmonic fold on both sides) ---------------------------------------
+  val q306 = Q(
+    "q306_by_fdr",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val n = docs.count()
+      val ks = graft.ops.Drift.ksTest(docs, "n_chars", "lang")
+      val withP = ks.withColumn(
+        "p",
+        round(
+          least(
+            lit(1.0),
+            lit(2.0) * exp(lit(-2.0) *
+              (col("n_group").cast("double") * n / (col("n_group").cast("double") + n)) *
+              (col("d_stat") * col("d_stat")))),
+          6))
+      graft.ml.Diagnostics
+        .bhFdr(withP, "p", alpha = 0.10, tieBreak = Seq("lang"), dependent = true)
+        .select(
+          col("lang"), col("n_group"), col("d_stat"), col("p"),
+          col("rank"), col("bh_crit"), col("significant"))
+        .orderBy("rank")
+    },
+    Some(
+      """WITH c AS (SELECT lang AS g, n_chars AS v, count(*)::BIGINT AS c
+        |           FROM documents GROUP BY 1, 2),
+        |vals AS (SELECT v, sum(c)::BIGINT AS cv FROM c GROUP BY 1),
+        |grps AS (SELECT g, sum(c)::BIGINT AS ng FROM c GROUP BY 1),
+        |tot AS (SELECT sum(c)::BIGINT AS n FROM c),
+        |dense AS (SELECT grps.g, grps.ng, vals.v, vals.cv, COALESCE(c.c, 0) AS cc
+        |          FROM grps CROSS JOIN vals LEFT JOIN c ON c.g = grps.g AND c.v = vals.v),
+        |cum AS (SELECT g, ng, v,
+        |          sum(cc) OVER (PARTITION BY g ORDER BY v) AS cg,
+        |          sum(cv) OVER (PARTITION BY g ORDER BY v) AS ca
+        |        FROM dense),
+        |ks AS (SELECT g AS lang, max(ng) AS n_group,
+        |         round(max(abs(cg::DOUBLE/ng - ca::DOUBLE/(SELECT n FROM tot))), 4) AS d_stat
+        |       FROM cum GROUP BY 1),
+        |p AS (SELECT lang, n_group, d_stat,
+        |        round(least(1.0,
+        |          2.0*exp(-2.0*(n_group::DOUBLE*(SELECT n FROM tot)
+        |                         /(n_group::DOUBLE + (SELECT n FROM tot)))
+        |                 *(d_stat*d_stat))), 6) AS p
+        |      FROM ks),
+        |r AS (SELECT *, row_number() OVER (ORDER BY p ASC, lang ASC) AS rank,
+        |        round(0.10*row_number() OVER (ORDER BY p ASC, lang ASC)
+        |              /((SELECT count(*) FROM p)::DOUBLE
+        |                * (SELECT sum(1.0/i.k) FROM
+        |                    (SELECT unnest(range(1, (SELECT count(*) FROM p) + 1)) AS k) i)),
+        |          10) AS bh_crit
+        |      FROM p),
+        |k AS (SELECT COALESCE(max(CASE WHEN p <= bh_crit THEN rank END), 0) AS k_star FROM r)
+        |SELECT lang, n_group, d_stat, p, rank, bh_crit,
+        |  (rank <= (SELECT k_star FROM k))::INT AS significant
+        |FROM r ORDER BY rank""".stripMargin
+    )
+  )
+
+  // ---- T113: continuous-outcome experiment sizing (FULL oracle — the
+  // q226 convention: probit constants as binary64 literals, sd from a
+  // 4dp-floored corpus moment, exactly-rounded squares) ----------------
+  val q307 = Q(
+    "q307_power_continuous",
+    (s, dir) => {
+      val sdRaw = Tables.events(s, dir)
+        .agg(stddev_samp(col("value").cast("double"))).head().getDouble(0)
+      graft.ops.Abtest.requiredNContinuous(
+        s, math.max(0.01, math.floor(sdRaw * 1e4) / 1e4), mde = 5.0)
+    },
+    Some {
+      val za = graft.ops.Abtest.probit(1 - 0.05 / 2).toString
+      val zb = graft.ops.Abtest.probit(0.8).toString
+      s"""WITH b AS (SELECT stddev_samp(value::DOUBLE) AS sr FROM events),
+         |p AS (SELECT greatest(0.01::DOUBLE, floor(sr * 1e4) / 1e4) AS sd FROM b),
+         |s AS (SELECT sd, CAST('$za' AS DOUBLE) + CAST('$zb' AS DOUBLE) AS zs FROM p)
+         |SELECT sd, 5.0::DOUBLE AS mde, 0.05::DOUBLE AS alpha, 0.8::DOUBLE AS "power",
+         |  CAST(ceil(2.0 * (zs * zs) * (sd * sd) / (5.0::DOUBLE * 5.0::DOUBLE)) AS BIGINT)
+         |    AS n_per_arm
+         |FROM s""".stripMargin
+    }
+  )
+
+  // ---- T114: two-sample rate z-test (FULL oracle — four integer
+  // cells, closed forms, the shared portable Φ for the p-value) --------
+  val q308 = Q(
+    "q308_two_rates",
+    (s, dir) =>
+      graft.ops.Abtest.twoRates(
+        Tables.events(s, dir),
+        when(col("user_id") % 2 === 0, "A").otherwise("B"),
+        col("event_type") === "purchase",
+        armA = "A", armB = "B"),
+    Some {
+      val phi = graft.functions.NormalDist
+      s"""WITH a AS (SELECT
+         |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         |    sum(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS x_a,
+         |    sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+         |    sum(CASE WHEN user_id % 2 = 1 AND event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS x_b
+         |  FROM events),
+         |r AS (SELECT *, x_a::DOUBLE / n_a::DOUBLE AS ra, x_b::DOUBLE / n_b::DOUBLE AS rb
+         |      FROM a),
+         |z AS (SELECT *, (rb - ra) / sqrt(ra / n_a::DOUBLE + rb / n_b::DOUBLE) AS zs
+         |      FROM r)
+         |SELECT n_a, x_a, n_b, x_b,
+         |  floor(ra*1e6+0.5)/1e6 AS rate_a,
+         |  floor(rb*1e6+0.5)/1e6 AS rate_b,
+         |  floor((rb - ra)*1e6+0.5)/1e6 AS diff,
+         |  CASE WHEN x_a + x_b > 0 THEN floor(zs*1e6+0.5)/1e6 END AS z,
+         |  CASE WHEN x_a + x_b > 0
+         |    THEN floor(${phi.pTwoSidedSql("zs")}*1e6+0.5)/1e6 END AS p_value
+         |FROM z""".stripMargin
+    }
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
@@ -9038,5 +9155,5 @@ object PipelineQueries {
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
       q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276,
       q277, q278, q279, q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290,
-      q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302)
+      q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q306, q307, q308)
 }

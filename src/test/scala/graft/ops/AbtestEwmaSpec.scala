@@ -116,4 +116,59 @@ class AbtestEwmaSpec extends SparkSpec {
     val nSmall = Abtest.requiredN(spark, 0.10, 0.01).head().getAs[Long]("n_per_arm")
     assert(nSmall > 3 * n)
   }
+
+  test("requiredNContinuous: the classic sigma/mde sizing; quadruples when mde halves") {
+    // n = 2*sigma^2*(1.959964 + 0.841621)^2 / mde^2; sigma=10, mde=2
+    // = 2*100*7.849/4 ~ 392.4 -> 393
+    val n = Abtest.requiredNContinuous(spark, sd = 10.0, mde = 2.0)
+      .head().getAs[Long]("n_per_arm")
+    assert(n >= 390 && n <= 396, s"n=$n")
+    val nHalf = Abtest.requiredNContinuous(spark, sd = 10.0, mde = 1.0)
+      .head().getAs[Long]("n_per_arm")
+    assert(math.abs(nHalf - 4L * n) <= 4L, s"$nHalf vs 4x$n")
+  }
+
+  test("twoRates: hand cells, symmetry, zero-event null") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // arm A: 100 rows, 10 events (r=0.1); arm B: 200 rows, 40 events (r=0.2)
+    val rows = (1 to 100).map(i => ("A", i <= 10)) ++ (1 to 200).map(i => ("B", i <= 40))
+    val df = rows.toDF("arm", "ev")
+    val r = Abtest.twoRates(df, col("arm"), col("ev"), "A", "B").head()
+    assert(r.getAs[Long]("n_a") === 100L && r.getAs[Long]("x_a") === 10L)
+    assert(r.getAs[Double]("rate_a") === 0.1 && r.getAs[Double]("rate_b") === 0.2)
+    assert(r.getAs[Double]("diff") === 0.1)
+    // z = 0.1 / sqrt(0.1/100 + 0.2/200) = 0.1/sqrt(0.002) = 2.236068
+    assert(math.abs(r.getAs[Double]("z") - 2.236068) < 1e-5)
+    val p = r.getAs[Double]("p_value")
+    assert(p > 0.02 && p < 0.03, s"p=$p") // 2(1 - Phi(2.236)) ~ 0.0253
+    // swapped arms: z flips sign, p identical
+    val rSwap = Abtest.twoRates(df, col("arm"), col("ev"), "B", "A").head()
+    assert(math.abs(rSwap.getAs[Double]("z") + r.getAs[Double]("z")) < 1e-9)
+    assert(math.abs(rSwap.getAs[Double]("p_value") - p) < 1e-9)
+    // no events anywhere -> null z and p, rates 0
+    val quiet = (1 to 50).map(i => (if (i % 2 == 0) "A" else "B", false)).toDF("arm", "ev")
+    val rq = Abtest.twoRates(quiet, col("arm"), col("ev"), "A", "B").head()
+    assert(rq.isNullAt(rq.fieldIndex("z")) && rq.isNullAt(rq.fieldIndex("p_value")))
+  }
+
+  test("BY-FDR is BH with the harmonic divisor: stricter line, nested significant set") {
+    import spark.implicits._
+    val tests = (1 to 40).map(i =>
+      (s"g$i", if (i <= 8) i * 0.001 else 0.2 + i * 0.015)).toDF("g", "p")
+    val bh = graft.ml.Diagnostics.bhFdr(tests, "p", 0.05, Seq("g"))
+      .select("g", "bh_crit", "significant").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getInt(2)))).toMap
+    val by = graft.ml.Diagnostics.bhFdr(tests, "p", 0.05, Seq("g"), dependent = true)
+      .select("g", "bh_crit", "significant").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getInt(2)))).toMap
+    val cm = (1 to 40).map(1.0 / _).sum
+    bh.foreach { case (g, (crit, _)) =>
+      assert(math.abs(by(g)._1 - crit / cm) < 1e-9, s"$g crit scaling")
+    }
+    // BY can only lose rejections, never add them
+    by.foreach { case (g, (_, sig)) => if (sig == 1) assert(bh(g)._2 === 1, g) }
+    assert(by.values.count(_._2 == 1) <= bh.values.count(_._2 == 1))
+    assert(bh.values.count(_._2 == 1) === 8) // the 8 planted small p's
+  }
 }
