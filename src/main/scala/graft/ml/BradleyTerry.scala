@@ -79,7 +79,12 @@ object BradleyTerry {
       pi = ck(next)
     }
     val tot = pi.agg(sum("pi")).head().getDouble(0)
-    val normed = pi.select(col("item"), (col("pi") / tot).as("pi"))
+    // rank on the QUANTIZED strength (ties by item): sub-1e-6 strength
+    // gaps are summation-order noise, not signal — ranking on them would
+    // make the ordering engine-dependent
+    val normed = pi.select(
+      col("item"),
+      (floor((col("pi") / tot) * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)).as("pi"))
     // item-cardinality can be corpus-scale (ranking documents/models):
     // exact global rank without the single-partition WindowExec
     val ranked = graft.ops.Rank
@@ -92,7 +97,7 @@ object BradleyTerry {
     ranked.join(totalGames, Seq("item"))
       .select(
         col("item"),
-        (floor(col("pi") * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)).as("pi"),
+        col("pi"),
         col("wins").cast("long").as("wins"),
         col("games"),
         col("rank"))

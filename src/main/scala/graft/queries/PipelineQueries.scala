@@ -5284,9 +5284,11 @@ object PipelineQueries {
     )
   )
 
-  // ---- C62: Bradley–Terry preference ranking (rows-only: MM is
-  // iterative; BradleyTerrySpec pins a dense replica, planted-strength
-  // recovery, and the probability identity) ----------------------------
+  // ---- C62: Bradley–Terry preference ranking (FULL oracle — the 12
+  // fixed MM sweeps UNROLL as chained CTEs, one per sweep, each free to
+  // reference its predecessor twice (both duel endpoints) — the
+  // restriction-free alternative to a recursive CTE; ranks on the
+  // 6dp-quantized strength so ordering is engine-stable) ---------------
 
   val q205 = Q(
     "q205_bradley_terry",
@@ -5306,7 +5308,50 @@ object PipelineQueries {
       graft.ml.BradleyTerry.fit(duels, "winner", "loser", iters = 12)
         .orderBy("item")
     },
-    None
+    Some {
+      val sweeps = (1 to 12).map { k =>
+        s"""p$k AS MATERIALIZED (
+           |  SELECT it.item,
+           |    CASE WHEN d.denom IS NULL OR d.denom = 0.0 THEN 0.0
+           |         ELSE it.wins / d.denom END AS pi
+           |  FROM items it LEFT JOIN (
+           |    SELECT item, sum(d) AS denom FROM (
+           |      SELECT g.i AS item, g.n / (a.pi + b.pi) AS d FROM games g
+           |        JOIN p${k - 1} a ON a.item = g.i JOIN p${k - 1} b ON b.item = g.j
+           |      UNION ALL
+           |      SELECT g.j, g.n / (a.pi + b.pi) FROM games g
+           |        JOIN p${k - 1} a ON a.item = g.i JOIN p${k - 1} b ON b.item = g.j
+           |    ) GROUP BY item) d ON d.item = it.item)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT l_orderkey AS ok, l_suppkey AS sk,
+         |              l_extendedprice AS p, l_linenumber AS ln FROM lineitem),
+         |duels AS MATERIALIZED (
+         |  SELECT CASE WHEN a.p > b.p THEN a.sk ELSE b.sk END::VARCHAR AS w,
+         |         CASE WHEN a.p > b.p THEN b.sk ELSE a.sk END::VARCHAR AS l
+         |  FROM li a JOIN li b ON a.ok = b.ok
+         |  WHERE a.ln < b.ln AND a.sk <> b.sk AND a.p <> b.p),
+         |games AS MATERIALIZED (SELECT least(w, l) AS i, greatest(w, l) AS j,
+         |            count(*)::DOUBLE AS n
+         |          FROM duels GROUP BY 1, 2),
+         |wins AS (SELECT w AS item, count(*)::DOUBLE AS wins FROM duels GROUP BY 1),
+         |items AS MATERIALIZED (SELECT u.item, coalesce(wins.wins, 0.0) AS wins FROM (
+         |            SELECT i AS item FROM games
+         |            UNION SELECT j FROM games) u
+         |          LEFT JOIN wins ON wins.item = u.item),
+         |p0 AS (SELECT item, 1.0::DOUBLE AS pi FROM items),
+         |$sweeps,
+         |tot AS (SELECT sum(pi) AS t FROM p12),
+         |normed AS (SELECT item,
+         |             floor((pi / (SELECT t FROM tot))*1e6+0.5)/1e6 AS pi FROM p12),
+         |tg AS (SELECT item, sum(n)::BIGINT AS games FROM (
+         |         SELECT i AS item, n FROM games
+         |         UNION ALL SELECT j, n FROM games) GROUP BY 1)
+         |SELECT n.item, n.pi, it.wins::BIGINT AS wins, tg.games,
+         |  (row_number() OVER (ORDER BY n.pi DESC, n.item))::INT AS rank
+         |FROM normed n JOIN items it ON it.item = n.item
+         |  JOIN tg ON tg.item = n.item
+         |ORDER BY n.item""".stripMargin
+    }
   )
 
   // ---- C63: Fama–MacBeth two-pass regression (FULL oracle — per-period
