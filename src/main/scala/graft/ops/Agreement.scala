@@ -234,4 +234,84 @@ object Agreement {
         msb + (n0 - lit(1.0)) * msw > 0,
         q6((msb - msw) / (msb + (n0 - lit(1.0)) * msw))).as("icc"))
   }
+
+  /** Krippendorff's alpha — THE general-purpose chance-corrected
+    * agreement coefficient (Krippendorff 2004): any number of raters,
+    * missing ratings allowed (units need ≥ 2), nominal or interval
+    * distance. The standard annotation-QA readout for labeling /
+    * preference / rubric-scoring pipelines, generalizing
+    * [[cohenKappa]] (2 raters) and [[fleissKappa]] (fixed panel).
+    *
+    * α = 1 − D_o/D_e over the coincidence matrix — but BOTH
+    * disagreements collapse to MOMENTS, so no pair join and no
+    * category matrix ever materializes:
+    *   nominal:  D_o = (1/n)·Σ_u Σ_c n_uc(m_u − n_uc)/(m_u−1),
+    *             D_e = (n² − Σ_c n_c²)/(n(n−1));
+    *   interval: D_o = (1/n)·Σ_u 2(m_u·S2_u − S1_u²)/(m_u−1),
+    *             D_e = 2(n·S2 − S1²)/(n(n−1)),
+    * with S1/S2 the value sums/squares. One unit-level aggregate
+    * (+ one (unit, category) aggregate for nominal), one global
+    * reduce — corpus-scale units stream through map-side combines.
+    * Returns one row: (metric, n_units_used, n_ratings, alpha 6dp);
+    * alpha null when D_e = 0 (no variation — agreement is undefined,
+    * not perfect).
+    */
+  def krippendorffAlpha(
+      df: DataFrame,
+      unitCol: String,
+      valueCol: String,
+      metric: String = "nominal"): DataFrame = {
+    require(metric == "nominal" || metric == "interval",
+      s"krippendorffAlpha: metric must be nominal or interval, got $metric")
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    if (metric == "interval") {
+      val per = df
+        .select(col(unitCol).as("u"), col(valueCol).cast("double").as("v"))
+        .groupBy("u")
+        .agg(count(lit(1)).as("m"), sum(col("v")).as("s1"), sum(col("v") * col("v")).as("s2"))
+        .where(col("m") >= 2)
+      val a = per.agg(
+        count(lit(1)).as("units"),
+        sum(col("m")).as("n"),
+        sum(col("s1")).as("gs1"),
+        sum(col("s2")).as("gs2"),
+        sum(lit(2.0) * (col("m").cast("double") * col("s2") - col("s1") * col("s1")) /
+          (col("m") - 1).cast("double")).as("do_sum"))
+      val n = col("n").cast("double")
+      val dObs = col("do_sum") / n
+      val dExp = lit(2.0) * (n * col("gs2") - col("gs1") * col("gs1")) /
+        (n * (n - lit(1.0)))
+      a.select(
+        lit("interval").as("metric"),
+        col("units").cast("long").as("n_units_used"),
+        col("n").cast("long").as("n_ratings"),
+        when(dExp > 0, q6(lit(1.0) - dObs / dExp)).as("alpha"))
+    } else {
+      val base = df.select(col(unitCol).as("u"), col(valueCol).cast("string").as("c"))
+      val perUC = base.groupBy("u", "c").agg(count(lit(1)).as("nuc"))
+      val perU = perUC.groupBy("u").agg(sum(col("nuc")).as("m"))
+        .where(col("m") >= 2)
+      val uStats = perUC
+        .join(perU, Seq("u"))
+        .groupBy("u")
+        .agg(
+          first(col("m")).as("m"),
+          sum(col("nuc").cast("double") * (col("m") - col("nuc")).cast("double") /
+            (col("m") - 1).cast("double")).as("dou"))
+      val cTot = perUC.join(perU.select("u"), Seq("u"))
+        .groupBy("c").agg(sum(col("nuc")).as("nc"))
+        .agg(sum(col("nc")).as("n"), sum(col("nc") * col("nc")).as("snc2"))
+      val uAgg = uStats.agg(
+        count(lit(1)).as("units"), sum(col("dou")).as("do_sum"))
+      val j = uAgg.crossJoin(cTot)
+      val n = col("n").cast("double")
+      val dObs = col("do_sum") / n
+      val dExp = (n * n - col("snc2").cast("double")) / (n * (n - lit(1.0)))
+      j.select(
+        lit("nominal").as("metric"),
+        col("units").cast("long").as("n_units_used"),
+        col("n").cast("long").as("n_ratings"),
+        when(dExp > 0, q6(lit(1.0) - dObs / dExp)).as("alpha"))
+    }
+  }
 }

@@ -119,4 +119,52 @@ class AgreementSpec extends SparkSpec {
     assert(o.getAs[Long]("n_outside") === 1L)
     assert(o.getAs[Double]("share_outside") > 0.0)
   }
+
+  test("krippendorffAlpha: direct coincidence-matrix replica; binary nominal ≡ interval; edge cases") {
+    import spark.implicits._
+    // direct replica: ordered rating pairs per unit, weight 1/(m-1)
+    def direct(rows: Seq[(String, Double)], interval: Boolean): Double = {
+      val byU = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        .filter(_._2.size >= 2)
+      def d(a: Double, b: Double) =
+        if (interval) (a - b) * (a - b) else if (a == b) 0.0 else 1.0
+      val n = byU.values.map(_.size).sum.toDouble
+      var dObs = 0.0
+      for ((_, vs) <- byU; i <- vs.indices; j <- vs.indices if i != j)
+        dObs += d(vs(i), vs(j)) / (vs.size - 1)
+      dObs /= n
+      val all = byU.values.flatten.toSeq
+      var dExp = 0.0
+      for (a <- all; b <- all) dExp += d(a, b)
+      dExp /= (n * (n - 1))
+      1.0 - dObs / dExp
+    }
+    // 4 units, unbalanced rater counts, one unpairable unit (dropped)
+    val rows = Seq(
+      ("u1", 1.0), ("u1", 1.0), ("u1", 2.0),
+      ("u2", 2.0), ("u2", 2.0),
+      ("u3", 3.0), ("u3", 1.0), ("u3", 3.0), ("u3", 3.0),
+      ("u4", 2.0))
+    val df = rows.toDF("u", "v")
+    for (metric <- Seq("nominal", "interval")) {
+      val got = Agreement.krippendorffAlpha(df, "u", "v", metric).head()
+      assert(got.getAs[Long]("n_units_used") === 3L)
+      assert(got.getAs[Long]("n_ratings") === 9L)
+      val want = direct(rows, interval = metric == "interval")
+      assert(math.abs(got.getAs[Double]("alpha") - want) < 1e-6,
+        s"$metric: got ${got.getAs[Double]("alpha")} want $want")
+    }
+    // binary values: nominal and interval disagreement coincide exactly
+    val bin = (1 to 60).map(i => (s"u${i % 20}", (i % 3 min 1).toDouble)).toDF("u", "v")
+    val an = Agreement.krippendorffAlpha(bin, "u", "v", "nominal").head().getAs[Double]("alpha")
+    val ai = Agreement.krippendorffAlpha(bin, "u", "v", "interval").head().getAs[Double]("alpha")
+    assert(math.abs(an - ai) < 1e-9)
+    // perfect agreement -> 1; no variation at all -> null (undefined)
+    val perfect = Seq(("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0)).toDF("u", "v")
+    assert(Agreement.krippendorffAlpha(perfect, "u", "v", "nominal")
+      .head().getAs[Double]("alpha") === 1.0)
+    val flat = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0), ("b", 5.0)).toDF("u", "v")
+    val r = Agreement.krippendorffAlpha(flat, "u", "v", "interval").head()
+    assert(r.isNullAt(r.fieldIndex("alpha")))
+  }
 }
