@@ -1451,9 +1451,25 @@ object CoreQueries {
     None
   )
 
+  // ---- C103: ordered logit / proportional odds (rows-only: Newton
+  // MLE; GlmSpec pins the J=2 ≡ logistic identity at 1e-7 and planted
+  // 3-level recovery) --------------------------------------------------
+  val q310 = Q(
+    "q310_ordered_logit",
+    (s, dir) => {
+      // order priority is a 5-level ordinal scale ("1-URGENT" < … <
+      // "5-LOW" in its own string order); model it on scaled price
+      val o = Tables.orders(s, dir)
+        .withColumn("xp", col("o_totalprice") / lit(100000.0))
+      val m = graft.ml.OrderedLogit.fit(o, "o_orderpriority", Seq("xp"))
+      graft.ml.OrderedLogit.summary(s, m).orderBy("kind", "name")
+    },
+    None
+  )
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18,
       q19, q36, q37, q38, q41, q42, q43, q59, q68, q70, q74, q79, q80, q90, q91, q94,
       q144, q145, q146, q147, q148, q149, q150, q156, q157, q158, q159, q163, q164, q165,
-      q303, q304, q305)
+      q303, q304, q305, q310)
 }

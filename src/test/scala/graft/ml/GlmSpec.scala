@@ -366,6 +366,46 @@ class GlmSpec extends SparkSpec {
     assert(math.abs(m2.beta(1) - o2.coef(1)) < 1e-4)
   }
 
+  test("ordered logit: J=2 collapses to plain logistic; planted 3-level recovery; monotone cutpoints") {
+    // J = 2: P(y = hi) = sigma(x'b - a1) == logistic with icept -a1
+    val bin = (0 until 500).map { i =>
+      val x = math.sin(i * 0.77) * 2
+      val u = math.abs((math.sin(i * 12.9898) * 43758.5453) % 1.0)
+      val pHi = 1.0 / (1.0 + math.exp(-(-0.3 + 1.1 * x)))
+      (x, if (u < pHi) "b_hi" else "a_lo")
+    }
+    val bdf = bin.toDF("x", "y")
+    val m2 = OrderedLogit.fit(bdf, "y", Seq("x"))
+    val lg = Glm.logistic(
+      bdf.withColumn("y1", (col("y") === "b_hi").cast("double")), "y1", Seq("x"))
+    assert(m2.converged)
+    assert(math.abs(m2.beta(0) - lg.coef(1)) < 1e-7,
+      s"slope ${m2.beta(0)} vs logistic ${lg.coef(1)}")
+    assert(math.abs(m2.cutpoints(0) + lg.coef(0)) < 1e-7,
+      s"cutpoint ${m2.cutpoints(0)} vs -icept ${-lg.coef(0)}")
+
+    // planted proportional-odds data, 3 levels: alpha = (-1, 1), beta = 1.5
+    val tri = (0 until 2000).map { i =>
+      val x = math.sin(i * 0.37) * 1.5
+      val u = math.abs((math.sin(i * 12.9898) * 43758.5453) % 1.0)
+      val p1 = 1.0 / (1.0 + math.exp(-(-1.0 - 1.5 * x)))
+      val p2 = 1.0 / (1.0 + math.exp(-(1.0 - 1.5 * x)))
+      val y = if (u < p1) "g1" else if (u < p2) "g2" else "g3"
+      (x, y)
+    }
+    val m3 = OrderedLogit.fit(tri.toDF("x", "y"), "y", Seq("x"))
+    assert(m3.converged, s"iters ${m3.iters}")
+    assert(m3.levels === Seq("g1", "g2", "g3"))
+    assert(m3.cutpoints(0) < m3.cutpoints(1), "cutpoints must stay ordered")
+    assert(math.abs(m3.cutpoints(0) + 1.0) < 0.15, m3.cutpoints.mkString(","))
+    assert(math.abs(m3.cutpoints(1) - 1.0) < 0.15, m3.cutpoints.mkString(","))
+    assert(math.abs(m3.beta(0) - 1.5) < 0.15, m3.beta.mkString(","))
+    // summary frame carries the named rows
+    val sm = OrderedLogit.summary(spark, m3).collect()
+    assert(sm.count(_.getString(0) == "cutpoint") === 2)
+    assert(sm.count(_.getString(0) == "coef") === 1)
+  }
+
   test("cloglog GLM (non-canonical link) matches dense IRLS + sandwich; recovers planted hazard") {
     val data = for (i <- 0 until 600) yield {
       val x = math.sin(i * 0.77) * 1.5
