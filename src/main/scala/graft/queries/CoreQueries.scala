@@ -1467,9 +1467,24 @@ object CoreQueries {
     None
   )
 
+  // ---- C104: multinomial (softmax) logit (rows-only: Newton MLE;
+  // GlmSpec pins the J=2 ≡ logistic identity at 1e-7 and planted
+  // 3-class recovery + share calibration) ------------------------------
+  val q311 = Q(
+    "q311_multinomial",
+    (s, dir) => {
+      // nominal outcome: return flag (A/N/R) on scaled price + discount
+      val li = Tables.lineitem(s, dir)
+        .withColumn("xp", col("l_extendedprice") / lit(100000.0))
+      val m = graft.ml.Multinomial.fit(li, "l_returnflag", Seq("xp", "l_discount"))
+      graft.ml.Multinomial.summary(s, m).orderBy("class", "name")
+    },
+    None
+  )
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18,
       q19, q36, q37, q38, q41, q42, q43, q59, q68, q70, q74, q79, q80, q90, q91, q94,
       q144, q145, q146, q147, q148, q149, q150, q156, q157, q158, q159, q163, q164, q165,
-      q303, q304, q305, q310)
+      q303, q304, q305, q310, q311)
 }

@@ -406,6 +406,50 @@ class GlmSpec extends SparkSpec {
     assert(sm.count(_.getString(0) == "coef") === 1)
   }
 
+  test("multinomial logit: J=2 equals plain logistic; planted 3-class recovery; probabilities sum to 1") {
+    // J = 2 with reference = the later sorted level: P(y = a_lo) =
+    // sigma(eta_1), so theta_1 == the logistic fit of 1{a_lo}
+    val bin = (0 until 500).map { i =>
+      val x = math.sin(i * 0.77) * 2
+      val u = math.abs((math.sin(i * 12.9898) * 43758.5453) % 1.0)
+      val pLo = 1.0 / (1.0 + math.exp(-(-0.3 + 1.1 * x)))
+      (x, if (u < pLo) "a_lo" else "b_hi")
+    }
+    val bdf = bin.toDF("x", "y")
+    val m2 = Multinomial.fit(bdf, "y", Seq("x"))
+    val lg = Glm.logistic(
+      bdf.withColumn("y1", (col("y") === "a_lo").cast("double")), "y1", Seq("x"))
+    assert(m2.converged)
+    assert(math.abs(m2.coef(0)(0) - lg.coef(0)) < 1e-7)
+    assert(math.abs(m2.coef(0)(1) - lg.coef(1)) < 1e-7)
+
+    // planted 3-class softmax: theta_1 = (0.5, 1.0), theta_2 = (-0.5, -1.5)
+    val tri = (0 until 3000).map { i =>
+      val x = math.sin(i * 0.37) * 1.5
+      val u = math.abs((math.sin(i * 12.9898) * 43758.5453) % 1.0)
+      val e1 = math.exp(0.5 + 1.0 * x); val e2 = math.exp(-0.5 - 1.5 * x)
+      val d = 1.0 + e1 + e2
+      val y = if (u < e1 / d) "c1" else if (u < (e1 + e2) / d) "c2" else "c3"
+      (x, y)
+    }
+    val m3 = Multinomial.fit(tri.toDF("x", "y"), "y", Seq("x"))
+    assert(m3.converged, s"iters ${m3.iters}")
+    assert(m3.levels === Seq("c1", "c2", "c3"))
+    assert(math.abs(m3.coef(0)(0) - 0.5) < 0.15, m3.coef(0).mkString(","))
+    assert(math.abs(m3.coef(0)(1) - 1.0) < 0.15, m3.coef(0).mkString(","))
+    assert(math.abs(m3.coef(1)(0) + 0.5) < 0.15, m3.coef(1).mkString(","))
+    assert(math.abs(m3.coef(1)(1) + 1.5) < 0.15, m3.coef(1).mkString(","))
+    // fitted class shares ~ observed shares (softmax calibration at MLE:
+    // the intercept score equation forces exact share matching)
+    val obsShare = tri.count(_._2 == "c1").toDouble / tri.size
+    val fitShare = tri.map { case (x, _) =>
+      val e1 = math.exp(m3.coef(0)(0) + m3.coef(0)(1) * x)
+      val e2 = math.exp(m3.coef(1)(0) + m3.coef(1)(1) * x)
+      e1 / (1.0 + e1 + e2)
+    }.sum / tri.size
+    assert(math.abs(obsShare - fitShare) < 1e-6, s"$obsShare vs $fitShare")
+  }
+
   test("cloglog GLM (non-canonical link) matches dense IRLS + sandwich; recovers planted hazard") {
     val data = for (i <- 0 until 600) yield {
       val x = math.sin(i * 0.77) * 1.5
