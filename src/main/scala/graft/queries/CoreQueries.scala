@@ -1252,9 +1252,11 @@ object CoreQueries {
     None
   )
 
-  // ---- C49: IPW + AIPW treatment effects (rows-only: logistic
-  // propensity is iterative; CausalSpec pins planted-confounding
-  // debiasing and double robustness) -----------------------------------
+  // ---- C49: IPW + AIPW treatment effects (FULL oracle — the logistic
+  // propensity replays via the shared 2-parameter IRLS recursive CTE
+  // (OracleSql.logisticIrls2), the outcome OLS pair via Cramer closed
+  // forms, everything else Hajek/AIPW closed-form sums at 4dp;
+  // CausalSpec still pins planted-confounding debiasing) ---------------
 
   val q159 = Q(
     "q159_ate",
@@ -1272,7 +1274,43 @@ object CoreQueries {
           "mean_control_ipw" -> rnd(ipw.meanControl, 4)),
         Seq("n" -> ipw.n))
     },
-    None
+    Some {
+      s"""WITH RECURSIVE src AS (
+         |  SELECT l_quantity::DOUBLE AS x,
+         |         CASE WHEN l_discount > 0.05 THEN 1.0 ELSE 0.0 END AS y,
+         |         l_extendedprice::DOUBLE AS yy
+         |  FROM lineitem),
+         |${OracleSql.logisticIrls2("src")},
+         |sc AS (SELECT src.x, src.y, src.yy,
+         |         least(greatest(
+         |           1.0/(1.0 + exp(-least(greatest(f.b0 + src.x*f.b1, -30.0), 30.0))),
+         |           0.01), 0.99) AS e
+         |       FROM src, fin f),
+         |ipw AS (SELECT sum(y*yy/e) AS ty, sum(y/e) AS tw,
+         |          sum((1.0 - y)*yy/(1.0 - e)) AS cy,
+         |          sum((1.0 - y)/(1.0 - e)) AS cw,
+         |          count(*)::BIGINT AS n
+         |        FROM sc),
+         |o1 AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(yy) AS sy,
+         |         sum(x*x) AS sxx, sum(x*yy) AS sxy FROM sc WHERE y = 1.0),
+         |c1 AS (SELECT (n*sxy - sx*sy)/(n*sxx - sx*sx) AS sl,
+         |         (sy - (n*sxy - sx*sy)/(n*sxx - sx*sx)*sx)/n AS ic FROM o1),
+         |o0 AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(yy) AS sy,
+         |         sum(x*x) AS sxx, sum(x*yy) AS sxy FROM sc WHERE y = 0.0),
+         |c0 AS (SELECT (n*sxy - sx*sy)/(n*sxx - sx*sx) AS sl,
+         |         (sy - (n*sxy - sx*sy)/(n*sxx - sx*sx)*sx)/n AS ic FROM o0),
+         |aipw AS (SELECT
+         |    sum(f1 - f0 + y*(yy - f1)/e - (1.0 - y)*(yy - f0)/(1.0 - e))
+         |      / count(*) AS ate
+         |  FROM (SELECT sc.*, c1.ic + sc.x*c1.sl AS f1, c0.ic + sc.x*c0.sl AS f0
+         |        FROM sc, c1, c0))
+         |SELECT round(ipw.ty/ipw.tw - ipw.cy/ipw.cw, 4) AS ate_ipw,
+         |  round(aipw.ate, 4) AS ate_aipw,
+         |  round(ipw.ty/ipw.tw, 4) AS mean_treated_ipw,
+         |  round(ipw.cy/ipw.cw, 4) AS mean_control_ipw,
+         |  ipw.n
+         |FROM ipw, aipw""".stripMargin
+    }
   )
 
   // ---- C51: Driscoll–Kraay serial+cross-sectional robust SE (FULL

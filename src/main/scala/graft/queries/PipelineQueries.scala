@@ -7586,97 +7586,22 @@ object PipelineQueries {
         (col("lang") === "en").cast("int").as("lbl"))
       graft.ops.Calibrate.platt(df, "score", "lbl").orderBy("doc_id")
     },
-    // FULL oracle: the IRLS loop replays as a recursive CTE — each pass
-    // recomputes the five weighted sufficient sums as global window
-    // sums (the q278 convention), solves the 2x2 system in LinAlg's
-    // exact pivot/eliminate/back-substitute op order, and stops on the
-    // same relative-deviance test. Per-pass sums differ from Spark's in
-    // ulps (summation order), absorbed by the 6dp output quantizer.
-    Some(
-      """WITH RECURSIVE docs AS (
+    // FULL oracle: the IRLS loop replays via the shared 2-parameter
+    // recursive CTE (OracleSql.logisticIrls2 — window-sum sufficient
+    // stats, LinAlg's exact 2x2 pivot order, same relative-deviance
+    // stop). Per-pass sums differ from Spark's in ulps (summation
+    // order), absorbed by the 6dp output quantizer.
+    Some {
+      s"""WITH RECURSIVE src AS (
         |  SELECT doc_id, n_chars::DOUBLE / 1000.0 AS x,
         |         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
         |  FROM documents),
-        |it AS (
-        |  SELECT 1 AS i,
-        |    (v0 - m01*b1n)/m00 AS b0, b1n AS b1, devnow AS dev, false AS done
-        |  FROM (
-        |    SELECT u.*,
-        |      (v1 - (m10/m00)*v0) / (m11 - (m10/m00)*m01) AS b1n
-        |    FROM (
-        |      SELECT DISTINCT
-        |        CASE WHEN abs(sB) > abs(sA) THEN sB ELSE sA END AS m00,
-        |        CASE WHEN abs(sB) > abs(sA) THEN sC ELSE sB END AS m01,
-        |        CASE WHEN abs(sB) > abs(sA) THEN sA ELSE sB END AS m10,
-        |        CASE WHEN abs(sB) > abs(sA) THEN sB ELSE sC END AS m11,
-        |        CASE WHEN abs(sB) > abs(sA) THEN d1 ELSE d0 END AS v0,
-        |        CASE WHEN abs(sB) > abs(sA) THEN d0 ELSE d1 END AS v1,
-        |        devnow
-        |      FROM (
-        |        SELECT sum(w) OVER () AS sA, sum(w*x) OVER () AS sB,
-        |               sum(w*x*x) OVER () AS sC, sum(w*z) OVER () AS d0,
-        |               sum(w*x*z) OVER () AS d1, sum(devterm) OVER () AS devnow
-        |        FROM (
-        |          SELECT x, y, eta, mu, mu*(1.0 - mu) AS w,
-        |            eta + (y - mu)/(mu*(1.0 - mu)) AS z,
-        |            -2.0*(CASE WHEN y > 0.0 THEN y*ln(mu) ELSE 0.0 END +
-        |                  CASE WHEN y < 1.0 THEN (1.0 - y)*ln(1.0 - mu) ELSE 0.0 END)
-        |              AS devterm
-        |          FROM (
-        |            SELECT x, y, eta,
-        |              1.0/(1.0 + exp(-least(greatest(eta, -30.0), 30.0))) AS mu
-        |            FROM (
-        |              SELECT x, y,
-        |                ln(((y + 0.5)/2.0)/(1.0 - (y + 0.5)/2.0)) AS eta
-        |              FROM docs))
-        |        )
-        |      )
-        |    ) u
-        |  )
-        |  UNION ALL
-        |  SELECT i + 1,
-        |    (v0 - m01*b1n)/m00, b1n, devnow,
-        |    abs(devnow - dev)/(abs(devnow) + 0.1) < 1e-9
-        |  FROM (
-        |    SELECT u.*,
-        |      (v1 - (m10/m00)*v0) / (m11 - (m10/m00)*m01) AS b1n
-        |    FROM (
-        |      SELECT DISTINCT i, dev,
-        |        CASE WHEN abs(sB) > abs(sA) THEN sB ELSE sA END AS m00,
-        |        CASE WHEN abs(sB) > abs(sA) THEN sC ELSE sB END AS m01,
-        |        CASE WHEN abs(sB) > abs(sA) THEN sA ELSE sB END AS m10,
-        |        CASE WHEN abs(sB) > abs(sA) THEN sB ELSE sC END AS m11,
-        |        CASE WHEN abs(sB) > abs(sA) THEN d1 ELSE d0 END AS v0,
-        |        CASE WHEN abs(sB) > abs(sA) THEN d0 ELSE d1 END AS v1,
-        |        devnow
-        |      FROM (
-        |        SELECT i, dev,
-        |               sum(w) OVER () AS sA, sum(w*x) OVER () AS sB,
-        |               sum(w*x*x) OVER () AS sC, sum(w*z) OVER () AS d0,
-        |               sum(w*x*z) OVER () AS d1, sum(devterm) OVER () AS devnow
-        |        FROM (
-        |          SELECT i, dev, x, y, eta, mu, mu*(1.0 - mu) AS w,
-        |            eta + (y - mu)/(mu*(1.0 - mu)) AS z,
-        |            -2.0*(CASE WHEN y > 0.0 THEN y*ln(mu) ELSE 0.0 END +
-        |                  CASE WHEN y < 1.0 THEN (1.0 - y)*ln(1.0 - mu) ELSE 0.0 END)
-        |              AS devterm
-        |          FROM (
-        |            SELECT q.i, q.dev, d.x, d.y,
-        |              1.0*q.b0 + d.x*q.b1 AS eta,
-        |              1.0/(1.0 + exp(-least(greatest(1.0*q.b0 + d.x*q.b1, -30.0), 30.0)))
-        |                AS mu
-        |            FROM it q, docs d WHERE q.i < 30 AND NOT q.done)
-        |        )
-        |      )
-        |    ) u
-        |  )
-        |),
-        |fin AS (SELECT b0, b1 FROM it WHERE i = (SELECT max(i) FROM it))
+        |${OracleSql.logisticIrls2("src")}
         |SELECT d.doc_id, d.x AS score,
         |  CASE WHEN d.y > 0.5 THEN 1 ELSE 0 END::INT AS lbl,
         |  floor((1.0/(1.0 + exp(-(f.b0 + d.x*f.b1))))*1e6 + 0.5)/1e6 AS p_platt
-        |FROM docs d, fin f ORDER BY d.doc_id""".stripMargin
-    )
+        |FROM src d, fin f ORDER BY d.doc_id""".stripMargin
+    }
   )
 
   // ---- C86: Qini / uplift deciles (FULL oracle — ntile via the Z17
