@@ -6017,7 +6017,43 @@ object PipelineQueries {
         floor(unix_timestamp(col("o_orderdate")) / 86400).cast("double").as("y"))
       graft.ml.Causal.stratifiedATE(o, "y", "tr", Seq("x"), "id", strata = 5)
     },
-    None
+    // FULL oracle: propensity via the shared 2-param IRLS recursive
+    // CTE, exact-count strata via SQL-standard ntile over (e, id) —
+    // the same assignment Rank.withGlobalNtile computes — then plain
+    // conditional means and the null-arm-excluded weighted total
+    Some {
+      s"""WITH RECURSIVE src AS (
+         |  SELECT o_orderkey AS id,
+         |         CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS y,
+         |         o_totalprice/1000.0 AS x,
+         |         floor(epoch(o_orderdate)/86400) AS yout
+         |  FROM orders),
+         |${OracleSql.logisticIrls2("src")},
+         |sc AS (SELECT src.id, src.x, src.y AS tr, src.yout,
+         |         least(greatest(
+         |           1.0/(1.0 + exp(-least(greatest(f.b0 + src.x*f.b1, -30.0), 30.0))),
+         |           0.01), 0.99) AS e
+         |       FROM src, fin f),
+         |nt AS (SELECT *, ntile(5) OVER (ORDER BY e, id) AS stratum FROM sc),
+         |per AS (SELECT stratum::INT AS stratum, count(*)::BIGINT AS n,
+         |          sum(tr)::BIGINT AS n_treat,
+         |          avg(CASE WHEN tr = 1.0 THEN yout END) AS mt,
+         |          avg(CASE WHEN tr = 0.0 THEN yout END) AS mc
+         |        FROM nt GROUP BY 1),
+         |tot AS (SELECT
+         |    sum(CASE WHEN mt IS NOT NULL AND mc IS NOT NULL
+         |          THEN (mt - mc)*n::DOUBLE END) AS num,
+         |    sum(CASE WHEN mt IS NOT NULL AND mc IS NOT NULL
+         |          THEN n::DOUBLE END) AS den
+         |  FROM per)
+         |SELECT stratum, n, n_treat,
+         |  floor(mt*1e6+0.5)/1e6 AS mean_t,
+         |  floor(mc*1e6+0.5)/1e6 AS mean_c,
+         |  CASE WHEN mt IS NOT NULL AND mc IS NOT NULL
+         |    THEN floor((mt - mc)*1e6+0.5)/1e6 END AS ate_s,
+         |  floor((SELECT num/den FROM tot)*1e6+0.5)/1e6 AS ate
+         |FROM per ORDER BY stratum""".stripMargin
+    }
   )
 
   // ---- Z2 (promoted to oracle): skew-salted join ≡ the plain join —
