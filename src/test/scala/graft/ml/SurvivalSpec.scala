@@ -179,6 +179,39 @@ class SurvivalSpec extends SparkSpec {
     assert(unpartitioned(cum).isEmpty)
   }
 
+  test("WeibullAft: planted Weibull recovery with and without censoring; exponential special case") {
+    import spark.implicits._
+    // T = exp(1 + 0.8x + 0.5*eps), eps = ln(-ln U) standard min-Gumbel
+    def u(i: Int) = math.abs((math.sin(i * 12.9898) * 43758.5453) % 1.0) max 1e-12
+    val data = (0 until 4000).map { i =>
+      val x = math.sin(i * 0.37) * 1.0
+      val t = math.exp(1.0 + 0.8 * x + 0.5 * math.log(-math.log(1.0 - u(i))))
+      (x, t)
+    }
+    val full = data.map { case (x, t) => (x, t, 1) }.toDF("x", "t", "d")
+    val m = graft.ml.WeibullAft.fit(full, "t", "d", Seq("x"))
+    assert(m.converged, s"iters ${m.iters}")
+    assert(math.abs(m.beta(0) - 1.0) < 0.07, s"icept ${m.beta(0)}")
+    assert(math.abs(m.beta(1) - 0.8) < 0.07, s"slope ${m.beta(1)}")
+    assert(math.abs(m.sigma - 0.5) < 0.05, s"sigma ${m.sigma}")
+    assert(math.abs(m.shape - 2.0) < 0.2)
+    // administrative right censoring at t = 6: estimates stay close
+    val cens = data.map { case (x, t) =>
+      (x, math.min(t, 6.0), if (t <= 6.0) 1 else 0) }.toDF("x", "t", "d")
+    val mc = graft.ml.WeibullAft.fit(cens, "t", "d", Seq("x"))
+    assert(mc.converged)
+    assert(mc.nEvents < mc.n) // censoring really happened
+    assert(math.abs(mc.beta(1) - 0.8) < 0.1, s"censored slope ${mc.beta(1)}")
+    assert(math.abs(mc.sigma - 0.5) < 0.07)
+    // sigma = 1 data (exponential): shape estimate near 1
+    val expo = (0 until 3000).map { i =>
+      val x = math.sin(i * 0.37)
+      (x, math.exp(0.5 + x + math.log(-math.log(1.0 - u(i + 7)))), 1)
+    }.toDF("x", "t", "d")
+    val me = graft.ml.WeibullAft.fit(expo, "t", "d", Seq("x"))
+    assert(math.abs(me.shape - 1.0) < 0.1, s"shape ${me.shape}")
+  }
+
   test("Cox distinct-duration iteration matches the per-subject formulation (hand replay)") {
     import spark.implicits._
     // small frame with TIES at t=2 and t=5 — Breslow pooling must hold
