@@ -89,14 +89,21 @@ object WeibullAft {
       val hBB = -ez / lit(sigma * sigma) // × x_j x_k
       val hBT = -(z * ez + ez - d) / lit(sigma) // × x_j
       val hTT = z * (d - ez) - z * z * ez
+      // project per-row terms once, aggregate simple products (the
+      // Tobit lesson: inlining shared exp trees into every aggregate
+      // column re-evaluates them per column)
+      val work = base.select(
+        (Seq(llTerm.as("__ll"), gB.as("__gb"), gT.as("__gt"),
+          hBB.as("__hbb"), hBT.as("__hbt"), hTT.as("__htt")) ++
+          (0 until k - 1).map(i => col(s"__x$i"))): _*)
       val aggs: Seq[Column] =
-        sum(llTerm).as("ll") +:
-          ((0 until k).map(j => sum(gB * xc(j))) ++
-            Seq(sum(gT)) ++
-            pairs.map { case (a, b) => sum(hBB * xc(a) * xc(b)) } ++
-            (0 until k).map(j => sum(hBT * xc(j))) ++
-            Seq(sum(hTT)))
-      val r = base.agg(aggs.head, aggs.tail: _*).head()
+        sum(col("__ll")).as("ll") +:
+          ((0 until k).map(j => sum(col("__gb") * xc(j))) ++
+            Seq(sum(col("__gt"))) ++
+            pairs.map { case (a, b) => sum(col("__hbb") * xc(a) * xc(b)) } ++
+            (0 until k).map(j => sum(col("__hbt") * xc(j))) ++
+            Seq(sum(col("__htt"))))
+      val r = work.agg(aggs.head, aggs.tail: _*).head()
       val llNow = r.getDouble(0)
       val g = Array.tabulate(k + 1)(i => r.getDouble(1 + i))
       val h = Array.ofDim[Double](k + 1, k + 1)

@@ -1477,12 +1477,14 @@ object CoreQueries {
   val q305 = Q(
     "q305_tobit",
     (s, dir) => {
-      // censor discounted price lift at zero: y = max(0, 10*(disc - 0.03))
-      // regressed on quantity — a deliberately censored-by-construction
-      // outcome over real columns
+      // censored-by-construction outcome with a REAL slope in the
+      // regressor and discount supplying the independent noise:
+      // y = max(0, (qty − 20)/10 + 20·(disc − 0.05)), fit on quantity
       val li = Tables.lineitem(s, dir)
         .withColumn("ylat",
-          greatest(lit(0.0), (col("l_discount") - lit(0.03)) * lit(10.0)))
+          greatest(lit(0.0),
+            (col("l_quantity") - lit(20.0)) / lit(10.0) +
+              (col("l_discount") - lit(0.05)) * lit(20.0)))
       val m = graft.ml.Tobit.fit(li, "ylat", Seq("l_quantity"), lower = 0.0)
       graft.ml.Tobit.summary(s, m).orderBy("name")
     },
