@@ -68,10 +68,14 @@ object Cox {
   case class Model(
       beta: Array[Double],
       hazardRatios: Array[Double],
+      se: Array[Double], // sqrt diag of the inverse observed information
       loglik: Double,
       iters: Int,
       n: Long,
-      nEvents: Long)
+      nEvents: Long) {
+    /** Wald z per covariate. */
+    def z: Array[Double] = beta.zip(se).map { case (b, s) => b / s }
+  }
 
   def fit(
       df: DataFrame,
@@ -96,6 +100,7 @@ object Cox {
 
     var beta: Array[Double] = Array.fill(k)(0.0)
     var loglik = Double.NegativeInfinity
+    var hLast: Array[Array[Double]] = null
     var iter = 0
     var done = false
     while (iter < maxIter && !done) {
@@ -117,23 +122,30 @@ object Cox {
       pairs.zipWithIndex.foreach { case ((p, q), i) =>
         val v = r.getDouble(1 + k + i); h(p)(q) = v; h(q)(p) = v
       }
-      val delta = LinAlg.solve(h, g)
+      val delta = LinAlg.solve(h.map(_.clone()), g)
+      hLast = h
       beta = beta.zip(delta).map { case (b, d) => b + d }
       done = delta.map(math.abs).max < tol && (ll - loglik).abs < 1e-12 * (1 + ll.abs)
       loglik = ll
       iter += 1
     }
-    Model(beta, beta.map(math.exp), loglik, iter, n, nEvents)
+    // Wald SEs from the observed information at (essentially) the MLE:
+    // the partial-likelihood Hessian the last Newton pass already
+    // reduced — no extra distributed work
+    val se = LinAlg.inverse(hLast).zipWithIndex.map { case (row, i) => math.sqrt(row(i)) }
+    Model(beta, beta.map(math.exp), se, loglik, iter, n, nEvents)
   }
 
-  /** Per-covariate summary frame for a fitted model: coef, hazard ratio.
-    * 6dp via the portable floor-quantizer (chain-produced floats).
+  /** Per-covariate summary frame for a fitted model: coef, hazard
+    * ratio, Wald SE and z. 6dp via the portable floor-quantizer
+    * (chain-produced floats).
     */
   def summary(spark: org.apache.spark.sql.SparkSession, m: Model, names: Seq[String]): DataFrame = {
     import spark.implicits._
     def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
-    names.zipWithIndex.map { case (nm, i) => (nm, q6(m.beta(i)), q6(m.hazardRatios(i))) }
-      .toDF("covariate", "coef", "hazard_ratio")
+    names.zipWithIndex.map { case (nm, i) =>
+      (nm, q6(m.beta(i)), q6(m.hazardRatios(i)), q6(m.se(i)), q6(m.beta(i) / m.se(i))) }
+      .toDF("covariate", "coef", "hazard_ratio", "se", "z")
       .withColumn("n", lit(m.n))
       .withColumn("n_events", lit(m.nEvents))
       .withColumn("iters", lit(m.iters))

@@ -239,7 +239,11 @@ class SurvivalSpec extends SparkSpec {
     var b = 0.0
     for (_ <- 1 to 25) { val (_, g, h) = scan(b); if (h > 0) b += g / h }
     assert(math.abs(m.beta(0) - b) < 1e-6, s"got ${m.beta(0)} want $b")
-    val (llStar, _, _) = scan(b)
+    val (llStar, _, hStar) = scan(b)
     assert(math.abs(m.loglik - llStar) < 1e-6)
+    // Wald SE = 1/sqrt(information) at the MLE, replayed from the same scan
+    assert(math.abs(m.se(0) - 1.0 / math.sqrt(hStar)) < 1e-6,
+      s"se ${m.se(0)} vs ${1.0 / math.sqrt(hStar)}")
+    assert(math.abs(m.z(0) - m.beta(0) / m.se(0)) < 1e-12)
   }
 }
