@@ -9308,6 +9308,28 @@ object PipelineQueries {
     }
   )
 
+  // ---- C106: zero-inflated Poisson (rows-only: GEM; GlmSpec pins
+  // planted (π, β) recovery and the pure-Poisson π→0 collapse) ---------
+  val q315 = Q(
+    "q315_zip",
+    (s, dir) => {
+      // purchases per user-day: structural zeros from never-buyers plus
+      // Poisson day-to-day variation
+      val ev = Tables.events(s, dir)
+      val perDay = ev
+        .select(col("user_id"),
+          floor(unix_timestamp(col("ts")) / 86400).as("day"),
+          (col("event_type") === "purchase").cast("int").as("isp"))
+        .groupBy("user_id", "day")
+        .agg(sum(col("isp")).cast("double").as("y"),
+          count(lit(1)).cast("double").as("vol"))
+        .withColumn("xv", col("vol") / lit(10.0))
+      val m = graft.ml.Zip.fit(perDay, "y", Seq("xv"))
+      graft.ml.Zip.summary(s, m).orderBy("name")
+    },
+    None
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
@@ -9316,5 +9338,5 @@ object PipelineQueries {
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
       q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276,
       q277, q278, q279, q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290,
-      q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q306, q307, q308, q309, q312, q313, q314)
+      q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q306, q307, q308, q309, q312, q313, q314, q315)
 }

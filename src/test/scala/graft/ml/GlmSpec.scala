@@ -450,6 +450,41 @@ class GlmSpec extends SparkSpec {
     assert(math.abs(obsShare - fitShare) < 1e-6, s"$obsShare vs $fitShare")
   }
 
+  test("zero-inflated Poisson: planted (pi, beta) recovery; pure-Poisson data drives pi to ~0") {
+    // deterministic ZIP draws: structural zero w.p. 0.3, else Poisson(exp(0.5 + 0.7x))
+    def u(i: Int, salt: Double) =
+      math.abs((math.sin((i + salt) * 12.9898) * 43758.5453) % 1.0)
+    def pois(lam: Double, i: Int): Double = {
+      // inverse-CDF Poisson draw from a deterministic uniform
+      var p = math.exp(-lam); var cdf = p; var x = 0
+      val uu = u(i, 0.31)
+      while (cdf < uu && x < 100) { x += 1; p *= lam / x; cdf += p }
+      x.toDouble
+    }
+    val data = (0 until 4000).map { i =>
+      val x = math.sin(i * 0.37)
+      val lam = math.exp(0.5 + 0.7 * x)
+      val y = if (u(i, 7.7) < 0.3) 0.0 else pois(lam, i)
+      (x, y)
+    }
+    val df = data.toDF("x", "y")
+    val m = Zip.fit(df, "y", Seq("x"))
+    assert(m.converged, s"iters ${m.iters}")
+    assert(math.abs(m.pi - 0.3) < 0.05, s"pi ${m.pi}")
+    assert(math.abs(m.beta(0) - 0.5) < 0.1, s"icept ${m.beta(0)}")
+    assert(math.abs(m.beta(1) - 0.7) < 0.1, s"slope ${m.beta(1)}")
+    // plain Poisson data: inflation collapses and slopes match Glm.poisson
+    val pure = (0 until 4000).map { i =>
+      val x = math.sin(i * 0.37)
+      (x, pois(math.exp(0.3 + 0.5 * x), i + 999))
+    }.toDF("x", "y")
+    val mp = Zip.fit(pure, "y", Seq("x"))
+    val gp = Glm.poisson(pure, "y", Seq("x"))
+    assert(mp.pi < 0.02, s"pi ${mp.pi}")
+    assert(math.abs(mp.beta(1) - gp.coef(1)) < 0.02,
+      s"${mp.beta(1)} vs ${gp.coef(1)}")
+  }
+
   test("cloglog GLM (non-canonical link) matches dense IRLS + sandwich; recovers planted hazard") {
     val data = for (i <- 0 until 600) yield {
       val x = math.sin(i * 0.77) * 1.5
