@@ -3866,7 +3866,37 @@ object PipelineQueries {
         .select(col("score_lo"), col("score_hi"), round(col("p_cal"), 6).as("p_cal"), col("n"))
         .orderBy(col("score_lo"))
     },
-    None
+    // FULL oracle: PAV via its minimax characterization — fitted value
+    // at point i = max_{j<=i} min_{k>=i} weightedMean(y[j..k]), an
+    // O(points²) interval frame (points = distinct scores, bounded);
+    // runs of equal fitted values (9dp, block-mean gaps are O(0.01))
+    // are the PAV blocks, and each block's p_cal recomputes from the
+    // SAME integer sums PAV pooled — bit-exact at the 6dp round
+    Some(
+      """WITH g AS (SELECT n_chars::DOUBLE AS s,
+        |             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE AS sy,
+        |             count(*)::DOUBLE AS w
+        |           FROM documents GROUP BY 1),
+        |o AS (SELECT s, sy, w, row_number() OVER (ORDER BY s) AS i FROM g),
+        |p AS (SELECT i, s, sum(sy) OVER (ORDER BY i) AS cy,
+        |        sum(w) OVER (ORDER BY i) AS cw FROM o),
+        |a AS (SELECT j.i AS j, k.i AS k,
+        |        (k.cy - coalesce(jp.cy, 0.0)) / (k.cw - coalesce(jp.cw, 0.0)) AS m
+        |      FROM p j JOIN p k ON k.i >= j.i
+        |      LEFT JOIN p jp ON jp.i = j.i - 1),
+        |mn AS (SELECT j, k AS i,
+        |         min(m) OVER (PARTITION BY j ORDER BY k DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mji
+        |       FROM a),
+        |f AS (SELECT i, max(mji) AS yhat FROM mn GROUP BY i),
+        |r AS (SELECT o.i, o.s, o.sy, o.w, round(f.yhat, 9) AS yq
+        |      FROM o JOIN f ON f.i = o.i),
+        |blk AS (SELECT *, i - row_number() OVER (PARTITION BY yq ORDER BY i) AS grp
+        |        FROM r)
+        |SELECT min(s) AS score_lo, max(s) AS score_hi,
+        |  round(sum(sy)/sum(w), 6) AS p_cal, sum(w)::BIGINT AS n
+        |FROM blk GROUP BY yq, grp ORDER BY score_lo""".stripMargin
+    )
   )
 
   // ---- C50: event-study dynamic DiD (rows-only: two-way FE absorption
