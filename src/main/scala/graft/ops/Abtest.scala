@@ -286,57 +286,6 @@ object Abtest {
       when(okV, q6(g + lit(1.959964) * seg)).as("g_hi"))
   }
 
-  /** Mann–Whitney U (Wilcoxon rank-sum) — the distribution-free two-arm
-    * location test: U_A = R_A − n_A(n_A+1)/2 with AVERAGE ranks for
-    * ties, the tie-corrected normal approximation
-    * σ² = n_A n_B/12·[(n+1) − Σ(t³−t)/(n(n−1))], z = (U_A − n_A n_B/2)/σ
-    * (no continuity correction — documented convention), two-sided p
-    * from the shared portable Φ. The rank-based companion of
-    * [[twoProportion]]/[[permutationTest]] when means mislead
-    * (heavy tails, ordinal metrics).
-    *
-    * Scale shape: ONE (value, arm) count aggregate collapses the corpus
-    * to the distinct-value frame; average ranks come from a DISTRIBUTED
-    * prefix count ([[graft.ops.Rank.withPrefixSums]] — no
-    * single-partition window even when values are near-unique), then
-    * one closed-form reduction. Zero rank variance (all values equal)
-    * emits null z/p.
-    */
-  def mannWhitney(
-      df: DataFrame,
-      armCol: Column,
-      valueCol: Column,
-      armA: String,
-      armB: String): DataFrame = {
-    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
-    val base = df.select(armCol.as("__arm"), valueCol.cast("double").as("v"))
-      .where(col("__arm") === armA || col("__arm") === armB)
-    val per = base.groupBy("v").agg(
-      sum(when(col("__arm") === armA, 1L).otherwise(0L)).as("ca"),
-      sum(when(col("__arm") === armB, 1L).otherwise(0L)).as("cb"))
-      .withColumn("ct", col("ca") + col("cb"))
-    val cum = graft.ops.Rank.withPrefixSums(per, Seq(col("v")), Seq("ct"))
-    val avgr = (col("__cum_ct") - col("ct")).cast("double") +
-      (col("ct").cast("double") + lit(1.0)) / lit(2.0)
-    val agg = cum.agg(
-      sum(col("ca")).cast("long").as("n_a"),
-      sum(col("cb")).cast("long").as("n_b"),
-      sum(col("ca").cast("double") * avgr).as("ra"),
-      sum((col("ct") * col("ct") * col("ct") - col("ct")).cast("double")).as("ties"))
-    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
-    val n = na + nb
-    val u = col("ra") - na * (na + lit(1.0)) / lit(2.0)
-    val mu = na * nb / lit(2.0)
-    val sig2 = na * nb / lit(12.0) *
-      ((n + lit(1.0)) - col("ties") / (n * (n - lit(1.0))))
-    val z = (u - mu) / sqrt(sig2)
-    agg.select(
-      col("n_a"), col("n_b"),
-      q6(u).as("u_a"),
-      when(sig2 > 0, q6(z)).as("z"),
-      when(sig2 > 0, q6(graft.functions.NormalDist.pTwoSided(z))).as("p_value"))
-  }
-
   /** Smallest detectable absolute lift at a fixed per-arm n — the
     * monotone inversion of [[requiredN]] by bisection (driver-side, 60
     * iterations ≈ machine precision).

@@ -9298,46 +9298,6 @@ object PipelineQueries {
     )
   )
 
-  // ---- T117: Mann–Whitney U with tie correction (FULL oracle — the
-  // distinct-value frame carries average ranks via a prefix count, the
-  // ksTest honest-cost convention; p via the shared portable Φ) --------
-  val q314 = Q(
-    "q314_mann_whitney",
-    (s, dir) =>
-      graft.ops.Abtest.mannWhitney(
-        Tables.events(s, dir),
-        when(col("user_id") % 2 === 0, "A").otherwise("B"),
-        col("value"), armA = "A", armB = "B"),
-    Some {
-      val phi = graft.functions.NormalDist
-      s"""WITH b AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
-         |             value::DOUBLE AS v FROM events),
-         |per AS (SELECT v,
-         |          sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)::BIGINT AS ca,
-         |          sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)::BIGINT AS cb
-         |        FROM b GROUP BY v),
-         |cum AS (SELECT *, ca + cb AS ct,
-         |          sum(ca + cb) OVER (ORDER BY v
-         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumct
-         |        FROM per),
-         |agg AS (SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b,
-         |          sum(ca::DOUBLE * ((cumct - ct)::DOUBLE + (ct::DOUBLE + 1.0)/2.0)) AS ra,
-         |          sum((ct*ct*ct - ct)::DOUBLE) AS ties
-         |        FROM cum),
-         |f AS (SELECT *, n_a::DOUBLE AS na, n_b::DOUBLE AS nb,
-         |        n_a::DOUBLE + n_b::DOUBLE AS n FROM agg),
-         |zc AS (SELECT *, ra - na*(na + 1.0)/2.0 AS u,
-         |         na*nb/12.0 * ((n + 1.0) - ties/(n*(n - 1.0))) AS sig2 FROM f),
-         |z2 AS (SELECT *, (u - na*nb/2.0)/sqrt(sig2) AS zs FROM zc)
-         |SELECT n_a, n_b,
-         |  floor(u*1e6+0.5)/1e6 AS u_a,
-         |  CASE WHEN sig2 > 0 THEN floor(zs*1e6+0.5)/1e6 END AS z,
-         |  CASE WHEN sig2 > 0
-         |    THEN floor(${phi.pTwoSidedSql("zs")}*1e6+0.5)/1e6 END AS p_value
-         |FROM z2""".stripMargin
-    }
-  )
-
   // ---- C106: zero-inflated Poisson (rows-only: GEM; GlmSpec pins
   // planted (π, β) recovery and the pure-Poisson π→0 collapse) ---------
   val q315 = Q(
@@ -9368,5 +9328,5 @@ object PipelineQueries {
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
       q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276,
       q277, q278, q279, q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290,
-      q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q306, q307, q308, q309, q312, q313, q314, q315)
+      q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q306, q307, q308, q309, q312, q313, q315)
 }

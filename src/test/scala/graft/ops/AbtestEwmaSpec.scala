@@ -171,33 +171,6 @@ class AbtestEwmaSpec extends SparkSpec {
     assert(rf.isNullAt(rf.fieldIndex("cohens_d")))
   }
 
-  test("mannWhitney: hand U with and without ties; direction; all-equal null") {
-    import spark.implicits._
-    import org.apache.spark.sql.functions._
-    // disjoint: A {1,2,3}, B {4,5,6} -> R_A = 6, U = 0,
-    // sigma^2 = 9/12*7 = 5.25, z = -4.5/sqrt(5.25)
-    val df = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0),
-      ("B", 4.0), ("B", 5.0), ("B", 6.0)).toDF("arm", "v")
-    val r = Abtest.mannWhitney(df, col("arm"), col("v"), "A", "B").head()
-    assert(r.getAs[Double]("u_a") === 0.0)
-    assert(math.abs(r.getAs[Double]("z") - (-4.5 / math.sqrt(5.25))) < 1e-6)
-    // ties: A {1,1,2}, B {1,2,2}: avg ranks 2 and 5 -> R_A = 9, U = 3,
-    // ties term = 2*(27-3) = 48, sigma^2 = 0.75*(7 - 48/30) = 4.05
-    val dt = Seq(("A", 1.0), ("A", 1.0), ("A", 2.0),
-      ("B", 1.0), ("B", 2.0), ("B", 2.0)).toDF("arm", "v")
-    val rt = Abtest.mannWhitney(dt, col("arm"), col("v"), "A", "B").head()
-    assert(rt.getAs[Double]("u_a") === 3.0)
-    assert(math.abs(rt.getAs[Double]("z") - (-1.5 / math.sqrt(4.05))) < 1e-6)
-    // swapped arms flip the z sign with identical p
-    val rs = Abtest.mannWhitney(df, col("arm"), col("v"), "B", "A").head()
-    assert(math.abs(rs.getAs[Double]("z") + r.getAs[Double]("z")) < 1e-9)
-    assert(math.abs(rs.getAs[Double]("p_value") - r.getAs[Double]("p_value")) < 1e-9)
-    // every value identical: zero rank variance -> null z/p
-    val flat = Seq(("A", 1.0), ("A", 1.0), ("B", 1.0)).toDF("arm", "v")
-    val rq = Abtest.mannWhitney(flat, col("arm"), col("v"), "A", "B").head()
-    assert(rq.isNullAt(rq.fieldIndex("z")))
-  }
-
   test("BY-FDR is BH with the harmonic divisor: stricter line, nested significant set") {
     import spark.implicits._
     val tests = (1 to 40).map(i =>
