@@ -65,16 +65,22 @@ class CalibrateSpec extends SparkSpec {
     val hi = (1 to 10).map(v => ("hi", v + 10))
     val df = (lo ++ hi).toDF("g", "x")
     val got = Drift.ksTest(df, "x", "g")
-      .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     // pooled ECDF at x=10: 10/20 = 0.5; F_lo(10) = 1 -> D_lo = 0.5; by
     // symmetry D_hi = 0.5 (largest gap at x=10: F_hi = 0 vs 0.5)
-    assert(got("lo") === ((10L, 0.5)))
-    assert(got("hi") === ((10L, 0.5)))
-    // a group identical to the pool drifts zero
+    assert((got("lo")._1, got("lo")._2) === ((10L, 0.5)))
+    assert((got("hi")._1, got("hi")._2) === ((10L, 0.5)))
+    // Kolmogorov asymptotic p at D=0.5, en = 10*20/30: lambda =
+    // (sqrt(en)+0.12+0.11/sqrt(en))*0.5 ~ 1.3719 -> p ~ 0.0461
+    assert(got("lo")._3 > 0.02 && got("lo")._3 < 0.08, s"p ${got("lo")._3}")
+    // a group identical to the pool drifts zero, with p = 1
     val one = (1 to 6).map(v => ("a", v)) ++ (1 to 6).map(v => ("b", v))
     val z = Drift.ksTest(one.toDF("g", "x"), "x", "g")
-      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
-    assert(z("a") === 0.0 && z("b") === 0.0)
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(z("a")._1 === 0.0 && z("b")._1 === 0.0)
+    assert(z("a")._2 === 1.0 && z("b")._2 === 1.0)
   }
 
   test("k-anonymity: audit flags below-k combos, suppress removes exactly their rows, summary counts the cost") {
