@@ -36,8 +36,8 @@ object Zip {
       df: DataFrame,
       yCol: String,
       xCols: Seq[String],
-      maxIter: Int = 60,
-      tol: Double = 1e-9): Model = {
+      maxIter: Int = 40,
+      tol: Double = 1e-8): Model = {
     val k = xCols.size + 1
     val names = "(intercept)" +: xCols
     val base = df.select(

@@ -114,6 +114,37 @@ class AttributionSpec extends SparkSpec {
     assert(o3 === Set("A"))
   }
 
+  test("path-model plans: cell joins broadcast, no cartesian blowup, user-keyed windows only") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+    val events = (1 to 600).map { i =>
+      (i.toLong % 40, ts(i), i.toLong,
+        Seq("A", "B", "C", "purchase")(i % 4))
+    }.toDF("u", "t", "id", "et")
+    val sh = Attribution.shapley(events, "u", "t", "et", "id",
+      "purchase", Seq("A", "B", "C"))
+    val plan = sh.queryExecution.optimizedPlan
+    // the only cross joins are the broadcast 1-row totals
+    val crosses = plan.collect {
+      case j: Join if j.condition.isEmpty => j
+    }
+    assert(crosses.forall(_.hint.rightHint.exists(_.strategy.isDefined)),
+      "unhinted cross join in the shapley plan")
+    // no unpartitioned row-scaled window anywhere
+    assert(plan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }.isEmpty)
+    // csDid: every join over the (cohort, period) cell frame is broadcast
+    val pan = (1 to 400).map(i => (s"u${i % 50}", (i % 8).toLong, i * 1.0,
+      if (i % 3 == 0) 4L else 0L)).toDF("u", "t", "y", "g")
+    val cs = graft.ml.Panel.csDid(pan, "u", "t", "y", "g")
+    val joins = cs.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.nonEmpty && joins.forall(j =>
+      j.hint.leftHint.exists(_.strategy.isDefined) ||
+        j.hint.rightHint.exists(_.strategy.isDefined)),
+      "csDid cell join without a broadcast hint")
+  }
+
   test("shapley: collapsed permutation sum equals the direct Shapley formula on a hand game") {
     // u1: {A} conv; u2: {A,B} conv; u3: {B} no conv; u4: conv, no touches.
     // v({A})=1, v({B})=0, v({A,B})=1, v(∅)=0 (observed-coalition v).
