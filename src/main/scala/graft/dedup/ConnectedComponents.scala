@@ -73,7 +73,7 @@ object ConnectedComponents {
           Seq("comp"),
           "left")
         .select(col("id"), coalesce(col("cc"), col("comp")).as("comp"))
-      labels = jumped.localCheckpoint(false)
+      labels = org.apache.spark.sql.graftbridge.Bridge.iterCheckpoint(jumped, eager = false)
       history += labels
       // upd feeds the LAZY checkpoint above — keep it cached until the
       // round after next has materialized it

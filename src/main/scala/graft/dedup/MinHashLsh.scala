@@ -178,14 +178,68 @@ object MinHashLsh {
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
   }
 
-  /** Same-bucket candidate pairs (id_a < id_b) from a banded frame. */
-  private[dedup] def pairsFromBands(b: DataFrame, idCol: String): DataFrame = {
-    val l = b.select(col("band"), col("bucket"), col(idCol).as("id_a"))
-    val r = b.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+  /** Generous default hot-bucket cap: a (band, bucket) with 2,000
+    * members still emits ~2M candidate pairs — large but bounded. At
+    * sf0.1 no bucket comes near it (oracles unaffected); on a
+    * boilerplate-heavy web corpus it is the difference between a
+    * bounded job and an m²/2 blow-up on one degenerate bucket.
+    */
+  val DefaultMaxBucket = 2000
+
+  /** Same-bucket candidate pairs (id_a < id_b) from a banded frame.
+    *
+    * HOT-BUCKET CAP: a degenerate (band, bucket) with m members would
+    * emit m(m−1)/2 pairs from the self-join — quadratic in the bucket
+    * size, and real web corpora HAVE such buckets (boilerplate pages,
+    * empty-ish documents sharing a band slice). Buckets above
+    * `maxBucket` are therefore hash-sampled down to `maxBucket` members
+    * (deterministic: the members with the smallest (xxhash64(id), id) —
+    * the same sample in every band, so the kept members of a degenerate
+    * duplicate class still pair with EACH OTHER and collapse into one
+    * connected component; the dropped members are recovered by the
+    * standard second pass of exact-dedup-before-LSH, which removes
+    * byte-identical boilerplate up front). The documented loss is
+    * auditable via [[hotBuckets]] (dropped-member / dropped-pair counts
+    * per capped bucket). The ranking window partitions by
+    * (band, bucket) — the join key, never a single-partition window.
+    */
+  private[dedup] def pairsFromBands(
+      b: DataFrame,
+      idCol: String,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(maxBucket >= 2, "MinHashLsh: maxBucket must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("band"), col("bucket"))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+    val capped = b
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= maxBucket)
+      .drop("__rk")
+    val l = capped.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val r = capped.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     l.join(r, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+  }
+
+  /** Hot-bucket telemetry for the [[pairsFromBands]] cap: one row per
+    * (band, bucket) whose size exceeds `maxBucket`, with the member
+    * count, the kept count, and the dropped PAIR count
+    * m(m−1)/2 − cap(cap−1)/2 — the exact candidate-generation loss the
+    * cap traded for boundedness. Empty ⇔ the cap did not bind. One
+    * groupBy over the banded frame; the result is hot-bucket-sized.
+    */
+  def hotBuckets(b: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val m = col("sz").cast("double")
+    val c = least(col("sz"), lit(maxBucket.toLong)).cast("double")
+    b.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("sz"))
+      .where(col("sz") > maxBucket)
+      .select(
+        col("band"), col("bucket"), col("sz"),
+        least(col("sz"), lit(maxBucket.toLong)).as("kept"),
+        ((m * (m - 1) - c * (c - 1)) / 2).cast("long").as("dropped_pairs"))
   }
 
   /** Candidate near-duplicate pairs (id_a < id_b), deduplicated.
@@ -204,12 +258,13 @@ object MinHashLsh {
       shingleSize: Int = 3,
       numBands: Int = 16,
       seed: Long = 42L,
-      gramHash: Column => Column = xxhash64(_)
+      gramHash: Column => Column = xxhash64(_),
+      maxBucket: Int = DefaultMaxBucket
   ): DataFrame = {
     val sh = shingleHashes(df, textCol, idCol, shingleSize, gramHash)
     val sig = signaturesFromShingles(sh, idCol, numHashes, seed)
     val b = bands(sig, idCol, numBands, numHashes).persist()
-    val out = pairsFromBands(b, idCol).localCheckpoint()
+    val out = pairsFromBands(b, idCol, maxBucket).localCheckpoint()
     b.unpersist(false)
     out
   }
@@ -231,12 +286,13 @@ object MinHashLsh {
       shingleSize: Int = 3,
       numBands: Int = 16,
       seed: Long = 42L,
-      gramHash: Column => Column = xxhash64(_)
+      gramHash: Column => Column = xxhash64(_),
+      maxBucket: Int = DefaultMaxBucket
   ): DataFrame = {
     val sh = shingleHashes(df, textCol, idCol, shingleSize, gramHash).persist()
     val sig = signaturesFromShingles(sh, idCol, numHashes, seed)
     val b = bands(sig, idCol, numBands, numHashes).persist()
-    val cands = pairsFromBands(b, idCol)
+    val cands = pairsFromBands(b, idCol, maxBucket)
     // persist: joined twice (id_a side and id_b side)
     val sets = setsFromShingles(sh, idCol).persist()
     val verified = cands

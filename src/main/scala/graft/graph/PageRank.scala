@@ -2,6 +2,7 @@ package graft.graph
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** PageRank by synchronous power iteration — the second graph operator
   * beside [[graft.dedup.ConnectedComponents]]: where CC answers "which
@@ -19,7 +20,10 @@ import org.apache.spark.sql.functions._
   * Scale shape per iteration: ONE equi-join ranks⋈edges on the source
   * key, one groupBy(dst), a 1-row dangling aggregate, a left join back
   * to the node set for zero-indegree nodes — all shuffles on the node
-  * key. The rank frame is localCheckpoint'ed each iteration (the FE
+  * key. The rank frame is truncated each iteration through
+  * [[org.apache.spark.sql.graftbridge.Bridge.iterCheckpoint]] —
+  * localCheckpoint by default, reliable checkpoint under
+  * `spark.graft.checkpoint.reliable` (the FE
   * lesson: an uncheckpointed iterative frame's plan doubles per sweep
   * and the analyzer, not the cluster, becomes the bottleneck).
   * Fixed iteration count keeps the result deterministic and
@@ -51,7 +55,7 @@ object PageRank {
     // self-join ambiguity
     val outdeg = e.groupBy(col("src").as("od_src")).agg(count(lit(1)).cast("double").as("outdeg"))
 
-    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+    var ranks = Bridge.iterCheckpoint(nodes.withColumn("rank", lit(1.0 / n)))
     for (_ <- 0 until iters) {
       // rank parked on sinks (no out-edges) this iteration: a 1-row frame
       // broadcast into the update expression rather than head()'d — the
@@ -64,15 +68,14 @@ object PageRank {
         .join(e, col("node") === col("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("outdeg")).as("contrib"))
-      ranks = nodes
+      ranks = Bridge.iterCheckpoint(nodes
         .join(contribs, Seq("node"), "left")
         .na.fill(0.0, Seq("contrib"))
         .crossJoin(broadcast(dangling))
         .select(
           col("node"),
           (lit((1.0 - damping) / n) +
-            lit(damping) * (col("contrib") + col("dmass") / lit(n))).as("rank"))
-        .localCheckpoint(true)
+            lit(damping) * (col("contrib") + col("dmass") / lit(n))).as("rank")))
     }
     e.unpersist(false)
     nodes.unpersist(false)
@@ -125,7 +128,7 @@ object PageRank {
     nodes.count()
     val outdeg = e.groupBy(col("src").as("od_src")).agg(count(lit(1)).cast("double").as("outdeg"))
 
-    var ranks = nodes.select(col("node"), col("sw").as("rank")).localCheckpoint(true)
+    var ranks = Bridge.iterCheckpoint(nodes.select(col("node"), col("sw").as("rank")))
     for (_ <- 0 until iters) {
       // same one-job fold as run(): dangling rides the checkpoint action
       val withDeg = ranks.join(outdeg, col("node") === col("od_src"), "left")
@@ -135,15 +138,14 @@ object PageRank {
         .join(e, col("node") === col("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("outdeg")).as("contrib"))
-      ranks = nodes
+      ranks = Bridge.iterCheckpoint(nodes
         .join(contribs, Seq("node"), "left")
         .na.fill(0.0, Seq("contrib"))
         .crossJoin(broadcast(dangling))
         .select(
           col("node"),
           (lit(1.0 - damping) * col("sw") +
-            lit(damping) * (col("contrib") + col("dmass") * col("sw"))).as("rank"))
-        .localCheckpoint(true)
+            lit(damping) * (col("contrib") + col("dmass") * col("sw"))).as("rank")))
     }
     e.unpersist(false)
     nodes.unpersist(false)

@@ -72,7 +72,8 @@ object Cox {
       loglik: Double,
       iters: Int,
       n: Long,
-      nEvents: Long) {
+      nEvents: Long,
+      converged: Boolean = true) {
     /** Wald z per covariate. */
     def z: Array[Double] = beta.zip(se).map { case (b, s) => b / s }
   }
@@ -86,6 +87,7 @@ object Cox {
       tol: Double = 1e-9): Model = {
     val k = xCols.size
     require(k >= 1, "Cox.fit needs at least one covariate")
+    require(maxIter >= 1, "Cox.fit: maxIter must be >= 1")
     val base = df.select(
       (col(durationCol).cast("double").as("t") +:
         col(eventCol).cast("int").as("ev") +:
@@ -130,10 +132,31 @@ object Cox {
       iter += 1
     }
     // Wald SEs from the observed information at (essentially) the MLE:
-    // the partial-likelihood Hessian the last Newton pass already
-    // reduced — no extra distributed work
-    val se = LinAlg.inverse(hLast).zipWithIndex.map { case (row, i) => math.sqrt(row(i)) }
-    Model(beta, beta.map(math.exp), se, loglik, iter, n, nEvents)
+    // when the loop CONVERGED the final Newton step is below tol, so the
+    // Hessian the last pass already reduced is the MLE's to within tol —
+    // no extra distributed work. On a maxIter exit that Hessian is stale
+    // by a full (possibly large) Newton step, so it is recomputed at the
+    // returned beta (one extra iterationFrame pass, unconverged exits
+    // only) and the `converged` flag makes the exit mode detectable.
+    val hAtBeta =
+      if (done) hLast
+      else {
+        val cum = iterationFrame(base, beta, k, pairs)
+        def sfx(t: String) = col(s"__tot_$t") - col(s"__cum_$t") + col(t)
+        val s0 = sfx("w0")
+        val aggCols = pairs.map { case (p, q) =>
+          sum(col("dt").cast("double") * (sfx(s"w2_${p}_$q") / s0 -
+            (sfx(s"w1_$p") / s0) * (sfx(s"w1_$q") / s0))).as(s"h${p}_$q")
+        }
+        val r = cum.where(col("dt") > 0).agg(aggCols.head, aggCols.tail: _*).head()
+        val h = Array.ofDim[Double](k, k)
+        pairs.zipWithIndex.foreach { case ((p, q), i) =>
+          val v = r.getDouble(i); h(p)(q) = v; h(q)(p) = v
+        }
+        h
+      }
+    val se = LinAlg.inverse(hAtBeta).zipWithIndex.map { case (row, i) => math.sqrt(row(i)) }
+    Model(beta, beta.map(math.exp), se, loglik, iter, n, nEvents, converged = done)
   }
 
   /** Per-covariate summary frame for a fitted model: coef, hazard

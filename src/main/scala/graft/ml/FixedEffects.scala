@@ -757,7 +757,10 @@ object FixedEffects {
     // (each FE step is one map-side-combined groupBy of narrow rows +
     // a broadcast hash join). FEs with huge group counts (a 1e8-group
     // user dimension) fall back to the planner's shuffle join.
-    val broadcastGroupLimit = 2000000L
+    // conf-injectable so the frame-CG regime (some dimension past the
+    // broadcast bound) is testable without planting 2M+ groups
+    val broadcastGroupLimit = df.sparkSession.conf
+      .get("spark.graft.fe.broadcastGroupLimit", "2000000").toLong
     val feBroadcast: Map[String, Boolean] =
       fes.zipWithIndex.map { case (f, i) =>
         f -> (scaleRow.getLong(1 + k + i) <= broadcastGroupLimit)
@@ -818,7 +821,8 @@ object FixedEffects {
         // the next one. EAGER so the history release below never drops
         // an unmaterialized checkpoint a later stage must recompute
         // through.
-        cur = timed(s"checkpoint@sweep $sweeps")(cur.localCheckpoint(true))
+        cur = timed(s"checkpoint@sweep $sweeps")(
+          org.apache.spark.sql.graftbridge.Bridge.truncate(cur))
         history += cur
         if (history.length >= 3)
           checkpointRdd(history.remove(0)).foreach(_.unpersist(false))
@@ -898,7 +902,7 @@ object FixedEffects {
                 .select(
                   col(fe) +: (0 until k).map(i =>
                     (col(s"__mean_$i") * c0 + col(s"__pm_$i") * c1).as(s"__mean_$i")): _*)
-                .localCheckpoint(true)
+                .transform(org.apache.spark.sql.graftbridge.Bridge.truncate(_))
               // flag=false: applied to the effects (so the effect-table
               // union-sum and the CG warm start include it) but never a
               // probe's convergence evidence
@@ -914,10 +918,10 @@ object FixedEffects {
           }
         }
       }
-      if (accelerate && !converged && sweeps >= 10 && fes.forall(feBroadcast)) bailToCg = true
+      if (accelerate && !converged && sweeps >= 10) bailToCg = true
     }
 
-    if (bailToCg) {
+    if (bailToCg && fes.forall(feBroadcast)) {
       // ---- distributed-matvec PCG (the driver regime's hybrid, for
       // cell frames too big to collect): the PARAMETER space Σ_f G_f is
       // broadcast-sized by the bail gate even when #cells is not, so
@@ -1062,8 +1066,220 @@ object FixedEffects {
             (col(s"__s_$i") -
               col("__n") * (0 until K).map(f => col(s"__v_${f}_$i")).reduce(_ + _))
               .as(s"__r_$i")): _*)
-        .localCheckpoint(true)
+        .transform(org.apache.spark.sql.graftbridge.Bridge.truncate(_))
       history += cur
+    } else if (bailToCg) {
+      // ---- keyed-frame PCG (the broadcast gate REMOVED): when some FE
+      // dimension's group count exceeds the broadcast bound (a billion-
+      // level worker or firm dimension at 100 TB), the CG parameter
+      // vectors cannot live on the driver — so the whole CG state lives
+      // as K keyed frames, one per FE: (key, mass, b, x0, x, r, z, p per
+      // demeaned column), and every CG scalar (rᵀz, pᵀHp, the
+      // preconditioned-residual max) is a group-frame aggregate. The
+      // matvec H v = AᵀN A v keeps its shape — ONE pass over the cell
+      // frame per iteration: small FEs' parameter frames broadcast-join,
+      // the oversized ones shuffle-join against a cell frame
+      // PRE-PARTITIONED on the largest non-broadcast FE (that exchange
+      // happens once, outside the loop; the per-iteration joins and the
+      // groupBy on that key then reuse the partitioning) — then one
+      // groupBy per FE. Preconditioner (z = r / groupMass) and stopping
+      // rule (max |r_g / n_g| < tol·scale) are the driver-vector path's
+      // exactly; regime parity is spec-pinned at 1e-8.
+      import org.apache.spark.sql.graftbridge.Bridge
+      val K = fes.length
+      val bigFe = fes.find(f => !feBroadcast(f)).get
+      val cellsCg = cells.repartition(col(bigFe)).persist()
+      // every checkpointed CG frame, for release once the tail is done
+      val cgFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      def ckCg(d: DataFrame): DataFrame = {
+        val t = Bridge.truncate(d)
+        cgFrames += t
+        t
+      }
+
+      // H v as K (key, __h_i) frames — lazy, reading the persisted
+      // per-cell totals; caller materializes then unpersists `withT`
+      def matvec(vf: Seq[DataFrame]): (Seq[DataFrame], DataFrame) = {
+        val joined = vf.zipWithIndex.foldLeft(cellsCg: DataFrame) { case (acc, (pf, f)) =>
+          val renamed = pf.select(
+            col(fes(f)) +: (0 until k).map(i => col(s"__v_$i").as(s"__v_${f}_$i")): _*)
+          val side = if (feBroadcast(fes(f))) broadcast(renamed) else renamed
+          acc.join(side, Seq(fes(f)))
+        }
+        val withT = joined.select(
+          fes.map(col) ++ (0 until k).map(i =>
+            (col("__n") * (0 until K).map(f => col(s"__v_${f}_$i")).reduce(_ + _))
+              .as(s"__t_$i")): _*)
+          .persist()
+        val hs = (0 until K).map { f =>
+          val aggs = (0 until k).map(i => sum(col(s"__t_$i")).as(s"__h_$i"))
+          withT.groupBy(col(fes(f))).agg(aggs.head, aggs.tail: _*)
+        }
+        (hs, withT)
+      }
+
+      // state init: mass + raw sums b per group, warm start x0 from the
+      // applied-means history (every group appears in every sweep's
+      // means frame, so the union-sum covers all groups)
+      val st0 = (0 until K).map { f =>
+        val fe = fes(f)
+        val bAggs = sum(col("__n")).as("__gn") +:
+          (0 until k).map(i => sum(col(s"__s_$i")).as(s"__b_$i"))
+        val b = cellsCg.groupBy(col(fe)).agg(bAggs.head, bAggs.tail: _*)
+        val frames = meansHistory.collect { case (`fe`, _, _, m) => m }
+        val withX0 =
+          if (frames.isEmpty)
+            b.select(b.columns.map(col) :+ lit(0.0).as("__x0tag"): _*)
+              .select(col(fe) +: col("__gn") +:
+                ((0 until k).map(i => col(s"__b_$i")) ++
+                  (0 until k).map(i => lit(0.0).as(s"__x0_$i"))): _*)
+          else {
+            val x0 = frames.reduce(_ union _).groupBy(col(fe)).agg(
+              sum(col("__mean_0")).as("__x0_0"),
+              (1 until k).map(i => sum(col(s"__mean_$i")).as(s"__x0_$i")): _*)
+            b.join(x0, Seq(fe), "left")
+              .select(col(fe) +: col("__gn") +:
+                ((0 until k).map(i => col(s"__b_$i")) ++
+                  (0 until k).map(i => coalesce(col(s"__x0_$i"), lit(0.0)).as(s"__x0_$i"))): _*)
+          }
+        ckCg(withX0)
+      }
+      // r0 = b − H x0, z0 = r0/mass, p0 = z0, x = x0
+      val (h0, withT0) = matvec(st0.zipWithIndex.map { case (sf, f) =>
+        sf.select(col(fes(f)) +:
+          (0 until k).map(i => col(s"__x0_$i").as(s"__v_$i")): _*)
+      })
+      var state = (0 until K).map { f =>
+        ckCg(st0(f).join(h0(f), Seq(fes(f))).select(
+          col(fes(f)) +: col("__gn") +: (0 until k).flatMap { i =>
+            val r = col(s"__b_$i") - col(s"__h_$i")
+            Seq(
+              col(s"__x0_$i"),
+              col(s"__x0_$i").as(s"__x_$i"),
+              r.as(s"__r_$i"),
+              (r / col("__gn")).as(s"__z_$i"),
+              (r / col("__gn")).as(s"__p_$i"))
+          }: _*))
+      }
+      withT0.unpersist(false)
+      // the b/x0 frames only feed the (now-materialized) state init
+      st0.foreach(d => checkpointRdd(d).foreach(_.unpersist(false)))
+      // in-loop release: a CG iteration only ever reads the PREVIOUS
+      // generation's state, so generation i−2 frees as soon as i lands
+      // (the `history` pattern; a billion-group FE's state frame is too
+      // big to accumulate per iteration)
+      val genHistory = scala.collection.mutable.ArrayBuffer.empty[Seq[DataFrame]]
+      // per-column scalars from ONE aggregate per FE: rz, max |r/gn|
+      def colScalars(frames: Seq[DataFrame]): (Array[Double], Array[Double]) = {
+        val rz = Array.fill(k)(0.0); val resid = Array.fill(k)(0.0)
+        frames.foreach { sf =>
+          val aggs = (0 until k).flatMap { c =>
+            Seq(
+              sum(col(s"__r_$c") * col(s"__z_$c")).as(s"__rz_$c"),
+              max(abs(col(s"__r_$c") / col("__gn"))).as(s"__res_$c"))
+          }
+          val row = sf.agg(aggs.head, aggs.tail: _*).head()
+          (0 until k).foreach { c =>
+            rz(c) += row.getDouble(2 * c); resid(c) = math.max(resid(c), row.getDouble(2 * c + 1))
+          }
+        }
+        (rz, resid)
+      }
+      val (rz0, res0) = colScalars(state)
+      val rzC = rz0
+      val doneC = Array.tabulate(k)(c => res0(c) < tol * scale)
+      var iters = 0
+      while (!doneC.forall(identity) && sweeps + iters < maxSweeps) {
+        iters += 1
+        val carry = doneC.clone() // columns frozen at iteration start
+        val (hp, withT) = matvec(state.zipWithIndex.map { case (sf, f) =>
+          sf.select(col(fes(f)) +:
+            (0 until k).map(i => col(s"__p_$i").as(s"__v_$i")): _*)
+        })
+        val joined = (0 until K).map(f => state(f).join(hp(f), Seq(fes(f))))
+        // pᵀHp per column (active columns only read; one agg per FE)
+        val php = Array.fill(k)(0.0)
+        joined.foreach { jf =>
+          val aggs = (0 until k).map(c => sum(col(s"__p_$c") * col(s"__h_$c")).as(s"__php_$c"))
+          val row = timed(s"cg-frame php iter $iters")(jf.agg(aggs.head, aggs.tail: _*).head())
+          (0 until k).foreach(c => php(c) += row.getDouble(c))
+        }
+        val alpha = Array.fill(k)(0.0)
+        (0 until k).foreach { c =>
+          if (!carry(c)) {
+            if (php(c) <= 0.0) { doneC(c) = true; carry(c) = true }
+            else alpha(c) = rzC(c) / php(c)
+          }
+        }
+        // x' = x + αp, r' = r − αHp, z' = r'/gn; carried columns copy
+        val s1 = (0 until K).map { f =>
+          ckCg(joined(f).select(
+            col(fes(f)) +: col("__gn") +: (0 until k).flatMap { c =>
+              if (carry(c))
+                Seq(col(s"__x0_$c"), col(s"__x_$c"), col(s"__r_$c"), col(s"__z_$c"),
+                  col(s"__p_$c"))
+              else {
+                val r1 = col(s"__r_$c") - lit(alpha(c)) * col(s"__h_$c")
+                Seq(
+                  col(s"__x0_$c"),
+                  (col(s"__x_$c") + lit(alpha(c)) * col(s"__p_$c")).as(s"__x_$c"),
+                  r1.as(s"__r_$c"),
+                  (r1 / col("__gn")).as(s"__z_$c"),
+                  col(s"__p_$c"))
+              }
+            }: _*))
+        }
+        withT.unpersist(false)
+        genHistory += s1
+        if (genHistory.length >= 3)
+          genHistory.remove(0).foreach(d => checkpointRdd(d).foreach(_.unpersist(false)))
+        val (rz2, resid) = colScalars(s1)
+        val beta = Array.fill(k)(0.0)
+        (0 until k).foreach { c =>
+          if (!carry(c)) {
+            doneC(c) = resid(c) < tol * scale
+            beta(c) = rz2(c) / rzC(c)
+            rzC(c) = rz2(c)
+          }
+        }
+        // p' = z' + βp (active columns; carried keep p) — a lazy
+        // projection over the checkpointed s1, no extra job
+        state = (0 until K).map { f =>
+          s1(f).select(
+            col(fes(f)) +: col("__gn") +: (0 until k).flatMap { c =>
+              Seq(col(s"__x0_$c"), col(s"__x_$c"), col(s"__r_$c"), col(s"__z_$c")) :+
+                (if (carry(c)) col(s"__p_$c")
+                 else (col(s"__z_$c") + lit(beta(c)) * col(s"__p_$c")).as(s"__p_$c"))
+            }: _*)
+        }
+      }
+      sweeps += iters
+      converged = doneC.forall(identity)
+      // CG corrections (x − x0) enter the applied-means history so the
+      // effect tables (union + sum) stay exact; eager checkpoints, so
+      // they survive the cgFrames release below
+      (0 until K).foreach { f =>
+        val corr = Bridge.truncate(state(f).select(
+          col(fes(f)) +: (0 until k).map(c =>
+            (col(s"__x_$c") - col(s"__x0_$c")).as(s"__mean_$c")): _*))
+        meansHistory += ((fes(f), sweeps, false, corr))
+      }
+      // rebuild the residual state from x for the shared tail below
+      val joinedX = (0 until K).foldLeft(cellsCg: DataFrame) { case (acc, f) =>
+        val xf = state(f).select(
+          col(fes(f)) +: (0 until k).map(c => col(s"__x_$c").as(s"__v_${f}_$c")): _*)
+        acc.join(if (feBroadcast(fes(f))) broadcast(xf) else xf, Seq(fes(f)))
+      }
+      cur = joinedX
+        .select(
+          cells.columns.map(col) ++ (0 until k).map(i =>
+            (col(s"__s_$i") -
+              col("__n") * (0 until K).map(f => col(s"__v_${f}_$i")).reduce(_ + _))
+              .as(s"__r_$i")): _*)
+        .transform(Bridge.truncate(_))
+      history += cur
+      cgFrames.foreach(d => checkpointRdd(d).foreach(_.unpersist(false)))
+      cellsCg.unpersist(false)
     }
 
     // per-cell total effect Σ_f a_f = (sum − residual) / n, joined onto

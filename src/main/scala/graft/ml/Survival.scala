@@ -76,18 +76,25 @@ object Survival {
     * summary of a KM curve when medians are undefined (heavy
     * censoring): RMST(τ) = ∫₀^τ Ŝ(t)dt, the exact area under the step
     * function, in the drop form that needs NO lead/lag window:
-    * area = τ − Σ_{tᵢ ≤ τ} (Ŝ(tᵢ₋₁) − Ŝ(tᵢ))·(τ − tᵢ), with Ŝ(t₀)=1
-    * and both survivals the same 6dp-quantized values [[kaplanMeier]]
-    * emits (quantization is pointwise, so q6(exp(cum − ln_term)) IS the
-    * previous row's quantized survival). One distributed prefix pass +
-    * one plain aggregate. Returns one row: (tau, rmst 6dp).
+    * area = τ − Σ_{tᵢ ≤ τ} (Ŝ(tᵢ₋₁) − Ŝ(tᵢ))·(τ − tᵢ), with Ŝ(t₀)=1.
+    * Ŝ(tᵢ₋₁) comes from the EXCLUSIVE prefix of the ln-terms (the
+    * `__excl_` column of the same scan), accumulated in the same order
+    * as the inclusive sum — NOT as q6(exp(cum − ln_term)): (a+b)−b ≠ a
+    * in floats, and a drop straddling a 1e-6 quantization boundary
+    * would detach rmst from the telescoped KM-frame area by ~1e-6.
+    * Both survivals carry the same 6dp pointwise quantization as
+    * [[kaplanMeier]] (ulp-level regrouping between engines is still
+    * possible at a boundary — the house float contract, not an
+    * exactness guarantee). One distributed prefix pass + one plain
+    * aggregate. Returns one row: (tau, rmst 6dp).
     */
   def rmst(df: DataFrame, durationCol: String, eventCol: String, tau: Double): DataFrame = {
     require(tau > 0, "Survival.rmst: tau must be positive")
     val risk = riskCounts(df, durationCol, eventCol).withColumn("ln_term", lnTerm)
-    val cum = Rank.withPrefixSums(risk, Seq(col("t")), Seq("ln_term"))
+    val cum = Rank.withPrefixSums(risk, Seq(col("t")), Seq("ln_term"),
+        exclusive = Seq("ln_term"))
       .withColumn("s", q6(exp(col("__cum_ln_term"))))
-      .withColumn("s_prev", q6(exp(col("__cum_ln_term") - col("ln_term"))))
+      .withColumn("s_prev", q6(exp(col("__excl_ln_term"))))
     cum
       .agg(
         q6(lit(tau) - coalesce(

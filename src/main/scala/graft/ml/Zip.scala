@@ -48,6 +48,9 @@ object Zip {
     val cnt = base.agg(count(lit(1)), sum(col("__z0"))).head()
     val n = cnt.getLong(0); val nZero = cnt.getDouble(1).toLong
     require(n > 0, "Zip.fit: empty input")
+    require(nZero < n,
+      "Zip.fit: all outcomes are zero — the positive-count Poisson component " +
+        "is unidentified (no positive mean to initialize from)")
 
     def xc(j: Int): Column = if (j == 0) lit(1.0) else col(s"__x${j - 1}")
     val pairs = for { a <- 0 until k; b <- a until k } yield (a, b)

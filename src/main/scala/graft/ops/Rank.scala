@@ -180,7 +180,20 @@ object Rank {
     * single-partition WindowExec. Suffix sums come free as
     * `__tot − __cum + value` (suffix-inclusive), which is how the
     * Survival/Cox family gets its at-risk counts without a second
-    * (descending) pass.
+    * (descending) pass. Terms listed in `exclusive` ALSO get
+    * `__excl_<t>` = the exclusive prefix (sum strictly before the row)
+    * accumulated in the same order — NOT derived as `__cum − value`,
+    * whose float regrouping can land on the other side of a downstream
+    * quantization boundary from a genuinely-exclusive window sum.
+    *
+    * CONTRACT: `sortCols` must be a TOTAL order — i.e. the sort keys
+    * must be DISTINCT per row (every current caller pre-aggregates to
+    * one row per key before scanning). With tied keys the rowsBetween
+    * accumulation order among the ties is whatever order the shuffle
+    * delivered, so per-row `__cum` values on and between tied rows are
+    * run-dependent. Callers that cannot guarantee distinct keys must
+    * either add a tie-break column to `sortCols` (deterministic but
+    * arbitrary within the tie) or pre-aggregate.
     *
     * Integral terms accumulate in Long end-to-end (bit-exact);
     * everything else in Double. Double prefix sums can differ from a
@@ -193,7 +206,8 @@ object Rank {
       df: DataFrame,
       sortCols: Seq[Column],
       terms: Seq[String],
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int = 0,
+      exclusive: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types._
@@ -244,11 +258,20 @@ object Rank {
       spark.sparkContext.parallelize(carryRows.toSeq, 1), carrySchema)
     val w = Window.partitionBy("__pid").orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wExcl = Window.partitionBy("__pid").orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
     var out = marked.join(broadcast(carry), Seq("__pid"))
     terms.foreach { t =>
       val cast = if (integral(t)) "long" else "double"
       out = out
         .withColumn("__cum_" + t, col("__carry_" + t) + sum(col(t).cast(cast)).over(w))
+      if (exclusive.contains(t)) {
+        val zero = if (integral(t)) lit(0L) else lit(0.0)
+        out = out.withColumn(
+          "__excl_" + t,
+          col("__carry_" + t) + coalesce(sum(col(t).cast(cast)).over(wExcl), zero))
+      }
+      out = out
         .withColumn("__tot_" + t,
           if (integral(t)) lit(acc(t).asInstanceOf[Long])
           else lit(acc(t).asInstanceOf[Double]))

@@ -2108,7 +2108,7 @@ object PipelineQueries {
     None
   )
 
-  // ---- Z10: corpus snapshot diff (FULL oracle: the derived "next
+  // ---- Z21: corpus snapshot diff (FULL oracle: the derived "next
   // crawl" snapshot, the full-outer status CASE, and the CDC chunk
   // replay of BOTH versions of every edited doc — retained_chars is
   // the (id, hash) semi-join sum, replayed verbatim) --------------------
@@ -5314,11 +5314,16 @@ object PipelineQueries {
     )
   )
 
-  // ---- C62: Bradley–Terry preference ranking (FULL oracle — the 12
-  // fixed MM sweeps UNROLL as chained CTEs, one per sweep, each free to
-  // reference its predecessor twice (both duel endpoints) — the
-  // restriction-free alternative to a recursive CTE; ranks on the
-  // 6dp-quantized strength so ordering is engine-stable) ---------------
+  // ---- C62: Bradley–Terry preference ranking (FULL oracle — 8 fixed
+  // MM sweeps, sweep 1 plain, sweeps 2–8 log-space over-relaxed at
+  // ω = 1.5 (π·(mm/π)^1.5 as π·r·sqrt(r): IEEE sqrt/multiply, no libm
+  // pow — bit-replayable), UNROLLED as chained CTEs, one per sweep,
+  // each free to reference its predecessor twice (both duel endpoints)
+  // — the restriction-free alternative to a recursive CTE; ranks on
+  // the 6dp-quantized strength so ordering is engine-stable. Was 12
+  // plain sweeps — the relaxed tail contracts at |1−ω(1−ρ)| < ρ, so 8
+  // sweeps land deeper than 12 plain did; the spec's dense replica and
+  // the 30-sweep-plain fixpoint comparison pin the semantics) ----------
 
   val q205 = Q(
     "q205_bradley_terry",
@@ -5335,23 +5340,29 @@ object PipelineQueries {
         .select(
           when(col("pa") > col("pb"), col("sa")).otherwise(col("sb")).as("winner"),
           when(col("pa") > col("pb"), col("sb")).otherwise(col("sa")).as("loser"))
-      graft.ml.BradleyTerry.fit(duels, "winner", "loser", iters = 12)
+      graft.ml.BradleyTerry.fit(duels, "winner", "loser", iters = 8, omega = 1.5)
         .orderBy("item")
     },
     Some {
-      val sweeps = (1 to 12).map { k =>
+      val sweeps = (1 to 8).map { k =>
+        val step =
+          if (k == 1) "mm"
+          // parenthesized exactly like the Spark expression
+          // pi * (r * sqrt(r)) — float multiply is not associative
+          else "CASE WHEN mm = 0.0 OR pi = 0.0 THEN mm ELSE pi * ((mm/pi) * sqrt(mm/pi)) END"
         s"""p$k AS MATERIALIZED (
-           |  SELECT it.item,
-           |    CASE WHEN d.denom IS NULL OR d.denom = 0.0 THEN 0.0
-           |         ELSE it.wins / d.denom END AS pi
-           |  FROM items it LEFT JOIN (
-           |    SELECT item, sum(d) AS denom FROM (
-           |      SELECT g.i AS item, g.n / (a.pi + b.pi) AS d FROM games g
-           |        JOIN p${k - 1} a ON a.item = g.i JOIN p${k - 1} b ON b.item = g.j
-           |      UNION ALL
-           |      SELECT g.j, g.n / (a.pi + b.pi) FROM games g
-           |        JOIN p${k - 1} a ON a.item = g.i JOIN p${k - 1} b ON b.item = g.j
-           |    ) GROUP BY item) d ON d.item = it.item)""".stripMargin
+           |  SELECT item, $step AS pi FROM (
+           |    SELECT it.item, p.pi AS pi,
+           |      CASE WHEN d.denom IS NULL OR d.denom = 0.0 THEN 0.0
+           |           ELSE it.wins / d.denom END AS mm
+           |    FROM items it JOIN p${k - 1} p ON p.item = it.item LEFT JOIN (
+           |      SELECT item, sum(d) AS denom FROM (
+           |        SELECT g.i AS item, g.n / (a.pi + b.pi) AS d FROM games g
+           |          JOIN p${k - 1} a ON a.item = g.i JOIN p${k - 1} b ON b.item = g.j
+           |        UNION ALL
+           |        SELECT g.j, g.n / (a.pi + b.pi) FROM games g
+           |          JOIN p${k - 1} a ON a.item = g.i JOIN p${k - 1} b ON b.item = g.j
+           |      ) GROUP BY item) d ON d.item = it.item))""".stripMargin
       }.mkString(",\n")
       s"""WITH li AS (SELECT l_orderkey AS ok, l_suppkey AS sk,
          |              l_extendedprice AS p, l_linenumber AS ln FROM lineitem),
@@ -5370,9 +5381,9 @@ object PipelineQueries {
          |          LEFT JOIN wins ON wins.item = u.item),
          |p0 AS (SELECT item, 1.0::DOUBLE AS pi FROM items),
          |$sweeps,
-         |tot AS (SELECT sum(pi) AS t FROM p12),
+         |tot AS (SELECT sum(pi) AS t FROM p8),
          |normed AS (SELECT item,
-         |             floor((pi / (SELECT t FROM tot))*1e6+0.5)/1e6 AS pi FROM p12),
+         |             floor((pi / (SELECT t FROM tot))*1e6+0.5)/1e6 AS pi FROM p8),
          |tg AS (SELECT item, sum(n)::BIGINT AS games FROM (
          |         SELECT i AS item, n FROM games
          |         UNION ALL SELECT j, n FROM games) GROUP BY 1)

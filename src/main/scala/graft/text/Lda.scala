@@ -87,7 +87,7 @@ object Lda {
     // localCheckpoint preserves origin stats and the iterated joins
     // otherwise compound sizeInBytes into huge BigInts (see
     // Bridge.freshLeaf)
-    def ck(df: DataFrame): DataFrame = Bridge.freshLeaf(df.localCheckpoint(true))
+    def ck(df: DataFrame): DataFrame = Bridge.iterCheckpoint(df)
 
     var theta = ck(c.select("doc").distinct()
       .withColumn("theta", initVec(s"$salt:t", col("doc"), k)))

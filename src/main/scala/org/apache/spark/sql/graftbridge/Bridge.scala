@@ -43,6 +43,47 @@ object Bridge {
     }
   }
 
+  /** Conf key selecting DURABLE iteration checkpoints. `localCheckpoint`
+    * stores blocks on EXECUTOR storage only: on a real multi-executor
+    * cluster, losing one executor mid-loop (iteration 40 of PageRank)
+    * loses blocks whose lineage was truncated — the job dies. Set this
+    * key to "true" (and a checkpoint dir via
+    * `spark.sparkContext.setCheckpointDir`) and every loop that
+    * truncates through [[iterCheckpoint]] switches to reliable
+    * `checkpoint()` — same values, same plans, storage on the fault-
+    * tolerant checkpoint FS. Default remains localCheckpoint: right for
+    * local[N] and short loops, no distributed FS round-trips.
+    */
+  val ReliableCheckpointsKey = "spark.graft.checkpoint.reliable"
+
+  /** The library-wide iteration-loop truncation point: localCheckpoint
+    * (default) or reliable checkpoint ([[ReliableCheckpointsKey]]),
+    * then [[freshLeaf]] so iterated joins don't compound origin stats.
+    * `eager` matters identically in both modes (materialize now vs on
+    * first action).
+    */
+  def iterCheckpoint(df: org.apache.spark.sql.DataFrame, eager: Boolean = true)
+      : org.apache.spark.sql.DataFrame =
+    freshLeaf(truncate(df, eager))
+
+  /** Mode-aware truncation WITHOUT the freshLeaf stats reset — for loops
+    * that manage origin stats another way (FixedEffects rides the probe
+    * cadence).
+    */
+  def truncate(df: org.apache.spark.sql.DataFrame, eager: Boolean = true)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    val reliable =
+      spark.conf.get(ReliableCheckpointsKey, "false").equalsIgnoreCase("true")
+    if (reliable) {
+      require(
+        spark.sparkContext.getCheckpointDir.isDefined,
+        s"$ReliableCheckpointsKey=true needs spark.sparkContext.setCheckpointDir " +
+          "(a fault-tolerant FS path) before the first loop runs")
+      df.checkpoint(eager)
+    } else df.localCheckpoint(eager)
+  }
+
   /** Register a temp SQL function on an EXISTING session (the extension
     * path only covers sessions built with `spark.sql.extensions`).
     */

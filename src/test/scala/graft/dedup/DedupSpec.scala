@@ -659,6 +659,43 @@ class DedupSpec extends SparkSpec {
     assert(sweep.map(_._2).sum === nCand)
   }
 
+  test("MinHashLsh hot-bucket cap: a planted degenerate bucket yields bounded pairs with the drop counted") {
+    // 1,000 byte-identical documents: every band's bucket holds all
+    // 1,000 members, so the UNCAPPED self-join would emit 499,500
+    // pairs; the cap must bound it to C(cap, 2) with the loss audited.
+    val base = "boilerplate footer text repeated across every page of the crawled site today"
+    val hot = spark.range(0, 1000).select(col("id").as("doc_id"), lit(base).as("text"))
+    val cap = 25
+
+    val pairs = MinHashLsh.candidatePairs(hot, "text", "doc_id", maxBucket = cap)
+    assert(pairs.count() === cap.toLong * (cap - 1) / 2,
+      "kept members must still pair with each other (one connected component), nothing more")
+
+    val sig = MinHashLsh.signatures(hot, "text", "doc_id")
+    val banded = MinHashLsh.bands(sig, "doc_id", numBands = 16, sigLen = 64)
+    val tele = MinHashLsh.hotBuckets(banded, maxBucket = cap)
+      .select("sz", "kept", "dropped_pairs")
+      .as[(Long, Long, Long)]
+      .collect()
+    assert(tele.length === 16, "identical docs collide in all 16 bands")
+    tele.foreach { case (sz, kept, dropped) =>
+      assert(sz === 1000L)
+      assert(kept === cap.toLong)
+      assert(dropped === 1000L * 999 / 2 - cap.toLong * (cap - 1) / 2)
+    }
+
+    // non-binding cap leaves results untouched (the sf0.1 oracle regime)
+    val small = docs
+    val capped = MinHashLsh.candidatePairs(small, "text", "doc_id", maxBucket = 1000)
+      .as[(Long, Long)].collect().toSet
+    val default = MinHashLsh.candidatePairs(small, "text", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(capped === default)
+    assert(MinHashLsh.hotBuckets(
+      MinHashLsh.bands(
+        MinHashLsh.signatures(small, "text", "doc_id"), "doc_id", 16, 64)).count() === 0L)
+  }
+
   test("NGramJaccard.containmentJoin: a quote inside a long doc scores ~1 one way, Jaccard low") {
     val long = (1 to 60).map(j => s"w$j").mkString(" ")
     val quote = (10 to 20).map(j => s"w$j").mkString(" ") // 11-token contiguous slice

@@ -54,6 +54,60 @@ class BradleyTerrySpec extends SparkSpec {
     assert(got("a")._1 / got("b")._1 > 1.4 && got("a")._1 / got("b")._1 < 2.8)
   }
 
+  /** Dense replica of the ω-relaxed recurrence: sweep 1 plain, then
+    * π ← π·(r·sqrt(r)) with r = MM(π)/π — same float ops as the
+    * distributed fit and the q205 oracle.
+    */
+  private def denseBTRelaxed(duels: Seq[(String, String)], iters: Int): Map[String, Double] = {
+    val items = duels.flatMap(d => Seq(d._1, d._2)).distinct.sorted
+    val idx = items.zipWithIndex.toMap
+    val k = items.size
+    val n = Array.ofDim[Double](k, k)
+    val w = Array.fill(k)(0.0)
+    duels.foreach { case (wi, li) =>
+      val a = idx(wi); val b = idx(li)
+      n(a)(b) += 1; n(b)(a) += 1; w(a) += 1
+    }
+    var pi = Array.fill(k)(1.0)
+    for (sweep <- 1 to iters) {
+      val next = Array.tabulate(k) { i =>
+        var den = 0.0
+        for (j <- 0 until k if j != i && n(i)(j) > 0) den += n(i)(j) / (pi(i) + pi(j))
+        val mm = if (den == 0.0) 0.0 else w(i) / den
+        if (sweep == 1 || mm == 0.0 || pi(i) == 0.0) mm
+        else { val r = mm / pi(i); pi(i) * (r * math.sqrt(r)) }
+      }
+      pi = next
+    }
+    val tot = pi.sum
+    items.zip(pi.map(_ / tot)).toMap
+  }
+
+  test("BradleyTerry.fit omega=1.5: dense-replica parity, and 8 relaxed sweeps land deeper than 12 plain") {
+    val rng = new scala.util.Random(17)
+    val strength = Map("a" -> 4.0, "b" -> 2.0, "c" -> 1.0, "d" -> 0.5, "e" -> 0.8)
+    val items = strength.keys.toSeq.sorted
+    val duels = (1 to 4000).map { _ =>
+      val i = items(rng.nextInt(5)); var j = items(rng.nextInt(5))
+      while (j == i) j = items(rng.nextInt(5))
+      val pWin = strength(i) / (strength(i) + strength(j))
+      if (rng.nextDouble() < pWin) (i, j) else (j, i)
+    }
+    val got = BradleyTerry.fit(duels.toDF("w", "l"), "w", "l", iters = 8, omega = 1.5)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("pi")).toMap
+    val ref = denseBTRelaxed(duels, iters = 8)
+    items.foreach { it =>
+      assert(math.abs(got(it) - math.floor(ref(it) * 1e6 + 0.5) / 1e6) < 2e-6, it)
+    }
+    // acceleration claim: distance to the (effectively converged)
+    // 60-plain-sweep fixpoint after 8 relaxed sweeps beats 12 plain
+    val fix = denseBT(duels, iters = 60)
+    val plain12 = denseBT(duels, iters = 12)
+    def dist(m: Map[String, Double]) = items.map(it => math.abs(m(it) - fix(it))).max
+    assert(dist(ref) <= dist(plain12),
+      s"relaxed-8 ${dist(ref)} should be at least as close as plain-12 ${dist(plain12)}")
+  }
+
   test("BradleyTerry.fit: never-beaten item drives pi to ~0; beatings of it carry no information") {
     val duels = Seq(("a", "z"), ("b", "z"), ("a", "b"), ("b", "a"), ("a", "z"))
     val got = BradleyTerry.fit(duels.toDF("w", "l"), "w", "l", iters = 30)

@@ -767,6 +767,44 @@ class RegressionSpec extends SparkSpec {
       s"${slopeOf(dist)} vs ${slopeOf(plain)}")
   }
 
+  test("keyed-frame CG: a non-broadcastable FE dimension still gets the accelerated path, parity at 1e-8") {
+    // the same slow path-graph panel as the CG-hybrid test, but with
+    // the broadcast bound squeezed BELOW the u-dimension's group count
+    // so feBroadcast(u) = false: pre-r11 this panel had NO accelerated
+    // path (the CG bail required every FE broadcast-able) and burned
+    // Halperin sweeps to maxSweeps; now it must bail into the
+    // keyed-frame PCG and converge well inside the budget
+    val rows = for (u <- 0 until 50; t <- Seq(u, u + 1); rep <- 0 until 2) yield {
+      val x = math.sin(u * 1.3 + t * 0.7 + rep) * 2
+      (u, t, x, 2.0 * x + u.toDouble * 0.5 - t.toDouble * 0.3 + (rep - 0.5))
+    }
+    val df = rows.toDF("u", "t", "x", "y")
+    def slopeOf(d: Demeaned): Double = {
+      val cg = d.cellGram.get
+      val yI = cg.cols.indexOf("y"); val xI = cg.cols.indexOf("x")
+      cg.gram(xI)(yI) / cg.gram(xI)(xI)
+    }
+    // driver-regime reference (all-broadcast, driver-vector CG)
+    val ref = FixedEffects.demeanFull(df, Seq("y", "x"), Seq("u", "t"),
+      maxSweeps = 4000, tol = 1e-9)
+    spark.conf.set("spark.graft.fe.broadcastGroupLimit", "40") // < 51 u-groups
+    try {
+      val dist = FixedEffects.demeanFull(df, Seq("y", "x"), Seq("u", "t"),
+        maxSweeps = 120, tol = 1e-9, collectCellLimit = 0)
+      info(s"keyed-frame CG sweeps=${dist.sweeps} (driver ref=${ref.sweeps})")
+      assert(dist.sweeps < 120,
+        s"keyed-frame CG did not converge inside the budget: ${dist.sweeps}")
+      // CG-typical sweep count: comparable to the driver-vector CG
+      // reference (the path graph's condition number makes PCG itself
+      // take ~G iterations; the point is matching CG, not beating it —
+      // plain Halperin needs thousands here)
+      assert(dist.sweeps <= ref.sweeps + 5,
+        s"not CG-typical: ${dist.sweeps} vs driver CG ${ref.sweeps}")
+      assert(math.abs(slopeOf(dist) - slopeOf(ref)) < 1e-8,
+        s"${slopeOf(dist)} vs ${slopeOf(ref)}")
+    } finally spark.conf.unset("spark.graft.fe.broadcastGroupLimit")
+  }
+
   test("fitWeighted: distributed cell regime matches the driver regime") {
     val rows = for (u <- 0 until 5; t <- 0 until 6) yield {
       val x = math.sin(u * 2.1 + t * 0.9) * 3
