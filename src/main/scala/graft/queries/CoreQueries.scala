@@ -1425,22 +1425,24 @@ object CoreQueries {
   private def rnd(v: Double, scale: Int): Double =
     BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  // ---- C100: probit GLM (rows-only: iterative MLE, the q80
-  // convention; GlmSpec pins it against an independent dense IRLS and
-  // the planted latent-normal recovery) --------------------------------
+  // ---- C100: probit GLM (FULL oracle — the IRLS loop replays via the
+  // 2-parameter probit recursive CTE (OracleSql.probitIrls2: the shared
+  // portable Φ polynomial, ±8 η clamp, same 2×2 pivot order and
+  // relative-deviance stop), the logit comparator via the q268
+  // logisticIrls2, information SE from the final pass's carried Gram.
+  // GlmSpec still pins the multi-covariate dense-IRLS parity) -----------
   val q303 = Q(
     "q303_probit",
     (s, dir) => {
       val li = Tables.lineitem(s, dir)
         .withColumn("lp", log(col("l_extendedprice")))
         .withColumn("ret", when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
-      val m = graft.ml.Glm.probit(li, "ret", Seq("lp", "l_discount"))
-      val lg = graft.ml.Glm.logistic(li, "ret", Seq("lp", "l_discount"))
+      val m = graft.ml.Glm.probit(li, "ret", Seq("lp"))
+      val lg = graft.ml.Glm.logistic(li, "ret", Seq("lp"))
       scalarRow(
         s,
         Seq(
           "beta_lp" -> rnd(m.coef(1), 4),
-          "beta_disc" -> rnd(m.coef(2), 4),
           "se_info_lp" -> rnd(m.seInformation(1), 4),
           "deviance" -> rnd(m.deviance, 2),
           // the latent-scale link check: logit slopes ≈ 1.7× probit's
@@ -1450,7 +1452,22 @@ object CoreQueries {
           "converged" -> (if (m.converged) 1L else 0L))
       )
     },
-    None
+    Some {
+      s"""WITH RECURSIVE src AS (
+         |  SELECT ln(l_extendedprice) AS x,
+         |         CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+         |  FROM lineitem),
+         |${OracleSql.probitIrls2("src")},
+         |${OracleSql.logisticIrls2("src")}
+         |SELECT round(pf.b1, 4) AS beta_lp,
+         |  round(sqrt(pf.sa/(pf.sa*pf.sc - pf.sb*pf.sb)), 4) AS se_info_lp,
+         |  round(pf.dev, 2) AS deviance,
+         |  round(lf.b1/pf.b1, 3) AS logit_probit_ratio,
+         |  (SELECT count(*) FROM src)::BIGINT AS n,
+         |  pf.i::BIGINT AS iters,
+         |  (CASE WHEN pf.done THEN 1 ELSE 0 END)::BIGINT AS converged
+         |FROM pfin pf, fin lf""".stripMargin
+    }
   )
 
   // ---- C101: Heckman two-step selection correction (rows-only: the
@@ -1471,9 +1488,14 @@ object CoreQueries {
     None
   )
 
-  // ---- C102: Tobit censored regression (rows-only: Newton MLE;
-  // GlmSpec pins planted-parameter recovery + censored-OLS dominance
-  // + the no-censoring OLS limit) --------------------------------------
+  // ---- C102: Tobit censored regression (FULL oracle — the Newton
+  // loop in Olsen's (δ,γ) replays as a recursive CTE seeded with the
+  // Cramer OLS init (row i=0): per pass, the ten moment sums as global
+  // window sums over the arithmetic-blend row terms (already
+  // engine-stable — the q305 JIT lesson), the 3×3 Newton solve as
+  // closed-form Cramer determinants (ulp-off from LinAlg's pivot order;
+  // Newton contracts to the same MLE), same step/ll stop. GlmSpec
+  // still pins planted-parameter recovery) ------------------------------
   val q305 = Q(
     "q305_tobit",
     (s, dir) => {
@@ -1488,7 +1510,106 @@ object CoreQueries {
       val m = graft.ml.Tobit.fit(li, "ylat", Seq("l_quantity"), lower = 0.0)
       graft.ml.Tobit.summary(s, m).orderBy("name")
     },
-    None
+    Some {
+      val phi = graft.functions.NormalDist.phiSql("c")
+      val C = graft.functions.NormalDist.INV_SQRT_2PI
+      val lnC = math.log(graft.functions.NormalDist.INV_SQRT_2PI)
+      s"""WITH RECURSIVE base AS (
+         |  SELECT greatest(0.0, (l_quantity - 20.0)/10.0 + (l_discount - 0.05)*20.0) AS y,
+         |         l_quantity::DOUBLE AS x
+         |  FROM lineitem),
+         |u0 AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+         |         sum(x*x) AS sxx, sum(x*y) AS sxy FROM base WHERE y > 0.0),
+         |ini AS (SELECT (n*sxy - sx*sy)/(n*sxx - sx*sx) AS b1,
+         |          (sy - (n*sxy - sx*sy)/(n*sxx - sx*sx)*sx)/n AS b0, n FROM u0),
+         |rv AS (SELECT greatest(
+         |          sum((y - (ini.b0 + x*ini.b1))*(y - (ini.b0 + x*ini.b1)))/ini.n, 1e-8)
+         |          AS v
+         |        FROM base, ini WHERE y > 0.0 GROUP BY ini.n),
+         |tit AS (
+         |  SELECT 0 AS i, ini.b0*(1.0/sqrt(rv.v)) AS d0, ini.b1*(1.0/sqrt(rv.v)) AS d1,
+         |    1.0/sqrt(rv.v) AS gam, CAST('-infinity' AS DOUBLE) AS ll, false AS done
+         |  FROM ini, rv
+         |  UNION ALL
+         |  SELECT i + 1,
+         |    d0 + s0, d1 + s1, greatest(gam + s2, 1e-10), llnow,
+         |    greatest(abs(s0), greatest(abs(s1), abs(s2))) < 1e-8
+         |      AND abs(llnow - llprev) < 1e-10*(1.0 + abs(llnow))
+         |  FROM (
+         |    SELECT w.*,
+         |      (g0*(dd*f - e*e) - b*(g1*f - e*g2) + c2*(g1*e - dd*g2))/det AS s0,
+         |      (a*(g1*f - e*g2) - g0*(b*f - e*c2) + c2*(b*g2 - g1*c2))/det AS s1,
+         |      (a*(dd*g2 - g1*e) - b*(b*g2 - g1*c2) + g0*(b*e - dd*c2))/det AS s2
+         |    FROM (
+         |      SELECT v.*,
+         |        a*(dd*f - e*e) - b*(b*f - e*c2) + c2*(b*e - dd*c2) AS det
+         |      FROM (
+         |        SELECT u.*, -h00 AS a, -h01 AS b, -h02 AS c2,
+         |               -h11 AS dd, -h12 AS e, -h22 AS f
+         |        FROM (
+         |          SELECT DISTINCT i, d0, d1, gam, llprev,
+         |            llnow, g0, g1, g2, h00, h01, h11, h02, h12, h22
+         |          FROM (
+         |            SELECT i, d0, d1, gam, llprev,
+         |              sum(llt) OVER () AS llnow,
+         |              sum(gd*1.0) OVER () AS g0, sum(gd*x) OVER () AS g1,
+         |              sum(gg) OVER () AS g2,
+         |              sum(hdd*1.0*1.0) OVER () AS h00,
+         |              sum(hdd*1.0*x) OVER () AS h01,
+         |              sum(hdd*x*x) OVER () AS h11,
+         |              sum(hdg*1.0) OVER () AS h02, sum(hdg*x) OVER () AS h12,
+         |              sum(hgg) OVER () AS h22
+         |            FROM (
+         |              SELECT i, d0, d1, gam, llprev, x, y,
+         |                cI*ln(cdf) + uI*(ln(gam) + $lnC - z*z/2.0) AS llt,
+         |                cI*(-mr) + uI*z AS gd,
+         |                cI*(mr*0.0) + uI*(1.0/gam - z*y) AS gg,
+         |                cI*dm + uI*(-1.0) AS hdd,
+         |                cI*((-dm)*0.0) + uI*y AS hdg,
+         |                cI*(dm*0.0*0.0) + uI*((-1.0)/(gam*gam) - y*y) AS hgg
+         |              FROM (
+         |                SELECT t.*, -(c*mr + mr*mr) AS dm FROM (
+         |                  SELECT s.*, pdf/cdf AS mr FROM (
+         |                    SELECT r.*,
+         |                      $C*exp(-(c*c)/2.0) AS pdf,
+         |                      greatest($phi, 1e-300) AS cdf
+         |                    FROM (
+         |                      SELECT p.*,
+         |                        least(greatest(0.0 - xdelta, -8.0), 8.0) AS c,
+         |                        gam*y - xdelta AS z
+         |                      FROM (
+         |                        SELECT q.i, q.d0, q.d1, q.gam, q.ll AS llprev,
+         |                          d.x, d.y,
+         |                          CASE WHEN d.y <= 0.0 THEN 1.0 ELSE 0.0 END AS cI,
+         |                          1.0 - (CASE WHEN d.y <= 0.0 THEN 1.0 ELSE 0.0 END)
+         |                            AS uI,
+         |                          1.0*q.d0 + d.x*q.d1 AS xdelta
+         |                        FROM tit q, base d WHERE q.i < 50 AND NOT q.done) p
+         |                    ) r
+         |                  ) s
+         |                ) t
+         |              )
+         |            )
+         |          )
+         |        ) u
+         |      ) v
+         |    ) w
+         |  )
+         |),
+         |tfin AS (SELECT d0, d1, gam, i, done FROM tit
+         |         WHERE i = (SELECT max(i) FROM tit)),
+         |cnt AS (SELECT count(*)::BIGINT AS n,
+         |          sum(CASE WHEN y <= 0.0 THEN 1 ELSE 0 END)::BIGINT AS ncens
+         |        FROM base)
+         |SELECT o.name, floor(o.coef*1e6 + 0.5)/1e6 AS coef,
+         |  floor((1.0/tfin.gam)*1e6 + 0.5)/1e6 AS sigma,
+         |  cnt.n, cnt.ncens AS n_censored, tfin.i::INT AS iters,
+         |  (CASE WHEN tfin.done THEN 1 ELSE 0 END)::INT AS converged
+         |FROM (SELECT '(intercept)' AS name, tfin.d0/tfin.gam AS coef FROM tfin
+         |      UNION ALL
+         |      SELECT 'l_quantity', tfin.d1/tfin.gam FROM tfin) o, tfin, cnt
+         |ORDER BY o.name""".stripMargin
+    }
   )
 
   // ---- C103: ordered logit / proportional odds (rows-only: Newton
