@@ -338,6 +338,69 @@ object Causal {
     * documented convention, weighted identically), SMD divides by
     * √((v_t+v_c)/2) and is null when both variances are 0.
     */
+  /** Sharp regression discontinuity (Thistlethwaite–Campbell 1960;
+    * Imbens–Lemieux 2008 local-linear form): treatment switches on at
+    * `cutoff` of the running variable, and the effect is the jump of
+    * the outcome's conditional expectation there — estimated by TWO
+    * local-linear regressions (one per side) over |r − c| ≤ h with
+    * triangular kernel weights w = 1 − |r − c|/h, τ = â_right − â_left
+    * (the weighted intercepts AT the cutoff, since both sides regress
+    * on the centered running variable r − c).
+    *
+    * Scale shape: one filtered pass computes BOTH sides' five weighted
+    * moments in a single conditional aggregate (side indicator folded
+    * arithmetically); the two 2×2 solves are driver closed forms.
+    * Returns one row: tau, per-side intercepts/slopes, per-side n
+    * (6dp floor-quantized floats). Bandwidth choice is the caller's
+    * (IK/CCT selectors are out of scope — h is an explicit argument,
+    * never silently derived).
+    */
+  def rdd(
+      df: DataFrame,
+      yCol: String,
+      runningCol: String,
+      cutoff: Double,
+      bandwidth: Double): DataFrame = {
+    require(bandwidth > 0, "Causal.rdd: bandwidth must be positive")
+    val spark = df.sparkSession
+    val r = col(runningCol).cast("double") - lit(cutoff)
+    val y = col(yCol).cast("double")
+    val w = lit(1.0) - abs(r) / lit(bandwidth)
+    // side indicator as arithmetic weights (the Tobit blend lesson):
+    // right = r >= 0 (treated side, cutoff inclusive — the sharp-RD
+    // convention), left = r < 0
+    val right = (r >= 0).cast("double")
+    val left = lit(1.0) - right
+    def side(s: Column, p: String) = Seq(
+      sum(s * w).as(s"${p}w"),
+      sum(s * w * r).as(s"${p}wx"),
+      sum(s * w * r * r).as(s"${p}wxx"),
+      sum(s * w * y).as(s"${p}wy"),
+      sum(s * w * r * y).as(s"${p}wxy"),
+      sum(s).cast("long").as(s"${p}n"))
+    val aggs = side(left, "l") ++ side(right, "r")
+    val row = df.where(abs(r) <= bandwidth).agg(aggs.head, aggs.tail: _*).head()
+    def fit(p: String): (Double, Double, Long) = {
+      val sw = row.getAs[Double](s"${p}w"); val swx = row.getAs[Double](s"${p}wx")
+      val swxx = row.getAs[Double](s"${p}wxx"); val swy = row.getAs[Double](s"${p}wy")
+      val swxy = row.getAs[Double](s"${p}wxy"); val n = row.getAs[Long](s"${p}n")
+      val det = sw * swxx - swx * swx
+      require(n >= 3 && det > 0,
+        s"Causal.rdd: side '$p' needs >= 3 in-bandwidth points with running variation")
+      val b = (sw * swxy - swx * swy) / det
+      val a = (swy - b * swx) / sw
+      (a, b, n)
+    }
+    val (aL, bL, nL) = fit("l")
+    val (aR, bR, nR) = fit("r")
+    import spark.implicits._
+    def q6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    Seq((q6(aR - aL), q6(aL), q6(aR), q6(bL), q6(bR), nL, nR,
+      cutoff, bandwidth))
+      .toDF("tau", "icept_left", "icept_right", "slope_left", "slope_right",
+        "n_left", "n_right", "cutoff", "bandwidth")
+  }
+
   def balanceTable(
       df: DataFrame,
       treat: String,

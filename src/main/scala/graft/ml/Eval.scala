@@ -276,6 +276,60 @@ object Eval {
           .as("ndcg"))
   }
 
+  /** MAP@k + MRR@k per query — the binary-relevance ranking metrics
+    * beside [[ndcg]]'s graded one (MRR is THE first-relevant-result
+    * metric for QA-style retrieval; AP integrates precision over the
+    * relevant hits). Per query, with results ranked by
+    * (score DESC, tie): AP@k = Σ_{i≤k, rel_i} P@i / min(R, k) where R
+    * is the query's total relevant count (the TREC convention — an
+    * unreachable denominator would cap AP below 1 even for a perfect
+    * ranking), and RR@k = 1/rank of the first relevant result (0 if
+    * none in the top k). Rank arithmetic is exact integers; the only
+    * float work is the final rationals — fully SQL-replayable.
+    *
+    * Scale shape: one query-keyed rank window (hash-partitioned by
+    * query — never single-partition), one groupBy. Inputs are top-k
+    * shortlists (#queries × k), the [[graft.text.Hybrid]] convention.
+    */
+  def mapMrr(
+      df: DataFrame,
+      queryCol: String,
+      scoreCol: String,
+      relCol: String,
+      tieCol: String,
+      k: Int = 10): DataFrame = {
+    require(k >= 1, "Eval.mapMrr: k must be >= 1")
+    val g = Window.partitionBy(col(queryCol))
+    val byScore = row_number().over(g.orderBy(col(scoreCol).desc, col(tieCol)))
+    val rel = (col(relCol).cast("double") > 0).cast("long")
+    def q6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    val ranked = df
+      .withColumn("__rs", byScore)
+      .withColumn("__rel", rel)
+      // precision@i numerator: relevant count at or above this rank —
+      // the same keyed window, cumulative over the rank order
+      .withColumn("__relcum",
+        sum(col("__rel")).over(
+          g.orderBy(col(scoreCol).desc, col(tieCol))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ranked
+      .groupBy(col(queryCol))
+      .agg(
+        count(lit(1)).as("n_results"),
+        sum(col("__rel")).as("__nrel"),
+        sum(when(col("__rs") <= k && col("__rel") === 1L,
+          col("__relcum").cast("double") / col("__rs").cast("double"))).as("__apnum"),
+        min(when(col("__rs") <= k && col("__rel") === 1L, col("__rs"))).as("__first"))
+      .select(
+        col(queryCol), col("n_results"), col("__nrel").as("n_relevant"),
+        q6(when(col("__nrel") > 0,
+          coalesce(col("__apnum"), lit(0.0)) /
+            least(col("__nrel"), lit(k.toLong)).cast("double"))
+          .otherwise(lit(0.0))).as("ap"),
+        q6(coalesce(lit(1.0) / col("__first").cast("double"), lit(0.0))).as("rr"))
+  }
+
   /** Multi-class confusion counts + per-class precision/recall/F1 and
     * the macro/micro summary — the label-model QA table behind
     * [[graft.text.NaiveBayes]]/[[graft.text.LangId]] evaluations. One

@@ -1,0 +1,74 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dickey–Fuller unit-root test (Dickey & Fuller 1979), constant-only
+  * form — "is this series a random walk or mean-reverting?", the
+  * stationarity gate in front of the AR/forecast family
+  * ([[graft.ops.Forecast]], q286 AR(1)): regress Δy_t on (1, y_{t−1})
+  * and read the t-statistic of the lag coefficient against the
+  * DF distribution (NOT the usual t table — under the unit-root null
+  * the statistic is left-shifted; the asymptotic 5% critical value for
+  * the constant-only case is −2.8621, MacKinnon 2010, shipped as a
+  * documented constant).
+  *
+  * Scale shape: the lag pairs come from ONE equi-join of the series on
+  * key = t−1 (shuffle on the time key — never a single-partition
+  * window), then one moment aggregate; slope/intercept/SE are Cramer
+  * closed forms on the driver. The input is typically an
+  * already-aggregated (bucket, value) series — bucket upstream.
+  */
+object UnitRoot {
+
+  /** MacKinnon (2010) asymptotic 5% critical value, constant, no trend. */
+  val Crit5ConstOnly: Double = -2.8621
+
+  final case class Result(
+      rho: Double, // coefficient on y_{t−1}
+      tStat: Double,
+      alpha: Double, // drift
+      nObs: Long, // differenced observations
+      reject5pct: Boolean)
+
+  /** `tCol` must be an integer-like bucket index (consecutive values
+    * one step apart form the lag pairs; gaps simply contribute no
+    * pair — document the bucketing upstream).
+    */
+  def dickeyFuller(df: DataFrame, tCol: String, valueCol: String): Result = {
+    val cur = df.select(col(tCol).cast("long").as("t"), col(valueCol).cast("double").as("y"))
+    val prev = df.select((col(tCol).cast("long") + 1L).as("t"),
+      col(valueCol).cast("double").as("ylag"))
+    val pairs = cur.join(prev, Seq("t"))
+      .select((col("y") - col("ylag")).as("d"), col("ylag").as("x"))
+    val r = pairs.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x")).as("sx"), sum(col("d")).as("sd"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("d")).as("sxd"),
+      sum(col("d") * col("d")).as("sdd")).head()
+    val n = r.getAs[Double]("n")
+    require(n >= 4, s"UnitRoot.dickeyFuller: need >= 4 lag pairs, got ${n.toLong}")
+    val sx = r.getAs[Double]("sx"); val sd = r.getAs[Double]("sd")
+    val sxx = r.getAs[Double]("sxx"); val sxd = r.getAs[Double]("sxd")
+    val sdd = r.getAs[Double]("sdd")
+    val det = n * sxx - sx * sx
+    require(det > 0, "UnitRoot.dickeyFuller: lagged series is constant")
+    val rho = (n * sxd - sx * sd) / det
+    val a = (sd - rho * sx) / n
+    val ssr = sdd - a * sd - rho * sxd
+    val s2 = math.max(ssr, 0.0) / (n - 2.0)
+    val se = math.sqrt(s2 * n / det)
+    val t = rho / se
+    Result(rho, t, a, math.round(n), t < Crit5ConstOnly)
+  }
+
+  /** One-row summary frame (6dp floor-quantized). */
+  def summary(spark: org.apache.spark.sql.SparkSession, r: Result): DataFrame = {
+    import spark.implicits._
+    def q6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    Seq((q6(r.rho), q6(r.tStat), q6(r.alpha), r.nObs, Crit5ConstOnly,
+      if (r.reject5pct) 1 else 0))
+      .toDF("rho", "t_stat", "drift", "n_obs", "crit_5pct", "reject_5pct")
+  }
+}

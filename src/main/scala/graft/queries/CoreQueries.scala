@@ -1643,9 +1643,170 @@ object CoreQueries {
     None
   )
 
+  // ---- C107: one-way random-effects panel (Swamy–Arora FGLS) + the
+  // Hausman FE-vs-RE test (FULL oracle — the ENTIRE estimator is
+  // per-group-stat algebra: one groupBy + strata-sized reductions, so
+  // the replay is the identical closed-form chain; the Hausman p
+  // mirrors the portable-Φ tail 2·(pdf·poly) in the same Horner
+  // order) ---------------------------------------------------------------
+  val q316 = Q(
+    "q316_random_effects",
+    (s, dir) => {
+      val m = graft.ml.RandomEffects.fit(
+        Tables.lineitem(s, dir), "l_extendedprice", "l_quantity", "l_suppkey")
+      graft.ml.RandomEffects.summary(s, m)
+    },
+    Some {
+      import graft.functions.NormalDist._
+      s"""WITH g AS (SELECT l_suppkey, count(*)::DOUBLE AS tn,
+         |    sum(l_quantity) AS sx, sum(l_extendedprice) AS sy,
+         |    sum(l_quantity*l_quantity) AS sxx,
+         |    sum(l_quantity*l_extendedprice) AS sxy,
+         |    sum(l_extendedprice*l_extendedprice) AS syy
+         |  FROM lineitem GROUP BY 1),
+         |r1 AS (SELECT sum(tn) AS n, count(*)::DOUBLE AS gc,
+         |    sum(sxx - sx*sx/tn) AS wxx,
+         |    sum(sxy - sx*sy/tn) AS wxy,
+         |    sum(syy - sy*sy/tn) AS wyy,
+         |    sum(sx/tn) AS bsx, sum(sy/tn) AS bsy,
+         |    sum((sx/tn)*(sx/tn)) AS bsxx,
+         |    sum((sx/tn)*(sy/tn)) AS bsxy,
+         |    sum((sy/tn)*(sy/tn)) AS bsyy,
+         |    sum(1.0/tn) AS sinvt
+         |  FROM g),
+         |c1 AS (SELECT r1.*,
+         |    wxy/wxx AS bfe,
+         |    (wyy - (wxy/wxx)*wxy)/(n - gc - 1.0) AS sige2,
+         |    bsxx - bsx*bsx/gc AS bvxx, bsxy - bsx*bsy/gc AS bvxy,
+         |    bsyy - bsy*bsy/gc AS bvyy
+         |  FROM r1),
+         |c2 AS (SELECT c1.*,
+         |    greatest(0.0,
+         |      (bvyy - (bvxy/bvxx)*bvxy)/(gc - 2.0) - sige2/(gc/sinvt)) AS sigu2
+         |  FROM c1),
+         |gt AS (SELECT g.*,
+         |    1.0 - sqrt(c2.sige2/(g.tn*c2.sigu2 + c2.sige2)) AS th
+         |  FROM g, c2),
+         |r2a AS (SELECT
+         |    sum(sxx - (2.0*th - th*th)*sx*sx/tn) AS txx,
+         |    sum(sxy - (2.0*th - th*th)*sx*sy/tn) AS txy,
+         |    sum(syy - (2.0*th - th*th)*sy*sy/tn) AS tyy,
+         |    sum((1.0 - th)*(1.0 - th)*sx) AS tix,
+         |    sum((1.0 - th)*(1.0 - th)*sy) AS tiy,
+         |    sum(tn*(1.0 - th)*(1.0 - th)) AS tii,
+         |    min(th) AS thmin, max(th) AS thmax
+         |  FROM gt),
+         |r2 AS (SELECT r2a.*, c2.* FROM r2a, c2),
+         |fin AS (SELECT r2.*,
+         |    (tii*txy - tix*tiy)/(tii*txx - tix*tix) AS bre
+         |  FROM r2),
+         |f2 AS (SELECT fin.*, (tiy - bre*tix)/tii AS are FROM fin),
+         |f4 AS (SELECT f2.*,
+         |    sige2/wxx - sige2*tii/(tii*txx - tix*tix) AS dvar
+         |  FROM f2),
+         |f5 AS (SELECT f4.*,
+         |    CASE WHEN dvar > 0 THEN (bfe - bre)*(bfe - bre)/dvar END AS h
+         |  FROM f4),
+         |f6 AS (SELECT f5.*, sqrt(h) AS z, 1.0/(1.0 + $P*sqrt(h)) AS t FROM f5)
+         |SELECT
+         |  floor(bre*1e6 + 0.5)/1e6 AS b_re,
+         |  floor(are*1e6 + 0.5)/1e6 AS icept_re,
+         |  floor(bfe*1e6 + 0.5)/1e6 AS b_fe,
+         |  floor(sqrt(sigu2)*1e6 + 0.5)/1e6 AS sigma_u,
+         |  floor(sqrt(sige2)*1e6 + 0.5)/1e6 AS sigma_e,
+         |  floor(thmin*1e6 + 0.5)/1e6 AS theta_min,
+         |  floor(thmax*1e6 + 0.5)/1e6 AS theta_max,
+         |  floor(h*1e6 + 0.5)/1e6 AS hausman,
+         |  floor((2.0*(($INV_SQRT_2PI*exp(-(z*z)/2.0))
+         |    *(t*($B1 + t*($B2 + t*($B3 + t*($B4 + t*$B5)))))))*1e6 + 0.5)/1e6
+         |    AS p_hausman,
+         |  CAST(n AS BIGINT) AS n, CAST(gc AS BIGINT) AS groups
+         |FROM f6""".stripMargin
+    }
+  )
+
+  // ---- C108: Dickey–Fuller unit-root test (FULL oracle — the lag
+  // pairs come from an equi-join on t−1, never a window; Cramer
+  // slope/SE closed forms; the MacKinnon critical value ships as a
+  // documented constant and the reject flag is an exact compare) --------
+  val q317 = Q(
+    "q317_dickey_fuller",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(floor(unix_timestamp(col("ts")) / 86400).as("day"))
+        .agg(count(lit(1)).cast("double").as("n_events"))
+      val r = graft.ml.UnitRoot.dickeyFuller(daily, "day", "n_events")
+      graft.ml.UnitRoot.summary(s, r)
+    },
+    Some(
+      """WITH d AS (SELECT floor(epoch(ts)/86400)::BIGINT AS day,
+        |             count(*)::DOUBLE AS y FROM events GROUP BY 1),
+        |p AS (SELECT c.y - l.y AS dd, l.y AS x
+        |      FROM d c JOIN (SELECT day + 1 AS day, y FROM d) l USING (day)),
+        |m AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(dd) AS sd,
+        |        sum(x*x) AS sxx, sum(x*dd) AS sxd, sum(dd*dd) AS sdd FROM p),
+        |b AS (SELECT m.*, (n*sxd - sx*sd)/(n*sxx - sx*sx) AS rho FROM m),
+        |a AS (SELECT b.*, (sd - rho*sx)/n AS drift FROM b),
+        |s AS (SELECT a.*,
+        |        sqrt((greatest(sdd - drift*sd - rho*sxd, 0.0)/(n - 2.0))
+        |             * n/(n*sxx - sx*sx)) AS se
+        |      FROM a)
+        |SELECT floor(rho*1e6 + 0.5)/1e6 AS rho,
+        |  floor((rho/se)*1e6 + 0.5)/1e6 AS t_stat,
+        |  floor(drift*1e6 + 0.5)/1e6 AS drift,
+        |  n::BIGINT AS n_obs,
+        |  -2.8621::DOUBLE AS crit_5pct,
+        |  (CASE WHEN rho/se < -2.8621 THEN 1 ELSE 0 END)::INT AS reject_5pct
+        |FROM s""".stripMargin
+    )
+  )
+
+  // ---- C109: sharp regression discontinuity (FULL oracle — one
+  // conditional weighted-moment aggregate, both sides' local-linear
+  // fits as Cramer closed forms; the outcome carries a PLANTED +5000
+  // jump at the cutoff so τ is real, not a zero-test) -------------------
+  val q318 = Q(
+    "q318_rdd",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .withColumn("y_j",
+          col("l_extendedprice") + when(col("l_quantity") >= 25.0, 5000.0).otherwise(0.0))
+      graft.ml.Causal.rdd(li, "y_j", "l_quantity", cutoff = 25.0, bandwidth = 15.0)
+    },
+    Some(
+      """WITH b AS (SELECT l_extendedprice
+        |      + (CASE WHEN l_quantity >= 25.0 THEN 5000.0 ELSE 0.0 END) AS y,
+        |    l_quantity - 25.0 AS r,
+        |    1.0 - abs(l_quantity - 25.0)/15.0 AS w,
+        |    CASE WHEN l_quantity - 25.0 >= 0 THEN 1.0 ELSE 0.0 END AS ri
+        |  FROM lineitem WHERE abs(l_quantity - 25.0) <= 15.0),
+        |m AS (SELECT
+        |    sum((1.0 - ri)*w) AS lw, sum((1.0 - ri)*w*r) AS lwx,
+        |    sum((1.0 - ri)*w*r*r) AS lwxx, sum((1.0 - ri)*w*y) AS lwy,
+        |    sum((1.0 - ri)*w*r*y) AS lwxy, sum(1.0 - ri)::BIGINT AS ln,
+        |    sum(ri*w) AS rw, sum(ri*w*r) AS rwx,
+        |    sum(ri*w*r*r) AS rwxx, sum(ri*w*y) AS rwy,
+        |    sum(ri*w*r*y) AS rwxy, sum(ri)::BIGINT AS rn
+        |  FROM b),
+        |f AS (SELECT
+        |    (lw*lwxy - lwx*lwy)/(lw*lwxx - lwx*lwx) AS bl,
+        |    (rw*rwxy - rwx*rwy)/(rw*rwxx - rwx*rwx) AS br,
+        |    m.* FROM m),
+        |f2 AS (SELECT (lwy - bl*lwx)/lw AS al, (rwy - br*rwx)/rw AS ar, f.* FROM f)
+        |SELECT floor((ar - al)*1e6 + 0.5)/1e6 AS tau,
+        |  floor(al*1e6 + 0.5)/1e6 AS icept_left,
+        |  floor(ar*1e6 + 0.5)/1e6 AS icept_right,
+        |  floor(bl*1e6 + 0.5)/1e6 AS slope_left,
+        |  floor(br*1e6 + 0.5)/1e6 AS slope_right,
+        |  ln AS n_left, rn AS n_right,
+        |  25.0::DOUBLE AS cutoff, 15.0::DOUBLE AS bandwidth
+        |FROM f2""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18,
       q19, q36, q37, q38, q41, q42, q43, q59, q68, q70, q74, q79, q80, q90, q91, q94,
       q144, q145, q146, q147, q148, q149, q150, q156, q157, q158, q159, q163, q164, q165,
-      q303, q304, q305, q310, q311)
+      q303, q304, q305, q310, q311, q316, q317, q318)
 }

@@ -9331,6 +9331,149 @@ object PipelineQueries {
     None
   )
 
+  // ---- T117: MAP@k + MRR@k ranking metrics (FULL oracle — integer
+  // rank arithmetic via keyed windows, TREC min(R, k) AP denominator,
+  // the only floats are the final rationals) -----------------------------
+  val q319 = Q(
+    "q319_map_mrr",
+    (s, dir) =>
+      graft.ml.Eval.mapMrr(
+        Tables.documents(s, dir)
+          .withColumn("rel", (col("lang") === "en").cast("int")),
+        "source", "n_chars", "rel", "doc_id", k = 10)
+        .orderBy("source"),
+    Some(
+      """WITH r AS (SELECT source, doc_id,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS rel,
+        |    row_number() OVER w AS rs,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) OVER
+        |      (PARTITION BY source ORDER BY n_chars DESC, doc_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS relcum
+        |  FROM documents
+        |  WINDOW w AS (PARTITION BY source ORDER BY n_chars DESC, doc_id)),
+        |g AS (SELECT source, count(*)::BIGINT AS n_results,
+        |    sum(rel)::BIGINT AS nrel,
+        |    sum(CASE WHEN rs <= 10 AND rel = 1
+        |          THEN relcum::DOUBLE / rs::DOUBLE END) AS apnum,
+        |    min(CASE WHEN rs <= 10 AND rel = 1 THEN rs END) AS firstrel
+        |  FROM r GROUP BY 1)
+        |SELECT source, n_results, nrel AS n_relevant,
+        |  floor((CASE WHEN nrel > 0
+        |    THEN coalesce(apnum, 0.0)/least(nrel, 10)::DOUBLE
+        |    ELSE 0.0 END)*1e6 + 0.5)/1e6 AS ap,
+        |  floor(coalesce(1.0/firstrel::DOUBLE, 0.0)*1e6 + 0.5)/1e6 AS rr
+        |FROM g ORDER BY source""".stripMargin
+    )
+  )
+
+  // ---- Z22: stratified survey mean with FPC (FULL oracle — one
+  // sample groupBy + population-count join, strata-sized windows;
+  // deterministic modulo sample) ----------------------------------------
+  val q320 = Q(
+    "q320_survey_mean",
+    (s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val pop = cust.groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_pop"))
+      val sample = cust.where(col("c_custkey") % 7 === 0)
+      graft.ops.Survey.stratifiedMean(sample, pop, "c_nationkey", "c_acctbal")
+        .orderBy("c_nationkey")
+    },
+    Some(
+      """WITH pop AS (SELECT c_nationkey, count(*)::DOUBLE AS np
+        |  FROM customer GROUP BY 1),
+        |per AS (SELECT c_nationkey, count(*)::DOUBLE AS ns,
+        |    sum(c_acctbal) AS sy, sum(c_acctbal*c_acctbal) AS syy
+        |  FROM customer WHERE c_custkey % 7 = 0 GROUP BY 1),
+        |j AS (SELECT pop.c_nationkey, np, ns, sy, syy
+        |  FROM pop LEFT JOIN per USING (c_nationkey)),
+        |t AS (SELECT sum(np) AS ntot,
+        |    max(CASE WHEN ns IS NULL OR ns < 2 THEN 1 ELSE 0 END) AS miss
+        |  FROM j),
+        |o AS (SELECT
+        |    sum((np/(SELECT ntot FROM t))*(sy/ns)) AS om,
+        |    sqrt(sum(CASE WHEN ns >= 2 THEN
+        |      (np/(SELECT ntot FROM t))*(np/(SELECT ntot FROM t))
+        |        *(1.0 - ns/np)
+        |        *((syy - sy*sy/ns)/(ns - 1.0))/ns END)) AS ose
+        |  FROM j)
+        |SELECT j.c_nationkey,
+        |  coalesce(ns, 0.0)::BIGINT AS n_sample,
+        |  np::BIGINT AS n_pop,
+        |  floor((np/(SELECT ntot FROM t))*1e6 + 0.5)/1e6 AS w,
+        |  floor((sy/ns)*1e6 + 0.5)/1e6 AS mean,
+        |  CASE WHEN (SELECT miss FROM t) = 0
+        |    THEN floor((SELECT om FROM o)*1e6 + 0.5)/1e6 END AS mean_stratified,
+        |  CASE WHEN (SELECT miss FROM t) = 0
+        |    THEN floor((SELECT ose FROM o)*1e6 + 0.5)/1e6 END AS se_fpc,
+        |  CASE WHEN (SELECT miss FROM t) = 0
+        |    THEN floor(((SELECT om FROM o) - 1.959964*(SELECT ose FROM o))*1e6 + 0.5)/1e6
+        |    END AS ci_lo,
+        |  CASE WHEN (SELECT miss FROM t) = 0
+        |    THEN floor(((SELECT om FROM o) + 1.959964*(SELECT ose FROM o))*1e6 + 0.5)/1e6
+        |    END AS ci_hi
+        |FROM j ORDER BY c_nationkey""".stripMargin
+    )
+  )
+
+  // ---- P27: Matryoshka (MRL) truncated-tier ANN shortlist (FULL
+  // oracle — q25's replay restricted to the leading 16 dims; cosine
+  // over truncated raw slices, no renormalization needed) ----------------
+  val q321 = Q(
+    "q321_matryoshka_topk",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.sim.Embed.matryoshkaTopK(
+        emb.where(col("vec_id") < 10), emb, "vec_id", "embedding", d = 16, k = 5)
+    },
+    Some(
+      """WITH f AS (
+        |  SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+        |         unnest(range(len(embedding))) AS i
+        |  FROM embeddings),
+        |f16 AS (SELECT * FROM f WHERE i < 16),
+        |n AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM f16 GROUP BY vec_id),
+        |d AS (SELECT a.vec_id AS qid, b.vec_id AS nid, sum(a.v*b.v) AS dot
+        |      FROM f16 a JOIN f16 b ON a.i = b.i AND a.vec_id < 10
+        |        AND b.vec_id <> a.vec_id
+        |      GROUP BY 1, 2),
+        |c AS (SELECT qid, nid, dot/(na.nrm*nb.nrm) AS cos FROM d
+        |      JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = nid),
+        |r AS (SELECT qid, nid, cos,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+        |      FROM c)
+        |SELECT qid, nid, round(cos, 4) AS cos_sim FROM r WHERE rk <= 5""".stripMargin
+    )
+  )
+
+  // ---- P28: mutual-kNN pairs (FULL oracle — both directions' brute
+  // top-5 replayed with q25's windows, reciprocal join, id-ordered) ------
+  val q322 = Q(
+    "q322_mutual_knn",
+    (s, dir) =>
+      graft.sim.Cosine.mutualKnn(Tables.embeddings(s, dir), "vec_id", "embedding", k = 5)
+        .orderBy("id_a", "id_b"),
+    Some(
+      """WITH f AS (
+        |  SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+        |         unnest(range(len(embedding))) AS i
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM f GROUP BY vec_id),
+        |d AS (SELECT a.vec_id AS qid, b.vec_id AS nid, sum(a.v*b.v) AS dot
+        |      FROM f a JOIN f b ON a.i = b.i AND b.vec_id <> a.vec_id
+        |      GROUP BY 1, 2),
+        |c AS (SELECT qid, nid, dot/(na.nrm*nb.nrm) AS cos FROM d
+        |      JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = nid),
+        |r AS (SELECT qid, nid, cos,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+        |      FROM c),
+        |tk AS (SELECT qid, nid, cos FROM r WHERE rk <= 5)
+        |SELECT a.qid AS id_a, a.nid AS id_b, round(a.cos, 4) AS cos_sim
+        |FROM tk a JOIN tk b ON a.qid = b.nid AND a.nid = b.qid
+        |WHERE a.qid < a.nid
+        |ORDER BY id_a, id_b""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
@@ -9339,5 +9482,6 @@ object PipelineQueries {
       q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
       q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276,
       q277, q278, q279, q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290,
-      q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q306, q307, q308, q309, q312, q313, q315)
+      q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q306, q307, q308, q309, q312, q313, q315,
+      q319, q320, q321, q322)
 }

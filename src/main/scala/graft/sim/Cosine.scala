@@ -48,6 +48,33 @@ object Cosine {
       .select(col("qid"), col("nid"), round(col("cos_sim"), 4).as("cos_sim"))
   }
 
+  /** Mutual k-nearest-neighbor pairs from ANY (qid, nid, cos_sim)
+    * shortlist frame: (a, b) kept iff b ∈ topK(a) AND a ∈ topK(b),
+    * emitted once as id-ordered (id_a < id_b). Mutuality is the
+    * standard reciprocal filter on kNN graphs — it kills hub edges
+    * (a point inside a dense cluster shortlists a far-away hub, but
+    * the hub's own shortlist is full of its dense neighborhood) before
+    * dedup clustering or bitext alignment consumes the graph. One
+    * self-join of the shortlist on the swapped key pair —
+    * #queries×k rows, never corpus-sized; composes unchanged with any
+    * P7 ANN shortlist at 100 TB.
+    */
+  def mutualPairs(topk: DataFrame): DataFrame = {
+    val rev = topk.select(col("qid").as("r_qid"), col("nid").as("r_nid"))
+    topk
+      .join(rev, col("qid") === col("r_nid") && col("nid") === col("r_qid"))
+      .where(col("qid") < col("nid"))
+      .select(col("qid").as("id_a"), col("nid").as("id_b"), col("cos_sim"))
+  }
+
+  /** Brute-force mutual kNN over one vector frame ([[topK]] with the
+    * frame as both sides, then [[mutualPairs]]) — the small-corpus /
+    * correctness baseline; swap the shortlist source for an ANN serve
+    * path at scale.
+    */
+  def mutualKnn(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
+    mutualPairs(topK(df, df, idCol, vecCol, k))
+
   /** Exact near-duplicate pairs by cosine ≥ threshold (id_a < id_b).
     * All-pairs: correctness baseline for [[AnnLsh]]; bound the input.
     */

@@ -28,6 +28,37 @@ object Embed {
     */
   def normalized(vec: Column): Column = FloatVec.normalize(vec)
 
+  /** Matryoshka truncation (Kusupati 2022 MRL): the leading `d`
+    * dimensions of an MRL-trained embedding are themselves a valid
+    * lower-capacity embedding — the cheap serving tier (d=16 of 64 is
+    * 4× less memory AND 4× less dot-product work per candidate) under
+    * the same ids, with the full vector kept for re-ranking. Pure
+    * row-local `slice` — no shuffle, codegen'd. Cosine over truncated
+    * vectors needs NO renormalization (the norms divide out), so the
+    * truncated tier composes with [[Cosine.topK]]/ANN unchanged.
+    */
+  def matryoshka(vec: Column, d: Int): Column = {
+    require(d >= 1, "Embed.matryoshka: d must be >= 1")
+    slice(vec, 1, d)
+  }
+
+  /** Truncated-tier brute-force top-k: [[Cosine.topK]] over the
+    * leading `d` dims (the MRL shortlist stage; re-rank on the full
+    * vectors downstream if the tier's recall needs it).
+    */
+  def matryoshkaTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      d: Int,
+      k: Int): DataFrame = {
+    def trunc(df: DataFrame) =
+      df.withColumn("__mrl", matryoshka(col(vecCol), d))
+        .drop(vecCol).withColumnRenamed("__mrl", vecCol)
+    Cosine.topK(trunc(queries), trunc(corpus), idCol, vecCol, k)
+  }
+
   /** Per-dimension standardization (z-scoring) of an embedding column —
     * the feature-scaling step in front of distance-based anything
     * (k-means, LSH bands, PCA whitening's cheap cousin). Fit is ONE

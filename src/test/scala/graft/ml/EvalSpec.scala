@@ -20,6 +20,37 @@ class EvalSpec extends SparkSpec {
     assert(rows.map(_.getAs[Double]("recall")).toSeq == Seq(0.5, 0.5, 1.0, 1.0))
   }
 
+  test("mapMrr: hand-checked AP/RR, TREC denominator, no-relevant and out-of-k conventions") {
+    // query A ranked by score desc: rel pattern 1,0,1,0 →
+    // AP = (1/1 + 2/3)/2, RR = 1
+    val df = Seq(
+      ("A", 4.0, 1, 1L), ("A", 3.0, 0, 2L), ("A", 2.0, 1, 3L), ("A", 1.0, 0, 4L),
+      // query B: first relevant at rank 3 → RR = 1/3; AP = (1/3)/1
+      ("B", 9.0, 0, 5L), ("B", 8.0, 0, 6L), ("B", 7.0, 1, 7L),
+      // query C: nothing relevant → AP = 0, RR = 0
+      ("C", 5.0, 0, 8L), ("C", 4.0, 0, 9L)
+    ).toDF("q", "s", "rel", "tie")
+    val out = Eval.mapMrr(df, "q", "s", "rel", "tie", k = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Double]("ap"), r.getAs[Double]("rr"), r.getAs[Long]("n_relevant")))).toMap
+    def q6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    assert(out("A")._1 === q6((1.0 + 2.0 / 3.0) / 2))
+    assert(out("A")._2 === 1.0)
+    assert(out("B") === ((q6(1.0 / 3.0), q6(1.0 / 3.0), 1L)))
+    assert(out("C") === ((0.0, 0.0, 0L)))
+    // k cuts: with k=2, B's only relevant sits at rank 3 → AP=RR=0,
+    // but n_relevant still reports it (the coverage audit)
+    val cut = Eval.mapMrr(df, "q", "s", "rel", "tie", k = 2)
+      .where($"q" === "B").head()
+    assert(cut.getAs[Double]("ap") === 0.0 && cut.getAs[Double]("rr") === 0.0)
+    assert(cut.getAs[Long]("n_relevant") === 1L)
+    // TREC denominator: 3 relevant, k=2, both top-2 relevant → AP = 1
+    val deep = Seq(("D", 5.0, 1, 1L), ("D", 4.0, 1, 2L), ("D", 3.0, 1, 3L))
+      .toDF("q", "s", "rel", "tie")
+    assert(Eval.mapMrr(deep, "q", "s", "rel", "tie", k = 2).head()
+      .getAs[Double]("ap") === 1.0)
+  }
+
   test("prCurve distributed prefix equals a driver-side cumulative scan") {
     val rng = new scala.util.Random(5)
     val rows = (1 to 4000).map(_ => (rng.nextInt(400).toDouble, if (rng.nextBoolean()) 1 else 0))

@@ -1,0 +1,127 @@
+package graft.ml
+
+import graft.SparkSpec
+
+/** RandomEffects (Swamy–Arora FGLS + Hausman), UnitRoot (Dickey–
+  * Fuller), and Causal.rdd (sharp RD) — the r11 econometrics
+  * additions, each pinned against planted ground truth or a dense
+  * driver replica.
+  */
+class PanelReSpec extends SparkSpec {
+  import spark.implicits._
+
+  // balanced panel generator: y = b*x + u_g + e with deterministic
+  // "noise" streams (no RNG — reproducible)
+  private def panel(groups: Int, t: Int, b: Double, uScale: Double) =
+    (for (g <- 0 until groups; i <- 0 until t) yield {
+      val x = math.sin(g * 1.7 + i * 0.9) * 2 + g * 0.05
+      val u = uScale * math.cos(g * 2.3)
+      val e = 0.3 * math.sin(g * 5.1 + i * 3.7)
+      (s"g$g", x, b * x + u + e)
+    }).toDF("g", "x", "y")
+
+  test("RandomEffects: exogenous effects — RE ≈ FE ≈ truth, Hausman small") {
+    // u_g uncorrelated with x by construction (cos vs sin phases)
+    val df = panel(groups = 40, t = 8, b = 2.0, uScale = 1.5)
+    val m = RandomEffects.fit(df, "y", "x", "g")
+    assert(math.abs(m.bFe - 2.0) < 0.05, s"FE slope ${m.bFe}")
+    assert(math.abs(m.bRe - 2.0) < 0.05, s"RE slope ${m.bRe}")
+    assert(m.sigmaU > 0.5, s"between component missing: ${m.sigmaU}")
+    assert(m.sigmaE > 0.1 && m.sigmaE < 0.5, s"sigma_e ${m.sigmaE}")
+    // balanced panel: all thetas equal
+    assert(math.abs(m.thetaMin - m.thetaMax) < 1e-12)
+    assert(m.n === 320L && m.groups === 40L)
+    // exogenous effects: the two slopes agree, Hausman does not reject
+    if (!m.hausman.isNaN) assert(m.hausman < 3.84, s"H ${m.hausman}") // χ²(1) 5%
+  }
+
+  test("RandomEffects: correlated effects — FE stays consistent, RE biased, Hausman rejects") {
+    // u_g = 3·x̄_g: maximal effect-regressor correlation
+    val rows = for (g <- 0 until 40; i <- 0 until 8) yield {
+      val x = math.sin(g * 1.7 + i * 0.9) + g * 0.1 // group mean rises in g
+      val u = 3.0 * (g * 0.1) // correlated with x through the group level
+      val e = 0.1 * math.sin(g * 5.1 + i * 3.7)
+      (s"g$g", x, 2.0 * x + u + e)
+    }
+    val df = rows.toDF("g", "x", "y")
+    val m = RandomEffects.fit(df, "y", "x", "g")
+    assert(math.abs(m.bFe - 2.0) < 0.05, s"FE slope must stay consistent: ${m.bFe}")
+    // the RE/GLS slope mixes the contaminated between variation back in
+    // (θ < 1), so it drifts up from the truth — by little in absolute
+    // terms when σ_u is large (θ → 1 pushes RE toward FE), but the
+    // Hausman statistic scales the gap by its (tiny) variance and
+    // rejects decisively, which is the actual contract
+    assert(m.bRe - 2.0 > 0.02, s"RE must absorb the correlated effect upward: ${m.bRe}")
+    assert(!m.hausman.isNaN && m.hausman > 6.63, // χ²(1) 1%
+      s"Hausman must reject exogeneity: ${m.hausman}")
+    assert(m.pValue < 0.01)
+  }
+
+  test("RandomEffects: theta → 0 recovers pooled OLS, dense parity on the closed forms") {
+    // no group effect at all: sigma_u ≈ 0 → θ ≈ 0 → RE ≡ pooled OLS
+    val df = panel(groups = 30, t = 6, b = 1.5, uScale = 0.0)
+    val m = RandomEffects.fit(df, "y", "x", "g")
+    assert(m.thetaMax < 0.35, s"theta should be small: ${m.thetaMax}")
+    // dense replica of the same closed-form chain
+    val rows = df.collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val gs = rows.groupBy(_._1).values.toArray
+    val pooledB = {
+      val n = rows.length.toDouble
+      val sx = rows.map(_._2).sum; val sy = rows.map(_._3).sum
+      val sxx = rows.map(r => r._2 * r._2).sum; val sxy = rows.map(r => r._2 * r._3).sum
+      (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    }
+    assert(math.abs(m.bRe - pooledB) < 0.02,
+      s"near-zero theta should approach pooled OLS: ${m.bRe} vs $pooledB")
+    assert(gs.length === 30)
+  }
+
+  test("UnitRoot.dickeyFuller: random walk fails to reject; AR(0.5) rejects") {
+    // seeded gaussian innovations: a SUM of sin(kθ) terms is bounded
+    // (almost-periodic), i.e. secretly stationary — a genuine random
+    // walk needs independent increments
+    val rng = new scala.util.Random(42)
+    val innov = Array.fill(301)(rng.nextGaussian())
+    val walk = Iterator.iterate((0, 0.0)) { case (i, y) => (i + 1, y + innov(i + 1)) }
+      .take(300).map { case (i, y) => (i.toLong, y) }.toSeq
+    val wr = UnitRoot.dickeyFuller(walk.toDF("t", "y"), "t", "y")
+    assert(!wr.reject5pct, s"random walk must not reject: t=${wr.tStat}")
+    val ar = Iterator.iterate((0, 0.0)) { case (i, y) => (i + 1, 0.5 * y + innov(i + 1)) }
+      .take(300).map { case (i, y) => (i.toLong, y) }.toSeq
+    val arr = UnitRoot.dickeyFuller(ar.toDF("t", "y"), "t", "y")
+    assert(arr.reject5pct, s"AR(0.5) must reject the unit root: t=${arr.tStat}")
+    assert(arr.rho < -0.3, s"rho should be near phi-1=-0.5: ${arr.rho}")
+    assert(arr.nObs === 299L)
+  }
+
+  test("UnitRoot.dickeyFuller: gaps in t simply contribute no pair") {
+    val s = Seq((0L, 1.0), (1L, 2.0), (2L, 1.5), (10L, 9.0), (11L, 8.0), (12L, 8.5))
+    val r = UnitRoot.dickeyFuller(s.toDF("t", "y"), "t", "y")
+    assert(r.nObs === 4L) // (1,2),(2,?) wait: pairs at t=1,2,11,12
+  }
+
+  test("Causal.rdd: planted jump recovered, slopes recovered, kernel respected") {
+    // y = 3 + 0.5·r below the cutoff, y = 10 + 0.5·r above → τ = 7
+    val rows = (0 until 4000).map { i =>
+      val r = (i % 200) / 10.0 - 10.0 // running in [-10, 9.9]
+      val jump = if (r >= 0) 7.0 else 0.0
+      val e = 0.05 * math.sin(i * 1.3)
+      (r, 3.0 + 0.5 * r + jump + e)
+    }
+    val out = Causal.rdd(rows.toDF("r", "y"), "y", "r", cutoff = 0.0, bandwidth = 5.0)
+      .head()
+    assert(math.abs(out.getAs[Double]("tau") - 7.0) < 0.05, out.toString)
+    assert(math.abs(out.getAs[Double]("slope_left") - 0.5) < 0.05)
+    assert(math.abs(out.getAs[Double]("slope_right") - 0.5) < 0.05)
+    // bandwidth 5 keeps only |r| ≤ 5: half the grid on each side
+    assert(out.getAs[Long]("n_left") > 0 && out.getAs[Long]("n_right") > 0)
+    assert(out.getAs[Long]("n_left") + out.getAs[Long]("n_right") <= 4000 / 2 + 40)
+  }
+
+  test("Causal.rdd: guards — bad bandwidth and empty side raise") {
+    val df = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0)).toDF("r", "y")
+    intercept[IllegalArgumentException](Causal.rdd(df, "y", "r", 0.0, -1.0))
+    // all points on the right side → left fit must raise, not return garbage
+    intercept[IllegalArgumentException](Causal.rdd(df, "y", "r", 0.0, 10.0))
+  }
+}

@@ -50,6 +50,57 @@ class SimSpec extends SparkSpec {
     assert(top == Seq((0L, 1L), (0L, 2L)))
   }
 
+  test("Cosine.mutualKnn keeps only reciprocal edges — the hub edge dies") {
+    // tight pair (0,1); 2 and 3 are a second tight pair; 4 is a "hub"
+    // between the clusters: it shortlists members of both, but with
+    // k=1 no cluster member shortlists the hub back
+    val df = Seq(
+      (0L, vec(1, 0.00, 0)),
+      (1L, vec(1, 0.01, 0)),
+      (2L, vec(0, 1, 0.00)),
+      (3L, vec(0, 1, 0.01)),
+      (4L, vec(1, 1, 0)) // equidistant hub
+    ).toDF("vec_id", "embedding")
+    val got = Cosine.mutualKnn(df, "vec_id", "embedding", k = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((0L, 1L), (2L, 3L)),
+      s"hub edges must not survive the reciprocity filter: $got")
+    // with k=4 everything shortlists everything → all C(5,2) pairs, once each
+    val all = Cosine.mutualKnn(df, "vec_id", "embedding", k = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(all.length === 10 && all.toSet.size === 10)
+    all.foreach { case (a, b) => assert(a < b) }
+  }
+
+  test("Embed.matryoshka: truncated-tier top-k equals brute force on the sliced vectors") {
+    val emb = Tables.embeddings(spark, sf)
+    val got = Embed.matryoshkaTopK(
+      emb.where(col("vec_id") < 5), emb, "vec_id", "embedding", d = 16, k = 3)
+      .select("qid", "nid", "cos_sim").as[(Long, Long, Double)].collect().toSet
+    // reference: slice on the driver, exact cosine, top-3
+    val all = emb.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().map { case (id, v) => id -> v.take(16) }
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    val want = all.filter(_._1 < 5).flatMap { case (q, qv) =>
+      all.filter(_._1 != q)
+        .map { case (n, nv) => (q, n, cos(qv, nv)) }
+        .sortBy { case (_, n, c) => (-c, n) }
+        .take(3)
+        .map { case (q2, n, c) => (q2, n, math.rint(c * 1e4) / 1e4) }
+    }.toSet
+    assert(got.map { case (q, n, _) => (q, n) } === want.map { case (q, n, _) => (q, n) })
+    // truncation is real: 16-dim ranking differs somewhere from 64-dim
+    val full = Cosine.topK(emb.where(col("vec_id") < 5), emb, "vec_id", "embedding", 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    assert(got.map { case (q, n, _) => (q, n) } !== full,
+      "16 of 64 dims should reorder at least one neighbor (else the test is vacuous)")
+  }
+
   test("Cosine.nearDupPairs finds planted high-cosine pair only") {
     val df = Seq(
       (0L, vec(1, 2, 3)),
