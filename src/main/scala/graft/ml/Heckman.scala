@@ -45,7 +45,14 @@ object Heckman {
     import spark.implicits._
     def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
 
-    val sel = Glm.probit(df, selCol, zCols)
+    // machine-tight probit convergence (not the default 1e-9): the
+    // Mills-ratio stage AMPLIFIES stage-1 coefficient error through the
+    // near-collinear (1, λ) outcome design — a 1e-7 coefficient wobble
+    // (what a 1e-9 relative-deviance stop leaves) becomes ~1e-6 in the
+    // outcome intercept/λ, straddling the 6dp output quantizer between
+    // engines (r11 sf0.1 lesson). At 1e-12 both engines sit within ulps
+    // of the MLE and the replay is stable.
+    val sel = Glm.probit(df, selCol, zCols, tol = 1e-12, maxIter = 60)
     // inverse Mills ratio at the fitted selection index, with the same
     // ±8 saturation clamp the family uses (Φ → 0 underflow guard)
     val etaHat = least(greatest(sel.etaCol, lit(-8.0)), lit(8.0))

@@ -1470,22 +1470,74 @@ object CoreQueries {
     }
   )
 
-  // ---- C101: Heckman two-step selection correction (rows-only: the
-  // probit stage is iterative; GlmSpec pins bias correction vs naive
-  // OLS on a planted correlated-error selection model) -----------------
+  // ---- C101: Heckman two-step selection correction (FULL oracle —
+  // stage 1 replays through the 3-parameter probit recursive CTE
+  // (OracleSql.probitIrls3: per-pass Cramer 3×3, ulp-off from the
+  // pivoted LinAlg but IRLS contracts to the same MLE), the inverse
+  // Mills ratio is the row-local portable ϕ/Φ, and the outcome OLS is
+  // a closed-form 3×3 Cramer on plain moments) --------------------------
   val q304 = Q(
     "q304_heckman",
     (s, dir) => {
-      // outcome: log price on quantity, observed only for 'R' returns —
-      // selection modeled on quantity + discount (the exclusion)
+      // outcome: log price on quantity, observed where a LATENT index
+      // with REAL covariate signal crosses zero: (qty−25)/10 +
+      // (disc−0.05)·20 + hash-uniform(−2,2) noise. The earlier
+      // returnflag selection was nearly independent of the covariates,
+      // so the fitted index was ~constant and (1, λ) near-perfectly
+      // collinear — sum-order ulps amplified ~1e8× through the outcome
+      // solve and straddled the 6dp quantizer at sf0.1 (r11 lesson:
+      // an oracle needs a well-conditioned demonstration, not just a
+      // replayable one). The md5-60 noise replays exactly; signal range
+      // ±2.5 vs noise ±2 keeps selection informative but not separable.
       val li = Tables.lineitem(s, dir)
         .withColumn("lp", log(col("l_extendedprice")))
-        .withColumn("sel", when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
+        .withColumn("u",
+          pmod(graft.functions.SharedHash.md5Long60(
+            (col("l_orderkey") * 10 + col("l_linenumber")).cast("string")),
+            lit(1000L)).cast("double") / 1000.0)
+        .withColumn("sel",
+          when(
+            (col("l_quantity") - 25.0) / 10.0 + (col("l_discount") - 0.05) * 20.0 +
+              (col("u") - 0.5) * 4.0 > 0.0, 1.0).otherwise(0.0))
       graft.ml.Heckman.twoStep(
         li, "lp", Seq("l_quantity"), "sel", Seq("l_quantity", "l_discount"))
         .orderBy("stage", "name")
     },
-    None
+    Some {
+      val phiE = graft.functions.NormalDist.phiSql("e")
+      val C = graft.functions.NormalDist.INV_SQRT_2PI
+      val h = graft.functions.SharedHash.md5Long60Sql(
+        "(l_orderkey*10 + l_linenumber)::VARCHAR")
+      s"""WITH RECURSIVE src AS (
+         |  SELECT l_quantity::DOUBLE AS x1, l_discount::DOUBLE AS x2,
+         |         CASE WHEN (l_quantity - 25.0)/10.0 + (l_discount - 0.05)*20.0 +
+         |             ((($h % 1000)::DOUBLE)/1000.0 - 0.5)*4.0 > 0.0
+         |           THEN 1.0 ELSE 0.0 END AS y,
+         |         ln(l_extendedprice) AS lp
+         |  FROM lineitem),
+         |${OracleSql.probitIrls3("src", tol = 1e-12, maxIter = 60)},
+         |sc AS (SELECT lp, x1, ($C*exp(-(e*e)/2.0))/greatest($phiE, 1e-12) AS imr
+         |       FROM (SELECT src.lp, src.x1,
+         |               least(greatest(f.b0 + src.x1*f.b1 + src.x2*f.b2, -8.0), 8.0)
+         |                 AS e
+         |             FROM src, p3fin f WHERE src.y > 0.5)),
+         |m AS (SELECT count(*)::DOUBLE AS m11, sum(x1) AS m12, sum(imr) AS m13,
+         |        sum(x1*x1) AS m22, sum(x1*imr) AS m23, sum(imr*imr) AS m33,
+         |        sum(lp) AS d1, sum(x1*lp) AS d2, sum(imr*lp) AS d3
+         |      FROM sc),
+         |ofit AS (SELECT ob0, ob1, ob2
+         |  FROM ${OracleSql.pivotSolve3("m",
+                 "m11", "m12", "m13", "m22", "m23", "m33",
+                 "d1", "d2", "d3", "ob0", "ob1", "ob2")})
+         |SELECT stage, name, floor(coef*1e6 + 0.5)/1e6 AS coef FROM (
+         |  SELECT 'selection' AS stage, '(intercept)' AS name, b0 AS coef FROM p3fin
+         |  UNION ALL SELECT 'selection', 'l_quantity', b1 FROM p3fin
+         |  UNION ALL SELECT 'selection', 'l_discount', b2 FROM p3fin
+         |  UNION ALL SELECT 'outcome', '(intercept)', ob0 FROM ofit
+         |  UNION ALL SELECT 'outcome', 'l_quantity', ob1 FROM ofit
+         |  UNION ALL SELECT 'outcome', 'lambda', ob2 FROM ofit)
+         |ORDER BY stage, name""".stripMargin
+    }
   )
 
   // ---- C102: Tobit censored regression (FULL oracle — the Newton

@@ -184,4 +184,140 @@ object OracleSql {
        |pfin AS (SELECT b0, b1, sa, sb, sc, dev, i, done
        |         FROM pit WHERE i = (SELECT max(i) FROM pit))""".stripMargin
   }
+
+  /** Bit-exact SQL mirror of [[graft.ml.LinAlg.solve]] for a SYMMETRIC
+    * 3×3 system: partial-pivoted Gaussian elimination in the identical
+    * float op order — pivot by strict |·| comparisons with the same
+    * first-max tie rule, fused `m −= f·p` updates, the same
+    * back-substitution association. Cramer determinants are ulp-off
+    * from the pivoted chain, and q304 showed those ulps can straddle a
+    * 6dp boundary at sf0.1 — this mirror removes the solver from the
+    * noise budget entirely. Returns a subquery string selecting
+    * `inner`'s columns (aliased `q`) plus `$x0/$x1/$x2`; matrix
+    * (a11..a33) and rhs (r1..r3) are column names of `inner`.
+    */
+  def pivotSolve3(
+      inner: String,
+      a11: String, a12: String, a13: String,
+      a22: String, a23: String, a33: String,
+      r1: String, r2: String, r3: String,
+      x0: String, x1: String, x2: String): String =
+    s"""(
+       |  SELECT s5.*,
+       |    ((__v0 - __m01*$x1) - __m02*$x2)/__m00 AS $x0
+       |  FROM (
+       |    SELECT s4.*, (__w1 - __n12*$x2)/__n11 AS $x1
+       |    FROM (
+       |      SELECT s3.*,
+       |        (__w2 - (__n21/__n11)*__w1)
+       |          / (__n22 - (__n21/__n11)*__n12) AS $x2
+       |      FROM (
+       |        SELECT s2.*,
+       |          CASE WHEN __p1 THEN __m21a ELSE __m11a END AS __n11,
+       |          CASE WHEN __p1 THEN __m22a ELSE __m12a END AS __n12,
+       |          CASE WHEN __p1 THEN __v2a  ELSE __v1a  END AS __w1,
+       |          CASE WHEN __p1 THEN __m11a ELSE __m21a END AS __n21,
+       |          CASE WHEN __p1 THEN __m12a ELSE __m22a END AS __n22,
+       |          CASE WHEN __p1 THEN __v1a  ELSE __v2a  END AS __w2
+       |        FROM (
+       |          SELECT s1.*, abs(__m21a) > abs(__m11a) AS __p1
+       |          FROM (
+       |            SELECT s0.*,
+       |              __m11 - (__m10/__m00)*__m01 AS __m11a,
+       |              __m12 - (__m10/__m00)*__m02 AS __m12a,
+       |              __v1  - (__m10/__m00)*__v0  AS __v1a,
+       |              __m21 - (__m20/__m00)*__m01 AS __m21a,
+       |              __m22 - (__m20/__m00)*__m02 AS __m22a,
+       |              __v2  - (__m20/__m00)*__v0  AS __v2a
+       |            FROM (
+       |              SELECT p.*,
+       |                CASE __p0 WHEN 1 THEN $a12 WHEN 2 THEN $a13 ELSE $a11 END AS __m00,
+       |                CASE __p0 WHEN 1 THEN $a22 WHEN 2 THEN $a23 ELSE $a12 END AS __m01,
+       |                CASE __p0 WHEN 1 THEN $a23 WHEN 2 THEN $a33 ELSE $a13 END AS __m02,
+       |                CASE __p0 WHEN 1 THEN $r2  WHEN 2 THEN $r3  ELSE $r1  END AS __v0,
+       |                CASE __p0 WHEN 1 THEN $a11 ELSE $a12 END AS __m10,
+       |                CASE __p0 WHEN 1 THEN $a12 ELSE $a22 END AS __m11,
+       |                CASE __p0 WHEN 1 THEN $a13 ELSE $a23 END AS __m12,
+       |                CASE __p0 WHEN 1 THEN $r1  ELSE $r2  END AS __v1,
+       |                CASE __p0 WHEN 2 THEN $a11 ELSE $a13 END AS __m20,
+       |                CASE __p0 WHEN 2 THEN $a12 ELSE $a23 END AS __m21,
+       |                CASE __p0 WHEN 2 THEN $a13 ELSE $a33 END AS __m22,
+       |                CASE __p0 WHEN 2 THEN $r1  ELSE $r3  END AS __v2
+       |              FROM (
+       |                SELECT q.*,
+       |                  CASE WHEN abs($a13) >
+       |                    (CASE WHEN abs($a12) > abs($a11)
+       |                       THEN abs($a12) ELSE abs($a11) END) THEN 2
+       |                  WHEN abs($a12) > abs($a11) THEN 1 ELSE 0 END AS __p0
+       |                FROM $inner q
+       |              ) p
+       |            ) s0
+       |          ) s1
+       |        ) s2
+       |      ) s3
+       |    ) s4
+       |  ) s5
+       |)""".stripMargin
+
+  /** 3-parameter probit IRLS (intercept + two covariates) as a
+    * recursive CTE — the [[probitIrls2]] machinery with the per-pass
+    * 3×3 normal equations solved by [[pivotSolve3]], the bit-exact
+    * mirror of LinAlg's pivoted elimination (a Cramer solve's ulps
+    * straddled a 6dp boundary at sf0.1 — r11 lesson). Emits `p3it` and
+    * `p3fin(b0, b1, b2)`. `src` must provide (x1 DOUBLE, x2 DOUBLE,
+    * y DOUBLE∈{0,1}); the enclosing query must open with
+    * WITH RECURSIVE.
+    */
+  def probitIrls3(src: String, tol: Double = 1e-9, maxIter: Int = 30): String = {
+    val phi = graft.functions.NormalDist.phiSql("ec")
+    val C = graft.functions.NormalDist.INV_SQRT_2PI
+    def pass(keep: String, from: String): String =
+      s"""SELECT $keep x1, x2, y, (pdfc*pdfc)/(mu*(1.0 - mu)) AS w,
+         |  eta + (y - mu)/pdfc AS z,
+         |  -2.0*(CASE WHEN y > 0.0 THEN y*ln(mu) ELSE 0.0 END +
+         |        CASE WHEN y < 1.0 THEN (1.0 - y)*ln(1.0 - mu) ELSE 0.0 END)
+         |    AS devterm
+         |FROM (
+         |  SELECT $keep x1, x2, y, eta,
+         |    least(greatest($phi, 1e-12), 1.0 - 1e-12) AS mu,
+         |    $C*exp(-(ec*ec)/2.0) AS pdfc
+         |  FROM (
+         |    SELECT $keep x1, x2, y, eta, least(greatest(eta, -8.0), 8.0) AS ec
+         |    FROM $from))""".stripMargin
+    val sums =
+      """sum(w) OVER () AS s11, sum(w*x1) OVER () AS s12,
+        |               sum(w*x2) OVER () AS s13, sum(w*x1*x1) OVER () AS s22,
+        |               sum(w*x1*x2) OVER () AS s23, sum(w*x2*x2) OVER () AS s33,
+        |               sum(w*z) OVER () AS c1, sum(w*x1*z) OVER () AS c2,
+        |               sum(w*x2*z) OVER () AS c3,
+        |               sum(devterm) OVER () AS devnow""".stripMargin
+    def solved(inner: String): String =
+      pivotSolve3(inner, "s11", "s12", "s13", "s22", "s23", "s33",
+        "c1", "c2", "c3", "nb0", "nb1", "nb2")
+    s"""p3it AS (
+       |  SELECT 1 AS i, nb0 AS b0, nb1 AS b1, nb2 AS b2, devnow AS dev, false AS done
+       |  FROM ${solved(s"""(
+       |      SELECT DISTINCT $sums
+       |        FROM (
+       |          ${pass("", s"""(
+       |            SELECT x1, x2, y,
+       |              ln(((y + 0.5)/2.0)/(1.0 - (y + 0.5)/2.0))/1.702 AS eta
+       |            FROM $src)""")}
+       |        )
+       |      )""")}
+       |  UNION ALL
+       |  SELECT i + 1, nb0, nb1, nb2, devnow,
+       |    abs(devnow - dev)/(abs(devnow) + 0.1) < $tol
+       |  FROM ${solved(s"""(
+       |      SELECT DISTINCT i, dev, $sums
+       |        FROM (
+       |          ${pass("i, dev,", s"""(
+       |            SELECT q.i, q.dev, d.x1, d.x2, d.y,
+       |              1.0*q.b0 + d.x1*q.b1 + d.x2*q.b2 AS eta
+       |            FROM p3it q, $src d WHERE q.i < $maxIter AND NOT q.done)""")}
+       |        )
+       |      )""")}
+       |),
+       |p3fin AS (SELECT b0, b1, b2 FROM p3it WHERE i = (SELECT max(i) FROM p3it))""".stripMargin
+  }
 }
