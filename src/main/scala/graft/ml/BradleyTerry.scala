@@ -76,7 +76,11 @@ object BradleyTerry {
       .na.fill(0.0, Seq("wins"))
       .localCheckpoint(true)
 
-    var pi = ck(items.withColumn("pi", lit(1.0)).select("item", "pi"))
+    // wins RIDES in the π frame: the per-sweep update then needs only
+    // ONE items-sized join (π ⋈ denom) whether plain or relaxed —
+    // carrying a constant column through the checkpoint is free, a
+    // per-sweep join is not (measured on q205)
+    var pi = ck(items.withColumn("pi", lit(1.0)).select("item", "wins", "pi"))
     for (sweep <- 1 to iters) {
       val gp = games
         .join(pi.select(col("item").as("i"), col("pi").as("pi_i")), Seq("i"))
@@ -99,13 +103,10 @@ object BradleyTerry {
         else
           when(mm === 0.0 || col("pi") === 0.0, mm)
             .otherwise(col("pi") * relax(mm / col("pi")))
-      // the π join is only needed when the relaxed step reads π itself
-      val base =
-        if (omega == 1.0 || sweep == 1) items.join(denom, Seq("item"), "left")
-        else items.join(pi, Seq("item")).join(denom, Seq("item"), "left")
-      pi = ck(base
+      pi = ck(pi
+        .join(denom, Seq("item"), "left")
         .withColumn("pi_new", stepped)
-        .select(col("item"), col("pi_new").as("pi")))
+        .select(col("item"), col("wins"), col("pi_new").as("pi")))
     }
     val tot = pi.agg(sum("pi")).head().getDouble(0)
     // rank on the QUANTIZED strength (ties by item): sub-1e-6 strength

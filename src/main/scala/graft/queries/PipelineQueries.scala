@@ -9474,6 +9474,42 @@ object PipelineQueries {
     )
   )
 
+  // ---- X5: video frame-sampling near-dup (rows+spec: DuckDB cannot
+  // decode PNG frames; VideoSpec pins planted duplicate classes, the
+  // stride/audit semantics, and the hot-bucket cap). Videos are built
+  // EXECUTOR-SIDE from per-source document ids — real binary payloads
+  // through the real container/codec path ------------------------------
+  val q323 = Q(
+    "q323_video_neardup",
+    (s, dir) => {
+      import s.implicits._
+      import graft.media.{Multimodal, VideoDedup}
+      val docs = Tables.documents(s, dir).select(col("source"), col("doc_id"))
+      val vids = docs.as[(String, Long)].groupByKey(_._1).flatMapGroups {
+        (src: String, it: Iterator[(String, Long)]) =>
+          val ids = it.map(_._2).toSeq.sorted.take(8)
+          if (ids.size < 8) Iterator.empty
+          else {
+            // per source: a base cut, a re-cut sharing 6 of 8 frames
+            // (sampled overlap 3/4), and unrelated footage
+            def png(seed: Long) = Multimodal.encodePng(32, 32, seed)
+            val vbase = (src.hashCode & 0x7FFFFFFF).toLong * 100L
+            Iterator(
+              VideoDedup.VideoRow(vbase,
+                VideoDedup.encodeVideo(ids.map(png))),
+              VideoDedup.VideoRow(vbase + 1,
+                VideoDedup.encodeVideo(
+                  ids.take(6).map(png) ++ ids.drop(6).map(i => png(i + 1000000007L)))),
+              VideoDedup.VideoRow(vbase + 2,
+                VideoDedup.encodeVideo(ids.map(i => png(i + 2000000011L)))))
+          }
+      }
+      graft.media.VideoDedup.nearDup(vids, stride = 2, maxHamming = 3, minOverlap = 0.6)
+        .orderBy("id_a", "id_b")
+    },
+    None
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
@@ -9483,5 +9519,5 @@ object PipelineQueries {
       q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276,
       q277, q278, q279, q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290,
       q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q306, q307, q308, q309, q312, q313, q315,
-      q319, q320, q321, q322)
+      q319, q320, q321, q322, q323)
 }
