@@ -45,30 +45,35 @@ object Hits {
     // norm is positive, so no 0/0
     var hub = nodes.withColumn("hub", lit(1.0)).localCheckpoint(true)
     var auth = nodes.withColumn("auth", lit(0.0)).localCheckpoint(true)
+    // 2 jobs per iteration, not 4: the raw half-step aggregates are
+    // LAZY persists — the score checkpoint's action computes each once
+    // into cache, and both its readers (the 1-row norm broadcast and
+    // the fill join) reuse it; values are bit-identical
+    import org.apache.spark.sql.graftbridge.Bridge
     for (_ <- 0 until iters) {
       val araw = hub.join(e, col("node") === col("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum("hub").as("v"))
-        .localCheckpoint(true)
+        .persist()
       val na = araw.agg(sqrt(coalesce(sum(col("v") * col("v")), lit(0.0))).as("nrm"))
-      auth = nodes
+      auth = Bridge.iterCheckpoint(nodes
         .join(araw, Seq("node"), "left")
         .na.fill(0.0, Seq("v"))
         .crossJoin(broadcast(na))
-        .select(col("node"), (col("v") / col("nrm")).as("auth"))
-        .localCheckpoint(true)
+        .select(col("node"), (col("v") / col("nrm")).as("auth")))
+      araw.unpersist(false)
 
       val hraw = auth.join(e, col("node") === col("dst"))
         .groupBy(col("src").as("node"))
         .agg(sum("auth").as("v"))
-        .localCheckpoint(true)
+        .persist()
       val nh = hraw.agg(sqrt(coalesce(sum(col("v") * col("v")), lit(0.0))).as("nrm"))
-      hub = nodes
+      hub = Bridge.iterCheckpoint(nodes
         .join(hraw, Seq("node"), "left")
         .na.fill(0.0, Seq("v"))
         .crossJoin(broadcast(nh))
-        .select(col("node"), (col("v") / col("nrm")).as("hub"))
-        .localCheckpoint(true)
+        .select(col("node"), (col("v") / col("nrm")).as("hub")))
+      hraw.unpersist(false)
     }
     hub.join(auth, Seq("node"))
   }

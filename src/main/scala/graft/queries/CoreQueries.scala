@@ -1193,7 +1193,48 @@ object CoreQueries {
         Seq("n" -> m.n, "iters" -> m.iters.toLong,
           "converged" -> (if (m.converged) 1L else 0L)))
     },
-    None
+    // FULL oracle (r11): the 3-parameter cloglog IRLS replays through
+    // OracleSql.cloglogIrls3 (pivot-mirrored solves); the HC0 robust
+    // sandwich uses the CARRIED final-pass Gram as bread (exactly
+    // Spark's model.gramW — not a recompute), a one-pass u²xx' meat at
+    // the final β, and the closed-form symmetric 3×3 inverse row
+    // (adjugate — ulp-off from LinAlg.inverse's pivoted chain; the 4dp
+    // output quantizer absorbs it, margin probed)
+    Some {
+      s"""WITH RECURSIVE src AS (
+         |  SELECT l_discount::DOUBLE AS x1, l_quantity::DOUBLE AS x2,
+         |         CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+         |  FROM lineitem),
+         |${OracleSql.cloglogIrls3("src")},
+         |sc AS (SELECT x1, x2, y,
+         |    (y - mu)*((-(1.0 - mu))*ln(1.0 - mu))/(mu*(1.0 - mu)) AS u
+         |  FROM (
+         |    SELECT src.*,
+         |      least(greatest(1.0 - exp(-exp(least(greatest(
+         |        f.b0 + src.x1*f.b1 + src.x2*f.b2, -30.0), 3.4))), 1e-12),
+         |        1.0 - 1e-12) AS mu
+         |    FROM src, cfin f)),
+         |meat AS (SELECT sum(u*u) AS m00, sum(u*u*x1) AS m01, sum(u*u*x2) AS m02,
+         |    sum(u*u*x1*x1) AS m11, sum(u*u*x1*x2) AS m12, sum(u*u*x2*x2) AS m22,
+         |    count(*)::BIGINT AS n
+         |  FROM sc),
+         |inv AS (SELECT
+         |    (-(s12*s33 - s23*s13))/det AS r0,
+         |    (s11*s33 - s13*s13)/det AS r1,
+         |    (-(s11*s23 - s12*s13))/det AS r2
+         |  FROM (SELECT f.*,
+         |          s11*(s22*s33 - s23*s23) - s12*(s12*s33 - s23*s13)
+         |            + s13*(s12*s23 - s22*s13) AS det
+         |        FROM cfin f))
+         |SELECT round(f.b1, 4) AS b_disc,
+         |  round(f.b2, 4) AS b_qty,
+         |  round(sqrt(
+         |    r0*r0*m00 + r1*r1*m11 + r2*r2*m22
+         |      + 2.0*(r0*r1*m01 + r0*r2*m02 + r1*r2*m12)), 4) AS se_rob_disc,
+         |  meat.n, f.i::BIGINT AS iters,
+         |  (CASE WHEN f.done THEN 1 ELSE 0 END)::BIGINT AS converged
+         |FROM cfin f, meat, inv""".stripMargin
+    }
   )
 
   // ---- C47: pairs-cluster Poisson bootstrap of an OLS slope (FULL
