@@ -321,6 +321,62 @@ object OracleSql {
        |p3fin AS (SELECT b0, b1, b2 FROM p3it WHERE i = (SELECT max(i) FROM p3it))""".stripMargin
   }
 
+  /** 3-parameter LOGISTIC IRLS (intercept + two covariates) as a
+    * recursive CTE — [[logisticIrls2]]'s Binomial chain widened one
+    * covariate, per-pass normal equations through [[pivotSolve3]].
+    * Emits `lg3it` and `lg3fin(b0, b1, b2, i, done)`. `src` must
+    * provide (x1, x2, y); the enclosing query must open with
+    * WITH RECURSIVE.
+    */
+  def logisticIrls3(src: String, tol: Double = 1e-9, maxIter: Int = 30): String = {
+    def pass(keep: String, from: String): String =
+      s"""SELECT $keep x1, x2, y, mu*(1.0 - mu) AS w,
+         |  eta + (y - mu)/(mu*(1.0 - mu)) AS z,
+         |  -2.0*(CASE WHEN y > 0.0 THEN y*ln(mu) ELSE 0.0 END +
+         |        CASE WHEN y < 1.0 THEN (1.0 - y)*ln(1.0 - mu) ELSE 0.0 END)
+         |    AS devterm
+         |FROM (
+         |  SELECT $keep x1, x2, y, eta,
+         |    1.0/(1.0 + exp(-least(greatest(eta, -30.0), 30.0))) AS mu
+         |  FROM $from)""".stripMargin
+    val sums =
+      """sum(w) OVER () AS s11, sum(w*x1) OVER () AS s12,
+        |               sum(w*x2) OVER () AS s13, sum(w*x1*x1) OVER () AS s22,
+        |               sum(w*x1*x2) OVER () AS s23, sum(w*x2*x2) OVER () AS s33,
+        |               sum(w*z) OVER () AS c1, sum(w*x1*z) OVER () AS c2,
+        |               sum(w*x2*z) OVER () AS c3,
+        |               sum(devterm) OVER () AS devnow""".stripMargin
+    def solved(inner: String): String =
+      pivotSolve3(inner, "s11", "s12", "s13", "s22", "s23", "s33",
+        "c1", "c2", "c3", "nb0", "nb1", "nb2")
+    s"""lg3it AS (
+       |  SELECT 1 AS i, nb0 AS b0, nb1 AS b1, nb2 AS b2, devnow AS dev, false AS done
+       |  FROM ${solved(s"""(
+       |      SELECT DISTINCT $sums
+       |        FROM (
+       |          ${pass("", s"""(
+       |            SELECT x1, x2, y,
+       |              ln(((y + 0.5)/2.0)/(1.0 - (y + 0.5)/2.0)) AS eta
+       |            FROM $src)""")}
+       |        )
+       |      )""")}
+       |  UNION ALL
+       |  SELECT i + 1, nb0, nb1, nb2, devnow,
+       |    abs(devnow - dev)/(abs(devnow) + 0.1) < $tol
+       |  FROM ${solved(s"""(
+       |      SELECT DISTINCT i, dev, $sums
+       |        FROM (
+       |          ${pass("i, dev,", s"""(
+       |            SELECT q.i, q.dev, d.x1, d.x2, d.y,
+       |              1.0*q.b0 + d.x1*q.b1 + d.x2*q.b2 AS eta
+       |            FROM lg3it q, $src d WHERE q.i < $maxIter AND NOT q.done)""")}
+       |        )
+       |      )""")}
+       |),
+       |lg3fin AS (SELECT b0, b1, b2, i, done
+       |           FROM lg3it WHERE i = (SELECT max(i) FROM lg3it))""".stripMargin
+  }
+
   /** 3-parameter CLOGLOG IRLS (intercept + two covariates) as a
     * recursive CTE — [[graft.ml.Glm.Cloglog]]'s exact link chain
     * (η clamped to [−30, 3.4], μ = 1 − e^{−e^η} floored at 1e-12,

@@ -6693,7 +6693,27 @@ object PipelineQueries {
       val m = graft.ml.Glm.logistic(o, "y", Seq("x_price", "x_age"))
       graft.ml.Glm.averageMarginalEffects(o, m).orderBy("name")
     },
-    None
+    // FULL oracle (r11): the 3-parameter logistic replays via
+    // OracleSql.logisticIrls3 (pivot-mirrored solves); the AME is one
+    // scoring aggregate — mean dμ/dη = avg μ(1−μ) at the final β — and
+    // coef·meanDeriv per covariate, floor-quantized like the query
+    Some {
+      s"""WITH RECURSIVE src AS (
+         |  SELECT (o_totalprice/100000.0)::DOUBLE AS x1,
+         |         epoch(o_orderdate)/315360000.0 AS x2,
+         |         CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS y
+         |  FROM orders),
+         |${OracleSql.logisticIrls3("src")},
+         |md AS (SELECT sum(mu*(1.0 - mu))/count(*) AS m FROM (
+         |  SELECT 1.0/(1.0 + exp(-least(greatest(
+         |    f.b0 + src.x1*f.b1 + src.x2*f.b2, -30.0), 30.0))) AS mu
+         |  FROM src, lg3fin f))
+         |SELECT name, floor(coef*1e6 + 0.5)/1e6 AS coef,
+         |  floor((coef*(SELECT m FROM md))*1e6 + 0.5)/1e6 AS ame
+         |FROM (SELECT 'x_price' AS name, b1 AS coef FROM lg3fin
+         |      UNION ALL SELECT 'x_age', b2 FROM lg3fin)
+         |ORDER BY name""".stripMargin
+    }
   )
 
   // ---- T81: Kaplan-Meier with Greenwood bands (FULL oracle — q168's
