@@ -908,7 +908,48 @@ object CoreQueries {
           "converged" -> (if (m.converged) 1L else 0L))
       )
     },
-    None
+    // FULL oracle (r11): the NB2 loop with the per-pass Cameron–Trivedi
+    // α moment update replays via OracleSql.negbinIrls3 (pivot-mirrored
+    // solves, α carried in the recursion, the exact α=0 Poisson-limit
+    // branch); information SE from the carried final Gram's closed-form
+    // inverse diagonal, robust SE via the same sandwich as q156
+    Some {
+      s"""WITH RECURSIVE src AS (
+         |  SELECT ln(l_extendedprice) AS x1, l_discount::DOUBLE AS x2,
+         |         l_quantity::DOUBLE AS y
+         |  FROM lineitem),
+         |${OracleSql.negbinIrls3("src")},
+         |sc AS (SELECT x1, x2, y,
+         |    ((y - mu)*mu)/(CASE WHEN a = 0.0 THEN mu
+         |                   ELSE mu*(1.0 + a*mu) END) AS u
+         |  FROM (
+         |    SELECT src.*, f.a AS a,
+         |      exp(least(greatest(f.b0 + src.x1*f.b1 + src.x2*f.b2, -30.0), 30.0))
+         |        AS mu
+         |    FROM src, nbfin f)),
+         |meat AS (SELECT sum(u*u) AS m00, sum(u*u*x1) AS m01, sum(u*u*x2) AS m02,
+         |    sum(u*u*x1*x1) AS m11, sum(u*u*x1*x2) AS m12, sum(u*u*x2*x2) AS m22,
+         |    count(*)::BIGINT AS n
+         |  FROM sc),
+         |inv AS (SELECT
+         |    (-(s12*s33 - s23*s13))/det AS r0,
+         |    (s11*s33 - s13*s13)/det AS r1,
+         |    (-(s11*s23 - s12*s13))/det AS r2
+         |  FROM (SELECT f.*,
+         |          s11*(s22*s33 - s23*s23) - s12*(s12*s33 - s23*s13)
+         |            + s13*(s12*s23 - s22*s13) AS det
+         |        FROM nbfin f))
+         |SELECT round(f.b1, 4) AS beta_lp,
+         |  round(f.b2, 4) AS beta_disc,
+         |  round(f.a, 4) AS alpha,
+         |  round(sqrt(r1), 4) AS se_info_lp,
+         |  round(sqrt(
+         |    r0*r0*m00 + r1*r1*m11 + r2*r2*m22
+         |      + 2.0*(r0*r1*m01 + r0*r2*m02 + r1*r2*m12)), 4) AS se_rob_lp,
+         |  meat.n, f.i::BIGINT AS iters,
+         |  (CASE WHEN f.done THEN 1 ELSE 0 END)::BIGINT AS converged
+         |FROM nbfin f, meat, inv""".stripMargin
+    }
   )
 
   // ---- C36: Gamma/gaussian FE absorption (rows-only: iterative; the

@@ -377,6 +377,78 @@ object OracleSql {
        |           FROM lg3it WHERE i = (SELECT max(i) FROM lg3it))""".stripMargin
   }
 
+  /** 3-parameter NB2 NEGATIVE-BINOMIAL IRLS (intercept + two
+    * covariates) with the Cameron–Trivedi per-pass α moment update —
+    * [[graft.ml.Glm.negBinomial]]'s exact loop: α starts at 0 (the
+    * Poisson limit — the α = 0 column-expression branch is a plan-time
+    * `if` in Scala, replayed as an exact `CASE WHEN a = 0.0`), each
+    * pass solves the weighted normal equations via [[pivotSolve3]] and
+    * re-estimates α = max(Σ((y−μ)²−y)/Σμ², 0), stopping when BOTH the
+    * relative deviance and the α movement fall under `tol`. The
+    * recursion is seeded with an i = 0 init row (the Tobit pattern);
+    * pass 1 uses the ln((y+ȳ)/2) Poisson initializer. Emits `nbit`
+    * and `nbfin(b0, b1, b2, a, s11..s33, dev, i, done)` — the final
+    * pass's weighted Gram rides along for the information/robust SEs.
+    * `src` must provide (x1, x2, y ≥ 0).
+    */
+  def negbinIrls3(src: String, tol: Double = 1e-9, maxIter: Int = 50): String = {
+    val sums =
+      """sum(w) OVER () AS s11, sum(w*x1) OVER () AS s12,
+        |               sum(w*x2) OVER () AS s13, sum(w*x1*x1) OVER () AS s22,
+        |               sum(w*x1*x2) OVER () AS s23, sum(w*x2*x2) OVER () AS s33,
+        |               sum(w*z) OVER () AS c1, sum(w*x1*z) OVER () AS c2,
+        |               sum(w*x2*z) OVER () AS c3,
+        |               sum(devterm) OVER () AS devnow,
+        |               sum((y - mu)*(y - mu) - y) OVER () AS anum,
+        |               sum(mu*mu) OVER () AS aden""".stripMargin
+    def solved(inner: String): String =
+      pivotSolve3(inner, "s11", "s12", "s13", "s22", "s23", "s33",
+        "c1", "c2", "c3", "nb0", "nb1", "nb2")
+    s"""nbyb AS (SELECT sum(1.0*y)/sum(1.0) AS yb FROM $src),
+       |nbit AS (
+       |  SELECT 0 AS i, 0.0::DOUBLE AS b0, 0.0::DOUBLE AS b1, 0.0::DOUBLE AS b2,
+       |    0.0::DOUBLE AS a, CAST('infinity' AS DOUBLE) AS dev,
+       |    0.0::DOUBLE AS s11, 0.0::DOUBLE AS s12, 0.0::DOUBLE AS s13,
+       |    0.0::DOUBLE AS s22, 0.0::DOUBLE AS s23, 0.0::DOUBLE AS s33,
+       |    false AS done
+       |  UNION ALL
+       |  SELECT i + 1, nb0, nb1, nb2, greatest(anum/aden, 0.0), devnow,
+       |    s11, s12, s13, s22, s23, s33,
+       |    abs(devnow - dev)/(abs(devnow) + 0.1) < $tol
+       |      AND i >= 1
+       |      AND abs(greatest(anum/aden, 0.0) - a)
+       |            /(greatest(anum/aden, 0.0) + 0.1) < $tol
+       |  FROM ${solved(s"""(
+       |      SELECT DISTINCT i, a, dev, $sums
+       |        FROM (
+       |          SELECT i, a, dev, x1, x2, y, mu,
+       |            CASE WHEN a = 0.0 THEN mu ELSE mu/(1.0 + a*mu) END AS w,
+       |            eta + (y - mu)/mu AS z,
+       |            CASE WHEN a = 0.0
+       |              THEN 2.0*((CASE WHEN y > 0.0 THEN y*ln(y/mu) ELSE 0.0 END)
+       |                        - (y - mu))
+       |              ELSE 2.0*((CASE WHEN y > 0.0 THEN y*ln(y/mu) ELSE 0.0 END)
+       |                        - (y + 1.0/a)*ln((1.0 + a*y)/(1.0 + a*mu)))
+       |            END AS devterm
+       |          FROM (
+       |            SELECT i, a, dev, x1, x2, y, eta,
+       |              exp(least(greatest(eta, -30.0), 30.0)) AS mu
+       |            FROM (
+       |              SELECT q0.i AS i, q0.a AS a, q0.dev AS dev,
+       |                d0.x1 AS x1, d0.x2 AS x2, d0.y AS y,
+       |                CASE WHEN q0.i = 0
+       |                  THEN ln((d0.y + (SELECT yb FROM nbyb))/2.0)
+       |                  ELSE 1.0*q0.b0 + d0.x1*q0.b1 + d0.x2*q0.b2 END AS eta
+       |              FROM nbit q0, $src d0
+       |              WHERE q0.i < $maxIter AND NOT q0.done)
+       |          )
+       |        )
+       |      )""")}
+       |),
+       |nbfin AS (SELECT b0, b1, b2, a, s11, s12, s13, s22, s23, s33, i, done
+       |          FROM nbit WHERE i = (SELECT max(i) FROM nbit))""".stripMargin
+  }
+
   /** 3-parameter CLOGLOG IRLS (intercept + two covariates) as a
     * recursive CTE — [[graft.ml.Glm.Cloglog]]'s exact link chain
     * (η clamped to [−30, 3.4], μ = 1 − e^{−e^η} floored at 1e-12,
