@@ -449,6 +449,127 @@ object OracleSql {
        |          FROM nbit WHERE i = (SELECT max(i) FROM nbit))""".stripMargin
   }
 
+  /** Cox proportional-hazards Newton loop (TWO covariates, Breslow
+    * ties) as a recursive CTE — [[graft.ml.Cox.fit]]'s exact chain:
+    * per pass, the distinct-duration collapse (PARTITION BY t window
+    * sums + DISTINCT — DuckDB's recursive term forbids GROUP BY, the
+    * same trick the IRLS replays use for the global sums), ascending
+    * prefix + total windows standing in for `Rank.withPrefixSums`
+    * (suffix risk sets as tot − cum + value), the dt > 0 event
+    * reduction, and the 2×2 Newton solve in [[logisticIrls2]]'s exact
+    * pivot order. State carries the pass's Hessian — the converged
+    * model's Wald SEs read EXACTLY that matrix (Cox.fit's hLast); a
+    * maxIter exit recomputes H at the final β (`cxh` handles both).
+    * Emits `cxit`, `cxfin(b0, b1, h00, h01, h11, ll, i, done)` and
+    * `cxh(h00, h01, h11)`. `src` must provide (t, ev ∈ {0,1}, x0, x1).
+    */
+  def coxNewton2(src: String, tol: Double = 1e-9, maxIter: Int = 25): String = {
+    // per-pass pipeline from a (carried-cols + t, ev, x0, x1, eta) base:
+    // per-t window collapse → DISTINCT → prefix/total windows → dt>0
+    // reduction windows → DISTINCT. `keep` columns ride the whole way.
+    def pass(keep: String, from: String, hOnly: Boolean): String = {
+      val evAggs =
+        s"""sum(CASE WHEN ev = 1 THEN eta ELSE 0.0 END) OVER (PARTITION BY t) AS ev_eta,
+           |      sum(CASE WHEN ev = 1 THEN x0 ELSE 0.0 END) OVER (PARTITION BY t) AS ex_0,
+           |      sum(CASE WHEN ev = 1 THEN x1 ELSE 0.0 END) OVER (PARTITION BY t) AS ex_1""".stripMargin
+      val reduceCols =
+        if (hOnly)
+          """sum(dt*(sw200/s0 - (sw10/s0)*(sw10/s0))) OVER () AS h00,
+            |    sum(dt*(sw201/s0 - (sw10/s0)*(sw11/s0))) OVER () AS h01,
+            |    sum(dt*(sw211/s0 - (sw11/s0)*(sw11/s0))) OVER () AS h11""".stripMargin
+        else
+          """sum(ev_eta - dt*ln(s0)) OVER () AS llnow,
+            |    sum(ex_0 - dt*(sw10/s0)) OVER () AS g0,
+            |    sum(ex_1 - dt*(sw11/s0)) OVER () AS g1,
+            |    sum(dt*(sw200/s0 - (sw10/s0)*(sw10/s0))) OVER () AS h00,
+            |    sum(dt*(sw201/s0 - (sw10/s0)*(sw11/s0))) OVER () AS h01,
+            |    sum(dt*(sw211/s0 - (sw11/s0)*(sw11/s0))) OVER () AS h11""".stripMargin
+      s"""SELECT DISTINCT $keep $reduceCols
+         |FROM (
+         |  SELECT $keep dt, ev_eta, ex_0, ex_1,
+         |    (tw0 - cw0) + w0 AS s0,
+         |    (tw1_0 - cw1_0) + w1_0 AS sw10,
+         |    (tw1_1 - cw1_1) + w1_1 AS sw11,
+         |    (tw2_00 - cw2_00) + w2_00 AS sw200,
+         |    (tw2_01 - cw2_01) + w2_01 AS sw201,
+         |    (tw2_11 - cw2_11) + w2_11 AS sw211
+         |  FROM (
+         |    SELECT $keep t, w0, w1_0, w1_1, w2_00, w2_01, w2_11, dt, ev_eta,
+         |      ex_0, ex_1,
+         |      sum(w0) OVER wc AS cw0, sum(w0) OVER () AS tw0,
+         |      sum(w1_0) OVER wc AS cw1_0, sum(w1_0) OVER () AS tw1_0,
+         |      sum(w1_1) OVER wc AS cw1_1, sum(w1_1) OVER () AS tw1_1,
+         |      sum(w2_00) OVER wc AS cw2_00, sum(w2_00) OVER () AS tw2_00,
+         |      sum(w2_01) OVER wc AS cw2_01, sum(w2_01) OVER () AS tw2_01,
+         |      sum(w2_11) OVER wc AS cw2_11, sum(w2_11) OVER () AS tw2_11
+         |    FROM (
+         |      SELECT DISTINCT $keep t,
+         |        sum(wgt) OVER (PARTITION BY t) AS w0,
+         |        sum(x0*wgt) OVER (PARTITION BY t) AS w1_0,
+         |        sum(x1*wgt) OVER (PARTITION BY t) AS w1_1,
+         |        sum(x0*x0*wgt) OVER (PARTITION BY t) AS w2_00,
+         |        sum(x0*x1*wgt) OVER (PARTITION BY t) AS w2_01,
+         |        sum(x1*x1*wgt) OVER (PARTITION BY t) AS w2_11,
+         |        sum(CAST(ev AS BIGINT)) OVER (PARTITION BY t) AS dt,
+         |        $evAggs
+         |      FROM (SELECT $keep t, ev, x0, x1, eta, exp(eta) AS wgt
+         |            FROM $from)
+         |    )
+         |    WINDOW wc AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+         |                  AND CURRENT ROW)
+         |  )
+         |  WHERE dt > 0
+         |)""".stripMargin
+    }
+    // 2×2 pivoted solve on [[h00,h01],[h01,h11]] x = (g0,g1), the
+    // logisticIrls2 CASE pattern verbatim
+    val solve =
+      """SELECT u.*, (v0 - m01*d1n)/m00 AS d0, d1n AS d1
+        |FROM (
+        |  SELECT w.*, (v1 - (m10/m00)*v0) / (m11 - (m10/m00)*m01) AS d1n
+        |  FROM (
+        |    SELECT p.*,
+        |      CASE WHEN abs(h01) > abs(h00) THEN h01 ELSE h00 END AS m00,
+        |      CASE WHEN abs(h01) > abs(h00) THEN h11 ELSE h01 END AS m01,
+        |      CASE WHEN abs(h01) > abs(h00) THEN h00 ELSE h01 END AS m10,
+        |      CASE WHEN abs(h01) > abs(h00) THEN h01 ELSE h11 END AS m11,
+        |      CASE WHEN abs(h01) > abs(h00) THEN g1 ELSE g0 END AS v0,
+        |      CASE WHEN abs(h01) > abs(h00) THEN g0 ELSE g1 END AS v1""".stripMargin
+    s"""cxit AS (
+       |  SELECT 0 AS i, 0.0::DOUBLE AS b0, 0.0::DOUBLE AS b1,
+       |    CAST('-infinity' AS DOUBLE) AS ll,
+       |    0.0::DOUBLE AS h00, 0.0::DOUBLE AS h01, 0.0::DOUBLE AS h11,
+       |    false AS done
+       |  UNION ALL
+       |  SELECT i + 1, b0 + d0, b1 + d1, llnow, h00, h01, h11,
+       |    (CASE WHEN abs(d0) > abs(d1) THEN abs(d0) ELSE abs(d1) END) < $tol
+       |      AND abs(llnow - ll) < 1e-12*(1.0 + abs(llnow))
+       |  FROM (
+       |    $solve
+       |    FROM (
+       |      ${pass("i, b0, b1, ll,", s"""(
+       |        SELECT q.i, q.b0, q.b1, q.ll, d.t, d.ev, d.x0, d.x1,
+       |          q.b0*d.x0 + q.b1*d.x1 AS eta
+       |        FROM cxit q, $src d WHERE q.i < $maxIter AND NOT q.done)""", hOnly = false)}
+       |      ) p
+       |    ) w
+       |  ) u
+       |  )
+       |),
+       |cxfin AS (SELECT b0, b1, h00, h01, h11, ll, i, done
+       |          FROM cxit WHERE i = (SELECT max(i) FROM cxit)),
+       |cxrecomp AS (
+       |  ${pass("", s"""(
+       |    SELECT d.t, d.ev, d.x0, d.x1, f.b0*d.x0 + f.b1*d.x1 AS eta
+       |    FROM $src d, cxfin f)""", hOnly = true)}
+       |),
+       |cxh AS (SELECT
+       |    CASE WHEN f.done THEN f.h00 ELSE r.h00 END AS h00,
+       |    CASE WHEN f.done THEN f.h01 ELSE r.h01 END AS h01,
+       |    CASE WHEN f.done THEN f.h11 ELSE r.h11 END AS h11
+       |  FROM cxfin f, cxrecomp r)""".stripMargin
+  }
+
   /** 3-parameter CLOGLOG IRLS (intercept + two covariates) as a
     * recursive CTE — [[graft.ml.Glm.Cloglog]]'s exact link chain
     * (η clamped to [−30, 3.4], μ = 1 − e^{−e^η} floored at 1e-12,

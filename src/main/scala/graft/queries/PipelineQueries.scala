@@ -5047,7 +5047,42 @@ object PipelineQueries {
       val m = graft.ml.Cox.fit(per, "dur", "ev", Seq("x_qty", "x_disc"))
       graft.ml.Cox.summary(s, m, Seq("x_qty", "x_disc")).orderBy("covariate")
     },
-    None
+    // FULL oracle (r11): the whole Breslow Newton loop replays via
+    // OracleSql.coxNewton2 — per pass, a PARTITION BY t window collapse
+    // (the recursive term forbids GROUP BY), ascending prefix + total
+    // windows as the suffix risk sets (exactly Rank.withPrefixSums'
+    // tot − cum + value), the dt>0 event reduction, the logisticIrls2
+    // pivot-order 2×2 solve; Wald SEs from the CARRIED last-pass
+    // Hessian (Cox.fit's hLast; a maxIter exit recomputes at the
+    // final β via cxh)
+    Some {
+      s"""WITH RECURSIVE src AS (
+         |  SELECT (date_diff('day', g.mn, g.mx) + 1)::DOUBLE AS t,
+         |         CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS ev,
+         |         ln(1.0 + g.sq) AS x0, g.sd/g.cnt AS x1
+         |  FROM (SELECT l_orderkey, min(l_shipdate) AS mn, max(l_shipdate) AS mx,
+         |          sum(l_quantity) AS sq, sum(l_discount) AS sd,
+         |          count(*)::DOUBLE AS cnt
+         |        FROM lineitem GROUP BY 1) g
+         |  JOIN orders o ON o.o_orderkey = g.l_orderkey),
+         |${OracleSql.coxNewton2("src")},
+         |cnt AS (SELECT count(*)::BIGINT AS n, sum(ev)::BIGINT AS nev FROM src)
+         |SELECT covariate,
+         |  floor(coef*1e6 + 0.5)/1e6 AS coef,
+         |  floor(exp(coef)*1e6 + 0.5)/1e6 AS hazard_ratio,
+         |  floor(se*1e6 + 0.5)/1e6 AS se,
+         |  floor((coef/se)*1e6 + 0.5)/1e6 AS z,
+         |  cnt.n, cnt.nev AS n_events, f.i::INT AS iters
+         |FROM (
+         |  SELECT 'x_qty' AS covariate, f2.b0 AS coef,
+         |    sqrt(h.h11/(h.h00*h.h11 - h.h01*h.h01)) AS se
+         |  FROM cxfin f2, cxh h
+         |  UNION ALL
+         |  SELECT 'x_disc', f2.b1,
+         |    sqrt(h.h00/(h.h00*h.h11 - h.h01*h.h01))
+         |  FROM cxfin f2, cxh h) o, cnt, cxfin f
+         |ORDER BY covariate""".stripMargin
+    }
   )
 
   // ---- T63: TextRank keywords (FULL oracle — tokenize → filtered
