@@ -875,7 +875,49 @@ object CoreQueries {
           "converged" -> (if (m.converged) 1L else 0L))
       )
     },
-    None
+    // FULL oracle (r11): 4-parameter logistic via
+    // OracleSql.logisticIrls4 (Cramer solves from the symbolic
+    // determinant builder — well-conditioned design, margins probed);
+    // information SE from the carried final Gram's inverse row,
+    // cluster-robust SE as the per-order score sums + the same
+    // inverse-row quadratic form
+    Some {
+      s"""WITH RECURSIVE src AS (
+         |  SELECT ln(l_extendedprice) AS x1, l_discount::DOUBLE AS x2,
+         |         l_quantity::DOUBLE AS x3,
+         |         CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
+         |         l_orderkey AS cl
+         |  FROM lineitem),
+         |${OracleSql.logisticIrls4("src")},
+         |inv AS (SELECT
+         |    ${OracleSql.inv4Row1()}
+         |  FROM (SELECT f.*, ${OracleSql.det4Sym} AS det FROM lg4fin f)),
+         |sc AS (SELECT cl, x1, x2, x3,
+         |    y - 1.0/(1.0 + exp(-least(greatest(
+         |      f.b0 + x1*f.b1 + x2*f.b2 + x3*f.b3, -30.0), 30.0))) AS u
+         |  FROM src, lg4fin f),
+         |per AS (SELECT cl, sum(u) AS t0, sum(u*x1) AS t1,
+         |    sum(u*x2) AS t2, sum(u*x3) AS t3
+         |  FROM sc GROUP BY cl),
+         |meat AS (SELECT sum(t0*t0) AS m00, sum(t0*t1) AS m01,
+         |    sum(t0*t2) AS m02, sum(t0*t3) AS m03, sum(t1*t1) AS m11,
+         |    sum(t1*t2) AS m12, sum(t1*t3) AS m13, sum(t2*t2) AS m22,
+         |    sum(t2*t3) AS m23, sum(t3*t3) AS m33
+         |  FROM per),
+         |cnt AS (SELECT count(*)::BIGINT AS n FROM src)
+         |SELECT round(f.b1, 4) AS beta_lp,
+         |  round(f.b2, 4) AS beta_disc,
+         |  round(f.b3, 4) AS beta_qty,
+         |  round(sqrt(i2.r1), 4) AS se_info_lp,
+         |  round(sqrt(
+         |    r0*r0*m00 + r1*r1*m11 + r2*r2*m22 + r3*r3*m33
+         |      + 2.0*(r0*r1*m01 + r0*r2*m02 + r0*r3*m03
+         |             + r1*r2*m12 + r1*r3*m13 + r2*r3*m23)), 4) AS se_cl_lp,
+         |  round(f.dev, 2) AS deviance,
+         |  cnt.n, f.i::BIGINT AS iters,
+         |  (CASE WHEN f.done THEN 1 ELSE 0 END)::BIGINT AS converged
+         |FROM lg4fin f, inv i2, meat, cnt""".stripMargin
+    }
   )
 
   // ---- C35: NB2 negative binomial — overdispersed counts (rows-only:

@@ -449,6 +449,136 @@ object OracleSql {
        |          FROM nbit WHERE i = (SELECT max(i) FROM nbit))""".stripMargin
   }
 
+  // ---- tiny symbolic-determinant builder (SQL expression strings) ----
+  private def minorM(m: Vector[Vector[String]], r: Int, c: Int): Vector[Vector[String]] =
+    m.zipWithIndex.collect { case (row, i) if i != r =>
+      row.zipWithIndex.collect { case (e, j) if j != c => e }
+    }
+
+  /** Cofactor-expansion determinant over SQL expression strings —
+    * deterministic text, same shape both uses. NOT an op-order mirror
+    * of LinAlg's pivoted elimination (ulps differ); callers must have
+    * well-conditioned systems and probed margins (the q304 lesson).
+    */
+  private def detExpr(m: Vector[Vector[String]]): String = m.size match {
+    case 1 => m(0)(0)
+    case 2 => s"(${m(0)(0)})*(${m(1)(1)}) - (${m(0)(1)})*(${m(1)(0)})"
+    case n =>
+      (0 until n).map { j =>
+        val t = s"(${m(0)(j)})*(${detExpr(minorM(m, 0, j))})"
+        if (j == 0) t else if (j % 2 == 0) s"+ $t" else s"- $t"
+      }.mkString(" ")
+  }
+
+  /** 4-parameter LOGISTIC IRLS (intercept + three covariates) as a
+    * recursive CTE — the [[logisticIrls2]] Binomial chain with the
+    * per-pass 4×4 normal equations solved by CRAMER determinants
+    * (generated by the symbolic builder; ulp-off from the pivoted
+    * LinAlg, fine for well-conditioned designs at the 4dp output
+    * quantizer — margins probed). Emits `lg4it` and
+    * `lg4fin(b0..b3, s11..s44, dev, i, done)` with the final pass's
+    * weighted Gram carried for information/cluster SEs. `src` must
+    * provide (x1, x2, x3, y ∈ {0,1}).
+    */
+  def logisticIrls4(src: String, tol: Double = 1e-9, maxIter: Int = 30): String = {
+    val A = Vector(
+      Vector("s11", "s12", "s13", "s14"),
+      Vector("s12", "s22", "s23", "s24"),
+      Vector("s13", "s23", "s33", "s34"),
+      Vector("s14", "s24", "s34", "s44"))
+    val rhs = Vector("c1", "c2", "c3", "c4")
+    def replaced(col: Int): Vector[Vector[String]] =
+      A.zipWithIndex.map { case (row, i) => row.updated(col, rhs(i)) }
+    val detA = detExpr(A)
+    val solves = (0 until 4).map(j => s"(${detExpr(replaced(j))})/det AS nb$j").mkString(",\n      ")
+    def pass(keep: String, from: String): String =
+      s"""SELECT $keep x1, x2, x3, y, mu*(1.0 - mu) AS w,
+         |  eta + (y - mu)/(mu*(1.0 - mu)) AS z,
+         |  -2.0*(CASE WHEN y > 0.0 THEN y*ln(mu) ELSE 0.0 END +
+         |        CASE WHEN y < 1.0 THEN (1.0 - y)*ln(1.0 - mu) ELSE 0.0 END)
+         |    AS devterm
+         |FROM (
+         |  SELECT $keep x1, x2, x3, y, eta,
+         |    1.0/(1.0 + exp(-least(greatest(eta, -30.0), 30.0))) AS mu
+         |  FROM $from)""".stripMargin
+    val sums =
+      """sum(w) OVER () AS s11, sum(w*x1) OVER () AS s12,
+        |               sum(w*x2) OVER () AS s13, sum(w*x3) OVER () AS s14,
+        |               sum(w*x1*x1) OVER () AS s22, sum(w*x1*x2) OVER () AS s23,
+        |               sum(w*x1*x3) OVER () AS s24, sum(w*x2*x2) OVER () AS s33,
+        |               sum(w*x2*x3) OVER () AS s34, sum(w*x3*x3) OVER () AS s44,
+        |               sum(w*z) OVER () AS c1, sum(w*x1*z) OVER () AS c2,
+        |               sum(w*x2*z) OVER () AS c3, sum(w*x3*z) OVER () AS c4,
+        |               sum(devterm) OVER () AS devnow""".stripMargin
+    def solved(inner: String): String =
+      s"""(
+         |  SELECT d.*,
+         |      $solves
+         |  FROM (SELECT q.*, $detA AS det FROM $inner q) d
+         |)""".stripMargin
+    s"""lg4it AS (
+       |  SELECT 1 AS i, nb0 AS b0, nb1 AS b1, nb2 AS b2, nb3 AS b3,
+       |    s11, s12, s13, s14, s22, s23, s24, s33, s34, s44,
+       |    devnow AS dev, false AS done
+       |  FROM ${solved(s"""(
+       |      SELECT DISTINCT $sums
+       |        FROM (
+       |          ${pass("", s"""(
+       |            SELECT x1, x2, x3, y,
+       |              ln(((y + 0.5)/2.0)/(1.0 - (y + 0.5)/2.0)) AS eta
+       |            FROM $src)""")}
+       |        )
+       |      )""")}
+       |  UNION ALL
+       |  SELECT i + 1, nb0, nb1, nb2, nb3,
+       |    s11, s12, s13, s14, s22, s23, s24, s33, s34, s44, devnow,
+       |    abs(devnow - dev)/(abs(devnow) + 0.1) < $tol
+       |  FROM ${solved(s"""(
+       |      SELECT DISTINCT i, dev, $sums
+       |        FROM (
+       |          ${pass("i, dev,", s"""(
+       |            SELECT q.i, q.dev, d.x1, d.x2, d.x3, d.y,
+       |              1.0*q.b0 + d.x1*q.b1 + d.x2*q.b2 + d.x3*q.b3 AS eta
+       |            FROM lg4it q, $src d WHERE q.i < $maxIter AND NOT q.done)""")}
+       |        )
+       |      )""")}
+       |),
+       |lg4fin AS (SELECT b0, b1, b2, b3,
+       |             s11, s12, s13, s14, s22, s23, s24, s33, s34, s44, i, done,
+       |             dev
+       |           FROM lg4it WHERE i = (SELECT max(i) FROM lg4it))""".stripMargin
+  }
+
+  /** Determinant of the symmetric 4×4 Gram (s11..s44 column names) —
+    * the `det` the [[inv4Row1]] cofactors divide by.
+    */
+  def det4Sym: String = detExpr(Vector(
+    Vector("s11", "s12", "s13", "s14"),
+    Vector("s12", "s22", "s23", "s24"),
+    Vector("s13", "s23", "s33", "s34"),
+    Vector("s14", "s24", "s34", "s44")))
+
+  /** Row 1 (the first covariate) of the symmetric 4×4 inverse as SQL
+    * expressions (r0..r3 — cofactors over `det`), for information /
+    * sandwich SEs of the `lg4fin` Gram.
+    */
+  def inv4Row1(prefix: String = ""): String = {
+    val A = Vector(
+      Vector("s11", "s12", "s13", "s14"),
+      Vector("s12", "s22", "s23", "s24"),
+      Vector("s13", "s23", "s33", "s34"),
+      Vector("s14", "s24", "s34", "s44"))
+    // inv[1][j] = (−1)^{1+j}·det(minor(j, 1))/det (A symmetric)
+    def cof(j: Int): String = {
+      val d = detExpr(minorM(A, j, 1))
+      if ((1 + j) % 2 == 0) s"($d)" else s"(-($d))"
+    }
+    s"""${cof(0)}/det AS ${prefix}r0,
+       |    ${cof(1)}/det AS ${prefix}r1,
+       |    ${cof(2)}/det AS ${prefix}r2,
+       |    ${cof(3)}/det AS ${prefix}r3""".stripMargin
+  }
+
   /** Cox proportional-hazards Newton loop (TWO covariates, Breslow
     * ties) as a recursive CTE — [[graft.ml.Cox.fit]]'s exact chain:
     * per pass, the distinct-duration collapse (PARTITION BY t window
