@@ -357,6 +357,16 @@ object MinHashLsh {
     * [[graft.streaming.DocStream.nearDupAgainstCorpus]]) joins on
     * (band, bucket). Corpus-sized by design: it is written as a
     * referenced parquet dataset, never broadcast.
+    *
+    * HOT-BUCKET CAP at BUILD time (the [[pairsFromBands]] contract's
+    * serving sibling): a degenerate corpus bucket with m members would
+    * make every matching batch row fan out m-fold AT EVERY SERVE — the
+    * quadratic moves from the build to the query path. Buckets keep
+    * their `maxBucket` smallest-(xxhash64(id), id) members; a batch
+    * document near-duplicating the degenerate class still collides
+    * with the kept members (they are the same class), so dedup recall
+    * on the CLASS is intact — what is lost is per-member attribution
+    * beyond the cap, the documented trade.
     */
   def corpusIndex(
       corpus: DataFrame,
@@ -366,11 +376,19 @@ object MinHashLsh {
       shingleSize: Int = 3,
       numBands: Int = 16,
       seed: Long = 42L,
-      gramHash: Column => Column = xxhash64(_)
+      gramHash: Column => Column = xxhash64(_),
+      maxBucket: Int = DefaultMaxBucket
   ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxBucket >= 1, "MinHashLsh.corpusIndex: maxBucket must be >= 1")
     val sh = shingleHashes(corpus, textCol, idCol, shingleSize, gramHash)
     val sig = signaturesFromShingles(sh, idCol, numHashes, seed)
+    val w = Window.partitionBy(col("band"), col("bucket"))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
     bands(sig, idCol, numBands, numHashes)
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= maxBucket)
+      .drop("__rk")
       .join(
         sig.select(col(idCol).as("corpus_id"), col("sig").as("corpus_sig")),
         col(idCol) === col("corpus_id"))
@@ -395,7 +413,8 @@ object MinHashLsh {
       numBands: Int,
       seed: Long,
       gramHashName: String,
-      bands: DataFrame
+      bands: DataFrame,
+      maxBucket: Int = DefaultMaxBucket
   ) {
     def gramHashFn: Column => Column = Index.hashFn(gramHashName)
   }
@@ -421,11 +440,12 @@ object MinHashLsh {
       shingleSize: Int = 3,
       numBands: Int = 16,
       seed: Long = 42L,
-      gramHashName: String = "xxhash64"
+      gramHashName: String = "xxhash64",
+      maxBucket: Int = DefaultMaxBucket
   ): Unit = {
     val spark = corpus.sparkSession
     corpusIndex(corpus, textCol, idCol, numHashes, shingleSize, numBands, seed,
-      Index.hashFn(gramHashName))
+      Index.hashFn(gramHashName), maxBucket)
       .write.mode("overwrite").parquet(s"$path/bands")
     graft.sources.IndexCatalog.write(
       spark, path, IndexKind,
@@ -435,6 +455,7 @@ object MinHashLsh {
         "num_bands" -> numBands.toString,
         "seed" -> seed.toString,
         "gram_hash" -> gramHashName,
+        "max_bucket" -> maxBucket.toString,
         "bands" -> "bands"),
       Seq.empty)
   }
@@ -447,7 +468,9 @@ object MinHashLsh {
       meta.propInt("num_bands"),
       meta.prop("seed").toLong,
       meta.prop("gram_hash"),
-      spark.read.parquet(s"$path/${meta.prop("bands")}"))
+      spark.read.parquet(s"$path/${meta.prop("bands")}"),
+      // pre-r11 entries carry no cap; the default applies on append
+      scala.util.Try(meta.propInt("max_bucket")).getOrElse(DefaultMaxBucket))
   }
 
   /** Append new documents to a persisted index under the SAME build
@@ -459,7 +482,7 @@ object MinHashLsh {
     val spark = newDocs.sparkSession
     val idx = loadIndex(spark, path)
     corpusIndex(newDocs, textCol, idCol, idx.numHashes, idx.shingleSize, idx.numBands,
-      idx.seed, idx.gramHashFn)
+      idx.seed, idx.gramHashFn, idx.maxBucket)
       .write.mode("append").parquet(s"$path/bands")
   }
 

@@ -696,6 +696,26 @@ class DedupSpec extends SparkSpec {
         MinHashLsh.signatures(small, "text", "doc_id"), "doc_id", 16, 64)).count() === 0L)
   }
 
+  test("corpusIndex hot-bucket cap: degenerate class bounded at build, batch dedup still finds it") {
+    val base = "boilerplate footer text repeated across every page of the crawled site today"
+    // 500 byte-identical corpus docs: every band bucket holds all 500
+    val hotCorpus = spark.range(0, 500).select(col("id").as("doc_id"), lit(base).as("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-mh-cap").toString
+    MinHashLsh.saveIndex(hotCorpus, "text", "doc_id", dir, maxBucket = 10)
+    val idx = MinHashLsh.loadIndex(spark, dir)
+    assert(idx.maxBucket === 10, "cap must round-trip through the catalog")
+    // the index holds at most 10 members per (band, bucket)
+    val worst = idx.bands.groupBy("band", "bucket").count()
+      .agg(max("count")).head().getLong(0)
+    assert(worst <= 10L, s"build-time cap must bound index buckets: $worst")
+    // a batch copy of the degenerate class still matches (the kept
+    // members ARE the class) — recall on the class is intact
+    val batch = Seq((9999L, base)).toDF("doc_id", "text")
+    val hits = MinHashLsh.dedupeAgainstIndex(batch, "text", "doc_id", idx, threshold = 0.9)
+    assert(hits.count() >= 1L, "capped index must still catch the duplicate class")
+    assert(hits.count() <= 10L, "attribution is bounded by the kept members")
+  }
+
   test("NGramJaccard.containmentJoin: a quote inside a long doc scores ~1 one way, Jaccard low") {
     val long = (1 to 60).map(j => s"w$j").mkString(" ")
     val quote = (10 to 20).map(j => s"w$j").mkString(" ") // 11-token contiguous slice
