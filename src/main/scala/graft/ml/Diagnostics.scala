@@ -228,6 +228,61 @@ object Diagnostics {
       .drop("__pid", "__raw", "__carry")
   }
 
+  /** Storey (2002) q-values — the ESTIMATED-FDR companion of
+    * [[bhFdr]]'s fixed-α step-up: π̂₀ = #{p > λ}/((1−λ)m) (the share
+    * of true nulls, λ = 0.5 default) rescues power when many
+    * hypotheses are non-null (BH implicitly assumes π₀ = 1), and
+    * q_(i) = min_{j ≥ i} min(1, π̂₀·m·p_(j)/j) is each test's minimum
+    * FDR at which it would be called. Returns the input plus
+    * (rank, pi0, q_value).
+    *
+    * Scale shape: ranks via [[graft.ops.Rank.withGlobalRowNumberAndPid]]
+    * (range exchange, never a single-partition window); the SUFFIX
+    * running min runs as per-partition descending-rank windows plus a
+    * P-row collected carry — and because min is EXACT (no accumulation
+    * error), the distributed result is bit-identical to a sequential
+    * scan, so the oracle replays it with a plain window.
+    */
+  def storeyQ(
+      df: DataFrame,
+      pCol: String,
+      tieBreak: Seq[String],
+      lambda: Double = 0.5): DataFrame = {
+    require(lambda > 0 && lambda < 1, "Diagnostics.storeyQ: lambda in (0,1)")
+    val agg = df.agg(
+      count(lit(1)).as("m"),
+      sum(when(col(pCol) > lambda, 1L).otherwise(0L)).as("ngt")).head()
+    val m = agg.getLong(0); val nGt = agg.getLong(1)
+    require(m > 0, "Diagnostics.storeyQ: empty input")
+    val pi0 = math.min(1.0, nGt / ((1.0 - lambda) * m))
+    val pi0m = pi0 * m
+    val ranked = graft.ops.Rank
+      .withGlobalRowNumberAndPid(df, "rank", col(pCol).asc +: tieBreak.map(col(_).asc))
+      .withColumn("rank", col("rank").cast("int"))
+      .withColumn("__raw",
+        least(lit(1.0), lit(pi0m) * col(pCol) / col("rank").cast("double")))
+      .localCheckpoint()
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(col("rank").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // carry-in per pid: the min over all LATER partitions (higher pids
+    // hold higher ranks under the ascending range exchange); 1.0 is a
+    // neutral ceiling since every __raw is already ≤ 1
+    val perPid = ranked.groupBy("__pid").agg(min("__raw").as("__pmin"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(-_._1)
+    var acc = 1.0
+    val carrySeq = perPid.map { case (pid, mn) => val c = acc; acc = math.min(acc, mn); (pid, c) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val carry = carrySeq.toSeq.toDF("__pid", "__carry")
+    ranked
+      .join(broadcast(carry), Seq("__pid"))
+      .withColumn("pi0", round(lit(pi0), 6))
+      .withColumn("q_value",
+        round(least(min(col("__raw")).over(pw), col("__carry")), 6))
+      .drop("__pid", "__raw", "__carry")
+  }
+
   /** Per-key autocorrelation function + Ljung–Box Q — "is this entity's
     * metric white noise?" across every user/source at once (the
     * portmanteau sibling of the single-series [[durbinWatson]]).

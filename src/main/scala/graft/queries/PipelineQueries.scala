@@ -9192,6 +9192,67 @@ object PipelineQueries {
     )
   )
 
+  // ---- T118: Storey q-values (FULL oracle — π̂₀ plug-in + the suffix
+  // running min, which is EXACT under any regrouping, so the
+  // distributed per-partition-window + carry result replays as one
+  // plain following-frame window; same KS p inputs as q306) ------------
+  val q324 = Q(
+    "q324_storey_q",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val n = docs.count()
+      val ks = graft.ops.Drift.ksTest(docs, "n_chars", "lang")
+      val withP = ks.withColumn(
+        "p",
+        round(
+          least(
+            lit(1.0),
+            lit(2.0) * exp(lit(-2.0) *
+              (col("n_group").cast("double") * n / (col("n_group").cast("double") + n)) *
+              (col("d_stat") * col("d_stat")))),
+          6))
+      graft.ml.Diagnostics
+        .storeyQ(withP, "p", tieBreak = Seq("lang"))
+        .select(col("lang"), col("n_group"), col("p"), col("rank"),
+          col("pi0"), col("q_value"))
+        .orderBy("rank")
+    },
+    Some(
+      """WITH c AS (SELECT lang AS g, n_chars AS v, count(*)::BIGINT AS c
+        |           FROM documents GROUP BY 1, 2),
+        |vals AS (SELECT v, sum(c)::BIGINT AS cv FROM c GROUP BY 1),
+        |grps AS (SELECT g, sum(c)::BIGINT AS ng FROM c GROUP BY 1),
+        |tot AS (SELECT sum(c)::BIGINT AS n FROM c),
+        |dense AS (SELECT grps.g, grps.ng, vals.v, vals.cv, COALESCE(c.c, 0) AS cc
+        |          FROM grps CROSS JOIN vals LEFT JOIN c ON c.g = grps.g AND c.v = vals.v),
+        |cum AS (SELECT g, ng, v,
+        |          sum(cc) OVER (PARTITION BY g ORDER BY v) AS cg,
+        |          sum(cv) OVER (PARTITION BY g ORDER BY v) AS ca
+        |        FROM dense),
+        |ks AS (SELECT g AS lang, max(ng) AS n_group,
+        |         round(max(abs(cg::DOUBLE/ng - ca::DOUBLE/(SELECT n FROM tot))), 4) AS d_stat
+        |       FROM cum GROUP BY 1),
+        |p AS (SELECT lang, n_group, d_stat,
+        |        round(least(1.0,
+        |          2.0*exp(-2.0*(n_group::DOUBLE*(SELECT n FROM tot)
+        |                         /(n_group::DOUBLE + (SELECT n FROM tot)))
+        |                 *(d_stat*d_stat))), 6) AS p
+        |      FROM ks),
+        |s AS (SELECT count(*)::BIGINT AS m,
+        |        sum(CASE WHEN p > 0.5 THEN 1 ELSE 0 END)::BIGINT AS ngt FROM p),
+        |pi AS (SELECT least(1.0, ngt/((1.0 - 0.5)*m)) AS pi0, m FROM s),
+        |r AS (SELECT p.*, row_number() OVER (ORDER BY p ASC, lang ASC) AS rank FROM p),
+        |w AS (SELECT r.*,
+        |        least(1.0, ((SELECT pi0 FROM pi)*(SELECT m FROM pi))*p/rank) AS raw
+        |      FROM r)
+        |SELECT lang, n_group, p, rank::INT AS rank,
+        |  round((SELECT pi0 FROM pi), 6) AS pi0,
+        |  round(min(raw) OVER (ORDER BY rank
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 6) AS q_value
+        |FROM w ORDER BY rank""".stripMargin
+    )
+  )
+
   // ---- T113: continuous-outcome experiment sizing (FULL oracle — the
   // q226 convention: probit constants as binary64 literals, sd from a
   // 4dp-floored corpus moment, exactly-rounded squares) ----------------
@@ -9574,5 +9635,5 @@ object PipelineQueries {
       q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276,
       q277, q278, q279, q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290,
       q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q306, q307, q308, q309, q312, q313, q315,
-      q319, q320, q321, q322, q323)
+      q319, q320, q321, q322, q323, q324)
 }

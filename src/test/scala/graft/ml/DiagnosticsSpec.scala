@@ -5,6 +5,29 @@ import graft.SparkSpec
 class DiagnosticsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("storeyQ: hand-computed pi0 and q-values; suffix-min monotonicity; pi0 clamp") {
+    // pi0 < 1: one of four p's above lambda=0.5 → pi0 = 1/(0.5·4) = 0.5
+    val df = Seq(("a", 0.01), ("b", 0.02), ("c", 0.03), ("d", 0.9)).toDF("k", "p")
+    val out = graft.ml.Diagnostics.storeyQ(df, "p", Seq("k"))
+      .collect().map(r => r.getAs[String]("k") ->
+        ((r.getAs[Int]("rank"), r.getAs[Double]("pi0"), r.getAs[Double]("q_value")))).toMap
+    assert(out("a")._2 === 0.5)
+    // raw_i = min(1, 0.5·4·p_i/i) = [0.02, 0.02, 0.02, 0.45]; suffix mins
+    assert(out("a")._3 === 0.02 && out("b")._3 === 0.02 && out("c")._3 === 0.02)
+    assert(out("d")._3 === 0.45)
+    // q is monotone nondecreasing in rank by construction
+    val sorted = out.values.toSeq.sortBy(_._1).map(_._3)
+    assert(sorted === sorted.sorted)
+
+    // pi0 clamps at 1 when most p's are large; raw clamps at 1
+    val df2 = Seq(("a", 0.01), ("b", 0.02), ("c", 0.8), ("d", 0.9)).toDF("k", "p")
+    val out2 = graft.ml.Diagnostics.storeyQ(df2, "p", Seq("k"))
+      .collect().map(r => r.getAs[String]("k") -> r.getAs[Double]("q_value")).toMap
+    // pi0 = 2/(0.5·4) = 1.0 → raw = [0.04, 0.04, min(1, 1.0667)=1, 0.9]
+    assert(out2("a") === 0.04 && out2("b") === 0.04)
+    assert(out2("c") === 0.9 && out2("d") === 0.9)
+  }
+
   test("Driscoll-Kraay with L=0 equals the cluster-by-period sandwich exactly") {
     val rows = (0 until 900).map { i =>
       val t = i / 30
