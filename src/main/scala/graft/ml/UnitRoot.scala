@@ -71,4 +71,62 @@ object UnitRoot {
       if (r.reject5pct) 1 else 0))
       .toDF("rho", "t_stat", "drift", "n_obs", "crit_5pct", "reject_5pct")
   }
+
+  /** KPSS (1992) level-stationarity asymptotic 5% critical value. */
+  val KpssCrit5Level: Double = 0.463
+
+  /** KPSS level-stationarity test — the COMPLEMENT of [[dickeyFuller]]
+    * (null flipped: DF's null is a unit root, KPSS's null is
+    * stationarity; agreeing verdicts from both is the standard
+    * pre-forecast certificate): η = Σ S_t²/(n²·σ̂²_LR) with S_t the
+    * demeaned partial sums and σ̂²_LR the Bartlett-weighted long-run
+    * variance with an EXPLICIT lag budget (never silently derived).
+    *
+    * Scale shape: one mean aggregate, ONE distributed prefix pass for
+    * the partial sums ([[graft.ops.Rank.withPrefixSums]] — never a
+    * single-partition window), the γ_l autocovariances from one
+    * self-join per lag on t−l (gaps contribute no pair, the
+    * [[dickeyFuller]] convention), one moment aggregate.
+    */
+  final case class KpssResult(
+      stat: Double,
+      sigma2Lr: Double,
+      nObs: Long,
+      lags: Int,
+      reject5pct: Boolean)
+
+  def kpss(df: DataFrame, tCol: String, valueCol: String, lags: Int = 4): KpssResult = {
+    require(lags >= 0, "UnitRoot.kpss: lags must be >= 0")
+    val base = df.select(col(tCol).cast("long").as("t"), col(valueCol).cast("double").as("y"))
+      .localCheckpoint(true)
+    val mRow = base.agg(count(lit(1)).cast("double"), sum(col("y"))).head()
+    val n = mRow.getDouble(0)
+    require(n >= lags + 2, s"UnitRoot.kpss: need more than lags+1 rows, got ${n.toLong}")
+    val ybar = mRow.getDouble(1) / n
+    val e = base.withColumn("e", col("y") - lit(ybar))
+    val cum = graft.ops.Rank.withPrefixSums(e, Seq(col("t")), Seq("e"))
+    val r0 = cum.agg(
+      sum(col("__cum_e") * col("__cum_e")).as("ss"),
+      sum(col("e") * col("e")).as("g0")).head()
+    val sSq = r0.getAs[Double]("ss")
+    val gamma0 = r0.getAs[Double]("g0") / n
+    var sigma2 = gamma0
+    for (l <- 1 to lags) {
+      val lagged = e.select((col("t") + l).as("t"), col("e").as("elag"))
+      val gl = e.join(lagged, Seq("t"))
+        .agg(coalesce(sum(col("e") * col("elag")), lit(0.0))).head().getDouble(0) / n
+      sigma2 += 2.0 * (1.0 - l.toDouble / (lags + 1.0)) * gl
+    }
+    val stat = sSq / (n * n * sigma2)
+    KpssResult(stat, sigma2, math.round(n), lags, stat > KpssCrit5Level)
+  }
+
+  /** One-row KPSS summary (6dp floor-quantized). */
+  def kpssSummary(spark: org.apache.spark.sql.SparkSession, r: KpssResult): DataFrame = {
+    import spark.implicits._
+    def q6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    Seq((q6(r.stat), q6(r.sigma2Lr), r.nObs, r.lags, KpssCrit5Level,
+      if (r.reject5pct) 1 else 0))
+      .toDF("kpss_stat", "sigma2_lr", "n_obs", "lags", "crit_5pct", "reject_5pct")
+  }
 }

@@ -1980,9 +1980,51 @@ object CoreQueries {
     )
   )
 
+  // ---- C111: KPSS stationarity test (FULL oracle — demeaned partial
+  // sums via the prefix machinery, Bartlett long-run variance from one
+  // lag join per l, closed forms; the null is FLIPPED vs C108's DF —
+  // running both is the standard pre-forecast certificate) --------------
+  val q325 = Q(
+    "q325_kpss",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(floor(unix_timestamp(col("ts")) / 86400).as("day"))
+        .agg(count(lit(1)).cast("double").as("n_events"))
+      val r = graft.ml.UnitRoot.kpss(daily, "day", "n_events", lags = 4)
+      graft.ml.UnitRoot.kpssSummary(s, r)
+    },
+    Some {
+      val gl = (1 to 4).map { l =>
+        s"""g$l AS (SELECT coalesce(sum(a.e*b.e), 0.0) AS g FROM e a
+           |  JOIN (SELECT t + $l AS t, e FROM e) b USING (t))""".stripMargin
+      }.mkString(",\n")
+      val sig = "r0.g0/(SELECT n FROM m)" + (1 to 4).map { l =>
+        s" + 2.0*(1.0 - $l.0/5.0)*((SELECT g FROM g$l)/(SELECT n FROM m))"
+      }.mkString
+      s"""WITH d AS (SELECT floor(epoch(ts)/86400)::BIGINT AS day,
+         |    count(*)::DOUBLE AS y FROM events GROUP BY 1),
+         |m AS (SELECT count(*)::DOUBLE AS n, sum(y) AS sy FROM d),
+         |e AS (SELECT day AS t, y - (SELECT sy/n FROM m) AS e FROM d),
+         |c AS (SELECT t, e, sum(e) OVER (ORDER BY t
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s FROM e),
+         |r0 AS (SELECT sum(s*s) AS ss, sum(e*e) AS g0 FROM c),
+         |$gl,
+         |sg AS (SELECT $sig AS sigma2 FROM r0)
+         |SELECT
+         |  floor((r0.ss/((SELECT n FROM m)*(SELECT n FROM m)*sg.sigma2))*1e6 + 0.5)/1e6
+         |    AS kpss_stat,
+         |  floor(sg.sigma2*1e6 + 0.5)/1e6 AS sigma2_lr,
+         |  (SELECT n FROM m)::BIGINT AS n_obs, 4 AS lags,
+         |  0.463::DOUBLE AS crit_5pct,
+         |  (CASE WHEN r0.ss/((SELECT n FROM m)*(SELECT n FROM m)*sg.sigma2) > 0.463
+         |    THEN 1 ELSE 0 END)::INT AS reject_5pct
+         |FROM r0, sg""".stripMargin
+    }
+  )
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18,
       q19, q36, q37, q38, q41, q42, q43, q59, q68, q70, q74, q79, q80, q90, q91, q94,
       q144, q145, q146, q147, q148, q149, q150, q156, q157, q158, q159, q163, q164, q165,
-      q303, q304, q305, q310, q311, q316, q317, q318)
+      q303, q304, q305, q310, q311, q316, q317, q318, q325)
 }

@@ -94,6 +94,25 @@ class PanelReSpec extends SparkSpec {
     assert(arr.nObs === 299L)
   }
 
+  test("UnitRoot.kpss: stationary AR accepts, random walk rejects — the null flipped vs DF") {
+    val rng = new scala.util.Random(42)
+    val innov = Array.fill(301)(rng.nextGaussian())
+    val ar = Iterator.iterate((0, 0.0)) { case (i, y) => (i + 1, 0.5 * y + innov(i + 1)) }
+      .take(300).map { case (i, y) => (i.toLong, y) }.toSeq
+    val ka = UnitRoot.kpss(ar.toDF("t", "y"), "t", "y", lags = 4)
+    assert(!ka.reject5pct, s"stationary AR must not reject stationarity: ${ka.stat}")
+    val walk = Iterator.iterate((0, 0.0)) { case (i, y) => (i + 1, y + innov(i + 1)) }
+      .take(300).map { case (i, y) => (i.toLong, y) }.toSeq
+    val kw = UnitRoot.kpss(walk.toDF("t", "y"), "t", "y", lags = 4)
+    assert(kw.reject5pct, s"random walk must reject stationarity: ${kw.stat}")
+    assert(ka.nObs === 300L && ka.lags === 4)
+    assert(ka.sigma2Lr > 0.0)
+    // lags=0 degenerates to gamma0 only
+    val k0 = UnitRoot.kpss(ar.toDF("t", "y"), "t", "y", lags = 0)
+    assert(k0.sigma2Lr > 0.0 && math.abs(k0.sigma2Lr - ka.sigma2Lr) > 1e-9,
+      "Bartlett terms must actually contribute")
+  }
+
   test("UnitRoot.dickeyFuller: gaps in t simply contribute no pair") {
     val s = Seq((0L, 1.0), (1L, 2.0), (2L, 1.5), (10L, 9.0), (11L, 8.0), (12L, 8.5))
     val r = UnitRoot.dickeyFuller(s.toDF("t", "y"), "t", "y")
