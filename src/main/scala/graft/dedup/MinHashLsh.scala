@@ -186,6 +186,46 @@ object MinHashLsh {
     */
   val DefaultMaxBucket = 2000
 
+  /** Two-pass hot-bucket cap over any (keyed) frame: pass 1 aggregates
+    * bucket sizes (map-side combined; output is buckets-sized) and keeps
+    * only the HOT keys (> maxBucket members) — by assumption a rare,
+    * small set (degenerate boilerplate buckets), broadcast to the second
+    * pass. Pass 2 left-joins the flag: rows in cold buckets pass through
+    * UNSORTED (no window, no sort — the overwhelmingly common path);
+    * rows in hot buckets alone are ranked by `order` and capped at
+    * `maxBucket`. Kept-set semantics are IDENTICAL to ranking every
+    * bucket — cold buckets keep all members either way — but the cost is
+    * aggregate + broadcast-semi-join + a sort of only the degenerate
+    * slice, not a corpus×bands-sized sort (the r11 regression: the
+    * unconditional window doubled the MinHash bench family).
+    *
+    * `frame` is scanned twice (sizes, then pass-through) — callers
+    * persist it (all current ones do).
+    */
+  private[graft] def capBuckets(
+      frame: DataFrame,
+      keyCols: Seq[String],
+      order: Seq[Column],
+      maxBucket: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = keyCols.map(col)
+    val hot = frame
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("__sz"))
+      .where(col("__sz") > maxBucket)
+      .select(keys :+ lit(true).as("__hot"): _*)
+    val flagged = frame.join(broadcast(hot), keyCols, "left")
+    val cold = flagged.where(col("__hot").isNull).drop("__hot")
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+    val hotCapped = flagged
+      .where(col("__hot"))
+      .drop("__hot")
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= maxBucket)
+      .drop("__rk")
+    cold.unionByName(hotCapped)
+  }
+
   /** Same-bucket candidate pairs (id_a < id_b) from a banded frame.
     *
     * HOT-BUCKET CAP: a degenerate (band, bucket) with m members would
@@ -196,25 +236,24 @@ object MinHashLsh {
     * (deterministic: the members with the smallest (xxhash64(id), id) —
     * the same sample in every band, so the kept members of a degenerate
     * duplicate class still pair with EACH OTHER and collapse into one
-    * connected component; the dropped members are recovered by the
-    * standard second pass of exact-dedup-before-LSH, which removes
-    * byte-identical boilerplate up front). The documented loss is
-    * auditable via [[hotBuckets]] (dropped-member / dropped-pair counts
-    * per capped bucket). The ranking window partitions by
-    * (band, bucket) — the join key, never a single-partition window.
+    * connected component). Cap cost is pay-per-hot-bucket via
+    * [[capBuckets]]: cold buckets are never sorted.
+    *
+    * WHAT THE CAP DROPS: dropped members appear in no candidate pair.
+    * For BYTE-IDENTICAL degenerate docs the standard exact-dedup-first
+    * pass recovers them; for near-identical-but-not-byte-identical
+    * classes larger than `maxBucket` the dropped members silently lose
+    * near-dup coverage — callers trusting full recall must check
+    * [[hotBuckets]] (per-bucket dropped-member / dropped-pair counts;
+    * empty ⇔ the cap never bound).
     */
   private[dedup] def pairsFromBands(
       b: DataFrame,
       idCol: String,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(maxBucket >= 2, "MinHashLsh: maxBucket must be >= 2")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("band"), col("bucket"))
-      .orderBy(xxhash64(col(idCol)), col(idCol))
-    val capped = b
-      .withColumn("__rk", row_number().over(w))
-      .where(col("__rk") <= maxBucket)
-      .drop("__rk")
+    val capped = capBuckets(
+      b, Seq("band", "bucket"), Seq(xxhash64(col(idCol)), col(idCol)), maxBucket)
     val l = capped.select(col("band"), col("bucket"), col(idCol).as("id_a"))
     val r = capped.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     l.join(r, Seq("band", "bucket"))
@@ -379,16 +418,12 @@ object MinHashLsh {
       gramHash: Column => Column = xxhash64(_),
       maxBucket: Int = DefaultMaxBucket
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(maxBucket >= 1, "MinHashLsh.corpusIndex: maxBucket must be >= 1")
     val sh = shingleHashes(corpus, textCol, idCol, shingleSize, gramHash)
     val sig = signaturesFromShingles(sh, idCol, numHashes, seed)
-    val w = Window.partitionBy(col("band"), col("bucket"))
-      .orderBy(xxhash64(col(idCol)), col(idCol))
-    bands(sig, idCol, numBands, numHashes)
-      .withColumn("__rk", row_number().over(w))
-      .where(col("__rk") <= maxBucket)
-      .drop("__rk")
+    capBuckets(
+      bands(sig, idCol, numBands, numHashes),
+      Seq("band", "bucket"), Seq(xxhash64(col(idCol)), col(idCol)), maxBucket)
       .join(
         sig.select(col(idCol).as("corpus_id"), col("sig").as("corpus_sig")),
         col(idCol) === col("corpus_id"))
@@ -477,13 +512,62 @@ object MinHashLsh {
     * parameters (read back from the entry — the caller cannot get them
     * wrong). Existing rows are untouched; the daily-crawl flow is
     * dedupe-the-batch → append-the-survivors.
+    *
+    * GLOBAL CAP ON APPEND: the hot-bucket cap holds across appends, not
+    * just within each batch — repeated daily appends of a degenerate
+    * class must not regrow a (band, bucket) past `maxBucket`, or the
+    * per-serve m-fold fan-out the build-time cap bounds comes back.
+    * Append-only storage cannot replay the build's global
+    * smallest-(xxhash64(id), id) rule without rewriting old files, so
+    * the append policy is FIRST-EPOCH PRIORITY: existing members are
+    * never evicted; each batch admits into a bucket only up to its
+    * remaining quota (maxBucket − existing), choosing the batch's
+    * smallest-(xxhash64(id), id) members — deterministic given the
+    * append order. Cost is pay-per-overflowing-bucket: one aggregate
+    * over the existing index (bucket-count-sized output), one over the
+    * batch, a broadcast of the (tiny) overflowing set; non-overflowing
+    * batch rows append unsorted.
+    *
+    * Returns hotBuckets-style telemetry: one row per bucket where the
+    * quota bound — (band, bucket, existing, incoming, admitted,
+    * dropped). Empty ⇔ every batch row was admitted.
     */
-  def appendIndex(newDocs: DataFrame, textCol: String, idCol: String, path: String): Unit = {
+  def appendIndex(newDocs: DataFrame, textCol: String, idCol: String, path: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val spark = newDocs.sparkSession
     val idx = loadIndex(spark, path)
-    corpusIndex(newDocs, textCol, idCol, idx.numHashes, idx.shingleSize, idx.numBands,
-      idx.seed, idx.gramHashFn, idx.maxBucket)
-      .write.mode("append").parquet(s"$path/bands")
+    val newRows = corpusIndex(newDocs, textCol, idCol, idx.numHashes, idx.shingleSize,
+      idx.numBands, idx.seed, idx.gramHashFn, idx.maxBucket).persist()
+    val newCounts = newRows.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("__nn"))
+    val existCounts = idx.bands.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("__ne"))
+    // overflowing buckets only — tiny by the hot-bucket assumption;
+    // materialized eagerly (it feeds both the admit join and the
+    // telemetry return, and must be read before the append lands)
+    val quota = newCounts
+      .join(existCounts, Seq("band", "bucket"), "left")
+      .withColumn("__ne", coalesce(col("__ne"), lit(0L)))
+      .where(col("__nn") + col("__ne") > idx.maxBucket)
+      .select(
+        col("band"), col("bucket"), col("__ne").as("existing"), col("__nn").as("incoming"),
+        greatest(lit(0L), lit(idx.maxBucket.toLong) - col("__ne")).as("__quota"))
+      .localCheckpoint()
+    val flagged = newRows.join(
+      broadcast(quota.select(col("band"), col("bucket"), col("__quota"))),
+      Seq("band", "bucket"), "left")
+    val pass = flagged.where(col("__quota").isNull).drop("__quota")
+    val w = Window.partitionBy(col("band"), col("bucket"))
+      .orderBy(xxhash64(col("corpus_id")), col("corpus_id"))
+    val ranked = flagged
+      .where(col("__quota").isNotNull)
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= col("__quota"))
+      .drop("__rk", "__quota")
+    pass.unionByName(ranked).write.mode("append").parquet(s"$path/bands")
+    newRows.unpersist(false)
+    quota
+      .withColumn("admitted", least(col("incoming"), col("__quota")))
+      .withColumn("dropped", col("incoming") - col("admitted"))
+      .select("band", "bucket", "existing", "incoming", "admitted", "dropped")
   }
 
   /** Fuzzy-dedupe a NEW batch against a prebuilt index: band join for

@@ -109,11 +109,12 @@ object VideoDedup {
 
   /** Near-duplicate video pairs (id_a < id_b): sampled frames match at
     * hamming ≤ `maxHamming` through the 4×16-bit banded join (complete
-    * for maxHamming ≤ 3 by pigeonhole; buckets capped at `maxBucket`
-    * members — the MinHashLsh hot-bucket contract), and the pair
-    * qualifies when BOTH videos have ≥ `minOverlap` of their sampled
-    * frames matched. Emits per-side matched counts and the min overlap
-    * fraction (4dp).
+    * for maxHamming ≤ 3 by pigeonhole — hence the require; 4+ bit flips
+    * can corrupt all four bands, silently losing candidates; buckets
+    * capped at `maxBucket` members — the MinHashLsh hot-bucket
+    * contract), and the pair qualifies when BOTH videos have ≥
+    * `minOverlap` of their sampled frames matched. Emits per-side
+    * matched counts and the min overlap fraction (4dp).
     */
   def nearDup(
       videos: Dataset[VideoRow],
@@ -122,7 +123,9 @@ object VideoDedup {
       minOverlap: Double = 0.6,
       maxFrames: Int = 512,
       maxBucket: Int = 2000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"VideoDedup.nearDup: the 4-band pigeonhole join is only complete for " +
+        s"maxHamming <= 3 (got $maxHamming)")
     val fh = frameHashes(videos, stride, maxFrames).persist()
     val sizes = fh.groupBy(col("video_id")).agg(count(lit(1)).as("n_sampled"))
     val banded = fh.select(
@@ -134,13 +137,12 @@ object VideoDedup {
       .select(col("video_id"), col("frame_idx"), col("phash"),
         col("bk.band").as("band"), col("bk.key").as("key"))
     // hot-bucket cap (black frames, standard intros): deterministic
-    // hash-sample above maxBucket, the MinHashLsh convention
-    val w = Window.partitionBy(col("band"), col("key"))
-      .orderBy(xxhash64(col("video_id"), col("frame_idx")), col("video_id"), col("frame_idx"))
-    val capped = banded
-      .withColumn("__rk", row_number().over(w))
-      .where(col("__rk") <= maxBucket)
-      .drop("__rk")
+    // hash-sample above maxBucket via the shared two-pass — cold
+    // buckets are never sorted; only the degenerate slice pays
+    val capped = graft.dedup.MinHashLsh.capBuckets(
+      banded, Seq("band", "key"),
+      Seq(xxhash64(col("video_id"), col("frame_idx")), col("video_id"), col("frame_idx")),
+      maxBucket)
     val l = capped.select(col("band"), col("key"), col("video_id").as("va"),
       col("frame_idx").as("fa"), col("phash").as("ha"))
     val r = capped.select(col("band"), col("key"), col("video_id").as("vb"),

@@ -761,10 +761,10 @@ object FixedEffects {
     // broadcast bound) is testable without planting 2M+ groups
     val broadcastGroupLimit = df.sparkSession.conf
       .get("spark.graft.fe.broadcastGroupLimit", "2000000").toLong
+    val feGroupCount: Map[String, Long] =
+      fes.zipWithIndex.map { case (f, i) => f -> scaleRow.getLong(1 + k + i) }.toMap
     val feBroadcast: Map[String, Boolean] =
-      fes.zipWithIndex.map { case (f, i) =>
-        f -> (scaleRow.getLong(1 + k + i) <= broadcastGroupLimit)
-      }.toMap
+      fes.map(f => f -> (feGroupCount(f) <= broadcastGroupLimit)).toMap
 
     def checkpointRdd(d: DataFrame) =
       d.queryExecution.analyzed.collectFirst {
@@ -1087,7 +1087,11 @@ object FixedEffects {
       // exactly; regime parity is spec-pinned at 1e-8.
       import org.apache.spark.sql.graftbridge.Bridge
       val K = fes.length
-      val bigFe = fes.find(f => !feBroadcast(f)).get
+      // pre-partition on the LARGEST non-broadcast dimension (by the
+      // gate's cardinality probe): with two oversized FEs the loop's
+      // shuffle joins land on the bigger key, so the smaller one is the
+      // only per-iteration re-shuffle
+      val bigFe = fes.filter(f => !feBroadcast(f)).maxBy(feGroupCount)
       val cellsCg = cells.repartition(col(bigFe)).persist()
       // every checkpointed CG frame, for release once the tail is done
       val cgFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]

@@ -117,6 +117,10 @@ object UnitRoot {
         .agg(coalesce(sum(col("e") * col("elag")), lit(0.0))).head().getDouble(0) / n
       sigma2 += 2.0 * (1.0 - l.toDouble / (lags + 1.0)) * gl
     }
+    // a constant series gives sigma2 = 0 and a 0/0 = NaN statistic whose
+    // reject5pct would silently read false — fail like dickeyFuller does
+    require(sigma2 > 0,
+      "UnitRoot.kpss: series has no variation (long-run variance is zero)")
     val stat = sSq / (n * n * sigma2)
     KpssResult(stat, sigma2, math.round(n), lags, stat > KpssCrit5Level)
   }

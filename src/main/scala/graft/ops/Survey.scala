@@ -30,6 +30,14 @@ object Survey {
     * of population), mean (null when unsampled), plus the overall
     * stratified mean, its FPC standard error, and the ±1.959964 normal
     * CI repeated on every row (strata-sized window — free).
+    *
+    * EAGER INPUT VALIDATION (one sample scan, strata-sized result,
+    * reused by the estimator): a sample stratum ABSENT from the
+    * population frame would silently vanish through the pop-side join,
+    * biasing the estimate with no coverage signal — it fails instead;
+    * a stratum sampled MORE rows than its claimed population
+    * (n_h > N_h) would make the FPC factor negative and the SE NaN —
+    * the population counts are wrong, so that fails too.
     */
   def stratifiedMean(
       sample: DataFrame,
@@ -44,6 +52,21 @@ object Survey {
         count(lit(1)).cast("double").as("ns"),
         sum(y).as("sy"),
         sum(y * y).as("syy"))
+      .localCheckpoint(true)
+    val popKeys = pop.select(col(strataCol), col("n_pop").cast("double").as("__np_chk"))
+    val orphans = per.join(popKeys, Seq(strataCol), "left_anti")
+      .select(col(strataCol)).limit(5).collect().map(_.get(0))
+    require(orphans.isEmpty,
+      s"Survey.stratifiedMean: sample strata absent from the population frame " +
+        s"(first ${orphans.length}): ${orphans.mkString(", ")} — the pop-side join " +
+        "would silently drop their rows and bias the estimate")
+    val oversized = per.join(popKeys, Seq(strataCol))
+      .where(col("ns") > col("__np_chk"))
+      .select(col(strataCol)).limit(5).collect().map(_.get(0))
+    require(oversized.isEmpty,
+      s"Survey.stratifiedMean: strata sampled more rows than their claimed population " +
+        s"(first ${oversized.length}): ${oversized.mkString(", ")} — the FPC term " +
+        "1 - n_h/N_h would go negative; fix the population counts")
     val joined = pop
       .select(col(strataCol), col("n_pop").cast("double").as("np"))
       .join(per, Seq(strataCol), "left")

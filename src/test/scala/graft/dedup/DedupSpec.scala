@@ -630,6 +630,42 @@ class DedupSpec extends SparkSpec {
     assert(got((2L, 200L)) == 1.0) // appended content found
   }
 
+  test("appendIndex global cap: daily appends of a degenerate class never regrow a bucket past maxBucket") {
+    import org.apache.spark.sql.functions._
+    val base = "boilerplate footer text repeated across every page of the crawled site today"
+    val dir = java.nio.file.Files.createTempDirectory("graft-mh-regrow").toString
+    // day 0: 6 members of the class, cap 10 — under the cap at build
+    val day0 = spark.range(0, 6).select(col("id").as("doc_id"), lit(base).as("text"))
+    MinHashLsh.saveIndex(day0, "text", "doc_id", dir, maxBucket = 10)
+    // day 1: 8 more members — only 4 fit; telemetry must report the drop
+    val day1 = spark.range(100, 108).select(col("id").as("doc_id"), lit(base).as("text"))
+    val tele1 = MinHashLsh.appendIndex(day1, "text", "doc_id", dir)
+      .select("existing", "incoming", "admitted", "dropped")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(tele1.nonEmpty, "quota must bind on day 1")
+    tele1.foreach { case (ex, in, ad, dr) =>
+      assert(ex === 6L && in === 8L && ad === 4L && dr === 4L)
+    }
+    // day 2: the bucket is full — nothing admitted, everything reported
+    val day2 = spark.range(200, 205).select(col("id").as("doc_id"), lit(base).as("text"))
+    val tele2 = MinHashLsh.appendIndex(day2, "text", "doc_id", dir)
+      .select("existing", "incoming", "admitted", "dropped")
+      .as[(Long, Long, Long, Long)].collect()
+    tele2.foreach { case (ex, in, ad, dr) =>
+      assert(ex === 10L && in === 5L && ad === 0L && dr === 5L)
+    }
+    // loadIndex reports a cap the on-disk bands actually satisfy
+    val idx2 = MinHashLsh.loadIndex(spark, dir)
+    val worst = idx2.bands.groupBy("band", "bucket").count().agg(max("count")).head().getLong(0)
+    assert(worst <= 10L, s"append must never regrow a bucket past maxBucket: $worst")
+    // a non-degenerate append in the same batch flow is fully admitted
+    val fresh = Seq((999L, "a completely unrelated document about distributed query planning tonight"))
+      .toDF("doc_id", "text")
+    assert(MinHashLsh.appendIndex(fresh, "text", "doc_id", dir).count() === 0L)
+    assert(MinHashLsh.loadIndex(spark, dir).bands
+      .where(col("corpus_id") === 999L).count() > 0L)
+  }
+
   test("thresholdSweep: planted pairs land in their Jaccard bins, cumulative counts descend correctly") {
     import org.apache.spark.sql.functions._
     // base 20-token doc; copies at decreasing overlap: identical (j=1),
