@@ -44,4 +44,52 @@ object NormalDist {
   def pTwoSided(z: Column): Column = lit(2.0) * (lit(1.0) - phi(abs(z)))
 
   def pTwoSidedSql(z: String): String = s"(2.0*(1.0 - ${phiSql(s"abs($z)")}))"
+
+  /** 1 − Φ(z) as a DRIVER scalar — the identical Zelen & Severo chain
+    * the column form evaluates, so driver-computed p-values (Hausman,
+    * unit roots) stay bit-compatible with the in-plan ones.
+    */
+  def upperTail(z: Double): Double = {
+    val az = math.abs(z)
+    val t = 1.0 / (1.0 + P * az)
+    val pdf = INV_SQRT_2PI * math.exp(-(az * az) / 2.0)
+    val poly = t * (B1 + t * (B2 + t * (B3 + t * (B4 + t * B5))))
+    if (z >= 0) pdf * poly else 1.0 - pdf * poly
+  }
+
+  /** χ²(df) upper tail Q(x; df) for INTEGER df, exact up to the Φ
+    * polynomial: Q₁(x) = 2(1 − Φ(√x)), Q₂(x) = e^(−x/2), and the
+    * standard recurrence Q_{k+2}(x) = Q_k(x) + (x/2)^{k/2}·e^(−x/2)/Γ(k/2+1)
+    * climbs to any df — closed form, no incomplete-gamma iteration, and
+    * df = 1 reproduces the historical 2(1−Φ(√H)) bits exactly.
+    */
+  def chiSqUpperTail(x: Double, df: Int): Double = {
+    require(df >= 1, s"chiSqUpperTail: df must be >= 1, got $df")
+    if (x <= 0) return 1.0
+    if (df % 2 == 1) {
+      // odd: Q1 + e^(-x/2) · Σ terms; term_j = x^(j-1/2)... use the
+      // recurrence directly: k = 1, 3, 5, …
+      var q = 2.0 * upperTail(math.sqrt(x))
+      // Γ(k/2 + 1) for k odd: Γ(3/2)=√π/2, then ·(k/2+… ) — build the
+      // additive term iteratively: t_k = (x/2)^(k/2) e^(-x/2) / Γ(k/2+1)
+      var k = 1
+      var term = math.sqrt(x / 2.0) * math.exp(-x / 2.0) / (math.sqrt(Math.PI) / 2.0)
+      while (k + 2 <= df) {
+        q += term
+        k += 2
+        term *= x / k.toDouble // t_{k} = t_{k-2} · (x/2)/(k/2) = t_{k-2} · x/k
+      }
+      math.min(1.0, math.max(0.0, q))
+    } else {
+      var q = math.exp(-x / 2.0)
+      var term = q
+      var k = 2
+      while (k + 2 <= df) {
+        term *= x / k.toDouble
+        q += term
+        k += 2
+      }
+      math.min(1.0, math.max(0.0, q))
+    }
+  }
 }

@@ -1901,6 +1901,124 @@ object CoreQueries {
     }
   )
 
+  // ---- C107b: TWO-regressor random-effects panel + k-dim Hausman
+  // (FULL oracle — the centered/intercept-eliminated chain makes every
+  // 2×2 solve a Cramer closed form, and the χ²(2) upper tail is exactly
+  // e^(−H/2), so the WHOLE k-dim estimator replays in SQL) ---------------
+  val q326 = Q(
+    "q326_random_effects_k2",
+    (s, dir) => {
+      val m = graft.ml.RandomEffects.fit(
+        Tables.lineitem(s, dir), "l_extendedprice",
+        Seq("l_quantity", "l_discount"), "l_suppkey")
+      graft.ml.RandomEffects.summaryK(s, m).orderBy("name")
+    },
+    Some {
+      s"""WITH g AS (SELECT l_suppkey, count(*)::DOUBLE AS tn,
+         |    sum(l_extendedprice) AS sy,
+         |    sum(l_extendedprice*l_extendedprice) AS syy,
+         |    sum(l_quantity) AS sx1, sum(l_discount) AS sx2,
+         |    sum(l_quantity*l_extendedprice) AS sxy1,
+         |    sum(l_discount*l_extendedprice) AS sxy2,
+         |    sum(l_quantity*l_quantity) AS sxx11,
+         |    sum(l_quantity*l_discount) AS sxx12,
+         |    sum(l_discount*l_discount) AS sxx22
+         |  FROM lineitem GROUP BY 1),
+         |r1 AS (SELECT sum(tn) AS n, count(*)::DOUBLE AS gc, sum(1.0/tn) AS sinvt,
+         |    sum(syy - sy*sy/tn) AS wyy,
+         |    sum(sy/tn) AS bsy, sum((sy/tn)*(sy/tn)) AS bsyy,
+         |    sum(sxy1 - sx1*sy/tn) AS wxy1, sum(sxy2 - sx2*sy/tn) AS wxy2,
+         |    sum(sxx11 - sx1*sx1/tn) AS wxx11,
+         |    sum(sxx12 - sx1*sx2/tn) AS wxx12,
+         |    sum(sxx22 - sx2*sx2/tn) AS wxx22,
+         |    sum(sx1/tn) AS bsx1, sum(sx2/tn) AS bsx2,
+         |    sum((sx1/tn)*(sy/tn)) AS bsxy1, sum((sx2/tn)*(sy/tn)) AS bsxy2,
+         |    sum((sx1/tn)*(sx1/tn)) AS bsxx11,
+         |    sum((sx1/tn)*(sx2/tn)) AS bsxx12,
+         |    sum((sx2/tn)*(sx2/tn)) AS bsxx22
+         |  FROM g),
+         |c1 AS (SELECT r1.*,
+         |    wxx11*wxx22 - wxx12*wxx12 AS detw,
+         |    (wxx22*wxy1 - wxx12*wxy2)/(wxx11*wxx22 - wxx12*wxx12) AS bfe1,
+         |    (wxx11*wxy2 - wxx12*wxy1)/(wxx11*wxx22 - wxx12*wxx12) AS bfe2,
+         |    bsxx11 - bsx1*bsx1/gc AS bv11, bsxx12 - bsx1*bsx2/gc AS bv12,
+         |    bsxx22 - bsx2*bsx2/gc AS bv22,
+         |    bsxy1 - bsx1*bsy/gc AS bvy1, bsxy2 - bsx2*bsy/gc AS bvy2,
+         |    bsyy - bsy*bsy/gc AS bvyy
+         |  FROM r1),
+         |c2 AS (SELECT c1.*,
+         |    (wyy - bfe1*wxy1 - bfe2*wxy2)/(n - gc - 2.0) AS sige2,
+         |    bv11*bv22 - bv12*bv12 AS detb,
+         |    (bv22*bvy1 - bv12*bvy2)/(bv11*bv22 - bv12*bv12) AS bb1,
+         |    (bv11*bvy2 - bv12*bvy1)/(bv11*bv22 - bv12*bv12) AS bb2
+         |  FROM c1),
+         |c3 AS (SELECT c2.*,
+         |    greatest(0.0,
+         |      (bvyy - bb1*bvy1 - bb2*bvy2)/(gc - 3.0) - sige2/(gc/sinvt)) AS sigu2
+         |  FROM c2),
+         |gt AS (SELECT g.*, c3.sige2, c3.sigu2, c3.n, c3.gc,
+         |    c3.bfe1, c3.bfe2, c3.detw, c3.wxx11, c3.wxx12, c3.wxx22,
+         |    1.0 - sqrt(c3.sige2/(g.tn*c3.sigu2 + c3.sige2)) AS th
+         |  FROM g, c3),
+         |r2 AS (SELECT any_value(sige2) AS sige2, any_value(sigu2) AS sigu2,
+         |    any_value(n) AS n, any_value(gc) AS gc,
+         |    any_value(bfe1) AS bfe1, any_value(bfe2) AS bfe2,
+         |    any_value(detw) AS detw, any_value(wxx11) AS wxx11,
+         |    any_value(wxx12) AS wxx12, any_value(wxx22) AS wxx22,
+         |    sum(sxy1 - (2.0*th - th*th)*sx1*sy/tn) AS txy1,
+         |    sum(sxy2 - (2.0*th - th*th)*sx2*sy/tn) AS txy2,
+         |    sum(sxx11 - (2.0*th - th*th)*sx1*sx1/tn) AS txx11,
+         |    sum(sxx12 - (2.0*th - th*th)*sx1*sx2/tn) AS txx12,
+         |    sum(sxx22 - (2.0*th - th*th)*sx2*sx2/tn) AS txx22,
+         |    sum((1.0 - th)*(1.0 - th)*sx1) AS tix1,
+         |    sum((1.0 - th)*(1.0 - th)*sx2) AS tix2,
+         |    sum((1.0 - th)*(1.0 - th)*sy) AS tiy,
+         |    sum(tn*(1.0 - th)*(1.0 - th)) AS tii,
+         |    min(th) AS thmin, max(th) AS thmax
+         |  FROM gt),
+         |f1 AS (SELECT r2.*,
+         |    txx11 - tix1*tix1/tii AS tc11, txx12 - tix1*tix2/tii AS tc12,
+         |    txx22 - tix2*tix2/tii AS tc22,
+         |    txy1 - tix1*tiy/tii AS ty1, txy2 - tix2*tiy/tii AS ty2
+         |  FROM r2),
+         |f2 AS (SELECT f1.*,
+         |    tc11*tc22 - tc12*tc12 AS dett,
+         |    (tc22*ty1 - tc12*ty2)/(tc11*tc22 - tc12*tc12) AS bre1,
+         |    (tc11*ty2 - tc12*ty1)/(tc11*tc22 - tc12*tc12) AS bre2
+         |  FROM f1),
+         |f3 AS (SELECT f2.*,
+         |    (tiy - bre1*tix1 - bre2*tix2)/tii AS are,
+         |    sige2*wxx22/detw - sige2*tc22/dett AS dv11,
+         |    -sige2*wxx12/detw + sige2*tc12/dett AS dv12,
+         |    sige2*wxx11/detw - sige2*tc11/dett AS dv22,
+         |    bfe1 - bre1 AS d1, bfe2 - bre2 AS d2
+         |  FROM f2),
+         |f4 AS (SELECT f3.*,
+         |    CASE WHEN dv11 > 0 AND dv22 > 0
+         |           AND dv11*dv22 - dv12*dv12 <> 0
+         |           AND (d1*(dv22*d1 - dv12*d2) + d2*(dv11*d2 - dv12*d1))
+         |             /(dv11*dv22 - dv12*dv12) > 0
+         |      THEN (d1*(dv22*d1 - dv12*d2) + d2*(dv11*d2 - dv12*d1))
+         |             /(dv11*dv22 - dv12*dv12) END AS h
+         |  FROM f3),
+         |names(name, ord) AS (VALUES ('l_quantity', 1), ('l_discount', 2))
+         |SELECT name,
+         |  floor((CASE WHEN ord = 1 THEN bre1 ELSE bre2 END)*1e6 + 0.5)/1e6 AS b_re,
+         |  floor((CASE WHEN ord = 1 THEN bfe1 ELSE bfe2 END)*1e6 + 0.5)/1e6 AS b_fe,
+         |  floor(are*1e6 + 0.5)/1e6 AS icept_re,
+         |  floor(sqrt(sigu2)*1e6 + 0.5)/1e6 AS sigma_u,
+         |  floor(sqrt(sige2)*1e6 + 0.5)/1e6 AS sigma_e,
+         |  floor(thmin*1e6 + 0.5)/1e6 AS theta_min,
+         |  floor(thmax*1e6 + 0.5)/1e6 AS theta_max,
+         |  floor(h*1e6 + 0.5)/1e6 AS hausman,
+         |  2::INT AS hausman_df,
+         |  floor(exp(-h/2.0)*1e6 + 0.5)/1e6 AS p_hausman,
+         |  CAST(n AS BIGINT) AS n, CAST(gc AS BIGINT) AS groups
+         |FROM f4, names
+         |ORDER BY name""".stripMargin
+    }
+  )
+
   // ---- C108: Dickey–Fuller unit-root test (FULL oracle — the lag
   // pairs come from an equi-join on t−1, never a window; Cramer
   // slope/SE closed forms; the MacKinnon critical value ships as a
@@ -2026,5 +2144,5 @@ object CoreQueries {
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18,
       q19, q36, q37, q38, q41, q42, q43, q59, q68, q70, q74, q79, q80, q90, q91, q94,
       q144, q145, q146, q147, q148, q149, q150, q156, q157, q158, q159, q163, q164, q165,
-      q303, q304, q305, q310, q311, q316, q317, q318, q325)
+      q303, q304, q305, q310, q311, q316, q317, q318, q325, q326)
 }

@@ -76,6 +76,117 @@ class PanelReSpec extends SparkSpec {
     assert(gs.length === 30)
   }
 
+  test("RandomEffects k=2: dense replica parity at 1e-8, k-dim Hausman") {
+    // two regressors with distinct within/between structure
+    val rows = for (g <- 0 until 40; i <- 0 until 8) yield {
+      val x1 = math.sin(g * 1.7 + i * 0.9) * 2 + g * 0.05
+      val x2 = math.cos(g * 0.7 + i * 1.3) + g * 0.02
+      val u = 1.5 * math.cos(g * 2.3)
+      val e = 0.3 * math.sin(g * 5.1 + i * 3.7)
+      (s"g$g", x1, x2, 2.0 * x1 - 1.0 * x2 + u + e)
+    }
+    val df = rows.toDF("g", "x1", "x2", "y")
+    val m = RandomEffects.fit(df, "y", Seq("x1", "x2"), "g")
+    assert(m.hausmanDf === 2)
+    assert(m.n === 320L && m.groups === 40L)
+
+    // dense driver replica of the identical closed-form chain
+    val data = rows.toArray
+    val byG = data.groupBy(_._1).values.toArray
+    val gcnt = byG.length.toDouble
+    val nTot = data.length.toDouble
+    def stats(grp: Array[(String, Double, Double, Double)]) = {
+      val tn = grp.length.toDouble
+      val sx = Array(grp.map(_._2).sum, grp.map(_._3).sum)
+      val sy = grp.map(_._4).sum
+      val sxx = Array.tabulate(2, 2)((i, j) =>
+        grp.map(r => (if (i == 0) r._2 else r._3) * (if (j == 0) r._2 else r._3)).sum)
+      val sxy = Array.tabulate(2)(i => grp.map(r => (if (i == 0) r._2 else r._3) * r._4).sum)
+      val syy = grp.map(r => r._4 * r._4).sum
+      (tn, sx, sy, sxx, sxy, syy)
+    }
+    val gs = byG.map(stats)
+    val wxx = Array.tabulate(2, 2)((i, j) =>
+      gs.map { case (tn, sx, _, sxx, _, _) => sxx(i)(j) - sx(i) * sx(j) / tn }.sum)
+    val wxy = Array.tabulate(2)(i =>
+      gs.map { case (tn, sx, sy, _, sxy, _) => sxy(i) - sx(i) * sy / tn }.sum)
+    val wyy = gs.map { case (tn, _, sy, _, _, syy) => syy - sy * sy / tn }.sum
+    val bFe = LinAlg.solve(wxx, wxy)
+    assert(math.abs(m.bFe(0) - bFe(0)) < 1e-8 && math.abs(m.bFe(1) - bFe(1)) < 1e-8,
+      s"FE parity: ${m.bFe.toSeq} vs ${bFe.toSeq}")
+    val sigE2 = (wyy - bFe(0) * wxy(0) - bFe(1) * wxy(1)) / (nTot - gcnt - 2.0)
+    assert(math.abs(m.sigmaE - math.sqrt(sigE2)) < 1e-8)
+    // between (centered group means)
+    val mx = gs.map { case (tn, sx, _, _, _, _) => Array(sx(0) / tn, sx(1) / tn) }
+    val my = gs.map { case (tn, _, sy, _, _, _) => sy / tn }
+    val bvxx = Array.tabulate(2, 2)((i, j) =>
+      mx.map(v => v(i) * v(j)).sum - mx.map(_(i)).sum * mx.map(_(j)).sum / gcnt)
+    val bvxy = Array.tabulate(2)(i =>
+      mx.zip(my).map { case (v, w) => v(i) * w }.sum - mx.map(_(i)).sum * my.sum / gcnt)
+    val bvyy = my.map(v => v * v).sum - my.sum * my.sum / gcnt
+    val bB = LinAlg.solve(bvxx, bvxy)
+    val sig2B = (bvyy - bB(0) * bvxy(0) - bB(1) * bvxy(1)) / (gcnt - 3.0)
+    val tHar = gcnt / gs.map { case (tn, _, _, _, _, _) => 1.0 / tn }.sum
+    val sigU2 = math.max(0.0, sig2B - sigE2 / tHar)
+    assert(math.abs(m.sigmaU - math.sqrt(sigU2)) < 1e-8, s"${m.sigmaU} vs ${math.sqrt(sigU2)}")
+    // θ-transformed GLS (balanced panel: single θ)
+    val gls = gs.map { case (tn, sx, sy, sxx, sxy, syy) =>
+      val th = 1.0 - math.sqrt(sigE2 / (tn * sigU2 + sigE2))
+      val sh = 2.0 * th - th * th
+      val om = (1.0 - th) * (1.0 - th)
+      (Array.tabulate(2, 2)((i, j) => sxx(i)(j) - sh * sx(i) * sx(j) / tn),
+        Array.tabulate(2)(i => sxy(i) - sh * sx(i) * sy / tn),
+        Array.tabulate(2)(i => om * sx(i)), om * sy, tn * om)
+    }
+    val txx = Array.tabulate(2, 2)((i, j) => gls.map(_._1(i)(j)).sum)
+    val txy = Array.tabulate(2)(i => gls.map(_._2(i)).sum)
+    val tix = Array.tabulate(2)(i => gls.map(_._3(i)).sum)
+    val tiy = gls.map(_._4).sum
+    val tii = gls.map(_._5).sum
+    val txxC = Array.tabulate(2, 2)((i, j) => txx(i)(j) - tix(i) * tix(j) / tii)
+    val txyC = Array.tabulate(2)(i => txy(i) - tix(i) * tiy / tii)
+    val bRe = LinAlg.solve(txxC, txyC)
+    assert(math.abs(m.bRe(0) - bRe(0)) < 1e-8 && math.abs(m.bRe(1) - bRe(1)) < 1e-8,
+      s"RE parity: ${m.bRe.toSeq} vs ${bRe.toSeq}")
+    val aRe = (tiy - bRe(0) * tix(0) - bRe(1) * tix(1)) / tii
+    assert(math.abs(m.icept - aRe) < 1e-8)
+    // k-dim Hausman quadratic form
+    val vFe = LinAlg.inverse(wxx).map(_.map(_ * sigE2))
+    val vRe = LinAlg.inverse(txxC).map(_.map(_ * sigE2))
+    val dV = Array.tabulate(2, 2)((i, j) => vFe(i)(j) - vRe(i)(j))
+    val dB = Array.tabulate(2)(i => bFe(i) - bRe(i))
+    val hRef = LinAlg.dot(dB, LinAlg.solve(dV, dB))
+    if (!m.hausman.isNaN) {
+      assert(math.abs(m.hausman - hRef) < 1e-8, s"${m.hausman} vs $hRef")
+      // exogenous effects by construction: no rejection at χ²(2) 5%
+      assert(m.hausman < 5.99, s"H ${m.hausman}")
+      assert(m.pValue > 0.05)
+    }
+    // k=1 overload must equal the general path exactly
+    val m1 = RandomEffects.fit(df, "y", "x1", "g")
+    val mk1 = RandomEffects.fit(df, "y", Seq("x1"), "g")
+    assert(m1.bRe === mk1.bRe(0) && m1.bFe === mk1.bFe(0) && m1.hausman === mk1.hausman)
+  }
+
+  test("RandomEffects k=2: chiSqUpperTail recurrence matches known values") {
+    import graft.functions.NormalDist.chiSqUpperTail
+    // χ²(2): Q(x) = e^(-x/2) exactly
+    assert(math.abs(chiSqUpperTail(5.99, 2) - math.exp(-5.99 / 2)) < 1e-15)
+    // χ²(4) at x=9.49 ≈ 0.05 (the textbook 5% critical value)
+    assert(math.abs(chiSqUpperTail(9.488, 4) - 0.05) < 1e-3)
+    // χ²(1) reproduces the portable-Φ bits: 2(1−Φ(√x))
+    val x = 3.841
+    val viaPhi = 2.0 * graft.functions.NormalDist.upperTail(math.sqrt(x))
+    assert(chiSqUpperTail(x, 1) === viaPhi)
+    assert(math.abs(chiSqUpperTail(x, 1) - 0.05) < 1e-3)
+    // χ²(3) at 7.815 ≈ 0.05 and χ²(5) at 11.07 ≈ 0.05 (odd recurrence)
+    assert(math.abs(chiSqUpperTail(7.815, 3) - 0.05) < 1e-3)
+    assert(math.abs(chiSqUpperTail(11.070, 5) - 0.05) < 1e-3)
+    // monotone in x, bounded
+    assert(chiSqUpperTail(0.0, 3) === 1.0)
+    assert(chiSqUpperTail(100.0, 3) < 1e-15)
+  }
+
   test("UnitRoot.dickeyFuller: random walk fails to reject; AR(0.5) rejects") {
     // seeded gaussian innovations: a SUM of sin(kθ) terms is bounded
     // (almost-periodic), i.e. secretly stationary — a genuine random
