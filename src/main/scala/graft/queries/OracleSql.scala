@@ -391,6 +391,65 @@ object OracleSql {
     * pass's weighted Gram rides along for the information/robust SEs.
     * `src` must provide (x1, x2, y ≥ 0).
     */
+  /** 3-parameter POISSON IRLS (intercept + two covariates) as a
+    * recursive CTE — [[graft.ml.Glm.poisson]]'s exact loop (log link:
+    * μ = exp(clamp(η, ±30)), w = μ, z = η + (y−μ)/μ, the ln((y+ȳ)/2)
+    * initializer, |Δdev|/(|dev|+0.1) < tol stop), per-pass normal
+    * equations through [[pivotSolve3]]. The [[negbinIrls3]] skeleton
+    * with the α update removed (NB2 at α ≡ 0 IS Poisson). Emits `psyb`,
+    * `psit` and `psfin(b0, b1, b2, s11..s33, i, done)` — the final
+    * pass's weighted Gram rides along for the information/robust SEs
+    * (the bread is the Gram of the pass that PRODUCED the final β).
+    * `src` must provide (x1, x2, y ≥ 0).
+    */
+  def poissonIrls3(src: String, tol: Double = 1e-9, maxIter: Int = 30): String = {
+    val sums =
+      """sum(w) OVER () AS s11, sum(w*x1) OVER () AS s12,
+        |               sum(w*x2) OVER () AS s13, sum(w*x1*x1) OVER () AS s22,
+        |               sum(w*x1*x2) OVER () AS s23, sum(w*x2*x2) OVER () AS s33,
+        |               sum(w*z) OVER () AS c1, sum(w*x1*z) OVER () AS c2,
+        |               sum(w*x2*z) OVER () AS c3,
+        |               sum(devterm) OVER () AS devnow""".stripMargin
+    def solved(inner: String): String =
+      pivotSolve3(inner, "s11", "s12", "s13", "s22", "s23", "s33",
+        "c1", "c2", "c3", "nb0", "nb1", "nb2")
+    s"""psyb AS (SELECT sum(1.0*y)/sum(1.0) AS yb FROM $src),
+       |psit AS (
+       |  SELECT 0 AS i, 0.0::DOUBLE AS b0, 0.0::DOUBLE AS b1, 0.0::DOUBLE AS b2,
+       |    CAST('infinity' AS DOUBLE) AS dev,
+       |    0.0::DOUBLE AS s11, 0.0::DOUBLE AS s12, 0.0::DOUBLE AS s13,
+       |    0.0::DOUBLE AS s22, 0.0::DOUBLE AS s23, 0.0::DOUBLE AS s33,
+       |    false AS done
+       |  UNION ALL
+       |  SELECT i + 1, nb0, nb1, nb2, devnow,
+       |    s11, s12, s13, s22, s23, s33,
+       |    abs(devnow - dev)/(abs(devnow) + 0.1) < $tol
+       |  FROM ${solved(s"""(
+       |      SELECT DISTINCT i, dev, $sums
+       |        FROM (
+       |          SELECT i, dev, x1, x2, y, mu, mu AS w,
+       |            eta + (y - mu)/mu AS z,
+       |            2.0*((CASE WHEN y > 0.0 THEN y*ln(y/mu) ELSE 0.0 END)
+       |                 - (y - mu)) AS devterm
+       |          FROM (
+       |            SELECT i, dev, x1, x2, y, eta,
+       |              exp(least(greatest(eta, -30.0), 30.0)) AS mu
+       |            FROM (
+       |              SELECT q0.i AS i, q0.dev AS dev,
+       |                d0.x1 AS x1, d0.x2 AS x2, d0.y AS y,
+       |                CASE WHEN q0.i = 0
+       |                  THEN ln((d0.y + (SELECT yb FROM psyb))/2.0)
+       |                  ELSE 1.0*q0.b0 + d0.x1*q0.b1 + d0.x2*q0.b2 END AS eta
+       |              FROM psit q0, $src d0
+       |              WHERE q0.i < $maxIter AND NOT q0.done)
+       |          )
+       |        )
+       |      )""")}
+       |),
+       |psfin AS (SELECT b0, b1, b2, s11, s12, s13, s22, s23, s33, i, done
+       |          FROM psit WHERE i = (SELECT max(i) FROM psit))""".stripMargin
+  }
+
   def negbinIrls3(src: String, tol: Double = 1e-9, maxIter: Int = 50): String = {
     val sums =
       """sum(w) OVER () AS s11, sum(w*x1) OVER () AS s12,

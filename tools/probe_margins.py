@@ -29,9 +29,36 @@ TABLES = [
 QUANT_TAIL = "*1e6 + 0.5"
 
 
+def strip_round(sql: str) -> str:
+    """Replace round(EXPR, n) with (EXPR), paren-matched (4dp oracles)."""
+    out = sql
+    pos = 0
+    while True:
+        i = out.find("round(", pos)
+        if i < 0:
+            break
+        depth = 0
+        k = i + len("round(") - 1
+        while k < len(out):
+            if out[k] == "(":
+                depth += 1
+            elif out[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        inner = out[i + len("round("):k]
+        m = re.match(r"^(.*),\s*(\d+)\s*$", inner, re.S)
+        if m:
+            out = out[:i] + "(" + m.group(1) + ")" + out[k + 1:]
+        else:
+            pos = i + 6
+    return out
+
+
 def strip_quantizers(sql: str) -> str:
     """Replace floor(EXPR*1e6 + 0.5)/1e6 with (EXPR), paren-matched."""
-    out = sql
+    out = strip_round(sql)
     while True:
         i = out.find("floor(")
         if i < 0:
@@ -70,7 +97,9 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{p}')")
     worst_overall = None
-    for q in queries:
+    for qspec in queries:
+        q, _, dp = qspec.partition(":")
+        grid = 10.0 ** int(dp) if dp else 1e6
         if q not in sqls:
             print(f"{q}: no oracle SQL")
             continue
@@ -91,12 +120,12 @@ def main():
                 continue
             margins = []
             for v in vals:
-                u = v * 1e6 + 0.5
+                u = v * grid + 0.5
                 fr = u - math.floor(u)
                 margins.append(min(fr, 1.0 - fr))
             m = min(margins)
             v_at = vals[margins.index(m)]
-            m_val = m / 1e6  # grid distance -> value units
+            m_val = m / grid  # grid distance -> value units
             noise = abs(v_at) * 1e-14 + 1e-18
             ratio = m_val / noise
             rows.append((c, m_val, v_at, ratio))
