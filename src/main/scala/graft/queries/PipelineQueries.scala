@@ -5261,9 +5261,14 @@ object PipelineQueries {
     )
   )
 
-  // ---- C61: Huber robust regression (rows-only: IRLS with a MAD scale
-  // is iterative; RobustSpec pins a dense replica and the
-  // outlier-resistance contrast vs plain OLS) --------------------------
+  // ---- C61: Huber robust regression (FULL oracle, r12: the whole
+  // proposal-2 IRLS as a recursive CTE — per pass the EXACT median
+  // |residual| via quantile_cont as a window aggregate (Spark's
+  // `percentile` and DuckDB's quantile_cont share the (n−1)·p
+  // interpolation), σ = max(MAD/0.6745, 1e-12), the Huber weight
+  // row-locally, the weighted 3-param normal equations through
+  // OracleSql.pivotSolve3 (bit-exact LinAlg elimination), stop on
+  // max |Δβ| < 1e-9; the i = 0 seed row is the plain-OLS init) ---------
 
   val q202 = Q(
     "q202_huber",
@@ -5272,7 +5277,65 @@ object PipelineQueries {
         Tables.lineitem(s, dir), "l_extendedprice", Seq("l_quantity", "l_discount"))
       graft.ml.Robust.summary(s, m).orderBy("name")
     },
-    None
+    Some {
+      val sums =
+        """sum(w) OVER () AS s11, sum(w*x1) OVER () AS s12,
+          |             sum(w*x2) OVER () AS s13, sum(w*x1*x1) OVER () AS s22,
+          |             sum(w*x1*x2) OVER () AS s23, sum(w*x2*x2) OVER () AS s33,
+          |             sum(w*y) OVER () AS c1, sum(w*x1*y) OVER () AS c2,
+          |             sum(w*x2*y) OVER () AS c3""".stripMargin
+      val solvedInit = OracleSql.pivotSolve3(
+        s"""(SELECT count(*)::DOUBLE AS s11, sum(x1) AS s12, sum(x2) AS s13,
+           |    sum(x1*x1) AS s22, sum(x1*x2) AS s23, sum(x2*x2) AS s33,
+           |    sum(y) AS c1, sum(x1*y) AS c2, sum(x2*y) AS c3
+           |  FROM src)""".stripMargin,
+        "s11", "s12", "s13", "s22", "s23", "s33", "c1", "c2", "c3",
+        "nb0", "nb1", "nb2")
+      val solvedStep = OracleSql.pivotSolve3(
+        s"""(
+           |  SELECT DISTINCT i, b0, b1, b2, sigma,
+           |             $sums
+           |  FROM (
+           |    SELECT i, b0, b1, b2, x1, x2, y, sigma,
+           |      least(1.0, (1.345*sigma)/greatest(abs(r), 1e-300)) AS w
+           |    FROM (
+           |      SELECT i, b0, b1, b2, x1, x2, y, r,
+           |        greatest(md/0.6745, 1e-12) AS sigma
+           |      FROM (
+           |        SELECT q.i, q.b0, q.b1, q.b2, d.x1, d.x2, d.y,
+           |          d.y - (q.b0 + q.b1*d.x1 + q.b2*d.x2) AS r,
+           |          quantile_cont(abs(d.y - (q.b0 + q.b1*d.x1 + q.b2*d.x2)), 0.5)
+           |            OVER () AS md
+           |        FROM hbit q, src d WHERE q.i < 30 AND NOT q.done)
+           |    )
+           |  )
+           |)""".stripMargin,
+        "s11", "s12", "s13", "s22", "s23", "s33", "c1", "c2", "c3",
+        "nb0", "nb1", "nb2")
+      s"""WITH RECURSIVE src AS (
+         |  SELECT l_extendedprice::DOUBLE AS y, l_quantity::DOUBLE AS x1,
+         |         l_discount::DOUBLE AS x2
+         |  FROM lineitem),
+         |hbit AS (
+         |  SELECT 0 AS i, nb0 AS b0, nb1 AS b1, nb2 AS b2,
+         |    0.0::DOUBLE AS sigma, 0.0::DOUBLE AS swt, false AS done
+         |  FROM $solvedInit
+         |  UNION ALL
+         |  SELECT i + 1, nb0, nb1, nb2, sigma, s11,
+         |    greatest(abs(nb0 - b0), abs(nb1 - b1), abs(nb2 - b2)) < 1e-9
+         |  FROM $solvedStep
+         |),
+         |hbfin AS (SELECT * FROM hbit WHERE i = (SELECT max(i) FROM hbit)),
+         |names(name, ord) AS (VALUES ('(intercept)', 0), ('l_quantity', 1),
+         |                            ('l_discount', 2))
+         |SELECT name,
+         |  floor((CASE ord WHEN 0 THEN b0 WHEN 1 THEN b1 ELSE b2 END)*1e6
+         |    + 0.5)/1e6 AS coef,
+         |  floor(sigma*1e6 + 0.5)/1e6 AS sigma,
+         |  i::INT AS iters,
+         |  CAST(floor(swt + 0.5) AS BIGINT) AS n
+         |FROM hbfin, names ORDER BY name""".stripMargin
+    }
   )
 
   // ---- T65: split-conformal prediction intervals (FULL oracle — id%2
