@@ -1,0 +1,97 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Newey–West HAC (heteroskedasticity-and-autocorrelation-consistent)
+  * standard errors for OLS on a time-indexed frame (Newey & West 1987)
+  * — the time-series companion of [[Ols]]'s cluster-robust sandwich
+  * (SURVEY §2 C113): serially correlated errors make the plain OLS SEs
+  * lie, and a trend regression on any aggregated event series IS
+  * serially correlated. Bread (X'X)⁻¹; meat S = Γ̂₀ + Σ_{l≤L}
+  * w_l(Γ̂_l + Γ̂_lᵀ) with Bartlett weights w_l = 1 − l/(L+1), Γ̂_l =
+  * Σ_t u_t u_{t−l} x_t x_{t−l}ᵀ on the OLS residuals u.
+  *
+  * Scale shape: one [[Ols.fit]] Gram pass; Γ̂₀ is one more aggregate of
+  * row-local expressions; each Γ̂_l is ONE equi-join of the (t, u, x)
+  * frame on key = t−l (the [[UnitRoot.kpss]] Bartlett convention —
+  * gaps contribute no pair, shuffles only on the time key) reduced to
+  * k² sums. L is an explicit small budget, never derived from n; all
+  * k×k algebra is driver-side [[LinAlg]].
+  */
+object Hac {
+
+  final case class NwModel(
+      names: Seq[String],
+      coef: Array[Double],
+      seNw: Array[Double],
+      seOls: Array[Double],
+      lags: Int,
+      n: Long)
+
+  def neweyWest(
+      df: DataFrame,
+      tCol: String,
+      yCol: String,
+      xCols: Seq[String],
+      lags: Int = 4): NwModel = {
+    require(lags >= 0, "Hac.neweyWest: lags must be >= 0")
+    val base = df.select(
+      (col(tCol).cast("long").as("__t") +:
+        col(yCol).cast("double").as("__y") +:
+        xCols.map(c => col(c).cast("double").as(c))): _*)
+      .localCheckpoint(true) // read by the fit pass + one join per lag
+    val model = Ols.fit(base, "__y", xCols)
+    val k = model.coef.length
+    require(model.n > k + lags, "Hac.neweyWest: not enough observations")
+    val xcols: Seq[Column] = lit(1.0) +: xCols.map(c => col(c).cast("double"))
+    val uCol = col("__y") - Ols.fittedCol(model)
+    // (t, u, x…) — the lag joins re-read this narrow frame
+    val scored = base.select(
+      (col("__t") +: uCol.as("__u") +: xCols.map(c => col(c))): _*)
+
+    def gammaOf(rows: DataFrame, ua: Column, ub: Column,
+        xa: Int => Column, xb: Int => Column): Array[Array[Double]] = {
+      // coalesce: a lag join past the series end has zero pairs
+      val aggs = for (i <- 0 until k; j <- 0 until k)
+        yield coalesce(sum(ua * ub * xa(i) * xb(j)), lit(0.0))
+      val row = rows.agg(aggs.head, aggs.tail: _*).head()
+      Array.tabulate(k, k)((i, j) => row.getDouble(i * k + j))
+    }
+
+    // Γ0: Σ u² x xᵀ — symmetric, one pass
+    val xAt: Int => Column = i => if (i == 0) lit(1.0) else col(xCols(i - 1))
+    val s = gammaOf(scored, col("__u"), col("__u"), xAt, xAt)
+    for (l <- 1 to lags) {
+      val lagged = scored.select(
+        ((col("__t") + l).as("__t") +: col("__u").as("__ul") +:
+          xCols.map(c => col(c).as(s"__l_$c"))): _*)
+      val joined = scored.join(lagged, Seq("__t"))
+      val xbAt: Int => Column = i => if (i == 0) lit(1.0) else col(s"__l_${xCols(i - 1)}")
+      val gl = gammaOf(joined, col("__u"), col("__ul"), xAt, xbAt)
+      val w = 1.0 - l.toDouble / (lags + 1.0)
+      for (i <- 0 until k; j <- 0 until k)
+        s(i)(j) += w * (gl(i)(j) + gl(j)(i))
+    }
+    val bread = LinAlg.inverse(model.gram)
+    val v = LinAlg.matMul(LinAlg.matMul(bread, s), bread)
+    NwModel(
+      model.xNames, model.coef,
+      Array.tabulate(k)(i => math.sqrt(v(i)(i))),
+      model.seHomoskedastic,
+      lags, model.n)
+  }
+
+  /** One row per parameter (6dp floor-quantized): name, coef, se_nw,
+    * se_ols (the naive comparator — the gap is the serial-correlation
+    * correction), t_nw, plus lags and n repeated.
+    */
+  def summary(spark: org.apache.spark.sql.SparkSession, m: NwModel): DataFrame = {
+    import spark.implicits._
+    def q6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    m.names.indices.map { i =>
+      (m.names(i), q6(m.coef(i)), q6(m.seNw(i)), q6(m.seOls(i)),
+        q6(m.coef(i) / m.seNw(i)), m.lags, m.n)
+    }.toDF("name", "coef", "se_nw", "se_ols", "t_nw", "lags", "n")
+  }
+}

@@ -133,4 +133,56 @@ object UnitRoot {
       if (r.reject5pct) 1 else 0))
       .toDF("kpss_stat", "sigma2_lr", "n_obs", "lags", "crit_5pct", "reject_5pct")
   }
+
+  final case class LjungBoxResult(
+      qStat: Double,
+      lags: Int,
+      nObs: Long,
+      pValue: Double,
+      reject5pct: Boolean)
+
+  /** Ljung–Box white-noise portmanteau test (Ljung & Box 1978) — "do
+    * the first h autocorrelations of this series look like noise?",
+    * the residual-diagnostic companion of [[dickeyFuller]]/[[kpss]]
+    * (run it on a forecast model's residuals; a rejection means
+    * structure the model missed): Q = n(n+2)·Σ_{k≤h} r̂²_k/(n−k) with
+    * r̂_k the demeaned lag-k autocorrelation, compared to χ²(h) via
+    * [[graft.functions.NormalDist.chiSqUpperTail]].
+    *
+    * Scale shape: one mean aggregate, then ONE t−k equi-join per lag
+    * (the [[kpss]] Bartlett convention — gaps contribute no pair,
+    * shuffles only on the time key), each reduced to a single moment;
+    * h is an explicit small budget, never derived from n.
+    */
+  def ljungBox(df: DataFrame, tCol: String, valueCol: String, lags: Int = 6): LjungBoxResult = {
+    require(lags >= 1, "UnitRoot.ljungBox: lags must be >= 1")
+    val base = df.select(col(tCol).cast("long").as("t"), col(valueCol).cast("double").as("y"))
+      .localCheckpoint(true)
+    val mRow = base.agg(count(lit(1)).cast("double"), sum(col("y"))).head()
+    val n = mRow.getDouble(0)
+    require(n >= lags + 2, s"UnitRoot.ljungBox: need more than lags+1 rows, got ${n.toLong}")
+    val ybar = mRow.getDouble(1) / n
+    val e = base.withColumn("e", col("y") - lit(ybar))
+    val g0 = e.agg(sum(col("e") * col("e"))).head().getDouble(0)
+    require(g0 > 0, "UnitRoot.ljungBox: series has no variation")
+    var q = 0.0
+    for (k <- 1 to lags) {
+      val lagged = e.select((col("t") + k).as("t"), col("e").as("elag"))
+      val gk = e.join(lagged, Seq("t"))
+        .agg(coalesce(sum(col("e") * col("elag")), lit(0.0))).head().getDouble(0)
+      val r = gk / g0
+      q += r * r / (n - k)
+    }
+    val stat = n * (n + 2.0) * q
+    val p = graft.functions.NormalDist.chiSqUpperTail(stat, lags)
+    LjungBoxResult(stat, lags, math.round(n), p, p < 0.05)
+  }
+
+  /** One-row Ljung–Box summary (6dp floor-quantized). */
+  def ljungBoxSummary(spark: org.apache.spark.sql.SparkSession, r: LjungBoxResult): DataFrame = {
+    import spark.implicits._
+    def q6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    Seq((q6(r.qStat), r.lags, r.nObs, q6(r.pValue), if (r.reject5pct) 1 else 0))
+      .toDF("q_stat", "lags", "n_obs", "p_value", "reject_5pct")
+  }
 }

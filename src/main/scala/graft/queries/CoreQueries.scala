@@ -2326,9 +2326,124 @@ object CoreQueries {
     }
   )
 
+  // ---- C112: Ljung–Box white-noise portmanteau (FULL oracle — one
+  // t−k equi-join per lag like q325's Bartlett terms, the exact
+  // ascending Q accumulation, and the χ²(6) tail's even-df recurrence
+  // unrolled in the same IEEE order as NormalDist.chiSqUpperTail) ------
+  val q327 = Q(
+    "q327_ljung_box",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(floor(unix_timestamp(col("ts")) / 86400).as("day"))
+        .agg(count(lit(1)).cast("double").as("n_events"))
+      val r = graft.ml.UnitRoot.ljungBox(daily, "day", "n_events", lags = 6)
+      graft.ml.UnitRoot.ljungBoxSummary(s, r)
+    },
+    Some {
+      val lagTerms = (1 to 6).map { k =>
+        s"""g$k AS (SELECT coalesce(sum(a.e*b.e), 0.0) AS g
+           |  FROM e a JOIN (SELECT t + $k AS t, e FROM e) b USING (t))""".stripMargin
+      }.mkString(",\n")
+      val qSum = (1 to 6).map(k =>
+        s"((SELECT g FROM g$k)/g0.g0)*((SELECT g FROM g$k)/g0.g0)/(m.n - $k.0)")
+        .mkString(" + ")
+      s"""WITH d AS (SELECT floor(epoch(ts)/86400)::BIGINT AS t,
+         |             count(*)::DOUBLE AS y FROM events GROUP BY 1),
+         |m AS (SELECT count(*)::DOUBLE AS n, sum(y) AS sy FROM d),
+         |e AS (SELECT t, y - (SELECT sy/n FROM m) AS e FROM d),
+         |g0 AS (SELECT sum(e*e) AS g0 FROM e),
+         |$lagTerms,
+         |st AS (SELECT m.n, m.n*(m.n + 2.0)*($qSum) AS stat FROM m, g0),
+         |pt AS (SELECT st.*, exp(-stat/2.0) AS ex FROM st),
+         |pv AS (SELECT pt.*,
+         |    least(1.0, greatest(0.0,
+         |      ex + ex*(stat/2.0) + (ex*(stat/2.0))*(stat/4.0))) AS p
+         |  FROM pt)
+         |SELECT floor(stat*1e6 + 0.5)/1e6 AS q_stat, 6::INT AS lags,
+         |  CAST(n AS BIGINT) AS n_obs, floor(p*1e6 + 0.5)/1e6 AS p_value,
+         |  (CASE WHEN p < 0.05 THEN 1 ELSE 0 END)::INT AS reject_5pct
+         |FROM pv""".stripMargin
+    }
+  )
+
+  // ---- C113: Newey–West HAC standard errors for a trend regression
+  // (FULL oracle — OLS via the replayed 2×2 pivot solve, Γ0 one pass,
+  // each Γ_l a t−l equi-join reduced to the 2×2 meat, Bartlett fold in
+  // ascending-l order, bread/meat/bread closed forms) ------------------
+  val q328 = Q(
+    "q328_newey_west",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(floor(unix_timestamp(col("ts")) / 86400).as("day"))
+        .agg(count(lit(1)).cast("double").as("n_events"))
+      val d0 = daily.agg(min(col("day"))).head().getLong(0)
+      val idx = daily.withColumn("tidx", (col("day") - d0).cast("double"))
+      val m = graft.ml.Hac.neweyWest(idx, "day", "n_events", Seq("tidx"), lags = 4)
+      graft.ml.Hac.summary(s, m).orderBy("name")
+    },
+    Some {
+      // per-lag Γ_l moments: x_t(0)=1, x_t(1)=t — γij = Σ u_t·u_{t−l}·x_t(i)·x_{t−l}(j)
+      val lagG = (1 to 4).map { l =>
+        s"""nw$l AS (SELECT
+           |    coalesce(sum(a.u*b.u), 0.0) AS g00,
+           |    coalesce(sum(a.u*b.u*b.x), 0.0) AS g01,
+           |    coalesce(sum(a.u*b.u*a.x), 0.0) AS g10,
+           |    coalesce(sum(a.u*b.u*a.x*b.x), 0.0) AS g11
+           |  FROM u a JOIN (SELECT t + $l AS t, u, x FROM u) b USING (t))""".stripMargin
+      }.mkString(",\n")
+      def w(l: Int) = s"(1.0 - $l.0/5.0)"
+      val s00 = "s000" + (1 to 4).map(l => s" + ${w(l)}*((SELECT g00 FROM nw$l) + (SELECT g00 FROM nw$l))").mkString
+      val s01 = "s010" + (1 to 4).map(l => s" + ${w(l)}*((SELECT g01 FROM nw$l) + (SELECT g10 FROM nw$l))").mkString
+      val s11 = "s110" + (1 to 4).map(l => s" + ${w(l)}*((SELECT g11 FROM nw$l) + (SELECT g11 FROM nw$l))").mkString
+      s"""WITH d AS (SELECT floor(epoch(ts)/86400)::BIGINT AS day,
+         |             count(*)::DOUBLE AS y FROM events GROUP BY 1),
+         |dd AS (SELECT (day - (SELECT min(day) FROM d))::DOUBLE AS x, y,
+         |         day AS t FROM d),
+         |g AS (SELECT count(*)::DOUBLE AS g11r, sum(x) AS g12, sum(x*x) AS g22,
+         |        sum(y) AS c1, sum(x*y) AS c2, sum(y*y) AS syy FROM dd),
+         |b AS (SELECT g.*,
+         |    CASE WHEN abs(g12) > abs(g11r) THEN g12 ELSE g11r END AS m00,
+         |    CASE WHEN abs(g12) > abs(g11r) THEN g22 ELSE g12 END AS m01,
+         |    CASE WHEN abs(g12) > abs(g11r) THEN c2 ELSE c1 END AS v0,
+         |    CASE WHEN abs(g12) > abs(g11r) THEN g11r ELSE g12 END AS m10,
+         |    CASE WHEN abs(g12) > abs(g11r) THEN g12 ELSE g22 END AS m11,
+         |    CASE WHEN abs(g12) > abs(g11r) THEN c1 ELSE c2 END AS v1
+         |  FROM g),
+         |b2 AS (SELECT b.*,
+         |    (v1 - (m10/m00)*v0)/(m11 - (m10/m00)*m01) AS b1 FROM b),
+         |b3 AS (SELECT b2.*, (v0 - m01*b1)/m00 AS b0 FROM b2),
+         |u AS (SELECT dd.t, dd.x, dd.y - (b3.b0 + b3.b1*dd.x) AS u FROM dd, b3),
+         |g0m AS (SELECT sum(u*u) AS s000, sum(u*u*x) AS s010,
+         |          sum(u*u*x*x) AS s110 FROM u),
+         |$lagG,
+         |sm AS (SELECT $s00 AS s00, $s01 AS s01, $s11 AS s11 FROM g0m),
+         |fin AS (SELECT b3.*, sm.s00, sm.s01, sm.s11,
+         |    g11r*g22 - g12*g12 AS det,
+         |    (g22*g22*sm.s00 - 2.0*g22*g12*sm.s01 + g12*g12*sm.s11)
+         |      /((g11r*g22 - g12*g12)*(g11r*g22 - g12*g12)) AS v00,
+         |    (g12*g12*sm.s00 - 2.0*g12*g11r*sm.s01 + g11r*g11r*sm.s11)
+         |      /((g11r*g22 - g12*g12)*(g11r*g22 - g12*g12)) AS v11,
+         |    (syy - 2.0*(b0*c1 + b1*c2)
+         |      + (b0*(g11r*b0 + g12*b1) + b1*(g12*b0 + g22*b1)))
+         |      /(g11r - 2.0) AS sig2
+         |  FROM b3, sm),
+         |names(name, ord) AS (VALUES ('(intercept)', 0), ('tidx', 1))
+         |SELECT name,
+         |  floor((CASE ord WHEN 0 THEN b0 ELSE b1 END)*1e6 + 0.5)/1e6 AS coef,
+         |  floor(sqrt(CASE ord WHEN 0 THEN v00 ELSE v11 END)*1e6 + 0.5)/1e6
+         |    AS se_nw,
+         |  floor(sqrt(sig2*(CASE ord WHEN 0 THEN g22 ELSE g11r END)/det)*1e6
+         |    + 0.5)/1e6 AS se_ols,
+         |  floor(((CASE ord WHEN 0 THEN b0 ELSE b1 END)
+         |    /sqrt(CASE ord WHEN 0 THEN v00 ELSE v11 END))*1e6 + 0.5)/1e6 AS t_nw,
+         |  4::INT AS lags, CAST(g11r AS BIGINT) AS n
+         |FROM fin, names ORDER BY name""".stripMargin
+    }
+  )
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18,
       q19, q36, q37, q38, q41, q42, q43, q59, q68, q70, q74, q79, q80, q90, q91, q94,
       q144, q145, q146, q147, q148, q149, q150, q156, q157, q158, q159, q163, q164, q165,
-      q303, q304, q305, q310, q311, q316, q317, q318, q325, q326)
+      q303, q304, q305, q310, q311, q316, q317, q318, q325, q326, q327, q328)
 }

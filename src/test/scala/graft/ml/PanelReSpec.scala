@@ -230,6 +230,83 @@ class PanelReSpec extends SparkSpec {
     assert(r.nObs === 4L) // (1,2),(2,?) wait: pairs at t=1,2,11,12
   }
 
+  test("UnitRoot.ljungBox: white noise accepts, AR(0.6) rejects; dense replica parity") {
+    val rng = new scala.util.Random(7)
+    val noise = (0 until 300).map(i => (i.toLong, rng.nextGaussian()))
+    val lbN = UnitRoot.ljungBox(noise.toDF("t", "y"), "t", "y", lags = 6)
+    assert(!lbN.reject5pct, s"white noise must not reject: Q=${lbN.qStat} p=${lbN.pValue}")
+    val innov = Array.fill(301)(rng.nextGaussian())
+    val ar = Iterator.iterate((0, 0.0)) { case (i, y) => (i + 1, 0.6 * y + innov(i + 1)) }
+      .take(300).map { case (i, y) => (i.toLong, y) }.toSeq
+    val lbA = UnitRoot.ljungBox(ar.toDF("t", "y"), "t", "y", lags = 6)
+    assert(lbA.reject5pct && lbA.pValue < 0.01, s"AR must reject: Q=${lbA.qStat}")
+    // dense replica of the exact chain
+    val ys = ar.map(_._2).toArray
+    val n = ys.length.toDouble
+    val yb = ys.sum / n
+    val e = ys.map(_ - yb)
+    val g0 = e.map(v => v * v).sum
+    var q = 0.0
+    for (k <- 1 to 6) {
+      val gk = (k until e.length).map(t => e(t) * e(t - k)).sum
+      val r = gk / g0
+      q += r * r / (n - k)
+    }
+    val stat = n * (n + 2.0) * q
+    assert(math.abs(lbA.qStat - stat) < 1e-8, s"${lbA.qStat} vs $stat")
+    assert(lbA.nObs === 300L && lbA.lags === 6)
+    // degenerate guards
+    intercept[IllegalArgumentException](
+      UnitRoot.ljungBox(Seq((0L, 1.0), (1L, 1.0), (2L, 1.0), (3L, 1.0), (4L, 1.0),
+        (5L, 1.0), (6L, 1.0), (7L, 1.0)).toDF("t", "y"), "t", "y", lags = 6))
+  }
+
+  test("Hac.neweyWest: dense replica parity; NW widens SEs under serial correlation") {
+    // trend + AR(0.8) errors: the textbook case where OLS SEs lie
+    val rng = new scala.util.Random(11)
+    var u = 0.0
+    val rows = (0 until 400).map { t =>
+      u = 0.8 * u + rng.nextGaussian()
+      (t.toLong, t.toDouble, 1.5 + 0.02 * t + u)
+    }
+    val df = rows.toDF("t", "x", "y")
+    val m = Hac.neweyWest(df, "t", "y", Seq("x"), lags = 4)
+    assert(m.names === Seq("(intercept)", "x"))
+    assert(math.abs(m.coef(1) - 0.02) < 0.01, s"trend ${m.coef(1)}")
+    // serial correlation inflates the NW SE over the naive OLS SE
+    assert(m.seNw(1) > 1.5 * m.seOls(1),
+      s"NW must widen the slope SE: ${m.seNw(1)} vs ${m.seOls(1)}")
+    // dense replica of the whole sandwich
+    val xs = rows.map(_._2).toArray
+    val ys = rows.map(_._3).toArray
+    val n = xs.length.toDouble
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxx = xs.map(v => v * v).sum
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val b1 = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val b0 = (sy - b1 * sx) / n
+    assert(math.abs(m.coef(0) - b0) < 1e-8 && math.abs(m.coef(1) - b1) < 1e-8)
+    val res = xs.zip(ys).map { case (x, y) => y - b0 - b1 * x }
+    val s = Array.ofDim[Double](2, 2)
+    def xv(t: Int, i: Int) = if (i == 0) 1.0 else xs(t)
+    for (i <- 0 to 1; j <- 0 to 1)
+      s(i)(j) = res.indices.map(t => res(t) * res(t) * xv(t, i) * xv(t, j)).sum
+    for (l <- 1 to 4) {
+      val w = 1.0 - l / 5.0
+      val g = Array.tabulate(2, 2)((i, j) =>
+        (l until res.length).map(t => res(t) * res(t - l) * xv(t, i) * xv(t - l, j)).sum)
+      for (i <- 0 to 1; j <- 0 to 1) s(i)(j) += w * (g(i)(j) + g(j)(i))
+    }
+    val gram = Array(Array(n, sx), Array(sx, sxx))
+    val inv = LinAlg.inverse(gram)
+    val v = LinAlg.matMul(LinAlg.matMul(inv, s), inv)
+    assert(math.abs(m.seNw(0) - math.sqrt(v(0)(0))) < 1e-8)
+    assert(math.abs(m.seNw(1) - math.sqrt(v(1)(1))) < 1e-8)
+    // lags = 0 degenerates to plain HC0
+    val m0 = Hac.neweyWest(df, "t", "y", Seq("x"), lags = 0)
+    assert(m0.seNw(1) < m.seNw(1), "Bartlett terms must contribute under AR errors")
+  }
+
   test("Causal.rdd: planted jump recovered, slopes recovered, kernel respected") {
     // y = 3 + 0.5·r below the cutoff, y = 10 + 0.5·r above → τ = 7
     val rows = (0 until 4000).map { i =>
