@@ -82,6 +82,80 @@ object Hac {
       lags, model.n)
   }
 
+  final case class CoModel(
+      rho: Double,
+      b0: Double,
+      b1: Double,
+      seB1: Double,
+      nPairs: Long,
+      iters: Int,
+      converged: Boolean)
+
+  /** Cochrane–Orcutt iterative FGLS for AR(1) errors (Cochrane &
+    * Orcutt 1949) — where [[neweyWest]] only FIXES the SEs, CO fixes
+    * the ESTIMATE: iterate ρ̂ = Σu_t u_{t−1}/Σu²_{t−1} on the current
+    * residuals, quasi-difference (y*, x*) = (y_t − ρy_{t−1},
+    * x_t − ρx_{t−1}), re-fit, until ρ settles. The first observation
+    * is dropped (classic CO, not Prais–Winsten); the level intercept
+    * is recovered as α* / (1 − ρ).
+    *
+    * Scale shape: the lag-pair frame is built ONCE (one t−1 equi-join
+    * — gaps contribute no pair, the [[UnitRoot]] convention — then
+    * localCheckpoint'ed); each iteration is two aggregates over it
+    * (the ρ moment and the 2-param transformed Gram). Nothing
+    * corpus-sized moves per iteration.
+    */
+  def cochraneOrcutt(
+      df: DataFrame,
+      tCol: String,
+      yCol: String,
+      xCol: String,
+      tol: Double = 1e-8,
+      maxIter: Int = 50): CoModel = {
+    val base = df.select(
+      col(tCol).cast("long").as("t"),
+      col(yCol).cast("double").as("y"),
+      col(xCol).cast("double").as("x"))
+      .localCheckpoint(true)
+    val lagged = base.select((col("t") + 1L).as("t"),
+      col("y").as("ylag"), col("x").as("xlag"))
+    val pairs = base.join(lagged, Seq("t")).localCheckpoint(true)
+    val init = Ols.fit(base, "y", Seq("x"))
+    var b0 = init.coef(0); var b1 = init.coef(1)
+    var rho = 0.0
+    var model: OlsModel = null
+    var iter = 0
+    var done = false
+    while (iter < maxIter && !done) {
+      val u = col("y") - (lit(b0) + lit(b1) * col("x"))
+      val ul = col("ylag") - (lit(b0) + lit(b1) * col("xlag"))
+      val rRow = pairs.agg(sum(u * ul), sum(ul * ul)).head()
+      require(rRow.getDouble(1) > 0, "Hac.cochraneOrcutt: lagged residuals degenerate")
+      val rhoNew = rRow.getDouble(0) / rRow.getDouble(1)
+      require(math.abs(rhoNew) < 1.0,
+        s"Hac.cochraneOrcutt: |rho| >= 1 ($rhoNew) — difference the series instead")
+      val transformed = pairs
+        .withColumn("__ys", col("y") - lit(rhoNew) * col("ylag"))
+        .withColumn("__xs", col("x") - lit(rhoNew) * col("xlag"))
+      model = Ols.fit(transformed, "__ys", Seq("__xs"))
+      b1 = model.coef(1)
+      b0 = model.coef(0) / (1.0 - rhoNew)
+      done = math.abs(rhoNew - rho) < tol
+      rho = rhoNew
+      iter += 1
+    }
+    CoModel(rho, b0, b1, model.seHomoskedastic(1), model.n, iter, done)
+  }
+
+  /** One-row CO summary (6dp floor-quantized). */
+  def coSummary(spark: org.apache.spark.sql.SparkSession, m: CoModel): DataFrame = {
+    import spark.implicits._
+    def q6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    Seq((q6(m.rho), q6(m.b0), q6(m.b1), q6(m.seB1), m.nPairs, m.iters,
+      if (m.converged) 1 else 0))
+      .toDF("rho", "b0", "b1", "se_b1", "n_pairs", "iters", "converged")
+  }
+
   /** One row per parameter (6dp floor-quantized): name, coef, se_nw,
     * se_ols (the naive comparator — the gap is the serial-correlation
     * correction), t_nw, plus lags and n repeated.

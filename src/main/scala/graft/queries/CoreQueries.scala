@@ -2441,9 +2441,111 @@ object CoreQueries {
     }
   )
 
+  // ---- C114: Cochrane–Orcutt AR(1) FGLS (FULL oracle — the whole
+  // iterate-ρ/quasi-difference/re-fit loop as a recursive CTE: the ρ
+  // moment and the 2-param transformed normal equations are window
+  // sums over the ONCE-built lag-pair frame, the 2×2 solve replays the
+  // pivot order, the level intercept recovers as α*/(1−ρ), and the
+  // final homoskedastic SE replays the Gram-identity SSR) --------------
+  val q329 = Q(
+    "q329_cochrane_orcutt",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(floor(unix_timestamp(col("ts")) / 86400).as("day"))
+        .agg(count(lit(1)).cast("double").as("n_events"))
+      val d0 = daily.agg(min(col("day"))).head().getLong(0)
+      val idx = daily.withColumn("tidx", (col("day") - d0).cast("double"))
+      val m = graft.ml.Hac.cochraneOrcutt(idx, "day", "n_events", "tidx")
+      graft.ml.Hac.coSummary(s, m)
+    },
+    Some {
+      s"""WITH RECURSIVE d AS (
+         |  SELECT floor(epoch(ts)/86400)::BIGINT AS t,
+         |         count(*)::DOUBLE AS y FROM events GROUP BY 1),
+         |dd AS (SELECT t, y, (t - (SELECT min(t) FROM d))::DOUBLE AS x FROM d),
+         |im AS (SELECT count(*)::DOUBLE AS g11, sum(x) AS g12, sum(x*x) AS g22,
+         |         sum(y) AS c1, sum(x*y) AS c2 FROM dd),
+         |ip AS (SELECT im.*,
+         |    CASE WHEN abs(g12) > abs(g11) THEN g12 ELSE g11 END AS m00,
+         |    CASE WHEN abs(g12) > abs(g11) THEN g22 ELSE g12 END AS m01,
+         |    CASE WHEN abs(g12) > abs(g11) THEN c2 ELSE c1 END AS v0,
+         |    CASE WHEN abs(g12) > abs(g11) THEN g11 ELSE g12 END AS m10,
+         |    CASE WHEN abs(g12) > abs(g11) THEN g12 ELSE g22 END AS m11,
+         |    CASE WHEN abs(g12) > abs(g11) THEN c1 ELSE c2 END AS v1
+         |  FROM im),
+         |ini AS (SELECT ib1, (v0 - m01*ib1)/m00 AS ib0
+         |  FROM (SELECT ip.*,
+         |          (v1 - (m10/m00)*v0)/(m11 - (m10/m00)*m01) AS ib1 FROM ip)),
+         |pr AS (SELECT a.t, a.y, a.x, b.y AS ylag, b.x AS xlag
+         |  FROM dd a JOIN (SELECT t + 1 AS t, y, x FROM dd) b USING (t)),
+         |coit AS (
+         |  SELECT 0 AS i, 0.0::DOUBLE AS rho, ib0 AS b0, ib1 AS b1,
+         |    0.0::DOUBLE AS aa, 0.0::DOUBLE AS tn, 0.0::DOUBLE AS tsx,
+         |    0.0::DOUBLE AS tsxx, 0.0::DOUBLE AS tsy, 0.0::DOUBLE AS tsxy,
+         |    0.0::DOUBLE AS tsyy, false AS done
+         |  FROM ini
+         |  UNION ALL
+         |  SELECT i + 1, rho2, aa2/(1.0 - rho2), nb1, aa2,
+         |    tn, tsx, tsxx, tsy, tsxy, tsyy,
+         |    abs(rho2 - rho) < 1e-8
+         |  FROM (
+         |    SELECT s4.*, (v0 - m01*nb1)/m00 AS aa2
+         |    FROM (
+         |      SELECT s3.*,
+         |        (v1 - (m10/m00)*v0)/(m11 - (m10/m00)*m01) AS nb1
+         |      FROM (
+         |        SELECT s2.*,
+         |          CASE WHEN abs(tsx) > abs(tn) THEN tsx ELSE tn END AS m00,
+         |          CASE WHEN abs(tsx) > abs(tn) THEN tsxx ELSE tsx END AS m01,
+         |          CASE WHEN abs(tsx) > abs(tn) THEN tsxy ELSE tsy END AS v0,
+         |          CASE WHEN abs(tsx) > abs(tn) THEN tn ELSE tsx END AS m10,
+         |          CASE WHEN abs(tsx) > abs(tn) THEN tsx ELSE tsxx END AS m11,
+         |          CASE WHEN abs(tsx) > abs(tn) THEN tsy ELSE tsxy END AS v1
+         |        FROM (
+         |          SELECT DISTINCT i, rho, rho2,
+         |            count(*) OVER ()::DOUBLE AS tn,
+         |            sum(xs) OVER () AS tsx, sum(xs*xs) OVER () AS tsxx,
+         |            sum(ys) OVER () AS tsy, sum(xs*ys) OVER () AS tsxy,
+         |            sum(ys*ys) OVER () AS tsyy
+         |          FROM (
+         |            SELECT i, rho, rho2, y - rho2*ylag AS ys,
+         |              x - rho2*xlag AS xs
+         |            FROM (
+         |              SELECT s0.*,
+         |                sum(u*ul) OVER ()/sum(ul*ul) OVER () AS rho2
+         |              FROM (
+         |                SELECT q.i, q.rho, p.y, p.x, p.ylag, p.xlag,
+         |                  p.y - (q.b0 + q.b1*p.x) AS u,
+         |                  p.ylag - (q.b0 + q.b1*p.xlag) AS ul
+         |                FROM coit q, pr p
+         |                WHERE q.i < 50 AND NOT q.done) s0
+         |            ) s1
+         |          ) s1b
+         |        ) s2
+         |      ) s3
+         |    ) s4
+         |  ) s5
+         |),
+         |cofin AS (SELECT * FROM coit WHERE i = (SELECT max(i) FROM coit)),
+         |sef AS (SELECT cofin.*,
+         |    (tsyy - 2.0*(aa*tsy + b1*tsxy)
+         |      + (aa*(tn*aa + tsx*b1) + b1*(tsx*aa + tsxx*b1)))
+         |      /(tn - 2.0) AS sig2
+         |  FROM cofin)
+         |SELECT floor(rho*1e6 + 0.5)/1e6 AS rho,
+         |  floor(b0*1e6 + 0.5)/1e6 AS b0,
+         |  floor(b1*1e6 + 0.5)/1e6 AS b1,
+         |  floor(sqrt(sig2*tn/(tn*tsxx - tsx*tsx))*1e6 + 0.5)/1e6 AS se_b1,
+         |  CAST(tn AS BIGINT) AS n_pairs, i::INT AS iters,
+         |  (CASE WHEN done THEN 1 ELSE 0 END)::INT AS converged
+         |FROM sef""".stripMargin
+    }
+  )
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18,
       q19, q36, q37, q38, q41, q42, q43, q59, q68, q70, q74, q79, q80, q90, q91, q94,
       q144, q145, q146, q147, q148, q149, q150, q156, q157, q158, q159, q163, q164, q165,
-      q303, q304, q305, q310, q311, q316, q317, q318, q325, q326, q327, q328)
+      q303, q304, q305, q310, q311, q316, q317, q318, q325, q326, q327, q328,
+      q329)
 }

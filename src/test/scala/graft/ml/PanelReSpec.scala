@@ -307,6 +307,53 @@ class PanelReSpec extends SparkSpec {
     assert(m0.seNw(1) < m.seNw(1), "Bartlett terms must contribute under AR errors")
   }
 
+  test("Hac.cochraneOrcutt: AR(1) errors — rho recovered, slope de-biased SE, dense parity") {
+    val rng = new scala.util.Random(3)
+    var u = 0.0
+    val rows = (0 until 500).map { t =>
+      u = 0.7 * u + rng.nextGaussian()
+      (t.toLong, t.toDouble, 2.0 + 0.05 * t + u)
+    }
+    val df = rows.toDF("t", "x", "y")
+    val m = Hac.cochraneOrcutt(df, "t", "y", "x")
+    assert(m.converged, s"must converge: iters=${m.iters}")
+    assert(math.abs(m.rho - 0.7) < 0.1, s"rho ${m.rho}")
+    assert(math.abs(m.b1 - 0.05) < 0.01, s"slope ${m.b1}")
+    assert(m.nPairs === 499L)
+    // dense replica of the full iteration
+    val xs = rows.map(_._2).toArray; val ys = rows.map(_._3).toArray
+    def ols(xv: Array[Double], yv: Array[Double]): (Double, Double) = {
+      val n = xv.length.toDouble
+      val sx = xv.sum; val sy = yv.sum
+      val sxx = xv.map(v => v * v).sum
+      val sxy = xv.zip(yv).map { case (a, b) => a * b }.sum
+      val b1 = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      ((sy - b1 * sx) / n, b1)
+    }
+    var (db0, db1) = ols(xs, ys)
+    var drho = 0.0
+    var it = 0; var dn = false
+    while (it < 50 && !dn) {
+      val res = xs.indices.map(t => ys(t) - db0 - db1 * xs(t))
+      val num = (1 until res.length).map(t => res(t) * res(t - 1)).sum
+      val den = (1 until res.length).map(t => res(t - 1) * res(t - 1)).sum
+      val rho2 = num / den
+      val ysT = (1 until xs.length).map(t => ys(t) - rho2 * ys(t - 1)).toArray
+      val xsT = (1 until xs.length).map(t => xs(t) - rho2 * xs(t - 1)).toArray
+      val (a, b) = ols(xsT, ysT)
+      db1 = b; db0 = a / (1.0 - rho2)
+      dn = math.abs(rho2 - drho) < 1e-8
+      drho = rho2; it += 1
+    }
+    assert(math.abs(m.rho - drho) < 1e-8, s"${m.rho} vs $drho")
+    assert(math.abs(m.b1 - db1) < 1e-8 && math.abs(m.b0 - db0) < 1e-6)
+    assert(m.iters === it)
+    // guard: an exactly-linear series leaves zero lagged residuals — raises
+    val exact = (0 until 100).map { t => (t.toLong, t.toDouble, 2.0 * t) }
+    intercept[IllegalArgumentException](
+      Hac.cochraneOrcutt(exact.toDF("t", "x", "y"), "t", "y", "x"))
+  }
+
   test("Causal.rdd: planted jump recovered, slopes recovered, kernel respected") {
     // y = 3 + 0.5·r below the cutoff, y = 10 + 0.5·r above → τ = 7
     val rows = (0 until 4000).map { i =>
