@@ -1536,9 +1536,12 @@ object CoreQueries {
     }
   )
 
-  // ---- C48: quantile regression (rows-only: the pinball LP has no
-  // ANSI-SQL form; QuantileRegSpec pins analytic heteroskedastic
-  // quantile lines, the subgradient certificate, and the τ resid split)
+  // ---- C48: quantile regression (FULL oracle, r12: the δ-smoothed
+  // IRLS is a deterministic loop — OLS init, auto-δ from mean |OLS
+  // residual|, per-pass weighted 2-param pivot solve with the pinball
+  // loss, subgradient z-gap certificate, best-iterate tracking,
+  // 3-strikes no-improve counter and the triple stopping rule all
+  // replay in a recursive CTE, once per τ) -----------------------------
 
   val q158 = Q(
     "q158_quantile_reg",
@@ -1559,7 +1562,109 @@ object CoreQueries {
         Seq("n" -> m50.n, "iters_p50" -> m50.iters.toLong, "iters_p90" -> m90.iters.toLong,
           "converged" -> (if (m50.converged && m90.converged) 1L else 0L)))
     },
-    None
+    Some {
+      val MaxD = "1.7976931348623157e308"
+      // one recursion per τ: OLS init, auto-δ, per-pass weighted pivot
+      // solve + pinball loss + subgradient gap, best-iterate tracking,
+      // the exact triple stop (certificate / smooth loss / 3 strikes)
+      def qr(tag: String, tau: Double): String = {
+        val tau1 = 1.0 - tau
+        val tt = tau * (1.0 - tau)
+        s"""${tag}ini AS (SELECT ip.*,
+           |    (v0 - m01*ib1)/m00 AS ib0,
+           |    sqrt($tt*g11) AS gse0, sqrt($tt*g22) AS gse1
+           |  FROM (SELECT qp.*,
+           |          (v1 - (m10/m00)*v0)/(m11 - (m10/m00)*m01) AS ib1
+           |        FROM (SELECT qm.*,
+           |            CASE WHEN abs(g12) > abs(g11) THEN g12 ELSE g11 END AS m00,
+           |            CASE WHEN abs(g12) > abs(g11) THEN g22 ELSE g12 END AS m01,
+           |            CASE WHEN abs(g12) > abs(g11) THEN c2 ELSE c1 END AS v0,
+           |            CASE WHEN abs(g12) > abs(g11) THEN g11 ELSE g12 END AS m10,
+           |            CASE WHEN abs(g12) > abs(g11) THEN g12 ELSE g22 END AS m11,
+           |            CASE WHEN abs(g12) > abs(g11) THEN c1 ELSE c2 END AS v1
+           |          FROM (SELECT sum(1.0*1.0) AS g11, sum(1.0*x) AS g12,
+           |                  sum(x*x) AS g22, sum(1.0*y) AS c1, sum(x*y) AS c2
+           |                FROM src) qm) qp) ip),
+           |${tag}dlt AS (SELECT greatest(1e-12,
+           |    1e-3*avg(abs(d.y - (i.ib0 + i.ib1*d.x)))) AS de
+           |  FROM src d, ${tag}ini i),
+           |${tag}it AS (
+           |  SELECT 0 AS i, ib0 AS b0, ib1 AS b1, $MaxD AS prevloss,
+           |    $MaxD AS bestloss, ib1 AS bestb1, $MaxD AS bestgap,
+           |    0 AS noimp, false AS done, 0::BIGINT AS nn
+           |  FROM ${tag}ini
+           |  UNION ALL
+           |  SELECT i + 1, nb0, nb1, lossnow,
+           |    CASE WHEN lossnow < bestloss THEN lossnow ELSE bestloss END,
+           |    CASE WHEN lossnow < bestloss THEN b1 ELSE bestb1 END,
+           |    CASE WHEN lossnow < bestloss THEN gapnow ELSE bestgap END,
+           |    noimp2,
+           |    gapnow < 0.1
+           |      OR (prevloss <> $MaxD
+           |          AND abs(lossnow - prevloss)/(abs(lossnow) + 1e-12) < 1e-7)
+           |      OR noimp2 >= 3,
+           |    nn
+           |  FROM (
+           |    SELECT s3.*,
+           |      CASE WHEN lossnow < bestloss - 1e-7*(abs(bestloss) + 1e-12)
+           |        THEN 0 ELSE noimp + 1 END AS noimp2,
+           |      (v0 - m01*nb1)/m00 AS nb0
+           |    FROM (
+           |      SELECT s2.*,
+           |        (v1 - (m10/m00)*v0)/(m11 - (m10/m00)*m01) AS nb1
+           |      FROM (
+           |        SELECT s1.*,
+           |          CASE WHEN abs(s12) > abs(s11) THEN s12 ELSE s11 END AS m00,
+           |          CASE WHEN abs(s12) > abs(s11) THEN s22 ELSE s12 END AS m01,
+           |          CASE WHEN abs(s12) > abs(s11) THEN c2 ELSE c1 END AS v0,
+           |          CASE WHEN abs(s12) > abs(s11) THEN s11 ELSE s12 END AS m10,
+           |          CASE WHEN abs(s12) > abs(s11) THEN s12 ELSE s22 END AS m11,
+           |          CASE WHEN abs(s12) > abs(s11) THEN c1 ELSE c2 END AS v1,
+           |          greatest(abs(g0)/greatest(gse0, 1e-12),
+           |                   abs(g1)/greatest(gse1, 1e-12)) AS gapnow
+           |        FROM (
+           |          SELECT DISTINCT i, b0, b1, prevloss, bestloss, bestb1,
+           |            bestgap, noimp, gse0, gse1,
+           |            sum(w*1.0*1.0) OVER () AS s11,
+           |            sum(w*1.0*x) OVER () AS s12,
+           |            sum(w*x*x) OVER () AS s22,
+           |            sum(w*1.0*y) OVER () AS c1, sum(w*x*y) OVER () AS c2,
+           |            sum(1.0*sgn) OVER () AS g0, sum(x*sgn) OVER () AS g1,
+           |            sum(tauside*abs(r)) OVER () AS lossnow,
+           |            count(*) OVER () AS nn
+           |          FROM (
+           |            SELECT t0.*,
+           |              CASE WHEN r < 0.0 THEN $tau1 ELSE $tau END AS tauside,
+           |              CASE WHEN r < 0.0 THEN ${tau - 1.0} ELSE $tau END AS sgn,
+           |              (CASE WHEN r < 0.0 THEN $tau1 ELSE $tau END)
+           |                /greatest(abs(r), (SELECT de FROM ${tag}dlt)) AS w
+           |            FROM (
+           |              SELECT q.i, q.b0, q.b1, q.prevloss, q.bestloss,
+           |                q.bestb1, q.bestgap, q.noimp,
+           |                n.gse0, n.gse1, d.x, d.y,
+           |                d.y - (q.b0 + q.b1*d.x) AS r
+           |              FROM ${tag}it q, src d, ${tag}ini n
+           |              WHERE q.i < 20 AND NOT q.done) t0
+           |          )
+           |        ) s1
+           |      ) s2
+           |    ) s3
+           |  ) s4
+           |),
+           |${tag}fin AS (SELECT * FROM ${tag}it
+           |              WHERE i = (SELECT max(i) FROM ${tag}it))""".stripMargin
+      }
+      s"""WITH RECURSIVE src AS (
+         |  SELECT l_extendedprice::DOUBLE AS y, l_quantity::DOUBLE AS x
+         |  FROM lineitem),
+         |${qr("qa", 0.5)},
+         |${qr("qb", 0.9)}
+         |SELECT round(a.bestb1, 4) AS slope_p50, round(b.bestb1, 4) AS slope_p90,
+         |  round(a.bestgap, 6) AS gap_p50, round(b.bestgap, 6) AS gap_p90,
+         |  a.nn AS n, a.i::BIGINT AS iters_p50, b.i::BIGINT AS iters_p90,
+         |  (CASE WHEN a.done AND b.done THEN 1 ELSE 0 END)::BIGINT AS converged
+         |FROM qafin a, qbfin b""".stripMargin
+    }
   )
 
   // ---- C49: IPW + AIPW treatment effects (FULL oracle — the logistic
