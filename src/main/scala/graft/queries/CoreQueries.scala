@@ -868,142 +868,12 @@ object CoreQueries {
          |         l_returnflag AS rf, l_linestatus AS ls
          |  FROM lineitem),
          |${OracleSql.poissonIrls3("src")},
-         |ppit AS (
-         |  SELECT 0 AS i, rf, ls, 0.0::DOUBLE AS b1, 0.0::DOUBLE AS b2,
-         |    CAST('infinity' AS DOUBLE) AS dev, false AS done,
-         |    0.0::DOUBLE AS coff, 0.0::DOUBLE AS ez, 0.0::DOUBLE AS e1,
-         |    0.0::DOUBLE AS e2, 0.0::DOUBLE AS g11, 0.0::DOUBLE AS g12,
-         |    0.0::DOUBLE AS g22
-         |  FROM (SELECT DISTINCT rf, ls FROM src)
-         |  UNION ALL
-         |  SELECT i + 1, rf, ls, nb1 AS b1, nb2 AS b2, devnow AS dev,
-         |    abs(devnow - dev)/(abs(devnow) + 0.1) < 1e-8 AS done,
-         |    coff2 AS coff, ez, e1, e2, g11, g12, g22
-         |  FROM (
-         |    SELECT DISTINCT c.i, c.dev, c.rf, c.ls, c.nb1, c.nb2, c.coff2,
-         |      c.ez, c.e1, c.e2, c.g11, c.g12, c.g22,
-         |      sum(2.0*((CASE WHEN d.y > 0.0 THEN d.y*ln(d.y/
-         |        exp(least(greatest(d.x1*c.nb1 + d.x2*c.nb2 + c.coff2, -30.0), 30.0)))
-         |        ELSE 0.0 END)
-         |        - (d.y - exp(least(greatest(d.x1*c.nb1 + d.x2*c.nb2 + c.coff2,
-         |            -30.0), 30.0))))) OVER () AS devnow
-         |    FROM (
-         |      SELECT t8c.*, ez - nb1*e1 - nb2*e2 AS coff2
-         |      FROM (
-         |        SELECT t8b.*, (v0 - m01*nb2)/m00 AS nb1
-         |        FROM (
-         |          SELECT t8a.*,
-         |            (v1 - (m10/m00)*v0)/(m11 - (m10/m00)*m01) AS nb2
-         |          FROM (
-         |            SELECT t7p.*,
-         |              CASE WHEN pv THEN g12 ELSE g11 END AS m00,
-         |              CASE WHEN pv THEN g22 ELSE g12 END AS m01,
-         |              CASE WHEN pv THEN c2g ELSE c1g END AS v0,
-         |              CASE WHEN pv THEN g11 ELSE g12 END AS m10,
-         |              CASE WHEN pv THEN g12 ELSE g22 END AS m11,
-         |              CASE WHEN pv THEN c1g ELSE c2g END AS v1
-         |            FROM (
-         |              SELECT t6b.*, abs(g12) > abs(g11) AS pv
-         |              FROM (
-         |                SELECT t6.*,
-         |                  q11 - sum(2.0*s1*e1 - cn*e1*e1) OVER () AS g11,
-         |                  q12 - sum(s1*e2 + s2*e1 - cn*e1*e2) OVER () AS g12,
-         |                  q22 - sum(2.0*s2*e2 - cn*e2*e2) OVER () AS g22,
-         |                  qz1 - sum(s1*ez + sz*e1 - cn*e1*ez) OVER () AS c1g,
-         |                  qz2 - sum(s2*ez + sz*e2 - cn*e2*ez) OVER () AS c2g
-         |                FROM (
-         |                  SELECT t5.*,
-         |                    (sgz - ngh1*dz)/ng
-         |                      + (CASE WHEN ish1 THEN dz ELSE 0.0 END) AS ez,
-         |                    (sg1 - ngh1*d1)/ng
-         |                      + (CASE WHEN ish1 THEN d1 ELSE 0.0 END) AS e1,
-         |                    (sg2 - ngh1*d2)/ng
-         |                      + (CASE WHEN ish1 THEN d2 ELSE 0.0 END) AS e2
-         |                  FROM (
-         |                    SELECT t4.*,
-         |                      sum(CASE WHEN ish1 THEN cn ELSE 0.0 END)
-         |                        OVER (PARTITION BY rf) AS ngh1,
-         |                      (sum(CASE WHEN ish1 THEN sz ELSE 0.0 END) OVER ()
-         |                       - sum(CASE WHEN ish1 THEN cn*sgz/ng ELSE 0.0 END)
-         |                           OVER ())
-         |                      /(sum(CASE WHEN ish1 THEN cn ELSE 0.0 END) OVER ()
-         |                        - sum(CASE WHEN ish1 THEN cn*cn/ng ELSE 0.0 END)
-         |                            OVER ()) AS dz,
-         |                      (sum(CASE WHEN ish1 THEN s1 ELSE 0.0 END) OVER ()
-         |                       - sum(CASE WHEN ish1 THEN cn*sg1/ng ELSE 0.0 END)
-         |                           OVER ())
-         |                      /(sum(CASE WHEN ish1 THEN cn ELSE 0.0 END) OVER ()
-         |                        - sum(CASE WHEN ish1 THEN cn*cn/ng ELSE 0.0 END)
-         |                            OVER ()) AS d1,
-         |                      (sum(CASE WHEN ish1 THEN s2 ELSE 0.0 END) OVER ()
-         |                       - sum(CASE WHEN ish1 THEN cn*sg2/ng ELSE 0.0 END)
-         |                           OVER ())
-         |                      /(sum(CASE WHEN ish1 THEN cn ELSE 0.0 END) OVER ()
-         |                        - sum(CASE WHEN ish1 THEN cn*cn/ng ELSE 0.0 END)
-         |                            OVER ()) AS d2
-         |                    FROM (
-         |                      SELECT t3.*,
-         |                        sum(cn) OVER (PARTITION BY rf) AS ng,
-         |                        sum(sz) OVER (PARTITION BY rf) AS sgz,
-         |                        sum(s1) OVER (PARTITION BY rf) AS sg1,
-         |                        sum(s2) OVER (PARTITION BY rf) AS sg2,
-         |                        ls = max(ls) OVER () AS ish1
-         |                      FROM (
-         |                        SELECT DISTINCT i, dev, rf, ls,
-         |                          sum(w) OVER (PARTITION BY rf, ls) AS cn,
-         |                          sum(w*z) OVER (PARTITION BY rf, ls) AS sz,
-         |                          sum(w*x1) OVER (PARTITION BY rf, ls) AS s1,
-         |                          sum(w*x2) OVER (PARTITION BY rf, ls) AS s2,
-         |                          sum(w*x1*x1) OVER () AS q11,
-         |                          sum(w*x1*x2) OVER () AS q12,
-         |                          sum(w*x2*x2) OVER () AS q22,
-         |                          sum(w*x1*z) OVER () AS qz1,
-         |                          sum(w*x2*z) OVER () AS qz2
-         |                        FROM (
-         |                          SELECT i, dev, rf, ls, x1, x2, mu AS w,
-         |                            eta + (y - mu)/mu AS z
-         |                          FROM (
-         |                            SELECT i, dev, rf, ls, y, x1, x2, eta,
-         |                              exp(least(greatest(eta, -30.0), 30.0)) AS mu
-         |                            FROM (
-         |                              SELECT q0.i, q0.dev, d0.rf, d0.ls, d0.y,
-         |                                d0.x1, d0.x2,
-         |                                CASE WHEN q0.i = 0
-         |                                  THEN ln((d0.y + (SELECT yb FROM psyb))/2.0)
-         |                                  ELSE d0.x1*q0.b1 + d0.x2*q0.b2 + q0.coff
-         |                                END AS eta
-         |                              FROM ppit q0
-         |                              JOIN src d0
-         |                                ON d0.rf = q0.rf AND d0.ls = q0.ls
-         |                              WHERE q0.i < 25 AND NOT q0.done)
-         |                          )
-         |                        ) t2w
-         |                      ) t3
-         |                    ) t4
-         |                  ) t5
-         |                ) t6
-         |              ) t6b
-         |            ) t7p
-         |          ) t8a
-         |        ) t8b
-         |      ) t8c
-         |    ) c
-         |    JOIN src d ON d.rf = c.rf AND d.ls = c.ls
-         |  ) step
-         |),
-         |ppfin AS (SELECT * FROM ppit WHERE i = (SELECT max(i) FROM ppit)),
-         |ppse AS (
-         |  SELECT DISTINCT b1, b2, i AS ppiters, done AS ppdone,
-         |    g11, g12, g22,
-         |    sum(u*u*xt1*xt1) OVER () AS m11,
-         |    sum(u*u*xt1*xt2) OVER () AS m12,
-         |    sum(u*u*xt2*xt2) OVER () AS m22
-         |  FROM (
-         |    SELECT f.b1, f.b2, f.i, f.done, f.g11, f.g12, f.g22,
-         |      d.y - exp(least(greatest(d.x1*f.b1 + d.x2*f.b2 + f.coff,
-         |        -30.0), 30.0)) AS u,
-         |      d.x1 - f.e1 AS xt1, d.x2 - f.e2 AS xt2
-         |    FROM ppfin f JOIN src d ON d.rf = f.rf AND d.ls = f.ls)),
+         |${OracleSql.feGlm2x2("pp", "src", "(SELECT yb FROM psyb)",
+            wOf = (mu, _) => mu,
+            devOf = (y, mu, _) =>
+              s"2.0*((CASE WHEN $y > 0.0 THEN $y*ln($y/($mu)) ELSE 0.0 END) - ($y - ($mu)))",
+            tol = 1e-8, maxIter = 25, alpha = false)},
+         |${OracleSql.feGlm2x2Se("pp", "src", (y, mu, _) => s"$y - ($mu)")},
          |pinv AS (SELECT psfin.*,
          |    s11*(s22*s33 - s23*s23) - s12*(s12*s33 - s13*s23)
          |      + s13*(s12*s23 - s13*s22) AS det3
@@ -1030,8 +900,8 @@ object CoreQueries {
          |    /((p.g11*p.g22 - p.g12*p.g12)*(p.g11*p.g22 - p.g12*p.g12))), 4)
          |    AS ppml_se_rob_lp,
          |  (SELECT count(*) FROM src) AS n,
-         |  g.glmiters::BIGINT AS glm_iters, p.ppiters::BIGINT AS ppml_iters,
-         |  (CASE WHEN g.glmdone AND p.ppdone THEN 1 ELSE 0 END)::BIGINT
+         |  g.glmiters::BIGINT AS glm_iters, p.iters::BIGINT AS ppml_iters,
+         |  (CASE WHEN g.glmdone AND p.done THEN 1 ELSE 0 END)::BIGINT
          |    AS converged
          |FROM glmse g, ppse p""".stripMargin
     }
@@ -1209,7 +1079,90 @@ object CoreQueries {
           "converged" -> (if (fe.converged && lin.converged) 1L else 0L))
       )
     },
-    None
+    Some {
+      s"""WITH RECURSIVE src AS (
+         |  SELECT l_extendedprice::DOUBLE AS y, l_discount::DOUBLE AS x1,
+         |         l_quantity::DOUBLE AS x2,
+         |         l_returnflag AS rf, l_linestatus AS ls
+         |  FROM lineitem),
+         |gyb AS (SELECT sum(1.0*y)/sum(1.0) AS yb FROM src),
+         |${OracleSql.feGlm2x2("gm", "src", "(SELECT yb FROM gyb)",
+            wOf = (_, _) => "1.0",
+            devOf = (y, mu, _) => s"2.0*(-ln($y/($mu)) + ($y - ($mu))/($mu))",
+            tol = 1e-8, maxIter = 25, alpha = false)},
+         |${OracleSql.feGlm2x2Se("gm", "src", (y, mu, _) => s"($y - ($mu))/($mu)")},
+         |lsrc AS (
+         |  SELECT ln(l_extendedprice) AS z, l_discount::DOUBLE AS x1,
+         |         l_quantity::DOUBLE AS x2,
+         |         l_returnflag AS rf, l_linestatus AS ls
+         |  FROM lineitem),
+         |lc AS (SELECT DISTINCT rf, ls,
+         |    count(*) OVER (PARTITION BY rf, ls)::DOUBLE AS cn,
+         |    sum(z) OVER (PARTITION BY rf, ls) AS sz,
+         |    sum(x1) OVER (PARTITION BY rf, ls) AS s1,
+         |    sum(x2) OVER (PARTITION BY rf, ls) AS s2,
+         |    sum(x1*x1) OVER () AS q11, sum(x1*x2) OVER () AS q12,
+         |    sum(x2*x2) OVER () AS q22,
+         |    sum(x1*z) OVER () AS qz1, sum(x2*z) OVER () AS qz2
+         |  FROM lsrc),
+         |l4 AS (SELECT lc.*,
+         |    sum(cn) OVER (PARTITION BY rf) AS ng,
+         |    sum(sz) OVER (PARTITION BY rf) AS sgz,
+         |    sum(s1) OVER (PARTITION BY rf) AS sg1,
+         |    sum(s2) OVER (PARTITION BY rf) AS sg2,
+         |    ls = max(ls) OVER () AS ish1
+         |  FROM lc),
+         |l5 AS (SELECT l4.*,
+         |    sum(CASE WHEN ish1 THEN cn ELSE 0.0 END)
+         |      OVER (PARTITION BY rf) AS ngh1,
+         |    (sum(CASE WHEN ish1 THEN sz ELSE 0.0 END) OVER ()
+         |     - sum(CASE WHEN ish1 THEN cn*sgz/ng ELSE 0.0 END) OVER ())
+         |    /(sum(CASE WHEN ish1 THEN cn ELSE 0.0 END) OVER ()
+         |      - sum(CASE WHEN ish1 THEN cn*cn/ng ELSE 0.0 END) OVER ()) AS dz,
+         |    (sum(CASE WHEN ish1 THEN s1 ELSE 0.0 END) OVER ()
+         |     - sum(CASE WHEN ish1 THEN cn*sg1/ng ELSE 0.0 END) OVER ())
+         |    /(sum(CASE WHEN ish1 THEN cn ELSE 0.0 END) OVER ()
+         |      - sum(CASE WHEN ish1 THEN cn*cn/ng ELSE 0.0 END) OVER ()) AS d1,
+         |    (sum(CASE WHEN ish1 THEN s2 ELSE 0.0 END) OVER ()
+         |     - sum(CASE WHEN ish1 THEN cn*sg2/ng ELSE 0.0 END) OVER ())
+         |    /(sum(CASE WHEN ish1 THEN cn ELSE 0.0 END) OVER ()
+         |      - sum(CASE WHEN ish1 THEN cn*cn/ng ELSE 0.0 END) OVER ()) AS d2
+         |  FROM l4),
+         |l6 AS (SELECT l5.*,
+         |    (sgz - ngh1*dz)/ng + (CASE WHEN ish1 THEN dz ELSE 0.0 END) AS ez,
+         |    (sg1 - ngh1*d1)/ng + (CASE WHEN ish1 THEN d1 ELSE 0.0 END) AS e1,
+         |    (sg2 - ngh1*d2)/ng + (CASE WHEN ish1 THEN d2 ELSE 0.0 END) AS e2
+         |  FROM l5),
+         |l7 AS (SELECT DISTINCT
+         |    q11 - sum(2.0*s1*e1 - cn*e1*e1) OVER () AS g11,
+         |    q12 - sum(s1*e2 + s2*e1 - cn*e1*e2) OVER () AS g12,
+         |    q22 - sum(2.0*s2*e2 - cn*e2*e2) OVER () AS g22,
+         |    qz1 - sum(s1*ez + sz*e1 - cn*e1*ez) OVER () AS c1g,
+         |    qz2 - sum(s2*ez + sz*e2 - cn*e2*ez) OVER () AS c2g
+         |  FROM l6),
+         |l8 AS (SELECT l7.*,
+         |    CASE WHEN abs(g12) > abs(g11) THEN g12 ELSE g11 END AS m00,
+         |    CASE WHEN abs(g12) > abs(g11) THEN g22 ELSE g12 END AS m01,
+         |    CASE WHEN abs(g12) > abs(g11) THEN c2g ELSE c1g END AS v0,
+         |    CASE WHEN abs(g12) > abs(g11) THEN g11 ELSE g12 END AS m10,
+         |    CASE WHEN abs(g12) > abs(g11) THEN g12 ELSE g22 END AS m11,
+         |    CASE WHEN abs(g12) > abs(g11) THEN c1g ELSE c2g END AS v1
+         |  FROM l7),
+         |lfin AS (SELECT lb2, (v0 - m01*lb2)/m00 AS lb1
+         |  FROM (SELECT l8.*,
+         |          (v1 - (m10/m00)*v0)/(m11 - (m10/m00)*m01) AS lb2 FROM l8))
+         |SELECT round(p.b1, 4) AS gamma_beta_disc,
+         |  round(p.b2, 4) AS gamma_beta_qty,
+         |  round(sqrt(
+         |    (p.g22*p.g22*p.m11 - 2.0*p.g22*p.g12*p.m12 + p.g12*p.g12*p.m22)
+         |    /((p.g11*p.g22 - p.g12*p.g12)*(p.g11*p.g22 - p.g12*p.g12))), 4)
+         |    AS gamma_se_rob_disc,
+         |  round(l.lb1, 4) AS loglin_beta_disc, round(l.lb2, 4) AS loglin_beta_qty,
+         |  (SELECT count(*) FROM src) AS n,
+         |  p.iters::BIGINT AS gamma_iters, 2::BIGINT AS loglin_iters,
+         |  (CASE WHEN p.done THEN 1 ELSE 0 END)::BIGINT AS converged
+         |FROM gmse p, lfin l""".stripMargin
+    }
   )
 
   // ---- C37: NB2-FE absorption (rows-only: joint (β, α) fixpoint with
@@ -1236,7 +1189,37 @@ object CoreQueries {
           "converged" -> (if (fe.converged) 1L else 0L))
       )
     },
-    None
+    Some {
+      s"""WITH RECURSIVE src AS (
+         |  SELECT l_quantity::DOUBLE AS y, ln(l_extendedprice) AS x1,
+         |         l_discount::DOUBLE AS x2,
+         |         l_returnflag AS rf, l_linestatus AS ls
+         |  FROM lineitem),
+         |nyb AS (SELECT sum(1.0*y)/sum(1.0) AS yb FROM src),
+         |${OracleSql.feGlm2x2("nb", "src", "(SELECT yb FROM nyb)",
+            wOf = (mu, a) =>
+              s"CASE WHEN $a = 0.0 THEN $mu ELSE ($mu)/(1.0 + $a*($mu)) END",
+            devOf = (y, mu, a) =>
+              s"""CASE WHEN $a = 0.0
+                 |  THEN 2.0*((CASE WHEN $y > 0.0 THEN $y*ln($y/($mu)) ELSE 0.0 END)
+                 |            - ($y - ($mu)))
+                 |  ELSE 2.0*((CASE WHEN $y > 0.0 THEN $y*ln($y/($mu)) ELSE 0.0 END)
+                 |            - ($y + 1.0/$a)
+                 |              *ln((1.0 + $a*$y)/(1.0 + $a*($mu)))) END""".stripMargin,
+            tol = 1e-8, maxIter = 40, alpha = true)},
+         |${OracleSql.feGlm2x2Se("nb", "src",
+            (y, mu, a) => s"($y - ($mu))/(1.0 + $a*($mu))")}
+         |SELECT round(p.b1, 4) AS beta_lp, round(p.b2, 4) AS beta_disc,
+         |  round(p.a, 4) AS alpha,
+         |  round(sqrt(
+         |    (p.g22*p.g22*p.m11 - 2.0*p.g22*p.g12*p.m12 + p.g12*p.g12*p.m22)
+         |    /((p.g11*p.g22 - p.g12*p.g12)*(p.g11*p.g22 - p.g12*p.g12))), 4)
+         |    AS se_rob_lp,
+         |  (SELECT count(*) FROM src) AS n,
+         |  p.iters::BIGINT AS iters,
+         |  (CASE WHEN p.done THEN 1 ELSE 0 END)::BIGINT AS converged
+         |FROM nbse p""".stripMargin
+    }
   )
 
   // ---- C39: between estimator (FULL oracle — group-mean collapse +

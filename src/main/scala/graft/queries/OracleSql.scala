@@ -450,6 +450,201 @@ object OracleSql {
        |          FROM psit WHERE i = (SELECT max(i) FROM psit))""".stripMargin
   }
 
+  /** Two-covariate, two-FE GLM-IRLS (the [[graft.ml.Glm.fitFE]] loop)
+    * as a recursive CTE whose rows are the FE CELLS — the q79 PPML
+    * replay generalized over the log-link families (Poisson, Gamma,
+    * NB2 with the interleaved Cameron–Trivedi α): per step the weighted
+    * cell stats re-aggregate at the current η, the TWO-FE weighted
+    * demeaning fixpoint solves in CLOSED FORM (gauge b = 0 on the
+    * first group of the second FE — which must have EXACTLY TWO groups
+    * so the reduced system is one scalar per column; cell-total
+    * effects are gauge-invariant and unique on a connected FE graph),
+    * the demeaned Gram assembles from cell stats (the olsFromCellGram
+    * identity), a 2×2 pivot solve updates β, and the deviance (plus
+    * the α moments when `alpha`) evaluates at the new η in a second
+    * row pass. η clamps at ±30 (the shared exp-link clamp); z =
+    * η + (y−μ)/μ for ALL three families (canonical Poisson and the
+    * non-canonical log links share dμ/dη = μ).
+    *
+    * Emits `${tag}it` and `${tag}fin`; state rows carry per-cell
+    * (coff, ez, e1, e2) and the final Gram (g11, g12, g22) so the
+    * HC0 sandwich can replay downstream. `src` must provide
+    * (y, x1, x2, rf, ls); `ybarSel` is a scalar subquery for ȳ.
+    *
+    * @param wOf   IRLS weight SQL of (mu, a)
+    * @param devOf deviance-term SQL of (y, mu, a)
+    * @param alpha interleave the NB2 α update (adds the anum/aden
+    *              moments at the new η and the α stop criterion)
+    */
+  def feGlm2x2(
+      tag: String,
+      src: String,
+      ybarSel: String,
+      wOf: (String, String) => String,
+      devOf: (String, String, String) => String,
+      tol: Double,
+      maxIter: Int,
+      alpha: Boolean): String = {
+    val aInit = "0.0::DOUBLE AS a"
+    val mu2 = s"exp(least(greatest(d.x1*c.nb1 + d.x2*c.nb2 + c.coff2, -30.0), 30.0))"
+    val devT = devOf("d.y", mu2, "c.a")
+    val alphaMoms =
+      if (alpha)
+        s""",
+           |      sum((d.y - $mu2)*(d.y - $mu2) - d.y) OVER () AS anum,
+           |      sum(($mu2)*($mu2)) OVER () AS aden""".stripMargin
+      else ""
+    val a2 = if (alpha) "greatest(anum/aden, 0.0)" else "a"
+    val alphaDone =
+      if (alpha)
+        s""" AND abs(greatest(anum/aden, 0.0) - a)
+           |          /(greatest(anum/aden, 0.0) + 0.1) < $tol""".stripMargin
+      else ""
+    s"""${tag}it AS (
+       |  SELECT 0 AS i, rf, ls, 0.0::DOUBLE AS b1, 0.0::DOUBLE AS b2,
+       |    $aInit, CAST('infinity' AS DOUBLE) AS dev, false AS done,
+       |    0.0::DOUBLE AS coff, 0.0::DOUBLE AS ez, 0.0::DOUBLE AS e1,
+       |    0.0::DOUBLE AS e2, 0.0::DOUBLE AS g11, 0.0::DOUBLE AS g12,
+       |    0.0::DOUBLE AS g22
+       |  FROM (SELECT DISTINCT rf, ls FROM $src)
+       |  UNION ALL
+       |  SELECT i + 1, rf, ls, nb1 AS b1, nb2 AS b2, $a2 AS a,
+       |    devnow AS dev,
+       |    abs(devnow - dev)/(abs(devnow) + 0.1) < $tol$alphaDone AS done,
+       |    coff2 AS coff, ez, e1, e2, g11, g12, g22
+       |  FROM (
+       |    SELECT DISTINCT c.i, c.a, c.dev, c.rf, c.ls, c.nb1, c.nb2, c.coff2,
+       |      c.ez, c.e1, c.e2, c.g11, c.g12, c.g22,
+       |      sum($devT) OVER () AS devnow$alphaMoms
+       |    FROM (
+       |      SELECT t8c.*, ez - nb1*e1 - nb2*e2 AS coff2
+       |      FROM (
+       |        SELECT t8b.*, (v0 - m01*nb2)/m00 AS nb1
+       |        FROM (
+       |          SELECT t8a.*,
+       |            (v1 - (m10/m00)*v0)/(m11 - (m10/m00)*m01) AS nb2
+       |          FROM (
+       |            SELECT t7p.*,
+       |              CASE WHEN pv THEN g12 ELSE g11 END AS m00,
+       |              CASE WHEN pv THEN g22 ELSE g12 END AS m01,
+       |              CASE WHEN pv THEN c2g ELSE c1g END AS v0,
+       |              CASE WHEN pv THEN g11 ELSE g12 END AS m10,
+       |              CASE WHEN pv THEN g12 ELSE g22 END AS m11,
+       |              CASE WHEN pv THEN c1g ELSE c2g END AS v1
+       |            FROM (
+       |              SELECT t6b.*, abs(g12) > abs(g11) AS pv
+       |              FROM (
+       |                SELECT t6.*,
+       |                  q11 - sum(2.0*s1*e1 - cn*e1*e1) OVER () AS g11,
+       |                  q12 - sum(s1*e2 + s2*e1 - cn*e1*e2) OVER () AS g12,
+       |                  q22 - sum(2.0*s2*e2 - cn*e2*e2) OVER () AS g22,
+       |                  qz1 - sum(s1*ez + sz*e1 - cn*e1*ez) OVER () AS c1g,
+       |                  qz2 - sum(s2*ez + sz*e2 - cn*e2*ez) OVER () AS c2g
+       |                FROM (
+       |                  SELECT t5.*,
+       |                    (sgz - ngh1*dz)/ng
+       |                      + (CASE WHEN ish1 THEN dz ELSE 0.0 END) AS ez,
+       |                    (sg1 - ngh1*d1)/ng
+       |                      + (CASE WHEN ish1 THEN d1 ELSE 0.0 END) AS e1,
+       |                    (sg2 - ngh1*d2)/ng
+       |                      + (CASE WHEN ish1 THEN d2 ELSE 0.0 END) AS e2
+       |                  FROM (
+       |                    SELECT t4.*,
+       |                      sum(CASE WHEN ish1 THEN cn ELSE 0.0 END)
+       |                        OVER (PARTITION BY rf) AS ngh1,
+       |                      (sum(CASE WHEN ish1 THEN sz ELSE 0.0 END) OVER ()
+       |                       - sum(CASE WHEN ish1 THEN cn*sgz/ng ELSE 0.0 END)
+       |                           OVER ())
+       |                      /(sum(CASE WHEN ish1 THEN cn ELSE 0.0 END) OVER ()
+       |                        - sum(CASE WHEN ish1 THEN cn*cn/ng ELSE 0.0 END)
+       |                            OVER ()) AS dz,
+       |                      (sum(CASE WHEN ish1 THEN s1 ELSE 0.0 END) OVER ()
+       |                       - sum(CASE WHEN ish1 THEN cn*sg1/ng ELSE 0.0 END)
+       |                           OVER ())
+       |                      /(sum(CASE WHEN ish1 THEN cn ELSE 0.0 END) OVER ()
+       |                        - sum(CASE WHEN ish1 THEN cn*cn/ng ELSE 0.0 END)
+       |                            OVER ()) AS d1,
+       |                      (sum(CASE WHEN ish1 THEN s2 ELSE 0.0 END) OVER ()
+       |                       - sum(CASE WHEN ish1 THEN cn*sg2/ng ELSE 0.0 END)
+       |                           OVER ())
+       |                      /(sum(CASE WHEN ish1 THEN cn ELSE 0.0 END) OVER ()
+       |                        - sum(CASE WHEN ish1 THEN cn*cn/ng ELSE 0.0 END)
+       |                            OVER ()) AS d2
+       |                    FROM (
+       |                      SELECT t3.*,
+       |                        sum(cn) OVER (PARTITION BY rf) AS ng,
+       |                        sum(sz) OVER (PARTITION BY rf) AS sgz,
+       |                        sum(s1) OVER (PARTITION BY rf) AS sg1,
+       |                        sum(s2) OVER (PARTITION BY rf) AS sg2,
+       |                        ls = max(ls) OVER () AS ish1
+       |                      FROM (
+       |                        SELECT DISTINCT i, a, dev, rf, ls,
+       |                          sum(w) OVER (PARTITION BY rf, ls) AS cn,
+       |                          sum(w*z) OVER (PARTITION BY rf, ls) AS sz,
+       |                          sum(w*x1) OVER (PARTITION BY rf, ls) AS s1,
+       |                          sum(w*x2) OVER (PARTITION BY rf, ls) AS s2,
+       |                          sum(w*x1*x1) OVER () AS q11,
+       |                          sum(w*x1*x2) OVER () AS q12,
+       |                          sum(w*x2*x2) OVER () AS q22,
+       |                          sum(w*x1*z) OVER () AS qz1,
+       |                          sum(w*x2*z) OVER () AS qz2
+       |                        FROM (
+       |                          SELECT i, a, dev, rf, ls, x1, x2,
+       |                            ${wOf("mu", "a")} AS w,
+       |                            eta + (y - mu)/mu AS z
+       |                          FROM (
+       |                            SELECT i, a, dev, rf, ls, y, x1, x2, eta,
+       |                              exp(least(greatest(eta, -30.0), 30.0)) AS mu
+       |                            FROM (
+       |                              SELECT q0.i, q0.a, q0.dev, d0.rf, d0.ls,
+       |                                d0.y, d0.x1, d0.x2,
+       |                                CASE WHEN q0.i = 0
+       |                                  THEN ln((d0.y + $ybarSel)/2.0)
+       |                                  ELSE d0.x1*q0.b1 + d0.x2*q0.b2 + q0.coff
+       |                                END AS eta
+       |                              FROM ${tag}it q0
+       |                              JOIN $src d0
+       |                                ON d0.rf = q0.rf AND d0.ls = q0.ls
+       |                              WHERE q0.i < $maxIter AND NOT q0.done)
+       |                          )
+       |                        ) t2w
+       |                      ) t3
+       |                    ) t4
+       |                  ) t5
+       |                ) t6
+       |              ) t6b
+       |            ) t7p
+       |          ) t8a
+       |        ) t8b
+       |      ) t8c
+       |    ) c
+       |    JOIN $src d ON d.rf = c.rf AND d.ls = c.ls
+       |  ) step
+       |),
+       |${tag}fin AS (SELECT * FROM ${tag}it
+       |              WHERE i = (SELECT max(i) FROM ${tag}it))""".stripMargin
+  }
+
+  /** HC0 sandwich tail for a [[feGlm2x2]] fit: per-row score u from
+    * `scoreOf(y, mu, a)` at the converged μ, demeaned covariates from
+    * the carried cell effects, meat moments + the carried Gram as one
+    * DISTINCT row `${tag}se`.
+    */
+  def feGlm2x2Se(tag: String, src: String,
+      scoreOf: (String, String, String) => String): String = {
+    val mu = s"exp(least(greatest(d.x1*f.b1 + d.x2*f.b2 + f.coff, -30.0), 30.0))"
+    s"""${tag}se AS (
+       |  SELECT DISTINCT b1, b2, a, i AS iters, done, g11, g12, g22,
+       |    sum(u*u*xt1*xt1) OVER () AS m11,
+       |    sum(u*u*xt1*xt2) OVER () AS m12,
+       |    sum(u*u*xt2*xt2) OVER () AS m22
+       |  FROM (
+       |    SELECT f.b1, f.b2, f.a, f.i, f.done, f.g11, f.g12, f.g22,
+       |      ${scoreOf("d.y", mu, "f.a")} AS u,
+       |      d.x1 - f.e1 AS xt1, d.x2 - f.e2 AS xt2
+       |    FROM ${tag}fin f JOIN $src d ON d.rf = f.rf AND d.ls = f.ls))""".stripMargin
+  }
+
   def negbinIrls3(src: String, tol: Double = 1e-9, maxIter: Int = 50): String = {
     val sums =
       """sum(w) OVER () AS s11, sum(w*x1) OVER () AS s12,
