@@ -732,6 +732,29 @@ class DedupSpec extends SparkSpec {
         MinHashLsh.signatures(small, "text", "doc_id"), "doc_id", 16, 64)).count() === 0L)
   }
 
+  test("capBuckets plan shape: exactly one Window/Sort pair, on the hot slice only") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(0, 200).select(col("id").as("doc_id"),
+      concat(lit("unique words for doc "), col("id")).as("text"))
+    val sig = MinHashLsh.signatures(docs, "text", "doc_id")
+    // truncate lineage: the shingling pipeline has its own lead-windows;
+    // the assertion is about what capBuckets ADDS downstream of the bands
+    val banded = MinHashLsh.bands(sig, "doc_id", numBands = 16, sigLen = 64)
+      .localCheckpoint(true)
+    val capped = MinHashLsh.capBuckets(
+      banded, Seq("band", "bucket"), Seq(xxhash64(col("doc_id")), col("doc_id")), 2000)
+    val plan = capped.queryExecution.executedPlan.toString
+    // the r11 regression was an unconditional row_number over the WHOLE
+    // banded frame; the two-pass cap must rank only the flagged slice —
+    // one Window (and its one Sort) under the hot-branch filter, the
+    // cold branch a plain null-check filter with no sort
+    val windows = "Window".r.findAllIn(plan).size
+    assert(windows === 1, s"expected exactly one Window, got $windows:\n$plan")
+    assert("(?i)sort".r.findAllIn(plan).size <= 2, // the window's local sort (+AQE labels)
+      s"unexpected extra sorts:\n$plan")
+    assert(plan.contains("isnull"), "cold branch must be a null-check pass-through")
+  }
+
   test("corpusIndex hot-bucket cap: degenerate class bounded at build, batch dedup still finds it") {
     val base = "boilerplate footer text repeated across every page of the crawled site today"
     // 500 byte-identical corpus docs: every band bucket holds all 500

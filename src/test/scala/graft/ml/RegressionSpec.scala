@@ -805,6 +805,21 @@ class RegressionSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.fe.broadcastGroupLimit")
   }
 
+  test("pickBigFe: the pre-partition key is the LARGEST non-broadcast dimension") {
+    // r11 verdict #3: the first-match pick could land on the SMALLER of
+    // two oversized dimensions, re-shuffling the larger one every CG
+    // iteration; the contract is max-by-group-count among non-broadcast
+    val fes = Seq("worker", "firm", "year")
+    val bc = Map("worker" -> false, "firm" -> false, "year" -> true)
+    val counts = Map("worker" -> 5000000L, "firm" -> 80000000L, "year" -> 30L)
+    assert(FixedEffects.pickBigFe(fes, bc, counts) === "firm")
+    // declaration order must not matter
+    assert(FixedEffects.pickBigFe(fes.reverse, bc, counts) === "firm")
+    // single oversized dimension: picked regardless of size rank
+    assert(FixedEffects.pickBigFe(fes,
+      Map("worker" -> false, "firm" -> true, "year" -> true), counts) === "worker")
+  }
+
   test("fitWeighted: distributed cell regime matches the driver regime") {
     val rows = for (u <- 0 until 5; t <- 0 until 6) yield {
       val x = math.sin(u * 2.1 + t * 0.9) * 3
