@@ -377,7 +377,72 @@ object CoreQueries {
       (dropped.map(n => (n, "collinear")) ++ kept.map(n => (n, "kept")))
         .toDF("col_name", "status")
     },
-    None
+    // FULL oracle (r12): the sequential Gram-only QR (collinearFromGram)
+    // unrolled for k = 4 — normalized Gram entries gn_ij, the SAME
+    // forward-substitution chain (z, R columns, resid² = 1 − Σz²) in
+    // the same IEEE order, drop when resid² < tol² = 1e-14. Branching
+    // on earlier statuses is encoded where a TPC-H column could
+    // plausibly flip (x3's drop changes x4's basis); the exotic paths
+    // (zero-variance x1/x2, x2 collinear with x1) intentionally yield
+    // NULL so a regime change mismatches LOUDLY instead of replaying
+    // the wrong basis.
+    Some(
+      """WITH d AS (SELECT l_quantity::DOUBLE AS x1, l_discount::DOUBLE AS x2,
+        |    l_quantity + 2.0*l_discount AS x3, l_tax::DOUBLE AS x4
+        |  FROM lineitem),
+        |g AS (SELECT sum(x1*x1) AS g11, sum(x1*x2) AS g12, sum(x1*x3) AS g13,
+        |    sum(x1*x4) AS g14, sum(x2*x2) AS g22, sum(x2*x3) AS g23,
+        |    sum(x2*x4) AS g24, sum(x3*x3) AS g33, sum(x3*x4) AS g34,
+        |    sum(x4*x4) AS g44 FROM d),
+        |nrm AS (SELECT sqrt(greatest(g11, 0.0)) AS d1,
+        |    sqrt(greatest(g22, 0.0)) AS d2, sqrt(greatest(g33, 0.0)) AS d3,
+        |    sqrt(greatest(g44, 0.0)) AS d4, g.* FROM g),
+        |gn AS (SELECT nrm.*,
+        |    g12/(d1*d2) AS n12, g13/(d1*d3) AS n13, g14/(d1*d4) AS n14,
+        |    g23/(d2*d3) AS n23, g24/(d2*d4) AS n24, g34/(d3*d4) AS n34
+        |  FROM nrm WHERE d1 > 0 AND d2 > 0 AND d3 > 0 AND d4 > 0),
+        |-- x1: first nonzero column always kept (resid² = 1)
+        |-- x2 on {x1}: resid² = 1 − n12²
+        |s2 AS (SELECT gn.*, 1.0 - n12*n12 AS r2_2 FROM gn),
+        |-- x3 on the kept basis: {x1, x2} when x2 kept, else NULL (exotic)
+        |s3 AS (SELECT s2.*,
+        |    CASE WHEN r2_2 >= 1e-14 THEN
+        |      1.0 - n13*n13
+        |          - ((n23 - n12*n13)/sqrt(1.0 - n12*n12))
+        |            *((n23 - n12*n13)/sqrt(1.0 - n12*n12))
+        |    END AS r2_3
+        |  FROM s2),
+        |-- x4 on {x1, x2, x3} when all kept; {x1, x2} when x3 dropped
+        |s4 AS (SELECT s3.*,
+        |    CASE
+        |      WHEN r2_2 >= 1e-14 AND r2_3 >= 1e-14 THEN
+        |        1.0 - n14*n14
+        |            - ((n24 - n12*n14)/sqrt(1.0 - n12*n12))
+        |              *((n24 - n12*n14)/sqrt(1.0 - n12*n12))
+        |            - ((n34 - n13*n14
+        |                 - ((n23 - n12*n13)/sqrt(1.0 - n12*n12))
+        |                   *((n24 - n12*n14)/sqrt(1.0 - n12*n12)))
+        |               /sqrt(r2_3))
+        |              *((n34 - n13*n14
+        |                 - ((n23 - n12*n13)/sqrt(1.0 - n12*n12))
+        |                   *((n24 - n12*n14)/sqrt(1.0 - n12*n12)))
+        |               /sqrt(r2_3))
+        |      WHEN r2_2 >= 1e-14 THEN
+        |        1.0 - n14*n14
+        |            - ((n24 - n12*n14)/sqrt(1.0 - n12*n12))
+        |              *((n24 - n12*n14)/sqrt(1.0 - n12*n12))
+        |    END AS r2_4
+        |  FROM s3),
+        |st AS (SELECT
+        |    'x1' AS col_name, 'kept' AS status FROM s4
+        |  UNION ALL SELECT 'x2',
+        |    CASE WHEN r2_2 < 1e-14 THEN 'collinear' ELSE 'kept' END FROM s4
+        |  UNION ALL SELECT 'x3',
+        |    CASE WHEN r2_3 < 1e-14 THEN 'collinear' ELSE 'kept' END FROM s4
+        |  UNION ALL SELECT 'x4',
+        |    CASE WHEN r2_4 < 1e-14 THEN 'collinear' ELSE 'kept' END FROM s4)
+        |SELECT col_name, status FROM st""".stripMargin
+    )
   )
 
   // ---- C14: one-hot dummies ----------------------------------------------
