@@ -4080,7 +4080,42 @@ object PipelineQueries {
         .mineParallel(src, tgt, "vec_id", "embedding", k = 4, minMargin = 1.0, minCos = 0.3)
         .orderBy(col("src_id"))
     },
-    None
+    // FULL oracle (r12): brute-force cross-side cosines via the q97
+    // unnest idiom, the bounded-heap top-k replayed as row_number over
+    // (cos DESC, id ASC) — the heap's exact goodness order — both
+    // directions' top-4 means, the ratio margin and both gates. The
+    // top-k SET selection binds on raw cosines (sum-order noise
+    // ~1e-15); the k-th/(k+1)-th gaps and both gate margins are probed.
+    Some(
+      """WITH f AS (
+        |  SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+        |         unnest(range(len(embedding))) AS i
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM f GROUP BY vec_id),
+        |sc AS (SELECT s.vec_id AS sid, t.vec_id AS tid, sum(s.v*t.v) AS dot
+        |       FROM f s JOIN f t ON s.i = t.i
+        |       WHERE s.vec_id % 2 = 0 AND t.vec_id % 2 = 1
+        |       GROUP BY 1, 2),
+        |cosd AS (SELECT sid, tid, dot/(ns.nrm*nt.nrm) AS c
+        |         FROM sc JOIN n ns ON ns.vec_id = sid
+        |                 JOIN n nt ON nt.vec_id = tid),
+        |fwd AS (SELECT sid, tid, c,
+        |          row_number() OVER (PARTITION BY sid ORDER BY c DESC, tid) AS rn
+        |        FROM cosd),
+        |bwd AS (SELECT sid, tid, c,
+        |          row_number() OVER (PARTITION BY tid ORDER BY c DESC, sid) AS rn
+        |        FROM cosd),
+        |avgs AS (SELECT sid, avg(c) AS avg_s FROM fwd WHERE rn <= 4 GROUP BY 1),
+        |avgt AS (SELECT tid, avg(c) AS avg_t FROM bwd WHERE rn <= 4 GROUP BY 1),
+        |best AS (SELECT sid, tid, c FROM fwd WHERE rn = 1),
+        |o AS (SELECT b.sid, b.tid, b.c,
+        |        b.c/((avg_s + avg_t)/2.0) AS margin
+        |      FROM best b JOIN avgs USING (sid) JOIN avgt USING (tid))
+        |SELECT sid AS src_id, tid AS tgt_id,
+        |  round(c, 4) AS cos_sim, round(margin, 4) AS margin
+        |FROM o WHERE margin >= 1.0 AND c >= 0.3
+        |ORDER BY src_id""".stripMargin
+    )
   )
 
   // ---- T54: binned calibration report (FULL oracle — exact bin
