@@ -154,6 +154,34 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic multi-component WAV: a SUM of (freqHz, amp) sines —
+    * spectrally structured enough that [[AudioDedup]]'s band-energy
+    * fingerprints distinguish recordings (a single pure tone is
+    * periodic and degenerates to near-identical windows).
+    */
+  def encodeWavMix(
+      nSamples: Int, sampleRate: Int, components: Seq[(Double, Double)]): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      var v = 0.0
+      components.foreach { case (f, a) =>
+        v += math.sin(2.0 * math.Pi * f * i / sampleRate) * a
+      }
+      val s = math.max(-32768, math.min(32767, v.toInt))
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Decoded-media features. Image rows carry real decoded dimensions
     * and per-channel pixel means; audio rows carry sample count, sample
     * rate and RMS amplitude (in `mean_c0`, normalized to [0, 1]).

@@ -9724,6 +9724,39 @@ object PipelineQueries {
     None
   )
 
+  // ---- X6: audio fingerprint near-dup (rows-only: WAV decode +
+  // block-energy fingerprints have no SQL form; AudioSpec pins gain
+  // invariance, stride-trim collision, the silent-class cap, and
+  // fingerprint determinism) -------------------------------------------
+
+  val q330 = Q(
+    "q330_audio_neardup",
+    (s, dir) => {
+      import s.implicits._
+      import graft.media.{AudioDedup, Multimodal}
+      val docs = Tables.documents(s, dir).select("doc_id")
+        .where(col("doc_id") < 1000)
+      val recordings = docs.as[Long].map { id =>
+        val cls = (id % 50L).toInt
+        val payload =
+          if (id % 17 == 0) ("not audio " + id).getBytes("UTF-8") // undecodable
+          else {
+            // class-specific beat envelope; per-member gain varies —
+            // same-class members are gain-changed copies (near-dups)
+            val gain = 1.0 / (1 + (id / 50L) % 3).toDouble
+            val f = 200.0 + 17.0 * cls
+            Multimodal.encodeWavMix(4096, 8000, Seq(
+              (f, 9000.0 * gain), (f + 5.0 + cls % 3, 9000.0 * gain),
+              (2.3 * f, 4000.0 * gain)))
+          }
+        Multimodal.MediaRow(id, "audio", payload, 0, 0)
+      }
+      AudioDedup.nearDup(recordings, minOverlap = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+    None
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
@@ -9733,5 +9766,5 @@ object PipelineQueries {
       q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276,
       q277, q278, q279, q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290,
       q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q306, q307, q308, q309, q312, q313, q315,
-      q319, q320, q321, q322, q323, q324)
+      q319, q320, q321, q322, q323, q324, q330)
 }
