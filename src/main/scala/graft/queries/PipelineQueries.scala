@@ -9757,6 +9757,50 @@ object PipelineQueries {
     None
   )
 
+  // ---- T119: Heaps'-law vocabulary-growth fit (FULL oracle — doc
+  // ranks/cumulative token counts are exact integers on both engines,
+  // first-occurrence ranks one grouped min, checkpoint vocab an m-sized
+  // fold, and the log-log OLS replays the same Cramer closed form) -----
+
+  val q331 = Q(
+    "q331_heaps_law",
+    (s, dir) =>
+      graft.text.Heaps.fit(Tables.documents(s, dir), "text", "doc_id", checkpoints = 8),
+    Some(
+      """WITH pd AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS ntok
+        |            FROM documents),
+        |r AS (SELECT doc_id, ntok,
+        |        row_number() OVER (ORDER BY doc_id) AS rank,
+        |        sum(ntok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |          AS cum_tok
+        |      FROM pd),
+        |dd AS (SELECT max(rank)::BIGINT AS d FROM r),
+        |ck AS (SELECT j, (d*j + 7)//8 AS rj
+        |       FROM generate_series(1, 8) AS t(j), dd),
+        |nj AS (SELECT ck.j, r.cum_tok AS n FROM ck JOIN r ON r.rank = ck.rj),
+        |fr AS (SELECT token, min(rank) AS first_rank
+        |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |             FROM documents) t
+        |       JOIN r USING (doc_id)
+        |       WHERE len(token) > 0 GROUP BY 1),
+        |vj AS (SELECT ck.j, count(*) AS v
+        |       FROM ck JOIN fr ON fr.first_rank <= ck.rj GROUP BY 1),
+        |l AS (SELECT ln(n::DOUBLE) AS x, ln(v::DOUBLE) AS y
+        |      FROM nj JOIN vj USING (j)),
+        |s AS (SELECT count(*)::DOUBLE AS m, sum(x) AS sx, sum(y) AS sy,
+        |        sum(x*x) AS sxx, sum(x*y) AS sxy FROM l),
+        |b AS (SELECT (m*sxy - sx*sy)/(m*sxx - sx*sx) AS beta, s.* FROM s),
+        |f AS (SELECT beta, (sy - beta*sx)/m AS logk FROM b)
+        |SELECT floor(beta*1e6 + 0.5)/1e6 AS beta,
+        |  floor(logk*1e6 + 0.5)/1e6 AS log_k,
+        |  floor(exp(logk)*1e6 + 0.5)/1e6 AS k_coef,
+        |  8::INT AS n_checkpoints,
+        |  (SELECT max(cum_tok)::BIGINT FROM r) AS total_tokens,
+        |  (SELECT count(*)::BIGINT FROM fr) AS total_vocab
+        |FROM f""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
@@ -9766,5 +9810,5 @@ object PipelineQueries {
       q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276,
       q277, q278, q279, q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290,
       q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q306, q307, q308, q309, q312, q313, q315,
-      q319, q320, q321, q322, q323, q324, q330)
+      q319, q320, q321, q322, q323, q324, q330, q331)
 }
