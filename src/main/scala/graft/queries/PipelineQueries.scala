@@ -9801,6 +9801,34 @@ object PipelineQueries {
     )
   )
 
+  // ---- T120: Good–Turing / Chao1 corpus coverage (FULL oracle —
+  // frequency-of-frequencies and every closed form are exact integer
+  // arithmetic until the final divisions) ------------------------------
+
+  val q332 = Q(
+    "q332_coverage",
+    (s, dir) =>
+      graft.text.Heaps.coverage(Tables.documents(s, dir), "text", "doc_id"),
+    Some(
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |cts AS (SELECT tok, count(*)::BIGINT AS c FROM toks
+        |        WHERE len(tok) > 0 GROUP BY 1),
+        |fof AS (SELECT c, count(*)::BIGINT AS n_r FROM cts GROUP BY 1),
+        |agg AS (SELECT sum(c*n_r)::BIGINT AS n, sum(n_r)::BIGINT AS v,
+        |    coalesce(sum(CASE WHEN c = 1 THEN n_r END), 0)::BIGINT AS n1,
+        |    coalesce(sum(CASE WHEN c = 2 THEN n_r END), 0)::BIGINT AS n2
+        |  FROM fof)
+        |SELECT n AS n_tokens, v AS vocab, n1, n2,
+        |  floor((n1::DOUBLE/n)*1e6 + 0.5)/1e6 AS p_unseen,
+        |  floor((1.0 - n1::DOUBLE/n)*1e6 + 0.5)/1e6 AS coverage,
+        |  CASE WHEN n2 > 0
+        |    THEN floor((v + n1::DOUBLE*n1/(2.0*n2))*1e6 + 0.5)/1e6 END AS chao1,
+        |  floor((v + n1::DOUBLE*(n1 - 1.0)/(2.0*(n2 + 1.0)))*1e6 + 0.5)/1e6
+        |    AS chao1_bc
+        |FROM agg""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
@@ -9810,5 +9838,5 @@ object PipelineQueries {
       q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276,
       q277, q278, q279, q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290,
       q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q306, q307, q308, q309, q312, q313, q315,
-      q319, q320, q321, q322, q323, q324, q330, q331)
+      q319, q320, q321, q322, q323, q324, q330, q331, q332)
 }

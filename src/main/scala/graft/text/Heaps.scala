@@ -89,4 +89,45 @@ object Heaps {
     Seq((q6(beta), q6(logK), q6(math.exp(logK)), checkpoints, totalTokens, totalVocab))
       .toDF("beta", "log_k", "k_coef", "n_checkpoints", "total_tokens", "total_vocab")
   }
+
+  /** Good–Turing / Chao1 corpus-coverage estimates — "how much
+    * vocabulary is left to see?", the asymptote question next to
+    * [[fit]]'s growth-rate one: the Good–Turing unseen probability
+    * mass P₀ = n₁/N (Good 1953 — the chance the NEXT token is a new
+    * type), sample coverage Ĉ = 1 − P₀ (Turing/Gale), and the Chao1
+    * richness lower bound V̂ = V + n₁²/(2n₂) (Chao 1984 — how many
+    * types exist including the unseen ones; the classic bias-corrected
+    * form n₁(n₁−1)/(2(n₂+1)) is emitted too, defined even at n₂ = 0).
+    *
+    * Scale shape: one (token) count aggregate → one frequency-of-
+    * frequencies aggregate (output is max-count-sized) → closed forms;
+    * the corpus is scanned once.
+    */
+  def coverage(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val fof = counts.groupBy(col("c")).agg(count(lit(1)).as("n_r"))
+    val row = fof.agg(
+      sum(col("c") * col("n_r")).as("n_tokens"),
+      sum(col("n_r")).as("vocab"),
+      coalesce(sum(when(col("c") === 1, col("n_r"))), lit(0L)).as("n1"),
+      coalesce(sum(when(col("c") === 2, col("n_r"))), lit(0L)).as("n2")).head()
+    val n = row.getAs[Long]("n_tokens")
+    val v = row.getAs[Long]("vocab")
+    val n1 = row.getAs[Long]("n1")
+    val n2 = row.getAs[Long]("n2")
+    require(n > 0, "Heaps.coverage: empty corpus")
+    val p0 = n1.toDouble / n
+    val chao1 = if (n2 > 0) v + n1.toDouble * n1 / (2.0 * n2) else Double.NaN
+    val chao1Bc = v + n1.toDouble * (n1 - 1.0) / (2.0 * (n2 + 1.0))
+    val spark = df.sparkSession
+    import spark.implicits._
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    Seq((n, v, n1, n2, q6(p0), q6(1.0 - p0),
+      if (chao1.isNaN) None else Some(q6(chao1)), q6(chao1Bc)))
+      .toDF("n_tokens", "vocab", "n1", "n2", "p_unseen", "coverage",
+        "chao1", "chao1_bc")
+  }
 }

@@ -42,6 +42,28 @@ class HeapsSpec extends SparkSpec {
     assert(t.getAs[Long]("total_vocab") === 4L)
   }
 
+  test("Heaps.coverage: hand-computed Good–Turing and Chao1; singleton-only corpus nulls chao1") {
+    val docs = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val r = Heaps.coverage(docs, "text", "doc_id").head()
+    // counts: a=3, b=2, c=1 -> N=6, V=3, n1=1, n2=1
+    assert(r.getAs[Long]("n_tokens") === 6L && r.getAs[Long]("vocab") === 3L)
+    assert(r.getAs[Long]("n1") === 1L && r.getAs[Long]("n2") === 1L)
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(r.getAs[Double]("p_unseen") === q6(1.0 / 6))
+    assert(r.getAs[Double]("coverage") === q6(5.0 / 6))
+    assert(r.getAs[Double]("chao1") === 3.5) // V + n1²/(2 n2) = 3 + 1/2
+    assert(r.getAs[Double]("chao1_bc") === 3.0) // n1(n1−1) = 0
+    // every token unique: n2 = 0 -> classic chao1 undefined (null),
+    // the bias-corrected form still finite; P0 = 1 (all mass unseen)
+    val uniq = Seq((1L, "x y z")).toDF("doc_id", "text")
+    val u = Heaps.coverage(uniq, "text", "doc_id").head()
+    assert(u.isNullAt(u.fieldIndex("chao1")))
+    assert(u.getAs[Double]("p_unseen") === 1.0)
+    assert(u.getAs[Double]("chao1_bc") === 3 + 3.0 * 2 / 2)
+    intercept[IllegalArgumentException](
+      Heaps.coverage(Seq((1L, "")).toDF("doc_id", "text"), "text", "doc_id"))
+  }
+
   test("Heaps.fit: sublinear growth lands between the extremes; guards raise") {
     // doc i carries i%7 fresh tokens + shared filler: concave growth
     val mixed = (1L to 60L).map { i =>
