@@ -9829,6 +9829,57 @@ object PipelineQueries {
     )
   )
 
+  // ---- P44: farthest-point k-center sampling (FULL oracle — the
+  // greedy loop as a recursive CTE whose single state row CARRIES the
+  // chosen set as lists; per step the min-distance per vector comes
+  // from a lateral unnest of the center list joined through the q97
+  // component frame, and the argmax replays the (dist DESC, id ASC)
+  // struct order; selection gaps probed) -------------------------------
+
+  val q333 = Q(
+    "q333_fps_sample",
+    (s, dir) =>
+      graft.sim.Fps.sample(Tables.embeddings(s, dir), "vec_id", "embedding", k = 6),
+    Some(
+      """WITH RECURSIVE f AS (
+        |  SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+        |         unnest(range(len(embedding))) AS i
+        |  FROM embeddings),
+        |cset AS (
+        |  SELECT 1 AS it,
+        |    [(SELECT min(vec_id) FROM embeddings)] AS cids,
+        |    [0.0::DOUBLE] AS mds
+        |  UNION ALL
+        |  SELECT it + 1, list_append(cids, vec_id), list_append(mds, md)
+        |  FROM (
+        |    SELECT s3.*,
+        |      row_number() OVER (ORDER BY md DESC, vec_id ASC) AS rn
+        |    FROM (
+        |      SELECT DISTINCT it, cids, mds, vec_id,
+        |        min(d) OVER (PARTITION BY vec_id) AS md
+        |      FROM (
+        |        SELECT DISTINCT q.it, q.cids, q.mds, fv.vec_id, c.cid,
+        |          sum((fv.x - fc.x)*(fv.x - fc.x))
+        |            OVER (PARTITION BY fv.vec_id, c.cid) AS d
+        |        FROM cset q,
+        |             unnest(q.cids) AS c(cid),
+        |             f fc, f fv
+        |        WHERE q.it < 6 AND fc.vec_id = c.cid AND fv.i = fc.i
+        |          AND NOT list_contains(q.cids, fv.vec_id)
+        |      ) s2
+        |    ) s3
+        |  ) s4
+        |  WHERE rn = 1
+        |),
+        |fin AS (SELECT cids, mds FROM cset WHERE it = 6),
+        |ex AS (SELECT unnest(cids) AS id, unnest(mds) AS md,
+        |         generate_subscripts(cids, 1) AS sel_order FROM fin)
+        |SELECT sel_order::INT AS sel_order, id::BIGINT AS id,
+        |  floor(md*1e4 + 0.5)/1e4 AS min_dist
+        |FROM ex ORDER BY sel_order""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
@@ -9838,5 +9889,5 @@ object PipelineQueries {
       q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276,
       q277, q278, q279, q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290,
       q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q306, q307, q308, q309, q312, q313, q315,
-      q319, q320, q321, q322, q323, q324, q330, q331, q332)
+      q319, q320, q321, q322, q323, q324, q330, q331, q332, q333)
 }
