@@ -2695,10 +2695,112 @@ object CoreQueries {
     }
   )
 
+  // ---- C115: Cragg hurdle count model (FULL oracle — the logit part
+  // via OracleSql.logisticIrls3, the zero-truncated-Poisson part as its
+  // own recursive CTE with the truncated mean/variance expressions and
+  // the identical 1e-300 floor guard; both loops' iteration counts and
+  // the joint converged flag replayed) ---------------------------------
+
+  val q334 = Q(
+    "q334_hurdle",
+    (s, dir) => {
+      // "units beyond the first": l_quantity >= 1 always, so y has a
+      // real zero mass (quantity = 1) and positive counts above it
+      val li = Tables.lineitem(s, dir)
+        .withColumn("lp", log(col("l_extendedprice")))
+        .withColumn("extra", col("l_quantity") - 1.0)
+      val m = graft.ml.Hurdle.fit(li, "extra", Seq("lp", "l_discount"))
+      scalarRow(
+        s,
+        Seq(
+          "logit_icept" -> rnd(m.gamma(0), 4),
+          "logit_lp" -> rnd(m.gamma(1), 4),
+          "logit_disc" -> rnd(m.gamma(2), 4),
+          "trunc_icept" -> rnd(m.beta(0), 4),
+          "trunc_lp" -> rnd(m.beta(1), 4),
+          "trunc_disc" -> rnd(m.beta(2), 4),
+          // per-observation mean ll: the SUM's cross-engine summation-
+          // order noise (~|ll|·1e-16·√n ≈ 2.5e-6 at sf0.1) would sit at
+          // ~6× a 2dp margin; the mean divides the noise by n_pos
+          "ll_trunc_avg" -> rnd(m.llTrunc / m.nPos, 4)),
+        Seq("n" -> m.n, "n_pos" -> m.nPos,
+          "logit_iters" -> m.logitIters.toLong,
+          "trunc_iters" -> m.truncIters.toLong,
+          "converged" -> (if (m.converged) 1L else 0L)))
+    },
+    Some {
+      val sums =
+        """sum(w) OVER () AS s11, sum(w*x1) OVER () AS s12,
+          |               sum(w*x2) OVER () AS s13, sum(w*x1*x1) OVER () AS s22,
+          |               sum(w*x1*x2) OVER () AS s23, sum(w*x2*x2) OVER () AS s33,
+          |               sum(w*z) OVER () AS c1, sum(w*x1*z) OVER () AS c2,
+          |               sum(w*x2*z) OVER () AS c3,
+          |               sum(y*eta - lam - ln(om)) OVER () AS llnow""".stripMargin
+      val solved = OracleSql.pivotSolve3(
+        s"""(
+           |  SELECT DISTINCT i, ll, $sums
+           |  FROM (
+           |    SELECT i, ll, x1, x2, y, eta, lam, om,
+           |      lam/om AS m
+           |    FROM (
+           |      SELECT i, ll, x1, x2, y, eta,
+           |        exp(least(greatest(eta, -30.0), 30.0)) AS lam,
+           |        greatest(1.0 - exp(-exp(least(greatest(eta, -30.0), 30.0))),
+           |          1e-300) AS om
+           |      FROM (
+           |        SELECT q0.i, q0.ll, d0.x1, d0.x2, d0.y,
+           |          CASE WHEN q0.i = 0
+           |            THEN ln((d0.y + (SELECT yb FROM tpyb))/2.0)
+           |            ELSE 1.0*q0.b0 + d0.x1*q0.b1 + d0.x2*q0.b2 END AS eta
+           |        FROM tpit q0, pos d0
+           |        WHERE q0.i < 30 AND NOT q0.done)
+           |    ) e0
+           |  ) e1
+           |  , LATERAL (SELECT m*(1.0 + lam - m) AS w,
+           |             eta + (y - m)/(m*(1.0 + lam - m)) AS z) e2
+           |)""".stripMargin,
+        "s11", "s12", "s13", "s22", "s23", "s33", "c1", "c2", "c3",
+        "nb0", "nb1", "nb2")
+      s"""WITH RECURSIVE src1 AS (
+         |  SELECT ln(l_extendedprice) AS x1, l_discount::DOUBLE AS x2,
+         |         CASE WHEN l_quantity - 1.0 > 0 THEN 1.0 ELSE 0.0 END AS y
+         |  FROM lineitem),
+         |${OracleSql.logisticIrls3("src1")},
+         |pos AS (
+         |  SELECT ln(l_extendedprice) AS x1, l_discount::DOUBLE AS x2,
+         |         l_quantity - 1.0 AS y
+         |  FROM lineitem WHERE l_quantity - 1.0 > 0),
+         |tpyb AS (SELECT sum(1.0*y)/sum(1.0) AS yb FROM pos),
+         |tpit AS (
+         |  SELECT 0 AS i, 0.0::DOUBLE AS b0, 0.0::DOUBLE AS b1,
+         |    0.0::DOUBLE AS b2, CAST('infinity' AS DOUBLE) AS ll, false AS done
+         |  FROM (SELECT 1)
+         |  UNION ALL
+         |  SELECT i + 1, nb0, nb1, nb2, llnow,
+         |    abs(llnow - ll)/(abs(llnow) + 0.1) < 1e-9
+         |  FROM $solved
+         |),
+         |tpfin AS (SELECT * FROM tpit WHERE i = (SELECT max(i) FROM tpit)),
+         |nn AS (SELECT count(*)::BIGINT AS n,
+         |         sum(CASE WHEN l_quantity - 1.0 > 0 THEN 1 ELSE 0 END)::BIGINT
+         |           AS npos
+         |       FROM lineitem)
+         |SELECT round(g.b0, 4) AS logit_icept, round(g.b1, 4) AS logit_lp,
+         |  round(g.b2, 4) AS logit_disc,
+         |  round(t.b0, 4) AS trunc_icept, round(t.b1, 4) AS trunc_lp,
+         |  round(t.b2, 4) AS trunc_disc,
+         |  round(t.ll/nn.npos, 4) AS ll_trunc_avg,
+         |  nn.n, nn.npos AS n_pos,
+         |  g.i::BIGINT AS logit_iters, t.i::BIGINT AS trunc_iters,
+         |  (CASE WHEN g.done AND t.done THEN 1 ELSE 0 END)::BIGINT AS converged
+         |FROM lg3fin g, tpfin t, nn""".stripMargin
+    }
+  )
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18,
       q19, q36, q37, q38, q41, q42, q43, q59, q68, q70, q74, q79, q80, q90, q91, q94,
       q144, q145, q146, q147, q148, q149, q150, q156, q157, q158, q159, q163, q164, q165,
       q303, q304, q305, q310, q311, q316, q317, q318, q325, q326, q327, q328,
-      q329)
+      q329, q334)
 }
