@@ -2797,10 +2797,81 @@ object CoreQueries {
     }
   )
 
+  // ---- C116: Breusch–Godfrey serial-correlation LM test (FULL oracle
+  // — trend-OLS residuals via the replayed 2×2 pivot, one t−1 lag join,
+  // the 3-param auxiliary solve through pivotSolve3, the Gram-identity
+  // SSR, centered SST, and the χ²(1) tail as 2(1−Φ(√LM))) --------------
+
+  val q335 = Q(
+    "q335_breusch_godfrey",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(floor(unix_timestamp(col("ts")) / 86400).as("day"))
+        .agg(count(lit(1)).cast("double").as("n_events"))
+      val d0 = daily.agg(min(col("day"))).head().getLong(0)
+      val idx = daily.withColumn("tidx", (col("day") - d0).cast("double"))
+      val r = graft.ml.Hac.breuschGodfrey(idx, "day", "n_events", Seq("tidx"), lags = 1)
+      graft.ml.Hac.bgSummary(s, r)
+    },
+    Some {
+      import graft.functions.NormalDist._
+      val solvedAux = OracleSql.pivotSolve3(
+        s"""(SELECT count(*)::DOUBLE AS s11, sum(x) AS s12, sum(ul) AS s13,
+           |    sum(x*x) AS s22, sum(x*ul) AS s23, sum(ul*ul) AS s33,
+           |    sum(u) AS c1, sum(x*u) AS c2, sum(ul*u) AS c3,
+           |    sum(u*u) AS suu
+           |  FROM j)""".stripMargin,
+        "s11", "s12", "s13", "s22", "s23", "s33", "c1", "c2", "c3",
+        "a0", "a1", "a2")
+      s"""WITH d AS (SELECT floor(epoch(ts)/86400)::BIGINT AS t,
+         |             count(*)::DOUBLE AS y FROM events GROUP BY 1),
+         |dd AS (SELECT t, y, (t - (SELECT min(t) FROM d))::DOUBLE AS x FROM d),
+         |g AS (SELECT count(*)::DOUBLE AS g11, sum(x) AS g12, sum(x*x) AS g22,
+         |        sum(y) AS c1, sum(x*y) AS c2 FROM dd),
+         |b AS (SELECT g.*,
+         |    CASE WHEN abs(g12) > abs(g11) THEN g12 ELSE g11 END AS m00,
+         |    CASE WHEN abs(g12) > abs(g11) THEN g22 ELSE g12 END AS m01,
+         |    CASE WHEN abs(g12) > abs(g11) THEN c2 ELSE c1 END AS v0,
+         |    CASE WHEN abs(g12) > abs(g11) THEN g11 ELSE g12 END AS m10,
+         |    CASE WHEN abs(g12) > abs(g11) THEN g12 ELSE g22 END AS m11,
+         |    CASE WHEN abs(g12) > abs(g11) THEN c1 ELSE c2 END AS v1
+         |  FROM g),
+         |b2 AS (SELECT b.*,
+         |    (v1 - (m10/m00)*v0)/(m11 - (m10/m00)*m01) AS b1 FROM b),
+         |b3 AS (SELECT b2.*, (v0 - m01*b1)/m00 AS b0 FROM b2),
+         |u AS (SELECT dd.t, dd.x, dd.y - (b3.b0 + b3.b1*dd.x) AS u
+         |      FROM dd, b3),
+         |j AS (SELECT a.t, a.x, a.u, l.u AS ul
+         |      FROM u a JOIN (SELECT t + 1 AS t, u FROM u) l USING (t)),
+         |sv AS (SELECT s.*,
+         |    suu - 2.0*(a0*c1 + a1*c2 + a2*c3)
+         |      + (a0*(s11*a0 + s12*a1 + s13*a2)
+         |       + a1*(s12*a0 + s22*a1 + s23*a2)
+         |       + a2*(s13*a0 + s23*a1 + s33*a2)) AS ssr
+         |  FROM $solvedAux s),
+         |mt AS (SELECT sv.*, (SELECT sum(u)/count(*) FROM j) AS ub FROM sv),
+         |st AS (SELECT mt.*,
+         |    (SELECT sum((u - mt.ub)*(u - mt.ub)) FROM j) AS sst FROM mt),
+         |fin AS (SELECT st.*, s11*(1.0 - ssr/sst) AS lm FROM st),
+         |pv AS (SELECT fin.*, sqrt(lm) AS zv,
+         |    1.0/(1.0 + $P*sqrt(lm)) AS tv FROM fin)
+         |SELECT floor(lm*1e4 + 0.5)/1e4 AS lm, 1::INT AS lags,
+         |  floor((1.0 - ssr/sst)*1e4 + 0.5)/1e4 AS r2_aux,
+         |  CAST(floor(s11 + 0.5) AS BIGINT) AS n_aux,
+         |  floor((2.0*(($INV_SQRT_2PI*exp(-(zv*zv)/2.0))
+         |    *(tv*($B1 + tv*($B2 + tv*($B3 + tv*($B4 + tv*$B5)))))))*1e6
+         |    + 0.5)/1e6 AS p_value,
+         |  (CASE WHEN 2.0*(($INV_SQRT_2PI*exp(-(zv*zv)/2.0))
+         |    *(tv*($B1 + tv*($B2 + tv*($B3 + tv*($B4 + tv*$B5)))))) < 0.05
+         |    THEN 1 ELSE 0 END)::INT AS reject_5pct
+         |FROM pv""".stripMargin
+    }
+  )
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18,
       q19, q36, q37, q38, q41, q42, q43, q59, q68, q70, q74, q79, q80, q90, q91, q94,
       q144, q145, q146, q147, q148, q149, q150, q156, q157, q158, q159, q163, q164, q165,
       q303, q304, q305, q310, q311, q316, q317, q318, q325, q326, q327, q328,
-      q329, q334)
+      q329, q334, q335)
 }

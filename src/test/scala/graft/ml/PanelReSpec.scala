@@ -354,6 +354,50 @@ class PanelReSpec extends SparkSpec {
       Hac.cochraneOrcutt(exact.toDF("t", "x", "y"), "t", "y", "x"))
   }
 
+  test("Hac.breuschGodfrey: AR errors reject, white noise accepts; dense replica incl. p=2") {
+    val rng = new scala.util.Random(19)
+    var u = 0.0
+    val arRows = (0 until 400).map { t =>
+      u = 0.6 * u + rng.nextGaussian()
+      (t.toLong, t.toDouble, 1.0 + 0.01 * t + u)
+    }
+    val ar = Hac.breuschGodfrey(arRows.toDF("t", "x", "y"), "t", "y", Seq("x"), lags = 2)
+    assert(ar.reject5pct && ar.pValue < 0.01, s"AR(0.6) must reject: LM=${ar.lm}")
+    val wnRows = (0 until 400).map { t =>
+      (t.toLong, t.toDouble, 1.0 + 0.01 * t + rng.nextGaussian())
+    }
+    val wn = Hac.breuschGodfrey(wnRows.toDF("t", "x", "y"), "t", "y", Seq("x"), lags = 2)
+    assert(!wn.reject5pct, s"white noise must not reject: LM=${wn.lm} p=${wn.pValue}")
+    // dense replica at p = 2 (beyond the oracle's p = 1)
+    val xs = arRows.map(_._2).toArray; val ys = arRows.map(_._3).toArray
+    val n = xs.length.toDouble
+    val sx = xs.sum; val sy = ys.sum
+    val sxx = xs.map(v => v * v).sum
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val b1 = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val b0 = (sy - b1 * sx) / n
+    val res = xs.indices.map(t => ys(t) - b0 - b1 * xs(t)).toArray
+    val rows = (2 until res.length).map(t => (res(t), Array(1.0, xs(t), res(t - 1), res(t - 2))))
+    val g = Array.ofDim[Double](4, 4); val c = new Array[Double](4)
+    rows.foreach { case (uu, xv) =>
+      for (i <- 0 to 3; j <- 0 to 3) g(i)(j) += xv(i) * xv(j)
+      for (i <- 0 to 3) c(i) += xv(i) * uu
+    }
+    val a = LinAlg.solve(g, c)
+    val nAux = rows.length.toDouble
+    val ub = rows.map(_._1).sum / nAux
+    val sst = rows.map(r => (r._1 - ub) * (r._1 - ub)).sum
+    val ssr = rows.map { case (uu, xv) =>
+      val f = xv.zip(a).map { case (p, q) => p * q }.sum
+      (uu - f) * (uu - f)
+    }.sum
+    val lmRef = nAux * (1.0 - ssr / sst)
+    assert(math.abs(ar.lm - lmRef) < 1e-6 * lmRef, s"${ar.lm} vs $lmRef")
+    assert(ar.nAux === 398L && ar.lags === 2)
+    intercept[IllegalArgumentException](
+      Hac.breuschGodfrey(arRows.toDF("t", "x", "y"), "t", "y", Seq("x"), lags = 0))
+  }
+
   test("Causal.rdd: planted jump recovered, slopes recovered, kernel respected") {
     // y = 3 + 0.5·r below the cutoff, y = 10 + 0.5·r above → τ = 7
     val rows = (0 until 4000).map { i =>
