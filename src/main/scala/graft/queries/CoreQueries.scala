@@ -2868,10 +2868,100 @@ object CoreQueries {
     }
   )
 
+  // ---- C117: Chamberlain conditional FE logit, paired panels (FULL
+  // oracle — pair assembly via row_number over the in-group order,
+  // discordant filter, then a NO-INTERCEPT 2-param logistic IRLS as a
+  // recursive CTE mirroring Glm.fit(intercept = false) exactly) --------
+
+  val q336 = Q(
+    "q336_cond_logit",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .withColumn("lp", log(col("l_extendedprice")))
+        .withColumn("ret", when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
+      val m = graft.ml.CondLogit.fitPaired(
+        li, "ret", Seq("lp", "l_discount"), "l_orderkey", "l_linenumber")
+      graft.ml.CondLogit.summary(s, m).orderBy("name")
+    },
+    Some {
+      s"""WITH RECURSIVE b AS (
+         |  SELECT l_orderkey AS g, l_linenumber AS o,
+         |    CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
+         |    ln(l_extendedprice) AS xa, l_discount::DOUBLE AS xb
+         |  FROM lineitem),
+         |cg AS (SELECT g FROM b GROUP BY g HAVING count(*) = 2),
+         |r AS (SELECT b.*, row_number() OVER (PARTITION BY g ORDER BY o, y, xa, xb) AS rn
+         |      FROM b JOIN cg USING (g)),
+         |np AS (SELECT (count(*)//2)::BIGINT AS n_pairs FROM r),
+         |src AS (SELECT a.y AS y, a.xa - s.xa AS x1, a.xb - s.xb AS x2
+         |        FROM r a JOIN r s ON a.g = s.g AND a.rn = 1 AND s.rn = 2
+         |        WHERE a.y <> s.y),
+         |clit AS (
+         |  SELECT 0 AS i, 0.0::DOUBLE AS b1, 0.0::DOUBLE AS b2,
+         |    CAST('infinity' AS DOUBLE) AS dev, false AS done
+         |  FROM (SELECT 1)
+         |  UNION ALL
+         |  SELECT i + 1, nb1, nb2, devnow,
+         |    abs(devnow - dev)/(abs(devnow) + 0.1) < 1e-9
+         |  FROM (
+         |    SELECT s4.*, (v0 - m01*nb2)/m00 AS nb1
+         |    FROM (
+         |      SELECT s3.*,
+         |        (v1 - (m10/m00)*v0)/(m11 - (m10/m00)*m01) AS nb2
+         |      FROM (
+         |        SELECT s2.*,
+         |          CASE WHEN abs(s12) > abs(s11) THEN s12 ELSE s11 END AS m00,
+         |          CASE WHEN abs(s12) > abs(s11) THEN s22 ELSE s12 END AS m01,
+         |          CASE WHEN abs(s12) > abs(s11) THEN c2 ELSE c1 END AS v0,
+         |          CASE WHEN abs(s12) > abs(s11) THEN s11 ELSE s12 END AS m10,
+         |          CASE WHEN abs(s12) > abs(s11) THEN s12 ELSE s22 END AS m11,
+         |          CASE WHEN abs(s12) > abs(s11) THEN c1 ELSE c2 END AS v1
+         |        FROM (
+         |          SELECT DISTINCT i, dev,
+         |            sum(w*x1*x1) OVER () AS s11,
+         |            sum(w*x1*x2) OVER () AS s12,
+         |            sum(w*x2*x2) OVER () AS s22,
+         |            sum(w*x1*z) OVER () AS c1, sum(w*x2*z) OVER () AS c2,
+         |            sum(devterm) OVER () AS devnow
+         |          FROM (
+         |            SELECT i, dev, x1, x2, mu*(1.0 - mu) AS w,
+         |              eta + (y - mu)/(mu*(1.0 - mu)) AS z,
+         |              -2.0*(CASE WHEN y > 0.0 THEN y*ln(mu) ELSE 0.0 END +
+         |                    CASE WHEN y < 1.0 THEN (1.0 - y)*ln(1.0 - mu)
+         |                      ELSE 0.0 END) AS devterm
+         |            FROM (
+         |              SELECT i, dev, x1, x2, y, eta,
+         |                1.0/(1.0 + exp(-least(greatest(eta, -30.0), 30.0))) AS mu
+         |              FROM (
+         |                SELECT q0.i, q0.dev, d0.x1, d0.x2, d0.y,
+         |                  CASE WHEN q0.i = 0
+         |                    THEN ln(((d0.y + 0.5)/2.0)/(1.0 - (d0.y + 0.5)/2.0))
+         |                    ELSE d0.x1*q0.b1 + d0.x2*q0.b2 END AS eta
+         |                FROM clit q0, src d0
+         |                WHERE q0.i < 30 AND NOT q0.done)
+         |            )
+         |          )
+         |        ) s2
+         |      ) s3
+         |    ) s4
+         |  ) s5
+         |),
+         |cfin AS (SELECT * FROM clit WHERE i = (SELECT max(i) FROM clit)),
+         |nd AS (SELECT count(*)::BIGINT AS n_disc FROM src),
+         |names(name, ord) AS (VALUES ('lp', 1), ('l_discount', 2))
+         |SELECT name,
+         |  floor((CASE ord WHEN 1 THEN b1 ELSE b2 END)*1e4 + 0.5)/1e4 AS coef,
+         |  floor((dev/nd.n_disc)*1e4 + 0.5)/1e4 AS dev_avg,
+         |  (SELECT n_pairs FROM np) AS n_pairs, nd.n_disc AS n_discordant,
+         |  i::INT AS iters, (CASE WHEN done THEN 1 ELSE 0 END)::INT AS converged
+         |FROM cfin, nd, names ORDER BY name""".stripMargin
+    }
+  )
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18,
       q19, q36, q37, q38, q41, q42, q43, q59, q68, q70, q74, q79, q80, q90, q91, q94,
       q144, q145, q146, q147, q148, q149, q150, q156, q157, q158, q159, q163, q164, q165,
       q303, q304, q305, q310, q311, q316, q317, q318, q325, q326, q327, q328,
-      q329, q334, q335)
+      q329, q334, q335, q336)
 }
