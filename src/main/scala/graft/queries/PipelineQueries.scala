@@ -9880,6 +9880,58 @@ object PipelineQueries {
     )
   )
 
+  // ---- P45: moment-based MMD embedding drift (FULL oracle — means and
+  // second-moment matrices via the q97 component frame, Frobenius inner
+  // products by an (i, j) join, all closed forms; V-statistic
+  // convention documented) ---------------------------------------------
+
+  val q337 = Q(
+    "q337_mmd_drift",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.sim.Embed.mmdDrift(
+        emb.where(col("vec_id") % 2 === 0),
+        emb.where(col("vec_id") % 2 === 1), "embedding")
+    },
+    Some(
+      """WITH f AS (
+        |  SELECT vec_id, vec_id % 2 AS side, unnest(embedding)::DOUBLE AS x,
+        |         unnest(range(len(embedding))) AS i
+        |  FROM embeddings),
+        |nn AS (SELECT side, count(DISTINCT vec_id)::BIGINT AS n
+        |       FROM f GROUP BY 1),
+        |mu AS (SELECT side, i, sum(x)/(SELECT n FROM nn WHERE nn.side = f.side)
+        |         AS m FROM f GROUP BY side, i),
+        |sm AS (SELECT a.side, a.i AS i, b.i AS j,
+        |         sum(a.x*b.x)/(SELECT n FROM nn WHERE nn.side = a.side) AS m
+        |       FROM f a JOIN f b ON a.vec_id = b.vec_id AND a.side = b.side
+        |       GROUP BY 1, 2, 3),
+        |lin AS (SELECT sum((a.m - b.m)*(a.m - b.m)) AS v
+        |        FROM mu a JOIN mu b ON a.i = b.i AND a.side = 0 AND b.side = 1),
+        |dots AS (SELECT
+        |    (SELECT sum(a.m*b.m) FROM mu a JOIN mu b ON a.i = b.i
+        |       AND a.side = 0 AND b.side = 0) AS daa,
+        |    (SELECT sum(a.m*b.m) FROM mu a JOIN mu b ON a.i = b.i
+        |       AND a.side = 1 AND b.side = 1) AS dbb,
+        |    (SELECT sum(a.m*b.m) FROM mu a JOIN mu b ON a.i = b.i
+        |       AND a.side = 0 AND b.side = 1) AS dab),
+        |frobs AS (SELECT
+        |    (SELECT sum(a.m*b.m) FROM sm a JOIN sm b ON a.i = b.i AND a.j = b.j
+        |       AND a.side = 0 AND b.side = 0) AS faa,
+        |    (SELECT sum(a.m*b.m) FROM sm a JOIN sm b ON a.i = b.i AND a.j = b.j
+        |       AND a.side = 1 AND b.side = 1) AS fbb,
+        |    (SELECT sum(a.m*b.m) FROM sm a JOIN sm b ON a.i = b.i AND a.j = b.j
+        |       AND a.side = 0 AND b.side = 1) AS fab)
+        |SELECT (SELECT n FROM nn WHERE side = 0) AS n_a,
+        |  (SELECT n FROM nn WHERE side = 1) AS n_b,
+        |  floor(lin.v*1e6 + 0.5)/1e6 AS mmd2_lin,
+        |  floor(sqrt(lin.v)*1e6 + 0.5)/1e6 AS mean_shift_l2,
+        |  floor(((faa + 2.0*daa + 1.0) + (fbb + 2.0*dbb + 1.0)
+        |    - 2.0*(fab + 2.0*dab + 1.0))*1e6 + 0.5)/1e6 AS mmd2_quad
+        |FROM lin, dots, frobs""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q39, q40,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61, q62,
@@ -9889,5 +9941,5 @@ object PipelineQueries {
       q151, q152, q153, q154, q155, q160, q161, q162, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276,
       q277, q278, q279, q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290,
       q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q306, q307, q308, q309, q312, q313, q315,
-      q319, q320, q321, q322, q323, q324, q330, q331, q332, q333)
+      q319, q320, q321, q322, q323, q324, q330, q331, q332, q333, q337)
 }

@@ -228,4 +228,67 @@ object Embed {
         col("__b.lbl").as("assigned"),
         round(-col("__b.neg"), 4).as("cos"))
   }
+
+  /** Embedding-population drift between two vector sets via MOMENT-BASED
+    * MMD (Gretton 2012 with kernels whose MMD closes over first/second
+    * moments — the 100 TB trick: no pairwise pass, ever): the linear
+    * kernel gives MMD² = |μ_A − μ_B|² (pure mean shift), the degree-2
+    * polynomial kernel (xᵀy + 1)² adds second-moment sensitivity via
+    * E[k(x,y)] = ⟨M_A, M_B⟩_F + 2μ_Aᵀμ_B + 1 with M = E[xxᵀ] — drift in
+    * covariance structure that a mean check misses (the embedding-space
+    * complement of [[graft.ops]]' distributional drift monitors). Biased
+    * V-statistic convention (population moments, no diagonal removal) —
+    * documented; the monitor wants a stable scalar, not an unbiased test.
+    *
+    * Scale shape: ONE [[graft.functions.VecOuterAgg]] pass per side
+    * ((1 + d + d(d+1)/2)-double partials, never a row) and closed forms
+    * on the driver.
+    */
+  def mmdDrift(a: DataFrame, b: DataFrame, vecCol: String): DataFrame = {
+    import graft.functions.VecOuterAgg
+    def moments(df: DataFrame): (Long, Array[Double], Array[Array[Double]]) = {
+      val flat = df.agg(VecOuterAgg.vecOuter(col(vecCol))).head().getSeq[Double](0).toArray
+      require(flat.nonEmpty, "Embed.mmdDrift: empty side")
+      val d = ((math.sqrt(9.0 + 8.0 * (flat.length - 1)) - 3.0) / 2.0).round.toInt
+      val n = math.round(flat(0))
+      require(n > 0, "Embed.mmdDrift: empty side")
+      val mu = Array.tabulate(d)(i => flat(1 + i) / n)
+      val m = Array.ofDim[Double](d, d)
+      var p = 1 + d
+      var i = 0
+      while (i < d) {
+        var j = i
+        while (j < d) { val v = flat(p) / n; m(i)(j) = v; m(j)(i) = v; p += 1; j += 1 }
+        i += 1
+      }
+      (n, mu, m)
+    }
+    val (na, muA, ma) = moments(a)
+    val (nb, muB, mb) = moments(b)
+    require(muA.length == muB.length, "Embed.mmdDrift: dimension mismatch")
+    val d = muA.length
+    var lin = 0.0
+    var i = 0
+    while (i < d) { val t = muA(i) - muB(i); lin += t * t; i += 1 }
+    def frob(x: Array[Array[Double]], y: Array[Array[Double]]): Double = {
+      var acc = 0.0
+      var r = 0
+      while (r < d) { var c = 0; while (c < d) { acc += x(r)(c) * y(r)(c); c += 1 }; r += 1 }
+      acc
+    }
+    def dot(x: Array[Double], y: Array[Double]): Double = {
+      var acc = 0.0; var t = 0
+      while (t < d) { acc += x(t) * y(t); t += 1 }
+      acc
+    }
+    def kxy(mx: Array[Array[Double]], my: Array[Array[Double]],
+        ux: Array[Double], uy: Array[Double]): Double =
+      frob(mx, my) + 2.0 * dot(ux, uy) + 1.0
+    val quad = kxy(ma, ma, muA, muA) + kxy(mb, mb, muB, muB) - 2.0 * kxy(ma, mb, muA, muB)
+    val spark = a.sparkSession
+    import spark.implicits._
+    def q6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    Seq((na, nb, q6(lin), q6(math.sqrt(lin)), q6(quad)))
+      .toDF("n_a", "n_b", "mmd2_lin", "mean_shift_l2", "mmd2_quad")
+  }
 }
