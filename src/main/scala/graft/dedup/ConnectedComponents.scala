@@ -31,10 +31,17 @@ object ConnectedComponents {
       dst: String,
       maxIters: Int = 50
   ): DataFrame = {
-    val sym = edges
+    // static symmetric edge frame exchanged + sorted ONCE on the
+    // per-round join key (opt guide §2.4): the union output has unknown
+    // partitioning, so without this every round re-exchanged 2|E| rows
+    // into the labels join. Keyed checkpoint, not persist: an
+    // InMemoryRelation over an adaptive plan reports Unknown
+    // partitioning, which would put the per-round exchange right back.
+    val sym = org.apache.spark.sql.graftbridge.Bridge.staticCheckpointKeyed(edges
       .select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
       .union(edges.select(col(dst).cast("long").as("a"), col(src).cast("long").as("b")))
-      .persist()
+      .repartition(col("b"))
+      .sortWithinPartitions("b"))
 
     def checkpointRdd(d: DataFrame) =
       d.queryExecution.analyzed.collectFirst {
@@ -88,7 +95,7 @@ object ConnectedComponents {
     labels.count()
     history.dropRight(1).foreach(d => checkpointRdd(d).foreach(_.unpersist(false)))
     updHistory.foreach(_.unpersist(false))
-    sym.unpersist(false)
+    checkpointRdd(sym).foreach(_.unpersist(false))
     labels
   }
 }

@@ -32,26 +32,31 @@ object Bfs {
       maxHops: Int = 10
   ): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
-    val e = edges
+    // static edge frame exchanged + sorted ONCE on the expansion key
+    // (opt guide §2.4): the frontier is always hash-partitioned by node
+    // (distinct / anti-join output), so the per-hop frontier⋈edges join
+    // never re-exchanges the edge side
+    val e = Bridge.staticCheckpointKeyed(edges
       .select(col(src).cast("string").as("es"), col(dst).cast("string").as("ed"))
       .distinct()
-      .persist()
-    var settled = seeds
+      .repartition(col("es"))
+      .sortWithinPartitions("es"))
+    var settled = Bridge.iterCheckpointKeyed(seeds
       .select(col(seedCol).cast("string").as("node"))
       .distinct()
-      .withColumn("dist", lit(0))
-      .localCheckpoint(true)
+      .withColumn("dist", lit(0)))
     var frontier = settled
     var hop = 0
     var done = frontier.isEmpty
     while (hop < maxHops && !done) {
-      val next = frontier
+      val nextPlan = frontier
         .join(e, col("node") === col("es"))
         .select(col("ed").as("node"))
         .distinct()
         .join(settled, Seq("node"), "left_anti")
         .withColumn("dist", lit(hop + 1))
-        .localCheckpoint(true)
+      Bridge.explainIter(nextPlan, "bfs-hop")
+      val next = Bridge.iterCheckpointKeyed(nextPlan)
       if (next.isEmpty) done = true
       else {
         settled = Bridge.freshLeaf(settled.unionByName(next).localCheckpoint(true))
@@ -59,7 +64,6 @@ object Bfs {
       }
       hop += 1
     }
-    e.unpersist(false)
     settled
   }
 }

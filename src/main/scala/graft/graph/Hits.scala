@@ -30,45 +30,53 @@ object Hits {
       dst: String = "dst",
       iters: Int = 8
   ): DataFrame = {
-    val e = edges.select(col(src).cast("string").as("src"), col(dst).cast("string").as("dst"))
+    val eRaw = edges.select(col(src).cast("string").as("src"), col(dst).cast("string").as("dst"))
       .distinct()
       .localCheckpoint(true)
-    require(!e.isEmpty, "Hits.run: empty edge set (no hubs or authorities to score)")
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct()
-      .localCheckpoint(true)
+    require(!eRaw.isEmpty, "Hits.run: empty edge set (no hubs or authorities to score)")
+    // TWO static copies of the edge frame, one per half-step join key,
+    // each exchanged + sorted ONCE (opt guide §2.4): the score frames
+    // end every half-step hash-partitioned by node (the groupBy/join
+    // below), so both per-iteration joins are co-partitioned — zero
+    // Exchange and zero edge-side Sort inside the loop.
+    import org.apache.spark.sql.graftbridge.Bridge
+    val eBySrc = Bridge.staticCheckpointKeyed(
+      eRaw.repartition(col("src")).sortWithinPartitions("src"))
+    val eByDst = Bridge.staticCheckpointKeyed(
+      eRaw.repartition(col("dst")).sortWithinPartitions("dst"))
+    val nodes = Bridge.staticCheckpointKeyed(eRaw.select(col("src").as("node"))
+      .union(eRaw.select(col("dst").as("node")))
+      .distinct()) // hash-partitioned by node
 
     // the L2 norm rides the same job as the score checkpoint (1-row
     // broadcast, SQL sqrt = java.lang.Math.sqrt — bit-identical to the
     // former driver-side math.sqrt); with a non-empty edge set every
     // norm is positive, so no 0/0
-    var hub = nodes.withColumn("hub", lit(1.0)).localCheckpoint(true)
-    var auth = nodes.withColumn("auth", lit(0.0)).localCheckpoint(true)
+    var hub = Bridge.iterCheckpointKeyed(nodes.withColumn("hub", lit(1.0)))
+    var auth = Bridge.iterCheckpointKeyed(nodes.withColumn("auth", lit(0.0)))
     // 2 jobs per iteration, not 4: the raw half-step aggregates are
     // LAZY persists — the score checkpoint's action computes each once
     // into cache, and both its readers (the 1-row norm broadcast and
     // the fill join) reuse it; values are bit-identical
-    import org.apache.spark.sql.graftbridge.Bridge
     for (_ <- 0 until iters) {
-      val araw = hub.join(e, col("node") === col("src"))
+      val araw = hub.join(eBySrc, col("node") === col("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum("hub").as("v"))
         .persist()
       val na = araw.agg(sqrt(coalesce(sum(col("v") * col("v")), lit(0.0))).as("nrm"))
-      auth = Bridge.iterCheckpoint(nodes
+      auth = Bridge.iterCheckpointKeyed(nodes
         .join(araw, Seq("node"), "left")
         .na.fill(0.0, Seq("v"))
         .crossJoin(broadcast(na))
         .select(col("node"), (col("v") / col("nrm")).as("auth")))
       araw.unpersist(false)
 
-      val hraw = auth.join(e, col("node") === col("dst"))
+      val hraw = auth.join(eByDst, col("node") === col("dst"))
         .groupBy(col("src").as("node"))
         .agg(sum("auth").as("v"))
         .persist()
       val nh = hraw.agg(sqrt(coalesce(sum(col("v") * col("v")), lit(0.0))).as("nrm"))
-      hub = Bridge.iterCheckpoint(nodes
+      hub = Bridge.iterCheckpointKeyed(nodes
         .join(hraw, Seq("node"), "left")
         .na.fill(0.0, Seq("v"))
         .crossJoin(broadcast(nh))

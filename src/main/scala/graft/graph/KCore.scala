@@ -33,17 +33,24 @@ object KCore {
       maxRounds: Int = 20
   ): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val e = edges
+    val e0 = edges
       .select(
         least(col(src).cast("string"), col(dst).cast("string")).as("u"),
         greatest(col(src).cast("string"), col(dst).cast("string")).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
+    // static edge frame exchanged + sorted ONCE on the first semi-join
+    // key (opt guide §2.4); the alive set is always hash-partitioned by
+    // node (it is a filter of the degree aggregate), so per round the
+    // only exchanges left are the two edge-sized ones the degree count
+    // fundamentally needs (induced→v, then u-side counts)
+    val e = org.apache.spark.sql.graftbridge.Bridge.staticCheckpointKeyed(
+      e0.repartition(col("u")).sortWithinPartitions("u"))
 
-    var alive = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
-      .distinct()
-      .localCheckpoint(true)
+    var alive = org.apache.spark.sql.graftbridge.Bridge.iterCheckpointKeyed(
+      e0.select(col("u").as("node")).union(e0.select(col("v").as("node")))
+        .distinct()) // hash-partitioned by node
     var aliveCount = alive.count()
     var degrees: DataFrame = null
     var rounds = 0
@@ -53,15 +60,24 @@ object KCore {
       require(rounds <= maxRounds,
         s"k-core did not converge within $maxRounds rounds — raise maxRounds " +
           "(and the oracle's unroll depth with it)")
+      // alias-aware partitioning: au/av inherit alive's hash(node)
       val au = alive.select(col("node").as("u"))
       val av = alive.select(col("node").as("v"))
       val induced = e.join(au, Seq("u")).join(av, Seq("v"))
-      degrees = induced.select(col("u").as("node"))
-        .union(induced.select(col("v").as("node")))
-        .groupBy("node")
-        .agg(count(lit(1)).as("degree"))
-        .localCheckpoint(true)
-      val next = degrees.where(col("degree") >= k).select("node").localCheckpoint(true)
+      // degree = u-side appearances + v-side appearances (exact integer
+      // arithmetic — order-free), replacing the former union+groupBy
+      // whose shuffle carried 2×|edges| rows: the v-side count is free
+      // (induced is already partitioned by v after the second join),
+      // only the u-side count re-exchanges edge rows
+      val degV = induced.groupBy(col("v").as("node")).agg(count(lit(1)).as("dv"))
+      val degU = induced.groupBy(col("u").as("node")).agg(count(lit(1)).as("du"))
+      val degPlan = degU.join(degV, Seq("node"), "full_outer")
+        .select(
+          col("node"),
+          (coalesce(col("du"), lit(0L)) + coalesce(col("dv"), lit(0L))).as("degree"))
+      org.apache.spark.sql.graftbridge.Bridge.explainIter(degPlan, "kcore-degrees")
+      degrees = org.apache.spark.sql.graftbridge.Bridge.iterCheckpointKeyed(degPlan)
+      val next = degrees.where(col("degree") >= k).select("node")
       val nextCount = next.count()
       converged = nextCount == aliveCount
       alive = next

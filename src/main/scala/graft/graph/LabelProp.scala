@@ -42,24 +42,35 @@ object LabelProp {
       .select(col(src).cast("string").as("u"), col(dst).cast("string").as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
-    val e = half.union(half.select(col("v"), col("u")))
-      .distinct()
-      .localCheckpoint(true) // consumed every sweep
+    // static edge frame exchanged + sorted ONCE on the sweep's join key
+    // (opt guide §2.4): labels end every sweep hash-partitioned by node
+    // (the argmax groupBy), so the labels⋈e join is co-partitioned —
+    // the single exchange left per sweep is the vote redistribution by
+    // v, after which BOTH aggregates run exchange-free (hash(v)
+    // satisfies the (v, label) and the v clusterings). All-integer
+    // counts + min(struct) argmax — order-free, bit-identical.
+    val e = org.apache.spark.sql.graftbridge.Bridge.staticCheckpointKeyed(
+      half.union(half.select(col("v"), col("u")))
+        .distinct()
+        .repartition(col("u"))
+        .sortWithinPartitions("u")) // consumed every sweep
 
-    var labels = e.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
+    var labels = org.apache.spark.sql.graftbridge.Bridge.iterCheckpointKeyed(
+      e.select(col("u").as("node")).distinct()
+        .withColumn("label", col("node"))) // hash-partitioned by node
 
     for (_ <- 0 until iters) {
       val votes = labels
         .join(e, col("node") === col("u"))
+        .repartition(col("v"))
         .groupBy(col("v"), col("label"))
         .agg(count(lit(1)).as("c"))
-      labels = votes
+      val nextLabels = votes
         .groupBy(col("v").as("node"))
         .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("w"))
         .select(col("node"), col("w.l").as("label"))
-        .localCheckpoint(true)
+      org.apache.spark.sql.graftbridge.Bridge.explainIter(nextLabels, "labelprop-sweep")
+      labels = org.apache.spark.sql.graftbridge.Bridge.iterCheckpointKeyed(nextLabels)
     }
     labels
   }

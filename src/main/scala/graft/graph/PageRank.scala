@@ -43,19 +43,36 @@ object PageRank {
       iters: Int = 10,
       damping: Double = 0.85
   ): DataFrame = {
-    val e = edges.select(col(src).cast("string").as("src"), col(dst).cast("string").as("dst"))
+    val eRaw = edges.select(col(src).cast("string").as("src"), col(dst).cast("string").as("dst"))
       .persist()
-    require(!e.isEmpty, "PageRank.run: empty edge set (no nodes to rank)")
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct()
-      .persist()
-    val n = nodes.count().toDouble
+    require(!eRaw.isEmpty, "PageRank.run: empty edge set (no nodes to rank)")
     // distinct column name so the edge frame can re-join without a
     // self-join ambiguity
-    val outdeg = e.groupBy(col("src").as("od_src")).agg(count(lit(1)).cast("double").as("outdeg"))
+    val outdeg = eRaw.groupBy(col("src").as("od_src"))
+      .agg(count(lit(1)).cast("double").as("outdeg"))
+    // STATIC per-iteration inputs, exchanged ONCE (opt guide §2.4 —
+    // remove shuffles outright): the out-degree rides ON the edge row
+    // (it never changes), the edge frame is hash-partitioned and
+    // intra-partition sorted on the join key, and the sink flag rides
+    // on the node row. localCheckpoint pins partitioning + ordering on
+    // the LogicalRDD leaf, so every iteration's ranks⋈edges join is
+    // co-partitioned (zero Exchange, zero edge-side Sort) and the
+    // dangling mass needs no join at all. Contribution addends are the
+    // SAME rank/outdeg operands as the former per-iteration join plan —
+    // only summation order moves, under the 8dp output quantizer.
+    val e = Bridge.staticCheckpointKeyed(eRaw.join(outdeg, col("src") === col("od_src"))
+      .select(col("src"), col("dst"), col("outdeg"))
+      .repartition(col("src"))
+      .sortWithinPartitions("src"))
+    val nodes = Bridge.staticCheckpointKeyed(eRaw.select(col("src").as("node"))
+      .union(eRaw.select(col("dst").as("node")))
+      .distinct()
+      .join(outdeg, col("node") === col("od_src"), "left")
+      .select(col("node"), col("od_src").isNull.as("is_sink"))) // hash(node) from distinct
+    val n = nodes.count().toDouble
+    eRaw.unpersist(false)
 
-    var ranks = Bridge.iterCheckpoint(nodes.withColumn("rank", lit(1.0 / n)))
+    var ranks = Bridge.iterCheckpointKeyed(nodes.withColumn("rank", lit(1.0 / n)))
     // checkpoint CADENCE, not per-iteration (the FE probe lesson): odd
     // iterations persist LAZILY (no job — the even iteration's
     // checkpoint action computes them once into cache, and both the
@@ -70,10 +87,9 @@ object PageRank {
       // broadcast into the update expression rather than head()'d — the
       // dangling aggregate and the contribs pass ride ONE job (the
       // checkpoint action), halving driver round-trips per iteration
-      val withDeg = ranks.join(outdeg, col("node") === col("od_src"), "left")
-      val dangling = withDeg.where(col("od_src").isNull)
+      val dangling = ranks.where(col("is_sink"))
         .agg(coalesce(sum("rank"), lit(0.0)).as("dmass"))
-      val contribs = withDeg.where(col("od_src").isNotNull)
+      val contribs = ranks.where(!col("is_sink"))
         .join(e, col("node") === col("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("outdeg")).as("contrib"))
@@ -83,19 +99,18 @@ object PageRank {
         .crossJoin(broadcast(dangling))
         .select(
           col("node"),
+          col("is_sink"),
           (lit((1.0 - damping) / n) +
             lit(damping) * (col("contrib") + col("dmass") / lit(n))).as("rank"))
       if (it % 2 == 1 && it != iters) {
         ranks = next.persist()
         midFrame = Some(ranks)
       } else {
-        ranks = Bridge.iterCheckpoint(next)
+        ranks = Bridge.iterCheckpointKeyed(next)
         midFrame.foreach(_.unpersist(false)); midFrame = None
       }
     }
-    e.unpersist(false)
-    nodes.unpersist(false)
-    ranks
+    ranks.select("node", "rank")
   }
 
   /** Personalized PageRank — restart mass goes to a SEED distribution
@@ -124,9 +139,9 @@ object PageRank {
       iters: Int = 10,
       damping: Double = 0.85
   ): DataFrame = {
-    val e = edges.select(col(src).cast("string").as("src"), col(dst).cast("string").as("dst"))
+    val eRaw = edges.select(col(src).cast("string").as("src"), col(dst).cast("string").as("dst"))
       .persist()
-    require(!e.isEmpty, "PageRank.personalized: empty edge set (no nodes to rank)")
+    require(!eRaw.isEmpty, "PageRank.personalized: empty edge set (no nodes to rank)")
     val sTotal = seeds.agg(sum(col(seedWeight).cast("double"))).head().getDouble(0)
     require(sTotal > 0, "seed weights must have positive mass")
     val sNorm = seeds
@@ -134,26 +149,36 @@ object PageRank {
         col(seedNode).cast("string").as("node"),
         (col(seedWeight).cast("double") / sTotal).as("sw"))
       .groupBy("node").agg(sum("sw").as("sw")) // collapse duplicate seeds
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
+    val outdeg = eRaw.groupBy(col("src").as("od_src"))
+      .agg(count(lit(1)).cast("double").as("outdeg"))
+    // same static-input discipline as run(): out-degree rides the edge
+    // row, sink flag + seed weight ride the node row, both frames
+    // exchanged once and co-partitioned with the rank frame for every
+    // iteration (opt guide §2.4)
+    val e = Bridge.staticCheckpointKeyed(eRaw.join(outdeg, col("src") === col("od_src"))
+      .select(col("src"), col("dst"), col("outdeg"))
+      .repartition(col("src"))
+      .sortWithinPartitions("src"))
+    val nodes = Bridge.staticCheckpointKeyed(eRaw.select(col("src").as("node"))
+      .union(eRaw.select(col("dst").as("node")))
       .union(sNorm.select("node"))
       .distinct()
       .join(sNorm, Seq("node"), "left")
       .na.fill(0.0, Seq("sw"))
-      .persist()
-    nodes.count()
-    val outdeg = e.groupBy(col("src").as("od_src")).agg(count(lit(1)).cast("double").as("outdeg"))
+      .join(outdeg, col("node") === col("od_src"), "left")
+      .select(col("node"), col("sw"), col("od_src").isNull.as("is_sink"))) // hash(node)
+    eRaw.unpersist(false)
 
-    var ranks = Bridge.iterCheckpoint(nodes.select(col("node"), col("sw").as("rank")))
+    var ranks = Bridge.iterCheckpointKeyed(
+      nodes.select(col("node"), col("sw"), col("is_sink"), col("sw").as("rank")))
     // same cadence as run(): lazy-persist odd iterations, one eager
     // checkpoint job per two
     var midFrame: Option[DataFrame] = None
     for (it <- 1 to iters) {
       // same one-job fold as run(): dangling rides the checkpoint action
-      val withDeg = ranks.join(outdeg, col("node") === col("od_src"), "left")
-      val dangling = withDeg.where(col("od_src").isNull)
+      val dangling = ranks.where(col("is_sink"))
         .agg(coalesce(sum("rank"), lit(0.0)).as("dmass"))
-      val contribs = withDeg.where(col("od_src").isNotNull)
+      val contribs = ranks.where(!col("is_sink"))
         .join(e, col("node") === col("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("outdeg")).as("contrib"))
@@ -163,18 +188,18 @@ object PageRank {
         .crossJoin(broadcast(dangling))
         .select(
           col("node"),
+          col("sw"),
+          col("is_sink"),
           (lit(1.0 - damping) * col("sw") +
             lit(damping) * (col("contrib") + col("dmass") * col("sw"))).as("rank"))
       if (it % 2 == 1 && it != iters) {
         ranks = next.persist()
         midFrame = Some(ranks)
       } else {
-        ranks = Bridge.iterCheckpoint(next)
+        ranks = Bridge.iterCheckpointKeyed(next)
         midFrame.foreach(_.unpersist(false)); midFrame = None
       }
     }
-    e.unpersist(false)
-    nodes.unpersist(false)
-    ranks
+    ranks.select("node", "rank")
   }
 }

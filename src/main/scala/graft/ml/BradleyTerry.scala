@@ -56,25 +56,30 @@ object BradleyTerry {
     // originStats otherwise compound per iteration (the Lda lesson,
     // SURVEY §8g)
     def ck(df: DataFrame): DataFrame =
-      org.apache.spark.sql.graftbridge.Bridge.iterCheckpoint(df)
+      org.apache.spark.sql.graftbridge.Bridge.iterCheckpointKeyed(df)
 
-    // n_ij games per unordered pair + per-item win totals
+    // n_ij games per unordered pair + per-item win totals; the pair
+    // frame is exchanged + sorted ONCE on the first per-sweep join key
+    // (opt guide §2.4) so the π(i) join below is co-partitioned with
+    // the π frame (which ends every sweep hash-partitioned by item)
     val games = duels
       .select(col(winnerCol).cast("string").as("w"), col(loserCol).cast("string").as("l"))
       .groupBy(
         least(col("w"), col("l")).as("i"),
         greatest(col("w"), col("l")).as("j"))
       .agg(count(lit(1)).cast("double").as("n"))
-      .localCheckpoint(true)
+      .repartition(col("i"))
+      .sortWithinPartitions("i")
+      .transform(org.apache.spark.sql.graftbridge.Bridge.staticCheckpointKeyed(_))
     val wins = duels
       .groupBy(col(winnerCol).cast("string").as("item"))
       .agg(count(lit(1)).cast("double").as("wins"))
-    val items = games.select(col("i").as("item"))
-      .union(games.select(col("j").as("item")))
-      .distinct()
-      .join(wins, Seq("item"), "left")
-      .na.fill(0.0, Seq("wins"))
-      .localCheckpoint(true)
+    val items = org.apache.spark.sql.graftbridge.Bridge.staticCheckpointKeyed(
+      games.select(col("i").as("item"))
+        .union(games.select(col("j").as("item")))
+        .distinct()
+        .join(wins, Seq("item"), "left")
+        .na.fill(0.0, Seq("wins")))
 
     // wins RIDES in the π frame: the per-sweep update then needs only
     // ONE items-sized join (π ⋈ denom) whether plain or relaxed —
@@ -82,13 +87,31 @@ object BradleyTerry {
     // per-sweep join is not (measured on q205)
     var pi = ck(items.withColumn("pi", lit(1.0)).select("item", "wins", "pi"))
     for (sweep <- 1 to iters) {
+      // i-join co-partitioned (zero exchange), j-join exchanges the
+      // pair frame once; the two per-endpoint denominator sums replace
+      // the former union+groupBy whose shuffle carried 2×|pairs| rows —
+      // the j-side sum is free (gp is partitioned by j after the
+      // second join), only the i-side sum re-exchanges pair rows.
+      // denom_item = Σ_{i-side} d + Σ_{j-side} d: same addend multiset,
+      // associativity regrouped — ~1e-16-level drift the contractive
+      // MM map absorbs (q205's oracle replays DuckDB's own sum order
+      // and compares at the 1e-6 quantizer).
+      // lazy checkpoint: dI and dJ are separate subtrees of one action
+      // and exchange-reuse does not dedup the shared join (measured
+      // +40% sweep shuffle without it) — the leaf makes the pair join
+      // compute once and the j-side sum read blocks with NO exchange
       val gp = games
         .join(pi.select(col("item").as("i"), col("pi").as("pi_i")), Seq("i"))
         .join(pi.select(col("item").as("j"), col("pi").as("pi_j")), Seq("j"))
         .withColumn("d", col("n") / (col("pi_i") + col("pi_j")))
-      val denom = gp.select(col("i").as("item"), col("d"))
-        .union(gp.select(col("j").as("item"), col("d")))
-        .groupBy("item").agg(sum("d").as("denom"))
+        .transform(df => org.apache.spark.sql.graftbridge.Bridge
+          .iterCheckpointKeyed(df, eager = false))
+      val dJ = gp.groupBy(col("j").as("item")).agg(sum("d").as("dj"))
+      val dI = gp.groupBy(col("i").as("item")).agg(sum("d").as("di"))
+      val denom = dI.join(dJ, Seq("item"), "full_outer")
+        .select(
+          col("item"),
+          (coalesce(col("di"), lit(0.0)) + coalesce(col("dj"), lit(0.0))).as("denom"))
       val mm =
         when(col("denom").isNull || col("denom") === 0.0, lit(0.0))
           .otherwise(col("wins") / col("denom"))
@@ -107,6 +130,10 @@ object BradleyTerry {
         .join(denom, Seq("item"), "left")
         .withColumn("pi_new", stepped)
         .select(col("item"), col("wins"), col("pi_new").as("pi")))
+      // the sweep's pair blocks are dead once π is materialized
+      gp.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(false))
     }
     val tot = pi.agg(sum("pi")).head().getDouble(0)
     // rank on the QUANTIZED strength (ties by item): sub-1e-6 strength

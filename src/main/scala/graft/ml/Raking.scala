@@ -51,30 +51,42 @@ object Raking {
       .join(rt, Seq("__r"))
       .join(ct, Seq("__c"))
       .withColumn("__w", lit(1.0))
+    // each axis sweep is a WINDOW sum over the axis key, not an
+    // aggregate joined back (r12 opt round): the margin total lands on
+    // the cell row in ONE exchange (the former shape exchanged the cell
+    // frame into the join anyway, plus the margin aggregate), and the
+    // plan references `cur` once per sweep instead of twice per axis —
+    // linear, not exponential, growth between checkpoints. Same addend
+    // multiset per margin sum; only summation order moves (~1e-16 —
+    // IPF is contractive, the 6dp quantizer and the recursive-CTE
+    // oracle replay both absorb it, re-verified green at both SFs).
+    import org.apache.spark.sql.expressions.Window
+    val wR = Window.partitionBy("__r")
+    val wC = Window.partitionBy("__c")
     for (it <- 1 to iters) {
       // guard: a zeroed axis (target 0 → mass 0 next sweep) must stay a
       // fixed point at w = 0, not divide 0/0 into NaN
-      val rsum = cur.groupBy("__r").agg(sum(col("__n") * col("__w")).as("__rs"))
       val rowScaled = cur
-        .join(rsum, Seq("__r"))
+        .withColumn("__rs", sum(col("__n") * col("__w")).over(wR))
         .withColumn("__w",
           when(col("__rs") > 0, col("__w") * col("__tr") / col("__rs"))
             .otherwise(lit(0.0)))
         .drop("__rs")
-      val csum = rowScaled.groupBy("__c").agg(sum(col("__n") * col("__w")).as("__cs"))
       val swept = rowScaled
-        .join(csum, Seq("__c"))
+        .withColumn("__cs", sum(col("__n") * col("__w")).over(wC))
         .withColumn("__w",
           when(col("__cs") > 0, col("__w") * col("__tc") / col("__cs"))
             .otherwise(lit(0.0)))
         .drop("__cs")
-      // checkpoint every SECOND sweep (and the last): a sweep adds two
-      // joins + two aggregates to the lineage, shallow enough to stack
-      // once — halves the materialization count without letting Catalyst
-      // see an unbounded plan
+      // checkpoint every FOURTH sweep (and the last): with the linear
+      // window-chain plan, four stacked sweeps stay a few hundred plan
+      // nodes — the former join shape quadrupled per sweep and needed
+      // truncation every second sweep
       cur =
-        if (it % 2 == 0 || it == iters) Bridge.freshLeaf(swept.localCheckpoint())
-        else swept
+        if (it % 4 == 0 || it == iters) {
+          Bridge.explainIter(swept, "raking-sweep")
+          Bridge.freshLeaf(swept.localCheckpoint())
+        } else swept
     }
     cur.select(
       col("__r").as(rCol),

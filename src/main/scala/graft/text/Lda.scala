@@ -79,7 +79,9 @@ object Lda {
         col(docCol).cast("string").as("doc"),
         col(wordCol).cast("string").as("word"),
         col(cntCol).cast("double").as("cnt"))
-      .localCheckpoint(true) // consumed every iteration
+      .repartition(col("word"))
+      .sortWithinPartitions("word")
+      .transform(Bridge.staticCheckpointKeyed(_)) // consumed every iteration, co-partitioned with φ
 
     val nVocab = c.select("word").distinct().count()
 
@@ -87,7 +89,7 @@ object Lda {
     // localCheckpoint preserves origin stats and the iterated joins
     // otherwise compound sizeInBytes into huge BigInts (see
     // Bridge.freshLeaf)
-    def ck(df: DataFrame): DataFrame = Bridge.iterCheckpoint(df)
+    def ck(df: DataFrame): DataFrame = Bridge.iterCheckpointKeyed(df)
 
     var theta = ck(c.select("doc").distinct()
       .withColumn("theta", initVec(s"$salt:t", col("doc"), k)))
@@ -108,11 +110,21 @@ object Lda {
 
     val obj = Seq.newBuilder[Double]
     for (_ <- 0 until iters) {
-      // E-step: row-local responsibilities cnt·θφ/Σθφ
+      // E-step: row-local responsibilities cnt·θφ/Σθφ. The nnz frame is
+      // lazily LOCAL-CHECKPOINTED so the TWO M-step consumers (byDoc,
+      // byWord) share one compute of the double join (opt guide §1.2
+      // step 1 — don't do the same pass twice): byDoc's checkpoint
+      // action materializes the blocks, byWord reads them. Checkpoint,
+      // not persist: InMemoryRelation's columnar encoding of the K-wide
+      // array columns costs more than it saves (the FE-GLM η lesson).
+      // The word join is co-partitioned (c exchanged once at entry, φ
+      // is a groupBy("word") output), so per iteration only the
+      // doc-side redistribution and the byWord aggregate exchange rows.
       val joined = c.join(phi, "word").join(theta, "doc")
         .withColumn("resp", zip_with(col("theta"), col("phi"), (t, p) => t * p))
         .withColumn("denom", aggregate(col("resp"), lit(0.0), (a, b) => a + b))
         .withColumn("w", transform(col("resp"), x => x * col("cnt") / col("denom")))
+        .localCheckpoint(false)
 
       // prior term of the objective at the CURRENT φ (before the
       // update, so obj records L(θ_i, φ_i) consistently — EM ascends L)
@@ -124,24 +136,32 @@ object Lda {
       val byDoc = ck(joined.groupBy("doc")
         .agg(VecSumAgg.vecSum(col("w")).as("s"), sum(col("cnt") * log(col("denom"))).as("ll")))
       val llData = byDoc.agg(sum("ll")).head().getDouble(0)
-      theta = ck(byDoc
+      // θ/φ are cheap row-local projections OVER the checkpointed
+      // aggregate leaves — no extra materialization job each (they
+      // re-derive from the leaf on use; lineage stays one hop)
+      theta = byDoc
         .select(
           col("doc"),
           transform(col("s"), x => x / aggregate(col("s"), lit(0.0), (a, b) => a + b))
-            .as("theta")))
+            .as("theta"))
 
       val byWord = ck(joined.groupBy("word")
         .agg(VecSumAgg.vecSum(col("w")).as("s")))
+      // release the iteration's checkpoint blocks (Dataset.unpersist is
+      // a no-op for checkpoints — free the backing RDD directly)
+      joined.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(false))
       val totRow = byWord.agg(VecSumAgg.vecSum(col("s"))).head().getSeq[Double](0)
       val tot = totRow.toArray
       val totCol = array(tot.map(t => lit(t + nVocab * beta)): _*)
-      phi = ck(byWord
+      phi = byWord
         .select(
           col("word"),
           zip_with(
             transform(col("s"), x => x + lit(beta)),
             totCol,
-            (s, t) => s / t).as("phi")))
+            (s, t) => s / t).as("phi"))
 
       obj += llData + beta * llPhi
     }

@@ -18,6 +18,9 @@ object ExplainDump {
       .builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      // match the Bench/Verify session (see Bench.scala) so captured
+      // plans reflect what the driver actually runs
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -43,6 +43,103 @@ object Bridge {
     }
   }
 
+  /** [[iterCheckpoint]] that PRESERVES the checkpointed frame's hash
+    * partitioning and intra-partition ordering on the rebuilt leaf.
+    *
+    * `Dataset.localCheckpoint`/`checkpoint` drop outputPartitioning/
+    * outputOrdering whenever the executed plan is adaptive (Spark's
+    * `LogicalRDD.fromDataset` skips the attribute rewrite under AQE),
+    * so every iteration of a frame loop re-exchanges BOTH sides of
+    * joins that are in fact co-partitioned. This helper re-reads the
+    * TRUE layout from the plan that produced the checkpointed rows —
+    * the AQE final physical plan, fixed by the time the checkpoint RDD
+    * exists — rewrites its attributes positionally onto the new leaf
+    * (exactly what fromDataset does in the non-AQE branch), and claims
+    * nothing it cannot prove: only a HashPartitioning whose remapped
+    * references all survive in the leaf output is kept, otherwise the
+    * leaf stays UnknownPartitioning. Origin stats are dropped as in
+    * [[freshLeaf]].
+    */
+  def iterCheckpointKeyed(df: org.apache.spark.sql.DataFrame, eager: Boolean = true)
+      : org.apache.spark.sql.DataFrame =
+    checkpointKeyedImpl(df, eager, keepStats = false)
+
+  /** [[iterCheckpointKeyed]] for STATIC frames (edge lists, pair
+    * tables, count frames consumed by every iteration but never
+    * rebuilt from themselves): additionally injects the frame's REAL
+    * materialized size (block-store bytes of the just-checkpointed
+    * RDD) as the leaf statistics. Loop STATE frames must stay
+    * stats-free (freshLeaf rationale — carried stats compound through
+    * self-referencing iterations), but a static frame's size is a
+    * fact, and without it a small edge/pair frame loses every
+    * broadcast-join fast path it had when it was persist()ed
+    * (InMemoryRelation reports accurate sizes; a stats-free leaf
+    * reports defaultSizeInBytes = never-broadcast).
+    */
+  def staticCheckpointKeyed(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    checkpointKeyedImpl(df, eager = true, keepStats = true)
+
+  private def checkpointKeyedImpl(
+      df: org.apache.spark.sql.DataFrame,
+      eager: Boolean,
+      keepStats: Boolean): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeMap, AttributeSet}
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val exec = ds.queryExecution.executedPlan
+    val ck = truncate(df, eager)
+    val cds = ck.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    cds.queryExecution.analyzed match {
+      case lr: LogicalRDD =>
+        // by now truncate() has executed the plan (even the lazy path
+        // builds the RDD, which forces AQE's final plan), so this IS
+        // the plan whose rows the checkpoint holds
+        val finalPlan = exec match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+        val attrMap = AttributeMap(finalPlan.output.zip(lr.output))
+        val outSet = AttributeSet(lr.output)
+        // any expression-bearing partitioning (HashPartitioning, its
+        // AQE-coalesced variant, RangePartitioning) remaps; opaque ones
+        // stay at the leaf's default (Unknown)
+        val part = finalPlan.outputPartitioning match {
+          case ep: org.apache.spark.sql.catalyst.expressions.Expression
+              with org.apache.spark.sql.catalyst.plans.physical.Partitioning =>
+            val r = ep.transform { case a: Attribute => attrMap.getOrElse(a, a) }
+            if (r.references.subsetOf(outSet))
+              r.asInstanceOf[org.apache.spark.sql.catalyst.plans.physical.Partitioning]
+            else lr.outputPartitioning
+          case _ => lr.outputPartitioning
+        }
+        val ordRemapped = finalPlan.outputOrdering
+          .map(so => so.transform { case a: Attribute => attrMap.getOrElse(a, a) }
+            .asInstanceOf[org.apache.spark.sql.catalyst.expressions.SortOrder])
+        val ord =
+          if (ordRemapped.nonEmpty && ordRemapped.forall(_.references.subsetOf(outSet)))
+            ordRemapped
+          else Nil
+        // static frames: exact materialized bytes from the block store
+        // (the checkpoint blocks are resident by now when eager)
+        val stats =
+          if (!keepStats) None
+          else ds.sparkSession.sparkContext.getRDDStorageInfo
+            .find(_.id == lr.rdd.id)
+            .map(i => i.memSize + i.diskSize)
+            .filter(_ > 0L)
+            .map(s => org.apache.spark.sql.catalyst.plans.logical.Statistics(
+              sizeInBytes = BigInt(s)))
+        org.apache.spark.sql.classic.Dataset.ofRows(
+          ds.sparkSession,
+          new LogicalRDD(lr.output, lr.rdd, part, ord, lr.isStreaming, lr.stream)(
+            ds.sparkSession, stats, None))
+      case _ => ck
+    }
+  }
+
   /** Conf key selecting DURABLE iteration checkpoints. `localCheckpoint`
     * stores blocks on EXECUTOR storage only: on a real multi-executor
     * cluster, losing one executor mid-loop (iteration 40 of PageRank)
@@ -66,12 +163,26 @@ object Bridge {
       : org.apache.spark.sql.DataFrame =
     freshLeaf(truncate(df, eager))
 
+  /** Plan-capture hook for iteration-loop frames (measurement only):
+    * with GRAFT_EXPLAIN_ITER=1 every frame passing through [[truncate]]
+    * — and the explicit call sites in loops that checkpoint directly —
+    * prints its formatted physical plan before truncation hides it
+    * behind a LogicalRDD leaf. Off (zero cost) unless the env var is
+    * set; used to produce plans/r12/\*_before|after.txt.
+    */
+  def explainIter(df: org.apache.spark.sql.DataFrame, label: String): Unit =
+    if (sys.env.contains("GRAFT_EXPLAIN_ITER")) {
+      println(s"---------- iter-plan: $label ----------")
+      df.explain("formatted")
+    }
+
   /** Mode-aware truncation WITHOUT the freshLeaf stats reset — for loops
     * that manage origin stats another way (FixedEffects rides the probe
     * cadence).
     */
   def truncate(df: org.apache.spark.sql.DataFrame, eager: Boolean = true)
       : org.apache.spark.sql.DataFrame = {
+    explainIter(df, "truncate")
     val spark = df.sparkSession
     val reliable =
       spark.conf.get(ReliableCheckpointsKey, "false").equalsIgnoreCase("true")

@@ -68,9 +68,19 @@ class LdaSpec extends SparkSpec {
     (0 until 2).foreach { t =>
       assert(math.abs(phiByTopic.map(_(t)).sum - 1.0) < 1e-9, s"phi topic $t not normalized")
     }
-    val t1 = m1.theta.orderBy("doc").collect().map(_.toString).toSeq
-    val t2 = m2.theta.orderBy("doc").collect().map(_.toString).toSeq
-    assert(t1 === t2)
+    // determinism up to partial-aggregate MERGE order: the M-step's
+    // grouped vector sums combine partial buffers in task-completion
+    // order, which under concurrent-suite load can differ between two
+    // runs by 1-2 ulps per element (observed in the full-suite run;
+    // bit-identical in isolation). The model is deterministic in the
+    // data — compare at 1e-12, far below the 5dp output quantizer.
+    val t1 = m1.theta.orderBy("doc").collect().map(r => (r.getString(0), r.getSeq[Double](1)))
+    val t2 = m2.theta.orderBy("doc").collect().map(r => (r.getString(0), r.getSeq[Double](1)))
+    assert(t1.length === t2.length)
+    t1.zip(t2).foreach { case ((d1, v1), (d2, v2)) =>
+      assert(d1 === d2)
+      v1.zip(v2).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12, s"doc $d1") }
+    }
     val tw = Lda.topWords(m1, 3).orderBy("topic", "rank").collect()
     assert(tw.length === 6)
     tw.groupBy(_.getInt(0)).values.foreach { rows =>
