@@ -26,9 +26,17 @@ object MarketBasket {
       item: String,
       minSupport: Long = 2L
   ): DataFrame = {
-    val bi = df.select(col(basket).cast("string").as("b"), col(item).cast("string").as("i"))
-      .distinct()
-      .persist()
+    // one exchange on the basket key, then: the dedup aggregate runs on
+    // hash(b) without another exchange (b ⊆ (b,i)), the frame is sorted
+    // + checkpointed with its layout pinned, and the pair self-join is
+    // co-partitioned AND pre-sorted — zero Exchange, zero Sort (the
+    // former shape exchanged both self-join sides; opt guide §2.4).
+    // All statistics are integer counts — order-free, bit-identical.
+    val bi = org.apache.spark.sql.graftbridge.Bridge.staticCheckpointKeyed(
+      df.select(col(basket).cast("string").as("b"), col(item).cast("string").as("i"))
+        .repartition(col("b"))
+        .dropDuplicates("b", "i")
+        .sortWithinPartitions("b", "i"))
     val nBaskets = bi.select("b").distinct().count()
     val itemCounts = bi.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
 
@@ -49,7 +57,8 @@ object MarketBasket {
         round(col("n_ab").cast("double") / col("n_b").cast("double"), 6).as("conf_b_to_a"),
         round(lit(nBaskets.toDouble) * col("n_ab").cast("double") /
           (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("lift"))
-    bi.unpersist(false)
+    // bi is a checkpoint leaf the returned lazy frame still reads — its
+    // blocks are released by the harness once the query's action is done
     out
   }
 }
