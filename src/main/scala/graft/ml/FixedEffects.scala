@@ -990,11 +990,15 @@ object FixedEffects {
         val joined = paramFrame(v, "__v").zipWithIndex.foldLeft(cells: DataFrame) {
           case (acc, (pf, f)) => acc.join(broadcast(pf), Seq(fes(f)))
         }
-        val withT = joined.select(
-          fes.map(col) ++ (0 until k).map(i =>
-            (col("__n") * (0 until K).map(f => col(s"__v_${f}_$i")).reduce(_ + _))
-              .as(s"__t_$i")): _*)
-          .persist()
+        // lazy keyed checkpoint, not persist: the K per-FE aggregates
+        // share one compute of the join, the bigFe groupBy reuses the
+        // preserved partitioning, and no columnar cache encoding is paid
+        val withT = org.apache.spark.sql.graftbridge.Bridge.iterCheckpointKeyed(
+          joined.select(
+            fes.map(col) ++ (0 until k).map(i =>
+              (col("__n") * (0 until K).map(f => col(s"__v_${f}_$i")).reduce(_ + _))
+                .as(s"__t_$i")): _*),
+          eager = false)
         val out = Array.tabulate(K)(f => Array.ofDim[Double](gKeys(f).length, k))
         for (f <- 0 until K) {
           val aggs = (0 until k).map(i => sum(col(s"__t_$i")).as(s"__h_$i"))
@@ -1003,7 +1007,7 @@ object FixedEffects {
             (0 until k).foreach(i => out(f)(g)(i) = r.getDouble(1 + i))
           }
         }
-        withT.unpersist(false)
+        checkpointRdd(withT).foreach(_.unpersist(false))
         out
       }
       def cube() = Array.tabulate(K)(f => Array.ofDim[Double](gKeys(f).length, k))
@@ -1104,11 +1108,20 @@ object FixedEffects {
       // shuffle joins land on the bigger key, so the smaller one is the
       // only per-iteration re-shuffle
       val bigFe = pickBigFe(fes, feBroadcast, feGroupCount)
-      val cellsCg = cells.repartition(col(bigFe)).persist()
-      // every checkpointed CG frame, for release once the tail is done
+      // partitioning-preserving checkpoint, not persist: an adaptive
+      // plan behind persist()/localCheckpoint reports Unknown
+      // partitioning, so every CG iteration re-exchanged the CELL-sized
+      // frame into the matvec join (r12 opt round — the same bug class
+      // as the graph loops). Real block-store stats ride the leaf.
+      val cellsCg = Bridge.staticCheckpointKeyed(
+        cells.repartition(col(bigFe)).sortWithinPartitions(bigFe))
+      // every checkpointed CG frame, for release once the tail is done;
+      // keyed: the state frames are groupBy(fe) outputs, and preserving
+      // hash(fe) makes the per-iteration state⋈Hp and matvec joins
+      // co-partitioned (zero exchange in the single-oversized-dim case)
       val cgFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       def ckCg(d: DataFrame): DataFrame = {
-        val t = Bridge.truncate(d)
+        val t = Bridge.staticCheckpointKeyed(d)
         cgFrames += t
         t
       }
@@ -1122,11 +1135,15 @@ object FixedEffects {
           val side = if (feBroadcast(fes(f))) broadcast(renamed) else renamed
           acc.join(side, Seq(fes(f)))
         }
-        val withT = joined.select(
-          fes.map(col) ++ (0 until k).map(i =>
-            (col("__n") * (0 until K).map(f => col(s"__v_${f}_$i")).reduce(_ + _))
-              .as(s"__t_$i")): _*)
-          .persist()
+        // lazy keyed checkpoint, not persist: the K per-FE aggregates
+        // share one compute of the join, the bigFe groupBy reuses the
+        // preserved partitioning, and no columnar cache encoding is paid
+        val withT = Bridge.iterCheckpointKeyed(
+          joined.select(
+            fes.map(col) ++ (0 until k).map(i =>
+              (col("__n") * (0 until K).map(f => col(s"__v_${f}_$i")).reduce(_ + _))
+                .as(s"__t_$i")): _*),
+          eager = false)
         val hs = (0 until K).map { f =>
           val aggs = (0 until k).map(i => sum(col(s"__t_$i")).as(s"__h_$i"))
           withT.groupBy(col(fes(f))).agg(aggs.head, aggs.tail: _*)
@@ -1177,7 +1194,7 @@ object FixedEffects {
               (r / col("__gn")).as(s"__p_$i"))
           }: _*))
       }
-      withT0.unpersist(false)
+      checkpointRdd(withT0).foreach(_.unpersist(false))
       // the b/x0 frames only feed the (now-materialized) state init
       st0.foreach(d => checkpointRdd(d).foreach(_.unpersist(false)))
       // in-loop release: a CG iteration only ever reads the PREVIOUS
@@ -1245,7 +1262,7 @@ object FixedEffects {
               }
             }: _*))
         }
-        withT.unpersist(false)
+        checkpointRdd(withT).foreach(_.unpersist(false))
         genHistory += s1
         if (genHistory.length >= 3)
           genHistory.remove(0).foreach(d => checkpointRdd(d).foreach(_.unpersist(false)))
@@ -1295,7 +1312,7 @@ object FixedEffects {
         .transform(Bridge.truncate(_))
       history += cur
       cgFrames.foreach(d => checkpointRdd(d).foreach(_.unpersist(false)))
-      cellsCg.unpersist(false)
+      checkpointRdd(cellsCg).foreach(_.unpersist(false))
     }
 
     // per-cell total effect Σ_f a_f = (sum − residual) / n, joined onto
