@@ -121,11 +121,13 @@ object Bench {
     val errsC = results.collect { case (k, _, Left(m), _) =>
       jstr(short(k)) + ":" + jstr(m.take(40))
     }.mkString("{", ",", "}")
-    val retriesC = results.collect { case (k, _, _, s) if s.nonEmpty =>
-      jstr(short(k)) + ":" + s.map(r2).mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
+    // r12 verdict item #8: the retries dict pushed the compact line to
+    // ~4.5 KB against the driver's stdout capture; it is diagnostic-only
+    // and lives in full fidelity in BENCH_LOCAL.json above, so it is
+    // dropped from stdout. The contract fields (metric/value/unit/
+    // queries/sf) and the errors dict are unchanged.
     val compact =
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qsC,"errors":$errsC,"retries":$retriesC,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qsC,"errors":$errsC,"sf":"$sfDir"}"""
     println(compact)
     if (compact.length > 1900)
       System.err.println(s"[bench] WARNING compact line ${compact.length}B may exceed capture")

@@ -50,7 +50,6 @@ object ConnectedComponents {
 
     var labels = sym.select(col("a").as("id")).distinct().withColumn("comp", col("id"))
     val history = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    val updHistory = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val verbose = sys.env.contains("GRAFT_CC_VERBOSE")
     var changed = 1L
     var iters = 0
@@ -69,33 +68,34 @@ object ConnectedComponents {
           least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp"),
           (coalesce(col("nbrComp"), col("comp")) < col("comp")).as("chg"))
         .persist()
-      val tC0 = System.nanoTime()
-      changed = upd.where(col("chg")).count()
-      if (verbose)
-        System.err.println(f"[cc]   count: ${(System.nanoTime() - tC0) / 1e9}%.1fs")
-      // pointer jump: comp ← label of comp (one hop of path compression)
+      // pointer jump: comp ← label of comp (one hop of path compression).
+      // `chg` rides along so the convergence count folds into the
+      // checkpoint action below (opt guide §1.2: one action per round —
+      // the former standalone upd.where(chg).count() job is gone).
       val jumped = upd
         .join(
           upd.select(col("id").as("comp"), col("comp").as("cc")),
           Seq("comp"),
           "left")
-        .select(col("id"), coalesce(col("cc"), col("comp")).as("comp"))
-      labels = org.apache.spark.sql.graftbridge.Bridge.iterCheckpoint(jumped, eager = false)
+        .select(col("id"), coalesce(col("cc"), col("comp")).as("comp"), col("chg"))
+      val obs = org.apache.spark.sql.Observation()
+      val ck = org.apache.spark.sql.graftbridge.Bridge.iterCheckpoint(
+        jumped.observe(obs, count(when(col("chg"), lit(1))).as("changed")),
+        eager = true)
+      changed = obs.get("changed").asInstanceOf[Long]
+      labels = ck.select(col("id"), col("comp"))
       history += labels
-      // upd feeds the LAZY checkpoint above — keep it cached until the
-      // round after next has materialized it
-      updHistory += upd
-      if (updHistory.length >= 3) updHistory.remove(0).unpersist(false)
+      // the eager checkpoint above was this round's only action; upd's
+      // cache served the self-join inside it and is dead now
+      upd.unpersist(false)
       if (history.length >= 3)
         checkpointRdd(history.remove(0)).foreach(_.unpersist(false))
       if (verbose)
         System.err.println(
           f"[cc] iter $iters: changed=$changed ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
-    labels.count()
     history.dropRight(1).foreach(d => checkpointRdd(d).foreach(_.unpersist(false)))
-    updHistory.foreach(_.unpersist(false))
     checkpointRdd(sym).foreach(_.unpersist(false))
-    labels
+    labels.select(col("id"), col("comp"))
   }
 }

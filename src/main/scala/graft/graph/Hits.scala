@@ -47,6 +47,13 @@ object Hits {
     val nodes = Bridge.staticCheckpointKeyed(eRaw.select(col("src").as("node"))
       .union(eRaw.select(col("dst").as("node")))
       .distinct()) // hash-partitioned by node
+    def ckRdd(d: DataFrame) =
+      d.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
+    // eRaw only existed to derive the keyed copies above (r12 advice:
+    // it tripled the resident edge footprint for the whole run)
+    ckRdd(eRaw).foreach(_.unpersist(false))
 
     // the L2 norm rides the same job as the score checkpoint (1-row
     // broadcast, SQL sqrt = java.lang.Math.sqrt — bit-identical to the
@@ -64,24 +71,28 @@ object Hits {
         .agg(sum("hub").as("v"))
         .persist()
       val na = araw.agg(sqrt(coalesce(sum(col("v") * col("v")), lit(0.0))).as("nrm"))
+      val prevAuth = auth
       auth = Bridge.iterCheckpointKeyed(nodes
         .join(araw, Seq("node"), "left")
         .na.fill(0.0, Seq("v"))
         .crossJoin(broadcast(na))
         .select(col("node"), (col("v") / col("nrm")).as("auth")))
       araw.unpersist(false)
+      ckRdd(prevAuth).foreach(_.unpersist(false))
 
       val hraw = auth.join(eByDst, col("node") === col("dst"))
         .groupBy(col("src").as("node"))
         .agg(sum("auth").as("v"))
         .persist()
       val nh = hraw.agg(sqrt(coalesce(sum(col("v") * col("v")), lit(0.0))).as("nrm"))
+      val prevHub = hub
       hub = Bridge.iterCheckpointKeyed(nodes
         .join(hraw, Seq("node"), "left")
         .na.fill(0.0, Seq("v"))
         .crossJoin(broadcast(nh))
         .select(col("node"), (col("v") / col("nrm")).as("hub")))
       hraw.unpersist(false)
+      ckRdd(prevHub).foreach(_.unpersist(false))
     }
     hub.join(auth, Seq("node"))
   }

@@ -52,7 +52,14 @@ object KCore {
       e0.select(col("u").as("node")).union(e0.select(col("v").as("node")))
         .distinct()) // hash-partitioned by node
     var aliveCount = alive.count()
+
+    def checkpointRdd(d: DataFrame) =
+      d.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
+
     var degrees: DataFrame = null
+    var prevDegrees: DataFrame = null
     var rounds = 0
     var converged = false
     while (!converged) {
@@ -63,7 +70,14 @@ object KCore {
       // alias-aware partitioning: au/av inherit alive's hash(node)
       val au = alive.select(col("node").as("u"))
       val av = alive.select(col("node").as("v"))
-      val induced = e.join(au, Seq("u")).join(av, Seq("v"))
+      // shared subtree: AQE's exchange reuse does not dedup the
+      // SortMergeJoins ABOVE the reused exchanges, so without the lazy
+      // keyed checkpoint each degree aggregate recomputed the induced
+      // join (the Bradley–Terry denominator lesson, r12). One compute,
+      // both aggregates read it; blocks released after the degrees
+      // checkpoint lands.
+      val induced = org.apache.spark.sql.graftbridge.Bridge.iterCheckpointKeyed(
+        e.join(au, Seq("u")).join(av, Seq("v")), eager = false)
       // degree = u-side appearances + v-side appearances (exact integer
       // arithmetic — order-free), replacing the former union+groupBy
       // whose shuffle carried 2×|edges| rows: the v-side count is free
@@ -76,11 +90,19 @@ object KCore {
           col("node"),
           (coalesce(col("du"), lit(0L)) + coalesce(col("dv"), lit(0L))).as("degree"))
       org.apache.spark.sql.graftbridge.Bridge.explainIter(degPlan, "kcore-degrees")
-      degrees = org.apache.spark.sql.graftbridge.Bridge.iterCheckpointKeyed(degPlan)
-      val next = degrees.where(col("degree") >= k).select("node")
-      val nextCount = next.count()
+      // survivor count folds into the checkpoint action (one action per
+      // round — the former standalone next.count() job is gone)
+      val obs = org.apache.spark.sql.Observation()
+      degrees = org.apache.spark.sql.graftbridge.Bridge.iterCheckpointKeyed(
+        degPlan.observe(obs, count(when(col("degree") >= k, lit(1))).as("alive")))
+      val nextCount = obs.get("alive").asInstanceOf[Long]
+      // the induced blocks only fed the (now-materialized) degrees; the
+      // previous round's degrees fed this round's au/av, also done
+      checkpointRdd(induced).foreach(_.unpersist(false))
+      if (prevDegrees != null) checkpointRdd(prevDegrees).foreach(_.unpersist(false))
+      prevDegrees = degrees
       converged = nextCount == aliveCount
-      alive = next
+      alive = degrees.where(col("degree") >= k).select("node")
       aliveCount = nextCount
     }
     degrees.where(col("degree") >= k)

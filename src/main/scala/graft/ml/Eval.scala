@@ -42,14 +42,21 @@ object Eval {
       labelCol: String,
       buckets: Int
   ): (Double, Long, Long, Double) = {
-    val counts = df
-      .groupBy(col(scoreCol).cast("double").as("s"))
-      .agg(
-        sum(col(labelCol).cast("int")).cast("long").as("pos"),
-        sum(lit(1) - col(labelCol).cast("int")).cast("long").as("neg"))
-
-    val mm = counts.agg(min("s"), max("s")).head()
-    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    // ONE pass over the input: the per-value counts are checkpointed
+    // (three consumers below — min/max, the bucket offsets and the final
+    // aggregate — previously re-ran the full groupBy(s) scan each), and
+    // the min/max fold into the checkpoint action as observed metrics
+    // (opt guide §1.2: the former 3 full scans + 1 extra job are now one
+    // scan + two tiny jobs over the value-distinct frame).
+    val obs = org.apache.spark.sql.Observation()
+    val counts = org.apache.spark.sql.graftbridge.Bridge.iterCheckpointKeyed(
+      df.groupBy(col(scoreCol).cast("double").as("s"))
+        .agg(
+          sum(col(labelCol).cast("int")).cast("long").as("pos"),
+          sum(lit(1) - col(labelCol).cast("int")).cast("long").as("neg"))
+        .observe(obs, min(col("s")).as("lo"), max(col("s")).as("hi")))
+    val mm = obs.get
+    val (lo, hi) = (mm("lo").asInstanceOf[Double], mm("hi").asInstanceOf[Double])
     val width = if (hi > lo) (hi - lo) / buckets else 1.0
     val bucketed = counts.withColumn(
       "b", least(floor((col("s") - lit(lo)) / lit(width)), lit(buckets - 1)).cast("int"))
@@ -81,6 +88,9 @@ object Eval {
         sum((col("pos") + col("neg")).cast("double") * (col("pos") + col("neg")) *
           (col("pos") + col("neg")) - (col("pos") + col("neg"))).as("ties"))
       .head()
+    counts.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false))
     (row.getDouble(0), row.getLong(1), row.getLong(2), row.getDouble(3))
   }
 

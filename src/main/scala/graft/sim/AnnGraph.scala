@@ -84,6 +84,60 @@ object AnnGraph {
   private def topKPerSrc(scored: DataFrame, k: Int): DataFrame =
     TopK.perKey(scored, Seq("src"), "cos_sim", "dst", k)
 
+  /** One NN-Descent sweep: candidates = two-hop neighbors through either
+    * endpoint of the undirected edge view, rescored, top-k kept. Returns
+    * the next edge frame (lazy) plus the sweep's dst-keyed adjacency
+    * copy so the caller can release its checkpoint blocks once the next
+    * frame materializes.
+    *
+    * Exchange accounting (opt guide §2.4, the HITS two-copy pattern —
+    * r12 verdict item #2): `edges` arrives hash(src)-partitioned (the
+    * top-k aggregate's own layout, preserved by the keyed checkpoint),
+    * and ONE nk-row exchange builds the dst-keyed copy. The two-hop join
+    * (E ∪ rev E) ⋈_mid (E ∪ rev E) then expands into its four
+    * E/rev-E pieces — join distributes over union — and every piece
+    * reads a copy already partitioned on its join key: the former TWO
+    * 2nk-row exchanges under the self-join are gone. What remains per
+    * sweep: the candidate (src,dst) dedup exchange (partial-aggregated
+    * — the fundamental communication), the nk-row anti-join edge side,
+    * and the final top-k aggregate exchange (map-side combined).
+    */
+  private def sweepOnce(
+      edges: DataFrame,
+      v: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): (DataFrame, DataFrame) = {
+    val eD = org.apache.spark.sql.graftbridge.Bridge.iterCheckpointKeyed(
+      edges.select(col("src"), col("dst"))
+        .repartition(col("dst"))
+        .sortWithinPartitions("dst"))
+    val eS = edges
+    val a1 = eD.select(col("src"), col("dst").as("__mid")) //  E  as a-side, key = E.dst
+    val a2 = eS.select(col("dst").as("src"), col("src").as("__mid")) // rev E, key = E.src
+    val b1 = eS.select(col("src").as("__mid"), col("dst")) //  E  as b-side, key = E.src
+    val b2 = eD.select(col("dst").as("__mid"), col("src").as("dst")) // rev E, key = E.dst
+    val twoHop = Seq((a1, b1), (a1, b2), (a2, b1), (a2, b2))
+      .map { case (a, b) =>
+        a.join(b, Seq("__mid"))
+          .where(col("src") =!= col("dst"))
+          .select("src", "dst")
+      }
+      .reduce(_ unionByName _)
+      // partial-aggregated dedup on (src,dst) — a repartition(src) +
+      // hash(src)-riding dedup was tried and measured WORSE: with
+      // spark.sql.requireAllClusterKeysForCoPartition (default true)
+      // the anti-join below re-exchanges both sides on (src,dst)
+      // regardless, so the src-keyed dedup just added a raw
+      // candidate-sized exchange
+      .distinct()
+      // only score candidates not already in the neighbor list
+      .join(eS.select("src", "dst"), Seq("src", "dst"), "left_anti")
+    val fresh = scoreEdges(twoHop, v, idCol, vecCol)
+    (topKPerSrc(edges.unionByName(fresh), k), eD)
+  }
+
   private def seedEdges(
       v: DataFrame,
       idCol: String,
@@ -140,22 +194,15 @@ object AnnGraph {
   ): DataFrame = {
     val v = withNorm(corpus, idCol, vecCol).persist()
     v.count()
-    var edges = seedEdges(v, idCol, vecCol, k, dims, numPlanes, numTables).localCheckpoint()
+    var edges = org.apache.spark.sql.graftbridge.Bridge.iterCheckpointKeyed(
+      seedEdges(v, idCol, vecCol, k, dims, numPlanes, numTables))
     for (_ <- 0 until sweeps) {
-      // undirected view: neighbor-of-neighbor through EITHER endpoint
-      val und = edges.select(col("src"), col("dst"))
-        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      val twoHop = und.select(col("src"), col("dst").as("__mid"))
-        .join(und.select(col("src").as("__mid"), col("dst")), Seq("__mid"))
-        .where(col("src") =!= col("dst"))
-        .select("src", "dst")
-        .distinct()
-        // only score candidates not already in the neighbor list
-        .join(edges.select("src", "dst"), Seq("src", "dst"), "left_anti")
-      val fresh = scoreEdges(twoHop, v, idCol, vecCol)
-      val next = topKPerSrc(edges.unionByName(fresh), k).localCheckpoint()
-      // release the superseded sweep's checkpoint blocks, not just its
-      // CacheManager entry
+      val (nextPlan, eD) = sweepOnce(edges, v, idCol, vecCol, k)
+      org.apache.spark.sql.graftbridge.Bridge.explainIter(nextPlan, "nn-descent-sweep")
+      val next = org.apache.spark.sql.graftbridge.Bridge.iterCheckpointKeyed(nextPlan)
+      // release the superseded sweep's checkpoint blocks (and its
+      // dst-keyed adjacency copy), not just the CacheManager entries
+      ckRdd(eD).foreach(_.unpersist(false))
       ckRdd(edges).foreach(_.unpersist(false))
       edges = next
     }
@@ -301,21 +348,14 @@ object AnnGraph {
           .where(col("src") =!= col("dst"))
           .select("src", "dst"))
       .distinct()
-    var edges = topKPerSrc(
+    var edges = org.apache.spark.sql.graftbridge.Bridge.iterCheckpointKeyed(topKPerSrc(
       scoreEdges(candNew, v, idCol, vecCol).unionByName(graph.select("src", "dst", "cos_sim")),
-      k).localCheckpoint()
+      k))
     b.unpersist(false)
     for (_ <- 0 until sweeps) {
-      val und = edges.select(col("src"), col("dst"))
-        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      val twoHop = und.select(col("src"), col("dst").as("__mid"))
-        .join(und.select(col("src").as("__mid"), col("dst")), Seq("__mid"))
-        .where(col("src") =!= col("dst"))
-        .select("src", "dst")
-        .distinct()
-        .join(edges.select("src", "dst"), Seq("src", "dst"), "left_anti")
-      val fresh = scoreEdges(twoHop, v, idCol, vecCol)
-      val next = topKPerSrc(edges.unionByName(fresh), k).localCheckpoint()
+      val (nextPlan, eD) = sweepOnce(edges, v, idCol, vecCol, k)
+      val next = org.apache.spark.sql.graftbridge.Bridge.iterCheckpointKeyed(nextPlan)
+      ckRdd(eD).foreach(_.unpersist(false))
       ckRdd(edges).foreach(_.unpersist(false))
       edges = next
     }

@@ -140,6 +140,19 @@ object Bridge {
     }
   }
 
+  /** Release every checkpoint block reachable from `df`'s plan: the
+    * library-caller release handle (r12 advice) for frames built over
+    * [[iterCheckpointKeyed]]/[[staticCheckpointKeyed]] leaves — e.g.
+    * MarketBasket's pinned basket frame, the graph loops' static edge
+    * copies. The Bench/Verify harness sweeps persistent RDDs between
+    * queries; callers outside it invoke this once the returned frame's
+    * contents are no longer needed (the frame is NOT usable after).
+    */
+  def releaseCheckpoints(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false))
+
   /** Conf key selecting DURABLE iteration checkpoints. `localCheckpoint`
     * stores blocks on EXECUTOR storage only: on a real multi-executor
     * cluster, losing one executor mid-loop (iteration 40 of PageRank)
