@@ -48,6 +48,13 @@ object Bfs {
     var frontier = settled
     var hop = 0
     var done = frontier.isEmpty
+    // ONE action per hop (r13; was checkpoint + isEmpty + a settled
+    // union checkpoint): the frontier size rides the checkpoint action
+    // as an observed metric, and `settled` is a plain union over the
+    // hops' checkpoint LEAVES — ≤ maxHops inputs, so the plan stays
+    // flat and nothing recomputes (every input is a materialized leaf).
+    // The anti-join exchanged the settled side before too (the union
+    // checkpoint was unkeyed), so the shuffle shape is unchanged.
     while (hop < maxHops && !done) {
       val nextPlan = frontier
         .join(e, col("node") === col("es"))
@@ -56,10 +63,12 @@ object Bfs {
         .join(settled, Seq("node"), "left_anti")
         .withColumn("dist", lit(hop + 1))
       Bridge.explainIter(nextPlan, "bfs-hop")
-      val next = Bridge.iterCheckpointKeyed(nextPlan)
-      if (next.isEmpty) done = true
+      val obs = org.apache.spark.sql.Observation()
+      val next = Bridge.iterCheckpointKeyed(
+        nextPlan.observe(obs, count(lit(1)).as("n")))
+      if (obs.get("n").asInstanceOf[Long] == 0L) done = true
       else {
-        settled = Bridge.freshLeaf(settled.unionByName(next).localCheckpoint(true))
+        settled = settled.unionByName(next)
         frontier = next
       }
       hop += 1

@@ -55,43 +55,36 @@ object Hits {
     // it tripled the resident edge footprint for the whole run)
     ckRdd(eRaw).foreach(_.unpersist(false))
 
-    // the L2 norm rides the same job as the score checkpoint (1-row
-    // broadcast, SQL sqrt = java.lang.Math.sqrt — bit-identical to the
-    // former driver-side math.sqrt); with a non-empty edge set every
-    // norm is positive, so no 0/0
     var hub = Bridge.iterCheckpointKeyed(nodes.withColumn("hub", lit(1.0)))
     var auth = Bridge.iterCheckpointKeyed(nodes.withColumn("auth", lit(0.0)))
-    // 2 jobs per iteration, not 4: the raw half-step aggregates are
-    // LAZY persists — the score checkpoint's action computes each once
-    // into cache, and both its readers (the 1-row norm broadcast and
-    // the fill join) reuse it; values are bit-identical
+    // ONE action per half-step (r13; was persist + norm-broadcast +
+    // checkpoint): the zero-filled RAW scores are checkpointed with
+    // Σv² folded in as an observed metric, and the L2 normalization is
+    // a driver-literal PROJECTION over the checkpoint leaf — no extra
+    // job, no broadcast build, partitioning preserved. math.sqrt =
+    // java.lang.Math.sqrt = the former SQL sqrt, the division operands
+    // are the same doubles; only the Σv² summation order moves (it was
+    // scheduler-order nondeterministic before too), under the output
+    // quantizer. With a non-empty edge set every norm is positive.
+    def halfStep(scores: DataFrame, scoreCol: String, edgeCopy: DataFrame,
+        joinKey: String, outKey: String, outCol: String): DataFrame = {
+      val raw = scores.join(edgeCopy, col("node") === col(joinKey))
+        .groupBy(col(outKey).as("node"))
+        .agg(sum(scoreCol).as("v"))
+      val obs = org.apache.spark.sql.Observation()
+      val ck = Bridge.iterCheckpointKeyed(
+        nodes.join(raw, Seq("node"), "left")
+          .na.fill(0.0, Seq("v"))
+          .observe(obs, sum(col("v") * col("v")).as("ss")))
+      val nrm = math.sqrt(obs.get("ss").asInstanceOf[Double])
+      ck.select(col("node"), (col("v") / lit(nrm)).as(outCol))
+    }
     for (_ <- 0 until iters) {
-      val araw = hub.join(eBySrc, col("node") === col("src"))
-        .groupBy(col("dst").as("node"))
-        .agg(sum("hub").as("v"))
-        .persist()
-      val na = araw.agg(sqrt(coalesce(sum(col("v") * col("v")), lit(0.0))).as("nrm"))
       val prevAuth = auth
-      auth = Bridge.iterCheckpointKeyed(nodes
-        .join(araw, Seq("node"), "left")
-        .na.fill(0.0, Seq("v"))
-        .crossJoin(broadcast(na))
-        .select(col("node"), (col("v") / col("nrm")).as("auth")))
-      araw.unpersist(false)
+      auth = halfStep(hub, "hub", eBySrc, "src", "dst", "auth")
       ckRdd(prevAuth).foreach(_.unpersist(false))
-
-      val hraw = auth.join(eByDst, col("node") === col("dst"))
-        .groupBy(col("src").as("node"))
-        .agg(sum("auth").as("v"))
-        .persist()
-      val nh = hraw.agg(sqrt(coalesce(sum(col("v") * col("v")), lit(0.0))).as("nrm"))
       val prevHub = hub
-      hub = Bridge.iterCheckpointKeyed(nodes
-        .join(hraw, Seq("node"), "left")
-        .na.fill(0.0, Seq("v"))
-        .crossJoin(broadcast(nh))
-        .select(col("node"), (col("v") / col("nrm")).as("hub")))
-      hraw.unpersist(false)
+      hub = halfStep(auth, "auth", eByDst, "dst", "src", "hub")
       ckRdd(prevHub).foreach(_.unpersist(false))
     }
     hub.join(auth, Seq("node"))

@@ -72,23 +72,30 @@ object PageRank {
     val n = nodes.count().toDouble
     eRaw.unpersist(false)
 
-    var ranks = Bridge.iterCheckpointKeyed(nodes.withColumn("rank", lit(1.0 / n)))
-    // checkpoint CADENCE, not per-iteration (the FE probe lesson): odd
-    // iterations persist LAZILY (no job — the even iteration's
-    // checkpoint action computes them once into cache, and both the
-    // dangling-broadcast subtree and the contribs path reuse it), even
-    // iterations and the last take the one eager checkpoint job. Jobs
-    // per iteration: 0.5 + ε instead of 1 — at sf0.1 the graph loops
-    // are pure job-latency, and values are bit-identical (checkpoint
-    // placement never changes what is computed).
-    var midFrame: Option[DataFrame] = None
+    // the dangling mass (rank parked on sinks) is an observed metric of
+    // the rank frame's OWN checkpoint action (r13): each iteration's
+    // checkpoint reports Σ rank over sinks, and the NEXT iteration
+    // applies it as a driver literal — the former per-iteration dangling
+    // aggregate subtree + 1-row broadcast build are gone, one action per
+    // iteration. Same doubles: the literal is the identical sum the
+    // broadcast column carried (summation order was scheduler-dependent
+    // before too), divided by the same n.
+    def ckWithDangling(d: DataFrame): (DataFrame, Double) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = Bridge.iterCheckpointKeyed(
+        d.observe(obs, sum(when(col("is_sink"), col("rank"))).as("dmass")))
+      val dm = obs.get("dmass") match {
+        case dd: java.lang.Double => dd.doubleValue
+        case _ => 0.0 // no sinks: the former coalesce(sum, 0.0)
+      }
+      (ck, dm)
+    }
+    var (ranks, dmass) = ckWithDangling(nodes.withColumn("rank", lit(1.0 / n)))
+    def ckRdd(d: DataFrame) =
+      d.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
     for (it <- 1 to iters) {
-      // rank parked on sinks (no out-edges) this iteration: a 1-row frame
-      // broadcast into the update expression rather than head()'d — the
-      // dangling aggregate and the contribs pass ride ONE job (the
-      // checkpoint action), halving driver round-trips per iteration
-      val dangling = ranks.where(col("is_sink"))
-        .agg(coalesce(sum("rank"), lit(0.0)).as("dmass"))
       val contribs = ranks.where(!col("is_sink"))
         .join(e, col("node") === col("src"))
         .groupBy(col("dst").as("node"))
@@ -96,19 +103,15 @@ object PageRank {
       val next = nodes
         .join(contribs, Seq("node"), "left")
         .na.fill(0.0, Seq("contrib"))
-        .crossJoin(broadcast(dangling))
         .select(
           col("node"),
           col("is_sink"),
           (lit((1.0 - damping) / n) +
-            lit(damping) * (col("contrib") + col("dmass") / lit(n))).as("rank"))
-      if (it % 2 == 1 && it != iters) {
-        ranks = next.persist()
-        midFrame = Some(ranks)
-      } else {
-        ranks = Bridge.iterCheckpointKeyed(next)
-        midFrame.foreach(_.unpersist(false)); midFrame = None
-      }
+            lit(damping) * (col("contrib") + lit(dmass) / lit(n))).as("rank"))
+      val prev = ranks
+      val (ck, dm) = ckWithDangling(next)
+      ranks = ck; dmass = dm
+      ckRdd(prev).foreach(_.unpersist(false))
     }
     ranks.select("node", "rank")
   }
@@ -169,15 +172,25 @@ object PageRank {
       .select(col("node"), col("sw"), col("od_src").isNull.as("is_sink"))) // hash(node)
     eRaw.unpersist(false)
 
-    var ranks = Bridge.iterCheckpointKeyed(
+    // same observed-dangling fold as run(): one action per iteration,
+    // the mass applied as a driver literal next iteration
+    def ckWithDangling(d: DataFrame): (DataFrame, Double) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = Bridge.iterCheckpointKeyed(
+        d.observe(obs, sum(when(col("is_sink"), col("rank"))).as("dmass")))
+      val dm = obs.get("dmass") match {
+        case dd: java.lang.Double => dd.doubleValue
+        case _ => 0.0
+      }
+      (ck, dm)
+    }
+    var (ranks, dmass) = ckWithDangling(
       nodes.select(col("node"), col("sw"), col("is_sink"), col("sw").as("rank")))
-    // same cadence as run(): lazy-persist odd iterations, one eager
-    // checkpoint job per two
-    var midFrame: Option[DataFrame] = None
+    def ckRdd(d: DataFrame) =
+      d.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
     for (it <- 1 to iters) {
-      // same one-job fold as run(): dangling rides the checkpoint action
-      val dangling = ranks.where(col("is_sink"))
-        .agg(coalesce(sum("rank"), lit(0.0)).as("dmass"))
       val contribs = ranks.where(!col("is_sink"))
         .join(e, col("node") === col("src"))
         .groupBy(col("dst").as("node"))
@@ -185,20 +198,16 @@ object PageRank {
       val next = nodes
         .join(contribs, Seq("node"), "left")
         .na.fill(0.0, Seq("contrib"))
-        .crossJoin(broadcast(dangling))
         .select(
           col("node"),
           col("sw"),
           col("is_sink"),
           (lit(1.0 - damping) * col("sw") +
-            lit(damping) * (col("contrib") + col("dmass") * col("sw"))).as("rank"))
-      if (it % 2 == 1 && it != iters) {
-        ranks = next.persist()
-        midFrame = Some(ranks)
-      } else {
-        ranks = Bridge.iterCheckpointKeyed(next)
-        midFrame.foreach(_.unpersist(false)); midFrame = None
-      }
+            lit(damping) * (col("contrib") + lit(dmass) * col("sw"))).as("rank"))
+      val prev = ranks
+      val (ck, dm) = ckWithDangling(next)
+      ranks = ck; dmass = dm
+      ckRdd(prev).foreach(_.unpersist(false))
     }
     ranks.select("node", "rank")
   }

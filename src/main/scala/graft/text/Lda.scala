@@ -132,10 +132,14 @@ object Lda {
         .agg(sum(aggregate(col("phi"), lit(0.0), (a, p) => a + log(p))))
         .head().getDouble(0)
 
-      // M-step sums + the data part of the objective in the same pass
+      // M-step sums + the data part of the objective in the same pass;
+      // the objective total rides the checkpoint action as an observed
+      // metric (r13: the former standalone byDoc.agg(sum) job is gone)
+      val obsDoc = org.apache.spark.sql.Observation()
       val byDoc = ck(joined.groupBy("doc")
-        .agg(VecSumAgg.vecSum(col("w")).as("s"), sum(col("cnt") * log(col("denom"))).as("ll")))
-      val llData = byDoc.agg(sum("ll")).head().getDouble(0)
+        .agg(VecSumAgg.vecSum(col("w")).as("s"), sum(col("cnt") * log(col("denom"))).as("ll"))
+        .observe(obsDoc, sum(col("ll")).as("llData")))
+      val llData = obsDoc.get("llData").asInstanceOf[Double]
       // θ/φ are cheap row-local projections OVER the checkpointed
       // aggregate leaves — no extra materialization job each (they
       // re-derive from the leaf on use; lineage stays one hop)
@@ -145,15 +149,17 @@ object Lda {
           transform(col("s"), x => x / aggregate(col("s"), lit(0.0), (a, b) => a + b))
             .as("theta"))
 
+      // the per-topic totals ride the checkpoint action too (same fold)
+      val obsWord = org.apache.spark.sql.Observation()
       val byWord = ck(joined.groupBy("word")
-        .agg(VecSumAgg.vecSum(col("w")).as("s")))
+        .agg(VecSumAgg.vecSum(col("w")).as("s"))
+        .observe(obsWord, VecSumAgg.vecSum(col("s")).as("tot")))
       // release the iteration's checkpoint blocks (Dataset.unpersist is
       // a no-op for checkpoints — free the backing RDD directly)
       joined.queryExecution.analyzed.collectFirst {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
       }.foreach(_.unpersist(false))
-      val totRow = byWord.agg(VecSumAgg.vecSum(col("s"))).head().getSeq[Double](0)
-      val tot = totRow.toArray
+      val tot = obsWord.get("tot").asInstanceOf[scala.collection.Seq[Double]].toArray
       val totCol = array(tot.map(t => lit(t + nVocab * beta)): _*)
       phi = byWord
         .select(
