@@ -18,9 +18,22 @@ import org.apache.spark.sql.functions._
   * if convergence needs more than `maxRounds` (so a green gate proves
   * the replay covered the fixpoint).
   *
-  * Per round: one induced-subgraph semi-join (edges whose both
-  * endpoints are alive), one degree aggregate, one filter — all
-  * shuffles on node keys; the alive set is localCheckpoint'ed.
+  * Degrees are maintained INCREMENTALLY (r13, opt guide §1.2 step 1 —
+  * fix the distributed algorithm): a surviving node's induced degree
+  * changes only by the edges it loses to the nodes peeled THIS round,
+  * so each round subtracts per-endpoint counts of the peeled set's
+  * incident edges instead of recomputing degrees over the whole
+  * induced subgraph. Every edge crosses the wire at most once over the
+  * entire run (when its first endpoint peels) — the former shape
+  * re-exchanged the full surviving edge set every round. Exact integer
+  * arithmetic; the peel sequence (and therefore the output) is
+  * row-identical to the recompute form the oracle replays.
+  *
+  * Per round: two co-partitioned edges⋈peeled joins (one per static
+  * edge-copy orientation, the HITS two-copy pattern), two map-combined
+  * incident-edge aggregates, a co-partitioned degree update, and ONE
+  * action — the degree checkpoint, with the next peel count folded in
+  * as an observed metric.
   */
 object KCore {
 
@@ -33,6 +46,7 @@ object KCore {
       maxRounds: Int = 20
   ): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    import org.apache.spark.sql.graftbridge.Bridge
     val e0 = edges
       .select(
         least(col(src).cast("string"), col(dst).cast("string")).as("u"),
@@ -40,71 +54,76 @@ object KCore {
       .where(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
-    // static edge frame exchanged + sorted ONCE on the first semi-join
-    // key (opt guide §2.4); the alive set is always hash-partitioned by
-    // node (it is a filter of the degree aggregate), so per round the
-    // only exchanges left are the two edge-sized ones the degree count
-    // fundamentally needs (induced→v, then u-side counts)
-    val e = org.apache.spark.sql.graftbridge.Bridge.staticCheckpointKeyed(
+    // TWO static copies of the canonical edge frame, one per peel-join
+    // orientation, each exchanged + sorted ONCE: the peeled set is
+    // always hash-partitioned by node (a filter of the degree frame),
+    // so both per-round incident-edge joins are co-partitioned — no
+    // edge-sized exchange inside the loop.
+    val eByU = Bridge.staticCheckpointKeyed(
       e0.repartition(col("u")).sortWithinPartitions("u"))
-
-    var alive = org.apache.spark.sql.graftbridge.Bridge.iterCheckpointKeyed(
-      e0.select(col("u").as("node")).union(e0.select(col("v").as("node")))
-        .distinct()) // hash-partitioned by node
-    var aliveCount = alive.count()
+    val eByV = Bridge.staticCheckpointKeyed(
+      e0.repartition(col("v")).sortWithinPartitions("v"))
 
     def checkpointRdd(d: DataFrame) =
       d.queryExecution.analyzed.collectFirst {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
       }
+    // (frame-with-observed-peel-count): one action per round
+    def ckWithPeel(d: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = Bridge.iterCheckpointKeyed(
+        d.observe(obs, count(when(col("degree") < k, lit(1))).as("peel")))
+      (ck, obs.get("peel").asInstanceOf[Long])
+    }
 
-    var degrees: DataFrame = null
-    var prevDegrees: DataFrame = null
+    // full-graph degrees once: u-side + v-side appearance counts,
+    // combined by a co-partitioned full-outer join (exact integers)
+    val degU0 = eByU.groupBy(col("u").as("node")).agg(count(lit(1)).as("du"))
+    val degV0 = eByV.groupBy(col("v").as("node")).agg(count(lit(1)).as("dv"))
+    var (degrees, peelCount) = ckWithPeel(
+      degU0.join(degV0, Seq("node"), "full_outer")
+        .select(
+          col("node"),
+          (coalesce(col("du"), lit(0L)) + coalesce(col("dv"), lit(0L))).as("degree")))
+
     var rounds = 0
-    var converged = false
-    while (!converged) {
+    while (peelCount > 0) {
       rounds += 1
       require(rounds <= maxRounds,
         s"k-core did not converge within $maxRounds rounds — raise maxRounds " +
           "(and the oracle's unroll depth with it)")
-      // alias-aware partitioning: au/av inherit alive's hash(node)
-      val au = alive.select(col("node").as("u"))
-      val av = alive.select(col("node").as("v"))
-      // shared subtree: AQE's exchange reuse does not dedup the
-      // SortMergeJoins ABOVE the reused exchanges, so without the lazy
-      // keyed checkpoint each degree aggregate recomputed the induced
-      // join (the Bradley–Terry denominator lesson, r12). One compute,
-      // both aggregates read it; blocks released after the degrees
-      // checkpoint lands.
-      val induced = org.apache.spark.sql.graftbridge.Bridge.iterCheckpointKeyed(
-        e.join(au, Seq("u")).join(av, Seq("v")), eager = false)
-      // degree = u-side appearances + v-side appearances (exact integer
-      // arithmetic — order-free), replacing the former union+groupBy
-      // whose shuffle carried 2×|edges| rows: the v-side count is free
-      // (induced is already partitioned by v after the second join),
-      // only the u-side count re-exchanges edge rows
-      val degV = induced.groupBy(col("v").as("node")).agg(count(lit(1)).as("dv"))
-      val degU = induced.groupBy(col("u").as("node")).agg(count(lit(1)).as("du"))
-      val degPlan = degU.join(degV, Seq("node"), "full_outer")
+      // this round's peel set and survivors — both filters of the
+      // checkpointed degree frame, both hash(node)
+      val peeled = degrees.where(col("degree") < k)
+      val survivors = degrees.where(col("degree") >= k)
+      // edges lost to the peeled set, counted per SURVIVING endpoint:
+      // an edge (u,v) with v peeled decrements u, and vice versa; an
+      // edge between two peeled nodes decrements both (both rows drop
+      // this round, so the junk value never surfaces). Both incident
+      // joins are co-partitioned with their edge copy; ONE union +
+      // map-combined aggregate ships only the peeled set's
+      // incident-edge counts.
+      val lost = eByV
+        .join(peeled.select(col("node").as("v")), Seq("v"))
+        .select(col("u").as("node"))
+        .unionByName(
+          eByU
+            .join(peeled.select(col("node").as("u")), Seq("u"))
+            .select(col("v").as("node")))
+        .groupBy("node")
+        .agg(count(lit(1)).as("lost"))
+      val degPlan = survivors
+        .join(lost, Seq("node"), "left")
         .select(
           col("node"),
-          (coalesce(col("du"), lit(0L)) + coalesce(col("dv"), lit(0L))).as("degree"))
+          (col("degree") - coalesce(col("lost"), lit(0L))).as("degree"))
       org.apache.spark.sql.graftbridge.Bridge.explainIter(degPlan, "kcore-degrees")
-      // survivor count folds into the checkpoint action (one action per
-      // round — the former standalone next.count() job is gone)
-      val obs = org.apache.spark.sql.Observation()
-      degrees = org.apache.spark.sql.graftbridge.Bridge.iterCheckpointKeyed(
-        degPlan.observe(obs, count(when(col("degree") >= k, lit(1))).as("alive")))
-      val nextCount = obs.get("alive").asInstanceOf[Long]
-      // the induced blocks only fed the (now-materialized) degrees; the
-      // previous round's degrees fed this round's au/av, also done
-      checkpointRdd(induced).foreach(_.unpersist(false))
-      if (prevDegrees != null) checkpointRdd(prevDegrees).foreach(_.unpersist(false))
-      prevDegrees = degrees
-      converged = nextCount == aliveCount
-      alive = degrees.where(col("degree") >= k).select("node")
-      aliveCount = nextCount
+      val prev = degrees
+      val (ck, pc) = ckWithPeel(degPlan)
+      degrees = ck
+      peelCount = pc
+      checkpointRdd(prev).foreach(_.unpersist(false))
     }
-    degrees.where(col("degree") >= k)
+    degrees
   }
 }

@@ -101,6 +101,15 @@ object Bridge {
           case a: AdaptiveSparkPlanExec => a.executedPlan
           case p => p
         }
+        // fail fast instead of mis-joining (r12 advice): the attribute
+        // remap below is POSITIONAL, and the claimed partitioning is
+        // only physically true if the checkpoint RDD really is the
+        // final plan's layout — any future change to truncate() that
+        // broke either invariant would otherwise produce silently
+        // wrong co-partitioned joins
+        require(finalPlan.output.length == lr.output.length,
+          s"checkpointKeyed: leaf arity ${lr.output.length} != plan arity " +
+            s"${finalPlan.output.length} — truncate() no longer preserves the layout")
         val attrMap = AttributeMap(finalPlan.output.zip(lr.output))
         val outSet = AttributeSet(lr.output)
         // any expression-bearing partitioning (HashPartitioning, its
@@ -108,7 +117,10 @@ object Bridge {
         // stay at the leaf's default (Unknown)
         val part = finalPlan.outputPartitioning match {
           case ep: org.apache.spark.sql.catalyst.expressions.Expression
-              with org.apache.spark.sql.catalyst.plans.physical.Partitioning =>
+              with org.apache.spark.sql.catalyst.plans.physical.Partitioning
+              // the claim is only physically meaningful when the
+              // checkpoint RDD kept the executed plan's partition count
+              if ep.numPartitions == lr.rdd.getNumPartitions =>
             val r = ep.transform { case a: Attribute => attrMap.getOrElse(a, a) }
             if (r.references.subsetOf(outSet))
               r.asInstanceOf[org.apache.spark.sql.catalyst.plans.physical.Partitioning]
@@ -122,16 +134,30 @@ object Bridge {
           if (ordRemapped.nonEmpty && ordRemapped.forall(_.references.subsetOf(outSet)))
             ordRemapped
           else Nil
-        // static frames: exact materialized bytes from the block store
-        // (the checkpoint blocks are resident by now when eager)
+        // static frames: exact materialized bytes from the block store.
+        // The AppStatusStore is fed by an ASYNC listener bus, so the
+        // sizes can lag the eager action by a beat (r12 advice: a miss
+        // silently degraded the leaf to stats-free = never-broadcast,
+        // nondeterministically); poll briefly for the blocks to appear
+        // before giving up. Reliable-checkpoint mode stores no blocks
+        // in the block store — it stays stats-free by construction.
+        def blockBytes(): Option[Long] = ds.sparkSession.sparkContext.getRDDStorageInfo
+          .find(_.id == lr.rdd.id)
+          .map(i => i.memSize + i.diskSize)
+          .filter(_ > 0L)
         val stats =
           if (!keepStats) None
-          else ds.sparkSession.sparkContext.getRDDStorageInfo
-            .find(_.id == lr.rdd.id)
-            .map(i => i.memSize + i.diskSize)
-            .filter(_ > 0L)
-            .map(s => org.apache.spark.sql.catalyst.plans.logical.Statistics(
+          else {
+            var bytes = blockBytes()
+            var waited = 0
+            while (bytes.isEmpty && waited < 20
+                && lr.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE) {
+              Thread.sleep(50); waited += 1
+              bytes = blockBytes()
+            }
+            bytes.map(s => org.apache.spark.sql.catalyst.plans.logical.Statistics(
               sizeInBytes = BigInt(s)))
+          }
         org.apache.spark.sql.classic.Dataset.ofRows(
           ds.sparkSession,
           new LogicalRDD(lr.output, lr.rdd, part, ord, lr.isStreaming, lr.stream)(

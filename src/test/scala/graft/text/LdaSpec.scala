@@ -81,6 +81,12 @@ class LdaSpec extends SparkSpec {
       assert(d1 === d2)
       v1.zip(v2).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12, s"doc $d1") }
     }
+    // the USER-VISIBLE contract stays exact (r12 advice): at the 5dp
+    // output quantizer the two fits must match bit-for-bit
+    def q5(x: Double): Double = math.round(x * 1e5).toDouble / 1e5
+    t1.zip(t2).foreach { case ((d1, v1), (_, v2)) =>
+      v1.zip(v2).foreach { case (a, b) => assert(q5(a) === q5(b), s"quantized doc $d1") }
+    }
     val tw = Lda.topWords(m1, 3).orderBy("topic", "rank").collect()
     assert(tw.length === 6)
     tw.groupBy(_.getInt(0)).values.foreach { rows =>
